@@ -1,0 +1,65 @@
+"""Headline benchmark: runs the flagship + representative queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query is forced through the `noop` sink so the full plan executes
+(collect() would bottleneck on the driver; count() lets Catalyst prune).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from sensor_time_series_pyspark_spark.session import get_spark
+
+BENCH_QUERIES = [
+    "flagship_hourly_wide",
+    "q01_pricing_summary",
+    "q03_segment_revenue",
+    "q05_event_type_pivot",
+    "q09_top_orders_per_customer",
+    "q11_resample_30min",
+    "q15_sessionize",
+    "q17_dedup_exact",
+    "q22_doc_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark("bench")
+    qs = entrymod.queries()
+    names = [n for n in BENCH_QUERIES if n in qs]
+
+    # warm the JVM + parquet footer caches once (excluded from timings)
+    qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

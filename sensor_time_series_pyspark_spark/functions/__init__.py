@@ -1,0 +1,33 @@
+"""Column-expression helpers — pure ``pyspark.sql.functions`` compositions
+(JVM-side, whole-stage-codegen'd; no Python in the hot path)."""
+
+from .cleaning import coalesce_labels, repair_label
+from .temporal import epoch_seconds, time_bucket, to_day
+from .vectors import cosine_similarity, dot, l2_norm
+from .text import (
+    char_ngrams,
+    punct_ratio,
+    simhash64,
+    stopword_ratio,
+    token_count,
+    tokens,
+    word_shingles,
+)
+
+__all__ = [
+    "repair_label",
+    "coalesce_labels",
+    "time_bucket",
+    "to_day",
+    "epoch_seconds",
+    "dot",
+    "l2_norm",
+    "cosine_similarity",
+    "tokens",
+    "token_count",
+    "punct_ratio",
+    "stopword_ratio",
+    "word_shingles",
+    "char_ngrams",
+    "simhash64",
+]

@@ -1,0 +1,147 @@
+"""Text-analysis expressions for the training-data pipeline (north-star
+extension, BASELINE.json — not in the reference, which has no text
+processing at all).
+
+Everything here is built-in-function composition (split / regexp /
+transform / aggregate) so language-ID, quality scoring, and
+fingerprinting run JVM-side over 100 TB of documents without touching a
+Python worker.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny multilingual stopword sample — enough for a ratio feature; a real
+# deployment swaps in a fuller public list per language.
+STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "de", "la", "el", "und", "der", "die", "le", "les", "un", "une",
+]
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization, empty tokens dropped."""
+    return F.filter(F.split(F.trim(_c(text)), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """A BPE-flavored token estimate: count word pieces of <=4 chars.
+    ceil(len(word)/4) summed over words — a deterministic, cheap proxy
+    for subword token counts (close to the 'chars/4' rule of thumb but
+    word-aligned)."""
+    return F.aggregate(
+        tokens(text),
+        F.lit(0),
+        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("int"),
+    )
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are ASCII punctuation."""
+    t = _c(text)
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[!-/:-@\[-`{-~]", ""))
+    return F.when(F.length(t) > 0, n_punct / F.length(t)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are (lowercased) stopwords."""
+    toks = tokens(text)
+    sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS)])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    return F.when(F.size(toks) > 0, n_sw / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: penalize too-short docs, high
+    punctuation density, and stopword-free (likely non-linguistic) text.
+    Deterministic and monotone in each component."""
+    n = token_count(text)
+    len_score = F.least(n / F.lit(20.0), F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(punct_ratio(text) * 5, F.lit(1.0))
+    sw = stopword_ratio(text)
+    sw_score = F.least(sw * 4, F.lit(1.0))
+    return (len_score + punct_score + sw_score) / 3
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles (the MinHash/Jaccard unit). Built with
+    ``sequence`` + ``transform`` over token indices — no explode, no UDF."""
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return F.array_distinct(sh)
+
+
+def char_ngrams(text: Column | str, k: int = 5) -> Column:
+    """Distinct character k-grams."""
+    t = _c(text)
+    n = F.length(t)
+    idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(0)))
+    return F.array_distinct(F.transform(idx, lambda i: t.substr(i, F.lit(k))))
+
+
+def lang_id(text: Column | str) -> Column:
+    """N-gram-free language heuristic: score text against small marker
+    word sets and pick the argmax. Cheap, deterministic, JVM-side; a
+    real pipeline swaps in fastText via mapInPandas (see
+    operators/multimodal.py for the stub pattern)."""
+    markers = {
+        "en": ["the", "and", "of", "is", "to"],
+        "es": ["el", "la", "los", "es", "una"],
+        "de": ["der", "die", "und", "ist", "ein"],
+        "fr": ["le", "les", "est", "une", "dans"],
+    }
+    toks = F.transform(tokens(text), F.lower)
+    scores = []
+    for lang, words in markers.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        scores.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("unknown"))
+
+
+def fingerprint64(text: Column | str) -> Column:
+    """Deterministic 64-bit document fingerprint: xxhash64 of the
+    whitespace-normalized, lowercased text. The exact-dedup key."""
+    norm = F.lower(F.concat_ws(" ", tokens(text)))
+    return F.xxhash64(norm)
+
+
+def simhash64(text: Column | str, k: int = 1) -> Column:
+    """64-bit SimHash over (k-word) shingle hashes, as pure column
+    algebra: per shingle take xxhash64, then for each of 64 bit
+    positions sum +1/-1 votes and emit the sign bit.
+
+    Near-duplicate docs differ in few bit positions (small Hamming
+    distance). Used by operators/dedup.py:simhash_near_duplicates.
+    """
+    hashes = F.transform(word_shingles(text, k), F.xxhash64)
+    bits = []
+    for b in range(64):
+        # vote_b = sum over shingles of (bit_b(h) ? 1 : -1)
+        vote = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h, b=b: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+        bits.append(F.when(vote > 0, F.lit(1).cast("long") * F.lit(2 ** b if b < 63 else -(2 ** 63))).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out

@@ -1,0 +1,23 @@
+"""Relational/dataflow operators — DataFrame-in → DataFrame-out."""
+
+from .pivot import impute_defaults, pivot_wide, unpivot
+from .windows import ffill, interpolate_linear, lead_target, rolling_avg
+from .resample import resample
+from .sessionize import sessionize
+from .asof import asof_join
+from .quantiles import approx_quantiles, quantile_clip
+
+__all__ = [
+    "pivot_wide",
+    "unpivot",
+    "impute_defaults",
+    "lead_target",
+    "rolling_avg",
+    "ffill",
+    "interpolate_linear",
+    "resample",
+    "sessionize",
+    "asof_join",
+    "approx_quantiles",
+    "quantile_clip",
+]

@@ -1,0 +1,62 @@
+"""Quantile operators.
+
+Fixes reference bug #4 (SURVEY.md §8): sensor_data_etl.py:95-98 probes
+the 'H2S' column for all four gases AND re-runs the whole upstream DAG
+per call (approxQuantile is driver-side, one job each). Here both
+variants are single-pass DataFrame aggregates that Catalyst folds into
+one job for any number of columns.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def approx_quantiles(
+    df: DataFrame,
+    cols: Sequence[str],
+    probs: Sequence[float],
+    accuracy: int = 10000,
+) -> DataFrame:
+    """One row; one array<double> column per input column. Uses the
+    KLL/GK sketch (``percentile_approx``) — mergeable, so it scales as a
+    normal partial aggregate. ``accuracy`` ≈ 1/relativeError."""
+    probs_arr = F.array(*[F.lit(p) for p in probs])
+    return df.agg(
+        *[
+            F.percentile_approx(c, probs_arr, F.lit(accuracy)).alias(f"{c}_q")
+            for c in cols
+        ]
+    )
+
+
+def quantile_clip(
+    df: DataFrame,
+    value_col: str,
+    partition_by: Sequence[str],
+    lower: float = 0.2,
+    upper: float = 0.8,
+    exact: bool = True,
+) -> DataFrame:
+    """Keep rows whose value lies within the per-group [q_lower, q_upper]
+    band (reference T4, spark_pandas_timeseries_forecast.py:37).
+
+    Exact mode uses ``percentile`` (interpolated, matches ANSI
+    quantile_cont) — fine when groups fit an aggregate buffer. At very
+    large per-group cardinality flip ``exact=False`` for the sketch.
+    Implementation: per-group bounds via one aggregate, then a join back
+    (auto-broadcast: the bounds table is |groups| rows) + range filter.
+    """
+    fn = "percentile" if exact else "percentile_approx"
+    bounds = df.groupBy(*partition_by).agg(
+        F.expr(f"{fn}({value_col}, {lower})").alias("__lo"),
+        F.expr(f"{fn}({value_col}, {upper})").alias("__hi"),
+    )
+    joined = df.join(F.broadcast(bounds), list(partition_by))
+    return (
+        joined.where((F.col(value_col) >= F.col("__lo")) & (F.col(value_col) <= F.col("__hi")))
+        .drop("__lo", "__hi")
+    )

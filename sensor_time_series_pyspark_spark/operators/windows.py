@@ -1,0 +1,122 @@
+"""Window-function operators: supervised-learning targets (lead),
+rolling statistics, forward-fill, and linear interpolation — all pure
+column algebra over ``Window`` frames. No UDFs.
+
+Reference coverage: W1 (lead-as-label, sensor_data_regression.py:42-43),
+T2 ffill / T3 interpolate (pandas_timeseries_forecast.py:65,
+spark_pandas_timeseries_forecast.py:34-35) re-expressed natively.
+
+Scale note: every window here REQUIRES a partition key. The reference's
+``Window.partitionBy()`` (empty — sensor_data_regression.py:42) funnels
+the whole dataset through one task; these APIs make the entity key a
+mandatory argument instead (SURVEY.md §8 bug 8).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def lead_target(
+    df: DataFrame,
+    order_col: str,
+    target_col: str,
+    partition_by: Sequence[str],
+    offset: int = 1,
+    out_col: str | None = None,
+    drop_tail: bool = True,
+) -> DataFrame:
+    """Next-period value as a label column (the reference's
+    "tomorrow's max H2S" target). ``drop_tail`` removes rows whose
+    lead is NULL (reference P11, scoped to just this column rather
+    than a blanket dropna)."""
+    out = out_col or f"{target_col}_lead{offset}"
+    w = Window.partitionBy(*partition_by).orderBy(order_col)
+    res = df.withColumn(out, F.lead(target_col, offset).over(w))
+    return res.na.drop(subset=[out]) if drop_tail else res
+
+
+def rolling_avg(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    partition_by: Sequence[str],
+    window_seconds: int,
+    out_col: str = "rolling_avg",
+) -> DataFrame:
+    """Time-based trailing mean over a rangeBetween frame keyed on
+    epoch seconds (handles irregular sampling, unlike rowsBetween)."""
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(F.col(ts_col).cast("double"))
+        .rangeBetween(-float(window_seconds), 0.0)
+    )
+    return df.withColumn(out_col, F.avg(value_col).over(w))
+
+
+def ffill(
+    df: DataFrame,
+    cols: Sequence[str],
+    order_col: str,
+    partition_by: Sequence[str],
+) -> DataFrame:
+    """Forward-fill NULLs per series: last non-null over an unbounded
+    preceding frame (native equivalent of pandas ``.ffill()``)."""
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out
+
+
+def interpolate_linear(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    partition_by: Sequence[str],
+    out_col: str | None = None,
+) -> DataFrame:
+    """Linear interpolation of NULL gaps per series — pure column
+    algebra, no UDF (native equivalent of pandas
+    ``.interpolate(method='linear')``, reference T3).
+
+    Two frames per series: last non-null (value, ts) looking back,
+    first non-null looking forward; blend on the epoch-time fraction.
+    Leading/trailing gaps degrade to nearest-value fill; all-null
+    series stay NULL.
+    """
+    out = out_col or value_col
+    t = F.col(ts_col).cast("double")
+    v = F.col(value_col)
+    back = (
+        Window.partitionBy(*partition_by)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy(*partition_by)
+        .orderBy(ts_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    prev_v = F.last(v, ignorenulls=True).over(back)
+    prev_t = F.last(F.when(v.isNotNull(), t), ignorenulls=True).over(back)
+    next_v = F.first(v, ignorenulls=True).over(fwd)
+    next_t = F.first(F.when(v.isNotNull(), t), ignorenulls=True).over(fwd)
+
+    frac = (t - prev_t) / (next_t - prev_t)
+    blended = prev_v + (next_v - prev_v) * frac
+    filled = (
+        F.when(v.isNotNull(), v)
+        .when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .when(next_t == prev_t, prev_v)
+        .otherwise(blended)
+    )
+    return df.withColumn(out, filled)

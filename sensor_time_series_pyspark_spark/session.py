@@ -1,0 +1,63 @@
+"""SparkSession factory.
+
+The reference creates a module-level session with hard-coded config at
+import time (/root/reference/sensor_data_etl.py:9-21), which makes the
+code untestable. Here the session is built on demand, with scale-aware
+defaults: AQE (runtime coalesce + skew-join), Arrow for pandas
+interchange, UTC session timezone (so timestamps compare cleanly against
+external systems), and shuffle parallelism sized to the machine instead
+of the reference's hard-coded repartition(200)/(100)/(50) constants
+(sensor_data_etl.py:30,51; sensor_data_regression.py:46).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    """Shuffle partition count: env override, else CPU count.
+
+    On a real cluster set this to 2-3x total executor cores (or leave
+    AQE's coalescePartitions to shrink an intentionally-high number).
+    """
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return max(1, int(env))
+    return os.cpu_count() or 8
+
+
+def get_spark(
+    app_name: str = "sensor_time_series_pyspark_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-sane defaults.
+
+    Every config here is equally valid on a 1000-executor cluster; only
+    ``master`` and the partition count are machine-dependent.
+    """
+    cpus = shuffle_partitions or default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    if master:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,7 @@
+"""Sources & sinks: batch readers (parquet/CSV-with-schema/JSON/JDBC),
+partitioned parquet sinks, and streaming readers (see ``streaming/``)."""
+
+from .readers import read_csv, read_parquet, read_table, star_schema
+from .sinks import write_parquet
+
+__all__ = ["read_parquet", "read_csv", "read_table", "star_schema", "write_parquet"]

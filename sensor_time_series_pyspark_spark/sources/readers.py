@@ -1,0 +1,85 @@
+"""Batch readers.
+
+Covers the reference's source surface (SURVEY.md §2.1):
+- S3 CSV scan with explicit schema (sensor_data_etl.py:35-51) — never
+  ``inferSchema``: inference costs an extra full scan and produces
+  unstable types at 100 TB.
+- S4 parquet scan (sensor_data_etl.py:25-26 and friends) — Spark's
+  vectorized reader gives row-group pruning + predicate pushdown free.
+- S1 JDBC with pushed-down subquery (read_sensor_configs.py:26-47) —
+  see ``jdbc.py``.
+
+All readers are plain functions over an injected SparkSession; paths come
+from the caller, not module constants (the reference hard-codes relative
+paths, e.g. sensor_data_etl.py:25-26).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# The driver-provided star schema (TESTDATA.md). `events` plays the
+# sensor_raw_data fact role; region/nation play the small dims.
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_parquet(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
+    """Parquet scan; optional eager projection (Catalyst prunes anyway —
+    passing ``columns`` just documents intent at the call site)."""
+    df = spark.read.parquet(path)
+    return df.select(*columns) if columns else df
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """One testdata table (``{sf_dir}/{name}.parquet``).
+
+    The generator wrote ``events.ts`` as parquet TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects. Read nanos as long (session conf)
+    and rebuild a micro-precision TimestampType column — truncation,
+    matching how micro-precision engines read the same file.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            # integer division: nanos exceed 2^53, so `/ 1000` via double
+            # would lose microseconds
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def star_schema(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All testdata tables as a dict of DataFrames (lazy: no jobs run)."""
+    return {name: read_table(spark, sf_dir, name) for name in TABLES}
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = False,
+    timestamp_format: str | None = None,
+) -> DataFrame:
+    """CSV scan under an explicit StructType (reference S3,
+    sensor_data_etl.py:51). Explicit schema is non-negotiable at scale:
+    it keeps the scan single-pass and makes bad rows NULL instead of
+    silently re-typing a column."""
+    reader = spark.read.schema(schema).option("header", str(header).lower())
+    if timestamp_format:
+        reader = reader.option("timestampFormat", timestamp_format)
+    return reader.csv(path)

@@ -1,0 +1,130 @@
+"""Operator unit + property tests on tiny constructed frames
+(SURVEY.md §5 strategy #2/#3: golden semantics + algebraic laws)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from sensor_time_series_pyspark_spark.operators import (
+    asof_join,
+    ffill,
+    impute_defaults,
+    interpolate_linear,
+    lead_target,
+    pivot_wide,
+    sessionize,
+    unpivot,
+)
+
+
+def ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def long_df(spark):
+    rows = [
+        (1, ts("2020-01-01T00:00:00"), "H2S", 1.0),
+        (1, ts("2020-01-01T00:00:00"), "O2", 20.9),
+        (1, ts("2020-01-01T00:30:00"), "H2S", 2.0),
+        (2, ts("2020-01-01T00:00:00"), "CO", 5.0),
+        (2, ts("2020-01-01T00:00:00"), "H2S", None),
+    ]
+    return spark.createDataFrame(rows, "terminal int, dt timestamp, gas string, reading double")
+
+
+def test_pivot_wide_first(spark, long_df):
+    wide = pivot_wide(
+        long_df, keys=["terminal", "dt"], pivot_col="gas",
+        pivot_values=["H2S", "O2", "CO"], value_col="reading",
+        extra_aggs=[F.count(F.lit(1)).alias("n")],
+    )
+    rows = {(r["terminal"], str(r["dt"])): r for r in wide.collect()}
+    r1 = rows[(1, "2020-01-01 00:00:00")]
+    assert r1["H2S"] == 1.0 and r1["O2"] == 20.9 and r1["CO"] is None and r1["n"] == 2
+    # first(ignorenulls): the NULL H2S reading doesn't clobber
+    r2 = rows[(2, "2020-01-01 00:00:00")]
+    assert r2["H2S"] is None and r2["CO"] == 5.0
+
+
+def test_impute_defaults(spark, long_df):
+    wide = pivot_wide(long_df, ["terminal", "dt"], "gas", ["H2S", "O2", "CO"], "reading")
+    filled = impute_defaults(wide, {"H2S": 0.0, "CO": 0.0, "O2": 21.0})
+    assert filled.where(F.col("H2S").isNull() | F.col("O2").isNull()).count() == 0
+
+
+def test_pivot_unpivot_roundtrip(spark, long_df):
+    """pivot∘unpivot ≈ identity on non-null cells (SURVEY §5 law)."""
+    wide = pivot_wide(long_df, ["terminal", "dt"], "gas", ["H2S", "O2", "CO"], "reading")
+    back = unpivot(wide, ["terminal", "dt"], ["H2S", "O2", "CO"], "gas", "reading")
+    orig = {(r[0], r[1], r[2]): r[3] for r in long_df.dropna().collect()}
+    got = {(r[0], r[1], r[2]): r[3] for r in back.dropna().collect()}
+    assert got == orig
+
+
+def test_ffill(spark):
+    rows = [(1, 1, None), (1, 2, 5.0), (1, 3, None), (1, 4, None), (2, 1, None)]
+    df = spark.createDataFrame(rows, "id int, t int, v double")
+    out = ffill(df, ["v"], order_col="t", partition_by=["id"])
+    got = {(r["id"], r["t"]): r["v"] for r in out.collect()}
+    assert got == {(1, 1): None, (1, 2): 5.0, (1, 3): 5.0, (1, 4): 5.0, (2, 1): None}
+    # idempotence
+    again = ffill(out, ["v"], order_col="t", partition_by=["id"])
+    assert {(r["id"], r["t"]): r["v"] for r in again.collect()} == got
+
+
+def test_interpolate_linear(spark):
+    rows = [
+        (1, 0, 0.0), (1, 10, None), (1, 40, 4.0),   # gap: 0 → 4 over 40s
+        (1, 50, None),                               # trailing → nearest
+        (2, 0, None), (2, 10, 7.0),                  # leading → nearest
+    ]
+    df = spark.createDataFrame(rows, "id int, t int, v double").withColumn(
+        "dt", F.timestamp_seconds("t")
+    )
+    out = interpolate_linear(df, "dt", "v", ["id"])
+    got = {(r["id"], r["t"]): r["v"] for r in out.collect()}
+    assert got[(1, 10)] == pytest.approx(1.0)  # 0 + 4*(10/40)
+    assert got[(1, 0)] == 0.0 and got[(1, 40)] == 4.0  # endpoints exact
+    assert got[(1, 50)] == 4.0
+    assert got[(2, 0)] == 7.0
+
+
+def test_lead_target(spark):
+    rows = [(1, 1, 10.0), (1, 2, 20.0), (1, 3, 30.0), (2, 1, 5.0)]
+    df = spark.createDataFrame(rows, "id int, day int, v double")
+    out = lead_target(df, "day", "v", ["id"], out_col="nxt")
+    got = {(r["id"], r["day"]): r["nxt"] for r in out.collect()}
+    # tails dropped: (1,3) and (2,1) have no next day
+    assert got == {(1, 1): 20.0, (1, 2): 30.0}
+
+
+def test_sessionize(spark):
+    rows = [
+        (1, 0), (1, 100), (1, 5000),   # gap > 1800s at 5000? no: 4900s > 1800 → new session
+        (2, 0),
+    ]
+    df = spark.createDataFrame(rows, "id int, t int").withColumn(
+        "dt", F.timestamp_seconds("t")
+    )
+    out = sessionize(df, "dt", ["id"], gap_seconds=1800)
+    got = {(r["id"], r["t"]): r["session_seq"] for r in out.collect()}
+    assert got == {(1, 0): 1, (1, 100): 1, (1, 5000): 2, (2, 0): 1}
+
+
+def test_asof_join(spark):
+    quotes = [(1, 0, 100.0), (1, 50, 105.0), (2, 10, 7.0)]
+    trades = [(1, 25), (1, 50), (1, 75), (2, 5)]
+    q = spark.createDataFrame(quotes, "id int, t int, px double").withColumn(
+        "qt", F.timestamp_seconds("t")
+    ).drop("t")
+    tr = spark.createDataFrame(trades, "id int, t int").withColumn(
+        "tt", F.timestamp_seconds("t")
+    )
+    out = asof_join(tr, q, on=["id"], left_ts="tt", right_ts="qt", value_cols=["px"])
+    got = {(r["id"], r["t"]): r["px"] for r in out.collect()}
+    # exact-timestamp right row IS visible (t=50 → 105)
+    assert got == {(1, 25): 100.0, (1, 50): 105.0, (1, 75): 105.0, (2, 5): None}
