@@ -37,6 +37,15 @@ from sensor_time_series_pyspark_spark.operators import (
     resample,
     sessionize,
 )
+from sensor_time_series_pyspark_spark.ml import (
+    classification_pipeline,
+    decode_predictions,
+    decompose,
+    fit_forecast,
+    grid_search_forecast,
+    regression_pipeline,
+    temporal_split,
+)
 from sensor_time_series_pyspark_spark.plans import sensor_etl
 from sensor_time_series_pyspark_spark.sources.readers import read_table
 
@@ -251,6 +260,85 @@ def _q_doc_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _daily_series(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user daily mean value — the bounded per-series frame every
+    forecasting query starts from (resample NATIVELY before any
+    applyInPandas so Python groups stay small; ml/forecast.py)."""
+    ev = read_table(spark, sf, "events")
+    return ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        _davg(F.col("value")).alias("value")
+    )
+
+
+def _q_holt_forecast(spark: SparkSession, sf: str) -> DataFrame:
+    """7-step Holt forecast per user (reference T5/T7 done per-series;
+    no SQL oracle — invariants tested in tests/test_forecast.py)."""
+    daily = _daily_series(spark, sf)
+    return fit_forecast(
+        daily, series_keys=["user_id"], ts_col="day", value_col="value",
+        horizon=7, model="holt",
+    )
+
+
+def _q_arima_grid(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed (p,d,q) grid search (reference T6: the nested loop at
+    pandas_timeseries_forecast.py:22-55 re-shaped as a parameter
+    DataFrame → per-combo Arrow groups → min_by)."""
+    daily = _daily_series(spark, sf)
+    grid = [
+        {"p": 1, "d": 0, "q": 0},
+        {"p": 1, "d": 1, "q": 0},
+        {"p": 2, "d": 0, "q": 0},
+        {"p": 0, "d": 1, "q": 1},
+    ]
+    return grid_search_forecast(
+        daily, series_keys=["user_id"], ts_col="day", value_col="value",
+        grid=grid, model="arima",
+    )
+
+
+def _q_seasonal_decompose(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly additive decomposition per user (reference T8)."""
+    daily = _daily_series(spark, sf)
+    return decompose(
+        daily, series_keys=["user_id"], ts_col="day", value_col="value", period=7
+    )
+
+
+def _q_mlp_classification(spark: SparkSession, sf: str) -> DataFrame:
+    """MLP event-profile → nation classifier (reference 3a re-shaped:
+    4 gas readings → label becomes 5 event-type averages → n_name).
+    Temporal split, seeded; returns per-class prediction counts."""
+    wide = sensor_etl(spark, sf)
+    train, test = temporal_split(wide, "bucket", "2024-01-25")
+    n_classes = 25
+    pipe = classification_pipeline(
+        EVENT_TYPES, "n_name", hidden=20, n_classes=n_classes, seed=42, max_iter=20
+    )
+    model = pipe.fit(train)
+    preds = decode_predictions(model, model.transform(test))
+    return preds.groupBy("predicted_label").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _q_gbt_regression(spark: SparkSession, sf: str) -> DataFrame:
+    """GBT next-day-max regression (reference 3b: daily max + epoch
+    features → lead-1 label, sensor_data_regression.py). Seeded."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.max("value").alias("day_max")
+    )
+    labeled = lead_target(
+        daily, order_col="day", target_col="day_max",
+        partition_by=["user_id"], out_col="next_day_max",
+    ).withColumn("epoch_day", F.unix_date("day").cast("double"))
+    train, test = temporal_split(labeled, "day", "2024-01-25")
+    pipe = regression_pipeline(
+        ["day_max", "epoch_day", "user_id"], "next_day_max", seed=42, max_iter=10
+    )
+    model = pipe.fit(train)
+    return model.transform(test).select("user_id", "day", "next_day_max", "prediction")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -265,6 +353,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_sessionize": _q_sessionize,
         "q17_dedup_exact": _q_dedup_exact,
         "q22_doc_stats": _q_doc_stats,
+        "q24_holt_forecast": _q_holt_forecast,
+        "q25_arima_grid": _q_arima_grid,
+        "q26_seasonal_decompose": _q_seasonal_decompose,
+        "q27_mlp_classification": _q_mlp_classification,
+        "q28_gbt_regression": _q_gbt_regression,
     }
 
 

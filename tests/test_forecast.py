@@ -1,0 +1,110 @@
+"""Forecast/ML invariant tests (SURVEY.md §5 strategy #4: non-SQL ops
+get metric-threshold + determinism checks instead of an oracle)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sensor_time_series_pyspark_spark.ml import (
+    fit_forecast,
+    grid_search_forecast,
+    decompose,
+)
+from sensor_time_series_pyspark_spark.ml.models import (
+    arima,
+    holt,
+    seasonal_decompose_additive,
+    ses,
+    walk_forward_mse,
+)
+
+
+# ---- numpy models -------------------------------------------------------
+
+
+def test_ses_constant_series():
+    x = np.full(20, 5.0)
+    fc, se = ses(x, 3)
+    assert np.allclose(fc, 5.0) and np.allclose(se, 0.0)
+
+
+def test_holt_linear_trend_exact():
+    x = np.arange(30, dtype="float64")  # perfect trend: forecast continues it
+    fc, _ = holt(x, 5, alpha=0.9, beta=0.9)
+    assert np.allclose(fc, np.arange(30, 35), atol=0.5)
+
+
+def test_arima_d1_recovers_drift():
+    x = np.cumsum(np.full(40, 2.0))  # constant drift 2/step
+    fc, se = arima(x, 4, p=1, d=1)
+    assert np.allclose(np.diff(np.r_[x[-1], fc]), 2.0, atol=0.2)
+    assert np.all(np.diff(se) >= 0)  # widening uncertainty
+
+
+def test_walk_forward_prefers_right_model():
+    rng = np.random.default_rng(42)
+    x = np.cumsum(np.full(60, 1.0)) + rng.normal(0, 0.01, 60)
+    mse_d1 = walk_forward_mse(x, "arima", {"p": 1, "d": 1})
+    mse_d0 = walk_forward_mse(x, "arima", {"p": 0, "d": 0})
+    assert mse_d1 < mse_d0  # trending series: differencing wins
+
+
+def test_seasonal_decompose_reconstruction():
+    t = np.arange(56, dtype="float64")
+    x = 0.5 * t + 3 * np.sin(2 * np.pi * t / 7)
+    trend, seasonal, resid = seasonal_decompose_additive(x, 7)
+    ok = ~np.isnan(trend)
+    assert np.allclose((trend + seasonal + resid)[ok], x[ok], atol=1e-9)
+    assert abs(np.nanmean(seasonal)) < 1e-9
+
+
+# ---- Spark harness ------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def series_df(spark):
+    rows = []
+    for uid in (1, 2):
+        for day in range(30):
+            rows.append((uid, day, float(10 * uid + day + (day % 7))))
+    df = spark.createDataFrame(rows, "user_id int, d int, value double")
+    return df.withColumn("day", F.date_add(F.lit("2024-01-01").cast("date"), F.col("d")))
+
+
+def test_fit_forecast_shape_and_determinism(series_df):
+    out = fit_forecast(series_df, ["user_id"], "day", "value", horizon=7, model="holt")
+    rows = out.collect()
+    assert len(rows) == 14  # 2 series × 7 steps
+    by_key = {(r["user_id"], r["step"]): r for r in rows}
+    for r in rows:
+        assert math.isfinite(r["forecast"])
+        assert r["lo"] <= r["forecast"] <= r["hi"]
+    # deterministic across runs
+    again = {(r["user_id"], r["step"]): r["forecast"] for r in out.collect()}
+    assert all(again[k] == by_key[k]["forecast"] for k in again)
+
+
+def test_fit_forecast_skips_short_series(spark):
+    df = spark.createDataFrame([(1, 1, 1.0)], "user_id int, day int, value double")
+    assert fit_forecast(df, ["user_id"], "day", "value", horizon=3).count() == 0
+
+
+def test_grid_search_picks_finite_best(series_df):
+    grid = [{"p": 1, "d": 0, "q": 0}, {"p": 1, "d": 1, "q": 0}]
+    best = grid_search_forecast(series_df, ["user_id"], "day", "value", grid)
+    rows = best.collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert math.isfinite(r["mse"]) and r["best_params"]
+
+
+def test_decompose_roundtrip(series_df):
+    out = decompose(series_df, ["user_id"], "day", "value", period=7).collect()
+    assert len(out) == 60
+    for r in out:
+        if r["trend"] is not None and not math.isnan(r["trend"]):
+            assert abs((r["trend"] + r["seasonal"] + r["resid"]) - r["value"]) < 1e-9
