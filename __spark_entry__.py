@@ -26,16 +26,30 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sensor_time_series_pyspark_spark.functions.text import (
+    bpe_ish_token_count,
+    fingerprint64,
+    lang_id,
+    punct_ratio,
+    quality_score,
     stopword_ratio,
     token_count,
     tokens,
     STOPWORDS,
 )
 from sensor_time_series_pyspark_spark.operators import (
+    asof_join,
+    exact_dedup,
+    ffill,
+    interpolate_linear,
+    jaccard_pairs,
     lead_target,
+    minhash_lsh_pairs,
     pivot_wide,
+    quantile_clip,
     resample,
     sessionize,
+    simhash_pairs,
+    topk_cosine,
 )
 from sensor_time_series_pyspark_spark.ml import (
     classification_pipeline,
@@ -174,9 +188,12 @@ def _q_event_type_pivot(spark: SparkSession, sf: str) -> DataFrame:
 
 def _q_customers_without_orders(spark: SparkSession, sf: str) -> DataFrame:
     """Anti join (SURVEY.md §2.3: absent from the reference — part of a
-    complete relational surface)."""
+    complete relational surface): customers with no orders since 1997.
+    The date filter pushes to the parquet scan before the join."""
     c = read_table(spark, sf, "customer")
-    o = read_table(spark, sf, "orders")
+    o = read_table(spark, sf, "orders").where(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
+    )
     return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -257,6 +274,209 @@ def _q_doc_stats(spark: SparkSession, sf: str) -> DataFrame:
         n.alias("n_tokens"),
         (total_chars / n).alias("avg_token_len"),
         stopword_ratio("text").alias("stop_ratio"),
+    )
+
+
+def _q_case_projection(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar-expression surface: CASE WHEN / cast / string fn
+    (reference P6/P7, sensor_data_etl.py:31-33)."""
+    p = read_table(spark, sf, "part")
+    band = (
+        F.when(F.col("p_size") < 10, "small")
+        .when(F.col("p_size") < 30, "medium")
+        .otherwise("large")
+    )
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand"),
+        band.alias("size_band"),
+        F.floor("p_retailprice").cast("long").alias("price_floor"),
+    )
+
+
+def _q_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """Set operations (SURVEY.md §2.6: absent from reference; needed by
+    the dedup pipeline): customers placing URGENT but never LOW-priority
+    orders."""
+    o = read_table(spark, sf, "orders")
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey").distinct()
+    low = o.where(F.col("o_orderpriority") == "5-LOW").select("o_custkey").distinct()
+    return urgent.exceptAll(low)
+
+
+def _q_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP grouping sets (SURVEY.md §2.4 'not present' list)."""
+    o = read_table(spark, sf, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_revenue"),
+    )
+
+
+def _nulled_events(spark: SparkSession, sf: str) -> DataFrame:
+    """events with value masked NULL on error rows — the gap-bearing
+    series used by the ffill/interpolate queries."""
+    ev = read_table(spark, sf, "events")
+    return ev.withColumn(
+        "value", F.when(F.col("event_type") != "error", F.col("value"))
+    )
+
+
+def _q_ffill(spark: SparkSession, sf: str) -> DataFrame:
+    """Forward-fill per series (reference T2, native)."""
+    out = ffill(_nulled_events(spark, sf), ["value"], order_col="ts", partition_by=["user_id"])
+    return out.select("event_id", "user_id", "ts", "value")
+
+
+def _q_interpolate(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear interpolation per series (reference T3, pure column
+    algebra — no UDF)."""
+    out = interpolate_linear(_nulled_events(spark, sf), "ts", "value", ["user_id"])
+    return out.select("event_id", "user_id", "ts", "value")
+
+
+def _q_quantile_clip(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group [q20, q80] trim (reference T4) with exact interpolated
+    percentile (matches DuckDB quantile_cont bit-for-bit)."""
+    ev = read_table(spark, sf, "events")
+    return quantile_clip(ev, "value", ["event_type"], 0.2, 0.8).select(
+        "event_id", "event_type", "value"
+    )
+
+
+def _q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-time as-of join (SURVEY.md §2.3 north star): each event
+    picks up the customer's most recent order total at that instant."""
+    ev = read_table(spark, sf, "events")
+    o = read_table(spark, sf, "orders")
+    # unique right rows per (key, ts) for determinism
+    daily_orders = o.groupBy(
+        F.col("o_custkey").alias("user_id"), F.col("o_orderdate")
+    ).agg(F.max("o_totalprice").alias("last_order_price"))
+    out = asof_join(
+        ev, daily_orders, on=["user_id"], left_ts="ts", right_ts="o_orderdate",
+        value_cols=["last_order_price"],
+    )
+    return out.select("event_id", "user_id", "ts", "last_order_price")
+
+
+def _rep_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-dedup representatives (lowest doc_id per distinct text).
+    Every near-dup query starts here: at 100 TB the duplicate groups
+    are huge (sf0.1 already has ~100 copies per text), and running the
+    pair-generation over raw rows squares that factor — dedup-first
+    cuts the candidate space by dup_factor² with zero recall loss
+    (identical texts are near-dups by definition)."""
+    docs = read_table(spark, sf, "documents")
+    return exact_dedup(docs, "text", "doc_id")
+
+
+def _q_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index join
+    (never a cross join; operators/dedup.py), over exact-dedup reps."""
+    return jaccard_pairs(_rep_docs(spark, sf), "doc_id", "text", threshold=0.2, shingle_k=3)
+
+
+def _q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash LSH candidate pairs over exact-dedup reps (rows-only:
+    hash-bucket membership is seed-deterministic but not
+    SQL-expressible)."""
+    return minhash_lsh_pairs(
+        _rep_docs(spark, sf), "doc_id", "text", jaccard_dist_threshold=0.6, shingle_k=2
+    )
+
+
+def _q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash banded near-dup pairs over exact-dedup reps (rows-only)."""
+    return simhash_pairs(_rep_docs(spark, sf), "doc_id", "text", max_hamming=6, shingle_k=2)
+
+
+def _q_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-5 per query vector (rank output only:
+    DuckDB's list_cosine_similarity computes in float32, so scores
+    aren't hash-comparable — ranks are stable, gaps ≫ float error)."""
+    emb = read_table(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return topk_cosine(emb, queries, "vec_id", "vec_id", "embedding", k=5).select(
+        "qid", "cid", "rank"
+    )
+
+
+def _q_embedding_norm_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label embedding L2-norm stats — JVM-side higher-order
+    functions over array<float> (functions/vectors.py)."""
+    from sensor_time_series_pyspark_spark.functions.vectors import l2_norm
+
+    emb = read_table(spark, sf, "embeddings")
+    norms = emb.select("label", l2_norm("embedding").alias("norm"))
+    return norms.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        _davg(F.col("norm")).alias("avg_norm"),
+    )
+
+
+def _q_text_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-ID + quality scoring + BPE-ish token estimate — all
+    JVM-side column algebra (functions/text.py), no Python worker in
+    the 100 TB path."""
+    docs = read_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        lang_id("text").alias("lang_pred"),
+        bpe_ish_token_count("text").cast("long").alias("n_bpe"),
+        punct_ratio("text").alias("punct_ratio"),
+        quality_score("text").alias("quality"),
+    )
+
+
+def _q_fingerprint_cardinality(spark: SparkSession, sf: str) -> DataFrame:
+    """Document fingerprint distinct-count: xxhash64 of normalized text
+    equals text-level distinct modulo hash collisions (≈0 at these
+    cardinalities) — the cheap dedup cardinality probe."""
+    docs = read_table(spark, sf, "documents")
+    return docs.agg(
+        F.count_distinct(fingerprint64("text")).alias("n_unique"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def _q_distinct_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct aggregation (SURVEY.md §2.4 'not present' list)."""
+    o = read_table(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def _q_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE grouping sets over two dims (SURVEY.md §2.4)."""
+    ev = read_table(spark, sf, "events")
+    return ev.cube("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("value")).alias("total_value"),
+    )
+
+
+def _q_approx_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """GK/KLL-sketch quantiles, all columns in ONE job (fixes reference
+    bug #4: per-column approxQuantile re-ran the upstream DAG each call,
+    sensor_data_etl.py:95-98). Rows-only: sketch output is
+    implementation-defined, not ANSI-SQL-reproducible."""
+    from sensor_time_series_pyspark_spark.operators import approx_quantiles
+
+    li = read_table(spark, sf, "lineitem")
+    return approx_quantiles(
+        li, ["l_quantity", "l_extendedprice", "l_discount"], [0.25, 0.5, 0.75]
+    )
+
+
+def _q_dedup_keep_first(spark: SparkSession, sf: str) -> DataFrame:
+    """Keep-lowest-id exact dedup (operators/dedup.py:exact_dedup) —
+    one shuffle on the 64-bit content hash, deterministic survivor."""
+    docs = read_table(spark, sf, "documents")
+    return exact_dedup(docs, "text", "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
     )
 
 
@@ -347,12 +567,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q04_region_supplier_stats": _q_region_supplier_stats,
         "q05_event_type_pivot": _q_event_type_pivot,
         "q06_customers_without_orders": _q_customers_without_orders,
+        "q07_case_projection": _q_case_projection,
+        "q08_set_ops": _q_set_ops,
         "q09_top_orders_per_customer": _q_top_orders_per_customer,
         "q10_next_day_max": _q_next_day_max,
         "q11_resample_30min": _q_resample_30min,
+        "q12_rollup": _q_rollup,
+        "q13_ffill": _q_ffill,
+        "q14_interpolate": _q_interpolate,
         "q15_sessionize": _q_sessionize,
+        "q16_quantile_clip": _q_quantile_clip,
         "q17_dedup_exact": _q_dedup_exact,
+        "q18_dedup_keep_first": _q_dedup_keep_first,
+        "q19_jaccard_pairs": _q_jaccard_pairs,
+        "q20_minhash_lsh": _q_minhash_lsh,
+        "q21_simhash": _q_simhash,
         "q22_doc_stats": _q_doc_stats,
+        "q23_topk_cosine": _q_topk_cosine,
+        "q29_asof_join": _q_asof_join,
+        "q30_embedding_norm_stats": _q_embedding_norm_stats,
+        "q31_text_features": _q_text_features,
+        "q32_fingerprint_cardinality": _q_fingerprint_cardinality,
+        "q33_distinct_agg": _q_distinct_agg,
+        "q34_cube": _q_cube,
+        "q35_approx_quantiles": _q_approx_quantiles,
         "q24_holt_forecast": _q_holt_forecast,
         "q25_arima_grid": _q_arima_grid,
         "q26_seasonal_decompose": _q_seasonal_decompose,
@@ -494,7 +732,11 @@ def oracle_sql() -> dict[str, str]:
         "q05_event_type_pivot": _PIVOT_SQL,
         "q06_customers_without_orders": """
             SELECT c_custkey, c_name FROM customer c
-            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+            )
         """,
         "q09_top_orders_per_customer": """
             SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
@@ -529,4 +771,189 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "q22_doc_stats": _DOC_STATS_SQL,
+        "q07_case_projection": """
+            SELECT p_partkey, upper(p_brand) AS brand,
+              CASE WHEN p_size < 10 THEN 'small'
+                   WHEN p_size < 30 THEN 'medium'
+                   ELSE 'large' END AS size_band,
+              CAST(floor(p_retailprice) AS BIGINT) AS price_floor
+            FROM part
+        """,
+        "q08_set_ops": """
+            SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            EXCEPT
+            SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+        """,
+        "q12_rollup": """
+            SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_revenue
+            FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        """,
+        "q13_ffill": """
+            SELECT event_id, user_id, ts,
+              last_value(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+            FROM events
+        """,
+        "q14_interpolate": """
+            WITH base AS (
+              SELECT event_id, user_id, ts, epoch(ts) AS t,
+                     CASE WHEN event_type <> 'error' THEN value END AS v
+              FROM events
+            ),
+            w AS (
+              SELECT event_id, user_id, ts, t, v,
+                last_value(v IGNORE NULLS) OVER back AS prev_v,
+                last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER back AS prev_t,
+                first_value(v IGNORE NULLS) OVER fwd AS next_v,
+                first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER fwd AS next_t
+              FROM base
+              WINDOW back AS (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     fwd AS (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            )
+            SELECT event_id, user_id, ts,
+              CASE WHEN v IS NOT NULL THEN v
+                   WHEN prev_v IS NULL THEN next_v
+                   WHEN next_v IS NULL THEN prev_v
+                   WHEN next_t = prev_t THEN prev_v
+                   ELSE prev_v + (next_v - prev_v) * ((t - prev_t) / (next_t - prev_t))
+              END AS value
+            FROM w
+        """,
+        "q16_quantile_clip": """
+            WITH bounds AS (
+              SELECT event_type, quantile_cont(value, 0.2) AS lo,
+                     quantile_cont(value, 0.8) AS hi
+              FROM events GROUP BY event_type
+            )
+            SELECT event_id, e.event_type, value
+            FROM events e JOIN bounds b ON e.event_type = b.event_type
+            WHERE value >= lo AND value <= hi
+        """,
+        "q18_dedup_keep_first": """
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+        """,
+        "q19_jaccard_pairs": r"""
+            WITH reps AS (
+              SELECT doc_id, text FROM documents
+              WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+            ),
+            toks AS (
+              SELECT doc_id AS id,
+                list_distinct(
+                  list_transform(
+                    generate_series(1, greatest(len(t) - 2, 0)),
+                    i -> array_to_string(t[i:i+2], ' ')
+                  )
+                ) AS tok
+              FROM (
+                SELECT doc_id,
+                  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+                FROM reps
+              )
+            ),
+            inv AS (SELECT id, len(tok) AS n_tok, unnest(tok) AS token FROM toks),
+            pairs AS (
+              SELECT a.id AS id_a, b.id AS id_b, a.n_tok AS n_a, b.n_tok AS n_b,
+                     count(*) AS inter
+              FROM inv a JOIN inv b ON a.token = b.token AND a.id < b.id
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT id_a, id_b, inter / (n_a + n_b - inter) AS jaccard
+            FROM pairs WHERE inter / (n_a + n_b - inter) >= 0.2
+        """,
+        "q23_topk_cosine": """
+            WITH v AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings
+            ),
+            scored AS (
+              SELECT q.vec_id AS qid, c.vec_id AS cid,
+                list_dot_product(q.e, c.e)
+                  / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))) AS cosine
+              FROM v q JOIN v c ON q.vec_id <> c.vec_id
+              WHERE q.vec_id < 10
+            )
+            SELECT qid, cid, rank FROM (
+              SELECT qid, cid,
+                CAST(row_number() OVER (PARTITION BY qid
+                     ORDER BY cosine DESC, cid) AS INT) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """,
+        "q29_asof_join": """
+            SELECT e.event_id, e.user_id, e.ts, d.last_order_price
+            FROM events e
+            ASOF LEFT JOIN (
+              SELECT o_custkey AS user_id, o_orderdate,
+                     max(o_totalprice) AS last_order_price
+              FROM orders GROUP BY 1, 2
+            ) d ON e.user_id = d.user_id AND e.ts >= d.o_orderdate
+        """,
+        "q31_text_features": rf"""
+            WITH toks AS (
+              SELECT doc_id, text,
+                list_transform(
+                  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''),
+                  t -> lower(t)
+                ) AS tok
+              FROM documents
+            ),
+            feat AS (
+              SELECT doc_id, text, tok,
+                list_aggregate([
+                  {{'score': len(list_filter(tok, t -> list_contains(['the','and','of','is','to'], t))), 'lang': 'en'}},
+                  {{'score': len(list_filter(tok, t -> list_contains(['el','la','los','es','una'], t))), 'lang': 'es'}},
+                  {{'score': len(list_filter(tok, t -> list_contains(['der','die','und','ist','ein'], t))), 'lang': 'de'}},
+                  {{'score': len(list_filter(tok, t -> list_contains(['le','les','est','une','dans'], t))), 'lang': 'fr'}}
+                ], 'max') AS best,
+                CASE WHEN len(text) > 0
+                     THEN (len(text) - len(regexp_replace(text, '[!-/:-@\[-`{{-~]', '', 'g'))) / len(text)
+                     ELSE 0 END AS pr,
+                CASE WHEN len(tok) > 0
+                     THEN len(list_filter(tok, t -> list_contains({_STOPWORD_LIST}, t))) / len(tok)
+                     ELSE 0 END AS sw
+              FROM toks
+            )
+            SELECT doc_id,
+              CASE WHEN best.score > 0 THEN best.lang ELSE 'unknown' END AS lang_pred,
+              CAST(coalesce(list_aggregate(
+                list_transform(tok, w -> CAST(ceil(len(w)/4.0) AS INT)), 'sum'), 0) AS BIGINT) AS n_bpe,
+              pr AS punct_ratio,
+              (least(len(tok)/20.0, 1.0) + (1.0 - least(pr*5, 1.0)) + least(sw*4, 1.0)) / 3 AS quality
+            FROM feat
+        """,
+        "q32_fingerprint_cardinality": r"""
+            SELECT count(DISTINCT lower(array_to_string(
+                     list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), ' '
+                   ))) AS n_unique,
+                   count(*) AS n_docs
+            FROM documents
+        """,
+        "q33_distinct_agg": """
+            SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers,
+                   count(*) AS n_orders
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "q34_cube": """
+            SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
+              CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+            FROM events GROUP BY CUBE (event_type, CAST(ts AS DATE))
+        """,
+        "q30_embedding_norm_stats": f"""
+            WITH norms AS (
+              SELECT label,
+                sqrt(list_dot_product(
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                  list_transform(embedding, x -> CAST(x AS DOUBLE))
+                )) AS norm
+              FROM embeddings
+            )
+            SELECT label, count(*) AS n, {_davg_sql('norm')} AS avg_norm
+            FROM norms GROUP BY label
+        """,
     }

@@ -25,9 +25,13 @@ BENCH_QUERIES = [
     "q05_event_type_pivot",
     "q09_top_orders_per_customer",
     "q11_resample_30min",
+    "q14_interpolate",
     "q15_sessionize",
     "q17_dedup_exact",
+    "q19_jaccard_pairs",
     "q22_doc_stats",
+    "q23_topk_cosine",
+    "q29_asof_join",
 ]
 
 

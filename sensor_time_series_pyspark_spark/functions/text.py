@@ -78,11 +78,15 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
     ``sequence`` + ``transform`` over token indices — no explode, no UDF."""
     toks = tokens(text)
     n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
-    sh = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-    )
+    # guard: Spark sequence(0, n-k) DESCENDS when n<k, producing bogus
+    # indices — emit an empty array for too-short docs instead.
+    sh = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(sh)
 
 
@@ -90,8 +94,11 @@ def char_ngrams(text: Column | str, k: int = 5) -> Column:
     """Distinct character k-grams."""
     t = _c(text)
     n = F.length(t)
-    idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(0)))
-    return F.array_distinct(F.transform(idx, lambda i: t.substr(i, F.lit(k))))
+    grams = F.when(
+        n >= k,
+        F.transform(F.sequence(F.lit(1), n - k + 1), lambda i: t.substr(i, F.lit(k))),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
 
 
 def lang_id(text: Column | str) -> Column:
@@ -130,18 +137,30 @@ def simhash64(text: Column | str, k: int = 1) -> Column:
     Near-duplicate docs differ in few bit positions (small Hamming
     distance). Used by operators/dedup.py:simhash_near_duplicates.
     """
-    hashes = F.transform(word_shingles(text, k), F.xxhash64)
-    bits = []
-    for b in range(64):
-        # vote_b = sum over shingles of (bit_b(h) ? 1 : -1)
-        vote = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h, b=b: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
+    hashes = F.transform(word_shingles(text, k), lambda s: F.xxhash64(s))
+
+    def _bitvotes(h):
+        # per-shingle ±1 vote vector for all 64 bit positions at once
+        return F.array(
+            *[
+                F.when(
+                    F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+                for b in range(64)
+            ]
         )
-        bits.append(F.when(vote > 0, F.lit(1).cast("long") * F.lit(2 ** b if b < 63 else -(2 ** 63))).otherwise(F.lit(0).cast("long")))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+
+    # ONE pass over the shingle array accumulating a 64-wide vote array
+    # (64 separate F.aggregate calls would rescan the array 64x).
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(acc, _bitvotes(h), lambda a, v: a + v),
+    )
+    bitvals = F.array(
+        *[F.lit(2 ** b if b < 63 else -(2 ** 63)).cast("long") for b in range(64)]
+    )
+    signed = F.zip_with(
+        votes, bitvals, lambda v, bit: F.when(v > 0, bit).otherwise(F.lit(0).cast("long"))
+    )
+    return F.aggregate(signed, F.lit(0).cast("long"), lambda acc, x: acc + x)

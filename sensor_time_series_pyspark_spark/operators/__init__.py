@@ -6,6 +6,14 @@ from .resample import resample
 from .sessionize import sessionize
 from .asof import asof_join
 from .quantiles import approx_quantiles, quantile_clip
+from .dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from .similarity import brp_lsh_join, signed_random_projection, topk_cosine
 
 __all__ = [
     "pivot_wide",
@@ -20,4 +28,12 @@ __all__ = [
     "asof_join",
     "approx_quantiles",
     "quantile_clip",
+    "exact_dedup",
+    "jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "embedding_near_dup_pairs",
+    "topk_cosine",
+    "brp_lsh_join",
+    "signed_random_projection",
 ]

@@ -1,0 +1,106 @@
+"""Similarity search over embedding columns (north-star extension).
+
+- ``topk_cosine``: exact brute-force top-k — the correctness baseline.
+  Queries broadcast to every executor; corpus never shuffles; the
+  per-query ranking is a window over (query, score). At 100 TB corpus ×
+  few queries this is a single scan — the right plan.
+- ``brp_lsh_join``: bucketed random-projection LSH (pyspark.ml) for
+  radius joins at corpus×corpus scale.
+- ``signed_random_projection``: 64-bit cosine-LSH signature (random
+  hyperplane sign bits) as a column, for banded candidate generation —
+  pairs with small signature hamming have high cosine w.h.p.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity
+
+
+def topk_cosine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str,
+    query_id: str,
+    vec_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k nearest corpus rows per query by cosine.
+
+    Output: query_id, corpus_id, rank (1..k), cosine. Deterministic
+    tiebreak on corpus id. The join is a broadcast nested loop
+    (queries are small by construction); the heavy side streams.
+    """
+    q = queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(corpus_id).alias("cid"), F.col(vec_col).alias("cv"))
+    scored = c.join(F.broadcast(q), F.col("qid") != F.col("cid")).withColumn(
+        "cosine", cosine_similarity("qv", "cv")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "cid", "rank", "cosine")
+    )
+
+
+def brp_lsh_join(
+    a: DataFrame,
+    b: DataFrame,
+    id_a: str,
+    id_b: str,
+    vec_col: str,
+    distance_threshold: float,
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Euclidean radius join via BucketedRandomProjectionLSH.
+    Output: id_a, id_b, euclidean_dist (exact on matched candidates)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    va = a.select(F.col(id_a).alias("id"), array_to_vector(F.col(vec_col)).alias("v"))
+    vb = b.select(F.col(id_b).alias("id"), array_to_vector(F.col(vec_col)).alias("v"))
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="v", outputCol="sig", bucketLength=bucket_length,
+        numHashTables=num_hash_tables, seed=seed,
+    )
+    model = lsh.fit(va)
+    joined = model.approxSimilarityJoin(va, vb, distance_threshold, distCol="euclidean_dist")
+    return joined.select(
+        F.col("datasetA.id").alias("id_a"),
+        F.col("datasetB.id").alias("id_b"),
+        F.col("euclidean_dist"),
+    )
+
+
+def signed_random_projection(
+    df: DataFrame, vec_col: str, dim: int, n_bits: int = 64, seed: int = 42
+) -> DataFrame:
+    """Append a 64-bit cosine-LSH signature column ``srp_sig``: sign
+    bits of dot products with ``n_bits`` fixed random hyperplanes.
+
+    Hyperplanes are generated driver-side from a seeded RNG and folded
+    into the plan as array literals, so the signature is pure JVM
+    column algebra (no Python worker at scan time); P(bit differs) =
+    angle/π, so hamming(sig_a, sig_b) estimates cosine distance.
+    Feed the result to dedup.simhash-style banding for candidates.
+    """
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_bits, dim))
+    sig = F.lit(0).cast("long")
+    v = F.col(vec_col)
+    for b in range(n_bits):
+        plane = F.array(*[F.lit(float(x)) for x in planes[b]])
+        dot = F.aggregate(
+            F.zip_with(v, plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit_val = F.lit(2**b if b < 63 else -(2**63)).cast("long")
+        sig = sig + F.when(dot > 0, bit_val).otherwise(F.lit(0).cast("long"))
+    return df.withColumn("srp_sig", sig)

@@ -1,0 +1,15 @@
+from .ingest import (
+    read_stream,
+    run_to_memory,
+    session_agg,
+    windowed_agg,
+    write_parquet_stream,
+)
+
+__all__ = [
+    "read_stream",
+    "windowed_agg",
+    "session_agg",
+    "write_parquet_stream",
+    "run_to_memory",
+]

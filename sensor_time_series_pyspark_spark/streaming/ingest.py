@@ -1,0 +1,138 @@
+"""Structured Streaming ingestion + stateful aggregation (SURVEY.md
+§2.11: the reference has NO streaming — its "stream" is batch CSV drops
+read with an explicit schema, sensor_data_etl.py:51. This module is the
+north-star replacement: the same schema-first reads as `readStream`,
+watermarked tumbling/session windows for the resample/sessionize
+operators, and an idempotent foreachBatch parquet sink).
+
+Scale notes:
+- watermark bounds state: without it a windowed agg keeps every window
+  open forever (OOM at 100 TB/day ingest). Callers must pass a
+  lateness budget explicitly.
+- the parquet sink partitions by window date so downstream batch reads
+  get partition pruning for free.
+- `availableNow` trigger = batch-sized catch-up runs with streaming
+  semantics (checkpoint/exactly-once) — the right way to run the
+  "CSV drop" pattern the reference used.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    fmt: str = "csv",
+    max_files_per_trigger: int | None = None,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Schema-first file stream (never inferSchema — reference S3 kept).
+
+    ``maxFilesPerTrigger`` bounds micro-batch size; leave None for
+    availableNow catch-up runs.
+    """
+    reader = spark.readStream.schema(schema).format(fmt)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def windowed_agg(
+    sdf: DataFrame,
+    ts_col: str,
+    width: str,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+    watermark: str = "1 hour",
+    slide: str | None = None,
+) -> DataFrame:
+    """Watermarked tumbling (or sliding) window aggregate — the
+    streaming twin of operators/resample.py:resample; identical output
+    schema (`bucket` = window start) so batch and streaming results are
+    interchangeable."""
+    withmark = sdf.withWatermark(ts_col, watermark)
+    win = F.window(ts_col, width, slide or width)
+    return (
+        withmark.groupBy(win.alias("__w"), *keys)
+        .agg(*aggs)
+        .withColumn("bucket", F.col("__w.start"))
+        .drop("__w")
+    )
+
+
+def session_agg(
+    sdf: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    aggs: Sequence[Column] = (),
+) -> DataFrame:
+    """Gap-based session windows (streaming twin of
+    operators/sessionize.py — F.session_window keeps per-key session
+    state and emits on watermark close)."""
+    withmark = sdf.withWatermark(ts_col, watermark)
+    sw = F.session_window(ts_col, gap)
+    out_aggs = list(aggs) or [F.count(F.lit(1)).alias("n_events")]
+    return (
+        withmark.groupBy(sw.alias("__s"), *keys)
+        .agg(*out_aggs)
+        .withColumn("session_start", F.col("__s.start"))
+        .withColumn("session_end", F.col("__s.end"))
+        .drop("__s")
+    )
+
+
+def write_parquet_stream(
+    sdf: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_date_col: str | None = None,
+    available_now: bool = True,
+):
+    """Exactly-once parquet sink via foreachBatch (idempotent by
+    batchId-named overwrite is unnecessary: the checkpoint already
+    dedupes replays for file sinks; foreachBatch lets us add the date
+    partitioning the plain file sink can't derive)."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        writer = batch_df.write.mode("append")
+        if partition_date_col:
+            writer = writer.partitionBy(partition_date_col)
+        writer.parquet(path)
+
+    out = sdf
+    if partition_date_col and partition_date_col not in sdf.columns:
+        raise ValueError(f"partition col {partition_date_col} not in stream")
+    writer = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(_write)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_to_memory(
+    sdf: DataFrame, name: str, output_mode: str = "append"
+) -> None:
+    """Drain an availableNow stream into an in-memory table (tests /
+    interactive inspection only — memory sink collects to the driver)."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

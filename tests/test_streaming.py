@@ -1,0 +1,102 @@
+"""Structured Streaming tests (SURVEY.md §2.11 north star): streaming
+results must equal their batch twins — the strongest invariant a
+streaming operator can satisfy."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from sensor_time_series_pyspark_spark.operators import resample
+from sensor_time_series_pyspark_spark.sources.readers import read_table
+from sensor_time_series_pyspark_spark.streaming import (
+    read_stream,
+    run_to_memory,
+    session_agg,
+    windowed_agg,
+    write_parquet_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def stream_src(spark, tmp_path_factory):
+    """events table written out as a parquet 'drop directory' the
+    stream reads from (simulates the reference's CSV-drop ingestion)."""
+    d = str(tmp_path_factory.mktemp("stream_src"))
+    ev = read_table(spark, SF, "events")
+    ev.write.mode("overwrite").parquet(d)
+    schema = ev.schema
+    return d, schema
+
+
+def test_windowed_agg_matches_batch_resample(spark, stream_src):
+    path, schema = stream_src
+    sdf = read_stream(spark, path, schema, fmt="parquet")
+    agg = windowed_agg(
+        sdf,
+        ts_col="ts",
+        width="30 minutes",
+        keys=["event_type"],
+        aggs=[F.count(F.lit(1)).alias("n")],
+        watermark="1 hour",
+    )
+    # complete mode: append would hold back every window above the
+    # final watermark (max_ts - 1h), so the tail of the stream never
+    # emits and the batch comparison under-counts.
+    run_to_memory(agg, "win_agg", output_mode="complete")
+    got = {
+        (r["event_type"], r["bucket"]): r["n"]
+        for r in spark.table("win_agg").collect()
+    }
+
+    batch = resample(
+        read_table(spark, SF, "events"),
+        ts_col="ts",
+        width="30 minutes",
+        keys=["event_type"],
+        aggs=[F.count(F.lit(1)).alias("n")],
+    )
+    want = {
+        (r["event_type"], r["bucket"]): r["n"] for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_session_agg_emits_sessions(spark, stream_src):
+    path, schema = stream_src
+    sdf = read_stream(spark, path, schema, fmt="parquet")
+    sess = session_agg(
+        sdf, ts_col="ts", keys=["user_id"], gap="30 minutes", watermark="1 hour"
+    )
+    run_to_memory(sess, "sess_agg")
+    rows = spark.table("sess_agg").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["session_end"] >= r["session_start"]
+        assert r["n_events"] >= 1
+
+
+def test_parquet_sink_writes_partitioned(spark, stream_src, tmp_path):
+    path, schema = stream_src
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    sdf = read_stream(spark, path, schema, fmt="parquet")
+    agg = windowed_agg(
+        sdf,
+        ts_col="ts",
+        width="1 hour",
+        keys=["event_type"],
+        aggs=[F.count(F.lit(1)).alias("n")],
+    ).withColumn("date", F.to_date("bucket"))
+    q = write_parquet_stream(agg, out, ckpt, partition_date_col="date")
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    assert back.count() > 0
+    # date partitioning materialized on disk → partition pruning later
+    assert any(p.startswith("date=") for p in os.listdir(out))
+    shutil.rmtree(out, ignore_errors=True)
