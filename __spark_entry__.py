@@ -480,6 +480,110 @@ def _q_dedup_keep_first(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_blob_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal metadata path (operators/multimodal.py): binary
+    column + JVM-side size/format/md5 — no Python worker. Blobs are
+    synthesized from text (container has no media files); the plumbing
+    is identical for real image/audio bytes."""
+    from sensor_time_series_pyspark_spark.operators import blob_metadata
+
+    docs = read_table(spark, sf, "documents")
+    blobs = docs.select("doc_id", F.encode("text", "utf-8").alias("blob"))
+    out = blob_metadata(blobs, "blob")
+    return out.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.format").alias("format"),
+        F.col("meta.content_md5").alias("content_md5"),
+    )
+
+
+def _q_decode_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Arrow-batched decode seam (rows-only: the stub decoder is
+    deterministic but not SQL-expressible). Returns per-doc feature
+    dimensionality + L2 norm so the schema stays flat."""
+    from sensor_time_series_pyspark_spark.functions.vectors import l2_norm
+    from sensor_time_series_pyspark_spark.operators import decode_features
+
+    docs = read_table(spark, sf, "documents")
+    blobs = docs.select("doc_id", F.encode("text", "utf-8").alias("blob"))
+    feats = decode_features(blobs, "blob", ["doc_id"], dim=8)
+    return feats.select(
+        "doc_id", F.size("features").alias("dim"), l2_norm("features").alias("norm")
+    )
+
+
+def _q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-duplicate pairs, exact cosine ≥ 0.45
+    (operators/dedup.py:embedding_near_dup_pairs — the brute-force
+    verifier; the scale path generates candidates with SRP-LSH first)."""
+    from sensor_time_series_pyspark_spark.operators import embedding_near_dup_pairs
+
+    emb = read_table(spark, sf, "embeddings").where(F.col("vec_id") < 1000)
+    return embedding_near_dup_pairs(emb, "vec_id", "embedding", cosine_threshold=0.45)
+
+
+def _q_srp_signature(spark: SparkSession, sf: str) -> DataFrame:
+    """64-bit signed-random-projection signatures (rows-only: the
+    seeded hyperplanes live driver-side, not in SQL). Bands of the
+    signature feed the same candidate equi-join as SimHash."""
+    from sensor_time_series_pyspark_spark.operators import signed_random_projection
+
+    emb = read_table(spark, sf, "embeddings")
+    out = signed_random_projection(emb, "embedding", dim=64, n_bits=64, seed=42)
+    return out.select("vec_id", "srp_sig")
+
+
+def _q_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-semi join (SURVEY.md §2.3 'not present' list): customers
+    with at least one URGENT order, no row duplication."""
+    c = read_table(spark, sf, "customer")
+    o = read_table(spark, sf, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+def _q_outer_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Full outer join: per-user daily click volume vs purchase volume
+    (either side may be absent)."""
+    ev = read_table(spark, sf, "events")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    buys = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    return clicks.join(buys, ["user_id", "day"], "full_outer").select(
+        "user_id", "day", "n_clicks", "n_purchases"
+    )
+
+
+def _q_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Bucketed range join (operators/interval.py): clicks within ±1
+    hour of each error event by the same user — an equi-join on time
+    buckets instead of a nested-loop inequality join."""
+    from sensor_time_series_pyspark_spark.operators import interval_join
+
+    ev = read_table(spark, sf, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    out = interval_join(
+        errors, clicks, on=["user_id"], left_ts="ts", right_ts="click_ts",
+        lower_seconds=-3600, upper_seconds=3600,
+    )
+    return out.select("error_id", "user_id", "click_id")
+
+
 def _daily_series(spark: SparkSession, sf: str) -> DataFrame:
     """Per-user daily mean value — the bounded per-series frame every
     forecasting query starts from (resample NATIVELY before any
@@ -591,6 +695,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_distinct_agg": _q_distinct_agg,
         "q34_cube": _q_cube,
         "q35_approx_quantiles": _q_approx_quantiles,
+        "q36_blob_metadata": _q_blob_metadata,
+        "q37_decode_features": _q_decode_features,
+        "q38_embedding_near_dup": _q_embedding_near_dup,
+        "q39_srp_signature": _q_srp_signature,
+        "q40_semi_join": _q_semi_join,
+        "q41_outer_join": _q_outer_join,
+        "q42_interval_join": _q_interval_join,
         "q24_holt_forecast": _q_holt_forecast,
         "q25_arima_grid": _q_arima_grid,
         "q26_seasonal_decompose": _q_seasonal_decompose,
@@ -943,6 +1054,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
               CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
             FROM events GROUP BY CUBE (event_type, CAST(ts AS DATE))
+        """,
+        "q36_blob_metadata": """
+            SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+                   'unknown' AS format, md5(text) AS content_md5
+            FROM documents
+        """,
+        "q38_embedding_near_dup": """
+            WITH v AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings WHERE vec_id < 1000
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              list_dot_product(a.e, b.e)
+                / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cosine
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.e, b.e)
+                / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.45
+        """,
+        "q40_semi_join": """
+            SELECT c_custkey, c_mktsegment FROM customer c
+            WHERE EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+            )
+        """,
+        "q41_outer_join": """
+            WITH clicks AS (
+              SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_clicks
+              FROM events WHERE event_type = 'click' GROUP BY 1, 2
+            ),
+            buys AS (
+              SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_purchases
+              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+            )
+            SELECT coalesce(c.user_id, b.user_id) AS user_id,
+                   coalesce(c.day, b.day) AS day,
+                   n_clicks, n_purchases
+            FROM clicks c FULL OUTER JOIN buys b
+              ON c.user_id = b.user_id AND c.day = b.day
+        """,
+        "q42_interval_join": """
+            SELECT e.event_id AS error_id, e.user_id, c.event_id AS click_id
+            FROM events e JOIN events c
+              ON e.user_id = c.user_id
+             AND e.event_type = 'error' AND c.event_type = 'click'
+             AND epoch(c.ts) >= epoch(e.ts) - 3600
+             AND epoch(c.ts) <= epoch(e.ts) + 3600
         """,
         "q30_embedding_norm_stats": f"""
             WITH norms AS (

@@ -14,6 +14,8 @@ from .dedup import (
     simhash_pairs,
 )
 from .similarity import brp_lsh_join, signed_random_projection, topk_cosine
+from .interval import interval_join
+from .multimodal import blob_metadata, decode_features, frame_sample_plan, sniff_format
 
 __all__ = [
     "pivot_wide",
@@ -36,4 +38,9 @@ __all__ = [
     "topk_cosine",
     "brp_lsh_join",
     "signed_random_projection",
+    "interval_join",
+    "blob_metadata",
+    "decode_features",
+    "frame_sample_plan",
+    "sniff_format",
 ]

@@ -5,6 +5,7 @@ from .ingest import (
     windowed_agg,
     write_parquet_stream,
 )
+from .stateful import ewma_anomaly_batch, ewma_anomaly_stream
 
 __all__ = [
     "read_stream",
@@ -12,4 +13,6 @@ __all__ = [
     "session_agg",
     "write_parquet_stream",
     "run_to_memory",
+    "ewma_anomaly_stream",
+    "ewma_anomaly_batch",
 ]

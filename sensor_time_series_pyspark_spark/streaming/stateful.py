@@ -1,0 +1,145 @@
+"""Custom stateful streaming operator: online per-series EWMA +
+anomaly flagging via ``applyInPandasWithState`` (SURVEY.md §2.11 —
+"no custom state store needed until per-series online forecasting
+(applyInPandasWithState if wanted)": this is that operator).
+
+Each series (e.g. one sensor/terminal) keeps (ewma, ewm_var, n) as
+GroupState across micro-batches; every incoming event is scored against
+the state BEFORE being folded in, so the output is identical whether
+rows arrive in one batch or many (tested in test_streaming.py). State is
+O(1) per series — safe for millions of series on a real cluster.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+STATE_SCHEMA = "ewma double, ewm_var double, n long"
+
+
+def _out_schema(key_fields: list[StructField]) -> StructType:
+    return StructType(
+        key_fields
+        + [
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+            StructField("ewma", DoubleType()),
+            StructField("zscore", DoubleType()),
+            StructField("n_seen", LongType()),
+        ]
+    )
+
+
+def ewma_anomaly_stream(
+    sdf: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.2,
+    timeout_minutes: int | None = None,
+) -> DataFrame:
+    """Streaming per-series EWMA + z-score.
+
+    Output row per input event: the running mean at arrival time and
+    the event's deviation from it in EWM standard deviations (NULL for
+    a series' first event). Rows within a batch are processed in
+    ``ts`` order; state carries over between micro-batches.
+    """
+    key_field = sdf.schema[key_col]
+    out_schema = _out_schema([key_field])
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ewma, ewm_var, n = state.get
+        else:
+            ewma, ewm_var, n = 0.0, 0.0, 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            out_rows = []
+            for ts, v in zip(pdf[ts_col], pdf[value_col]):
+                v = float(v)
+                if n == 0:
+                    z = None
+                    ewma, ewm_var = v, 0.0
+                else:
+                    sd = ewm_var ** 0.5
+                    z = (v - ewma) / sd if sd > 0 else None
+                    delta = v - ewma
+                    # Welford-style EWM update (West 1979): incremental,
+                    # O(1) state, no window buffer
+                    ewma = ewma + alpha * delta
+                    ewm_var = (1 - alpha) * (ewm_var + alpha * delta * delta)
+                n += 1
+                out_rows.append((key[0], ts, v, ewma, z, n))
+            yield pd.DataFrame(
+                out_rows,
+                columns=[key_col, "ts", "value", "ewma", "zscore", "n_seen"],
+            )
+        state.update((ewma, ewm_var, n))
+        if timeout_minutes:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_minutes
+        else GroupStateTimeout.NoTimeout
+    )
+    return sdf.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
+def ewma_anomaly_batch(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.2,
+) -> DataFrame:
+    """Batch twin of ``ewma_anomaly_stream`` (same math via
+    ``applyInPandas``) — used to assert stream == batch."""
+    key_field = df.schema[key_col]
+    out_schema = _out_schema([key_field])
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col)
+        ewma, ewm_var, n = 0.0, 0.0, 0
+        rows = []
+        for ts, v in zip(pdf[ts_col], pdf[value_col]):
+            v = float(v)
+            if n == 0:
+                z = None
+                ewma, ewm_var = v, 0.0
+            else:
+                sd = ewm_var ** 0.5
+                z = (v - ewma) / sd if sd > 0 else None
+                delta = v - ewma
+                ewma = ewma + alpha * delta
+                ewm_var = (1 - alpha) * (ewm_var + alpha * delta * delta)
+            n += 1
+            rows.append((pdf[key_col].iloc[0], ts, v, ewma, z, n))
+        return pd.DataFrame(
+            rows, columns=[key_col, "ts", "value", "ewma", "zscore", "n_seen"]
+        )
+
+    return df.groupBy(key_col).applyInPandas(score, schema=out_schema)

@@ -1,0 +1,72 @@
+"""Physical-plan shape tests (SURVEY.md §5 strategy #5): pin the
+optimizer decisions the 100 TB design depends on. A regression here
+won't flip correctness — it flips cost, which is exactly what plain
+result tests can't see."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from sensor_time_series_pyspark_spark.operators import interval_join
+from sensor_time_series_pyspark_spark.sources.readers import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_uses_broadcast_joins(spark):
+    df = entrymod.entry(spark)
+    plan = plan_of(df)
+    # dims (customer at this SF, nation always) must broadcast — a
+    # shuffle join on the fact table would add two full exchanges
+    assert "BroadcastHashJoin" in plan
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    li = read_table(spark, SF, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    ).select("l_quantity")
+    plan = plan_of(li)
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan
+    # column pruning: the scan must not read all 16 lineitem columns
+    assert "ReadSchema" in plan
+
+
+def test_relational_queries_stay_jvm_side(spark):
+    """No Python evaluation (BatchEvalPython/ArrowEvalPython) in any
+    SQL-oracled query: UDFs are quarantined to the forecast/decode
+    paths."""
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    python_free = [n for n in qs if n in oracles]
+    offenders = []
+    for name in python_free:
+        plan = plan_of(qs[name](spark, SF))
+        if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, f"Python in relational plans: {offenders}"
+
+
+def test_interval_join_is_hash_not_nested_loop(spark):
+    ev = read_table(spark, SF, "events")
+    a = ev.select(F.col("event_id").alias("ida"), "user_id", "ts")
+    b = ev.select(F.col("event_id").alias("idb"), "user_id", F.col("ts").alias("ts_b"))
+    out = interval_join(a, b, ["user_id"], "ts", "ts_b", -3600, 3600)
+    plan = plan_of(out)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_pivot_has_single_aggregate_pass(spark):
+    """The flagship pivot computes all event-type columns + scalars in
+    one aggregation (reference ran TWO groupBys + a self-join,
+    sensor_data_etl.py:73-86)."""
+    df = entrymod.queries()["q05_event_type_pivot"](spark, SF)
+    plan = plan_of(df)
+    # exactly one shuffle for the aggregate (partial+final HashAggregate
+    # around a single Exchange), not two aggregation trees + a join
+    assert "SortMergeJoin" not in plan

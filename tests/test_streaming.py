@@ -13,6 +13,8 @@ from pyspark.sql import functions as F
 from sensor_time_series_pyspark_spark.operators import resample
 from sensor_time_series_pyspark_spark.sources.readers import read_table
 from sensor_time_series_pyspark_spark.streaming import (
+    ewma_anomaly_batch,
+    ewma_anomaly_stream,
     read_stream,
     run_to_memory,
     session_agg,
@@ -79,6 +81,58 @@ def test_session_agg_emits_sessions(spark, stream_src):
     for r in rows:
         assert r["session_end"] >= r["session_start"]
         assert r["n_events"] >= 1
+
+
+@pytest.fixture(scope="module")
+def two_phase_src(spark, tmp_path_factory):
+    """events split into two time halves, one file each, written in
+    chronological order — so micro-batches replay history in order and
+    the cross-batch state hand-off is actually exercised (arbitrary
+    part-file order would interleave timestamps and make any stateful
+    result order-dependent)."""
+    d = str(tmp_path_factory.mktemp("two_phase"))
+    ev = read_table(spark, SF, "events")
+    mid = ev.agg(F.expr("percentile(cast(ts as double), 0.5)")).first()[0]
+    ev.where(F.col("ts").cast("double") <= mid).repartition(1).write.mode(
+        "append"
+    ).parquet(d)
+    ev.where(F.col("ts").cast("double") > mid).repartition(1).write.mode(
+        "append"
+    ).parquet(d)
+    return d, ev.schema
+
+
+def test_stateful_ewma_stream_matches_batch(spark, two_phase_src):
+    """applyInPandasWithState result == applyInPandas batch twin: the
+    state hand-off across micro-batches must not change the math."""
+    path, schema = two_phase_src
+    # maxFilesPerTrigger=1 forces one micro-batch per time-half,
+    # exercising state carry-over
+    sdf = read_stream(spark, path, schema, fmt="parquet", max_files_per_trigger=1)
+    scored = ewma_anomaly_stream(sdf, "user_id", "ts", "value", alpha=0.2)
+    run_to_memory(scored, "ewma_stream")
+    got = {
+        (r["user_id"], r["ts"]): (r["ewma"], r["zscore"], r["n_seen"])
+        for r in spark.table("ewma_stream").collect()
+    }
+
+    batch = ewma_anomaly_batch(
+        read_table(spark, SF, "events"), "user_id", "ts", "value", alpha=0.2
+    )
+    want = {
+        (r["user_id"], r["ts"]): (r["ewma"], r["zscore"], r["n_seen"])
+        for r in batch.collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        ge, gz, gn = got[k]
+        we, wz, wn = want[k]
+        assert gn == wn
+        assert ge == pytest.approx(we, rel=1e-12)
+        if wz is None:
+            assert gz is None
+        else:
+            assert gz == pytest.approx(wz, rel=1e-9)
 
 
 def test_parquet_sink_writes_partitioned(spark, stream_src, tmp_path):
