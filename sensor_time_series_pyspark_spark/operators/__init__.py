@@ -16,6 +16,8 @@ from .dedup import (
 from .similarity import brp_lsh_join, signed_random_projection, topk_cosine
 from .interval import interval_join
 from .multimodal import blob_metadata, decode_features, frame_sample_plan, sniff_format
+from .skew import salted_agg, salted_join
+from .bucketing import read_bucketed, write_bucketed
 
 __all__ = [
     "pivot_wide",
@@ -43,4 +45,8 @@ __all__ = [
     "decode_features",
     "frame_sample_plan",
     "sniff_format",
+    "salted_join",
+    "salted_agg",
+    "write_bucketed",
+    "read_bucketed",
 ]
