@@ -634,7 +634,7 @@ def _q_mlp_classification(spark: SparkSession, sf: str) -> DataFrame:
     4 gas readings → label becomes 5 event-type averages → n_name).
     Temporal split, seeded; returns per-class prediction counts."""
     wide = sensor_etl(spark, sf)
-    train, test = temporal_split(wide, "bucket", "2024-01-25")
+    train, test = temporal_split(wide, "bucket", "2024-01-25", cache=True)
     n_classes = 25
     pipe = classification_pipeline(
         EVENT_TYPES, "n_name", hidden=20, n_classes=n_classes, seed=42, max_iter=20
@@ -655,12 +655,78 @@ def _q_gbt_regression(spark: SparkSession, sf: str) -> DataFrame:
         daily, order_col="day", target_col="day_max",
         partition_by=["user_id"], out_col="next_day_max",
     ).withColumn("epoch_day", F.unix_date("day").cast("double"))
-    train, test = temporal_split(labeled, "day", "2024-01-25")
+    train, test = temporal_split(labeled, "day", "2024-01-25", cache=True)
     pipe = regression_pipeline(
         ["day_max", "epoch_day", "user_id"], "next_day_max", seed=42, max_iter=10
     )
     model = pipe.fit(train)
     return model.transform(test).select("user_id", "day", "next_day_max", "prediction")
+
+
+def _q_sql_interface(spark: SparkSession, sf: str) -> DataFrame:
+    """Full SQL surface (spark.sql over registered views) — TPC-H Q5
+    shape: revenue by nation for one region/year, local-supplier
+    constraint (c_nationkey = s_nationkey). Same Catalyst plan as the
+    DataFrame API; proves the engine's SQL entry point."""
+    for t in ["customer", "orders", "lineitem", "supplier", "nation", "region"]:
+        read_table(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql("""
+        SELECT n_name,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+            AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+    """)
+
+
+def _q_char_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Character-5-gram Jaccard near-dups (tokenization-free variant,
+    operators/dedup.py:jaccard_pairs unit='char')."""
+    return jaccard_pairs(
+        _rep_docs(spark, sf), "doc_id", "text",
+        threshold=0.35, shingle_k=5, unit="char",
+    )
+
+
+def _q_model_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """Evaluator + feature-importance surface (reference M8/M9,
+    sensor_data_regression.py:80-88) as a one-row metrics frame.
+    Rows-only: model internals aren't SQL-expressible."""
+    from sensor_time_series_pyspark_spark.ml import (
+        evaluate_regression,
+        feature_importances,
+    )
+
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.max("value").alias("day_max")
+    )
+    labeled = lead_target(
+        daily, order_col="day", target_col="day_max",
+        partition_by=["user_id"], out_col="next_day_max",
+    ).withColumn("epoch_day", F.unix_date("day").cast("double"))
+    train, test = temporal_split(labeled, "day", "2024-01-25", cache=True)
+    pipe = regression_pipeline(
+        ["day_max", "epoch_day", "user_id"], "next_day_max", seed=42, max_iter=10
+    )
+    model = pipe.fit(train)
+    preds = model.transform(test)
+    rmse = evaluate_regression(preds, "next_day_max", "rmse")
+    r2 = evaluate_regression(preds, "next_day_max", "r2")
+    imps = feature_importances(model)
+    return spark.createDataFrame(
+        [(float(rmse), float(r2), *[float(i) for i in imps])],
+        "rmse double, r2 double, imp_day_max double, imp_epoch_day double, imp_user_id double",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -707,6 +773,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_seasonal_decompose": _q_seasonal_decompose,
         "q27_mlp_classification": _q_mlp_classification,
         "q28_gbt_regression": _q_gbt_regression,
+        "q43_model_metrics": _q_model_metrics,
+        "q44_sql_interface": _q_sql_interface,
+        "q45_char_ngram_jaccard": _q_char_ngram_jaccard,
     }
 
 
@@ -1101,6 +1170,47 @@ def oracle_sql() -> dict[str, str]:
              AND e.event_type = 'error' AND c.event_type = 'click'
              AND epoch(c.ts) >= epoch(e.ts) - 3600
              AND epoch(c.ts) <= epoch(e.ts) + 3600
+        """,
+        "q44_sql_interface": """
+            SELECT n_name,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+                AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+        """,
+        "q45_char_ngram_jaccard": """
+            WITH reps AS (
+              SELECT doc_id, text FROM documents
+              WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+            ),
+            toks AS (
+              SELECT doc_id AS id,
+                list_distinct(
+                  list_transform(
+                    generate_series(1, greatest(len(text) - 4, 0)),
+                    i -> text[i:i+4]
+                  )
+                ) AS tok
+              FROM reps
+            ),
+            inv AS (SELECT id, len(tok) AS n_tok, unnest(tok) AS token FROM toks),
+            pairs AS (
+              SELECT a.id AS id_a, b.id AS id_b, a.n_tok AS n_a, b.n_tok AS n_b,
+                     count(*) AS inter
+              FROM inv a JOIN inv b ON a.token = b.token AND a.id < b.id
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT id_a, id_b, inter / (n_a + n_b - inter) AS jaccard
+            FROM pairs WHERE inter / (n_a + n_b - inter) >= 0.35
         """,
         "q30_embedding_norm_stats": f"""
             WITH norms AS (

@@ -23,11 +23,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def temporal_split(df: DataFrame, ts_col: str, cutoff: datetime | str) -> tuple[DataFrame, DataFrame]:
+def temporal_split(
+    df: DataFrame, ts_col: str, cutoff: datetime | str, cache: bool = False
+) -> tuple[DataFrame, DataFrame]:
     """Leak-free train/test split on event time (reference P5 idiom:
-    ``cond`` and ``~cond``, sensor_data_classification.py:30-32)."""
+    ``cond`` and ``~cond``, sensor_data_classification.py:30-32).
+
+    ``cache=True`` persists both halves — right before an iterative
+    fit (MLP/GBT rescan the train set every iteration; reference L2,
+    sensor_data_classification.py:42-43)."""
     cond = F.col(ts_col) < F.lit(cutoff)
-    return df.where(cond), df.where(~cond)
+    train, test = df.where(cond), df.where(~cond)
+    if cache:
+        train, test = train.cache(), test.cache()
+    return train, test
 
 
 def classification_pipeline(

@@ -54,21 +54,32 @@ def jaccard_pairs(
     shingle_k: int = 1,
     max_token_df: int | None = None,
     parallelism: int | None = None,
+    unit: str = "word",
 ) -> DataFrame:
-    """Exact word/shingle-set Jaccard for all pairs ≥ threshold, via an
+    """Exact shingle-set Jaccard for all pairs ≥ threshold, via an
     inverted-index self-join (never a cross join).
 
+    ``unit='word'`` shingles are k-word windows; ``unit='char'`` are
+    character k-grams (robust to tokenization differences / CJK).
     Output: id_a, id_b (a < b), jaccard. ``max_token_df`` drops tokens
     appearing in more than N docs before the join — the skew/scale
     valve: ubiquitous tokens generate O(df²) candidate pairs while
     contributing little to Jaccard.
     """
+    if unit == "word":
+        shingles = (
+            word_shingles(text_col, shingle_k) if shingle_k > 1 else tokens(text_col)
+        )
+    elif unit == "char":
+        from ..functions.text import char_ngrams
+
+        shingles = char_ngrams(text_col, shingle_k)
+    else:
+        raise ValueError(f"unit must be 'word' or 'char', got {unit!r}")
     toks = (
         _spread(df, parallelism).select(
             F.col(id_col).alias("id"),
-            F.array_distinct(
-                word_shingles(text_col, shingle_k) if shingle_k > 1 else tokens(text_col)
-            ).alias("tok"),
+            F.array_distinct(shingles).alias("tok"),
         )
         .withColumn("n_tok", F.size("tok"))
     )

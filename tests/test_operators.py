@@ -128,3 +128,39 @@ def test_asof_join(spark):
     got = {(r["id"], r["t"]): r["px"] for r in out.collect()}
     # exact-timestamp right row IS visible (t=50 → 105)
     assert got == {(1, 25): 100.0, (1, 50): 105.0, (1, 75): 105.0, (2, 5): None}
+
+
+def test_observe_metrics_no_extra_job(spark):
+    """with_row_count piggybacks on the action (reference ran a full
+    extra count() job per probe, sensor_data_etl.py:64,102)."""
+    from sensor_time_series_pyspark_spark.functions.metrics import with_row_count
+    from sensor_time_series_pyspark_spark.sources.readers import read_table
+    from pyspark.sql import functions as F
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    df, obs = with_row_count(
+        ev.where(F.col("value") > 50), "filtered",
+        F.approx_count_distinct("user_id").alias("users"),
+    )
+    df.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    assert got["count"] == ev.where(F.col("value") > 50).count()
+    assert got["users"] > 0
+
+
+def test_interval_join_matches_naive(spark):
+    """Bucketed interval join == naive inequality join on a sample."""
+    from sensor_time_series_pyspark_spark.operators import interval_join
+    from sensor_time_series_pyspark_spark.sources.readers import read_table
+    from pyspark.sql import functions as F
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    a = ev.select(F.col("event_id").alias("ida"), "user_id", "ts")
+    b = ev.select(F.col("event_id").alias("idb"), "user_id", F.col("ts").alias("ts_b"))
+    got = interval_join(a, b, ["user_id"], "ts", "ts_b", -900, 900)
+    naive = a.join(b, "user_id").where(
+        (F.col("ts_b").cast("double") >= F.col("ts").cast("double") - 900)
+        & (F.col("ts_b").cast("double") <= F.col("ts").cast("double") + 900)
+    )
+    key = lambda df: sorted((r["ida"], r["idb"]) for r in df.collect())
+    assert key(got) == key(naive)
