@@ -54,6 +54,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     matching how micro-precision engines read the same file.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # pin the session TZ here, not just in session.get_spark: the
+    # external driver calls queries with its own vanilla session, and
+    # every to_date()/window() in the engine assumes UTC wall clocks
+    # (the DuckDB oracles compute on naive timestamps).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":

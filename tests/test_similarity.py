@@ -1,0 +1,89 @@
+"""Similarity-search operators not covered by the oracle gate:
+BRP-LSH radius join (recall vs exact), SRP signatures (cosine-hamming
+correlation), embedding near-dup equivalence."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sensor_time_series_pyspark_spark.functions.vectors import cosine_similarity, dot
+from sensor_time_series_pyspark_spark.operators import (
+    brp_lsh_join,
+    embedding_near_dup_pairs,
+    signed_random_projection,
+    topk_cosine,
+)
+from sensor_time_series_pyspark_spark.sources.readers import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return read_table(spark, SF, "embeddings").where(F.col("vec_id") < 200)
+
+
+def test_brp_lsh_join_finds_close_pairs(spark, emb):
+    """Every pair the LSH join emits must truly be within the radius
+    (precision is exact by construction); and with enough hash tables
+    it should find a decent share of the true pairs (recall)."""
+    radius = 1.0
+    got = brp_lsh_join(
+        emb, emb, "vec_id", "vec_id", "embedding",
+        distance_threshold=radius, num_hash_tables=8,
+    ).where(F.col("id_a") < F.col("id_b"))
+    rows = got.collect()
+    for r in rows:
+        assert r["euclidean_dist"] <= radius + 1e-9
+
+    # exact truth via self-join
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    d2 = dot("va", "va") + dot("vb", "vb") - 2 * dot("va", "vb")
+    truth = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .where(F.sqrt(F.greatest(d2, F.lit(0.0))) <= radius)
+        .count()
+    )
+    if truth:
+        assert len(rows) / truth >= 0.5, f"recall {len(rows)}/{truth} too low"
+
+
+def test_srp_signature_tracks_cosine(spark, emb):
+    """SRP theory: P(bit differs) = angle/pi, so signature hamming
+    distance must correlate with angular distance. Check the mean
+    normalized hamming of the 20 MOST similar pairs is lower than the
+    20 LEAST similar."""
+    sigs = signed_random_projection(emb, "embedding", dim=64, n_bits=64, seed=7)
+    a = sigs.select(F.col("vec_id").alias("ia"), F.col("srp_sig").alias("sa"),
+                    F.col("embedding").alias("va"))
+    b = sigs.select(F.col("vec_id").alias("ib"), F.col("srp_sig").alias("sb"),
+                    F.col("embedding").alias("vb"))
+    pairs = (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .select(
+            cosine_similarity("va", "vb").alias("cos"),
+            F.bit_count(F.expr("sa ^ sb")).alias("ham"),
+        )
+    )
+    top = pairs.orderBy(F.col("cos").desc()).limit(20).agg(F.avg("ham")).first()[0]
+    bottom = pairs.orderBy(F.col("cos").asc()).limit(20).agg(F.avg("ham")).first()[0]
+    assert top < bottom, f"SRP hamming not tracking cosine: {top} !< {bottom}"
+
+
+def test_embedding_near_dup_matches_topk_scores(spark, emb):
+    """near-dup pairs at threshold t == the symmetric filter of the
+    exact pairwise cosine — cross-check against an independent
+    computation (topk with huge k)."""
+    t = 0.4
+    pairs = embedding_near_dup_pairs(emb, "vec_id", "embedding", cosine_threshold=t)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    scored = topk_cosine(emb, emb, "vec_id", "vec_id", "embedding", k=10**6)
+    want = {
+        (min(r["qid"], r["cid"]), max(r["qid"], r["cid"]))
+        for r in scored.where(F.col("cosine") >= t).collect()
+    }
+    assert got == want
