@@ -697,6 +697,31 @@ def _q_char_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-partitioned approximate top-k (rows-only: KMeans cell
+    assignment isn't SQL-expressible; recall vs exact is pinned in
+    tests/test_similarity.py)."""
+    from sensor_time_series_pyspark_spark.operators import ivf_topk_cosine
+
+    emb = read_table(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return ivf_topk_cosine(
+        emb, queries, "vec_id", "vec_id", "embedding", k=5, n_cells=8, n_probe=3
+    ).select("qid", "cid", "rank")
+
+
+def _q_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Wide→long melt (inverse of the pivot data model; narrow op, no
+    shuffle beyond the upstream pivot's)."""
+    from sensor_time_series_pyspark_spark.operators.pivot import unpivot
+
+    wide = _q_event_type_pivot(spark, sf)
+    long = unpivot(
+        wide, ["user_id"], EVENT_TYPES, name_col="event_type", value_col="avg_value"
+    )
+    return long.where(F.col("avg_value") > 0)
+
+
 def _q_model_metrics(spark: SparkSession, sf: str) -> DataFrame:
     """Evaluator + feature-importance surface (reference M8/M9,
     sensor_data_regression.py:80-88) as a one-row metrics frame.
@@ -776,6 +801,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_model_metrics": _q_model_metrics,
         "q44_sql_interface": _q_sql_interface,
         "q45_char_ngram_jaccard": _q_char_ngram_jaccard,
+        "q46_unpivot": _q_unpivot,
+        "q47_ivf_topk": _q_ivf_topk,
     }
 
 
@@ -1211,6 +1238,12 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, inter / (n_a + n_b - inter) AS jaccard
             FROM pairs WHERE inter / (n_a + n_b - inter) >= 0.35
+        """,
+        "q46_unpivot": f"""
+            SELECT user_id, event_type, avg_value
+            FROM ({_PIVOT_SQL})
+            UNPIVOT (avg_value FOR event_type IN (click, view, purchase, signup, error))
+            WHERE avg_value > 0
         """,
         "q30_embedding_norm_stats": f"""
             WITH norms AS (

@@ -13,7 +13,12 @@ from .dedup import (
     minhash_lsh_pairs,
     simhash_pairs,
 )
-from .similarity import brp_lsh_join, signed_random_projection, topk_cosine
+from .similarity import (
+    brp_lsh_join,
+    ivf_topk_cosine,
+    signed_random_projection,
+    topk_cosine,
+)
 from .interval import interval_join
 from .multimodal import blob_metadata, decode_features, frame_sample_plan, sniff_format
 from .skew import salted_agg, salted_join
@@ -38,6 +43,7 @@ __all__ = [
     "simhash_pairs",
     "embedding_near_dup_pairs",
     "topk_cosine",
+    "ivf_topk_cosine",
     "brp_lsh_join",
     "signed_random_projection",
     "interval_join",

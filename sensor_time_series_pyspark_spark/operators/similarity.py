@@ -104,3 +104,69 @@ def signed_random_projection(
         bit_val = F.lit(2**b if b < 63 else -(2**63)).cast("long")
         sig = sig + F.when(dot > 0, bit_val).otherwise(F.lit(0).cast("long"))
     return df.withColumn("srp_sig", sig)
+
+
+def ivf_topk_cosine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str,
+    query_id: str,
+    vec_col: str,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k cosine — the scale path
+    when brute force's full corpus scan per query batch is too much.
+
+    Build: seeded KMeans partitions the corpus into ``n_cells`` cells
+    (one extra column on the corpus — amortized across queries; persist
+    it in production). Search: each query scores only the ``n_probe``
+    nearest cells' members — a fraction n_probe/n_cells of the corpus —
+    via an equi-join on cell id, so the probe is a hash join, not a
+    scan. Recall is tunable with n_probe (== n_cells ⇒ exact).
+
+    Output: qid, cid, rank, cosine (same contract as topk_cosine).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    c_vecs = corpus.select(
+        F.col(corpus_id).alias("cid"),
+        F.col(vec_col).alias("cv"),
+        array_to_vector(F.col(vec_col)).alias("__mlvec"),
+    )
+    km = KMeans(k=n_cells, seed=seed, featuresCol="__mlvec", predictionCol="__cell")
+    model = km.fit(c_vecs)
+    assigned = model.transform(c_vecs).select("cid", "cv", "__cell")
+
+    # centroids as a tiny DataFrame: query → n_probe nearest cells
+    spark = corpus.sparkSession
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "__cell int, centroid array<double>",
+    )
+    q_vecs = queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("qv"))
+    q_cells = (
+        q_vecs.join(F.broadcast(cents))
+        .withColumn("__sim", cosine_similarity("qv", "centroid"))
+    )
+    w_probe = Window.partitionBy("qid").orderBy(F.col("__sim").desc(), F.col("__cell"))
+    probes = (
+        q_cells.withColumn("__pr", F.row_number().over(w_probe))
+        .where(F.col("__pr") <= n_probe)
+        .select("qid", "qv", "__cell")
+    )
+
+    scored = (
+        assigned.join(probes, "__cell")
+        .where(F.col("qid") != F.col("cid"))
+        .withColumn("cosine", cosine_similarity("qv", "cv"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "cid", "rank", "cosine")
+    )

@@ -1,0 +1,110 @@
+"""Property tests (SURVEY.md §5 strategy #3) for operators with
+algebraic laws. Hypothesis generates the series; example counts stay
+small because each example is a Spark job."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from sensor_time_series_pyspark_spark.operators import ffill, interpolate_linear
+
+SETTINGS = dict(max_examples=8, deadline=None)
+
+series = st.lists(
+    st.one_of(st.none(), st.floats(-1e6, 1e6, allow_nan=False)),
+    min_size=1,
+    max_size=12,
+)
+
+
+def mk_df(spark, values):
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + timedelta(minutes=i), float(v) if v is not None else None)
+        for i, v in enumerate(values)
+    ]
+    return spark.createDataFrame(rows, "id int, ts timestamp, value double")
+
+
+@settings(**SETTINGS)
+@given(series)
+def test_ffill_idempotent_and_preserves_observed(spark, values):
+    df = mk_df(spark, values)
+    once = ffill(df, ["value"], order_col="ts", partition_by=["id"])
+    twice = ffill(once, ["value"], order_col="ts", partition_by=["id"])
+    a = [r["value"] for r in once.orderBy("ts").collect()]
+    b = [r["value"] for r in twice.orderBy("ts").collect()]
+    assert a == b  # idempotent
+    # observed (non-null) values pass through untouched
+    for got, orig in zip(a, values):
+        if orig is not None:
+            assert got == orig
+
+
+@settings(**SETTINGS)
+@given(series)
+def test_interpolate_endpoints_exact_and_bounded(spark, values):
+    df = mk_df(spark, values)
+    out = [
+        r["value"]
+        for r in interpolate_linear(df, "ts", "value", ["id"]).orderBy("ts").collect()
+    ]
+    observed = [v for v in values if v is not None]
+    for got, orig in zip(out, values):
+        if orig is not None:
+            assert got == orig  # endpoints exact
+        elif observed:
+            # interior fills are bounded by the observed envelope
+            assert min(observed) - 1e-9 <= got <= max(observed) + 1e-9
+        else:
+            assert got is None  # all-null series stays null
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.floats(0, 100, allow_nan=False), min_size=1, max_size=12))
+def test_resample_count_and_mass_preserved(spark, values):
+    from sensor_time_series_pyspark_spark.operators import resample
+
+    df = mk_df(spark, values)
+    agg = resample(
+        df, ts_col="ts", width="5 minutes", keys=[],
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("s"),
+        ],
+    ).collect()
+    assert sum(r["n"] for r in agg) == len(values)
+    # decimal(38,6) quantizes each bucket sum to 1e-6
+    assert sum(r["s"] for r in agg) == pytest.approx(
+        sum(values), abs=1e-6 * (len(values) + 1)
+    )
+
+
+@settings(**SETTINGS)
+@given(st.text(alphabet="ab c", min_size=0, max_size=40))
+def test_quality_score_in_unit_interval(spark, text):
+    from sensor_time_series_pyspark_spark.functions.text import quality_score
+
+    df = spark.createDataFrame([(text,)], "t string")
+    (score,) = df.select(quality_score("t").alias("q")).first()
+    assert 0.0 <= score <= 1.0
+
+
+@settings(**SETTINGS)
+@given(st.text(alphabet="abc xyz", min_size=1, max_size=60))
+def test_fingerprint_whitespace_invariant(spark, text):
+    """fingerprint64 must be invariant to whitespace normalization —
+    the property that makes it a usable dedup key."""
+    from sensor_time_series_pyspark_spark.functions.text import fingerprint64
+
+    df = spark.createDataFrame(
+        [(text, "  " + text.replace(" ", "   ") + " ")], "a string, b string"
+    )
+    r = df.select(
+        fingerprint64("a").alias("fa"), fingerprint64("b").alias("fb")
+    ).first()
+    assert r["fa"] == r["fb"]

@@ -87,3 +87,32 @@ def test_embedding_near_dup_matches_topk_scores(spark, emb):
         for r in scored.where(F.col("cosine") >= t).collect()
     }
     assert got == want
+
+
+def test_ivf_topk_recall_vs_exact(spark, emb):
+    """IVF with n_probe < n_cells must still recover most of the exact
+    top-5 (random near-orthogonal vectors are the HARD case for IVF —
+    cells barely separate, so demand a modest 60%); with
+    n_probe == n_cells it must be EXACT."""
+    from sensor_time_series_pyspark_spark.operators import ivf_topk_cosine
+
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r["qid"], r["cid"])
+        for r in topk_cosine(emb, queries, "vec_id", "vec_id", "embedding", k=5).collect()
+    }
+    approx = {
+        (r["qid"], r["cid"])
+        for r in ivf_topk_cosine(
+            emb, queries, "vec_id", "vec_id", "embedding", k=5, n_cells=8, n_probe=4
+        ).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.6
+
+    full = {
+        (r["qid"], r["cid"])
+        for r in ivf_topk_cosine(
+            emb, queries, "vec_id", "vec_id", "embedding", k=5, n_cells=8, n_probe=8
+        ).collect()
+    }
+    assert full == exact
