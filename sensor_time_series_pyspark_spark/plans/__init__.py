@@ -1,6 +1,13 @@
 """Composed pipelines (the reference's script-level main()s, rebuilt as
-parameterized DataFrame plans)."""
+parameterized DataFrame plans), plus continuous-aggregate maintenance."""
 
 from .sensor_etl import sensor_etl, EtlConfig
+from .rollup import finalize_rollup, refresh_rollup, rollup_sink
 
-__all__ = ["sensor_etl", "EtlConfig"]
+__all__ = [
+    "sensor_etl",
+    "EtlConfig",
+    "refresh_rollup",
+    "finalize_rollup",
+    "rollup_sink",
+]

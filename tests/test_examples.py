@@ -48,3 +48,9 @@ def test_forecast_distributed_example(spark):
     import forecast_distributed
 
     assert forecast_distributed.main(SF) == 0
+
+
+def test_streaming_example(spark, tmp_path):
+    import streaming_ingest
+
+    assert streaming_ingest.main(SF, str(tmp_path / "stream")) == 0

@@ -52,6 +52,29 @@ def test_relational_queries_stay_jvm_side(spark):
     assert not offenders, f"Python in relational plans: {offenders}"
 
 
+def test_no_accidental_cartesian_products(spark):
+    """No relational query may plan a cartesian/nested-loop join.
+    Allowlist: the exact brute-force pair generators, whose O(n²) is
+    the declared semantics (candidates for them come from LSH at
+    scale)."""
+    # brute-force pair/score generators: O(n²) is their declared
+    # semantics (the scale path generates candidates via LSH/IVF first)
+    SKIP = {"q23_topk_cosine", "q38_embedding_near_dup"}
+    # ML/forecast paths run fit JOBS at plan-build time — skip the cost
+    SKIP |= {"q24_holt_forecast", "q25_arima_grid", "q26_seasonal_decompose",
+             "q27_mlp_classification", "q28_gbt_regression", "q43_model_metrics",
+             "q47_ivf_topk"}
+    qs = entrymod.queries()
+    offenders = []
+    for name, fn in qs.items():
+        if name in SKIP:
+            continue
+        plan = plan_of(fn(spark, SF))
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            offenders.append(name)
+    assert not offenders, f"cartesian joins in: {offenders}"
+
+
 def test_interval_join_is_hash_not_nested_loop(spark):
     ev = read_table(spark, SF, "events")
     a = ev.select(F.col("event_id").alias("ida"), "user_id", "ts")
