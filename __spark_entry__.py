@@ -710,6 +710,25 @@ def _q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     ).select("qid", "cid", "rank")
 
 
+def _q_correlated_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated scalar subquery: lineitems whose
+    quantity is below 20% of their part's average. Catalyst de-correlates
+    to an aggregate + join; no per-row subquery execution."""
+    li = read_table(spark, sf, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        (_davg(F.col("l_quantity")) * 0.2).alias("qty_threshold")
+    )
+    return (
+        li.join(per_part, "l_partkey")
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_small_orders"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("small_revenue"),
+        )
+    )
+
+
 def _q_unpivot(spark: SparkSession, sf: str) -> DataFrame:
     """Wide→long melt (inverse of the pivot data model; narrow op, no
     shuffle beyond the upstream pivot's)."""
@@ -803,6 +822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_char_ngram_jaccard": _q_char_ngram_jaccard,
         "q46_unpivot": _q_unpivot,
         "q47_ivf_topk": _q_ivf_topk,
+        "q48_correlated_subquery": _q_correlated_subquery,
     }
 
 
@@ -1238,6 +1258,17 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, inter / (n_a + n_b - inter) AS jaccard
             FROM pairs WHERE inter / (n_a + n_b - inter) >= 0.35
+        """,
+        "q48_correlated_subquery": f"""
+            WITH per_part AS (
+              SELECT l_partkey, {_davg_sql('l_quantity')} * 0.2 AS qty_threshold
+              FROM lineitem GROUP BY l_partkey
+            )
+            SELECT l.l_partkey, count(*) AS n_small_orders,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS small_revenue
+            FROM lineitem l JOIN per_part p ON l.l_partkey = p.l_partkey
+            WHERE l.l_quantity < p.qty_threshold
+            GROUP BY l.l_partkey
         """,
         "q46_unpivot": f"""
             SELECT user_id, event_type, avg_value
