@@ -55,6 +55,7 @@ def jaccard_pairs(
     max_token_df: int | None = None,
     parallelism: int | None = None,
     unit: str = "word",
+    persist_index: bool = True,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for all pairs ≥ threshold, via an
     inverted-index self-join (never a cross join).
@@ -90,6 +91,17 @@ def jaccard_pairs(
     inverted = toks.select(
         "id", F.size("tok").alias("n_tok"), F.explode("tok").alias("token")
     )
+    if persist_index:
+        # Both sides of the self-join consume `inverted`; without a
+        # materialization barrier Spark re-runs the ENTIRE shingle
+        # pipeline per side (exchange reuse does not fire across the
+        # differing projections, measured). At 100 TB that second pass
+        # is the single most expensive thing in the query — persist
+        # (disk-spillable) computes it once. Lifecycle: left to Spark's
+        # LRU eviction; pass persist_index=False to opt out.
+        from pyspark import StorageLevel
+
+        inverted = inverted.persist(StorageLevel.MEMORY_AND_DISK)
     if max_token_df is not None:
         df_counts = inverted.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
         inverted = inverted.join(
