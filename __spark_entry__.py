@@ -710,6 +710,33 @@ def _q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     ).select("qid", "cid", "rank")
 
 
+def _q_rolling_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing 1-hour mean per user over a rangeBetween frame keyed on
+    epoch seconds (operators/windows.py:rolling_avg — handles irregular
+    sampling, unlike row frames)."""
+    from sensor_time_series_pyspark_spark.operators import rolling_avg
+
+    ev = read_table(spark, sf, "events")
+    out = rolling_avg(
+        ev, ts_col="ts", value_col="value",
+        partition_by=["user_id"], window_seconds=3600, exact=True,
+    )
+    return out.select("event_id", "user_id", "ts", "rolling_avg")
+
+
+def _q_ewma_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-series EWMA + z-score (streaming/stateful.py batch twin;
+    rows-only — the sequential fold isn't SQL-expressible, and the
+    stream==batch equivalence is pinned in tests)."""
+    from sensor_time_series_pyspark_spark.streaming import ewma_anomaly_batch
+
+    ev = read_table(spark, sf, "events")
+    out = ewma_anomaly_batch(ev, "user_id", "ts", "value", alpha=0.2)
+    return out.where(F.abs(F.col("zscore")) > 2).select(
+        "user_id", "ts", "value", "zscore"
+    )
+
+
 def _q_correlated_subquery(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q17 shape — correlated scalar subquery: lineitems whose
     quantity is below 20% of their part's average. Catalyst de-correlates
@@ -823,6 +850,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_unpivot": _q_unpivot,
         "q47_ivf_topk": _q_ivf_topk,
         "q48_correlated_subquery": _q_correlated_subquery,
+        "q49_rolling_avg": _q_rolling_avg,
+        "q50_ewma_anomaly": _q_ewma_anomaly,
     }
 
 
@@ -1258,6 +1287,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, inter / (n_a + n_b - inter) AS jaccard
             FROM pairs WHERE inter / (n_a + n_b - inter) >= 0.35
+        """,
+        "q49_rolling_avg": """
+            SELECT event_id, user_id, ts,
+              CAST(sum(CAST(value AS DECIMAL(38,6)))
+                     OVER w AS DOUBLE)
+                / count(value) OVER w AS rolling_avg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         """,
         "q48_correlated_subquery": f"""
             WITH per_part AS (

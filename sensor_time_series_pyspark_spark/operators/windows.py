@@ -46,15 +46,31 @@ def rolling_avg(
     partition_by: Sequence[str],
     window_seconds: int,
     out_col: str = "rolling_avg",
+    exact: bool = False,
 ) -> DataFrame:
     """Time-based trailing mean over a rangeBetween frame keyed on
-    epoch seconds (handles irregular sampling, unlike rowsBetween)."""
+    epoch seconds (handles irregular sampling, unlike rowsBetween).
+
+    ``exact=True`` computes decimal-sum / count instead of double avg:
+    sliding-frame double accumulation is engine-implementation-defined
+    in its low bits (running sums vs segment trees), so cross-engine
+    comparisons need the exact form."""
+    # rangeBetween takes integral offsets — order on epoch LONGs
+    # (a double order key would demand float offsets, which the API
+    # rejects; second granularity is the contract here)
     w = (
         Window.partitionBy(*partition_by)
-        .orderBy(F.col(ts_col).cast("double"))
-        .rangeBetween(-float(window_seconds), 0.0)
+        .orderBy(F.col(ts_col).cast("long"))
+        .rangeBetween(-int(window_seconds), 0)
     )
-    return df.withColumn(out_col, F.avg(value_col).over(w))
+    if exact:
+        mean = (
+            F.sum(F.col(value_col).cast("decimal(38,6)")).over(w).cast("double")
+            / F.count(value_col).over(w)
+        )
+    else:
+        mean = F.avg(value_col).over(w)
+    return df.withColumn(out_col, mean)
 
 
 def ffill(

@@ -164,3 +164,23 @@ def test_interval_join_matches_naive(spark):
     )
     key = lambda df: sorted((r["ida"], r["idb"]) for r in df.collect())
     assert key(got) == key(naive)
+
+
+def test_rolling_avg_trailing_window(spark):
+    """Hand-checked trailing 60s mean with irregular sampling."""
+    from datetime import datetime, timedelta
+    from sensor_time_series_pyspark_spark.operators.windows import rolling_avg
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 10.0),
+        (1, t0 + timedelta(seconds=30), 20.0),   # frame: 10,20
+        (1, t0 + timedelta(seconds=90), 30.0),   # frame: 20,30 (10 aged out)
+        (1, t0 + timedelta(seconds=300), 40.0),  # frame: 40 alone
+    ]
+    df = spark.createDataFrame(rows, "id int, ts timestamp, value double")
+    got = [
+        r["rolling_avg"]
+        for r in rolling_avg(df, "ts", "value", ["id"], 60).orderBy("ts").collect()
+    ]
+    assert got == [10.0, 15.0, 25.0, 40.0]
