@@ -710,6 +710,33 @@ def _q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     ).select("qid", "cid", "rank")
 
 
+def _event_rules() -> dict[str, F.Column]:
+    return {
+        "value_in_range": (F.col("value") >= 0) & (F.col("value") <= 100),
+        "ts_not_null": F.col("ts").isNotNull(),
+        "known_event_type": F.col("event_type").isin(EVENT_TYPES),
+    }
+
+
+def _q_validation_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Single-pass data-quality audit (operators/validate.py): n_rows +
+    per-rule violation counters in one aggregate."""
+    ev = read_table(spark, sf, "events")
+    from sensor_time_series_pyspark_spark.operators import violation_counts
+
+    return violation_counts(ev, _event_rules())
+
+
+def _q_quarantine(spark: SparkSession, sf: str) -> DataFrame:
+    """Constraint routing: bad rows with the array of failed rule
+    names, exploded to (event_id, rule) pairs for the oracle."""
+    ev = read_table(spark, sf, "events")
+    from sensor_time_series_pyspark_spark.operators import quarantine
+
+    good, bad = quarantine(ev, _event_rules())
+    return bad.select("event_id", F.explode("failed_rules").alias("rule"))
+
+
 def _q_rolling_avg(spark: SparkSession, sf: str) -> DataFrame:
     """Trailing 1-hour mean per user over a rangeBetween frame keyed on
     epoch seconds (operators/windows.py:rolling_avg — handles irregular
@@ -852,6 +879,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_correlated_subquery": _q_correlated_subquery,
         "q49_rolling_avg": _q_rolling_avg,
         "q50_ewma_anomaly": _q_ewma_anomaly,
+        "q51_validation_counts": _q_validation_counts,
+        "q52_quarantine": _q_quarantine,
     }
 
 
@@ -1287,6 +1316,29 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, inter / (n_a + n_b - inter) AS jaccard
             FROM pairs WHERE inter / (n_a + n_b - inter) >= 0.35
+        """,
+        "q51_validation_counts": """
+            SELECT count(*) AS n_rows,
+              CAST(sum(CASE WHEN coalesce(value >= 0 AND value <= 100, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS value_in_range,
+              CAST(sum(CASE WHEN ts IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS ts_not_null,
+              CAST(sum(CASE WHEN coalesce(event_type IN ('click','view','purchase','signup','error'), FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS known_event_type
+            FROM events
+        """,
+        "q52_quarantine": """
+            WITH checks AS (
+              SELECT event_id,
+                coalesce(value >= 0 AND value <= 100, FALSE) AS c1,
+                ts IS NOT NULL AS c2,
+                coalesce(event_type IN ('click','view','purchase','signup','error'), FALSE) AS c3
+              FROM events
+            )
+            SELECT event_id, rule FROM (
+              SELECT event_id, 'value_in_range' AS rule FROM checks WHERE NOT c1
+              UNION ALL
+              SELECT event_id, 'ts_not_null' FROM checks WHERE NOT c2
+              UNION ALL
+              SELECT event_id, 'known_event_type' FROM checks WHERE NOT c3
+            )
         """,
         "q49_rolling_avg": """
             SELECT event_id, user_id, ts,

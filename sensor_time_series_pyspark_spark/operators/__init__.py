@@ -22,6 +22,7 @@ from .similarity import (
 from .interval import interval_join
 from .multimodal import blob_metadata, decode_features, frame_sample_plan, sniff_format
 from .skew import salted_agg, salted_join
+from .validate import observe_violations, quarantine, violation_counts
 from .bucketing import read_bucketed, write_bucketed
 
 __all__ = [
@@ -55,4 +56,7 @@ __all__ = [
     "salted_agg",
     "write_bucketed",
     "read_bucketed",
+    "violation_counts",
+    "observe_violations",
+    "quarantine",
 ]

@@ -184,3 +184,31 @@ def test_rolling_avg_trailing_window(spark):
         for r in rolling_avg(df, "ts", "value", ["id"], 60).orderBy("ts").collect()
     ]
     assert got == [10.0, 15.0, 25.0, 40.0]
+
+
+def test_quarantine_and_observe_violations(spark):
+    """quarantine splits exactly; observe_violations counts ride the
+    action; NULL rule evaluations count as violations."""
+    from sensor_time_series_pyspark_spark.operators import (
+        observe_violations,
+        quarantine,
+        violation_counts,
+    )
+
+    rows = [(1, 5.0, "a"), (2, -1.0, "a"), (3, None, "b"), (4, 50.0, "zz")]
+    df = spark.createDataFrame(rows, "id int, v double, tag string")
+    rules = {
+        "v_nonneg": F.col("v") >= 0,            # row 2 fails, row 3 NULL→fails
+        "tag_known": F.col("tag").isin("a", "b"),
+    }
+    good, bad = quarantine(df, rules)
+    assert {r["id"] for r in good.collect()} == {1}
+    failed = {r["id"]: set(r["failed_rules"]) for r in bad.collect()}
+    assert failed == {2: {"v_nonneg"}, 3: {"v_nonneg"}, 4: {"tag_known"}}
+
+    counts = violation_counts(df, rules).first()
+    assert counts["n_rows"] == 4 and counts["v_nonneg"] == 2 and counts["tag_known"] == 1
+
+    observed, obs = observe_violations(df, rules)
+    observed.write.format("noop").mode("overwrite").save()
+    assert obs.get["v_nonneg"] == 2 and obs.get["tag_known"] == 1
