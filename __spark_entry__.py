@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sensor_time_series_pyspark_spark.functions.text import (
@@ -38,6 +38,7 @@ from sensor_time_series_pyspark_spark.functions.text import (
 )
 from sensor_time_series_pyspark_spark.operators import (
     asof_join,
+    dedup_clusters,
     exact_dedup,
     ffill,
     interpolate_linear,
@@ -827,6 +828,91 @@ def _q_model_metrics(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup cluster assignment: jaccard pairs → connected components
+    (operators/dedup.py:connected_components, iterative min-label
+    propagation; cluster id = lowest doc id in the component, so it is
+    also the canonical keeper). Oracle: recursive CTE computing min
+    reachable id over the same pair list."""
+    pairs = jaccard_pairs(
+        _rep_docs(spark, sf), "doc_id", "text", threshold=0.2, shingle_k=3
+    )
+    return dedup_clusters(pairs)
+
+
+def _q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond q12 ROLLUP / q34 CUBE): the
+    (priority, status) + (priority) + () lattice via the Spark 4
+    DataFrame API — one pass, no self-union."""
+    o = read_table(spark, sf, "orders")
+    return o.groupingSets(
+        [["o_orderpriority", "o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderpriority",
+        "o_orderstatus",
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_revenue"),
+    )
+
+
+def _q_window_rank_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """Ranking-window surface in one query: ntile / dense_rank /
+    percent_rank / cume_dist per order-priority partition. ntile is
+    row-order dependent, so its ORDER BY carries the unique key;
+    the rank family is tie-stable and orders by price alone."""
+    o = read_table(spark, sf, "orders")
+    w_det = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    w_ties = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w_det).alias("quartile"),
+        F.dense_rank().over(w_ties).alias("drank"),
+        F.percent_rank().over(w_ties).alias("prank"),
+        F.cume_dist().over(w_ties).alias("cdist"),
+    )
+
+
+def _q_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """TF-IDF-style top-3 terms per document via explode → tf counts →
+    document-frequency join → per-doc ranking. Scoring is the integer
+    ``tf * 1_000_000 DIV df`` instead of float log-idf: both engines do
+    exact integer arithmetic (libm log bits are not guaranteed to match
+    across engines), and the score is monotone in tf/df so the ranking
+    semantics are the same."""
+    reps = _rep_docs(spark, sf)
+    term_tf = (
+        reps.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    term_df = term_tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    scored = term_tf.join(term_df, "term").withColumn(
+        "score", F.expr("tf * 1000000 DIV df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )
+
+
+def _q_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperLogLog++ distinct-count sketch per group (rows-only gate:
+    sketch estimates are engine-specific; tests/test_operators.py pins
+    the estimate within 5% of exact)."""
+    ev = read_table(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -881,6 +967,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_ewma_anomaly": _q_ewma_anomaly,
         "q51_validation_counts": _q_validation_counts,
         "q52_quarantine": _q_quarantine,
+        "q53_dedup_clusters": _q_dedup_clusters,
+        "q54_grouping_sets": _q_grouping_sets,
+        "q55_window_rank_suite": _q_window_rank_suite,
+        "q56_top_terms": _q_top_terms,
+        "q57_approx_distinct": _q_approx_distinct,
     }
 
 
@@ -1378,5 +1469,92 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT label, count(*) AS n, {_davg_sql('norm')} AS avg_norm
             FROM norms GROUP BY label
+        """,
+        "q53_dedup_clusters": r"""
+            WITH RECURSIVE reps AS (
+              SELECT doc_id, text FROM documents
+              WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+            ),
+            tk AS (
+              SELECT doc_id AS id,
+                list_distinct(
+                  list_transform(
+                    generate_series(1, greatest(len(t) - 2, 0)),
+                    i -> array_to_string(t[i:i+2], ' ')
+                  )
+                ) AS tok
+              FROM (
+                SELECT doc_id,
+                  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+                FROM reps
+              )
+            ),
+            inv AS (SELECT id, len(tok) AS n_tok, unnest(tok) AS token FROM tk),
+            cand AS (
+              SELECT a.id AS id_a, b.id AS id_b, a.n_tok AS n_a, b.n_tok AS n_b,
+                     count(*) AS inter
+              FROM inv a JOIN inv b ON a.token = b.token AND a.id < b.id
+              GROUP BY 1, 2, 3, 4
+            ),
+            sim AS (
+              SELECT id_a, id_b FROM cand
+              WHERE inter / (n_a + n_b - inter) >= 0.2
+            ),
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM sim
+              UNION ALL
+              SELECT id_b, id_a FROM sim
+            ),
+            reach(u, lbl) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u
+            )
+            SELECT u AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY u
+        """,
+        "q54_grouping_sets": """
+            SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_revenue
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                    (o_orderpriority), ())
+        """,
+        "q55_window_rank_suite": """
+            SELECT o_orderkey, o_orderpriority,
+              CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile,
+              CAST(dense_rank() OVER w AS INT) AS drank,
+              percent_rank() OVER w AS prank,
+              cume_dist() OVER w AS cdist
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+        """,
+        "q56_top_terms": r"""
+            WITH reps AS (
+              SELECT doc_id, text FROM documents
+              WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+            ),
+            term_tf AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM (
+                SELECT doc_id,
+                  unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                     x -> x <> '')) AS term
+                FROM reps
+              )
+              GROUP BY doc_id, term
+            ),
+            term_df AS (
+              SELECT term, count(*) AS df FROM term_tf GROUP BY term
+            ),
+            scored AS (
+              SELECT t.doc_id, t.term, t.tf, d.df, (t.tf * 1000000) // d.df AS score
+              FROM term_tf t JOIN term_df d ON t.term = d.term
+            )
+            SELECT doc_id, term, tf, df, score, rank FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS INT) AS rank
+              FROM scored
+            ) WHERE rank <= 3
         """,
     }

@@ -73,21 +73,45 @@ def quality_score(text: Column | str) -> Column:
     return (len_score + punct_score + sw_score) / 3
 
 
-def word_shingles(text: Column | str, k: int = 3) -> Column:
-    """Distinct k-word shingles (the MinHash/Jaccard unit). Built with
-    ``sequence`` + ``transform`` over token indices — no explode, no UDF."""
-    toks = tokens(text)
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles from a tokens array — no explode, no UDF.
+
+    Implementation note (the O(n²) trap): the obvious form —
+    ``transform(sequence(0, n-k), i -> concat_ws(' ', slice(toks, i+1, k)))``
+    — re-evaluates ``toks`` for EVERY index, because a higher-order
+    function's *lambda body* is evaluated per element and free-variable
+    subexpressions inside it get no codegen CSE; if ``toks`` is itself a
+    tokenizer expression (split+filter), shingling goes quadratic per
+    row (measured 10-25s of executor time on 5k docs at sf0.1, and
+    CollapseProject happily inlines a pre-projected tokens column right
+    back into the lambda). Instead we zip the token array with its own
+    k-1 shifts: every ``zip_with``/``slice`` *input* is evaluated exactly
+    once per row, and the lambdas touch only their element arguments —
+    O(n·k) regardless of what optimizer rewrites happen upstream."""
     n = F.size(toks)
-    # guard: Spark sequence(0, n-k) DESCENDS when n<k, producing bogus
-    # indices — emit an empty array for too-short docs instead.
-    sh = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    arr = toks
+    for j in range(1, k):
+        # null-propagating concat: trailing entries (where the shift ran
+        # out) become NULL, removed by the final slice.
+        arr = F.zip_with(
+            arr,
+            F.slice(toks, j + 1, F.greatest(n - j, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    sh = F.when(n >= k, F.slice(arr, 1, n - k + 1)).otherwise(
+        F.array().cast("array<string>")
+    )
     return F.array_distinct(sh)
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles (the MinHash/Jaccard unit).
+
+    Convenience form for ad-hoc use. Hot paths should tokenize into a
+    column first and call :func:`shingles_from_tokens` — this wrapper
+    embeds the tokenizer expression inside the shingle lambda, which
+    Spark re-evaluates per token index (see shingles_from_tokens)."""
+    return shingles_from_tokens(tokens(text), k)
 
 
 def char_ngrams(text: Column | str, k: int = 5) -> Column:
@@ -136,8 +160,17 @@ def simhash64(text: Column | str, k: int = 1) -> Column:
 
     Near-duplicate docs differ in few bit positions (small Hamming
     distance). Used by operators/dedup.py:simhash_near_duplicates.
+
+    Expression-convenience form; hot paths project shingles into a
+    column and call :func:`simhash64_from_shingles` (same free-variable
+    re-evaluation caveat as word_shingles).
     """
-    hashes = F.transform(word_shingles(text, k), lambda s: F.xxhash64(s))
+    return simhash64_from_shingles(word_shingles(text, k))
+
+
+def simhash64_from_shingles(shingles: Column) -> Column:
+    """SimHash core over a pre-materialized shingle-array column."""
+    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
 
     def _bitvotes(h):
         # per-shingle ±1 vote vector for all 64 bit positions at once

@@ -7,6 +7,8 @@ from .sessionize import sessionize
 from .asof import asof_join
 from .quantiles import approx_quantiles, quantile_clip
 from .dedup import (
+    connected_components,
+    dedup_clusters,
     embedding_near_dup_pairs,
     exact_dedup,
     jaccard_pairs,
@@ -39,6 +41,8 @@ __all__ = [
     "approx_quantiles",
     "quantile_clip",
     "exact_dedup",
+    "connected_components",
+    "dedup_clusters",
     "jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash_pairs",

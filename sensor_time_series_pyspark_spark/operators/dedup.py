@@ -21,7 +21,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import simhash64, tokens, word_shingles
+from ..functions.text import (
+    shingles_from_tokens,
+    simhash64_from_shingles,
+    tokens,
+)
 
 
 def _spread(df: DataFrame, parallelism: int | None) -> DataFrame:
@@ -55,7 +59,7 @@ def jaccard_pairs(
     max_token_df: int | None = None,
     parallelism: int | None = None,
     unit: str = "word",
-    persist_index: bool = True,
+    persist_index: bool = False,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for all pairs ≥ threshold, via an
     inverted-index self-join (never a cross join).
@@ -67,14 +71,29 @@ def jaccard_pairs(
     valve: ubiquitous tokens generate O(df²) candidate pairs while
     contributing little to Jaccard.
     """
+    # Tokenize into a REAL column before shingling: the shingle
+    # transform's lambda re-evaluates free expressions per token index,
+    # so feeding it the tokenizer expression directly is O(tokens²) per
+    # row (functions/text.py:shingles_from_tokens). A bound attribute
+    # read per element is free.
     if unit == "word":
+        base = _spread(df, parallelism).select(
+            F.col(id_col).alias("id"), tokens(text_col).alias("__toks")
+        )
         shingles = (
-            word_shingles(text_col, shingle_k) if shingle_k > 1 else tokens(text_col)
+            shingles_from_tokens(F.col("__toks"), shingle_k)
+            if shingle_k > 1
+            else F.col("__toks")
         )
     elif unit == "char":
         from ..functions.text import char_ngrams
 
-        shingles = char_ngrams(text_col, shingle_k)
+        # char_ngrams' free variable is the plain text column (attribute
+        # read + substr per index) — no quadratic blowup, keep one step.
+        base = _spread(df, parallelism).select(
+            F.col(id_col).alias("id"), char_ngrams(text_col, shingle_k).alias("__toks")
+        )
+        shingles = F.col("__toks")
     else:
         raise ValueError(f"unit must be 'word' or 'char', got {unit!r}")
     # Hash each shingle to 64 bits INSIDE the array, before explode:
@@ -84,21 +103,24 @@ def jaccard_pairs(
     # query). Collision risk ~n²/2⁶⁴ — at a billion distinct shingles
     # that's ~5e-2 spurious co-occurrences TOTAL, each worth +1
     # intersection count: immaterial.
-    toks = _spread(df, parallelism).select(
-        F.col(id_col).alias("id"),
+    toks = base.select(
+        "id",
         F.transform(F.array_distinct(shingles), lambda s: F.xxhash64(s)).alias("tok"),
     )
     inverted = toks.select(
         "id", F.size("tok").alias("n_tok"), F.explode("tok").alias("token")
     )
     if persist_index:
-        # Both sides of the self-join consume `inverted`; without a
-        # materialization barrier Spark re-runs the ENTIRE shingle
-        # pipeline per side (exchange reuse does not fire across the
-        # differing projections, measured). At 100 TB that second pass
-        # is the single most expensive thing in the query — persist
-        # (disk-spillable) computes it once. Lifecycle: left to Spark's
-        # LRU eviction; pass persist_index=False to opt out.
+        # Both sides of the self-join consume `inverted`, and exchange
+        # reuse does not fire across the differing projections
+        # (measured, also with identical alias'd plans) — so the scan +
+        # tokenize + shingle pipeline runs twice. With the linear-time
+        # shingle construction that duplicated work is a cheap map-side
+        # pass, and recomputing it beats paying a persist barrier
+        # (materialize + memory/disk write + read) — default OFF.
+        # Enable when the upstream is expensive to recompute (e.g. a
+        # filtered join feeds `df`, or max_token_df adds a third
+        # consumer via the document-frequency aggregation).
         from pyspark import StorageLevel
 
         inverted = inverted.persist(StorageLevel.MEMORY_AND_DISK)
@@ -152,7 +174,8 @@ def minhash_lsh_pairs(
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     sh = _spread(df, parallelism).select(
-        F.col(id_col).alias("id"), word_shingles(text_col, shingle_k).alias("shingles")
+        F.col(id_col).alias("id"),
+        shingles_from_tokens(tokens(text_col), shingle_k).alias("shingles"),
     ).where(F.size("shingles") > 0)
     tf = HashingTF(
         inputCol="shingles", outputCol="vec", numFeatures=num_features, binary=True
@@ -189,7 +212,10 @@ def simhash_pairs(
     probabilistic above. Output: id_a, id_b, hamming.
     """
     sigs = _spread(df, parallelism).select(
-        F.col(id_col).alias("id"), simhash64(text_col, shingle_k).alias("sig")
+        F.col(id_col).alias("id"),
+        simhash64_from_shingles(
+            shingles_from_tokens(tokens(text_col), shingle_k)
+        ).alias("sig"),
     )
     band_width = 64 // n_bands
     bands = sigs.select(
@@ -226,6 +252,85 @@ def simhash_pairs(
         cand.withColumn("hamming", hamming)
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list by iterative
+    min-label propagation: every node starts labeled with its own id;
+    each round a node takes the minimum of its label and its neighbors'
+    labels; fixpoint = every node carries the minimum id reachable from
+    it, which names its component.
+
+    Rounds needed = graph diameter. Near-dup graphs (the intended
+    caller, dedup_clusters) are dense blobs of mutual similarity with
+    tiny diameters, so this converges in a handful of rounds; for
+    adversarially long chain graphs at scale, the upgrade path is the
+    alternating large-star/small-star algorithm (Kiveris et al., "CC in
+    MapReduce and Beyond"), which converges in O(log n) rounds — same
+    DataFrame surface, drop-in.
+
+    Per round: one shuffle (neighbor groupBy-min) + one join with the
+    label frame; ``localCheckpoint`` truncates the lineage so plan size
+    stays O(1) across rounds, and the convergence probe rides the
+    checkpoint's materialization rather than a separate action.
+
+    Output: (node, component) — component = min node id in the
+    component. Raises if not converged within ``max_iter``.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    labels = sym.select("u").distinct().select(
+        "u", F.col("u").alias("lbl")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nb_min = (
+            sym.join(labels.select(F.col("u").alias("v"), "lbl"), "v")
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nb_lbl"))
+        )
+        new_labels = (
+            labels.join(nb_min, "u", "left")
+            .select(
+                "u",
+                F.least(F.col("lbl"), F.coalesce("nb_lbl", "lbl")).alias("lbl"),
+                (F.coalesce("nb_lbl", "lbl") < F.col("lbl")).alias("__chg"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.where("__chg").limit(1).count()
+        labels = new_labels.drop("__chg")
+        if changed == 0:
+            return labels.select(F.col("u").alias("node"), F.col("lbl").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds; "
+        "graph diameter exceeds the near-dup assumption — switch to "
+        "large-star/small-star"
+    )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Near-dup cluster assignment from a similarity-pair list (the
+    output of jaccard_pairs / minhash_lsh_pairs / simhash_pairs /
+    embedding_near_dup_pairs): each document that appears in at least
+    one pair gets the cluster id = lowest doc id in its connected
+    component — consistent with exact_dedup's lowest-id-wins canonical
+    choice, so ``cluster_id`` doubles as the canonical document to keep.
+
+    Output: (doc_id, cluster_id), one row per clustered document.
+    """
+    cc = connected_components(pairs, src=src, dst=dst)
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
 
 
