@@ -40,6 +40,7 @@ from sensor_time_series_pyspark_spark.operators import (
     asof_join,
     dedup_clusters,
     exact_dedup,
+    missing_buckets,
     ffill,
     interpolate_linear,
     jaccard_pairs,
@@ -50,6 +51,7 @@ from sensor_time_series_pyspark_spark.operators import (
     resample,
     sessionize,
     simhash_pairs,
+    spread,
     topk_cosine,
 )
 from sensor_time_series_pyspark_spark.ml import (
@@ -266,8 +268,7 @@ def _q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
 
 def _q_doc_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Text-quality features, all JVM-side expressions (north-star)."""
-    docs = read_table(spark, sf, "documents")
-    toks = tokens("text")
+    docs = spread(read_table(spark, sf, "documents"))
     total_chars = F.length(F.regexp_replace(F.trim(F.col("text")), r"\s+", ""))
     n = token_count("text")
     return docs.select(
@@ -419,8 +420,9 @@ def _q_embedding_norm_stats(spark: SparkSession, sf: str) -> DataFrame:
 def _q_text_features(spark: SparkSession, sf: str) -> DataFrame:
     """Language-ID + quality scoring + BPE-ish token estimate — all
     JVM-side column algebra (functions/text.py), no Python worker in
-    the 100 TB path."""
-    docs = read_table(spark, sf, "documents")
+    the 100 TB path. spread(): the tiny test file is one split — fan
+    the expression work across cores (no-op decision at real scale)."""
+    docs = spread(read_table(spark, sf, "documents"))
     return docs.select(
         "doc_id",
         lang_id("text").alias("lang_pred"),
@@ -434,7 +436,7 @@ def _q_fingerprint_cardinality(spark: SparkSession, sf: str) -> DataFrame:
     """Document fingerprint distinct-count: xxhash64 of normalized text
     equals text-level distinct modulo hash collisions (≈0 at these
     cardinalities) — the cheap dedup cardinality probe."""
-    docs = read_table(spark, sf, "documents")
+    docs = spread(read_table(spark, sf, "documents"))
     return docs.agg(
         F.count_distinct(fingerprint64("text")).alias("n_unique"),
         F.count(F.lit(1)).alias("n_docs"),
@@ -902,6 +904,15 @@ def _q_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_missing_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-series gap detection (operators/gaps.py): 30-min buckets in
+    the series span with no observation — sequence+explode expected
+    grid, left-anti join observed. The monitoring complement of
+    q11_resample_30min."""
+    ev = read_table(spark, sf, "events")
+    return missing_buckets(ev, "ts", ["event_type"], width_seconds=1800)
+
+
 def _q_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
     """HyperLogLog++ distinct-count sketch per group (rows-only gate:
     sketch estimates are engine-specific; tests/test_operators.py pins
@@ -972,6 +983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_window_rank_suite": _q_window_rank_suite,
         "q56_top_terms": _q_top_terms,
         "q57_approx_distinct": _q_approx_distinct,
+        "q58_missing_buckets": _q_missing_buckets,
     }
 
 
@@ -1556,5 +1568,23 @@ def oracle_sql() -> dict[str, str]:
                                ORDER BY score DESC, term ASC) AS INT) AS rank
               FROM scored
             ) WHERE rank <= 3
+        """,
+        "q58_missing_buckets": """
+            WITH b AS (
+              SELECT DISTINCT event_type,
+                CAST(floor(epoch(ts)/1800) AS BIGINT)*1800 AS bk
+              FROM events
+            ),
+            spans AS (
+              SELECT event_type, min(bk) AS lo, max(bk) AS hi
+              FROM b GROUP BY event_type
+            ),
+            expected AS (
+              SELECT event_type, unnest(generate_series(lo, hi, 1800)) AS bk
+              FROM spans
+            )
+            SELECT e.event_type, make_timestamp(e.bk*1000000) AS bucket
+            FROM expected e
+            ANTI JOIN b ON e.event_type = b.event_type AND e.bk = b.bk
         """,
     }

@@ -3,6 +3,7 @@
 from .pivot import impute_defaults, pivot_wide, unpivot
 from .windows import ffill, interpolate_linear, lead_target, rolling_avg
 from .resample import resample
+from .gaps import missing_buckets
 from .sessionize import sessionize
 from .asof import asof_join
 from .quantiles import approx_quantiles, quantile_clip
@@ -14,6 +15,7 @@ from .dedup import (
     jaccard_pairs,
     minhash_lsh_pairs,
     simhash_pairs,
+    spread,
 )
 from .similarity import (
     brp_lsh_join,
@@ -36,6 +38,7 @@ __all__ = [
     "ffill",
     "interpolate_linear",
     "resample",
+    "missing_buckets",
     "sessionize",
     "asof_join",
     "approx_quantiles",
@@ -46,6 +49,7 @@ __all__ = [
     "jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash_pairs",
+    "spread",
     "embedding_near_dup_pairs",
     "topk_cosine",
     "ivf_topk_cosine",

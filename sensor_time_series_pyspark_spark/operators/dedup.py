@@ -28,14 +28,20 @@ from ..functions.text import (
 )
 
 
-def _spread(df: DataFrame, parallelism: int | None) -> DataFrame:
+def spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
     """Repartition before CPU-heavy per-row expression work (shingling,
-    signature computation). A small parquet source arrives as ONE input
-    split, which serializes the whole expression stage on one core —
-    the round-robin repartition costs one narrow shuffle of the raw
-    rows and unlocks full-cluster parallelism for everything after."""
+    signature computation, text scoring). A small parquet source arrives
+    as ONE input split, which serializes the whole expression stage on
+    one core — the round-robin repartition costs one narrow shuffle of
+    the raw rows and unlocks full-cluster parallelism for everything
+    after. At real scale the scan has many splits and this becomes a
+    no-op decision: call it only when expression cost ≫ row width."""
     n = parallelism or df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(n)
+
+
+# internal alias kept for the call sites below
+_spread = spread
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -2,6 +2,7 @@ from .ingest import (
     read_stream,
     run_to_memory,
     session_agg,
+    stream_dedup,
     windowed_agg,
     write_parquet_stream,
 )
@@ -11,6 +12,7 @@ __all__ = [
     "read_stream",
     "windowed_agg",
     "session_agg",
+    "stream_dedup",
     "write_parquet_stream",
     "run_to_memory",
     "ewma_anomaly_stream",

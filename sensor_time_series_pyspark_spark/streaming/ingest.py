@@ -92,6 +92,33 @@ def session_agg(
     )
 
 
+def stream_dedup(
+    sdf: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication — the streaming twin of
+    operators/dedup.py:exact_dedup, for at-least-once sources that
+    replay events (Kafka redeliveries, file-drop re-uploads).
+
+    Uses ``dropDuplicatesWithinWatermark``: state holds one entry per
+    key only until the watermark passes it, so state size is bounded by
+    (key cardinality within the lateness budget), not by stream history
+    — the property that makes this viable on an unbounded 100 TB/day
+    feed. Two duplicates more than ``watermark`` apart are NOT caught
+    (by design — that is the retention/replay contract, and a batch
+    exact_dedup over the sink enforces the global invariant offline).
+
+    ``keys`` should be the content identity (event id, or a
+    fingerprint64 of the payload) — never include the arrival
+    timestamp itself.
+    """
+    return sdf.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def write_parquet_stream(
     sdf: DataFrame,
     path: str,

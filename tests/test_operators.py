@@ -212,3 +212,26 @@ def test_quarantine_and_observe_violations(spark):
     observed, obs = observe_violations(df, rules)
     observed.write.format("noop").mode("overwrite").save()
     assert obs.get["v_nonneg"] == 2 and obs.get["tag_known"] == 1
+
+
+def test_missing_buckets_exact_gaps(spark):
+    from datetime import datetime
+
+    from sensor_time_series_pyspark_spark.operators import missing_buckets
+
+    rows = [
+        # series A: observations in buckets 00:00, 01:00 — gap at 00:30
+        ("A", datetime(2024, 1, 1, 0, 5)),
+        ("A", datetime(2024, 1, 1, 1, 10)),
+        # series B: contiguous buckets, no gap
+        ("B", datetime(2024, 1, 1, 0, 1)),
+        ("B", datetime(2024, 1, 1, 0, 31)),
+        # series C: single bucket — no interior, no rows
+        ("C", datetime(2024, 1, 1, 5, 0)),
+    ]
+    df = spark.createDataFrame(rows, "sensor string, ts timestamp")
+    got = {
+        (r.sensor, r.bucket.isoformat())
+        for r in missing_buckets(df, "ts", ["sensor"], 1800).collect()
+    }
+    assert got == {("A", "2024-01-01T00:30:00")}

@@ -154,3 +154,20 @@ def test_parquet_sink_writes_partitioned(spark, stream_src, tmp_path):
     # date partitioning materialized on disk → partition pruning later
     assert any(p.startswith("date=") for p in os.listdir(out))
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_stream_dedup_matches_batch(spark, tmp_path_factory):
+    """A source with replayed (duplicate) events, deduped within the
+    watermark, must equal batch dropDuplicates on the same keys."""
+    from sensor_time_series_pyspark_spark.streaming import stream_dedup
+
+    d = str(tmp_path_factory.mktemp("dup_src"))
+    ev = read_table(spark, SF, "events").limit(2000)
+    # replay every event twice (same event_id, same ts) — the
+    # at-least-once delivery pattern stream_dedup exists for
+    ev.unionAll(ev).write.mode("overwrite").parquet(d)
+    sdf = read_stream(spark, d, ev.schema, fmt="parquet")
+    deduped = stream_dedup(sdf, keys=["event_id"], ts_col="ts", watermark="1 hour")
+    run_to_memory(deduped, "dedup_out")
+    got = spark.table("dedup_out").count()
+    assert got == ev.select("event_id").distinct().count()
