@@ -861,7 +861,14 @@ def _q_window_rank_suite(spark: SparkSession, sf: str) -> DataFrame:
     """Ranking-window surface in one query: ntile / dense_rank /
     percent_rank / cume_dist per order-priority partition. ntile is
     row-order dependent, so its ORDER BY carries the unique key;
-    the rank family is tie-stable and orders by price alone."""
+    the rank family is tie-stable and orders by price alone.
+
+    Scale note: o_orderpriority has 5 distinct values, so each window
+    partition is ~20% of the table in ONE task — exact global ranks
+    within low-cardinality groups are inherently serial per group. At
+    100 TB, either rank within a finer key, or use approximate ranks
+    (percentile_approx cutpoints → bucket join), which restores full
+    parallelism at bounded error."""
     o = read_table(spark, sf, "orders")
     w_det = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
     w_ties = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")

@@ -1,0 +1,104 @@
+"""Parquet layout maintenance: small-file compaction and sorted writes
+for row-group data skipping.
+
+Why this belongs in the engine: streaming ingestion (streaming/
+ingest.py:write_parquet_stream) and frequent incremental rollups
+(plans/rollup.py) both accrete many small files per partition — at
+100 TB that means scan tasks dominated by file-open overhead and a
+NameNode/listing bottleneck. The reference never handles this (its
+sinks are one-shot `df.write.parquet`,
+/root/reference/sensor_data_etl.py:104).
+
+Two levers, both pure Spark:
+
+- ``compact_parquet``: rewrite a directory (or selected partitions) to
+  ~target-sized files. File count is computed from actual input bytes,
+  not guessed; AQE cannot do this for you because the *write* fan-out
+  is fixed by the final stage's partitioning.
+- sorted writes (``sort_cols``): ``sortWithinPartitions`` before the
+  write so parquet row-group min/max stats become narrow and
+  non-overlapping on the sort key — readers then skip row groups on
+  point/range predicates (data skipping), the poor man's Z-order.
+  Single-column sorts get perfect skipping; for multi-column predicate
+  mixes, interleave (Z-order proper) is the upgrade path.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def dir_bytes(path: str) -> int:
+    """Recursive on-disk size of a local directory (driver-side; on a
+    real cluster use the FileSystem API via Hadoop conf instead)."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_mb: int = 256,
+    partition_by: Sequence[str] | None = None,
+    sort_cols: Sequence[str] | None = None,
+) -> dict[str, int]:
+    """Rewrite ``src`` parquet into ``dst`` with ~``target_file_mb``
+    files, optionally re-partitioned at rest and sorted within files.
+
+    Writes to a NEW directory: rewrite-in-place cannot be atomic on a
+    plain filesystem — callers swap directories (or partition pointers)
+    after success, which also preserves reader isolation during the
+    rewrite. Returns {'input_bytes', 'n_files'} for observability.
+
+    n_files is computed from the *input* byte size; parquet re-encoding
+    usually shrinks output slightly (bigger row groups → better
+    dictionary/RLE), so files land just under target — the right side
+    to miss on.
+    """
+    in_bytes = dir_bytes(src)
+    n_files = max(1, math.ceil(in_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(src)
+    if partition_by:
+        # spread rows of each at-rest partition across n_files writers
+        df = df.repartition(n_files, *partition_by)
+    else:
+        df = df.repartition(n_files)
+    if sort_cols:
+        df = df.sortWithinPartitions(*sort_cols)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(dst)
+    return {"input_bytes": in_bytes, "n_files": n_files}
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: Sequence[str],
+    partition_by: Sequence[str] | None = None,
+    n_files: int | None = None,
+) -> None:
+    """Write with per-file sort so row-group min/max stats support data
+    skipping on ``sort_cols``. Repartition RANGE on the sort key first
+    (when ``n_files`` given) so files cover disjoint key ranges —
+    point lookups then touch exactly one file."""
+    from pyspark.sql import functions as F
+
+    out = df
+    if n_files:
+        out = out.repartitionByRange(n_files, *[F.col(c) for c in sort_cols])
+    out = out.sortWithinPartitions(*sort_cols)
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -28,6 +28,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import (
     DoubleType,
@@ -66,6 +67,9 @@ class SensorSimDataSource(DataSource):
     def reader(self, schema: StructType) -> "SensorSimReader":
         return SensorSimReader(self.options)
 
+    def simpleStreamReader(self, schema: StructType) -> "SensorSimStreamReader":
+        return SensorSimStreamReader(self.options)
+
 
 class SensorSimReader(DataSourceReader):
     def __init__(self, options: dict):
@@ -97,3 +101,65 @@ class SensorSimReader(DataSourceReader):
             if rng.random() < 0.01:
                 reading += amp  # spike
             yield (terminal, ts.replace(tzinfo=None), gas, float(max(reading, 0.0)))
+
+
+def _gen_batch(batch: int, rows: int, terminals: int, seed: int, start: str):
+    """Deterministic micro-batch ``batch``: rows derive only from
+    (seed, batch), never from wall clock — the property that makes
+    checkpoint replay produce byte-identical batches (exactly-once
+    through the foreachBatch sink without sink-side dedup)."""
+    import numpy as np
+
+    rng = np.random.default_rng((seed, batch))
+    t0 = datetime.fromisoformat(start).replace(tzinfo=timezone.utc)
+    for i in range(rows):
+        terminal = int(rng.integers(0, terminals))
+        gas = GASES[int(rng.integers(0, len(GASES)))]
+        base, amp = _PROFILE[gas]
+        minute = batch * rows + i
+        ts = t0 + timedelta(minutes=minute)
+        diurnal = np.sin(2 * np.pi * (minute % 1440) / 1440.0)
+        reading = base + amp * 0.3 * diurnal + float(rng.normal(0, amp * 0.1))
+        if rng.random() < 0.01:
+            reading += amp
+        yield (terminal, ts.replace(tzinfo=None), gas, float(max(reading, 0.0)))
+
+
+class SensorSimStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of ``sensor_sim`` (Spark 4
+    SimpleDataSourceStreamReader): offset = micro-batch counter; each
+    batch is regenerated deterministically from (seed, batch), so
+    ``readBetweenOffsets`` (the recovery path) replays identical rows.
+
+    Options: rows_per_batch, num_terminals, seed, start (ISO date).
+
+    Usage::
+
+        spark.dataSource.register(SensorSimDataSource)
+        sdf = (spark.readStream.format("sensor_sim")
+               .option("rows_per_batch", 500).load())
+    """
+
+    def __init__(self, options: dict):
+        self.rows = int(options.get("rows_per_batch", 500))
+        self.terminals = int(options.get("num_terminals", 10))
+        self.seed = int(options.get("seed", 42))
+        self.start = options.get("start", "2024-01-01")
+
+    def initialOffset(self) -> dict:
+        return {"batch": 0}
+
+    def read(self, start: dict):
+        # materialized list, not a generator: the prefetch cache
+        # copy.copy()s the returned iterator on the recovery path
+        b = int(start["batch"])
+        rows = list(_gen_batch(b, self.rows, self.terminals, self.seed, self.start))
+        return rows, {"batch": b + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        out = []
+        for b in range(int(start["batch"]), int(end["batch"])):
+            out.extend(
+                _gen_batch(b, self.rows, self.terminals, self.seed, self.start)
+            )
+        return out

@@ -80,3 +80,52 @@ def test_feeds_pivot_etl(spark, sim):
     rows = wide.limit(5).collect()
     assert set(GASES) <= set(wide.columns)
     assert len(rows) > 0
+
+
+def test_stream_reader_replay_deterministic():
+    """readBetweenOffsets (the checkpoint-recovery path) must replay
+    byte-identical rows — no wall-clock dependence."""
+    from sensor_time_series_pyspark_spark.sources.sensor_sim import (
+        SensorSimStreamReader,
+    )
+
+    r = SensorSimStreamReader({"rows_per_batch": "50", "seed": "7"})
+    a = list(r.readBetweenOffsets({"batch": 0}, {"batch": 3}))
+    b = list(r.readBetweenOffsets({"batch": 0}, {"batch": 3}))
+    assert a == b and len(a) == 150
+    rows, nxt = r.read({"batch": 1})
+    assert nxt == {"batch": 2}
+    assert list(rows) == list(r.readBetweenOffsets({"batch": 1}, {"batch": 2}))
+
+
+def test_stream_source_first_microbatch(spark, tmp_path):
+    """End-to-end: the streaming face produces rows through a real
+    writeStream query."""
+    import time
+
+    from sensor_time_series_pyspark_spark.sources.sensor_sim import (
+        SensorSimDataSource,
+    )
+
+    spark.dataSource.register(SensorSimDataSource)
+    sdf = (
+        spark.readStream.format("sensor_sim")
+        .option("rows_per_batch", "100")
+        .option("seed", "3")
+        .load()
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("sim_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and spark.table("sim_stream").count() < 100:
+            time.sleep(0.5)
+        got = spark.table("sim_stream").count()
+    finally:
+        q.stop()
+    assert got >= 100

@@ -62,3 +62,53 @@ def test_write_parquet_date_partitioned(spark, tmp_path):
     pruned = back.where(F.col("date") == one_day)
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan
+
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    from sensor_time_series_pyspark_spark.sources import compact_parquet
+    from sensor_time_series_pyspark_spark.sources.readers import read_table
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    ev.repartition(64).write.parquet(src)  # simulate streaming accretion
+
+    import glob
+
+    assert len(glob.glob(src + "/*.parquet")) == 64
+    stats = compact_parquet(spark, src, dst, target_file_mb=256)
+    out_files = glob.glob(dst + "/*.parquet")
+    assert len(out_files) == stats["n_files"] == 1  # tiny input -> 1 file
+    assert spark.read.parquet(dst).count() == ev.count()
+
+
+def test_write_sorted_enables_row_group_skipping(spark, tmp_path):
+    """Row-group min/max stats on the sort key must be disjoint enough
+    that a point predicate matches exactly one file (range partitioned)
+    — the data-skipping contract."""
+    import pyarrow.parquet as pq
+    import glob
+
+    from sensor_time_series_pyspark_spark.sources import write_sorted
+    from sensor_time_series_pyspark_spark.sources.readers import read_table
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    sorted_dir = str(tmp_path / "sorted")
+    write_sorted(ev, sorted_dir, sort_cols=["user_id"], n_files=8)
+
+    files = sorted(glob.glob(sorted_dir + "/*.parquet"))
+    assert len(files) >= 4  # range partitioner may merge tiny ends
+    ranges = []
+    for f in files:
+        md = pq.read_metadata(f)
+        col_idx = md.schema.to_arrow_schema().get_field_index("user_id")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    # files cover ~disjoint user_id ranges: a point probe hits one file
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges {hi1} > {lo2}"
