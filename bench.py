@@ -45,11 +45,18 @@ def main() -> None:
     # warm the JVM + parquet footer caches once (excluded from timings)
     qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # best-of-N: single-shot timings on a shared JVM are noisy (JIT
+    # recompilation, GC pauses land on whichever query is running);
+    # the minimum is the steady-state cost of the plan itself.
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

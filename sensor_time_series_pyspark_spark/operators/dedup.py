@@ -355,13 +355,22 @@ def embedding_near_dup_pairs(
     generate candidates, with this same exact cosine as the verifier.
     Output: id_a, id_b, cosine.
     """
-    from ..functions.vectors import cosine_similarity
+    from ..functions.vectors import dot, l2_norm
 
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # norms precomputed per row — per-pair work is one dot product
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        l2_norm(vec_col).alias("na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        l2_norm(vec_col).alias("nb"),
+    )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return (
-        pairs.withColumn("cosine", cosine_similarity("va", "vb"))
+        pairs.withColumn("cosine", dot("va", "vb") / (F.col("na") * F.col("nb")))
         .where(F.col("cosine") >= cosine_threshold)
         .select("id_a", "id_b", "cosine")
     )

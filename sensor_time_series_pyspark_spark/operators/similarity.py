@@ -17,7 +17,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity
+from ..functions.vectors import cosine_similarity, dot, l2_norm
 
 
 def topk_cosine(
@@ -34,10 +34,23 @@ def topk_cosine(
     tiebreak on corpus id. The join is a broadcast nested loop
     (queries are small by construction); the heavy side streams.
     """
-    q = queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(corpus_id).alias("cid"), F.col(vec_col).alias("cv"))
+    # Precompute each side's L2 norm BEFORE the join: cosine needs
+    # dot(a,b)/(|a||b|), and computing |a|,|b| per PAIR triples the
+    # per-pair array work (the norms are per-row quantities — corpus
+    # norms were being recomputed once per query and vice versa).
+    # Post-join, each pair does exactly one dot product.
+    q = queries.select(
+        F.col(query_id).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        l2_norm(vec_col).alias("qn"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("cid"),
+        F.col(vec_col).alias("cv"),
+        l2_norm(vec_col).alias("cn"),
+    )
     scored = c.join(F.broadcast(q), F.col("qid") != F.col("cid")).withColumn(
-        "cosine", cosine_similarity("qv", "cv")
+        "cosine", dot("qv", "cv") / (F.col("qn") * F.col("cn"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
     return (
@@ -135,11 +148,12 @@ def ivf_topk_cosine(
     c_vecs = corpus.select(
         F.col(corpus_id).alias("cid"),
         F.col(vec_col).alias("cv"),
+        l2_norm(vec_col).alias("cn"),
         array_to_vector(F.col(vec_col)).alias("__mlvec"),
     )
     km = KMeans(k=n_cells, seed=seed, featuresCol="__mlvec", predictionCol="__cell")
     model = km.fit(c_vecs)
-    assigned = model.transform(c_vecs).select("cid", "cv", "__cell")
+    assigned = model.transform(c_vecs).select("cid", "cv", "cn", "__cell")
 
     # centroids as a tiny DataFrame: query → n_probe nearest cells
     spark = corpus.sparkSession
@@ -147,7 +161,11 @@ def ivf_topk_cosine(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "__cell int, centroid array<double>",
     )
-    q_vecs = queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("qv"))
+    q_vecs = queries.select(
+        F.col(query_id).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        l2_norm(vec_col).alias("qn"),
+    )
     q_cells = (
         q_vecs.join(F.broadcast(cents))
         .withColumn("__sim", cosine_similarity("qv", "centroid"))
@@ -156,13 +174,14 @@ def ivf_topk_cosine(
     probes = (
         q_cells.withColumn("__pr", F.row_number().over(w_probe))
         .where(F.col("__pr") <= n_probe)
-        .select("qid", "qv", "__cell")
+        .select("qid", "qv", "qn", "__cell")
     )
 
+    # per-pair cost = one dot product; norms were computed per row above
     scored = (
         assigned.join(probes, "__cell")
         .where(F.col("qid") != F.col("cid"))
-        .withColumn("cosine", cosine_similarity("qv", "cv"))
+        .withColumn("cosine", dot("qv", "cv") / (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
     return (
