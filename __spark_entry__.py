@@ -920,6 +920,34 @@ def _q_missing_buckets(spark: SparkSession, sf: str) -> DataFrame:
     return missing_buckets(ev, "ts", ["event_type"], width_seconds=1800)
 
 
+def _q_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/skew.py) over the 5-value
+    event_type key — the skew-mitigation shape: partials on
+    (key, salt) split every hot group across reducers, then merge on
+    the key alone. Result is identical to the direct groupBy (salting
+    is algebra-invariant for re-aggregatable kinds), so it hash-matches
+    the plain-SQL oracle."""
+    from sensor_time_series_pyspark_spark.operators import salted_agg
+
+    ev = read_table(spark, sf, "events")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_events": ("count", F.lit(1)),
+            "total_value": ("sum", F.col("value").cast(DEC)),
+            "max_value": ("max", F.col("value")),
+        },
+        salt=8,
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+        "max_value",
+    )
+
+
 def _q_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
     """HyperLogLog++ distinct-count sketch per group (rows-only gate:
     sketch estimates are engine-specific; tests/test_operators.py pins
@@ -991,6 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_top_terms": _q_top_terms,
         "q57_approx_distinct": _q_approx_distinct,
         "q58_missing_buckets": _q_missing_buckets,
+        "q59_salted_agg": _q_salted_agg,
     }
 
 
@@ -1593,5 +1622,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_type, make_timestamp(e.bk*1000000) AS bucket
             FROM expected e
             ANTI JOIN b ON e.event_type = b.event_type AND e.bk = b.bk
+        """,
+        "q59_salted_agg": """
+            SELECT event_type, count(*) AS n_events,
+              CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+              max(value) AS max_value
+            FROM events GROUP BY event_type
         """,
     }

@@ -54,3 +54,13 @@ def test_streaming_example(spark, tmp_path):
     import streaming_ingest
 
     assert streaming_ingest.main(SF, str(tmp_path / "stream")) == 0
+
+
+def test_train_data_pipeline_example(spark, tmp_path):
+    import train_data_pipeline
+
+    out = str(tmp_path / "curated")
+    assert train_data_pipeline.main(SF, out) == 0
+    got = spark.read.parquet(out)
+    assert got.count() > 0
+    assert {"doc_id", "lang_pred", "quality", "n_tokens"} <= set(got.columns)
