@@ -920,6 +920,41 @@ def _q_missing_buckets(spark: SparkSession, sf: str) -> DataFrame:
     return missing_buckets(ev, "ts", ["event_type"], width_seconds=1800)
 
 
+def _q_exact_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact percentile aggregation (complement of q35's sketch): median
+    and p90 of integral-valued l_quantity per return flag. Both engines
+    interpolate a + (b-a)*frac over the same sorted doubles, so values
+    hash-match (quantity is integer-valued — order stats are exact)."""
+    li = read_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("median_qty"),
+        F.percentile("l_quantity", F.lit(0.9)).alias("p90_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def _q_quantize_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """Int8 embedding quantization (functions/vectors.py:quantize_int8,
+    4x storage cut for the widest column at 100 TB). Output is
+    integer-exact per vector (code sum / min / max) plus the scale —
+    floor-based half-up rounding makes both engines produce identical
+    codes."""
+    from sensor_time_series_pyspark_spark.functions.vectors import quantize_int8
+
+    emb = read_table(spark, sf, "embeddings")
+    qz = emb.select("vec_id", quantize_int8("embedding").alias("qs"))
+    q = F.col("qs")["q"]
+    return qz.select(
+        "vec_id",
+        F.col("qs")["scale"].alias("scale"),
+        F.aggregate(
+            q, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+        ).alias("code_sum"),
+        F.array_min(q).cast("int").alias("code_min"),
+        F.array_max(q).cast("int").alias("code_max"),
+    )
+
+
 def _q_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
     """Two-phase salted aggregation (operators/skew.py) over the 5-value
     event_type key — the skew-mitigation shape: partials on
@@ -1020,6 +1055,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_approx_distinct": _q_approx_distinct,
         "q58_missing_buckets": _q_missing_buckets,
         "q59_salted_agg": _q_salted_agg,
+        "q60_exact_percentiles": _q_exact_percentiles,
+        "q61_quantize_embeddings": _q_quantize_embeddings,
     }
 
 
@@ -1628,5 +1665,37 @@ def oracle_sql() -> dict[str, str]:
               CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
               max(value) AS max_value
             FROM events GROUP BY event_type
+        """,
+        "q60_exact_percentiles": """
+            SELECT l_returnflag,
+              median(l_quantity) AS median_qty,
+              quantile_cont(l_quantity, 0.9) AS p90_qty,
+              count(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q61_quantize_embeddings": """
+            WITH v AS (
+              SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings
+            ),
+            s AS (
+              SELECT vec_id, e,
+                list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+              FROM v
+            ),
+            qz AS (
+              SELECT vec_id, scale,
+                CASE WHEN scale > 0
+                  THEN list_transform(e, x -> CAST(floor(x/scale + 0.5) AS BIGINT))
+                  ELSE list_transform(e, x -> CAST(0 AS BIGINT))
+                END AS q
+              FROM s
+            )
+            SELECT vec_id, scale,
+              list_sum(q) AS code_sum,
+              CAST(list_min(q) AS INT) AS code_min,
+              CAST(list_max(q) AS INT) AS code_max
+            FROM qz
         """,
     }

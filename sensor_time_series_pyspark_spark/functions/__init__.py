@@ -3,7 +3,13 @@
 
 from .cleaning import coalesce_labels, repair_label
 from .temporal import epoch_seconds, time_bucket, to_day
-from .vectors import cosine_similarity, dot, l2_norm
+from .vectors import (
+    cosine_similarity,
+    dequantize_int8,
+    dot,
+    l2_norm,
+    quantize_int8,
+)
 from .text import (
     char_ngrams,
     punct_ratio,
@@ -23,6 +29,8 @@ __all__ = [
     "dot",
     "l2_norm",
     "cosine_similarity",
+    "quantize_int8",
+    "dequantize_int8",
     "tokens",
     "token_count",
     "punct_ratio",

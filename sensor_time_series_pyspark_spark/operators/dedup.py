@@ -145,9 +145,18 @@ def jaccard_pairs(
         F.col("id").alias("id_b"),
         F.col("n_tok").alias("n_b"),
     )
+    # Length filter (exact): jaccard(A,B) <= min(|A|,|B|)/max(|A|,|B|),
+    # so pairs whose set sizes differ by more than 1/threshold can never
+    # pass — prune them inside the join, before the candidate rows hit
+    # the aggregation. The classic size-filter from the set-similarity
+    # join literature (SSJoin/PPJoin); on size-skewed corpora it
+    # removes the short-doc x long-doc candidate mass entirely.
+    size_ok = F.least(F.col("n_a"), F.col("n_b")) >= F.greatest(
+        F.col("n_a"), F.col("n_b")
+    ) * F.lit(float(threshold))
     pairs = (
         a.join(b, "token")
-        .where(F.col("id_a") < F.col("id_b"))
+        .where((F.col("id_a") < F.col("id_b")) & size_ok)
         .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )

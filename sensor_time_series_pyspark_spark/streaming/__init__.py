@@ -6,6 +6,7 @@ from .ingest import (
     windowed_agg,
     write_parquet_stream,
 )
+from .joins import stream_interval_join
 from .stateful import ewma_anomaly_batch, ewma_anomaly_stream
 
 __all__ = [
@@ -15,6 +16,7 @@ __all__ = [
     "stream_dedup",
     "write_parquet_stream",
     "run_to_memory",
+    "stream_interval_join",
     "ewma_anomaly_stream",
     "ewma_anomaly_batch",
 ]

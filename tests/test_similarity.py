@@ -116,3 +116,35 @@ def test_ivf_topk_recall_vs_exact(spark, emb):
         ).collect()
     }
     assert full == exact
+
+
+def test_quantize_int8_reconstruction(spark, sf_dir):
+    """Dequantized vectors must keep cosine >= 0.999 with the original
+    and bound per-element error by scale/2 — the rerank-on-originals
+    contract for quantized retrieval."""
+    from pyspark.sql import functions as F
+
+    from sensor_time_series_pyspark_spark.functions.vectors import (
+        cosine_similarity,
+        dequantize_int8,
+        quantize_int8,
+    )
+    from sensor_time_series_pyspark_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qz = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("orig"),
+        quantize_int8("embedding").alias("qs"),
+    ).withColumn("recon", dequantize_int8("qs"))
+    checked = qz.select(
+        cosine_similarity("orig", "recon").alias("cos"),
+        F.array_max(
+            F.zip_with("orig", "recon", lambda a, b: F.abs(a - b))
+        ).alias("max_err"),
+        (F.col("qs")["scale"] / 2 + 1e-12).alias("bound"),
+    ).collect()
+    assert checked
+    for r in checked:
+        assert r.cos >= 0.999
+        assert r.max_err <= r.bound

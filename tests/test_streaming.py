@@ -171,3 +171,76 @@ def test_stream_dedup_matches_batch(spark, tmp_path_factory):
     run_to_memory(deduped, "dedup_out")
     got = spark.table("dedup_out").count()
     assert got == ev.select("event_id").distinct().count()
+
+
+def test_stream_static_join_matches_batch(spark, stream_src):
+    """Stream-static enrichment: a streaming fact joined to a batch
+    dimension (the streaming twin of the flagship's fact⋈dim join) must
+    equal the batch join — Spark re-plans the static side per
+    micro-batch, no watermark needed for inner equi-joins."""
+    path, schema = stream_src
+    cust = read_table(spark, SF, "customer").select(
+        F.col("c_custkey"), F.col("c_nationkey")
+    )
+    sdf = read_stream(spark, path, schema, fmt="parquet")
+    enriched = sdf.join(
+        F.broadcast(cust), sdf.user_id == cust.c_custkey, "inner"
+    ).select("event_id", "c_nationkey")
+    run_to_memory(enriched, "stream_static")
+    got = spark.table("stream_static")
+    batch = (
+        read_table(spark, SF, "events")
+        .join(cust, F.col("user_id") == F.col("c_custkey"), "inner")
+        .select("event_id", "c_nationkey")
+    )
+    assert got.count() == batch.count()
+    assert got.exceptAll(batch).count() == 0
+
+
+def test_stream_stream_interval_join_matches_batch(spark, stream_src):
+    """Click→purchase attribution: two streams joined on user with an
+    event-time range — results must equal the batch interval join.
+    Inner join: results emit without waiting for the final watermark."""
+    from sensor_time_series_pyspark_spark.streaming import stream_interval_join
+
+    path, schema = stream_src
+    clicks_s = (
+        read_stream(spark, path, schema, fmt="parquet")
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    buys_s = (
+        read_stream(spark, path, schema, fmt="parquet")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("buy_id"),
+            F.col("ts").alias("buy_ts"),
+        )
+    )
+    joined = stream_interval_join(
+        clicks_s, buys_s, ["user_id"], "click_ts", "buy_ts", within="2 hours"
+    ).select("click_id", "buy_id")
+    run_to_memory(joined, "attrib")
+    got = spark.table("attrib")
+
+    ev = read_table(spark, SF, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"), F.col("event_id").alias("buy_id"),
+        F.col("ts").alias("buy_ts"),
+    )
+    batch = clicks.join(
+        buys,
+        (F.col("user_id") == F.col("b_user"))
+        & (F.col("buy_ts") >= F.col("click_ts"))
+        & (F.col("buy_ts") <= F.col("click_ts") + F.expr("INTERVAL 2 hours")),
+    ).select("click_id", "buy_id")
+    assert got.count() == batch.count() > 0
+    assert got.exceptAll(batch).count() == 0
