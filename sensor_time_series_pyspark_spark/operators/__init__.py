@@ -13,6 +13,7 @@ from .dedup import (
     embedding_near_dup_pairs,
     exact_dedup,
     jaccard_pairs,
+    jaccard_pairs_prefix,
     minhash_lsh_pairs,
     simhash_pairs,
     spread,
@@ -47,6 +48,7 @@ __all__ = [
     "connected_components",
     "dedup_clusters",
     "jaccard_pairs",
+    "jaccard_pairs_prefix",
     "minhash_lsh_pairs",
     "simhash_pairs",
     "spread",

@@ -168,6 +168,130 @@ def jaccard_pairs(
     )
 
 
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard pairs via PREFIX FILTERING (PPJoin family,
+    Xiao et al. "Efficient Similarity Joins for Near Duplicate
+    Detection") — the scale path for higher thresholds.
+
+    Key fact: order every doc's shingles by a global canonical order
+    (rarest-first by document frequency). If jaccard(A,B) >= t, the two
+    docs MUST share at least one shingle inside each one's first
+    ``n - ceil(t*n) + 1`` shingles (the prefix) — otherwise the >= t*n
+    overlap cannot fit in the remainder. So the inverted index holds
+    only prefixes: with t=0.8 that is ~20% of postings, and candidate
+    volume falls roughly quadratically in the kept fraction (rare
+    tokens first also means tiny posting lists — exactly the tokens
+    with the least join fan-out).
+
+    Verification is exact and separate: candidate (id_a, id_b) pairs
+    join back to the full shingle-hash arrays and score
+    |A∩B| via array_intersect — no recall loss, unlike MinHash/SimHash.
+
+    Compared to ``jaccard_pairs`` (full inverted index, counts overlap
+    inside the join): fewer candidates but two extra hash joins to
+    fetch arrays. Wins when t is high and the corpus is large; at low
+    t (prefix ≈ whole doc) prefer ``jaccard_pairs``.
+
+    Output: id_a, id_b (a < b), jaccard — identical contract to
+    jaccard_pairs.
+    """
+    base = _spread(df, parallelism).select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("__toks")
+    )
+    sh = (
+        shingles_from_tokens(F.col("__toks"), shingle_k)
+        if shingle_k > 1
+        else F.col("__toks")
+    )
+    toks = base.select(
+        "id",
+        F.transform(F.array_distinct(sh), lambda s: F.xxhash64(s)).alias("tok"),
+    )
+    inverted = toks.select("id", F.explode("tok").alias("token"))
+
+    # global canonical order: ascending document frequency, token id
+    # as tiebreak — rarest-first minimizes posting-list fan-out
+    dfreq = inverted.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        inverted.join(dfreq, "token")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("df"), F.col("token")))
+                ),
+                lambda s: s["token"],
+            ).alias("tok")
+        )
+        .withColumn("n_tok", F.size("tok"))
+        .withColumn(
+            "prefix",
+            F.slice(
+                "tok",
+                1,
+                F.greatest(
+                    F.col("n_tok") - F.ceil(F.col("n_tok") * F.lit(float(threshold)))
+                    + 1,
+                    F.lit(0),
+                ).cast("int"),
+            ),
+        )
+    )
+    pre = ranked.select(
+        "id", "n_tok", F.explode("prefix").alias("token")
+    )
+    a = pre.select(
+        "token", F.col("id").alias("id_a"), F.col("n_tok").alias("n_a")
+    )
+    b = pre.select(
+        "token", F.col("id").alias("id_b"), F.col("n_tok").alias("n_b")
+    )
+    size_ok = F.least(F.col("n_a"), F.col("n_b")) >= F.greatest(
+        F.col("n_a"), F.col("n_b")
+    ) * F.lit(float(threshold))
+    cands = (
+        a.join(b, "token")
+        .where((F.col("id_a") < F.col("id_b")) & size_ok)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    # exact verify: fetch both full arrays, intersect once per pair
+    arrs = ranked.select("id", "tok", "n_tok")
+    verified = (
+        cands.join(
+            arrs.select(
+                F.col("id").alias("id_a"),
+                F.col("tok").alias("ta"),
+                F.col("n_tok").alias("n_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            arrs.select(
+                F.col("id").alias("id_b"),
+                F.col("tok").alias("tb"),
+                F.col("n_tok").alias("n_b"),
+            ),
+            "id_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("ta", "tb")))
+    )
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        verified.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,

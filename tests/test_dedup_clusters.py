@@ -81,3 +81,29 @@ def test_approx_count_distinct_within_5pct(spark, sf_dir):
     assert both
     for r in both:
         assert abs(r.approx - r.exact) <= max(1, 0.05 * r.exact)
+
+
+@pytest.mark.parametrize("threshold", [0.2, 0.5, 0.8])
+def test_prefix_filter_equals_inverted_index(spark, sf_dir, threshold):
+    """jaccard_pairs_prefix (PPJoin prefix filtering) is exact: same
+    pairs and scores as the full inverted-index strategy."""
+    from sensor_time_series_pyspark_spark.operators.dedup import (
+        jaccard_pairs_prefix,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    full = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(
+            docs, "doc_id", "text", threshold=threshold, shingle_k=3
+        ).collect()
+    }
+    pref = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs_prefix(
+            docs, "doc_id", "text", threshold=threshold, shingle_k=3
+        ).collect()
+    }
+    assert set(full) == set(pref)
+    for k in full:
+        assert abs(full[k] - pref[k]) < 1e-12
