@@ -2,7 +2,7 @@
 partitioned parquet sinks, layout maintenance (compaction / sorted
 writes), and streaming readers (see ``streaming/``)."""
 
-from .maintenance import compact_parquet, write_sorted
+from .maintenance import compact_parquet, write_sorted, write_zordered, z_value
 from .readers import read_csv, read_parquet, read_table, star_schema
 from .sinks import write_parquet
 
@@ -14,4 +14,6 @@ __all__ = [
     "write_parquet",
     "compact_parquet",
     "write_sorted",
+    "write_zordered",
+    "z_value",
 ]

@@ -112,3 +112,56 @@ def test_write_sorted_enables_row_group_skipping(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"overlapping file ranges {hi1} > {lo2}"
+
+
+def test_write_zordered_skips_on_both_columns(spark, tmp_path):
+    """Z-order layout: point predicates on EITHER clustered column
+    touch a minority of files; a 1-D sort only achieves that for its
+    own column."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from sensor_time_series_pyspark_spark.sources import (
+        write_sorted,
+        write_zordered,
+    )
+    from sensor_time_series_pyspark_spark.sources.readers import read_table
+
+    ev = read_table(spark, "/root/testdata/sf0.01", "events").select(
+        "event_id", "user_id", "value"
+    )
+    n_files = 16
+
+    def files_touched(d, col, probe):
+        touched, total = 0, 0
+        for f in glob.glob(d + "/*.parquet"):
+            md = pq.read_metadata(f)
+            idx = md.schema.to_arrow_schema().get_field_index(col)
+            lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+            total += 1
+            if lo <= probe <= hi:
+                touched += 1
+        return touched, total
+
+    zdir = str(tmp_path / "zorder")
+    sdir = str(tmp_path / "sorted1d")
+    write_zordered(ev, zdir, ["user_id", "value"], n_files=n_files, bits=8)
+    write_sorted(ev, sdir, sort_cols=["user_id"], n_files=n_files)
+
+    mid_user = ev.approxQuantile("user_id", [0.5], 0.01)[0]
+    mid_val = ev.approxQuantile("value", [0.5], 0.01)[0]
+
+    zu, ztot = files_touched(zdir, "user_id", mid_user)
+    zv, _ = files_touched(zdir, "value", mid_val)
+    su, stot = files_touched(sdir, "user_id", mid_user)
+    sv, _ = files_touched(sdir, "value", mid_val)
+
+    assert ztot >= 8 and stot >= 8
+    # 1-D sort: perfect on its column, useless on the other
+    assert su <= 2
+    assert sv >= stot - 2
+    # z-order: strictly better than useless on BOTH columns
+    assert zu <= ztot // 2
+    assert zv <= ztot // 2
