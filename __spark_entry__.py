@@ -933,6 +933,33 @@ def _q_exact_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_pca_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """PCA feature reduction over the embedding column (SURVEY.md §2.10
+    M10 — the reference imports PCA but never runs it,
+    sensor_data_regression.py:5,64; here it is a working operator).
+    Output: per-label count and exact decimal-mean of the FIRST
+    principal component's squared loading-projection (squares kill the
+    eigenvector sign indeterminacy, so the values are stable). Rows-only
+    gate + invariant tests: k components, orthonormality."""
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    emb = read_table(spark, sf, "embeddings")
+    vecs = emb.select(
+        "vec_id", "label", array_to_vector(F.col("embedding")).alias("features")
+    )
+    pca = PCA(k=8, inputCol="features", outputCol="pc")
+    model = pca.fit(vecs)
+    out = model.transform(vecs).select(
+        "label", vector_to_array("pc").alias("pc")
+    )
+    pc1_sq = F.col("pc")[0] * F.col("pc")[0]
+    return out.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        _davg(pc1_sq).alias("mean_pc1_sq"),
+    )
+
+
 def _q_quantize_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     """Int8 embedding quantization (functions/vectors.py:quantize_int8,
     4x storage cut for the widest column at 100 TB). Output is
@@ -1057,6 +1084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_salted_agg": _q_salted_agg,
         "q60_exact_percentiles": _q_exact_percentiles,
         "q61_quantize_embeddings": _q_quantize_embeddings,
+        "q62_pca_embeddings": _q_pca_embeddings,
     }
 
 

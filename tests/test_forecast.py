@@ -108,3 +108,23 @@ def test_decompose_roundtrip(series_df):
     for r in out:
         if r["trend"] is not None and not math.isnan(r["trend"]):
             assert abs((r["trend"] + r["seasonal"] + r["resid"]) - r["value"]) < 1e-9
+
+
+def test_pca_components_orthonormal(spark, sf_dir):
+    """M10 parity (reference imports PCA, never runs it): fitted
+    components must be orthonormal and explained variance must be
+    non-increasing."""
+    import numpy as np
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector
+
+    from sensor_time_series_pyspark_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(array_to_vector("embedding").alias("features"))
+    model = PCA(k=8, inputCol="features", outputCol="pc").fit(vecs)
+    W = model.pc.toArray()  # (dim, k)
+    gram = W.T @ W
+    assert np.allclose(gram, np.eye(W.shape[1]), atol=1e-8)
+    ev = model.explainedVariance.toArray()
+    assert all(a >= b - 1e-12 for a, b in zip(ev, ev[1:]))
