@@ -933,6 +933,18 @@ def _q_exact_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_scd2(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2 dimension build (operators/scd.py): the event feed becomes
+    a versioned per-user state dimension — consecutive identical states
+    collapse, [valid_from, valid_to) intervals + is_current flag, one
+    shuffle. The reference overwrites its dims losing history
+    (read_sensor_configs.py:53,66)."""
+    from sensor_time_series_pyspark_spark.operators import scd2
+
+    ev = read_table(spark, sf, "events")
+    return scd2(ev, ["user_id"], "ts", ["event_type"])
+
+
 def _q_pca_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     """PCA feature reduction over the embedding column (SURVEY.md §2.10
     M10 — the reference imports PCA but never runs it,
@@ -1085,6 +1097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_exact_percentiles": _q_exact_percentiles,
         "q61_quantize_embeddings": _q_quantize_embeddings,
         "q62_pca_embeddings": _q_pca_embeddings,
+        "q63_scd2_dimension": _q_scd2,
     }
 
 
@@ -1725,5 +1738,23 @@ def oracle_sql() -> dict[str, str]:
               CAST(list_min(q) AS INT) AS code_min,
               CAST(list_max(q) AS INT) AS code_max
             FROM qz
+        """,
+        "q63_scd2_dimension": """
+            WITH ordered AS (
+              SELECT user_id, ts, event_type,
+                lag(event_type) OVER w AS prev_et,
+                lag(ts) OVER w AS prev_ts
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            versions AS (
+              SELECT user_id, ts, event_type FROM ordered
+              WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev_et
+            )
+            SELECT user_id, event_type, ts AS valid_from,
+              lead(ts) OVER w2 AS valid_to,
+              (lead(ts) OVER w2) IS NULL AS is_current
+            FROM versions
+            WINDOW w2 AS (PARTITION BY user_id ORDER BY ts)
         """,
     }

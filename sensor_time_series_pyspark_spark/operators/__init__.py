@@ -5,6 +5,7 @@ from .windows import ffill, interpolate_linear, lead_target, rolling_avg
 from .resample import resample
 from .gaps import missing_buckets
 from .sessionize import sessionize
+from .scd import scd2
 from .asof import asof_join
 from .quantiles import approx_quantiles, quantile_clip
 from .dedup import (
@@ -41,6 +42,7 @@ __all__ = [
     "resample",
     "missing_buckets",
     "sessionize",
+    "scd2",
     "asof_join",
     "approx_quantiles",
     "quantile_clip",

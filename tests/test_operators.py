@@ -235,3 +235,31 @@ def test_missing_buckets_exact_gaps(spark):
         for r in missing_buckets(df, "ts", ["sensor"], 1800).collect()
     }
     assert got == {("A", "2024-01-01T00:30:00")}
+
+
+def test_scd2_versions_and_collapse(spark):
+    from datetime import datetime
+
+    from sensor_time_series_pyspark_spark.operators import scd2
+
+    rows = [
+        # user 1: A, A (re-sent, must collapse), B, A
+        (1, datetime(2024, 1, 1), "A"),
+        (1, datetime(2024, 1, 2), "A"),
+        (1, datetime(2024, 1, 3), "B"),
+        (1, datetime(2024, 1, 4), "A"),
+        # user 2: single state -> one open version
+        (2, datetime(2024, 1, 1), "X"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, state string")
+    got = sorted(
+        (r.user_id, r.state, r.valid_from.day,
+         r.valid_to.day if r.valid_to else None, r.is_current)
+        for r in scd2(df, ["user_id"], "ts", ["state"]).collect()
+    )
+    assert got == [
+        (1, "A", 1, 3, False),
+        (1, "A", 4, None, True),
+        (1, "B", 3, 4, False),
+        (2, "X", 1, None, True),
+    ]
