@@ -866,9 +866,10 @@ def _q_window_rank_suite(spark: SparkSession, sf: str) -> DataFrame:
     Scale note: o_orderpriority has 5 distinct values, so each window
     partition is ~20% of the table in ONE task — exact global ranks
     within low-cardinality groups are inherently serial per group. At
-    100 TB, either rank within a finer key, or use approximate ranks
-    (percentile_approx cutpoints → bucket join), which restores full
-    parallelism at bounded error."""
+    100 TB, either rank within a finer key, or use
+    operators/quantiles.py:approx_ntile (percentile_approx cutpoints →
+    broadcast bucket join), which restores full parallelism at bounded
+    error."""
     o = read_table(spark, sf, "orders")
     w_det = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
     w_ties = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")

@@ -7,7 +7,7 @@ from .gaps import missing_buckets
 from .sessionize import sessionize
 from .scd import scd2
 from .asof import asof_join
-from .quantiles import approx_quantiles, quantile_clip
+from .quantiles import approx_ntile, approx_quantiles, quantile_clip
 from .dedup import (
     connected_components,
     dedup_clusters,
@@ -44,6 +44,7 @@ __all__ = [
     "sessionize",
     "scd2",
     "asof_join",
+    "approx_ntile",
     "approx_quantiles",
     "quantile_clip",
     "exact_dedup",

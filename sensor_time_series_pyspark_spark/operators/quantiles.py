@@ -60,3 +60,42 @@ def quantile_clip(
         joined.where((F.col(value_col) >= F.col("__lo")) & (F.col(value_col) <= F.col("__hi")))
         .drop("__lo", "__hi")
     )
+
+
+def approx_ntile(
+    df: DataFrame,
+    value_col: str,
+    n: int,
+    by: Sequence[str] = (),
+    accuracy: int = 10000,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Fully-parallel approximate ntile: assign each row to one of
+    ``n`` quantile buckets (1..n) of ``value_col``, optionally per
+    ``by`` group.
+
+    Why not ``F.ntile``: an exact ntile window funnels each partition
+    through ONE task — with a low-cardinality (or empty) partition key
+    that is the whole table on one core (the q55 scale hazard). Here
+    the cutpoints come from a percentile_approx aggregation (map-side
+    partials, bounded sketch state), broadcast back, and the bucket is
+    a pure projection — every stage is parallel, error is bounded by
+    the sketch accuracy, and ties get a deterministic bucket (first
+    cutpoint not below the value).
+
+    Buckets are near-equal-sized rather than exactly equal-sized —
+    the honest contract of any sketch-based ranking.
+    """
+    probs = [i / n for i in range(1, n)]
+    keys = list(by)
+    cuts = df.groupBy(*keys).agg(
+        F.percentile_approx(value_col, probs, accuracy).alias("__cuts")
+    )
+    joined = df.join(F.broadcast(cuts), keys) if keys else df.crossJoin(
+        F.broadcast(cuts)
+    )
+    v = F.col(value_col)
+    bucket = F.lit(1)
+    for i in range(n - 1):
+        bucket = bucket + F.when(v > F.col("__cuts")[i], 1).otherwise(0)
+    return joined.withColumn(out_col, bucket.cast("int")).drop("__cuts")

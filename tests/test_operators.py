@@ -263,3 +263,39 @@ def test_scd2_versions_and_collapse(spark):
         (1, "B", 3, 4, False),
         (2, "X", 1, None, True),
     ]
+
+
+def test_approx_ntile_near_equal_buckets(spark):
+    """approx_ntile (the parallel q55-scale-note alternative): bucket
+    sizes within 5% of n/k, ordering consistent with values."""
+    from sensor_time_series_pyspark_spark.operators import approx_ntile
+    from sensor_time_series_pyspark_spark.sources.readers import read_table
+
+    ev = read_table(spark, "/root/testdata/sf0.01", "events")
+    out = approx_ntile(ev, "value", 4, by=["event_type"])
+    sizes = (
+        out.groupBy("event_type", "bucket").count().collect()
+    )
+    from collections import defaultdict
+
+    per_group = defaultdict(dict)
+    for r in sizes:
+        per_group[r.event_type][r.bucket] = r["count"]
+    for et, buckets in per_group.items():
+        assert set(buckets) == {1, 2, 3, 4}
+        total = sum(buckets.values())
+        for b, c in buckets.items():
+            assert abs(c - total / 4) <= 0.05 * total + 1, (et, b, c, total)
+    # ordering: max(value) in bucket i <= min(value) in bucket i+1 per group
+    from pyspark.sql import functions as F
+
+    stats = {
+        (r.event_type, r.bucket): (r.lo, r.hi)
+        for r in out.groupBy("event_type", "bucket")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    for (et, b), (_, hi) in stats.items():
+        nxt = stats.get((et, b + 1))
+        if nxt:
+            assert hi <= nxt[0] + 1e-9
