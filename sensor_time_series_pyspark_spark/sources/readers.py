@@ -88,3 +88,39 @@ def read_csv(
     if timestamp_format:
         reader = reader.option("timestampFormat", timestamp_format)
     return reader.csv(path)
+
+
+def read_csv_audited(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = False,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """CSV scan that CAPTURES malformed rows instead of nulling them
+    silently: PERMISSIVE mode + a corrupt-record column holding the
+    raw line. Route ``corrupt_col IS NOT NULL`` rows to quarantine
+    (operators/validate.py:quarantine) and keep the rest — ingestion
+    at 100 TB always contains garbage, and dropping it invisibly
+    (DROPMALFORMED) destroys auditability.
+
+    Note Spark's documented quirk: a query that references ONLY the
+    corrupt column forces a re-parse — always select it alongside at
+    least one data column (or cache) when filtering on it.
+    """
+    full = T.StructType(list(schema.fields) + [T.StructField(corrupt_col, T.StringType())])
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .option("header", str(header).lower())
+        .csv(path)
+    )
+
+
+def read_parquet_merged(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan with schema merging across files — the
+    schema-evolution read path (a column added mid-stream appears as
+    NULL in old files). mergeSchema costs a footer read per file, so
+    it is an explicit opt-in, not the read_parquet default."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

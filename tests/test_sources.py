@@ -165,3 +165,49 @@ def test_write_zordered_skips_on_both_columns(spark, tmp_path):
     # z-order: strictly better than useless on BOTH columns
     assert zu <= ztot // 2
     assert zv <= ztot // 2
+
+
+def test_read_csv_audited_captures_bad_rows(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from sensor_time_series_pyspark_spark.sources.readers import read_csv_audited
+
+    p = tmp_path / "feed.csv"
+    p.write_text(
+        "1,2024-01-01T00:00:00,3.5\n"
+        "not_an_int,2024-01-01T01:00:00,4.0\n"
+        "2,2024-01-01T02:00:00,oops\n"
+        "3,2024-01-01T03:00:00,5.0\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("reading", T.DoubleType()),
+        ]
+    )
+    df = read_csv_audited(spark, str(p), schema).cache()
+    good = df.where("_corrupt_record IS NULL")
+    bad = df.where("_corrupt_record IS NOT NULL")
+    assert good.count() == 2
+    assert bad.count() == 2
+    raws = {r["_corrupt_record"] for r in bad.collect()}
+    assert any("not_an_int" in r for r in raws)
+    assert any("oops" in r for r in raws)
+    df.unpersist()
+
+
+def test_read_parquet_merged_schema_evolution(spark, tmp_path):
+    from sensor_time_series_pyspark_spark.sources.readers import (
+        read_parquet_merged,
+    )
+
+    d = str(tmp_path / "evolving")
+    spark.range(3).selectExpr("id", "id * 2 AS a").write.parquet(d + "/batch=1")
+    spark.range(3).selectExpr(
+        "id", "id * 2 AS a", "'new' AS b"
+    ).write.parquet(d + "/batch=2")
+    got = read_parquet_merged(spark, d)
+    assert {"id", "a", "b"} <= set(got.columns)
+    assert got.count() == 6
+    assert got.where("b IS NULL").count() == 3
