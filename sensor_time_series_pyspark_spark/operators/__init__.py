@@ -28,6 +28,7 @@ from .similarity import (
 from .interval import interval_join
 from .multimodal import blob_metadata, decode_features, frame_sample_plan, sniff_format
 from .skew import salted_agg, salted_join
+from .profile import profile
 from .validate import observe_violations, quarantine, violation_counts
 from .bucketing import read_bucketed, write_bucketed
 
@@ -71,5 +72,6 @@ __all__ = [
     "read_bucketed",
     "violation_counts",
     "observe_violations",
+    "profile",
     "quarantine",
 ]

@@ -299,3 +299,24 @@ def test_approx_ntile_near_equal_buckets(spark):
         nxt = stats.get((et, b + 1))
         if nxt:
             assert hi <= nxt[0] + 1e-9
+
+
+def test_profile_single_pass_metrics(spark):
+    from sensor_time_series_pyspark_spark.operators import profile
+    from sensor_time_series_pyspark_spark.sources.readers import read_table
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    got = {r.column: r for r in profile(ev).collect()}
+    assert set(got) == set(ev.columns)
+    n = ev.count()
+    assert all(r.n_rows == n for r in got.values())
+    # event_type: 5 known values, no nulls
+    et = got["event_type"]
+    assert et.n_null == 0 and abs(et.approx_distinct - 5) <= 1
+    assert et.min == "click" and et.max == "view"
+    # profile of a complex column must not blow up
+    from pyspark.sql import functions as F
+
+    witharr = ev.withColumn("arr", F.array("value", "value"))
+    prof = {r.column: r for r in profile(witharr, ["arr", "value"]).collect()}
+    assert prof["arr"].min is None and prof["arr"].approx_distinct > 0

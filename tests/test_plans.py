@@ -93,3 +93,34 @@ def test_pivot_has_single_aggregate_pass(spark):
     # exactly one shuffle for the aggregate (partial+final HashAggregate
     # around a single Exchange), not two aggregation trees + a join
     assert "SortMergeJoin" not in plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_sink(spark, tmp_path):
+    """Facts written partitionBy(date) + a selective dim filter on the
+    join key must produce a dynamicpruning subquery on the fact scan —
+    the mechanism that keeps a 100 TB date-partitioned table from full
+    scans when the predicate arrives through a join."""
+    from pyspark.sql import functions as F
+
+    from sensor_time_series_pyspark_spark.sources.readers import read_table
+
+    d = str(tmp_path / "facts")
+    dim_d = str(tmp_path / "dim")
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    ev.withColumn("date", F.to_date("ts")).write.partitionBy("date").parquet(d)
+    # separate dim table with a selective attribute. Subtlety worth
+    # pinning: DPP's isLikelySelective heuristic accepts comparison /
+    # IN / LIKE filters but NOT a bare boolean attribute — filtering
+    # `where(is_weekend)` silently disables pruning; `where(dow == 1)`
+    # enables it.
+    (
+        ev.select(F.to_date("ts").alias("date"))
+        .distinct()
+        .withColumn("dow", F.dayofweek("date"))
+        .write.parquet(dim_d)
+    )
+    facts = spark.read.parquet(d)
+    dim = spark.read.parquet(dim_d).where(F.col("dow") == 1)
+    joined = facts.join(dim, "date")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
