@@ -108,3 +108,88 @@ def test_fingerprint_whitespace_invariant(spark, text):
         fingerprint64("a").alias("fa"), fingerprint64("b").alias("fb")
     ).first()
     assert r["fa"] == r["fb"]
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.sampled_from(["a", "bb", "ccc", "dd", "e"]), min_size=0, max_size=12),
+       st.integers(1, 4))
+def test_shingles_match_bruteforce(spark, toks, k):
+    """zip_with shingle construction == brute-force python shingling
+    for arbitrary token lists and k (guards the O(n^2)-fix rewrite)."""
+    from pyspark.sql import functions as F
+
+    from sensor_time_series_pyspark_spark.functions.text import (
+        shingles_from_tokens,
+    )
+
+    df = spark.createDataFrame([(toks,)], "toks array<string>")
+    got = sorted(
+        df.select(shingles_from_tokens(F.col("toks"), k).alias("s"))
+        .collect()[0]
+        .s
+    )
+    want = sorted(
+        {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+    ) if len(toks) >= k else []
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.floats(-1e3, 1e3, allow_nan=False, width=32),
+                min_size=1, max_size=16))
+def test_quantize_roundtrip_error_bound(spark, vec):
+    """|dequantize(quantize(x)) - x| <= scale/2 element-wise, for any
+    float vector including negatives and zeros."""
+    from pyspark.sql import functions as F
+
+    from sensor_time_series_pyspark_spark.functions.vectors import (
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    df = spark.createDataFrame([(vec,)], "v array<float>")
+    row = df.select(
+        F.transform("v", lambda x: x.cast("double")).alias("orig"),
+        quantize_int8("v").alias("qs"),
+    ).withColumn("recon", dequantize_int8("qs")).collect()[0]
+    bound = row.qs.scale / 2 + 1e-9
+    for o, r in zip(row.orig, row.recon):
+        assert abs(o - r) <= bound
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 15), st.integers(0, 15)),
+                min_size=1, max_size=20))
+def test_connected_components_match_union_find(spark, edges):
+    from sensor_time_series_pyspark_spark.operators import (
+        connected_components,
+    )
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {n: find(n) for n in parent}
+    # canonical: min node per component
+    comp_min = {}
+    for n, r in want.items():
+        comp_min.setdefault(find(r), []).append(n)
+    want = {n: min(ns) for r, ns in comp_min.items() for n in ns}
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r.node: r.component for r in connected_components(df).collect()
+    }
+    assert got == want
