@@ -64,3 +64,9 @@ def test_train_data_pipeline_example(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() > 0
     assert {"doc_id", "lang_pred", "quality", "n_tokens"} <= set(got.columns)
+
+
+def test_similarity_search_example(spark):
+    import similarity_search
+
+    assert similarity_search.main(SF) == 0
