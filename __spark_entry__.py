@@ -46,6 +46,7 @@ from sensor_time_series_pyspark_spark.operators import (
     jaccard_pairs,
     lead_target,
     minhash_lsh_pairs,
+    minhash_pairs,
     pivot_wide,
     quantile_clip,
     resample,
@@ -380,11 +381,16 @@ def _q_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash LSH candidate pairs over exact-dedup reps (rows-only:
-    hash-bucket membership is seed-deterministic but not
-    SQL-expressible)."""
-    return minhash_lsh_pairs(
-        _rep_docs(spark, sf), "doc_id", "text", jaccard_dist_threshold=0.6, shingle_k=2
+    """MinHash + banded LSH near-dup pairs over exact-dedup reps
+    (operators/dedup.py:minhash_pairs): md5-derived portable shingle
+    ids + affine permutations mod 2^31-1 make every stage — signature,
+    banding, candidate join, exact-Jaccard verify — reproducible in
+    ANSI SQL, so this is oracle-gated (upgraded from the round-1
+    rows-only pyspark.ml variant, which remains as
+    minhash_lsh_pairs for the VectorUDT surface)."""
+    return minhash_pairs(
+        _rep_docs(spark, sf), "doc_id", "text",
+        threshold=0.35, shingle_k=2, n_hashes=16, n_bands=8,
     )
 
 
@@ -465,13 +471,24 @@ def _q_approx_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     """GK/KLL-sketch quantiles, all columns in ONE job (fixes reference
     bug #4: per-column approxQuantile re-ran the upstream DAG each call,
     sensor_data_etl.py:95-98). Rows-only: sketch output is
-    implementation-defined, not ANSI-SQL-reproducible."""
+    implementation-defined, not ANSI-SQL-reproducible. Output is
+    flattened to one scalar row per column (the driver's comparator
+    requires hashable — non-array — cells)."""
     from sensor_time_series_pyspark_spark.operators import approx_quantiles
 
     li = read_table(spark, sf, "lineitem")
-    return approx_quantiles(
-        li, ["l_quantity", "l_extendedprice", "l_discount"], [0.25, 0.5, 0.75]
-    )
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    one_row = approx_quantiles(li, cols, [0.25, 0.5, 0.75])
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"{c}_q")[0].alias("p25"),
+            F.col(f"{c}_q")[1].alias("p50"),
+            F.col(f"{c}_q")[2].alias("p75"),
+        )
+        for c in cols
+    ]
+    return one_row.select(F.explode(F.array(*per_col)).alias("s")).select("s.*")
 
 
 def _q_dedup_keep_first(spark: SparkSession, sf: str) -> DataFrame:
@@ -527,13 +544,17 @@ def _q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_srp_signature(spark: SparkSession, sf: str) -> DataFrame:
-    """64-bit signed-random-projection signatures (rows-only: the
-    seeded hyperplanes live driver-side, not in SQL). Bands of the
-    signature feed the same candidate equi-join as SimHash."""
-    from sensor_time_series_pyspark_spark.operators import signed_random_projection
+    """Signed-random-projection cosine-LSH signatures, engine-portable
+    variant (operators/similarity.py:srp_signature_portable): ±1
+    hyperplanes over integer-scaled components make every bit exact and
+    SQL-reproducible, so this is oracle-gated (upgraded from round 1's
+    rows-only float-plane variant, which remains as
+    signed_random_projection for 64-bit production signatures). Bands
+    of the signature feed the same candidate equi-join as SimHash."""
+    from sensor_time_series_pyspark_spark.operators import srp_signature_portable
 
     emb = read_table(spark, sf, "embeddings")
-    out = signed_random_projection(emb, "embedding", dim=64, n_bits=64, seed=42)
+    out = srp_signature_portable(emb, "embedding", dim=64, n_bits=16, seed=42)
     return out.select("vec_id", "srp_sig")
 
 
@@ -1192,6 +1213,100 @@ FROM toks
 """
 
 
+def _minhash_sql(threshold: float = 0.35, n_hashes: int = 16, n_bands: int = 8) -> str:
+    """DuckDB twin of operators/dedup.py:minhash_pairs — same seeded
+    (a,b) coefficients baked in as literals, same md5-derived shingle
+    ids, same banding, same exact-Jaccard verify."""
+    from sensor_time_series_pyspark_spark.operators import minhash_coeffs
+
+    P = 2147483647
+    r = n_hashes // n_bands
+    a, b = minhash_coeffs(n_hashes)
+    mins = ",\n    ".join(
+        f"min(({a[i]}*sid + {b[i]}) % {P}) AS h{i}" for i in range(n_hashes)
+    )
+    band_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT id, {band} AS band_id, concat_ws('|', "
+        + ", ".join(f"h{band * r + j}" for j in range(r))
+        + ") AS band_key FROM sig"
+        for band in range(n_bands)
+    )
+    return rf"""
+WITH reps AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+),
+toks AS (
+  SELECT id, tok, len(tok) AS n_tok FROM (
+    SELECT doc_id AS id,
+      list_distinct(
+        list_transform(
+          generate_series(1, greatest(len(t) - 1, 0)),
+          i -> array_to_string(t[i:i+1], ' ')
+        )
+      ) AS tok
+    FROM (
+      SELECT doc_id,
+        list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+      FROM reps
+    )
+  ) WHERE len(tok) > 0
+),
+ids AS (
+  SELECT id, n_tok,
+    (('0x' || substr(md5(sh), 1, 12))::BIGINT % {P}) AS sid
+  FROM (SELECT id, n_tok, unnest(tok) AS sh FROM toks)
+),
+sig AS (
+  SELECT id, min(n_tok) AS n_tok,
+    {mins}
+  FROM ids GROUP BY id
+),
+bands AS (
+  {band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.id < b.id
+),
+verified AS (
+  SELECT c.id_a, c.id_b,
+    len(list_intersect(ta.tok, tb.tok)) AS inter,
+    ta.n_tok AS n_a, tb.n_tok AS n_b
+  FROM cand c
+  JOIN toks ta ON c.id_a = ta.id
+  JOIN toks tb ON c.id_b = tb.id
+)
+SELECT id_a, id_b, inter / (n_a + n_b - inter) AS jaccard
+FROM verified
+WHERE inter / (n_a + n_b - inter) >= {threshold}
+"""
+
+
+def _srp_sql(dim: int = 64, n_bits: int = 16, scale_bits: int = 20) -> str:
+    """DuckDB twin of srp_signature_portable: same seeded ±1 planes as
+    literals; integer-scaled dots are exact doubles (< 2^33), so the
+    sign — and therefore every signature bit — matches Spark exactly."""
+    from sensor_time_series_pyspark_spark.operators import srp_planes_rademacher
+
+    planes = srp_planes_rademacher(dim, n_bits)
+    scale = float(1 << scale_bits)
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(s, {planes[b]}::DOUBLE[]) > 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(n_bits)
+    )
+    return f"""
+WITH scaled AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * {scale})) AS s
+  FROM embeddings
+)
+SELECT vec_id, CAST({bit_terms} AS BIGINT) AS srp_sig FROM scaled
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "flagship_hourly_wide": _FLAGSHIP_SQL,
@@ -1273,6 +1388,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS fp, count(*) AS n_copies, min(doc_id) AS keep_doc_id
             FROM documents GROUP BY 1
         """,
+        "q20_minhash_lsh": _minhash_sql(),
         "q22_doc_stats": _DOC_STATS_SQL,
         "q07_case_projection": """
             SELECT p_partkey, upper(p_brand) AS brand,
@@ -1464,6 +1580,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_dot_product(a.e, b.e)
                 / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.45
         """,
+        "q39_srp_signature": _srp_sql(),
         "q40_semi_join": """
             SELECT c_custkey, c_mktsegment FROM customer c
             WHERE EXISTS (

@@ -29,7 +29,12 @@ def time_bucket(ts: Column | str, width: str = "30 minutes") -> Column:
     1970-01-01 origin."""
     secs = F.unix_timestamp(_c(ts))
     width_secs = F.lit(_interval_seconds(width))
-    return F.timestamp_seconds((secs / width_secs).cast("long") * width_secs)
+    # floor, not cast: double division truncates toward zero, which
+    # would bucket pre-1970 timestamps upward instead of flooring
+    # (F.window and operators/resample.py floor).
+    return F.timestamp_seconds(
+        F.floor(secs / width_secs).cast("long") * width_secs
+    )
 
 
 def _interval_seconds(width: str) -> int:

@@ -15,7 +15,10 @@ from .dedup import (
     exact_dedup,
     jaccard_pairs,
     jaccard_pairs_prefix,
+    minhash_coeffs,
     minhash_lsh_pairs,
+    minhash_pairs,
+    shingle_id_portable,
     simhash_pairs,
     spread,
 )
@@ -23,6 +26,8 @@ from .similarity import (
     brp_lsh_join,
     ivf_topk_cosine,
     signed_random_projection,
+    srp_planes_rademacher,
+    srp_signature_portable,
     topk_cosine,
 )
 from .interval import interval_join
@@ -53,7 +58,10 @@ __all__ = [
     "dedup_clusters",
     "jaccard_pairs",
     "jaccard_pairs_prefix",
+    "minhash_coeffs",
     "minhash_lsh_pairs",
+    "minhash_pairs",
+    "shingle_id_portable",
     "simhash_pairs",
     "spread",
     "embedding_near_dup_pairs",
@@ -61,6 +69,8 @@ __all__ = [
     "ivf_topk_cosine",
     "brp_lsh_join",
     "signed_random_projection",
+    "srp_planes_rademacher",
+    "srp_signature_portable",
     "interval_join",
     "blob_metadata",
     "decode_features",

@@ -292,6 +292,149 @@ def jaccard_pairs_prefix(
     )
 
 
+# MinHash permutation arithmetic: h_i(x) = (a_i*x + b_i) mod P over
+# 31-bit shingle ids. P = 2^31-1 (prime); a_i*x < 2^62 never overflows
+# a 64-bit long, and the identical expression evaluates in any ANSI-SQL
+# engine — the whole pipeline is differential-testable against DuckDB.
+MINHASH_P = 2147483647
+
+
+def minhash_coeffs(n_hashes: int, seed: int = 42) -> tuple[list[int], list[int]]:
+    """Seeded (a, b) coefficient lists for the affine permutations.
+    Plain ``random.Random`` (not numpy) so the constants are stable
+    across library versions and can be baked into oracle SQL."""
+    import random
+
+    rnd = random.Random(seed)
+    a = [rnd.randrange(1, MINHASH_P) for _ in range(n_hashes)]
+    b = [rnd.randrange(0, MINHASH_P) for _ in range(n_hashes)]
+    return a, b
+
+
+def shingle_id_portable(sh) -> F.Column:
+    """48-bit engine-portable shingle id: first 12 hex chars of md5,
+    reduced mod P. md5 is standardized, so DuckDB's
+    ``('0x' || substr(md5(s),1,12))::BIGINT % P`` computes the identical
+    value — unlike xxhash64/murmur, whose constants differ per engine.
+    (xxhash64 stays the scale-path default elsewhere: one hash, no hex
+    round-trip; this is the differential-testing variant.)"""
+    return (
+        F.conv(F.substring(F.md5(sh), 1, 12), 16, 10).cast("long")
+        % F.lit(MINHASH_P)
+    )
+
+
+def minhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.35,
+    shingle_k: int = 2,
+    n_hashes: int = 16,
+    n_bands: int = 8,
+    seed: int = 42,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, pure DataFrame algebra (no
+    pyspark.ml, no driver-side state): shingle → portable 31-bit id →
+    ``n_hashes`` affine-permutation minima (ONE groupBy computes the
+    whole signature) → ``n_bands`` band keys → equi-join candidates →
+    exact-Jaccard verify on the shingle arrays.
+
+    Scale shape: signature build is a single map-side-combinable
+    aggregate on the doc id; the candidate join touches only docs
+    sharing a band key (collision probability s^(n_hashes/n_bands) per
+    band — the classic S-curve, ~0.35 inflection at 16/8); verification
+    is exact so precision is 1.0 and only recall is probabilistic.
+
+    Output: id_a, id_b (a < b), jaccard — same contract as
+    jaccard_pairs, and SQL-reproducible end-to-end (see q20's oracle).
+    """
+    if n_hashes % n_bands != 0:
+        raise ValueError("n_hashes must divide evenly into n_bands")
+    r = n_hashes // n_bands
+    a_coef, b_coef = minhash_coeffs(n_hashes, seed)
+
+    base = _spread(df, parallelism).select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("__toks")
+    )
+    sh = (
+        shingles_from_tokens(F.col("__toks"), shingle_k)
+        if shingle_k > 1
+        else F.col("__toks")
+    )
+    toks = (
+        base.select("id", F.array_distinct(sh).alias("tok"))
+        .where(F.size("tok") > 0)
+    )
+    ids = toks.select(
+        "id",
+        F.size("tok").alias("n_tok"),
+        F.explode(F.transform(F.col("tok"), shingle_id_portable)).alias("sid"),
+    )
+    sig = ids.groupBy("id").agg(
+        F.min("n_tok").alias("n_tok"),
+        *[
+            F.min((F.lit(a_coef[i]) * F.col("sid") + F.lit(b_coef[i])) % MINHASH_P)
+            .alias(f"h{i}")
+            for i in range(n_hashes)
+        ],
+    )
+    bands = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band_id"),
+                        F.concat_ws(
+                            "|", *[F.col(f"h{band * r + j}") for j in range(r)]
+                        ).alias("band_key"),
+                    )
+                    for band in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "b.band_id", "b.band_key")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    arrs = toks.select("id", "tok", F.size("tok").alias("n_tok"))
+    verified = (
+        cand.join(
+            arrs.select(
+                F.col("id").alias("id_a"),
+                F.col("tok").alias("ta"),
+                F.col("n_tok").alias("n_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            arrs.select(
+                F.col("id").alias("id_b"),
+                F.col("tok").alias("tb"),
+                F.col("n_tok").alias("n_b"),
+            ),
+            "id_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("ta", "tb")))
+    )
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        verified.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,

@@ -47,9 +47,10 @@ def sniff_format(blob: Column | str) -> Column:
     b = F.col(blob) if isinstance(blob, str) else blob
     head = F.hex(F.substring(b, 1, 8))
     expr = F.lit("unknown")
-    # build the CASE chain longest-prefix-first so mp4's 8-byte magic
-    # wins over shorter prefixes
-    for magic, fmt in sorted(_MAGIC.items(), key=lambda kv: -len(kv[0])):
+    # each when() wraps the previous expr, so the LAST-built branch is
+    # tested first — iterate shortest-first so the longest prefix ends
+    # up outermost and mp4's 8-byte magic wins over shorter prefixes
+    for magic, fmt in sorted(_MAGIC.items(), key=lambda kv: len(kv[0])):
         expr = F.when(head.startswith(magic), F.lit(fmt)).otherwise(expr)
     return expr
 

@@ -119,6 +119,62 @@ def signed_random_projection(
     return df.withColumn("srp_sig", sig)
 
 
+def srp_planes_rademacher(dim: int, n_bits: int, seed: int = 42) -> list[list[int]]:
+    """Seeded ±1 (Rademacher) hyperplanes. Sign-projection with ±1
+    entries is a standard SRP variant (Achlioptas-style sparse/signed
+    projections preserve the cosine-LSH guarantee), and the constants
+    are plain ints from ``random.Random`` — stable across library
+    versions, bakeable into oracle SQL."""
+    import random
+
+    rnd = random.Random(seed)
+    return [
+        [1 if rnd.random() < 0.5 else -1 for _ in range(dim)]
+        for _ in range(n_bits)
+    ]
+
+
+def srp_signature_portable(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_bits: int = 16,
+    seed: int = 42,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Engine-portable SRP signature: ±1 hyperplanes over INTEGER-scaled
+    components, so every arithmetic step is exact and order-independent
+    — the signature is reproducible in ANSI SQL bit-for-bit (q39's
+    oracle), unlike float dot products whose low bits depend on
+    summation order.
+
+    Each float32 component x becomes floor(x * 2^scale_bits) (double
+    multiply by a power of two is exact; floor is deterministic); the
+    per-plane dot is a sum of 64-bit ints (< 2^33 total — no overflow);
+    bit b of ``srp_sig`` is 1 iff the signed sum > 0. P(bit differs) ≈
+    angle/π still holds — the quantization perturbs only dots within
+    2^-scale_bits·dim of zero.
+    """
+    planes = srp_planes_rademacher(dim, n_bits, seed)
+    v = F.col(vec_col)
+    scaled = F.transform(
+        v, lambda x: F.floor(x.cast("double") * F.lit(float(1 << scale_bits))).cast("long")
+    )
+    df = df.withColumn("__s", scaled)
+    sig = F.lit(0).cast("long")
+    for b in range(n_bits):
+        plane = F.array(*[F.lit(p).cast("long") for p in planes[b]])
+        dot = F.aggregate(
+            F.zip_with(F.col("__s"), plane, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(dot > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return df.withColumn("srp_sig", sig).drop("__s")
+
+
 def ivf_topk_cosine(
     corpus: DataFrame,
     queries: DataFrame,

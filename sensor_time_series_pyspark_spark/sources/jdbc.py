@@ -29,21 +29,28 @@ class JdbcConfig:
 def read_jdbc_query(spark: SparkSession, cfg: JdbcConfig, query: str) -> DataFrame:
     """Run ``query`` server-side and read the result. For big tables set
     partition_column/bounds so the read splits into num_partitions range
-    scans instead of one connection."""
-    reader = (
-        spark.read.format("jdbc")
-        .option("url", cfg.url)
-        .option("query", query)
-    )
+    scans instead of one connection.
+
+    Spark's JDBC source rejects ``query`` combined with
+    ``partitionColumn``, so the partitioned path wraps the query in a
+    ``dbtable`` subquery alias instead (the documented workaround)."""
+    reader = spark.read.format("jdbc").option("url", cfg.url)
     for k, v in cfg.properties.items():
         reader = reader.option(k, v)
     if cfg.num_partitions and cfg.partition_column:
+        if cfg.lower_bound is None or cfg.upper_bound is None:
+            raise ValueError(
+                "partition_column requires lower_bound and upper_bound"
+            )
         reader = (
-            reader.option("numPartitions", str(cfg.num_partitions))
+            reader.option("dbtable", f"({query}) spark_jdbc_subq")
+            .option("numPartitions", str(cfg.num_partitions))
             .option("partitionColumn", cfg.partition_column)
             .option("lowerBound", cfg.lower_bound)
             .option("upperBound", cfg.upper_bound)
         )
+    else:
+        reader = reader.option("query", query)
     return reader.load()
 
 

@@ -50,6 +50,7 @@ def compact_parquet(
     target_file_mb: int = 256,
     partition_by: Sequence[str] | None = None,
     sort_cols: Sequence[str] | None = None,
+    files_per_partition: int = 1,
 ) -> dict[str, int]:
     """Rewrite ``src`` parquet into ``dst`` with ~``target_file_mb``
     files, optionally re-partitioned at rest and sorted within files.
@@ -63,13 +64,30 @@ def compact_parquet(
     usually shrinks output slightly (bigger row groups → better
     dictionary/RLE), so files land just under target — the right side
     to miss on.
+
+    With ``partition_by``, hash-partitioning on the partition columns
+    puts each at-rest partition in ONE task → one output file per
+    partition value. That is the right default for compaction, but a
+    hot partition becomes one oversized file — set
+    ``files_per_partition > 1`` to salt the shuffle key and split every
+    at-rest partition across that many writers/files.
     """
     in_bytes = dir_bytes(src)
     n_files = max(1, math.ceil(in_bytes / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(src)
     if partition_by:
-        # spread rows of each at-rest partition across n_files writers
-        df = df.repartition(n_files, *partition_by)
+        if files_per_partition > 1:
+            from pyspark.sql import functions as F
+
+            salted = df.withColumn(
+                "__salt", (F.rand(seed=0) * files_per_partition).cast("int")
+            )
+            df = salted.repartition(
+                n_files, *partition_by, "__salt"
+            ).drop("__salt")
+        else:
+            # one file per at-rest partition value
+            df = df.repartition(n_files, *partition_by)
     else:
         df = df.repartition(n_files)
     if sort_cols:

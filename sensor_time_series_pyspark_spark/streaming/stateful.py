@@ -65,6 +65,11 @@ def ewma_anomaly_stream(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # idle series past timeout_minutes: drop the state so the
+            # store stays bounded (the docstring's contract); no output.
+            state.remove()
+            return
         if state.exists:
             ewma, ewm_var, n = state.get
         else:
