@@ -1055,6 +1055,70 @@ def _q_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_hash_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic content-hash train/val/test assignment
+    (operators/sampling.py): md5-bucket thresholds make the split
+    stable across runs, engines, and partitionings, and key-consistent
+    (every event of a user lands in the same split — no leakage).
+    The portable alternative to randomSplit's partition-dependent RNG."""
+    from sensor_time_series_pyspark_spark.operators import hash_split
+
+    ev = read_table(spark, sf, "events")
+    out = hash_split(
+        ev, "user_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="v1"
+    )
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+def _q_rate_of_change(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-series discrete derivative (operators/windows.py:
+    rate_of_change) — the drift/ramp-alarm primitive over the sensor
+    stream; NULL-safe on series heads and duplicate timestamps."""
+    from sensor_time_series_pyspark_spark.operators import rate_of_change
+
+    ev = read_table(spark, sf, "events")
+    out = rate_of_change(ev, "ts", "value", ["user_id"])
+    return out.select("event_id", "user_id", "ts", "rate")
+
+
+def _q_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust per-group outliers via median absolute deviation
+    (operators/quantiles.py:mad_outliers, Hampel's rule — 50% breakdown
+    point, immune to the masking that breaks mean/stddev z-scores)."""
+    from sensor_time_series_pyspark_spark.operators import mad_outliers
+
+    ev = read_table(spark, sf, "events")
+    out = mad_outliers(ev, "value", ["event_type"], n_mads=5.0)
+    return out.select("event_id", "event_type", "value", "med", "mad")
+
+
+def _q_bm25_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document top-3 terms under BM25 weighting
+    (operators/ranking.py:bm25_rank): rational-idf variant keeps every
+    score a pure function of integers — engine-portable, no libm."""
+    from sensor_time_series_pyspark_spark.operators import bm25_rank
+
+    return bm25_rank(_rep_docs(spark, sf), "doc_id", "text", top_n=3)
+
+
+def _q_pack_offsets(spark: SparkSession, sf: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (operators/ranking.py:
+    pack_offsets): per-language document streams cut into 2048-token
+    training chunks; offsets/chunk ids are exact integer window
+    algebra. The layout step between dedup/quality-filter and an LLM
+    training run."""
+    from sensor_time_series_pyspark_spark.operators import pack_offsets
+
+    docs = read_table(spark, sf, "documents")
+    return pack_offsets(
+        docs, "doc_id", token_count("text"), budget=2048,
+        partition_by=["lang"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -1120,6 +1184,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_quantize_embeddings": _q_quantize_embeddings,
         "q62_pca_embeddings": _q_pca_embeddings,
         "q63_scd2_dimension": _q_scd2,
+        "q64_hash_split": _q_hash_split,
+        "q65_rate_of_change": _q_rate_of_change,
+        "q66_mad_outliers": _q_mad_outliers,
+        "q67_bm25_terms": _q_bm25_terms,
+        "q68_pack_offsets": _q_pack_offsets,
     }
 
 
@@ -1856,6 +1925,107 @@ def oracle_sql() -> dict[str, str]:
               CAST(list_min(q) AS INT) AS code_min,
               CAST(list_max(q) AS INT) AS code_max
             FROM qz
+        """,
+        "q64_hash_split": """
+            WITH assigned AS (
+              SELECT user_id,
+                CASE WHEN substr(md5('v1' || CAST(user_id AS VARCHAR)), 1, 8) < 'cccccccc'
+                       THEN 'train'
+                     WHEN substr(md5('v1' || CAST(user_id AS VARCHAR)), 1, 8) < 'e6666666'
+                       THEN 'val'
+                     ELSE 'test' END AS split
+              FROM events
+            )
+            SELECT split, count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users
+            FROM assigned GROUP BY split
+        """,
+        "q65_rate_of_change": """
+            SELECT event_id, user_id, ts,
+              CASE WHEN (CAST(floor(epoch(ts)) AS BIGINT)
+                         - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)) > 0
+                   THEN (value - lag(value) OVER w)
+                        / (CAST(floor(epoch(ts)) AS BIGINT)
+                           - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT))
+              END AS rate
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        """,
+        "q66_mad_outliers": """
+            WITH med AS (
+              SELECT event_type, quantile_cont(value, 0.5) AS med
+              FROM events GROUP BY event_type
+            ),
+            dev AS (
+              SELECT e.event_id, e.event_type, e.value, m.med
+              FROM events e JOIN med m ON e.event_type = m.event_type
+            ),
+            mad AS (
+              SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+              FROM dev GROUP BY event_type
+            )
+            SELECT d.event_id, d.event_type, d.value, d.med, m2.mad
+            FROM dev d JOIN mad m2 ON d.event_type = m2.event_type
+            WHERE abs(d.value - d.med) > CAST(5.0 AS DOUBLE) * m2.mad
+        """,
+        "q67_bm25_terms": r"""
+            WITH reps AS (
+              SELECT doc_id, text FROM documents
+              WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+            ),
+            base AS (
+              SELECT doc_id AS id,
+                list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tok
+              FROM reps
+            ),
+            term_tf AS (
+              SELECT id, dl, term, count(*) AS tf FROM (
+                SELECT id, CAST(len(tok) AS INT) AS dl, unnest(tok) AS term FROM base
+              ) GROUP BY id, dl, term
+            ),
+            stats AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(len(tok)) AS BIGINT) AS total_dl
+              FROM base
+            ),
+            term_df AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM term_tf GROUP BY term
+            ),
+            scored AS (
+              SELECT t.id, t.term, t.tf, d.df,
+                (((s.n_docs - d.df) + CAST(0.5 AS DOUBLE)) / (d.df + CAST(0.5 AS DOUBLE)))
+                * (t.tf * CAST(2.2 AS DOUBLE))
+                / (t.tf + CAST(1.2 AS DOUBLE)
+                   * (CAST(0.25 AS DOUBLE)
+                      + (CAST(0.75 AS DOUBLE) * t.dl)
+                        / (CAST(s.total_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
+                  AS score
+              FROM term_tf t JOIN term_df d ON t.term = d.term CROSS JOIN stats s
+            )
+            SELECT id, term, CAST(tf AS BIGINT) AS tf, df, score, rank FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY id
+                               ORDER BY score DESC, term ASC) AS INT) AS rank
+              FROM scored
+            ) WHERE rank <= 3
+        """,
+        "q68_pack_offsets": r"""
+            WITH base AS (
+              SELECT doc_id AS id, lang,
+                CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                     x -> x <> '')) AS BIGINT) AS n_tokens
+              FROM documents
+            ),
+            c AS (
+              SELECT id, lang, n_tokens,
+                CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+              FROM base
+            )
+            SELECT id, lang, n_tokens,
+              (cum - n_tokens) AS "offset",
+              CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS chunk_id
+            FROM c
         """,
         "q63_scd2_dimension": """
             WITH ordered AS (

@@ -1,13 +1,15 @@
 """Relational/dataflow operators — DataFrame-in → DataFrame-out."""
 
 from .pivot import impute_defaults, pivot_wide, unpivot
-from .windows import ffill, interpolate_linear, lead_target, rolling_avg
+from .windows import ffill, interpolate_linear, lead_target, rate_of_change, rolling_avg
 from .resample import resample
 from .gaps import missing_buckets
 from .sessionize import sessionize
 from .scd import scd2
 from .asof import asof_join
-from .quantiles import approx_ntile, approx_quantiles, quantile_clip
+from .quantiles import approx_ntile, approx_quantiles, mad_outliers, quantile_clip
+from .ranking import bm25_rank, pack_offsets
+from .sampling import hash_sample, hash_split
 from .dedup import (
     connected_components,
     dedup_clusters,
@@ -52,7 +54,13 @@ __all__ = [
     "asof_join",
     "approx_ntile",
     "approx_quantiles",
+    "mad_outliers",
     "quantile_clip",
+    "bm25_rank",
+    "pack_offsets",
+    "hash_sample",
+    "hash_split",
+    "rate_of_change",
     "exact_dedup",
     "connected_components",
     "dedup_clusters",

@@ -62,6 +62,45 @@ def quantile_clip(
     )
 
 
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    partition_by: Sequence[str],
+    n_mads: float = 5.0,
+    exact: bool = True,
+) -> DataFrame:
+    """Robust per-group outlier flagging via median absolute deviation:
+    keep rows with |value - median| > n_mads * MAD. Unlike mean/stddev
+    z-scores, both location and spread estimates have a 50% breakdown
+    point — the outliers being hunted cannot mask themselves by
+    inflating the spread (Hampel's rule, the robust-statistics
+    standard; classical 3σ fails exactly when contamination is heavy).
+
+    Two aggregate passes (median, then median of |x - median|), each a
+    per-group aggregate + auto-broadcast join back — same shuffle
+    shape as quantile_clip, keyed on the group columns. ``exact=False``
+    flips both percentiles to the mergeable sketch for very large
+    groups.
+
+    Output: input rows flagged as outliers, plus ``med`` and ``mad``.
+    """
+    fn = "percentile" if exact else "percentile_approx"
+    keys = list(partition_by)
+    med = df.groupBy(*keys).agg(
+        F.expr(f"{fn}({value_col}, 0.5)").alias("med")
+    )
+    with_med = df.join(F.broadcast(med), keys)
+    mad = (
+        with_med.withColumn("__adev", F.abs(F.col(value_col) - F.col("med")))
+        .groupBy(*keys)
+        .agg(F.expr(f"{fn}(__adev, 0.5)").alias("mad"))
+    )
+    flagged = with_med.join(F.broadcast(mad), keys)
+    return flagged.where(
+        F.abs(F.col(value_col) - F.col("med")) > F.lit(float(n_mads)) * F.col("mad")
+    )
+
+
 def approx_ntile(
     df: DataFrame,
     value_col: str,

@@ -1,0 +1,133 @@
+"""Corpus-level text ranking and training-sequence packing.
+
+Two training-data-pipeline operators over the documents table:
+
+- ``bm25_rank``: per-document top terms under BM25 weighting — the
+  retrieval-grade upgrade of the tf-idf ranking in q56 (term saturation
+  via k1, document-length normalization via b). Used for corpus
+  fingerprinting, keyword extraction, and quality filtering.
+- ``pack_offsets``: concat-and-chunk sequence packing — the layout step
+  before LLM training: documents are concatenated in a deterministic
+  order and split into fixed token-budget chunks; each document gets
+  its global token offset and chunk id. Everything is integer window
+  algebra (exact, engine-portable, oracle-checkable).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+def bm25_rank(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_n: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``top_n`` terms per document by BM25 weight.
+
+    BM25 (Robertson et al., Okapi): idf(t) * tf*(k1+1) /
+    (tf + k1*(1 - b + b*dl/avgdl)). We use the idf RATIO
+    (N - df + 0.5)/(df + 0.5) WITHOUT the log: log is monotone, so
+    per-document term ranking is unchanged, and the score stays a pure
+    rational function of integers — bit-identical across engines
+    (libm log low bits are not portable; see q56's integer-score
+    precedent).
+
+    Plan shape: explode → (doc, term) tf counts → term df aggregate →
+    one global avgdl scalar (broadcast literal join) → per-doc ranking
+    window. Two shuffles on term, one on doc — same skeleton as
+    q56_top_terms, so the scale analysis there (high-df stopword skew →
+    prune via max_token_df upstream) carries over.
+
+    Output: id, term, tf, df, score (double), rank ≤ top_n.
+    """
+    base = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__toks"))
+    term_tf = (
+        base.select("id", F.size("__toks").alias("dl"), F.explode("__toks").alias("term"))
+        .groupBy("id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs_dl = base.select(
+        F.count(F.lit(1)).alias("n_docs"), F.sum(F.size("__toks")).alias("total_dl")
+    )
+    term_df = term_tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        term_tf.join(term_df, "term")
+        .crossJoin(F.broadcast(n_docs_dl))
+        .withColumn("avgdl", F.col("total_dl") / F.col("n_docs"))
+        .withColumn(
+            "score",
+            ((F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .select("id", "term", "tf", "df", "score", "rank")
+    )
+
+
+def pack_offsets(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col,
+    budget: int,
+    order_by: Sequence[str] | None = None,
+    partition_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """Concat-and-chunk packing plan: documents are laid out
+    back-to-back in ``order_by`` order (default: by id — deterministic
+    and reproducible across runs) and the stream is cut into
+    ``budget``-token chunks. Each document's chunk id is where its
+    FIRST token lands; a document may straddle a boundary (the
+    standard pretraining layout — no padding waste, splits allowed).
+
+    ``partition_by`` (e.g. source/shard) packs each group
+    independently, which is also the scale path: the running-total
+    window is then per-group instead of one global serial sort. For a
+    single global stream at 100 TB, pack per shard and assign shard
+    base offsets from shard totals (one tiny driver-side pass) —
+    same operator, composed twice.
+
+    Integer window algebra only — exact and oracle-checkable.
+    Output: id (+partition cols), n_tokens, offset (first-token global
+    position, 0-based), chunk_id = offset div budget.
+    """
+    keys = list(partition_by or [])
+    # the layout frame renames id_col → "id"; order on the renamed
+    # column when the caller didn't pass an explicit order
+    order = list(order_by or ["id"])
+    w = (
+        Window.partitionBy(*keys).orderBy(*order)
+        if keys
+        else Window.orderBy(*order)
+    )
+    n_tok = (
+        F.col(n_tokens_col) if isinstance(n_tokens_col, str) else n_tokens_col
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), *keys, n_tok.cast("long").alias("n_tokens")
+    )
+    cum = F.sum("n_tokens").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.withColumn("offset", (cum - F.col("n_tokens")))
+        .withColumn("chunk_id", F.floor(F.col("offset") / F.lit(budget)))
+        .select("id", *keys, "n_tokens", "offset", "chunk_id")
+    )

@@ -1,0 +1,82 @@
+"""Deterministic content-hash sampling and dataset splitting.
+
+Training-data pipelines need samples and train/val/test splits that are
+(a) stable across runs and engines — re-running the pipeline, or
+re-implementing it in another system, must assign every row the same
+way; (b) key-consistent — all rows of one document/user land in the
+same split (no leakage); (c) driver-free — no RNG state to broadcast.
+
+``sample``/``randomSplit`` give none of that: Spark's RNG is
+partition-dependent (a repartition reshuffles the sample) and
+engine-private. The standard fix — used by every large ETL shop — is
+hashing a stable key into [0,1) and thresholding. We use the first 8
+hex chars of md5 (standardized, present in every engine, uniform to
+2^-32) compared lexicographically: fixed-width lowercase hex compares
+identically to its numeric value, so the predicate is a plain string
+comparison that any engine — and any oracle — reproduces bit-for-bit.
+
+At scale this is a narrow map-side filter: no shuffle, no RNG
+coordination, pushes through joins, and the same row always hashes the
+same way on every executor.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_SPAN = 1 << 32  # first 8 md5 hex chars
+
+
+def _bucket_hex(key: Column, salt: str) -> Column:
+    """First 8 md5 hex chars of salt||key — a uniform draw in [0, 2^32)
+    encoded as fixed-width hex (lexicographic order == numeric order)."""
+    return F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8)
+
+
+def _threshold_hex(cum_fraction: float) -> str:
+    return format(min(int(cum_fraction * _HEX_SPAN), _HEX_SPAN - 1), "08x")
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep a deterministic ~``fraction`` of rows by content hash of
+    ``key_col``. Same key ⇒ same decision, on every run, engine, and
+    partitioning. ``salt`` decorrelates independent samples over the
+    same keys."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return df.where(_bucket_hex(F.col(key_col), salt) < _threshold_hex(fraction))
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: Mapping[str, float],
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row a split label (e.g. train/val/test) by content
+    hash — key-consistent and leakage-free: every row with the same key
+    gets the same label. ``weights`` must sum to 1 (within float eps).
+
+    Implementation: cumulative hex thresholds + a CASE chain — a pure
+    projection, no shuffle, no RNG.
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    h = _bucket_hex(F.col(key_col), salt)
+    expr: Column | None = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = h < _threshold_hex(cum)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, out)

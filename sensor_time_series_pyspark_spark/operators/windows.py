@@ -73,6 +73,29 @@ def rolling_avg(
     return df.withColumn(out_col, mean)
 
 
+def rate_of_change(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    partition_by: Sequence[str],
+    out_col: str = "rate",
+) -> DataFrame:
+    """Per-series discrete derivative: (value - lag(value)) / Δt
+    seconds. The sensor-domain primitive behind drift/ramp alarms
+    (e.g. H2S rising faster than X ppm/min) that the reference's wide
+    table feeds into manual pandas work. NULL for each series' first
+    row and for zero Δt (duplicate timestamps) rather than ±inf.
+
+    One window sort per series partition — same shuffle shape as
+    ffill/lead_target, composes with resample upstream."""
+    w = Window.partitionBy(*partition_by).orderBy(ts_col)
+    dv = F.col(value_col) - F.lag(value_col).over(w)
+    dt = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    return df.withColumn(
+        out_col, F.when(dt > 0, dv / dt)
+    )
+
+
 def ffill(
     df: DataFrame,
     cols: Sequence[str],
