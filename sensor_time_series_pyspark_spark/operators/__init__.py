@@ -22,6 +22,7 @@ from .dedup import (
     minhash_pairs,
     shingle_id_portable,
     simhash_pairs,
+    simhash_pairs_portable,
     spread,
 )
 from .similarity import (
@@ -71,6 +72,7 @@ __all__ = [
     "minhash_pairs",
     "shingle_id_portable",
     "simhash_pairs",
+    "simhash_pairs_portable",
     "spread",
     "embedding_near_dup_pairs",
     "topk_cosine",

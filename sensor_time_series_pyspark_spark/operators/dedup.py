@@ -476,6 +476,104 @@ def minhash_lsh_pairs(
     )
 
 
+def simhash_pairs_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 6,
+    shingle_k: int = 2,
+    n_bits: int = 48,
+    n_bands: int = 8,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Engine-portable SimHash near-dup pairs: signatures are per-bit
+    majority votes over the 48-bit md5-derived shingle ids (the same
+    portable id used by minhash_pairs), so signature, banding, and the
+    bit_count(xor) verify all reproduce in ANSI SQL — q21 is
+    differentially tested against DuckDB end-to-end.
+
+    Same scale shape as simhash_pairs (one groupBy builds all vote
+    counters map-side-combinably; candidates come from a band
+    equi-join, never a cross join). With n_bands=8 over 48 bits any
+    pair with hamming ≤ 7 shares an intact 6-bit band (pigeonhole), so
+    recall is exact for max_hamming ≤ 7.
+
+    Output: id_a, id_b (a < b), hamming.
+    """
+    if n_bits % n_bands != 0:
+        raise ValueError("n_bits must divide evenly into n_bands")
+    band_width = n_bits // n_bands
+    base = _spread(df, parallelism).select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("__toks")
+    )
+    sh = (
+        shingles_from_tokens(F.col("__toks"), shingle_k)
+        if shingle_k > 1
+        else F.col("__toks")
+    )
+    toks = base.select("id", F.array_distinct(sh).alias("tok")).where(
+        F.size("tok") > 0
+    )
+    # full 48-bit id (no mod-P reduction — simhash wants the bits)
+    sid = F.conv(F.substring(F.md5(F.col("sh")), 1, 12), 16, 10).cast("long")
+    ids = toks.select("id", F.explode("tok").alias("sh")).select(
+        "id", sid.alias("sid")
+    )
+    votes = ids.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("sid"), b).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+            ).alias(f"v{b}")
+            for b in range(n_bits)
+        ]
+    )
+    sig_expr = None
+    for b in range(n_bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig_expr = term if sig_expr is None else sig_expr + term
+    sigs = votes.select("id", sig_expr.alias("sig"))
+    bands = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.shiftrightunsigned(F.col("sig"), i * band_width)
+                        .bitwiseAND(F.lit((1 << band_width) - 1))
+                        .alias("band_val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "sig", "band.band_id", "band.band_val")
+    a = bands.select(
+        "band_id", "band_val", F.col("id").alias("id_a"), F.col("sig").alias("sig_a")
+    )
+    b_side = bands.select(
+        "band_id", "band_val", F.col("id").alias("id_b"), F.col("sig").alias("sig_b")
+    )
+    cand = (
+        a.join(b_side, ["band_id", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.expr("sig_a ^ sig_b")).cast("int")
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,

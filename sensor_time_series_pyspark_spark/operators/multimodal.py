@@ -76,6 +76,31 @@ def _fake_features(payload: bytes, dim: int) -> np.ndarray:
     return rng.random(dim, dtype=np.float32)
 
 
+def _bytestat_features(payload: bytes, dim: int) -> np.ndarray:
+    """Integer byte-statistics feature vector (dim is fixed at 8):
+    [n_bytes, byte_sum, byte_min, byte_max, n_bytes<33, n_bytes>127,
+    first_byte, last_byte]. Every value is an exact small integer
+    (byte_sum < 2^24 for documents under ~65 KB, so float32 carries it
+    exactly), which makes the whole decode path — a real Arrow-batched
+    mapInPandas — reproducible in ANSI SQL for differential testing
+    (q37's oracle). Real encoders replace the function, not the seam."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    n = int(arr.size)
+    return np.array(
+        [
+            n,
+            int(arr.sum()) if n else 0,
+            int(arr.min()) if n else 0,
+            int(arr.max()) if n else 0,
+            int((arr < 33).sum()),
+            int((arr > 127).sum()),
+            int(arr[0]) if n else 0,
+            int(arr[-1]) if n else 0,
+        ],
+        dtype=np.float32,
+    )
+
+
 def decode_features(
     df: DataFrame,
     blob_col: str,
@@ -93,11 +118,13 @@ def decode_features(
     deterministic stub; real decoders raise at this seam until their
     libs are installed.
     """
-    if decoder not in ("fake",):
+    decoders = {"fake": _fake_features, "bytestats": _bytestat_features}
+    if decoder not in decoders:
         raise NotImplementedError(
             f"decoder={decoder!r}: media libraries are not available in "
             "this environment — plug Pillow/librosa/av in here."
         )
+    decode_fn = decoders[decoder]
     schema = StructType(
         [df.schema[c] for c in id_cols]
         + [StructField("features", ArrayType(FloatType()), False)]
@@ -107,7 +134,7 @@ def decode_features(
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                _fake_features(bytes(x), dim) for x in pdf[blob_col]
+                decode_fn(bytes(x), dim) for x in pdf[blob_col]
             ]
             out = pdf[list(id_cols)].copy()
             out["features"] = feats

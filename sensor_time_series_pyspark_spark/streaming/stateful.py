@@ -12,6 +12,7 @@ O(1) per series — safe for millions of series on a real cluster.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 from typing import Any
 
@@ -83,7 +84,7 @@ def ewma_anomaly_stream(
                     z = None
                     ewma, ewm_var = v, 0.0
                 else:
-                    sd = ewm_var ** 0.5
+                    sd = math.sqrt(ewm_var)
                     z = (v - ewma) / sd if sd > 0 else None
                     delta = v - ewma
                     # Welford-style EWM update (West 1979): incremental,
@@ -136,7 +137,7 @@ def ewma_anomaly_batch(
                 z = None
                 ewma, ewm_var = v, 0.0
             else:
-                sd = ewm_var ** 0.5
+                sd = math.sqrt(ewm_var)
                 z = (v - ewma) / sd if sd > 0 else None
                 delta = v - ewma
                 ewma = ewma + alpha * delta

@@ -209,6 +209,36 @@ def test_minhash_pairs_subset_of_exact_jaccard(spark, sf_dir):
         assert len(got) >= len(exact) * 0.5
 
 
+def test_simhash_portable_near_dups_collide(spark):
+    from sensor_time_series_pyspark_spark.operators import simhash_pairs_portable
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    rows = [
+        (1, base),
+        (2, base.replace("lazy", "sleepy", 1)),  # one shingle's difference
+        (3, "completely different content about spark shuffles and joins"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs_portable(
+            df, "doc_id", "text", max_hamming=10, shingle_k=2
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_bytestats_decoder_exact_values(spark):
+    from sensor_time_series_pyspark_spark.operators import decode_features
+
+    df = spark.createDataFrame([(1, bytearray(b"Az \n"))], "id long, blob binary")
+    out = decode_features(df, "blob", ["id"], dim=8, decoder="bytestats").collect()
+    feats = [int(x) for x in out[0]["features"]]
+    # [n, sum, min, max, n<33, n>127, first, last] of b"Az \n"
+    assert feats == [4, 65 + 122 + 32 + 10, 10, 122, 2, 0, 65, 10]
+
+
 def test_srp_portable_hamming_tracks_cosine(spark):
     import math
 
