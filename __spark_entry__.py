@@ -1145,6 +1145,28 @@ def _q_pack_offsets(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_ohlc_bars(spark: SparkSession, sf: str) -> DataFrame:
+    """Hourly OHLC bars per user (operators/resample.py:ohlc): the
+    whole bar — open/close via min_by/max_by on ts, high/low, count —
+    is ONE hash aggregate, no window sort. (user_id, ts) is unique in
+    events, so the bars are deterministic."""
+    from sensor_time_series_pyspark_spark.operators import ohlc
+
+    ev = read_table(spark, sf, "events")
+    return ohlc(ev, "ts", "value", "1 hour", keys=["user_id"])
+
+
+def _q_time_weighted_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """LOCF time-weighted hourly mean per user (operators/resample.py:
+    time_weighted_avg) — the honest average for irregular sampling;
+    integer-second weights + decimal weighted sums keep it
+    engine-portable."""
+    from sensor_time_series_pyspark_spark.operators import time_weighted_avg
+
+    ev = read_table(spark, sf, "events")
+    return time_weighted_avg(ev, "ts", "value", 3600, keys=["user_id"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -1215,6 +1237,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_mad_outliers": _q_mad_outliers,
         "q67_bm25_terms": _q_bm25_terms,
         "q68_pack_offsets": _q_pack_offsets,
+        "q69_ohlc_bars": _q_ohlc_bars,
+        "q70_time_weighted_avg": _q_time_weighted_avg,
     }
 
 
@@ -2171,6 +2195,37 @@ def oracle_sql() -> dict[str, str]:
               (cum - n_tokens) AS "offset",
               CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS chunk_id
             FROM c
+        """,
+        "q69_ohlc_bars": """
+            SELECT user_id,
+              make_timestamp(CAST(floor(epoch(ts)/3600) AS BIGINT)*3600*1000000) AS bucket,
+              arg_min(value, ts) AS open,
+              max(value) AS high,
+              min(value) AS low,
+              arg_max(value, ts) AS close,
+              count(*) AS n_samples
+            FROM events GROUP BY user_id, bucket
+        """,
+        "q70_time_weighted_avg": """
+            WITH base AS (
+              SELECT user_id, value,
+                CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600) AS BIGINT)*3600 AS bs
+              FROM events
+            ),
+            weighted AS (
+              SELECT user_id, value, bs,
+                least(coalesce(lead(t) OVER (PARTITION BY user_id ORDER BY t),
+                               bs + 3600),
+                      bs + 3600) - t AS w
+              FROM base
+            )
+            SELECT user_id, make_timestamp(bs*1000000) AS bucket,
+              CAST(sum(CAST(value * w AS DECIMAL(38,6))) AS DOUBLE)
+                / CAST(sum(w) AS BIGINT) AS twa,
+              CAST(sum(w) AS BIGINT) AS covered_seconds,
+              count(*) AS n_samples
+            FROM weighted GROUP BY user_id, bs
         """,
         "q63_scd2_dimension": """
             WITH ordered AS (

@@ -2,7 +2,7 @@
 
 from .pivot import impute_defaults, pivot_wide, unpivot
 from .windows import ffill, interpolate_linear, lead_target, rate_of_change, rolling_avg
-from .resample import resample
+from .resample import ohlc, resample, time_weighted_avg
 from .gaps import missing_buckets
 from .sessionize import sessionize
 from .scd import scd2
@@ -12,6 +12,7 @@ from .ranking import bm25_rank, pack_offsets
 from .sampling import hash_sample, hash_split
 from .dedup import (
     connected_components,
+    connected_components_star,
     dedup_clusters,
     embedding_near_dup_pairs,
     exact_dedup,
@@ -49,6 +50,8 @@ __all__ = [
     "ffill",
     "interpolate_linear",
     "resample",
+    "ohlc",
+    "time_weighted_avg",
     "missing_buckets",
     "sessionize",
     "scd2",
@@ -64,6 +67,7 @@ __all__ = [
     "rate_of_change",
     "exact_dedup",
     "connected_components",
+    "connected_components_star",
     "dedup_clusters",
     "jaccard_pairs",
     "jaccard_pairs_prefix",

@@ -694,6 +694,87 @@ def connected_components(
     )
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the scale path promised by ``connected_components``' docstring:
+    converges in O(log n) rounds on ANY graph shape, where plain
+    min-label propagation needs O(diameter) rounds (a 10⁶-node chain =
+    10⁶ rounds vs ~20).
+
+    large-star: every node points its larger neighbors at its
+    neighborhood minimum (including itself); small-star: every node
+    points its smaller neighbors (and itself) at their minimum. Each
+    operation is one groupBy-min + one join — two shuffles per round,
+    same DataFrame surface as the naive version. Fixpoint = the edge
+    set is a star forest: every node points directly at its component
+    minimum.
+
+    Output: (node, component) — identical contract to
+    ``connected_components``; equality is property-tested on random
+    graphs and the adversarial chain.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
+        F.col("u") != F.col("v")
+    )
+    # canonical undirected form (hi → lo), deduped
+    e = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct().localCheckpoint()
+
+    def _large_star(cur: DataFrame) -> DataFrame:
+        sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mn = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("__mn"))
+            .select("u", F.least("__mn", F.col("u")).alias("m"))
+        )
+        out = (
+            sym.join(mn, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        return out.where(F.col("u") != F.col("v")).distinct()
+
+    def _small_star(cur: DataFrame) -> DataFrame:
+        # cur is (hi → lo); per hi-node: min of its smaller neighbors
+        mn = cur.groupBy("u").agg(F.min("v").alias("m"))
+        joined = cur.join(mn, "u")
+        out = joined.select(F.col("v").alias("u"), F.col("m").alias("v")).union(
+            joined.select(F.col("u"), F.col("m").alias("v"))
+        )
+        return out.where(F.col("u") != F.col("v")).distinct()
+
+    prev_sig = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct().localCheckpoint()
+        sig = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: a long sum of 2^63-scale hashes overflows
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        cur_sig = (sig["n"], sig["h"])
+        if cur_sig == prev_sig:
+            # star forest: every edge is (node → component minimum)
+            centers = e.select("v").distinct().select(
+                F.col("v").alias("node"), F.col("v").alias("component")
+            )
+            return e.select(
+                F.col("u").alias("node"), F.col("v").alias("component")
+            ).union(centers).distinct()
+        prev_sig = cur_sig
+    raise RuntimeError(
+        f"connected_components_star did not converge in {max_iter} rounds"
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     src: str = "id_a",

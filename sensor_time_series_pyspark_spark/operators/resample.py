@@ -32,3 +32,79 @@ def resample(
         .withColumn(bucket_col, F.col("window.start"))
         .drop("window")
     )
+
+
+def ohlc(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    width: str,
+    keys: Sequence[str] = (),
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Open/high/low/close bars per tumbling bucket — the standard
+    downsampled view of a dense series (sensor telemetry, ticks).
+
+    open/close are ``min_by``/``max_by`` on the timestamp (single hash
+    aggregate — no window sort, no self-join back to the first/last
+    row), so the whole bar is ONE map-side-combinable aggregation, the
+    same shuffle shape as ``resample``. Deterministic when (keys, ts)
+    is unique; at ties Spark/DuckDB both pick an arbitrary row, so key
+    on a unique series id for oracle comparisons.
+    """
+    win = F.window(ts_col, width)
+    return (
+        df.groupBy(win, *keys)
+        .agg(
+            F.min_by(value_col, ts_col).alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.max_by(value_col, ts_col).alias("close"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+        .withColumn(bucket_col, F.col("window.start"))
+        .drop("window")
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    width_seconds: int,
+    keys: Sequence[str] = (),
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Time-weighted average per tumbling bucket under LOCF (last
+    observation carried forward): each sample's value is weighted by
+    how long it was "in effect" — until the next sample or the bucket's
+    end, whichever is first. The honest mean for irregularly-sampled
+    series, where the plain ``avg`` over-weights bursts (the
+    TimescaleDB/InfluxDB ``time_weight('LOCF')`` semantic).
+
+    Weights are integer seconds and the weighted sum uses exact decimal
+    arithmetic, so the result is engine-portable (q70's oracle).
+    Plan shape: one lag/lead window per series + one hash aggregate —
+    the window partitions on the series keys, so parallelism is
+    per-series (fine: series count ≫ cores at scale).
+    """
+    from pyspark.sql import Window
+
+    t = F.col(ts_col).cast("long")
+    bucket_start = (F.floor(t / width_seconds) * width_seconds).cast("long")
+    bucket_end = bucket_start + width_seconds
+    w = Window.partitionBy(*keys).orderBy(t)
+    next_t = F.lead(t).over(w)
+    weight = F.least(F.coalesce(next_t, bucket_end), bucket_end) - t
+    base = df.select(
+        *keys,
+        F.timestamp_seconds(bucket_start).alias(bucket_col),
+        F.col(value_col).alias("__v"),
+        weight.alias("__w"),
+    )
+    wsum = F.sum((F.col("__v") * F.col("__w")).cast("decimal(38,6)"))
+    return base.groupBy(*keys, bucket_col).agg(
+        (wsum.cast("double") / F.sum("__w")).alias("twa"),
+        F.sum("__w").alias("covered_seconds"),
+        F.count(F.lit(1)).alias("n_samples"),
+    )

@@ -2,17 +2,20 @@
 partitioned parquet sinks, layout maintenance (compaction / sorted
 writes), and streaming readers (see ``streaming/``)."""
 
-from .maintenance import compact_parquet, write_sorted, write_zordered, z_value
-from .readers import read_csv, read_parquet, read_table, star_schema
-from .sinks import write_parquet
+from .maintenance import compact_parquet, upsert_partitioned, write_sorted, write_zordered, z_value
+from .readers import read_any, read_csv, read_parquet, read_table, star_schema
+from .sinks import write_parquet, write_table
 
 __all__ = [
+    "read_any",
     "read_parquet",
     "read_csv",
     "read_table",
     "star_schema",
     "write_parquet",
+    "write_table",
     "compact_parquet",
+    "upsert_partitioned",
     "write_sorted",
     "write_zordered",
     "z_value",

@@ -124,3 +124,32 @@ def read_parquet_merged(spark: SparkSession, path: str) -> DataFrame:
     NULL in old files). mergeSchema costs a footer read per file, so
     it is an explicit opt-in, not the read_parquet default."""
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def read_any(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: T.StructType | str | None = None,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Format-generic scan twin of ``sinks.write_table``: parquet/orc
+    carry their own schema and columnar statistics (predicate pushdown
+    + column pruning free); json/csv REQUIRE an explicit schema at
+    scale — schema inference is a full extra pass over the data, and a
+    silent schema drift hazard (the reference gets this right for CSV,
+    sensor_data_etl.py:35-51)."""
+    fmt = fmt.lower()
+    if fmt not in ("parquet", "orc", "json", "csv", "avro"):
+        raise ValueError(f"unsupported source format: {fmt!r}")
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt in ("json", "csv"):
+        raise ValueError(
+            f"{fmt} requires an explicit schema (inference = extra full "
+            "scan + drift hazard at scale)"
+        )
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.load(path)

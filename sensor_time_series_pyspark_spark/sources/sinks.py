@@ -29,3 +29,36 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    options: dict[str, str] | None = None,
+) -> None:
+    """Format-generic sink: parquet (default), orc, json, csv — the
+    built-in DataSource formats, one code path. ORC keeps parquet's
+    columnar pruning/statistics story; json/csv are interchange sinks
+    (row-oriented — no pruning, no schema in the file; use them at the
+    pipeline EDGE, never for the 100 TB core tables). Avro needs the
+    external spark-avro package and raises a clear error without it."""
+    fmt = fmt.lower()
+    if fmt not in ("parquet", "orc", "json", "csv", "avro"):
+        raise ValueError(f"unsupported sink format: {fmt!r}")
+    writer = df.write.mode(mode).format(fmt)
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    try:
+        writer.save(path)
+    except Exception as exc:  # pragma: no cover - avro jar absent
+        if fmt == "avro" and "avro" in str(exc).lower():
+            raise NotImplementedError(
+                "avro needs org.apache.spark:spark-avro on the classpath "
+                "(spark.jars.packages)"
+            ) from exc
+        raise

@@ -107,3 +107,43 @@ def test_prefix_filter_equals_inverted_index(spark, sf_dir, threshold):
     assert set(full) == set(pref)
     for k in full:
         assert abs(full[k] - pref[k]) < 1e-12
+
+
+def test_star_cc_equals_naive_on_random_graphs(spark):
+    import random
+
+    from sensor_time_series_pyspark_spark.operators import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rnd = random.Random(7)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (rnd.randrange(n), rnd.randrange(n)) for _ in range(40 + trial * 20)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        naive = {
+            (r["node"], r["component"])
+            for r in connected_components(df).collect()
+        }
+        star = {
+            (r["node"], r["component"])
+            for r in connected_components_star(df).collect()
+        }
+        assert star == naive
+
+
+def test_star_cc_handles_long_chain_fast(spark):
+    """A 200-node chain has diameter 199 — min-label propagation needs
+    ~200 rounds (our naive impl caps at 25 and would raise); star
+    converges in O(log n)."""
+    from sensor_time_series_pyspark_spark.operators import connected_components_star
+
+    chain = [(i, i + 1) for i in range(200)]
+    df = spark.createDataFrame(chain, "id_a long, id_b long")
+    out = connected_components_star(df, max_iter=15).collect()
+    assert len(out) == 201
+    assert {r["component"] for r in out} == {0}

@@ -211,3 +211,90 @@ def test_read_parquet_merged_schema_evolution(spark, tmp_path):
     assert {"id", "a", "b"} <= set(got.columns)
     assert got.count() == 6
     assert got.where("b IS NULL").count() == 3
+
+
+def test_upsert_partitioned_merge_semantics(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from sensor_time_series_pyspark_spark.sources import upsert_partitioned
+
+    tbl = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0), (2, "2024-01-01", 20.0),
+         (3, "2024-01-02", 30.0), (4, "2024-01-03", 40.0)],
+        "id long, day string, v double",
+    )
+    base.write.partitionBy("day").parquet(tbl)
+
+    # update id=1, insert id=5 (same partition), delete id=3 (other
+    # partition); partition 2024-01-03 is untouched
+    updates = spark.createDataFrame(
+        [(1, "2024-01-01", 11.0, False),
+         (5, "2024-01-01", 50.0, False),
+         (3, "2024-01-02", 0.0, True)],
+        "id long, day string, v double, is_delete boolean",
+    )
+    stats = upsert_partitioned(
+        spark, tbl, updates, key_cols=["id"], partition_col="day",
+        delete_col="is_delete",
+    )
+    assert stats == {"touched_partitions": 2, "upserted": 2, "deleted": 1}
+
+    got = {r["id"]: (str(r["day"]), r["v"]) for r in spark.read.parquet(tbl).collect()}
+    assert got == {
+        1: ("2024-01-01", 11.0),   # updated in place
+        2: ("2024-01-01", 20.0),   # untouched row in touched partition
+        5: ("2024-01-01", 50.0),   # inserted
+        4: ("2024-01-03", 40.0),   # untouched partition survives
+    }  # id=3 deleted
+
+
+def test_upsert_partitioned_cost_scales_with_touched_partitions(spark, tmp_path):
+    import os
+
+    from sensor_time_series_pyspark_spark.sources import upsert_partitioned
+
+    tbl = str(tmp_path / "tbl2")
+    rows = [(i, f"2024-01-{(i % 5) + 1:02d}", float(i)) for i in range(100)]
+    spark.createDataFrame(rows, "id long, day string, v double").write.partitionBy(
+        "day"
+    ).parquet(tbl)
+    before = {
+        d: sorted(os.listdir(os.path.join(tbl, d)))
+        for d in os.listdir(tbl) if d.startswith("day=")
+    }
+    updates = spark.createDataFrame(
+        [(0, "2024-01-01", -1.0)], "id long, day string, v double"
+    )
+    upsert_partitioned(spark, tbl, updates, ["id"], "day")
+    after = {
+        d: sorted(os.listdir(os.path.join(tbl, d)))
+        for d in os.listdir(tbl) if d.startswith("day=")
+    }
+    # only the touched partition's files were rewritten
+    assert before.keys() == after.keys()
+    changed = [d for d in before if before[d] != after[d]]
+    assert changed == ["day=2024-01-01"]
+
+
+def test_read_write_roundtrip_all_formats(spark, tmp_path):
+    from sensor_time_series_pyspark_spark.sources import read_any, write_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id long, s string, v double"
+    )
+    for fmt in ("parquet", "orc", "json", "csv"):
+        path = str(tmp_path / fmt)
+        write_table(df, path, fmt=fmt)
+        schema = None if fmt in ("parquet", "orc") else df.schema
+        back = read_any(spark, path, fmt=fmt, schema=schema)
+        assert sorted(back.collect()) == sorted(df.collect())
+
+
+def test_read_any_requires_schema_for_rowwise(spark, tmp_path):
+    import pytest as _pytest
+
+    from sensor_time_series_pyspark_spark.sources import read_any
+
+    with _pytest.raises(ValueError, match="explicit schema"):
+        read_any(spark, str(tmp_path / "x"), fmt="json")
