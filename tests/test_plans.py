@@ -60,6 +60,9 @@ def test_no_accidental_cartesian_products(spark):
     # brute-force pair/score generators: O(n²) is their declared
     # semantics (the scale path generates candidates via LSH/IVF first)
     SKIP = {"q23_topk_cosine", "q38_embedding_near_dup"}
+    # deliberate 1-row scalar broadcast (corpus n_docs/avgdl) — the
+    # standard pattern for global constants, not an accidental cartesian
+    SKIP |= {"q67_bm25_terms"}
     # ML/forecast paths run fit JOBS at plan-build time — skip the cost
     SKIP |= {"q24_holt_forecast", "q25_arima_grid", "q26_seasonal_decompose",
              "q27_mlp_classification", "q28_gbt_regression", "q43_model_metrics",
