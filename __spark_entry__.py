@@ -1167,6 +1167,34 @@ def _q_time_weighted_avg(spark: SparkSession, sf: str) -> DataFrame:
     return time_weighted_avg(ev, "ts", "value", 3600, keys=["user_id"])
 
 
+def _q_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered funnel view→click→purchase within 24h of the first view
+    (operators/analytics.py:funnel — earliest-completion semantics, one
+    conditional aggregate per step, no raw-stream window)."""
+    from sensor_time_series_pyspark_spark.operators import funnel
+
+    ev = read_table(spark, sf, "events")
+    return funnel(
+        ev, "user_id", "ts",
+        steps=[
+            ("view", F.col("event_type") == "view"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+        within_seconds=86400,
+    )
+
+
+def _q_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """First-active-day cohorts with day-1/day-3/day-7 retention
+    (operators/analytics.py:cohort_retention — two aggregates + one
+    join, exact date arithmetic)."""
+    from sensor_time_series_pyspark_spark.operators import cohort_retention
+
+    ev = read_table(spark, sf, "events")
+    return cohort_retention(ev, "user_id", "ts", offsets=[1, 3, 7])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -1239,6 +1267,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_pack_offsets": _q_pack_offsets,
         "q69_ohlc_bars": _q_ohlc_bars,
         "q70_time_weighted_avg": _q_time_weighted_avg,
+        "q71_funnel": _q_funnel,
+        "q72_cohort_retention": _q_cohort_retention,
     }
 
 
@@ -2226,6 +2256,56 @@ def oracle_sql() -> dict[str, str]:
               CAST(sum(w) AS BIGINT) AS covered_seconds,
               count(*) AS n_samples
             FROM weighted GROUP BY user_id, bs
+        """,
+        "q71_funnel": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ),
+            s2 AS (
+              SELECT e.user_id, min(s1.t1) AS t1, min(e.ts) AS t2
+              FROM events e JOIN s1 ON e.user_id = s1.user_id
+              WHERE e.event_type = 'click' AND e.ts > s1.t1
+                AND CAST(floor(epoch(e.ts)) AS BIGINT)
+                    <= CAST(floor(epoch(s1.t1)) AS BIGINT) + 86400
+              GROUP BY e.user_id
+            ),
+            s3 AS (
+              SELECT e.user_id, min(s2.t1) AS t1, min(e.ts) AS t3
+              FROM events e JOIN s2 ON e.user_id = s2.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                AND CAST(floor(epoch(e.ts)) AS BIGINT)
+                    <= CAST(floor(epoch(s2.t1)) AS BIGINT) + 86400
+              GROUP BY e.user_id
+            )
+            SELECT 0 AS step_idx, 'view' AS step_name, count(*) AS n_users FROM s1
+            UNION ALL
+            SELECT 1, 'click', count(*) FROM s2
+            UNION ALL
+            SELECT 2, 'purchase', count(*) FROM s3
+        """,
+        "q72_cohort_retention": """
+            WITH firsts AS (
+              SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+              FROM events GROUP BY user_id
+            ),
+            sizes AS (
+              SELECT cohort_day, count(*) AS n_cohort
+              FROM firsts GROUP BY cohort_day
+            ),
+            activity AS (
+              SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+            ),
+            ret AS (
+              SELECT f.cohort_day,
+                     CAST(datediff('day', f.cohort_day, a.day) AS INT) AS day_offset,
+                     count(*) AS n_active
+              FROM activity a JOIN firsts f ON a.user_id = f.user_id
+              WHERE datediff('day', f.cohort_day, a.day) IN (1, 3, 7)
+              GROUP BY 1, 2
+            )
+            SELECT r.cohort_day, r.day_offset, r.n_active, s.n_cohort
+            FROM ret r JOIN sizes s ON r.cohort_day = s.cohort_day
         """,
         "q63_scd2_dimension": """
             WITH ordered AS (

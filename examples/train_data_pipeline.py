@@ -30,7 +30,9 @@ from sensor_time_series_pyspark_spark.functions.text import (
 from sensor_time_series_pyspark_spark.operators import (
     dedup_clusters,
     exact_dedup,
+    hash_split,
     jaccard_pairs,
+    pack_offsets,
     spread,
 )
 from sensor_time_series_pyspark_spark.session import get_spark
@@ -63,13 +65,35 @@ def main(sf_dir: str, out: str, threshold: float = 0.2) -> int:
         .where((F.col("quality") >= 0.3) & (F.col("lang_pred") != "unknown"))
     )
 
-    curated.write.mode("overwrite").parquet(out)
+    # 4. deterministic, leakage-free split (content-hash on doc_id —
+    #    stable across runs/engines/partitionings) + training layout:
+    #    concat-and-chunk token offsets per (split, lang) stream
+    split_docs = hash_split(
+        curated, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}, salt="v1"
+    )
+    layout = pack_offsets(
+        split_docs, "doc_id", "n_tokens", budget=2048,
+        partition_by=["split", "lang_pred"],
+    )
+    final = split_docs.join(
+        layout.select("id", "offset", "chunk_id"),
+        split_docs["doc_id"] == layout["id"],
+    ).drop("id")
+
+    final.write.mode("overwrite").partitionBy("split").parquet(out)
     got = spark.read.parquet(out)
     total = got.count()
-    tokens_kept = got.agg(F.sum("n_tokens")).collect()[0][0]
+    by_split = {
+        r["split"]: (r["n"], r["tok"])
+        for r in got.groupBy("split").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("tok")
+        ).collect()
+    }
     print(
-        f"curated {total} docs / {tokens_kept} tokens "
-        f"(from {docs.count()} raw docs) -> {out}"
+        f"curated {total} docs (from {docs.count()} raw) -> {out}; "
+        + "; ".join(
+            f"{s}: {n} docs / {t} tokens" for s, (n, t) in sorted(by_split.items())
+        )
     )
     return 0
 

@@ -7,6 +7,7 @@ from .gaps import missing_buckets
 from .sessionize import sessionize
 from .scd import scd2
 from .asof import asof_join
+from .analytics import cohort_retention, funnel
 from .quantiles import approx_ntile, approx_quantiles, mad_outliers, quantile_clip
 from .ranking import bm25_rank, pack_offsets
 from .sampling import hash_sample, hash_split
@@ -56,6 +57,8 @@ __all__ = [
     "sessionize",
     "scd2",
     "asof_join",
+    "funnel",
+    "cohort_retention",
     "approx_ntile",
     "approx_quantiles",
     "mad_outliers",

@@ -1,0 +1,110 @@
+"""Behavioral analytics over event streams: ordered funnels and cohort
+retention — the product-analytics layer a telemetry engine is expected
+to serve (no reference analog; north-star surface).
+
+Both are pure relational compositions: conditional aggregates + joins,
+no windows over the whole table, no Python. Exact integer/timestamp
+arithmetic end-to-end, so both queries are DuckDB-oracle-gated.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    steps: Sequence[tuple[str, Column]],
+    within_seconds: int | None = None,
+) -> DataFrame:
+    """Ordered-funnel completion: for each step k, how many users
+    performed step 1 → … → step k IN ORDER (each step strictly after
+    the previous one's first qualifying event; optionally the whole
+    journey within ``within_seconds`` of step 1).
+
+    Semantics: t1 = first ts matching step 1; t_k = first ts matching
+    step k with ts > t_{k-1} (the earliest-completion convention —
+    deterministic, and monotone so later steps can only lose users).
+
+    Plan shape: one conditional aggregate per step, each keyed on the
+    user (k small — k shuffles on the same key; a co-partitioned
+    exchange reuses the layout). Never a window over the raw stream.
+
+    Output: one row per step — step_idx, step_name, n_users.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    user = F.col(user_col)
+    ts = F.col(ts_col)
+
+    name0, cond0 = steps[0]
+    reached = df.where(cond0).groupBy(user_col).agg(F.min(ts_col).alias("t1"))
+    counts = [(0, name0, reached)]
+    prev = reached
+    prev_t = "t1"
+    for k, (name, cond) in enumerate(steps[1:], start=1):
+        stepped = (
+            df.where(cond)
+            .join(prev, user_col)
+            .where(ts > F.col(prev_t))
+        )
+        if within_seconds is not None:
+            stepped = stepped.where(
+                ts.cast("long") <= F.col("t1").cast("long") + within_seconds
+            )
+        cur_t = f"t{k + 1}"
+        prev = stepped.groupBy(user_col).agg(
+            F.min("t1").alias("t1"), F.min(ts_col).alias(cur_t)
+        )
+        counts.append((k, name, prev))
+        prev_t = cur_t
+    parts = [
+        c.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i).alias("step_idx"), F.lit(n).alias("step_name"), "n_users"
+        )
+        for i, n, c in counts
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    offsets: Sequence[int] = (1, 7),
+) -> DataFrame:
+    """Cohort retention: users are cohorted by their first active day;
+    for each (cohort_day, offset) count how many were active again
+    exactly ``offset`` days later, plus the cohort size.
+
+    Two aggregates and one join: first-day per user (cohort), then
+    distinct (user, day) activity joined back and bucketed by datediff.
+    All integer/date arithmetic — oracle-exact.
+
+    Output: cohort_day, day_offset, n_active, n_cohort.
+    """
+    day = F.to_date(ts_col)
+    firsts = df.groupBy(user_col).agg(F.min(day).alias("cohort_day"))
+    cohort_sizes = firsts.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    activity = df.select(user_col, day.alias("day")).distinct()
+    offs = list(offsets)
+    ret = (
+        activity.join(firsts, user_col)
+        .withColumn("day_offset", F.datediff("day", "cohort_day"))
+        .where(F.col("day_offset").isin(offs))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return ret.join(cohort_sizes, "cohort_day").select(
+        "cohort_day", "day_offset", "n_active", "n_cohort"
+    )

@@ -264,3 +264,84 @@ def test_srp_portable_hamming_tracks_cosine(spark):
         for r in signed_random_projection(df, "embedding", dim=64, n_bits=64).collect()
     }
     assert sig_f[1] == sig_f[2]
+
+
+# ---------------------------------------------------------- analytics
+
+
+def test_funnel_ordered_semantics(spark):
+    from sensor_time_series_pyspark_spark.operators import funnel
+
+    rows = [
+        # u1: full journey in order
+        (1, ts("2024-01-01T00:00:00"), "view"),
+        (1, ts("2024-01-01T00:10:00"), "click"),
+        (1, ts("2024-01-01T00:20:00"), "purchase"),
+        # u2: purchase BEFORE click — must not count as step 3
+        (2, ts("2024-01-01T00:00:00"), "view"),
+        (2, ts("2024-01-01T00:05:00"), "purchase"),
+        (2, ts("2024-01-01T00:10:00"), "click"),
+        # u3: view only
+        (3, ts("2024-01-01T00:00:00"), "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    from pyspark.sql import functions as F
+
+    out = {
+        r["step_name"]: r["n_users"]
+        for r in funnel(
+            df, "user_id", "ts",
+            steps=[
+                ("view", F.col("event_type") == "view"),
+                ("click", F.col("event_type") == "click"),
+                ("purchase", F.col("event_type") == "purchase"),
+            ],
+        ).collect()
+    }
+    assert out == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_funnel_within_window(spark):
+    from pyspark.sql import functions as F
+
+    from sensor_time_series_pyspark_spark.operators import funnel
+
+    rows = [
+        (1, ts("2024-01-01T00:00:00"), "view"),
+        (1, ts("2024-01-03T00:00:00"), "click"),  # 2 days later
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {
+        r["step_name"]: r["n_users"]
+        for r in funnel(
+            df, "user_id", "ts",
+            steps=[
+                ("view", F.col("event_type") == "view"),
+                ("click", F.col("event_type") == "click"),
+            ],
+            within_seconds=86400,
+        ).collect()
+    }
+    assert out == {"view": 1, "click": 0}
+
+
+def test_cohort_retention_counts(spark):
+    from sensor_time_series_pyspark_spark.operators import cohort_retention
+
+    rows = [
+        (1, ts("2024-01-01T10:00:00")),  # cohort 01-01
+        (1, ts("2024-01-02T10:00:00")),  # back on day 1
+        (1, ts("2024-01-02T23:00:00")),  # same day twice -> counted once
+        (2, ts("2024-01-01T11:00:00")),  # cohort 01-01, never returns
+        (3, ts("2024-01-02T00:00:00")),  # cohort 01-02
+        (3, ts("2024-01-09T00:00:00")),  # day 7
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        (str(r["cohort_day"]), r["day_offset"]): (r["n_active"], r["n_cohort"])
+        for r in cohort_retention(df, "user_id", "ts", offsets=[1, 7]).collect()
+    }
+    assert out == {
+        ("2024-01-01", 1): (1, 2),
+        ("2024-01-02", 7): (1, 1),
+    }
