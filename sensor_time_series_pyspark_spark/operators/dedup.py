@@ -334,6 +334,7 @@ def minhash_pairs(
     n_bands: int = 8,
     seed: int = 42,
     parallelism: int | None = None,
+    persist_sets: bool = True,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, pure DataFrame algebra (no
     pyspark.ml, no driver-side state): shingle → portable 31-bit id →
@@ -367,6 +368,13 @@ def minhash_pairs(
         base.select("id", F.array_distinct(sh).alias("tok"))
         .where(F.size("tok") > 0)
     )
+    if persist_sets:
+        # the shingle-set frame feeds the signature build AND both
+        # sides of the verify join — without a persist the whole
+        # upstream (scan + tokenize + shingle) recomputes 3x
+        from pyspark import StorageLevel
+
+        toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
     ids = toks.select(
         "id",
         F.size("tok").alias("n_tok"),
@@ -485,6 +493,7 @@ def simhash_pairs_portable(
     n_bits: int = 48,
     n_bands: int = 8,
     parallelism: int | None = None,
+    persist_sigs: bool = True,
 ) -> DataFrame:
     """Engine-portable SimHash near-dup pairs: signatures are per-bit
     majority votes over the 48-bit md5-derived shingle ids (the same
@@ -537,6 +546,13 @@ def simhash_pairs_portable(
         )
         sig_expr = term if sig_expr is None else sig_expr + term
     sigs = votes.select("id", sig_expr.alias("sig"))
+    if persist_sigs:
+        # sigs (one long per doc) feed both sides of the band join —
+        # persist the tiny frame instead of recomputing the vote
+        # aggregation + upstream shingling twice
+        from pyspark import StorageLevel
+
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     bands = sigs.select(
         "id",
         "sig",
