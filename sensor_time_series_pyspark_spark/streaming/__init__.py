@@ -7,7 +7,7 @@ from .ingest import (
     write_parquet_stream,
 )
 from .joins import stream_interval_join
-from .stateful import ewma_anomaly_batch, ewma_anomaly_stream
+from .stateful import ewma_anomaly_batch, ewma_anomaly_stream, ewma_anomaly_stream_tws
 
 __all__ = [
     "read_stream",
@@ -19,4 +19,5 @@ __all__ = [
     "stream_interval_join",
     "ewma_anomaly_stream",
     "ewma_anomaly_batch",
+    "ewma_anomaly_stream_tws",
 ]

@@ -244,3 +244,42 @@ def test_stream_stream_interval_join_matches_batch(spark, stream_src):
     ).select("click_id", "buy_id")
     assert got.count() == batch.count() > 0
     assert got.exceptAll(batch).count() == 0
+
+
+def test_tws_ewma_stream_matches_batch(spark, two_phase_src):
+    """transformWithStateInPandas (Spark 4 successor API, RocksDB state
+    store) must produce the identical fold as applyInPandasWithState
+    and the batch twin."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithStateInPandas needs protobuf (absent here)",
+    )
+    from sensor_time_series_pyspark_spark.streaming import ewma_anomaly_stream_tws
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        path, schema = two_phase_src
+        sdf = read_stream(spark, path, schema, fmt="parquet", max_files_per_trigger=1)
+        scored = ewma_anomaly_stream_tws(sdf, "user_id", "ts", "value", alpha=0.2)
+        run_to_memory(scored, "ewma_tws")
+        got = {
+            (r["user_id"], r["ts"]): (r["ewma"], r["zscore"], r["n_seen"])
+            for r in spark.table("ewma_tws").collect()
+        }
+        batch = ewma_anomaly_batch(
+            read_table(spark, SF, "events"), "user_id", "ts", "value", alpha=0.2
+        )
+        want = {
+            (r["user_id"], r["ts"]): (r["ewma"], r["zscore"], r["n_seen"])
+            for r in batch.collect()
+        }
+        assert got == want
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
