@@ -175,6 +175,7 @@ def jaccard_pairs_prefix(
     threshold: float = 0.5,
     shingle_k: int = 3,
     parallelism: int | None = None,
+    unit: str = "word",
 ) -> DataFrame:
     """Exact Jaccard pairs via PREFIX FILTERING (PPJoin family,
     Xiao et al. "Efficient Similarity Joins for Near Duplicate
@@ -202,14 +203,25 @@ def jaccard_pairs_prefix(
     Output: id_a, id_b (a < b), jaccard — identical contract to
     jaccard_pairs.
     """
-    base = _spread(df, parallelism).select(
-        F.col(id_col).alias("id"), tokens(text_col).alias("__toks")
-    )
-    sh = (
-        shingles_from_tokens(F.col("__toks"), shingle_k)
-        if shingle_k > 1
-        else F.col("__toks")
-    )
+    if unit == "word":
+        base = _spread(df, parallelism).select(
+            F.col(id_col).alias("id"), tokens(text_col).alias("__toks")
+        )
+        sh = (
+            shingles_from_tokens(F.col("__toks"), shingle_k)
+            if shingle_k > 1
+            else F.col("__toks")
+        )
+    elif unit == "char":
+        from ..functions.text import char_ngrams
+
+        base = _spread(df, parallelism).select(
+            F.col(id_col).alias("id"),
+            char_ngrams(text_col, shingle_k).alias("__toks"),
+        )
+        sh = F.col("__toks")
+    else:
+        raise ValueError(f"unit must be 'word' or 'char', got {unit!r}")
     toks = base.select(
         "id",
         F.transform(F.array_distinct(sh), lambda s: F.xxhash64(s)).alias("tok"),

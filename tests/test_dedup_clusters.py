@@ -109,6 +109,31 @@ def test_prefix_filter_equals_inverted_index(spark, sf_dir, threshold):
         assert abs(full[k] - pref[k]) < 1e-12
 
 
+def test_prefix_filter_char_unit_parity(spark, sf_dir):
+    """unit='char' (5-gram) prefix filtering matches the inverted-index
+    strategy pair-for-pair — the q45 workload shape."""
+    from sensor_time_series_pyspark_spark.operators.dedup import (
+        jaccard_pairs_prefix,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    full = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.35, shingle_k=5, unit="char"
+        ).collect()
+    }
+    pref = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs_prefix(
+            docs, "doc_id", "text", threshold=0.35, shingle_k=5, unit="char"
+        ).collect()
+    }
+    assert set(full) == set(pref)
+    for k in full:
+        assert abs(full[k] - pref[k]) < 1e-12
+
+
 def test_star_cc_equals_naive_on_random_graphs(spark):
     import random
 

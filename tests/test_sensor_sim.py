@@ -122,7 +122,10 @@ def test_stream_source_first_microbatch(spark, tmp_path):
         .start()
     )
     try:
-        deadline = time.time() + 60
+        # generous: under a fully loaded suite run the first Python
+        # data-source microbatch can take minutes to schedule; the loop
+        # exits as soon as the rows land, so the healthy path stays fast
+        deadline = time.time() + 240
         while time.time() < deadline and spark.table("sim_stream").count() < 100:
             time.sleep(0.5)
         got = spark.table("sim_stream").count()
