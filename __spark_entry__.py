@@ -1195,6 +1195,65 @@ def _q_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
     return cohort_retention(ev, "user_id", "ts", offsets=[1, 3, 7])
 
 
+def _q_levenshtein_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Edit-distance near-dup pairs over the distinct part-type
+    vocabulary (operators/dedup.py:levenshtein_pairs — banded length
+    join + threshold-bounded DP; the dedup tier for SHORT strings
+    where shingle Jaccard is meaningless)."""
+    from sensor_time_series_pyspark_spark.operators import levenshtein_pairs
+
+    p = read_table(spark, sf, "part")
+    types = p.select(F.col("p_type").alias("name")).distinct()
+    return levenshtein_pairs(types, "name", "name", max_dist=6)
+
+
+def _q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured payload path: a JSON string column parsed with
+    from_json + explicit schema (the Spark-idiomatic JSON surface; the
+    payload is synthesized with exact integer/string pieces so both
+    engines build byte-identical JSON before parsing)."""
+    ev = read_table(spark, sf, "events")
+    js = F.concat(
+        F.lit('{"t":"'), F.col("event_type"),
+        F.lit('","v":'), F.floor("value").cast("long").cast("string"),
+        F.lit(',"u":'), F.col("user_id").cast("string"),
+        F.lit("}"),
+    )
+    parsed = F.from_json(js, "t string, v long, u long")
+    return (
+        ev.select("event_id", parsed.alias("p"))
+        .select(
+            "event_id",
+            F.col("p.t").alias("jtype"),
+            F.col("p.v").alias("jval"),
+            F.col("p.u").alias("juser"),
+        )
+        .where(F.col("jval") >= 50)
+    )
+
+
+def _q_exact_corr(spark: SparkSession, sf: str) -> DataFrame:
+    """Pearson correlation from exact decimal moments
+    (operators/profile.py:exact_corr) — the portable twin of F.corr:
+    five order-independent decimal sums in ONE aggregate, then a fixed
+    IEEE double epilogue, so the value hash-matches across engines."""
+    from sensor_time_series_pyspark_spark.operators import exact_corr
+
+    li = read_table(spark, sf, "lineitem")
+    return exact_corr(li, "l_quantity", "l_extendedprice", by=["l_returnflag"])
+
+
+def _q_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-width value histogram with data-driven bounds
+    (operators/profile.py:histogram): two full-parallel scans, one
+    one-row-per-group bounds broadcast — no approxQuantile recompute
+    storm (reference bug #4)."""
+    from sensor_time_series_pyspark_spark.operators import histogram
+
+    ev = read_table(spark, sf, "events")
+    return histogram(ev, "value", n_bins=10, by=["event_type"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -1269,6 +1328,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_time_weighted_avg": _q_time_weighted_avg,
         "q71_funnel": _q_funnel,
         "q72_cohort_retention": _q_cohort_retention,
+        "q73_levenshtein_pairs": _q_levenshtein_pairs,
+        "q74_json_extract": _q_json_extract,
+        "q75_exact_corr": _q_exact_corr,
+        "q76_histogram": _q_histogram,
     }
 
 
@@ -2324,5 +2387,83 @@ def oracle_sql() -> dict[str, str]:
               (lead(ts) OVER w2) IS NULL AS is_current
             FROM versions
             WINDOW w2 AS (PARTITION BY user_id ORDER BY ts)
+        """,
+        "q73_levenshtein_pairs": """
+            WITH t AS (SELECT DISTINCT p_type AS name FROM part)
+            SELECT a.name AS id_a, b.name AS id_b,
+              CAST(levenshtein(a.name, b.name) AS INT) AS dist
+            FROM t a JOIN t b
+              ON a.name < b.name
+             AND abs(length(a.name) - length(b.name)) <= 6
+            WHERE levenshtein(a.name, b.name) <= 6
+        """,
+        "q74_json_extract": """
+            WITH j AS (
+              SELECT event_id,
+                '{"t":"' || event_type || '","v":'
+                  || CAST(CAST(floor(value) AS BIGINT) AS VARCHAR)
+                  || ',"u":' || CAST(user_id AS VARCHAR) || '}' AS js
+              FROM events
+            )
+            SELECT event_id,
+              json_extract_string(js, '$.t') AS jtype,
+              CAST(json_extract(js, '$.v') AS BIGINT) AS jval,
+              CAST(json_extract(js, '$.u') AS BIGINT) AS juser
+            FROM j
+            WHERE CAST(json_extract(js, '$.v') AS BIGINT) >= 50
+        """,
+        "q75_exact_corr": """
+            WITH ints AS (
+              SELECT l_returnflag,
+                CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS DECIMAL(19,0)) AS xi,
+                CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS DECIMAL(19,0)) AS yi
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+            ),
+            s AS (
+              SELECT l_returnflag, count(*) AS n,
+                sum(CAST(xi AS DECIMAL(38,0))) AS sx,
+                sum(CAST(yi AS DECIMAL(38,0))) AS sy,
+                sum(CAST(xi * xi AS DECIMAL(38,0))) AS sxx,
+                sum(CAST(yi * yi AS DECIMAL(38,0))) AS syy,
+                sum(CAST(xi * yi AS DECIMAL(38,0))) AS sxy
+              FROM ints GROUP BY l_returnflag
+            ),
+            e AS (
+              SELECT l_returnflag, n,
+                CAST(CAST(CAST(n AS DECIMAL(12,0)) * CAST(sxy AS DECIMAL(24,0)) AS DECIMAL(32,0))
+                     - CAST(CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0)) AS DECIMAL(32,0)) AS DOUBLE) AS cov_n,
+                CAST(CAST(CAST(n AS DECIMAL(12,0)) * CAST(sxx AS DECIMAL(24,0)) AS DECIMAL(32,0))
+                     - CAST(CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0)) AS DECIMAL(32,0)) AS DOUBLE) AS var_x,
+                CAST(CAST(CAST(n AS DECIMAL(12,0)) * CAST(syy AS DECIMAL(24,0)) AS DECIMAL(32,0))
+                     - CAST(CAST(sy AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0)) AS DECIMAL(32,0)) AS DOUBLE) AS var_y
+              FROM s
+            )
+            SELECT l_returnflag, n,
+              CASE WHEN sqrt(var_x) * sqrt(var_y) > 0
+                   THEN cov_n / (sqrt(var_x) * sqrt(var_y)) END AS corr
+            FROM e
+        """,
+        "q76_histogram": """
+            WITH b AS (
+              SELECT event_type,
+                CAST(min(value) AS DOUBLE) AS lo,
+                CAST(max(value) AS DOUBLE) AS hi
+              FROM events WHERE value IS NOT NULL GROUP BY event_type
+            ),
+            k AS (
+              SELECT e.event_type, lo, hi,
+                CASE WHEN hi = lo THEN 0
+                     ELSE CAST(least(floor((CAST(value AS DOUBLE) - lo)
+                                           / ((hi - lo) / 10.0)), 9) AS INT)
+                END AS bin
+              FROM events e JOIN b USING (event_type)
+              WHERE value IS NOT NULL
+            )
+            SELECT event_type, bin,
+              lo + CAST(bin AS DOUBLE) * (hi - lo) / 10.0 AS bin_lo,
+              lo + (CAST(bin AS DOUBLE) + 1) * (hi - lo) / 10.0 AS bin_hi,
+              count(*) AS n
+            FROM k GROUP BY event_type, bin, lo, hi
         """,
     }

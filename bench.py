@@ -57,6 +57,10 @@ def main() -> None:
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # drop persisted frames a query may have left behind (e.g. the
+        # jaccard inverted index): leaked cache entries accumulate
+        # across repeats and poison later queries' memory budget
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -19,6 +19,7 @@ from .dedup import (
     exact_dedup,
     jaccard_pairs,
     jaccard_pairs_prefix,
+    levenshtein_pairs,
     minhash_coeffs,
     minhash_lsh_pairs,
     minhash_pairs,
@@ -38,7 +39,7 @@ from .similarity import (
 from .interval import interval_join
 from .multimodal import blob_metadata, decode_features, frame_sample_plan, sniff_format
 from .skew import salted_agg, salted_join
-from .profile import profile
+from .profile import exact_corr, histogram, profile
 from .validate import observe_violations, quarantine, violation_counts
 from .bucketing import read_bucketed, write_bucketed
 
@@ -100,5 +101,8 @@ __all__ = [
     "violation_counts",
     "observe_violations",
     "profile",
+    "histogram",
+    "exact_corr",
+    "levenshtein_pairs",
     "quarantine",
 ]

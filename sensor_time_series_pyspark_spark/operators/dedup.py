@@ -857,3 +857,65 @@ def embedding_near_dup_pairs(
         .where(F.col("cosine") >= cosine_threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def levenshtein_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 3,
+) -> DataFrame:
+    """Edit-distance near-dup pairs for SHORT strings (titles, product
+    names, codes) — the dedup tier below shingle Jaccard, which is
+    meaningless on strings of a few tokens.
+
+    Candidate generation is a banded equi-join, not a nested loop:
+    levenshtein(a,b) <= d implies |len(a)-len(b)| <= d, so with length
+    buckets of width d+1 a qualifying pair's buckets differ by at most
+    1. The left side explodes to its bucket ± 1 and equi-joins the
+    right side's single bucket — every qualifying pair meets exactly
+    once (the right bucket is unique), no distinct needed. The exact
+    length filter then prunes in-join, and only surviving candidates
+    pay the O(len²) DP, with Spark's threshold-bounded levenshtein
+    (early exit past max_dist).
+
+    At 100 TB this shuffles on the bucket key; bucket populations are
+    bounded by the length distribution, not the corpus (strings of one
+    length band co-locate). For long-string workloads use the shingle
+    tiers instead — edit distance itself is the wrong measure there.
+
+    Output: id_a, id_b (a < b), dist.
+    """
+    w = max_dist + 1
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("txt"),
+        F.length(text_col).alias("len"),
+        F.floor(F.length(text_col) / F.lit(w)).alias("bucket"),
+    )
+    left = base.select(
+        F.col("id").alias("id_a"),
+        F.col("txt").alias("txt_a"),
+        F.col("len").alias("len_a"),
+        F.explode(
+            F.array(
+                F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1
+            )
+        ).alias("bucket"),
+    )
+    right = base.select(
+        F.col("id").alias("id_b"),
+        F.col("txt").alias("txt_b"),
+        F.col("len").alias("len_b"),
+        "bucket",
+    )
+    cands = left.join(right, "bucket").where(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.abs(F.col("len_a") - F.col("len_b")) <= max_dist)
+    )
+    dist = F.levenshtein("txt_a", "txt_b", max_dist)
+    return (
+        cands.withColumn("dist", dist)
+        .where(F.col("dist") >= 0)
+        .select("id_a", "id_b", "dist")
+    )

@@ -60,3 +60,136 @@ def profile(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
         "column string, n_rows long, n_null long, approx_distinct long, "
         "min string, max string",
     )
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    by: Sequence[str] | None = None,
+) -> DataFrame:
+    """Equi-width histogram with data-driven bounds, two aggregation
+    passes and zero collect: pass 1 computes per-group [min, max]
+    (a tiny frame — one row per group), which broadcast-joins back so
+    pass 2 buckets every row map-side. The classic profiling shape the
+    reference approximates with 4 independent approxQuantile jobs
+    (/root/reference/sensor_data_etl.py:95-98) — here the fact table is
+    scanned exactly twice regardless of group count, and at 100 TB both
+    scans are full-parallel with only the one-row-per-group bounds frame
+    shuffled.
+
+    Values exactly at the upper bound clamp into the last bin (standard
+    right-closed last bucket). Degenerate groups (min == max) put all
+    rows in bin 0. NULL values are excluded.
+
+    Output: [*by], bin, bin_lo, bin_hi, n — bin bounds are exact double
+    arithmetic (lo + bin*width), reproducible across engines.
+    """
+    keys = list(by) if by else []
+    v = F.col(value_col)
+    bounds = (df.groupBy(*keys) if keys else df.groupBy()).agg(
+        F.min(v).cast("double").alias("__lo"),
+        F.max(v).cast("double").alias("__hi"),
+    )
+    base = df.where(v.isNotNull())
+    joined = (
+        base.join(F.broadcast(bounds), keys)
+        if keys
+        else base.crossJoin(F.broadcast(bounds))
+    )
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins))
+    bin_ = (
+        F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((v.cast("double") - F.col("__lo")) / width),
+                F.lit(n_bins - 1),
+            )
+        )
+        .cast("int")
+    )
+    return (
+        joined.select(*keys, "__lo", "__hi", bin_.alias("bin"), v.alias("__v"))
+        .groupBy(*keys, "__lo", "__hi", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            *keys,
+            "bin",
+            (
+                F.col("__lo")
+                + F.col("bin").cast("double")
+                * (F.col("__hi") - F.col("__lo"))
+                / F.lit(float(n_bins))
+            ).alias("bin_lo"),
+            (
+                F.col("__lo")
+                + (F.col("bin").cast("double") + F.lit(1.0))
+                * (F.col("__hi") - F.col("__lo"))
+                / F.lit(float(n_bins))
+            ).alias("bin_hi"),
+            "n",
+        )
+    )
+
+
+def exact_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    by: Sequence[str] | None = None,
+    x_decimals: int = 2,
+    y_decimals: int = 2,
+) -> DataFrame:
+    """Pearson correlation from EXACT integer moments — the
+    engine-portable twin of F.corr.
+
+    F.corr accumulates doubles in partition order, so the low bits
+    differ run-to-run and engine-to-engine; and even exact decimal
+    moments lose bit-parity if they are converted to double BEFORE the
+    n*Sxx - Sx² cancellation (a 1-ulp conversion difference gets
+    amplified by the subtraction of near-equal magnitudes — observed
+    1e-13 relative drift vs DuckDB). So everything up to and including
+    the covariance/variance numerators stays exact:
+
+    1. scale x, y to integers (10^decimals via an exact decimal cast —
+       corr is scale-invariant, so the result is unchanged);
+    2. one aggregate computes n and the five sums as scale-0 decimals
+       (exact, order-independent, map-side partials apply);
+    3. cov_n = n*Sxy - Sx*Sy, var = n*Sxx - Sx² in scale-0 decimal
+       arithmetic (still exact);
+    4. only THEN cast the three exact integers to double — a single
+       correctly-rounded conversion — and finish with a fixed IEEE
+       epilogue cov / (sqrt(var_x) * sqrt(var_y)).
+
+    Rows where either value is NULL are excluded (SQL corr semantics).
+    Output: [*by], n, corr (NULL for degenerate/singleton groups).
+    """
+    keys = list(by) if by else []
+    xi = (
+        (F.col(x_col).cast(f"decimal(18,{x_decimals})") * (10 ** x_decimals))
+        .cast("decimal(19,0)")
+    )
+    yi = (
+        (F.col(y_col).cast(f"decimal(18,{y_decimals})") * (10 ** y_decimals))
+        .cast("decimal(19,0)")
+    )
+    both = df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    d38 = "decimal(38,0)"
+    sums = (both.groupBy(*keys) if keys else both.groupBy()).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xi.cast(d38)).alias("__sx"),
+        F.sum(yi.cast(d38)).alias("__sy"),
+        F.sum((xi * xi).cast(d38)).alias("__sxx"),
+        F.sum((yi * yi).cast(d38)).alias("__syy"),
+        F.sum((xi * yi).cast(d38)).alias("__sxy"),
+    )
+    nd = F.col("n").cast("decimal(12,0)")
+    cov_n = (nd * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
+    var_x = (nd * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
+    var_y = (nd * F.col("__syy") - F.col("__sy") * F.col("__sy")).cast("double")
+    denom = F.sqrt(var_x) * F.sqrt(var_y)
+    return sums.select(
+        *keys,
+        "n",
+        F.when(denom > 0, cov_n / denom).alias("corr"),
+    )

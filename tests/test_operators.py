@@ -320,3 +320,93 @@ def test_profile_single_pass_metrics(spark):
     witharr = ev.withColumn("arr", F.array("value", "value"))
     prof = {r.column: r for r in profile(witharr, ["arr", "value"]).collect()}
     assert prof["arr"].min is None and prof["arr"].approx_distinct > 0
+
+
+def test_histogram_partition_and_bounds(spark):
+    """Equi-width histogram: bin counts sum to non-null rows, bounds
+    tile [min, max], max value lands in the last bin."""
+    from pyspark.sql import functions as F
+
+    from sensor_time_series_pyspark_spark.operators import histogram
+    from sensor_time_series_pyspark_spark.sources.readers import read_table
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    out = histogram(ev, "value", n_bins=8, by=["event_type"]).collect()
+    base = {
+        r.event_type: r
+        for r in ev.where(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .collect()
+    }
+    per_group: dict[str, int] = {}
+    for r in out:
+        assert 0 <= r.bin < 8
+        per_group[r.event_type] = per_group.get(r.event_type, 0) + r.n
+        b = base[r.event_type]
+        assert b.lo - 1e-9 <= r.bin_lo <= r.bin_hi <= b.hi + 1e-9
+    assert per_group == {k: v.n for k, v in base.items()}
+    # global (no keys) variant partitions everything
+    g = histogram(ev, "value", n_bins=4).collect()
+    assert sum(r.n for r in g) == sum(v.n for v in base.values())
+
+
+def test_exact_corr_matches_builtin(spark):
+    """exact_corr tracks F.corr to float tolerance (the builtin is
+    order-dependent in its low bits — that's WHY exact_corr exists)."""
+    from pyspark.sql import functions as F
+
+    from sensor_time_series_pyspark_spark.operators import exact_corr
+    from sensor_time_series_pyspark_spark.sources.readers import read_table
+
+    li = read_table(spark, "/root/testdata/sf0.001", "lineitem")
+    got = {
+        r.l_returnflag: r.corr
+        for r in exact_corr(
+            li, "l_quantity", "l_extendedprice", by=["l_returnflag"]
+        ).collect()
+    }
+    ref = {
+        r.l_returnflag: r.c
+        for r in li.groupBy("l_returnflag")
+        .agg(F.corr("l_quantity", "l_extendedprice").alias("c"))
+        .collect()
+    }
+    assert set(got) == set(ref)
+    for k in got:
+        assert abs(got[k] - ref[k]) < 1e-9
+    # degenerate group -> NULL corr, not a crash
+    one = li.limit(1)
+    row = exact_corr(one, "l_quantity", "l_extendedprice").collect()[0]
+    assert row.corr is None
+
+
+def test_levenshtein_pairs_equals_bruteforce(spark):
+    """Banded candidate generation loses no pairs vs the O(n²) join."""
+    from pyspark.sql import functions as F
+
+    from sensor_time_series_pyspark_spark.operators import levenshtein_pairs
+    from sensor_time_series_pyspark_spark.sources.readers import read_table
+
+    p = read_table(spark, "/root/testdata/sf0.001", "part")
+    types = p.select(F.col("p_type").alias("name")).distinct()
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in levenshtein_pairs(types, "name", "name", max_dist=6).collect()
+    }
+    a = types.select(F.col("name").alias("na"))
+    b = types.select(F.col("name").alias("nb"))
+    brute = {
+        (r.na, r.nb): r.d
+        for r in a.crossJoin(b)
+        .where(F.col("na") < F.col("nb"))
+        .withColumn("d", F.levenshtein("na", "nb"))
+        .where(F.col("d") <= 6)
+        .collect()
+    }
+    assert got == brute
+    assert got  # non-empty on the part-type vocabulary
