@@ -1254,6 +1254,148 @@ def _q_histogram(spark: SparkSession, sf: str) -> DataFrame:
     return histogram(ev, "value", n_bins=10, by=["event_type"])
 
 
+def _q_chunk_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping token-window chunking (operators/chunking.py) — the
+    training-sequence / RAG-passage constructor. 32-token chunks every
+    16 tokens; pure column algebra, zero shuffle."""
+    from sensor_time_series_pyspark_spark.operators import chunk_tokens
+
+    docs = read_table(spark, sf, "documents")
+    return chunk_tokens(docs, "doc_id", "text", chunk_size=32, stride=16)
+
+
+def _q_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Train/eval n-gram contamination (operators/contamination.py):
+    every 5th document plays the eval set, the rest the training
+    corpus; 3-gram overlap with portable md5 gram ids."""
+    from sensor_time_series_pyspark_spark.operators import ngram_overlap
+
+    docs = read_table(spark, sf, "documents")
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    test = docs.where(F.col("doc_id") % 5 == 0)
+    return ngram_overlap(train, test, "doc_id", "text", n=3, portable=True)
+
+
+def _q_redact_pii(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction (functions/text.py:redact_pii) over synthesized
+    contact lines — email/SSN/IP/phone built deterministically from
+    customer columns so both engines scrub byte-identical input with
+    the same RE2-compatible patterns."""
+    from sensor_time_series_pyspark_spark.functions.text import redact_pii
+
+    c = read_table(spark, sf, "customer")
+    k = F.col("c_custkey")
+    raw = F.concat(
+        F.lit("reach "), F.col("c_name"),
+        F.lit(" at user"), k.cast("string"), F.lit("@example.com"),
+        F.lit(" or +1-555-"),
+        F.lpad((k % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((k % 10000).cast("string"), 4, "0"),
+        F.lit(" ssn "),
+        F.lpad((k % 900 + 100).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((k % 90 + 10).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad((k % 9000 + 1000).cast("string"), 4, "0"),
+        F.lit(" ip 10.0."), (k % 256).cast("string"), F.lit(".1 tel "),
+        (k % 9 + 1).cast("string"),
+        F.lit("."),
+        F.lpad((k % 1000).cast("string"), 3, "0"),
+        F.lit("."),
+        F.lpad((k * 3 % 1000).cast("string"), 3, "0"),
+        F.lit("."),
+        F.lpad((k % 10000).cast("string"), 4, "0"),
+    )
+    return c.select(
+        "c_custkey",
+        redact_pii(raw).alias("redacted"),
+    )
+
+
+def _q_repetition_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-document bigram repetition (functions/text.py:
+    repetition_stats) — the MassiveText-style repeated-phrase quality
+    signal. Integer counts, one double division for the ratio."""
+    from sensor_time_series_pyspark_spark.functions.text import repetition_stats
+
+    docs = read_table(spark, sf, "documents")
+    st = repetition_stats("text", n=2)
+    return docs.select(
+        "doc_id",
+        st.getField("n_grams").alias("n_grams"),
+        st.getField("n_distinct").alias("n_distinct"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        "n_distinct",
+        F.when(
+            F.col("n_grams") > 0,
+            F.lit(1.0)
+            - F.col("n_distinct").cast("double") / F.col("n_grams").cast("double"),
+        ).alias("rep_ratio"),
+    )
+
+
+def _q_tvd_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution drift per event type (operators/drift.py:
+    tvd_drift): first half of the month is the reference snapshot,
+    second half the current window; integer-exact total-variation
+    distance over 10 reference-fit bins."""
+    from sensor_time_series_pyspark_spark.operators import tvd_drift
+
+    ev = read_table(spark, sf, "events")
+    return tvd_drift(
+        ev,
+        "value",
+        is_reference=F.col("ts") < F.lit("2024-01-16").cast("timestamp"),
+        by=["event_type"],
+        n_bins=10,
+    )
+
+
+def _q_acf(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-series autocorrelation, lags 1-5 (operators/drift.py:acf) —
+    one window pass for all lags, exact-moment corr epilogue.
+    (ts, event_type) is unique in events, so the lag ordering is
+    deterministic without a tiebreaker."""
+    from sensor_time_series_pyspark_spark.operators import acf
+
+    ev = read_table(spark, sf, "events")
+    return acf(ev, ["event_type"], "ts", "value", max_lag=5)
+
+
+def _q_cusum(spark: SparkSession, sf: str) -> DataFrame:
+    """Standardized CUSUM level-shift scan per event type
+    (operators/drift.py:cusum) — exact decimal prefix sums, the whole
+    trajectory bit-reproducible across engines."""
+    from sensor_time_series_pyspark_spark.operators import cusum
+
+    ev = read_table(spark, sf, "events")
+    return cusum(ev, ["event_type"], "ts", "value", threshold=3.0)
+
+
+def _q_hopping_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Hopping-window aggregate (operators/resample.py:
+    hopping_resample): 2-hour windows sliding every 30 minutes —
+    map-side Expand then partial aggregation, shuffle carries partials
+    not replicated rows."""
+    from sensor_time_series_pyspark_spark.operators import hopping_resample
+
+    ev = read_table(spark, sf, "events")
+    return hopping_resample(
+        ev,
+        ts_col="ts",
+        width="2 hours",
+        slide="30 minutes",
+        keys=["event_type"],
+        aggs=[
+            _davg(F.col("value")).alias("avg_value"),
+            F.count(F.lit(1)).alias("n"),
+        ],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -1332,6 +1474,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q74_json_extract": _q_json_extract,
         "q75_exact_corr": _q_exact_corr,
         "q76_histogram": _q_histogram,
+        "q77_chunk_tokens": _q_chunk_tokens,
+        "q78_contamination": _q_contamination,
+        "q79_redact_pii": _q_redact_pii,
+        "q80_repetition_ratio": _q_repetition_ratio,
+        "q81_tvd_drift": _q_tvd_drift,
+        "q82_acf": _q_acf,
+        "q83_cusum": _q_cusum,
+        "q84_hopping_window": _q_hopping_window,
     }
 
 
@@ -2443,6 +2593,238 @@ def oracle_sql() -> dict[str, str]:
               CASE WHEN sqrt(var_x) * sqrt(var_y) > 0
                    THEN cov_n / (sqrt(var_x) * sqrt(var_y)) END AS corr
             FROM e
+        """,
+        "q77_chunk_tokens": r"""
+            WITH t AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, toks,
+                unnest(generate_series(0, len(toks) - 1, 16)) AS start
+              FROM t WHERE len(toks) > 0
+            )
+            SELECT doc_id AS id,
+              CAST(start // 16 AS INT) AS chunk_id,
+              array_to_string(toks[start + 1 : least(start + 32, len(toks))], ' ')
+                AS chunk_text,
+              CAST(least(start + 32, len(toks)) - start AS INT) AS n_tokens
+            FROM s
+        """,
+        "q78_contamination": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                list_distinct(
+                  list_transform(
+                    generate_series(1, greatest(len(t) - 2, 0)),
+                    i -> CAST(('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 12)) AS BIGINT)
+                         % 2147483647
+                  )
+                ) AS g
+              FROM toks
+            ),
+            tr AS (SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % 5 <> 0),
+            te AS (SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % 5 = 0)
+            SELECT te.doc_id AS id,
+              count(DISTINCT te.gram) AS n_grams,
+              count(DISTINCT CASE WHEN tr.doc_id IS NOT NULL THEN te.gram END)
+                AS n_shared,
+              count(DISTINCT tr.doc_id) AS n_train_docs
+            FROM te LEFT JOIN tr USING (gram)
+            GROUP BY te.doc_id
+        """,
+        "q79_redact_pii": r"""
+            WITH raw AS (
+              SELECT c_custkey,
+                'reach ' || c_name || ' at user' || CAST(c_custkey AS VARCHAR)
+                || '@example.com or +1-555-'
+                || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-'
+                || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+                || ' ssn '
+                || lpad(CAST(c_custkey % 900 + 100 AS VARCHAR), 3, '0') || '-'
+                || lpad(CAST(c_custkey % 90 + 10 AS VARCHAR), 2, '0') || '-'
+                || lpad(CAST(c_custkey % 9000 + 1000 AS VARCHAR), 4, '0')
+                || ' ip 10.0.' || CAST(c_custkey % 256 AS VARCHAR) || '.1 tel '
+                || CAST(c_custkey % 9 + 1 AS VARCHAR) || '.'
+                || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '.'
+                || lpad(CAST(c_custkey * 3 % 1000 AS VARCHAR), 3, '0') || '.'
+                || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS t
+              FROM customer
+            )
+            SELECT c_custkey,
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(t,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[SSN]', 'g'),
+                  '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'),
+                '\+?[0-9]{1,3}[- .]?\(?[0-9]{3}\)?[- .]?[0-9]{3}[- .]?[0-9]{4}',
+                '[PHONE]', 'g') AS redacted
+            FROM raw
+        """,
+        "q80_repetition_ratio": r"""
+            WITH t AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                CASE WHEN len(toks) >= 2
+                  THEN list_transform(
+                         generate_series(1, len(toks) - 1),
+                         i -> array_to_string(toks[i:i+1], ' '))
+                  ELSE CAST([] AS VARCHAR[]) END AS grams
+              FROM t
+            )
+            SELECT doc_id,
+              CAST(len(grams) AS INT) AS n_grams,
+              CAST(len(list_distinct(grams)) AS INT) AS n_distinct,
+              CASE WHEN len(grams) > 0
+                THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                           / CAST(len(grams) AS DOUBLE)
+              END AS rep_ratio
+            FROM g
+        """,
+        "q81_tvd_drift": """
+            WITH base AS (
+              SELECT event_type, CAST(value AS DOUBLE) AS v,
+                (ts < TIMESTAMP '2024-01-16') AS is_ref
+              FROM events WHERE value IS NOT NULL
+            ),
+            bounds AS (
+              SELECT event_type, min(v) AS lo, max(v) AS hi
+              FROM base WHERE is_ref GROUP BY 1
+            ),
+            binned AS (
+              SELECT b.event_type,
+                CASE WHEN hi = lo THEN 0
+                     ELSE CAST(greatest(least(floor((v - lo) / ((hi - lo) / 10.0)), 9), 0) AS INT)
+                END AS bin,
+                sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS a,
+                sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS bb
+              FROM base b JOIN bounds USING (event_type)
+              GROUP BY 1, 2
+            ),
+            tot AS (
+              SELECT event_type,
+                CAST(sum(a) AS BIGINT) AS n_ref, CAST(sum(bb) AS BIGINT) AS n_cur
+              FROM binned GROUP BY 1
+            )
+            SELECT t.event_type, n_ref, n_cur,
+              CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+                CAST(sum(abs(a * n_cur - bb * n_ref)) AS DOUBLE)
+                / ((2.0 * CAST(n_ref AS DOUBLE)) * CAST(n_cur AS DOUBLE))
+              END AS tvd
+            FROM binned b JOIN tot t USING (event_type)
+            GROUP BY 1, 2, 3
+        """,
+        "q82_acf": """
+            WITH lagged AS (
+              SELECT event_type, value AS x,
+                lead(value, 1) OVER w AS y1,
+                lead(value, 2) OVER w AS y2,
+                lead(value, 3) OVER w AS y3,
+                lead(value, 4) OVER w AS y4,
+                lead(value, 5) OVER w AS y5
+              FROM events
+              WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+            ),
+            pairs AS (
+              SELECT event_type, 1 AS lag, x, y1 AS y FROM lagged
+              UNION ALL SELECT event_type, 2, x, y2 FROM lagged
+              UNION ALL SELECT event_type, 3, x, y3 FROM lagged
+              UNION ALL SELECT event_type, 4, x, y4 FROM lagged
+              UNION ALL SELECT event_type, 5, x, y5 FROM lagged
+            ),
+            ints AS (
+              SELECT event_type, lag,
+                CAST(CAST(x AS DECIMAL(18,2)) * 100 AS DECIMAL(19,0)) AS xi,
+                CAST(CAST(y AS DECIMAL(18,2)) * 100 AS DECIMAL(19,0)) AS yi
+              FROM pairs WHERE x IS NOT NULL AND y IS NOT NULL
+            ),
+            s AS (
+              SELECT event_type, lag, count(*) AS n,
+                sum(CAST(xi AS DECIMAL(38,0))) AS sx,
+                sum(CAST(yi AS DECIMAL(38,0))) AS sy,
+                sum(CAST(xi * xi AS DECIMAL(38,0))) AS sxx,
+                sum(CAST(yi * yi AS DECIMAL(38,0))) AS syy,
+                sum(CAST(xi * yi AS DECIMAL(38,0))) AS sxy
+              FROM ints GROUP BY 1, 2
+            ),
+            e AS (
+              SELECT event_type, lag, n,
+                CAST(CAST(CAST(n AS DECIMAL(12,0)) * CAST(sxy AS DECIMAL(24,0)) AS DECIMAL(36,0))
+                     - CAST(CAST(sx AS DECIMAL(18,0)) * CAST(sy AS DECIMAL(18,0)) AS DECIMAL(36,0)) AS DOUBLE) AS cov_n,
+                CAST(CAST(CAST(n AS DECIMAL(12,0)) * CAST(sxx AS DECIMAL(24,0)) AS DECIMAL(36,0))
+                     - CAST(CAST(sx AS DECIMAL(18,0)) * CAST(sx AS DECIMAL(18,0)) AS DECIMAL(36,0)) AS DOUBLE) AS var_x,
+                CAST(CAST(CAST(n AS DECIMAL(12,0)) * CAST(syy AS DECIMAL(24,0)) AS DECIMAL(36,0))
+                     - CAST(CAST(sy AS DECIMAL(18,0)) * CAST(sy AS DECIMAL(18,0)) AS DECIMAL(36,0)) AS DOUBLE) AS var_y
+              FROM s
+            )
+            SELECT event_type, lag, n,
+              CASE WHEN sqrt(var_x) * sqrt(var_y) > 0
+                   THEN cov_n / (sqrt(var_x) * sqrt(var_y)) END AS acf
+            FROM e
+        """,
+        "q83_cusum": """
+            WITH base AS (
+              SELECT event_type, ts, value,
+                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(19,0)) AS xi
+              FROM events WHERE value IS NOT NULL
+            ),
+            pref AS (
+              SELECT event_type, ts, value, xi,
+                sum(CAST(xi AS DECIMAL(38,0))) OVER w AS pk,
+                CAST(row_number() OVER w AS BIGINT) AS k
+              FROM base
+              WINDOW w AS (PARTITION BY event_type ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ),
+            mom AS (
+              SELECT event_type, count(*) AS n,
+                sum(CAST(xi AS DECIMAL(38,0))) AS sx,
+                sum(CAST(xi * xi AS DECIMAL(38,0))) AS sxx
+              FROM base GROUP BY 1
+            ),
+            j AS (
+              SELECT p.event_type, p.ts, p.k, p.value, m.n,
+                CAST(CAST(CAST(m.n AS DECIMAL(12,0)) * CAST(p.pk AS DECIMAL(24,0)) AS DECIMAL(36,0))
+                     - CAST(CAST(p.k AS DECIMAL(12,0)) * CAST(m.sx AS DECIMAL(24,0)) AS DECIMAL(36,0)) AS DOUBLE) AS num,
+                CAST(CAST(CAST(m.n AS DECIMAL(12,0)) * CAST(m.sxx AS DECIMAL(24,0)) AS DECIMAL(36,0))
+                     - CAST(CAST(m.sx AS DECIMAL(18,0)) * CAST(m.sx AS DECIMAL(18,0)) AS DECIMAL(36,0)) AS DOUBLE) AS var_n
+              FROM pref p JOIN mom m USING (event_type)
+            )
+            SELECT event_type, ts, k, value,
+              CASE WHEN var_n > 0 THEN num / sqrt(var_n) END AS cusum,
+              (abs(CASE WHEN var_n > 0 THEN num / sqrt(var_n) END)
+               > 3.0 * sqrt(CAST(n AS DOUBLE))) AS breach
+            FROM j
+        """,
+        "q84_hopping_window": f"""
+            WITH x AS (
+              SELECT event_type, value, ts, unnest([0, 1, 2, 3]) AS off
+              FROM events
+            ),
+            w AS (
+              SELECT event_type, value,
+                make_timestamp(
+                  (CAST(floor(epoch(ts) / 1800) AS BIGINT) - off) * 1800 * 1000000
+                ) AS bucket
+              FROM x
+            )
+            SELECT event_type,
+              {_davg_sql('value')} AS avg_value,
+              count(*) AS n,
+              bucket
+            FROM w GROUP BY event_type, bucket
         """,
         "q76_histogram": """
             WITH b AS (

@@ -197,3 +197,68 @@ def simhash64_from_shingles(shingles: Column) -> Column:
         votes, bitvals, lambda v, bit: F.when(v > 0, bit).otherwise(F.lit(0).cast("long"))
     )
     return F.aggregate(signed, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+# PII patterns, applied in order. Deliberately RE2-compatible (no
+# backreferences, no lookaround) so the exact same pattern strings run
+# identically under Java regex (Spark) and RE2 (DuckDB/Go tooling) —
+# a redaction whose behavior depends on the engine is a compliance bug.
+# SSN before PHONE: a 3-2-4 digit group would otherwise half-match the
+# phone pattern and leak the remaining digits.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "[SSN]"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "[IP]"),
+    (
+        "phone",
+        r"\+?[0-9]{1,3}[- .]?\(?[0-9]{3}\)?[- .]?[0-9]{3}[- .]?[0-9]{4}",
+        "[PHONE]",
+    ),
+]
+
+
+def redact_pii(text: Column | str, kinds: list[str] | None = None) -> Column:
+    """Mask common PII (emails, SSNs, IPv4 addresses, phone numbers)
+    with typed placeholder tokens — the standard scrub before text
+    enters a training corpus.
+
+    Pure chained ``regexp_replace`` (JVM-side, whole-stage codegen; a
+    Python UDF here would put every byte of a 100 TB corpus through
+    the Python worker). Pattern order is significant and fixed — see
+    PII_PATTERNS. ``kinds`` selects a subset without disturbing the
+    order.
+    """
+    t = _c(text)
+    for name, pat, repl in PII_PATTERNS:
+        if kinds is None or name in kinds:
+            t = F.regexp_replace(t, pat, repl)
+    return t
+
+
+def repetition_stats(text: Column | str, n: int = 3) -> Column:
+    """Within-document repetition: struct(n_grams, n_distinct) over
+    word n-grams — ``1 - n_distinct/n_grams`` is the classic
+    repeated-line/phrase quality signal (MassiveText/Gopher rules).
+
+    Counts stay integers (exact, engine-portable); callers derive the
+    ratio with one double division. Uses the zip-shift shingle
+    construction (O(tokens·n), no per-index re-evaluation — see
+    shingles_from_tokens) but WITHOUT the distinct, since multiplicity
+    is the whole point here.
+    """
+    toks = tokens(text)
+    m = F.size(toks)
+    arr = toks
+    for j in range(1, n):
+        arr = F.zip_with(
+            arr,
+            F.slice(toks, j + 1, F.greatest(m - j, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    grams = F.when(m >= n, F.slice(arr, 1, m - n + 1)).otherwise(
+        F.array().cast("array<string>")
+    )
+    return F.struct(
+        F.size(grams).alias("n_grams"),
+        F.size(F.array_distinct(grams)).alias("n_distinct"),
+    )

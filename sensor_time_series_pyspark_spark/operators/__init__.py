@@ -2,7 +2,10 @@
 
 from .pivot import impute_defaults, pivot_wide, unpivot
 from .windows import ffill, interpolate_linear, lead_target, rate_of_change, rolling_avg
-from .resample import ohlc, resample, time_weighted_avg
+from .resample import hopping_resample, ohlc, resample, time_weighted_avg
+from .chunking import chunk_tokens
+from .contamination import ngram_overlap
+from .drift import acf, cusum, tvd_drift
 from .gaps import missing_buckets
 from .sessionize import sessionize
 from .scd import scd2
@@ -52,6 +55,12 @@ __all__ = [
     "ffill",
     "interpolate_linear",
     "resample",
+    "hopping_resample",
+    "chunk_tokens",
+    "ngram_overlap",
+    "acf",
+    "cusum",
+    "tvd_drift",
     "ohlc",
     "time_weighted_avg",
     "missing_buckets",

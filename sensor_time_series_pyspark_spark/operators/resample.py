@@ -108,3 +108,35 @@ def time_weighted_avg(
         F.sum("__w").alias("covered_seconds"),
         F.count(F.lit(1)).alias("n_samples"),
     )
+
+
+def hopping_resample(
+    df: DataFrame,
+    ts_col: str,
+    width: str,
+    slide: str,
+    keys: Sequence[str] = (),
+    aggs: Sequence[Column] = (),
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Hopping (sliding) window aggregate: one row per (keys, window)
+    where windows of ``width`` start every ``slide`` — the smoothed
+    trend view (e.g. "1-hour average, updated every 15 minutes").
+
+    ``F.window(ts, width, slide)`` replicates each row into its
+    width/slide containing windows BEFORE the aggregation — the
+    replication happens map-side inside the generated Expand node, so
+    the shuffle carries partial aggregates per (key, window), not
+    width/slide copies of the raw rows. This is the plan Catalyst
+    builds natively; the same expression is streaming-compatible under
+    a watermark. Requires width to be a multiple of slide (Spark
+    enforces divisibility of windows into slides).
+    """
+    aggs = list(aggs) or [F.count(F.lit(1)).alias("n")]
+    win = F.window(ts_col, width, slide)
+    return (
+        df.groupBy(win, *keys)
+        .agg(*aggs)
+        .withColumn(bucket_col, F.col("window.start"))
+        .drop("window")
+    )
