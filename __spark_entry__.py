@@ -1396,6 +1396,38 @@ def _q_hopping_window(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_top_categories(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-brand heavy hitters of p_type (operators/profile.py:
+    top_categories): one hash aggregate + a window over the aggregated
+    frame; exact shares from two longs."""
+    from sensor_time_series_pyspark_spark.operators import top_categories
+
+    p = read_table(spark, sf, "part")
+    return top_categories(p, "p_type", by=["p_brand"], k=3)
+
+
+def _q_category_gini(spark: SparkSession, sf: str) -> DataFrame:
+    """Language concentration per document source (operators/
+    profile.py:category_concentration) — Herfindahl/Gini from exact
+    integer count moments, one double division."""
+    from sensor_time_series_pyspark_spark.operators import category_concentration
+
+    docs = read_table(spark, sf, "documents")
+    return category_concentration(docs, "lang", by=["source"])
+
+
+def _q_rolling_median(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact 7-sample trailing median per series (operators/windows.py:
+    rolling_median) — the robust denoiser; percentile interpolation is
+    IEEE-identical to DuckDB quantile_cont."""
+    from sensor_time_series_pyspark_spark.operators import rolling_median
+
+    ev = read_table(spark, sf, "events")
+    return rolling_median(
+        ev, "ts", "value", partition_by=["event_type"], n_rows=7
+    ).select("event_id", "event_type", "ts", "value", "rolling_median")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -1482,6 +1514,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_acf": _q_acf,
         "q83_cusum": _q_cusum,
         "q84_hopping_window": _q_hopping_window,
+        "q85_top_categories": _q_top_categories,
+        "q86_category_gini": _q_category_gini,
+        "q87_rolling_median": _q_rolling_median,
     }
 
 
@@ -2593,6 +2628,52 @@ def oracle_sql() -> dict[str, str]:
               CASE WHEN sqrt(var_x) * sqrt(var_y) > 0
                    THEN cov_n / (sqrt(var_x) * sqrt(var_y)) END AS corr
             FROM e
+        """,
+        "q85_top_categories": """
+            WITH c AS (
+              SELECT p_brand, p_type AS value, count(*) AS n
+              FROM part WHERE p_type IS NOT NULL
+              GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT p_brand, value, n,
+                CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY p_brand) AS DOUBLE)
+                  AS share,
+                CAST(row_number() OVER (PARTITION BY p_brand
+                     ORDER BY n DESC, value) AS INT) AS rank
+              FROM c
+            )
+            SELECT p_brand, value, n, share, rank FROM r WHERE rank <= 3
+        """,
+        "q86_category_gini": """
+            WITH c AS (
+              SELECT source, lang, CAST(count(*) AS DECIMAL(19,0)) AS cnt
+              FROM documents WHERE lang IS NOT NULL
+              GROUP BY 1, 2
+            ),
+            g AS (
+              SELECT source,
+                sum(CAST(cnt AS DECIMAL(38,0))) AS n,
+                sum(CAST(cnt * cnt AS DECIMAL(38,0))) AS ss,
+                count(*) AS n_categories
+              FROM c GROUP BY 1
+            )
+            SELECT source, CAST(n AS BIGINT) AS n, n_categories,
+              CAST(ss AS DOUBLE)
+                / CAST(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)) AS DOUBLE)
+                AS herfindahl,
+              1.0 - CAST(ss AS DOUBLE)
+                / CAST(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)) AS DOUBLE)
+                AS gini
+            FROM g
+        """,
+        "q87_rolling_median": """
+            SELECT event_id, event_type, ts, value,
+              quantile_cont(value, 0.5) OVER (
+                PARTITION BY event_type ORDER BY ts
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+              ) AS rolling_median
+            FROM events
         """,
         "q77_chunk_tokens": r"""
             WITH t AS (

@@ -1,7 +1,14 @@
 """Relational/dataflow operators — DataFrame-in → DataFrame-out."""
 
 from .pivot import impute_defaults, pivot_wide, unpivot
-from .windows import ffill, interpolate_linear, lead_target, rate_of_change, rolling_avg
+from .windows import (
+    ffill,
+    interpolate_linear,
+    lead_target,
+    rate_of_change,
+    rolling_avg,
+    rolling_median,
+)
 from .resample import hopping_resample, ohlc, resample, time_weighted_avg
 from .chunking import chunk_tokens
 from .contamination import ngram_overlap
@@ -42,7 +49,13 @@ from .similarity import (
 from .interval import interval_join
 from .multimodal import blob_metadata, decode_features, frame_sample_plan, sniff_format
 from .skew import salted_agg, salted_join
-from .profile import exact_corr, histogram, profile
+from .profile import (
+    category_concentration,
+    exact_corr,
+    histogram,
+    profile,
+    top_categories,
+)
 from .validate import observe_violations, quarantine, violation_counts
 from .bucketing import read_bucketed, write_bucketed
 
@@ -112,6 +125,9 @@ __all__ = [
     "profile",
     "histogram",
     "exact_corr",
+    "top_categories",
+    "category_concentration",
+    "rolling_median",
     "levenshtein_pairs",
     "quarantine",
 ]

@@ -193,3 +193,89 @@ def exact_corr(
         "n",
         F.when(denom > 0, cov_n / denom).alias("corr"),
     )
+
+
+def top_categories(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str] | None = None,
+    k: int = 5,
+) -> DataFrame:
+    """Per-group top-k most frequent values with counts and exact share
+    — the heavy-hitters profile of a categorical column (label skew,
+    source imbalance, vocabulary head).
+
+    One hash aggregate computes (group, value) counts; the group total
+    rides a window over THAT small aggregated frame (no second scan of
+    the fact table), and rank ties break deterministically on the value
+    itself. Share = count/total is one double division of two exact
+    longs — engine-portable.
+
+    Output: [*by], value, n, share, rank (1-based, rank ≤ k).
+    """
+    from pyspark.sql.window import Window
+
+    keys = list(by) if by else []
+    counts = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*keys, F.col(value_col).alias("value"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wg = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    wr = wg.orderBy(F.col("n").desc(), F.col("value"))
+    return (
+        counts.select(
+            *keys,
+            "value",
+            "n",
+            (F.col("n").cast("double") / F.sum("n").over(wg).cast("double")).alias(
+                "share"
+            ),
+            F.row_number().over(wr).alias("rank"),
+        )
+        .where(F.col("rank") <= k)
+    )
+
+
+def category_concentration(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str] | None = None,
+) -> DataFrame:
+    """Per-group categorical concentration: Herfindahl index
+    ``H = Σ pᵢ²`` and Gini impurity ``1 − H`` over the value
+    distribution — the diversity/imbalance check on labels, sources,
+    and languages before a training mix is finalized.
+
+    Rational to the last step: with counts cᵢ and total n,
+    ``H = Σcᵢ² / n²`` — both exact integers (decimal sums), one double
+    division, so the statistic hash-matches across engines. (Shannon
+    entropy needs per-category ln(), which no engine guarantees
+    correctly rounded — H ranks the same distributions without it.)
+
+    Two chained aggregates, both on shrinking frames: fact →
+    (group, value) counts → group row. Output: [*by], n, n_categories,
+    herfindahl, gini.
+    """
+    keys = list(by) if by else []
+    counts = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*keys, F.col(value_col).alias("__v"))
+        .agg(F.count(F.lit(1)).cast("decimal(19,0)").alias("__c"))
+    )
+    d38 = "decimal(38,0)"
+    per_group = (counts.groupBy(*keys) if keys else counts.groupBy()).agg(
+        F.sum(F.col("__c").cast(d38)).alias("__n"),
+        F.sum((F.col("__c") * F.col("__c")).cast(d38)).alias("__ss"),
+        F.count(F.lit(1)).alias("n_categories"),
+    )
+    h = F.col("__ss").cast("double") / (
+        F.col("__n") * F.col("__n")
+    ).cast("double")
+    return per_group.select(
+        *keys,
+        F.col("__n").cast("long").alias("n"),
+        "n_categories",
+        h.alias("herfindahl"),
+        (F.lit(1.0) - h).alias("gini"),
+    )

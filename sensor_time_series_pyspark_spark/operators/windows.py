@@ -159,3 +159,35 @@ def interpolate_linear(
         .otherwise(blended)
     )
     return df.withColumn(out, filled)
+
+
+def rolling_median(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    partition_by: Sequence[str],
+    n_rows: int = 7,
+    out_col: str = "rolling_median",
+) -> DataFrame:
+    """Exact trailing median over the last ``n_rows`` samples per
+    series — the robust twin of ``rolling_avg`` (one outlier moves a
+    7-point mean by 1/7 of its magnitude; it moves the median not at
+    all, which is why sensor-cleaning pipelines prefer it).
+
+    Uses the exact ``percentile`` aggregate over a rowsBetween frame:
+    linear interpolation at rank 0.5·(n−1), identical to DuckDB's
+    ``quantile_cont`` — for even frames both average the two middle
+    values with one IEEE add + multiply, so results are
+    engine-portable. Cost is O(frame log frame) per row inside the
+    window operator, JVM-side; frames are small constants (7 here), so
+    at 100 TB the one sort per series partition dominates — same
+    shuffle shape as every other window op in this module.
+    """
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(F.col(ts_col))
+        .rowsBetween(-(n_rows - 1), 0)
+    )
+    return df.withColumn(
+        out_col, F.percentile(F.col(value_col), F.lit(0.5)).over(w)
+    )

@@ -240,3 +240,59 @@ def test_hopping_multiplicity(spark):
     starts = sorted(r["bucket"] for r in out)
     assert starts[0] == ts("2023-12-31 23:00:00")
     assert starts[-1] == ts("2024-01-01 00:30:00")
+
+
+# -------------------------------------------------------------- profiling
+
+
+def test_top_categories_ranks_and_shares(spark):
+    df = spark.createDataFrame(
+        [("g", "a")] * 5 + [("g", "b")] * 3 + [("g", "c")] * 2,
+        "grp string, v string",
+    )
+    from sensor_time_series_pyspark_spark.operators import top_categories
+
+    out = {r["rank"]: r for r in top_categories(df, "v", by=["grp"], k=2).collect()}
+    assert len(out) == 2
+    assert (out[1]["value"], out[1]["n"]) == ("a", 5)
+    assert out[1]["share"] == 0.5
+    assert (out[2]["value"], out[2]["n"]) == ("b", 3)
+
+
+def test_category_concentration_extremes(spark):
+    from sensor_time_series_pyspark_spark.operators import category_concentration
+
+    pure = spark.createDataFrame([("g", "x")] * 10, "grp string, v string")
+    r = category_concentration(pure, "v", by=["grp"]).collect()[0]
+    assert r["herfindahl"] == 1.0 and r["gini"] == 0.0
+    uniform = spark.createDataFrame(
+        [("g", str(i)) for i in range(10)], "grp string, v string"
+    )
+    r2 = category_concentration(uniform, "v", by=["grp"]).collect()[0]
+    assert r2["herfindahl"] == pytest.approx(0.1)
+    assert r2["n_categories"] == 10
+
+
+def test_rolling_median_robustness(spark):
+    from sensor_time_series_pyspark_spark.operators import rolling_median
+
+    # constant series with one huge outlier: median shrugs it off as
+    # soon as the frame holds a non-outlier majority
+    rows = [
+        ("s", ts(f"2024-01-01 00:{m:02d}:00"), 1000.0 if m == 5 else 3.0)
+        for m in range(12)
+    ]
+    df = spark.createDataFrame(rows, "sid string, t timestamp, v double")
+    out = (
+        rolling_median(df, "t", "v", partition_by=["sid"], n_rows=7)
+        .orderBy("t")
+        .collect()
+    )
+    assert all(r["rolling_median"] == 3.0 for r in out)
+    # even-count frame interpolates the two middle values
+    two = spark.createDataFrame(
+        [("s", ts("2024-01-01 00:00:00"), 1.0), ("s", ts("2024-01-01 00:01:00"), 2.0)],
+        "sid string, t timestamp, v double",
+    )
+    got = rolling_median(two, "t", "v", partition_by=["sid"], n_rows=7).orderBy("t").collect()
+    assert got[1]["rolling_median"] == 1.5
