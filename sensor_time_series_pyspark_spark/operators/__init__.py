@@ -58,6 +58,15 @@ from .profile import (
 )
 from .validate import observe_violations, quarantine, violation_counts
 from .bucketing import read_bucketed, write_bucketed
+from .islands import merge_intervals, streaks
+from .viz import m4_downsample
+from .compress import deadband_compress
+from .bloomjoin import bloom_bitmap, bloom_prune, bloom_semi_join
+from .sketches import hll_partials, hll_rollup
+from .graph import pagerank
+from .windows import rolling_corr
+from .quantiles import weighted_median
+from .sampling import stratified_hash_sample
 
 __all__ = [
     "pivot_wide",
@@ -130,4 +139,17 @@ __all__ = [
     "rolling_median",
     "levenshtein_pairs",
     "quarantine",
+    "merge_intervals",
+    "streaks",
+    "m4_downsample",
+    "deadband_compress",
+    "bloom_bitmap",
+    "bloom_prune",
+    "bloom_semi_join",
+    "hll_partials",
+    "hll_rollup",
+    "pagerank",
+    "rolling_corr",
+    "weighted_median",
+    "stratified_hash_sample",
 ]

@@ -25,33 +25,67 @@ def asof_join(
     right_ts: str,
     value_cols: Sequence[str],
     suffix: str = "",
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
+    matched_ts_col: str | None = None,
 ) -> DataFrame:
-    """Backward as-of: for each left row, the most recent right row with
-    ``right_ts <= left_ts`` within the same ``on`` key.
+    """As-of join: for each left row, the nearest right row within the
+    same ``on`` key — the most recent with ``right_ts <= left_ts``
+    (``direction='backward'``, default) or the earliest with
+    ``right_ts >= left_ts`` (``'forward'``).
+
+    ``tolerance_seconds`` nulls the carried values when the matched row
+    is further than the tolerance from ``left_ts`` (pandas
+    ``merge_asof(tolerance=...)`` semantics — the row stays, the match
+    is dropped). ``matched_ts_col`` optionally exposes the matched
+    right timestamp (NULL when no match / out of tolerance).
 
     ``value_cols`` are the right-side columns to carry. If several right
     rows share the same key+timestamp, pre-aggregate ``right`` first for
     deterministic output.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    backward = direction == "backward"
     out_cols = [c + suffix for c in value_cols]
+    carry = list(out_cols) + ["__rts"]
     r = right.select(
         *[F.col(k) for k in on],
         F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__side"),
+        # right rows sort before left at equal timestamps going
+        # backward (and after, going forward), so an exactly-coincident
+        # right row IS visible to the left row in both directions.
+        F.lit(0 if backward else 1).alias("__side"),
         *[F.col(c).alias(o) for c, o in zip(value_cols, out_cols)],
+        F.col(right_ts).alias("__rts"),
     )
-    l = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
-    for o in out_cols:
+    l = left.withColumn("__ts", F.col(left_ts)).withColumn(
+        "__side", F.lit(1 if backward else 0)
+    )
+    for o in carry:
         l = l.withColumn(o, F.lit(None).cast(r.schema[o].dataType))
     unioned = l.unionByName(r, allowMissingColumns=True)
 
-    # right rows (side=0) sort before left rows at the same timestamp,
-    # so an exactly-coincident right row IS visible to the left row.
-    w = (
-        Window.partitionBy(*on)
-        .orderBy("__ts", "__side")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    for o in out_cols:
-        unioned = unioned.withColumn(o, F.last(o, ignorenulls=True).over(w))
-    return unioned.where(F.col("__side") == 1).drop("__ts", "__side")
+    base = Window.partitionBy(*on).orderBy("__ts", "__side")
+    if backward:
+        w = base.rowsBetween(Window.unboundedPreceding, 0)
+        pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        w = base.rowsBetween(0, Window.unboundedFollowing)
+        pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+    for o in carry:
+        unioned = unioned.withColumn(o, pick(o))
+    out = unioned.where(F.col("__side") == (1 if backward else 0))
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.col("__ts").cast("timestamp").cast("double")
+            - F.col("__rts").cast("timestamp").cast("double")
+        )
+        ok = gap <= F.lit(float(tolerance_seconds))
+        for o in carry:
+            out = out.withColumn(o, F.when(ok, F.col(o)))
+    if matched_ts_col is not None:
+        out = out.withColumnRenamed("__rts", matched_ts_col)
+    else:
+        out = out.drop("__rts")
+    return out.drop("__ts", "__side")

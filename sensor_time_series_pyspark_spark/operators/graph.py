@@ -1,0 +1,91 @@
+"""Iterative graph algorithms over edge DataFrames (PageRank).
+
+Complements the near-dup clustering in dedup.py (connected components,
+label propagation): PageRank ranks nodes by link structure — in a
+training-data pipeline the standard use is source/domain authority
+scoring over a hyperlink or citation graph (a quality prior for
+document filtering, cf. the Common Crawl-style pipelines in PAPERS.md).
+
+Spark shape: the degree table and rank table are keyed by node; every
+iteration is ONE shuffle join (ranks ⋈ edges on src, pre-partitioned so
+successive iterations reuse the partitioning) + one aggregation on dst.
+Iteration count is fixed and small (10-20); lineage is cut with
+localCheckpoint every few rounds like dedup.connected_components, so
+the plan does not grow unboundedly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 10,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """PageRank over a directed edge list (duplicates collapse first).
+
+    Dangling nodes (no out-edges) redistribute their mass uniformly —
+    the standard correction, so total mass stays n_nodes (within float
+    rounding) every iteration; a convergence/mass test pins this.
+
+    Output: node, rank (normalized so ranks sum to n_nodes).
+    """
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # out-degree per source; broadcast-sized graphs still go through the
+    # same joins — Catalyst/AQE picks the physical strategy.
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n_nodes = nodes.count()
+
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    for i in range(n_iter):
+        with_deg = ranks.join(
+            deg, ranks["node"] == deg["src"], "left"
+        ).select(
+            ranks["node"], "rank", F.col("deg")
+        )
+        # mass from dangling nodes, spread uniformly
+        dangling = (
+            with_deg.where(F.col("deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
+            .collect()[0]["m"]
+        )
+        contribs = (
+            with_deg.where(F.col("deg").isNotNull())
+            .join(e, with_deg["node"] == e["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        base = (1.0 - damping) + damping * dangling / n_nodes
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base) + F.lit(damping) * F.coalesce("c", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -138,3 +138,42 @@ def approx_ntile(
     for i in range(n - 1):
         bucket = bucket + F.when(v > F.col("__cuts")[i], 1).otherwise(0)
     return joined.withColumn(out_col, bucket.cast("int")).drop("__cuts")
+
+
+def weighted_median(
+    df: DataFrame,
+    by: Sequence[str],
+    value_col: str,
+    weight_col: str,
+    tiebreak_cols: Sequence[str] = (),
+    out_col: str = "w_median",
+) -> DataFrame:
+    """Exact weighted median (lower weighted median): the smallest value
+    whose cumulative weight reaches half the group's total weight.
+
+    Weights accumulate as exact decimals (order-independent), and the
+    half-total comparison is ``2*cumw >= total`` in decimal arithmetic —
+    no division, no doubles, so any engine reproduces the selection
+    bit-for-bit. ``tiebreak_cols`` must make the sort within
+    (value, ties) total for deterministic cumulative sums; the SELECTED
+    value is tie-insensitive, but a total order is still required for
+    the first-qualifying-row pick.
+
+    One shuffle on ``by`` (window sort + the min aggregate reuse it).
+    Output: [*by], w_median.
+    """
+    wdec = F.col(weight_col).cast("decimal(28,6)")
+    order = [F.col(value_col).asc(), *[F.col(c).asc() for c in tiebreak_cols]]
+    keys = [F.col(k) for k in by]
+    cum = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy(*keys)
+    qualified = (
+        df.withColumn("__cumw", F.sum(wdec).over(cum))
+        .withColumn("__totw", F.sum(wdec).over(tot))
+        .where(F.col("__cumw") * 2 >= F.col("__totw"))
+    )
+    return qualified.groupBy(*by).agg(F.min(value_col).alias(out_col))

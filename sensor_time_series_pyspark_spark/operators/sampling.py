@@ -80,3 +80,42 @@ def hash_split(
     last = F.lit(names[-1])
     out = last if expr is None else expr.otherwise(last)
     return df.withColumn(out_col, out)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each stratum value gets its
+    own keep-fraction (e.g. downsample dominant languages, keep all of
+    rare ones — the standard training-mix rebalancing move).
+
+    Same machinery as ``hash_sample`` — md5-hex threshold per row, CASE
+    on the stratum — so it stays a narrow map-side filter: no shuffle,
+    no RNG, stable across runs/engines/partitionings, and the threshold
+    comparison is reproducible in any engine with md5 (oracle-testable).
+
+    Strata not in ``fractions`` fall back to ``default_fraction``
+    (0 = drop, 1 = keep all).
+    """
+    for s, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {s!r} must be in [0,1], got {frac}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction must be in [0,1]")
+    h = _bucket_hex(F.col(key_col), salt)
+    thr: Column | None = None
+    for s, frac in fractions.items():
+        cond = F.col(strata_col) == s
+        lit = F.lit(_threshold_hex(frac))
+        thr = F.when(cond, lit) if thr is None else thr.when(cond, lit)
+    thr = (
+        F.lit(_threshold_hex(default_fraction))
+        if thr is None
+        else thr.otherwise(F.lit(_threshold_hex(default_fraction)))
+    )
+    return df.where(h < thr)

@@ -191,3 +191,61 @@ def rolling_median(
     return df.withColumn(
         out_col, F.percentile(F.col(value_col), F.lit(0.5)).over(w)
     )
+
+
+def rolling_corr(
+    df: DataFrame,
+    by: Sequence[str],
+    order_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    n_rows: int = 20,
+    x_decimals: int = 2,
+    y_decimals: int = 0,
+    out_col: str = "r_corr",
+) -> DataFrame:
+    """Rolling Pearson correlation over the trailing ``n_rows`` rows per
+    key — engine-portable via EXACT integer moments (the windowed twin
+    of operators/profile.py:exact_corr; see its docstring for why the
+    n*Sxy - Sx*Sy cancellation must happen BEFORE any double cast).
+
+    x, y are scaled to integers by 10^decimals (corr is scale/shift
+    invariant). All five windowed sums accumulate as decimal(38,0) —
+    exact and order-independent — then one double conversion + a fixed
+    IEEE epilogue. Rows with NULL in either column must be filtered by
+    the caller (frame counts include them otherwise).
+
+    ``order_cols`` must be a total order (add a unique id as tiebreak)
+    or the frame contents are nondeterministic. NULL when the window is
+    degenerate (constant x or y, or a single row).
+    """
+    xi = (
+        (F.col(x_col).cast(f"decimal(18,{x_decimals})") * (10 ** x_decimals))
+        .cast("decimal(19,0)")
+    )
+    yi = (
+        (F.col(y_col).cast(f"decimal(18,{y_decimals})") * (10 ** y_decimals))
+        .cast("decimal(19,0)")
+    )
+    d38 = "decimal(38,0)"
+    w = (
+        Window.partitionBy(*[F.col(k) for k in by])
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(-(n_rows - 1), 0)
+    )
+    tmp = (
+        df.withColumn("__n", F.count(F.lit(1)).over(w))
+        .withColumn("__sx", F.sum(xi.cast(d38)).over(w))
+        .withColumn("__sy", F.sum(yi.cast(d38)).over(w))
+        .withColumn("__sxx", F.sum((xi * xi).cast(d38)).over(w))
+        .withColumn("__syy", F.sum((yi * yi).cast(d38)).over(w))
+        .withColumn("__sxy", F.sum((xi * yi).cast(d38)).over(w))
+    )
+    nd = F.col("__n").cast("decimal(12,0)")
+    cov_n = (nd * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
+    var_x = (nd * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
+    var_y = (nd * F.col("__syy") - F.col("__sy") * F.col("__sy")).cast("double")
+    denom = F.sqrt(var_x) * F.sqrt(var_y)
+    return tmp.withColumn(
+        out_col, F.when(denom > 0, cov_n / denom)
+    ).drop("__n", "__sx", "__sy", "__sxx", "__syy", "__sxy")
