@@ -1428,6 +1428,227 @@ def _q_rolling_median(spark: SparkSession, sf: str) -> DataFrame:
     ).select("event_id", "event_type", "ts", "value", "rolling_median")
 
 
+def _q_merge_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    """Gaps-and-islands interval merge (operators/islands.py): each
+    event opens a 30-minute activity window per user; overlapping
+    windows collapse to disjoint activity episodes. One shuffle on the
+    user key (window labeling + island agg share the partitioning)."""
+    from sensor_time_series_pyspark_spark.operators import merge_intervals
+
+    ev = read_table(spark, sf, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+    )
+    return merge_intervals(iv, ["user_id"], "s", "e")
+
+
+def _q_order_streaks(spark: SparkSession, sf: str) -> DataFrame:
+    """Consecutive-calendar-day runs per customer (operators/
+    islands.py:streaks, the date - row_number anchor trick): distinct
+    order days per customer, maximal runs ≥ 2 days."""
+    from sensor_time_series_pyspark_spark.operators import streaks
+
+    o = read_table(spark, sf, "orders")
+    return streaks(o, ["o_custkey"], "o_orderdate", min_length=2)
+
+
+def _q_asof_tolerance(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join with a match tolerance (operators/asof.py): each
+    event picks up the latest purchase by the same user within the
+    trailing 2 hours; older matches null out (pandas merge_asof
+    tolerance semantics). Purchases at identical (user, ts) pre-
+    aggregate to max(value) so the carried value is deterministic."""
+    ev = read_table(spark, sf, "events")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("last_purchase_value"))
+    )
+    return asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        purchases,
+        ["user_id"],
+        "ts",
+        "ts",
+        ["last_purchase_value"],
+        tolerance_seconds=7200,
+        matched_ts_col="last_purchase_ts",
+    )
+
+
+def _q_pareto_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Pareto / cumulative-share analysis: customers ranked by revenue,
+    running share of total, top-80% flag. The window runs over the
+    AGGREGATED frame (one row per customer) — the global-order sort is
+    a deliberate presentation-scale step, never applied to raw facts
+    (SURVEY.md §2.6 ref bug #10). Sums are exact decimals; the share is
+    one double division, identical in any engine."""
+    o = read_table(spark, sf, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("__rev")
+    )
+    w = (
+        Window.orderBy(F.col("__rev").desc(), F.col("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy()
+    return (
+        rev.withColumn("__cum", F.sum("__rev").over(w))
+        .withColumn("__tot", F.sum("__rev").over(tot))
+        .select(
+            "o_custkey",
+            F.col("__rev").cast("double").alias("revenue"),
+            (F.col("__cum").cast("double") / F.col("__tot").cast("double")).alias(
+                "cum_share"
+            ),
+            (
+                F.col("__cum").cast("double") / F.col("__tot").cast("double")
+                <= 0.8
+            ).alias("is_top80"),
+        )
+    )
+
+
+def _q_m4_downsample(spark: SparkSession, sf: str) -> DataFrame:
+    """M4 visualization downsample (operators/viz.py, Jugel et al. VLDB
+    2014): per (event_type, day) keep min/max/first/last — the exact
+    pixel-rendering reduction, one hash aggregate, selection made
+    deterministic by a (unix_micros ‖ event_id) order key."""
+    from sensor_time_series_pyspark_spark.operators import m4_downsample
+
+    ev = read_table(spark, sf, "events").where(F.col("value").isNotNull())
+    return m4_downsample(
+        ev, ["event_type"], "ts", "value", "event_id", bucket="1 day"
+    )
+
+
+def _q_deadband(spark: SparkSession, sf: str) -> DataFrame:
+    """Deadband (exception) compression per series (operators/
+    compress.py): keep first + every >ε excursion from the last KEPT
+    value — the PI-historian storage rule. Inherently sequential per
+    series → applyInPandas per user; oracle is a recursive CTE
+    replaying the same fold."""
+    from sensor_time_series_pyspark_spark.operators import deadband_compress
+
+    ev = read_table(spark, sf, "events").where(F.col("value").isNotNull())
+    return deadband_compress(ev, "user_id", "ts", "value", epsilon=25.0)
+
+
+def _q_rolling_corr(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling Pearson correlation of value vs time (trend strength)
+    over the trailing 10 events per user — exact integer moments
+    (operators/windows.py:rolling_corr), so the low bits match any
+    engine. Seconds are exact integers via unix_micros div 10^6."""
+    from sensor_time_series_pyspark_spark.operators import rolling_corr
+
+    ev = (
+        read_table(spark, sf, "events")
+        .where(F.col("value").isNotNull())
+        .withColumn(
+            "secs",
+            # integer div, not /1e6: double quotients can truncate off
+            # by one at second boundaries vs an exact-integer engine
+            F.expr("unix_micros(ts) div 1000000")
+            - F.lit(1704067200),  # epoch('2024-01-01'): keeps moments small
+        )
+    )
+    out = rolling_corr(
+        ev, ["user_id"], ["ts", "event_id"], "value", "secs",
+        n_rows=10, x_decimals=2, y_decimals=0,
+    )
+    return out.select("event_id", "user_id", "ts", "r_corr")
+
+
+def _q_bloom_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-pruned semi join (operators/bloomjoin.py): urgent orders
+    build a 65536-bit bitmap; lineitem is pruned MAP-SIDE before the
+    exact semi join — the explicit form of Spark's runtime bloom
+    filtering, ~80% shuffle reduction here, far more on selective
+    joins at 100 TB. Result is exact (join removes false positives)."""
+    from sensor_time_series_pyspark_spark.operators import bloom_semi_join
+
+    li = read_table(spark, sf, "lineitem")
+    urgent = read_table(spark, sf, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    hits = bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey")
+    return hits.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _dsum(F.col("l_extendedprice")).alias("revenue"),
+    )
+
+
+def _q_hll_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable distinct-count rollup (operators/sketches.py): one HLL
+    sketch per (event_type, day) partial, merged to per-type totals
+    WITHOUT rescanning the fact table — the continuous-aggregate
+    pattern for COUNT(DISTINCT) at 100 TB. Rows-only: sketch estimates
+    are DataSketches-specific; a test pins ≤5% error vs exact."""
+    from sensor_time_series_pyspark_spark.operators import hll_partials, hll_rollup
+
+    ev = read_table(spark, sf, "events").withColumn("day", F.to_date("ts"))
+    partials = hll_partials(ev, ["event_type", "day"], "user_id")
+    return hll_rollup(partials, ["event_type"])
+
+
+def _q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-stratum deterministic sampling (operators/sampling.py:
+    stratified_hash_sample): rebalance the language mix — downsample
+    dominant en, keep all de, thin the rest — with md5-threshold
+    decisions that are stable across runs, engines, partitionings."""
+    from sensor_time_series_pyspark_spark.operators import stratified_hash_sample
+
+    docs = read_table(spark, sf, "documents")
+    return stratified_hash_sample(
+        docs,
+        "doc_id",
+        "lang",
+        {"en": 0.5, "de": 1.0, "fr": 0.25},
+        default_fraction=0.1,
+    ).select("doc_id", "lang", "source")
+
+
+def _q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank (operators/graph.py) over the supplier↔part supply
+    graph (bipartite, both directions; node ids disambiguated by
+    parity). Iterative: one join+agg per round, lineage cut by
+    localCheckpoint. Rows-only: float mass diffusion has no SQL twin;
+    tests pin mass conservation + symmetry."""
+    from sensor_time_series_pyspark_spark.operators import pagerank
+
+    li = read_table(spark, sf, "lineitem")
+    sp = li.select(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    edges = sp.unionByName(
+        sp.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = pagerank(edges, n_iter=6, checkpoint_every=3)
+    return ranks.where(F.col("node") % 2 == 0).select(
+        (F.col("node") / 2).cast("long").alias("suppkey"), "rank"
+    )
+
+
+def _q_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact weighted median (operators/quantiles.py:weighted_median):
+    quantity-weighted median unit price per return flag. Cumulative
+    weights stay decimal; the half-total test is 2*cum >= total with
+    no division — bit-portable across engines."""
+    from sensor_time_series_pyspark_spark.operators import weighted_median
+
+    li = read_table(spark, sf, "lineitem")
+    return weighted_median(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        "l_quantity",
+        tiebreak_cols=["l_orderkey", "l_linenumber"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -1517,6 +1738,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q85_top_categories": _q_top_categories,
         "q86_category_gini": _q_category_gini,
         "q87_rolling_median": _q_rolling_median,
+        "q88_merge_intervals": _q_merge_intervals,
+        "q89_order_streaks": _q_order_streaks,
+        "q90_asof_tolerance": _q_asof_tolerance,
+        "q91_pareto_customers": _q_pareto_customers,
+        "q92_m4_downsample": _q_m4_downsample,
+        "q93_deadband": _q_deadband,
+        "q94_rolling_corr": _q_rolling_corr,
+        "q95_bloom_semi_join": _q_bloom_semi_join,
+        "q96_hll_rollup": _q_hll_rollup,
+        "q97_stratified_sample": _q_stratified_sample,
+        "q98_pagerank": _q_pagerank,
+        "q99_weighted_median": _q_weighted_median,
     }
 
 
@@ -1525,6 +1758,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _STOPWORD_LIST = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+from sensor_time_series_pyspark_spark.operators.sampling import (  # noqa: E402
+    _threshold_hex as _thr,
+)
 
 
 def _davg_sql(col: str, filt: str | None = None) -> str:
@@ -2928,5 +3165,175 @@ def oracle_sql() -> dict[str, str]:
               lo + (CAST(bin AS DOUBLE) + 1) * (hi - lo) / 10.0 AS bin_hi,
               count(*) AS n
             FROM k GROUP BY event_type, bin, lo, hi
+        """,
+        "q88_merge_intervals": """
+            WITH iv AS (
+              SELECT user_id, ts AS s, ts + INTERVAL 30 MINUTE AS e
+              FROM events
+            ),
+            flagged AS (
+              SELECT user_id, s, e,
+                CASE WHEN s > max(e) OVER (
+                       PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     THEN 1 ELSE 0 END AS new_island
+              FROM iv
+            ),
+            labeled AS (
+              SELECT user_id, s, e,
+                sum(new_island) OVER (
+                  PARTITION BY user_id ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+              FROM flagged
+            )
+            SELECT user_id, min(s) AS island_start, max(e) AS island_end,
+                   count(*) AS n_intervals
+            FROM labeled GROUP BY user_id, island
+        """,
+        "q89_order_streaks": """
+            WITH d AS (
+              SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS d
+              FROM orders
+            ),
+            a AS (
+              SELECT o_custkey, d,
+                d - CAST(row_number() OVER (
+                      PARTITION BY o_custkey ORDER BY d) AS INT) AS anchor
+              FROM d
+            )
+            SELECT o_custkey, min(d) AS streak_start, max(d) AS streak_end,
+                   count(*) AS n_days
+            FROM a GROUP BY o_custkey, anchor
+            HAVING count(*) >= 2
+        """,
+        "q90_asof_tolerance": """
+            WITH p AS (
+              SELECT user_id, ts, max(value) AS v
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id, ts
+            ),
+            m AS (
+              SELECT e.event_id, e.user_id, e.ts,
+                (SELECT max(p.ts) FROM p
+                 WHERE p.user_id = e.user_id AND p.ts <= e.ts
+                   AND p.ts >= e.ts - INTERVAL 2 HOUR) AS last_purchase_ts
+              FROM events e
+            )
+            SELECT m.event_id, m.user_id, m.ts, m.last_purchase_ts,
+                   p.v AS last_purchase_value
+            FROM m LEFT JOIN p
+              ON p.user_id = m.user_id AND p.ts = m.last_purchase_ts
+        """,
+        "q91_pareto_customers": """
+            WITH rev AS (
+              SELECT o_custkey,
+                sum(CAST(o_totalprice AS DECIMAL(38,6))) AS rev
+              FROM orders GROUP BY o_custkey
+            ),
+            c AS (
+              SELECT o_custkey, rev,
+                sum(rev) OVER (ORDER BY rev DESC, o_custkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                sum(rev) OVER () AS tot
+              FROM rev
+            )
+            SELECT o_custkey, CAST(rev AS DOUBLE) AS revenue,
+              CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_share,
+              CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.8 AS is_top80
+            FROM c
+        """,
+        "q92_m4_downsample": """
+            SELECT event_type, date_trunc('day', ts) AS bucket_start,
+              min(value) AS v_min, max(value) AS v_max,
+              min_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 18, '0')
+                         || lpad(CAST(event_id AS VARCHAR), 13, '0')) AS v_first,
+              max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 18, '0')
+                         || lpad(CAST(event_id AS VARCHAR), 13, '0')) AS v_last,
+              count(*) AS n
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type, date_trunc('day', ts)
+        """,
+        "q93_deadband": """
+            WITH RECURSIVE base AS (
+              SELECT user_id, ts, value,
+                CAST(row_number() OVER (
+                  PARTITION BY user_id ORDER BY ts, value) AS BIGINT) AS rn
+              FROM events WHERE value IS NOT NULL
+            ),
+            -- replays operators/compress.py's fold: keep first, then
+            -- keep iff |v - last_kept| > eps (strict), carrying last_kept
+            rec AS (
+              SELECT user_id, ts, value, rn, value AS last_kept, TRUE AS kept
+              FROM base WHERE rn = 1
+              UNION ALL
+              SELECT b.user_id, b.ts, b.value, b.rn,
+                CASE WHEN abs(b.value - r.last_kept) > 25.0
+                     THEN b.value ELSE r.last_kept END,
+                abs(b.value - r.last_kept) > 25.0
+              FROM rec r JOIN base b
+                ON b.user_id = r.user_id AND b.rn = r.rn + 1
+            )
+            SELECT user_id, ts, value FROM rec WHERE kept
+        """,
+        "q94_rolling_corr": """
+            WITH e AS (
+              SELECT event_id, user_id, ts,
+                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(19,0)) AS xi,
+                CAST(epoch_us(ts) // 1000000 - 1704067200 AS DECIMAL(19,0)) AS yi
+              FROM events WHERE value IS NOT NULL
+            ),
+            s AS (
+              SELECT event_id, user_id, ts,
+                count(*) OVER w AS n,
+                sum(CAST(xi AS DECIMAL(38,0))) OVER w AS sx,
+                sum(CAST(yi AS DECIMAL(38,0))) OVER w AS sy,
+                sum(CAST(xi * xi AS DECIMAL(38,0))) OVER w AS sxx,
+                sum(CAST(yi * yi AS DECIMAL(38,0))) OVER w AS syy,
+                sum(CAST(xi * yi AS DECIMAL(38,0))) OVER w AS sxy
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+            )
+            SELECT event_id, user_id, ts,
+              CASE WHEN sqrt(CAST(CAST(n AS DECIMAL(12,0)) * sxx - sx * sx AS DOUBLE))
+                      * sqrt(CAST(CAST(n AS DECIMAL(12,0)) * syy - sy * sy AS DOUBLE)) > 0
+                   THEN CAST(CAST(n AS DECIMAL(12,0)) * sxy - sx * sy AS DOUBLE)
+                      / (sqrt(CAST(CAST(n AS DECIMAL(12,0)) * sxx - sx * sx AS DOUBLE))
+                         * sqrt(CAST(CAST(n AS DECIMAL(12,0)) * syy - sy * sy AS DOUBLE)))
+              END AS r_corr
+            FROM s
+        """,
+        "q95_bloom_semi_join": """
+            SELECT l_returnflag, count(*) AS n_items,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+            FROM lineitem
+            WHERE l_orderkey IN (
+              SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            )
+            GROUP BY l_returnflag
+        """,
+        "q97_stratified_sample": f"""
+            SELECT doc_id, lang, source FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+              CASE lang
+                WHEN 'en' THEN '{_thr(0.5)}'
+                WHEN 'de' THEN '{_thr(1.0)}'
+                WHEN 'fr' THEN '{_thr(0.25)}'
+                ELSE '{_thr(0.1)}'
+              END
+        """,
+        "q99_weighted_median": """
+            WITH c AS (
+              SELECT l_returnflag, l_extendedprice,
+                sum(CAST(l_quantity AS DECIMAL(28,6))) OVER (
+                  PARTITION BY l_returnflag
+                  ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+                sum(CAST(l_quantity AS DECIMAL(28,6))) OVER (
+                  PARTITION BY l_returnflag) AS totw
+              FROM lineitem
+            )
+            SELECT l_returnflag, min(l_extendedprice) AS w_median
+            FROM c WHERE cumw * 2 >= totw GROUP BY l_returnflag
         """,
     }

@@ -27,7 +27,9 @@ def _order_key(ts: Column, row_id: Column) -> Column:
     # epoch microseconds is < 1e17 for any sane timestamp → 18 digits;
     # row ids in testdata are < 1e12 → 13 digits. Fixed width ⇒
     # lexicographic == numeric; concatenation ⇒ unique total order.
-    us = (ts.cast("double") * 1_000_000).cast("long")
+    # unix_micros, not cast-to-double: the double round-trip can be off
+    # by 1 µs, which would flip the key vs an engine with exact micros.
+    us = F.unix_micros(ts)
     return F.concat(
         F.lpad(us.cast("string"), 18, "0"),
         F.lpad(row_id.cast("string"), 13, "0"),
