@@ -60,9 +60,9 @@ from .validate import observe_violations, quarantine, violation_counts
 from .bucketing import read_bucketed, write_bucketed
 from .islands import merge_intervals, streaks
 from .viz import m4_downsample
-from .compress import deadband_compress
+from .compress import deadband_compress, swinging_door_compress
 from .bloomjoin import bloom_bitmap, bloom_prune, bloom_semi_join
-from .sketches import hll_partials, hll_rollup
+from .sketches import hll_partials, hll_rollup, topk_partials, topk_rollup
 from .graph import pagerank
 from .windows import rolling_corr
 from .quantiles import weighted_median
@@ -152,4 +152,7 @@ __all__ = [
     "rolling_corr",
     "weighted_median",
     "stratified_hash_sample",
+    "swinging_door_compress",
+    "topk_partials",
+    "topk_rollup",
 ]

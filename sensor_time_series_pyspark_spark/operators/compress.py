@@ -57,3 +57,77 @@ def deadband_compress(
         .groupBy(key_col)
         .applyInPandas(compress, schema=out_schema)
     )
+
+
+def swinging_door_compress(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    epsilon: float,
+) -> DataFrame:
+    """Swinging-door trending (SDT) compression per series — the other
+    classic historian rule (OSIsoft PI "compression deviation"): keep
+    the minimal set of points such that linear interpolation between
+    kept points stays within ±ε of every dropped original.
+
+    Versus deadband (``deadband_compress``), SDT tracks SLOPES: a pivot
+    door opens from the last kept point; while every new point fits
+    inside the narrowing slope corridor [max lower, min upper] the
+    segment extends; when the corridor inverts, the PREVIOUS point is
+    kept and the corridor restarts from it. First and last points of a
+    series are always kept, so reconstruction covers the full range.
+
+    Sequential per series (corridor state) → ``applyInPandas`` per key,
+    O(n) numpy loop per series — same scale contract as
+    ``deadband_compress``.
+    """
+    out_schema = df.select(
+        F.col(key_col), F.col(ts_col), F.col(value_col)
+    ).schema
+
+    def compress(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, value_col], kind="mergesort")
+        t = pdf[ts_col].astype("int64").to_numpy() / 1e9  # seconds
+        v = pdf[value_col].to_numpy()
+        n = len(v)
+        if n == 0:
+            return pdf.iloc[0:0][[key_col, ts_col, value_col]]
+        keep = [False] * n
+        keep[0] = True
+        a = 0          # index of last archived point
+        prev = 0       # previous point seen (candidate for archiving)
+        lo, hi = float("-inf"), float("inf")
+        for i in range(1, n):
+            dt = t[i] - t[a]
+            if dt <= 0:
+                # duplicate timestamp: treat as immediate corridor test
+                # on value distance only
+                if abs(v[i] - v[a]) > epsilon:
+                    keep[prev] = True
+                    a = prev
+                    lo, hi = float("-inf"), float("inf")
+                prev = i
+                continue
+            s_hi = (v[i] + epsilon - v[a]) / dt
+            s_lo = (v[i] - epsilon - v[a]) / dt
+            hi = min(hi, s_hi)
+            lo = max(lo, s_lo)
+            if lo > hi:
+                # corridor collapsed: archive the previous point, restart
+                keep[prev] = True
+                a = prev
+                lo, hi = float("-inf"), float("inf")
+                dt = t[i] - t[a]
+                if dt > 0:
+                    hi = (v[i] + epsilon - v[a]) / dt
+                    lo = (v[i] - epsilon - v[a]) / dt
+            prev = i
+        keep[n - 1] = True
+        return pdf.loc[keep, [key_col, ts_col, value_col]]
+
+    return (
+        df.select(key_col, ts_col, value_col)
+        .groupBy(key_col)
+        .applyInPandas(compress, schema=out_schema)
+    )

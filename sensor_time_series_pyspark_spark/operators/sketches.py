@@ -54,3 +54,45 @@ def hll_rollup(
         .cast("long")
         .alias("n_distinct"),
     )
+
+
+def topk_partials(
+    df: DataFrame,
+    by: Sequence[str],
+    item_col: str,
+    max_items_tracked: int = 10000,
+) -> DataFrame:
+    """One frequent-items sketch per ``by`` group (DataSketches
+    ``approx_top_k_accumulate`` — binary ``sketch`` column). The
+    mergeable twin of the exact operators/profile.py:top_categories:
+    persist these per partition/day, answer coarser top-k questions by
+    combining, never rescanning. Estimates are EXACT while a group's
+    distinct count stays under ``max_items_tracked``."""
+    return df.groupBy(*by).agg(
+        F.expr(
+            f"approx_top_k_accumulate({item_col}, {int(max_items_tracked)})"
+        ).alias("sketch")
+    )
+
+
+def topk_rollup(
+    partials: DataFrame,
+    by: Sequence[str],
+    k: int = 10,
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Merge frequent-items partials to a coarser grouping and emit the
+    top-k items. Output: [*by], item, est_count, rank (1-based)."""
+    merged = partials.groupBy(*by).agg(
+        F.expr(f"approx_top_k_estimate(approx_top_k_combine({sketch_col}), {int(k)})")
+        .alias("__top")
+    )
+    exploded = merged.select(
+        *by, F.posexplode("__top").alias("__pos", "__e")
+    )
+    return exploded.select(
+        *by,
+        F.col("__e.item").alias("item"),
+        F.col("__e.count").alias("est_count"),
+        (F.col("__pos") + 1).alias("rank"),
+    )

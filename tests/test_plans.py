@@ -127,3 +127,67 @@ def test_dynamic_partition_pruning_on_partitioned_sink(spark, tmp_path):
     joined = facts.join(dim, "date")
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_merge_intervals_single_shuffle(spark):
+    """Island labeling (window) + island aggregation must share ONE
+    exchange on the entity key — the groupBy(key, island) reuses the
+    window's hashpartitioning(key) because key ⊆ grouping."""
+    import re
+
+    from sensor_time_series_pyspark_spark.operators import merge_intervals
+
+    ev = read_table(spark, SF, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+    )
+    plan = plan_of(merge_intervals(iv, ["user_id"], "s", "e"))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_m4_downsample_single_aggregate_pass(spark):
+    """M4 is ONE hash aggregate (partial+final), one shuffle — no
+    window sort, no join, no per-statistic rescans."""
+    import re
+
+    from sensor_time_series_pyspark_spark.operators import m4_downsample
+
+    ev = read_table(spark, SF, "events").where(F.col("value").isNotNull())
+    plan = plan_of(
+        m4_downsample(ev, ["event_type"], "ts", "value", "event_id", "1 day")
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_weighted_median_single_shuffle(spark):
+    """Cumulative-weight window, total-weight window, and the min
+    aggregate all reuse one hashpartitioning(group key) exchange."""
+    import re
+
+    from sensor_time_series_pyspark_spark.operators import weighted_median
+
+    li = read_table(spark, SF, "lineitem")
+    plan = plan_of(
+        weighted_median(
+            li, ["l_returnflag"], "l_extendedprice", "l_quantity",
+            ["l_orderkey", "l_linenumber"],
+        )
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_bloom_prune_is_map_side_only(spark):
+    """The Bloom fact-side prune must be a pure scan+filter — zero
+    exchanges: the whole point is dropping rows BEFORE any shuffle."""
+    from sensor_time_series_pyspark_spark.operators import bloom_prune
+
+    li = read_table(spark, SF, "lineitem")
+    keys = read_table(spark, SF, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    plan = plan_of(bloom_prune(li, keys, "l_orderkey", "o_orderkey"))
+    assert "Exchange" not in plan
+    assert "Filter" in plan

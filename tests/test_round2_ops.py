@@ -311,3 +311,73 @@ def test_asof_forward_coincident_right_visible(spark):
         left, right, ["k"], "t", "rt", ["v"], direction="forward"
     ).collect()[0]
     assert fwd["v"] == 5.0
+
+
+# ---------------------------------------------------------------- SDT
+
+
+def test_swinging_door_reconstruction_bound(spark):
+    import numpy as np
+
+    from sensor_time_series_pyspark_spark.operators import swinging_door_compress
+
+    rng = np.random.default_rng(7)
+    n = 400
+    base = np.cumsum(rng.normal(0, 0.3, n)) + 10 * np.sin(np.arange(n) / 25)
+    rows = [
+        ("s", datetime(2024, 1, 1) + __import__("datetime").timedelta(seconds=30 * i), float(base[i]))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "k string, t timestamp, v double")
+    eps = 1.0
+    kept = (
+        swinging_door_compress(df, "k", "t", "v", epsilon=eps)
+        .orderBy("t")
+        .collect()
+    )
+    # strong compression on a smooth-ish series
+    assert 2 < len(kept) < n * 0.6
+    kt = np.array([r["t"].timestamp() for r in kept])
+    kv = np.array([r["v"] for r in kept])
+    ot = np.array([r[1].timestamp() for r in rows])
+    recon = np.interp(ot, kt, kv)
+    # SDT chord-reconstruction guarantee (2ε worst case for the
+    # archive-previous-point variant)
+    assert float(np.max(np.abs(recon - base))) <= 2 * eps + 1e-9
+
+
+def test_swinging_door_keeps_endpoints_and_line_compresses_to_two(spark):
+    from sensor_time_series_pyspark_spark.operators import swinging_door_compress
+
+    rows = [
+        ("s", datetime(2024, 1, 1) + __import__("datetime").timedelta(minutes=i), float(i))
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "k string, t timestamp, v double")
+    kept = swinging_door_compress(df, "k", "t", "v", epsilon=0.5).collect()
+    assert len(kept) == 2  # a perfect line needs only its endpoints
+    assert {r["v"] for r in kept} == {0.0, 49.0}
+
+
+# ---------------------------------------------------------------- top-k sketch
+
+
+def test_topk_rollup_exact_under_capacity(spark, sf_dir):
+    from sensor_time_series_pyspark_spark.sources.readers import read_table
+    from sensor_time_series_pyspark_spark.operators import (
+        topk_partials,
+        topk_rollup,
+    )
+
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    partials = topk_partials(ev, ["day"], "event_type")
+    rolled = topk_rollup(partials, [], k=5)
+    got = {(r["item"], r["est_count"]) for r in rolled.collect()}
+    want = {
+        (r["event_type"], r["n"])
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    # 5 distinct types < maxItemsTracked -> sketch counts are exact
+    assert got == want
