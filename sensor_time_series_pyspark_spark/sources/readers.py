@@ -59,12 +59,21 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # every to_date()/window() in the engine assumes UTC wall clocks
     # (the DuckDB oracles compute on naive timestamps).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # parquet TIMESTAMP(isAdjustedToUTC=false) would otherwise surface as
+    # TIMESTAMP_NTZ (Spark 4 infers NTZ by default), which rejects the
+    # epoch casts the window operators use; with a UTC session the LTZ
+    # reading is value-identical to the oracle's naive timestamps.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
             # integer division: nanos exceed 2^53, so `/ 1000` via double
             # would lose microseconds
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif field.dataType.simpleString() == "timestamp_ntz":
+            # defensive: a session that already cached the NTZ footer
+            # schema (conf flips don't invalidate it) still normalizes
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 
