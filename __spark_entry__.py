@@ -1649,6 +1649,170 @@ def _q_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_late_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4-shaped order-priority check: orders with at least one
+    lineitem shipped after the order date, counted per priority. The
+    EXISTS is a left-semi join with a non-equi residual — Spark keeps
+    the equi key (orderkey) for the hash join and applies the date
+    comparison as a join residual, so no fallback to nested-loop."""
+    o = read_table(spark, sf, "orders")
+    li = read_table(spark, sf, "lineitem")
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > o["o_orderdate"]),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+def _q_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact triangle count (operators/graph.py:triangle_count,
+    degree-oriented compact-forward — two hash joins, hub fan-out
+    bounded O(sqrt m)) over the co-supplier graph: suppliers sharing a
+    part. The oracle counts the same triangles with id orientation —
+    the count is orientation-invariant, so both paths must agree."""
+    from sensor_time_series_pyspark_spark.operators import triangle_count
+
+    li = read_table(spark, sf, "lineitem")
+    sp = li.select("l_partkey", "l_suppkey").distinct()
+    a, b = sp.alias("a"), sp.alias("b")
+    edges = (
+        a.join(b, F.col("a.l_partkey") == F.col("b.l_partkey"))
+        .where(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+        )
+        .distinct()
+    )
+    return triangle_count(edges, orient="degree")
+
+
+def _q_trend_slope(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-series OLS trend (operators/profile.py:trend_slope): value
+    drift per event type over epoch seconds. Exact decimal moments,
+    fixed IEEE epilogue — the portable twin of regr_slope (the oracle
+    uses the same explicit formula, never regr_slope's double sums)."""
+    from sensor_time_series_pyspark_spark.operators import trend_slope
+
+    ev = read_table(spark, sf, "events")
+    base = ev.select(
+        "event_type",
+        F.col("ts").cast("long").alias("t"),
+        "value",
+    )
+    return trend_slope(
+        base, "t", "value", by=["event_type"], x_decimals=0, y_decimals=6
+    )
+
+
+def _q_group_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-row z-score within group (operators/profile.py:group_zscore):
+    order value vs its priority class. One exact-moment aggregate
+    broadcast back — the fact table shuffles zero times."""
+    from sensor_time_series_pyspark_spark.operators import group_zscore
+
+    o = read_table(spark, sf, "orders")
+    out = group_zscore(
+        o.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        "o_totalprice",
+        by=["o_orderpriority"],
+        decimals=2,
+    )
+    return out.select("o_orderkey", "o_orderpriority", "zscore")
+
+
+def _q_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition counts + shares between event
+    types per user stream (operators/analytics.py:transition_matrix).
+    One lead window (single shuffle on user), integer counts, one
+    division for the share."""
+    from sensor_time_series_pyspark_spark.operators import transition_matrix
+
+    ev = read_table(spark, sf, "events")
+    return transition_matrix(
+        ev, "user_id", "ts", "event_type", tiebreak_col="event_id"
+    )
+
+
+def _q_running_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Cumulative distinct users per day (operators/analytics.py:
+    running_distinct): first-seen reduction instead of the quadratic
+    distinct-per-day self-join; the only ordered window runs over the
+    tiny per-day frame."""
+    from sensor_time_series_pyspark_spark.operators import running_distinct
+
+    ev = read_table(spark, sf, "events")
+    return running_distinct(ev, "user_id", "ts")
+
+
+def _q_dup_ngram_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicated-3-gram rate per document (operators/contamination.py:
+    dup_ngram_rate) — the RefinedWeb-style cross-document repetition
+    signal, via a gram-df aggregate (no doc×doc join). Portable gram
+    ids (md5 mod 2^31-1), integer counts, one division."""
+    from sensor_time_series_pyspark_spark.operators import dup_ngram_rate
+
+    docs = read_table(spark, sf, "documents")
+    return dup_ngram_rate(docs, "doc_id", "text", n=3, portable=True)
+
+
+def _q_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Keyed snapshot diff (operators/diff.py:snapshot_diff): ONE full
+    outer join on the key comparing map-side xxhash64 content hashes.
+    The two versions are deterministic projections of orders (drop
+    key%101 rows from new, drop key%97 / perturb key%89 prices in old),
+    so every change class appears. The oracle classifies by direct
+    column comparison — hash vs direct must agree."""
+    from sensor_time_series_pyspark_spark.operators import snapshot_diff
+
+    o = read_table(spark, sf, "orders")
+    new = o.where(F.col("o_orderkey") % 101 != 0)
+    old = o.where(F.col("o_orderkey") % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff(old, new, ["o_orderkey"])
+
+
+def _q_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus collocations by lift (operators/ranking.py:
+    collocation_lift): adjacent-pair counts over unigram independence.
+    Log-free PMI ranking — every score input is an exact integer, one
+    division at the end."""
+    from sensor_time_series_pyspark_spark.operators import collocation_lift
+
+    docs = read_table(spark, sf, "documents")
+    return collocation_lift(docs, "doc_id", "text", min_pair_count=3)
+
+
+def _q_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-rule document quality gates (functions/text.py:
+    gopher_flags): five integer-only filters + the conjunction, zero
+    divisions (cross-multiplied thresholds) — bit-portable."""
+    from sensor_time_series_pyspark_spark.functions.text import gopher_flags
+
+    docs = read_table(spark, sf, "documents")
+    return docs.select("doc_id", gopher_flags("text").alias("g")).select(
+        "doc_id", "g.*"
+    )
+
+
+def _q_null_runs(spark: SparkSession, sf: str) -> DataFrame:
+    """Longest missing-data stretch per series (operators/islands.py:
+    null_runs): running non-null count anchors each null run; one
+    shuffle on the series key."""
+    from sensor_time_series_pyspark_spark.operators import null_runs
+
+    return null_runs(
+        _nulled_events(spark, sf), ["user_id"], ["ts", "event_id"], "value"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -1750,6 +1914,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q97_stratified_sample": _q_stratified_sample,
         "q98_pagerank": _q_pagerank,
         "q99_weighted_median": _q_weighted_median,
+        "q02_late_orders": _q_late_orders,
+        "q100_triangle_count": _q_triangle_count,
+        "q101_trend_slope": _q_trend_slope,
+        "q102_group_zscore": _q_group_zscore,
+        "q103_transition_matrix": _q_transition_matrix,
+        "q104_running_distinct": _q_running_distinct,
+        "q105_dup_ngram_rate": _q_dup_ngram_rate,
+        "q106_snapshot_diff": _q_snapshot_diff,
+        "q107_collocations": _q_collocations,
+        "q108_gopher_quality": _q_gopher_quality,
+        "q109_null_runs": _q_null_runs,
     }
 
 
@@ -3335,5 +3510,249 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT l_returnflag, min(l_extendedprice) AS w_median
             FROM c WHERE cumw * 2 >= totw GROUP BY l_returnflag
+        """,
+        "q02_late_orders": """
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders
+            WHERE EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+            GROUP BY o_orderpriority
+        """,
+        "q100_triangle_count": """
+            WITH sp AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+            e AS (
+              SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+              FROM sp a JOIN sp b USING (l_partkey)
+              WHERE a.l_suppkey < b.l_suppkey
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e1.b = e2.a
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        """,
+        "q101_trend_slope": """
+            WITH ints AS (
+              SELECT event_type,
+                CAST(CAST(epoch_us(ts) // 1000000 AS DECIMAL(18,0)) * 1
+                     AS DECIMAL(19,0)) AS xi,
+                CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+                     AS DECIMAL(19,0)) AS yi
+              FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+            ),
+            s AS (
+              SELECT event_type, count(*) AS n,
+                sum(CAST(xi AS DECIMAL(38,0))) AS sx,
+                sum(CAST(yi AS DECIMAL(38,0))) AS sy,
+                sum(CAST(xi * xi AS DECIMAL(38,0))) AS sxx,
+                sum(CAST(xi * yi AS DECIMAL(38,0))) AS sxy
+              FROM ints GROUP BY event_type
+            ),
+            e AS (
+              SELECT event_type, n, sx, sy,
+                CAST(CAST(CAST(n AS DECIMAL(12,0)) * CAST(sxy AS DECIMAL(26,0)) AS DECIMAL(38,0))
+                     - CAST(CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS DOUBLE) AS cov_n,
+                CAST(CAST(CAST(n AS DECIMAL(12,0)) * CAST(sxx AS DECIMAL(26,0)) AS DECIMAL(38,0))
+                     - CAST(CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS DOUBLE) AS var_n
+              FROM s
+            )
+            SELECT event_type, n,
+              (CASE WHEN var_n > 0 THEN cov_n / var_n END) * 1e-06 AS slope,
+              ((CAST(sy AS DOUBLE)
+                - (CASE WHEN var_n > 0 THEN cov_n / var_n END) * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE)) / 1000000.0 AS intercept
+            FROM e
+        """,
+        "q102_group_zscore": """
+            WITH ints AS (
+              SELECT o_orderkey, o_orderpriority,
+                CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                     AS DECIMAL(19,0)) AS xi
+              FROM orders
+            ),
+            m AS (
+              SELECT o_orderpriority, count(*) AS n,
+                sum(CAST(xi AS DECIMAL(38,0))) AS sx,
+                sum(CAST(xi * xi AS DECIMAL(38,0))) AS sxx
+              FROM ints GROUP BY o_orderpriority
+            ),
+            j AS (
+              SELECT i.o_orderkey, i.o_orderpriority, m.n,
+                CAST(CAST(CAST(m.n AS DECIMAL(12,0)) * i.xi AS DECIMAL(34,0))
+                     - CAST(m.sx AS DECIMAL(34,0)) AS DOUBLE) AS num,
+                sqrt(
+                  CAST(CAST(CAST(m.n AS DECIMAL(12,0)) * CAST(m.sxx AS DECIMAL(26,0)) AS DECIMAL(37,0))
+                       - CAST(CAST(m.sx AS DECIMAL(19,0)) * CAST(m.sx AS DECIMAL(19,0)) AS DECIMAL(37,0)) AS DOUBLE)
+                  * (CAST(m.n AS DOUBLE) / CAST(m.n - 1 AS DOUBLE))
+                ) AS den
+              FROM ints i JOIN m USING (o_orderpriority)
+            )
+            SELECT o_orderkey, o_orderpriority,
+              CASE WHEN n > 1 AND den > 0 THEN num / den END AS zscore
+            FROM j
+        """,
+        "q103_transition_matrix": """
+            WITH p AS (
+              SELECT event_type AS from_state,
+                lead(event_type) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id) AS to_state
+              FROM events
+            ),
+            c AS (
+              SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n
+              FROM p WHERE to_state IS NOT NULL GROUP BY from_state, to_state
+            )
+            SELECT from_state, to_state, n,
+              CAST(n AS DOUBLE)
+                / CAST(sum(n) OVER (PARTITION BY from_state) AS DOUBLE) AS share
+            FROM c
+        """,
+        "q104_running_distinct": """
+            WITH fs AS (
+              SELECT user_id, min(CAST(ts AS DATE)) AS day
+              FROM events GROUP BY user_id
+            ),
+            d AS (
+              SELECT day, CAST(count(*) AS BIGINT) AS new_entities
+              FROM fs GROUP BY day
+            )
+            SELECT day, new_entities,
+              CAST(sum(new_entities) OVER (
+                ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS cum_entities
+            FROM d
+        """,
+        "q105_dup_ngram_rate": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, unnest(
+                list_distinct(
+                  list_transform(
+                    generate_series(1, greatest(len(t) - 2, 0)),
+                    i -> CAST(('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 12)) AS BIGINT)
+                         % 2147483647
+                  )
+                )) AS gram
+              FROM toks
+            ),
+            gdf AS (SELECT gram, count(*) AS df FROM grams GROUP BY gram)
+            SELECT g.doc_id AS id,
+              CAST(count(*) AS BIGINT) AS n_grams,
+              CAST(sum(CASE WHEN gdf.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+              CAST(CAST(sum(CASE WHEN gdf.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE) AS dup_rate
+            FROM grams g JOIN gdf USING (gram)
+            GROUP BY g.doc_id
+        """,
+        "q106_snapshot_diff": """
+            WITH newv AS (
+              SELECT * FROM orders WHERE o_orderkey % 101 <> 0
+            ),
+            oldv AS (
+              SELECT o_orderkey, o_custkey, o_orderstatus,
+                CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0
+                     ELSE o_totalprice END AS o_totalprice,
+                o_orderdate, o_orderpriority
+              FROM orders WHERE o_orderkey % 97 <> 0
+            )
+            SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+              CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                   WHEN n.o_orderkey IS NULL THEN 'removed'
+                   WHEN (o.o_custkey IS DISTINCT FROM n.o_custkey)
+                     OR (o.o_orderdate IS DISTINCT FROM n.o_orderdate)
+                     OR (o.o_orderpriority IS DISTINCT FROM n.o_orderpriority)
+                     OR (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+                     OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+                   THEN 'changed'
+                   ELSE 'unchanged' END AS change
+            FROM oldv o FULL OUTER JOIN newv n ON o.o_orderkey = n.o_orderkey
+        """,
+        "q107_collocations": r"""
+            WITH toks AS (
+              SELECT list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+              FROM documents
+            ),
+            uni AS (
+              SELECT w, CAST(count(*) AS BIGINT) AS n_w
+              FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+            ),
+            pairs AS (
+              SELECT unnest(list_transform(
+                generate_series(1, greatest(len(t) - 1, 0)),
+                i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS p
+              FROM toks
+            ),
+            bi AS (
+              SELECT p.w1 AS w1, p.w2 AS w2, CAST(count(*) AS BIGINT) AS n_pair
+              FROM pairs GROUP BY p.w1, p.w2
+              HAVING count(*) >= 3
+            ),
+            tot AS (SELECT CAST(sum(len(t)) AS BIGINT) AS n FROM toks)
+            SELECT b.w1, b.w2, b.n_pair,
+              u1.n_w AS n_w1, u2.n_w AS n_w2,
+              CAST(tot.n * b.n_pair AS DOUBLE)
+                / CAST(u1.n_w * u2.n_w AS DOUBLE) AS lift
+            FROM bi b
+            JOIN uni u1 ON b.w1 = u1.w
+            JOIN uni u2 ON b.w2 = u2.w, tot
+        """,
+        "q108_gopher_quality": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id,
+                CAST(len(t) AS INT) AS n_words,
+                CAST(COALESCE(list_sum(list_transform(t, w -> length(w))), 0) AS INT) AS n_chars,
+                CAST(len(list_filter(t, w -> regexp_matches(w, '[A-Za-z]'))) AS INT) AS alpha_words,
+                CAST(len(list_filter(t, w -> contains(w, '#')))
+                     + len(list_filter(t, w -> contains(w, '...'))) AS INT) AS n_symbols,
+                CAST(len(list_intersect(list_distinct(t), """
+        + _STOPWORD_LIST
+        + """)) AS INT) AS n_stop
+              FROM toks
+            )
+            SELECT doc_id, n_words,
+              (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+              (n_chars >= 3 * n_words AND n_chars <= 10 * n_words) AS ok_mean_word_len,
+              (5 * alpha_words >= 4 * n_words) AS ok_alpha_ratio,
+              (10 * n_symbols <= n_words) AS ok_symbol_ratio,
+              (n_stop >= 2) AS ok_stopwords,
+              ((n_words >= 50 AND n_words <= 100000)
+               AND (n_chars >= 3 * n_words AND n_chars <= 10 * n_words)
+               AND (5 * alpha_words >= 4 * n_words)
+               AND (10 * n_symbols <= n_words)
+               AND (n_stop >= 2)) AS pass_all
+            FROM m
+        """,
+        "q109_null_runs": """
+            WITH base AS (
+              SELECT user_id, event_id, ts,
+                CASE WHEN event_type <> 'error' THEN value END AS v
+              FROM events
+            ),
+            a AS (
+              SELECT user_id, v,
+                count(v) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS anchor
+              FROM base
+            ),
+            runs AS (
+              SELECT user_id, anchor, CAST(count(*) AS BIGINT) AS len
+              FROM a WHERE v IS NULL GROUP BY user_id, anchor
+            )
+            SELECT user_id,
+              CAST(count(*) AS BIGINT) AS n_runs,
+              max(len) AS longest_run,
+              CAST(sum(len) AS BIGINT) AS total_nulls
+            FROM runs GROUP BY user_id
         """,
     }

@@ -262,3 +262,45 @@ def repetition_stats(text: Column | str, n: int = 3) -> Column:
         F.size(grams).alias("n_grams"),
         F.size(F.array_distinct(grams)).alias("n_distinct"),
     )
+
+
+def gopher_flags(text: Column | str) -> Column:
+    """Gopher-rule quality gates (Rae et al. 2021, Table A1 subset) as a
+    struct of booleans + the conjunction — the standard pre-training
+    document filter.
+
+    Every rule is an INTEGER comparison via cross-multiplication (e.g.
+    mean word length in [3, 10] ⇔ 3·n_words ≤ n_chars ≤ 10·n_words), so
+    there is no float division anywhere and the flags are bit-portable
+    to any engine. Regexes stay inside the RE2 ∩ Java-regex common
+    subset (plain char classes) like redact_pii.
+
+    Fields: n_words, ok_word_count (50..100k), ok_mean_word_len (3..10),
+    ok_alpha_ratio (≥80% words contain a letter), ok_symbol_ratio
+    (#/ellipsis ≤ 10% of words), ok_stopwords (≥2 distinct stopwords),
+    pass_all.
+    """
+    t = tokens(_c(text))
+    n_words = F.size(t)
+    n_chars = F.aggregate(t, F.lit(0), lambda acc, w: acc + F.length(w))
+    alpha_words = F.size(F.filter(t, lambda w: w.rlike("[A-Za-z]")))
+    n_symbols = (
+        F.size(F.filter(t, lambda w: w.contains("#")))
+        + F.size(F.filter(t, lambda w: w.contains("...")))
+    )
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(t), sw))
+    ok_wc = (n_words >= 50) & (n_words <= 100000)
+    ok_mwl = (n_chars >= 3 * n_words) & (n_chars <= 10 * n_words)
+    ok_alpha = 5 * alpha_words >= 4 * n_words
+    ok_sym = 10 * n_symbols <= n_words
+    ok_stop = n_stop >= 2
+    return F.struct(
+        n_words.alias("n_words"),
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_alpha.alias("ok_alpha_ratio"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_wc & ok_mwl & ok_alpha & ok_sym & ok_stop).alias("pass_all"),
+    )

@@ -156,3 +156,10 @@ __all__ = [
     "topk_partials",
     "topk_rollup",
 ]
+from .graph import triangle_count
+from .profile import group_zscore, trend_slope
+from .analytics import running_distinct, transition_matrix
+from .contamination import dup_ngram_rate
+from .islands import null_runs
+from .ranking import collocation_lift
+from .diff import snapshot_diff

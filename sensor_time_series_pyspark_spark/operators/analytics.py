@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -107,4 +107,77 @@ def cohort_retention(
     )
     return ret.join(cohort_sizes, "cohort_day").select(
         "cohort_day", "day_offset", "n_active", "n_cohort"
+    )
+
+
+def transition_matrix(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """First-order state-transition counts per entity stream — the
+    Markov-chain view of an event log (session-flow analysis, UI-path
+    mining, sensor-mode transitions).
+
+    One window pass (lead over the entity partition — a single shuffle
+    on the entity key) produces (state, next_state) bigrams; a hash
+    aggregate counts them; the row-conditional share is integer counts
+    with ONE division, so the output is engine-portable. Terminal
+    events (no successor) are dropped, standard Markov estimation.
+
+    Output: from_state, to_state, n, share (share of transitions out
+    of from_state).
+    """
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    pairs = (
+        df.select(
+            F.col(state_col).alias("from_state"),
+            F.lead(state_col).over(w).alias("to_state"),
+        )
+        .where(F.col("to_state").isNotNull())
+    )
+    counts = pairs.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_from = Window.partitionBy("from_state")
+    return counts.select(
+        "from_state",
+        "to_state",
+        "n",
+        (
+            F.col("n").cast("double") / F.sum("n").over(w_from).cast("double")
+        ).alias("share"),
+    )
+
+
+def running_distinct(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Cumulative distinct entities per day — the "unique users to
+    date" growth curve, computed WITHOUT a quadratic distinct-per-day
+    self-join: each entity contributes only its FIRST day (one hash
+    aggregate on the entity key), daily first-seen counts are one more
+    tiny aggregate, and the running sum is a window over the per-day
+    frame (thousands of rows at most — the only single-partition step
+    touches that small frame, never the fact table).
+
+    Output: day, new_entities, cum_entities — days with no new
+    entities are absent (join against a calendar grid to densify).
+    """
+    first_seen = df.groupBy(F.col(entity_col).alias("e")).agg(
+        F.min(F.to_date(ts_col)).alias("day")
+    )
+    daily = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).alias("new_entities")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "new_entities",
+        F.sum("new_entities").over(w).alias("cum_entities"),
     )

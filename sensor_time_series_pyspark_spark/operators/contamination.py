@@ -97,3 +97,44 @@ def ngram_overlap(
         "n_shared",
         "n_train_docs",
     )
+
+
+def dup_ngram_rate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    portable: bool = True,
+) -> DataFrame:
+    """Per-document duplicated-n-gram rate: the fraction of a doc's
+    DISTINCT n-grams that also appear in at least one other document —
+    the RefinedWeb/Gopher-style repetition-across-corpus signal used to
+    down-rank boilerplate-heavy pages.
+
+    Shape: one exploded (doc, gram) frame (distinct grams per doc), a
+    gram-level document-frequency aggregate, a join back, and a per-doc
+    aggregate — two shuffles on the gram key, one on the doc key, all
+    hash-partitioned; no self-join of docs (the naive pairwise form is
+    O(docs²)). Integer counts + ONE division → engine-portable.
+
+    Output: id, n_grams, n_dup, dup_rate. Docs shorter than n tokens
+    have zero grams and are absent (no 0/0 rows).
+    """
+    grams = _doc_ngrams(df, id_col, text_col, n, portable).distinct()
+    gram_df = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+    return (
+        grams.join(gram_df, "gram")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("__df") > 1, 1).otherwise(0)).alias("n_dup"),
+        )
+        .select(
+            "id",
+            "n_grams",
+            "n_dup",
+            (F.col("n_dup").cast("double") / F.col("n_grams").cast("double")).alias(
+                "dup_rate"
+            ),
+        )
+    )

@@ -89,3 +89,70 @@ def pagerank(
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    orient: str = "degree",
+) -> DataFrame:
+    """Exact triangle count over an undirected graph (edge list in
+    either/both directions; duplicates and self-loops collapse first).
+
+    The classic compact-forward scheme: orient every edge from the
+    "smaller" endpoint to the "larger", so each triangle is counted
+    exactly once as a directed wedge a→b→c closed by a→c. Two hash
+    joins on the oriented edge set — never a cross join.
+
+    ``orient='degree'`` orders nodes by (degree, id): the join fan-out
+    of a node is then bounded by O(sqrt(m)) oriented out-edges, which is
+    what keeps hub nodes from exploding the wedge count at scale
+    (Latapy 2008; the standard trick in GraphX/GraphFrames). On a
+    power-law graph with a 10^6-degree hub, id-ordering would enumerate
+    ~10^12 wedges at that hub; degree-ordering caps it at ~m.
+    ``orient='id'`` skips the degree pass — fine for near-regular
+    graphs, and the count is identical either way.
+
+    Output: one row, n_triangles (long).
+    """
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b")))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    if orient == "degree":
+        both = und.select("a", "b").unionByName(
+            und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        deg = both.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        keyed = (
+            both.join(deg.withColumnRenamed("a", "a_"), F.col("a") == F.col("a_"))
+            .drop("a_")
+            .withColumnRenamed("deg", "deg_a")
+            .join(deg.withColumnRenamed("a", "b_").withColumnRenamed("deg", "deg_b"),
+                  F.col("b") == F.col("b_"))
+            .drop("b_")
+        )
+        # lower (degree, id) → higher: total order, no two-cycle survives
+        oriented = keyed.where(
+            (F.col("deg_a") < F.col("deg_b"))
+            | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b")))
+        ).select("a", "b")
+    elif orient == "id":
+        oriented = und  # already a < b
+    else:
+        raise ValueError(f"orient must be 'degree' or 'id', got {orient!r}")
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    e3 = oriented.alias("e3")
+    wedges = e1.join(e2, F.col("e1.b") == F.col("e2.a")).select(
+        F.col("e1.a").alias("x"), F.col("e2.b").alias("z")
+    )
+    closed = wedges.join(
+        e3, (F.col("x") == F.col("e3.a")) & (F.col("z") == F.col("e3.b"))
+    )
+    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -94,3 +94,41 @@ def streaks(
     if min_length > 1:
         out = out.where(F.col("n_days") >= min_length)
     return out
+
+
+def null_runs(
+    df: DataFrame,
+    by: Sequence[str],
+    order_col: str | Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Per-series longest NULL run — the "how broken is this sensor"
+    diagnostic: maximal stretches of consecutive missing readings,
+    reported as count + run length stats per series.
+
+    Same single-shuffle islands shape as streaks(): a running count of
+    non-null rows anchors each null row to its island (rows in one
+    unbroken null stretch share the anchor), then one hash aggregate
+    per island and one per series. The sort and both aggregates share
+    the entity partitioning.
+
+    Output: [*by], n_runs, longest_run, total_nulls.
+    """
+    keys = [F.col(k) for k in by]
+    order = [order_col] if isinstance(order_col, str) else list(order_col)
+    w = Window.partitionBy(*keys).orderBy(*order)
+    anchored = df.select(
+        *keys,
+        F.col(value_col).alias("__v"),
+        F.count(value_col).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("__anchor"),
+    ).where(F.col("__v").isNull())
+    runs = anchored.groupBy(*[F.col(k) for k in by], F.col("__anchor")).agg(
+        F.count(F.lit(1)).alias("__len")
+    )
+    return runs.groupBy(*[F.col(k) for k in by]).agg(
+        F.count(F.lit(1)).alias("n_runs"),
+        F.max("__len").alias("longest_run"),
+        F.sum("__len").alias("total_nulls"),
+    )

@@ -279,3 +279,115 @@ def category_concentration(
         h.alias("herfindahl"),
         (F.lit(1.0) - h).alias("gini"),
     )
+
+
+def trend_slope(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    by: Sequence[str] | None = None,
+    x_decimals: int = 0,
+    y_decimals: int = 6,
+) -> DataFrame:
+    """Per-group OLS trend line (slope + intercept) from EXACT decimal
+    moments — the engine-portable twin of regr_slope/regr_intercept.
+
+    Same discipline as exact_corr: scale x and y to integers, aggregate
+    n/Sx/Sy/Sxx/Sxy as scale-0 decimals (order-independent, map-side
+    partials), form the cancellation-prone numerators n*Sxy - Sx*Sy and
+    n*Sxx - Sx² while still exact, and only then cast to double for a
+    fixed two-division IEEE epilogue:
+
+        slope_scaled = cov_n / var_n
+        intercept    = (Sy - slope_scaled*Sx) / n   (in scaled units)
+
+    then unscale by the power-of-ten factors (exact in binary? no —
+    but identical literals and op order on both engines, so the values
+    hash-match; the oracle must use the same formula, not regr_slope).
+
+    Output: [*by], n, slope, intercept — slope in y-units per x-unit.
+    """
+    keys = list(by) if by else []
+    xi = (
+        (F.col(x_col).cast(f"decimal(18,{x_decimals})") * (10 ** x_decimals))
+        .cast("decimal(19,0)")
+    )
+    yi = (
+        (F.col(y_col).cast(f"decimal(18,{y_decimals})") * (10 ** y_decimals))
+        .cast("decimal(19,0)")
+    )
+    both = df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    d38 = "decimal(38,0)"
+    sums = (both.groupBy(*keys) if keys else both.groupBy()).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xi.cast(d38)).alias("__sx"),
+        F.sum(yi.cast(d38)).alias("__sy"),
+        F.sum((xi * xi).cast(d38)).alias("__sxx"),
+        F.sum((xi * yi).cast(d38)).alias("__sxy"),
+    )
+    nd = F.col("n").cast("decimal(12,0)")
+    cov_n = (nd * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
+    var_n = (nd * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
+    # slope in scaled units: (y*10^dy) per (x*10^dx) → multiply by
+    # 10^(dx-dy) to get y per x. Keep the factor a single literal so
+    # the epilogue is one multiply on both engines.
+    unscale = float(10 ** (x_decimals - y_decimals))
+    slope_scaled = F.when(var_n > 0, cov_n / var_n)
+    intercept_scaled = (
+        F.col("__sy").cast("double") - slope_scaled * F.col("__sx").cast("double")
+    ) / F.col("n").cast("double")
+    return sums.select(
+        *keys,
+        "n",
+        (slope_scaled * F.lit(unscale)).alias("slope"),
+        (intercept_scaled / F.lit(float(10 ** y_decimals))).alias("intercept"),
+    )
+
+
+def group_zscore(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str] | None = None,
+    decimals: int = 6,
+    out_col: str = "zscore",
+) -> DataFrame:
+    """Per-row z-score within its group, engine-portable.
+
+    The naive (x - avg) / stddev chains double aggregates whose low
+    bits depend on partition order. Here the group moments are exact
+    decimals (one aggregate, broadcast back), and the epilogue is a
+    fixed IEEE sequence of correctly-rounded ops — identical bits on
+    any engine that evaluates the same expression:
+
+        num = n*x - Sx                  (exact decimal → double)
+        a   = n*Sxx - Sx²               (exact decimal → double)
+        den = sqrt(a * (n/(n-1)))       (two correctly-rounded ops)
+        z   = num / den                 (scale factors cancel exactly)
+
+    Sample stddev (n-1); singleton groups get NULL. The join back is a
+    broadcast of one row per group — no second shuffle of the fact.
+    """
+    keys = list(by) if by else []
+    xi = (
+        (F.col(value_col).cast(f"decimal(18,{decimals})") * (10 ** decimals))
+        .cast("decimal(19,0)")
+    )
+    d38 = "decimal(38,0)"
+    base = df.withColumn("__xi", xi)
+    moments = (base.groupBy(*keys) if keys else base.groupBy()).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("__xi").cast(d38)).alias("__sx"),
+        F.sum((F.col("__xi") * F.col("__xi")).cast(d38)).alias("__sxx"),
+    )
+    joined = (
+        base.join(F.broadcast(moments), keys, "left")
+        if keys
+        else base.crossJoin(F.broadcast(moments))
+    )
+    nd = F.col("__n").cast("decimal(12,0)")
+    num = (nd * F.col("__xi") - F.col("__sx")).cast("double")
+    a = (nd * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
+    ratio = F.col("__n").cast("double") / (F.col("__n") - F.lit(1)).cast("double")
+    den = F.sqrt(a * ratio)
+    z = F.when((F.col("__n") > 1) & (den > 0), num / den)
+    return joined.withColumn(out_col, z).drop("__xi", "__n", "__sx", "__sxx")

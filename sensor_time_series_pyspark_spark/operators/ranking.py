@@ -131,3 +131,61 @@ def pack_offsets(
         .withColumn("chunk_id", F.floor(F.col("offset") / F.lit(budget)))
         .select("id", *keys, "n_tokens", "offset", "chunk_id")
     )
+
+
+def collocation_lift(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_pair_count: int = 3,
+) -> DataFrame:
+    """Corpus collocations (adjacent word pairs) scored by LIFT —
+    observed bigram frequency over the independence expectation:
+
+        lift(x, y) = N_tokens * c(x y) / (c(x) * c(y))
+
+    PMI is log(lift); the log is dropped deliberately — every input to
+    the score is an exact integer count, so the single division makes
+    the score engine-portable where log's libm variation would not, and
+    log is monotone so the RANKING is identical.
+
+    Shape: one token explode for unigram counts, one shifted zip for
+    bigram counts (both hash aggregates), then two broadcast-sized
+    joins of the bigram frame against the unigram frame (vocabulary
+    is tiny next to the corpus; at web scale the unigram frame is still
+    ~millions of rows — the joins stay shuffle-hash on the word key).
+    ``min_pair_count`` prunes the hapax noise that dominates raw lift.
+
+    Output: w1, w2, n_pair, n_w1, n_w2, lift.
+    """
+    toks = df.select(tokens(text_col).alias("__t"))
+    uni = (
+        toks.select(F.explode("__t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    bi = (
+        toks.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("__t"), 1, F.greatest(F.size("__t") - 1, F.lit(0))),
+                    F.slice(F.col("__t"), 2, F.greatest(F.size("__t") - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= min_pair_count)
+    )
+    n_tokens = toks.agg(F.sum(F.size("__t")).alias("n")).collect()[0]["n"]
+    out = (
+        bi.join(uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2")), "w2")
+    )
+    lift = (
+        (F.lit(int(n_tokens)) * F.col("n_pair")).cast("double")
+        / (F.col("n_w1") * F.col("n_w2")).cast("double")
+    )
+    return out.select("w1", "w2", "n_pair", "n_w1", "n_w2", lift.alias("lift"))

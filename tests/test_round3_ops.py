@@ -1,0 +1,205 @@
+"""Unit + invariant tests for the round-3 operators: triangle count,
+exact-moment trend/z-score, transition matrix, running distinct,
+duplicated-n-gram rate, snapshot diff, collocation lift, Gopher
+quality flags, null-run islands."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sensor_time_series_pyspark_spark.functions.text import gopher_flags
+from sensor_time_series_pyspark_spark.operators import (
+    collocation_lift,
+    dup_ngram_rate,
+    group_zscore,
+    null_runs,
+    running_distinct,
+    snapshot_diff,
+    transition_matrix,
+    trend_slope,
+    triangle_count,
+)
+
+
+# ---------------------------------------------------------------- triangles
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_triangle_count_k4(spark):
+    # complete graph on 4 nodes has C(4,3) = 4 triangles
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    n = triangle_count(_edges(spark, k4)).collect()[0]["n_triangles"]
+    assert n == 4
+
+
+def test_triangle_count_path_has_none(spark):
+    n = triangle_count(_edges(spark, [(1, 2), (2, 3), (3, 4)])).collect()[0][
+        "n_triangles"
+    ]
+    assert n == 0
+
+
+def test_triangle_count_orientations_agree(spark):
+    # duplicate/reversed/self-loop edges must collapse identically
+    edges = [(1, 2), (2, 1), (2, 3), (1, 3), (3, 4), (4, 1), (2, 4), (5, 5)]
+    by_deg = triangle_count(_edges(spark, edges), orient="degree")
+    by_id = triangle_count(_edges(spark, edges), orient="id")
+    assert (
+        by_deg.collect()[0]["n_triangles"] == by_id.collect()[0]["n_triangles"] == 4
+    )
+
+
+# ------------------------------------------------------------- trend slope
+def test_trend_slope_recovers_line(spark):
+    rows = [(float(x), 2.0 * x + 1.0, "g") for x in range(10)]
+    df = spark.createDataFrame(rows, "x double, y double, g string")
+    out = trend_slope(df, "x", "y", by=["g"], x_decimals=0, y_decimals=2).collect()[0]
+    assert out["n"] == 10
+    assert abs(out["slope"] - 2.0) < 1e-9
+    assert abs(out["intercept"] - 1.0) < 1e-9
+
+
+def test_trend_slope_degenerate_x_is_null(spark):
+    df = spark.createDataFrame(
+        [(1.0, 5.0), (1.0, 7.0)], "x double, y double"
+    )
+    out = trend_slope(df, "x", "y").collect()[0]
+    assert out["slope"] is None
+
+
+# ----------------------------------------------------------------- z-score
+def test_group_zscore_matches_reference(spark):
+    vals = [1.0, 2.0, 3.0, 4.0]
+    df = spark.createDataFrame([(v, "a") for v in vals], "v double, g string")
+    out = {
+        r["v"]: r["z"]
+        for r in group_zscore(df, "v", by=["g"], out_col="z").collect()
+    }
+    mean = sum(vals) / 4
+    sd = math.sqrt(sum((v - mean) ** 2 for v in vals) / 3)
+    for v in vals:
+        assert abs(out[v] - (v - mean) / sd) < 1e-9
+
+
+def test_group_zscore_singleton_null(spark):
+    df = spark.createDataFrame([(5.0, "solo")], "v double, g string")
+    assert group_zscore(df, "v", by=["g"]).collect()[0]["zscore"] is None
+
+
+# ---------------------------------------------------------- transitions
+def test_transition_matrix_counts_and_shares(spark):
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "a"),     # a→b, b→a
+        (2, 1, "a"), (2, 2, "b"), (2, 3, "c"),     # a→b, b→c
+    ]
+    df = spark.createDataFrame(rows, "u long, t long, s string")
+    out = {
+        (r["from_state"], r["to_state"]): (r["n"], r["share"])
+        for r in transition_matrix(df, "u", "t", "s").collect()
+    }
+    assert out[("a", "b")] == (2, 1.0)
+    assert out[("b", "a")][0] == 1 and abs(out[("b", "a")][1] - 0.5) < 1e-12
+    assert out[("b", "c")][0] == 1
+    # terminal events contribute no row
+    assert ("c", None) not in out
+
+
+# ------------------------------------------------------- running distinct
+def test_running_distinct_cumulative(spark):
+    rows = [
+        (1, "2024-01-01 10:00:00"), (2, "2024-01-01 11:00:00"),
+        (1, "2024-01-02 10:00:00"), (3, "2024-01-02 11:00:00"),
+        (3, "2024-01-03 09:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts string").select(
+        "u", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = {str(r["day"]): (r["new_entities"], r["cum_entities"])
+           for r in running_distinct(df, "u", "ts").collect()}
+    assert out["2024-01-01"] == (2, 2)
+    assert out["2024-01-02"] == (1, 3)
+    # day 3 brings no new entities → absent
+    assert "2024-01-03" not in out
+
+
+# -------------------------------------------------------- dup n-gram rate
+def test_dup_ngram_rate_planted(spark):
+    shared = "alpha beta gamma delta"          # identical 3-grams in both
+    rows = [
+        (1, shared), (2, shared),
+        (3, "unique tokens only here nothing shared"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in dup_ngram_rate(df, "doc_id", "text", n=3).collect()}
+    assert out[1]["dup_rate"] == 1.0 and out[2]["dup_rate"] == 1.0
+    assert out[3]["dup_rate"] == 0.0
+    assert out[3]["n_grams"] == 4  # 6 tokens → 4 distinct 3-grams
+
+
+# ----------------------------------------------------------- snapshot diff
+def test_snapshot_diff_all_classes(spark):
+    old = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "y", 2.0), (3, "z", 3.0)], "k long, a string, b double"
+    )
+    new = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "y", 99.0), (4, "w", 4.0)], "k long, a string, b double"
+    )
+    out = {r["k"]: r["change"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_snapshot_diff_null_aware(spark):
+    old = spark.createDataFrame([(1, None)], "k long, a string")
+    new = spark.createDataFrame([(1, None)], "k long, a string")
+    assert snapshot_diff(old, new, ["k"]).collect()[0]["change"] == "unchanged"
+
+
+# ------------------------------------------------------------ collocations
+def test_collocation_lift_scores(spark):
+    # "new york" always adjacent; "the the" never occurs
+    docs = [(i, "new york is big and new york is old") for i in range(3)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {(r["w1"], r["w2"]): r for r in
+           collocation_lift(df, "doc_id", "text", min_pair_count=3).collect()}
+    ny = out[("new", "york")]
+    assert ny["n_pair"] == 6 and ny["n_w1"] == 6 and ny["n_w2"] == 6
+    # N_tokens=27, lift = 27*6/(6*6) = 4.5
+    assert abs(ny["lift"] - 4.5) < 1e-12
+
+
+# ------------------------------------------------------------ gopher flags
+def test_gopher_flags_pass_and_fail(spark):
+    good = " ".join(["the quick brown fox jumps over a lazy dog ok"] * 6)  # 60 words
+    short = "too short"
+    symbolic = " ".join(["### and more ###"] * 20)
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbolic)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select("doc_id", gopher_flags("text").alias("g"))
+        .select("doc_id", "g.*")
+        .collect()
+    }
+    assert out[1]["pass_all"] is True
+    assert out[2]["ok_word_count"] is False and out[2]["pass_all"] is False
+    assert out[3]["ok_symbol_ratio"] is False
+
+
+# --------------------------------------------------------------- null runs
+def test_null_runs_finds_longest(spark):
+    rows = [
+        ("s", 1, 1.0), ("s", 2, None), ("s", 3, None), ("s", 4, 2.0),
+        ("s", 5, None), ("s", 6, None), ("s", 7, None), ("s", 8, 3.0),
+        ("t", 1, 1.0), ("t", 2, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, t long, v double")
+    out = {r["g"]: r for r in null_runs(df, ["g"], "t", "v").collect()}
+    assert out["s"]["n_runs"] == 2
+    assert out["s"]["longest_run"] == 3
+    assert out["s"]["total_nulls"] == 5
+    assert "t" not in out  # fully observed series has no run rows
