@@ -1813,6 +1813,113 @@ def _q_null_runs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_trigram_lm(spark: SparkSession, sf: str) -> DataFrame:
+    """MLE trigram language-model table (operators/ranking.py:
+    ngram_lm): c(w1w2w3)/c(w1w2·) with exact integer counts and one
+    division; denominators come from a window over the AGGREGATED gram
+    frame, never a second corpus scan."""
+    from sensor_time_series_pyspark_spark.operators import ngram_lm
+
+    docs = read_table(spark, sf, "documents")
+    return ngram_lm(docs, "doc_id", "text", n=3, min_context_count=3)
+
+
+def _q_posting_lists(spark: SparkSession, sf: str) -> DataFrame:
+    """Inverted-index posting summary (operators/ranking.py:
+    posting_lists): per-term df/tf/id-range; the (doc, term) tf is
+    pre-reduced so the term shuffle carries one row per posting."""
+    from sensor_time_series_pyspark_spark.operators import posting_lists
+
+    docs = read_table(spark, sf, "documents")
+    return posting_lists(docs, "doc_id", "text")
+
+
+def _q_time_in_state(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-state dwell time (operators/analytics.py:time_in_state):
+    exact integer-microsecond durations from one lead window; mean is
+    one division of two exact integers."""
+    from sensor_time_series_pyspark_spark.operators import time_in_state
+
+    ev = read_table(spark, sf, "events")
+    return time_in_state(ev, "user_id", "ts", "event_type", tiebreak_col="event_id")
+
+
+def _q_densify_grid(spark: SparkSession, sf: str) -> DataFrame:
+    """Regular-grid densification with LOCF fill (operators/
+    resample.py:densify_locf): per-user 30-min grid via integer epoch
+    buckets + sequence(); ONE window pass fills — no per-gridpoint
+    as-of join."""
+    from sensor_time_series_pyspark_spark.operators import densify_locf
+
+    ev = read_table(spark, sf, "events")
+    return densify_locf(ev, ["user_id"], "ts", "value", step_seconds=1800)
+
+
+def _q_session_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Session-level rollup on top of sessionize (q15's operator):
+    per-user session count, events-per-session, and mean session
+    duration — exact micros sums, two integer divisions at the end."""
+    ev = read_table(spark, sf, "events")
+    s = sessionize(ev, "ts", ["user_id"], gap_seconds=1800)
+    per_session = s.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        (
+            F.max(F.unix_micros(F.col("ts"))) - F.min(F.unix_micros(F.col("ts")))
+        ).alias("dur_us"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_ev").alias("n_events"),
+        (
+            F.sum("n_ev").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("events_per_session"),
+        (
+            F.sum("dur_us").cast("double")
+            / (F.count(F.lit(1)) * F.lit(1000000)).cast("double")
+        ).alias("mean_session_seconds"),
+    )
+
+
+def _q_source_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source corpus health: doc count, total chars, language
+    spread, and Gopher pass share (functions/text.py:gopher_flags) —
+    the curation dashboard query; integer counts, one division."""
+    from sensor_time_series_pyspark_spark.functions.text import gopher_flags
+
+    docs = read_table(spark, sf, "documents")
+    base = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        gopher_flags("text")["pass_all"].cast("int").alias("ok"),
+    )
+    return base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("ok").alias("n_pass"),
+        (F.sum("ok").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "pass_share"
+        ),
+    )
+
+
+def _q_minmax_scale(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group min-max feature scaling (operators/profile.py:
+    minmax_scale): broadcast bounds, exact decimal differences, one
+    division — the fact table never shuffles."""
+    from sensor_time_series_pyspark_spark.operators import minmax_scale
+
+    ev = read_table(spark, sf, "events")
+    out = minmax_scale(
+        ev.select("event_id", "event_type", "value"),
+        "value",
+        by=["event_type"],
+        decimals=6,
+    )
+    return out.select("event_id", "event_type", "scaled")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -1925,6 +2032,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q107_collocations": _q_collocations,
         "q108_gopher_quality": _q_gopher_quality,
         "q109_null_runs": _q_null_runs,
+        "q110_trigram_lm": _q_trigram_lm,
+        "q111_posting_lists": _q_posting_lists,
+        "q112_time_in_state": _q_time_in_state,
+        "q113_densify_grid": _q_densify_grid,
+        "q114_session_stats": _q_session_stats,
+        "q115_source_rollup": _q_source_rollup,
+        "q116_minmax_scale": _q_minmax_scale,
     }
 
 
@@ -3754,5 +3868,173 @@ def oracle_sql() -> dict[str, str]:
               max(len) AS longest_run,
               CAST(sum(len) AS BIGINT) AS total_nulls
             FROM runs GROUP BY user_id
+        """,
+        "q110_trigram_lm": r"""
+            WITH toks AS (
+              SELECT list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT unnest(list_transform(
+                generate_series(1, greatest(len(t) - 2, 0)),
+                i -> struct_pack(
+                  context := array_to_string(t[i:i+1], ' '),
+                  next_word := t[i+2]))) AS g
+              FROM toks
+            ),
+            full_c AS (
+              SELECT g.context AS context, g.next_word AS next_word,
+                CAST(count(*) AS BIGINT) AS c_full
+              FROM grams GROUP BY g.context, g.next_word
+            ),
+            win AS (
+              SELECT context, next_word, c_full,
+                CAST(sum(c_full) OVER (PARTITION BY context) AS BIGINT) AS c_context
+              FROM full_c
+            )
+            SELECT context, next_word, c_full, c_context,
+              CAST(c_full AS DOUBLE) / CAST(c_context AS DOUBLE) AS prob
+            FROM win WHERE c_context >= 3
+        """,
+        "q111_posting_lists": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+              FROM documents
+            ),
+            occ AS (SELECT doc_id, unnest(t) AS term FROM toks),
+            per_doc AS (
+              SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+              FROM occ GROUP BY term, doc_id
+            )
+            SELECT term,
+              CAST(count(*) AS BIGINT) AS df,
+              CAST(sum(tf) AS BIGINT) AS tf,
+              min(doc_id) AS min_doc_id,
+              max(doc_id) AS max_doc_id
+            FROM per_doc GROUP BY term
+        """,
+        "q112_time_in_state": """
+            WITH s AS (
+              SELECT event_type AS state,
+                lead(epoch_us(ts)) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id) - epoch_us(ts) AS us
+              FROM events
+            )
+            SELECT state,
+              CAST(count(*) AS BIGINT) AS n_intervals,
+              CAST(sum(us) // 1000000 AS BIGINT) AS total_seconds,
+              CAST(sum(us) AS DOUBLE)
+                / CAST(count(*) * 1000000 AS DOUBLE) AS mean_seconds
+            FROM s WHERE us IS NOT NULL GROUP BY state
+        """,
+        "q113_densify_grid": """
+            WITH obs AS (
+              SELECT user_id, epoch_us(ts) AS us, 0 AS is_grid, value AS v
+              FROM events
+            ),
+            spans AS (
+              SELECT user_id,
+                min(epoch_us(ts)) // 1800000000 AS b0,
+                max(epoch_us(ts)) // 1800000000 AS b1
+              FROM events GROUP BY user_id
+            ),
+            grid AS (
+              SELECT user_id, CAST(b * 1800000000 AS BIGINT) AS us,
+                1 AS is_grid, CAST(NULL AS DOUBLE) AS v
+              FROM spans, unnest(generate_series(b0, b1)) AS t(b)
+            ),
+            u AS (
+              SELECT * FROM obs UNION ALL SELECT * FROM grid
+            ),
+            f AS (
+              SELECT user_id, us, is_grid,
+                last_value(v IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY us, is_grid
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+              FROM u
+            )
+            SELECT user_id, make_timestamp(us) AS bucket_ts, value
+            FROM f WHERE is_grid = 1
+        """,
+        "q114_session_stats": """
+            WITH flagged AS (
+              SELECT user_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                     THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            sess AS (
+              SELECT user_id, ts,
+                CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  AS session_seq
+              FROM flagged
+            ),
+            per_session AS (
+              SELECT user_id, session_seq,
+                CAST(count(*) AS BIGINT) AS n_ev,
+                max(epoch_us(ts)) - min(epoch_us(ts)) AS dur_us
+              FROM sess GROUP BY user_id, session_seq
+            )
+            SELECT user_id,
+              CAST(count(*) AS BIGINT) AS n_sessions,
+              CAST(sum(n_ev) AS BIGINT) AS n_events,
+              CAST(sum(n_ev) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                AS events_per_session,
+              CAST(sum(dur_us) AS DOUBLE)
+                / CAST(count(*) * 1000000 AS DOUBLE) AS mean_session_seconds
+            FROM per_session GROUP BY user_id
+        """,
+        "q115_source_rollup": r"""
+            WITH toks AS (
+              SELECT source, lang, n_chars,
+                list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+              FROM documents
+            ),
+            m AS (
+              SELECT source, lang, n_chars,
+                CAST(len(t) AS INT) AS n_words,
+                CAST(COALESCE(list_sum(list_transform(t, w -> length(w))), 0) AS INT) AS n_tchars,
+                CAST(len(list_filter(t, w -> regexp_matches(w, '[A-Za-z]'))) AS INT) AS alpha_words,
+                CAST(len(list_filter(t, w -> contains(w, '#')))
+                     + len(list_filter(t, w -> contains(w, '...'))) AS INT) AS n_symbols,
+                CAST(len(list_intersect(list_distinct(t), """
+        + _STOPWORD_LIST
+        + """)) AS INT) AS n_stop
+              FROM toks
+            ),
+            flags AS (
+              SELECT source, lang, n_chars,
+                CASE WHEN (n_words >= 50 AND n_words <= 100000)
+                      AND (n_tchars >= 3 * n_words AND n_tchars <= 10 * n_words)
+                      AND (5 * alpha_words >= 4 * n_words)
+                      AND (10 * n_symbols <= n_words)
+                      AND (n_stop >= 2) THEN 1 ELSE 0 END AS ok
+              FROM m
+            )
+            SELECT source,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars,
+              CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+              CAST(sum(ok) AS BIGINT) AS n_pass,
+              CAST(sum(ok) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pass_share
+            FROM flags GROUP BY source
+        """,
+        "q116_minmax_scale": """
+            WITH b AS (
+              SELECT event_type,
+                min(CAST(value AS DECIMAL(18,6))) AS mn,
+                max(CAST(value AS DECIMAL(18,6))) AS mx
+              FROM events GROUP BY event_type
+            )
+            SELECT event_id, event_type,
+              CASE WHEN CAST(mx - mn AS DOUBLE) > 0
+                   THEN CAST(CAST(value AS DECIMAL(18,6)) - mn AS DOUBLE)
+                        / CAST(mx - mn AS DOUBLE)
+              END AS scaled
+            FROM events JOIN b USING (event_type)
         """,
     }

@@ -163,3 +163,7 @@ from .contamination import dup_ngram_rate
 from .islands import null_runs
 from .ranking import collocation_lift
 from .diff import snapshot_diff
+from .ranking import ngram_lm, posting_lists
+from .analytics import time_in_state
+from .profile import minmax_scale
+from .resample import densify_locf

@@ -181,3 +181,53 @@ def running_distinct(
         "new_entities",
         F.sum("new_entities").over(w).alias("cum_entities"),
     )
+
+
+def time_in_state(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Dwell-time per state — how long each entity stream spends in
+    each state before the next transition (time-in-alarm, mode
+    residency, page dwell). The sensor-fleet twin of
+    transition_matrix: same single lead window (one shuffle on the
+    entity key), but measuring elapsed time instead of counting hops.
+
+    Durations are EXACT integer microseconds end-to-end (unix_micros
+    diffs summed as longs); the mean is one double division of two
+    exact integers, so the whole row is engine-portable. Terminal
+    events (no successor) carry no duration, standard convention.
+
+    Output: state, n_intervals, total_seconds (floor of the exact
+    micros sum), mean_seconds.
+    """
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    spans = (
+        df.select(
+            F.col(state_col).alias("state"),
+            (
+                F.lead(F.unix_micros(F.col(ts_col))).over(w)
+                - F.unix_micros(F.col(ts_col))
+            ).alias("__us"),
+        )
+        .where(F.col("__us").isNotNull())
+    )
+    agg = spans.groupBy("state").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("__us").alias("__tot_us"),
+    )
+    return agg.select(
+        "state",
+        "n_intervals",
+        # integer division: a double detour would lose exactness once the
+        # micros sum passes 2^53 (≈104 days × 1000 series)
+        F.expr("__tot_us div 1000000").alias("total_seconds"),
+        (
+            F.col("__tot_us").cast("double")
+            / (F.col("n_intervals") * F.lit(1000000)).cast("double")
+        ).alias("mean_seconds"),
+    )

@@ -391,3 +391,36 @@ def group_zscore(
     den = F.sqrt(a * ratio)
     z = F.when((F.col("__n") > 1) & (den > 0), num / den)
     return joined.withColumn(out_col, z).drop("__xi", "__n", "__sx", "__sxx")
+
+
+def minmax_scale(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str] | None = None,
+    decimals: int = 6,
+    out_col: str = "scaled",
+) -> DataFrame:
+    """Per-group min-max normalization to [0, 1] — the feature-scaling
+    twin of group_zscore, same portable shape: one tiny bounds
+    aggregate broadcast back (the fact table never shuffles), exact
+    decimal differences, ONE double division.
+
+    Degenerate groups (min == max) yield NULL. NULL values pass
+    through as NULL.
+    """
+    keys = list(by) if by else []
+    xi = F.col(value_col).cast(f"decimal(18,{decimals})")
+    base = df.withColumn("__xi", xi)
+    bounds = (base.groupBy(*keys) if keys else base.groupBy()).agg(
+        F.min("__xi").alias("__mn"), F.max("__xi").alias("__mx")
+    )
+    joined = (
+        base.join(F.broadcast(bounds), keys, "left")
+        if keys
+        else base.crossJoin(F.broadcast(bounds))
+    )
+    num = (F.col("__xi") - F.col("__mn")).cast("double")
+    den = (F.col("__mx") - F.col("__mn")).cast("double")
+    return joined.withColumn(
+        out_col, F.when(den > 0, num / den)
+    ).drop("__xi", "__mn", "__mx")

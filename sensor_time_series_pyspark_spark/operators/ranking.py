@@ -189,3 +189,89 @@ def collocation_lift(
         / (F.col("n_w1") * F.col("n_w2")).cast("double")
     )
     return out.select("w1", "w2", "n_pair", "n_w1", "n_w2", lift.alias("lift"))
+
+
+def ngram_lm(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_context_count: int = 2,
+) -> DataFrame:
+    """Maximum-likelihood n-gram language model table:
+    P(w_n | w_1..w_{n-1}) = c(w_1..w_n) / c(w_1..w_{n-1} ·) — the
+    classic corpus LM estimation step (the count tables behind KenLM /
+    infini-gram style scoring), at Spark scale: two hash aggregates on
+    the gram key plus a window over the AGGREGATED context frame (tiny
+    next to the corpus), never a second corpus scan for denominators.
+
+    Probabilities are exact-integer counts with ONE division —
+    engine-portable. ``min_context_count`` drops sparse contexts whose
+    MLE is noise (and whose cardinality dominates the table at scale).
+
+    Output: context (space-joined n-1 words), next_word, c_full,
+    c_context, prob.
+    """
+    if n < 2:
+        raise ValueError("ngram_lm needs n >= 2")
+    toks = df.select(tokens(text_col).alias("__t"))
+    m = n - 1
+    win = F.greatest(F.size("__t") - (n - 1), F.lit(0))
+    grams = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), win),
+                lambda i: F.struct(
+                    F.array_join(F.slice(F.col("__t"), i, m), " ").alias("context"),
+                    F.element_at(F.col("__t"), (i + m).cast("int")).alias("next_word"),
+                ),
+            )
+        ).alias("g")
+    ).select("g.context", "g.next_word")
+    full = grams.groupBy("context", "next_word").agg(
+        F.count(F.lit(1)).alias("c_full")
+    )
+    w_ctx = Window.partitionBy("context")
+    out = full.select(
+        "context",
+        "next_word",
+        "c_full",
+        F.sum("c_full").over(w_ctx).alias("c_context"),
+    ).where(F.col("c_context") >= min_context_count)
+    return out.select(
+        "context",
+        "next_word",
+        "c_full",
+        "c_context",
+        (F.col("c_full").cast("double") / F.col("c_context").cast("double")).alias(
+            "prob"
+        ),
+    )
+
+
+def posting_lists(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Inverted-index posting-list summary per term: document
+    frequency, total term frequency, and the posting id range — the
+    index-construction statistics a search build emits before writing
+    segments.
+
+    One explode + one hash aggregate; the per-(doc, term) tf is
+    pre-reduced map-side by the first groupBy, so the term-level
+    shuffle carries one row per (doc, term), not one per occurrence.
+
+    Output: term, df, tf, min_doc_id, max_doc_id.
+    """
+    occ = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
+    )
+    per_doc = occ.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    return per_doc.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("tf"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )

@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -139,4 +139,76 @@ def hopping_resample(
         .agg(*aggs)
         .withColumn(bucket_col, F.col("window.start"))
         .drop("window")
+    )
+
+
+def densify_locf(
+    df: DataFrame,
+    entity_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    step_seconds: int,
+) -> DataFrame:
+    """Densify an irregular series onto a regular grid with
+    last-observation-carried-forward fill — the `fill(previous)` /
+    `time_bucket_gapfill` shape every time-series engine exposes.
+
+    Per entity, grid points run from floor(min ts) to floor(max ts) in
+    ``step_seconds`` strides (epoch-integer floors — portable). The
+    fill is NOT a per-gridpoint as-of lookup (that's a range join per
+    point); instead grid rows union with observations and ONE
+    last_value(ignorenulls) window pass per entity carries values
+    forward — same single-shuffle shape as ffill. Observations at a
+    grid timestamp win over the carried value (is_grid orders after
+    observations at equal epoch).
+
+    Grid size is data-driven per entity (sequence() on integers), so a
+    sparse entity costs little and a long-lived one densifies fully —
+    no global calendar cross join.
+
+    Output: [*entity_cols], bucket_ts, value.
+    """
+    keys = list(entity_cols)
+    # observations keyed by exact epoch micros for ordering; grid rows
+    # carry NULL value and sort AFTER same-instant observations so LOCF
+    # prefers the real reading.
+    obs = df.select(
+        *keys,
+        F.unix_micros(F.col(ts_col)).alias("__us"),
+        F.lit(0).alias("__is_grid"),
+        F.col(value_col).alias("__v"),
+    )
+    spans = df.groupBy(*keys).agg(
+        F.expr(f"min(unix_micros({ts_col})) div {step_seconds * 1_000_000}")
+        .alias("__b0"),
+        F.expr(f"max(unix_micros({ts_col})) div {step_seconds * 1_000_000}")
+        .alias("__b1"),
+    )
+    grid = spans.select(
+        *keys,
+        F.explode(
+            F.sequence(F.col("__b0"), F.col("__b1"))
+        ).alias("__bucket"),
+    ).select(
+        *keys,
+        (F.col("__bucket") * F.lit(step_seconds * 1_000_000)).alias("__us"),
+        F.lit(1).alias("__is_grid"),
+        F.lit(None).cast(dict(df.dtypes)[value_col]).alias("__v"),
+    )
+    unioned = obs.unionByName(grid)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__us", "__is_grid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.withColumn(
+        "__f", F.last("__v", ignorenulls=True).over(w)
+    )
+    return (
+        filled.where(F.col("__is_grid") == 1)
+        .select(
+            *keys,
+            F.timestamp_micros(F.col("__us")).alias("bucket_ts"),
+            F.col("__f").alias("value"),
+        )
     )

@@ -203,3 +203,97 @@ def test_null_runs_finds_longest(spark):
     assert out["s"]["longest_run"] == 3
     assert out["s"]["total_nulls"] == 5
     assert "t" not in out  # fully observed series has no run rows
+
+
+# ---------------------------------------------------------------- ngram LM
+def test_ngram_lm_probabilities(spark):
+    from sensor_time_series_pyspark_spark.operators import ngram_lm
+
+    docs = [(1, "a b c"), (2, "a b d"), (3, "a b c")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {(r["context"], r["next_word"]): r
+           for r in ngram_lm(df, "doc_id", "text", n=3, min_context_count=1).collect()}
+    ab_c = out[("a b", "c")]
+    assert ab_c["c_full"] == 2 and ab_c["c_context"] == 3
+    assert abs(ab_c["prob"] - 2 / 3) < 1e-12
+    assert out[("a b", "d")]["c_full"] == 1
+
+
+def test_posting_lists_summary(spark):
+    from sensor_time_series_pyspark_spark.operators import posting_lists
+
+    docs = [(1, "x y x"), (2, "x z")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["term"]: r for r in posting_lists(df, "doc_id", "text").collect()}
+    assert out["x"]["df"] == 2 and out["x"]["tf"] == 3
+    assert out["x"]["min_doc_id"] == 1 and out["x"]["max_doc_id"] == 2
+    assert out["z"]["df"] == 1
+
+
+# ------------------------------------------------------------ time in state
+def test_time_in_state_durations(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", "on"),
+        (1, "2024-01-01 00:00:10", "off"),
+        (1, "2024-01-01 00:00:40", "on"),
+        (1, "2024-01-01 00:00:45", "off"),  # terminal, no duration
+    ]
+    from sensor_time_series_pyspark_spark.operators import time_in_state
+
+    df = spark.createDataFrame(rows, "u long, ts string, s string").select(
+        "u", F.col("ts").cast("timestamp").alias("ts"), "s"
+    )
+    out = {r["state"]: r for r in time_in_state(df, "u", "ts", "s").collect()}
+    assert out["on"]["n_intervals"] == 2 and out["on"]["total_seconds"] == 15
+    assert out["off"]["n_intervals"] == 1 and out["off"]["total_seconds"] == 30
+    assert abs(out["on"]["mean_seconds"] - 7.5) < 1e-12
+
+
+# ------------------------------------------------------------ densify LOCF
+def test_densify_locf_grid_and_fill(spark):
+    from sensor_time_series_pyspark_spark.operators import densify_locf
+
+    rows = [
+        ("s", "2024-01-01 00:00:30", 1.0),
+        ("s", "2024-01-01 00:03:10", 2.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts string, v double").select(
+        "g", F.col("ts").cast("timestamp").alias("ts"), F.col("v")
+    )
+    out = sorted(
+        densify_locf(df, ["g"], "ts", "v", step_seconds=60).collect(),
+        key=lambda r: r["bucket_ts"],
+    )
+    # buckets 00:00 .. 00:03 inclusive
+    assert len(out) == 4
+    assert out[0]["value"] is None          # grid point precedes first obs
+    assert out[1]["value"] == 1.0           # LOCF
+    assert out[2]["value"] == 1.0
+    assert out[3]["value"] == 1.0           # 00:03 grid sorts before 00:03:10 obs
+
+
+def test_densify_locf_same_instant_prefers_observation(spark):
+    from sensor_time_series_pyspark_spark.operators import densify_locf
+
+    rows = [("s", "2024-01-01 00:00:00", 5.0), ("s", "2024-01-01 00:01:00", 7.0)]
+    df = spark.createDataFrame(rows, "g string, ts string, v double").select(
+        "g", F.col("ts").cast("timestamp").alias("ts"), F.col("v")
+    )
+    out = sorted(
+        densify_locf(df, ["g"], "ts", "v", step_seconds=60).collect(),
+        key=lambda r: r["bucket_ts"],
+    )
+    assert [r["value"] for r in out] == [5.0, 7.0]
+
+
+# ------------------------------------------------------------ minmax scale
+def test_minmax_scale_bounds(spark):
+    from sensor_time_series_pyspark_spark.operators import minmax_scale
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "a", 15.0), (4, "b", 3.0)],
+        "id long, g string, v double",
+    )
+    out = {r["id"]: r["scaled"] for r in minmax_scale(df, "v", by=["g"]).collect()}
+    assert out[1] == 0.0 and out[2] == 1.0 and abs(out[3] - 0.5) < 1e-12
+    assert out[4] is None  # degenerate single-value group
