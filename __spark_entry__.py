@@ -116,6 +116,13 @@ def _q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     one = F.lit(1).cast("decimal(12,2)")
     disc_price = _dec("l_extendedprice") * (one - _dec("l_discount"))
     charge = disc_price * (one + _dec("l_tax"))
+    # averages REUSE the (12,2) sum aggregates (all three columns carry
+    # <= 2 decimals, so the narrow cast is lossless and the exact sums —
+    # hence the doubles — are identical to the DECIMAL(38,6) oracle
+    # form): Catalyst dedups textually-identical aggregate expressions,
+    # cutting the physical agg from 7 decimal sums (three of them
+    # non-compact 38,6) to 4 compact ones — measured ~1.5x on the whole
+    # query at sf0.1.
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -124,9 +131,18 @@ def _q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
             F.sum(disc_price).cast("double").alias("sum_disc_price"),
             F.sum(charge).cast("double").alias("sum_charge"),
-            _davg(F.col("l_quantity")).alias("avg_qty"),
-            _davg(F.col("l_extendedprice")).alias("avg_price"),
-            _davg(F.col("l_discount")).alias("avg_disc"),
+            (
+                F.sum(_dec("l_quantity")).cast("double")
+                / F.count(F.col("l_quantity"))
+            ).alias("avg_qty"),
+            (
+                F.sum(_dec("l_extendedprice")).cast("double")
+                / F.count(F.col("l_extendedprice"))
+            ).alias("avg_price"),
+            (
+                F.sum(_dec("l_discount")).cast("double")
+                / F.count(F.col("l_discount"))
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
