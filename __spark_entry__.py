@@ -1936,6 +1936,42 @@ def _q_minmax_scale(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("event_id", "event_type", "scaled")
 
 
+def _q_spearman(spark: SparkSession, sf: str) -> DataFrame:
+    """Spearman rank correlation of value vs time per event type
+    (operators/profile.py:spearman_corr) — the monotone-trend test.
+    Doubled average ranks stay integer (2·rank + ties − 1), so the
+    whole statistic rides exact_corr's decimal moments."""
+    from sensor_time_series_pyspark_spark.operators import spearman_corr
+
+    ev = read_table(spark, sf, "events")
+    base = ev.select(
+        "event_type", F.col("ts").cast("long").alias("t"), "value"
+    )
+    return spearman_corr(base, "t", "value", by=["event_type"])
+
+
+def _q_chisq(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-cell chi-square contributions for priority × status
+    (operators/profile.py:chisq_cells): exact decimal products, fixed
+    IEEE epilogue per cell; totals come from windows over the
+    aggregated cell frame — one fact scan."""
+    from sensor_time_series_pyspark_spark.operators import chisq_cells
+
+    o = read_table(spark, sf, "orders")
+    return chisq_cells(o, "o_orderpriority", "o_orderstatus")
+
+
+def _q_benford(spark: SparkSession, sf: str) -> DataFrame:
+    """Leading-digit distribution of order values vs Benford's law
+    (operators/profile.py:benford_digits) — log-free digit extraction
+    via exact integer stringification; expectations are literal
+    constants in both engines."""
+    from sensor_time_series_pyspark_spark.operators import benford_digits
+
+    o = read_table(spark, sf, "orders")
+    return benford_digits(o, "o_totalprice", decimals=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -2055,6 +2091,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q114_session_stats": _q_session_stats,
         "q115_source_rollup": _q_source_rollup,
         "q116_minmax_scale": _q_minmax_scale,
+        "q117_spearman": _q_spearman,
+        "q118_chisq_cells": _q_chisq,
+        "q119_benford": _q_benford,
     }
 
 
@@ -4052,5 +4091,100 @@ def oracle_sql() -> dict[str, str]:
                         / CAST(mx - mn AS DOUBLE)
               END AS scaled
             FROM events JOIN b USING (event_type)
+        """,
+        "q117_spearman": """
+            WITH xy AS (
+              SELECT event_type, epoch_us(ts) // 1000000 AS x, value AS y
+              FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+            ),
+            r AS (
+              SELECT event_type,
+                2 * rank() OVER (PARTITION BY event_type ORDER BY x)
+                  + count(*) OVER (PARTITION BY event_type, x) - 1 AS rx,
+                2 * rank() OVER (PARTITION BY event_type ORDER BY y)
+                  + count(*) OVER (PARTITION BY event_type, y) - 1 AS ry
+              FROM xy
+            ),
+            ints AS (
+              SELECT event_type,
+                CAST(CAST(rx AS DECIMAL(18,0)) * 1 AS DECIMAL(19,0)) AS xi,
+                CAST(CAST(ry AS DECIMAL(18,0)) * 1 AS DECIMAL(19,0)) AS yi
+              FROM r
+            ),
+            s AS (
+              SELECT event_type, count(*) AS n,
+                sum(CAST(xi AS DECIMAL(38,0))) AS sx,
+                sum(CAST(yi AS DECIMAL(38,0))) AS sy,
+                sum(CAST(xi * xi AS DECIMAL(38,0))) AS sxx,
+                sum(CAST(yi * yi AS DECIMAL(38,0))) AS syy,
+                sum(CAST(xi * yi AS DECIMAL(38,0))) AS sxy
+              FROM ints GROUP BY event_type
+            ),
+            e AS (
+              SELECT event_type, n,
+                CAST(CAST(CAST(n AS DECIMAL(12,0)) * CAST(sxy AS DECIMAL(26,0)) AS DECIMAL(38,0))
+                     - CAST(CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS DOUBLE) AS cov_n,
+                CAST(CAST(CAST(n AS DECIMAL(12,0)) * CAST(sxx AS DECIMAL(26,0)) AS DECIMAL(38,0))
+                     - CAST(CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS DOUBLE) AS var_x,
+                CAST(CAST(CAST(n AS DECIMAL(12,0)) * CAST(syy AS DECIMAL(26,0)) AS DECIMAL(38,0))
+                     - CAST(CAST(sy AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS DOUBLE) AS var_y
+              FROM s
+            )
+            SELECT event_type, n,
+              CASE WHEN sqrt(var_x) * sqrt(var_y) > 0
+                   THEN cov_n / (sqrt(var_x) * sqrt(var_y)) END AS spearman
+            FROM e
+        """,
+        "q118_chisq_cells": """
+            WITH cells AS (
+              SELECT o_orderpriority AS a, o_orderstatus AS b,
+                CAST(count(*) AS BIGINT) AS observed
+              FROM orders
+              WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+              GROUP BY o_orderpriority, o_orderstatus
+            ),
+            w AS (
+              SELECT a, b, observed,
+                CAST(observed AS DECIMAL(19,0)) AS o,
+                CAST(sum(observed) OVER (PARTITION BY a) AS DECIMAL(19,0)) AS r,
+                CAST(sum(observed) OVER (PARTITION BY b) AS DECIMAL(19,0)) AS c,
+                CAST(sum(observed) OVER () AS DECIMAL(19,0)) AS n
+              FROM cells
+            ),
+            f AS (
+              SELECT a, b, observed,
+                CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE) AS expected,
+                CAST(CAST(n * o AS DECIMAL(37,0))
+                     - CAST(r * c AS DECIMAL(37,0)) AS DOUBLE) AS num,
+                CAST(n * CAST(r * c AS DECIMAL(19,0)) AS DOUBLE) AS den
+              FROM w
+            )
+            SELECT a, b, observed, expected,
+              (num * num) / den AS chi2_contrib
+            FROM f
+        """,
+        "q119_benford": """
+            WITH c AS (
+              SELECT CAST(substr(CAST(
+                       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                            AS DECIMAL(19,0)) AS VARCHAR), 1, 1) AS INT) AS digit,
+                CAST(count(*) AS BIGINT) AS n
+              FROM orders WHERE o_totalprice > 0
+              GROUP BY 1
+            )
+            SELECT digit, n,
+              CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE) AS share,
+              CASE digit
+                WHEN 1 THEN 0.3010299956639812E0
+                WHEN 2 THEN 0.17609125905568124E0
+                WHEN 3 THEN 0.12493873660829993E0
+                WHEN 4 THEN 0.09691001300805642E0
+                WHEN 5 THEN 0.07918124604762482E0
+                WHEN 6 THEN 0.06694678963061322E0
+                WHEN 7 THEN 0.05799194697768673E0
+                WHEN 8 THEN 0.05115252244738129E0
+                WHEN 9 THEN 0.04575749056067514E0
+              END AS expected
+            FROM c
         """,
     }

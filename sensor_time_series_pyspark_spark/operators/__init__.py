@@ -167,3 +167,4 @@ from .ranking import ngram_lm, posting_lists
 from .analytics import time_in_state
 from .profile import minmax_scale
 from .resample import densify_locf
+from .profile import benford_digits, chisq_cells, spearman_corr

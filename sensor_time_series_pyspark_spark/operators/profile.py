@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -424,3 +424,132 @@ def minmax_scale(
     return joined.withColumn(
         out_col, F.when(den > 0, num / den)
     ).drop("__xi", "__mn", "__mx")
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    by: Sequence[str] | None = None,
+) -> DataFrame:
+    """Spearman rank correlation, engine-portable — Pearson over
+    average ranks, with the tie-handling trick that keeps EVERYTHING
+    integer until the final epilogue:
+
+        2 * avg_rank = 2*rank + tie_count - 1
+
+    (the average rank of a tie group of consecutive integers is a
+    half-integer, so DOUBLING it is an integer — computed from one
+    rank() and one count() window). Pearson is scale-invariant, so
+    correlating the doubled ranks equals correlating the ranks, and
+    exact_corr's decimal-moment machinery applies unchanged.
+
+    Shape: one exchange on the group key, two sorts (x order, y order)
+    + one tiny aggregate — no collect, no sampling. Output: [*by], n,
+    spearman.
+    """
+    keys = list(by) if by else []
+    both = df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    wx = Window.partitionBy(*keys).orderBy(x_col)
+    wy = Window.partitionBy(*keys).orderBy(y_col)
+    tx = Window.partitionBy(*(keys + [x_col]))
+    ty = Window.partitionBy(*(keys + [y_col]))
+    r2x = 2 * F.rank().over(wx) + F.count(F.lit(1)).over(tx) - 1
+    r2y = 2 * F.rank().over(wy) + F.count(F.lit(1)).over(ty) - 1
+    ranked = both.select(
+        *keys, r2x.alias("__r2x"), r2y.alias("__r2y")
+    )
+    out = exact_corr(
+        ranked, "__r2x", "__r2y", by=keys, x_decimals=0, y_decimals=0
+    )
+    return out.select(*keys, "n", F.col("corr").alias("spearman"))
+
+
+def chisq_cells(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Contingency-table chi-square, reported PER CELL — observed
+    count, expected count under independence, and the cell's chi²
+    contribution (N·O − R·C)² / (N·R·C).
+
+    The total statistic is deliberately NOT summed here: per-cell
+    values are single fixed-order IEEE expressions over exact decimal
+    products (portable), while a float SUM over cells would reintroduce
+    summation-order drift — callers that want the scalar can sum the
+    tiny cell frame themselves. Decimal(38) intermediates keep N·R·C
+    exact to ~10^38 (count up to ~10^12 rows before overflow).
+
+    Shape: one count aggregate on (a, b); row/column totals come from
+    window sums over the AGGREGATED cell frame (no second fact scan).
+    """
+    cells = df.where(
+        F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
+    ).groupBy(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).agg(F.count(F.lit(1)).alias("observed"))
+    wa = Window.partitionBy("a")
+    wb = Window.partitionBy("b")
+    wall = Window.partitionBy()
+    d19 = "decimal(19,0)"
+    r = F.sum("observed").over(wa).cast(d19)
+    c = F.sum("observed").over(wb).cast(d19)
+    n = F.sum("observed").over(wall).cast(d19)
+    o = F.col("observed").cast(d19)
+    num = (n * o - r * c).cast("double")
+    den = (n * r * c).cast("double")
+    expected = (r * c).cast("double") / n.cast("double")
+    return cells.select(
+        "a",
+        "b",
+        "observed",
+        expected.alias("expected"),
+        ((num * num) / den).alias("chi2_contrib"),
+    )
+
+
+_BENFORD_EXPECTED = [
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829993,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514,
+]
+
+
+def benford_digits(
+    df: DataFrame,
+    value_col: str,
+    decimals: int = 2,
+) -> DataFrame:
+    """Leading-digit distribution vs Benford's law — the classic
+    fabricated-data / instrumentation-fault screen for financial and
+    sensor magnitudes.
+
+    The leading digit is extracted WITHOUT logarithms (log10's libm
+    rounding varies by engine): scale to integer units via an exact
+    decimal cast, stringify the integer (exact in every engine), take
+    the first character. Benford expectations are the nine literal
+    doubles (log10(1+1/d) precomputed), so no transcendental function
+    runs in either engine. Non-positive values are excluded.
+
+    Output: digit, n, share, expected.
+    """
+    scaled = (
+        F.col(value_col).cast(f"decimal(18,{decimals})") * (10 ** decimals)
+    ).cast("decimal(19,0)")
+    base = df.where(F.col(value_col) > 0).select(
+        F.substring(scaled.cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    counts = base.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    wall = Window.partitionBy()
+    exp = F.element_at(
+        F.array(*[F.lit(v) for v in _BENFORD_EXPECTED]), F.col("digit")
+    )
+    return counts.select(
+        "digit",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wall).cast("double")).alias(
+            "share"
+        ),
+        exp.alias("expected"),
+    )

@@ -297,3 +297,67 @@ def test_minmax_scale_bounds(spark):
     out = {r["id"]: r["scaled"] for r in minmax_scale(df, "v", by=["g"]).collect()}
     assert out[1] == 0.0 and out[2] == 1.0 and abs(out[3] - 0.5) < 1e-12
     assert out[4] is None  # degenerate single-value group
+
+
+# ---------------------------------------------------------------- spearman
+def test_spearman_monotone_is_one(spark):
+    from sensor_time_series_pyspark_spark.operators import spearman_corr
+
+    rows = [(float(x), float(x**3), "g") for x in range(1, 11)]  # monotone, nonlinear
+    df = spark.createDataFrame(rows, "x double, y double, g string")
+    out = spearman_corr(df, "x", "y", by=["g"]).collect()[0]
+    assert out["spearman"] == 1.0
+
+
+def test_spearman_ties_average_rank(spark):
+    from sensor_time_series_pyspark_spark.operators import spearman_corr
+
+    # x has a tie: average ranks x=[1, 2.5, 2.5, 4], y=[1,2,3,4]
+    # pearson(ranks) = 4.5 / sqrt(4.5 * 5)
+    rows = [(1.0, 10.0), (2.0, 20.0), (2.0, 30.0), (3.0, 40.0)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = spearman_corr(df, "x", "y").collect()[0]
+    assert abs(out["spearman"] - 4.5 / math.sqrt(4.5 * 5.0)) < 1e-12
+
+
+# ------------------------------------------------------------------ chisq
+def test_chisq_independent_is_zero(spark):
+    from sensor_time_series_pyspark_spark.operators import chisq_cells
+
+    # perfectly independent 2x2: all contributions zero
+    rows = [("a", "x")] * 4 + [("a", "y")] * 4 + [("b", "x")] * 4 + [("b", "y")] * 4
+    df = spark.createDataFrame(rows, "p string, q string")
+    for r in chisq_cells(df, "p", "q").collect():
+        assert r["chi2_contrib"] == 0.0 and r["expected"] == r["observed"]
+
+
+def test_chisq_matches_reference(spark):
+    from sensor_time_series_pyspark_spark.operators import chisq_cells
+
+    # 2x2 table [[10, 20], [30, 5]], uncorrected chi2 from first principles
+    table = {("a", "x"): 10, ("a", "y"): 20, ("b", "x"): 30, ("b", "y"): 5}
+    n = sum(table.values())
+    row = {"a": 30, "b": 35}
+    col = {"x": 40, "y": 25}
+    want = sum(
+        (o - row[a] * col[b] / n) ** 2 / (row[a] * col[b] / n)
+        for (a, b), o in table.items()
+    )
+    rows = [(a, b) for (a, b), c in table.items() for _ in range(c)]
+    df = spark.createDataFrame(rows, "p string, q string")
+    total = sum(r["chi2_contrib"] for r in chisq_cells(df, "p", "q").collect())
+    assert abs(total - want) < 1e-9
+
+
+# ----------------------------------------------------------------- benford
+def test_benford_digit_extraction(spark):
+    from sensor_time_series_pyspark_spark.operators import benford_digits
+
+    df = spark.createDataFrame(
+        [(123.45,), (0.072,), (9000.0,), (-5.0,), (910.0,)], "v double"
+    )
+    out = {r["digit"]: r for r in benford_digits(df, "v", decimals=3).collect()}
+    # 123.45 → 1; 0.072 → 72 → 7; 9000 and 910 → 9; -5 excluded
+    assert out[1]["n"] == 1 and out[7]["n"] == 1 and out[9]["n"] == 2
+    assert abs(out[9]["share"] - 0.5) < 1e-12
+    assert abs(out[1]["expected"] - 0.3010299956639812) < 1e-15
