@@ -191,3 +191,63 @@ def test_bloom_prune_is_map_side_only(spark):
     plan = plan_of(bloom_prune(li, keys, "l_orderkey", "o_orderkey"))
     assert "Exchange" not in plan
     assert "Filter" in plan
+
+
+def test_group_zscore_fact_never_shuffles(spark):
+    """group_zscore/minmax_scale broadcast the one-row-per-group
+    moments back — the fact side must join via BroadcastHashJoin with
+    no Exchange on the fact lineage (only the tiny aggregate
+    shuffles)."""
+    from sensor_time_series_pyspark_spark.operators import group_zscore
+
+    o = read_table(spark, SF, "orders")
+    plan = plan_of(group_zscore(o, "o_totalprice", by=["o_orderpriority"]))
+    assert "BroadcastHashJoin" in plan
+    # exactly one aggregate pair (partial+final) feeds the broadcast —
+    # the probe side reads parquet directly with no Exchange between
+    # scan and join
+    probe = plan.split("BroadcastHashJoin")[0]
+    assert "Exchange" not in probe.split("BroadcastExchange")[0]
+
+
+def test_triangle_count_no_cartesian(spark):
+    from sensor_time_series_pyspark_spark.operators import triangle_count
+
+    li = read_table(spark, SF, "lineitem")
+    sp = li.select("l_partkey", "l_suppkey").distinct()
+    a, b = sp.alias("a"), sp.alias("b")
+    edges = (
+        a.join(b, F.col("a.l_partkey") == F.col("b.l_partkey"))
+        .where(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst"))
+        .distinct()
+    )
+    plan = plan_of(triangle_count(edges, orient="degree"))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_snapshot_diff_single_join_on_hashes(spark):
+    """The diff must compare 64-bit hashes computed BELOW the join
+    (map-side), not ship both full rows through the shuffle."""
+    from sensor_time_series_pyspark_spark.operators import snapshot_diff
+
+    o = read_table(spark, SF, "orders")
+    plan = plan_of(snapshot_diff(o, o, ["o_orderkey"]))
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+    # xxhash64 appears in the pre-join projections, not post-join
+    pre_join = plan.split("Join")[0] if "Join" in plan else plan
+    assert "xxhash64" in plan
+
+
+def test_running_distinct_orders_only_daily_frame(spark):
+    """The global-window running sum must sit above the per-day
+    aggregate (tiny frame), never above the raw event stream."""
+    from sensor_time_series_pyspark_spark.operators import running_distinct
+
+    ev = read_table(spark, SF, "events")
+    plan = plan_of(running_distinct(ev, "user_id", "ts"))
+    w_idx = plan.index("Window")
+    # the tree prints top-down: nothing may sit ABOVE the window, and
+    # both aggregates (entity first-seen + daily counts) print below it
+    assert "HashAggregate" not in plan[:w_idx]
+    assert plan[w_idx:].count("HashAggregate") >= 2
