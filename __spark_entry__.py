@@ -1972,6 +1972,28 @@ def _q_benford(spark: SparkSession, sf: str) -> DataFrame:
     return benford_digits(o, "o_totalprice", decimals=2)
 
 
+def _q_dimension_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-dimension embedding statistics (ml/stats.py:dimension_stats):
+    posexplode → exact decimal moments keyed on the dimension (shuffle
+    carries d rows per task); the normalization-constant pass before
+    feature scaling."""
+    from sensor_time_series_pyspark_spark.ml import dimension_stats
+
+    emb = read_table(spark, sf, "embeddings")
+    return dimension_stats(emb, "embedding", decimals=6)
+
+
+def _q_mllib_corr(spark: SparkSession, sf: str) -> DataFrame:
+    """Feature correlation matrix via pyspark.ml.stat.Correlation
+    (ml/stats.py:correlation_matrix), flattened to (i, j, corr) rows.
+    Rows-only: BLAS double accumulation has no SQL twin; the test gate
+    compares against numpy on a sample."""
+    from sensor_time_series_pyspark_spark.ml import correlation_matrix
+
+    emb = read_table(spark, sf, "embeddings")
+    return correlation_matrix(emb, "embedding")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -2094,6 +2116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q117_spearman": _q_spearman,
         "q118_chisq_cells": _q_chisq,
         "q119_benford": _q_benford,
+        "q120_dimension_stats": _q_dimension_stats,
+        "q121_mllib_corr": _q_mllib_corr,
     }
 
 
@@ -4186,5 +4210,36 @@ def oracle_sql() -> dict[str, str]:
                 WHEN 9 THEN 0.04575749056067514E0
               END AS expected
             FROM c
+        """,
+        "q120_dimension_stats": """
+            WITH e AS (
+              SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS comp
+              FROM embeddings,
+                unnest(generate_series(1, len(embedding))) AS t(i)
+            ),
+            ints AS (
+              SELECT dim, comp,
+                CAST(CAST(comp AS DECIMAL(18,6)) * 1000000
+                     AS DECIMAL(19,0)) AS xi
+              FROM e
+            ),
+            s AS (
+              SELECT dim, count(*) AS n,
+                sum(CAST(xi AS DECIMAL(38,0))) AS sx,
+                sum(CAST(xi * xi AS DECIMAL(38,0))) AS sxx,
+                min(comp) AS mn, max(comp) AS mx
+              FROM ints GROUP BY dim
+            )
+            SELECT CAST(dim AS INT) AS dim, n,
+              CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS mean,
+              CASE WHEN n > 1 THEN
+                sqrt(
+                  CAST(CAST(CAST(n AS DECIMAL(12,0)) * CAST(sxx AS DECIMAL(26,0)) AS DECIMAL(38,0))
+                       - CAST(CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS DOUBLE)
+                  * (1.0 / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+                ) / 1000000.0
+              END AS std,
+              mn AS min_val, mx AS max_val
+            FROM s
         """,
     }
