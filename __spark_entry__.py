@@ -1994,6 +1994,33 @@ def _q_mllib_corr(spark: SparkSession, sf: str) -> DataFrame:
     return correlation_matrix(emb, "embedding")
 
 
+def _q_sax(spark: SparkSession, sf: str) -> DataFrame:
+    """PAA + SAX symbolization (operators/sax.py:sax_symbols): 8
+    segment means per user series, z-normalized against exact decimal
+    series moments and discretized on literal Gaussian quartile
+    breakpoints — the Lin/Keogh motif-mining compaction, one shuffle."""
+    from sensor_time_series_pyspark_spark.operators import sax_symbols
+
+    ev = read_table(spark, sf, "events")
+    return sax_symbols(
+        ev, ["user_id"], ["ts", "event_id"], "value", n_segments=8
+    )
+
+
+def _q_event_trigrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-wide event-path trigrams: the order-3 extension of the
+    transition matrix (two leads over one entity window), counting
+    common 3-step journeys across all users."""
+    ev = read_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = ev.select(
+        F.col("event_type").alias("s1"),
+        F.lead("event_type", 1).over(w).alias("s2"),
+        F.lead("event_type", 2).over(w).alias("s3"),
+    ).where(F.col("s3").isNotNull())
+    return paths.groupBy("s1", "s2", "s3").agg(F.count(F.lit(1)).alias("n"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -2118,6 +2145,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q119_benford": _q_benford,
         "q120_dimension_stats": _q_dimension_stats,
         "q121_mllib_corr": _q_mllib_corr,
+        "q122_sax_symbols": _q_sax,
+        "q123_event_trigrams": _q_event_trigrams,
     }
 
 
@@ -4241,5 +4270,68 @@ def oracle_sql() -> dict[str, str]:
               END AS std,
               mn AS min_val, mx AS max_val
             FROM s
+        """,
+        "q122_sax_symbols": """
+            WITH base AS (
+              SELECT user_id,
+                CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+                     AS DECIMAL(19,0)) AS xi,
+                row_number() OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id) - 1 AS idx,
+                count(*) OVER (PARTITION BY user_id) AS n
+              FROM events
+            ),
+            seg AS (
+              SELECT user_id, xi, CAST((idx * 8) // n AS INT) AS segment
+              FROM base
+            ),
+            per_seg AS (
+              SELECT user_id, segment,
+                CAST(count(*) AS BIGINT) AS n_points,
+                sum(CAST(xi AS DECIMAL(38,0))) AS seg_sx
+              FROM seg GROUP BY user_id, segment
+            ),
+            per_series AS (
+              SELECT user_id, count(*) AS sn,
+                sum(CAST(xi AS DECIMAL(38,0))) AS sx,
+                sum(CAST(xi * xi AS DECIMAL(38,0))) AS sxx
+              FROM seg GROUP BY user_id
+            ),
+            calc AS (
+              SELECT p.user_id, p.segment, p.n_points, s.sn,
+                CAST(p.seg_sx AS DOUBLE) / CAST(p.n_points AS DOUBLE)
+                  / 1000000.0 AS paa,
+                CAST(s.sx AS DOUBLE) / CAST(s.sn AS DOUBLE)
+                  / 1000000.0 AS mean,
+                sqrt(
+                  CAST(CAST(CAST(s.sn AS DECIMAL(12,0)) * CAST(s.sxx AS DECIMAL(26,0)) AS DECIMAL(38,0))
+                       - CAST(CAST(s.sx AS DECIMAL(19,0)) * CAST(s.sx AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS DOUBLE)
+                  * (1.0 / (CAST(s.sn AS DOUBLE) * CAST(s.sn - 1 AS DOUBLE)))
+                ) / 1000000.0 AS std
+              FROM per_seg p JOIN per_series s USING (user_id)
+            ),
+            zc AS (
+              SELECT user_id, segment, n_points, paa,
+                CASE WHEN sn > 1 AND std > 0 THEN (paa - mean) / std END AS z
+              FROM calc
+            )
+            SELECT user_id, segment, n_points, paa,
+              CASE WHEN z IS NOT NULL THEN
+                CAST(CAST(z >= -0.6744897501960817E0 AS INT)
+                     + CAST(z >= 0.0E0 AS INT)
+                     + CAST(z >= 0.6744897501960817E0 AS INT) AS INT)
+              END AS symbol
+            FROM zc
+        """,
+        "q123_event_trigrams": """
+            WITH p AS (
+              SELECT event_type AS s1,
+                lead(event_type, 1) OVER w AS s2,
+                lead(event_type, 2) OVER w AS s3
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS n
+            FROM p WHERE s3 IS NOT NULL GROUP BY s1, s2, s3
         """,
     }

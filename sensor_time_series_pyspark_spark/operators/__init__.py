@@ -168,3 +168,4 @@ from .analytics import time_in_state
 from .profile import minmax_scale
 from .resample import densify_locf
 from .profile import benford_digits, chisq_cells, spearman_corr
+from .sax import sax_symbols

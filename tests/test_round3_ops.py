@@ -361,3 +361,30 @@ def test_benford_digit_extraction(spark):
     assert out[1]["n"] == 1 and out[7]["n"] == 1 and out[9]["n"] == 2
     assert abs(out[9]["share"] - 0.5) < 1e-12
     assert abs(out[1]["expected"] - 0.3010299956639812) < 1e-15
+
+
+# --------------------------------------------------------------------- SAX
+def test_sax_symbols_shape_and_bands(spark):
+    from sensor_time_series_pyspark_spark.operators import sax_symbols
+
+    # ramp 0..15 over one series: 4 segments of 4 points; PAA means
+    # 1.5, 5.5, 9.5, 13.5; symbols must be monotone 0..3
+    rows = [("s", i, float(i)) for i in range(16)]
+    df = spark.createDataFrame(rows, "g string, t long, v double")
+    out = sorted(
+        sax_symbols(df, ["g"], "t", "v", n_segments=4).collect(),
+        key=lambda r: r["segment"],
+    )
+    assert [r["paa"] for r in out] == [1.5, 5.5, 9.5, 13.5]
+    assert [r["symbol"] for r in out] == [0, 1, 2, 3]
+    assert all(r["n_points"] == 4 for r in out)
+
+
+def test_sax_constant_series_null_symbol(spark):
+    from sensor_time_series_pyspark_spark.operators import sax_symbols
+
+    rows = [("c", i, 5.0) for i in range(8)]
+    df = spark.createDataFrame(rows, "g string, t long, v double")
+    out = sax_symbols(df, ["g"], "t", "v", n_segments=2).collect()
+    assert all(r["symbol"] is None for r in out)  # zero variance → no z
+    assert all(r["paa"] == 5.0 for r in out)
