@@ -169,3 +169,4 @@ from .profile import minmax_scale
 from .resample import densify_locf
 from .profile import benford_digits, chisq_cells, spearman_corr
 from .sax import sax_symbols
+from .sampling import weighted_hash_sample

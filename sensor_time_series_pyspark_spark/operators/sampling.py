@@ -119,3 +119,48 @@ def stratified_hash_sample(
         else thr.otherwise(F.lit(_threshold_hex(default_fraction)))
     )
     return df.where(h < thr)
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Weighted random sample WITHOUT replacement of k rows, selected
+    with probability proportional to ``weight_col`` — deterministic
+    (A-ES / Efraimidis-Spirakis over a content-hash uniform instead of
+    an RNG, so the draw is reproducible across runs, engines, and
+    partitionings).
+
+    Each row gets priority u^(1/w) for u ~ U(0,1] derived from md5 of
+    salt||key; the k largest priorities win. Implemented as the
+    equivalent argmin of -ln(u)/w (monotone transform — avoids
+    pow's double-rounding pathologies near 1.0): exponential race with
+    rate w, the classic weighted-reservoir formulation.
+
+    Shape: map-side priority + a rank-k cutoff. The global top-k is a
+    TakeOrderedAndProject (per-partition heap of size k, driver merge of
+    tasks×k rows) — no full sort, no single-partition shuffle of data.
+    Ties are impossible (u is injective on distinct keys up to md5).
+
+    Weights must be > 0 (rows with NULL/non-positive weight are
+    excluded, standard convention). Returns the selected rows with
+    their priority in ``__priority`` dropped.
+    """
+    # u in (0, 1]: (h + 1) / 2^32 over the first 8 md5 hex chars
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(float(_HEX_SPAN))
+    pri = -F.log(u) / F.col(weight_col).cast("double")
+    base = df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+    return (
+        base.withColumn("__pri", pri)
+        .orderBy(F.col("__pri").asc(), F.col(key_col).asc())
+        .limit(k)
+        .drop("__pri")
+    )

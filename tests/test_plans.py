@@ -251,3 +251,14 @@ def test_running_distinct_orders_only_daily_frame(spark):
     # both aggregates (entity first-seen + daily counts) print below it
     assert "HashAggregate" not in plan[:w_idx]
     assert plan[w_idx:].count("HashAggregate") >= 2
+
+
+def test_weighted_sample_uses_topk_not_full_sort(spark):
+    """orderBy().limit(k) must plan as TakeOrderedAndProject (per-task
+    heap + driver merge), never a global Sort exchange."""
+    from sensor_time_series_pyspark_spark.operators import weighted_hash_sample
+
+    o = read_table(spark, SF, "orders")
+    plan = plan_of(weighted_hash_sample(o, "o_orderkey", "o_totalprice", 50))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan

@@ -388,3 +388,39 @@ def test_sax_constant_series_null_symbol(spark):
     out = sax_symbols(df, ["g"], "t", "v", n_segments=2).collect()
     assert all(r["symbol"] is None for r in out)  # zero variance → no z
     assert all(r["paa"] == 5.0 for r in out)
+
+
+# ------------------------------------------------------ weighted sampling
+def test_weighted_hash_sample_deterministic_and_biased(spark):
+    from sensor_time_series_pyspark_spark.operators import weighted_hash_sample
+
+    # 1000 keys; second half carries 20x the weight
+    rows = [(i, 20.0 if i >= 500 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k long, w double")
+    a = sorted(r["k"] for r in weighted_hash_sample(df, "k", "w", 100).collect())
+    b = sorted(
+        r["k"]
+        for r in weighted_hash_sample(
+            df.repartition(7), "k", "w", 100
+        ).collect()
+    )
+    assert a == b and len(a) == 100  # partitioning-independent draw
+    heavy = sum(1 for k in a if k >= 500)
+    # E[heavy] ≈ 95 of 100; even 5 sigma leaves > 80
+    assert heavy > 80
+    # different salt decorrelates
+    c = sorted(
+        r["k"]
+        for r in weighted_hash_sample(df, "k", "w", 100, salt="x").collect()
+    )
+    assert c != a
+
+
+def test_weighted_hash_sample_excludes_nonpositive(spark):
+    from sensor_time_series_pyspark_spark.operators import weighted_hash_sample
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -1.0), (3, None), (4, 5.0)], "k long, w double"
+    )
+    out = [r["k"] for r in weighted_hash_sample(df, "k", "w", 10).collect()]
+    assert out == [4]
