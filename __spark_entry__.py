@@ -2021,6 +2021,26 @@ def _q_event_trigrams(spark: SparkSession, sf: str) -> DataFrame:
     return paths.groupBy("s1", "s2", "s3").agg(F.count(F.lit(1)).alias("n"))
 
 
+def _q_dtw_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """DTW distance between every pair of per-event-type resampled
+    series (operators/dtw.py): resample-first keeps the Python kernel
+    bounded; the DP runs in one Arrow-batched pandas UDF over
+    broadcast-joined series arrays. Rows-only: elastic alignment has no
+    SQL twin; exactness is pinned by reference-DP tests."""
+    from sensor_time_series_pyspark_spark.operators import dtw_pairs
+
+    ev = read_table(spark, sf, "events")
+    series = ev.groupBy(
+        "event_type", F.window("ts", "30 minutes").alias("w")
+    ).agg(_davg(F.col("value")).alias("v")).select(
+        "event_type", F.col("w.start").alias("bucket"), "v"
+    )
+    types = [r["event_type"] for r in series.select("event_type").distinct().collect()]
+    pair_rows = [(a, b) for i, a in enumerate(sorted(types)) for b in sorted(types)[i + 1:]]
+    pairs = spark.createDataFrame(pair_rows, "key_a string, key_b string")
+    return dtw_pairs(series, "event_type", "bucket", "v", pairs, band=48)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -2147,6 +2167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q121_mllib_corr": _q_mllib_corr,
         "q122_sax_symbols": _q_sax,
         "q123_event_trigrams": _q_event_trigrams,
+        "q124_dtw_pairs": _q_dtw_pairs,
     }
 
 

@@ -170,3 +170,4 @@ from .resample import densify_locf
 from .profile import benford_digits, chisq_cells, spearman_corr
 from .sax import sax_symbols
 from .sampling import weighted_hash_sample
+from .dtw import dtw_pairs

@@ -424,3 +424,55 @@ def test_weighted_hash_sample_excludes_nonpositive(spark):
     )
     out = [r["k"] for r in weighted_hash_sample(df, "k", "w", 10).collect()]
     assert out == [4]
+
+
+# --------------------------------------------------------------------- DTW
+def _ref_dtw(a, b):
+    import math
+
+    n, m = len(a), len(b)
+    D = [[math.inf] * (m + 1) for _ in range(n + 1)]
+    D[0][0] = 0.0
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            D[i][j] = abs(a[i - 1] - b[j - 1]) + min(
+                D[i - 1][j], D[i][j - 1], D[i - 1][j - 1]
+            )
+    return D[n][m]
+
+
+def test_dtw_pairs_matches_reference(spark):
+    from sensor_time_series_pyspark_spark.operators import dtw_pairs
+
+    s1 = [0.0, 1.0, 2.0, 3.0, 2.0, 1.0]
+    s2 = [0.0, 0.0, 1.0, 2.0, 3.0, 2.0, 1.0]   # shifted copy: small DTW
+    s3 = [5.0, 5.0, 5.0]
+    rows = (
+        [("a", i, v) for i, v in enumerate(s1)]
+        + [("b", i, v) for i, v in enumerate(s2)]
+        + [("c", i, v) for i, v in enumerate(s3)]
+    )
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("a", "c")], "key_a string, key_b string"
+    )
+    out = {(r["key_a"], r["key_b"]): r for r in
+           dtw_pairs(df, "k", "t", "v", pairs).collect()}
+    assert out[("a", "b")]["dtw"] == pytest.approx(_ref_dtw(s1, s2))
+    assert out[("a", "c")]["dtw"] == pytest.approx(_ref_dtw(s1, s3))
+    assert out[("a", "b")]["n_a"] == 6 and out[("a", "b")]["n_b"] == 7
+
+
+def test_dtw_band_wide_enough_is_exact(spark):
+    from sensor_time_series_pyspark_spark.operators import dtw_pairs
+
+    s1 = [float(i % 5) for i in range(20)]
+    s2 = [float((i + 1) % 5) for i in range(20)]
+    rows = [("a", i, v) for i, v in enumerate(s1)] + [
+        ("b", i, v) for i, v in enumerate(s2)
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    pairs = spark.createDataFrame([("a", "b")], "key_a string, key_b string")
+    full = dtw_pairs(df, "k", "t", "v", pairs).collect()[0]["dtw"]
+    banded = dtw_pairs(df, "k", "t", "v", pairs, band=20).collect()[0]["dtw"]
+    assert banded == pytest.approx(full) == pytest.approx(_ref_dtw(s1, s2))
