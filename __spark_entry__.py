@@ -2041,6 +2041,51 @@ def _q_dtw_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return dtw_pairs(series, "event_type", "bucket", "v", pairs, band=48)
 
 
+def _q_ab_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-proportion z-test (operators/analytics.py:ab_proportion_test)
+    over a deterministic hash-split experiment: arms from md5 buckets
+    (engine-reproducible assignment, q64's machinery), conversion =
+    any purchase. One conditional aggregate; fixed IEEE epilogue."""
+    from sensor_time_series_pyspark_spark.operators import (
+        ab_proportion_test,
+        hash_split,
+    )
+
+    ev = read_table(spark, sf, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    )
+    assigned = hash_split(
+        per_user, "user_id", {"a": 0.5, "b": 0.5}, salt="exp1", out_col="arm"
+    )
+    return ab_proportion_test(assigned, "user_id", "arm", "converted")
+
+
+def _q_stock_balance(spark: SparkSession, sf: str) -> DataFrame:
+    """Floored running inventory balance (operators/windows.py:
+    capped_running_sum): the sequential-looking max(b+x, 0) recursion
+    solved with the reflection identity b = S − min(0, min S) — two
+    prefix aggregates in ONE sorted window pass, exact decimals."""
+    from sensor_time_series_pyspark_spark.operators import capped_running_sum
+
+    li = read_table(spark, sf, "lineitem")
+    d = li.withColumn(
+        "delta",
+        F.when(
+            F.col("l_returnflag") == "R", -F.col("l_quantity")
+        ).otherwise(F.col("l_quantity")),
+    )
+    out = capped_running_sum(
+        d,
+        ["l_partkey"],
+        ["l_shipdate", "l_orderkey", "l_linenumber"],
+        "delta",
+    )
+    return out.select("l_partkey", "l_orderkey", "l_linenumber", "balance")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -2168,6 +2213,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q122_sax_symbols": _q_sax,
         "q123_event_trigrams": _q_event_trigrams,
         "q124_dtw_pairs": _q_dtw_pairs,
+        "q125_ab_test": _q_ab_test,
+        "q126_stock_balance": _q_stock_balance,
     }
 
 
@@ -4354,5 +4401,70 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS n
             FROM p WHERE s3 IS NOT NULL GROUP BY s1, s2, s3
+        """,
+        "q125_ab_test": """
+            WITH per_user AS (
+              SELECT user_id,
+                max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS converted,
+                CASE WHEN substr(md5('exp1' || CAST(user_id AS VARCHAR)), 1, 8)
+                          < '80000000'
+                     THEN 'a' ELSE 'b' END AS arm
+              FROM events GROUP BY user_id
+            ),
+            agg AS (
+              SELECT
+                CAST(sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                CAST(sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                CAST(sum(CASE WHEN arm = 'a' THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+                CAST(sum(CASE WHEN arm = 'b' THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+              FROM per_user
+            ),
+            calc AS (
+              SELECT n_a, n_b, conv_a, conv_b,
+                CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+                CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+                sqrt(
+                  (CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                  * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                  * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))
+                ) AS se
+              FROM agg
+            )
+            SELECT n_a, n_b, conv_a, conv_b,
+              CASE WHEN n_a > 0 THEN pa END AS p_a,
+              CASE WHEN n_b > 0 THEN pb END AS p_b,
+              CASE WHEN n_a > 0 AND n_b > 0 AND se > 0
+                   THEN (pa - pb) / se END AS z
+            FROM calc
+        """,
+        "q126_stock_balance": """
+            WITH d AS (
+              SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate,
+                CAST(CASE WHEN l_returnflag = 'R' THEN -l_quantity
+                          ELSE l_quantity END AS DECIMAL(18,2)) AS x
+              FROM lineitem
+            ),
+            s AS (
+              SELECT l_partkey, l_orderkey, l_linenumber,
+                sum(x) OVER (
+                  PARTITION BY l_partkey
+                  ORDER BY l_shipdate, l_orderkey, l_linenumber
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sx,
+                l_shipdate
+              FROM d
+            ),
+            m AS (
+              SELECT l_partkey, l_orderkey, l_linenumber, sx,
+                min(sx) OVER (
+                  PARTITION BY l_partkey
+                  ORDER BY l_shipdate, l_orderkey, l_linenumber
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn
+              FROM s
+            )
+            SELECT l_partkey, l_orderkey, l_linenumber,
+              CAST(sx - least(CAST(0 AS DECIMAL(18,2)), mn) AS DOUBLE)
+                AS balance
+            FROM m
         """,
     }

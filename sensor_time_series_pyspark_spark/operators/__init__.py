@@ -171,3 +171,5 @@ from .profile import benford_digits, chisq_cells, spearman_corr
 from .sax import sax_symbols
 from .sampling import weighted_hash_sample
 from .dtw import dtw_pairs
+from .analytics import ab_proportion_test
+from .windows import capped_running_sum

@@ -231,3 +231,52 @@ def time_in_state(
             / (F.col("n_intervals") * F.lit(1000000)).cast("double")
         ).alias("mean_seconds"),
     )
+
+
+def ab_proportion_test(
+    df: DataFrame,
+    unit_col: str,
+    arm_col: str,
+    converted_col: str,
+    arm_a: str = "a",
+    arm_b: str = "b",
+) -> DataFrame:
+    """Two-proportion z-test over a per-unit frame (one row per
+    experimental unit with its arm label and boolean outcome) — the
+    experimentation readout every event platform ships.
+
+    z = (p_a − p_b) / sqrt(p̂(1−p̂)(1/n_a + 1/n_b)) with p̂ pooled.
+    Every input is an exact integer count from ONE aggregate; the
+    epilogue is a fixed sequence of correctly-rounded double ops, so
+    the statistic is engine-portable (oracle-gated). No per-arm
+    shuffle: a conditional aggregate computes both arms in one pass.
+
+    Output: one row — n_a, n_b, conv_a, conv_b, p_a, p_b, z (NULL when
+    either arm is empty or the pooled variance is zero).
+    """
+    is_a = F.col(arm_col) == arm_a
+    is_b = F.col(arm_col) == arm_b
+    conv = F.col(converted_col).cast("int")
+    agg = df.agg(
+        F.sum(is_a.cast("int")).alias("n_a"),
+        F.sum(is_b.cast("int")).alias("n_b"),
+        F.sum(F.when(is_a, conv).otherwise(0)).alias("conv_a"),
+        F.sum(F.when(is_b, conv).otherwise(0)).alias("conv_b"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    p_a = F.col("conv_a").cast("double") / na
+    p_b = F.col("conv_b").cast("double") / nb
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb))
+    z = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0) & (se > 0), (p_a - p_b) / se
+    )
+    return agg.select(
+        "n_a", "n_b", "conv_a", "conv_b",
+        F.when(F.col("n_a") > 0, p_a).alias("p_a"),
+        F.when(F.col("n_b") > 0, p_b).alias("p_b"),
+        z.alias("z"),
+    )

@@ -249,3 +249,41 @@ def rolling_corr(
     return tmp.withColumn(
         out_col, F.when(denom > 0, cov_n / denom)
     ).drop("__n", "__sx", "__sy", "__sxx", "__syy", "__sxy")
+
+
+def capped_running_sum(
+    df: DataFrame,
+    by: Sequence[str],
+    order_cols: Sequence[str],
+    delta_col: str,
+    out_col: str = "balance",
+    decimals: int = 2,
+) -> DataFrame:
+    """Running sum floored at zero — inventory / stock-ledger balance
+    where withdrawals cannot take the level negative:
+
+        b_i = max(b_{i-1} + x_i, 0),  b_0 = 0.
+
+    The recursion LOOKS sequential, but has a closed form over plain
+    prefix aggregates (the reflection identity used for reservoir /
+    queue-depth problems):
+
+        b_i = S_i − min(0, min_{j≤i} S_j)
+
+    so ONE window partition computes it: prefix sum + prefix min, both
+    in the same sorted pass — no recursion, no UDF, no iteration, and
+    the whole thing is exact decimal arithmetic (oracle-gated).
+    """
+    keys = [F.col(k) for k in by]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    xd = F.col(delta_col).cast(f"decimal(18,{decimals})")
+    base = df.withColumn("__s", F.sum(xd).over(w))
+    zero = F.lit(0).cast(f"decimal(18,{decimals})")
+    bal = (F.col("__s") - F.least(zero, F.min(F.col("__s")).over(w))).cast(
+        "double"
+    )
+    return base.withColumn(out_col, bal).drop("__s")

@@ -476,3 +476,42 @@ def test_dtw_band_wide_enough_is_exact(spark):
     full = dtw_pairs(df, "k", "t", "v", pairs).collect()[0]["dtw"]
     banded = dtw_pairs(df, "k", "t", "v", pairs, band=20).collect()[0]["dtw"]
     assert banded == pytest.approx(full) == pytest.approx(_ref_dtw(s1, s2))
+
+
+# ------------------------------------------------------------------ A/B test
+def test_ab_proportion_test_known_value(spark):
+    from sensor_time_series_pyspark_spark.operators import ab_proportion_test
+
+    rows = [(i, "a", 1 if i < 30 else 0) for i in range(100)] + [
+        (100 + i, "b", 1 if i < 20 else 0) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "u long, arm string, converted int")
+    out = ab_proportion_test(df, "u", "arm", "converted").collect()[0]
+    assert (out["n_a"], out["n_b"], out["conv_a"], out["conv_b"]) == (100, 100, 30, 20)
+    p, pa, pb = 0.25, 0.30, 0.20
+    se = math.sqrt(p * (1 - p) * (1 / 100 + 1 / 100))
+    assert abs(out["z"] - (pa - pb) / se) < 1e-12
+
+
+def test_ab_proportion_test_empty_arm_null_z(spark):
+    from sensor_time_series_pyspark_spark.operators import ab_proportion_test
+
+    df = spark.createDataFrame([(1, "a", 1)], "u long, arm string, converted int")
+    out = ab_proportion_test(df, "u", "arm", "converted").collect()[0]
+    assert out["z"] is None and out["p_b"] is None
+
+
+# -------------------------------------------------------- capped running sum
+def test_capped_running_sum_matches_recursion(spark):
+    from sensor_time_series_pyspark_spark.operators import capped_running_sum
+
+    deltas = [3.0, -5.0, 4.0, -1.0, -9.0, 2.5]
+    rows = [("g", i, d) for i, d in enumerate(deltas)]
+    df = spark.createDataFrame(rows, "g string, t long, x double")
+    out = {r["t"]: r["balance"] for r in
+           capped_running_sum(df, ["g"], ["t"], "x").collect()}
+    b, want = 0.0, {}
+    for i, d in enumerate(deltas):
+        b = max(b + d, 0.0)
+        want[i] = b
+    assert out == want
