@@ -2086,6 +2086,77 @@ def _q_stock_balance(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("l_partkey", "l_orderkey", "l_linenumber", "balance")
 
 
+def _q_market_basket(spark: SparkSession, sf: str) -> DataFrame:
+    """Co-purchase association rules (operators/analytics.py:
+    market_basket_pairs): part pairs within orders scored by
+    support/confidence/lift — inverted self-join on the basket key,
+    integer counts, one division per metric."""
+    from sensor_time_series_pyspark_spark.operators import market_basket_pairs
+
+    li = read_table(spark, sf, "lineitem")
+    return market_basket_pairs(li, "l_orderkey", "l_partkey", min_pair_count=2)
+
+
+def _q_rfm(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM quintile segmentation: recency/frequency/monetary per
+    customer, each ntiled into 5 bands with a deterministic custkey
+    tiebreak (total order → reproducible ntile), combined into the
+    classic 3-digit code. Windows run over the aggregated customer
+    frame only."""
+    o = read_table(spark, sf, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("__mon"),
+    )
+    anchor = Window.partitionBy()
+    base = per_cust.withColumn(
+        "recency_days",
+        F.datediff(F.max("last_day").over(anchor), F.col("last_day")),
+    )
+    w_r = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc())
+    w_f = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc())
+    w_m = Window.orderBy(F.col("__mon").desc(), F.col("o_custkey").asc())
+    scored = base.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        F.col("__mon").cast("double").alias("monetary"),
+        F.ntile(5).over(w_r).alias("r_score"),
+        F.ntile(5).over(w_f).alias("f_score"),
+        F.ntile(5).over(w_m).alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm",
+        F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"),
+    )
+
+
+def _q_mom_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """Month-over-month revenue growth per order priority: exact
+    decimal monthly sums, one lag window over the tiny month×priority
+    frame, growth = (rev − prev)/prev in one fixed expression."""
+    o = read_table(spark, sf, "orders")
+    monthly = o.groupBy(
+        "o_orderpriority",
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "o_orderpriority",
+        "month",
+        "n_orders",
+        "revenue",
+        ((F.col("revenue") - prev) / prev).alias("mom_growth"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -2215,6 +2286,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q124_dtw_pairs": _q_dtw_pairs,
         "q125_ab_test": _q_ab_test,
         "q126_stock_balance": _q_stock_balance,
+        "q127_market_basket": _q_market_basket,
+        "q128_rfm": _q_rfm,
+        "q129_mom_growth": _q_mom_growth,
     }
 
 
@@ -4466,5 +4540,77 @@ def oracle_sql() -> dict[str, str]:
               CAST(sx - least(CAST(0 AS DECIMAL(18,2)), mn) AS DOUBLE)
                 AS balance
             FROM m
+        """,
+        "q127_market_basket": """
+            WITH bi AS (
+              SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+              FROM lineitem
+            ),
+            nb AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n FROM bi),
+            pairs AS (
+              SELECT a.item AS item_a, b.item AS item_b,
+                CAST(count(*) AS BIGINT) AS n_pair
+              FROM bi a JOIN bi b
+                ON a.basket = b.basket AND a.item < b.item
+              GROUP BY a.item, b.item
+              HAVING count(*) >= 2
+            ),
+            items AS (
+              SELECT item, CAST(count(*) AS BIGINT) AS n_i FROM bi GROUP BY item
+            )
+            SELECT p.item_a, p.item_b, p.n_pair,
+              ia.n_i AS n_a, ib.n_i AS n_b,
+              CAST(p.n_pair AS DOUBLE) / CAST(nb.n AS DOUBLE) AS support,
+              CAST(p.n_pair AS DOUBLE) / CAST(ia.n_i AS DOUBLE) AS confidence,
+              CAST(nb.n * p.n_pair AS DOUBLE)
+                / CAST(ia.n_i * ib.n_i AS DOUBLE) AS lift
+            FROM pairs p
+            JOIN items ia ON p.item_a = ia.item
+            JOIN items ib ON p.item_b = ib.item, nb
+        """,
+        "q128_rfm": """
+            WITH per_cust AS (
+              SELECT o_custkey,
+                max(CAST(o_orderdate AS DATE)) AS last_day,
+                CAST(count(*) AS BIGINT) AS frequency,
+                sum(CAST(o_totalprice AS DECIMAL(18,2))) AS mon
+              FROM orders GROUP BY o_custkey
+            ),
+            r AS (
+              SELECT o_custkey, frequency, mon,
+                CAST(date_diff('day', last_day, max(last_day) OVER ()) AS INT)
+                  AS recency_days
+              FROM per_cust
+            ),
+            scored AS (
+              SELECT o_custkey, recency_days, frequency,
+                CAST(mon AS DOUBLE) AS monetary,
+                CAST(ntile(5) OVER (ORDER BY recency_days ASC, o_custkey ASC)
+                     AS INT) AS r_score,
+                CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey ASC)
+                     AS INT) AS f_score,
+                CAST(ntile(5) OVER (ORDER BY mon DESC, o_custkey ASC)
+                     AS INT) AS m_score
+              FROM r
+            )
+            SELECT o_custkey, recency_days, frequency, monetary,
+              r_score, f_score, m_score,
+              CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm
+            FROM scored
+        """,
+        "q129_mom_growth": """
+            WITH monthly AS (
+              SELECT o_orderpriority,
+                date_trunc('month', o_orderdate) AS month,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS revenue,
+                CAST(count(*) AS BIGINT) AS n_orders
+              FROM orders GROUP BY o_orderpriority, date_trunc('month', o_orderdate)
+            )
+            SELECT o_orderpriority, month, n_orders, revenue,
+              (revenue - lag(revenue) OVER w) / lag(revenue) OVER w
+                AS mom_growth
+            FROM monthly
+            WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month)
         """,
     }

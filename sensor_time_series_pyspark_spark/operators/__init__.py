@@ -173,3 +173,4 @@ from .sampling import weighted_hash_sample
 from .dtw import dtw_pairs
 from .analytics import ab_proportion_test
 from .windows import capped_running_sum
+from .analytics import market_basket_pairs

@@ -280,3 +280,68 @@ def ab_proportion_test(
         F.when(F.col("n_b") > 0, p_b).alias("p_b"),
         z.alias("z"),
     )
+
+
+def market_basket_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Association-rule mining over item pairs: support, confidence,
+    and lift for every unordered item pair co-occurring in at least
+    ``min_pair_count`` baskets — the co-purchase / co-alarm screen.
+
+    Shape: distinct (basket, item) → inverted self-join on the basket
+    key with a < b (never a cross join; fan-out per basket is
+    C(items, 2), bounded by basket width), one aggregate for pair
+    counts, one for item counts, two broadcast-sized joins. All three
+    metrics are exact integer counts with ONE division each —
+    engine-portable.
+
+    Output: item_a, item_b, n_pair, n_a, n_b, support, confidence
+    (P(b|a)), lift.
+    """
+    bi = df.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).distinct()
+    n_baskets = bi.select("basket").distinct().count()
+    a, b = bi.alias("a"), bi.alias("b")
+    pairs = (
+        a.join(b, F.col("a.basket") == F.col("b.basket"))
+        .where(F.col("a.item") < F.col("b.item"))
+        .groupBy(
+            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= min_pair_count)
+    )
+    items = bi.groupBy(F.col("item").alias("i")).agg(
+        F.count(F.lit(1)).alias("n_i")
+    )
+    out = (
+        pairs.join(
+            items.select(F.col("i").alias("item_a"), F.col("n_i").alias("n_a")),
+            "item_a",
+        )
+        .join(
+            items.select(F.col("i").alias("item_b"), F.col("n_i").alias("n_b")),
+            "item_b",
+        )
+    )
+    nb = F.lit(int(n_baskets))
+    return out.select(
+        "item_a",
+        "item_b",
+        "n_pair",
+        "n_a",
+        "n_b",
+        (F.col("n_pair").cast("double") / nb.cast("double")).alias("support"),
+        (F.col("n_pair").cast("double") / F.col("n_a").cast("double")).alias(
+            "confidence"
+        ),
+        (
+            (nb * F.col("n_pair")).cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double")
+        ).alias("lift"),
+    )

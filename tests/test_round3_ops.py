@@ -515,3 +515,23 @@ def test_capped_running_sum_matches_recursion(spark):
         b = max(b + d, 0.0)
         want[i] = b
     assert out == want
+
+
+# ------------------------------------------------------------ market basket
+def test_market_basket_metrics(spark):
+    from sensor_time_series_pyspark_spark.operators import market_basket_pairs
+
+    # baskets: {x,y} x3, {x,z}, {y}  → n_baskets=5
+    rows = [
+        (1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (3, "y"),
+        (4, "x"), (4, "z"), (5, "y"),
+    ]
+    df = spark.createDataFrame(rows, "b long, i string")
+    out = {(r["item_a"], r["item_b"]): r for r in
+           market_basket_pairs(df, "b", "i", min_pair_count=2).collect()}
+    xy = out[("x", "y")]
+    assert xy["n_pair"] == 3 and xy["n_a"] == 4 and xy["n_b"] == 4
+    assert abs(xy["support"] - 3 / 5) < 1e-12
+    assert abs(xy["confidence"] - 3 / 4) < 1e-12
+    assert abs(xy["lift"] - (5 * 3) / (4 * 4)) < 1e-12
+    assert ("x", "z") not in out  # below min_pair_count
