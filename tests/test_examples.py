@@ -70,3 +70,9 @@ def test_similarity_search_example(spark):
     import similarity_search
 
     assert similarity_search.main(SF) == 0
+
+
+def test_telemetry_analytics_example(spark):
+    import telemetry_analytics
+
+    assert telemetry_analytics.main(SF) == 0
