@@ -2157,6 +2157,18 @@ def _q_mom_growth(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_debounce(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user debounce / alarm rate-limit (streaming/stateful.py:
+    debounce_batch, with a stream twin asserted equal in tests): keep
+    an event only if >= 30 min since the last KEPT event. Sequential
+    by nature (emission depends on prior emissions) — oracle is the
+    recursive-CTE replay of the same fold."""
+    from sensor_time_series_pyspark_spark.streaming.stateful import debounce_batch
+
+    ev = read_table(spark, sf, "events")
+    return debounce_batch(ev, "user_id", "ts", cooldown_seconds=1800)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -2289,6 +2301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q127_market_basket": _q_market_basket,
         "q128_rfm": _q_rfm,
         "q129_mom_growth": _q_mom_growth,
+        "q130_debounce": _q_debounce,
     }
 
 
@@ -4612,5 +4625,28 @@ def oracle_sql() -> dict[str, str]:
                 AS mom_growth
             FROM monthly
             WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month)
+        """,
+        "q130_debounce": """
+            WITH RECURSIVE base AS (
+              SELECT user_id, ts,
+                CAST(row_number() OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn,
+                epoch_us(ts) AS us
+              FROM events
+            ),
+            -- replays debounce_batch's fold: keep first, then keep iff
+            -- >= cooldown since the last KEPT event, carrying last_us
+            rec AS (
+              SELECT user_id, ts, rn, us, us AS last_us, TRUE AS kept
+              FROM base WHERE rn = 1
+              UNION ALL
+              SELECT b.user_id, b.ts, b.rn, b.us,
+                CASE WHEN b.us - r.last_us >= 1800000000
+                     THEN b.us ELSE r.last_us END,
+                b.us - r.last_us >= 1800000000
+              FROM rec r JOIN base b
+                ON b.user_id = r.user_id AND b.rn = r.rn + 1
+            )
+            SELECT user_id, ts FROM rec WHERE kept
         """,
     }

@@ -224,3 +224,99 @@ def ewma_anomaly_stream_tws(
         outputMode="Append",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# debounce / rate limit
+# ---------------------------------------------------------------------------
+
+def _debounce_out_schema(df: DataFrame, key_col: str, ts_col: str) -> StructType:
+    return StructType([df.schema[key_col], df.schema[ts_col]])
+
+
+def debounce_stream(
+    sdf: DataFrame,
+    key_col: str,
+    ts_col: str,
+    cooldown_seconds: int,
+    timeout_minutes: int | None = None,
+) -> DataFrame:
+    """Streaming per-key debounce (alarm rate-limiter): emit an event
+    only if at least ``cooldown_seconds`` have passed since the last
+    EMITTED event of the same key — the historian/alerting primitive
+    that turns a chattering sensor into actionable alarms.
+
+    Genuinely sequential (whether an event emits depends on which
+    earlier events emitted, a data-dependent recursion like deadband),
+    so it is a stateful operator, not a window: GroupState holds one
+    timestamp per key (O(1) state), rows process in ts order within a
+    batch, and state carries across micro-batches so stream == batch
+    (tested). Output: the surviving (key, ts) rows.
+    """
+    out_schema = _debounce_out_schema(sdf, key_col, ts_col)
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        last_us = state.get[0] if state.exists else None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            keep_rows = []
+            for ts in pdf[ts_col]:
+                us = int(pd.Timestamp(ts).value) // 1000
+                if last_us is None or us - last_us >= cooldown_seconds * 1_000_000:
+                    keep_rows.append((key[0], ts))
+                    last_us = us
+            if keep_rows:
+                yield pd.DataFrame(keep_rows, columns=[key_col, ts_col])
+        if last_us is not None:
+            state.update((last_us,))
+        if timeout_minutes:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_minutes
+        else GroupStateTimeout.NoTimeout
+    )
+    return sdf.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="last_us long",
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
+def debounce_batch(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    cooldown_seconds: int,
+) -> DataFrame:
+    """Batch twin of ``debounce_stream`` (same sequential scan via
+    ``applyInPandas``) — asserts stream == batch, and serves as the
+    offline rate-limit pass over historical archives."""
+    out_schema = _debounce_out_schema(df, key_col, ts_col)
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col)
+        keep = []
+        last_us = None
+        for _, row in pdf.iterrows():
+            us = int(pd.Timestamp(row[ts_col]).value) // 1000
+            if last_us is None or us - last_us >= cooldown_seconds * 1_000_000:
+                keep.append((row[key_col], row[ts_col]))
+                last_us = us
+        return pd.DataFrame(keep, columns=[key_col, ts_col])
+
+    return (
+        df.select(key_col, ts_col)
+        .groupBy(key_col)
+        .applyInPandas(scan, schema=out_schema)
+    )

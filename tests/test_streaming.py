@@ -283,3 +283,44 @@ def test_tws_ewma_stream_matches_batch(spark, two_phase_src):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_debounce_stream_matches_batch(spark, two_phase_src):
+    from sensor_time_series_pyspark_spark.streaming.stateful import (
+        debounce_batch,
+        debounce_stream,
+    )
+
+    path, schema = two_phase_src
+    sdf = read_stream(spark, path, schema, fmt="parquet", max_files_per_trigger=1)
+    kept = debounce_stream(sdf, "user_id", "ts", cooldown_seconds=3600)
+    run_to_memory(kept, "debounce_stream_t")
+    got = {
+        (r["user_id"], r["ts"]) for r in spark.table("debounce_stream_t").collect()
+    }
+    batch = debounce_batch(
+        read_table(spark, SF, "events"), "user_id", "ts", cooldown_seconds=3600
+    )
+    want = {(r["user_id"], r["ts"]) for r in batch.collect()}
+    assert got == want and len(want) > 0
+
+
+def test_debounce_batch_semantics(spark):
+    from sensor_time_series_pyspark_spark.streaming.stateful import debounce_batch
+
+    rows = [
+        ("k", "2024-01-01 00:00:00"),
+        ("k", "2024-01-01 00:00:30"),   # suppressed (< 60s after emit)
+        ("k", "2024-01-01 00:01:00"),   # emitted (60s after 00:00)
+        ("k", "2024-01-01 00:01:30"),   # suppressed (30s after 00:01)
+        ("k", "2024-01-01 00:02:30"),   # emitted
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string").select(
+        "k", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = sorted(
+        str(r["ts"]) for r in debounce_batch(df, "k", "ts", 60).collect()
+    )
+    assert out == [
+        "2024-01-01 00:00:00", "2024-01-01 00:01:00", "2024-01-01 00:02:30"
+    ]
