@@ -2169,6 +2169,42 @@ def _q_debounce(spark: SparkSession, sf: str) -> DataFrame:
     return debounce_batch(ev, "user_id", "ts", cooldown_seconds=1800)
 
 
+def _q_kll_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable KLL quantile rollup (operators/sketches.py): daily
+    per-type sketch partials merged up to event_type — the persisted-
+    partials pattern (like q96's HLL) for percentile dashboards that
+    must never rescan the fact table. Rows-only: sketch outputs are
+    implementation-defined; a tolerance test pins them to exact
+    percentiles."""
+    from sensor_time_series_pyspark_spark.operators import (
+        kll_partials,
+        kll_rollup,
+    )
+
+    ev = read_table(spark, sf, "events")
+    daily = kll_partials(
+        ev.withColumn("day", F.to_date("ts")), ["event_type", "day"], "value"
+    )
+    return kll_rollup(daily, ["event_type"], quantiles=(0.5, 0.95, 0.99))
+
+
+def _q_theta_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Theta-sketch audience algebra (operators/sketches.py): distinct
+    users who clicked vs purchased — union/intersection/difference from
+    two kilobyte sketches. At this scale the sketches are in exact
+    mode (distinct < 2^lg_k), so the oracle is the exact set algebra;
+    beyond 2^lg_k the same query degrades gracefully to ±1.6%
+    estimates."""
+    from sensor_time_series_pyspark_spark.operators import (
+        theta_overlap,
+        theta_partials,
+    )
+
+    ev = read_table(spark, sf, "events")
+    parts = theta_partials(ev, ["event_type"], "user_id", lg_k=12)
+    return theta_overlap(parts, "event_type", "click", "purchase")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -2302,6 +2338,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q128_rfm": _q_rfm,
         "q129_mom_growth": _q_mom_growth,
         "q130_debounce": _q_debounce,
+        "q131_kll_quantiles": _q_kll_quantiles,
+        "q132_theta_overlap": _q_theta_overlap,
     }
 
 
@@ -4648,5 +4686,25 @@ def oracle_sql() -> dict[str, str]:
                 ON b.user_id = r.user_id AND b.rn = r.rn + 1
             )
             SELECT user_id, ts FROM rec WHERE kept
+        """,
+        "q132_theta_overlap": """
+            WITH a AS (
+              SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+            ),
+            b AS (
+              SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+            )
+            SELECT
+              CAST((SELECT count(*) FROM a) AS BIGINT) AS n_a,
+              CAST((SELECT count(*) FROM b) AS BIGINT) AS n_b,
+              CAST((SELECT count(*) FROM (
+                SELECT user_id FROM a UNION SELECT user_id FROM b)) AS BIGINT)
+                AS n_union,
+              CAST((SELECT count(*) FROM (
+                SELECT user_id FROM a INTERSECT SELECT user_id FROM b)) AS BIGINT)
+                AS n_intersect,
+              CAST((SELECT count(*) FROM (
+                SELECT user_id FROM a EXCEPT SELECT user_id FROM b)) AS BIGINT)
+                AS n_a_only
         """,
     }

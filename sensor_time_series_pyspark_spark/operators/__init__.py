@@ -174,3 +174,4 @@ from .dtw import dtw_pairs
 from .analytics import ab_proportion_test
 from .windows import capped_running_sum
 from .analytics import market_basket_pairs
+from .sketches import kll_partials, kll_rollup, theta_overlap, theta_partials

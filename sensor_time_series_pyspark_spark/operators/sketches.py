@@ -96,3 +96,91 @@ def topk_rollup(
         F.col("__e.count").alias("est_count"),
         (F.col("__pos") + 1).alias("rank"),
     )
+
+
+def kll_partials(
+    df: DataFrame,
+    by: Sequence[str],
+    value_col: str,
+    k: int = 200,
+) -> DataFrame:
+    """One KLL quantile sketch per group over a DOUBLE column — the
+    mergeable quantile partial (Karnin-Lang-Liberty): persist per
+    partition/day, answer any later quantile question at any coarser
+    grouping by merging kilobyte sketches, never rescanning the fact
+    table. k=200 → ~1.65% rank error (the DataSketches default).
+
+    The per-query twin is approx_quantiles (GK, one-shot, not
+    mergeable); THIS is the one you run at 100 TB where re-scanning for
+    every new percentile request is the anti-pattern."""
+    return df.groupBy(*by).agg(
+        F.expr(f"kll_sketch_agg_double({value_col}, {int(k)})").alias("sketch")
+    )
+
+
+def kll_rollup(
+    partials: DataFrame,
+    by: Sequence[str],
+    quantiles: Sequence[float] = (0.5, 0.95, 0.99),
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Merge KLL partials to a coarser grouping and read off quantiles.
+    Output: [*by], n, q_<pct> per requested quantile."""
+    merged = partials.groupBy(*by).agg(
+        F.expr(f"kll_merge_agg_double({sketch_col})").alias("__m")
+    )
+    cols = [
+        F.expr(f"kll_sketch_get_quantile_double(__m, CAST({q} AS DOUBLE))").alias(
+            f"q_{str(q).replace('.', '_')}"
+        )
+        for q in quantiles
+    ]
+    return merged.select(
+        *by,
+        F.expr("kll_sketch_get_n_double(__m)").alias("n"),
+        *cols,
+    )
+
+
+def theta_partials(
+    df: DataFrame,
+    by: Sequence[str],
+    key_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """One theta sketch per group over a key column. Unlike HLL, theta
+    sketches support set INTERSECTION and DIFFERENCE — the audience-
+    overlap algebra ("users who did A and B", "A but not B") that
+    distinct-count sketches alone cannot answer. Estimates are EXACT
+    while a group's distinct count stays under 2^lg_k."""
+    return df.groupBy(*by).agg(
+        F.expr(f"theta_sketch_agg({key_col}, {int(lg_k)})").alias("sketch")
+    )
+
+
+def theta_overlap(
+    partials: DataFrame,
+    label_col: str,
+    label_a: str,
+    label_b: str,
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Set algebra over two groups' theta sketches: |A|, |B|, |A∪B|,
+    |A∩B|, |A\\B| as one row — computed entirely from the persisted
+    partials (driver-side combine of two kilobyte binaries; the fact
+    table is never touched)."""
+    a = partials.where(F.col(label_col) == label_a).select(
+        F.col(sketch_col).alias("sa")
+    )
+    b = partials.where(F.col(label_col) == label_b).select(
+        F.col(sketch_col).alias("sb")
+    )
+    both = a.crossJoin(b)
+    est = lambda e: F.round(F.expr(f"theta_sketch_estimate({e})")).cast("long")  # noqa: E731
+    return both.select(
+        est("sa").alias("n_a"),
+        est("sb").alias("n_b"),
+        est("theta_union(sa, sb)").alias("n_union"),
+        est("theta_intersection(sa, sb)").alias("n_intersect"),
+        est("theta_difference(sa, sb)").alias("n_a_only"),
+    )

@@ -535,3 +535,41 @@ def test_market_basket_metrics(spark):
     assert abs(xy["confidence"] - 3 / 4) < 1e-12
     assert abs(xy["lift"] - (5 * 3) / (4 * 4)) < 1e-12
     assert ("x", "z") not in out  # below min_pair_count
+
+
+# ---------------------------------------------------------------- sketches
+def test_kll_rollup_tracks_exact_percentiles(spark):
+    from sensor_time_series_pyspark_spark.operators import kll_partials, kll_rollup
+    from sensor_time_series_pyspark_spark.sources.readers import read_table
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    daily = kll_partials(
+        ev.withColumn("day", F.to_date("ts")), ["event_type", "day"], "value"
+    )
+    rolled = {r["event_type"]: r for r in
+              kll_rollup(daily, ["event_type"], quantiles=(0.5,)).collect()}
+    exact = {r["event_type"]: r["m"] for r in
+             ev.groupBy("event_type")
+             .agg(F.expr("percentile(value, 0.5)").alias("m")).collect()}
+    for t, r in rolled.items():
+        # k=200 → ~1.65% rank error; on these distributions the value
+        # error stays well inside 10%
+        assert abs(r["q_0_5"] - exact[t]) <= 0.1 * max(1.0, abs(exact[t]))
+        assert r["n"] > 0
+
+
+def test_theta_overlap_exact_mode_matches_sets(spark):
+    from sensor_time_series_pyspark_spark.operators import theta_overlap, theta_partials
+    from sensor_time_series_pyspark_spark.sources.readers import read_table
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    parts = theta_partials(ev, ["event_type"], "user_id", lg_k=12)
+    got = theta_overlap(parts, "event_type", "click", "view").collect()[0]
+    a = {r["user_id"] for r in
+         ev.where(F.col("event_type") == "click").select("user_id").distinct().collect()}
+    b = {r["user_id"] for r in
+         ev.where(F.col("event_type") == "view").select("user_id").distinct().collect()}
+    assert got["n_a"] == len(a) and got["n_b"] == len(b)
+    assert got["n_union"] == len(a | b)
+    assert got["n_intersect"] == len(a & b)
+    assert got["n_a_only"] == len(a - b)
