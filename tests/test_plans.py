@@ -63,6 +63,9 @@ def test_no_accidental_cartesian_products(spark):
     # deliberate 1-row scalar broadcast (corpus n_docs/avgdl) — the
     # standard pattern for global constants, not an accidental cartesian
     SKIP |= {"q67_bm25_terms"}
+    # deliberate 1-row x 1-row sketch combine (two kilobyte theta
+    # binaries) — the cross join IS the driver-side set algebra
+    SKIP |= {"q132_theta_overlap"}
     # ML/forecast paths run fit JOBS at plan-build time — skip the cost
     SKIP |= {"q24_holt_forecast", "q25_arima_grid", "q26_seasonal_decompose",
              "q27_mlp_classification", "q28_gbt_regression", "q43_model_metrics",
