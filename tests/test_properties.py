@@ -193,3 +193,74 @@ def test_connected_components_match_union_find(spark, edges):
         r.node: r.component for r in connected_components(df).collect()
     }
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.floats(-100, 100, allow_nan=False), min_size=1, max_size=15))
+def test_capped_running_sum_equals_recursion(spark, deltas):
+    from sensor_time_series_pyspark_spark.operators import capped_running_sum
+
+    rows = [("g", i, round(d, 2)) for i, d in enumerate(deltas)]
+    df = spark.createDataFrame(rows, "g string, t long, x double")
+    got = {r["t"]: r["balance"] for r in
+           capped_running_sum(df, ["g"], ["t"], "x").collect()}
+    b = 0.0
+    for i, (_, _, d) in enumerate(rows):
+        # mirror the operator's exact decimal arithmetic with cents
+        b = max(round(b + d, 2), 0.0)
+        assert abs(got[i] - b) < 1e-9
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)),
+        min_size=0,
+        max_size=20,
+    )
+)
+def test_triangle_count_matches_bruteforce(spark, edges):
+    import itertools
+
+    from sensor_time_series_pyspark_spark.operators import triangle_count
+
+    und = {frozenset(e) for e in edges if e[0] != e[1]}
+    nodes = sorted({n for e in und for n in e})
+    want = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if {a, b} in und and {b, c} in und and {a, c} in und
+    )
+    if not und:
+        return
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "src long, dst long"
+    )
+    got = triangle_count(df, orient="degree").collect()[0]["n_triangles"]
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(st.integers(0, 5), min_size=2, max_size=15),
+    st.lists(st.integers(0, 5), min_size=2, max_size=15),
+)
+def test_snapshot_diff_partitions_keyspace(spark, old_keys, new_keys):
+    from sensor_time_series_pyspark_spark.operators import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(k, f"v{k}") for k in set(old_keys)], "k long, v string"
+    )
+    new = spark.createDataFrame(
+        [(k, f"v{k}") for k in set(new_keys)], "k long, v string"
+    )
+    out = {r["k"]: r["change"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    o, n = set(old_keys), set(new_keys)
+    assert set(out) == o | n
+    for k, c in out.items():
+        want = (
+            "unchanged" if k in o and k in n
+            else "removed" if k in o
+            else "added"
+        )
+        assert c == want
