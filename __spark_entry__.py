@@ -2205,6 +2205,117 @@ def _q_theta_overlap(spark: SparkSession, sf: str) -> DataFrame:
     return theta_overlap(parts, "event_type", "click", "purchase")
 
 
+def _q_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation where the customer and the
+    line's supplier share a nation, ASIA region, one order year. Five
+    joins — the three small dims broadcast; the orders⋈lineitem spine
+    shuffles on the order key once."""
+    li = read_table(spark, sf, "lineitem")
+    o = read_table(spark, sf, "orders")
+    c = read_table(spark, sf, "customer")
+    s = read_table(spark, sf, "supplier")
+    n = read_table(spark, sf, "nation")
+    r = read_table(spark, sf, "region")
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(12,2)") - _dec("l_discount")
+    )
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(
+            s,
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .where(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+    )
+    return j.groupBy("n_name").agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def _q_revenue_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 shape: the what-if revenue from discounts in a band,
+    one year, small quantities — a pure scan-side filter aggregate
+    (every predicate pushes into the parquet scan)."""
+    li = read_table(spark, sf, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").cast("decimal(12,2)") >= F.lit("0.05").cast("decimal(12,2)"))
+            & (F.col("l_discount").cast("decimal(12,2)") <= F.lit("0.07").cast("decimal(12,2)"))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .cast("double")
+            .alias("revenue_delta"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def _q_returned_items(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape: customer revenue lost to returns in one
+    quarter, with nation context — fact⋈fact on the order key, then a
+    customer rollup and broadcast nation join."""
+    li = read_table(spark, sf, "lineitem")
+    o = read_table(spark, sf, "orders")
+    c = read_table(spark, sf, "customer")
+    n = read_table(spark, sf, "nation")
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(12,2)") - _dec("l_discount")
+    )
+    j = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+    )
+    return j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def _q_large_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a
+    threshold, with customer context — the big-lineitem HAVING rollup
+    feeding a semi-filtered join."""
+    li = read_table(spark, sf, "lineitem")
+    o = read_table(spark, sf, "orders")
+    c = read_table(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("__q"))
+        .where(F.col("__q") > F.lit(150).cast("decimal(12,2)"))
+    )
+    j = (
+        o.join(big, o["o_orderkey"] == big["l_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+    )
+    return j.select(
+        "c_custkey",
+        "c_name",
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.col("__q").cast("double").alias("sum_qty"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -2340,6 +2451,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q130_debounce": _q_debounce,
         "q131_kll_quantiles": _q_kll_quantiles,
         "q132_theta_overlap": _q_theta_overlap,
+        "q133_local_supplier_volume": _q_local_supplier_volume,
+        "q134_revenue_delta": _q_revenue_delta,
+        "q135_returned_items": _q_returned_items,
+        "q136_large_orders": _q_large_orders,
     }
 
 
@@ -4706,5 +4821,63 @@ def oracle_sql() -> dict[str, str]:
               CAST((SELECT count(*) FROM (
                 SELECT user_id FROM a EXCEPT SELECT user_id FROM b)) AS BIGINT)
                 AS n_a_only
+        """,
+        "q133_local_supplier_volume": """
+            SELECT n_name,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+                   AS DOUBLE) AS revenue,
+              CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+        """,
+        "q134_revenue_delta": """
+            SELECT
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                       * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)
+                AS revenue_delta,
+              CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND CAST(l_discount AS DECIMAL(12,2)) >= CAST('0.05' AS DECIMAL(12,2))
+              AND CAST(l_discount AS DECIMAL(12,2)) <= CAST('0.07' AS DECIMAL(12,2))
+              AND l_quantity < 24
+        """,
+        "q135_returned_items": """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+                   AS DOUBLE) AS revenue,
+              CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+        """,
+        "q136_large_orders": """
+            WITH big AS (
+              SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS q
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > CAST(150 AS DECIMAL(12,2))
+            )
+            SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+              CAST(q AS DOUBLE) AS sum_qty
+            FROM orders
+            JOIN big ON o_orderkey = big.l_orderkey
+            JOIN customer ON o_custkey = c_custkey
         """,
     }
