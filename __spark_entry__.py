@@ -2316,6 +2316,55 @@ def _q_large_orders(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_normalized_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup AFTER canonical normalization (functions/text.py:
+    normalize_text: casefold + accent fold + whitespace collapse) —
+    catches the trivially-reformatted duplicates raw md5 dedup misses.
+    Same group shape as q17: fingerprint, copies, survivor id."""
+    from sensor_time_series_pyspark_spark.functions.text import normalize_text
+
+    docs = read_table(spark, sf, "documents")
+    return (
+        docs.select("doc_id", F.md5(normalize_text("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+def _q_funnel_latency(spark: SparkSession, sf: str) -> DataFrame:
+    """Conversion-latency distribution: seconds from a user's first
+    view to their first subsequent purchase, summarized as exact
+    median/p90 (integer-second order stats — both engines interpolate
+    the same exact doubles, q60's parity mechanism)."""
+    ev = read_table(spark, sf, "events")
+    views = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min(F.unix_micros(F.col("ts"))).alias("t_view")
+    )
+    purch = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(views, "user_id")
+        .where(F.unix_micros(F.col("ts")) > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(
+            F.min("t_view").alias("t_view"),
+            F.min(F.unix_micros(F.col("ts"))).alias("t_purchase"),
+        )
+    )
+    lat = purch.select(
+        F.expr("(t_purchase - t_view) div 1000000").alias("latency_sec")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.median(F.col("latency_sec").cast("double")).alias("median_sec"),
+        F.percentile(F.col("latency_sec").cast("double"), F.lit(0.9)).alias(
+            "p90_sec"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -2455,6 +2504,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q134_revenue_delta": _q_revenue_delta,
         "q135_returned_items": _q_returned_items,
         "q136_large_orders": _q_large_orders,
+        "q137_normalized_dedup": _q_normalized_dedup,
+        "q138_funnel_latency": _q_funnel_latency,
     }
 
 
@@ -4879,5 +4930,39 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             JOIN big ON o_orderkey = big.l_orderkey
             JOIN customer ON o_custkey = c_custkey
+        """,
+        "q137_normalized_dedup": r"""
+            SELECT md5(
+                trim(regexp_replace(
+                  translate(lower(text),
+                    'àáâãäåèéêëìíîïòóôõöùúûüçñýÿ',
+                    'aaaaaaeeeeiiiiooooouuuucnyy'),
+                  '\s+', ' ', 'g'))
+              ) AS fp,
+              CAST(count(*) AS BIGINT) AS n_copies,
+              min(doc_id) AS keep_doc_id
+            FROM documents GROUP BY fp
+        """,
+        "q138_funnel_latency": """
+            WITH views AS (
+              SELECT user_id, min(epoch_us(ts)) AS t_view
+              FROM events WHERE event_type = 'view' GROUP BY user_id
+            ),
+            purch AS (
+              SELECT e.user_id, min(v.t_view) AS t_view,
+                min(epoch_us(e.ts)) AS t_purchase
+              FROM events e JOIN views v USING (user_id)
+              WHERE e.event_type = 'purchase'
+                AND epoch_us(e.ts) > v.t_view
+              GROUP BY e.user_id
+            ),
+            lat AS (
+              SELECT (t_purchase - t_view) // 1000000 AS latency_sec
+              FROM purch
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_converted,
+              median(CAST(latency_sec AS DOUBLE)) AS median_sec,
+              quantile_cont(CAST(latency_sec AS DOUBLE), 0.9) AS p90_sec
+            FROM lat
         """,
     }

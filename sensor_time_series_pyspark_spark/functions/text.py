@@ -304,3 +304,17 @@ def gopher_flags(text: Column | str) -> Column:
         ok_stop.alias("ok_stopwords"),
         (ok_wc & ok_mwl & ok_alpha & ok_sym & ok_stop).alias("pass_all"),
     )
+
+
+_ACCENTS_FROM = "àáâãäåèéêëìíîïòóôõöùúûüçñýÿ"
+_ACCENTS_TO = "aaaaaaeeeeiiiiooooouuuucnyy"
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Canonical text normalization before exact dedup / fingerprinting:
+    lowercase, fold common Latin accents (explicit translate table —
+    portable, unlike locale-dependent unicode normalizers), collapse
+    whitespace runs to single spaces, trim. Deterministic and
+    reproducible in any engine with translate + regexp_replace."""
+    folded = F.translate(F.lower(_c(text)), _ACCENTS_FROM, _ACCENTS_TO)
+    return F.trim(F.regexp_replace(folded, r"\s+", " "))
