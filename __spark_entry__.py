@@ -2365,6 +2365,28 @@ def _q_funnel_latency(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_communities(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic label-propagation communities (operators/graph.py:
+    label_propagation — most-frequent neighbor label, smallest on ties)
+    over the co-supplier graph. Rows-only: iterative fixed point has no
+    SQL twin; determinism + clique-separation pinned by tests."""
+    from sensor_time_series_pyspark_spark.operators import label_propagation
+
+    li = read_table(spark, sf, "lineitem")
+    sp = li.select("l_partkey", "l_suppkey").distinct()
+    a, b = sp.alias("a"), sp.alias("b")
+    edges = (
+        a.join(b, F.col("a.l_partkey") == F.col("b.l_partkey"))
+        .where(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+        )
+        .distinct()
+    )
+    labels = label_propagation(edges, n_iter=4)
+    return labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -2506,6 +2528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q136_large_orders": _q_large_orders,
         "q137_normalized_dedup": _q_normalized_dedup,
         "q138_funnel_latency": _q_funnel_latency,
+        "q139_communities": _q_communities,
     }
 
 

@@ -175,3 +175,4 @@ from .analytics import ab_proportion_test
 from .windows import capped_running_sum
 from .analytics import market_basket_pairs
 from .sketches import kll_partials, kll_rollup, theta_overlap, theta_partials
+from .graph import label_propagation

@@ -156,3 +156,52 @@ def triangle_count(
         e3, (F.col("x") == F.col("e3.a")) & (F.col("z") == F.col("e3.b"))
     )
     return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 5,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (LPA,
+    Raghavan 2007) over an undirected edge list: every node adopts the
+    most frequent label among its neighbors each round, ties broken by
+    the SMALLEST label — fully deterministic, unlike classic
+    random-order LPA (same fixed-point family, reproducible runs).
+
+    One join + two aggregates per round, all keyed on node ids —
+    the connected-components shape with a frequency vote instead of a
+    min. Fixed small iteration count; lineage cut by localCheckpoint
+    like pagerank. Communities are label ids (a member node's id).
+
+    Output: node, label.
+    """
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b")))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+    )
+    both = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    labels = both.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for i in range(n_iter):
+        votes = (
+            both.join(labels, both["b"] == labels["node"])
+            .select(both["a"].alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        # most frequent neighbor label, smallest label on ties:
+        # max_by over (n, -label) — one aggregate, no window sort
+        labels = votes.groupBy("node").agg(
+            F.expr("max_by(label, struct(n, -label))").alias("label")
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint(eager=True)
+    return labels

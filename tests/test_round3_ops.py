@@ -573,3 +573,30 @@ def test_theta_overlap_exact_mode_matches_sets(spark):
     assert got["n_union"] == len(a | b)
     assert got["n_intersect"] == len(a & b)
     assert got["n_a_only"] == len(a - b)
+
+
+# ---------------------------------------------------------- label propagation
+def test_label_propagation_two_cliques(spark):
+    from sensor_time_series_pyspark_spark.operators import label_propagation
+
+    import itertools
+
+    # two 4-cliques joined by a single bridge edge
+    c1 = list(itertools.combinations([1, 2, 3, 4], 2))
+    c2 = list(itertools.combinations([11, 12, 13, 14], 2))
+    edges = c1 + c2 + [(4, 11)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r["label"] for r in label_propagation(df, n_iter=6).collect()}
+    l1 = {out[n] for n in [1, 2, 3]}
+    l2 = {out[n] for n in [12, 13, 14]}
+    assert len(l1) == 1 and len(l2) == 1 and l1 != l2
+
+
+def test_label_propagation_deterministic(spark):
+    from sensor_time_series_pyspark_spark.operators import label_propagation
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 1), (2, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted(map(tuple, label_propagation(df, n_iter=4).collect()))
+    b = sorted(map(tuple, label_propagation(df.repartition(5), n_iter=4).collect()))
+    assert a == b
