@@ -2387,6 +2387,36 @@ def _q_communities(spark: SparkSession, sf: str) -> DataFrame:
     return labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
 
 
+def _q_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent view/click within the hour (operators/asof.py backward
+    as-of with tolerance + matched-ts). Touches pre-aggregate per
+    (user, ts) for deterministic tie handling, per the asof contract."""
+    ev = read_table(spark, sf, "events")
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    touch = (
+        ev.where(F.col("event_type").isin("view", "click"))
+        .groupBy("user_id", "ts")
+        .agg(
+            F.expr("max_by(event_type, event_id)").alias("touch_type"),
+            F.max("event_id").alias("touch_id"),
+        )
+    )
+    return asof_join(
+        purch,
+        touch,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["touch_type", "touch_id"],
+        direction="backward",
+        tolerance_seconds=3600,
+        matched_ts_col="touch_ts",
+    ).select("event_id", "user_id", "ts", "touch_type", "touch_id", "touch_ts")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -2529,6 +2559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q137_normalized_dedup": _q_normalized_dedup,
         "q138_funnel_latency": _q_funnel_latency,
         "q139_communities": _q_communities,
+        "q140_attribution": _q_attribution,
     }
 
 
@@ -4987,5 +5018,30 @@ def oracle_sql() -> dict[str, str]:
               median(CAST(latency_sec AS DOUBLE)) AS median_sec,
               quantile_cont(CAST(latency_sec AS DOUBLE), 0.9) AS p90_sec
             FROM lat
+        """,
+        "q140_attribution": """
+            WITH purch AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase'
+            ),
+            touch AS (
+              SELECT user_id, ts,
+                max_by(event_type, event_id) AS touch_type,
+                max(event_id) AS touch_id
+              FROM events WHERE event_type IN ('view', 'click')
+              GROUP BY user_id, ts
+            ),
+            j AS (
+              SELECT p.event_id, p.user_id, p.ts,
+                t.touch_type, t.touch_id, t.ts AS touch_ts,
+                row_number() OVER (
+                  PARTITION BY p.event_id ORDER BY t.ts DESC) AS rn
+              FROM purch p LEFT JOIN touch t
+                ON p.user_id = t.user_id
+               AND t.ts <= p.ts
+               AND t.ts >= p.ts - INTERVAL 1 HOUR
+            )
+            SELECT event_id, user_id, ts, touch_type, touch_id, touch_ts
+            FROM j WHERE rn = 1
         """,
     }
