@@ -924,3 +924,61 @@ def levenshtein_pairs(
         .where(F.col("dist") >= 0)
         .select("id_a", "id_b", "dist")
     )
+
+
+def minhash_bands(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 2,
+    n_hashes: int = 16,
+    n_bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """The banded-LSH signature frame alone — (id, band_id, band_key)
+    rows, the persistable index behind incremental near-dup rejection
+    (plans/corpus_ingest.py): store these for the accepted corpus, and
+    a new document is a near-dup candidate iff it shares any
+    (band_id, band_key) with the store. Same portable construction as
+    minhash_pairs (md5 shingle ids + affine permutations), so bands
+    computed in different runs/engines collide identically."""
+    if n_hashes % n_bands != 0:
+        raise ValueError("n_hashes must divide evenly into n_bands")
+    r = n_hashes // n_bands
+    a_coef, b_coef = minhash_coeffs(n_hashes, seed)
+    base = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__toks"))
+    sh = (
+        shingles_from_tokens(F.col("__toks"), shingle_k)
+        if shingle_k > 1
+        else F.col("__toks")
+    )
+    toks = base.select("id", F.array_distinct(sh).alias("tok")).where(
+        F.size("tok") > 0
+    )
+    ids = toks.select(
+        "id",
+        F.explode(F.transform(F.col("tok"), shingle_id_portable)).alias("sid"),
+    )
+    sig = ids.groupBy("id").agg(
+        *[
+            F.min((F.lit(a_coef[i]) * F.col("sid") + F.lit(b_coef[i])) % MINHASH_P)
+            .alias(f"h{i}")
+            for i in range(n_hashes)
+        ],
+    )
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band_id"),
+                        F.concat_ws(
+                            "|", *[F.col(f"h{band * r + j}") for j in range(r)]
+                        ).alias("band_key"),
+                    )
+                    for band in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "b.band_id", "b.band_key")
