@@ -2417,6 +2417,56 @@ def _q_attribution(spark: SparkSession, sf: str) -> DataFrame:
     ).select("event_id", "user_id", "ts", "touch_type", "touch_id", "touch_ts")
 
 
+def _q_qq_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile-quantile drift: per event type, the D1..D9 deciles of
+    value in the first vs second half of the time range, side by side —
+    the distribution-shift view TVD (q81) summarizes to one number.
+    percentile_disc (an actual data value, no interpolation) keeps the
+    comparison engine-exact on continuous doubles."""
+    ev = read_table(spark, sf, "events")
+    mid = ev.agg(
+        F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY cast(ts as double))")
+    ).collect()[0][0]
+    half = F.when(F.col("ts").cast("double") <= mid, "h1").otherwise("h2")
+    deciles = [i / 10 for i in range(1, 10)]
+    per_half = (
+        ev.select("event_type", half.alias("half"), "value")
+        .groupBy("event_type", "half")
+        .agg(
+            *[
+                F.expr(
+                    f"percentile_disc({d}) WITHIN GROUP (ORDER BY value)"
+                ).alias(f"d{int(d * 10)}")
+                for d in deciles
+            ]
+        )
+    )
+    h1 = per_half.where(F.col("half") == "h1").drop("half")
+    h2 = per_half.where(F.col("half") == "h2").drop("half")
+    cols = [f"d{i}" for i in range(1, 10)]
+    return h1.alias("a").join(h2.alias("b"), "event_type").select(
+        "event_type",
+        *[F.col(f"a.{c}").alias(f"{c}_h1") for c in cols],
+        *[F.col(f"b.{c}").alias(f"{c}_h2") for c in cols],
+    )
+
+
+def _q_seasonal_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Calendar seasonality profile: mean value per (event type,
+    day-of-week, hour) — the weekly heatmap behind load forecasting.
+    Exact decimal means; Spark dayofweek (1=Sunday) mirrored as
+    DuckDB dayofweek+1."""
+    ev = read_table(spark, sf, "events")
+    return ev.groupBy(
+        "event_type",
+        F.dayofweek("ts").alias("dow"),
+        F.hour("ts").alias("hod"),
+    ).agg(
+        _davg(F.col("value")).alias("avg_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -2560,6 +2610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q138_funnel_latency": _q_funnel_latency,
         "q139_communities": _q_communities,
         "q140_attribution": _q_attribution,
+        "q141_qq_drift": _q_qq_drift,
+        "q142_seasonal_profile": _q_seasonal_profile,
     }
 
 
@@ -5043,5 +5095,46 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_id, user_id, ts, touch_type, touch_id, touch_ts
             FROM j WHERE rn = 1
+        """,
+        "q141_qq_drift": """
+            WITH mid AS (SELECT quantile_cont(epoch(ts), 0.5) AS m FROM events),
+            h AS (
+              SELECT event_type,
+                CASE WHEN epoch(ts) <= mid.m THEN 'h1' ELSE 'h2' END AS half,
+                value
+              FROM events, mid
+            ),
+            p AS (
+              SELECT event_type, half,
+                quantile_disc(value, 0.1) AS d1,
+                quantile_disc(value, 0.2) AS d2,
+                quantile_disc(value, 0.3) AS d3,
+                quantile_disc(value, 0.4) AS d4,
+                quantile_disc(value, 0.5) AS d5,
+                quantile_disc(value, 0.6) AS d6,
+                quantile_disc(value, 0.7) AS d7,
+                quantile_disc(value, 0.8) AS d8,
+                quantile_disc(value, 0.9) AS d9
+              FROM h GROUP BY event_type, half
+            )
+            SELECT a.event_type,
+              a.d1 AS d1_h1, a.d2 AS d2_h1, a.d3 AS d3_h1, a.d4 AS d4_h1,
+              a.d5 AS d5_h1, a.d6 AS d6_h1, a.d7 AS d7_h1, a.d8 AS d8_h1,
+              a.d9 AS d9_h1,
+              b.d1 AS d1_h2, b.d2 AS d2_h2, b.d3 AS d3_h2, b.d4 AS d4_h2,
+              b.d5 AS d5_h2, b.d6 AS d6_h2, b.d7 AS d7_h2, b.d8 AS d8_h2,
+              b.d9 AS d9_h2
+            FROM p a JOIN p b
+              ON a.event_type = b.event_type
+             AND a.half = 'h1' AND b.half = 'h2'
+        """,
+        "q142_seasonal_profile": f"""
+            SELECT event_type,
+              CAST(dayofweek(ts) + 1 AS INT) AS dow,
+              CAST(hour(ts) AS INT) AS hod,
+              {_davg_sql('value')} AS avg_value,
+              CAST(count(*) AS BIGINT) AS n
+            FROM events
+            GROUP BY event_type, dayofweek(ts), hour(ts)
         """,
     }
