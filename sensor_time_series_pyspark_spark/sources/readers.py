@@ -177,3 +177,32 @@ def read_any(
     for k, v in (options or {}).items():
         reader = reader.option(k, v)
     return reader.load(path)
+
+
+def flatten_nested(df: DataFrame, sep: str = "_", max_depth: int = 10) -> DataFrame:
+    """Recursively flatten struct columns into top-level columns
+    (``a.b.c`` → ``a_b_c``) — the standard first step after reading
+    nested JSON/avro feeds into a relational pipeline. Arrays are left
+    intact (explode is a row-multiplying decision the caller must own).
+
+    Pure projection — zero shuffle, column pruning still reaches the
+    scan because the flattened references are plain field accesses.
+    """
+    for _ in range(max_depth):
+        struct_cols = [
+            f.name for f in df.schema.fields
+            if f.dataType.typeName() == "struct"
+        ]
+        if not struct_cols:
+            break
+        cols = []
+        for f in df.schema.fields:
+            if f.name in struct_cols:
+                for sub in f.dataType.fieldNames():
+                    cols.append(
+                        F.col(f"`{f.name}`.`{sub}`").alias(f"{f.name}{sep}{sub}")
+                    )
+            else:
+                cols.append(F.col(f"`{f.name}`"))
+        df = df.select(*cols)
+    return df

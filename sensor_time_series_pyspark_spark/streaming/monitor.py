@@ -1,0 +1,65 @@
+"""Streaming observability: a StreamingQueryListener that accumulates
+per-batch progress (rows/sec, batch duration, state-store size) into a
+bounded in-memory ring — the numbers an operator pages on, exposed as a
+DataFrame so the same engine can analyze its own pipelines.
+
+At production scale this is the hook you'd wire to a metrics sink
+(StatsD/Prometheus via onQueryProgress); the ring keeps the library
+dependency-free here.
+"""
+
+from __future__ import annotations
+
+import collections
+import json
+import threading
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQueryListener
+
+
+class ProgressRing(StreamingQueryListener):
+    """Keeps the last ``capacity`` batch-progress records per query."""
+
+    def __init__(self, capacity: int = 256) -> None:
+        self._lock = threading.Lock()
+        self._ring: collections.deque = collections.deque(maxlen=capacity)
+
+    def onQueryStarted(self, event) -> None:  # noqa: N802 (Spark API)
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        p = json.loads(event.progress.json)
+        row = {
+            "query_id": p.get("id"),
+            "name": p.get("name"),
+            "batch_id": p.get("batchId"),
+            "timestamp": p.get("timestamp"),
+            "num_input_rows": p.get("numInputRows", 0),
+            "input_rows_per_second": p.get("inputRowsPerSecond", 0.0) or 0.0,
+            "process_rows_per_second": p.get("processedRowsPerSecond", 0.0) or 0.0,
+            "batch_duration_ms": (p.get("durationMs") or {}).get("triggerExecution"),
+            "state_rows": sum(
+                s.get("numRowsTotal", 0) for s in p.get("stateOperators", [])
+            ),
+        }
+        with self._lock:
+            self._ring.append(row)
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+    def snapshot(self, spark: SparkSession) -> DataFrame:
+        """The accumulated progress as a DataFrame (empty-safe)."""
+        with self._lock:
+            rows = list(self._ring)
+        schema = (
+            "query_id string, name string, batch_id long, timestamp string, "
+            "num_input_rows long, input_rows_per_second double, "
+            "process_rows_per_second double, batch_duration_ms long, "
+            "state_rows long"
+        )
+        return spark.createDataFrame(rows, schema)

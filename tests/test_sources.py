@@ -298,3 +298,17 @@ def test_read_any_requires_schema_for_rowwise(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="explicit schema"):
         read_any(spark, str(tmp_path / "x"), fmt="json")
+
+
+def test_flatten_nested_structs(spark):
+    from sensor_time_series_pyspark_spark.sources.readers import flatten_nested
+
+    df = spark.createDataFrame(
+        [(1, {"b": {"c": 2, "d": "x"}, "e": 3}, [1, 2])],
+        "a int, s struct<b: struct<c: int, d: string>, e: int>, arr array<int>",
+    )
+    out = flatten_nested(df)
+    assert set(out.columns) == {"a", "s_b_c", "s_b_d", "s_e", "arr"}
+    row = out.collect()[0]
+    assert row["s_b_c"] == 2 and row["s_b_d"] == "x" and row["s_e"] == 3
+    assert row["arr"] == [1, 2]

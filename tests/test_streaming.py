@@ -324,3 +324,33 @@ def test_debounce_batch_semantics(spark):
     assert out == [
         "2024-01-01 00:00:00", "2024-01-01 00:01:00", "2024-01-01 00:02:30"
     ]
+
+
+def test_progress_ring_listener(spark, stream_src):
+    from sensor_time_series_pyspark_spark.streaming.monitor import ProgressRing
+
+    path, schema = stream_src
+    ring = ProgressRing()
+    spark.streams.addListener(ring)
+    try:
+        sdf = read_stream(spark, path, schema, fmt="parquet")
+        q = (
+            sdf.groupBy("event_type").count()
+            .writeStream.format("memory").queryName("mon_t")
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        # listener events are delivered async — poll briefly
+        import time
+
+        for _ in range(40):
+            snap = ring.snapshot(spark)
+            if snap.count() > 0:
+                break
+            time.sleep(0.25)
+        rows = ring.snapshot(spark).collect()
+        assert len(rows) > 0
+        assert sum(r["num_input_rows"] for r in rows) > 0
+        assert all(r["batch_duration_ms"] is not None for r in rows)
+    finally:
+        spark.streams.removeListener(ring)
