@@ -2467,6 +2467,40 @@ def _q_seasonal_profile(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_swinging_door(spark: SparkSession, sf: str) -> DataFrame:
+    """Swinging-door trending compression (operators/compress.py:
+    swinging_door_compress) — the slope-tracking historian rule
+    (PI compression deviation): minimal kept points with linear
+    reconstruction within ±ε. Rows-only: the pivot recursion has no
+    tractable SQL twin; the reconstruction-error bound is tested."""
+    from sensor_time_series_pyspark_spark.operators import swinging_door_compress
+
+    ev = read_table(spark, sf, "events")
+    out = swinging_door_compress(ev, "user_id", "ts", "value", epsilon=10.0)
+    return out.select("user_id", "ts", "value")
+
+
+def _q_topk_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable frequent-items rollup (operators/sketches.py:
+    topk_partials/topk_rollup): daily per-nation item sketches merged
+    up to nation — q96's persisted-partials pattern for top-k. Rows-
+    only: merged-estimate tie order is sketch-defined; exactness under
+    the tracked-item bound is tested separately."""
+    from sensor_time_series_pyspark_spark.operators import (
+        topk_partials,
+        topk_rollup,
+    )
+
+    ev = read_table(spark, sf, "events")
+    cust = read_table(spark, sf, "customer")
+    tagged = ev.join(
+        F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        ev["user_id"] == F.col("c_custkey"),
+    ).select("c_nationkey", F.to_date("ts").alias("day"), "event_type")
+    daily = topk_partials(tagged, ["c_nationkey", "day"], "event_type")
+    return topk_rollup(daily, ["c_nationkey"], k=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -2612,6 +2646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q140_attribution": _q_attribution,
         "q141_qq_drift": _q_qq_drift,
         "q142_seasonal_profile": _q_seasonal_profile,
+        "q143_swinging_door": _q_swinging_door,
+        "q144_topk_sketch": _q_topk_sketch,
     }
 
 
