@@ -265,3 +265,42 @@ def test_weighted_sample_uses_topk_not_full_sort(spark):
     plan = plan_of(weighted_hash_sample(o, "o_orderkey", "o_totalprice", 50))
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_sax_symbols_single_series_exchange(spark):
+    """Row numbering, segment aggregation, and series moments must all
+    reuse ONE hashpartitioning exchange on the series key (the moments
+    frame re-enters via BroadcastExchange, not a second shuffle)."""
+    import re
+
+    from sensor_time_series_pyspark_spark.operators import sax_symbols
+
+    ev = read_table(spark, SF, "events")
+    plan = plan_of(sax_symbols(ev, ["user_id"], ["ts", "event_id"], "value"))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
+    assert "BroadcastExchange" in plan
+
+
+def test_time_in_state_single_window_pass(spark):
+    """One lead window (one exchange on the entity key) + one hash
+    aggregate — no join, no second sort."""
+    import re
+
+    from sensor_time_series_pyspark_spark.operators import time_in_state
+
+    ev = read_table(spark, SF, "events")
+    plan = plan_of(time_in_state(ev, "user_id", "ts", "event_type", "event_id"))
+    assert plan.count("Window") == 1
+    assert "Join" not in plan
+
+
+def test_densify_locf_single_window_pass(spark):
+    """Grid + observations union feeds exactly one last_value window —
+    never a per-gridpoint as-of join."""
+    from sensor_time_series_pyspark_spark.operators import densify_locf
+
+    ev = read_table(spark, SF, "events")
+    plan = plan_of(densify_locf(ev, ["user_id"], "ts", "value", 1800))
+    assert plan.count("Window") == 1
+    assert "Join" not in plan
+    assert "Union" in plan
