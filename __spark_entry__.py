@@ -103,6 +103,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _q_flagship(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's full ETL pipeline (sensor_data_etl.py:24-104)
+    re-expressed Spark-first: long events → repair → filter → dim join
+    → ONE conditional pivot aggregate → impute → broadcast nation join
+    (plans/sensor_etl.py; replaces the reference's two groupBys +
+    3-key self-join + ≥6 DAG recomputations)."""
     df = sensor_etl(spark, sf)
     return df.select(
         "bucket", "c_nationkey", *EVENT_TYPES, "severity", "n_events", "n_name"
