@@ -76,3 +76,9 @@ def test_telemetry_analytics_example(spark):
     import telemetry_analytics
 
     assert telemetry_analytics.main(SF) == 0
+
+
+def test_historian_example(spark):
+    import historian
+
+    assert historian.main(SF) == 0
