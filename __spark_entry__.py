@@ -1697,16 +1697,43 @@ def _q_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     the count is orientation-invariant, so both paths must agree."""
     from sensor_time_series_pyspark_spark.operators import triangle_count
 
-    li = read_table(spark, sf, "lineitem")
-    sp = li.select("l_partkey", "l_suppkey").distinct()
-    a, b = sp.alias("a"), sp.alias("b")
-    edges = (
-        a.join(b, F.col("a.l_partkey") == F.col("b.l_partkey"))
-        .where(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
-        .select(
-            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+    # strongest-partner graph: every co-occurrence graph over this
+    # synthetic data densifies toward complete as SF grows (few cells,
+    # many entities), so the graph is SPARSIFIED BY CONSTRUCTION —
+    # each user keeps edges to its top-3 co-activity partners (ranked
+    # by shared (event_type, 30-min bucket) cells, deterministic id
+    # tiebreak). Degree <= 6 after symmetrization → wedge count is
+    # O(users), at every scale factor. Triangles then measure mutual-
+    # affinity cliques, the standard social-graph cohesion signal.
+    ev = read_table(spark, sf, "events")
+    cell = ev.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 1800000000").alias("bucket"),
+        "user_id",
+    ).distinct()
+    a, b = cell.alias("a"), cell.alias("b")
+    pair_counts = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
         )
-        .distinct()
+        .where(F.col("a.user_id") < F.col("b.user_id"))
+        .groupBy(
+            F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sym = pair_counts.unionByName(
+        pair_counts.select(
+            F.col("v").alias("u"), F.col("u").alias("v"), "n"
+        )
+    )
+    w = Window.partitionBy("u").orderBy(F.col("n").desc(), F.col("v").asc())
+    edges = (
+        sym.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= 3)
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
     )
     return triangle_count(edges, orient="degree")
 
@@ -4248,11 +4275,33 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderpriority
         """,
         "q100_triangle_count": """
-            WITH sp AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+            WITH cell AS (
+              SELECT DISTINCT event_type,
+                epoch_us(ts) // 1800000000 AS bucket, user_id
+              FROM events
+            ),
+            pc AS (
+              SELECT a.user_id AS u, b.user_id AS v, count(*) AS n
+              FROM cell a JOIN cell b
+                ON a.event_type = b.event_type AND a.bucket = b.bucket
+              WHERE a.user_id < b.user_id
+              GROUP BY a.user_id, b.user_id
+            ),
+            sym AS (
+              SELECT u, v, n FROM pc
+              UNION ALL SELECT v AS u, u AS v, n FROM pc
+            ),
+            topk AS (
+              SELECT u, v FROM (
+                SELECT u, v,
+                  row_number() OVER (
+                    PARTITION BY u ORDER BY n DESC, v ASC) AS rk
+                FROM sym
+              ) WHERE rk <= 3
+            ),
             e AS (
-              SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
-              FROM sp a JOIN sp b USING (l_partkey)
-              WHERE a.l_suppkey < b.l_suppkey
+              SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+              FROM topk
             )
             SELECT CAST(count(*) AS BIGINT) AS n_triangles
             FROM e e1

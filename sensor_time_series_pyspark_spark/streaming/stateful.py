@@ -305,15 +305,18 @@ def debounce_batch(
     out_schema = _debounce_out_schema(df, key_col, ts_col)
 
     def scan(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts_col)
-        keep = []
-        last_us = None
-        for _, row in pdf.iterrows():
-            us = int(pd.Timestamp(row[ts_col]).value) // 1000
-            if last_us is None or us - last_us >= cooldown_seconds * 1_000_000:
-                keep.append((row[key_col], row[ts_col]))
-                last_us = us
-        return pd.DataFrame(keep, columns=[key_col, ts_col])
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        # numpy int64 micros + a plain index loop: the fold is
+        # inherently sequential, but array indexing beats iterrows ~50x
+        us = pdf[ts_col].values.astype("datetime64[us]").astype("int64")
+        gap = cooldown_seconds * 1_000_000
+        keep_mask = [False] * len(us)
+        last = None
+        for i in range(len(us)):
+            if last is None or us[i] - last >= gap:
+                keep_mask[i] = True
+                last = us[i]
+        return pdf.loc[keep_mask, [key_col, ts_col]]
 
     return (
         df.select(key_col, ts_col)
