@@ -1705,6 +1705,15 @@ def _q_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     # tiebreak). Degree <= 6 after symmetrization → wedge count is
     # O(users), at every scale factor. Triangles then measure mutual-
     # affinity cliques, the standard social-graph cohesion signal.
+    return triangle_count(_partner_graph(spark, sf), orient="degree")
+
+
+def _partner_graph(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 strongest-partner user graph (shared by q100/q139):
+    co-activity counts over (event_type, 30-min bucket) cells, each
+    user keeping its 3 highest-count partners (deterministic id
+    tiebreak). Degree <= 6 after symmetrization → graph algorithms on
+    it stay O(users) at any scale factor."""
     ev = read_table(spark, sf, "events")
     cell = ev.select(
         "event_type",
@@ -1730,12 +1739,11 @@ def _q_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("u").orderBy(F.col("n").desc(), F.col("v").asc())
-    edges = (
+    return (
         sym.withColumn("__rk", F.row_number().over(w))
         .where(F.col("__rk") <= 3)
         .select(F.col("u").alias("src"), F.col("v").alias("dst"))
     )
-    return triangle_count(edges, orient="degree")
 
 
 def _q_trend_slope(spark: SparkSession, sf: str) -> DataFrame:
@@ -2400,22 +2408,12 @@ def _q_funnel_latency(spark: SparkSession, sf: str) -> DataFrame:
 def _q_communities(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic label-propagation communities (operators/graph.py:
     label_propagation — most-frequent neighbor label, smallest on ties)
-    over the co-supplier graph. Rows-only: iterative fixed point has no
-    SQL twin; determinism + clique-separation pinned by tests."""
+    over the strongest-partner user graph (degree-bounded, see
+    _partner_graph). Rows-only: iterative fixed point has no SQL twin;
+    determinism + clique-separation pinned by tests."""
     from sensor_time_series_pyspark_spark.operators import label_propagation
 
-    li = read_table(spark, sf, "lineitem")
-    sp = li.select("l_partkey", "l_suppkey").distinct()
-    a, b = sp.alias("a"), sp.alias("b")
-    edges = (
-        a.join(b, F.col("a.l_partkey") == F.col("b.l_partkey"))
-        .where(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
-        .select(
-            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
-        )
-        .distinct()
-    )
-    labels = label_propagation(edges, n_iter=4)
+    labels = label_propagation(_partner_graph(spark, sf), n_iter=4)
     return labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
 
 
