@@ -2531,6 +2531,29 @@ def _q_topk_sketch(spark: SparkSession, sf: str) -> DataFrame:
     return topk_rollup(daily, ["c_nationkey"], k=3)
 
 
+def _q_table_checksum(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-insensitive table fingerprint (operators/validate.py:
+    table_checksum): one aggregate over portable md5 row hashes —
+    the regression gate for pipeline rewrites. Columns are pre-cast to
+    engine-stable string forms (ints/strings/epoch seconds/scaled
+    decimals) per the operator contract."""
+    from sensor_time_series_pyspark_spark.operators import table_checksum
+
+    li = read_table(spark, sf, "lineitem")
+    stable = li.select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_shipdate").cast("long").alias("ship_epoch"),
+        F.col("l_quantity").cast("decimal(12,2)").alias("qty"),
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
+    )
+    return table_checksum(stable)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -2678,6 +2701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q142_seasonal_profile": _q_seasonal_profile,
         "q143_swinging_door": _q_swinging_door,
         "q144_topk_sketch": _q_topk_sketch,
+        "q145_table_checksum": _q_table_checksum,
     }
 
 
@@ -4886,6 +4910,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS n
             FROM p WHERE s3 IS NOT NULL GROUP BY s1, s2, s3
+        """,
+        "q145_table_checksum": """
+            WITH stable AS (
+              SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+                l_returnflag, l_linestatus,
+                epoch_us(l_shipdate) // 1000000 AS ship_epoch,
+                CAST(l_quantity AS DECIMAL(12,2)) AS qty,
+                CAST(l_extendedprice AS DECIMAL(12,2)) AS price
+              FROM lineitem
+            ),
+            h AS (
+              SELECT CAST(('0x' || substr(md5(concat_ws(chr(31),
+                  COALESCE(CAST(l_orderkey AS VARCHAR), chr(0) || 'null'),
+                  COALESCE(CAST(l_partkey AS VARCHAR), chr(0) || 'null'),
+                  COALESCE(CAST(l_suppkey AS VARCHAR), chr(0) || 'null'),
+                  COALESCE(CAST(l_linenumber AS VARCHAR), chr(0) || 'null'),
+                  COALESCE(l_returnflag, chr(0) || 'null'),
+                  COALESCE(l_linestatus, chr(0) || 'null'),
+                  COALESCE(CAST(ship_epoch AS VARCHAR), chr(0) || 'null'),
+                  COALESCE(CAST(qty AS VARCHAR), chr(0) || 'null'),
+                  COALESCE(CAST(price AS VARCHAR), chr(0) || 'null')
+                )), 1, 12)) AS BIGINT) % 1000000007 AS rh
+              FROM stable
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(rh) % 1000000007 AS BIGINT) AS checksum
+            FROM h
         """,
         "q125_ab_test": """
             WITH per_user AS (

@@ -65,3 +65,40 @@ def quarantine(
     good = tagged.where(F.size(failed_col) == 0).drop(failed_col)
     bad = tagged.where(F.size(failed_col) > 0)
     return good, bad
+
+
+def table_checksum(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Order-insensitive content checksum of a table — the regression
+    fingerprint for pipeline rewrites: same rows (in any order, any
+    partitioning) ⇒ same checksum, one different cell ⇒ different
+    checksum (w.h.p.).
+
+    Each row hashes to a 48-bit integer (md5 — engine-portable, unlike
+    xxhash64), reduced mod 1e9+7, and the checksum is the SUM of the
+    reduced hashes (order-independent, map-side combinable — the whole
+    thing is one aggregate) carried as decimal(38) so no row count can
+    overflow it, then folded mod 1e9+7.
+
+    Caveat the caller owns: pass columns whose STRING form is engine-
+    stable — integers, strings, decimals. Cast doubles to scaled
+    decimals and timestamps to epoch integers first (double/timestamp
+    formatting differs across engines).
+
+    Output: one row — n_rows, checksum (long).
+    """
+    names = list(cols) if cols else list(df.columns)
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in names
+    ]
+    row_h = (
+        F.conv(F.substring(F.md5(F.concat_ws("\x1f", *parts)), 1, 12), 16, 10)
+        .cast("long") % F.lit(1000000007)
+    )
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(row_h.cast("decimal(38,0)")).alias("__s"),
+    )
+    return agg.select(
+        "n_rows",
+        (F.col("__s") % F.lit(1000000007)).cast("long").alias("checksum"),
+    )

@@ -600,3 +600,30 @@ def test_label_propagation_deterministic(spark):
     a = sorted(map(tuple, label_propagation(df, n_iter=4).collect()))
     b = sorted(map(tuple, label_propagation(df.repartition(5), n_iter=4).collect()))
     assert a == b
+
+
+# ------------------------------------------------------------ table checksum
+def test_table_checksum_order_insensitive_and_sensitive_to_change(spark):
+    from sensor_time_series_pyspark_spark.operators import table_checksum
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, s string, v long"
+    )
+    a = table_checksum(df).collect()[0]
+    b = table_checksum(df.repartition(7).orderBy(F.col("k").desc())).collect()[0]
+    assert (a["n_rows"], a["checksum"]) == (b["n_rows"], b["checksum"])
+    changed = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 21), (3, "c", 30)], "k long, s string, v long"
+    )
+    c = table_checksum(changed).collect()[0]
+    assert c["checksum"] != a["checksum"]
+
+
+def test_table_checksum_null_vs_literal_distinct(spark):
+    from sensor_time_series_pyspark_spark.operators import table_checksum
+
+    with_null = spark.createDataFrame([(1, None)], "k long, s string")
+    with_lit = spark.createDataFrame([(1, "null")], "k long, s string")
+    a = table_checksum(with_null).collect()[0]["checksum"]
+    b = table_checksum(with_lit).collect()[0]["checksum"]
+    assert a != b  # the \\x00 sentinel keeps NULL distinct from 'null'
