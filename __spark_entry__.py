@@ -2554,6 +2554,115 @@ def _q_table_checksum(spark: SparkSession, sf: str) -> DataFrame:
     return table_checksum(stable)
 
 
+def _q_frequent_triples(spark: SparkSession, sf: str) -> DataFrame:
+    """Apriori level-3: frequent item TRIPLES within orders, built on
+    the frequent-pair lattice (q127's machinery) — candidate triples
+    only form where both prefix pairs are frequent (the Apriori prune),
+    then one membership join verifies the third co-occurrence. Never
+    enumerates C(width,3) per basket blindly at scale."""
+    li = read_table(spark, sf, "lineitem")
+    bi = li.select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    ).distinct()
+    pairs = (
+        bi.alias("a")
+        .join(bi.alias("b"), F.col("a.basket") == F.col("b.basket"))
+        .where(F.col("a.item") < F.col("b.item"))
+        .groupBy(
+            F.col("a.basket").alias("basket"),
+            F.col("a.item").alias("i1"),
+            F.col("b.item").alias("i2"),
+        )
+        .agg(F.lit(1).alias("__one"))
+    )
+    # support-2 pairs form the candidate lattice
+    freq = (
+        pairs.groupBy("i1", "i2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select("i1", "i2")
+    )
+    cand = pairs.join(freq, ["i1", "i2"]).select("basket", "i1", "i2")
+    triples = (
+        cand.alias("p")
+        .join(
+            bi.alias("c"),
+            (F.col("p.basket") == F.col("c.basket"))
+            & (F.col("c.item") > F.col("p.i2")),
+        )
+        .groupBy(
+            F.col("p.i1").alias("i1"),
+            F.col("p.i2").alias("i2"),
+            F.col("c.item").alias("i3"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+        .where(F.col("n_baskets") >= 2)
+    )
+    return triples
+
+
+def _q_sequential_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequential purchase patterns: customers buying part A in one
+    order and part B in a strictly LATER order — the market-sequence
+    mining step behind next-purchase recommendation. Customer-keyed
+    self-join on the (customer, part, first-date) reduction, never on
+    raw lineitems."""
+    li = read_table(spark, sf, "lineitem")
+    o = read_table(spark, sf, "orders")
+    cp = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
+        )
+        .agg(F.min("o_orderdate").alias("first_dt"))
+    )
+    a, b = cp.alias("a"), cp.alias("b")
+    seq = (
+        a.join(b, F.col("a.cust") == F.col("b.cust"))
+        .where(F.col("a.first_dt") < F.col("b.first_dt"))
+        .groupBy(
+            F.col("a.part").alias("part_first"),
+            F.col("b.part").alias("part_then"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .where(F.col("n_customers") >= 3)
+    )
+    return seq
+
+
+def _q_cohort_ltv(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort lifetime-value curve: cumulative revenue per signup-month
+    cohort by month age — exact decimal sums, with the running total a
+    window over the tiny cohort×age frame."""
+    o = read_table(spark, sf, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
+    )
+    j = o.join(firsts, "o_custkey").select(
+        "cohort_month",
+        (
+            (F.year("o_orderdate") - F.year("cohort_month")) * 12
+            + (F.month("o_orderdate") - F.month("cohort_month"))
+        ).alias("age_months"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("rev"),
+    )
+    per_age = j.groupBy("cohort_month", "age_months").agg(
+        F.sum("rev").alias("__rev"), F.count(F.lit(1)).alias("n_orders")
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return per_age.select(
+        "cohort_month",
+        "age_months",
+        "n_orders",
+        F.col("__rev").cast("double").alias("revenue"),
+        F.sum("__rev").over(w).cast("double").alias("cum_revenue"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -2702,6 +2811,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q143_swinging_door": _q_swinging_door,
         "q144_topk_sketch": _q_topk_sketch,
         "q145_table_checksum": _q_table_checksum,
+        "q146_frequent_triples": _q_frequent_triples,
+        "q147_sequential_pairs": _q_sequential_pairs,
+        "q148_cohort_ltv": _q_cohort_ltv,
     }
 
 
@@ -4937,6 +5049,71 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(count(*) AS BIGINT) AS n_rows,
               CAST(sum(rh) % 1000000007 AS BIGINT) AS checksum
             FROM h
+        """,
+        "q146_frequent_triples": """
+            WITH bi AS (
+              SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+              FROM lineitem
+            ),
+            pairs AS (
+              SELECT a.basket, a.item AS i1, b.item AS i2
+              FROM bi a JOIN bi b ON a.basket = b.basket
+              WHERE a.item < b.item
+            ),
+            freq AS (
+              SELECT i1, i2 FROM pairs GROUP BY i1, i2 HAVING count(*) >= 2
+            ),
+            cand AS (
+              SELECT p.basket, p.i1, p.i2 FROM pairs p JOIN freq USING (i1, i2)
+            )
+            SELECT p.i1, p.i2, c.item AS i3,
+              CAST(count(*) AS BIGINT) AS n_baskets
+            FROM cand p JOIN bi c
+              ON p.basket = c.basket AND c.item > p.i2
+            GROUP BY p.i1, p.i2, c.item
+            HAVING count(*) >= 2
+        """,
+        "q147_sequential_pairs": """
+            WITH cp AS (
+              SELECT o_custkey AS cust, l_partkey AS part,
+                min(o_orderdate) AS first_dt
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY o_custkey, l_partkey
+            )
+            SELECT a.part AS part_first, b.part AS part_then,
+              CAST(count(*) AS BIGINT) AS n_customers
+            FROM cp a JOIN cp b
+              ON a.cust = b.cust AND a.first_dt < b.first_dt
+            GROUP BY a.part, b.part
+            HAVING count(*) >= 3
+        """,
+        "q148_cohort_ltv": """
+            WITH firsts AS (
+              SELECT o_custkey,
+                date_trunc('month', min(o_orderdate)) AS cohort_month
+              FROM orders GROUP BY o_custkey
+            ),
+            j AS (
+              SELECT f.cohort_month,
+                (year(o.o_orderdate) - year(f.cohort_month)) * 12
+                  + (month(o.o_orderdate) - month(f.cohort_month))
+                  AS age_months,
+                CAST(o.o_totalprice AS DECIMAL(18,2)) AS rev
+              FROM orders o JOIN firsts f USING (o_custkey)
+            ),
+            pa AS (
+              SELECT cohort_month, age_months, sum(rev) AS r,
+                CAST(count(*) AS BIGINT) AS n_orders
+              FROM j GROUP BY cohort_month, age_months
+            )
+            SELECT cohort_month, CAST(age_months AS INT) AS age_months,
+              n_orders,
+              CAST(r AS DOUBLE) AS revenue,
+              CAST(sum(r) OVER (
+                PARTITION BY cohort_month ORDER BY age_months
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                AS cum_revenue
+            FROM pa
         """,
         "q125_ab_test": """
             WITH per_user AS (
