@@ -2663,6 +2663,66 @@ def _q_cohort_ltv(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_life_table(spark: SparkSession, sf: str) -> DataFrame:
+    """Survival life table over user lifespans (days from first to
+    last activity): per age t, users still at risk and users ending
+    exactly at t — the INTEGER inputs of the Kaplan-Meier estimator
+    (the S(t) product itself is a client-side fold over this tiny
+    frame; float cumulative products don't hash across engines).
+    At-risk counts come from a reverse running sum over the aggregated
+    lifespan frame — one scan of the fact table."""
+    ev = read_table(spark, sf, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))).alias(
+            "lifespan"
+        )
+    )
+    ends = spans.groupBy("lifespan").agg(F.count(F.lit(1)).alias("d"))
+    w = (
+        Window.orderBy(F.col("lifespan").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ends.select(
+        F.col("lifespan").alias("age_days"),
+        "d",
+        F.sum("d").over(w).alias("n_at_risk"),
+    )
+
+
+def _q_revenue_gini(spark: SparkSession, sf: str) -> DataFrame:
+    """Gini coefficient of the customer revenue distribution (Lorenz
+    form): G = 2·Σ(i·x_(i)) / (n·Σx) − (n+1)/n over revenue-sorted
+    customers. Ranks are integers (deterministic custkey tiebreak),
+    Σ(i·x) and Σx exact decimals, and the epilogue is two divisions +
+    one subtraction in fixed order — engine-portable. The rank window
+    runs over the aggregated customer frame, not the fact table."""
+    o = read_table(spark, sf, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    w = Window.orderBy(F.col("rev").asc(), F.col("o_custkey").asc())
+    ranked = per_cust.select(
+        F.row_number().over(w).cast("decimal(12,0)").alias("i"),
+        F.col("rev"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("i") * F.col("rev")).cast("decimal(38,2)")).alias("__iwx"),
+        F.sum(F.col("rev").cast("decimal(38,2)")).alias("__sx"),
+    )
+    nd = F.col("n").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("__iwx").cast("double")
+        / (nd * F.col("__sx").cast("double"))
+        - (nd + F.lit(1.0)) / nd
+    )
+    return agg.select(
+        "n",
+        F.col("__sx").cast("double").alias("total_revenue"),
+        gini.alias("gini"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -2814,6 +2874,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q146_frequent_triples": _q_frequent_triples,
         "q147_sequential_pairs": _q_sequential_pairs,
         "q148_cohort_ltv": _q_cohort_ltv,
+        "q149_life_table": _q_life_table,
+        "q150_revenue_gini": _q_revenue_gini,
     }
 
 
@@ -5114,6 +5176,50 @@ def oracle_sql() -> dict[str, str]:
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
                 AS cum_revenue
             FROM pa
+        """,
+        "q149_life_table": """
+            WITH spans AS (
+              SELECT user_id,
+                date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE)))
+                  AS lifespan
+              FROM events GROUP BY user_id
+            ),
+            ends AS (
+              SELECT lifespan, CAST(count(*) AS BIGINT) AS d
+              FROM spans GROUP BY lifespan
+            )
+            SELECT CAST(lifespan AS INT) AS age_days, d,
+              CAST(sum(d) OVER (
+                ORDER BY lifespan DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS n_at_risk
+            FROM ends
+        """,
+        "q150_revenue_gini": """
+            WITH per_cust AS (
+              SELECT o_custkey,
+                sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+              FROM orders GROUP BY o_custkey
+            ),
+            ranked AS (
+              SELECT CAST(row_number() OVER (
+                  ORDER BY rev ASC, o_custkey ASC) AS DECIMAL(12,0)) AS i,
+                rev
+              FROM per_cust
+            ),
+            agg AS (
+              SELECT count(*) AS n,
+                sum(CAST(i * CAST(rev AS DECIMAL(24,2)) AS DECIMAL(38,2)))
+                  AS iwx,
+                sum(CAST(rev AS DECIMAL(38,2))) AS sx
+              FROM ranked
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+              CAST(sx AS DOUBLE) AS total_revenue,
+              2.0 * CAST(iwx AS DOUBLE)
+                / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+              - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini
+            FROM agg
         """,
         "q125_ab_test": """
             WITH per_user AS (
