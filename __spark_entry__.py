@@ -4968,12 +4968,14 @@ def oracle_sql() -> dict[str, str]:
             FROM f
         """,
         "q119_benford": """
-            WITH c AS (
-              SELECT CAST(substr(CAST(
-                       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
-                            AS DECIMAL(19,0)) AS VARCHAR), 1, 1) AS INT) AS digit,
-                CAST(count(*) AS BIGINT) AS n
+            WITH d AS (
+              SELECT CAST(regexp_extract(CAST(o_totalprice AS VARCHAR),
+                                         '[1-9]') AS INT) AS digit
               FROM orders WHERE o_totalprice > 0
+            ),
+            c AS (
+              SELECT digit, CAST(count(*) AS BIGINT) AS n
+              FROM d WHERE digit BETWEEN 1 AND 9
               GROUP BY 1
             )
             SELECT digit, n,

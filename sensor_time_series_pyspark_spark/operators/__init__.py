@@ -177,3 +177,4 @@ from .analytics import market_basket_pairs
 from .sketches import kll_partials, kll_rollup, theta_overlap, theta_partials
 from .graph import label_propagation
 from .validate import table_checksum
+from .graph import bfs_hops

@@ -203,10 +203,76 @@ def label_propagation(
             .agg(F.count(F.lit(1)).alias("n"))
         )
         # most frequent neighbor label, smallest label on ties:
-        # max_by over (n, -label) — one aggregate, no window sort
+        # min_by over (-n, label) — one aggregate, no window sort.
+        # Negating n (always a bigint count) instead of the label keeps
+        # the tiebreak type-agnostic: string / date / any orderable
+        # node-id type works, where -label would be an ANSI cast error.
         labels = votes.groupBy("node").agg(
-            F.expr("max_by(label, struct(n, -label))").alias("label")
+            F.expr("min_by(label, struct(-n, label))").alias("label")
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             labels = labels.localCheckpoint(eager=True)
     return labels
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+    max_hops: int = 6,
+    directed: bool = False,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Breadth-first hop distance from a seed set — multi-source BFS,
+    the "how far is every node from the trusted core" primitive
+    (influence radius, fraud-ring proximity, citation depth).
+
+    Level-synchronous frontier expansion: round k joins the CURRENT
+    frontier (nodes first reached at distance k) against the edge list
+    and anti-joins the visited set, so each edge is traversed at most
+    once per endpoint and per-round work shrinks as the frontier
+    saturates — the standard Pregel BFS schedule expressed as DataFrame
+    joins. One equi-join + one anti-join + one distinct per round, all
+    keyed on node ids; lineage cut by localCheckpoint like pagerank.
+    Unreached nodes are absent from the output (callers outer-join and
+    fill if they need an explicit infinity).
+
+    At scale: the visited set and frontier are both keyed on node id,
+    so successive rounds reuse the shuffle partitioning; the frontier
+    is the only frame that grows transiently, and it is bounded by the
+    per-level reachable set, never the full edge list.
+
+    Output: node, hops (0 for seeds).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+    )
+    if not directed:
+        e = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    e = e.distinct()
+
+    visited = seeds.select(F.col(seed_col).alias("node")).distinct().withColumn(
+        "hops", F.lit(0)
+    )
+    frontier = visited.select("node")
+    for k in range(1, max_hops + 1):
+        nxt = (
+            e.join(frontier, e["a"] == frontier["node"])
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(k))
+        )
+        nxt = nxt.localCheckpoint(eager=True) if (
+            checkpoint_every and k % checkpoint_every == 0
+        ) else nxt
+        # eagerly check emptiness only via the frontier reuse below —
+        # the loop is bounded by max_hops, no driver-side count needed
+        visited = visited.unionByName(nxt)
+        frontier = nxt.select("node")
+        if checkpoint_every and k % checkpoint_every == 0:
+            visited = visited.localCheckpoint(eager=True)
+    return visited

@@ -526,20 +526,27 @@ def benford_digits(
     sensor magnitudes.
 
     The leading digit is extracted WITHOUT logarithms (log10's libm
-    rounding varies by engine): scale to integer units via an exact
-    decimal cast, stringify the integer (exact in every engine), take
-    the first character. Benford expectations are the nine literal
-    doubles (log10(1+1/d) precomputed), so no transcendental function
-    runs in either engine. Non-positive values are excluded.
+    rounding varies by engine) and WITHOUT rounding: the first nonzero
+    character of the value's string form IS the leading significant
+    digit in every numeric notation ("123.45", "0.0072", "7.2E-4",
+    "1e+20" all agree), so the extraction is invariant to how the
+    engine prints the number and never shifts across decade boundaries
+    the way a rounding decimal cast would (9.997 stays digit 9, not 1).
+    Benford expectations are the nine literal doubles (log10(1+1/d)
+    precomputed), so no transcendental function runs in either engine.
+    Non-positive values are excluded; a defensive BETWEEN 1 AND 9
+    filter keeps element_at's 1-based index legal no matter what.
+
+    `decimals` is retained for API compatibility but unused — the
+    regexp extraction needs no integer scaling.
 
     Output: digit, n, share, expected.
     """
-    scaled = (
-        F.col(value_col).cast(f"decimal(18,{decimals})") * (10 ** decimals)
-    ).cast("decimal(19,0)")
     base = df.where(F.col(value_col) > 0).select(
-        F.substring(scaled.cast("string"), 1, 1).cast("int").alias("digit")
-    )
+        F.regexp_extract(F.col(value_col).cast("string"), "[1-9]", 0)
+        .cast("int")
+        .alias("digit")
+    ).where(F.col("digit").between(1, 9))
     counts = base.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
     wall = Window.partitionBy()
     exp = F.element_at(

@@ -179,7 +179,9 @@ def collocation_lift(
         .agg(F.count(F.lit(1)).alias("n_pair"))
         .where(F.col("n_pair") >= min_pair_count)
     )
-    n_tokens = toks.agg(F.sum(F.size("__t")).alias("n")).collect()[0]["n"]
+    # empty corpus: sum() is NULL — coalesce to 0 (the lift frame is
+    # empty anyway, so the multiplier never divides anything real)
+    n_tokens = toks.agg(F.sum(F.size("__t")).alias("n")).collect()[0]["n"] or 0
     out = (
         bi.join(uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1")), "w1")
         .join(uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2")), "w2")

@@ -143,11 +143,16 @@ def weighted_hash_sample(
     Shape: map-side priority + a rank-k cutoff. The global top-k is a
     TakeOrderedAndProject (per-partition heap of size k, driver merge of
     tasks×k rows) — no full sort, no single-partition shuffle of data.
-    Ties are impossible (u is injective on distinct keys up to md5).
+
+    Determinism requires ``key_col`` to uniquely identify rows: the
+    priority derives from md5(salt||key), so rows sharing a key value
+    get identical priorities AND an identical (priority, key) sort key,
+    making the choice among such duplicates order-dependent. Distinct
+    keys never tie (u is injective on distinct keys up to md5).
 
     Weights must be > 0 (rows with NULL/non-positive weight are
-    excluded, standard convention). Returns the selected rows with
-    their priority in ``__priority`` dropped.
+    excluded, standard convention). Returns the selected rows; the
+    internal ``__pri`` priority column is dropped.
     """
     # u in (0, 1]: (h + 1) / 2^32 over the first 8 md5 hex chars
     h = F.conv(

@@ -58,8 +58,10 @@ def ingest_batch(
     incoming = new_docs.count()
 
     batch = new_docs
-    # 0. replay guard: drop ids the store already accepted OR rejected
-    #    earlier (any previously-seen id is a replay, not new content)
+    # 0. replay guard: drop ids the store already ACCEPTED (docs/ holds
+    #    admitted ids only — rejected ids are re-evaluated on replay;
+    #    they collide with the stored bands again, so the admission
+    #    outcome converges, but near_dups counters recount them)
     if _exists(spark, docs_dir):
         seen = spark.read.parquet(docs_dir).select(F.col(id_col).alias("__sid"))
         batch = batch.join(

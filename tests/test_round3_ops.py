@@ -171,6 +171,13 @@ def test_collocation_lift_scores(spark):
     assert abs(ny["lift"] - 4.5) < 1e-12
 
 
+def test_collocation_lift_empty_corpus(spark):
+    # regression: driver-side int(None) crash — the token-count collect
+    # returns NULL on an empty frame; must yield an empty result instead
+    df = spark.createDataFrame([], "doc_id long, text string")
+    assert collocation_lift(df, "doc_id", "text").collect() == []
+
+
 # ------------------------------------------------------------ gopher flags
 def test_gopher_flags_pass_and_fail(spark):
     good = " ".join(["the quick brown fox jumps over a lazy dog ok"] * 6)  # 60 words
@@ -357,10 +364,24 @@ def test_benford_digit_extraction(spark):
         [(123.45,), (0.072,), (9000.0,), (-5.0,), (910.0,)], "v double"
     )
     out = {r["digit"]: r for r in benford_digits(df, "v", decimals=3).collect()}
-    # 123.45 → 1; 0.072 → 72 → 7; 9000 and 910 → 9; -5 excluded
+    # 123.45 → 1; 0.072 → 7; 9000 and 910 → 9; -5 excluded
     assert out[1]["n"] == 1 and out[7]["n"] == 1 and out[9]["n"] == 2
     assert abs(out[9]["share"] - 0.5) < 1e-12
     assert abs(out[1]["expected"] - 0.3010299956639812) < 1e-15
+
+
+def test_benford_tiny_and_decade_boundary(spark):
+    # regression: values in (0, 0.5*10^-decimals) used to round to
+    # scaled 0 → digit 0 → element_at(arr, 0) runtime crash; and 9.997
+    # used to round to '1000' → digit 1 (decade shift). The regexp
+    # extraction keeps both exact.
+    from sensor_time_series_pyspark_spark.operators import benford_digits
+
+    df = spark.createDataFrame(
+        [(0.0001,), (0.004,), (9.997,), (2.5e-7,)], "v double"
+    )
+    out = {r["digit"]: r["n"] for r in benford_digits(df, "v", decimals=2).collect()}
+    assert out == {1: 1, 4: 1, 9: 1, 2: 1}
 
 
 # --------------------------------------------------------------------- SAX
@@ -600,6 +621,23 @@ def test_label_propagation_deterministic(spark):
     a = sorted(map(tuple, label_propagation(df, n_iter=4).collect()))
     b = sorted(map(tuple, label_propagation(df.repartition(5), n_iter=4).collect()))
     assert a == b
+
+
+def test_label_propagation_string_node_ids(spark):
+    from sensor_time_series_pyspark_spark.operators import label_propagation
+
+    import itertools
+
+    # regression: the old tiebreak negated the LABEL column, an ANSI
+    # string→double cast error for non-numeric ids; min_by(struct(-n,
+    # label)) must work for any orderable id type
+    c1 = list(itertools.combinations(["a", "b", "c", "d"], 2))
+    c2 = list(itertools.combinations(["x", "y", "z", "w"], 2))
+    df = spark.createDataFrame(c1 + c2 + [("d", "w")], "src string, dst string")
+    out = {r["node"]: r["label"] for r in label_propagation(df, n_iter=6).collect()}
+    l1 = {out[n] for n in ["a", "b", "c"]}
+    l2 = {out[n] for n in ["x", "y", "z"]}
+    assert len(l1) == 1 and len(l2) == 1 and l1 != l2
 
 
 # ------------------------------------------------------------ table checksum
