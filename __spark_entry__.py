@@ -2723,6 +2723,227 @@ def _q_revenue_gini(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_bfs_hops(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-source BFS hop distance (operators/graph.py:bfs_hops) over
+    the supplier↔part supply graph, seeded at nation-0 suppliers:
+    level-synchronous frontier expansion, one equi-join + one anti-join
+    per round, frontier shrinks as levels saturate. Oracle: bounded
+    recursive CTE taking min(hops)."""
+    from sensor_time_series_pyspark_spark.operators import bfs_hops
+
+    li = read_table(spark, sf, "lineitem")
+    su = read_table(spark, sf, "supplier")
+    edges = li.select(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    seeds = su.where(F.col("s_suppkey") % 10 == 1).select(
+        (F.col("s_suppkey") * 2).alias("node")
+    )
+    return bfs_hops(edges, seeds, max_hops=3)
+
+
+def _q_filter_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus filter funnel — the survivor count after each pre-training
+    filter stage (total → exact-dedup rep → English → Gopher pass), as
+    ONE conditional aggregate over one scan: the standard 'how much
+    data survives my pipeline' accounting, all integer counts."""
+    from sensor_time_series_pyspark_spark.functions.text import gopher_flags, lang_id
+
+    docs = read_table(spark, sf, "documents")
+    w = Window.partitionBy("text")
+    flags = docs.select(
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("r"),
+        (lang_id("text") == F.lit("en")).alias("e"),
+        gopher_flags("text")["pass_all"].alias("g"),
+    )
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("r").cast("bigint")).alias("n_unique"),
+        F.sum((F.col("r") & F.col("e")).cast("bigint")).alias("n_english"),
+        F.sum((F.col("r") & F.col("e") & F.col("g")).cast("bigint")).alias(
+            "n_quality"
+        ),
+    )
+
+
+def _q_cluster_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical-document selection per near-dup cluster — dedup keeps
+    the BEST member, not the first: longest text wins, lowest doc_id on
+    ties (min_by over struct(-n_chars, doc_id), the type-agnostic
+    tiebreak). Clusters from q53's jaccard→connected-components path;
+    the vote is one aggregate over the tiny cluster frame."""
+    pairs = jaccard_pairs(
+        _rep_docs(spark, sf), "doc_id", "text", threshold=0.2, shingle_k=3,
+        persist_index=True,
+    )
+    clusters = dedup_clusters(pairs)
+    docs = read_table(spark, sf, "documents").select("doc_id", "n_chars")
+    m = clusters.join(docs, "doc_id")
+    return m.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("n_chars").alias("total_chars"),
+        F.expr("min_by(doc_id, struct(-n_chars, doc_id))").alias(
+            "canonical_doc_id"
+        ),
+    )
+
+
+def _q_bpe_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level adjacent character-pair frequencies — the first
+    iteration of BPE tokenizer training (count all symbol pairs, merge
+    the most frequent): lower-cased word-internal char bigrams, counts
+    ≥ 50. Pure built-in explode/transform — the pair generation is
+    map-side; ONE shuffle on the pair key with partial aggregation."""
+    docs = read_table(spark, sf, "documents")
+    words = docs.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("w")
+    ).where(F.length("w") >= 2)
+    prs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        prs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 50)
+    )
+
+
+def _q_lm_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Train/eval language-model coverage: word trigrams of EVEN doc_ids
+    form the LM vocabulary; each ODD doc is scored by the fraction of
+    its trigrams the LM has seen — the cheap no-log perplexity proxy
+    used for corpus-vs-model fit. Distinct gram set broadcast-joins the
+    eval grams; integer counts, one division."""
+    docs = read_table(spark, sf, "documents")
+    tri = F.expr(
+        "transform(sequence(0, size(__t) - 3), "
+        "i -> concat_ws(' ', __t[i], __t[i+1], __t[i+2]))"
+    )
+    grams = (
+        docs.withColumn("__t", tokens(F.lower(F.col("text"))))
+        .where(F.size("__t") >= 3)
+        .select("doc_id", F.explode(tri).alias("gram"))
+    )
+    train = (
+        grams.where(F.col("doc_id") % 2 == 0).select("gram").distinct()
+        .withColumn("__seen", F.lit(1))
+    )
+    ev = grams.where(F.col("doc_id") % 2 == 1)
+    joined = ev.join(train, "gram", "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce("__seen", F.lit(0))).alias("n_seen"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_seen",
+            (F.col("n_seen").cast("double") / F.col("n_grams").cast("double")).alias(
+                "coverage"
+            ),
+        )
+    )
+
+
+def _q_bfill(spark: SparkSession, sf: str) -> DataFrame:
+    """Backward-fill per series (operators/windows.py:bfill — the ffill
+    mirror over an unbounded FOLLOWING frame; fills leading gaps)."""
+    from sensor_time_series_pyspark_spark.operators import bfill
+
+    out = bfill(
+        _nulled_events(spark, sf), ["value"], order_col="ts", partition_by=["user_id"]
+    )
+    return out.select("event_id", "user_id", "ts", "value")
+
+
+def _q_centroid_sim(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding centroids
+    (cluster-confusability screen). Centroid accumulation is ORDER-FREE
+    exact decimal sums keyed on (label, dim) — cosine is scale-
+    invariant, so the count division is skipped entirely; the dot
+    products then run double-sequentially over the dim-sorted arrays
+    (identical fold order in both engines, q38's epilogue). The 10×64
+    centroid frame is broadcast-sized; the fact table is scanned once."""
+    e = read_table(spark, sf, "embeddings")
+    comp = e.select("label", F.posexplode("embedding").alias("dim", "v"))
+    cent = comp.groupBy("label", "dim").agg(
+        F.sum(F.col("v").cast("double").cast("decimal(20,8)")).alias("s")
+    )
+    vecs = (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "s"))).alias("a"))
+        .select(
+            "label",
+            F.expr("transform(a, x -> cast(x.s as double))").alias("vec"),
+        )
+    )
+    a, b = vecs.alias("a"), vecs.alias("b")
+    dot = lambda x, y: F.expr(  # noqa: E731
+        f"aggregate(zip_with({x}, {y}, (p, q) -> p * q), 0D, (acc, z) -> acc + z)"
+    )
+    return (
+        a.join(b, F.col("a.label") < F.col("b.label"))
+        .select(
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+            (
+                dot("a.vec", "b.vec")
+                / (F.sqrt(dot("a.vec", "a.vec")) * F.sqrt(dot("b.vec", "b.vec")))
+            ).alias("cosine"),
+        )
+    )
+
+
+def _q_seasonal_mase(spark: SparkSession, sf: str) -> DataFrame:
+    """Seasonal-naive forecast skill per order priority: MASE = MAE of
+    the lag-7 (weekly) naive forecast over MAE of the lag-1 naive, on
+    daily order counts — the standard 'is there weekly structure'
+    screen before fitting anything. Counts are integers, |diff| sums
+    exact; ONE division at the end."""
+    o = read_table(spark, sf, "orders")
+    daily = o.groupBy(
+        "o_orderpriority", F.col("o_orderdate").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    w = Window.partitionBy("o_orderpriority").orderBy("day")
+    d = daily.select(
+        "o_orderpriority",
+        (F.col("x") - F.lag("x", 1).over(w)).alias("d1"),
+        (F.col("x") - F.lag("x", 7).over(w)).alias("d7"),
+    )
+    agg = d.where(F.col("d7").isNotNull()).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        F.sum(F.abs("d1")).alias("__s1"),
+        F.sum(F.abs("d7")).alias("__s7"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "n_eval",
+        F.col("__s7").alias("abs_err_seasonal"),
+        F.col("__s1").alias("abs_err_naive"),
+        (F.col("__s7").cast("double") / F.col("__s1").cast("double")).alias("mase"),
+    )
+
+
+def _q_frame_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Video-style frame sampling through the Arrow decode seam
+    (operators/multimodal.py:frame_byte_stats): frames fan out INSIDE
+    mapInPandas (≤8 per blob, stride 16, len 12), per-frame integer
+    byte stats stand in for decoder output — the full row-multiplying
+    Python boundary is oracle-gated, like q37."""
+    from sensor_time_series_pyspark_spark.operators import frame_byte_stats
+
+    docs = read_table(spark, sf, "documents")
+    blobs = docs.select("doc_id", F.encode("text", "utf-8").alias("blob"))
+    return frame_byte_stats(
+        blobs, "blob", ["doc_id"], frame_len=12, stride=16, max_frames=8
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -2876,6 +3097,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q148_cohort_ltv": _q_cohort_ltv,
         "q149_life_table": _q_life_table,
         "q150_revenue_gini": _q_revenue_gini,
+        "q151_bfs_hops": _q_bfs_hops,
+        "q152_filter_funnel": _q_filter_funnel,
+        "q153_cluster_canonical": _q_cluster_canonical,
+        "q154_bpe_pairs": _q_bpe_pairs,
+        "q155_lm_coverage": _q_lm_coverage,
+        "q156_bfill": _q_bfill,
+        "q157_centroid_sim": _q_centroid_sim,
+        "q158_seasonal_mase": _q_seasonal_mase,
+        "q159_frame_stats": _q_frame_stats,
     }
 
 
@@ -5222,6 +5452,244 @@ def oracle_sql() -> dict[str, str]:
                 / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
               - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini
             FROM agg
+        """,
+        "q151_bfs_hops": """
+            WITH RECURSIVE e AS (
+              SELECT DISTINCT l_suppkey * 2 AS a, l_partkey * 2 + 1 AS b
+              FROM lineitem
+            ),
+            ed AS (
+              SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e
+            ),
+            seeds AS (
+              SELECT s_suppkey * 2 AS node FROM supplier WHERE s_suppkey % 10 = 1
+            ),
+            walk(node, hops) AS (
+              SELECT node, 0 AS hops FROM seeds
+              UNION
+              SELECT ed.b AS node, w.hops + 1 AS hops
+              FROM walk w JOIN ed ON ed.a = w.node
+              WHERE w.hops < 3
+            )
+            SELECT node, CAST(min(hops) AS INT) AS hops
+            FROM walk GROUP BY node
+        """,
+        "q152_filter_funnel": r"""
+            WITH base AS (
+              SELECT doc_id, text,
+                list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t,
+                (doc_id = min(doc_id) OVER (PARTITION BY text)) AS r
+              FROM documents
+            ),
+            m AS (
+              SELECT r,
+                list_transform(t, w -> lower(w)) AS tok,
+                CAST(len(t) AS INT) AS n_words,
+                CAST(COALESCE(list_sum(list_transform(t, w -> length(w))), 0) AS INT) AS n_chars,
+                CAST(len(list_filter(t, w -> regexp_matches(w, '[A-Za-z]'))) AS INT) AS alpha_words,
+                CAST(len(list_filter(t, w -> contains(w, '#')))
+                     + len(list_filter(t, w -> contains(w, '...'))) AS INT) AS n_symbols,
+                CAST(len(list_intersect(list_distinct(t), """
+        + _STOPWORD_LIST
+        + """)) AS INT) AS n_stop
+              FROM base
+            ),
+            f AS (
+              SELECT r,
+                list_aggregate([
+                  {'score': len(list_filter(tok, t -> list_contains(['the','and','of','is','to'], t))), 'lang': 'en'},
+                  {'score': len(list_filter(tok, t -> list_contains(['el','la','los','es','una'], t))), 'lang': 'es'},
+                  {'score': len(list_filter(tok, t -> list_contains(['der','die','und','ist','ein'], t))), 'lang': 'de'},
+                  {'score': len(list_filter(tok, t -> list_contains(['le','les','est','une','dans'], t))), 'lang': 'fr'}
+                ], 'max') AS best,
+                ((n_words >= 50 AND n_words <= 100000)
+                 AND (n_chars >= 3 * n_words AND n_chars <= 10 * n_words)
+                 AND (5 * alpha_words >= 4 * n_words)
+                 AND (10 * n_symbols <= n_words)
+                 AND (n_stop >= 2)) AS g
+              FROM m
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_total,
+              CAST(sum(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+              CAST(sum(CASE WHEN r AND best.score > 0 AND best.lang = 'en'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_english,
+              CAST(sum(CASE WHEN r AND best.score > 0 AND best.lang = 'en' AND g
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
+            FROM f
+        """,
+        "q153_cluster_canonical": r"""
+            WITH RECURSIVE reps AS (
+              SELECT doc_id, text, n_chars FROM documents
+              WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+            ),
+            tk AS (
+              SELECT doc_id AS id,
+                list_distinct(
+                  list_transform(
+                    generate_series(1, greatest(len(t) - 2, 0)),
+                    i -> array_to_string(t[i:i+2], ' ')
+                  )
+                ) AS tok
+              FROM (
+                SELECT doc_id,
+                  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+                FROM reps
+              )
+            ),
+            inv AS (SELECT id, len(tok) AS n_tok, unnest(tok) AS token FROM tk),
+            cand AS (
+              SELECT a.id AS id_a, b.id AS id_b, a.n_tok AS n_a, b.n_tok AS n_b,
+                     count(*) AS inter
+              FROM inv a JOIN inv b ON a.token = b.token AND a.id < b.id
+              GROUP BY 1, 2, 3, 4
+            ),
+            sim AS (
+              SELECT id_a, id_b FROM cand
+              WHERE inter / (n_a + n_b - inter) >= 0.2
+            ),
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM sim
+              UNION ALL
+              SELECT id_b, id_a FROM sim
+            ),
+            reach(u, lbl) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u
+            ),
+            clus AS (
+              SELECT u AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY u
+            ),
+            m AS (
+              SELECT c.cluster_id, c.doc_id, d.n_chars
+              FROM clus c JOIN reps d ON c.doc_id = d.doc_id
+            ),
+            agg AS (
+              SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                max(n_chars) AS ml
+              FROM m GROUP BY cluster_id
+            ),
+            can AS (
+              SELECT m.cluster_id, min(m.doc_id) AS canonical_doc_id
+              FROM m JOIN agg a
+                ON m.cluster_id = a.cluster_id AND m.n_chars = a.ml
+              GROUP BY m.cluster_id
+            )
+            SELECT a.cluster_id, a.n_members, a.total_chars, c.canonical_doc_id
+            FROM agg a JOIN can c ON a.cluster_id = c.cluster_id
+        """,
+        "q154_bpe_pairs": r"""
+            WITH w AS (
+              SELECT unnest(list_filter(
+                string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS w
+              FROM documents
+            ),
+            p AS (
+              SELECT substr(w, i, 2) AS pair
+              FROM w, unnest(generate_series(1, length(w) - 1)) AS t(i)
+              WHERE length(w) >= 2
+            )
+            SELECT pair, CAST(count(*) AS BIGINT) AS n
+            FROM p GROUP BY pair HAVING count(*) >= 50
+        """,
+        "q155_lm_coverage": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                            x -> x <> '') AS t
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                list_transform(generate_series(1, len(t) - 2),
+                  i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])) AS grams
+              FROM toks WHERE len(t) >= 3
+            ),
+            eg AS (
+              SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 2 = 1
+            ),
+            tr AS (
+              SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 2 = 0
+            )
+            SELECT e.doc_id,
+              CAST(count(*) AS BIGINT) AS n_grams,
+              CAST(sum(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_seen,
+              CAST(sum(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE) AS coverage
+            FROM eg e LEFT JOIN tr t ON e.gram = t.gram
+            GROUP BY e.doc_id
+        """,
+        "q156_bfill": """
+            SELECT event_id, user_id, ts,
+              first_value(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS value
+            FROM events
+        """,
+        "q157_centroid_sim": """
+            WITH c AS (
+              SELECT label, i AS dim,
+                sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(20,8))) AS s
+              FROM embeddings,
+                unnest(generate_series(1, len(embedding))) AS t(i)
+              GROUP BY label, i
+            ),
+            v AS (
+              SELECT label, list(CAST(s AS DOUBLE) ORDER BY dim) AS vec
+              FROM c GROUP BY label
+            )
+            SELECT a.label AS label_a, b.label AS label_b,
+              list_dot_product(a.vec, b.vec)
+                / (sqrt(list_dot_product(a.vec, a.vec))
+                   * sqrt(list_dot_product(b.vec, b.vec))) AS cosine
+            FROM v a JOIN v b ON a.label < b.label
+        """,
+        "q158_seasonal_mase": """
+            WITH daily AS (
+              SELECT o_orderpriority, o_orderdate AS day,
+                CAST(count(*) AS BIGINT) AS x
+              FROM orders GROUP BY 1, 2
+            ),
+            d AS (
+              SELECT o_orderpriority,
+                x - lag(x, 1) OVER w AS d1,
+                x - lag(x, 7) OVER w AS d7
+              FROM daily
+              WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day)
+            ),
+            a AS (
+              SELECT o_orderpriority,
+                CAST(count(*) AS BIGINT) AS n_eval,
+                CAST(sum(abs(d1)) AS BIGINT) AS abs_err_naive,
+                CAST(sum(abs(d7)) AS BIGINT) AS abs_err_seasonal
+              FROM d WHERE d7 IS NOT NULL GROUP BY 1
+            )
+            SELECT o_orderpriority, n_eval, abs_err_seasonal, abs_err_naive,
+              CAST(abs_err_seasonal AS DOUBLE) / CAST(abs_err_naive AS DOUBLE)
+                AS mase
+            FROM a
+        """,
+        "q159_frame_stats": """
+            WITH f AS (
+              SELECT doc_id, text, k
+              FROM documents,
+                unnest(generate_series(0, 7)) AS t(k)
+              WHERE k * 16 < len(text)
+            ),
+            s AS (
+              SELECT doc_id, CAST(k * 16 AS BIGINT) AS frame_number,
+                substr(text, k * 16 + 1, 12) AS fr
+              FROM f
+            )
+            SELECT doc_id, frame_number,
+              CAST(length(fr) AS BIGINT) AS f_bytes,
+              CAST(coalesce(list_sum(list_transform(
+                generate_series(1, length(fr)), i -> ord(fr[i]))), 0) AS BIGINT)
+                AS byte_sum,
+              CAST(ord(fr[1]) AS BIGINT) AS first_byte
+            FROM s
         """,
         "q125_ab_test": """
             WITH per_user AS (

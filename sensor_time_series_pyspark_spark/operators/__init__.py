@@ -178,3 +178,5 @@ from .sketches import kll_partials, kll_rollup, theta_overlap, theta_partials
 from .graph import label_propagation
 from .validate import table_checksum
 from .graph import bfs_hops
+from .windows import bfill
+from .multimodal import frame_byte_stats

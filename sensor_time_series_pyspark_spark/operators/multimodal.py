@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     FloatType,
+    LongType,
     StructField,
     StructType,
 )
@@ -161,3 +162,64 @@ def frame_sample_plan(
         .withColumn("frame_number", F.col("frame_seq") * every_n)
         .drop("frame_seq")
     )
+
+
+def frame_byte_stats(
+    df: DataFrame,
+    blob_col: str,
+    id_cols: Sequence[str],
+    frame_len: int = 12,
+    stride: int = 16,
+    max_frames: int = 8,
+) -> DataFrame:
+    """Frame sampling + per-frame feature extraction in ONE Arrow pass:
+    frame k covers bytes [k*stride, k*stride+frame_len) of the blob
+    (video GOP / audio window analog), frames starting past the end are
+    skipped, the tail frame may be short. Per frame, integer byte
+    statistics stand in for the decoder output — deterministic and
+    ANSI-SQL-expressible, so the WHOLE seam (explode-like fan-out
+    inside mapInPandas, Arrow batch shape, schema) is differentially
+    testable against an oracle, like decode_features' bytestats.
+
+    At scale the fan-out multiplies rows by ≤ max_frames BEFORE any
+    shuffle — frames of one blob stay in the producing task, so frame
+    extraction parallelizes with the scan and no blob crosses the wire
+    twice. A real video pipeline swaps the byte-slice for av/ffmpeg
+    decode at this exact seam.
+
+    Output: id_cols + frame_number, f_bytes, byte_sum, first_byte.
+    """
+    schema = StructType(
+        [df.schema[c] for c in id_cols]
+        + [
+            StructField("frame_number", LongType(), False),
+            StructField("f_bytes", LongType(), False),
+            StructField("byte_sum", LongType(), False),
+            StructField("first_byte", LongType(), False),
+        ]
+    )
+    narrow = df.select(*id_cols, blob_col)
+    ids = list(id_cols)
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for rec in pdf.itertuples(index=False):
+                rec = rec._asdict()
+                b = bytes(rec[blob_col])
+                for k in range(max_frames):
+                    off = k * stride
+                    if off >= len(b):
+                        break
+                    fr = b[off : off + frame_len]
+                    rows.append(
+                        tuple(rec[c] for c in ids)
+                        + (off, len(fr), sum(fr), fr[0])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=ids
+                + ["frame_number", "f_bytes", "byte_sum", "first_byte"],
+            )
+
+    return narrow.mapInPandas(_frames, schema=schema)

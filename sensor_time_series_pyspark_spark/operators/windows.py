@@ -115,6 +115,28 @@ def ffill(
     return out
 
 
+def bfill(
+    df: DataFrame,
+    cols: Sequence[str],
+    order_col: str,
+    partition_by: Sequence[str],
+) -> DataFrame:
+    """Backward-fill NULLs per series: next non-null over an unbounded
+    following frame (native equivalent of pandas ``.bfill()``) — the
+    ffill mirror, for gaps at the START of a series or lookahead-safe
+    label propagation. Same single-sort shape: one window per series,
+    no shuffle beyond the partition key."""
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(order_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.first(c, ignorenulls=True).over(w))
+    return out
+
+
 def interpolate_linear(
     df: DataFrame,
     ts_col: str,
