@@ -2944,6 +2944,83 @@ def _q_frame_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_tfidf_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """TF-IDF-weighted cosine near-dup pairs (operators/dedup.py:
+    tfidf_cosine_pairs): jaccard_pairs' inverted-index shape with
+    rare-term weighting — log-free BM25-ratio idf rounded ONCE to
+    decimal, all accumulation exact, one float epilogue."""
+    from sensor_time_series_pyspark_spark.operators import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(
+        _rep_docs(spark, sf), "doc_id", "text", threshold=0.9
+    )
+
+
+def _q_session_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """Top session journey paths: first three event types per gap
+    session (deterministic (ts, event_id) order inside ONE aggregate —
+    no second window pass), then path frequency. The product-analytics
+    'common journeys' query."""
+    ev = read_table(spark, sf, "events")
+    sess = sessionize(ev, ts_col="ts", partition_by=["user_id"], gap_seconds=1800)
+    per = sess.groupBy("user_id", "session_seq").agg(
+        F.expr(
+            "array_join(transform(slice(array_sort("
+            "collect_list(struct(ts, event_id, event_type))), 1, 3), "
+            "x -> x.event_type), '>')"
+        ).alias("path")
+    )
+    return (
+        per.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .where(F.col("n_sessions") >= 5)
+    )
+
+
+def _q_length_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """Length-bucketed training-batch packing: docs bucketed by BPE-ish
+    token count (÷64), row-numbered inside each bucket, chunked into
+    16-doc batches — the padding-minimizing batcher. All integer
+    arithmetic; the only sort is per-bucket."""
+    docs = read_table(spark, sf, "documents")
+    base = docs.select(
+        "doc_id", bpe_ish_token_count("text").alias("n_tok")
+    ).withColumn("bucket", F.expr("n_tok div 64"))
+    w = Window.partitionBy("bucket").orderBy("n_tok", "doc_id")
+    r = base.withColumn("rn", F.row_number().over(w)).withColumn(
+        "batch_id", F.expr("(rn - 1) div 16")
+    )
+    return r.groupBy("bucket", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("sum_tokens"),
+        F.max("n_tok").alias("max_tokens"),
+    )
+
+
+def _q_entity_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity co-occurrence edges (NER-lite shape): marker tokens per
+    doc (long tokens stand in for capitalized named entities — the
+    synthetic corpus is all-lowercase), distinct (doc, entity),
+    doc-keyed self-join for pairs seen in ≥2 docs — the
+    graph-construction step feeding pagerank/LPA/BFS."""
+    docs = read_table(spark, sf, "documents")
+    ents = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+        .where(F.length("w") >= 6)
+        .select("doc_id", F.col("w").alias("ent"))
+        .distinct()
+    )
+    a = ents.select("doc_id", F.col("ent").alias("ent_a"))
+    b = ents.select("doc_id", F.col("ent").alias("ent_b"))
+    return (
+        a.join(b, "doc_id")
+        .where(F.col("ent_a") < F.col("ent_b"))
+        .groupBy("ent_a", "ent_b")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -3106,6 +3183,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q157_centroid_sim": _q_centroid_sim,
         "q158_seasonal_mase": _q_seasonal_mase,
         "q159_frame_stats": _q_frame_stats,
+        "q160_tfidf_pairs": _q_tfidf_pairs,
+        "q161_session_paths": _q_session_paths,
+        "q162_length_packing": _q_length_packing,
+        "q163_entity_cooccurrence": _q_entity_cooccurrence,
     }
 
 
@@ -5690,6 +5771,125 @@ def oracle_sql() -> dict[str, str]:
                 AS byte_sum,
               CAST(ord(fr[1]) AS BIGINT) AS first_byte
             FROM s
+        """,
+        "q160_tfidf_pairs": r"""
+            WITH reps AS (
+              SELECT doc_id, text FROM documents
+              WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+            ),
+            toks AS (
+              SELECT doc_id AS id,
+                unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                   x -> x <> '')) AS term
+              FROM reps
+            ),
+            tf AS (
+              SELECT id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM toks GROUP BY 1, 2
+            ),
+            dfreq AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df,
+                CAST(((SELECT CAST(count(*) AS DOUBLE) FROM reps)
+                      - CAST(count(*) AS DOUBLE) + 0.5E0)
+                     / (CAST(count(*) AS DOUBLE) + 0.5E0)
+                     AS DECIMAL(15,6)) AS idf
+              FROM tf GROUP BY term
+            ),
+            weighted AS (
+              SELECT t.id, t.term,
+                CAST(CAST(t.tf AS DECIMAL(9,0)) * d.idf AS DECIMAL(18,6)) AS w
+              FROM tf t JOIN dfreq d ON t.term = d.term
+            ),
+            norms AS (
+              SELECT id, sum(CAST(w * w AS DECIMAL(38,12))) AS n2
+              FROM weighted GROUP BY id
+            ),
+            dots AS (
+              SELECT a.id AS id_a, b.id AS id_b,
+                sum(CAST(a.w * b.w AS DECIMAL(38,12))) AS dot
+              FROM weighted a JOIN weighted b
+                ON a.term = b.term AND a.id < b.id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+              CAST(dot AS DOUBLE)
+                / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+                AS cosine
+            FROM dots
+            JOIN norms na ON dots.id_a = na.id
+            JOIN norms nb ON dots.id_b = nb.id
+            WHERE CAST(dot AS DOUBLE)
+                / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+                >= 0.9
+        """,
+        "q161_session_paths": """
+            WITH flagged AS (
+              SELECT user_id, ts, event_id, event_type,
+                CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                     THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            sess AS (
+              SELECT user_id, ts, event_id, event_type,
+                CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  AS session_seq
+              FROM flagged
+            ),
+            per AS (
+              SELECT user_id, session_seq,
+                array_to_string(
+                  list_transform(
+                    list_sort(list(struct_pack(ts := ts, event_id := event_id,
+                                               event_type := event_type)))[1:3],
+                    x -> x.event_type), '>') AS path
+              FROM sess GROUP BY user_id, session_seq
+            )
+            SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+            FROM per GROUP BY path HAVING count(*) >= 5
+        """,
+        "q162_length_packing": r"""
+            WITH base AS (
+              SELECT doc_id,
+                CAST(coalesce(list_aggregate(
+                  list_transform(
+                    list_filter(string_split_regex(trim(text), '\s+'),
+                                x -> x <> ''),
+                    w -> CAST(ceil(len(w) / 4.0) AS INT)), 'sum'), 0) AS BIGINT)
+                  AS n_tok
+              FROM documents
+            ),
+            r AS (
+              SELECT doc_id, n_tok, n_tok // 64 AS bucket,
+                row_number() OVER (PARTITION BY n_tok // 64
+                                   ORDER BY n_tok, doc_id) AS rn
+              FROM base
+            )
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+              CAST((rn - 1) // 16 AS BIGINT) AS batch_id,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+              max(n_tok) AS max_tokens
+            FROM r GROUP BY 1, 2
+        """,
+        "q163_entity_cooccurrence": r"""
+            WITH ents AS (
+              SELECT DISTINCT doc_id, w AS ent
+              FROM (
+                SELECT doc_id,
+                  unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                     x -> x <> '')) AS w
+                FROM documents
+              )
+              WHERE length(w) >= 6
+            )
+            SELECT a.ent AS ent_a, b.ent AS ent_b,
+              CAST(count(*) AS BIGINT) AS n_docs
+            FROM ents a JOIN ents b
+              ON a.doc_id = b.doc_id AND a.ent < b.ent
+            GROUP BY 1, 2 HAVING count(*) >= 2
         """,
         "q125_ab_test": """
             WITH per_user AS (

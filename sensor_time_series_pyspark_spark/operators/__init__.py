@@ -180,3 +180,4 @@ from .validate import table_checksum
 from .graph import bfs_hops
 from .windows import bfill
 from .multimodal import frame_byte_stats
+from .dedup import tfidf_cosine_pairs

@@ -982,3 +982,93 @@ def minhash_bands(
             )
         ).alias("b"),
     ).select("id", "b.band_id", "b.band_key")
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.3,
+    max_token_df: int | None = None,
+    exact: bool = True,
+) -> DataFrame:
+    """All document pairs with TF-IDF-weighted cosine similarity ≥
+    threshold — the weighted upgrade of jaccard_pairs: rare shared
+    terms count more than ubiquitous ones, the standard retrieval-style
+    near-dup / related-document signal.
+
+    Same inverted-index shape as jaccard_pairs (index on term, join,
+    per-pair aggregate — never a cross join); ``max_token_df`` is the
+    identical skew valve (a df-D term contributes O(D²) candidate
+    pairs). Terms present in only one of the two docs contribute zero
+    to the dot product, so indexing only shared terms is exact.
+
+    Numerics (``exact=True``): idf = (N - df + 0.5)/(df + 0.5) — the
+    BM25 ratio WITHOUT the log (bm25_rank's portability argument;
+    cosine ordering shifts, but the weighting intent — rare terms
+    dominate — is preserved and every bit is reproducible). The idf is
+    ONE double division cast once to decimal(15,6) (half-up, engine-
+    portable); weights tf·idf and all dot/norm accumulation stay exact
+    decimals; the ONLY float epilogue is dot/(√na·√nb) at the end.
+    decimal(15,6) weights bound tf·idf < 1e9 — beyond ~1.5e9 docs set
+    ``exact=False`` to run the plain double path (same plan, no
+    decimal ceiling, not oracle-reproducible).
+
+    Output: id_a, id_b (a < b), cosine.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(F.col(id_col)).distinct().count()
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if max_token_df is not None:
+        dfreq = dfreq.where(F.col("df") <= max_token_df)
+    idf_dbl = (
+        (F.lit(float(n_docs)) - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    if exact:
+        idf = idf_dbl.cast("decimal(15,6)")
+        w = (F.col("tf").cast("decimal(9,0)") * F.col("idf")).cast("decimal(18,6)")
+    else:
+        idf = idf_dbl
+        w = F.col("tf").cast("double") * F.col("idf")
+    weighted = tf.join(dfreq.withColumn("idf", idf).select("term", "idf"), "term").select(
+        "id", "term", w.alias("w")
+    )
+    if exact:
+        norms = weighted.groupBy("id").agg(
+            F.sum((F.col("w") * F.col("w")).cast("decimal(38,12)")).alias("n2")
+        )
+    else:
+        norms = weighted.groupBy("id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    a = weighted.select(
+        F.col("id").alias("id_a"), "term", F.col("w").alias("wa")
+    )
+    b = weighted.select(
+        F.col("id").alias("id_b"), "term", F.col("w").alias("wb")
+    )
+    prod = (
+        (F.col("wa") * F.col("wb")).cast("decimal(38,12)")
+        if exact
+        else F.col("wa") * F.col("wb")
+    )
+    dots = (
+        a.join(b, "term")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(prod).alias("dot"))
+    )
+    na = norms.select(F.col("id").alias("id_a"), F.col("n2").alias("na"))
+    nb = norms.select(F.col("id").alias("id_b"), F.col("n2").alias("nb"))
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

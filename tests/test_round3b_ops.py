@@ -98,3 +98,62 @@ def test_frame_byte_stats_max_frames_cap(spark):
         df, "blob", ["id"], frame_len=4, stride=8, max_frames=3
     ).collect()
     assert len(out) == 3 and {r["frame_number"] for r in out} == {0, 8, 16}
+
+
+# ---------------------------------------------------------- tfidf cosine
+def test_tfidf_cosine_pairs_reference(spark):
+    """Exact-decimal TF-IDF cosine matches a numpy reference built with
+    the same no-log idf, within float epilogue tolerance."""
+    import numpy as np
+
+    from sensor_time_series_pyspark_spark.operators import tfidf_cosine_pairs
+
+    docs = [
+        (1, "spark query engine"),
+        (2, "spark query engine"),          # exact same bag → cosine 1
+        (3, "spark streaming engine fast"),
+        (4, "completely different words here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in tfidf_cosine_pairs(df, "doc_id", "text", threshold=0.0).collect()
+    }
+    # numpy reference
+    from collections import Counter
+
+    bags = {i: Counter(t.split()) for i, t in docs}
+    vocab = sorted({w for b in bags.values() for w in b})
+    dfreq = {w: sum(w in b for b in bags.values()) for w in vocab}
+    n = len(bags)
+    idf = {w: round((n - dfreq[w] + 0.5) / (dfreq[w] + 0.5), 6) for w in vocab}
+    vecs = {
+        i: np.array([b.get(w, 0) * idf[w] for w in vocab]) for i, b in bags.items()
+    }
+    for (a, b), c in got.items():
+        va, vb = vecs[a], vecs[b]
+        want = va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+        assert abs(c - want) < 1e-9, (a, b, c, want)
+    assert abs(got[(1, 2)] - 1.0) < 1e-12
+    # doc 4 shares no term with 1: pair absent (dot would be 0)
+    assert (1, 4) not in got
+
+
+def test_tfidf_cosine_pairs_df_valve(spark):
+    from sensor_time_series_pyspark_spark.operators import tfidf_cosine_pairs
+
+    # 'the' appears in all docs; with max_token_df=2 it is pruned, so
+    # docs sharing ONLY 'the' produce no candidate pair at all
+    docs = [
+        (1, "the alpha beta"),
+        (2, "the alpha beta"),
+        (3, "the gamma delta"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in tfidf_cosine_pairs(
+            df, "doc_id", "text", threshold=0.0, max_token_df=2
+        ).collect()
+    }
+    assert got == {(1, 2)}
