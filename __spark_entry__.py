@@ -3021,6 +3021,84 @@ def _q_entity_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_hamming_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary embedding quantization + Hamming near-dup pairs: the
+    sign bit of each of the first 48 dimensions packs into ONE bigint
+    (sequential integer fold — engine-exact), pairs with Hamming
+    distance ≤ 16 via bit_count(xor). 64-bit words make the candidate
+    scan a register-width operation — the classic cheap pre-filter in
+    front of exact cosine (cf. SRP signatures, q39, which use random
+    planes; this is the axis-aligned variant)."""
+    e = read_table(spark, sf, "embeddings").where(F.col("vec_id") < 200)
+    packed = e.select(
+        "vec_id",
+        F.expr(
+            "aggregate(slice(embedding, 1, 48), 0L, "
+            "(acc, x) -> acc * 2 + CASE WHEN x > 0 THEN 1L ELSE 0L END)"
+        ).alias("bits"),
+    )
+    a, b = packed.alias("a"), packed.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.expr("cast(bit_count(a.bits ^ b.bits) as int)").alias("hamming"),
+        )
+        .where(F.col("hamming") <= 16)
+    )
+
+
+def _q_funnel_strict(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-step-deadline funnel (operators/analytics.py:funnel_strict):
+    earliest view, then earliest click within 1h OF THE VIEW, then
+    earliest purchase within 1h OF THE CLICK — greedy earliest-chain,
+    one user-keyed join + min aggregate per step (contrast q71, which
+    has a single overall deadline)."""
+    from sensor_time_series_pyspark_spark.operators import funnel_strict
+
+    ev = read_table(spark, sf, "events")
+    return funnel_strict(
+        ev, "user_id", "ts",
+        steps=[
+            ("view", F.col("event_type") == "view"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+        step_within_seconds=3600,
+    )
+
+
+def _q_lsh_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH tuning report: exact-Jaccard pair count vs MinHash-LSH
+    verified pair count at the SAME threshold/shingling (q19/q20
+    configs), plus recall — the measurement a pipeline owner uses to
+    pick n_bands. Integer counts, one division; both sides rerun their
+    full pipelines (the join is on broadcast-sized pair frames)."""
+    reps = _rep_docs(spark, sf)
+    ex = jaccard_pairs(reps, "doc_id", "text", threshold=0.35, shingle_k=2)
+    mh = minhash_pairs(
+        reps, "doc_id", "text", threshold=0.35, shingle_k=2,
+        n_hashes=16, n_bands=8,
+    )
+    hit = ex.select("id_a", "id_b").join(
+        mh.select("id_a", "id_b"), ["id_a", "id_b"]
+    )
+    return (
+        ex.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(mh.agg(F.count(F.lit(1)).alias("n_lsh")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_hit",
+            (F.col("n_hit").cast("double") / F.col("n_exact").cast("double")).alias(
+                "recall"
+            ),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -3187,6 +3265,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q161_session_paths": _q_session_paths,
         "q162_length_packing": _q_length_packing,
         "q163_entity_cooccurrence": _q_entity_cooccurrence,
+        "q164_hamming_embedding": _q_hamming_embedding,
+        "q165_funnel_strict": _q_funnel_strict,
+        "q166_lsh_quality": _q_lsh_quality,
     }
 
 
@@ -5891,6 +5972,90 @@ def oracle_sql() -> dict[str, str]:
               ON a.doc_id = b.doc_id AND a.ent < b.ent
             GROUP BY 1, 2 HAVING count(*) >= 2
         """,
+        "q164_hamming_embedding": """
+            WITH p AS (
+              SELECT vec_id,
+                CAST(coalesce(list_sum(list_transform(generate_series(1, 48),
+                  i -> CASE WHEN embedding[i] > 0
+                            THEN (CAST(1 AS BIGINT) << (48 - i))
+                            ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT) AS bits
+              FROM embeddings WHERE vec_id < 200
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              CAST(bit_count(xor(a.bits, b.bits)) AS INT) AS hamming
+            FROM p a JOIN p b ON a.vec_id < b.vec_id
+            WHERE bit_count(xor(a.bits, b.bits)) <= 16
+        """,
+        "q165_funnel_strict": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t_view
+              FROM events WHERE event_type = 'view' GROUP BY 1
+            ),
+            s2 AS (
+              SELECT s1.user_id, s1.t_view, min(e.ts) AS t_click
+              FROM s1 LEFT JOIN events e
+                ON e.user_id = s1.user_id AND e.event_type = 'click'
+                AND epoch(e.ts) > epoch(s1.t_view)
+                AND epoch(e.ts) <= epoch(s1.t_view) + 3600.0
+              GROUP BY 1, 2
+            ),
+            s3 AS (
+              SELECT s2.user_id, s2.t_view, s2.t_click, min(e.ts) AS t_purchase
+              FROM s2 LEFT JOIN events e
+                ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+                AND epoch(e.ts) > epoch(s2.t_click)
+                AND epoch(e.ts) <= epoch(s2.t_click) + 3600.0
+              GROUP BY 1, 2, 3
+            )
+            SELECT user_id AS "user", t_view, t_click, t_purchase FROM s3
+        """,
+        "q166_lsh_quality": (
+            "WITH mh AS (" + _minhash_sql() + r"""),
+            ex AS (
+              WITH reps2 AS (
+                SELECT doc_id, text FROM documents
+                WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+              ),
+              toks2 AS (
+                SELECT doc_id AS id,
+                  list_distinct(
+                    list_transform(
+                      generate_series(1, greatest(len(t) - 1, 0)),
+                      i -> array_to_string(t[i:i+1], ' ')
+                    )
+                  ) AS tok
+                FROM (
+                  SELECT doc_id,
+                    list_filter(string_split_regex(trim(text), '\s+'),
+                                x -> x <> '') AS t
+                  FROM reps2
+                )
+              ),
+              inv2 AS (
+                SELECT id, len(tok) AS n_tok, unnest(tok) AS token FROM toks2
+              ),
+              pairs2 AS (
+                SELECT a.id AS id_a, b.id AS id_b, a.n_tok AS n_a,
+                       b.n_tok AS n_b, count(*) AS inter
+                FROM inv2 a JOIN inv2 b
+                  ON a.token = b.token AND a.id < b.id
+                GROUP BY 1, 2, 3, 4
+              )
+              SELECT id_a, id_b FROM pairs2
+              WHERE inter / (n_a + n_b - inter) >= 0.35
+            ),
+            hits AS (
+              SELECT ex.id_a FROM ex
+              JOIN mh ON ex.id_a = mh.id_a AND ex.id_b = mh.id_b
+            )
+            SELECT
+              (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_exact,
+              (SELECT CAST(count(*) AS BIGINT) FROM mh) AS n_lsh,
+              (SELECT CAST(count(*) AS BIGINT) FROM hits) AS n_hit,
+              (SELECT CAST(count(*) AS DOUBLE) FROM hits)
+                / (SELECT CAST(count(*) AS DOUBLE) FROM ex) AS recall
+        """
+        ),
         "q125_ab_test": """
             WITH per_user AS (
               SELECT user_id,

@@ -181,3 +181,4 @@ from .graph import bfs_hops
 from .windows import bfill
 from .multimodal import frame_byte_stats
 from .dedup import tfidf_cosine_pairs
+from .analytics import funnel_strict

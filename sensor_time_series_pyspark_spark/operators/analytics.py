@@ -345,3 +345,54 @@ def market_basket_pairs(
             / (F.col("n_a") * F.col("n_b")).cast("double")
         ).alias("lift"),
     )
+
+
+def funnel_strict(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    steps: Sequence[tuple[str, Column]],
+    step_within_seconds: int,
+) -> DataFrame:
+    """Windowed strict funnel: the user's EARLIEST step-1 event, then
+    for each later step the earliest qualifying event STRICTLY after
+    the previous step's time and within ``step_within_seconds`` of it —
+    per-step deadlines, unlike ``funnel``'s single overall window.
+    Greedy earliest-chain semantics (the deterministic standard).
+
+    Shape: one filtered aggregate for step 1, then per step ONE
+    user-keyed left join + min aggregate — the funnel state frame stays
+    user-cardinality; the event stream is scanned once per step with
+    the step predicate pushed into the scan. A user who misses step k
+    carries NULLs for every later step (the join condition can never
+    match against a NULL previous time).
+
+    Output: user, t_<step1>, …, t_<stepN> (NULL = not reached).
+    """
+    name0, cond0 = steps[0]
+    cur = (
+        df.where(cond0)
+        .groupBy(F.col(user_col).alias("user"))
+        .agg(F.min(ts_col).alias(f"t_{name0}"))
+    )
+    prev = f"t_{name0}"
+    for name, cond in steps[1:]:
+        ev = df.where(cond).select(
+            F.col(user_col).alias("__u"), F.col(ts_col).alias("__ts")
+        )
+        on = (
+            (cur["user"] == ev["__u"])
+            & (ev["__ts"].cast("double") > cur[prev].cast("double"))
+            & (
+                ev["__ts"].cast("double")
+                <= cur[prev].cast("double") + F.lit(float(step_within_seconds))
+            )
+        )
+        keep = [c for c in cur.columns]
+        cur = (
+            cur.join(ev, on, "left")
+            .groupBy(*keep)
+            .agg(F.min("__ts").alias(f"t_{name}"))
+        )
+        prev = f"t_{name}"
+    return cur

@@ -157,3 +157,65 @@ def test_tfidf_cosine_pairs_df_valve(spark):
         ).collect()
     }
     assert got == {(1, 2)}
+
+
+# ---------------------------------------------------------- strict funnel
+def test_funnel_strict_per_step_deadlines(spark):
+    from datetime import datetime
+
+    from sensor_time_series_pyspark_spark.operators import funnel_strict
+
+    t = lambda m: datetime(2026, 1, 1, m // 60, m % 60)  # noqa: E731
+    rows = [
+        # u1: view@0 → click@30 (in window) → purchase@50 (in window of click)
+        (1, t(0), "view"), (1, t(30), "click"), (1, t(50), "purchase"),
+        # u2: view@0, click@90 — misses the 1h step window → no chain
+        (2, t(0), "view"), (2, t(90), "click"),
+        # u3: purchase BEFORE click never counts; earliest chain only
+        (3, t(0), "view"), (3, t(10), "purchase"), (3, t(20), "click"),
+        (3, t(40), "purchase"),
+        # u4: no view at all → absent from output
+        (4, t(5), "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {
+        r["user"]: r
+        for r in funnel_strict(
+            df, "user_id", "ts",
+            steps=[
+                ("view", F.col("event_type") == "view"),
+                ("click", F.col("event_type") == "click"),
+                ("purchase", F.col("event_type") == "purchase"),
+            ],
+            step_within_seconds=3600,
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1]["t_purchase"] == t(50)
+    assert out[2]["t_click"] is None and out[2]["t_purchase"] is None
+    # u3: click@20, then earliest purchase after the click = @40
+    assert out[3]["t_click"] == t(20) and out[3]["t_purchase"] == t(40)
+
+
+def test_funnel_strict_deadline_is_per_step_not_overall(spark):
+    from datetime import datetime
+
+    from sensor_time_series_pyspark_spark.operators import funnel_strict
+
+    # chain spans 100 min total but each step gap is < 60 min — strict
+    # per-step windows accept it (an overall-60min funnel would not)
+    t = lambda m: datetime(2026, 1, 1, 0, 0) if m == 0 else datetime(
+        2026, 1, 1, m // 60, m % 60
+    )  # noqa: E731
+    rows = [(1, t(0), "view"), (1, t(55), "click"), (1, t(100), "purchase")]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = funnel_strict(
+        df, "user_id", "ts",
+        steps=[
+            ("view", F.col("event_type") == "view"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+        step_within_seconds=3600,
+    ).collect()[0]
+    assert out["t_purchase"] == t(100)
