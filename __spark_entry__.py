@@ -2725,7 +2725,7 @@ def _q_revenue_gini(spark: SparkSession, sf: str) -> DataFrame:
 
 def _q_bfs_hops(spark: SparkSession, sf: str) -> DataFrame:
     """Multi-source BFS hop distance (operators/graph.py:bfs_hops) over
-    the supplier↔part supply graph, seeded at nation-0 suppliers:
+    the supplier↔part supply graph, seeded at every tenth supplier:
     level-synchronous frontier expansion, one equi-join + one anti-join
     per round, frontier shrinks as levels saturate. Oracle: bounded
     recursive CTE taking min(hops)."""
@@ -3099,6 +3099,60 @@ def _q_lsh_quality(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_equi_depth(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-DEPTH histogram (deciles of order value) — the complement
+    of q76's equi-width bins: ntile(10) with a deterministic tiebreak,
+    per-bucket count and exact decimal bounds. The global window sort
+    is the small-data path; operators/quantiles.py:approx_ntile is the
+    sketch-bucketed scale path for fact-sized inputs (tested
+    equivalent-shape)."""
+    o = read_table(spark, sf, "orders")
+    w = Window.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+    d = o.select(
+        F.ntile(10).over(w).alias("decile"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    )
+    return d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("p").cast("double").alias("lo"),
+        F.max("p").cast("double").alias("hi"),
+    )
+
+
+def _q_seasonal_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """Seasonal-residual anomaly screen: each event compared to its
+    (type, day-of-week, hour) calendar-mean (q142's profile), flagged
+    when value > 2×mean. The profile is a 5×7×24 frame broadcast back
+    onto the fact — the fact table never re-shuffles (q102's
+    broadcast-moments pattern at calendar granularity). Exact decimal
+    means; integer flag counts; one division."""
+    ev = read_table(spark, sf, "events")
+    keyed = ev.select(
+        "event_type",
+        F.dayofweek("ts").alias("dow"),
+        F.hour("ts").alias("hod"),
+        "value",
+    )
+    prof = keyed.groupBy("event_type", "dow", "hod").agg(
+        _davg(F.col("value")).alias("mu")
+    )
+    j = keyed.join(F.broadcast(prof), ["event_type", "dow", "hod"])
+    agg = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(F.col("value") > F.lit(2.0) * F.col("mu"), 1).otherwise(0)
+        ).cast("bigint").alias("n_anom"),
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        "n_anom",
+        (F.col("n_anom").cast("double") / F.col("n_events").cast("double")).alias(
+            "anom_share"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -3268,6 +3322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q164_hamming_embedding": _q_hamming_embedding,
         "q165_funnel_strict": _q_funnel_strict,
         "q166_lsh_quality": _q_lsh_quality,
+        "q167_equi_depth": _q_equi_depth,
+        "q168_seasonal_anomaly": _q_seasonal_anomaly,
     }
 
 
@@ -6056,6 +6112,40 @@ def oracle_sql() -> dict[str, str]:
                 / (SELECT CAST(count(*) AS DOUBLE) FROM ex) AS recall
         """
         ),
+        "q167_equi_depth": """
+            WITH d AS (
+              SELECT CAST(ntile(10) OVER (
+                  ORDER BY o_totalprice, o_orderkey) AS INT) AS decile,
+                CAST(o_totalprice AS DECIMAL(18,2)) AS p
+              FROM orders
+            )
+            SELECT decile, CAST(count(*) AS BIGINT) AS n,
+              CAST(min(p) AS DOUBLE) AS lo,
+              CAST(max(p) AS DOUBLE) AS hi
+            FROM d GROUP BY decile
+        """,
+        "q168_seasonal_anomaly": f"""
+            WITH keyed AS (
+              SELECT event_type, CAST(dayofweek(ts) + 1 AS INT) AS dow,
+                CAST(hour(ts) AS INT) AS hod, value
+              FROM events
+            ),
+            prof AS (
+              SELECT event_type, dow, hod, {_davg_sql('value')} AS mu
+              FROM keyed GROUP BY 1, 2, 3
+            ),
+            j AS (
+              SELECT k.event_type, k.value, p.mu
+              FROM keyed k JOIN prof p
+                USING (event_type, dow, hod)
+            )
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+              CAST(sum(CASE WHEN value > 2.0E0 * mu THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_anom,
+              CAST(sum(CASE WHEN value > 2.0E0 * mu THEN 1 ELSE 0 END)
+                   AS DOUBLE) / CAST(count(*) AS DOUBLE) AS anom_share
+            FROM j GROUP BY event_type
+        """,
         "q125_ab_test": """
             WITH per_user AS (
               SELECT user_id,

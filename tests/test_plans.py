@@ -66,6 +66,12 @@ def test_no_accidental_cartesian_products(spark):
     # deliberate 1-row x 1-row sketch combine (two kilobyte theta
     # binaries) — the cross join IS the driver-side set algebra
     SKIP |= {"q132_theta_overlap"}
+    # label-cardinality centroid pairs (10×10, corpus-size-independent)
+    # and the declared brute-force Hamming pair generator (like q23/q38
+    # — LSH/banding generates candidates at scale)
+    SKIP |= {"q157_centroid_sim", "q164_hamming_embedding"}
+    # three 1-row count frames combined into the report row
+    SKIP |= {"q166_lsh_quality"}
     # ML/forecast paths run fit JOBS at plan-build time — skip the cost
     SKIP |= {"q24_holt_forecast", "q25_arima_grid", "q26_seasonal_decompose",
              "q27_mlp_classification", "q28_gbt_regression", "q43_model_metrics",
