@@ -3153,6 +3153,335 @@ def _q_seasonal_anomaly(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _revenue() -> F.Column:
+    """Exact decimal l_extendedprice*(1-l_discount) (the TPC-H revenue
+    term; decimal products are exact so Spark == DuckDB bitwise)."""
+    return _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount"))
+
+
+def _q_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between nation pairs by
+    ship year. The two nation-annotated key maps (supplier→nation,
+    customer-order→nation) are tiny next to the fact and broadcast, so
+    lineitem is scanned once and shuffles only for the final 3-key
+    aggregate — no fact-fact shuffle join at any scale."""
+    n = read_table(spark, sf, "nation")
+    supp = (
+        read_table(spark, sf, "supplier")
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        read_table(spark, sf, "customer")
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    o = read_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    j = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(F.sum(_revenue()).cast("double").alias("revenue"))
+
+
+def _q_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's import revenue
+    by order year — conditional aggregate over a dim-star join, ONE
+    division per year row. All dims broadcast; the fact shuffles once
+    for the year aggregate."""
+    n = read_table(spark, sf, "nation")
+    r = read_table(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    cust = (
+        read_table(spark, sf, "customer")
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp = (
+        read_table(spark, sf, "supplier")
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    o = read_table(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    li = read_table(spark, sf, "lineitem")
+    j = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    per_year = j.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_3", _revenue())).cast(
+            "double"
+        ).alias("nation_rev"),
+        F.sum(_revenue()).cast("double").alias("total_rev"),
+    )
+    return per_year.select(
+        "o_year",
+        "nation_rev",
+        "total_rev",
+        (F.coalesce(F.col("nation_rev"), F.lit(0.0)) / F.col("total_rev")).alias(
+            "mkt_share"
+        ),
+    )
+
+
+def _q_product_profit(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation × order year for one
+    part family. Profit = revenue − 60% retail cost × qty, all decimal
+    products (exact in both engines). Part and supplier maps broadcast;
+    lineitem scanned once."""
+    p = read_table(spark, sf, "part").where(F.col("p_type") == "PROMO").select(
+        "p_partkey", "p_retailprice"
+    )
+    n = read_table(spark, sf, "nation")
+    supp = (
+        read_table(spark, sf, "supplier")
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    o = read_table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    li = read_table(spark, sf, "lineitem")
+    cost = (
+        _dec("p_retailprice")
+        * _dec("l_quantity")
+        * F.lit("0.60").cast("decimal(3,2)")
+    )
+    j = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return j.groupBy("nation", F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(_revenue().cast("decimal(30,6)") - cost.cast("decimal(30,6)"))
+        .cast("double")
+        .alias("profit")
+    )
+
+
+def _q_priority_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape: late-shipment counts split by order priority —
+    conditional integer aggregate after one fact-fact join keyed on
+    orderkey (sort-merge at scale; AQE may demote to broadcast when the
+    filtered side is small)."""
+    o = read_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = read_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_shipdate"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).where(late)
+    return j.groupBy("l_linestatus").agg(
+        F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+        F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+    )
+
+
+def _q_order_count_dist(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of orders-per-customer including
+    zero-order customers — left outer join + two stacked aggregates.
+    The second aggregate runs on the already-customer-sized frame."""
+    c = read_table(spark, sf, "customer").select("c_custkey")
+    o = read_table(spark, sf, "orders").where(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def _q_promo_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape: promo-type revenue share per ship month —
+    conditional decimal sums, fixed (100*promo)/total double epilogue.
+    The 200-row part dim broadcasts."""
+    p = read_table(spark, sf, "part").select("p_partkey", "p_type")
+    li = read_table(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    agg = j.groupBy(F.month("l_shipdate").alias("ship_month")).agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", _revenue()).otherwise(
+            F.lit(0).cast("decimal(12,2)")
+        )).cast("double").alias("promo_rev"),
+        F.sum(_revenue()).cast("double").alias("total_rev"),
+    )
+    return agg.select(
+        "ship_month",
+        "promo_rev",
+        "total_rev",
+        ((F.lit(100.0) * F.col("promo_rev")) / F.col("total_rev")).alias(
+            "promo_share"
+        ),
+    )
+
+
+def _q_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with maximum quarterly revenue —
+    aggregate once, then an argmax via broadcast of the 1-row max (no
+    re-aggregation, no window over the fact). Revenue doubles come from
+    identical exact decimal sums, so the equality join is portable."""
+    li = read_table(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_revenue()).cast("double").alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    s = read_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def _q_supplier_part_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct suppliers per (brand, size bucket)
+    excluding one brand — count-distinct over a broadcast part join
+    (Spark plans the distinct as a two-phase partial aggregate)."""
+    p = read_table(spark, sf, "part").where(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 4, 9, 16, 25, 36)
+    ).select("p_partkey", "p_brand", "p_size")
+    li = read_table(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    return j.groupBy("p_brand", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+def _q_small_qty_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from below-average-quantity lineitems
+    of one brand — the correlated scalar subquery de-correlated into a
+    per-part mean (exact-decimal _davg) broadcast back onto the fact;
+    one final scalar row."""
+    p = read_table(spark, sf, "part").where(F.col("p_brand") == "Brand#3").select(
+        "p_partkey"
+    )
+    li = read_table(spark, sf, "lineitem")
+    branded = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    means = branded.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        _davg(F.col("l_quantity")).alias("avg_qty")
+    )
+    j = branded.join(
+        F.broadcast(means), F.col("l_partkey") == F.col("__pk")
+    ).where(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
+    return j.agg(
+        (F.coalesce(_dsum(F.col("l_extendedprice")), F.lit(0.0)) / F.lit(7.0)).alias(
+            "avg_yearly"
+        )
+    )
+
+
+def _q_disjunctive_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate over a part join — the
+    disjunction stays a single scan-side filter (no union of three
+    scans); Catalyst extracts the common l_partkey=p_partkey
+    conjunct as the join key."""
+    p = read_table(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    li = read_table(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("l_quantity").between(1, 11)
+         & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#23") & F.col("l_quantity").between(10, 20)
+           & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#34") & F.col("l_quantity").between(20, 30)
+           & F.col("p_size").between(1, 15))
+    )
+    return j.where(cond).agg(
+        F.coalesce(F.sum(_revenue()).cast("double"), F.lit(0.0)).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def _q_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    multi-supplier order. The EXISTS / NOT EXISTS pair collapses into
+    ONE per-order aggregate (distinct suppliers, distinct late
+    suppliers, the late supplier id) — no correlated self-joins over
+    the fact, so lineitem is scanned and shuffled once."""
+    li = read_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = read_table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    per_order = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+        F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+    )
+    sole = per_order.where((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    s = read_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole.groupBy("late_supp")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(s), F.col("late_supp") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+    )
+
+
+def _q_idle_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers with no recent orders —
+    scalar subquery (positive-balance mean, exact decimal) broadcast as
+    a filter + anti join against recent orders, grouped by nation."""
+    c = read_table(spark, sf, "customer")
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(
+        _davg(F.col("c_acctbal")).alias("__avg")
+    )
+    recent = read_table(spark, sf, "orders").where(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    ).select("o_custkey")
+    rich = c.join(F.broadcast(avg_bal)).where(F.col("c_acctbal") > F.col("__avg"))
+    idle = rich.join(recent, rich["c_custkey"] == recent["o_custkey"], "left_anti")
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        _dsum(F.col("c_acctbal")).alias("totacctbal"),
+    )
+
+
+def _q_important_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose shipped inventory value exceeds
+    1.2x the mean part value — a HAVING over a scalar subquery, made
+    scale-invariant (the classic FRACTION threshold shrinks with part
+    cardinality). Both the per-part values and the global mean come
+    from ONE aggregate pass: the mean is the broadcast average of the
+    tiny per-part frame, never a second fact scan."""
+    li = read_table(spark, sf, "lineitem").select("l_partkey", "l_quantity")
+    p = read_table(spark, sf, "part").select("p_partkey", "p_retailprice")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    value = _dec("p_retailprice") * _dec("l_quantity")
+    per_part = j.groupBy("l_partkey").agg(
+        F.sum(value.cast(DEC)).alias("__v")
+    )
+    total = per_part.agg(
+        (F.sum("__v").cast("double") / F.count(F.lit(1))).alias("__m")
+    )
+    out = per_part.join(F.broadcast(total)).where(
+        F.col("__v").cast("double") > F.lit(1.2) * F.col("__m")
+    )
+    return out.select(
+        F.col("l_partkey").alias("p_partkey"),
+        F.col("__v").cast("double").alias("part_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -3324,6 +3653,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q166_lsh_quality": _q_lsh_quality,
         "q167_equi_depth": _q_equi_depth,
         "q168_seasonal_anomaly": _q_seasonal_anomaly,
+        "q169_volume_shipping": _q_volume_shipping,
+        "q170_market_share": _q_market_share,
+        "q171_product_profit": _q_product_profit,
+        "q172_priority_shipping": _q_priority_shipping,
+        "q173_order_count_dist": _q_order_count_dist,
+        "q174_promo_share": _q_promo_share,
+        "q175_top_supplier": _q_top_supplier,
+        "q176_supplier_part_counts": _q_supplier_part_counts,
+        "q177_small_qty_revenue": _q_small_qty_revenue,
+        "q178_disjunctive_revenue": _q_disjunctive_revenue,
+        "q179_waiting_suppliers": _q_waiting_suppliers,
+        "q180_idle_customers": _q_idle_customers,
+        "q181_important_parts": _q_important_parts,
     }
 
 
@@ -3335,6 +3677,13 @@ _STOPWORD_LIST = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
 
 from sensor_time_series_pyspark_spark.operators.sampling import (  # noqa: E402
     _threshold_hex as _thr,
+)
+
+
+# DuckDB twin of _revenue(): exact decimal discounted price.
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
 )
 
 
@@ -6483,5 +6832,193 @@ def oracle_sql() -> dict[str, str]:
               CAST(count(*) AS BIGINT) AS n
             FROM events
             GROUP BY event_type, dayofweek(ts), hour(ts)
+        """,
+        "q169_volume_shipping": f"""
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+              CAST(year(l_shipdate) AS INT) AS l_year,
+              CAST(sum({_REV_SQL}) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND sn.n_name <> cn.n_name
+            GROUP BY 1, 2, 3
+        """,
+        "q170_market_share": f"""
+            WITH j AS (
+              SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                sn.n_name AS supp_nation,
+                {_REV_SQL} AS rev
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation sn ON s_nationkey = sn.n_nationkey
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation cn ON c_nationkey = cn.n_nationkey
+              JOIN region ON cn.n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA'
+            ),
+            per_year AS (
+              SELECT o_year,
+                CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev END)
+                     AS DOUBLE) AS nation_rev,
+                CAST(sum(rev) AS DOUBLE) AS total_rev
+              FROM j GROUP BY o_year
+            )
+            SELECT o_year, nation_rev, total_rev,
+              coalesce(nation_rev, 0.0E0) / total_rev AS mkt_share
+            FROM per_year
+        """,
+        "q171_product_profit": f"""
+            SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+              CAST(sum(CAST({_REV_SQL} AS DECIMAL(30,6))
+                - CAST(CAST(p_retailprice AS DECIMAL(12,2))
+                       * CAST(l_quantity AS DECIMAL(12,2))
+                       * CAST(0.60 AS DECIMAL(3,2)) AS DECIMAL(30,6)))
+                AS DOUBLE) AS profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE p_type = 'PROMO'
+            GROUP BY 1, 2
+        """,
+        "q172_priority_shipping": """
+            SELECT l_linestatus,
+              CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+              CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+            GROUP BY l_linestatus
+        """,
+        "q173_order_count_dist": """
+            WITH per_cust AS (
+              SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+              FROM customer LEFT JOIN orders
+                ON c_custkey = o_custkey
+                AND o_orderpriority <> '4-NOT SPECIFIED'
+              GROUP BY c_custkey
+            )
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM per_cust GROUP BY c_count
+        """,
+        "q174_promo_share": f"""
+            WITH agg AS (
+              SELECT CAST(month(l_shipdate) AS INT) AS ship_month,
+                CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_REV_SQL}
+                         ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                  AS promo_rev,
+                CAST(sum({_REV_SQL}) AS DOUBLE) AS total_rev
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate < TIMESTAMP '1998-01-01'
+              GROUP BY 1
+            )
+            SELECT ship_month, promo_rev, total_rev,
+              (100.0E0 * promo_rev) / total_rev AS promo_share
+            FROM agg
+        """,
+        "q175_top_supplier": f"""
+            WITH rev AS (
+              SELECT l_suppkey,
+                CAST(sum({_REV_SQL}) AS DOUBLE) AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate < TIMESTAMP '1997-04-01'
+              GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        """,
+        "q176_supplier_part_counts": """
+            SELECT p_brand, p_size,
+              CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1' AND p_size IN (1, 4, 9, 16, 25, 36)
+            GROUP BY p_brand, p_size
+        """,
+        "q177_small_qty_revenue": f"""
+            WITH branded AS (
+              SELECT l_partkey, l_quantity, l_extendedprice
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_brand = 'Brand#3'
+            ),
+            means AS (
+              SELECT l_partkey AS pk, {_davg_sql('l_quantity')} AS avg_qty
+              FROM branded GROUP BY l_partkey
+            )
+            SELECT coalesce(
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE),
+              0.0E0) / 7.0E0 AS avg_yearly
+            FROM branded JOIN means ON l_partkey = pk
+            WHERE l_quantity < 0.5E0 * avg_qty
+        """,
+        "q178_disjunctive_revenue": f"""
+            SELECT coalesce(CAST(sum({_REV_SQL}) AS DOUBLE), 0.0E0) AS revenue,
+              CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
+                   AND p_size BETWEEN 1 AND 5)
+               OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20
+                   AND p_size BETWEEN 1 AND 10)
+               OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30
+                   AND p_size BETWEEN 1 AND 15)
+        """,
+        "q179_waiting_suppliers": """
+            WITH per_order AS (
+              SELECT l_orderkey,
+                count(DISTINCT l_suppkey) AS n_supp,
+                count(DISTINCT CASE WHEN l_shipdate >
+                      o_orderdate + INTERVAL 60 DAY
+                      THEN l_suppkey END) AS n_late,
+                max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                    THEN l_suppkey END) AS late_supp
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY l_orderkey
+            )
+            SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+            FROM per_order JOIN supplier ON late_supp = s_suppkey
+            WHERE n_supp > 1 AND n_late = 1
+            GROUP BY s_suppkey, s_name
+        """,
+        "q180_idle_customers": f"""
+            WITH avg_bal AS (
+              SELECT {_davg_sql('c_acctbal')} AS a
+              FROM customer WHERE c_acctbal > 0
+            )
+            SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+              CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+                AS totacctbal
+            FROM customer
+            WHERE c_acctbal > (SELECT a FROM avg_bal)
+              AND NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1999-01-01'
+              )
+            GROUP BY c_nationkey
+        """,
+        "q181_important_parts": """
+            WITH per_part AS (
+              SELECT l_partkey,
+                sum(CAST(CAST(p_retailprice AS DECIMAL(12,2))
+                    * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(38,6)))
+                  AS v
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              GROUP BY l_partkey
+            )
+            SELECT l_partkey AS p_partkey, CAST(v AS DOUBLE) AS part_value
+            FROM per_part
+            WHERE CAST(v AS DOUBLE)
+              > 1.2E0 * (SELECT CAST(sum(v) AS DOUBLE) / count(*)
+                         FROM per_part)
         """,
     }
