@@ -3482,6 +3482,129 @@ def _q_important_parts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_winnowing(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint profile over the corpus —
+    operators/dedup.py:winnow_fingerprints (k=3-token grams, w=4
+    windows, md5-portable gram ids, per-document window minima)."""
+    from sensor_time_series_pyspark_spark.operators.dedup import winnow_fingerprints
+
+    docs = read_table(spark, sf, "documents")
+    out = winnow_fingerprints(docs, "doc_id", "text", k=3, w=4)
+    return out.select(
+        F.col("id"),
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.col("n_fingerprints"),
+    )
+
+
+def _q_chunk_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Chunk-level exact duplication share (CCNet paragraph-dedup
+    signal) — operators/contamination.py:chunk_dup_share."""
+    from sensor_time_series_pyspark_spark.operators.contamination import (
+        chunk_dup_share,
+    )
+
+    docs = read_table(spark, sf, "documents")
+    return chunk_dup_share(docs, "doc_id", "text", chunk_size=8)
+
+
+def _q_token_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-first token-budget curation —
+    operators/sampling.py:token_budget_select (score = n_chars,
+    deterministic (score DESC, id) order, 20k-token budget)."""
+    from sensor_time_series_pyspark_spark.operators.sampling import (
+        token_budget_select,
+    )
+
+    docs = read_table(spark, sf, "documents").select(
+        "doc_id", "n_chars", token_count("text").alias("n_tokens")
+    )
+    return token_budget_select(
+        docs, "doc_id", "n_tokens", "n_chars", budget=20_000
+    ).select("id", "n_tokens", F.col("score").alias("n_chars"), "cum_tokens")
+
+
+def _q_mixture_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-mixture reweighting table (per-language token shares and
+    equalizing weights) — operators/sampling.py:mixture_weights."""
+    from sensor_time_series_pyspark_spark.operators.sampling import mixture_weights
+
+    docs = read_table(spark, sf, "documents").select(
+        "lang", token_count("text").alias("n_tokens")
+    )
+    return mixture_weights(docs, ["lang"], "n_tokens")
+
+
+def _q_burst_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Burst/bot-rate screen: users with >= 8 events inside any
+    trailing 24h window — operators/analytics.py:burst_detect
+    (rangeBetween on epoch seconds, per-user sort only)."""
+    from sensor_time_series_pyspark_spark.operators.analytics import burst_detect
+
+    ev = read_table(spark, sf, "events")
+    out = burst_detect(ev, "user_id", "ts", window_seconds=86400, min_events=8)
+    return out.select(
+        F.col("entity").alias("user_id"), "n_events", "max_burst"
+    )
+
+
+def _q_event_peaks(spark: SparkSession, sf: str) -> DataFrame:
+    """Local maxima of the hourly event-count series per type —
+    operators/analytics.py:local_peaks (one lag + one lead per series;
+    integer counts so the comparison is exact)."""
+    from sensor_time_series_pyspark_spark.operators.analytics import local_peaks
+
+    ev = read_table(spark, sf, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    out = local_peaks(hourly, ["event_type"], "bucket", "n")
+    return out.select(
+        "event_type",
+        F.col("ts").alias("bucket"),
+        F.col("value").alias("n"),
+        F.col("prev").alias("prev_n"),
+        F.col("next").alias("next_n"),
+    )
+
+
+def _q_lag_corr(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-correlation lag scan between the hourly click and
+    purchase count series — operators/drift.py:lag_corr (map-side lag
+    fan-out, ONE equi-join, exact-moment corr epilogue)."""
+    from sensor_time_series_pyspark_spark.operators.drift import lag_corr
+
+    ev = read_table(spark, sf, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    clicks = hourly.where(F.col("event_type") == "click").select("bucket", "n")
+    buys = hourly.where(F.col("event_type") == "purchase").select("bucket", "n")
+    return lag_corr(
+        clicks, buys, "bucket", "n", max_lag=6, step_seconds=3600, decimals=0
+    )
+
+
+def _q_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    """k-core of the part co-purchase graph (parts co-occurring in an
+    order are adjacent; k=8) — operators/graph.py:kcore, iterative
+    peeling with early exit. Iterative (no SQL oracle): gated by
+    tests/test_round3c_ops.py clique/chain/star invariants."""
+    from sensor_time_series_pyspark_spark.operators.graph import kcore
+
+    li = read_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.withColumnRenamed("l_partkey", "pa")
+    b = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pb")
+    )
+    edges = (
+        a.join(b, (a["l_orderkey"] == b["ok2"]) & (a["pa"] < b["pb"]))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .distinct()
+    )
+    return kcore(edges, k=8).orderBy("node")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -3666,6 +3789,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q179_waiting_suppliers": _q_waiting_suppliers,
         "q180_idle_customers": _q_idle_customers,
         "q181_important_parts": _q_important_parts,
+        "q182_winnowing": _q_winnowing,
+        "q183_chunk_dup": _q_chunk_dup,
+        "q184_token_budget": _q_token_budget,
+        "q185_mixture_weights": _q_mixture_weights,
+        "q186_burst_users": _q_burst_users,
+        "q187_event_peaks": _q_event_peaks,
+        "q188_lag_corr": _q_lag_corr,
+        "q189_kcore": _q_kcore,
     }
 
 
@@ -7020,5 +7151,193 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(v AS DOUBLE)
               > 1.2E0 * (SELECT CAST(sum(v) AS DOUBLE) / count(*)
                          FROM per_part)
+        """,
+        "q182_winnowing": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(trim(text), '\s+'),
+                            x -> x <> '') AS t
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, t, greatest(len(t) - 2, 0) AS n_grams,
+                unnest(generate_series(0, greatest(len(t) - 2, 0) - 1)) AS p
+              FROM toks
+            ),
+            g AS (
+              SELECT doc_id, n_grams, p,
+                CAST(('0x' || substr(md5(
+                    array_to_string(t[p+1:p+3], ' ')), 1, 12)) AS BIGINT)
+                  % 2147483647 AS gid
+              FROM pos
+            ),
+            win AS (
+              SELECT doc_id, n_grams, p,
+                min(gid) OVER (PARTITION BY doc_id ORDER BY p
+                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+              FROM g
+            ),
+            sel AS (
+              SELECT * FROM win WHERE p <= n_grams - 4 OR p = 0
+            ),
+            agg AS (
+              SELECT doc_id, max(n_grams) AS n_grams,
+                CAST(count(DISTINCT fp) AS BIGINT) AS nf
+              FROM sel GROUP BY doc_id
+            )
+            SELECT tk.doc_id AS id,
+              CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+              coalesce(a.nf, 0) AS n_fingerprints
+            FROM toks tk LEFT JOIN agg a ON tk.doc_id = a.doc_id
+        """,
+        "q183_chunk_dup": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(trim(text), '\s+'),
+                            x -> x <> '') AS t
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, t,
+                unnest(generate_series(0, len(t) - 1, 8)) AS s
+              FROM toks WHERE len(t) > 0
+            ),
+            chunks AS (
+              SELECT doc_id,
+                CAST(('0x' || substr(md5(
+                    array_to_string(t[s+1:s+8], ' ')), 1, 12)) AS BIGINT)
+                  % 2147483647 AS gram
+              FROM pos
+            ),
+            docfreq AS (
+              SELECT gram, count(DISTINCT doc_id) AS df
+              FROM (SELECT DISTINCT doc_id, gram FROM chunks)
+              GROUP BY gram
+            )
+            SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_chunks,
+              CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_dup_chunks,
+              CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE) AS dup_share
+            FROM chunks JOIN docfreq USING (gram)
+            GROUP BY doc_id
+        """,
+        "q184_token_budget": r"""
+            WITH base AS (
+              SELECT doc_id AS id,
+                CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '')) AS BIGINT) AS n_tokens,
+                n_chars
+              FROM documents
+            ),
+            run AS (
+              SELECT id, n_tokens, n_chars,
+                sum(n_tokens) OVER (ORDER BY n_chars DESC, id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS cum_tokens
+              FROM base
+            )
+            SELECT id, n_tokens, n_chars, cum_tokens
+            FROM run WHERE cum_tokens <= 20000
+        """,
+        "q185_mixture_weights": r"""
+            WITH g AS (
+              SELECT lang,
+                sum(CAST(len(list_filter(
+                    string_split_regex(trim(text), '\s+'),
+                    x -> x <> '')) AS BIGINT)) AS tokens
+              FROM documents GROUP BY lang
+            ),
+            tot AS (
+              SELECT CAST(sum(tokens) AS BIGINT) AS total,
+                CAST(count(*) AS BIGINT) AS n_groups
+              FROM g
+            )
+            SELECT lang, CAST(tokens AS BIGINT) AS tokens,
+              CAST(tokens AS DOUBLE) / CAST(total AS DOUBLE) AS token_share,
+              CAST(total AS DOUBLE) / CAST(n_groups * tokens AS DOUBLE)
+                AS weight
+            FROM g, tot
+        """,
+        "q186_burst_users": """
+            WITH e AS (
+              SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep
+              FROM events
+            ),
+            c AS (
+              SELECT user_id,
+                count(*) OVER (PARTITION BY user_id ORDER BY ep
+                  RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW) AS burst
+              FROM e
+            )
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+              CAST(max(burst) AS BIGINT) AS max_burst
+            FROM c GROUP BY user_id
+            HAVING max(burst) >= 8
+        """,
+        "q187_event_peaks": """
+            WITH hourly AS (
+              SELECT event_type, date_trunc('hour', ts) AS bucket,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            flagged AS (
+              SELECT event_type, bucket, n,
+                lag(n, 1) OVER w AS prev_n,
+                lead(n, 1) OVER w AS next_n
+              FROM hourly
+              WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+            )
+            SELECT event_type, bucket, n, prev_n, next_n
+            FROM flagged
+            WHERE prev_n IS NOT NULL AND next_n IS NOT NULL
+              AND n > prev_n AND n > next_n
+        """,
+        "q188_lag_corr": """
+            WITH hourly AS (
+              SELECT event_type,
+                CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS ep,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            bx AS (
+              SELECT h.n AS y, l.lag, h.ep - l.lag * 3600 AS ats
+              FROM hourly h,
+                (SELECT unnest(generate_series(0, 6)) AS lag) l
+              WHERE h.event_type = 'purchase'
+            ),
+            pairs AS (
+              SELECT bx.lag, a.n AS x, bx.y
+              FROM hourly a JOIN bx ON a.ep = bx.ats
+              WHERE a.event_type = 'click'
+            ),
+            ints AS (
+              SELECT lag, CAST(x AS DECIMAL(19,0)) AS xi,
+                CAST(y AS DECIMAL(19,0)) AS yi
+              FROM pairs
+            ),
+            s AS (
+              SELECT lag, count(*) AS n,
+                sum(CAST(xi AS DECIMAL(38,0))) AS sx,
+                sum(CAST(yi AS DECIMAL(38,0))) AS sy,
+                sum(CAST(xi * xi AS DECIMAL(38,0))) AS sxx,
+                sum(CAST(yi * yi AS DECIMAL(38,0))) AS syy,
+                sum(CAST(xi * yi AS DECIMAL(38,0))) AS sxy
+              FROM ints GROUP BY lag
+            ),
+            e AS (
+              SELECT lag, n,
+                CAST(CAST(CAST(n AS DECIMAL(12,0)) * CAST(sxy AS DECIMAL(24,0)) AS DECIMAL(36,0))
+                     - CAST(CAST(sx AS DECIMAL(18,0)) * CAST(sy AS DECIMAL(18,0)) AS DECIMAL(36,0)) AS DOUBLE) AS cov_n,
+                CAST(CAST(CAST(n AS DECIMAL(12,0)) * CAST(sxx AS DECIMAL(24,0)) AS DECIMAL(36,0))
+                     - CAST(CAST(sx AS DECIMAL(18,0)) * CAST(sx AS DECIMAL(18,0)) AS DECIMAL(36,0)) AS DOUBLE) AS var_x,
+                CAST(CAST(CAST(n AS DECIMAL(12,0)) * CAST(syy AS DECIMAL(24,0)) AS DECIMAL(36,0))
+                     - CAST(CAST(sy AS DECIMAL(18,0)) * CAST(sy AS DECIMAL(18,0)) AS DECIMAL(36,0)) AS DOUBLE) AS var_y
+              FROM s
+            )
+            SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n,
+              CASE WHEN sqrt(var_x) * sqrt(var_y) > 0
+                   THEN cov_n / (sqrt(var_x) * sqrt(var_y)) END AS corr
+            FROM e
         """,
     }

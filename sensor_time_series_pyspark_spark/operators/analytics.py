@@ -396,3 +396,83 @@ def funnel_strict(
         )
         prev = f"t_{name}"
     return cur
+
+
+def burst_detect(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    window_seconds: int = 60,
+    min_events: int = 5,
+) -> DataFrame:
+    """Burst / bot-rate detection: entities whose event rate exceeds
+    ``min_events`` within ANY trailing ``window_seconds`` window — the
+    standard automated-traffic screen in clickstream curation (and the
+    alarm-flood screen in sensor telemetry).
+
+    The sliding count is a rangeBetween window on integer epoch
+    seconds, partitioned by entity — per-entity sort, no global
+    ordering, no self-join against the time grid. One aggregate
+    collapses to (entity, peak rate); at 100 TB the state is one sort
+    per entity partition, the frame never exceeds the window span.
+
+    Output: (entity, n_events, max_burst) filtered to
+    max_burst >= min_events.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("entity")
+        .orderBy("epoch")
+        .rangeBetween(-(window_seconds - 1), 0)
+    )
+    base = df.select(
+        F.col(entity_col).alias("entity"),
+        F.unix_timestamp(F.col(ts_col)).alias("epoch"),
+    )
+    counted = base.select(
+        "entity", F.count(F.lit(1)).over(w).alias("burst")
+    )
+    return (
+        counted.groupBy("entity")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("burst").alias("max_burst"),
+        )
+        .where(F.col("max_burst") >= min_events)
+    )
+
+
+def local_peaks(
+    df: DataFrame,
+    series_cols: list[str],
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Local-maximum detection over an ordered series: points strictly
+    greater than BOTH neighbors (series edges excluded — a peak needs
+    two neighbors). Strict comparisons make plateaus peak-free, so the
+    flag is deterministic with no tiebreak dependence.
+
+    One lag + one lead over the per-series window; at scale this is a
+    per-series sort with two row buffers — no self-joins on shifted
+    timestamps.
+
+    Output: [*series_cols], ts, value, prev, next (peaks only).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*series_cols).orderBy(ts_col)
+    flagged = df.select(
+        *series_cols,
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).alias("value"),
+        F.lag(value_col, 1).over(w).alias("prev"),
+        F.lead(value_col, 1).over(w).alias("next"),
+    )
+    return flagged.where(
+        F.col("prev").isNotNull()
+        & F.col("next").isNotNull()
+        & (F.col("value") > F.col("prev"))
+        & (F.col("value") > F.col("next"))
+    )

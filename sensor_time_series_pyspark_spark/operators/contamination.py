@@ -138,3 +138,53 @@ def dup_ngram_rate(
             ),
         )
     )
+
+
+def chunk_dup_share(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 8,
+) -> DataFrame:
+    """Chunk-level exact duplication (the CCNet/RefinedWeb paragraph
+    dedup signal, token-chunk flavored): split every document into
+    disjoint ``chunk_size``-token chunks, hash each chunk, and score
+    each document by the share of its chunks that also appear in some
+    OTHER document. High shares mark boilerplate/mirrored text that
+    document-level exact dedup misses.
+
+    Shape at scale: chunks reduce to (doc, chunk-id-hash) rows; the
+    corpus-wide frequency of each chunk hash is ONE hash aggregate
+    keyed on the 48-bit id, and the per-document rollup joins the tiny
+    (hash, df) frame back on that same key — the inverted-index shape
+    of jaccard_pairs without the pair fan-out (no doc x doc join at any
+    point). Duplicated-ness needs df>=2, computed per DISTINCT chunk
+    then re-joined, so a doc repeating its own chunk is not
+    self-contaminated.
+
+    Output: (id, n_chunks, n_dup_chunks, dup_share).
+    """
+    from .chunking import chunk_tokens
+
+    chunks = chunk_tokens(df, id_col, text_col, chunk_size=chunk_size).select(
+        "id", shingle_id_portable(F.col("chunk_text")).alias("gram")
+    )
+    # distinct docs per chunk hash (df>=2 <=> appears in another doc)
+    docfreq = chunks.distinct().groupBy("gram").agg(
+        F.countDistinct("id").alias("df")
+    )
+    j = chunks.join(docfreq, "gram")
+    return j.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).cast("bigint").alias(
+            "n_dup_chunks"
+        ),
+    ).select(
+        "id",
+        "n_chunks",
+        "n_dup_chunks",
+        (
+            F.col("n_dup_chunks").cast("double")
+            / F.col("n_chunks").cast("double")
+        ).alias("dup_share"),
+    )

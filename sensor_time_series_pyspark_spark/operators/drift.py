@@ -267,3 +267,64 @@ def cusum(
         (F.abs(s_k) > F.lit(threshold) * F.sqrt(F.col("__n").cast("double")))
         .alias("breach"),
     )
+
+
+def lag_corr(
+    a: DataFrame,
+    b: DataFrame,
+    ts_col: str,
+    value_col: str,
+    max_lag: int,
+    step_seconds: int,
+    decimals: int = 0,
+) -> DataFrame:
+    """Cross-correlation scan between two regular time series: Pearson
+    corr(a_t, b_{t+k·step}) for k = 0..max_lag — the lead/lag detector
+    ("purchases follow clicks by ~2 hours") and the sensor-pair
+    transport-delay estimator.
+
+    ``a`` and ``b`` are (ts, value) frames on the SAME regular grid
+    (resample first). Lags materialize map-side: b is fanned out once
+    through a posexplode over the 0..max_lag lag array with its
+    timestamp shifted back k·step — ONE equi-join on the shifted
+    timestamp then aligns all lags simultaneously (no per-lag join, no
+    window sort). The corr epilogue is the exact-moment form
+    (profile.exact_corr): integer-scaled decimal sums, one double
+    conversion after cancellation — engine-portable.
+
+    Output: lag, n, corr — rows where a lag has < 2 aligned points or
+    a constant side give NULL corr.
+    """
+    lags = F.sequence(F.lit(0), F.lit(max_lag))
+    bx = b.select(
+        F.col(ts_col).alias("__bts"), F.col(value_col).alias("__y")
+    ).select(
+        "__y",
+        F.explode(lags).alias("lag"),
+        (F.unix_timestamp("__bts") - F.col("lag") * step_seconds).alias("__ats"),
+    )
+    ax = a.select(
+        F.unix_timestamp(F.col(ts_col)).alias("__ats"),
+        F.col(value_col).alias("__x"),
+    )
+    pairs = ax.join(bx, "__ats").where(
+        F.col("__x").isNotNull() & F.col("__y").isNotNull()
+    )
+    xi = _int_scaled("__x", decimals)
+    yi = _int_scaled("__y", decimals)
+    sums = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xi.cast(_D38)).alias("__sx"),
+        F.sum(yi.cast(_D38)).alias("__sy"),
+        F.sum((xi * xi).cast(_D38)).alias("__sxx"),
+        F.sum((yi * yi).cast(_D38)).alias("__syy"),
+        F.sum((xi * yi).cast(_D38)).alias("__sxy"),
+    )
+    nd = F.col("n").cast("decimal(12,0)")
+    cov_n = (nd * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
+    var_x = (nd * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
+    var_y = (nd * F.col("__syy") - F.col("__sy") * F.col("__sy")).cast("double")
+    denom = F.sqrt(var_x) * F.sqrt(var_y)
+    return sums.select(
+        "lag", "n", F.when(denom > 0, cov_n / denom).alias("corr")
+    )

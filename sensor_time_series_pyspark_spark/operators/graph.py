@@ -276,3 +276,70 @@ def bfs_hops(
         if checkpoint_every and k % checkpoint_every == 0:
             visited = visited.localCheckpoint(eager=True)
     return visited
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 20,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly delete
+    nodes of degree < k (with their edges) until the remaining
+    subgraph — the k-core — is stable. The standard graph-density
+    filter (spam-farm/fraud-ring cores, dense community seeds, trust
+    backbones).
+
+    Each round is one degree aggregate + one semi join back onto the
+    edge list — the edge frame only ever SHRINKS, so per-round cost
+    falls monotonically; convergence is detected by comparing the
+    surviving-edge count (a cheap count on the already-shrunk frame)
+    and the loop exits early, with ``max_rounds`` as the lineage
+    bound. localCheckpoint cuts the iterative plan like pagerank /
+    connected_components.
+
+    Output: (node, degree) for nodes in the k-core, with their degree
+    WITHIN the core (>= k by construction).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .where(
+            F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b"))
+        )
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = und
+    n_edges = cur.count()
+    for i in range(max_rounds):
+        if n_edges == 0:
+            break
+        deg = (
+            cur.select(F.col("a").alias("node"))
+            .unionAll(cur.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        keep = deg.where(F.col("degree") >= k).select("node")
+        nxt = (
+            cur.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        n_next = nxt.count()
+        if n_next == n_edges:
+            cur = nxt
+            break
+        cur, n_edges = nxt, n_next
+    return (
+        cur.select(F.col("a").alias("node"))
+        .unionAll(cur.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )

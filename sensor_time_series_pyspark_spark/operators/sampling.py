@@ -169,3 +169,81 @@ def weighted_hash_sample(
         .limit(k)
         .drop("__pri")
     )
+
+
+def token_budget_select(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    score_col: str,
+    budget: int,
+) -> DataFrame:
+    """Quality-first token-budget selection: order documents by
+    (score DESC, id ASC — fully deterministic), take documents while
+    the running token total stays within ``budget``. The standard
+    "best N billion tokens" curation step after quality scoring.
+
+    Small-data path: one global ordered window for the prefix sum.
+    Scale path (documented contract): bucket scores first
+    (quantiles.approx_ntile), prefix-sum the per-bucket token totals on
+    the driver, take whole buckets and window-sort ONLY the single
+    boundary bucket — the global sort never touches the fact at 100 TB.
+
+    Output: (id, n_tokens, score, cum_tokens), cum_tokens <= budget.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy(F.col("score").desc(), F.col("id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(token_col).cast("bigint").alias("n_tokens"),
+        F.col(score_col).alias("score"),
+    )
+    return base.select(
+        "id",
+        "n_tokens",
+        "score",
+        F.sum("n_tokens").over(w).alias("cum_tokens"),
+    ).where(F.col("cum_tokens") <= budget)
+
+
+def mixture_weights(
+    df: DataFrame,
+    group_cols: list[str],
+    token_col: str,
+) -> DataFrame:
+    """Domain-mixture reweighting table: per-group token share and the
+    multiplicative sampling weight that would equalize groups
+    (weight = uniform_share / actual_share). The bookkeeping step
+    behind DoReMi-style / hand-tuned domain mixtures: feed the weights
+    to a sampler to hit a target mixture.
+
+    One hash aggregate to group totals; shares and weights are computed
+    on the tiny per-group frame (window over the aggregate, never a
+    second fact scan). Integer token sums; each output ratio is one
+    double division — engine-portable.
+
+    Output: [*group_cols], tokens, token_share, weight.
+    """
+    from pyspark.sql import Window
+
+    g = df.groupBy(*group_cols).agg(
+        F.sum(F.col(token_col).cast("bigint")).alias("tokens")
+    )
+    wall = Window.partitionBy()
+    total = F.sum("tokens").over(wall)
+    n_groups = F.count(F.lit(1)).over(wall)
+    return g.select(
+        *group_cols,
+        "tokens",
+        (F.col("tokens").cast("double") / total.cast("double")).alias(
+            "token_share"
+        ),
+        (
+            total.cast("double")
+            / (n_groups * F.col("tokens")).cast("double")
+        ).alias("weight"),
+    )
