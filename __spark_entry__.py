@@ -3605,6 +3605,76 @@ def _q_kcore(spark: SparkSession, sf: str) -> DataFrame:
     return kcore(edges, k=8).orderBy("node")
 
 
+def _q_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization approximate top-k with ADC scan + exact
+    re-rank — operators/similarity.py:pq_topk_cosine (rows-only:
+    KMeans codebooks aren't SQL-expressible; recall vs exact pinned in
+    tests/test_similarity.py)."""
+    from sensor_time_series_pyspark_spark.operators.similarity import (
+        pq_topk_cosine,
+    )
+
+    emb = read_table(spark, sf, "embeddings")
+    qs = emb.where(F.col("vec_id") < 10)
+    return pq_topk_cosine(
+        emb, qs, "vec_id", "vec_id", "embedding", k=5, m=16, ks=16, oversample=8
+    ).select("qid", "cid", "rank")
+
+
+def _q_mann_kendall(spark: SparkSession, sf: str) -> DataFrame:
+    """Mann-Kendall monotone-trend screen on daily event counts per
+    type — operators/profile.py:mann_kendall (integer S statistic,
+    one double division for tau)."""
+    from sensor_time_series_pyspark_spark.operators.profile import mann_kendall
+
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return mann_kendall(daily, ["event_type"], "d", "n_events")
+
+
+def _q_theil_sen(spark: SparkSession, sf: str) -> DataFrame:
+    """Theil-Sen robust slope of daily event counts per type —
+    operators/profile.py:theil_sen (median of pairwise slopes,
+    explicit index-selection median)."""
+    from sensor_time_series_pyspark_spark.operators.profile import theil_sen
+
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return theil_sen(daily, ["event_type"], "d", "n_events")
+
+
+def _q_pattern_match(spark: SparkSession, sf: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence detection without a dedicated
+    operator: each (user, day) journey collapses to an ordered
+    event-initial string INSIDE one aggregate (q161's sorted-struct
+    mechanism — no window sort over the fact), and the pattern
+    'view … purchase' is a single JVM-side regexp. Output: per user,
+    days observed and days whose journey matches."""
+    ev = read_table(spark, sf, "events")
+    keyed = ev.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("d"),
+        F.struct(
+            F.col("ts"), F.col("event_id"), F.substring("event_type", 1, 1).alias("i")
+        ).alias("s"),
+    )
+    days = keyed.groupBy("user_id", "d").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("s")), lambda s: s["i"]), ""
+        ).alias("journey")
+    )
+    return days.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(
+            F.when(F.col("journey").rlike("v.*p"), 1).otherwise(0)
+        ).cast("bigint").alias("n_matched"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -3797,6 +3867,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q187_event_peaks": _q_event_peaks,
         "q188_lag_corr": _q_lag_corr,
         "q189_kcore": _q_kcore,
+        "q190_pq_topk": _q_pq_topk,
+        "q191_mann_kendall": _q_mann_kendall,
+        "q192_theil_sen": _q_theil_sen,
+        "q193_pattern_match": _q_pattern_match,
     }
 
 
@@ -7339,5 +7413,73 @@ def oracle_sql() -> dict[str, str]:
               CASE WHEN sqrt(var_x) * sqrt(var_y) > 0
                    THEN cov_n / (sqrt(var_x) * sqrt(var_y)) END AS corr
             FROM e
+        """,
+        "q191_mann_kendall": """
+            WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS d,
+                CAST(count(*) AS BIGINT) AS v
+              FROM events GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT a.event_type,
+                CASE WHEN b.v > a.v THEN 1
+                     WHEN b.v < a.v THEN -1 ELSE 0 END AS sgn
+              FROM daily a JOIN daily b
+                ON a.event_type = b.event_type AND a.d < b.d
+            ),
+            s AS (
+              SELECT event_type, CAST(sum(sgn) AS BIGINT) AS s
+              FROM pairs GROUP BY event_type
+            ),
+            n AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n
+              FROM daily GROUP BY event_type
+            )
+            SELECT n.event_type, n, coalesce(s, 0) AS s,
+              CASE WHEN n >= 2 THEN
+                (2.0E0 * CAST(coalesce(s, 0) AS DOUBLE))
+                  / CAST(n * (n - 1) AS DOUBLE)
+              END AS tau
+            FROM n LEFT JOIN s ON n.event_type = s.event_type
+        """,
+        "q192_theil_sen": """
+            WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS d,
+                CAST(count(*) AS BIGINT) AS v
+              FROM events GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT a.event_type,
+                CAST(b.v - a.v AS DOUBLE)
+                  / CAST(CAST(floor(epoch(b.d)) AS BIGINT)
+                         - CAST(floor(epoch(a.d)) AS BIGINT) AS DOUBLE)
+                  AS s
+              FROM daily a JOIN daily b
+                ON a.event_type = b.event_type AND a.d < b.d
+            ),
+            agg AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+                list_sort(list(s)) AS sorted
+              FROM pairs GROUP BY event_type
+            )
+            SELECT event_type, n_pairs,
+              CASE WHEN n_pairs % 2 = 1
+                THEN sorted[CAST(trunc((n_pairs + 1) / 2.0) AS INT)]
+                ELSE (sorted[CAST(trunc(n_pairs / 2.0) AS INT)]
+                      + sorted[CAST(trunc(n_pairs / 2.0) AS INT) + 1]) / 2.0E0
+              END AS slope
+            FROM agg
+        """,
+        "q193_pattern_match": """
+            WITH days AS (
+              SELECT user_id, date_trunc('day', ts) AS d,
+                string_agg(substr(event_type, 1, 1), ''
+                  ORDER BY ts, event_id) AS journey
+              FROM events GROUP BY 1, 2
+            )
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+              CAST(sum(CASE WHEN regexp_matches(journey, 'v.*p')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+            FROM days GROUP BY user_id
         """,
     }

@@ -560,3 +560,104 @@ def benford_digits(
         ),
         exp.alias("expected"),
     )
+
+
+def mann_kendall(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Mann-Kendall trend statistic per series: S = Σ_{i<j}
+    sign(x_j − x_i) and Kendall's tau-a = 2S/(n(n−1)) — the standard
+    nonparametric monotone-trend screen for sensor series (no
+    normality assumption, robust to outliers; hydrology/air-quality
+    standard).
+
+    S is a PURE INTEGER aggregate over the within-series pair frame
+    (one self-join on the series key with t1 < t2) — engine-portable
+    with no float concerns; tau does ONE double division at the end.
+    The O(n²/2) pair fan-out is per series: resample to a bounded grid
+    first (operators/resample.py) so n stays in the hundreds — then
+    the join is a per-key hash join whose output still fits in one
+    task per series. Ties in x contribute 0 to S (tau-a; tie-corrected
+    tau-b documented out of scope).
+
+    Output: [*key_cols], n, s, tau (NULL when n < 2).
+    """
+    keys = list(key_cols)
+    a = df.select(
+        *keys, F.col(ts_col).alias("__t1"), F.col(value_col).alias("__v1")
+    )
+    b = df.select(
+        *keys, F.col(ts_col).alias("__t2"), F.col(value_col).alias("__v2")
+    )
+    pairs = a.join(b, keys).where(F.col("__t1") < F.col("__t2"))
+    sgn = (
+        F.when(F.col("__v2") > F.col("__v1"), 1)
+        .when(F.col("__v2") < F.col("__v1"), -1)
+        .otherwise(0)
+    )
+    s = pairs.groupBy(*keys).agg(
+        F.sum(sgn).cast("bigint").alias("s")
+    )
+    n = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    out = n.join(s, keys, "left").na.fill({"s": 0})
+    tau = (F.lit(2.0) * F.col("s").cast("double")) / (
+        F.col("n") * (F.col("n") - 1)
+    ).cast("double")
+    return out.select(
+        *keys, "n", "s", F.when(F.col("n") >= 2, tau).alias("tau")
+    )
+
+
+def theil_sen(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Theil-Sen robust trend slope per series: the MEDIAN of all
+    pairwise slopes (x_j − x_i)/(t_j − t_i), i<j — up to ~29%
+    contamination tolerance where OLS (profile.trend_slope) breaks on
+    one bad sensor spike.
+
+    Pair fan-out is the same bounded per-series self-join as
+    mann_kendall (resample first). Each slope is ONE double division
+    of exactly-represented deltas; the median uses an EXPLICIT
+    index-selection rule on the sorted slope array (odd n → middle
+    element; even n → mean of the two middles) rather than an engine
+    median() — so any engine reproduces it bit-for-bit. The per-series
+    collect is bounded by the pair count, which the resample contract
+    already bounds.
+
+    Output: [*key_cols], n_pairs, slope (NULL when no pairs).
+    """
+    keys = list(key_cols)
+    a = df.select(
+        *keys, F.col(ts_col).alias("__t1"), F.col(value_col).alias("__v1")
+    )
+    b = df.select(
+        *keys, F.col(ts_col).alias("__t2"), F.col(value_col).alias("__v2")
+    )
+    slope = (
+        (F.col("__v2") - F.col("__v1")).cast("double")
+        / (
+            F.unix_timestamp("__t2") - F.unix_timestamp("__t1")
+        ).cast("double")
+    )
+    pairs = (
+        a.join(b, keys)
+        .where(F.col("__t1") < F.col("__t2"))
+        .select(*keys, slope.alias("__s"))
+    )
+    agg = pairs.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.array_sort(F.collect_list("__s")).alias("__sorted"),
+    )
+    n = F.col("n_pairs")
+    mid = F.element_at("__sorted", ((n + 1) / 2).cast("int"))
+    lo = F.element_at("__sorted", (n / 2).cast("int"))
+    hi = F.element_at("__sorted", (n / 2 + 1).cast("int"))
+    median = F.when(n % 2 == 1, mid).otherwise((lo + hi) / F.lit(2.0))
+    return agg.select(*keys, "n_pairs", median.alias("slope"))

@@ -14,6 +14,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -244,4 +245,222 @@ def ivf_topk_cosine(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("qid", "cid", "rank", "cosine")
+    )
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    vec_col: str,
+    m: int = 8,
+    ks: int = 16,
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Train a product-quantization codebook (Jégou et al. 2011): the
+    vector is split into ``m`` contiguous subvectors; each subspace
+    gets its own ``ks``-centroid seeded KMeans. The codebook is tiny
+    (m·ks rows) and broadcast everywhere downstream.
+
+    Vectors are L2-normalized BEFORE splitting, so PQ inner products
+    approximate cosine directly.
+
+    Output: (sub, code, centroid: array<double>) — m·ks rows.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    d = len(corpus.select(vec_col).first()[0])
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    norm = l2_norm(vec_col)
+    base = corpus.where(norm > 0).select(
+        F.transform(F.col(vec_col), lambda x: x / norm).alias("__nv")
+    )
+    books = []
+    for sub in range(m):
+        sv = base.select(
+            array_to_vector(
+                F.slice("__nv", sub * dsub + 1, dsub).cast("array<double>")
+            ).alias("features")
+        )
+        km = KMeans(k=ks, seed=seed + sub, maxIter=max_iter)
+        model = km.fit(sv)
+        centers = [
+            (sub, i, [float(x) for x in c])
+            for i, c in enumerate(model.clusterCenters())
+        ]
+        books.extend(centers)
+    return corpus.sparkSession.createDataFrame(
+        books, "sub int, code int, centroid array<double>"
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebook: DataFrame,
+) -> DataFrame:
+    """Assign every vector its m nearest-centroid codes — the 100 TB
+    compression step (d floats → m bytes, e.g. 64·4 B → 8 B).
+
+    The codebook collapses to a driver-side numpy array and the
+    assignment runs as ONE Arrow-batched pandas UDF (vectorized argmin
+    over all rows × all centroids per subspace) — map-side only, no
+    shuffle, no join. Zero-norm vectors are dropped (no cosine).
+
+    Output: (id, codes: array<int>).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    rows = codebook.orderBy("sub", "code").collect()
+    m = 1 + max(r["sub"] for r in rows)
+    ks = 1 + max(r["code"] for r in rows)
+    cb = np.array(
+        [r["centroid"] for r in rows], dtype=np.float64
+    ).reshape(m, ks, -1)
+    dsub = cb.shape[2]
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(cb)
+
+    @pandas_udf("array<int>")
+    def encode(vs: pd.Series) -> pd.Series:
+        book = bc.value
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / norms
+        codes = np.empty((mat.shape[0], m), dtype=np.int32)
+        for s in range(m):
+            subm = mat[:, s * dsub:(s + 1) * dsub]
+            # (rows, ks) squared distances via ||a-b||² expansion
+            d2 = (
+                (subm * subm).sum(1, keepdims=True)
+                - 2.0 * subm @ book[s].T
+                + (book[s] * book[s]).sum(1)
+            )
+            codes[:, s] = d2.argmin(1)
+        return pd.Series(list(codes))
+
+    norm = l2_norm(vec_col)
+    return df.where(norm > 0).select(
+        F.col(id_col).alias("id"), encode(F.col(vec_col)).alias("codes")
+    )
+
+
+def pq_topk_cosine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str,
+    query_id: str,
+    vec_col: str,
+    k: int = 5,
+    m: int = 8,
+    ks: int = 16,
+    seed: int = 42,
+    oversample: int = 4,
+) -> DataFrame:
+    """Approximate top-k cosine via product quantization with
+    asymmetric distance computation (ADC): corpus vectors live only as
+    m-byte codes; each query precomputes an m·ks lookup table of
+    subvector dot products against the codebook, and scoring a corpus
+    row is m table lookups + adds — pure column algebra, no floats from
+    the corpus touched at query time.
+
+    ADC ranks are then REFINED: the top k·oversample shortlist per
+    query (a tiny fraction of the corpus) is re-scored with exact
+    cosine against the real vectors and the final top-k comes from
+    that — the standard PQ-scan + re-rank architecture (quantization
+    error only costs recall when a true neighbor falls outside the
+    shortlist, not when ADC misorders inside it). oversample=1 ⇒ raw
+    ADC ranking.
+
+    Spark shape at 100 TB: codes are built once (pq_encode, map-side)
+    and persisted; the per-query LUT is built JVM-side by joining the
+    broadcast codebook against the (few) queries and collapsing to ONE
+    flat array per query (in-aggregate sort — q161's mechanism); the
+    scan is then corpus-codes × broadcast-LUTs with an
+    F.aggregate(sequence, element_at) sum — whole-stage codegen, no
+    Python in the hot loop, no shuffle of the corpus. Ranking is the
+    same per-query window as topk_cosine.
+
+    Output: qid, cid, rank, score (approximate cosine).
+    """
+    book = pq_codebook(corpus, vec_col, m=m, ks=ks, seed=seed)
+    codes = pq_encode(corpus, corpus_id, vec_col, book)
+    dsub_expr = F.size("centroid")
+    qnorm = l2_norm(vec_col)
+    q = queries.where(qnorm > 0).select(
+        F.col(query_id).alias("qid"),
+        F.transform(F.col(vec_col), lambda x: x / qnorm).alias("__qv"),
+    )
+    # per (query, sub, code): dot(q_sub, centroid)
+    cells = q.crossJoin(F.broadcast(book)).select(
+        "qid",
+        "sub",
+        "code",
+        F.aggregate(
+            F.zip_with(
+                F.slice("__qv", F.col("sub") * dsub_expr + 1, dsub_expr),
+                F.col("centroid"),
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("dot"),
+    )
+    # collapse to one flat LUT array per query, index = sub*ks + code
+    lut = cells.groupBy("qid").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("sub", "code", "dot"))
+            ),
+            lambda s: s["dot"],
+        ).alias("lut")
+    )
+    scored = codes.crossJoin(F.broadcast(lut)).select(
+        "qid",
+        F.col("id").alias("cid"),
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.element_at(
+                F.col("lut"), (i * ks + F.element_at(F.col("codes"), i + 1) + 1)
+            ),
+        ).alias("score"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("cid"))
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k * max(1, oversample))
+    )
+    if oversample <= 1:
+        return shortlist.where(F.col("rank") <= k).select(
+            "qid", "cid", "rank", "score"
+        )
+    # exact re-rank of the shortlist only: join back the true vectors
+    # (shortlist is queries·k·oversample rows — negligible next to the
+    # corpus), recompute exact cosine, final top-k window.
+    cv = corpus.select(
+        F.col(corpus_id).alias("cid"), F.col(vec_col).alias("__cv")
+    )
+    qv = queries.select(
+        F.col(query_id).alias("qid"), F.col(vec_col).alias("__qv2")
+    )
+    exact = (
+        shortlist.select("qid", "cid")
+        .join(cv, "cid")
+        .join(F.broadcast(qv), "qid")
+        .select(
+            "qid",
+            "cid",
+            cosine_similarity("__qv2", "__cv").alias("score"),
+        )
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("cid"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("qid", "cid", "rank", "score")
     )

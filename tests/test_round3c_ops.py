@@ -206,3 +206,81 @@ def test_kcore_cycle_is_2core(spark):
     cyc = [(i, (i + 1) % 5) for i in range(5)]
     out = kcore(_edges(spark, cyc), k=2).collect()
     assert sorted(r["node"] for r in out) == [0, 1, 2, 3, 4]
+
+
+# --- product quantization --------------------------------------------------
+
+def test_pq_topk_recall_vs_exact(spark):
+    from sensor_time_series_pyspark_spark.operators.similarity import (
+        pq_topk_cosine,
+        topk_cosine,
+    )
+    from sensor_time_series_pyspark_spark.sources.readers import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r["qid"], r["cid"])
+        for r in topk_cosine(emb, q, "vec_id", "vec_id", "embedding", k=5).collect()
+    }
+    approx = {
+        (r["qid"], r["cid"])
+        for r in pq_topk_cosine(
+            emb, q, "vec_id", "vec_id", "embedding",
+            k=5, m=16, ks=16, oversample=8,
+        ).collect()
+    }
+    assert len(approx) == len(exact) == 50
+    assert len(approx & exact) / len(exact) >= 0.5
+
+
+def test_pq_rerank_scores_are_exact_cosine(spark):
+    # with oversample>1, returned scores are TRUE cosines, so the
+    # self-query must rank itself first with score ~1.0
+    from sensor_time_series_pyspark_spark.operators.similarity import (
+        pq_topk_cosine,
+    )
+    from sensor_time_series_pyspark_spark.sources.readers import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.where(F.col("vec_id") < 3)
+    out = pq_topk_cosine(
+        emb, q, "vec_id", "vec_id", "embedding", k=3, m=16, ks=16, oversample=8
+    )
+    firsts = {r["qid"]: (r["cid"], r["score"]) for r in out.where(
+        F.col("rank") == 1
+    ).collect()}
+    for qid, (cid, score) in firsts.items():
+        assert cid == qid and abs(score - 1.0) < 1e-6
+
+
+# --- Mann-Kendall / Theil-Sen ---------------------------------------------
+
+def test_mann_kendall_monotone(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    up = [("up", t0 + dt.timedelta(days=i), i) for i in range(10)]
+    down = [("down", t0 + dt.timedelta(days=i), 10 - i) for i in range(10)]
+    flat = [("flat", t0 + dt.timedelta(days=i), 5) for i in range(10)]
+    from sensor_time_series_pyspark_spark.operators.profile import mann_kendall
+
+    df = spark.createDataFrame(up + down + flat, ["k", "t", "v"])
+    out = {r["k"]: r for r in mann_kendall(df, ["k"], "t", "v").collect()}
+    assert out["up"]["tau"] == 1.0 and out["down"]["tau"] == -1.0
+    assert out["flat"]["s"] == 0 and out["flat"]["tau"] == 0.0
+
+
+def test_theil_sen_recovers_line_with_outlier(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    # y = 3 per day, one wild outlier; Theil-Sen still ~3/day
+    rows = [("s", t0 + dt.timedelta(days=i), 3.0 * i) for i in range(11)]
+    rows[5] = ("s", t0 + dt.timedelta(days=5), 1000.0)
+    from sensor_time_series_pyspark_spark.operators.profile import theil_sen
+
+    df = spark.createDataFrame(rows, ["k", "t", "v"])
+    out = theil_sen(df, ["k"], "t", "v").collect()[0]
+    slope_per_day = out["slope"] * 86400
+    assert abs(slope_per_day - 3.0) < 1e-9
