@@ -3675,6 +3675,93 @@ def _q_pattern_match(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_group_skewness(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-type skewness of event values from exact integer power sums
+    — operators/profile.py:group_skewness (the F.skewness twin with a
+    portable sqrt-based epilogue, no pow(x,1.5))."""
+    from sensor_time_series_pyspark_spark.operators.profile import group_skewness
+
+    ev = read_table(spark, sf, "events")
+    return group_skewness(ev, "value", ["event_type"], decimals=2)
+
+
+def _q_phrase_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact phrase search ('data stream') with per-doc occurrence
+    counts — pure array algebra over token positions (no explode, no
+    join: the position scan runs map-side inside whole-stage codegen;
+    the inverted-index scale path is q111's posting lists keyed by the
+    phrase's rarest term)."""
+    docs = read_table(spark, sf, "documents")
+    t = tokens("text")
+    base = docs.select(F.col("doc_id"), t.alias("__t"))
+    n = F.size("__t")
+    # guard keeps every element_at index in bounds under ANSI mode
+    hits = F.when(
+        n >= 2,
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: (F.element_at("__t", i) == "data")
+                & (F.element_at("__t", i + 1) == "stream"),
+            )
+        ),
+    ).otherwise(0)
+    return base.select("doc_id", hits.alias("n_occurrences")).where(
+        F.col("n_occurrences") >= 1
+    )
+
+
+def _q_fpgrowth_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """MLlib FPGrowth frequent itemsets (brand baskets per order),
+    size <= 2, minSupport 2% — ml/pipelines.py:fpgrowth_itemsets. The
+    FP-tree counts are exact, so plain SQL basket counts ARE the
+    oracle."""
+    from sensor_time_series_pyspark_spark.ml.pipelines import fpgrowth_itemsets
+
+    li = read_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    p = read_table(spark, sf, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("items"))
+    )
+    return fpgrowth_itemsets(baskets, "items", min_support=0.02, max_size=2)
+
+
+def _q_als_recs(spark: SparkSession, sf: str) -> DataFrame:
+    """ALS collaborative filtering (customer x brand purchase counts),
+    top-3 recommendations per user — seeded MLlib ALS (rows-only:
+    factorization isn't SQL-expressible; shape/metric invariants in
+    tests/test_round3c_ops.py)."""
+    from pyspark.ml.recommendation import ALS
+
+    li = read_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    o = read_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    p = read_table(spark, sf, "part").select("p_partkey", "p_brand")
+    ratings = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.col("o_custkey").cast("int").alias("user"),
+            F.abs(F.hash("p_brand")).alias("item"),
+        )
+        .agg(F.count(F.lit(1)).cast("float").alias("rating"))
+    )
+    als = ALS(
+        rank=8, maxIter=5, seed=42, userCol="user", itemCol="item",
+        ratingCol="rating", implicitPrefs=True, coldStartStrategy="drop",
+    )
+    model = als.fit(ratings)
+    recs = model.recommendForAllUsers(3)
+    return recs.select(
+        "user", F.posexplode("recommendations").alias("rank0", "rec")
+    ).select(
+        F.col("user").alias("custkey"),
+        (F.col("rank0") + 1).alias("rank"),
+        F.col("rec.item").alias("item"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -3871,6 +3958,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q191_mann_kendall": _q_mann_kendall,
         "q192_theil_sen": _q_theil_sen,
         "q193_pattern_match": _q_pattern_match,
+        "q194_group_skewness": _q_group_skewness,
+        "q195_phrase_search": _q_phrase_search,
+        "q196_fpgrowth_pairs": _q_fpgrowth_pairs,
+        "q197_als_recs": _q_als_recs,
     }
 
 
@@ -7481,5 +7572,93 @@ def oracle_sql() -> dict[str, str]:
               CAST(sum(CASE WHEN regexp_matches(journey, 'v.*p')
                        THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
             FROM days GROUP BY user_id
+        """,
+        "q194_group_skewness": """
+            WITH ints AS (
+              SELECT event_type,
+                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(19,0)) AS xi
+              FROM events WHERE value IS NOT NULL
+            ),
+            s AS (
+              SELECT event_type, count(*) AS n,
+                sum(CAST(xi AS DECIMAL(38,0))) AS s1,
+                sum(CAST(xi * xi AS DECIMAL(38,0))) AS s2,
+                sum(CAST(CAST(xi AS DECIMAL(8,0)) * CAST(xi AS DECIMAL(8,0))
+                    * CAST(xi AS DECIMAL(8,0)) AS DECIMAL(38,0))) AS s3
+              FROM ints GROUP BY event_type
+            ),
+            e AS (
+              -- every multiply keeps one operand width >= 19 so DuckDB
+              -- takes the int128 path (two narrow operands can route a
+              -- >int64 product through int64 and overflow)
+              SELECT event_type, n,
+                CAST(CAST(CAST(n AS DECIMAL(12,0)) * CAST(s2 AS DECIMAL(25,0))
+                       AS DECIMAL(37,0))
+                  - CAST(CAST(s1 AS DECIMAL(19,0)) * CAST(s1 AS DECIMAL(19,0))
+                       AS DECIMAL(37,0)) AS DOUBLE) AS m2,
+                CAST(
+                  CAST(
+                    CAST(CAST(CAST(CAST(n AS DECIMAL(19,0))
+                         * CAST(n AS DECIMAL(19,0)) AS DECIMAL(14,0))
+                         AS DECIMAL(14,0)) * CAST(s3 AS DECIMAL(24,0))
+                         AS DECIMAL(37,0))
+                    - CAST(CAST(CAST(CAST(3 * n AS DECIMAL(19,0))
+                           * CAST(s1 AS DECIMAL(19,0)) AS DECIMAL(18,0))
+                           AS DECIMAL(18,0))
+                           * CAST(s2 AS DECIMAL(19,0)) AS DECIMAL(37,0))
+                    AS DECIMAL(37,0))
+                  + CAST(CAST(2 AS DECIMAL(3,0))
+                    * CAST(CAST(CAST(s1 AS DECIMAL(19,0))
+                           * CAST(s1 AS DECIMAL(19,0)) AS DECIMAL(23,0))
+                           * CAST(s1 AS DECIMAL(15,0)) AS DECIMAL(35,0))
+                    AS DECIMAL(37,0))
+                AS DOUBLE) AS m3
+              FROM s
+            )
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+              CASE WHEN m2 > 0 THEN m3 / (m2 * sqrt(m2)) END AS skewness
+            FROM e
+        """,
+        "q195_phrase_search": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(trim(text), '\s+'),
+                            x -> x <> '') AS t
+              FROM documents
+            )
+            SELECT doc_id, n_occurrences FROM (
+              SELECT doc_id,
+                CAST(len(list_filter(generate_series(1, len(t) - 1),
+                  i -> t[i] = 'data' AND t[i+1] = 'stream')) AS INT)
+                  AS n_occurrences
+              FROM toks
+              WHERE len(t) >= 2
+            ) WHERE n_occurrences >= 1
+        """,
+        "q196_fpgrowth_pairs": """
+            WITH baskets AS (
+              SELECT DISTINCT l_orderkey, p_brand
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+            ),
+            minc AS (
+              SELECT CAST(ceil(0.02E0 * count(DISTINCT l_orderkey)) AS BIGINT)
+                AS m
+              FROM baskets
+            ),
+            singles AS (
+              SELECT p_brand AS itemset, 1 AS size,
+                CAST(count(*) AS BIGINT) AS freq
+              FROM baskets GROUP BY p_brand
+            ),
+            pairs AS (
+              SELECT a.p_brand || '|' || b.p_brand AS itemset, 2 AS size,
+                CAST(count(*) AS BIGINT) AS freq
+              FROM baskets a JOIN baskets b
+                ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+              GROUP BY 1
+            )
+            SELECT itemset, CAST(size AS INT) AS size, freq
+            FROM (SELECT * FROM singles UNION ALL SELECT * FROM pairs)
+            WHERE freq >= (SELECT m FROM minc)
         """,
     }

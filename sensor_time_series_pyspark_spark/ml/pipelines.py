@@ -112,3 +112,37 @@ def evaluate_regression(predictions: DataFrame, label_col: str, metric: str = "r
 def feature_importances(model: PipelineModel) -> list[float]:
     """GBT featureImportances (reference M9, sensor_data_regression.py:88)."""
     return list(model.stages[-1].featureImportances.toArray())
+
+
+def fpgrowth_itemsets(
+    baskets: DataFrame,
+    items_col: str,
+    min_support: float = 0.01,
+    max_size: int | None = None,
+):
+    """Frequent-itemset mining via MLlib FPGrowth — the scale path for
+    market-basket analysis (operators/analytics.py:market_basket_pairs
+    and the Apriori-style q146 lattice are the exact-SQL twins for
+    pairs/triples; FPGrowth handles arbitrary itemset sizes with two
+    passes over the baskets and no candidate explosion).
+
+    FPGrowth counts are EXACT (the FP-tree is a lossless compression),
+    so size-limited output is differential-testable against plain SQL
+    counts — that is q196's oracle. Itemsets are returned as a sorted
+    '|'-joined string (engine-friendly key; array columns don't hash
+    portably in comparisons) plus the basket frequency.
+
+    Output: (itemset, size, freq).
+    """
+    from pyspark.ml.fpm import FPGrowth
+
+    fp = FPGrowth(itemsCol=items_col, minSupport=min_support, minConfidence=0.5)
+    model = fp.fit(baskets)
+    out = model.freqItemsets.select(
+        F.array_join(F.array_sort("items"), "|").alias("itemset"),
+        F.size("items").alias("size"),
+        F.col("freq"),
+    )
+    if max_size is not None:
+        out = out.where(F.col("size") <= max_size)
+    return out

@@ -661,3 +661,54 @@ def theil_sen(
     hi = F.element_at("__sorted", (n / 2 + 1).cast("int"))
     median = F.when(n % 2 == 1, mid).otherwise((lo + hi) / F.lit(2.0))
     return agg.select(*keys, "n_pairs", median.alias("slope"))
+
+
+def group_skewness(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str] | None = None,
+    decimals: int = 2,
+) -> DataFrame:
+    """Per-group skewness (population g1) from EXACT integer power
+    sums — the engine-portable twin of F.skewness, same mechanism as
+    exact_corr: scale to integers, aggregate Σx/Σx²/Σx³ as scale-0
+    decimals (order-independent), cancel while still exact, and only
+    then convert.
+
+        M2 = n·Σx² − (Σx)²        (n² × central 2nd moment)
+        M3 = n²·Σx³ − 3n·Σx·Σx² + 2(Σx)³   (n³ × central 3rd moment)
+        g1 = M3 / (M2 · sqrt(M2))
+
+    The epilogue avoids pow(x, 1.5) (libm, engine-varying): M2^{3/2} is
+    one multiply and one sqrt, both correctly-rounded IEEE ops. g1 is
+    scale-invariant, so the integer scaling changes nothing. Bounds:
+    values to ~1e6 at 2 decimals keep n²Σx³ inside decimal(38) up to
+    ~1e6 rows/group; larger groups lower ``decimals``.
+
+    Output: [*by], n, skewness (NULL for n<2 or zero variance).
+    """
+    keys = list(by) if by else []
+    xi = (
+        (F.col(value_col).cast(f"decimal(18,{decimals})") * (10 ** decimals))
+        .cast("decimal(19,0)")
+    )
+    d38 = "decimal(38,0)"
+    base = df.where(F.col(value_col).isNotNull())
+    sums = (base.groupBy(*keys) if keys else base.groupBy()).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xi.cast(d38)).alias("__s1"),
+        F.sum((xi * xi).cast(d38)).alias("__s2"),
+        F.sum((xi * xi * xi).cast(d38)).alias("__s3"),
+    )
+    nd = F.col("n").cast("decimal(12,0)")
+    m2 = (nd * F.col("__s2") - F.col("__s1") * F.col("__s1")).cast("double")
+    m3 = (
+        nd * nd * F.col("__s3")
+        - F.lit(3) * nd * F.col("__s1") * F.col("__s2")
+        + F.lit(2) * F.col("__s1") * F.col("__s1") * F.col("__s1")
+    ).cast("double")
+    return sums.select(
+        *keys,
+        "n",
+        F.when(m2 > 0, m3 / (m2 * F.sqrt(m2))).alias("skewness"),
+    )

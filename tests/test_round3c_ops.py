@@ -284,3 +284,49 @@ def test_theil_sen_recovers_line_with_outlier(spark):
     out = theil_sen(df, ["k"], "t", "v").collect()[0]
     slope_per_day = out["slope"] * 86400
     assert abs(slope_per_day - 3.0) < 1e-9
+
+
+# --- group skewness --------------------------------------------------------
+
+def test_group_skewness_matches_spark_builtin(spark):
+    from sensor_time_series_pyspark_spark.operators.profile import group_skewness
+    from sensor_time_series_pyspark_spark.sources.readers import read_table
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    ours = {r["event_type"]: r["skewness"] for r in group_skewness(
+        ev, "value", ["event_type"]
+    ).collect()}
+    builtin = {r["event_type"]: r["sk"] for r in ev.groupBy("event_type").agg(
+        F.skewness("value").alias("sk")
+    ).collect()}
+    for k, v in builtin.items():
+        assert abs(ours[k] - v) < 1e-9, (k, ours[k], v)
+
+
+def test_group_skewness_signs(spark):
+    # right tail -> positive, symmetric -> ~0
+    right = [("r", float(v)) for v in [1, 1, 1, 2, 2, 10]]
+    sym = [("s", float(v)) for v in [1, 2, 3, 4, 5]]
+    from sensor_time_series_pyspark_spark.operators.profile import group_skewness
+
+    df = spark.createDataFrame(right + sym, ["k", "v"])
+    out = {r["k"]: r["skewness"] for r in group_skewness(
+        df, "v", ["k"], decimals=0
+    ).collect()}
+    assert out["r"] > 1.0 and abs(out["s"]) < 1e-12
+
+
+# --- FPGrowth --------------------------------------------------------------
+
+def test_fpgrowth_pair_counts_exact(spark):
+    from sensor_time_series_pyspark_spark.ml.pipelines import fpgrowth_itemsets
+
+    baskets = spark.createDataFrame(
+        [(1, ["a", "b", "c"]), (2, ["a", "b"]), (3, ["a", "c"]), (4, ["b"])],
+        ["id", "items"],
+    )
+    out = {r["itemset"]: r["freq"] for r in fpgrowth_itemsets(
+        baskets, "items", min_support=0.5, max_size=2
+    ).collect()}
+    # support >= 2 baskets: a(3), b(3), c(2), a|b(2), a|c(2)
+    assert out == {"a": 3, "b": 3, "c": 2, "a|b": 2, "a|c": 2}
