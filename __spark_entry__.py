@@ -3762,6 +3762,52 @@ def _q_als_recs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_moment_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact mergeable moments: per-(type, day) partials rolled up to
+    per-type mean/variance/stddev WITHOUT rescanning the fact —
+    operators/profile.py:moment_partials/moment_rollup. The oracle
+    computes straight from the facts; equality IS the merge proof."""
+    from sensor_time_series_pyspark_spark.operators.profile import (
+        moment_partials,
+        moment_rollup,
+    )
+
+    ev = read_table(spark, sf, "events")
+    parts = moment_partials(
+        ev.withColumn("d", F.date_trunc("day", F.col("ts"))),
+        ["event_type", "d"],
+        "value",
+        decimals=2,
+    )
+    return moment_rollup(parts, ["event_type"], decimals=2)
+
+
+def _q_ks_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sample KS statistic (click vs error value distributions) —
+    operators/profile.py:ks_statistic (integer prefix-count numerator,
+    one division)."""
+    from sensor_time_series_pyspark_spark.operators.profile import ks_statistic
+
+    ev = read_table(spark, sf, "events")
+    return ks_statistic(ev, "event_type", "value", "click", "error")
+
+
+def _q_auc(spark: SparkSession, sf: str) -> DataFrame:
+    """ROC AUC of activity level predicting conversion (rank-sum
+    identity, tie-correct, integer-exact) —
+    operators/profile.py:auc_score."""
+    from sensor_time_series_pyspark_spark.operators.profile import auc_score
+
+    ev = read_table(spark, sf, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("activity"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    return auc_score(per_user, "converted", "activity")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -3962,6 +4008,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q195_phrase_search": _q_phrase_search,
         "q196_fpgrowth_pairs": _q_fpgrowth_pairs,
         "q197_als_recs": _q_als_recs,
+        "q198_moment_rollup": _q_moment_rollup,
+        "q199_ks_test": _q_ks_test,
+        "q200_auc": _q_auc,
     }
 
 
@@ -7660,5 +7709,95 @@ def oracle_sql() -> dict[str, str]:
             SELECT itemset, CAST(size AS INT) AS size, freq
             FROM (SELECT * FROM singles UNION ALL SELECT * FROM pairs)
             WHERE freq >= (SELECT m FROM minc)
+        """,
+        "q198_moment_rollup": """
+            WITH ints AS (
+              SELECT event_type,
+                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(19,0)) AS xi
+              FROM events WHERE value IS NOT NULL
+            ),
+            s AS (
+              SELECT event_type, count(*) AS n,
+                sum(CAST(xi AS DECIMAL(38,0))) AS s1,
+                sum(CAST(xi * xi AS DECIMAL(38,0))) AS s2
+              FROM ints GROUP BY event_type
+            ),
+            e AS (
+              SELECT event_type, n,
+                CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 100.0E0 AS mean,
+                CAST(CAST(CAST(n AS DECIMAL(12,0)) * CAST(s2 AS DECIMAL(25,0))
+                       AS DECIMAL(37,0))
+                  - CAST(CAST(s1 AS DECIMAL(19,0)) * CAST(s1 AS DECIMAL(19,0))
+                       AS DECIMAL(37,0)) AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 10000.0E0
+                  AS variance
+              FROM s
+            )
+            SELECT event_type, CAST(n AS BIGINT) AS n, mean, variance,
+              sqrt(variance) AS stddev
+            FROM e
+        """,
+        "q199_ks_test": """
+            WITH base AS (
+              SELECT value AS v,
+                CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a
+              FROM events
+              WHERE event_type IN ('click', 'error') AND value IS NOT NULL
+            ),
+            per_v AS (
+              SELECT v, CAST(sum(a) AS BIGINT) AS ca,
+                CAST(sum(1 - a) AS BIGINT) AS cb
+              FROM base GROUP BY v
+            ),
+            pref AS (
+              SELECT
+                sum(ca) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pa,
+                sum(cb) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb
+              FROM per_v
+            ),
+            totals AS (
+              SELECT CAST(max(pa) AS BIGINT) AS n_a,
+                CAST(max(pb) AS BIGINT) AS n_b
+              FROM pref
+            )
+            SELECT n_a, n_b,
+              CAST(max(abs(pa * n_b - pb * n_a)) AS DOUBLE)
+                / CAST(n_a * n_b AS DOUBLE) AS d
+            FROM pref, totals
+            GROUP BY n_a, n_b
+        """,
+        "q200_auc": """
+            WITH per_user AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS s,
+                max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS label
+              FROM events GROUP BY user_id
+            ),
+            per_s AS (
+              SELECT s, CAST(sum(label) AS BIGINT) AS np,
+                CAST(count(*) AS BIGINT) AS nt
+              FROM per_user GROUP BY s
+            ),
+            ranked AS (
+              SELECT np, nt,
+                coalesce(sum(nt) OVER (ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS prev
+              FROM per_s
+            ),
+            agg AS (
+              SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+                CAST(sum(nt) - sum(np) AS BIGINT) AS n_neg,
+                CAST(sum(np * (2 * prev + nt + 1)) AS BIGINT) AS r2
+              FROM ranked
+            )
+            SELECT n_pos, n_neg,
+              CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+                  / (2.0E0 * CAST(n_pos * n_neg AS DOUBLE))
+              END AS auc
+            FROM agg
         """,
     }

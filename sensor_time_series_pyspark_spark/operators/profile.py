@@ -712,3 +712,179 @@ def group_skewness(
         "n",
         F.when(m2 > 0, m3 / (m2 * F.sqrt(m2))).alias("skewness"),
     )
+
+
+def moment_partials(
+    df: DataFrame,
+    by: Sequence[str],
+    value_col: str,
+    decimals: int = 2,
+) -> DataFrame:
+    """Exact mergeable moment partials — the EXACT counterpart of the
+    sketch-partials pattern (operators/sketches.py): persist
+    (n, Σx, Σx²) per fine group (e.g. per day) once, and ANY coarser
+    mean/variance/stddev question merges partials without rescanning
+    the fact table. Sums are integer-scaled decimals, so merging is
+    associative and bit-exact in any engine and any order.
+
+    Output: [*by], n, s1, s2 (decimal(38,0) scaled by 10^decimals).
+    """
+    keys = list(by)
+    xi = (
+        (F.col(value_col).cast(f"decimal(18,{decimals})") * (10 ** decimals))
+        .cast("decimal(19,0)")
+    )
+    d38 = "decimal(38,0)"
+    return df.where(F.col(value_col).isNotNull()).groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xi.cast(d38)).alias("s1"),
+        F.sum((xi * xi).cast(d38)).alias("s2"),
+    )
+
+
+def moment_rollup(
+    partials: DataFrame,
+    by: Sequence[str],
+    decimals: int = 2,
+) -> DataFrame:
+    """Merge moment partials to a coarser grouping and finish mean /
+    population variance / stddev with the exact-cancellation epilogue
+    (n·Σx² − (Σx)² while still integer, ONE conversion, fixed IEEE
+    ops) — identical to computing from the raw facts, which is the
+    differential gate.
+
+    Output: [*by], n, mean, variance, stddev.
+    """
+    keys = list(by)
+    m = partials.groupBy(*keys).agg(
+        F.sum("n").alias("n"),
+        F.sum("s1").alias("__s1"),
+        F.sum("s2").alias("__s2"),
+    )
+    scale = float(10 ** decimals)
+    nd = F.col("n").cast("decimal(12,0)")
+    var_num = (nd * F.col("__s2") - F.col("__s1") * F.col("__s1")).cast("double")
+    nn = F.col("n").cast("double")
+    mean = F.col("__s1").cast("double") / nn / F.lit(scale)
+    variance = var_num / (nn * nn) / F.lit(scale * scale)
+    return m.select(
+        *keys,
+        "n",
+        mean.alias("mean"),
+        variance.alias("variance"),
+        F.sqrt(variance).alias("stddev"),
+    )
+
+
+def ks_statistic(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic D = sup|F_a − F_b|
+    computed EXACTLY in integers: per distinct value, prefix counts
+    c_a, c_b ride one ordered window over the (distinct-value)
+    aggregated frame, and D's numerator is max|c_a·N_b − c_b·N_a| —
+    pure integers until ONE final division by N_a·N_b. No ECDF floats,
+    no tie ambiguity (the prefix is evaluated after each full tie
+    group by construction).
+
+    The window runs over the DISTINCT-VALUE frame (bounded by value
+    cardinality, not row count); the fact is touched by one hash
+    aggregate. Output: one row — n_a, n_b, d.
+    """
+    from pyspark.sql.window import Window
+
+    base = df.where(
+        F.col(group_col).isin([group_a, group_b]) & F.col(value_col).isNotNull()
+    ).select(
+        F.col(value_col).alias("v"),
+        F.when(F.col(group_col) == group_a, 1).otherwise(0).alias("__a"),
+    )
+    per_v = base.groupBy("v").agg(
+        F.sum("__a").alias("ca"),
+        F.sum(F.lit(1) - F.col("__a")).alias("cb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    pref = per_v.select(
+        F.sum("ca").over(w).alias("pa"),
+        F.sum("cb").over(w).alias("pb"),
+    )
+    # the two sample sizes are the final prefix values; broadcast the
+    # 1-row totals back for the exact numerator
+    totals = pref.agg(F.max("pa").alias("n_a"), F.max("pb").alias("n_b"))
+    num = (
+        pref.crossJoin(F.broadcast(totals))
+        .select(
+            "n_a",
+            "n_b",
+            F.abs(
+                F.col("pa") * F.col("n_b") - F.col("pb") * F.col("n_a")
+            ).alias("__d"),
+        )
+        .groupBy("n_a", "n_b")
+        .agg(F.max("__d").alias("d_num"))
+    )
+    return num.select(
+        "n_a",
+        "n_b",
+        (
+            F.col("d_num").cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double")
+        ).alias("d"),
+    )
+
+
+def auc_score(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+) -> DataFrame:
+    """ROC AUC from the rank-sum (Mann-Whitney U) identity, exact in
+    integers with proper tie handling: aggregate to distinct scores
+    (n_pos, n_tot per score), one ordered window gives the rank offset,
+    and 2·Σranks_pos = Σ n_pos·(2·prev_total + n_tot + 1) stays integer
+    through the tie-averaging. AUC = (2·Σranks_pos − n_pos(n_pos+1)) /
+    (2·n_pos·n_neg) — ONE double division.
+
+    The window runs over the distinct-score frame (score cardinality,
+    not row count); the fact is one hash aggregate. This is the
+    engine-portable, tie-correct twin of
+    BinaryClassificationEvaluator's areaUnderROC.
+
+    Output: one row — n_pos, n_neg, auc (NULL if a class is absent).
+    """
+    from pyspark.sql.window import Window
+
+    per_s = df.where(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).groupBy(F.col(score_col).alias("s")).agg(
+        F.sum(F.col(label_col).cast("int")).alias("np"),
+        F.count(F.lit(1)).alias("nt"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_s.select(
+        "np",
+        "nt",
+        F.coalesce(F.sum("nt").over(w), F.lit(0)).alias("prev"),
+    )
+    agg = ranked.agg(
+        F.sum("np").cast("bigint").alias("n_pos"),
+        (F.sum("nt") - F.sum("np")).cast("bigint").alias("n_neg"),
+        F.sum(
+            F.col("np") * (F.lit(2) * F.col("prev") + F.col("nt") + 1)
+        ).cast("bigint").alias("r2"),
+    )
+    auc = (
+        (
+            F.col("r2") - F.col("n_pos") * (F.col("n_pos") + 1)
+        ).cast("double")
+        / (F.lit(2.0) * (F.col("n_pos") * F.col("n_neg")).cast("double"))
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0), auc).alias("auc"),
+    )

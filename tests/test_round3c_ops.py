@@ -330,3 +330,71 @@ def test_fpgrowth_pair_counts_exact(spark):
     ).collect()}
     # support >= 2 baskets: a(3), b(3), c(2), a|b(2), a|c(2)
     assert out == {"a": 3, "b": 3, "c": 2, "a|b": 2, "a|c": 2}
+
+
+# --- mergeable moments / KS / AUC -----------------------------------------
+
+def test_moment_rollup_equals_direct(spark):
+    from sensor_time_series_pyspark_spark.operators.profile import (
+        moment_partials,
+        moment_rollup,
+    )
+    from sensor_time_series_pyspark_spark.sources.readers import read_table
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "d", F.date_trunc("day", F.col("ts"))
+    )
+    merged = {r["event_type"]: r for r in moment_rollup(
+        moment_partials(ev, ["event_type", "d"], "value"), ["event_type"]
+    ).collect()}
+    direct = {r["event_type"]: r for r in ev.groupBy("event_type").agg(
+        F.avg("value").alias("mean"), F.var_pop("value").alias("var")
+    ).collect()}
+    for k, r in direct.items():
+        assert abs(merged[k]["mean"] - r["mean"]) < 1e-9
+        assert abs(merged[k]["variance"] - r["var"]) < 1e-6
+
+
+def test_ks_statistic_known(spark):
+    from sensor_time_series_pyspark_spark.operators.profile import ks_statistic
+
+    # identical distributions -> D == 0; disjoint -> D == 1
+    same = [("a", float(v)) for v in range(10)] + [
+        ("b", float(v)) for v in range(10)
+    ]
+    out = ks_statistic(spark.createDataFrame(same, ["g", "v"]), "g", "v", "a", "b")
+    assert out.collect()[0]["d"] == 0.0
+    disj = [("a", float(v)) for v in range(10)] + [
+        ("b", float(v + 100)) for v in range(10)
+    ]
+    out = ks_statistic(spark.createDataFrame(disj, ["g", "v"]), "g", "v", "a", "b")
+    assert out.collect()[0]["d"] == 1.0
+
+
+def test_auc_known_values(spark):
+    from sensor_time_series_pyspark_spark.operators.profile import auc_score
+
+    # perfect separation -> 1.0; reversed -> 0.0; with scipy-checkable ties
+    perfect = [(1, 10.0), (1, 9.0), (0, 2.0), (0, 1.0)]
+    df = spark.createDataFrame(perfect, ["y", "s"])
+    assert auc_score(df, "y", "s").collect()[0]["auc"] == 1.0
+    rev = [(0, 10.0), (0, 9.0), (1, 2.0), (1, 1.0)]
+    assert auc_score(
+        spark.createDataFrame(rev, ["y", "s"]), "y", "s"
+    ).collect()[0]["auc"] == 0.0
+    # ties: pos scores {1,2}, neg {1,2} -> AUC 0.5 exactly
+    tied = [(1, 1.0), (1, 2.0), (0, 1.0), (0, 2.0)]
+    assert auc_score(
+        spark.createDataFrame(tied, ["y", "s"]), "y", "s"
+    ).collect()[0]["auc"] == 0.5
+
+
+def test_auc_matches_sklearn_formula(spark):
+    # hand-computed rank-sum on a small mixed sample
+    from sensor_time_series_pyspark_spark.operators.profile import auc_score
+
+    data = [(1, 3.0), (1, 2.0), (1, 2.0), (0, 2.0), (0, 1.0), (0, 0.5)]
+    # ranks (avg for ties): 0.5->1, 1->2, 2->(3+4+5)/3=4, 3->6
+    # sum ranks pos = 6 + 4 + 4 = 14; U = 14 - 3*4/2 = 8; AUC = 8/9
+    out = auc_score(spark.createDataFrame(data, ["y", "s"]), "y", "s")
+    assert abs(out.collect()[0]["auc"] - 8.0 / 9.0) < 1e-12
