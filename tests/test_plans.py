@@ -76,6 +76,15 @@ def test_no_accidental_cartesian_products(spark):
     SKIP |= {"q24_holt_forecast", "q25_arima_grid", "q26_seasonal_decompose",
              "q27_mlp_classification", "q28_gbt_regression", "q43_model_metrics",
              "q47_ivf_topk"}
+    # deliberate 1-row scalar broadcasts (global mean / sample totals)
+    # — the de-correlated scalar-subquery pattern, same as q67
+    SKIP |= {"q180_idle_customers", "q181_important_parts", "q199_ks_test"}
+    # PQ ADC scan: corpus-codes × broadcast per-query LUTs is the
+    # declared scan semantics (queries ≪ corpus; like q23's broadcast)
+    SKIP |= {"q190_pq_topk"}
+    # ALS fit runs at plan-build time; recommendForAllUsers plans an
+    # MLlib-internal blocked cross join by design
+    SKIP |= {"q197_als_recs"}
     qs = entrymod.queries()
     offenders = []
     for name, fn in qs.items():
