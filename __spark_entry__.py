@@ -3808,6 +3808,157 @@ def _q_auc(spark: SparkSession, sf: str) -> DataFrame:
     return auc_score(per_user, "converted", "activity")
 
 
+def _q_open_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Concurrent-interval counting (order backlog over time): +1 at
+    order date, −1 the day after the last shipment, ONE running sum
+    over the per-day delta frame — the interval-overlap counter
+    without any point-in-interval join (which would be O(days×orders)).
+    The window runs over the day-cardinality delta frame only."""
+    o = read_table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    li = read_table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    closed = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("close_ts"))
+    spans = o.join(closed, F.col("o_orderkey") == F.col("l_orderkey"))
+    deltas = spans.select(
+        F.date_trunc("day", F.col("o_orderdate")).alias("d"), F.lit(1).alias("delta")
+    ).unionAll(
+        spans.select(
+            F.date_add(F.to_date("close_ts"), 1).cast("timestamp").alias("d"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    per_day = deltas.groupBy("d").agg(F.sum("delta").cast("bigint").alias("net"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        "d", "net", F.sum("net").over(w).alias("open_orders")
+    )
+
+
+def _q_new_vs_returning(spark: SparkSession, sf: str) -> DataFrame:
+    """New-vs-returning split per month: the first-seen reduction
+    (ONE min aggregate per customer) broadcast back onto the monthly
+    order frame — no per-month distinct self-joins."""
+    o = read_table(spark, sf, "orders").select("o_custkey", "o_orderdate")
+    first_seen = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("first_month")
+    )
+    monthly = o.select(
+        "o_custkey", F.date_trunc("month", F.col("o_orderdate")).alias("m")
+    ).distinct()
+    j = monthly.join(first_seen, "o_custkey")
+    return j.groupBy("m").agg(
+        F.sum(F.when(F.col("m") == F.col("first_month"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("new_customers"),
+        F.sum(F.when(F.col("m") == F.col("first_month"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("returning_customers"),
+    )
+
+
+def _q_seasonal_strength(spark: SparkSession, sf: str) -> DataFrame:
+    """Seasonal-strength diagnostic per event type: F_s = 1 −
+    Var(residual)/Var(value), where the seasonal fit is the (dow, hour)
+    calendar mean (q142's profile). Variances come from the SAME exact
+    integer-moment mechanism as exact_corr; residual sums reuse the
+    identity Σ(x−μ_g)² grouped via per-cell moments, so the fact is
+    scanned ONCE and everything downstream is cell-cardinality."""
+    ev = read_table(spark, sf, "events").where(F.col("value").isNotNull())
+    xi = (F.col("value").cast("decimal(18,2)") * 100).cast("decimal(19,0)")
+    d38 = "decimal(38,0)"
+    cells = ev.where(F.col("value") >= 0).select(
+        "event_type",
+        F.dayofweek("ts").alias("dow"),
+        F.hour("ts").alias("hod"),
+        xi.alias("__xi"),
+    ).groupBy("event_type", "dow", "hod").agg(
+        F.count(F.lit(1)).alias("cn"),
+        F.sum(F.col("__xi").cast(d38)).alias("cs1"),
+        F.sum((F.col("__xi") * F.col("__xi")).cast(d38)).alias("cs2"),
+    )
+    # Per-cell means are rounded ONCE to 6 extra digits by integer
+    # floor-division (engine-portable for the non-negative values this
+    # query filters to), and the residual sum of squares stays an
+    # EXACT integer at scale 1e12: Σ(x−μ)² = Σx²·1e12 − 2μ·Σx·1e6 +
+    # n·μ². Summing per-cell doubles would be order-dependent; this
+    # accumulates decimals — the tfidf round-once pattern.
+    def _rss(s1_col: str, s2_col: str, n_col: str) -> F.Column:
+        # Σ(x−μ)² at scale 1e12, μ floor-divided once at scale 1e6:
+        # s2·1e12 − 2·μ·s1·1e6 + n·μ² — every factor-pair stays inside
+        # decimal(38) (bounds in SCALING.md)
+        mu = F.expr(f"CAST({s1_col} AS BIGINT) * 1000000 div {n_col}")
+        mud = mu.cast("decimal(19,0)")
+        return (
+            F.col(s2_col) * F.lit(10 ** 12).cast("decimal(13,0)")
+            - F.lit(2).cast("decimal(2,0)") * mud
+            * (F.col(s1_col) * F.lit(10 ** 6).cast("decimal(7,0)")).cast("decimal(27,0)")
+            + F.col(n_col).cast("decimal(12,0)") * (mud * mud).cast("decimal(25,0)")
+        )
+
+    per_type = cells.groupBy("event_type").agg(
+        F.sum("cn").alias("n"),
+        F.sum("cs1").alias("s1"),
+        F.sum("cs2").alias("s2"),
+        F.sum(_rss("cs1", "cs2", "cn").cast(d38)).alias("ssr_s"),
+    )
+    sst_s = _rss("s1", "s2", "n")
+    strength = F.greatest(
+        F.lit(0.0),
+        F.lit(1.0) - F.col("ssr_s").cast("double") / sst_s.cast("double"),
+    )
+    return per_type.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.when(sst_s.cast("double") > 0, strength).alias("seasonal_strength"),
+    )
+
+
+def _q_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
+    """Neighbor-set Jaccard link prediction on the brand co-purchase
+    graph: common neighbors via ONE two-hop join through the shared
+    endpoint, degrees from one aggregate, jaccard = c/(da+db−c) —
+    integer counts, one division. Candidate pairs are generated only
+    through shared neighbors (never all-pairs)."""
+    li = read_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    p = read_table(spark, sf, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    # brand graph: brands co-occurring in an order
+    e = (
+        ob.alias("x")
+        .join(ob.alias("y"), "o")
+        .select(F.col("x.b").alias("a"), F.col("y.b").alias("b"))
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    both = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = both.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    # common neighbors: a–x and b–x
+    common = (
+        both.select(F.col("a").alias("u"), F.col("b").alias("x"))
+        .join(both.select(F.col("a").alias("v"), F.col("b").alias("x2")),
+              F.col("x") == F.col("x2"))
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(deg.select(F.col("a").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("a").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    return out.select(
+        "u",
+        "v",
+        "common",
+        (
+            F.col("common").cast("double")
+            / (F.col("du") + F.col("dv") - F.col("common")).cast("double")
+        ).alias("jaccard"),
+    ).where(F.col("common") >= 3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -4011,6 +4162,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q198_moment_rollup": _q_moment_rollup,
         "q199_ks_test": _q_ks_test,
         "q200_auc": _q_auc,
+        "q201_open_orders": _q_open_orders,
+        "q202_new_vs_returning": _q_new_vs_returning,
+        "q203_seasonal_strength": _q_seasonal_strength,
+        "q204_link_prediction": _q_link_prediction,
     }
 
 
@@ -7799,5 +7954,146 @@ def oracle_sql() -> dict[str, str]:
                   / (2.0E0 * CAST(n_pos * n_neg AS DOUBLE))
               END AS auc
             FROM agg
+        """,
+        "q201_open_orders": """
+            WITH closed AS (
+              SELECT l_orderkey, max(l_shipdate) AS close_ts
+              FROM lineitem GROUP BY l_orderkey
+            ),
+            spans AS (
+              SELECT o_orderdate, close_ts
+              FROM orders JOIN closed ON o_orderkey = l_orderkey
+            ),
+            deltas AS (
+              SELECT date_trunc('day', o_orderdate) AS d, 1 AS delta
+              FROM spans
+              UNION ALL
+              SELECT CAST(CAST(close_ts AS DATE) + INTERVAL 1 DAY
+                     AS TIMESTAMP), -1
+              FROM spans
+            ),
+            per_day AS (
+              SELECT d, CAST(sum(delta) AS BIGINT) AS net
+              FROM deltas GROUP BY d
+            )
+            SELECT d, net,
+              CAST(sum(net) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS open_orders
+            FROM per_day
+        """,
+        "q202_new_vs_returning": """
+            WITH first_seen AS (
+              SELECT o_custkey,
+                date_trunc('month', min(o_orderdate)) AS first_month
+              FROM orders GROUP BY o_custkey
+            ),
+            monthly AS (
+              SELECT DISTINCT o_custkey,
+                date_trunc('month', o_orderdate) AS m
+              FROM orders
+            )
+            SELECT m,
+              CAST(sum(CASE WHEN m = first_month THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_customers,
+              CAST(sum(CASE WHEN m = first_month THEN 0 ELSE 1 END)
+                AS BIGINT) AS returning_customers
+            FROM monthly JOIN first_seen USING (o_custkey)
+            GROUP BY m
+        """,
+        "q203_seasonal_strength": """
+            WITH ints AS (
+              SELECT event_type, dayofweek(ts) AS dow, hour(ts) AS hod,
+                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(19,0)) AS xi
+              FROM events WHERE value IS NOT NULL AND value >= 0
+            ),
+            cells AS (
+              SELECT event_type, dow, hod, count(*) AS cn,
+                sum(CAST(xi AS DECIMAL(38,0))) AS cs1,
+                sum(CAST(xi * xi AS DECIMAL(38,0))) AS cs2
+              FROM ints GROUP BY 1, 2, 3
+            ),
+            cellr AS (
+              SELECT event_type, cn, cs1, cs2,
+                (CAST(cs1 AS BIGINT) * 1000000) // cn AS mu
+              FROM cells
+            ),
+            per_type AS (
+              SELECT event_type,
+                CAST(sum(cn) AS BIGINT) AS n,
+                sum(cs1) AS s1,
+                sum(cs2) AS s2,
+                sum(CAST(
+                  CAST(cs2 * CAST(1000000000000 AS DECIMAL(13,0))
+                       AS DECIMAL(38,0))
+                  - CAST(CAST(2 AS DECIMAL(2,0)) * CAST(mu AS DECIMAL(19,0))
+                      * CAST(CAST(cs1 AS DECIMAL(20,0))
+                             * CAST(1000000 AS DECIMAL(7,0))
+                             AS DECIMAL(27,0)) AS DECIMAL(38,0))
+                  + CAST(CAST(cn AS DECIMAL(12,0))
+                      * CAST(CAST(mu AS DECIMAL(19,0))
+                             * CAST(mu AS DECIMAL(19,0)) AS DECIMAL(25,0))
+                      AS DECIMAL(38,0))
+                AS DECIMAL(38,0))) AS ssr_s
+              FROM cellr GROUP BY event_type
+            ),
+            final AS (
+              SELECT event_type, n, ssr_s,
+                (CAST(s1 AS BIGINT) * 1000000) // n AS mug, s1, s2
+              FROM per_type
+            )
+            SELECT event_type, n,
+              CASE WHEN CAST(
+                  CAST(s2 * CAST(1000000000000 AS DECIMAL(13,0))
+                       AS DECIMAL(38,0))
+                  - CAST(CAST(2 AS DECIMAL(2,0)) * CAST(mug AS DECIMAL(19,0))
+                      * CAST(CAST(s1 AS DECIMAL(20,0))
+                             * CAST(1000000 AS DECIMAL(7,0))
+                             AS DECIMAL(27,0)) AS DECIMAL(38,0))
+                  + CAST(CAST(n AS DECIMAL(12,0))
+                      * CAST(CAST(mug AS DECIMAL(19,0))
+                             * CAST(mug AS DECIMAL(19,0)) AS DECIMAL(25,0))
+                      AS DECIMAL(38,0)) AS DOUBLE) > 0
+              THEN greatest(0.0E0, 1.0E0 - CAST(ssr_s AS DOUBLE) / CAST(
+                  CAST(s2 * CAST(1000000000000 AS DECIMAL(13,0))
+                       AS DECIMAL(38,0))
+                  - CAST(CAST(2 AS DECIMAL(2,0)) * CAST(mug AS DECIMAL(19,0))
+                      * CAST(CAST(s1 AS DECIMAL(20,0))
+                             * CAST(1000000 AS DECIMAL(7,0))
+                             AS DECIMAL(27,0)) AS DECIMAL(38,0))
+                  + CAST(CAST(n AS DECIMAL(12,0))
+                      * CAST(CAST(mug AS DECIMAL(19,0))
+                             * CAST(mug AS DECIMAL(19,0)) AS DECIMAL(25,0))
+                      AS DECIMAL(38,0)) AS DOUBLE))
+              END AS seasonal_strength
+            FROM final
+        """,
+        "q204_link_prediction": """
+            WITH ob AS (
+              SELECT DISTINCT l_orderkey AS o, p_brand AS b
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+            ),
+            e AS (
+              SELECT DISTINCT x.b AS a, y.b AS b
+              FROM ob x JOIN ob y ON x.o = y.o AND x.b < y.b
+            ),
+            sym AS (
+              SELECT a, b FROM e UNION ALL SELECT b, a FROM e
+            ),
+            deg AS (
+              SELECT a, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY a
+            ),
+            common AS (
+              SELECT x.a AS u, y.a AS v, CAST(count(*) AS BIGINT) AS common
+              FROM sym x JOIN sym y ON x.b = y.b AND x.a < y.a
+              GROUP BY 1, 2
+            )
+            SELECT u, v, common,
+              CAST(common AS DOUBLE)
+                / CAST(du.d + dv.d - common AS DOUBLE) AS jaccard
+            FROM common
+            JOIN deg du ON u = du.a
+            JOIN deg dv ON v = dv.a
+            WHERE common >= 3
         """,
     }

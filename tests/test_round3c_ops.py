@@ -398,3 +398,26 @@ def test_auc_matches_sklearn_formula(spark):
     # sum ranks pos = 6 + 4 + 4 = 14; U = 14 - 3*4/2 = 8; AUC = 8/9
     out = auc_score(spark.createDataFrame(data, ["y", "s"]), "y", "s")
     assert abs(out.collect()[0]["auc"] - 8.0 / 9.0) < 1e-12
+
+
+# --- UDTF surface ----------------------------------------------------------
+
+def test_chunk_spans_udtf_matches_chunk_tokens(spark):
+    from sensor_time_series_pyspark_spark.functions.udtfs import register_udtfs
+    from sensor_time_series_pyspark_spark.operators.chunking import chunk_tokens
+
+    register_udtfs(spark)
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y"), (3, "")], ["doc_id", "text"]
+    )
+    docs.createOrReplaceTempView("udtf_docs")
+    via_udtf = spark.sql(
+        "SELECT d.doc_id AS id, c.chunk_id, c.chunk_text, c.n_tokens "
+        "FROM udtf_docs d, LATERAL chunk_spans(d.text, 3) c"
+    )
+    via_cols = chunk_tokens(docs, "doc_id", "text", chunk_size=3)
+    a = {tuple(r) for r in via_udtf.collect()}
+    b = {tuple(r) for r in via_cols.select(
+        "id", "chunk_id", "chunk_text", "n_tokens"
+    ).collect()}
+    assert a == b and len(a) == 4  # doc1 -> 3 chunks, doc2 -> 1, doc3 -> 0
