@@ -3959,6 +3959,112 @@ def _q_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
     ).where(F.col("common") >= 3)
 
 
+def _q_share_of_parent(spark: SparkSession, sf: str) -> DataFrame:
+    """ratio_to_report OLAP shape: each nation's revenue share within
+    its region — window totals over the AGGREGATED nation frame only
+    (the fact contributes one hash aggregate; the share division is
+    group-cardinality work)."""
+    li = read_table(spark, sf, "lineitem")
+    s = read_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = read_table(spark, sf, "nation")
+    r = read_table(spark, sf, "region")
+    dim = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "n_name", "r_name")
+    )
+    agg = (
+        li.join(F.broadcast(dim), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(_revenue()).alias("__rev"))
+    )
+    wreg = Window.partitionBy("r_name")
+    return agg.select(
+        "r_name",
+        "n_name",
+        F.col("__rev").cast("double").alias("revenue"),
+        (
+            F.col("__rev").cast("double")
+            / F.sum("__rev").over(wreg).cast("double")
+        ).alias("region_share"),
+    )
+
+
+def _q_pseudonymize(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic PII tokenization: customer keys replaced by
+    salted sha256 tokens — referential integrity preserved (the same
+    key always maps to the same token, so joins still work on the
+    pseudonymized tables), irreversible without the salt. Map-side
+    only; sha2 is standardized so any engine derives identical tokens
+    (cross-system reproducibility is the point of deterministic
+    tokenization)."""
+    c = read_table(spark, sf, "customer")
+    token = F.sha2(F.concat(F.lit("pepper-v1:"), F.col("c_custkey").cast("string")), 256)
+    return c.select(
+        token.alias("cust_token"),
+        "c_mktsegment",
+        F.col("c_nationkey"),
+        (F.col("c_acctbal") >= 0).alias("in_good_standing"),
+    )
+
+
+def _q_record_linkage(spark: SparkSession, sf: str) -> DataFrame:
+    """Record-linkage scoring (Fellegi-Sunter shape): a synthesized
+    dirty registry (names with injected typos — built identically in
+    both engines, the q79 convention) is matched against customers.
+    Blocking on nation key bounds candidates (never all-pairs);
+    per-pair agreement features (exact nation, levenshtein<=2 on name,
+    |acctbal| within 10) combine into an integer match score —
+    levenshtein is algorithmically fixed, so the score is portable."""
+    c = read_table(spark, sf, "customer")
+    # dirty twin: drop the 'Customer#' prefix's last zero-run digit and
+    # append a checksum-ish suffix — a deterministic "typo"
+    dirty = c.select(
+        F.col("c_custkey").alias("d_key"),
+        F.concat(
+            F.lit("Custmer#"), F.lpad((F.col("c_custkey") % 100000).cast("string"), 9, "0")
+        ).alias("d_name"),
+        F.col("c_nationkey").alias("d_nation"),
+        (F.col("c_acctbal") + ((F.col("c_custkey") % 21) - 10)).alias("d_bal"),
+    )
+    cand = c.join(dirty, c["c_nationkey"] == dirty["d_nation"])
+    lev = F.levenshtein(F.col("c_name"), F.col("d_name"))
+    score = (
+        F.when(lev <= 2, 2).otherwise(0)
+        + F.when(F.abs(F.col("c_acctbal") - F.col("d_bal")) <= 10.0, 1).otherwise(0)
+    )
+    pairs = cand.select(
+        "c_custkey",
+        "d_key",
+        lev.alias("name_dist"),
+        score.alias("match_score"),
+    ).where(F.col("match_score") >= 3)
+    return pairs
+
+
+def _q_geo_binning(spark: SparkSession, sf: str) -> DataFrame:
+    """Spatial grid binning (the reference's geo bounding filter P4
+    generalized): synthetic lat/lon derived from md5 of the event id —
+    engine-identical, the q79 synthesized-input convention — bucketed
+    into 10-degree grid cells; per-cell event counts and exact mean
+    value. The grid key is integer floor division (map-side); cells
+    aggregate in one shuffle."""
+    ev = read_table(spark, sf, "events")
+    h1 = F.conv(F.substring(F.md5(F.concat(F.lit("lat:"), F.col("event_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5(F.concat(F.lit("lon:"), F.col("event_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    lat_cell = ((h1 % 180) - 90) / F.lit(10)
+    lon_cell = ((h2 % 360) - 180) / F.lit(10)
+    keyed = ev.select(
+        F.floor(lat_cell).cast("int").alias("lat_cell"),
+        F.floor(lon_cell).cast("int").alias("lon_cell"),
+        "value",
+    )
+    return keyed.groupBy("lat_cell", "lon_cell").agg(
+        F.count(F.lit(1)).alias("n"),
+        _davg(F.col("value")).alias("avg_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -4166,6 +4272,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q202_new_vs_returning": _q_new_vs_returning,
         "q203_seasonal_strength": _q_seasonal_strength,
         "q204_link_prediction": _q_link_prediction,
+        "q205_share_of_parent": _q_share_of_parent,
+        "q206_pseudonymize": _q_pseudonymize,
+        "q207_record_linkage": _q_record_linkage,
+        "q208_geo_binning": _q_geo_binning,
     }
 
 
@@ -8095,5 +8205,63 @@ def oracle_sql() -> dict[str, str]:
             JOIN deg du ON u = du.a
             JOIN deg dv ON v = dv.a
             WHERE common >= 3
+        """,
+        "q205_share_of_parent": f"""
+            WITH agg AS (
+              SELECT r_name, n_name, sum({_REV_SQL}) AS rev
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              GROUP BY r_name, n_name
+            )
+            SELECT r_name, n_name, CAST(rev AS DOUBLE) AS revenue,
+              CAST(rev AS DOUBLE)
+                / CAST(sum(rev) OVER (PARTITION BY r_name) AS DOUBLE)
+                AS region_share
+            FROM agg
+        """,
+        "q206_pseudonymize": """
+            SELECT
+              sha256('pepper-v1:' || CAST(c_custkey AS VARCHAR))
+                AS cust_token,
+              c_mktsegment, c_nationkey,
+              c_acctbal >= 0 AS in_good_standing
+            FROM customer
+        """,
+        "q207_record_linkage": """
+            WITH dirty AS (
+              SELECT c_custkey AS d_key,
+                'Custmer#' || lpad(CAST(c_custkey % 100000 AS VARCHAR), 9, '0')
+                  AS d_name,
+                c_nationkey AS d_nation,
+                c_acctbal + ((c_custkey % 21) - 10) AS d_bal
+              FROM customer
+            )
+            SELECT c_custkey, d_key,
+              CAST(levenshtein(c_name, d_name) AS INT) AS name_dist,
+              CAST(CASE WHEN levenshtein(c_name, d_name) <= 2 THEN 2 ELSE 0 END
+                + CASE WHEN abs(c_acctbal - d_bal) <= 10.0E0 THEN 1 ELSE 0 END
+                AS INT) AS match_score
+            FROM customer JOIN dirty ON c_nationkey = d_nation
+            WHERE CASE WHEN levenshtein(c_name, d_name) <= 2 THEN 2 ELSE 0 END
+                + CASE WHEN abs(c_acctbal - d_bal) <= 10.0E0 THEN 1 ELSE 0 END
+                >= 3
+        """,
+        "q208_geo_binning": f"""
+            WITH keyed AS (
+              SELECT
+                CAST(floor(((CAST(('0x' || substr(md5('lat:'
+                    || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 180)
+                    - 90) / 10) AS INT) AS lat_cell,
+                CAST(floor(((CAST(('0x' || substr(md5('lon:'
+                    || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 360)
+                    - 180) / 10) AS INT) AS lon_cell,
+                value
+              FROM events
+            )
+            SELECT lat_cell, lon_cell, CAST(count(*) AS BIGINT) AS n,
+              {_davg_sql('value')} AS avg_value
+            FROM keyed GROUP BY 1, 2
         """,
     }
