@@ -4065,6 +4065,81 @@ def _q_geo_binning(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_daily_bands(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily p10/p50/p90 bands of the hourly event-count series per
+    type — exact percentiles over integer counts (q60's interpolation
+    parity), computed on the hour-cardinality aggregate, never the
+    fact."""
+    ev = read_table(spark, sf, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("d"),
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return hourly.groupBy("event_type", "d").agg(
+        F.percentile("n", F.lit(0.1)).alias("p10"),
+        F.median("n").alias("p50"),
+        F.percentile("n", F.lit(0.9)).alias("p90"),
+        F.count(F.lit(1)).alias("n_hours"),
+    )
+
+
+def _q_bounce_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Session bounce rate per day: share of 30-minute-gap sessions
+    with exactly one event — composes sessionize's gap logic at the
+    (user, session) grain, then a day-cardinality rollup."""
+    ev = read_table(spark, sf, "events")
+    sess = sessionize(ev, "ts", ["user_id"], 1800)
+    per_session = sess.groupBy("user_id", "session_seq").agg(
+        F.date_trunc("day", F.min("ts")).alias("d"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return per_session.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bounces"),
+    ).select(
+        "d",
+        "n_sessions",
+        "n_bounces",
+        (
+            F.col("n_bounces").cast("double")
+            / F.col("n_sessions").cast("double")
+        ).alias("bounce_rate"),
+    )
+
+
+def _q_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer fertility per language: subword-proxy tokens per word
+    and characters per subword token — integer sums, one division each
+    (the multilingual tokenizer-efficiency diagnostic)."""
+    docs = read_table(spark, sf, "documents")
+    base = docs.select(
+        "lang",
+        token_count("text").alias("__w"),
+        bpe_ish_token_count("text").alias("__bt"),
+        F.length("text").alias("__c"),
+    )
+    agg = base.groupBy("lang").agg(
+        F.sum("__w").cast("bigint").alias("words"),
+        F.sum("__bt").cast("bigint").alias("subword_tokens"),
+        F.sum("__c").cast("bigint").alias("chars"),
+    )
+    return agg.select(
+        "lang",
+        "words",
+        "subword_tokens",
+        "chars",
+        (
+            F.col("subword_tokens").cast("double") / F.col("words").cast("double")
+        ).alias("fertility"),
+        (
+            F.col("chars").cast("double") / F.col("subword_tokens").cast("double")
+        ).alias("chars_per_token"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -4276,6 +4351,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q206_pseudonymize": _q_pseudonymize,
         "q207_record_linkage": _q_record_linkage,
         "q208_geo_binning": _q_geo_binning,
+        "q209_daily_bands": _q_daily_bands,
+        "q210_bounce_rate": _q_bounce_rate,
+        "q211_tokenizer_fertility": _q_tokenizer_fertility,
     }
 
 
@@ -8263,5 +8341,70 @@ def oracle_sql() -> dict[str, str]:
             SELECT lat_cell, lon_cell, CAST(count(*) AS BIGINT) AS n,
               {_davg_sql('value')} AS avg_value
             FROM keyed GROUP BY 1, 2
+        """,
+        "q209_daily_bands": """
+            WITH hourly AS (
+              SELECT event_type, date_trunc('day', ts) AS d,
+                date_trunc('hour', ts) AS h,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2, 3
+            )
+            SELECT event_type, d,
+              quantile_cont(n, 0.1) AS p10,
+              median(n) AS p50,
+              quantile_cont(n, 0.9) AS p90,
+              CAST(count(*) AS BIGINT) AS n_hours
+            FROM hourly GROUP BY event_type, d
+        """,
+        "q210_bounce_rate": """
+            WITH flagged AS (
+              SELECT user_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                     THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            sess AS (
+              SELECT user_id, ts,
+                CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+              FROM flagged
+            ),
+            per_session AS (
+              SELECT user_id, session_seq,
+                date_trunc('day', min(ts)) AS d,
+                CAST(count(*) AS BIGINT) AS n_events
+              FROM sess GROUP BY user_id, session_seq
+            )
+            SELECT d, CAST(count(*) AS BIGINT) AS n_sessions,
+              CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_bounces,
+              CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE) AS bounce_rate
+            FROM per_session GROUP BY d
+        """,
+        "q211_tokenizer_fertility": r"""
+            WITH base AS (
+              SELECT lang,
+                CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '')) AS BIGINT) AS w,
+                CAST(coalesce(list_aggregate(
+                  list_transform(
+                    list_filter(string_split_regex(trim(text), '\s+'),
+                                x -> x <> ''),
+                    t -> CAST(ceil(len(t) / 4.0) AS INT)
+                  ), 'sum'), 0) AS BIGINT) AS bt,
+                CAST(length(text) AS BIGINT) AS c
+              FROM documents
+            )
+            SELECT lang,
+              CAST(sum(w) AS BIGINT) AS words,
+              CAST(sum(bt) AS BIGINT) AS subword_tokens,
+              CAST(sum(c) AS BIGINT) AS chars,
+              CAST(sum(bt) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS fertility,
+              CAST(sum(c) AS DOUBLE) / CAST(sum(bt) AS DOUBLE)
+                AS chars_per_token
+            FROM base GROUP BY lang
         """,
     }
