@@ -4140,6 +4140,35 @@ def _q_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_repeat_share(spark: SparkSession, sf: str) -> DataFrame:
+    """Compression sizing for delta/RLE encoding: per series (user),
+    the share of zero-delta (repeated) and small-delta readings —
+    operators/compress.py:delta_encode feeding one integer aggregate
+    (the decision input for deadband/delta historian compression)."""
+    from sensor_time_series_pyspark_spark.operators.compress import delta_encode
+
+    ev = read_table(spark, sf, "events").where(F.col("value").isNotNull())
+    enc = delta_encode(ev, ["user_id"], "ts", "value", decimals=2)
+    body = enc.where(~F.col("is_first"))
+    return body.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_deltas"),
+        F.sum(F.when(F.col("delta") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_repeats"),
+        F.sum(F.when(F.abs(F.col("delta")) <= 100, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_small"),
+    ).select(
+        "user_id",
+        "n_deltas",
+        "n_repeats",
+        "n_small",
+        (
+            F.col("n_small").cast("double") / F.col("n_deltas").cast("double")
+        ).alias("compressible_share"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -4354,6 +4383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q209_daily_bands": _q_daily_bands,
         "q210_bounce_rate": _q_bounce_rate,
         "q211_tokenizer_fertility": _q_tokenizer_fertility,
+        "q212_repeat_share": _q_repeat_share,
     }
 
 
@@ -8406,5 +8436,29 @@ def oracle_sql() -> dict[str, str]:
               CAST(sum(c) AS DOUBLE) / CAST(sum(bt) AS DOUBLE)
                 AS chars_per_token
             FROM base GROUP BY lang
+        """,
+        "q212_repeat_share": """
+            WITH ints AS (
+              SELECT user_id, ts,
+                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS xi
+              FROM events WHERE value IS NOT NULL
+            ),
+            enc AS (
+              SELECT user_id,
+                xi - lag(xi) OVER (PARTITION BY user_id ORDER BY ts)
+                  AS delta,
+                lag(xi) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  AS is_first
+              FROM ints
+            )
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_deltas,
+              CAST(sum(CASE WHEN delta = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_repeats,
+              CAST(sum(CASE WHEN abs(delta) <= 100 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_small,
+              CAST(sum(CASE WHEN abs(delta) <= 100 THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(count(*) AS DOUBLE) AS compressible_share
+            FROM enc WHERE NOT is_first
+            GROUP BY user_id
         """,
     }

@@ -131,3 +131,66 @@ def swinging_door_compress(
         .groupBy(key_col)
         .applyInPandas(compress, schema=out_schema)
     )
+
+
+def delta_encode(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    decimals: int = 2,
+) -> DataFrame:
+    """Delta encoding for regular numeric series (the Gorilla/timescale
+    compression front end): each reading becomes its integer-scaled
+    difference from the predecessor — repeated and slowly-drifting
+    sensor values collapse to long zero/near-zero runs that dictionary
+    and RLE parquet encodings then store in a few bits.
+
+    One lag over the per-series window (single shuffle on the series
+    key); the first reading per series carries its full scaled value
+    with ``is_first`` set. ``delta_decode`` reverses losslessly (the
+    scaling is an exact decimal cast, property-tested round trip).
+
+    Output: [*key_cols], ts, delta (bigint), is_first.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    xi = (
+        (F.col(value_col).cast(f"decimal(18,{decimals})") * (10 ** decimals))
+        .cast("long")
+    )
+    prev = F.lag(xi).over(w)
+    return df.select(
+        *key_cols,
+        F.col(ts_col).alias("ts"),
+        F.coalesce(xi - prev, xi).alias("delta"),
+        prev.isNull().alias("is_first"),
+    )
+
+
+def delta_decode(
+    encoded: DataFrame,
+    key_cols: list[str],
+    decimals: int = 2,
+) -> DataFrame:
+    """Reverse delta_encode: a running sum of deltas per series (one
+    prefix-sum window over the same partitioning the encoder used —
+    the shuffle is reused when chained).
+
+    Output: [*key_cols], ts, value (double).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return encoded.select(
+        *key_cols,
+        "ts",
+        (
+            F.sum("delta").over(w).cast("double") / F.lit(float(10 ** decimals))
+        ).alias("value"),
+    )
