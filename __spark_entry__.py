@@ -4169,6 +4169,52 @@ def _q_repeat_share(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_hierarchy_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Recursive-hierarchy subtree rollup WITHOUT recursion: the
+    synthetic org tree parent(k)=k div 10 has closed-form ancestors
+    (k div 10^i), so the transitive closure is a map-side fan-out of
+    <= 8 (node, ancestor) rows per node — no iterative joins, no
+    recursive CTE on the Spark side (the DuckDB oracle uses one; the
+    equality shows the closure is complete). One aggregate sums each
+    subtree. The general-graph path is bfs_hops/q151; this is the
+    classic fixed-fanout hierarchy shortcut (BOM levels, org codes,
+    geo cells)."""
+    c = read_table(spark, sf, "customer")
+    ancs = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda i: F.floor(
+                F.col("c_custkey") / F.pow(F.lit(10.0), i.cast("double"))
+            ).cast("bigint"),
+        )
+    )
+    pairs = c.select(
+        F.col("c_acctbal"), F.explode(ancs).alias("ancestor")
+    )
+    return pairs.groupBy("ancestor").agg(
+        F.count(F.lit(1)).alias("n_desc"),
+        _dsum(F.col("c_acctbal")).alias("subtree_bal"),
+    ).where(F.col("n_desc") >= 2)
+
+
+def _q_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
+    """k-anonymity audit: quasi-identifier combinations (nation,
+    segment, balance decile) re-identifying fewer than k=5 customers —
+    the release-gate check for pseudonymized data (q206's complement:
+    tokenization hides direct ids; this measures what the REMAINING
+    columns leak). ntile over the customer frame with a deterministic
+    tiebreak; one aggregate; violating combos only."""
+    c = read_table(spark, sf, "customer")
+    w = Window.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
+    binned = c.select(
+        "c_nationkey", "c_mktsegment", F.ntile(10).over(w).alias("bal_decile")
+    )
+    groups = binned.groupBy("c_nationkey", "c_mktsegment", "bal_decile").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    return groups.where(F.col("group_size") < 5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -4384,6 +4430,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q210_bounce_rate": _q_bounce_rate,
         "q211_tokenizer_fertility": _q_tokenizer_fertility,
         "q212_repeat_share": _q_repeat_share,
+        "q213_hierarchy_rollup": _q_hierarchy_rollup,
+        "q214_k_anonymity": _q_k_anonymity,
     }
 
 
@@ -8460,5 +8508,33 @@ def oracle_sql() -> dict[str, str]:
                 AS DOUBLE) / CAST(count(*) AS DOUBLE) AS compressible_share
             FROM enc WHERE NOT is_first
             GROUP BY user_id
+        """,
+        "q213_hierarchy_rollup": """
+            WITH RECURSIVE anc AS (
+              SELECT c_custkey AS node, c_custkey AS ancestor, c_acctbal
+              FROM customer
+              UNION ALL
+              SELECT node, ancestor // 10, c_acctbal
+              FROM anc WHERE ancestor > 0
+            )
+            SELECT ancestor, CAST(count(*) AS BIGINT) AS n_desc,
+              CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+                AS subtree_bal
+            FROM anc
+            GROUP BY ancestor
+            HAVING count(*) >= 2
+        """,
+        "q214_k_anonymity": """
+            WITH binned AS (
+              SELECT c_nationkey, c_mktsegment,
+                CAST(ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS INT)
+                  AS bal_decile
+              FROM customer
+            )
+            SELECT c_nationkey, c_mktsegment, bal_decile,
+              CAST(count(*) AS BIGINT) AS group_size
+            FROM binned
+            GROUP BY 1, 2, 3
+            HAVING count(*) < 5
         """,
     }
