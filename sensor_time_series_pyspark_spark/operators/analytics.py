@@ -426,7 +426,9 @@ def burst_detect(
         .orderBy("epoch")
         .rangeBetween(-(window_seconds - 1), 0)
     )
-    base = df.select(
+    base = df.where(
+        F.col(entity_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
         F.col(entity_col).alias("entity"),
         F.unix_timestamp(F.col(ts_col)).alias("epoch"),
     )

@@ -295,6 +295,8 @@ def lag_corr(
     Output: lag, n, corr — rows where a lag has < 2 aligned points or
     a constant side give NULL corr.
     """
+    if max_lag < 0 or step_seconds <= 0:
+        raise ValueError("max_lag must be >= 0 and step_seconds > 0")
     lags = F.sequence(F.lit(0), F.lit(max_lag))
     bx = b.select(
         F.col(ts_col).alias("__bts"), F.col(value_col).alias("__y")

@@ -830,9 +830,10 @@ def ks_statistic(
     return num.select(
         "n_a",
         "n_b",
-        (
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
             F.col("d_num").cast("double")
-            / (F.col("n_a") * F.col("n_b")).cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double"),
         ).alias("d"),
     )
 

@@ -242,8 +242,8 @@ def mixture_weights(
         (F.col("tokens").cast("double") / total.cast("double")).alias(
             "token_share"
         ),
-        (
-            total.cast("double")
-            / (n_groups * F.col("tokens")).cast("double")
+        F.when(
+            F.col("tokens") > 0,
+            total.cast("double") / (n_groups * F.col("tokens")).cast("double"),
         ).alias("weight"),
     )

@@ -421,3 +421,38 @@ def test_chunk_spans_udtf_matches_chunk_tokens(spark):
         "id", "chunk_id", "chunk_text", "n_tokens"
     ).collect()}
     assert a == b and len(a) == 4  # doc1 -> 3 chunks, doc2 -> 1, doc3 -> 0
+
+
+# --- edge hardening --------------------------------------------------------
+
+def test_burst_detect_ignores_null_ts(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("u", t0 + dt.timedelta(seconds=i)) for i in range(6)]
+    rows.append(("u", None))
+    df = spark.createDataFrame(rows, "user string, ts timestamp")
+    out = burst_detect(df, "user", "ts", window_seconds=60, min_events=5)
+    assert out.collect()[0]["max_burst"] == 6  # null row excluded
+
+
+def test_ks_statistic_empty_group_null_d(spark):
+    from sensor_time_series_pyspark_spark.operators.profile import ks_statistic
+
+    df = spark.createDataFrame([("a", 1.0), ("a", 2.0)], ["g", "v"])
+    row = ks_statistic(df, "g", "v", "a", "b").collect()[0]
+    assert row["n_b"] == 0 and row["d"] is None
+
+
+def test_lag_corr_validates_params(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1,)], ["x"])
+    with _pytest.raises(ValueError):
+        lag_corr(df, df, "x", "x", max_lag=3, step_seconds=0)
+
+
+def test_mixture_weights_zero_token_group(spark):
+    df = spark.createDataFrame([("a", 10), ("b", 0)], ["g", "toks"])
+    out = {r["g"]: r for r in mixture_weights(df, ["g"], "toks").collect()}
+    assert out["b"]["weight"] is None and out["a"]["weight"] is not None
