@@ -118,34 +118,42 @@ def _q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q1 shape: the reference's A1-style multi-agg groupBy at
     fact scale (hash aggregate, map-side partials, one shuffle)."""
     li = read_table(spark, sf, "lineitem")
-    one = F.lit(1).cast("decimal(12,2)")
-    disc_price = _dec("l_extendedprice") * (one - _dec("l_discount"))
-    charge = disc_price * (one + _dec("l_tax"))
-    # averages REUSE the (12,2) sum aggregates (all three columns carry
-    # <= 2 decimals, so the narrow cast is lossless and the exact sums —
-    # hence the doubles — are identical to the DECIMAL(38,6) oracle
-    # form): Catalyst dedups textually-identical aggregate expressions,
-    # cutting the physical agg from 7 decimal sums (three of them
-    # non-compact 38,6) to 4 compact ones — measured ~1.5x on the whole
-    # query at sf0.1.
+    # Exact SCALED-LONG arithmetic: the three money columns carry <= 2
+    # decimals and are non-negative, so (x*100 + 0.5)::long recovers
+    # the exact cent integer with pure double ops — no per-row decimal
+    # cast (the casts, not the sums, cost 3x: 0.885s -> 0.53s at
+    # sf0.1). Products stay integers at scale 1e4/1e6; the largest
+    # group sum (~6.6e16 at sf0.1) is far under 2^63, and ANSI mode
+    # fails loudly (never wraps) at the ~8e7-rows-per-group point where
+    # a 100 TB run must switch to the decimal form. Final values are
+    # the same exact integers the decimal form produces, so the
+    # cast-to-double + one division epilogue hash-matches the oracle's
+    # decimal sums (verified at sf0.001/0.01/0.1).
+    cents = lambda c: (F.col(c) * 100 + F.lit(0.5)).cast("long")  # noqa: E731
+    qty, ext = cents("l_quantity"), cents("l_extendedprice")
+    dis, tax = cents("l_discount"), cents("l_tax")
+    disc_price = ext * (F.lit(100) - dis)           # scale 1e4
+    charge = disc_price * (F.lit(100) + tax)        # scale 1e6
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.lit(1e2)).alias("sum_qty"),
+            (F.sum(ext).cast("double") / F.lit(1e2)).alias("sum_base_price"),
+            (F.sum(disc_price).cast("double") / F.lit(1e4)).alias(
+                "sum_disc_price"
+            ),
+            (F.sum(charge).cast("double") / F.lit(1e6)).alias("sum_charge"),
             (
-                F.sum(_dec("l_quantity")).cast("double")
+                F.sum(qty).cast("double") / F.lit(1e2)
                 / F.count(F.col("l_quantity"))
             ).alias("avg_qty"),
             (
-                F.sum(_dec("l_extendedprice")).cast("double")
+                F.sum(ext).cast("double") / F.lit(1e2)
                 / F.count(F.col("l_extendedprice"))
             ).alias("avg_price"),
             (
-                F.sum(_dec("l_discount")).cast("double")
+                F.sum(dis).cast("double") / F.lit(1e2)
                 / F.count(F.col("l_discount"))
             ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
