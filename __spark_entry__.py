@@ -4223,6 +4223,61 @@ def _q_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
     return groups.where(F.col("group_size") < 5)
 
 
+def _q_segment_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """N-way audience overlap (the Venn-diagram rollup): each user
+    collapses to ONE integer bitmask of behaviors (click=1, view=2,
+    purchase=4) via conditional max — then one tiny aggregate counts
+    every segment combination. The bitmask pattern replaces 2^N−1
+    intersection queries (or N-way theta-sketch algebra, q132) with
+    one pass over the fact."""
+    ev = read_table(spark, sf, "events")
+    per_user = ev.groupBy("user_id").agg(
+        (
+            F.max(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            + F.max(F.when(F.col("event_type") == "view", 2).otherwise(0))
+            + F.max(F.when(F.col("event_type") == "purchase", 4).otherwise(0))
+        ).alias("segment_mask")
+    )
+    return per_user.groupBy("segment_mask").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+def _q_scd2_temporal_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Temporal (point-in-interval) join against an SCD2 dimension:
+    each purchase joined to the user-state version valid immediately
+    BEFORE it — 'what state was the customer in when they converted'
+    (the state valid AT a purchase is trivially the purchase's own
+    version, since the dimension derives from the same stream). Probe:
+    valid_from < ts <= valid_to; first-ever purchases have no prior
+    version and drop out of the inner join (documented). At scale the
+    equi-key (user) carries the join; the interval predicate is a
+    residual filter, never a nested loop. Dimension is q63's SCD2
+    build."""
+    from sensor_time_series_pyspark_spark.operators import scd2
+
+    ev = read_table(spark, sf, "events")
+    dim = scd2(ev, ["user_id"], "ts", ["event_type"]).select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("state"),
+        "valid_from",
+        "valid_to",
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    j = purchases.join(
+        dim,
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("ts") > F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") <= F.col("valid_to"))),
+    )
+    return j.groupBy("state").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -4440,6 +4495,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q212_repeat_share": _q_repeat_share,
         "q213_hierarchy_rollup": _q_hierarchy_rollup,
         "q214_k_anonymity": _q_k_anonymity,
+        "q215_segment_overlap": _q_segment_overlap,
+        "q216_scd2_temporal_join": _q_scd2_temporal_join,
     }
 
 
@@ -8544,5 +8601,45 @@ def oracle_sql() -> dict[str, str]:
             FROM binned
             GROUP BY 1, 2, 3
             HAVING count(*) < 5
+        """,
+        "q215_segment_overlap": """
+            WITH per_user AS (
+              SELECT user_id,
+                max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                + max(CASE WHEN event_type = 'view' THEN 2 ELSE 0 END)
+                + max(CASE WHEN event_type = 'purchase' THEN 4 ELSE 0 END)
+                  AS segment_mask
+              FROM events GROUP BY user_id
+            )
+            SELECT CAST(segment_mask AS INT) AS segment_mask,
+              CAST(count(*) AS BIGINT) AS n_users
+            FROM per_user GROUP BY segment_mask
+        """,
+        "q216_scd2_temporal_join": """
+            WITH ordered AS (
+              SELECT user_id, ts, event_type,
+                lag(event_type) OVER w AS prev_et,
+                lag(ts) OVER w AS prev_ts
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            versions AS (
+              SELECT user_id, ts, event_type FROM ordered
+              WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev_et
+            ),
+            dim AS (
+              SELECT user_id AS d_user, event_type AS state,
+                ts AS valid_from, lead(ts) OVER w2 AS valid_to
+              FROM versions
+              WINDOW w2 AS (PARTITION BY user_id ORDER BY ts)
+            )
+            SELECT state, CAST(count(*) AS BIGINT) AS n_purchases,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events e JOIN dim
+              ON e.user_id = dim.d_user
+             AND e.ts > dim.valid_from
+             AND (dim.valid_to IS NULL OR e.ts <= dim.valid_to)
+            WHERE e.event_type = 'purchase'
+            GROUP BY state
         """,
     }
