@@ -264,3 +264,101 @@ def test_snapshot_diff_partitions_keyspace(spark, old_keys, new_keys):
             else "added"
         )
         assert c == want
+
+
+# --- round-3 operators -----------------------------------------------------
+
+texts = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=40),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(**SETTINGS)
+@given(texts)
+def test_winnowing_fingerprints_bounded_by_grams(spark, docs):
+    from sensor_time_series_pyspark_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    out = winnow_fingerprints(df, "doc_id", "text", k=2, w=3).collect()
+    assert len(out) == len(docs)  # every doc appears
+    for r in out:
+        # fingerprint count bounded by window-start count and >=1 iff
+        # any gram exists
+        assert 0 <= r["n_fingerprints"] <= max(r["n_grams"], 1)
+        assert (r["n_fingerprints"] == 0) == (r["n_grams"] == 0)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(st.integers(1, 50), min_size=1, max_size=10),
+    st.integers(1, 200),
+)
+def test_token_budget_boundary(spark, toks, budget):
+    from sensor_time_series_pyspark_spark.operators.sampling import (
+        token_budget_select,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t, i) for i, t in enumerate(toks)], ["id", "toks", "score"]
+    )
+    out = token_budget_select(df, "id", "toks", "score", budget=budget)
+    rows = out.orderBy("cum_tokens").collect()
+    if rows:
+        assert rows[-1]["cum_tokens"] <= budget
+    # greedy property: the next doc in score order would exceed budget
+    taken = {r["id"] for r in rows}
+    order = sorted(
+        ((r[2], r[0], r[1]) for r in df.collect()),
+        key=lambda x: (-x[0], x[1]),
+    )
+    cum = 0
+    for score, ident, t in order:
+        cum += t
+        if cum <= budget:
+            assert ident in taken
+        else:
+            break
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.floats(0, 1000, allow_nan=False), min_size=2, max_size=15))
+def test_delta_roundtrip_property(spark, vals):
+    from sensor_time_series_pyspark_spark.operators.compress import (
+        delta_decode,
+        delta_encode,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    vals = [round(v, 2) for v in vals]
+    df = spark.createDataFrame(
+        [("s", t0 + timedelta(seconds=i), v) for i, v in enumerate(vals)],
+        "k string, ts timestamp, v double",
+    )
+    dec = delta_decode(delta_encode(df, ["k"], "ts", "v"), ["k"])
+    got = [r["value"] for r in dec.orderBy("ts").collect()]
+    for g, v in zip(got, vals):
+        assert abs(g - v) < 1e-9
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.integers(0, 5), min_size=2, max_size=20))
+def test_mann_kendall_antisymmetric(spark, vals):
+    from sensor_time_series_pyspark_spark.operators.profile import mann_kendall
+
+    t0 = datetime(2024, 1, 1)
+    fwd = spark.createDataFrame(
+        [("s", t0 + timedelta(days=i), float(v)) for i, v in enumerate(vals)],
+        "k string, ts timestamp, v double",
+    )
+    rev = spark.createDataFrame(
+        [("s", t0 + timedelta(days=i), float(v))
+         for i, v in enumerate(reversed(vals))],
+        "k string, ts timestamp, v double",
+    )
+    sf = mann_kendall(fwd, ["k"], "ts", "v").collect()[0]["s"]
+    sr = mann_kendall(rev, ["k"], "ts", "v").collect()[0]["s"]
+    assert sf == -sr  # reversing time negates S
