@@ -4278,6 +4278,96 @@ def _q_scd2_temporal_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_join_key_skew(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-key skew diagnosis — the 'does this key need salting /
+    AQE skew-join' advisor run before any big fact-fact join: per
+    candidate key, distinct-key count, max single-key share, and the
+    hot-key-to-median ratio. One aggregate to the key-frequency frame;
+    every statistic after that is key-cardinality work (exact median
+    via the q60 percentile mechanism over integer counts)."""
+    li = read_table(spark, sf, "lineitem")
+    freqs = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stats = freqs.agg(
+        F.lit("l_partkey").alias("join_key"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.max("n").alias("max_key_rows"),
+        F.median("n").alias("median_key_rows"),
+    )
+    freqs2 = li.groupBy(F.col("l_suppkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stats2 = freqs2.agg(
+        F.lit("l_suppkey").alias("join_key"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.max("n").alias("max_key_rows"),
+        F.median("n").alias("median_key_rows"),
+    )
+    both = stats.unionByName(stats2)
+    return both.select(
+        "join_key",
+        "n_keys",
+        "n_rows",
+        "max_key_rows",
+        "median_key_rows",
+        (
+            F.col("max_key_rows").cast("double") / F.col("n_rows").cast("double")
+        ).alias("max_share"),
+        (
+            F.col("max_key_rows").cast("double") / F.col("median_key_rows")
+        ).alias("skew_ratio"),
+    )
+
+
+def _q_orphan_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Referential-integrity audit across every fact foreign key —
+    orphaned row counts via conditional aggregates over broadcast
+    left joins (the valid-key sets are dim-sized; the fact scans
+    once per fact table, never per key). The standard pipeline gate
+    before publishing a star schema."""
+    li = read_table(spark, sf, "lineitem")
+    o = read_table(spark, sf, "orders")
+    c = read_table(spark, sf, "customer").select("c_custkey")
+    p = read_table(spark, sf, "part").select("p_partkey")
+    s = read_table(spark, sf, "supplier").select("s_suppkey")
+    ok = o.select("o_orderkey")
+    li_j = (
+        li.select("l_orderkey", "l_partkey", "l_suppkey")
+        .join(F.broadcast(ok), F.col("l_orderkey") == F.col("o_orderkey"), "left")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left")
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"), "left")
+    )
+    li_stats = li_j.agg(
+        F.lit("lineitem").alias("fact"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("orphan_orderkey"),
+        F.sum(F.when(F.col("p_partkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("orphan_partkey"),
+        F.sum(F.when(F.col("s_suppkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("orphan_suppkey"),
+    )
+    o_j = o.select("o_custkey").join(
+        F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"), "left"
+    )
+    o_stats = o_j.agg(
+        F.lit("orders").alias("fact"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("orphan_orderkey"),
+        F.lit(0).cast("bigint").alias("orphan_partkey"),
+        F.lit(0).cast("bigint").alias("orphan_suppkey"),
+    )
+    return li_stats.unionByName(o_stats)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -4497,6 +4587,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q214_k_anonymity": _q_k_anonymity,
         "q215_segment_overlap": _q_segment_overlap,
         "q216_scd2_temporal_join": _q_scd2_temporal_join,
+        "q217_join_key_skew": _q_join_key_skew,
+        "q218_orphan_check": _q_orphan_check,
     }
 
 
@@ -8641,5 +8733,54 @@ def oracle_sql() -> dict[str, str]:
              AND (dim.valid_to IS NULL OR e.ts <= dim.valid_to)
             WHERE e.event_type = 'purchase'
             GROUP BY state
+        """,
+        "q217_join_key_skew": """
+            WITH f1 AS (
+              SELECT l_partkey AS k, count(*) AS n FROM lineitem GROUP BY 1
+            ),
+            f2 AS (
+              SELECT l_suppkey AS k, count(*) AS n FROM lineitem GROUP BY 1
+            ),
+            s1 AS (
+              SELECT 'l_partkey' AS join_key,
+                CAST(count(*) AS BIGINT) AS n_keys,
+                CAST(sum(n) AS BIGINT) AS n_rows,
+                CAST(max(n) AS BIGINT) AS max_key_rows,
+                median(n) AS median_key_rows
+              FROM f1
+            ),
+            s2 AS (
+              SELECT 'l_suppkey' AS join_key,
+                CAST(count(*) AS BIGINT) AS n_keys,
+                CAST(sum(n) AS BIGINT) AS n_rows,
+                CAST(max(n) AS BIGINT) AS max_key_rows,
+                median(n) AS median_key_rows
+              FROM f2
+            ),
+            u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+            SELECT join_key, n_keys, n_rows, max_key_rows, median_key_rows,
+              CAST(max_key_rows AS DOUBLE) / CAST(n_rows AS DOUBLE)
+                AS max_share,
+              CAST(max_key_rows AS DOUBLE) / median_key_rows AS skew_ratio
+            FROM u
+        """,
+        "q218_orphan_check": """
+            SELECT 'lineitem' AS fact, CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS orphan_orderkey,
+              CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS orphan_partkey,
+              CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS orphan_suppkey
+            FROM lineitem l
+            LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+            LEFT JOIN part p ON l.l_partkey = p.p_partkey
+            LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            UNION ALL
+            SELECT 'orders', CAST(count(*) AS BIGINT),
+              CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+              CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+            FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
         """,
     }
