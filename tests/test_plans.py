@@ -319,3 +319,43 @@ def test_densify_locf_single_window_pass(spark):
     assert plan.count("Window") == 1
     assert "Join" not in plan
     assert "Union" in plan
+
+
+# --- shuffle budgets -------------------------------------------------------
+
+# Maximum allowed data Exchanges (hash/range/single-partition shuffles
+# on the fact lineage; BroadcastExchange is free) per headline query.
+# These pin the ONE-shuffle property the scale design is built on — a
+# regression that adds a shuffle fails here before it shows up in bench.
+SHUFFLE_BUDGET = {
+    "flagship_hourly_wide": 1,
+    "q01_pricing_summary": 1,
+    "q03_segment_revenue": 1,
+    "q05_event_type_pivot": 1,
+    "q09_top_orders_per_customer": 1,
+    "q11_resample_30min": 1,
+    "q14_interpolate": 1,
+    "q15_sessionize": 1,
+    "q17_dedup_exact": 1,
+    "q22_doc_stats": 1,
+    "q29_asof_join": 2,     # union + per-entity window, then dedup pass
+    "q169_volume_shipping": 1,
+    "q172_priority_shipping": 1,
+    "q198_moment_rollup": 2,  # partials, then the rollup merge
+}
+
+
+def test_headline_shuffle_budgets(spark):
+    import re
+
+    qs = entrymod.queries()
+    over = {}
+    for name, budget in SHUFFLE_BUDGET.items():
+        df = qs[name](spark, SF)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        n = len(re.findall(r"\(\d+\) Exchange\b", plan))
+        if n > budget:
+            over[name] = (n, budget)
+    assert not over, f"shuffle budget exceeded: {over}"
