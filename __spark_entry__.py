@@ -4368,6 +4368,72 @@ def _q_orphan_check(spark: SparkSession, sf: str) -> DataFrame:
     return li_stats.unionByName(o_stats)
 
 
+def _q_class_rebalance(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact minority-class upsampling by integer replication: each
+    label's rows replicate floor(max_class/n_class) times (explode of a
+    sequence — map-side row fan-out, no RNG, rerun-stable). The
+    output label histogram shows near-parity. The classic imbalanced-
+    training-set fix expressed as pure column algebra; fractional
+    remainders are left to hash_sample (documented), keeping this step
+    deterministic."""
+    emb = read_table(spark, sf, "embeddings")
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    mx = counts.agg(F.max("n").alias("mx"))
+    factors = counts.join(F.broadcast(mx)).select(
+        "label", F.floor(F.col("mx") / F.col("n")).cast("int").alias("factor")
+    )
+    rebalanced = (
+        emb.join(F.broadcast(factors), "label")
+        .select(
+            "label",
+            "vec_id",
+            F.explode(F.sequence(F.lit(1), F.col("factor"))).alias("copy_no"),
+        )
+    )
+    return rebalanced.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_after"),
+        F.countDistinct("vec_id").alias("n_unique"),
+    )
+
+
+def _q_negative_samples(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor draws 3 pseudo-random partners via md5(anchor||j) mod N —
+    no RNG state, identical on every engine and every rerun (the
+    hash-sampling convention), self-pairs skipped by a +1 shift. The
+    partner ids join back to the corpus to prove existence; at scale
+    this is a map-side id computation + one equi-join on the id (ids
+    here are dense 0..N-1; for sparse ids route through a row_number
+    rank frame first — documented)."""
+    emb = read_table(spark, sf, "embeddings").select("vec_id", "label")
+    n = emb.count()
+    js = F.explode(F.sequence(F.lit(1), F.lit(3))).alias("j")
+    base = emb.select("vec_id", js)
+    raw = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":"), F.col("j"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long") % F.lit(n - 1)
+    # shift past the anchor so neg != anchor, staying in [0, n)
+    neg = F.when(raw >= F.col("vec_id"), raw + 1).otherwise(raw)
+    pairs = base.select("vec_id", "j", neg.alias("neg_id"))
+    other = emb.select(
+        F.col("vec_id").alias("neg_id"), F.col("label").alias("neg_label")
+    )
+    anchor = emb.select(F.col("vec_id"), F.col("label").alias("anchor_label"))
+    j1 = pairs.join(anchor, "vec_id").join(other, "neg_id")
+    return j1.groupBy("anchor_label").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            F.when(F.col("anchor_label") == F.col("neg_label"), 1).otherwise(0)
+        ).cast("bigint").alias("n_same_label"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -4589,6 +4655,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q216_scd2_temporal_join": _q_scd2_temporal_join,
         "q217_join_key_skew": _q_join_key_skew,
         "q218_orphan_check": _q_orphan_check,
+        "q219_class_rebalance": _q_class_rebalance,
+        "q220_negative_samples": _q_negative_samples,
     }
 
 
@@ -8782,5 +8850,48 @@ def oracle_sql() -> dict[str, str]:
                 AS BIGINT),
               CAST(0 AS BIGINT), CAST(0 AS BIGINT)
             FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "q219_class_rebalance": """
+            WITH counts AS (
+              SELECT label, count(*) AS n FROM embeddings GROUP BY label
+            ),
+            factors AS (
+              SELECT label,
+                CAST(floor((SELECT max(n) FROM counts) / n) AS INT) AS factor
+              FROM counts
+            ),
+            rebalanced AS (
+              SELECT e.label, e.vec_id,
+                unnest(generate_series(1, f.factor)) AS copy_no
+              FROM embeddings e JOIN factors f USING (label)
+            )
+            SELECT label, CAST(count(*) AS BIGINT) AS n_after,
+              CAST(count(DISTINCT vec_id) AS BIGINT) AS n_unique
+            FROM rebalanced GROUP BY label
+        """,
+        "q220_negative_samples": """
+            WITH n AS (SELECT count(*) AS n FROM embeddings),
+            base AS (
+              SELECT vec_id, label AS anchor_label,
+                unnest(generate_series(1, 3)) AS j
+              FROM embeddings
+            ),
+            drawn AS (
+              SELECT vec_id, anchor_label, j,
+                CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':'
+                    || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
+                  % (SELECT n - 1 FROM n) AS raw
+              FROM base
+            ),
+            pairs AS (
+              SELECT vec_id, anchor_label,
+                CASE WHEN raw >= vec_id THEN raw + 1 ELSE raw END AS neg_id
+              FROM drawn
+            )
+            SELECT anchor_label, CAST(count(*) AS BIGINT) AS n_pairs,
+              CAST(sum(CASE WHEN anchor_label = o.label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_same_label
+            FROM pairs JOIN embeddings o ON pairs.neg_id = o.vec_id
+            GROUP BY anchor_label
         """,
     }
