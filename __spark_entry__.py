@@ -4434,6 +4434,32 @@ def _q_negative_samples(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_boolean_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Boolean search over the inverted index: docs containing ALL of
+    {'data','stream'} and NONE of {'slow'} — posting-list intersection
+    as one (doc, matched-term) aggregate HAVING count = n_terms, the
+    negation as an anti join against the excluded term's postings.
+    The fan-out is bounded by the query terms' document frequencies
+    (q111's posting lists are the persisted form at scale), never a
+    corpus scan per term."""
+    docs = read_table(spark, sf, "documents")
+    postings = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("term")
+    )
+    must = postings.where(F.col("term").isin("data", "stream"))
+    hit_all = (
+        must.groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("n_hit"))
+        .where(F.col("n_hit") == 2)
+        .select("doc_id")
+    )
+    excluded = postings.where(F.col("term") == "slow").select("doc_id").distinct()
+    matched = hit_all.join(excluded, "doc_id", "left_anti")
+    return matched.join(
+        docs.select("doc_id", "lang", "source"), "doc_id"
+    ).select("doc_id", "lang", "source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -4657,6 +4683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q218_orphan_check": _q_orphan_check,
         "q219_class_rebalance": _q_class_rebalance,
         "q220_negative_samples": _q_negative_samples,
+        "q221_boolean_search": _q_boolean_search,
     }
 
 
@@ -8893,5 +8920,25 @@ def oracle_sql() -> dict[str, str]:
                 AS BIGINT) AS n_same_label
             FROM pairs JOIN embeddings o ON pairs.neg_id = o.vec_id
             GROUP BY anchor_label
+        """,
+        "q221_boolean_search": r"""
+            WITH postings AS (
+              SELECT DISTINCT doc_id, unnest(list_distinct(
+                list_filter(string_split_regex(trim(text), '\s+'),
+                            x -> x <> ''))) AS term
+              FROM documents
+            ),
+            hit_all AS (
+              SELECT doc_id FROM postings
+              WHERE term IN ('data', 'stream')
+              GROUP BY doc_id HAVING count(DISTINCT term) = 2
+            ),
+            excluded AS (
+              SELECT DISTINCT doc_id FROM postings WHERE term = 'slow'
+            )
+            SELECT d.doc_id, d.lang, d.source
+            FROM hit_all h
+            JOIN documents d ON h.doc_id = d.doc_id
+            WHERE h.doc_id NOT IN (SELECT doc_id FROM excluded)
         """,
     }

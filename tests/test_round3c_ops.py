@@ -456,3 +456,27 @@ def test_mixture_weights_zero_token_group(spark):
     df = spark.createDataFrame([("a", 10), ("b", 0)], ["g", "toks"])
     out = {r["g"]: r for r in mixture_weights(df, ["g"], "toks").collect()}
     assert out["b"]["weight"] is None and out["a"]["weight"] is not None
+
+
+# --- plan diagnostics ------------------------------------------------------
+
+def test_plan_summary_and_budget(spark):
+    from sensor_time_series_pyspark_spark.functions.diagnostics import (
+        assert_plan_budget,
+        plan_summary,
+    )
+    from sensor_time_series_pyspark_spark.sources.readers import read_table
+
+    li = read_table(spark, "/root/testdata/sf0.001", "lineitem")
+    agg = li.where(F.col("l_quantity") > 10).groupBy("l_returnflag").count()
+    s = plan_summary(agg)
+    assert s["n_exchanges"] == 1 and not s["python_eval"] and not s["cartesian"]
+    assert any("l_quantity" in f for f in s["pushed_filters"])
+    assert_plan_budget(agg, max_exchanges=1)
+    import pytest as _p
+    with _p.raises(AssertionError):
+        assert_plan_budget(agg, max_exchanges=0)
+    # cartesian detection
+    cross = li.crossJoin(read_table(spark, "/root/testdata/sf0.001", "nation"))
+    with _p.raises(AssertionError):
+        assert_plan_budget(cross)
