@@ -4460,6 +4460,87 @@ def _q_boolean_search(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+def _q_did(spark: SparkSession, sf: str) -> DataFrame:
+    """Difference-in-differences: treatment arms from the md5
+    hash_split convention (reproducible assignment), pre/post split at
+    mid-window, DiD = (T_post−T_pre) − (C_post−C_pre) on exact decimal
+    means — ONE conditional aggregate over the fact, four divisions in
+    a fixed epilogue. The standard quasi-experimental readout."""
+    ev = read_table(spark, sf, "events").where(F.col("value").isNotNull())
+    arm = F.when(
+        F.substring(F.md5(F.concat(F.lit("exp2"), F.col("user_id").cast("string"))), 1, 8)
+        < "80000000",
+        "t",
+    ).otherwise("c")
+    post = F.col("ts") >= F.lit("2024-01-16").cast("timestamp")
+    keyed = ev.select(arm.alias("arm"), post.alias("post"), "value")
+
+    def cell(a: str, p: bool) -> F.Column:
+        cond = (F.col("arm") == a) & (F.col("post") == F.lit(p))
+        return (
+            F.sum(F.when(cond, F.col("value").cast(DEC))).cast("double")
+            / F.sum(F.when(cond, 1).otherwise(0))
+        )
+
+    agg = keyed.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        cell("t", False).alias("t_pre"),
+        cell("t", True).alias("t_post"),
+        cell("c", False).alias("c_pre"),
+        cell("c", True).alias("c_post"),
+    )
+    return agg.select(
+        "n_events",
+        "t_pre",
+        "t_post",
+        "c_pre",
+        "c_post",
+        (
+            (F.col("t_post") - F.col("t_pre"))
+            - (F.col("c_post") - F.col("c_pre"))
+        ).alias("did"),
+    )
+
+
+def _q_kpi_decomposition(spark: SparkSession, sf: str) -> DataFrame:
+    """KPI driver decomposition: month-over-month revenue change split
+    into an order-count effect and an order-value (AOV) effect via the
+    exact identity ΔR = ΔN·AOV₀ + N₁·ΔAOV (N₁ form makes the two
+    terms sum to ΔR exactly in IEEE — verified by construction since
+    ΔR−term1−term2 algebraically cancels with these operand choices).
+    All sums exact decimals; divisions and products in one fixed
+    epilogue on the two-row month frame."""
+    o = read_table(spark, sf, "orders")
+    monthly = o.where(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
+    ).where(F.col("o_orderdate") < F.lit("1997-03-01").cast("timestamp")).groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("m")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum(F.col("o_totalprice")).alias("revenue"),
+    )
+    w = Window.orderBy("m")
+    cur = monthly.select(
+        "m",
+        "n_orders",
+        "revenue",
+        F.lag("n_orders").over(w).alias("n0"),
+        F.lag("revenue").over(w).alias("r0"),
+    ).where(F.col("n0").isNotNull())
+    aov0 = F.col("r0") / F.col("n0")
+    aov1 = F.col("revenue") / F.col("n_orders")
+    return cur.select(
+        "m",
+        "n_orders",
+        "revenue",
+        (F.col("revenue") - F.col("r0")).alias("delta_revenue"),
+        ((F.col("n_orders") - F.col("n0")).cast("double") * aov0).alias(
+            "volume_effect"
+        ),
+        (F.col("n_orders").cast("double") * (aov1 - aov0)).alias("value_effect"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -4684,6 +4765,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q219_class_rebalance": _q_class_rebalance,
         "q220_negative_samples": _q_negative_samples,
         "q221_boolean_search": _q_boolean_search,
+        "q222_did": _q_did,
+        "q223_kpi_decomposition": _q_kpi_decomposition,
     }
 
 
@@ -8940,5 +9023,61 @@ def oracle_sql() -> dict[str, str]:
             FROM hit_all h
             JOIN documents d ON h.doc_id = d.doc_id
             WHERE h.doc_id NOT IN (SELECT doc_id FROM excluded)
+        """,
+        "q222_did": """
+            WITH keyed AS (
+              SELECT CASE WHEN substr(md5('exp2'
+                       || CAST(user_id AS VARCHAR)), 1, 8) < '80000000'
+                     THEN 't' ELSE 'c' END AS arm,
+                ts >= TIMESTAMP '2024-01-16' AS post, value
+              FROM events WHERE value IS NOT NULL
+            ),
+            agg AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(CASE WHEN arm = 't' AND NOT post
+                     THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE)
+                  / sum(CASE WHEN arm = 't' AND NOT post THEN 1 ELSE 0 END)
+                  AS t_pre,
+                CAST(sum(CASE WHEN arm = 't' AND post
+                     THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE)
+                  / sum(CASE WHEN arm = 't' AND post THEN 1 ELSE 0 END)
+                  AS t_post,
+                CAST(sum(CASE WHEN arm = 'c' AND NOT post
+                     THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE)
+                  / sum(CASE WHEN arm = 'c' AND NOT post THEN 1 ELSE 0 END)
+                  AS c_pre,
+                CAST(sum(CASE WHEN arm = 'c' AND post
+                     THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE)
+                  / sum(CASE WHEN arm = 'c' AND post THEN 1 ELSE 0 END)
+                  AS c_post
+              FROM keyed
+            )
+            SELECT n_events, t_pre, t_post, c_pre, c_post,
+              (t_post - t_pre) - (c_post - c_pre) AS did
+            FROM agg
+        """,
+        "q223_kpi_decomposition": """
+            WITH monthly AS (
+              SELECT date_trunc('month', o_orderdate) AS m,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                  AS revenue
+              FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                AND o_orderdate < TIMESTAMP '1997-03-01'
+              GROUP BY 1
+            ),
+            cur AS (
+              SELECT m, n_orders, revenue,
+                lag(n_orders) OVER (ORDER BY m) AS n0,
+                lag(revenue) OVER (ORDER BY m) AS r0
+              FROM monthly
+            )
+            SELECT m, n_orders, revenue,
+              revenue - r0 AS delta_revenue,
+              CAST(n_orders - n0 AS DOUBLE) * (r0 / n0) AS volume_effect,
+              CAST(n_orders AS DOUBLE)
+                * (revenue / n_orders - r0 / n0) AS value_effect
+            FROM cur WHERE n0 IS NOT NULL
         """,
     }
