@@ -4541,6 +4541,80 @@ def _q_kpi_decomposition(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_availability(spark: SparkSession, sf: str) -> DataFrame:
+    """Heartbeat availability SLA per entity: downtime = sum of
+    inter-event gaps exceeding the 2-hour heartbeat tolerance (minus
+    the tolerance itself — the sensor was only provably down past it);
+    availability = 1 − downtime/span. One lag pass, integer-second
+    arithmetic, one division — the fleet-health readout for the
+    reference's field terminals."""
+    ev = read_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    tol = 7200
+    gaps = ev.select(
+        "user_id",
+        "ts",
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap"),
+    )
+    agg = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.max(F.unix_timestamp("ts")) - F.min(F.unix_timestamp("ts"))
+        ).alias("span_s"),
+        F.sum(
+            F.when(F.col("gap") > tol, F.col("gap") - tol).otherwise(0)
+        ).cast("bigint").alias("downtime_s"),
+    )
+    return agg.where(F.col("span_s") > 0).select(
+        "user_id",
+        "n_events",
+        "span_s",
+        "downtime_s",
+        (
+            F.lit(1.0)
+            - F.col("downtime_s").cast("double") / F.col("span_s").cast("double")
+        ).alias("availability"),
+    )
+
+
+def _q_stemmed_vocab(spark: SparkSession, sf: str) -> DataFrame:
+    """Light suffix-strip stemming as pure column algebra (regexp
+    chain: ing→'', ed→'', trailing s→'' with 3+-char stems) and its
+    vocabulary-compression effect per language — the normalization
+    step before vocabulary statistics, kept deliberately rule-based so
+    any engine reproduces it (no locale/snowball dependence)."""
+    docs = read_table(spark, sf, "documents")
+    toks = docs.select(
+        "lang", F.explode(tokens("text")).alias("w")
+    )
+    stem = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("w"), "^([a-z]{3,})ing$", "$1"),
+            "^([a-z]{3,})ed$",
+            "$1",
+        ),
+        "^([a-z]{2,})s$",
+        "$1",
+    )
+    both = toks.select("lang", "w", stem.alias("stem"))
+    return both.groupBy("lang").agg(
+        F.countDistinct("w").alias("vocab_raw"),
+        F.countDistinct("stem").alias("vocab_stemmed"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    ).select(
+        "lang",
+        "vocab_raw",
+        "vocab_stemmed",
+        "n_tokens",
+        (
+            F.col("vocab_stemmed").cast("double")
+            / F.col("vocab_raw").cast("double")
+        ).alias("compression"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -4767,6 +4841,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q221_boolean_search": _q_boolean_search,
         "q222_did": _q_did,
         "q223_kpi_decomposition": _q_kpi_decomposition,
+        "q224_availability": _q_availability,
+        "q225_stemmed_vocab": _q_stemmed_vocab,
     }
 
 
@@ -9079,5 +9155,48 @@ def oracle_sql() -> dict[str, str]:
               CAST(n_orders AS DOUBLE)
                 * (revenue / n_orders - r0 / n0) AS value_effect
             FROM cur WHERE n0 IS NOT NULL
+        """,
+        "q224_availability": """
+            WITH gaps AS (
+              SELECT user_id, ts,
+                CAST(floor(epoch(ts)) AS BIGINT)
+                  - CAST(floor(epoch(lag(ts) OVER
+                      (PARTITION BY user_id ORDER BY ts))) AS BIGINT) AS gap,
+                CAST(floor(epoch(ts)) AS BIGINT) AS ep
+              FROM events
+            ),
+            agg AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                CAST(max(ep) - min(ep) AS BIGINT) AS span_s,
+                CAST(sum(CASE WHEN gap > 7200 THEN gap - 7200 ELSE 0 END)
+                  AS BIGINT) AS downtime_s
+              FROM gaps GROUP BY user_id
+            )
+            SELECT user_id, n_events, span_s, downtime_s,
+              1.0E0 - CAST(downtime_s AS DOUBLE) / CAST(span_s AS DOUBLE)
+                AS availability
+            FROM agg WHERE span_s > 0
+        """,
+        "q225_stemmed_vocab": r"""
+            WITH toks AS (
+              SELECT lang, unnest(list_filter(
+                string_split_regex(trim(text), '\s+'), x -> x <> '')) AS w
+              FROM documents
+            ),
+            stemmed AS (
+              SELECT lang, w,
+                regexp_replace(regexp_replace(regexp_replace(w,
+                  '^([a-z]{3,})ing$', ''),
+                  '^([a-z]{3,})ed$', ''),
+                  '^([a-z]{2,})s$', '') AS stem
+              FROM toks
+            )
+            SELECT lang,
+              CAST(count(DISTINCT w) AS BIGINT) AS vocab_raw,
+              CAST(count(DISTINCT stem) AS BIGINT) AS vocab_stemmed,
+              CAST(count(*) AS BIGINT) AS n_tokens,
+              CAST(count(DISTINCT stem) AS DOUBLE)
+                / CAST(count(DISTINCT w) AS DOUBLE) AS compression
+            FROM stemmed GROUP BY lang
         """,
     }
