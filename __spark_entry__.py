@@ -4615,6 +4615,39 @@ def _q_stemmed_vocab(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_burn_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Multiwindow SLO burn rate (the SRE alerting rule): error-event
+    share over the trailing 1h and 6h windows (anchored at the
+    dataset's max ts — deterministic), each divided by a 5% error
+    budget. Alert when BOTH windows burn >1× — the standard
+    fast+slow-window combination that filters blips without missing
+    sustained burns. One conditional aggregate; the anchor is a 1-row
+    broadcast scalar."""
+    ev = read_table(spark, sf, "events")
+    anchor = ev.agg(F.max("ts").alias("__a"))
+    j = ev.crossJoin(F.broadcast(anchor))
+    in1h = F.col("ts") >= F.col("__a") - F.expr("INTERVAL 1 HOUR")
+    in6h = F.col("ts") >= F.col("__a") - F.expr("INTERVAL 6 HOURS")
+    err = F.col("event_type") == "error"
+    agg = j.agg(
+        F.sum(F.when(in1h, 1).otherwise(0)).cast("bigint").alias("n_1h"),
+        F.sum(F.when(in1h & err, 1).otherwise(0)).cast("bigint").alias("err_1h"),
+        F.sum(F.when(in6h, 1).otherwise(0)).cast("bigint").alias("n_6h"),
+        F.sum(F.when(in6h & err, 1).otherwise(0)).cast("bigint").alias("err_6h"),
+    )
+    burn1 = (F.col("err_1h").cast("double") / F.col("n_1h").cast("double")) / F.lit(0.05)
+    burn6 = (F.col("err_6h").cast("double") / F.col("n_6h").cast("double")) / F.lit(0.05)
+    return agg.select(
+        "n_1h",
+        "err_1h",
+        "n_6h",
+        "err_6h",
+        burn1.alias("burn_1h"),
+        burn6.alias("burn_6h"),
+        ((burn1 > 1.0) & (burn6 > 1.0)).alias("alert"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -4843,6 +4876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q223_kpi_decomposition": _q_kpi_decomposition,
         "q224_availability": _q_availability,
         "q225_stemmed_vocab": _q_stemmed_vocab,
+        "q226_burn_rate": _q_burn_rate,
     }
 
 
@@ -9198,5 +9232,32 @@ def oracle_sql() -> dict[str, str]:
               CAST(count(DISTINCT stem) AS DOUBLE)
                 / CAST(count(DISTINCT w) AS DOUBLE) AS compression
             FROM stemmed GROUP BY lang
+        """,
+        "q226_burn_rate": """
+            WITH anchor AS (SELECT max(ts) AS a FROM events),
+            agg AS (
+              SELECT
+                CAST(sum(CASE WHEN ts >= a - INTERVAL 1 HOUR
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_1h,
+                CAST(sum(CASE WHEN ts >= a - INTERVAL 1 HOUR
+                     AND event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS err_1h,
+                CAST(sum(CASE WHEN ts >= a - INTERVAL 6 HOUR
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_6h,
+                CAST(sum(CASE WHEN ts >= a - INTERVAL 6 HOUR
+                     AND event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS err_6h
+              FROM events, anchor
+            )
+            SELECT n_1h, err_1h, n_6h, err_6h,
+              (CAST(err_1h AS DOUBLE) / CAST(n_1h AS DOUBLE)) / 0.05E0
+                AS burn_1h,
+              (CAST(err_6h AS DOUBLE) / CAST(n_6h AS DOUBLE)) / 0.05E0
+                AS burn_6h,
+              ((CAST(err_1h AS DOUBLE) / CAST(n_1h AS DOUBLE)) / 0.05E0
+                 > 1.0E0)
+              AND ((CAST(err_6h AS DOUBLE) / CAST(n_6h AS DOUBLE)) / 0.05E0
+                 > 1.0E0) AS alert
+            FROM agg
         """,
     }
