@@ -56,11 +56,19 @@ def _write_pointer(spark: SparkSession, table_dir: str, version: int) -> None:
     finally:
         out.close()
     ptr = jvm.org.apache.hadoop.fs.Path(os.path.join(table_dir, "_LATEST"))
-    # rename over the pointer: atomic on HDFS/local; on S3 use a
-    # conditional PUT via the committer — the pointer is one small file
-    if fs.exists(ptr):
-        fs.delete(ptr, False)
-    fs.rename(tmp, ptr)
+    # FileContext.rename(OVERWRITE): atomic replace on HDFS/local — a
+    # concurrent reader sees either the old pointer or the new one,
+    # never a missing/partial file (a delete-then-rename would open a
+    # no-pointer window). On S3 substitute a conditional PUT; the
+    # pointer is one small object either way.
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    rename_opts = spark.sparkContext._gateway.new_array(
+        jvm.org.apache.hadoop.fs.Options.Rename, 1
+    )
+    rename_opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+    fc.rename(tmp, ptr, rename_opts)
 
 
 def write_version(
