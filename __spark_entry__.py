@@ -4648,6 +4648,74 @@ def _q_burn_rate(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_simpsons(spark: SparkSession, sf: str) -> DataFrame:
+    """Simpson's-paradox screen on the discount→quantity relationship:
+    per-brand Pearson correlations vs the pooled correlation, counting
+    brands whose sign disagrees with the aggregate — the classic
+    confounding diagnostic. ONE fact scan produces per-brand integer
+    moments (exact_corr's mechanism); the pooled moments are the SUM
+    of the brand moments (order-free decimals), so the comparison
+    costs nothing extra. Output: one row."""
+    li = read_table(spark, sf, "lineitem")
+    p = read_table(spark, sf, "part").select("p_partkey", "p_brand")
+    xi = (F.col("l_discount").cast("decimal(18,2)") * 100).cast("decimal(19,0)")
+    yi = (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("decimal(19,0)")
+    d38 = "decimal(38,0)"
+    g = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("p_brand").alias("b"), xi.alias("x"), yi.alias("y"))
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("x").cast(d38)).alias("sx"),
+            F.sum(F.col("y").cast(d38)).alias("sy"),
+            F.sum((F.col("x") * F.col("x")).cast(d38)).alias("sxx"),
+            F.sum((F.col("y") * F.col("y")).cast(d38)).alias("syy"),
+            F.sum((F.col("x") * F.col("y")).cast(d38)).alias("sxy"),
+        )
+    )
+
+    def corr_of(prefix: F.Column | None = None):
+        nd = F.col("n").cast("decimal(12,0)")
+        cov = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        vx = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        vy = (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+        den = F.sqrt(vx) * F.sqrt(vy)
+        return F.when(den > 0, cov / den)
+
+    per_brand = g.select("b", corr_of().alias("corr"))
+    pooled = g.agg(
+        F.sum("n").alias("n"),
+        F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"),
+        F.sum("sxx").alias("sxx"),
+        F.sum("syy").alias("syy"),
+        F.sum("sxy").alias("sxy"),
+    ).select(corr_of().alias("overall_corr"))
+    counts = per_brand.crossJoin(F.broadcast(pooled)).agg(
+        F.first("overall_corr").alias("overall_corr"),
+        F.count("corr").alias("n_brands"),
+        F.sum(
+            F.when(
+                F.col("corr").isNotNull()
+                & (
+                    F.signum("corr") != F.signum("overall_corr")
+                ),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("n_opposite_sign"),
+    )
+    return counts.select(
+        "overall_corr",
+        "n_brands",
+        "n_opposite_sign",
+        (
+            F.col("n_opposite_sign").cast("double")
+            / F.col("n_brands").cast("double")
+        ).alias("opposite_share"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -4877,6 +4945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q224_availability": _q_availability,
         "q225_stemmed_vocab": _q_stemmed_vocab,
         "q226_burn_rate": _q_burn_rate,
+        "q227_simpsons": _q_simpsons,
     }
 
 
@@ -9259,5 +9328,100 @@ def oracle_sql() -> dict[str, str]:
               AND ((CAST(err_6h AS DOUBLE) / CAST(n_6h AS DOUBLE)) / 0.05E0
                  > 1.0E0) AS alert
             FROM agg
+        """,
+        "q227_simpsons": """
+            WITH ints AS (
+              SELECT p_brand AS b,
+                CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+                  AS DECIMAL(19,0)) AS x,
+                CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                  AS DECIMAL(19,0)) AS y
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+            ),
+            g AS (
+              SELECT b, count(*) AS n,
+                sum(CAST(x AS DECIMAL(38,0))) AS sx,
+                sum(CAST(y AS DECIMAL(38,0))) AS sy,
+                sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+                sum(CAST(y * y AS DECIMAL(38,0))) AS syy,
+                sum(CAST(x * y AS DECIMAL(38,0))) AS sxy
+              FROM ints GROUP BY b
+            ),
+            per_brand AS (
+              SELECT b,
+                CASE WHEN sqrt(CAST(CAST(CAST(n AS DECIMAL(12,0))
+                        * CAST(sxx AS DECIMAL(25,0)) AS DECIMAL(37,0))
+                      - CAST(CAST(sx AS DECIMAL(19,0))
+                        * CAST(sx AS DECIMAL(19,0)) AS DECIMAL(37,0))
+                      AS DOUBLE))
+                    * sqrt(CAST(CAST(CAST(n AS DECIMAL(12,0))
+                        * CAST(syy AS DECIMAL(25,0)) AS DECIMAL(37,0))
+                      - CAST(CAST(sy AS DECIMAL(19,0))
+                        * CAST(sy AS DECIMAL(19,0)) AS DECIMAL(37,0))
+                      AS DOUBLE)) > 0
+                THEN CAST(CAST(CAST(n AS DECIMAL(12,0))
+                        * CAST(sxy AS DECIMAL(25,0)) AS DECIMAL(37,0))
+                      - CAST(CAST(sx AS DECIMAL(19,0))
+                        * CAST(sy AS DECIMAL(19,0)) AS DECIMAL(37,0))
+                      AS DOUBLE)
+                  / (sqrt(CAST(CAST(CAST(n AS DECIMAL(12,0))
+                        * CAST(sxx AS DECIMAL(25,0)) AS DECIMAL(37,0))
+                      - CAST(CAST(sx AS DECIMAL(19,0))
+                        * CAST(sx AS DECIMAL(19,0)) AS DECIMAL(37,0))
+                      AS DOUBLE))
+                    * sqrt(CAST(CAST(CAST(n AS DECIMAL(12,0))
+                        * CAST(syy AS DECIMAL(25,0)) AS DECIMAL(37,0))
+                      - CAST(CAST(sy AS DECIMAL(19,0))
+                        * CAST(sy AS DECIMAL(19,0)) AS DECIMAL(37,0))
+                      AS DOUBLE)))
+                END AS corr
+              FROM g
+            ),
+            pooledsums AS (
+              SELECT sum(n) AS n, sum(sx) AS sx, sum(sy) AS sy,
+                sum(sxx) AS sxx, sum(syy) AS syy, sum(sxy) AS sxy
+              FROM g
+            ),
+            pooled AS (
+              SELECT
+                CASE WHEN sqrt(CAST(CAST(CAST(n AS DECIMAL(12,0))
+                        * CAST(sxx AS DECIMAL(25,0)) AS DECIMAL(37,0))
+                      - CAST(CAST(sx AS DECIMAL(19,0))
+                        * CAST(sx AS DECIMAL(19,0)) AS DECIMAL(37,0))
+                      AS DOUBLE))
+                    * sqrt(CAST(CAST(CAST(n AS DECIMAL(12,0))
+                        * CAST(syy AS DECIMAL(25,0)) AS DECIMAL(37,0))
+                      - CAST(CAST(sy AS DECIMAL(19,0))
+                        * CAST(sy AS DECIMAL(19,0)) AS DECIMAL(37,0))
+                      AS DOUBLE)) > 0
+                THEN CAST(CAST(CAST(n AS DECIMAL(12,0))
+                        * CAST(sxy AS DECIMAL(25,0)) AS DECIMAL(37,0))
+                      - CAST(CAST(sx AS DECIMAL(19,0))
+                        * CAST(sy AS DECIMAL(19,0)) AS DECIMAL(37,0))
+                      AS DOUBLE)
+                  / (sqrt(CAST(CAST(CAST(n AS DECIMAL(12,0))
+                        * CAST(sxx AS DECIMAL(25,0)) AS DECIMAL(37,0))
+                      - CAST(CAST(sx AS DECIMAL(19,0))
+                        * CAST(sx AS DECIMAL(19,0)) AS DECIMAL(37,0))
+                      AS DOUBLE))
+                    * sqrt(CAST(CAST(CAST(n AS DECIMAL(12,0))
+                        * CAST(syy AS DECIMAL(25,0)) AS DECIMAL(37,0))
+                      - CAST(CAST(sy AS DECIMAL(19,0))
+                        * CAST(sy AS DECIMAL(19,0)) AS DECIMAL(37,0))
+                      AS DOUBLE)))
+                END AS overall_corr
+              FROM pooledsums
+            )
+            SELECT overall_corr,
+              CAST(count(corr) AS BIGINT) AS n_brands,
+              CAST(sum(CASE WHEN corr IS NOT NULL
+                   AND sign(corr) <> sign(overall_corr)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_opposite_sign,
+              CAST(sum(CASE WHEN corr IS NOT NULL
+                   AND sign(corr) <> sign(overall_corr)
+                   THEN 1 ELSE 0 END) AS DOUBLE)
+                / CAST(count(corr) AS DOUBLE) AS opposite_share
+            FROM per_brand, pooled
+            GROUP BY overall_corr
         """,
     }
