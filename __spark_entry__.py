@@ -4716,6 +4716,34 @@ def _q_simpsons(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_feature_table(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time feature-table build (the feature-store batch
+    job): per (user, day) — activity count, lag-1 and lag-7 counts,
+    7-day rolling mean, day-of-week — ONE aggregate to the entity-day
+    grain then ONE window pass computing every lag/rolling feature
+    (shared sort; no per-feature scans). All features at day d use
+    only data ≤ d (leakage-free by construction: lags and a trailing
+    frame)."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("user_id").orderBy("d")
+    wroll = w.rowsBetween(-6, 0)
+    return daily.select(
+        "user_id",
+        "d",
+        "n_events",
+        F.lag("n_events", 1).over(w).alias("lag1"),
+        F.lag("n_events", 7).over(w).alias("lag7"),
+        (
+            F.sum("n_events").over(wroll).cast("double")
+            / F.count(F.lit(1)).over(wroll)
+        ).alias("rolling7_mean"),
+        F.dayofweek("d").alias("dow"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -4946,6 +4974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q225_stemmed_vocab": _q_stemmed_vocab,
         "q226_burn_rate": _q_burn_rate,
         "q227_simpsons": _q_simpsons,
+        "q228_feature_table": _q_feature_table,
     }
 
 
@@ -9423,5 +9452,23 @@ def oracle_sql() -> dict[str, str]:
                 / CAST(count(corr) AS DOUBLE) AS opposite_share
             FROM per_brand, pooled
             GROUP BY overall_corr
+        """,
+        "q228_feature_table": """
+            WITH daily AS (
+              SELECT user_id, date_trunc('day', ts) AS d,
+                CAST(count(*) AS BIGINT) AS n_events
+              FROM events GROUP BY 1, 2
+            )
+            SELECT user_id, d, n_events,
+              lag(n_events, 1) OVER w AS lag1,
+              lag(n_events, 7) OVER w AS lag7,
+              CAST(sum(n_events) OVER (PARTITION BY user_id ORDER BY d
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                / count(*) OVER (PARTITION BY user_id ORDER BY d
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS rolling7_mean,
+              CAST(dayofweek(d) + 1 AS INT) AS dow
+            FROM daily
+            WINDOW w AS (PARTITION BY user_id ORDER BY d)
         """,
     }
