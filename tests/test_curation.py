@@ -61,3 +61,17 @@ def test_curate_rejects_planted_near_dup(spark):
     ids = {r["id"] for r in survivors.collect()}
     assert 10_000_000 not in ids
     assert donor in ids
+
+
+def test_curate_and_publish_example(spark, tmp_path):
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+    import curate_and_publish
+
+    out = str(tmp_path / "release")
+    assert curate_and_publish.main(SF, out) == 0
+    from sensor_time_series_pyspark_spark.sources.versioned import read_latest
+
+    assert read_latest(spark, out).count() > 0
