@@ -76,9 +76,11 @@ def test_no_accidental_cartesian_products(spark):
     SKIP |= {"q24_holt_forecast", "q25_arima_grid", "q26_seasonal_decompose",
              "q27_mlp_classification", "q28_gbt_regression", "q43_model_metrics",
              "q47_ivf_topk"}
-    # deliberate 1-row scalar broadcasts (global mean / sample totals)
-    # — the de-correlated scalar-subquery pattern, same as q67
-    SKIP |= {"q180_idle_customers", "q181_important_parts", "q199_ks_test"}
+    # deliberate 1-row scalar broadcasts (global mean / sample totals /
+    # max class count / anchor timestamp / pooled moments) — the
+    # de-correlated scalar-subquery pattern, same as q67
+    SKIP |= {"q180_idle_customers", "q181_important_parts", "q199_ks_test",
+             "q219_class_rebalance", "q226_burn_rate", "q227_simpsons"}
     # PQ ADC scan: corpus-codes × broadcast per-query LUTs is the
     # declared scan semantics (queries ≪ corpus; like q23's broadcast)
     SKIP |= {"q190_pq_topk"}
