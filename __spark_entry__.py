@@ -4744,6 +4744,37 @@ def _q_feature_table(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_calendar_spine(spark: SparkSession, sf: str) -> DataFrame:
+    """Calendar-spine reporting: every (day × event type) cell emitted
+    even when empty (zero-filled) — the dashboard contract that a
+    groupBy alone can't honor. The spine is sequence()-generated from
+    the data's own min/max day (two scalar aggregates broadcast; the
+    spine frame is days×types — report-cardinality, never fact-sized)
+    and the fact joins it ONCE. Complements q113's per-entity LOCF
+    densify (zeros here, carry-forward there)."""
+    ev = read_table(spark, sf, "events")
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    days = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 DAY"))
+        ).alias("d")
+    )
+    types = ev.select(F.col("event_type").alias("et")).distinct()
+    spine = days.crossJoin(types)
+    counts = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("d"),
+        F.col("event_type").alias("et"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return spine.join(counts, ["d", "et"], "left").select(
+        "d",
+        F.col("et").alias("event_type"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -4975,6 +5006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q226_burn_rate": _q_burn_rate,
         "q227_simpsons": _q_simpsons,
         "q228_feature_table": _q_feature_table,
+        "q229_calendar_spine": _q_calendar_spine,
     }
 
 
@@ -9470,5 +9502,26 @@ def oracle_sql() -> dict[str, str]:
               CAST(dayofweek(d) + 1 AS INT) AS dow
             FROM daily
             WINDOW w AS (PARTITION BY user_id ORDER BY d)
+        """,
+        "q229_calendar_spine": """
+            WITH bounds AS (
+              SELECT date_trunc('day', min(ts)) AS lo,
+                date_trunc('day', max(ts)) AS hi
+              FROM events
+            ),
+            days AS (
+              SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d
+              FROM bounds
+            ),
+            types AS (SELECT DISTINCT event_type AS et FROM events),
+            counts AS (
+              SELECT date_trunc('day', ts) AS d, event_type AS et,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            )
+            SELECT days.d, types.et AS event_type,
+              CAST(coalesce(n, 0) AS BIGINT) AS n_events
+            FROM days CROSS JOIN types
+            LEFT JOIN counts ON days.d = counts.d AND types.et = counts.et
         """,
     }

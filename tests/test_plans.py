@@ -81,6 +81,8 @@ def test_no_accidental_cartesian_products(spark):
     # de-correlated scalar-subquery pattern, same as q67
     SKIP |= {"q180_idle_customers", "q181_important_parts", "q199_ks_test",
              "q219_class_rebalance", "q226_burn_rate", "q227_simpsons"}
+    # report-cardinality spine construction (days × types, both tiny)
+    SKIP |= {"q229_calendar_spine"}
     # PQ ADC scan: corpus-codes × broadcast per-query LUTs is the
     # declared scan semantics (queries ≪ corpus; like q23's broadcast)
     SKIP |= {"q190_pq_topk"}
