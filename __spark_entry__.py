@@ -4775,6 +4775,81 @@ def _q_calendar_spine(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_dup_rate_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source duplication diagnostics: exact-duplicate share and
+    the duplicate factor (rows per distinct text) — the first corpus
+    health number a curation run reports, sliced by provenance. One
+    aggregate on (source, text-hash), rollup on the group frame."""
+    docs = read_table(spark, sf, "documents")
+    groups = docs.groupBy("source", F.md5("text").alias("fp")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return groups.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("n") - 1).cast("bigint").alias("n_dup_rows"),
+    ).select(
+        "source",
+        "n_docs",
+        "n_distinct",
+        "n_dup_rows",
+        (F.col("n_docs").cast("double") / F.col("n_distinct").cast("double")).alias(
+            "dup_factor"
+        ),
+    )
+
+
+def _q_shipping_aging(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-to-ship aging percentiles by priority: exact integer day
+    diffs, median/p90 via the q60 interpolation-parity mechanism over
+    the per-priority frames — the fulfillment-SLA readout."""
+    o = read_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = read_table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("first_ship")
+    )
+    j = o.join(first_ship, F.col("o_orderkey") == F.col("l_orderkey"))
+    days = F.datediff(F.col("first_ship"), F.col("o_orderdate"))
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.median(days).alias("median_days"),
+        F.percentile(days, F.lit(0.9)).alias("p90_days"),
+        F.max(days).alias("max_days"),
+    )
+
+
+def _q_dau_wau(spark: SparkSession, sf: str) -> DataFrame:
+    """DAU/WAU stickiness per week: distinct daily actives averaged
+    over the week divided by weekly distinct actives — the growth
+    metric. Both distincts aggregate the (user, day) reduction, never
+    the raw fact twice; one division per week row."""
+    ev = read_table(spark, sf, "events")
+    user_days = ev.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("d"),
+        F.date_trunc("week", F.col("ts")).alias("w"),
+    ).distinct()
+    dau = user_days.groupBy("w", "d").agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    weekly = dau.groupBy("w").agg(
+        F.sum("dau").cast("bigint").alias("sum_dau"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    wau = user_days.groupBy("w").agg(F.countDistinct("user_id").alias("wau"))
+    j = weekly.join(wau, "w")
+    avg_dau = F.col("sum_dau").cast("double") / F.col("n_days").cast("double")
+    return j.select(
+        "w",
+        "sum_dau",
+        "n_days",
+        "wau",
+        (avg_dau / F.col("wau").cast("double")).alias("stickiness"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -5007,6 +5082,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q227_simpsons": _q_simpsons,
         "q228_feature_table": _q_feature_table,
         "q229_calendar_spine": _q_calendar_spine,
+        "q230_dup_rate_by_source": _q_dup_rate_by_source,
+        "q231_shipping_aging": _q_shipping_aging,
+        "q232_dau_wau": _q_dau_wau,
     }
 
 
@@ -9523,5 +9601,56 @@ def oracle_sql() -> dict[str, str]:
               CAST(coalesce(n, 0) AS BIGINT) AS n_events
             FROM days CROSS JOIN types
             LEFT JOIN counts ON days.d = counts.d AND types.et = counts.et
+        """,
+        "q230_dup_rate_by_source": """
+            WITH groups AS (
+              SELECT source, md5(text) AS fp, count(*) AS n
+              FROM documents GROUP BY 1, 2
+            )
+            SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+              CAST(count(*) AS BIGINT) AS n_distinct,
+              CAST(sum(n - 1) AS BIGINT) AS n_dup_rows,
+              CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_factor
+            FROM groups GROUP BY source
+        """,
+        "q231_shipping_aging": """
+            WITH first_ship AS (
+              SELECT l_orderkey, min(l_shipdate) AS first_ship
+              FROM lineitem GROUP BY l_orderkey
+            ),
+            j AS (
+              SELECT o_orderpriority,
+                date_diff('day', o_orderdate, first_ship) AS days
+              FROM orders JOIN first_ship ON o_orderkey = l_orderkey
+            )
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+              median(days) AS median_days,
+              quantile_cont(days, 0.9) AS p90_days,
+              CAST(max(days) AS INT) AS max_days
+            FROM j GROUP BY o_orderpriority
+        """,
+        "q232_dau_wau": """
+            WITH user_days AS (
+              SELECT DISTINCT user_id, date_trunc('day', ts) AS d,
+                date_trunc('week', ts) AS w
+              FROM events
+            ),
+            dau AS (
+              SELECT w, d, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+              FROM user_days GROUP BY w, d
+            ),
+            weekly AS (
+              SELECT w, CAST(sum(dau) AS BIGINT) AS sum_dau,
+                CAST(count(*) AS BIGINT) AS n_days
+              FROM dau GROUP BY w
+            ),
+            wau AS (
+              SELECT w, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+              FROM user_days GROUP BY w
+            )
+            SELECT weekly.w, sum_dau, n_days, wau,
+              (CAST(sum_dau AS DOUBLE) / CAST(n_days AS DOUBLE))
+                / CAST(wau AS DOUBLE) AS stickiness
+            FROM weekly JOIN wau ON weekly.w = wau.w
         """,
     }
