@@ -4850,6 +4850,30 @@ def _q_dau_wau(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_inter_purchase(spark: SparkSession, sf: str) -> DataFrame:
+    """Repeat-purchase cadence: per customer with >= 3 orders, the
+    median days between consecutive orders (one lag pass, integer day
+    gaps, exact median) — the replenishment-cycle input to CRM timing
+    models."""
+    o = read_table(spark, sf, "orders").select("o_custkey", "o_orderdate")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o2 = read_table(spark, sf, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    gaps = o2.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_days"),
+    ).where(F.col("gap_days").isNotNull())
+    agg = gaps.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.median("gap_days").alias("median_gap_days"),
+        F.min("gap_days").alias("min_gap_days"),
+    )
+    return agg.where(F.col("n_gaps") >= 2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -5085,6 +5109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q230_dup_rate_by_source": _q_dup_rate_by_source,
         "q231_shipping_aging": _q_shipping_aging,
         "q232_dau_wau": _q_dau_wau,
+        "q233_inter_purchase": _q_inter_purchase,
     }
 
 
@@ -9652,5 +9677,21 @@ def oracle_sql() -> dict[str, str]:
               (CAST(sum_dau AS DOUBLE) / CAST(n_days AS DOUBLE))
                 / CAST(wau AS DOUBLE) AS stickiness
             FROM weekly JOIN wau ON weekly.w = wau.w
+        """,
+        "q233_inter_purchase": """
+            WITH gaps AS (
+              SELECT o_custkey,
+                date_diff('day',
+                  lag(o_orderdate) OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey),
+                  o_orderdate) AS gap_days
+              FROM orders
+            ),
+            nn AS (SELECT * FROM gaps WHERE gap_days IS NOT NULL)
+            SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_gaps,
+              median(gap_days) AS median_gap_days,
+              CAST(min(gap_days) AS INT) AS min_gap_days
+            FROM nn GROUP BY o_custkey
+            HAVING count(*) >= 2
         """,
     }
