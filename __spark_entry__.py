@@ -4874,6 +4874,69 @@ def _q_inter_purchase(spark: SparkSession, sf: str) -> DataFrame:
     return agg.where(F.col("n_gaps") >= 2)
 
 
+def _q_precision_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Numeric-contract audit: rows whose money/measure columns carry
+    more precision than the declared 2 decimals (|x·100 − round(x·100)|
+    beyond float tolerance) — the schema-contract check that catches
+    an upstream feed silently switching units or precision. Pure
+    map-side arithmetic + one conditional aggregate per table."""
+    li = read_table(spark, sf, "lineitem")
+    ev = read_table(spark, sf, "events")
+
+    def bad(c: str) -> F.Column:
+        scaled = F.col(c) * 100
+        return F.sum(
+            F.when(F.abs(scaled - F.round(scaled, 0)) > 1e-6, 1).otherwise(0)
+        ).cast("bigint")
+
+    a = li.agg(
+        F.lit("lineitem").alias("tbl"),
+        F.count(F.lit(1)).alias("n_rows"),
+        bad("l_extendedprice").alias("bad_price"),
+        bad("l_discount").alias("bad_discount"),
+    )
+    b = ev.where(F.col("value").isNotNull()).agg(
+        F.lit("events").alias("tbl"),
+        F.count(F.lit(1)).alias("n_rows"),
+        bad("value").alias("bad_price"),
+        F.lit(0).cast("bigint").alias("bad_discount"),
+    )
+    return a.unionByName(b)
+
+
+def _q_wilson_bound(spark: SparkSession, sf: str) -> DataFrame:
+    """Conversion ranking by Wilson lower confidence bound (z=1.96):
+    per event type treated as a channel, conversions = purchases by
+    users who touched the channel. Small channels with lucky rates
+    rank below large channels with solid rates — the
+    confidence-ranking classic. Integer counts; the bound is one fixed
+    IEEE expression (sqrt/±/÷ in a pinned order), identical in the
+    oracle."""
+    ev = read_table(spark, sf, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "converted"
+        ),
+        F.collect_set("event_type").alias("types"),
+    )
+    touched = per_user.select(
+        F.explode("types").alias("channel"), "converted"
+    )
+    agg = touched.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("converted").cast("bigint").alias("k"),
+    )
+    z = F.lit(1.96)
+    nn = F.col("n").cast("double")
+    p = F.col("k").cast("double") / nn
+    z2n = (z * z) / nn
+    wilson = (
+        (p + z2n / 2 - z * F.sqrt((p * (1 - p) + z2n / 4) / nn))
+        / (1 + z2n)
+    )
+    return agg.select("channel", "n", "k", p.alias("rate"), wilson.alias("wilson_lb"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -5110,6 +5173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q231_shipping_aging": _q_shipping_aging,
         "q232_dau_wau": _q_dau_wau,
         "q233_inter_purchase": _q_inter_purchase,
+        "q234_precision_audit": _q_precision_audit,
+        "q235_wilson_bound": _q_wilson_bound,
     }
 
 
@@ -9693,5 +9758,50 @@ def oracle_sql() -> dict[str, str]:
               CAST(min(gap_days) AS INT) AS min_gap_days
             FROM nn GROUP BY o_custkey
             HAVING count(*) >= 2
+        """,
+        "q234_precision_audit": """
+            SELECT 'lineitem' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(CASE WHEN abs(l_extendedprice * 100
+                   - round(l_extendedprice * 100, 0)) > 1.0E-6
+                   THEN 1 ELSE 0 END) AS BIGINT) AS bad_price,
+              CAST(sum(CASE WHEN abs(l_discount * 100
+                   - round(l_discount * 100, 0)) > 1.0E-6
+                   THEN 1 ELSE 0 END) AS BIGINT) AS bad_discount
+            FROM lineitem
+            UNION ALL
+            SELECT 'events', CAST(count(*) AS BIGINT),
+              CAST(sum(CASE WHEN abs(value * 100
+                   - round(value * 100, 0)) > 1.0E-6
+                   THEN 1 ELSE 0 END) AS BIGINT),
+              CAST(0 AS BIGINT)
+            FROM events WHERE value IS NOT NULL
+        """,
+        "q235_wilson_bound": """
+            WITH per_user AS (
+              SELECT user_id,
+                max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS converted
+              FROM events GROUP BY user_id
+            ),
+            touched AS (
+              SELECT DISTINCT e.event_type AS channel, e.user_id
+              FROM events e
+            ),
+            agg AS (
+              SELECT channel, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(converted) AS BIGINT) AS k
+              FROM touched JOIN per_user USING (user_id)
+              GROUP BY channel
+            )
+            SELECT channel, n, k,
+              CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+              (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                 + (1.96E0 * 1.96E0) / CAST(n AS DOUBLE) / 2
+                 - 1.96E0 * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                     * (1 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                     + (1.96E0 * 1.96E0) / CAST(n AS DOUBLE) / 4)
+                     / CAST(n AS DOUBLE)))
+               / (1 + (1.96E0 * 1.96E0) / CAST(n AS DOUBLE)) AS wilson_lb
+            FROM agg
         """,
     }
