@@ -4937,6 +4937,75 @@ def _q_wilson_bound(spark: SparkSession, sf: str) -> DataFrame:
     return agg.select("channel", "n", "k", p.alias("rate"), wilson.alias("wilson_lb"))
 
 
+def _brand_graph(spark: SparkSession, sf: str) -> DataFrame:
+    """Undirected brand co-purchase edge list (a < b, distinct) —
+    shared by the graph-diagnostic queries."""
+    li = read_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    p = read_table(spark, sf, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    return (
+        ob.alias("x")
+        .join(ob.alias("y"), "o")
+        .select(F.col("x.b").alias("a"), F.col("y.b").alias("b"))
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+    )
+
+
+def _q_degree_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Graph degree distribution (nodes per degree) of the brand
+    co-purchase graph — the first structural diagnostic before any
+    graph algorithm (hub detection, power-law eyeballing). Degrees
+    from one aggregate over the symmetrized edge list; the histogram
+    is an aggregate of the node-cardinality degree frame."""
+    e = _brand_graph(spark, sf)
+    sym = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+def _q_assortativity(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree assortativity (Newman r): Pearson correlation of the
+    endpoint degrees over every edge (both orientations) — do hubs
+    link to hubs? Degrees are integers, so the exact-moment corr
+    mechanism applies verbatim; the edge frame joins the broadcast
+    degree map twice. One scalar row."""
+    e = _brand_graph(spark, sf)
+    sym = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    da = deg.select(F.col("a").alias("u"), F.col("d").alias("dx"))
+    db = deg.select(F.col("a").alias("v"), F.col("d").alias("dy"))
+    pairs = (
+        sym.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .join(F.broadcast(da), "u")
+        .join(F.broadcast(db), "v")
+    )
+    d38 = "decimal(38,0)"
+    xi = F.col("dx").cast("decimal(19,0)")
+    yi = F.col("dy").cast("decimal(19,0)")
+    sums = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xi.cast(d38)).alias("sx"),
+        F.sum(yi.cast(d38)).alias("sy"),
+        F.sum((xi * xi).cast(d38)).alias("sxx"),
+        F.sum((yi * yi).cast(d38)).alias("syy"),
+        F.sum((xi * yi).cast(d38)).alias("sxy"),
+    )
+    nd = F.col("n").cast("decimal(12,0)")
+    cov = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    den = F.sqrt(vx) * F.sqrt(vy)
+    return sums.select(
+        F.col("n").alias("n_directed_edges"),
+        F.when(den > 0, cov / den).alias("assortativity"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -5175,6 +5244,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q233_inter_purchase": _q_inter_purchase,
         "q234_precision_audit": _q_precision_audit,
         "q235_wilson_bound": _q_wilson_bound,
+        "q236_degree_distribution": _q_degree_distribution,
+        "q237_assortativity": _q_assortativity,
     }
 
 
@@ -9803,5 +9874,78 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(n AS DOUBLE)))
                / (1 + (1.96E0 * 1.96E0) / CAST(n AS DOUBLE)) AS wilson_lb
             FROM agg
+        """,
+        "q236_degree_distribution": """
+            WITH ob AS (
+              SELECT DISTINCT l_orderkey AS o, p_brand AS b
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+            ),
+            e AS (
+              SELECT DISTINCT x.b AS a, y.b AS b
+              FROM ob x JOIN ob y ON x.o = y.o AND x.b < y.b
+            ),
+            sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+            deg AS (
+              SELECT a, CAST(count(*) AS BIGINT) AS degree
+              FROM sym GROUP BY a
+            )
+            SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+            FROM deg GROUP BY degree
+        """,
+        "q237_assortativity": """
+            WITH ob AS (
+              SELECT DISTINCT l_orderkey AS o, p_brand AS b
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+            ),
+            e AS (
+              SELECT DISTINCT x.b AS a, y.b AS b
+              FROM ob x JOIN ob y ON x.o = y.o AND x.b < y.b
+            ),
+            sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+            deg AS (SELECT a, count(*) AS d FROM sym GROUP BY a),
+            pairs AS (
+              SELECT CAST(da.d AS DECIMAL(19,0)) AS xi,
+                CAST(db.d AS DECIMAL(19,0)) AS yi
+              FROM sym
+              JOIN deg da ON sym.a = da.a
+              JOIN deg db ON sym.b = db.a
+            ),
+            s AS (
+              SELECT count(*) AS n,
+                sum(CAST(xi AS DECIMAL(38,0))) AS sx,
+                sum(CAST(yi AS DECIMAL(38,0))) AS sy,
+                sum(CAST(xi * xi AS DECIMAL(38,0))) AS sxx,
+                sum(CAST(yi * yi AS DECIMAL(38,0))) AS syy,
+                sum(CAST(xi * yi AS DECIMAL(38,0))) AS sxy
+              FROM pairs
+            )
+            SELECT CAST(n AS BIGINT) AS n_directed_edges,
+              CASE WHEN sqrt(CAST(CAST(CAST(n AS DECIMAL(12,0))
+                      * CAST(sxx AS DECIMAL(25,0)) AS DECIMAL(37,0))
+                    - CAST(CAST(sx AS DECIMAL(19,0))
+                      * CAST(sx AS DECIMAL(19,0)) AS DECIMAL(37,0))
+                    AS DOUBLE))
+                  * sqrt(CAST(CAST(CAST(n AS DECIMAL(12,0))
+                      * CAST(syy AS DECIMAL(25,0)) AS DECIMAL(37,0))
+                    - CAST(CAST(sy AS DECIMAL(19,0))
+                      * CAST(sy AS DECIMAL(19,0)) AS DECIMAL(37,0))
+                    AS DOUBLE)) > 0
+              THEN CAST(CAST(CAST(n AS DECIMAL(12,0))
+                      * CAST(sxy AS DECIMAL(25,0)) AS DECIMAL(37,0))
+                    - CAST(CAST(sx AS DECIMAL(19,0))
+                      * CAST(sy AS DECIMAL(19,0)) AS DECIMAL(37,0))
+                    AS DOUBLE)
+                / (sqrt(CAST(CAST(CAST(n AS DECIMAL(12,0))
+                      * CAST(sxx AS DECIMAL(25,0)) AS DECIMAL(37,0))
+                    - CAST(CAST(sx AS DECIMAL(19,0))
+                      * CAST(sx AS DECIMAL(19,0)) AS DECIMAL(37,0))
+                    AS DOUBLE))
+                  * sqrt(CAST(CAST(CAST(n AS DECIMAL(12,0))
+                      * CAST(syy AS DECIMAL(25,0)) AS DECIMAL(37,0))
+                    - CAST(CAST(sy AS DECIMAL(19,0))
+                      * CAST(sy AS DECIMAL(19,0)) AS DECIMAL(37,0))
+                    AS DOUBLE)))
+              END AS assortativity
+            FROM s
         """,
     }
