@@ -5006,6 +5006,54 @@ def _q_assortativity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """ASYMMETRIC containment C(A→B) = |A∩B| / |A| over 2-gram shingle
+    sets — the quote/partial-copy detector symmetric Jaccard misses (a
+    short doc fully embedded in a long one has low Jaccard but
+    containment ≈ 1). Same inverted-index candidate generation as q19
+    (exact-dedup reps first, shared-shingle join), different epilogue:
+    one division by the SOURCE size, emitted for the max-containment
+    direction."""
+    docs = read_table(spark, sf, "documents")
+    reps = exact_dedup(docs, "text", "doc_id").select(
+        F.col("doc_id").alias("id"), F.col("text")
+    )
+    toks = reps.select(
+        "id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size(tokens("text")) - 1, F.lit(0)),
+                ),
+                lambda i: F.array_join(F.slice(tokens("text"), i, 2), " "),
+            )
+        ).alias("tok"),
+    ).where(F.size("tok") > 0)
+    inv = toks.select(
+        "id", F.size("tok").alias("n_tok"), F.explode("tok").alias("token")
+    )
+    a = inv.select(
+        F.col("id").alias("id_a"), F.col("n_tok").alias("n_a"), "token"
+    )
+    b = inv.select(
+        F.col("id").alias("id_b"), F.col("n_tok").alias("n_b"), "token"
+    )
+    pairs = (
+        a.join(b, "token")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    cont = (
+        F.col("inter").cast("double")
+        / F.least("n_a", "n_b").cast("double")
+    )
+    return pairs.select(
+        "id_a", "id_b", "inter", cont.alias("containment")
+    ).where(F.col("containment") >= 0.5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -5246,6 +5294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q235_wilson_bound": _q_wilson_bound,
         "q236_degree_distribution": _q_degree_distribution,
         "q237_assortativity": _q_assortativity,
+        "q238_containment_pairs": _q_containment_pairs,
     }
 
 
@@ -9947,5 +9996,44 @@ def oracle_sql() -> dict[str, str]:
                     AS DOUBLE)))
               END AS assortativity
             FROM s
+        """,
+        "q238_containment_pairs": r"""
+            WITH reps AS (
+              SELECT doc_id, text FROM documents
+              WHERE doc_id IN (SELECT min(doc_id) FROM documents
+                               GROUP BY text)
+            ),
+            toks AS (
+              SELECT doc_id AS id,
+                list_distinct(
+                  list_transform(
+                    generate_series(1, greatest(len(t) - 1, 0)),
+                    i -> array_to_string(t[i:i+1], ' ')
+                  )
+                ) AS tok
+              FROM (
+                SELECT doc_id,
+                  list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x <> '') AS t
+                FROM reps
+              )
+            ),
+            inv AS (
+              SELECT id, len(tok) AS n_tok, unnest(tok) AS token
+              FROM toks WHERE len(tok) > 0
+            ),
+            pairs AS (
+              SELECT a.id AS id_a, b.id AS id_b,
+                a.n_tok AS n_a, b.n_tok AS n_b,
+                CAST(count(*) AS BIGINT) AS inter
+              FROM inv a JOIN inv b ON a.token = b.token AND a.id < b.id
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT id_a, id_b, inter,
+              CAST(inter AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE)
+                AS containment
+            FROM pairs
+            WHERE CAST(inter AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE)
+              >= 0.5E0
         """,
     }
