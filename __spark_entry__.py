@@ -5054,6 +5054,62 @@ def _q_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
     ).where(F.col("containment") >= 0.5)
 
 
+def _q_null_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-column null profile of the events table as ROWS (the
+    operators/profile.py:profile shape, query-form): one aggregate
+    computes every column's null count simultaneously (never one scan
+    per column — the reference's recompute anti-pattern), stacked to
+    (column, n_null, null_share)."""
+    ev = read_table(spark, sf, "events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    agg = ev.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"__{c}")
+            for c in cols
+        ],
+    )
+    stacked = agg.selectExpr(
+        "__n",
+        "stack(6, "
+        + ", ".join(f"'{c}', __{c}" for c in cols)
+        + ") as (column_name, n_null)",
+    )
+    return stacked.select(
+        "column_name",
+        F.col("__n").alias("n_rows"),
+        "n_null",
+        (F.col("n_null").cast("double") / F.col("__n").cast("double")).alias(
+            "null_share"
+        ),
+    )
+
+
+def _q_spike_days(spark: SparkSession, sf: str) -> DataFrame:
+    """Day-grain spike detection: days whose event count exceeds 1.05×
+    the trailing 7-day average (excluding the day itself — a genuine
+    forecast residual, not self-referential) — one window over the
+    day-cardinality frame."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("d").rowsBetween(-7, -1)
+    scored = daily.select(
+        "d",
+        "n",
+        (F.sum("n").over(w).cast("double") / F.count(F.lit(1)).over(w)).alias(
+            "trailing_avg"
+        ),
+    )
+    return scored.where(
+        F.col("trailing_avg").isNotNull()
+        & (F.col("n").cast("double") > F.lit(1.05) * F.col("trailing_avg"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -5295,6 +5351,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q236_degree_distribution": _q_degree_distribution,
         "q237_assortativity": _q_assortativity,
         "q238_containment_pairs": _q_containment_pairs,
+        "q239_null_profile": _q_null_profile,
+        "q240_spike_days": _q_spike_days,
     }
 
 
@@ -10035,5 +10093,47 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs
             WHERE CAST(inter AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE)
               >= 0.5E0
+        """,
+        "q239_null_profile": """
+            WITH agg AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+                CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+                CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+                CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c5,
+                CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c6
+              FROM events
+            ),
+            stacked AS (
+              SELECT n, 'event_id' AS column_name, c1 AS n_null FROM agg
+              UNION ALL SELECT n, 'ts', c2 FROM agg
+              UNION ALL SELECT n, 'user_id', c3 FROM agg
+              UNION ALL SELECT n, 'event_type', c4 FROM agg
+              UNION ALL SELECT n, 'value', c5 FROM agg
+              UNION ALL SELECT n, 'props', c6 FROM agg
+            )
+            SELECT column_name, n AS n_rows, n_null,
+              CAST(n_null AS DOUBLE) / CAST(n AS DOUBLE) AS null_share
+            FROM stacked
+        """,
+        "q240_spike_days": """
+            WITH daily AS (
+              SELECT date_trunc('day', ts) AS d,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1
+            ),
+            scored AS (
+              SELECT d, n,
+                CAST(sum(n) OVER (ORDER BY d
+                  ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS DOUBLE)
+                / count(*) OVER (ORDER BY d
+                  ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS trailing_avg
+              FROM daily
+            )
+            SELECT d, n, trailing_avg
+            FROM scored
+            WHERE trailing_avg IS NOT NULL
+              AND CAST(n AS DOUBLE) > 1.05E0 * trailing_avg
         """,
     }
