@@ -5110,6 +5110,92 @@ def _q_spike_days(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_donchian(spark: SparkSession, sf: str) -> DataFrame:
+    """Donchian channel + breakout flags on the daily count series per
+    type: rolling 7-day min/max (self-exclusive trailing frame) and a
+    flag when today breaks above/below the channel — the rolling
+    min/max complement to the rolling avg/median/corr family. One
+    window over the day-cardinality frame."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("d").rowsBetween(-7, -1)
+    scored = daily.select(
+        "event_type",
+        "d",
+        "n",
+        F.min("n").over(w).alias("chan_lo"),
+        F.max("n").over(w).alias("chan_hi"),
+    ).where(F.col("chan_lo").isNotNull())
+    return scored.select(
+        "event_type",
+        "d",
+        "n",
+        "chan_lo",
+        "chan_hi",
+        (F.col("n") > F.col("chan_hi")).alias("break_up"),
+        (F.col("n") < F.col("chan_lo")).alias("break_down"),
+    )
+
+
+def _q_cross_sectional_z(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-sectional standardization: each type's daily count scored
+    against THAT DAY's across-type mean/std (the finance-style
+    normalization, orthogonal to q102's within-group z) — exact
+    integer moments per day over the tiny day×type frame, fixed
+    epilogue."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("d"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wd = Window.partitionBy("d")
+    k = F.count(F.lit(1)).over(wd)
+    s1 = F.sum("n").over(wd)
+    s2 = F.sum(F.col("n") * F.col("n")).over(wd)
+    var_num = (k * s2 - s1 * s1).cast("double")
+    mean = s1.cast("double") / k.cast("double")
+    std = F.sqrt(var_num) / k.cast("double")
+    return daily.select(
+        "d",
+        "event_type",
+        "n",
+        mean.alias("day_mean"),
+        F.when(
+            var_num > 0, (F.col("n").cast("double") - mean) / std
+        ).alias("cs_z"),
+    )
+
+
+def _q_vwap(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantity-weighted average price per brand × month (the VWAP
+    shape): exact decimal Σ(qty·price) and Σqty, ONE division — the
+    weighted mean every pricing report needs, decimal-exact where a
+    double accumulation would drift."""
+    li = read_table(spark, sf, "lineitem")
+    p = read_table(spark, sf, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    wsum = F.sum(
+        (_dec("l_quantity") * _dec("l_extendedprice")).cast(DEC)
+    )
+    qsum = F.sum(_dec("l_quantity").cast(DEC))
+    agg = j.groupBy(
+        "p_brand", F.date_trunc("month", F.col("l_shipdate")).alias("m")
+    ).agg(
+        wsum.alias("__ws"),
+        qsum.alias("__qs"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return agg.select(
+        "p_brand",
+        "m",
+        "n_lines",
+        (F.col("__ws").cast("double") / F.col("__qs").cast("double")).alias(
+            "vwap"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -5353,6 +5439,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q238_containment_pairs": _q_containment_pairs,
         "q239_null_profile": _q_null_profile,
         "q240_spike_days": _q_spike_days,
+        "q241_donchian": _q_donchian,
+        "q242_cross_sectional_z": _q_cross_sectional_z,
+        "q243_vwap": _q_vwap,
     }
 
 
@@ -10135,5 +10224,59 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             WHERE trailing_avg IS NOT NULL
               AND CAST(n AS DOUBLE) > 1.05E0 * trailing_avg
+        """,
+        "q241_donchian": """
+            WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS d,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            scored AS (
+              SELECT event_type, d, n,
+                min(n) OVER w AS chan_lo,
+                max(n) OVER w AS chan_hi
+              FROM daily
+              WINDOW w AS (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT event_type, d, n,
+              CAST(chan_lo AS BIGINT) AS chan_lo,
+              CAST(chan_hi AS BIGINT) AS chan_hi,
+              n > chan_hi AS break_up,
+              n < chan_lo AS break_down
+            FROM scored WHERE chan_lo IS NOT NULL
+        """,
+        "q242_cross_sectional_z": """
+            WITH daily AS (
+              SELECT date_trunc('day', ts) AS d, event_type,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            scored AS (
+              SELECT d, event_type, n,
+                count(*) OVER wd AS k,
+                sum(n) OVER wd AS s1,
+                sum(n * n) OVER wd AS s2
+              FROM daily
+              WINDOW wd AS (PARTITION BY d)
+            )
+            SELECT d, event_type, n,
+              CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE) AS day_mean,
+              CASE WHEN CAST(k * s2 - s1 * s1 AS DOUBLE) > 0 THEN
+                (CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE))
+                / (sqrt(CAST(k * s2 - s1 * s1 AS DOUBLE)) / CAST(k AS DOUBLE))
+              END AS cs_z
+            FROM scored
+        """,
+        "q243_vwap": """
+            SELECT p_brand, date_trunc('month', l_shipdate) AS m,
+              CAST(count(*) AS BIGINT) AS n_lines,
+              CAST(sum(CAST(CAST(l_quantity AS DECIMAL(12,2))
+                   * CAST(l_extendedprice AS DECIMAL(12,2))
+                   AS DECIMAL(38,6))) AS DOUBLE)
+                / CAST(sum(CAST(CAST(l_quantity AS DECIMAL(12,2))
+                   AS DECIMAL(38,6))) AS DOUBLE) AS vwap
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1, 2
         """,
     }
