@@ -5196,6 +5196,42 @@ def _q_vwap(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_abc_classification(spark: SparkSession, sf: str) -> DataFrame:
+    """ABC inventory classification: parts bucketed A/B/C at 80%/95%
+    of cumulative revenue share (q91's Pareto mechanics with the
+    classification epilogue) — the window runs over the aggregated
+    part frame only; deterministic (revenue DESC, partkey) order."""
+    li = read_table(spark, sf, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(_revenue()).alias("__rev")
+    )
+    w = Window.orderBy(F.col("__rev").desc(), F.col("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    share = (
+        F.sum("__rev").over(w).cast("double")
+        / F.sum("__rev").over(wall).cast("double")
+    )
+    classified = per_part.select(
+        "l_partkey",
+        F.col("__rev").cast("double").alias("revenue"),
+        share.alias("cum_share"),
+    ).select(
+        "l_partkey",
+        "revenue",
+        "cum_share",
+        F.when(F.col("cum_share") <= 0.80, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    return classified.groupBy("abc").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        _dsum(F.col("revenue")).alias("class_revenue"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -5442,6 +5478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q241_donchian": _q_donchian,
         "q242_cross_sectional_z": _q_cross_sectional_z,
         "q243_vwap": _q_vwap,
+        "q244_abc_classification": _q_abc_classification,
     }
 
 
@@ -10278,5 +10315,30 @@ def oracle_sql() -> dict[str, str]:
                    AS DECIMAL(38,6))) AS DOUBLE) AS vwap
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY 1, 2
+        """,
+        "q244_abc_classification": f"""
+            WITH per_part AS (
+              SELECT l_partkey, sum({_REV_SQL}) AS rev
+              FROM lineitem GROUP BY l_partkey
+            ),
+            classified AS (
+              SELECT l_partkey, CAST(rev AS DOUBLE) AS revenue,
+                CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE)
+                / CAST(sum(rev) OVER () AS DOUBLE) AS cum_share
+              FROM per_part
+            ),
+            tagged AS (
+              SELECT revenue,
+                CASE WHEN cum_share <= 0.80E0 THEN 'A'
+                     WHEN cum_share <= 0.95E0 THEN 'B'
+                     ELSE 'C' END AS abc
+              FROM classified
+            )
+            SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+              CAST(sum(CAST(revenue AS DECIMAL(38,6))) AS DOUBLE)
+                AS class_revenue
+            FROM tagged GROUP BY abc
         """,
     }
