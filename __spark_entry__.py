@@ -5232,6 +5232,95 @@ def _q_abc_classification(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_vocab_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Source-level vocabulary overlap matrix: Jaccard between the
+    distinct-token sets of every source pair — corpus-level similarity
+    (are two crawls near-mirrors?) as opposed to document-level q19.
+    The inverted (token, source) frame drives ONE self-join on token;
+    set sizes come from one aggregate; integer counts, one division."""
+    docs = read_table(spark, sf, "documents")
+    st = docs.select(
+        "source", F.explode(F.array_distinct(tokens("text"))).alias("t")
+    ).distinct()
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).alias("n_vocab"))
+    a = st.select(F.col("source").alias("sa"), "t")
+    b = st.select(F.col("source").alias("sb"), "t")
+    inter = (
+        a.join(b, "t")
+        .where(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("source").alias("sa"), F.col("n_vocab").alias("na"))
+    nb = sizes.select(F.col("source").alias("sb"), F.col("n_vocab").alias("nb"))
+    j = inter.join(F.broadcast(na), "sa").join(F.broadcast(nb), "sb")
+    return j.select(
+        "sa",
+        "sb",
+        "inter",
+        (
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+        ).alias("vocab_jaccard"),
+    )
+
+
+def _q_growth_accounting(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly growth accounting — new / retained / resurrected /
+    churned users per week, the canonical activity ledger (every
+    week's actives partition into new+retained+resurrected; churned
+    counts last week's actives who went silent). The weekly-actives
+    reduction feeds ONE self-join on (user, week−1) plus the
+    first-seen frame; identity new+retained+resurrected = WAU holds by
+    construction."""
+    ev = read_table(spark, sf, "events")
+    wk = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("w")
+    ).distinct()
+    first = wk.groupBy("user_id").agg(F.min("w").alias("first_w"))
+    prev = wk.select(
+        F.col("user_id").alias("pu"),
+        (F.col("w") + F.expr("INTERVAL 7 DAYS")).alias("nw"),
+    )
+    cur = (
+        wk.join(first, "user_id")
+        .join(
+            prev,
+            (F.col("user_id") == F.col("pu")) & (F.col("w") == F.col("nw")),
+            "left",
+        )
+        .select(
+            "w",
+            (F.col("w") == F.col("first_w")).alias("is_new"),
+            F.col("pu").isNotNull().alias("was_active"),
+        )
+    )
+    per_week = cur.groupBy("w").agg(
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0)).cast("bigint").alias("new_users"),
+        F.sum(F.when(~F.col("is_new") & F.col("was_active"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("retained"),
+        F.sum(F.when(~F.col("is_new") & ~F.col("was_active"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("resurrected"),
+    )
+    # churned for week w+1: users active in w with no activity in w+1
+    nxt = wk.select(
+        F.col("user_id").alias("cu"),
+        (F.col("w") + F.expr("INTERVAL 7 DAYS")).alias("cw"),
+    )
+    churn = (
+        nxt.join(
+            wk,
+            (F.col("cu") == F.col("user_id")) & (F.col("cw") == F.col("w")),
+            "left_anti",
+        )
+        .groupBy(F.col("cw").alias("w"))
+        .agg(F.count(F.lit(1)).alias("churned"))
+    )
+    return per_week.join(churn, "w", "left").na.fill({"churned": 0})
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -5479,6 +5568,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q242_cross_sectional_z": _q_cross_sectional_z,
         "q243_vwap": _q_vwap,
         "q244_abc_classification": _q_abc_classification,
+        "q245_vocab_overlap": _q_vocab_overlap,
+        "q246_growth_accounting": _q_growth_accounting,
     }
 
 
@@ -10340,5 +10431,72 @@ def oracle_sql() -> dict[str, str]:
               CAST(sum(CAST(revenue AS DECIMAL(38,6))) AS DOUBLE)
                 AS class_revenue
             FROM tagged GROUP BY abc
+        """,
+        "q245_vocab_overlap": r"""
+            WITH st AS (
+              SELECT DISTINCT source,
+                unnest(list_distinct(list_filter(
+                  string_split_regex(trim(text), '\s+'), x -> x <> ''))) AS t
+              FROM documents
+            ),
+            sizes AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_vocab
+              FROM st GROUP BY source
+            ),
+            inter AS (
+              SELECT a.source AS sa, b.source AS sb,
+                CAST(count(*) AS BIGINT) AS inter
+              FROM st a JOIN st b ON a.t = b.t AND a.source < b.source
+              GROUP BY 1, 2
+            )
+            SELECT sa, sb, inter,
+              CAST(inter AS DOUBLE)
+                / CAST(na.n_vocab + nb.n_vocab - inter AS DOUBLE)
+                AS vocab_jaccard
+            FROM inter
+            JOIN sizes na ON sa = na.source
+            JOIN sizes nb ON sb = nb.source
+        """,
+        "q246_growth_accounting": """
+            WITH wk AS (
+              SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+              FROM events
+            ),
+            first_w AS (
+              SELECT user_id, min(w) AS fw FROM wk GROUP BY user_id
+            ),
+            cur AS (
+              SELECT wk.w,
+                wk.w = fw AS is_new,
+                p.user_id IS NOT NULL AS was_active
+              FROM wk
+              JOIN first_w USING (user_id)
+              LEFT JOIN wk p ON p.user_id = wk.user_id
+                AND p.w + INTERVAL 7 DAY = wk.w
+            ),
+            per_week AS (
+              SELECT w,
+                CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+                  AS new_users,
+                CAST(sum(CASE WHEN NOT is_new AND was_active
+                     THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+                CAST(sum(CASE WHEN NOT is_new AND NOT was_active
+                     THEN 1 ELSE 0 END) AS BIGINT) AS resurrected
+              FROM cur GROUP BY w
+            ),
+            churn AS (
+              SELECT a.w + INTERVAL 7 DAY AS w,
+                CAST(count(*) AS BIGINT) AS churned
+              FROM wk a
+              WHERE NOT EXISTS (
+                SELECT 1 FROM wk b
+                WHERE b.user_id = a.user_id
+                  AND b.w = a.w + INTERVAL 7 DAY
+              )
+              GROUP BY a.w + INTERVAL 7 DAY
+            )
+            SELECT per_week.w, new_users, retained, resurrected,
+              coalesce(churned, 0) AS churned
+            FROM per_week LEFT JOIN churn ON per_week.w = churn.w
         """,
     }
