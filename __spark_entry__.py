@@ -5321,6 +5321,56 @@ def _q_growth_accounting(spark: SparkSession, sf: str) -> DataFrame:
     return per_week.join(churn, "w", "left").na.fill({"churned": 0})
 
 
+def _q_anomaly_ensemble(spark: SparkSession, sf: str) -> DataFrame:
+    """Ensemble anomaly vote at the (type, day) grain — three
+    independent detectors (trailing-average spike q240, Donchian
+    break-up q241, cross-sectional |z|>1.5 q242) computed from ONE
+    shared daily aggregate and combined by majority (≥2 votes). The
+    composability capstone: every detector is a window over the same
+    tiny day×type frame, so the ensemble costs one fact scan total."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wt = Window.partitionBy("event_type").orderBy("d").rowsBetween(-7, -1)
+    wd = Window.partitionBy("d")
+    trailing = F.sum("n").over(wt).cast("double") / F.count(F.lit(1)).over(wt)
+    chan_hi = F.max("n").over(wt)
+    k = F.count(F.lit(1)).over(wd)
+    s1 = F.sum("n").over(wd)
+    s2 = F.sum(F.col("n") * F.col("n")).over(wd)
+    var_num = (k * s2 - s1 * s1).cast("double")
+    mean = s1.cast("double") / k.cast("double")
+    std = F.sqrt(var_num) / k.cast("double")
+    scored = daily.select(
+        "event_type",
+        "d",
+        "n",
+        F.when(
+            trailing.isNotNull()
+            & (F.col("n").cast("double") > F.lit(1.05) * trailing),
+            1,
+        ).otherwise(0).alias("v_spike"),
+        F.when(chan_hi.isNotNull() & (F.col("n") > chan_hi), 1)
+        .otherwise(0)
+        .alias("v_break"),
+        F.when(
+            (var_num > 0)
+            & (F.abs((F.col("n").cast("double") - mean) / std) > 1.5),
+            1,
+        ).otherwise(0).alias("v_z"),
+    )
+    return scored.select(
+        "event_type",
+        "d",
+        "n",
+        "v_spike",
+        "v_break",
+        "v_z",
+        (F.col("v_spike") + F.col("v_break") + F.col("v_z")).alias("votes"),
+    ).where(F.col("v_spike") + F.col("v_break") + F.col("v_z") >= 2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -5570,6 +5620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q244_abc_classification": _q_abc_classification,
         "q245_vocab_overlap": _q_vocab_overlap,
         "q246_growth_accounting": _q_growth_accounting,
+        "q247_anomaly_ensemble": _q_anomaly_ensemble,
     }
 
 
@@ -10498,5 +10549,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT per_week.w, new_users, retained, resurrected,
               coalesce(churned, 0) AS churned
             FROM per_week LEFT JOIN churn ON per_week.w = churn.w
+        """,
+        "q247_anomaly_ensemble": """
+            WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS d,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            scored AS (
+              SELECT event_type, d, n,
+                CASE WHEN
+                  CAST(sum(n) OVER wt AS DOUBLE) / count(*) OVER wt
+                    IS NOT NULL
+                  AND CAST(n AS DOUBLE) > 1.05E0
+                    * (CAST(sum(n) OVER wt AS DOUBLE) / count(*) OVER wt)
+                THEN 1 ELSE 0 END AS v_spike,
+                CASE WHEN max(n) OVER wt IS NOT NULL
+                  AND n > max(n) OVER wt THEN 1 ELSE 0 END AS v_break,
+                CASE WHEN
+                  CAST(count(*) OVER wd * sum(n * n) OVER wd
+                    - sum(n) OVER wd * sum(n) OVER wd AS DOUBLE) > 0
+                  AND abs((CAST(n AS DOUBLE)
+                      - CAST(sum(n) OVER wd AS DOUBLE)
+                        / CAST(count(*) OVER wd AS DOUBLE))
+                    / (sqrt(CAST(count(*) OVER wd * sum(n * n) OVER wd
+                        - sum(n) OVER wd * sum(n) OVER wd AS DOUBLE))
+                      / CAST(count(*) OVER wd AS DOUBLE))) > 1.5E0
+                THEN 1 ELSE 0 END AS v_z
+              FROM daily
+              WINDOW wt AS (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING),
+              wd AS (PARTITION BY d)
+            )
+            SELECT event_type, d, n,
+              CAST(v_spike AS INT) AS v_spike,
+              CAST(v_break AS INT) AS v_break,
+              CAST(v_z AS INT) AS v_z,
+              CAST(v_spike + v_break + v_z AS INT) AS votes
+            FROM scored
+            WHERE v_spike + v_break + v_z >= 2
         """,
     }
