@@ -5371,6 +5371,654 @@ def _q_anomaly_ensemble(spark: SparkSession, sf: str) -> DataFrame:
     ).where(F.col("v_spike") + F.col("v_break") + F.col("v_z") >= 2)
 
 
+def _q_bollinger(spark: SparkSession, sf: str) -> DataFrame:
+    """Bollinger bands on the daily event-count series per type:
+    trailing-7-day (self-exclusive) mean +/- 2 sigma from EXACT integer
+    moments (k*S2 - S1^2), flags for breaks above/below the band. The
+    named-indicator companion to q241's Donchian channel — variance
+    band instead of min/max channel, same one-scan day*type frame."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wt = Window.partitionBy("event_type").orderBy("d").rowsBetween(-7, -1)
+    k = F.count(F.lit(1)).over(wt)
+    s1 = F.sum("n").over(wt)
+    s2 = F.sum(F.col("n") * F.col("n")).over(wt)
+    var_num = (k * s2 - s1 * s1).cast("double")
+    mean = s1.cast("double") / k.cast("double")
+    std = F.sqrt(var_num) / k.cast("double")
+    base = daily.select(
+        "event_type",
+        "d",
+        "n",
+        F.when(k >= 3, mean).alias("mid"),
+        F.when(k >= 3, mean + F.lit(2.0) * std).alias("hi"),
+        F.when(k >= 3, mean - F.lit(2.0) * std).alias("lo"),
+    )
+    return base.select(
+        "event_type",
+        "d",
+        "n",
+        "mid",
+        "hi",
+        "lo",
+        F.when(F.col("hi").isNotNull() & (F.col("n").cast("double") > F.col("hi")), 1)
+        .otherwise(0)
+        .alias("break_up"),
+        F.when(F.col("lo").isNotNull() & (F.col("n").cast("double") < F.col("lo")), 1)
+        .otherwise(0)
+        .alias("break_dn"),
+    )
+
+
+def _q_simpson_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """Simpson diversity index of event types per user:
+    D = 1 - sum(n_i^2)/N^2 — the log-free diversity measure (Shannon
+    entropy needs libm log whose low bits differ across engines;
+    Simpson is exact-integer moments + ONE double division, same
+    screen: 0 = monoculture bot, ~1 = uniform organic mix)."""
+    ev = read_table(spark, sf, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per_type.groupBy("user_id").agg(
+        F.sum("n").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        (
+            F.lit(1.0)
+            - F.sum(F.col("n") * F.col("n")).cast("double")
+            / (F.sum("n") * F.sum("n")).cast("double")
+        ).alias("simpson"),
+    )
+
+
+def _q_ttr_hapax(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source lexical-richness profile: token total, vocabulary
+    size, type-token ratio, and corpus-hapax share (fraction of the
+    source's vocabulary whose CORPUS-wide frequency is 1 — high hapax
+    share flags OCR noise / gibberish; low flags templated text).
+    One explode feeds both the corpus frequency table and the
+    per-source term frame; integer counts, two final divisions."""
+    docs = read_table(spark, sf, "documents")
+    tok = docs.select("source", F.explode(tokens("text")).alias("t"))
+    src_tok = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("n"))
+    corpus = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cn"))
+    j = src_tok.join(corpus, "t")
+    return j.groupBy("source").agg(
+        F.sum("n").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum(F.when(F.col("cn") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("hapax"),
+        (F.count(F.lit(1)).cast("double") / F.sum("n").cast("double")).alias(
+            "ttr"
+        ),
+        (
+            F.sum(F.when(F.col("cn") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("hapax_share"),
+    )
+
+
+def _q_temperature_sampling(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-based mixture sampling weights (alpha = 0.5): each
+    source's sampling weight proportional to n_tokens^0.5 — the
+    standard multilingual/domain rebalancing step (upsamples the tail
+    without letting the head dominate). Reported RELATIVE to the
+    largest source (sqrt(T_s)/sqrt(T_max)): sqrt is IEEE
+    correctly-rounded in both engines and the ratio avoids a
+    cross-row sum of irrational doubles whose order would differ.
+    Complements q185's equalizing mixture_weights (alpha = 0)."""
+    docs = read_table(spark, sf, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).alias("n_tokens"),
+    )
+    wall = Window.partitionBy()
+    tmax = F.max("n_tokens").over(wall)
+    return per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (
+            F.sqrt(F.col("n_tokens").cast("double"))
+            / F.sqrt(tmax.cast("double"))
+        ).alias("rel_weight"),
+    )
+
+
+def _q_lexical_complexity(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language lexical complexity: chars per word and vowel-group
+    ("syllable"-ish) count per word, totalled across the corpus with
+    EXACT integer counts and two final divisions — the log-free
+    readability screen (Flesch-style inputs without sentence
+    segmentation, which this corpus's unpunctuated text cannot
+    support). Vowel groups via one regexp_extract_all per doc."""
+    docs = read_table(spark, sf, "documents")
+    per_doc = docs.select(
+        "lang",
+        token_count("text").alias("words"),
+        F.length(F.regexp_replace(F.col("text"), r"\s+", "")).alias("chars"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit("([aeiou]+)"), 1)
+        ).alias("vgroups"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("words").alias("n_words"),
+        (F.sum("chars").cast("double") / F.sum("words").cast("double")).alias(
+            "chars_per_word"
+        ),
+        (F.sum("vgroups").cast("double") / F.sum("words").cast("double")).alias(
+            "syllables_per_word"
+        ),
+    )
+
+
+def _q_daily_mode(spark: SparkSession, sf: str) -> DataFrame:
+    """Modal event type per day — the windowed-mode operator (most
+    frequent value with a deterministic tiebreak: highest count, then
+    lexicographically smallest type). One aggregate to (day, type)
+    counts, one row_number over the tiny aggregated frame."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("d"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("d").orderBy(F.col("n").desc(), F.col("event_type"))
+    return (
+        daily.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("d", F.col("event_type").alias("mode_type"), "n")
+    )
+
+
+def _q_hour_weekday_heatmap(spark: SparkSession, sf: str) -> DataFrame:
+    """Hour-of-day x day-of-week activity heatmap with share-of-weekday
+    — the seasonality fingerprint grid (bot traffic is flat; organic
+    traffic has a work-hours ridge). One aggregate to the 7x24 cell
+    frame; the share divides by a weekday-partition window sum.
+    Spark dayofweek is 1=Sunday..7=Saturday; the oracle shifts
+    DuckDB's 0-based convention to match."""
+    ev = read_table(spark, sf, "events")
+    cells = ev.groupBy(
+        F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hod")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wd = Window.partitionBy("dow")
+    return cells.select(
+        "dow",
+        "hod",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wd).cast("double")).alias(
+            "dow_share"
+        ),
+    )
+
+
+def _q_pettitt(spark: SparkSession, sf: str) -> DataFrame:
+    """Pettitt changepoint test per event type on the daily-count
+    series: U_t = sum_{i<=t} sum_{j>t} sign(x_j - x_i); the change
+    point maximizes |U_t|. Rank-based (no distribution assumption) and
+    PURE INTEGER throughout — the engine-portable changepoint screen.
+
+    Uses the identity U_t = -cumsum(r)_t where r_i = sum_j
+    sign(x_i - x_j) over the whole series (the antisymmetric square
+    cancels), so the cost is ONE within-series pair join for the net
+    rank scores plus a window cumsum over the day frame — O(n^2)
+    pairs per series on the tiny daily aggregate, never on the fact."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a = daily.select("event_type", F.col("d").alias("di"), F.col("n").alias("xi"))
+    b = daily.select(
+        F.col("event_type").alias("et2"),
+        F.col("d").alias("dj"),
+        F.col("n").alias("xj"),
+    )
+    r = (
+        a.join(b, (a["event_type"] == b["et2"]) & (a["di"] != b["dj"]))
+        .groupBy("event_type", "di")
+        .agg(F.sum(F.signum((F.col("xi") - F.col("xj")).cast("double")).cast("bigint")).alias("r"))
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("di")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    u = r.select(
+        "event_type", "di", (-F.sum("r").over(wcum)).alias("u")
+    )
+    # drop the last day per series: U_n == 0 by construction and is not
+    # a candidate split
+    wmaxd = Window.partitionBy("event_type")
+    u = u.withColumn("maxd", F.max("di").over(wmaxd)).where(
+        F.col("di") != F.col("maxd")
+    )
+    wbest = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("u")).desc(), F.col("di")
+    )
+    return (
+        u.withColumn("rk", F.row_number().over(wbest))
+        .withColumn(
+            "n_candidates", F.count(F.lit(1)).over(wmaxd).cast("bigint")
+        )
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("di").alias("change_day"),
+            F.abs(F.col("u")).alias("k_stat"),
+            "n_candidates",
+        )
+    )
+
+
+def _q_lang_purity(spark: SparkSession, sf: str) -> DataFrame:
+    """Language purity per source: the dominant language (mode with a
+    deterministic count-desc/lang-asc tiebreak), its share, and the
+    off-dominant doc count — the crawl-hygiene screen for mislabelled
+    or mixed-language sources. Two aggregates over the tiny
+    (source, lang) frame."""
+    docs = read_table(spark, sf, "documents")
+    sl = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), F.col("lang"))
+    ws = Window.partitionBy("source")
+    return (
+        sl.withColumn("rk", F.row_number().over(w))
+        .withColumn("total", F.sum("n").over(ws))
+        .where(F.col("rk") == 1)
+        .select(
+            "source",
+            F.col("lang").alias("dominant_lang"),
+            F.col("total").alias("n_docs"),
+            (F.col("n").cast("double") / F.col("total").cast("double")).alias(
+                "purity"
+            ),
+            (F.col("total") - F.col("n")).alias("n_off_dominant"),
+        )
+    )
+
+
+def _q_knn_label_agreement(spark: SparkSession, sf: str) -> DataFrame:
+    """Label-noise screen via k-NN agreement: for each probe vector,
+    the share of its top-3 cosine neighbors (excluding self) that carry
+    the same label — low agreement flags probable mislabels (the
+    classic Confident-Learning-style triage, done with the existing
+    brute-force cosine machinery). Probe set bounded (vec_id < 50) as
+    in q23; at scale the probe side is the small/broadcast side and the
+    candidate side streams. Integer votes, one final division."""
+    emb = read_table(spark, sf, "embeddings")
+    v = emb.select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e"),
+    )
+    q = v.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("e").alias("qe"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("e"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.zip_with(c, c, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = (
+        F.broadcast(q)
+        .join(v, F.col("qid") != F.col("vec_id"))
+        .select(
+            "qid",
+            "qlabel",
+            "vec_id",
+            "label",
+            (dot / (norm(F.col("qe")) * norm(F.col("e")))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    top = scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 3)
+    return top.groupBy("qid", "qlabel").agg(
+        F.sum(F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_agree"),
+        (
+            F.sum(F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0))
+            .cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("agreement"),
+    )
+
+
+def _q_prefix_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Prefix-duplicate groups: documents sharing an identical
+    first-8-token prefix — the cheap templated-boilerplate /
+    truncated-mirror detector that shingle Jaccard over-pays for
+    (one slice + one hash aggregate, no pair join). Returns groups
+    with >= 2 members: prefix key, member count, representative
+    (smallest) doc_id."""
+    docs = read_table(spark, sf, "documents")
+    pre = docs.select(
+        "doc_id",
+        F.array_join(F.slice(tokens("text"), 1, 8), " ").alias("prefix"),
+    )
+    return (
+        pre.groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("rep_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+def _q_peak_concurrency(spark: SparkSession, sf: str) -> DataFrame:
+    """Peak concurrent sessions per day — the sweep-line operator:
+    sessionized (30-min gap) user activity becomes +1/-1 boundary
+    events, a global ordered running sum gives instantaneous
+    concurrency, and a day-grain max reduces it. Capacity-planning's
+    canonical query. The running sum orders by (ts, delta) so an end
+    at time T releases before a start at T acquires (half-open
+    sessions never double-count at the boundary). The global window
+    runs over the tiny boundary frame (2 rows per session), not the
+    fact; at 100 TB the same sweep shards by day first (sessions
+    don't cross the 30-min-gap day boundary in practice)."""
+    ev = read_table(spark, sf, "events")
+    wlag = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(wlag)
+    marked = ev.select("user_id", "ts").withColumn(
+        "new_s",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    sid = marked.withColumn(
+        "sid",
+        F.sum("new_s").over(
+            wlag.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    sess = sid.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("t_start"), F.max("ts").alias("t_end")
+    )
+    bounds = sess.select(
+        F.col("t_start").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(sess.select(F.col("t_end").alias("t"), F.lit(-1).alias("delta")))
+    wsweep = Window.orderBy("t", "delta").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    conc = bounds.select(
+        "t", F.sum("delta").over(wsweep).cast("bigint").alias("conc")
+    )
+    return conc.groupBy(F.date_trunc("day", F.col("t")).alias("d")).agg(
+        F.max("conc").alias("peak_concurrency")
+    )
+
+
+def _q_weekend_lift(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekend lift per event type: average daily event count on
+    weekend days over the weekday average — the one-number seasonality
+    summary behind q254's full heatmap. Exact integer totals, day
+    counts from the calendar (distinct days present), three final
+    divisions in a fixed order."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    flagged = daily.withColumn(
+        "is_we", F.dayofweek("d").isin(1, 7)
+    )
+    agg = flagged.groupBy("event_type").agg(
+        F.sum(F.when(F.col("is_we"), F.col("n")).otherwise(0)).alias("we_n"),
+        F.sum(F.when(F.col("is_we"), 1).otherwise(0)).alias("we_days"),
+        F.sum(F.when(~F.col("is_we"), F.col("n")).otherwise(0)).alias("wd_n"),
+        F.sum(F.when(~F.col("is_we"), 1).otherwise(0)).alias("wd_days"),
+    )
+    we_avg = F.col("we_n").cast("double") / F.col("we_days").cast("double")
+    wd_avg = F.col("wd_n").cast("double") / F.col("wd_days").cast("double")
+    return agg.select(
+        "event_type",
+        we_avg.alias("weekend_avg"),
+        wd_avg.alias("weekday_avg"),
+        (we_avg / wd_avg).alias("weekend_lift"),
+    )
+
+
+def _q_spc_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Western Electric SPC rules on the daily event-count series per
+    type: rule 1 (|z| > 3), rule 2 (>= 2 of 3 consecutive points
+    beyond 2 sigma on the same side), rule 4 (8 consecutive points on
+    the same side of the mean) — the industrial control-chart screen,
+    as window algebra over the day x type frame. Center line and sigma
+    from EXACT whole-series integer moments; z is sqrt + one division
+    (identical op order in the oracle). Returns every scored day with
+    its rule flags (callers filter on the flags; returning the full
+    chart keeps the oracle gate strong even when no rule fires)."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wall = Window.partitionBy("event_type")
+    k = F.count(F.lit(1)).over(wall)
+    s1 = F.sum("n").over(wall)
+    s2 = F.sum(F.col("n") * F.col("n")).over(wall)
+    mean = s1.cast("double") / k.cast("double")
+    std = F.sqrt((k * s2 - s1 * s1).cast("double")) / k.cast("double")
+    z = (F.col("n").cast("double") - mean) / std
+    base = daily.select("event_type", "d", "n", z.alias("z"))
+    wt = Window.partitionBy("event_type").orderBy("d")
+    hi2 = F.when(F.col("z") > 2.0, 1).otherwise(0)
+    lo2 = F.when(F.col("z") < -2.0, 1).otherwise(0)
+    above = F.when(F.col("z") > 0.0, 1).otherwise(0)
+    below = F.when(F.col("z") < 0.0, 1).otherwise(0)
+    w3 = wt.rowsBetween(-2, 0)
+    w8 = wt.rowsBetween(-7, 0)
+    scored = base.select(
+        "event_type",
+        "d",
+        "n",
+        "z",
+        F.when(F.abs(F.col("z")) > 3.0, 1).otherwise(0).alias("rule1"),
+        F.when(
+            (F.sum(hi2).over(w3) >= 2) | (F.sum(lo2).over(w3) >= 2), 1
+        ).otherwise(0).alias("rule2"),
+        F.when(
+            (F.sum(above).over(w8) == 8) | (F.sum(below).over(w8) == 8), 1
+        ).otherwise(0).alias("rule4"),
+    )
+    return scored
+
+
+def _q_wow_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Week-over-week audience overlap: Jaccard between consecutive
+    weeks' active-user sets — the stability companion to q246's growth
+    ledger (one number per week pair instead of a four-way split).
+    The weekly-actives reduction feeds ONE self-join on (user, week+7d);
+    set sizes come from the same reduction; integer counts, one
+    division."""
+    ev = read_table(spark, sf, "events")
+    wk = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("w")
+    ).distinct()
+    sizes = wk.groupBy("w").agg(F.count(F.lit(1)).alias("n_users"))
+    nxt = wk.select(
+        F.col("user_id").alias("u2"),
+        (F.col("w") - F.expr("INTERVAL 7 DAYS")).alias("pw"),
+    )
+    inter = (
+        wk.join(
+            nxt, (F.col("user_id") == F.col("u2")) & (F.col("w") == F.col("pw"))
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    a = sizes.select(F.col("w").alias("w"), F.col("n_users").alias("na"))
+    b = sizes.select(
+        (F.col("w") - F.expr("INTERVAL 7 DAYS")).alias("w"),
+        F.col("n_users").alias("nb"),
+    )
+    j = a.join(b, "w").join(inter, "w", "left").na.fill({"inter": 0})
+    return j.select(
+        F.col("w").alias("week"),
+        F.col("na").alias("users_this"),
+        F.col("nb").alias("users_next"),
+        F.col("inter").alias("retained"),
+        (
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+        ).alias("wow_jaccard"),
+    )
+
+
+def _q_drawdown(spark: SparkSession, sf: str) -> DataFrame:
+    """Maximum drawdown of the daily event-count series per type:
+    running peak, per-day drawdown (peak - n)/peak, and the worst
+    day (deterministic worst-dd/earliest-day tiebreak) — the quant
+    risk metric repurposed as a traffic-collapse detector. Running max
+    is pure integer; ONE division per day in identical order."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wrun = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dd = daily.select(
+        "event_type",
+        "d",
+        "n",
+        F.max("n").over(wrun).alias("peak"),
+    ).select(
+        "event_type",
+        "d",
+        "n",
+        "peak",
+        (
+            (F.col("peak") - F.col("n")).cast("double")
+            / F.col("peak").cast("double")
+        ).alias("dd"),
+    )
+    wbest = Window.partitionBy("event_type").orderBy(
+        F.col("dd").desc(), F.col("d")
+    )
+    return (
+        dd.withColumn("rk", F.row_number().over(wbest))
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("d").alias("worst_day"),
+            F.col("n").alias("trough"),
+            "peak",
+            F.col("dd").alias("max_drawdown"),
+        )
+    )
+
+
+def _q_kfold_balance(spark: SparkSession, sf: str) -> DataFrame:
+    """Stratified k-fold assignment audit: deterministic md5-bucket
+    fold ids (k=5, the content-hash construction of q64 — stable
+    across runs, engines, partitionings, and key-consistent per user)
+    crossed with event_type, so fold x stratum counts expose any
+    imbalance. The leakage-free CV-split primitive plus its balance
+    check in one pass."""
+    ev = read_table(spark, sf, "events")
+    hexpfx = F.substring(
+        F.md5(F.concat(F.lit("cv1"), F.col("user_id").cast("string"))), 1, 8
+    )
+    fold = (
+        F.when(hexpfx < "33333333", 0)
+        .when(hexpfx < "66666666", 1)
+        .when(hexpfx < "99999999", 2)
+        .when(hexpfx < "cccccccc", 3)
+        .otherwise(4)
+    )
+    return (
+        ev.withColumn("fold", fold)
+        .groupBy("fold", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def _q_burstiness(spark: SparkSession, sf: str) -> DataFrame:
+    """Interarrival burstiness per user (Goh-Barabasi B =
+    (sigma - mu)/(sigma + mu) over interarrival gaps): -1 = metronome,
+    0 = Poisson, ->1 = bursty — the behavioral bot/human separator.
+    Gaps are INTEGER seconds via lag; moments stay integer
+    (n*S2 - S1^2); sigma is one sqrt, B two fixed-order divisions.
+    Users with < 3 events (< 2 gaps) are excluded."""
+    ev = read_table(spark, sf, "events")
+    wlag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "user_id",
+            (
+                F.col("ts").cast("long")
+                - F.lag(F.col("ts").cast("long")).over(wlag)
+            ).alias("g"),
+        )
+        .where(F.col("g").isNotNull())
+    )
+    agg = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("g").alias("s1"),
+        F.sum(F.col("g") * F.col("g")).alias("s2"),
+    ).where(F.col("k") >= 2)
+    mu = F.col("s1").cast("double") / F.col("k").cast("double")
+    sigma = F.sqrt(
+        (F.col("k") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+    ) / F.col("k").cast("double")
+    return agg.select(
+        "user_id",
+        F.col("k").alias("n_gaps"),
+        mu.alias("mean_gap_s"),
+        sigma.alias("std_gap_s"),
+        ((sigma - mu) / (sigma + mu)).alias("burstiness"),
+    )
+
+
+def _q_tukey_fences(spark: SparkSession, sf: str) -> DataFrame:
+    """Tukey boxplot fences per event type: exact Q1/Q3 (both engines
+    interpolate a + (b-a)*frac over the same sorted doubles, the q60
+    guarantee), 1.5xIQR fences, and the count of values outside — the
+    distribution-free outlier census that complements q66's
+    MAD-z-score per-row flags with a per-group summary."""
+    ev = read_table(spark, sf, "events").where(F.col("value").isNotNull())
+    q = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    fenced = q.select(
+        "event_type",
+        "q1",
+        "q3",
+        "n",
+        (F.col("q1") - F.lit(1.5) * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + F.lit(1.5) * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    out = (
+        ev.join(F.broadcast(fenced), "event_type")
+        .where((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+    )
+    return (
+        fenced.join(out, "event_type", "left")
+        .na.fill({"n_outliers": 0})
+        .select("event_type", "n", "q1", "q3", "lo", "hi", "n_outliers")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -5621,6 +6269,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q245_vocab_overlap": _q_vocab_overlap,
         "q246_growth_accounting": _q_growth_accounting,
         "q247_anomaly_ensemble": _q_anomaly_ensemble,
+        "q248_bollinger": _q_bollinger,
+        "q249_simpson_diversity": _q_simpson_diversity,
+        "q250_ttr_hapax": _q_ttr_hapax,
+        "q251_temperature_sampling": _q_temperature_sampling,
+        "q252_lexical_complexity": _q_lexical_complexity,
+        "q253_daily_mode": _q_daily_mode,
+        "q254_hour_weekday_heatmap": _q_hour_weekday_heatmap,
+        "q255_pettitt": _q_pettitt,
+        "q256_lang_purity": _q_lang_purity,
+        "q257_knn_label_agreement": _q_knn_label_agreement,
+        "q258_prefix_dup": _q_prefix_dup,
+        "q259_peak_concurrency": _q_peak_concurrency,
+        "q260_weekend_lift": _q_weekend_lift,
+        "q261_spc_rules": _q_spc_rules,
+        "q262_wow_overlap": _q_wow_overlap,
+        "q263_drawdown": _q_drawdown,
+        "q264_kfold_balance": _q_kfold_balance,
+        "q265_burstiness": _q_burstiness,
+        "q266_tukey_fences": _q_tukey_fences,
     }
 
 
@@ -10588,5 +11255,452 @@ def oracle_sql() -> dict[str, str]:
               CAST(v_spike + v_break + v_z AS INT) AS votes
             FROM scored
             WHERE v_spike + v_break + v_z >= 2
+        """,
+        "q248_bollinger": """
+            WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS d,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            banded AS (
+              SELECT event_type, d, n,
+                count(*) OVER wt AS k,
+                sum(n) OVER wt AS s1,
+                sum(n * n) OVER wt AS s2
+              FROM daily
+              WINDOW wt AS (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+            ),
+            calc AS (
+              SELECT event_type, d, n,
+                CASE WHEN k >= 3 THEN
+                  CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE) END AS mid,
+                CASE WHEN k >= 3 THEN
+                  CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE)
+                  + 2E0 * (sqrt(CAST(k * s2 - s1 * s1 AS DOUBLE))
+                           / CAST(k AS DOUBLE)) END AS hi,
+                CASE WHEN k >= 3 THEN
+                  CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE)
+                  - 2E0 * (sqrt(CAST(k * s2 - s1 * s1 AS DOUBLE))
+                           / CAST(k AS DOUBLE)) END AS lo
+              FROM banded
+            )
+            SELECT event_type, d, n, mid, hi, lo,
+              CAST(CASE WHEN hi IS NOT NULL AND CAST(n AS DOUBLE) > hi
+                THEN 1 ELSE 0 END AS INT) AS break_up,
+              CAST(CASE WHEN lo IS NOT NULL AND CAST(n AS DOUBLE) < lo
+                THEN 1 ELSE 0 END AS INT) AS break_dn
+            FROM calc
+        """,
+        "q249_simpson_diversity": """
+            WITH per_type AS (
+              SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            )
+            SELECT user_id,
+              CAST(sum(n) AS BIGINT) AS n_events,
+              CAST(count(*) AS BIGINT) AS n_types,
+              1E0 - CAST(sum(n * n) AS DOUBLE)
+                / CAST(sum(n) * sum(n) AS DOUBLE) AS simpson
+            FROM per_type GROUP BY user_id
+        """,
+        "q250_ttr_hapax": """
+            WITH tok AS (
+              SELECT source,
+                unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                  x -> x <> '')) AS t
+              FROM documents
+            ),
+            src_tok AS (
+              SELECT source, t, CAST(count(*) AS BIGINT) AS n
+              FROM tok GROUP BY 1, 2
+            ),
+            corpus AS (
+              SELECT t, CAST(count(*) AS BIGINT) AS cn FROM tok GROUP BY t
+            )
+            SELECT source,
+              CAST(sum(n) AS BIGINT) AS n_tokens,
+              CAST(count(*) AS BIGINT) AS vocab,
+              CAST(sum(CASE WHEN cn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS hapax,
+              CAST(count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS ttr,
+              CAST(sum(CASE WHEN cn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE) AS hapax_share
+            FROM src_tok JOIN corpus USING (t)
+            GROUP BY source
+        """,
+        "q251_temperature_sampling": """
+            WITH per_src AS (
+              SELECT source,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(length(list_filter(
+                  string_split_regex(trim(text), '\\s+'), x -> x <> '')))
+                  AS BIGINT) AS n_tokens
+              FROM documents GROUP BY source
+            )
+            SELECT source, n_docs, n_tokens,
+              sqrt(CAST(n_tokens AS DOUBLE))
+                / sqrt(CAST(max(n_tokens) OVER () AS DOUBLE)) AS rel_weight
+            FROM per_src
+        """,
+        "q252_lexical_complexity": """
+            WITH per_doc AS (
+              SELECT lang,
+                CAST(length(list_filter(
+                  string_split_regex(trim(text), '\\s+'), x -> x <> ''))
+                  AS BIGINT) AS words,
+                CAST(length(regexp_replace(text, '\\s+', '', 'g'))
+                  AS BIGINT) AS chars,
+                CAST(length(regexp_extract_all(text, '([aeiou]+)', 1))
+                  AS BIGINT) AS vgroups
+              FROM documents
+            )
+            SELECT lang,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(words) AS BIGINT) AS n_words,
+              CAST(sum(chars) AS DOUBLE) / CAST(sum(words) AS DOUBLE)
+                AS chars_per_word,
+              CAST(sum(vgroups) AS DOUBLE) / CAST(sum(words) AS DOUBLE)
+                AS syllables_per_word
+            FROM per_doc GROUP BY lang
+        """,
+        "q253_daily_mode": """
+            WITH daily AS (
+              SELECT date_trunc('day', ts) AS d, event_type,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            )
+            SELECT d, event_type AS mode_type, n FROM (
+              SELECT d, event_type, n,
+                row_number() OVER (PARTITION BY d
+                  ORDER BY n DESC, event_type) AS rk
+              FROM daily
+            ) WHERE rk = 1
+        """,
+        "q254_hour_weekday_heatmap": """
+            WITH cells AS (
+              SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+                CAST(hour(ts) AS INT) AS hod,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            )
+            SELECT dow, hod, n,
+              CAST(n AS DOUBLE)
+                / CAST(sum(n) OVER (PARTITION BY dow) AS DOUBLE) AS dow_share
+            FROM cells
+        """,
+        "q255_pettitt": """
+            WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS d,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT a.event_type, a.d AS di,
+                CAST(sum(sign(a.n - b.n)) AS BIGINT) AS r
+              FROM daily a JOIN daily b
+                ON a.event_type = b.event_type AND a.d <> b.d
+              GROUP BY 1, 2
+            ),
+            u AS (
+              SELECT event_type, di,
+                -sum(r) OVER (PARTITION BY event_type ORDER BY di
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS u,
+                max(di) OVER (PARTITION BY event_type) AS maxd
+              FROM r
+            ),
+            cand AS (
+              SELECT event_type, di, u,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY abs(u) DESC, di) AS rk,
+                CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+                  AS n_candidates
+              FROM u WHERE di <> maxd
+            )
+            SELECT event_type, di AS change_day,
+              CAST(abs(u) AS BIGINT) AS k_stat, n_candidates
+            FROM cand WHERE rk = 1
+        """,
+        "q256_lang_purity": """
+            WITH sl AS (
+              SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+              FROM documents GROUP BY 1, 2
+            ),
+            ranked AS (
+              SELECT source, lang, n,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY n DESC, lang) AS rk,
+                CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS total
+              FROM sl
+            )
+            SELECT source, lang AS dominant_lang, total AS n_docs,
+              CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS purity,
+              CAST(total - n AS BIGINT) AS n_off_dominant
+            FROM ranked WHERE rk = 1
+        """,
+        "q257_knn_label_agreement": """
+            WITH v AS (
+              SELECT vec_id, label,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings
+            ),
+            scored AS (
+              SELECT q.vec_id AS qid, q.label AS qlabel,
+                c.vec_id AS vec_id, c.label AS label,
+                list_dot_product(q.e, c.e)
+                  / (sqrt(list_dot_product(q.e, q.e))
+                     * sqrt(list_dot_product(c.e, c.e))) AS cosine
+              FROM v q JOIN v c ON q.vec_id <> c.vec_id
+              WHERE q.vec_id < 50
+            ),
+            top AS (
+              SELECT qid, qlabel, label FROM (
+                SELECT qid, qlabel, label,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY cosine DESC, vec_id) AS rk
+                FROM scored
+              ) WHERE rk <= 3
+            )
+            SELECT qid, qlabel,
+              CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_agree,
+              CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(count(*) AS DOUBLE) AS agreement
+            FROM top GROUP BY qid, qlabel
+        """,
+        "q258_prefix_dup": """
+            WITH pre AS (
+              SELECT doc_id,
+                array_to_string(list_slice(list_filter(
+                  string_split_regex(trim(text), '\\s+'), x -> x <> ''),
+                  1, 8), ' ') AS prefix
+              FROM documents
+            )
+            SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs,
+              min(doc_id) AS rep_doc
+            FROM pre GROUP BY prefix HAVING count(*) >= 2
+        """,
+        "q259_peak_concurrency": """
+            WITH marked AS (
+              SELECT user_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            sid AS (
+              SELECT user_id, ts,
+                sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM marked
+            ),
+            sess AS (
+              SELECT user_id, sid, min(ts) AS t_start, max(ts) AS t_end
+              FROM sid GROUP BY 1, 2
+            ),
+            bounds AS (
+              SELECT t_start AS t, 1 AS delta FROM sess
+              UNION ALL
+              SELECT t_end AS t, -1 AS delta FROM sess
+            ),
+            conc AS (
+              SELECT t,
+                CAST(sum(delta) OVER (ORDER BY t, delta
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS conc
+              FROM bounds
+            )
+            SELECT date_trunc('day', t) AS d,
+              max(conc) AS peak_concurrency
+            FROM conc GROUP BY 1
+        """,
+        "q260_weekend_lift": """
+            WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS d,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            agg AS (
+              SELECT event_type,
+                sum(CASE WHEN dayofweek(d) IN (0, 6) THEN n ELSE 0 END)
+                  AS we_n,
+                sum(CASE WHEN dayofweek(d) IN (0, 6) THEN 1 ELSE 0 END)
+                  AS we_days,
+                sum(CASE WHEN dayofweek(d) NOT IN (0, 6) THEN n ELSE 0 END)
+                  AS wd_n,
+                sum(CASE WHEN dayofweek(d) NOT IN (0, 6) THEN 1 ELSE 0 END)
+                  AS wd_days
+              FROM daily GROUP BY event_type
+            )
+            SELECT event_type,
+              CAST(we_n AS DOUBLE) / CAST(we_days AS DOUBLE) AS weekend_avg,
+              CAST(wd_n AS DOUBLE) / CAST(wd_days AS DOUBLE) AS weekday_avg,
+              (CAST(we_n AS DOUBLE) / CAST(we_days AS DOUBLE))
+                / (CAST(wd_n AS DOUBLE) / CAST(wd_days AS DOUBLE))
+                AS weekend_lift
+            FROM agg
+        """,
+        "q261_spc_rules": """
+            WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS d,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            base AS (
+              SELECT event_type, d, n,
+                (CAST(n AS DOUBLE)
+                  - CAST(sum(n) OVER wall AS DOUBLE)
+                    / CAST(count(*) OVER wall AS DOUBLE))
+                / (sqrt(CAST(count(*) OVER wall * sum(n * n) OVER wall
+                    - sum(n) OVER wall * sum(n) OVER wall AS DOUBLE))
+                  / CAST(count(*) OVER wall AS DOUBLE)) AS z
+              FROM daily
+              WINDOW wall AS (PARTITION BY event_type)
+            ),
+            scored AS (
+              SELECT event_type, d, n, z,
+                CASE WHEN abs(z) > 3E0 THEN 1 ELSE 0 END AS rule1,
+                CASE WHEN
+                  sum(CASE WHEN z > 2E0 THEN 1 ELSE 0 END) OVER w3 >= 2
+                  OR sum(CASE WHEN z < -2E0 THEN 1 ELSE 0 END) OVER w3 >= 2
+                THEN 1 ELSE 0 END AS rule2,
+                CASE WHEN
+                  sum(CASE WHEN z > 0E0 THEN 1 ELSE 0 END) OVER w8 = 8
+                  OR sum(CASE WHEN z < 0E0 THEN 1 ELSE 0 END) OVER w8 = 8
+                THEN 1 ELSE 0 END AS rule4
+              FROM base
+              WINDOW w3 AS (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+              w8 AS (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+            )
+            SELECT event_type, d, n, z,
+              CAST(rule1 AS INT) AS rule1,
+              CAST(rule2 AS INT) AS rule2,
+              CAST(rule4 AS INT) AS rule4
+            FROM scored
+        """,
+        "q262_wow_overlap": """
+            WITH wk AS (
+              SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+              FROM events
+            ),
+            sizes AS (
+              SELECT w, CAST(count(*) AS BIGINT) AS n_users
+              FROM wk GROUP BY w
+            ),
+            inter AS (
+              SELECT a.w, CAST(count(*) AS BIGINT) AS inter
+              FROM wk a JOIN wk b
+                ON a.user_id = b.user_id AND b.w = a.w + INTERVAL 7 DAY
+              GROUP BY a.w
+            )
+            SELECT a.w AS week,
+              a.n_users AS users_this,
+              b.n_users AS users_next,
+              coalesce(inter, 0) AS retained,
+              CAST(coalesce(inter, 0) AS DOUBLE)
+                / CAST(a.n_users + b.n_users - coalesce(inter, 0) AS DOUBLE)
+                AS wow_jaccard
+            FROM sizes a
+            JOIN sizes b ON b.w = a.w + INTERVAL 7 DAY
+            LEFT JOIN inter ON inter.w = a.w
+        """,
+        "q263_drawdown": """
+            WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS d,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            dd AS (
+              SELECT event_type, d, n,
+                max(n) OVER (PARTITION BY event_type ORDER BY d
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+              FROM daily
+            ),
+            scored AS (
+              SELECT event_type, d, n, peak,
+                CAST(peak - n AS DOUBLE) / CAST(peak AS DOUBLE) AS dd,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY CAST(peak - n AS DOUBLE) / CAST(peak AS DOUBLE)
+                    DESC, d) AS rk
+              FROM dd
+            )
+            SELECT event_type, d AS worst_day, n AS trough, peak,
+              dd AS max_drawdown
+            FROM scored WHERE rk = 1
+        """,
+        "q264_kfold_balance": """
+            WITH assigned AS (
+              SELECT user_id, event_type,
+                CASE WHEN substr(md5('cv1' || CAST(user_id AS VARCHAR)), 1, 8)
+                       < '33333333' THEN 0
+                     WHEN substr(md5('cv1' || CAST(user_id AS VARCHAR)), 1, 8)
+                       < '66666666' THEN 1
+                     WHEN substr(md5('cv1' || CAST(user_id AS VARCHAR)), 1, 8)
+                       < '99999999' THEN 2
+                     WHEN substr(md5('cv1' || CAST(user_id AS VARCHAR)), 1, 8)
+                       < 'cccccccc' THEN 3
+                     ELSE 4 END AS fold
+              FROM events
+            )
+            SELECT CAST(fold AS INT) AS fold, event_type,
+              CAST(count(*) AS BIGINT) AS n_events,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM assigned GROUP BY fold, event_type
+        """,
+        "q265_burstiness": """
+            WITH gaps AS (
+              SELECT user_id,
+                CAST(floor(epoch(ts)) AS BIGINT)
+                  - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id))) AS BIGINT) AS g
+              FROM events
+            ),
+            agg AS (
+              SELECT user_id,
+                CAST(count(*) AS BIGINT) AS k,
+                CAST(sum(g) AS BIGINT) AS s1,
+                CAST(sum(g * g) AS BIGINT) AS s2
+              FROM gaps WHERE g IS NOT NULL
+              GROUP BY user_id HAVING count(*) >= 2
+            )
+            SELECT user_id, k AS n_gaps,
+              CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE) AS mean_gap_s,
+              sqrt(CAST(k * s2 - s1 * s1 AS DOUBLE)) / CAST(k AS DOUBLE)
+                AS std_gap_s,
+              (sqrt(CAST(k * s2 - s1 * s1 AS DOUBLE)) / CAST(k AS DOUBLE)
+                - CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE))
+              / (sqrt(CAST(k * s2 - s1 * s1 AS DOUBLE)) / CAST(k AS DOUBLE)
+                + CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE)) AS burstiness
+            FROM agg
+        """,
+        "q266_tukey_fences": """
+            WITH q AS (
+              SELECT event_type,
+                quantile_cont(value, 0.25) AS q1,
+                quantile_cont(value, 0.75) AS q3,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events WHERE value IS NOT NULL
+              GROUP BY event_type
+            ),
+            fenced AS (
+              SELECT event_type, q1, q3, n,
+                q1 - 1.5E0 * (q3 - q1) AS lo,
+                q3 + 1.5E0 * (q3 - q1) AS hi
+              FROM q
+            ),
+            outliers AS (
+              SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_outliers
+              FROM events e JOIN fenced f ON e.event_type = f.event_type
+              WHERE e.value IS NOT NULL
+                AND (e.value < f.lo OR e.value > f.hi)
+              GROUP BY e.event_type
+            )
+            SELECT f.event_type, n, q1, q3, lo, hi,
+              coalesce(n_outliers, 0) AS n_outliers
+            FROM fenced f LEFT JOIN outliers o
+              ON f.event_type = o.event_type
         """,
     }

@@ -1,0 +1,196 @@
+"""Round-4 query mechanics, cross-checked against brute-force
+reference computations on tiny in-memory frames: the Pettitt
+U_t = -cumsum(r) identity, sweep-line concurrency, SPC rule flags,
+drawdown, burstiness, and the k-NN agreement vote."""
+
+import math
+
+import pytest
+from pyspark.sql import Window, functions as F
+
+
+# --- Pettitt identity ------------------------------------------------------
+
+def _pettitt_brute(xs):
+    """Direct U_t = sum_{i<=t} sum_{j>t} sign(x_j - x_i), 1-based t."""
+    n = len(xs)
+    out = []
+    for t in range(1, n):  # split after position t (last split excluded)
+        u = 0
+        for i in range(t):
+            for j in range(t, n):
+                u += (xs[j] > xs[i]) - (xs[j] < xs[i])
+        out.append(u)
+    return out
+
+
+def test_pettitt_cumsum_identity_matches_brute_force(spark):
+    xs = [5, 7, 6, 20, 22, 21, 19, 23]
+    rows = [("a", float(i), x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, ["k", "t", "x"])
+    a = df.select("k", F.col("t").alias("ti"), F.col("x").alias("xi"))
+    b = df.select(
+        F.col("k").alias("k2"), F.col("t").alias("tj"), F.col("x").alias("xj")
+    )
+    r = (
+        a.join(b, (a["k"] == b["k2"]) & (a["ti"] != b["tj"]))
+        .groupBy("k", "ti")
+        .agg(
+            F.sum(
+                F.signum((F.col("xi") - F.col("xj")).cast("double")).cast(
+                    "bigint"
+                )
+            ).alias("r")
+        )
+    )
+    wcum = (
+        Window.partitionBy("k")
+        .orderBy("ti")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    u = (
+        r.select("ti", (-F.sum("r").over(wcum)).alias("u"))
+        .orderBy("ti")
+        .collect()
+    )
+    got = [row["u"] for row in u][:-1]  # drop U_n (== 0 by antisymmetry)
+    assert got == _pettitt_brute(xs)
+    assert u[-1]["u"] == 0
+
+
+def test_pettitt_flags_obvious_changepoint(spark):
+    from __spark_entry__ import queries
+
+    out = queries()["q255_pettitt"](spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert rows, "pettitt returned no rows"
+    for r in rows:
+        assert r["k_stat"] >= 0
+        assert r["n_candidates"] >= 1
+
+
+# --- sweep-line concurrency ------------------------------------------------
+
+def _concurrency_brute(sessions, at_times):
+    return {
+        t: sum(1 for s, e in sessions if s <= t <= e) for t in at_times
+    }
+
+
+def test_sweepline_matches_interval_stabbing(spark):
+    # sessions as (start, end) seconds; peak overlap is 3 at t=55
+    sessions = [(0, 100), (50, 60), (55, 58), (200, 300), (250, 260)]
+    rows = [(float(s), float(e)) for s, e in sessions]
+    sess = spark.createDataFrame(rows, ["s", "e"])
+    bounds = sess.select(F.col("s").alias("t"), F.lit(1).alias("d")).unionByName(
+        sess.select(F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    w = Window.orderBy("t", "d").rowsBetween(Window.unboundedPreceding, 0)
+    conc = bounds.select("t", F.sum("d").over(w).alias("c"))
+    peak = conc.agg(F.max("c")).collect()[0][0]
+    assert peak == 3
+    # ends release before starts acquire at the same instant:
+    touching = [(0, 10), (10, 20)]
+    sess2 = spark.createDataFrame(
+        [(float(s), float(e)) for s, e in touching], ["s", "e"]
+    )
+    b2 = sess2.select(F.col("s").alias("t"), F.lit(1).alias("d")).unionByName(
+        sess2.select(F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    c2 = b2.select(F.sum("d").over(w).alias("c"))
+    assert c2.agg(F.max("c")).collect()[0][0] == 1
+
+
+# --- SPC rules -------------------------------------------------------------
+
+def test_spc_rule_flags_on_synthetic_shift(spark):
+    from __spark_entry__ import queries
+
+    out = queries()["q261_spc_rules"](spark, "/root/testdata/sf0.001")
+    pdf = out.toPandas()
+    assert set(
+        ["event_type", "d", "n", "z", "rule1", "rule2", "rule4"]
+    ) <= set(pdf.columns)
+    # z-scores of each series must be centered: sum(z) ~ 0 per type
+    for _, grp in pdf.groupby("event_type"):
+        assert abs(grp["z"].sum()) < 1e-6 * max(1, len(grp))
+    assert set(pdf["rule1"]) <= {0, 1}
+
+
+# --- drawdown --------------------------------------------------------------
+
+def test_drawdown_brute_force(spark):
+    xs = [10, 12, 8, 15, 9, 9]
+    df = spark.createDataFrame(
+        [("a", float(i), x) for i, x in enumerate(xs)], ["k", "t", "n"]
+    )
+    wrun = (
+        Window.partitionBy("k")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dd = df.select(
+        "t",
+        (
+            (F.max("n").over(wrun) - F.col("n")).cast("double")
+            / F.max("n").over(wrun).cast("double")
+        ).alias("dd"),
+    )
+    got = max(r["dd"] for r in dd.collect())
+    # brute force
+    peak, best = -1, 0.0
+    for x in xs:
+        peak = max(peak, x)
+        best = max(best, (peak - x) / peak)
+    assert got == pytest.approx(best)
+
+
+# --- burstiness ------------------------------------------------------------
+
+def test_burstiness_limits(spark):
+    # metronome gaps -> sigma = 0 -> B = -1
+    gaps = [60, 60, 60, 60]
+    k, s1, s2 = len(gaps), sum(gaps), sum(g * g for g in gaps)
+    sigma = math.sqrt(k * s2 - s1 * s1) / k
+    mu = s1 / k
+    assert sigma == 0.0
+    assert (sigma - mu) / (sigma + mu) == -1.0
+    from __spark_entry__ import queries
+
+    out = queries()["q265_burstiness"](spark, "/root/testdata/sf0.001")
+    pdf = out.toPandas()
+    assert ((pdf["burstiness"] > -1.0 - 1e-12) & (pdf["burstiness"] < 1.0)).all()
+
+
+# --- kNN label agreement ---------------------------------------------------
+
+def test_knn_agreement_bounds_and_self_exclusion(spark):
+    from __spark_entry__ import queries
+
+    out = queries()["q257_knn_label_agreement"](spark, "/root/testdata/sf0.001")
+    pdf = out.toPandas()
+    assert len(pdf) > 0
+    assert (pdf["agreement"] >= 0).all() and (pdf["agreement"] <= 1).all()
+    assert (pdf["n_agree"] <= 3).all()
+
+
+# --- mode / purity tiebreaks ----------------------------------------------
+
+def test_daily_mode_deterministic_tiebreak(spark):
+    rows = [
+        ("2024-01-01 00:00:00", "b"),
+        ("2024-01-01 01:00:00", "a"),
+    ]
+    df = spark.createDataFrame(rows, ["ts", "et"]).select(
+        F.col("ts").cast("timestamp").alias("ts"), F.col("et")
+    )
+    daily = df.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("d"), "et"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("d").orderBy(F.col("n").desc(), F.col("et"))
+    top = (
+        daily.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .collect()
+    )
+    assert top[0]["et"] == "a"  # tie on n=1 broken lexicographically
