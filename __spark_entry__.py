@@ -5377,38 +5377,14 @@ def _q_bollinger(spark: SparkSession, sf: str) -> DataFrame:
     moments (k*S2 - S1^2), flags for breaks above/below the band. The
     named-indicator companion to q241's Donchian channel — variance
     band instead of min/max channel, same one-scan day*type frame."""
+    from sensor_time_series_pyspark_spark.operators import bollinger
+
     ev = read_table(spark, sf, "events")
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("d")
     ).agg(F.count(F.lit(1)).alias("n"))
-    wt = Window.partitionBy("event_type").orderBy("d").rowsBetween(-7, -1)
-    k = F.count(F.lit(1)).over(wt)
-    s1 = F.sum("n").over(wt)
-    s2 = F.sum(F.col("n") * F.col("n")).over(wt)
-    var_num = (k * s2 - s1 * s1).cast("double")
-    mean = s1.cast("double") / k.cast("double")
-    std = F.sqrt(var_num) / k.cast("double")
-    base = daily.select(
-        "event_type",
-        "d",
-        "n",
-        F.when(k >= 3, mean).alias("mid"),
-        F.when(k >= 3, mean + F.lit(2.0) * std).alias("hi"),
-        F.when(k >= 3, mean - F.lit(2.0) * std).alias("lo"),
-    )
-    return base.select(
-        "event_type",
-        "d",
-        "n",
-        "mid",
-        "hi",
-        "lo",
-        F.when(F.col("hi").isNotNull() & (F.col("n").cast("double") > F.col("hi")), 1)
-        .otherwise(0)
-        .alias("break_up"),
-        F.when(F.col("lo").isNotNull() & (F.col("n").cast("double") < F.col("lo")), 1)
-        .otherwise(0)
-        .alias("break_dn"),
+    return bollinger(
+        daily, ["event_type"], "d", "n", lookback=7, n_sigma=2.0, min_points=3
     )
 
 
@@ -5566,50 +5542,17 @@ def _q_pettitt(spark: SparkSession, sf: str) -> DataFrame:
     cancels), so the cost is ONE within-series pair join for the net
     rank scores plus a window cumsum over the day frame — O(n^2)
     pairs per series on the tiny daily aggregate, never on the fact."""
+    from sensor_time_series_pyspark_spark.operators import pettitt
+
     ev = read_table(spark, sf, "events")
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("d")
     ).agg(F.count(F.lit(1)).alias("n"))
-    a = daily.select("event_type", F.col("d").alias("di"), F.col("n").alias("xi"))
-    b = daily.select(
-        F.col("event_type").alias("et2"),
-        F.col("d").alias("dj"),
-        F.col("n").alias("xj"),
-    )
-    r = (
-        a.join(b, (a["event_type"] == b["et2"]) & (a["di"] != b["dj"]))
-        .groupBy("event_type", "di")
-        .agg(F.sum(F.signum((F.col("xi") - F.col("xj")).cast("double")).cast("bigint")).alias("r"))
-    )
-    wcum = (
-        Window.partitionBy("event_type")
-        .orderBy("di")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    u = r.select(
-        "event_type", "di", (-F.sum("r").over(wcum)).alias("u")
-    )
-    # drop the last day per series: U_n == 0 by construction and is not
-    # a candidate split
-    wmaxd = Window.partitionBy("event_type")
-    u = u.withColumn("maxd", F.max("di").over(wmaxd)).where(
-        F.col("di") != F.col("maxd")
-    )
-    wbest = Window.partitionBy("event_type").orderBy(
-        F.abs(F.col("u")).desc(), F.col("di")
-    )
-    return (
-        u.withColumn("rk", F.row_number().over(wbest))
-        .withColumn(
-            "n_candidates", F.count(F.lit(1)).over(wmaxd).cast("bigint")
-        )
-        .where(F.col("rk") == 1)
-        .select(
-            "event_type",
-            F.col("di").alias("change_day"),
-            F.abs(F.col("u")).alias("k_stat"),
-            "n_candidates",
-        )
+    return pettitt(daily, ["event_type"], "d", "n").select(
+        "event_type",
+        F.col("change_point").alias("change_day"),
+        "k_stat",
+        "n_candidates",
     )
 
 
@@ -5799,39 +5742,13 @@ def _q_spc_rules(spark: SparkSession, sf: str) -> DataFrame:
     (identical op order in the oracle). Returns every scored day with
     its rule flags (callers filter on the flags; returning the full
     chart keeps the oracle gate strong even when no rule fires)."""
+    from sensor_time_series_pyspark_spark.operators import spc_rules
+
     ev = read_table(spark, sf, "events")
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("d")
     ).agg(F.count(F.lit(1)).alias("n"))
-    wall = Window.partitionBy("event_type")
-    k = F.count(F.lit(1)).over(wall)
-    s1 = F.sum("n").over(wall)
-    s2 = F.sum(F.col("n") * F.col("n")).over(wall)
-    mean = s1.cast("double") / k.cast("double")
-    std = F.sqrt((k * s2 - s1 * s1).cast("double")) / k.cast("double")
-    z = (F.col("n").cast("double") - mean) / std
-    base = daily.select("event_type", "d", "n", z.alias("z"))
-    wt = Window.partitionBy("event_type").orderBy("d")
-    hi2 = F.when(F.col("z") > 2.0, 1).otherwise(0)
-    lo2 = F.when(F.col("z") < -2.0, 1).otherwise(0)
-    above = F.when(F.col("z") > 0.0, 1).otherwise(0)
-    below = F.when(F.col("z") < 0.0, 1).otherwise(0)
-    w3 = wt.rowsBetween(-2, 0)
-    w8 = wt.rowsBetween(-7, 0)
-    scored = base.select(
-        "event_type",
-        "d",
-        "n",
-        "z",
-        F.when(F.abs(F.col("z")) > 3.0, 1).otherwise(0).alias("rule1"),
-        F.when(
-            (F.sum(hi2).over(w3) >= 2) | (F.sum(lo2).over(w3) >= 2), 1
-        ).otherwise(0).alias("rule2"),
-        F.when(
-            (F.sum(above).over(w8) == 8) | (F.sum(below).over(w8) == 8), 1
-        ).otherwise(0).alias("rule4"),
-    )
-    return scored
+    return spc_rules(daily, ["event_type"], "d", "n")
 
 
 def _q_wow_overlap(spark: SparkSession, sf: str) -> DataFrame:
@@ -5881,43 +5798,18 @@ def _q_drawdown(spark: SparkSession, sf: str) -> DataFrame:
     day (deterministic worst-dd/earliest-day tiebreak) — the quant
     risk metric repurposed as a traffic-collapse detector. Running max
     is pure integer; ONE division per day in identical order."""
+    from sensor_time_series_pyspark_spark.operators import max_drawdown
+
     ev = read_table(spark, sf, "events")
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("d")
     ).agg(F.count(F.lit(1)).alias("n"))
-    wrun = (
-        Window.partitionBy("event_type")
-        .orderBy("d")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    dd = daily.select(
+    return max_drawdown(daily, ["event_type"], "d", "n").select(
         "event_type",
-        "d",
-        "n",
-        F.max("n").over(wrun).alias("peak"),
-    ).select(
-        "event_type",
-        "d",
-        "n",
+        F.col("worst_point").alias("worst_day"),
+        "trough",
         "peak",
-        (
-            (F.col("peak") - F.col("n")).cast("double")
-            / F.col("peak").cast("double")
-        ).alias("dd"),
-    )
-    wbest = Window.partitionBy("event_type").orderBy(
-        F.col("dd").desc(), F.col("d")
-    )
-    return (
-        dd.withColumn("rk", F.row_number().over(wbest))
-        .where(F.col("rk") == 1)
-        .select(
-            "event_type",
-            F.col("d").alias("worst_day"),
-            F.col("n").alias("trough"),
-            "peak",
-            F.col("dd").alias("max_drawdown"),
-        )
+        "max_drawdown",
     )
 
 

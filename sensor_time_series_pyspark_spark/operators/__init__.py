@@ -182,3 +182,4 @@ from .windows import bfill
 from .multimodal import frame_byte_stats
 from .dedup import tfidf_cosine_pairs
 from .analytics import funnel_strict
+from .changepoint import bollinger, max_drawdown, pettitt, spc_rules

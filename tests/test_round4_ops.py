@@ -174,6 +174,62 @@ def test_knn_agreement_bounds_and_self_exclusion(spark):
     assert (pdf["n_agree"] <= 3).all()
 
 
+# --- changepoint module (reusable operators) -------------------------------
+
+def test_pettitt_operator_finds_obvious_shift_string_keys(spark):
+    # level shift at t=4; string series key exercises type-agnostic path
+    xs = [5, 6, 5, 7, 50, 52, 51, 53]
+    rows = [("sensor-a", i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, ["k", "t", "x"])
+    from sensor_time_series_pyspark_spark.operators import pettitt
+
+    out = pettitt(df, ["k"], "t", "x").collect()
+    assert len(out) == 1
+    assert out[0]["change_point"] == 3  # last point of the low regime
+    assert out[0]["k_stat"] == 16  # 4*4 pairs all concordant
+    assert out[0]["n_candidates"] == 7
+
+
+def test_bollinger_operator_flags_spike(spark):
+    xs = [10, 10, 10, 10, 10, 100]
+    df = spark.createDataFrame(
+        [("a", i, x) for i, x in enumerate(xs)], ["k", "t", "x"]
+    )
+    from sensor_time_series_pyspark_spark.operators import bollinger
+
+    out = {r["t"]: r for r in bollinger(df, ["k"], "t", "x").collect()}
+    assert out[5]["break_up"] == 1  # constant history, huge spike
+    assert out[0]["hi"] is None  # no trailing window yet
+    assert out[1]["hi"] is None and out[2]["hi"] is None  # < min_points
+
+
+def test_max_drawdown_operator(spark):
+    xs = [10, 20, 5, 30]
+    df = spark.createDataFrame(
+        [("a", i, x) for i, x in enumerate(xs)], ["k", "t", "x"]
+    )
+    from sensor_time_series_pyspark_spark.operators import max_drawdown
+
+    row = max_drawdown(df, ["k"], "t", "x").collect()[0]
+    assert row["worst_point"] == 2
+    assert row["trough"] == 5 and row["peak"] == 20
+    assert row["max_drawdown"] == pytest.approx(0.75)
+
+
+def test_spc_rules_operator_rule1_and_rule4(spark):
+    # one extreme outlier among n points has z = (n-1)/sqrt(n); that
+    # exceeds 3 sigma only for n >= 11, so use 15 points
+    xs = [10.0] * 14 + [1000.0]
+    df = spark.createDataFrame(
+        [("a", i, x) for i, x in enumerate(xs)], ["k", "t", "x"]
+    )
+    from sensor_time_series_pyspark_spark.operators import spc_rules
+
+    rows = {r["t"]: r for r in spc_rules(df, ["k"], "t", "x").collect()}
+    assert rows[14]["rule1"] == 1  # the outlier is beyond 3 sigma
+    assert rows[7]["rule4"] == 1  # 8th consecutive point below mean
+
+
 # --- mode / purity tiebreaks ----------------------------------------------
 
 def test_daily_mode_deterministic_tiebreak(spark):
