@@ -5911,6 +5911,186 @@ def _q_tukey_fences(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_page_hinkley(spark: SparkSession, sf: str) -> DataFrame:
+    """Page-Hinkley drift detector (offline form) on the daily count
+    series per type: m_t = cumsum(n - mean), PH_t = m_t - min(m_1..t),
+    alarm when PH_t > lambda = 0.5 * mean — the sequential
+    mean-increase detector behind most stream-drift libraries, as two
+    stacked window passes over the day x type frame (cumsum, then
+    running min). Mean from exact integer moments; cumsum order is
+    the window order, identical in both engines."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wall = Window.partitionBy("event_type")
+    mean = F.sum("n").over(wall).cast("double") / F.count(F.lit(1)).over(
+        wall
+    ).cast("double")
+    base = daily.select(
+        "event_type", "d", "n", mean.alias("mean_n")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    m = F.sum(F.col("n").cast("double") - F.col("mean_n")).over(wcum)
+    stepped = base.withColumn("m", m)
+    ph = F.col("m") - F.min("m").over(wcum)
+    return stepped.select(
+        "event_type",
+        "d",
+        "n",
+        ph.alias("ph"),
+        F.when(ph > F.lit(0.5) * F.col("mean_n"), 1).otherwise(0).alias(
+            "alarm"
+        ),
+    )
+
+
+def _q_capture_recapture(spark: SparkSession, sf: str) -> DataFrame:
+    """Chapman capture-recapture estimate of the true active-user
+    population from consecutive weekly sightings: N = (n1+1)(n2+1)/
+    (m+1) - 1 with m = users seen in both weeks — the coverage
+    estimator ecology lends to dataset-completeness audits ("how many
+    users exist that we never see?"). Pure integer counts, ONE
+    division; coverage = observed-union / N."""
+    ev = read_table(spark, sf, "events")
+    wk = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("w")
+    ).distinct()
+    sizes = wk.groupBy("w").agg(F.count(F.lit(1)).alias("n1"))
+    nxt = wk.select(
+        F.col("user_id").alias("u2"),
+        (F.col("w") - F.expr("INTERVAL 7 DAYS")).alias("pw"),
+    )
+    m = (
+        wk.join(
+            nxt, (F.col("user_id") == F.col("u2")) & (F.col("w") == F.col("pw"))
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    n2 = sizes.select(
+        (F.col("w") - F.expr("INTERVAL 7 DAYS")).alias("w"),
+        F.col("n1").alias("n2"),
+    )
+    j = sizes.join(n2, "w").join(m, "w", "left").na.fill({"m": 0})
+    nhat = (
+        ((F.col("n1") + 1) * (F.col("n2") + 1)).cast("double")
+        / (F.col("m") + 1).cast("double")
+    ) - F.lit(1.0)
+    union = (F.col("n1") + F.col("n2") - F.col("m")).cast("double")
+    return j.select(
+        F.col("w").alias("week"),
+        "n1",
+        "n2",
+        "m",
+        nhat.alias("n_hat"),
+        (union / nhat).alias("coverage"),
+    )
+
+
+def _q_odds_ratio_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinctive vocabulary per language by Haldane-smoothed odds
+    ratio: OR = (a+.5)(B-b+.5) / ((b+.5)(A-a+.5)) for token count a of
+    A in-language tokens vs b of B out-of-language — the log-free
+    enrichment score (log-odds is monotone in OR, so rankings agree)
+    behind "what words characterize this slice" analyses. One explode,
+    one (lang, token) aggregate, token totals by broadcast-sized
+    joins; top-5 per lang by (OR desc, token asc). Tokens with a < 5
+    are pruned before ranking (hapax OR noise)."""
+    docs = read_table(spark, sf, "documents")
+    tok = docs.select("lang", F.explode(tokens("text")).alias("t"))
+    lt = tok.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("a"))
+    tot_l = tok.groupBy("lang").agg(F.count(F.lit(1)).alias("la"))
+    tot_t = tok.groupBy("t").agg(F.count(F.lit(1)).alias("ct"))
+    tot = tok.agg(F.count(F.lit(1)).alias("gn"))
+    j = (
+        lt.join(F.broadcast(tot_l), "lang")
+        .join(tot_t, "t")
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("a") >= 5)
+    )
+    b = F.col("ct") - F.col("a")
+    bigB = F.col("gn") - F.col("la")
+    orr = (
+        (F.col("a").cast("double") + 0.5)
+        * ((bigB - b).cast("double") + 0.5)
+    ) / (
+        (b.cast("double") + 0.5)
+        * ((F.col("la") - F.col("a")).cast("double") + 0.5)
+    )
+    return (
+        j.select(
+            "lang",
+            F.col("t").alias("token"),
+            "a",
+            orr.alias("odds_ratio"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(
+                    F.col("odds_ratio").desc(), F.col("token")
+                )
+            ),
+        )
+        .where(F.col("rk") <= 5)
+        .select("lang", "token", "a", "odds_ratio", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def _q_emd_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """1-D earth mover's distance (Wasserstein-1) between each event
+    type's first-half and second-half value distributions — the drift
+    metric that sees HOW FAR mass moved where TVD (q81) only sees how
+    much. Values bin to width-5 integer bins (the 100 TB contract:
+    EMD over a bounded histogram, never raw points); EMD = sum over
+    the bin grid of |cumsum(p_a - p_b)| * width. Bin counts are
+    integers; shares and the cumsum are fixed-order doubles."""
+    ev = read_table(spark, sf, "events").where(F.col("value").isNotNull())
+    mid = F.lit("2024-01-16")
+    binned = ev.select(
+        "event_type",
+        F.when(F.col("ts") < mid, "a").otherwise("b").alias("half"),
+        F.floor(F.col("value") / F.lit(5.0)).cast("bigint").alias("bin"),
+    )
+    counts = binned.groupBy("event_type", "half", "bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wtot = Window.partitionBy("event_type", "half")
+    shares = counts.select(
+        "event_type",
+        "half",
+        "bin",
+        (F.col("n").cast("double") / F.sum("n").over(wtot).cast("double")).alias(
+            "p"
+        ),
+    )
+    grid = (
+        shares.groupBy("event_type", "bin")
+        .pivot("half", ["a", "b"])
+        .agg(F.first("p"))
+        .na.fill({"a": 0.0, "b": 0.0})
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    diffs = grid.select(
+        "event_type",
+        "bin",
+        F.sum(F.col("a") - F.col("b")).over(wcum).alias("cdf_gap"),
+    )
+    return diffs.groupBy("event_type").agg(
+        (_dsum(F.abs(F.col("cdf_gap"))) * F.lit(5.0)).alias("emd"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -6180,6 +6360,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q264_kfold_balance": _q_kfold_balance,
         "q265_burstiness": _q_burstiness,
         "q266_tukey_fences": _q_tukey_fences,
+        "q267_page_hinkley": _q_page_hinkley,
+        "q268_capture_recapture": _q_capture_recapture,
+        "q269_odds_ratio_terms": _q_odds_ratio_terms,
+        "q270_emd_drift": _q_emd_drift,
     }
 
 
@@ -11594,5 +11778,136 @@ def oracle_sql() -> dict[str, str]:
               coalesce(n_outliers, 0) AS n_outliers
             FROM fenced f LEFT JOIN outliers o
               ON f.event_type = o.event_type
+        """,
+        "q267_page_hinkley": """
+            WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS d,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            base AS (
+              SELECT event_type, d, n,
+                CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE)
+                  / CAST(count(*) OVER (PARTITION BY event_type) AS DOUBLE)
+                  AS mean_n
+              FROM daily
+            ),
+            stepped AS (
+              SELECT event_type, d, n, mean_n,
+                sum(CAST(n AS DOUBLE) - mean_n) OVER (
+                  PARTITION BY event_type ORDER BY d
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+              FROM base
+            )
+            SELECT event_type, d, n,
+              m - min(m) OVER (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+              CAST(CASE WHEN
+                m - min(m) OVER (PARTITION BY event_type ORDER BY d
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                > 0.5E0 * mean_n
+              THEN 1 ELSE 0 END AS INT) AS alarm
+            FROM stepped
+        """,
+        "q268_capture_recapture": """
+            WITH wk AS (
+              SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+              FROM events
+            ),
+            sizes AS (
+              SELECT w, CAST(count(*) AS BIGINT) AS n1
+              FROM wk GROUP BY w
+            ),
+            m AS (
+              SELECT a.w, CAST(count(*) AS BIGINT) AS m
+              FROM wk a JOIN wk b
+                ON a.user_id = b.user_id AND b.w = a.w + INTERVAL 7 DAY
+              GROUP BY a.w
+            )
+            SELECT a.w AS week, a.n1, b.n1 AS n2, coalesce(m, 0) AS m,
+              CAST((a.n1 + 1) * (b.n1 + 1) AS DOUBLE)
+                / CAST(coalesce(m, 0) + 1 AS DOUBLE) - 1E0 AS n_hat,
+              CAST(a.n1 + b.n1 - coalesce(m, 0) AS DOUBLE)
+                / (CAST((a.n1 + 1) * (b.n1 + 1) AS DOUBLE)
+                   / CAST(coalesce(m, 0) + 1 AS DOUBLE) - 1E0) AS coverage
+            FROM sizes a
+            JOIN sizes b ON b.w = a.w + INTERVAL 7 DAY
+            LEFT JOIN m ON m.w = a.w
+        """,
+        "q269_odds_ratio_terms": """
+            WITH tok AS (
+              SELECT lang,
+                unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                  x -> x <> '')) AS t
+              FROM documents
+            ),
+            lt AS (
+              SELECT lang, t, CAST(count(*) AS BIGINT) AS a
+              FROM tok GROUP BY 1, 2
+            ),
+            tot_l AS (
+              SELECT lang, CAST(count(*) AS BIGINT) AS la
+              FROM tok GROUP BY lang
+            ),
+            tot_t AS (
+              SELECT t, CAST(count(*) AS BIGINT) AS ct FROM tok GROUP BY t
+            ),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS gn FROM tok),
+            j AS (
+              SELECT lt.lang, lt.t, lt.a,
+                (CAST(lt.a AS DOUBLE) + 0.5E0)
+                  * (CAST((gn - la) - (ct - a) AS DOUBLE) + 0.5E0)
+                / ((CAST(ct - a AS DOUBLE) + 0.5E0)
+                  * (CAST(la - a AS DOUBLE) + 0.5E0)) AS odds_ratio
+              FROM lt
+              JOIN tot_l USING (lang)
+              JOIN tot_t USING (t)
+              CROSS JOIN tot
+              WHERE lt.a >= 5
+            )
+            SELECT lang, t AS token, a, odds_ratio, CAST(rk AS INT) AS rk
+            FROM (
+              SELECT lang, t, a, odds_ratio,
+                row_number() OVER (PARTITION BY lang
+                  ORDER BY odds_ratio DESC, t) AS rk
+              FROM j
+            ) WHERE rk <= 5
+        """,
+        "q270_emd_drift": """
+            WITH binned AS (
+              SELECT event_type,
+                CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'a'
+                     ELSE 'b' END AS half,
+                CAST(floor(value / 5.0E0) AS BIGINT) AS bin
+              FROM events WHERE value IS NOT NULL
+            ),
+            counts AS (
+              SELECT event_type, half, bin, CAST(count(*) AS BIGINT) AS n
+              FROM binned GROUP BY 1, 2, 3
+            ),
+            shares AS (
+              SELECT event_type, half, bin,
+                CAST(n AS DOUBLE) / CAST(sum(n) OVER (
+                  PARTITION BY event_type, half) AS DOUBLE) AS p
+              FROM counts
+            ),
+            grid AS (
+              SELECT event_type, bin,
+                coalesce(sum(CASE WHEN half = 'a' THEN p END), 0E0) AS pa,
+                coalesce(sum(CASE WHEN half = 'b' THEN p END), 0E0) AS pb
+              FROM shares GROUP BY 1, 2
+            ),
+            diffs AS (
+              SELECT event_type, bin,
+                sum(pa - pb) OVER (PARTITION BY event_type ORDER BY bin
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS cdf_gap
+              FROM grid
+            )
+            SELECT event_type,
+              CAST(sum(CAST(abs(cdf_gap) AS DECIMAL(38,6))) AS DOUBLE)
+                * 5E0 AS emd,
+              CAST(count(*) AS BIGINT) AS n_bins
+            FROM diffs GROUP BY event_type
         """,
     }
