@@ -6091,6 +6091,141 @@ def _q_emd_drift(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_bow_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-set duplicate groups: documents sharing an identical
+    DISTINCT token set (md5 of the sorted distinct tokens) — the
+    permutation- and multiplicity-invariant dedup layer that catches
+    shuffled/reordered/repeated-template copies exact-hash dedup (q17)
+    misses and shingle methods only partially score. One map-side
+    fingerprint + one hash aggregate, no pair join. Returns groups
+    >= 2 with member/source counts."""
+    docs = read_table(spark, sf, "documents")
+    fp = F.md5(F.array_join(F.array_sort(F.array_distinct(tokens("text"))), " "))
+    return (
+        docs.select("doc_id", "source", fp.alias("bow_fp"))
+        .groupBy("bow_fp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count_distinct("source").cast("bigint").alias("n_sources"),
+            F.min("doc_id").alias("rep_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+def _q_stride_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Systematic (every k-th) per-user event sample, k=10 — the
+    deterministic longitudinal thinning that preserves per-user
+    temporal spread where uniform row sampling does not. One window
+    rank per user (ts, event_id tiebreak), modulo filter; emits the
+    kept rows so the oracle verifies exact membership, not just
+    counts."""
+    ev = read_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") % 10) == 1)
+        .select("user_id", "event_id", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+def _q_churn_risk(spark: SparkSession, sf: str) -> DataFrame:
+    """Recency-vs-cadence churn screen: idle time since a user's last
+    event (to the corpus horizon) over their own median interarrival
+    gap — at_risk when idle > 3x median cadence. The per-user median
+    personalizes the threshold (a daily user 4 days silent is at risk;
+    a weekly user is not). Integer-second gaps, exact median, one
+    ratio; users with < 2 gaps excluded."""
+    ev = read_table(spark, sf, "events")
+    wlag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = (
+        F.col("ts").cast("long")
+        - F.lag(F.col("ts").cast("long")).over(wlag)
+    )
+    base = ev.select(
+        "user_id", F.col("ts").cast("long").alias("tsec"), g.alias("g")
+    )
+    horizon = base.agg(F.max("tsec").alias("h"))
+    per_user = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max("tsec").alias("last_t"),
+        F.median("g").alias("median_gap_s"),
+        F.count("g").alias("n_gaps"),
+    ).where(F.col("n_gaps") >= 2)
+    j = per_user.crossJoin(F.broadcast(horizon))
+    ratio = (F.col("h") - F.col("last_t")).cast("double") / F.col(
+        "median_gap_s"
+    )
+    return j.select(
+        "user_id",
+        "n_events",
+        (F.col("h") - F.col("last_t")).alias("idle_s"),
+        "median_gap_s",
+        ratio.alias("risk_ratio"),
+        F.when(ratio > 3.0, 1).otherwise(0).alias("at_risk"),
+    )
+
+
+def _q_discount_elasticity(spark: SparkSession, sf: str) -> DataFrame:
+    """Discount-quantity elasticity proxy per part brand: exact-moment
+    Pearson correlation between l_discount and l_quantity
+    (operators/profile.py:exact_corr — decimal moments, fixed IEEE
+    epilogue) after a broadcast join to the part dimension. Positive
+    corr = discounts move volume for that brand."""
+    from sensor_time_series_pyspark_spark.operators import exact_corr
+
+    li = read_table(spark, sf, "lineitem")
+    p = read_table(spark, sf, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    return exact_corr(j, "l_discount", "l_quantity", by=["p_brand"])
+
+
+def _q_centroid_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-space drift per label: cosine between the centroid of
+    the first half of the corpus (vec_id < 250) and the second half —
+    the embedding-health monitor (re-embedding or upstream featurizer
+    changes show up as off-1.0 cosines before any model degrades).
+    Same order-free decimal centroid accumulation as q157; cosine is
+    scale-invariant so SUM vectors stand in for means (no division)."""
+    e = read_table(spark, sf, "embeddings")
+    comp = e.select(
+        "label",
+        F.when(F.col("vec_id") < 250, "a").otherwise("b").alias("half"),
+        F.posexplode("embedding").alias("dim", "v"),
+    )
+    cent = comp.groupBy("label", "half", "dim").agg(
+        F.sum(F.col("v").cast("double").cast("decimal(20,8)")).alias("s")
+    )
+    vecs = (
+        cent.groupBy("label", "half")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "s"))).alias("arr"))
+        .select(
+            "label",
+            "half",
+            F.expr("transform(arr, x -> cast(x.s as double))").alias("vec"),
+        )
+    )
+    a = vecs.where(F.col("half") == "a").select(
+        "label", F.col("vec").alias("va")
+    )
+    b = vecs.where(F.col("half") == "b").select(
+        F.col("label").alias("lb"), F.col("vec").alias("vb")
+    )
+    dot = lambda x, y: F.expr(  # noqa: E731
+        f"aggregate(zip_with({x}, {y}, (p, q) -> p * q), 0D, (acc, z) -> acc + z)"
+    )
+    return (
+        a.join(b, F.col("label") == F.col("lb"))
+        .select(
+            "label",
+            (
+                dot("va", "vb")
+                / (F.sqrt(dot("va", "va")) * F.sqrt(dot("vb", "vb")))
+            ).alias("drift_cosine"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -6364,6 +6499,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q268_capture_recapture": _q_capture_recapture,
         "q269_odds_ratio_terms": _q_odds_ratio_terms,
         "q270_emd_drift": _q_emd_drift,
+        "q271_bow_dup": _q_bow_dup,
+        "q272_stride_sample": _q_stride_sample,
+        "q273_churn_risk": _q_churn_risk,
+        "q274_discount_elasticity": _q_discount_elasticity,
+        "q275_centroid_drift": _q_centroid_drift,
     }
 
 
@@ -11909,5 +12049,110 @@ def oracle_sql() -> dict[str, str]:
                 * 5E0 AS emd,
               CAST(count(*) AS BIGINT) AS n_bins
             FROM diffs GROUP BY event_type
+        """,
+        "q271_bow_dup": """
+            WITH fp AS (
+              SELECT doc_id, source,
+                md5(array_to_string(list_sort(list_distinct(list_filter(
+                  string_split_regex(trim(text), '\\s+'), x -> x <> ''))),
+                  ' ')) AS bow_fp
+              FROM documents
+            )
+            SELECT bow_fp,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+              min(doc_id) AS rep_doc
+            FROM fp GROUP BY bow_fp HAVING count(*) >= 2
+        """,
+        "q272_stride_sample": """
+            SELECT user_id, event_id, CAST(rn AS INT) AS rn FROM (
+              SELECT user_id, event_id,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS rn
+              FROM events
+            ) WHERE rn % 10 = 1
+        """,
+        "q273_churn_risk": """
+            WITH base AS (
+              SELECT user_id,
+                CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+                CAST(floor(epoch(ts)) AS BIGINT)
+                  - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id))) AS BIGINT) AS g
+              FROM events
+            ),
+            horizon AS (SELECT max(tsec) AS h FROM base),
+            per_user AS (
+              SELECT user_id,
+                CAST(count(*) AS BIGINT) AS n_events,
+                max(tsec) AS last_t,
+                quantile_cont(g, 0.5) AS median_gap_s,
+                count(g) AS n_gaps
+              FROM base GROUP BY user_id HAVING count(g) >= 2
+            )
+            SELECT user_id, n_events,
+              CAST(h - last_t AS BIGINT) AS idle_s,
+              median_gap_s,
+              CAST(h - last_t AS DOUBLE) / median_gap_s AS risk_ratio,
+              CAST(CASE WHEN CAST(h - last_t AS DOUBLE) / median_gap_s
+                > 3E0 THEN 1 ELSE 0 END AS INT) AS at_risk
+            FROM per_user CROSS JOIN horizon
+        """,
+        "q274_discount_elasticity": """
+            WITH ints AS (
+              SELECT p_brand,
+                CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+                  AS DECIMAL(19,0)) AS xi,
+                CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                  AS DECIMAL(19,0)) AS yi
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE l_discount IS NOT NULL AND l_quantity IS NOT NULL
+            ),
+            s AS (
+              SELECT p_brand, count(*) AS n,
+                sum(CAST(xi AS DECIMAL(38,0))) AS sx,
+                sum(CAST(yi AS DECIMAL(38,0))) AS sy,
+                sum(CAST(xi * xi AS DECIMAL(38,0))) AS sxx,
+                sum(CAST(yi * yi AS DECIMAL(38,0))) AS syy,
+                sum(CAST(xi * yi AS DECIMAL(38,0))) AS sxy
+              FROM ints GROUP BY p_brand
+            ),
+            e AS (
+              SELECT p_brand, n,
+                CAST(CAST(CAST(n AS DECIMAL(12,0)) * CAST(sxy AS DECIMAL(24,0)) AS DECIMAL(32,0))
+                     - CAST(CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0)) AS DECIMAL(32,0)) AS DOUBLE) AS cov_n,
+                CAST(CAST(CAST(n AS DECIMAL(12,0)) * CAST(sxx AS DECIMAL(24,0)) AS DECIMAL(32,0))
+                     - CAST(CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0)) AS DECIMAL(32,0)) AS DOUBLE) AS var_x,
+                CAST(CAST(CAST(n AS DECIMAL(12,0)) * CAST(syy AS DECIMAL(24,0)) AS DECIMAL(32,0))
+                     - CAST(CAST(sy AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0)) AS DECIMAL(32,0)) AS DOUBLE) AS var_y
+              FROM s
+            )
+            SELECT p_brand, n,
+              CASE WHEN sqrt(var_x) * sqrt(var_y) > 0
+                   THEN cov_n / (sqrt(var_x) * sqrt(var_y)) END AS corr
+            FROM e
+        """,
+        "q275_centroid_drift": """
+            WITH c AS (
+              SELECT label,
+                CASE WHEN vec_id < 250 THEN 'a' ELSE 'b' END AS half,
+                i AS dim,
+                sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(20,8)))
+                  AS s
+              FROM embeddings,
+                unnest(generate_series(1, len(embedding))) AS t(i)
+              GROUP BY 1, 2, 3
+            ),
+            v AS (
+              SELECT label, half, list(CAST(s AS DOUBLE) ORDER BY dim)
+                AS vec
+              FROM c GROUP BY label, half
+            )
+            SELECT a.label,
+              list_dot_product(a.vec, b.vec)
+                / (sqrt(list_dot_product(a.vec, a.vec))
+                   * sqrt(list_dot_product(b.vec, b.vec))) AS drift_cosine
+            FROM v a JOIN v b
+              ON a.label = b.label AND a.half = 'a' AND b.half = 'b'
         """,
     }
