@@ -7,7 +7,13 @@ from .ingest import (
     write_parquet_stream,
 )
 from .joins import stream_interval_join
-from .stateful import ewma_anomaly_batch, ewma_anomaly_stream, ewma_anomaly_stream_tws
+from .stateful import (
+    ewma_anomaly_batch,
+    ewma_anomaly_stream,
+    ewma_anomaly_stream_tws,
+    page_hinkley_batch,
+    page_hinkley_stream,
+)
 
 __all__ = [
     "read_stream",
@@ -20,4 +26,6 @@ __all__ = [
     "ewma_anomaly_stream",
     "ewma_anomaly_batch",
     "ewma_anomaly_stream_tws",
+    "page_hinkley_stream",
+    "page_hinkley_batch",
 ]

@@ -227,6 +227,137 @@ def ewma_anomaly_stream_tws(
 
 
 # ---------------------------------------------------------------------------
+# Page-Hinkley online drift detection
+# ---------------------------------------------------------------------------
+
+PH_STATE_SCHEMA = "n long, mean double, m double, m_min double"
+
+
+def _ph_out_schema(key_field: StructField) -> StructType:
+    return StructType(
+        [
+            key_field,
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+            StructField("ph", DoubleType()),
+            StructField("alarm", LongType()),
+            StructField("n_seen", LongType()),
+        ]
+    )
+
+
+def _ph_step(
+    x: float,
+    n: int,
+    mean: float,
+    m: float,
+    m_min: float,
+    delta: float,
+) -> tuple[int, float, float, float, float]:
+    """One online Page-Hinkley update (the river/MOA recurrence):
+    incremental mean, cumulative deviation m += x - mean_t - delta
+    (with the UPDATED mean, matching the canonical streaming form),
+    running minimum of m. Shared verbatim by the stream and the batch
+    twin so stream == batch is exact."""
+    n += 1
+    mean = mean + (x - mean) / n
+    m = m + (x - mean - delta)
+    m_min = min(m_min, m)
+    return n, mean, m, m_min, m - m_min
+
+
+def page_hinkley_stream(
+    sdf: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    delta: float = 0.0,
+    threshold: float = 50.0,
+    timeout_minutes: int | None = None,
+) -> DataFrame:
+    """Streaming per-series Page-Hinkley mean-increase detector —
+    O(1) state per series (n, running mean, cumulative deviation m,
+    running min of m); alarm fires while ph = m - min(m) exceeds
+    ``threshold``. The sequential counterpart of the offline q267
+    query (which uses the whole-series mean; the online form uses the
+    running mean, the standard stream variant). Rows within a batch
+    process in ``ts`` order; state carries across micro-batches."""
+    key_field = sdf.schema[key_col]
+    out_schema = _ph_out_schema(key_field)
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            n, mean, m, m_min = state.get
+        else:
+            n, mean, m, m_min = 0, 0.0, 0.0, 0.0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            rows = []
+            for ts, v in zip(pdf[ts_col], pdf[value_col]):
+                n, mean, m, m_min, ph = _ph_step(
+                    float(v), n, mean, m, m_min, delta
+                )
+                rows.append(
+                    (key[0], ts, float(v), ph, int(ph > threshold), n)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[key_col, "ts", "value", "ph", "alarm", "n_seen"],
+            )
+        state.update((n, mean, m, m_min))
+        if timeout_minutes:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_minutes
+        else GroupStateTimeout.NoTimeout
+    )
+    return sdf.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=PH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
+def page_hinkley_batch(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    delta: float = 0.0,
+    threshold: float = 50.0,
+) -> DataFrame:
+    """Batch twin of ``page_hinkley_stream`` (same ``_ph_step`` math
+    via ``applyInPandas``) — used to assert stream == batch."""
+    key_field = df.schema[key_col]
+    out_schema = _ph_out_schema(key_field)
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col)
+        n, mean, m, m_min = 0, 0.0, 0.0, 0.0
+        rows = []
+        key = pdf[key_col].iloc[0]
+        for ts, v in zip(pdf[ts_col], pdf[value_col]):
+            n, mean, m, m_min, ph = _ph_step(float(v), n, mean, m, m_min, delta)
+            rows.append((key, ts, float(v), ph, int(ph > threshold), n))
+        return pd.DataFrame(
+            rows, columns=[key_col, "ts", "value", "ph", "alarm", "n_seen"]
+        )
+
+    return df.groupBy(key_col).applyInPandas(score, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
 # debounce / rate limit
 # ---------------------------------------------------------------------------
 

@@ -15,6 +15,8 @@ from sensor_time_series_pyspark_spark.sources.readers import read_table
 from sensor_time_series_pyspark_spark.streaming import (
     ewma_anomaly_batch,
     ewma_anomaly_stream,
+    page_hinkley_batch,
+    page_hinkley_stream,
     read_stream,
     run_to_memory,
     session_agg,
@@ -133,6 +135,57 @@ def test_stateful_ewma_stream_matches_batch(spark, two_phase_src):
             assert gz is None
         else:
             assert gz == pytest.approx(wz, rel=1e-9)
+
+
+def test_page_hinkley_stream_matches_batch(spark, two_phase_src):
+    """Online PH drift detector: state hand-off across micro-batches
+    must reproduce the batch fold exactly (shared _ph_step)."""
+    path, schema = two_phase_src
+    sdf = read_stream(spark, path, schema, fmt="parquet", max_files_per_trigger=1)
+    scored = page_hinkley_stream(
+        sdf, "user_id", "ts", "value", delta=0.0, threshold=100.0
+    )
+    run_to_memory(scored, "ph_stream")
+    got = {
+        (r["user_id"], r["ts"]): (r["ph"], r["alarm"], r["n_seen"])
+        for r in spark.table("ph_stream").collect()
+    }
+
+    batch = page_hinkley_batch(
+        read_table(spark, SF, "events"),
+        "user_id",
+        "ts",
+        "value",
+        delta=0.0,
+        threshold=100.0,
+    )
+    want = {
+        (r["user_id"], r["ts"]): (r["ph"], r["alarm"], r["n_seen"])
+        for r in batch.collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        gp, ga, gn = got[k]
+        wp, wa, wn = want[k]
+        assert gn == wn and ga == wa
+        assert gp == pytest.approx(wp, rel=1e-12, abs=1e-12)
+    # ph is nonnegative by construction (m - running min of m)
+    assert all(p >= 0 for p, _, _ in want.values())
+
+
+def test_page_hinkley_detects_level_shift(spark):
+    """A clean mean shift must raise ph well above the pre-shift
+    range, and the alarm flag must fire past the threshold."""
+    rows = [("s", float(i), 10.0 if i < 20 else 30.0) for i in range(40)]
+    df = spark.createDataFrame(rows, ["k", "t", "x"]).select(
+        "k", F.timestamp_seconds(F.col("t")).alias("ts"), F.col("x")
+    )
+    out = page_hinkley_batch(df, "k", "ts", "x", delta=0.0, threshold=50.0)
+    pdf = out.toPandas().sort_values("n_seen")
+    pre = pdf[pdf["n_seen"] <= 20]["ph"].max()
+    post = pdf[pdf["n_seen"] == 40]["ph"].iloc[0]
+    assert post > 10 * max(pre, 1e-9)
+    assert pdf[pdf["n_seen"] == 40]["alarm"].iloc[0] == 1
 
 
 def test_parquet_sink_writes_partitioned(spark, stream_src, tmp_path):
