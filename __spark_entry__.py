@@ -6226,6 +6226,172 @@ def _q_centroid_drift(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_matrix_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Matrix-profile discord and motif per event type (length-7
+    windows over the daily count series): every window's distance to
+    its nearest OTHER window; the DISCORD is the window farthest from
+    all others (the anomalous week), the MOTIF the closest pair (the
+    repeated week). Distances are unnormalized squared Euclidean on
+    INTEGER counts — exact end to end, no z-norm float drift. The
+    window-element frame joins on (type, position offset), so the
+    O(w^2 * m) pair work runs over the tiny day x type frame, never
+    the fact. Output: one row per type with both extrema."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    widx = Window.partitionBy("event_type").orderBy("d")
+    idx = daily.withColumn("idx", F.row_number().over(widx))
+    wcnt = Window.partitionBy("event_type")
+    idx = idx.withColumn("cnt", F.count(F.lit(1)).over(wcnt))
+    m = 7
+    # window elements: (type, start s, pos p, val) for s in 1..cnt-m+1
+    el = (
+        idx.alias("a")
+        .join(
+            idx.alias("b"),
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("b.idx") >= F.col("a.idx"))
+            & (F.col("b.idx") < F.col("a.idx") + m),
+        )
+        .where(F.col("a.idx") <= F.col("a.cnt") - m + 1)
+        .select(
+            F.col("a.event_type").alias("et"),
+            F.col("a.idx").alias("s"),
+            (F.col("b.idx") - F.col("a.idx")).alias("p"),
+            F.col("b.n").alias("v"),
+        )
+    )
+    e1 = el.select(
+        F.col("et"), F.col("s").alias("s1"), "p", F.col("v").alias("v1")
+    )
+    e2 = el.select(
+        F.col("et").alias("et2"),
+        F.col("s").alias("s2"),
+        F.col("p").alias("p2"),
+        F.col("v").alias("v2"),
+    )
+    d2 = (
+        e1.join(
+            e2,
+            (F.col("et") == F.col("et2"))
+            & (F.col("p") == F.col("p2"))
+            & (F.col("s1") != F.col("s2")),
+        )
+        .groupBy("et", "s1", "s2")
+        .agg(
+            F.sum(
+                (F.col("v1") - F.col("v2")) * (F.col("v1") - F.col("v2"))
+            ).alias("dist2")
+        )
+    )
+    nn = d2.groupBy("et", "s1").agg(F.min("dist2").alias("nn_dist2"))
+    wdis = Window.partitionBy("et").orderBy(
+        F.col("nn_dist2").desc(), F.col("s1")
+    )
+    wmot = Window.partitionBy("et").orderBy(
+        F.col("nn_dist2").asc(), F.col("s1")
+    )
+    ranked = nn.select(
+        "et",
+        "s1",
+        "nn_dist2",
+        F.row_number().over(wdis).alias("rd"),
+        F.row_number().over(wmot).alias("rm"),
+    )
+    days = idx.select(
+        F.col("event_type").alias("et"), F.col("idx").alias("s1"), "d"
+    )
+    dis = (
+        ranked.where(F.col("rd") == 1)
+        .join(days, ["et", "s1"])
+        .select(
+            "et",
+            F.col("d").alias("discord_start"),
+            F.col("nn_dist2").alias("discord_dist2"),
+        )
+    )
+    mot = (
+        ranked.where(F.col("rm") == 1)
+        .join(days, ["et", "s1"])
+        .select(
+            F.col("et").alias("et_m"),
+            F.col("d").alias("motif_start"),
+            F.col("nn_dist2").alias("motif_dist2"),
+        )
+    )
+    return dis.join(mot, F.col("et") == F.col("et_m")).select(
+        F.col("et").alias("event_type"),
+        "discord_start",
+        "discord_dist2",
+        "motif_start",
+        "motif_dist2",
+    )
+
+
+def _q_rolling_slope(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing-7-day OLS slope of the daily count per type — the
+    windowed trend gauge (q101's whole-series slope, localized).
+    Day index and counts are integers, so the four window moments
+    (k, St, Sx, Stx, Stt) stay exact; slope = (k*Stx - St*Sx) /
+    (k*Stt - St^2), ONE division when the denominator is positive
+    (needs >= 2 points)."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    widx = Window.partitionBy("event_type").orderBy("d")
+    base = daily.withColumn("t", F.row_number().over(widx).cast("bigint"))
+    wt = Window.partitionBy("event_type").orderBy("t").rowsBetween(-6, 0)
+    k = F.count(F.lit(1)).over(wt)
+    st = F.sum("t").over(wt)
+    sx = F.sum("n").over(wt)
+    stx = F.sum(F.col("t") * F.col("n")).over(wt)
+    stt = F.sum(F.col("t") * F.col("t")).over(wt)
+    den = k * stt - st * st
+    slope = F.when(
+        den > 0,
+        (k * stx - st * sx).cast("double") / den.cast("double"),
+    )
+    return base.select("event_type", "d", "n", slope.alias("slope7"))
+
+
+def _q_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer-design coverage curve: share of the total corpus
+    token mass covered by the top-k vocabulary entries for k in
+    (5, 10, 20, 50) — the Zipf-coverage table that sizes vocab
+    budgets. One explode + one vocab aggregate; rank and cumulative
+    sums run over the tiny vocab frame (freq desc, token asc
+    deterministic order); integer masses, one division per k."""
+    docs = read_table(spark, sf, "documents")
+    vocab = (
+        docs.select(F.explode(tokens("text")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wrank = Window.orderBy(F.col("c").desc(), F.col("t"))
+    wall = Window.partitionBy()
+    ranked = vocab.select(
+        "t",
+        "c",
+        F.row_number().over(wrank).alias("rk"),
+        F.sum("c").over(
+            wrank.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum"),
+        F.sum("c").over(wall).alias("total"),
+    )
+    ks = spark.createDataFrame([(5,), (10,), (20,), (50,)], ["k"])
+    hit = ranked.join(F.broadcast(ks), F.col("rk") == F.col("k"))
+    return hit.select(
+        F.col("k").cast("int").alias("k"),
+        F.col("cum").alias("covered_tokens"),
+        F.col("total").alias("total_tokens"),
+        (F.col("cum").cast("double") / F.col("total").cast("double")).alias(
+            "coverage"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -6504,6 +6670,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q273_churn_risk": _q_churn_risk,
         "q274_discount_elasticity": _q_discount_elasticity,
         "q275_centroid_drift": _q_centroid_drift,
+        "q276_matrix_profile": _q_matrix_profile,
+        "q277_rolling_slope": _q_rolling_slope,
+        "q278_vocab_coverage": _q_vocab_coverage,
     }
 
 
@@ -12154,5 +12323,105 @@ def oracle_sql() -> dict[str, str]:
                    * sqrt(list_dot_product(b.vec, b.vec))) AS drift_cosine
             FROM v a JOIN v b
               ON a.label = b.label AND a.half = 'a' AND b.half = 'b'
+        """,
+        "q276_matrix_profile": """
+            WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS d,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            idx AS (
+              SELECT event_type, d, n,
+                CAST(row_number() OVER (PARTITION BY event_type
+                  ORDER BY d) AS BIGINT) AS idx,
+                CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+                  AS cnt
+              FROM daily
+            ),
+            el AS (
+              SELECT a.event_type AS et, a.idx AS s,
+                b.idx - a.idx AS p, b.n AS v
+              FROM idx a JOIN idx b
+                ON a.event_type = b.event_type
+                AND b.idx >= a.idx AND b.idx < a.idx + 7
+              WHERE a.idx <= a.cnt - 6
+            ),
+            d2 AS (
+              SELECT e1.et, e1.s AS s1, e2.s AS s2,
+                CAST(sum((e1.v - e2.v) * (e1.v - e2.v)) AS BIGINT)
+                  AS dist2
+              FROM el e1 JOIN el e2
+                ON e1.et = e2.et AND e1.p = e2.p AND e1.s <> e2.s
+              GROUP BY 1, 2, 3
+            ),
+            nn AS (
+              SELECT et, s1, min(dist2) AS nn_dist2
+              FROM d2 GROUP BY 1, 2
+            ),
+            ranked AS (
+              SELECT et, s1, nn_dist2,
+                row_number() OVER (PARTITION BY et
+                  ORDER BY nn_dist2 DESC, s1) AS rd,
+                row_number() OVER (PARTITION BY et
+                  ORDER BY nn_dist2 ASC, s1) AS rm
+              FROM nn
+            )
+            SELECT dis.et AS event_type,
+              dd.d AS discord_start, dis.nn_dist2 AS discord_dist2,
+              md.d AS motif_start, mot.nn_dist2 AS motif_dist2
+            FROM ranked dis
+            JOIN idx dd ON dis.et = dd.event_type AND dis.s1 = dd.idx
+            JOIN ranked mot ON mot.et = dis.et AND mot.rm = 1
+            JOIN idx md ON mot.et = md.event_type AND mot.s1 = md.idx
+            WHERE dis.rd = 1
+        """,
+        "q277_rolling_slope": """
+            WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS d,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            base AS (
+              SELECT event_type, d, n,
+                CAST(row_number() OVER (PARTITION BY event_type
+                  ORDER BY d) AS BIGINT) AS t
+              FROM daily
+            )
+            SELECT event_type, d, n,
+              CASE WHEN count(*) OVER wt * sum(t * t) OVER wt
+                     - sum(t) OVER wt * sum(t) OVER wt > 0
+                THEN CAST(count(*) OVER wt * sum(t * n) OVER wt
+                    - sum(t) OVER wt * sum(n) OVER wt AS DOUBLE)
+                  / CAST(count(*) OVER wt * sum(t * t) OVER wt
+                    - sum(t) OVER wt * sum(t) OVER wt AS DOUBLE)
+              END AS slope7
+            FROM base
+            WINDOW wt AS (PARTITION BY event_type ORDER BY t
+              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        """,
+        "q278_vocab_coverage": """
+            WITH vocab AS (
+              SELECT t, CAST(count(*) AS BIGINT) AS c FROM (
+                SELECT unnest(list_filter(
+                  string_split_regex(trim(text), '\\s+'), x -> x <> ''))
+                  AS t
+                FROM documents
+              ) GROUP BY t
+            ),
+            ranked AS (
+              SELECT t, c,
+                CAST(row_number() OVER (ORDER BY c DESC, t) AS BIGINT)
+                  AS rk,
+                CAST(sum(c) OVER (ORDER BY c DESC, t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum,
+                CAST(sum(c) OVER () AS BIGINT) AS total
+              FROM vocab
+            )
+            SELECT CAST(k AS INT) AS k,
+              cum AS covered_tokens, total AS total_tokens,
+              CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS coverage
+            FROM ranked
+            JOIN (VALUES (5), (10), (20), (50)) AS ks(k) ON rk = k
         """,
     }
