@@ -6392,6 +6392,128 @@ def _q_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
+    """Mann-Whitney U between every event-type pair's value
+    distributions — the nonparametric two-sample location test (the
+    rank-based companion to q199's KS). Kept EXACTLY INTEGER via the
+    distinct-value formulation: for each distinct value v,
+    2U += cntA(v) * (2 * cntLessB(v) + cntB(v)), where cntLessB is a
+    cumulative sum over the value-sorted per-pair support frame — no
+    average-rank halves, no floats until the final standardized z
+    (one sqrt + one division). At 100 TB the same shape holds: the
+    support frame is the per-(type, value) reduction, never raw rows."""
+    ev = read_table(spark, sf, "events").where(F.col("value").isNotNull())
+    vc = ev.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    a = vc.select(
+        F.col("event_type").alias("ta"), F.col("value").alias("v"), F.col("c").alias("ca")
+    )
+    b = vc.select(
+        F.col("event_type").alias("tb"), F.col("value").alias("vb"), F.col("c").alias("cb")
+    )
+    # cntLessB via join on vb < v aggregated — expressed as a window
+    # over the union support per pair would need densification; the
+    # direct conditional join stays on the reduced support frame
+    less = (
+        a.join(b, (F.col("ta") < F.col("tb")) & (F.col("vb") < F.col("v")))
+        .groupBy("ta", "tb", "v", "ca")
+        .agg(F.sum("cb").alias("less_b"))
+    )
+    eq = (
+        a.join(b, F.col("ta") < F.col("tb"))
+        .where(F.col("v") == F.col("vb"))
+        .select("ta", "tb", "v", "cb")
+    )
+    contrib = (
+        a.join(b, F.col("ta") < F.col("tb"))
+        .where(F.col("v") == F.col("vb"))
+        .select("ta", "tb", "v", "ca", F.col("cb").alias("eq_b"))
+        .join(less.select("ta", "tb", "v", "less_b"), ["ta", "tb", "v"], "left")
+        .na.fill({"less_b": 0})
+    )
+    # rows of A with no equal B value still contribute via less_b only
+    only_less = (
+        less.join(eq, ["ta", "tb", "v"], "left_anti")
+        .select("ta", "tb", "v", "ca", F.lit(0).alias("eq_b"), "less_b")
+    )
+    allc = contrib.select(
+        "ta", "tb", "ca", "eq_b", "less_b"
+    ).unionByName(only_less.select("ta", "tb", "ca", "eq_b", "less_b"))
+    u2 = allc.groupBy("ta", "tb").agg(
+        F.sum(
+            F.col("ca") * (F.lit(2) * F.col("less_b") + F.col("eq_b"))
+        ).alias("u2")
+    )
+    sizes = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    na = sizes.select(F.col("event_type").alias("ta"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("event_type").alias("tb"), F.col("n").alias("nb"))
+    j = u2.join(F.broadcast(na), "ta").join(F.broadcast(nb), "tb")
+    mu2 = F.col("na") * F.col("nb")  # 2 * mean of U
+    # z from the no-ties normal approximation (reported as a summary
+    # statistic; exact inputs, fixed op order)
+    z = (F.col("u2").cast("double") - mu2.cast("double")) / F.sqrt(
+        (F.col("na") * F.col("nb") * (F.col("na") + F.col("nb") + 1)).cast(
+            "double"
+        )
+        / F.lit(3.0)
+    )
+    return j.select(
+        "ta",
+        "tb",
+        "na",
+        "nb",
+        F.col("u2").alias("u_doubled"),
+        z.alias("z"),
+    )
+
+
+def _q_effect_size(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohen's d (pooled-SD standardized mean difference) for every
+    event-type pair — the effect-size companion to q125's proportion
+    test: integer-scaled decimal moments per group (value has 2
+    decimals), variance numerators exact, then a fixed IEEE epilogue
+    d = (mA - mB) / sqrt(((nA-1)sA2 + (nB-1)sB2) / (nA+nB-2))."""
+    ev = read_table(spark, sf, "events").where(F.col("value").isNotNull())
+    xi = (F.col("value").cast("decimal(18,2)") * 100).cast("decimal(19,0)")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xi.cast("decimal(38,0)")).alias("sx"),
+        F.sum((xi * xi).cast("decimal(38,0)")).alias("sxx"),
+    )
+    nd = F.col("n").cast("decimal(12,0)")
+    var_num = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    mean = F.col("sx").cast("double") / F.col("n").cast("double")
+    # sample variance * (n-1) = var_num / n  (in scaled units)
+    s2n1 = var_num / F.col("n").cast("double")
+    stats = s.select(
+        "event_type", "n", mean.alias("m"), s2n1.alias("ssq")
+    )
+    a = stats.select(
+        F.col("event_type").alias("ta"),
+        F.col("n").alias("na"),
+        F.col("m").alias("ma"),
+        F.col("ssq").alias("ssa"),
+    )
+    b = stats.select(
+        F.col("event_type").alias("tb"),
+        F.col("n").alias("nb"),
+        F.col("m").alias("mb"),
+        F.col("ssq").alias("ssb"),
+    )
+    pooled = F.sqrt(
+        (F.col("ssa") + F.col("ssb"))
+        / (F.col("na") + F.col("nb") - 2).cast("double")
+    )
+    # d is scale-invariant: mean diff and pooled SD are both in the
+    # x100 scaled units, so the ratio needs no rescale
+    d = F.when(pooled > 0, (F.col("ma") - F.col("mb")) / pooled)
+    return (
+        a.join(b, F.col("ta") < F.col("tb"))
+        .select("ta", "tb", "na", "nb", d.alias("cohens_d"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -6673,6 +6795,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q276_matrix_profile": _q_matrix_profile,
         "q277_rolling_slope": _q_rolling_slope,
         "q278_vocab_coverage": _q_vocab_coverage,
+        "q279_mann_whitney": _q_mann_whitney,
+        "q280_effect_size": _q_effect_size,
     }
 
 
@@ -12423,5 +12547,86 @@ def oracle_sql() -> dict[str, str]:
               CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS coverage
             FROM ranked
             JOIN (VALUES (5), (10), (20), (50)) AS ks(k) ON rk = k
+        """,
+        "q279_mann_whitney": """
+            WITH vc AS (
+              SELECT event_type, value, CAST(count(*) AS BIGINT) AS c
+              FROM events WHERE value IS NOT NULL
+              GROUP BY 1, 2
+            ),
+            less AS (
+              SELECT a.event_type AS ta, b.event_type AS tb,
+                a.value AS v, a.c AS ca,
+                CAST(sum(b.c) AS BIGINT) AS less_b
+              FROM vc a JOIN vc b
+                ON a.event_type < b.event_type AND b.value < a.value
+              GROUP BY 1, 2, 3, 4
+            ),
+            eq AS (
+              SELECT a.event_type AS ta, b.event_type AS tb,
+                a.value AS v, b.c AS cb
+              FROM vc a JOIN vc b
+                ON a.event_type < b.event_type AND a.value = b.value
+            ),
+            contrib AS (
+              SELECT e.ta, e.tb, a.c AS ca, e.cb AS eq_b,
+                coalesce(l.less_b, 0) AS less_b
+              FROM eq e
+              JOIN vc a ON a.event_type = e.ta AND a.value = e.v
+              LEFT JOIN less l
+                ON l.ta = e.ta AND l.tb = e.tb AND l.v = e.v
+              UNION ALL
+              SELECT l.ta, l.tb, l.ca, 0 AS eq_b, l.less_b
+              FROM less l
+              WHERE NOT EXISTS (
+                SELECT 1 FROM eq e
+                WHERE e.ta = l.ta AND e.tb = l.tb AND e.v = l.v
+              )
+            ),
+            u2 AS (
+              SELECT ta, tb,
+                CAST(sum(ca * (2 * less_b + eq_b)) AS BIGINT) AS u2
+              FROM contrib GROUP BY 1, 2
+            ),
+            sizes AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n
+              FROM events WHERE value IS NOT NULL GROUP BY 1
+            )
+            SELECT ta, tb, na.n AS na, nb.n AS nb,
+              u2 AS u_doubled,
+              (CAST(u2 AS DOUBLE) - CAST(na.n * nb.n AS DOUBLE))
+                / sqrt(CAST(na.n * nb.n * (na.n + nb.n + 1) AS DOUBLE)
+                       / 3E0) AS z
+            FROM u2
+            JOIN sizes na ON ta = na.event_type
+            JOIN sizes nb ON tb = nb.event_type
+        """,
+        "q280_effect_size": """
+            WITH s AS (
+              SELECT event_type, count(*) AS n,
+                sum(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                  AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS sx,
+                sum(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                  AS DECIMAL(19,0))
+                  * CAST(CAST(value AS DECIMAL(18,2)) * 100
+                  AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS sxx
+              FROM events WHERE value IS NOT NULL
+              GROUP BY event_type
+            ),
+            stats AS (
+              SELECT event_type, CAST(n AS BIGINT) AS n,
+                CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+                CAST(CAST(n AS DECIMAL(12,0)) * sxx - sx * sx AS DOUBLE)
+                  / CAST(n AS DOUBLE) AS ssq
+              FROM s
+            )
+            SELECT a.event_type AS ta, b.event_type AS tb,
+              a.n AS na, b.n AS nb,
+              CASE WHEN sqrt((a.ssq + b.ssq)
+                  / CAST(a.n + b.n - 2 AS DOUBLE)) > 0
+                THEN (a.m - b.m)
+                  / sqrt((a.ssq + b.ssq) / CAST(a.n + b.n - 2 AS DOUBLE))
+              END AS cohens_d
+            FROM stats a JOIN stats b ON a.event_type < b.event_type
         """,
     }
