@@ -6514,6 +6514,34 @@ def _q_effect_size(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_cm_frequency(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min sketch frequency estimation
+    (operators/sketches.py:cm_partials/cm_estimate): per-day CM
+    partials over user ids (the persist-once pattern), merged across
+    days by plain SUM, then probed for every user — answers "how often
+    did THIS key occur" from kilobyte-scale cells without rescanning
+    the fact. Rows-only gate (no DuckDB xxhash64 twin); the
+    no-undercount / additivity / exactness-when-sparse invariants are
+    pinned in tests/test_round4_ops.py."""
+    from sensor_time_series_pyspark_spark.operators import (
+        cm_estimate,
+        cm_merge,
+        cm_partials,
+    )
+
+    ev = read_table(spark, sf, "events")
+    daily = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("d"), "user_id"
+    )
+    parts = cm_partials(daily, ["d"], "user_id", depth=4, width=1024)
+    merged = cm_merge(parts, by=[])
+    probes = ev.select("user_id").distinct()
+    est = cm_estimate(merged, probes, "user_id", by=[], depth=4, width=1024)
+    return est.select(
+        F.col("item").alias("user_id"), "estimate"
+    ).orderBy("user_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -6797,6 +6825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q278_vocab_coverage": _q_vocab_coverage,
         "q279_mann_whitney": _q_mann_whitney,
         "q280_effect_size": _q_effect_size,
+        "q281_cm_frequency": _q_cm_frequency,
     }
 
 

@@ -175,6 +175,7 @@ from .analytics import ab_proportion_test
 from .windows import capped_running_sum
 from .analytics import market_basket_pairs
 from .sketches import kll_partials, kll_rollup, theta_overlap, theta_partials
+from .sketches import cm_estimate, cm_merge, cm_partials
 from .graph import label_propagation
 from .validate import table_checksum
 from .graph import bfs_hops

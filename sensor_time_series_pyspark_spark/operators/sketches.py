@@ -184,3 +184,89 @@ def theta_overlap(
         est("theta_intersection(sa, sb)").alias("n_intersect"),
         est("theta_difference(sa, sb)").alias("n_a_only"),
     )
+
+
+def cm_partials(
+    df: DataFrame,
+    by: Sequence[str],
+    item_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-min sketch partials as a RELATIONAL sketch: one row per
+    (group, hash-row r, bucket c) with the bucket count — the
+    frequency-estimation member of the mergeable-sketch family (HLL =
+    distinct counts, theta = set algebra, KLL = quantiles, top-k =
+    heavy hitters; CM answers "how often did THIS item occur" for
+    items chosen AFTER aggregation). depth x width cells bound the
+    state (4 x 1024 rows/group) regardless of item cardinality.
+
+    Relational-not-binary is deliberate: CM cells merge by PLAIN SUM,
+    so partial frames compose with ordinary groupBy — no sketch
+    library, JVM-side xxhash64 end to end, and the partials stay
+    queryable/persistable as parquet like any other rollup
+    (plans/rollup.py pattern).
+    """
+    seeds = F.array(*[F.lit(r) for r in range(depth)])
+    exploded = df.select(
+        *by,
+        F.col(item_col).alias("__item"),
+        F.explode(seeds).alias("r"),
+    )
+    c = F.pmod(
+        F.xxhash64(F.col("__item"), F.col("r")), F.lit(width)
+    ).cast("int")
+    return (
+        exploded.withColumn("c", c)
+        .groupBy(*by, "r", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cm_merge(
+    partials: DataFrame,
+    by: Sequence[str],
+) -> DataFrame:
+    """Merge CM partials to a coarser grouping: cells are additive, so
+    the merge is ONE hash aggregate over (by, r, c) — never a fact
+    rescan."""
+    return partials.groupBy(*by, "r", "c").agg(F.sum("cnt").alias("cnt"))
+
+
+def cm_estimate(
+    partials: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    by: Sequence[str] | None = None,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-frequency estimates from CM partials: for each probe item
+    (x group), min over hash rows of the bucket count. Guarantees
+    estimate >= true count (never undercounts); overcounts only on
+    bucket collisions (expected error <= e*N/width per row, driven
+    down by the min over depth rows). The probe side recomputes the
+    same xxhash64 buckets and LEFT-joins the cell frame (a missing
+    cell is a zero count -> estimate 0).
+
+    Output: [*by], item, estimate.
+    """
+    keys = list(by) if by else []
+    seeds = F.array(*[F.lit(r) for r in range(depth)])
+    probes = items.select(
+        *keys, F.col(item_col).alias("__item")
+    ).withColumn("r", F.explode(seeds))
+    probes = probes.withColumn(
+        "c",
+        F.pmod(F.xxhash64(F.col("__item"), F.col("r")), F.lit(width)).cast(
+            "int"
+        ),
+    )
+    joined = probes.join(
+        partials.withColumnRenamed("cnt", "__cnt"), [*keys, "r", "c"], "left"
+    ).na.fill({"__cnt": 0})
+    return (
+        joined.groupBy(*keys, "__item")
+        .agg(F.min("__cnt").alias("estimate"))
+        .withColumnRenamed("__item", "item")
+    )

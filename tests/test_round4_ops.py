@@ -230,6 +230,68 @@ def test_spc_rules_operator_rule1_and_rule4(spark):
     assert rows[7]["rule4"] == 1  # 8th consecutive point below mean
 
 
+# --- count-min sketch ------------------------------------------------------
+
+def test_cm_never_undercounts_and_is_exact_when_sparse(spark):
+    from sensor_time_series_pyspark_spark.operators import (
+        cm_estimate,
+        cm_partials,
+    )
+
+    rows = [("g", f"item{i % 7}") for i in range(700)]
+    df = spark.createDataFrame(rows, ["g", "item"])
+    parts = cm_partials(df, ["g"], "item", depth=4, width=1024)
+    probes = df.select("g", "item").distinct()
+    est = cm_estimate(parts, probes, "item", by=["g"], depth=4, width=1024)
+    true = {r["item"]: r["n"] for r in df.groupBy("item").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    for r in est.collect():
+        assert r["estimate"] >= true[r["item"]]  # CM never undercounts
+    # 7 distinct items in 4x1024 cells: collisions impossible -> exact
+    for r in est.collect():
+        assert r["estimate"] == true[r["item"]]
+
+
+def test_cm_partials_merge_additively(spark):
+    from sensor_time_series_pyspark_spark.operators import (
+        cm_estimate,
+        cm_merge,
+        cm_partials,
+    )
+
+    rows1 = [("a", "x")] * 5 + [("a", "y")] * 3
+    rows2 = [("b", "x")] * 2 + [("b", "z")] * 4
+    d1 = spark.createDataFrame(rows1, ["shard", "item"])
+    d2 = spark.createDataFrame(rows2, ["shard", "item"])
+    p = cm_partials(
+        d1.unionByName(d2), ["shard"], "item", depth=4, width=64
+    )
+    merged = cm_merge(p, by=[])  # collapse shards: cells sum
+    probes = spark.createDataFrame([("x",), ("y",), ("z",)], ["item"])
+    est = {
+        r["item"]: r["estimate"]
+        for r in cm_estimate(
+            merged, probes, "item", by=[], depth=4, width=64
+        ).collect()
+    }
+    assert est["x"] == 7 and est["y"] == 3 and est["z"] == 4
+
+
+def test_cm_estimate_zero_for_unseen(spark):
+    from sensor_time_series_pyspark_spark.operators import (
+        cm_estimate,
+        cm_partials,
+    )
+
+    df = spark.createDataFrame([("g", "present")], ["g", "item"])
+    parts = cm_partials(df, ["g"], "item", depth=4, width=1024)
+    probes = spark.createDataFrame([("g", "absent")], ["g", "item"])
+    est = cm_estimate(parts, probes, "item", by=["g"], depth=4, width=1024)
+    # an unseen item hits at least one empty cell with overwhelming
+    # probability at this load factor -> estimate 0
+    assert est.collect()[0]["estimate"] == 0
+
+
 # --- mode / purity tiebreaks ----------------------------------------------
 
 def test_daily_mode_deterministic_tiebreak(spark):
