@@ -6542,6 +6542,87 @@ def _q_cm_frequency(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def _q_horvitz_thompson(spark: SparkSession, sf: str) -> DataFrame:
+    """Horvitz-Thompson estimation from the deterministic md5 sample:
+    a ~10% hash sample of lineitem (same key -> same decision on every
+    engine) estimates the full-population revenue total as
+    sum(x_i / p_i) = sum(x_i) / 0.1 — the survey-sampling estimator
+    behind every "query the sample, report the population" dashboard.
+    Reports estimate, exact truth, and relative error per return flag,
+    so the query itself audits the estimator. Decimal sums; two fixed
+    final divisions."""
+    li = read_table(spark, sf, "lineitem")
+    keep = (
+        F.substring(
+            F.md5(F.concat(F.lit("ht1"), F.col("l_orderkey").cast("string"),
+                           F.lit("-"), F.col("l_linenumber").cast("string"))),
+            1,
+            8,
+        )
+        < _thr(0.1)
+    )
+    rev = _revenue().cast(DEC)
+    agg = li.groupBy("l_returnflag").agg(
+        F.sum(F.when(keep, rev).otherwise(F.lit(0).cast(DEC))).alias("__s"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_sampled"),
+        F.sum(rev).alias("__t"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    est = F.col("__s").cast("double") / F.lit(0.1)
+    truth = F.col("__t").cast("double")
+    return agg.select(
+        "l_returnflag",
+        "n_sampled",
+        "n_rows",
+        est.alias("ht_estimate"),
+        truth.alias("exact_total"),
+        ((est - truth) / truth).alias("rel_error"),
+    )
+
+
+def _q_half_sample_ci(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic half-sample bootstrap CI for mean daily revenue:
+    B = 50 replicates, each keeping orders whose md5(replicate || key)
+    falls below 0.5 (doubling the kept mass) — the hash-seeded,
+    engine-portable stand-in for the Poisson bootstrap (the standard
+    at-scale resampling scheme; RNG-free so runs reproduce anywhere).
+    The replicate frame is B x days rows; p5/p50/p95 of the replicate
+    means give the interval. Decimal sums, exact percentiles over the
+    50-value replicate frame."""
+    o = read_table(spark, sf, "orders")
+    reps = spark.range(50).select(F.col("id").cast("int").alias("rep"))
+    j = o.crossJoin(F.broadcast(reps))
+    keep = (
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("hs"),
+                    F.col("rep").cast("string"),
+                    F.lit("-"),
+                    F.col("o_orderkey").cast("string"),
+                )
+            ),
+            1,
+            8,
+        )
+        < _thr(0.5)
+    )
+    kept = j.where(keep)
+    per_rep = kept.groupBy("rep").agg(
+        (
+            F.lit(2.0)
+            * F.sum(F.col("o_totalprice").cast(DEC)).cast("double")
+            / F.count_distinct(F.to_date("o_orderdate")).cast("double")
+        ).alias("mean_daily_rev")
+    )
+    return per_rep.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_reps"),
+        F.percentile("mean_daily_rev", F.lit(0.05)).alias("ci_lo"),
+        F.median("mean_daily_rev").alias("ci_mid"),
+        F.percentile("mean_daily_rev", F.lit(0.95)).alias("ci_hi"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -6826,6 +6907,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q279_mann_whitney": _q_mann_whitney,
         "q280_effect_size": _q_effect_size,
         "q281_cm_frequency": _q_cm_frequency,
+        "q282_horvitz_thompson": _q_horvitz_thompson,
+        "q283_half_sample_ci": _q_half_sample_ci,
     }
 
 
@@ -12657,5 +12740,56 @@ def oracle_sql() -> dict[str, str]:
                   / sqrt((a.ssq + b.ssq) / CAST(a.n + b.n - 2 AS DOUBLE))
               END AS cohens_d
             FROM stats a JOIN stats b ON a.event_type < b.event_type
+        """,
+        "q282_horvitz_thompson": """
+            WITH flagged AS (
+              SELECT l_returnflag,
+                CAST({rev} AS DECIMAL(38,6)) AS rev,
+                substr(md5('ht1' || CAST(l_orderkey AS VARCHAR) || '-'
+                  || CAST(l_linenumber AS VARCHAR)), 1, 8)
+                  < '19999999' AS keep
+              FROM lineitem
+            ),
+            agg AS (
+              SELECT l_returnflag,
+                sum(CASE WHEN keep THEN rev
+                    ELSE CAST(0 AS DECIMAL(38,6)) END) AS s,
+                CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_sampled,
+                sum(rev) AS t,
+                CAST(count(*) AS BIGINT) AS n_rows
+              FROM flagged GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, n_sampled, n_rows,
+              CAST(s AS DOUBLE) / 0.1E0 AS ht_estimate,
+              CAST(t AS DOUBLE) AS exact_total,
+              (CAST(s AS DOUBLE) / 0.1E0 - CAST(t AS DOUBLE))
+                / CAST(t AS DOUBLE) AS rel_error
+            FROM agg
+        """.format(rev=_REV_SQL),
+        "q283_half_sample_ci": """
+            WITH reps AS (
+              SELECT CAST(r AS INT) AS rep
+              FROM generate_series(0, 49) AS t(r)
+            ),
+            kept AS (
+              SELECT rep, o_totalprice, o_orderdate
+              FROM orders CROSS JOIN reps
+              WHERE substr(md5('hs' || CAST(rep AS VARCHAR) || '-'
+                || CAST(o_orderkey AS VARCHAR)), 1, 8) < '80000000'
+            ),
+            per_rep AS (
+              SELECT rep,
+                2E0 * CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+                  AS DOUBLE)
+                / CAST(count(DISTINCT CAST(o_orderdate AS DATE))
+                  AS DOUBLE) AS mean_daily_rev
+              FROM kept GROUP BY rep
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_reps,
+              quantile_cont(mean_daily_rev, 0.05) AS ci_lo,
+              quantile_cont(mean_daily_rev, 0.5) AS ci_mid,
+              quantile_cont(mean_daily_rev, 0.95) AS ci_hi
+            FROM per_rep
         """,
     }
