@@ -6623,6 +6623,121 @@ def _q_half_sample_ci(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_mutual_knn(spark: SparkSession, sf: str) -> DataFrame:
+    """Mutual k-NN rate over the probe set (vec_id < 50, k = 3): the
+    share of directed nearest-neighbor edges that are reciprocated —
+    the embedding-space health gauge (hubness/anisotropy collapse
+    shows up as low mutuality long before downstream metrics move).
+    Reuses the brute-force cosine ranking of q23/q257; the mutual
+    check is one self-join of the top-k edge list on reversed ids."""
+    emb = read_table(spark, sf, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e"),
+    ).where(F.col("vec_id") < 50)
+    q = v.select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"))
+    dot = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("e"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.zip_with(c, c, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = (
+        F.broadcast(q)
+        .join(v, F.col("qid") != F.col("vec_id"))
+        .select(
+            "qid",
+            "vec_id",
+            (dot / (norm(F.col("qe")) * norm(F.col("e")))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    edges = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("qid", "vec_id")
+    )
+    rev = edges.select(
+        F.col("vec_id").alias("qid"), F.col("qid").alias("vec_id")
+    )
+    mutual = edges.join(rev, ["qid", "vec_id"], "left_semi")
+    tot = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    mut = mutual.agg(F.count(F.lit(1)).alias("n_mutual"))
+    return tot.crossJoin(mut).select(
+        "n_edges",
+        "n_mutual",
+        (
+            F.col("n_mutual").cast("double") / F.col("n_edges").cast("double")
+        ).alias("mutual_rate"),
+    )
+
+
+def _q_centroid_silhouette(spark: SparkSession, sf: str) -> DataFrame:
+    """Centroid silhouette per label: mean over the label's vectors of
+    (cosine to OWN centroid - best cosine to any OTHER centroid) —
+    positive = separable cluster, <= 0 = label bleeds into another
+    (the medoid-free silhouette that runs in one centroid pass + one
+    broadcast join instead of O(n^2) pair distances). Centroids are
+    order-free decimal sums (q157); per-vector cosines are sequential
+    array folds; the final per-label mean uses the exact decimal-sum
+    convention."""
+    emb = read_table(spark, sf, "embeddings")
+    comp = emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+    cent = comp.groupBy("label", "dim").agg(
+        F.sum(F.col("v").cast("double").cast("decimal(20,8)")).alias("s")
+    )
+    cvecs = (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "s"))).alias("a"))
+        .select(
+            F.col("label").alias("clabel"),
+            F.expr("transform(a, x -> cast(x.s as double))").alias("cvec"),
+        )
+    )
+    pts = emb.select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("e"), F.col("cvec"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.zip_with(c, c, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    cos = pts.crossJoin(F.broadcast(cvecs)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        (dot / (norm(F.col("e")) * norm(F.col("cvec")))).alias("cos"),
+    )
+    own = cos.where(F.col("label") == F.col("clabel")).select(
+        "vec_id", "label", F.col("cos").alias("own_cos")
+    )
+    other = (
+        cos.where(F.col("label") != F.col("clabel"))
+        .groupBy("vec_id")
+        .agg(F.max("cos").alias("other_cos"))
+    )
+    per_vec = own.join(other, "vec_id")
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        _davg(F.col("own_cos") - F.col("other_cos")).alias("silhouette"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -6909,6 +7024,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q281_cm_frequency": _q_cm_frequency,
         "q282_horvitz_thompson": _q_horvitz_thompson,
         "q283_half_sample_ci": _q_half_sample_ci,
+        "q284_mutual_knn": _q_mutual_knn,
+        "q285_centroid_silhouette": _q_centroid_silhouette,
     }
 
 
@@ -12791,5 +12908,79 @@ def oracle_sql() -> dict[str, str]:
               quantile_cont(mean_daily_rev, 0.5) AS ci_mid,
               quantile_cont(mean_daily_rev, 0.95) AS ci_hi
             FROM per_rep
+        """,
+        "q284_mutual_knn": """
+            WITH v AS (
+              SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings WHERE vec_id < 50
+            ),
+            scored AS (
+              SELECT q.vec_id AS qid, c.vec_id AS cid,
+                list_dot_product(q.e, c.e)
+                  / (sqrt(list_dot_product(q.e, q.e))
+                     * sqrt(list_dot_product(c.e, c.e))) AS cosine
+              FROM v q JOIN v c ON q.vec_id <> c.vec_id
+            ),
+            edges AS (
+              SELECT qid, cid FROM (
+                SELECT qid, cid,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY cosine DESC, cid) AS rk
+                FROM scored
+              ) WHERE rk <= 3
+            ),
+            agg AS (
+              SELECT
+                (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+                (SELECT CAST(count(*) AS BIGINT) FROM edges e
+                 WHERE EXISTS (SELECT 1 FROM edges r
+                   WHERE r.qid = e.cid AND r.cid = e.qid)) AS n_mutual
+            )
+            SELECT n_edges, n_mutual,
+              CAST(n_mutual AS DOUBLE) / CAST(n_edges AS DOUBLE)
+                AS mutual_rate
+            FROM agg
+        """,
+        "q285_centroid_silhouette": """
+            WITH c AS (
+              SELECT label, i AS dim,
+                sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(20,8)))
+                  AS s
+              FROM embeddings,
+                unnest(generate_series(1, len(embedding))) AS t(i)
+              GROUP BY label, i
+            ),
+            cv AS (
+              SELECT label AS clabel,
+                list(CAST(s AS DOUBLE) ORDER BY dim) AS cvec
+              FROM c GROUP BY label
+            ),
+            pts AS (
+              SELECT vec_id, label,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings
+            ),
+            cos AS (
+              SELECT vec_id, label, clabel,
+                list_dot_product(e, cvec)
+                  / (sqrt(list_dot_product(e, e))
+                     * sqrt(list_dot_product(cvec, cvec))) AS cos
+              FROM pts CROSS JOIN cv
+            ),
+            own AS (
+              SELECT vec_id, label, cos AS own_cos
+              FROM cos WHERE label = clabel
+            ),
+            other AS (
+              SELECT vec_id, max(cos) AS other_cos
+              FROM cos WHERE label <> clabel GROUP BY vec_id
+            )
+            SELECT label,
+              CAST(count(*) AS BIGINT) AS n_vecs,
+              CAST(sum(CAST(own_cos - other_cos AS DECIMAL(38,6)))
+                AS DOUBLE) / count(own_cos - other_cos) AS silhouette
+            FROM own JOIN other USING (vec_id)
+            GROUP BY label
         """,
     }
