@@ -6738,6 +6738,153 @@ def _q_centroid_silhouette(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_decayed_popularity(spark: SparkSession, sf: str) -> DataFrame:
+    """Half-life-decayed popularity ranking per part: each sale
+    contributes 2^(-floor(age_weeks)) — week-old sales count half.
+    The decay weights are EXACT powers of two (integer exponent, so
+    the double is exact and engine-identical; no pow/exp libm call),
+    terms accumulate through the decimal-sum convention, and the
+    integer age comes from date arithmetic. The freshness-aware
+    leaderboard that plain lifetime counts (q85) cannot express."""
+    li = read_table(spark, sf, "lineitem")
+    horizon = li.agg(F.max("l_shipdate").alias("h"))
+    j = li.crossJoin(F.broadcast(horizon))
+    weeks = F.floor(
+        F.datediff(F.col("h"), F.col("l_shipdate")) / F.lit(7)
+    ).cast("int")
+    w = F.pow(F.lit(2.0), (-weeks).cast("double"))
+    scored = j.select(
+        "l_partkey",
+        F.col("l_quantity").cast("decimal(18,2)").alias("q"),
+        w.alias("w"),
+    )
+    per_part = scored.groupBy("l_partkey").agg(
+        _dsum(F.col("q").cast("double") * F.col("w")).alias("decayed_qty"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sales"),
+    )
+    wtop = Window.orderBy(F.col("decayed_qty").desc(), F.col("l_partkey"))
+    return (
+        per_part.withColumn("rk", F.row_number().over(wtop))
+        .where(F.col("rk") <= 20)
+        .select(
+            F.col("rk").cast("int").alias("rk"),
+            "l_partkey",
+            "decayed_qty",
+            "n_sales",
+        )
+    )
+
+
+def _q_anova_f(spark: SparkSession, sf: str) -> DataFrame:
+    """One-way ANOVA F statistic for value across event types:
+    SSB/(k-1) over SSW/(N-k), with the sums of squares built from
+    per-group EXACT decimal moments (SSW = sum(x^2) - sum_g(S_g^2 /
+    n_g), SSB = sum_g(S_g^2 / n_g) - S^2/N) — the between/within
+    variance decomposition behind every "does the group matter"
+    screen. Group moments stay decimal-exact; the epilogue divides in
+    a fixed order. One aggregate over the fact, one over the 5-row
+    group frame."""
+    ev = read_table(spark, sf, "events").where(F.col("value").isNotNull())
+    xi = (F.col("value").cast("decimal(18,2)") * 100).cast("decimal(19,0)")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xi.cast("decimal(38,0)")).alias("s"),
+        F.sum((xi * xi).cast("decimal(38,0)")).alias("ss"),
+    )
+    # per-group S^2/n as double (fixed order), then exact-decimal-free
+    # epilogue over the tiny k-row frame
+    per = g.select(
+        "event_type",
+        "n",
+        (
+            F.col("s").cast("double") * F.col("s").cast("double")
+            / F.col("n").cast("double")
+        ).alias("s2n"),
+        F.col("s").cast("double").alias("sd"),
+        F.col("ss").cast("double").alias("ssd"),
+    )
+    tot = per.agg(
+        F.sum("n").alias("N"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        _dsum(F.col("s2n")).alias("sum_s2n"),
+        _dsum(F.col("sd")).alias("S"),
+        _dsum(F.col("ssd")).alias("SS"),
+    )
+    ssb = F.col("sum_s2n") - F.col("S") * F.col("S") / F.col("N").cast(
+        "double"
+    )
+    ssw = F.col("SS") - F.col("sum_s2n")
+    fstat = (ssb / (F.col("k") - 1).cast("double")) / (
+        ssw / (F.col("N") - F.col("k")).cast("double")
+    )
+    return tot.select(
+        F.col("N").cast("bigint").alias("n_rows"),
+        F.col("k").alias("n_groups"),
+        ssb.alias("ssb"),
+        ssw.alias("ssw"),
+        fstat.alias("f_stat"),
+    )
+
+
+def _q_retrieval_scoring(spark: SparkSession, sf: str) -> DataFrame:
+    """Log-free BM25-style retrieval: top-10 documents for the query
+    {spark, table, join} ranked by sum over query terms of
+    odds-idf * saturated-tf, where odds-idf = (N - df + 0.5)/(df +
+    0.5) (the argument of BM25's log — monotone per term, libm-free)
+    and saturated-tf = tf*(k1+1) / (tf + k1*(1 - b + b*len/avglen)),
+    k1 = 1.2, b = 0.75. Exact integer tf/df/len; the per-term epilogue
+    is a fixed IEEE sequence and the 3-term sum accumulates through
+    decimal. One explode + two broadcast-sized joins; the corpus is
+    scanned once."""
+    docs = read_table(spark, sf, "documents")
+    qterms = spark.createDataFrame(
+        [("spark",), ("table",), ("join",)], ["qt"]
+    )
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("t"))
+    lens = docs.select(
+        "doc_id", token_count("text").cast("bigint").alias("len")
+    )
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("N"), F.sum("len").alias("total_len")
+    )
+    tf = (
+        tok.join(F.broadcast(qterms), tok["t"] == qterms["qt"])
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    j = (
+        tf.join(F.broadcast(df_), "t")
+        .join(F.broadcast(lens), "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    avglen = F.col("total_len").cast("double") / F.col("N").cast("double")
+    idf = (F.col("N").cast("double") - F.col("df").cast("double") + 0.5) / (
+        F.col("df").cast("double") + 0.5
+    )
+    sat = (F.col("tf").cast("double") * F.lit(2.2)) / (
+        F.col("tf").cast("double")
+        + F.lit(1.2)
+        * (F.lit(0.25) + F.lit(0.75) * F.col("len").cast("double") / avglen)
+    )
+    terms = j.select("doc_id", (idf * sat).alias("term_score"))
+    scored = terms.groupBy("doc_id").agg(
+        _dsum(F.col("term_score")).alias("score"),
+        F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+    )
+    wtop = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(wtop))
+        .where(F.col("rk") <= 10)
+        .select(
+            F.col("rk").cast("int").alias("rk"),
+            "doc_id",
+            "score",
+            "n_terms_hit",
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -7026,6 +7173,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q283_half_sample_ci": _q_half_sample_ci,
         "q284_mutual_knn": _q_mutual_knn,
         "q285_centroid_silhouette": _q_centroid_silhouette,
+        "q286_decayed_popularity": _q_decayed_popularity,
+        "q287_anova_f": _q_anova_f,
+        "q288_retrieval_scoring": _q_retrieval_scoring,
     }
 
 
@@ -12982,5 +13132,123 @@ def oracle_sql() -> dict[str, str]:
                 AS DOUBLE) / count(own_cos - other_cos) AS silhouette
             FROM own JOIN other USING (vec_id)
             GROUP BY label
+        """,
+        "q286_decayed_popularity": """
+            WITH horizon AS (SELECT max(l_shipdate) AS h FROM lineitem),
+            scored AS (
+              SELECT l_partkey,
+                CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE)
+                  * pow(2.0E0, -CAST(floor(
+                      date_diff('day', l_shipdate, h) / 7) AS DOUBLE))
+                  AS term
+              FROM lineitem CROSS JOIN horizon
+            ),
+            per_part AS (
+              SELECT l_partkey,
+                CAST(sum(CAST(term AS DECIMAL(38,6))) AS DOUBLE)
+                  AS decayed_qty,
+                CAST(count(*) AS BIGINT) AS n_sales
+              FROM scored GROUP BY l_partkey
+            )
+            SELECT CAST(rk AS INT) AS rk, l_partkey, decayed_qty, n_sales
+            FROM (
+              SELECT l_partkey, decayed_qty, n_sales,
+                row_number() OVER (ORDER BY decayed_qty DESC, l_partkey)
+                  AS rk
+              FROM per_part
+            ) WHERE rk <= 20
+        """,
+        "q287_anova_f": """
+            WITH g AS (
+              SELECT event_type, count(*) AS n,
+                sum(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                  AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS s,
+                sum(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                  AS DECIMAL(19,0))
+                  * CAST(CAST(value AS DECIMAL(18,2)) * 100
+                  AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS ss
+              FROM events WHERE value IS NOT NULL
+              GROUP BY event_type
+            ),
+            per AS (
+              SELECT event_type, n,
+                CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                  AS s2n,
+                CAST(s AS DOUBLE) AS sd,
+                CAST(ss AS DOUBLE) AS ssd
+              FROM g
+            ),
+            tot AS (
+              SELECT CAST(sum(n) AS BIGINT) AS N,
+                CAST(count(*) AS BIGINT) AS k,
+                CAST(sum(CAST(s2n AS DECIMAL(38,6))) AS DOUBLE)
+                  AS sum_s2n,
+                CAST(sum(CAST(sd AS DECIMAL(38,6))) AS DOUBLE) AS S,
+                CAST(sum(CAST(ssd AS DECIMAL(38,6))) AS DOUBLE) AS SS
+              FROM per
+            )
+            SELECT N AS n_rows, k AS n_groups,
+              sum_s2n - S * S / CAST(N AS DOUBLE) AS ssb,
+              SS - sum_s2n AS ssw,
+              ((sum_s2n - S * S / CAST(N AS DOUBLE))
+                / CAST(k - 1 AS DOUBLE))
+              / ((SS - sum_s2n) / CAST(N - k AS DOUBLE)) AS f_stat
+            FROM tot
+        """,
+        "q288_retrieval_scoring": """
+            WITH tok AS (
+              SELECT doc_id,
+                unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                  x -> x <> '')) AS t
+              FROM documents
+            ),
+            lens AS (
+              SELECT doc_id,
+                CAST(length(list_filter(
+                  string_split_regex(trim(text), '\\s+'), x -> x <> ''))
+                  AS BIGINT) AS len
+              FROM documents
+            ),
+            stats AS (
+              SELECT CAST(count(*) AS BIGINT) AS N,
+                CAST(sum(len) AS BIGINT) AS total_len
+              FROM lens
+            ),
+            tf AS (
+              SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+              FROM tok WHERE t IN ('spark', 'table', 'join')
+              GROUP BY 1, 2
+            ),
+            dfr AS (
+              SELECT t, CAST(count(*) AS BIGINT) AS df
+              FROM tf GROUP BY t
+            ),
+            terms AS (
+              SELECT tf.doc_id,
+                ((CAST(N AS DOUBLE) - CAST(df AS DOUBLE) + 0.5E0)
+                  / (CAST(df AS DOUBLE) + 0.5E0))
+                * ((CAST(tf AS DOUBLE) * 2.2E0)
+                  / (CAST(tf AS DOUBLE)
+                    + 1.2E0 * (0.25E0 + 0.75E0 * CAST(len AS DOUBLE)
+                      / (CAST(total_len AS DOUBLE) / CAST(N AS DOUBLE)))))
+                  AS term_score
+              FROM tf
+              JOIN dfr USING (t)
+              JOIN lens ON tf.doc_id = lens.doc_id
+              CROSS JOIN stats
+            ),
+            scored AS (
+              SELECT doc_id,
+                CAST(sum(CAST(term_score AS DECIMAL(38,6))) AS DOUBLE)
+                  AS score,
+                CAST(count(*) AS BIGINT) AS n_terms_hit
+              FROM terms GROUP BY doc_id
+            )
+            SELECT CAST(rk AS INT) AS rk, doc_id, score, n_terms_hit
+            FROM (
+              SELECT doc_id, score, n_terms_hit,
+                row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+              FROM scored
+            ) WHERE rk <= 10
         """,
     }
