@@ -6885,6 +6885,105 @@ def _q_retrieval_scoring(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_hoover_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Hoover (Robin Hood) index of revenue concentration across
+    customers: half the sum of |share_i - 1/n| — "what fraction of
+    revenue would have to move to equalize everyone", the log-free
+    inequality measure that complements q150's Gini (Gini weights by
+    rank, Hoover by absolute displacement). Revenue sums stay decimal-
+    exact; each |share - 1/n| is a fixed 3-op double epilogue and the
+    final sum accumulates through decimal."""
+    o = read_table(spark, sf, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("rev")
+    )
+    tot = per_cust.agg(
+        F.sum("rev").alias("T"), F.count(F.lit(1)).alias("n")
+    )
+    j = per_cust.crossJoin(F.broadcast(tot))
+    dev = F.abs(
+        F.col("rev").cast("double") / F.col("T").cast("double")
+        - F.lit(1.0) / F.col("n").cast("double")
+    )
+    return j.agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        (_dsum(dev) / F.lit(2.0)).alias("hoover"),
+    )
+
+
+def _q_freshness_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-table freshness/staleness dashboard: per fact table, the
+    newest event-time watermark, row count, and days of history — the
+    one-glance "is ingestion alive" audit every warehouse runs. One
+    tiny aggregate per table unioned (each scan prunes to its time
+    column only)."""
+    ev = read_table(spark, sf, "events").agg(
+        F.lit("events").alias("table_name"),
+        F.max(F.col("ts").cast("date")).alias("max_day"),
+        F.min(F.col("ts").cast("date")).alias("min_day"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    o = read_table(spark, sf, "orders").agg(
+        F.lit("orders").alias("table_name"),
+        F.max(F.col("o_orderdate").cast("date")).alias("max_day"),
+        F.min(F.col("o_orderdate").cast("date")).alias("min_day"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    li = read_table(spark, sf, "lineitem").agg(
+        F.lit("lineitem").alias("table_name"),
+        F.max(F.col("l_shipdate").cast("date")).alias("max_day"),
+        F.min(F.col("l_shipdate").cast("date")).alias("min_day"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    u = ev.unionByName(o).unionByName(li)
+    return u.select(
+        "table_name",
+        "max_day",
+        "min_day",
+        (F.datediff(F.col("max_day"), F.col("min_day")) + 1)
+        .cast("int")
+        .alias("span_days"),
+        "n_rows",
+    )
+
+
+def _q_skyline_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """Skyline (Pareto-optimal) parts on (retail price LOW, size
+    HIGH): parts no other part dominates on both dimensions — the
+    classic multi-objective shortlist operator (SQL:2023's
+    conceptual SKYLINE, done relationally). Expressed as a
+    NOT-EXISTS anti join over the part frame; at catalog scale the
+    standard rewrite sorts by price and keeps the running size
+    maximum (one window pass) — the pair join here keeps the oracle
+    twin textually identical. Decimal price compares exactly."""
+    p = read_table(spark, sf, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    dom = p.select(
+        F.col("p_retailprice").alias("dp"),
+        F.col("p_size").alias("ds"),
+        F.col("p_partkey").alias("dk"),
+    )
+    dominated = p.join(
+        dom,
+        (
+            (F.col("dp") <= F.col("p_retailprice"))
+            & (F.col("ds") >= F.col("p_size"))
+            & (
+                (F.col("dp") < F.col("p_retailprice"))
+                | (F.col("ds") > F.col("p_size"))
+            )
+        ),
+        "left_semi",
+    )
+    sky = p.join(dominated, ["p_partkey"], "left_anti")
+    return sky.select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("price"),
+        F.col("p_size").cast("int").alias("size"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -7176,6 +7275,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q286_decayed_popularity": _q_decayed_popularity,
         "q287_anova_f": _q_anova_f,
         "q288_retrieval_scoring": _q_retrieval_scoring,
+        "q289_hoover_index": _q_hoover_index,
+        "q290_freshness_audit": _q_freshness_audit,
+        "q291_skyline_parts": _q_skyline_parts,
     }
 
 
@@ -13250,5 +13352,64 @@ def oracle_sql() -> dict[str, str]:
                 row_number() OVER (ORDER BY score DESC, doc_id) AS rk
               FROM scored
             ) WHERE rk <= 10
+        """,
+        "q289_hoover_index": """
+            WITH per_cust AS (
+              SELECT o_custkey,
+                sum(CAST(o_totalprice AS DECIMAL(38,6))) AS rev
+              FROM orders GROUP BY o_custkey
+            ),
+            tot AS (
+              SELECT sum(rev) AS T, count(*) AS n FROM per_cust
+            ),
+            dev AS (
+              SELECT n,
+                abs(CAST(rev AS DOUBLE) / CAST(T AS DOUBLE)
+                  - 1E0 / CAST(n AS DOUBLE)) AS d
+              FROM per_cust CROSS JOIN tot
+            )
+            SELECT CAST(max(n) AS BIGINT) AS n_customers,
+              CAST(sum(CAST(d AS DECIMAL(38,6))) AS DOUBLE) / 2E0
+                AS hoover
+            FROM dev
+        """,
+        "q290_freshness_audit": """
+            WITH u AS (
+              SELECT 'events' AS table_name,
+                CAST(max(ts) AS DATE) AS max_day,
+                CAST(min(ts) AS DATE) AS min_day,
+                CAST(count(*) AS BIGINT) AS n_rows
+              FROM events
+              UNION ALL
+              SELECT 'orders',
+                CAST(max(o_orderdate) AS DATE),
+                CAST(min(o_orderdate) AS DATE),
+                CAST(count(*) AS BIGINT)
+              FROM orders
+              UNION ALL
+              SELECT 'lineitem',
+                CAST(max(l_shipdate) AS DATE),
+                CAST(min(l_shipdate) AS DATE),
+                CAST(count(*) AS BIGINT)
+              FROM lineitem
+            )
+            SELECT table_name, max_day, min_day,
+              CAST(date_diff('day', min_day, max_day) + 1 AS INT)
+                AS span_days,
+              n_rows
+            FROM u
+        """,
+        "q291_skyline_parts": """
+            SELECT p_partkey,
+              CAST(p_retailprice AS DOUBLE) AS price,
+              CAST(p_size AS INT) AS size
+            FROM part p
+            WHERE NOT EXISTS (
+              SELECT 1 FROM part d
+              WHERE d.p_retailprice <= p.p_retailprice
+                AND d.p_size >= p.p_size
+                AND (d.p_retailprice < p.p_retailprice
+                     OR d.p_size > p.p_size)
+            )
         """,
     }
