@@ -6984,6 +6984,142 @@ def _q_skyline_parts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_seasonal_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Classical multiplicative seasonal indices (ratio-to-moving-
+    average, the X-11 first step): daily count over its centered 7-day
+    moving average, averaged per day-of-week — the SQL-native
+    counterpart of q26's additive applyInPandas decomposition.
+    Centered MA requires a full +/-3-day window (edges excluded);
+    integer sums, ratio and the per-dow mean via the decimal-sum
+    convention."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wc = Window.partitionBy("event_type").orderBy("d").rowsBetween(-3, 3)
+    k = F.count(F.lit(1)).over(wc)
+    ma = F.sum("n").over(wc).cast("double") / k.cast("double")
+    ratios = daily.select(
+        "event_type",
+        F.dayofweek("d").alias("dow"),
+        F.when(k == 7, F.col("n").cast("double") / ma).alias("ratio"),
+    ).where(F.col("ratio").isNotNull())
+    return ratios.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        _davg(F.col("ratio")).alias("seasonal_index"),
+    )
+
+
+def _q_abc_xyz(spark: SparkSession, sf: str) -> DataFrame:
+    """ABC-XYZ inventory segmentation: q244's revenue-Pareto ABC
+    classes crossed with demand-variability XYZ classes (coefficient
+    of variation of weekly quantity: X < 0.5 steady, Y < 1.0, Z
+    erratic) — the 9-cell planning matrix. CV from exact integer
+    weekly moments (n*S2 - S1^2); the class-cell aggregate rides the
+    same per-part frame as the Pareto window."""
+    li = read_table(spark, sf, "lineitem")
+    rev = li.groupBy("l_partkey").agg(F.sum(_revenue()).alias("__rev"))
+    wcum = Window.orderBy(F.col("__rev").desc(), F.col("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    share = (
+        F.sum("__rev").over(wcum).cast("double")
+        / F.sum("__rev").over(wall).cast("double")
+    )
+    abc = rev.select(
+        "l_partkey",
+        F.when(share <= 0.80, "A").when(share <= 0.95, "B").otherwise("C").alias(
+            "abc"
+        ),
+    )
+    weekly = li.groupBy(
+        "l_partkey", F.date_trunc("week", F.col("l_shipdate")).alias("w")
+    ).agg(F.sum(F.col("l_quantity").cast("decimal(18,2)") * 100).cast(
+        "decimal(38,0)"
+    ).alias("q"))
+    mom = weekly.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("q").alias("s1"),
+        F.sum(
+            (F.col("q") * F.col("q")).cast("decimal(38,0)")
+        ).alias("s2"),
+    )
+    nd = F.col("k").cast("decimal(12,0)")
+    var_num = (nd * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+    cv = (F.sqrt(var_num) / F.col("k").cast("double")) / (
+        F.col("s1").cast("double") / F.col("k").cast("double")
+    )
+    xyz = mom.select(
+        "l_partkey",
+        F.when(F.col("k") < 2, "Z")
+        .when(cv < 0.5, "X")
+        .when(cv < 1.0, "Y")
+        .otherwise("Z")
+        .alias("xyz"),
+    )
+    cells = abc.join(xyz, "l_partkey").groupBy("abc", "xyz").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts")
+    )
+    return cells
+
+
+def _q_term_burstiness(spark: SparkSession, sf: str) -> DataFrame:
+    """Church-Gale term burstiness: collection frequency over document
+    frequency per term — cf/df = 1 means a term never repeats within
+    a doc (function-word behavior), high values flag topical/bursty
+    terms (content words, spam runs). One explode feeds both counts;
+    integer ratio, top-20 by (burstiness desc, term) with cf >= 10."""
+    docs = read_table(spark, sf, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("t"))
+    stats = tok.groupBy("t").agg(
+        F.count(F.lit(1)).alias("cf"),
+        F.count_distinct("doc_id").alias("df"),
+    ).where(F.col("cf") >= 10)
+    burst = stats.select(
+        F.col("t").alias("term"),
+        "cf",
+        "df",
+        (F.col("cf").cast("double") / F.col("df").cast("double")).alias(
+            "burstiness"
+        ),
+    )
+    wtop = Window.orderBy(F.col("burstiness").desc(), F.col("term"))
+    return (
+        burst.withColumn("rk", F.row_number().over(wtop))
+        .where(F.col("rk") <= 20)
+        .select(F.col("rk").cast("int").alias("rk"), "term", "cf", "df", "burstiness")
+    )
+
+
+def _q_join_size_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-cardinality estimation BEFORE the join: |A join B on k| =
+    sum over keys of cA(k)*cB(k), computed from the two key-frequency
+    frames — the explosion audit that decides salting/broadcast
+    strategy (q217's skew advisor generalized to output size). The
+    query also runs the real join count so the estimate's exactness
+    is verified in-row (they must be equal for an equi-join — the
+    'estimate' is exact; the point is it costs two aggregates instead
+    of the join)."""
+    o = read_table(spark, sf, "orders")
+    li = read_table(spark, sf, "lineitem")
+    ca = o.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("cnt_a"))
+    cb = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("cnt_b"))
+    est = (
+        ca.join(cb, ca["o_orderkey"] == cb["l_orderkey"])
+        .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("est_rows"))
+    )
+    actual = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .agg(F.count(F.lit(1)).alias("actual_rows"))
+    )
+    return est.crossJoin(actual).select(
+        "est_rows",
+        "actual_rows",
+        (F.col("est_rows") == F.col("actual_rows")).alias("exact"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -7278,6 +7414,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q289_hoover_index": _q_hoover_index,
         "q290_freshness_audit": _q_freshness_audit,
         "q291_skyline_parts": _q_skyline_parts,
+        "q292_seasonal_index": _q_seasonal_index,
+        "q293_abc_xyz": _q_abc_xyz,
+        "q294_term_burstiness": _q_term_burstiness,
+        "q295_join_size_estimate": _q_join_size_estimate,
     }
 
 
@@ -13411,5 +13551,119 @@ def oracle_sql() -> dict[str, str]:
                 AND (d.p_retailprice < p.p_retailprice
                      OR d.p_size > p.p_size)
             )
+        """,
+        "q292_seasonal_index": """
+            WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS d,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT event_type,
+                CAST(dayofweek(d) + 1 AS INT) AS dow,
+                CASE WHEN count(*) OVER wc = 7 THEN
+                  CAST(n AS DOUBLE)
+                  / (CAST(sum(n) OVER wc AS DOUBLE)
+                     / CAST(count(*) OVER wc AS DOUBLE)) END AS ratio
+              FROM daily
+              WINDOW wc AS (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+            )
+            SELECT event_type, dow,
+              CAST(count(*) AS BIGINT) AS n_days,
+              CAST(sum(CAST(ratio AS DECIMAL(38,6))) AS DOUBLE)
+                / count(ratio) AS seasonal_index
+            FROM r WHERE ratio IS NOT NULL
+            GROUP BY event_type, dow
+        """,
+        "q293_abc_xyz": """
+            WITH rev AS (
+              SELECT l_partkey, sum({rev}) AS r
+              FROM lineitem GROUP BY l_partkey
+            ),
+            abc AS (
+              SELECT l_partkey,
+                CASE WHEN CAST(sum(r) OVER (ORDER BY r DESC, l_partkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) / CAST(sum(r) OVER () AS DOUBLE) <= 0.80E0
+                  THEN 'A'
+                  WHEN CAST(sum(r) OVER (ORDER BY r DESC, l_partkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) / CAST(sum(r) OVER () AS DOUBLE) <= 0.95E0
+                  THEN 'B' ELSE 'C' END AS abc
+              FROM rev
+            ),
+            weekly AS (
+              SELECT l_partkey, date_trunc('week', l_shipdate) AS w,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * 100)
+                  AS DECIMAL(38,0)) AS q
+              FROM lineitem GROUP BY 1, 2
+            ),
+            mom AS (
+              SELECT l_partkey, count(*) AS k,
+                sum(q) AS s1,
+                sum(CAST(q * q AS DECIMAL(38,0))) AS s2
+              FROM weekly GROUP BY l_partkey
+            ),
+            xyz AS (
+              SELECT l_partkey,
+                CASE WHEN k < 2 THEN 'Z'
+                  WHEN (sqrt(CAST(CAST(k AS DECIMAL(12,0)) * s2
+                        - s1 * s1 AS DOUBLE)) / CAST(k AS DOUBLE))
+                    / (CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE)) < 0.5E0
+                  THEN 'X'
+                  WHEN (sqrt(CAST(CAST(k AS DECIMAL(12,0)) * s2
+                        - s1 * s1 AS DOUBLE)) / CAST(k AS DOUBLE))
+                    / (CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE)) < 1.0E0
+                  THEN 'Y' ELSE 'Z' END AS xyz
+              FROM mom
+            )
+            SELECT abc, xyz, CAST(count(*) AS BIGINT) AS n_parts
+            FROM abc JOIN xyz USING (l_partkey)
+            GROUP BY abc, xyz
+        """.format(rev=_REV_SQL),
+        "q294_term_burstiness": """
+            WITH tok AS (
+              SELECT doc_id,
+                unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                  x -> x <> '')) AS t
+              FROM documents
+            ),
+            stats AS (
+              SELECT t AS term,
+                CAST(count(*) AS BIGINT) AS cf,
+                CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+              FROM tok GROUP BY t HAVING count(*) >= 10
+            )
+            SELECT CAST(rk AS INT) AS rk, term, cf, df, burstiness
+            FROM (
+              SELECT term, cf, df,
+                CAST(cf AS DOUBLE) / CAST(df AS DOUBLE) AS burstiness,
+                row_number() OVER (
+                  ORDER BY CAST(cf AS DOUBLE) / CAST(df AS DOUBLE) DESC,
+                    term) AS rk
+              FROM stats
+            ) WHERE rk <= 20
+        """,
+        "q295_join_size_estimate": """
+            WITH ca AS (
+              SELECT o_orderkey, CAST(count(*) AS BIGINT) AS cnt_a
+              FROM orders GROUP BY o_orderkey
+            ),
+            cb AS (
+              SELECT l_orderkey, CAST(count(*) AS BIGINT) AS cnt_b
+              FROM lineitem GROUP BY l_orderkey
+            ),
+            est AS (
+              SELECT CAST(sum(cnt_a * cnt_b) AS BIGINT) AS est_rows
+              FROM ca JOIN cb ON o_orderkey = l_orderkey
+            ),
+            act AS (
+              SELECT CAST(count(*) AS BIGINT) AS actual_rows
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            )
+            SELECT est_rows, actual_rows,
+              est_rows = actual_rows AS exact
+            FROM est CROSS JOIN act
         """,
     }
