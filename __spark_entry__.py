@@ -6951,32 +6951,40 @@ def _q_skyline_parts(spark: SparkSession, sf: str) -> DataFrame:
     """Skyline (Pareto-optimal) parts on (retail price LOW, size
     HIGH): parts no other part dominates on both dimensions — the
     classic multi-objective shortlist operator (SQL:2023's
-    conceptual SKYLINE, done relationally). Expressed as a
-    NOT-EXISTS anti join over the part frame; at catalog scale the
-    standard rewrite sorts by price and keeps the running size
-    maximum (one window pass) — the pair join here keeps the oracle
-    twin textually identical. Decimal price compares exactly."""
+    conceptual SKYLINE). Implemented as the O(n log n) SWEEP, not a
+    pair join: per-price max size, running max over strictly cheaper
+    prices (a lag of the cumulative max over the price-sorted
+    aggregate), then a row is dominated iff a strictly cheaper price
+    reached >= its size, or its own price group holds a strictly
+    larger size. One aggregate + one tiny-frame window — no
+    nested-loop join at any scale. The DuckDB oracle keeps the
+    NOT-EXISTS definition, so the sweep is verified against the
+    textbook semantics."""
     p = read_table(spark, sf, "part").select(
         "p_partkey", "p_retailprice", "p_size"
     )
-    dom = p.select(
-        F.col("p_retailprice").alias("dp"),
-        F.col("p_size").alias("ds"),
-        F.col("p_partkey").alias("dk"),
+    grp = p.groupBy("p_retailprice").agg(F.max("p_size").alias("gmax"))
+    wprice = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, 0
     )
-    dominated = p.join(
-        dom,
-        (
-            (F.col("dp") <= F.col("p_retailprice"))
-            & (F.col("ds") >= F.col("p_size"))
-            & (
-                (F.col("dp") < F.col("p_retailprice"))
-                | (F.col("ds") > F.col("p_size"))
-            )
+    cum = grp.select(
+        "p_retailprice", "gmax", F.max("gmax").over(wprice).alias("cummax")
+    )
+    runmax = cum.select(
+        "p_retailprice",
+        "gmax",
+        F.lag("cummax").over(Window.orderBy("p_retailprice")).alias(
+            "strict_max"
         ),
-        "left_semi",
     )
-    sky = p.join(dominated, ["p_partkey"], "left_anti")
+    j = p.join(F.broadcast(runmax), "p_retailprice")
+    sky = j.where(
+        (
+            F.col("strict_max").isNull()
+            | (F.col("strict_max") < F.col("p_size"))
+        )
+        & (F.col("gmax") <= F.col("p_size"))
+    )
     return sky.select(
         "p_partkey",
         F.col("p_retailprice").cast("double").alias("price"),

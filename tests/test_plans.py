@@ -89,6 +89,22 @@ def test_no_accidental_cartesian_products(spark):
     # ALS fit runs at plan-build time; recommendForAllUsers plans an
     # MLlib-internal blocked cross join by design
     SKIP |= {"q197_als_recs"}
+    # declared brute-force cosine pair generators over the bounded
+    # probe set (like q23/q38 — LSH/IVF generates candidates at scale)
+    SKIP |= {"q257_knn_label_agreement", "q284_mutual_knn"}
+    # deliberate 1-row scalar broadcasts (corpus token totals / horizon
+    # timestamp / grand totals / per-query stats / 1-row x 1-row report
+    # combines) — the de-correlated scalar-subquery pattern, same as q67
+    SKIP |= {"q269_odds_ratio_terms", "q273_churn_risk",
+             "q286_decayed_popularity", "q288_retrieval_scoring",
+             "q289_hoover_index", "q295_join_size_estimate"}
+    # group-cardinality pair frames (event types: 5x5) and the
+    # label-cardinality centroid broadcast (like q157)
+    SKIP |= {"q279_mann_whitney", "q280_effect_size",
+             "q285_centroid_silhouette"}
+    # deliberate bounded replicate fan-out (50 broadcast bootstrap
+    # replicates per row — the resampling semantics, not an accident)
+    SKIP |= {"q283_half_sample_ci"}
     qs = entrymod.queries()
     offenders = []
     for name, fn in qs.items():
