@@ -7128,6 +7128,111 @@ def _q_join_size_estimate(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_rare_collapse(spark: SparkSession, sf: str) -> DataFrame:
+    """Rare-category collapse: (event_type, json k-prop) crossed
+    categories with support < 25 fold into '__other__' — the
+    cardinality-control encoder every feature table applies before
+    one-hot/target encoding (unbounded tails blow up model width and
+    leak singletons). Two hash aggregates; the support map is
+    broadcast-sized."""
+    ev = read_table(spark, sf, "events")
+    cat = F.concat_ws(
+        "|", F.col("event_type"), F.get_json_object(F.col("props"), "$.k")
+    )
+    counts = ev.select(cat.alias("cat")).groupBy("cat").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    folded = counts.select(
+        F.when(F.col("n") >= 25, F.col("cat"))
+        .otherwise("__other__")
+        .alias("category"),
+        "n",
+    )
+    return folded.groupBy("category").agg(
+        F.sum("n").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_source_cats"),
+    )
+
+
+def _q_loo_target_encoding(spark: SparkSession, sf: str) -> DataFrame:
+    """Leave-one-out target encoding: each event's type encoded as the
+    mean target (value) of its OWN group excluding the row itself —
+    (S_g - x_i)/(n_g - 1), the leakage-safe categorical encoder.
+    Group sums stay decimal-exact (one aggregate, broadcast back);
+    the per-row epilogue is one subtraction and one division.
+    Emitted per-row (event_id) so the oracle verifies every encoding,
+    not just aggregates."""
+    ev = read_table(spark, sf, "events").where(F.col("value").isNotNull())
+    xi = F.col("value").cast("decimal(18,2)")
+    g = ev.groupBy("event_type").agg(
+        F.sum(xi.cast(DEC)).alias("sg"),
+        F.count(F.lit(1)).alias("ng"),
+    )
+    j = ev.join(F.broadcast(g), "event_type")
+    enc = (F.col("sg") - xi.cast(DEC)).cast("double") / (
+        F.col("ng") - 1
+    ).cast("double")
+    return j.select(
+        "event_id",
+        "event_type",
+        enc.alias("loo_encoding"),
+    )
+
+
+def _q_feature_hashing(spark: SparkSession, sf: str) -> DataFrame:
+    """Hashing-trick feature encoder with collision audit: the crossed
+    feature (event_type x day-of-week) maps to one of 256 buckets via
+    its md5 2-hex-char prefix (engine-portable, no numeric hex
+    conversion) — the fixed-width encoder for unbounded crosses.
+    Output one row per occupied bucket: row mass and how many distinct
+    source crosses collided into it (the audit that picks the hash
+    width)."""
+    ev = read_table(spark, sf, "events")
+    crossed = F.concat_ws(
+        "|", F.col("event_type"), F.dayofweek("ts").cast("string")
+    )
+    b = ev.select(
+        crossed.alias("crossed"),
+        F.substring(F.md5(F.concat(F.lit("fh1"), crossed)), 1, 2).alias(
+            "bucket"
+        ),
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("crossed").cast("bigint").alias("n_crosses"),
+    )
+
+
+def _q_m_estimate_encoding(spark: SparkSession, sf: str) -> DataFrame:
+    """m-estimate (shrinkage) target encoding per event type:
+    (S_g + m * mu) / (n_g + m) with m = 20 — the empirical-Bayes
+    smoother that pulls small categories toward the global mean
+    (the companion to q297's leave-one-out; this one is the
+    per-CATEGORY table). Group and global sums decimal-exact; mu and
+    the encoding are fixed-order double epilogues."""
+    ev = read_table(spark, sf, "events").where(F.col("value").isNotNull())
+    xi = F.col("value").cast("decimal(18,2)")
+    g = ev.groupBy("event_type").agg(
+        F.sum(xi.cast(DEC)).alias("sg"),
+        F.count(F.lit(1)).alias("ng"),
+    )
+    tot = ev.agg(
+        F.sum(xi.cast(DEC)).alias("st"), F.count(F.lit(1)).alias("nt")
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    mu = F.col("st").cast("double") / F.col("nt").cast("double")
+    enc = (F.col("sg").cast("double") + F.lit(20.0) * mu) / (
+        F.col("ng").cast("double") + F.lit(20.0)
+    )
+    raw = F.col("sg").cast("double") / F.col("ng").cast("double")
+    return j.select(
+        "event_type",
+        F.col("ng").cast("bigint").alias("n"),
+        raw.alias("raw_mean"),
+        enc.alias("m_encoding"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -7426,6 +7531,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q293_abc_xyz": _q_abc_xyz,
         "q294_term_burstiness": _q_term_burstiness,
         "q295_join_size_estimate": _q_join_size_estimate,
+        "q296_rare_collapse": _q_rare_collapse,
+        "q297_loo_target_encoding": _q_loo_target_encoding,
+        "q298_feature_hashing": _q_feature_hashing,
+        "q299_m_estimate_encoding": _q_m_estimate_encoding,
     }
 
 
@@ -13673,5 +13782,71 @@ def oracle_sql() -> dict[str, str]:
             SELECT est_rows, actual_rows,
               est_rows = actual_rows AS exact
             FROM est CROSS JOIN act
+        """,
+        "q296_rare_collapse": """
+            WITH counts AS (
+              SELECT concat_ws('|', event_type,
+                CAST(json_extract_string(props, '$.k') AS VARCHAR))
+                AS cat,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1
+            )
+            SELECT CASE WHEN n >= 25 THEN cat ELSE '__other__' END
+                AS category,
+              CAST(sum(n) AS BIGINT) AS n_rows,
+              CAST(count(*) AS BIGINT) AS n_source_cats
+            FROM counts GROUP BY 1
+        """,
+        "q297_loo_target_encoding": """
+            WITH g AS (
+              SELECT event_type,
+                sum(CAST(CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,6)))
+                  AS sg,
+                count(*) AS ng
+              FROM events WHERE value IS NOT NULL
+              GROUP BY event_type
+            )
+            SELECT event_id, e.event_type,
+              CAST(sg - CAST(CAST(value AS DECIMAL(18,2))
+                AS DECIMAL(38,6)) AS DOUBLE)
+                / CAST(ng - 1 AS DOUBLE) AS loo_encoding
+            FROM events e JOIN g ON e.event_type = g.event_type
+            WHERE value IS NOT NULL
+        """,
+        "q298_feature_hashing": """
+            WITH b AS (
+              SELECT
+                concat_ws('|', event_type,
+                  CAST(dayofweek(ts) + 1 AS VARCHAR)) AS crossed,
+                substr(md5('fh1' || concat_ws('|', event_type,
+                  CAST(dayofweek(ts) + 1 AS VARCHAR))), 1, 2) AS bucket
+              FROM events
+            )
+            SELECT bucket,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(count(DISTINCT crossed) AS BIGINT) AS n_crosses
+            FROM b GROUP BY bucket
+        """,
+        "q299_m_estimate_encoding": """
+            WITH g AS (
+              SELECT event_type,
+                sum(CAST(CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,6)))
+                  AS sg,
+                count(*) AS ng
+              FROM events WHERE value IS NOT NULL
+              GROUP BY event_type
+            ),
+            tot AS (
+              SELECT sum(CAST(CAST(value AS DECIMAL(18,2))
+                AS DECIMAL(38,6))) AS st,
+                count(*) AS nt
+              FROM events WHERE value IS NOT NULL
+            )
+            SELECT event_type, CAST(ng AS BIGINT) AS n,
+              CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) AS raw_mean,
+              (CAST(sg AS DOUBLE)
+                + 20E0 * (CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)))
+                / (CAST(ng AS DOUBLE) + 20E0) AS m_encoding
+            FROM g CROSS JOIN tot
         """,
     }
