@@ -680,6 +680,27 @@ def _q_holt_forecast(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_holt_winters(spark: SparkSession, sf: str) -> DataFrame:
+    """7-step Holt-Winters additive (weekly seasonal) forecast per
+    event type on the daily count series — the triple-smoothing
+    extension of q24 (level + trend + period-7 seasonal states; ml/
+    models.py:holt_winters). No SQL oracle (sequential smoothing);
+    invariants in tests/test_forecast.py."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("value"))
+    return fit_forecast(
+        daily,
+        series_keys=["event_type"],
+        ts_col="day",
+        value_col="value",
+        horizon=7,
+        model="holt_winters",
+        min_points=14,
+    )
+
+
 def _q_arima_grid(spark: SparkSession, sf: str) -> DataFrame:
     """Distributed (p,d,q) grid search (reference T6: the nested loop at
     pandas_timeseries_forecast.py:22-55 re-shaped as a parameter
@@ -7535,6 +7556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q297_loo_target_encoding": _q_loo_target_encoding,
         "q298_feature_hashing": _q_feature_hashing,
         "q299_m_estimate_encoding": _q_m_estimate_encoding,
+        "q300_holt_winters": _q_holt_winters,
     }
 
 

@@ -100,7 +100,47 @@ def arima(
     return fc, se
 
 
-MODELS = {"ses": ses, "holt": holt, "arima": arima}
+def holt_winters(
+    x: np.ndarray,
+    h: int,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    period: int = 7,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Holt-Winters additive (triple exponential smoothing): level +
+    trend + additive seasonal component of the given period — the
+    seasonal extension of ``holt`` (reference T7 family,
+    spark_pandas_timeseries_forecast.py:40-41 uses the trend-only
+    form). Seasonal states initialize from the first cycle's
+    deviations around its mean; shorter series fall back to holt."""
+    if len(x) < 2 * period:
+        return holt(x, h, alpha, beta)
+    level = float(np.mean(x[:period]))
+    trend = (float(np.mean(x[period : 2 * period])) - level) / period
+    season = [float(v) - level for v in x[:period]]
+    resid = []
+    for i, v in enumerate(x[period:], start=period):
+        s = season[i % period]
+        resid.append(v - (level + trend + s))
+        new_level = alpha * (v - s) + (1 - alpha) * (level + trend)
+        trend = beta * (new_level - level) + (1 - beta) * trend
+        season[i % period] = gamma * (v - new_level) + (1 - gamma) * s
+        level = new_level
+    sigma = float(np.std(resid)) if resid else 0.0
+    steps = np.arange(1, h + 1)
+    n = len(x)
+    fc = np.array(
+        [
+            level + k * trend + season[(n + k - 1) % period]
+            for k in range(1, h + 1)
+        ]
+    )
+    se = sigma * np.sqrt(steps)
+    return fc, se
+
+
+MODELS = {"ses": ses, "holt": holt, "arima": arima, "holt_winters": holt_winters}
 
 
 def walk_forward_mse(

@@ -38,6 +38,25 @@ def test_holt_linear_trend_exact():
     assert np.allclose(fc, np.arange(30, 35), atol=0.5)
 
 
+def test_holt_winters_recovers_pure_seasonality():
+    from sensor_time_series_pyspark_spark.ml.models import holt_winters
+
+    pattern = np.array([10, 12, 14, 16, 14, 12, 10], dtype="float64")
+    x = np.tile(pattern, 6)  # 6 clean weekly cycles, no trend
+    fc, se = holt_winters(x, 7, alpha=0.3, beta=0.05, gamma=0.5, period=7)
+    assert np.allclose(fc, pattern, atol=1.0)  # next cycle ~ the pattern
+    assert np.all(np.diff(se) >= 0)
+
+
+def test_holt_winters_short_series_falls_back_to_holt():
+    from sensor_time_series_pyspark_spark.ml.models import holt, holt_winters
+
+    x = np.arange(10, dtype="float64")
+    fc_hw, _ = holt_winters(x, 3, period=7)  # < 2 periods of data
+    fc_h, _ = holt(x, 3)
+    assert np.allclose(fc_hw, fc_h)
+
+
 def test_arima_d1_recovers_drift():
     x = np.cumsum(np.full(40, 2.0))  # constant drift 2/step
     fc, se = arima(x, 4, p=1, d=1)
