@@ -82,3 +82,9 @@ def test_historian_example(spark):
     import historian
 
     assert historian.main(SF) == 0
+
+
+def test_drift_monitor_example(spark):
+    import drift_monitor
+
+    assert drift_monitor.main(SF) == 0
