@@ -7254,6 +7254,116 @@ def _q_m_estimate_encoding(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_window_dataset(spark: SparkSession, sf: str) -> DataFrame:
+    """Supervised window-dataset builder: per series, the trailing-7
+    daily counts as the feature vector and the NEXT day as the label —
+    the (X, y) constructor every sequence model trains on (q10's
+    lead-as-label generalized to a window of features). collect_list
+    over an ORDERED row frame is deterministic; features serialize to
+    a CSV string so the differential hash covers every element. Rows
+    without a full window or a label are excluded — no padded
+    leakage."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wt = Window.partitionBy("event_type").orderBy("d")
+    wf = wt.rowsBetween(-6, 0)
+    feat = F.collect_list(F.col("n").cast("string")).over(wf)
+    built = daily.select(
+        "event_type",
+        "d",
+        F.when(F.count(F.lit(1)).over(wf) == 7, F.array_join(feat, ",")).alias(
+            "features_csv"
+        ),
+        F.lead("n").over(wt).alias("label"),
+    )
+    return built.where(
+        F.col("features_csv").isNotNull() & F.col("label").isNotNull()
+    )
+
+
+def _q_multihot_encoding(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-hot behavioral encoding: each user's event-type SET packed
+    into one integer bitmask via bit_or(1 << type_index) — the
+    fixed-width set encoder (feeds GBDTs, joins cheaply, and the
+    bitmask aggregate is a map-side-combining one-pass reduction
+    where collect_set is not). Also reports popcount (n_types) and
+    the decoded membership flags so the mask is auditable."""
+    ev = read_table(spark, sf, "events")
+    bit = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "error", 2)
+        .when(F.col("event_type") == "purchase", 4)
+        .when(F.col("event_type") == "signup", 8)
+        .when(F.col("event_type") == "view", 16)
+        .otherwise(32)
+    )
+    masked = ev.select("user_id", bit.cast("bigint").alias("bit"))
+    per_user = masked.groupBy("user_id").agg(
+        F.expr("bit_or(bit)").alias("mask")
+    )
+    return per_user.select(
+        "user_id",
+        "mask",
+        F.bit_count("mask").cast("int").alias("n_types"),
+        (F.col("mask").bitwiseAND(4) > 0).alias("has_purchase"),
+        (F.col("mask").bitwiseAND(2) > 0).alias("has_error"),
+    )
+
+
+def _q_clustering_coeff(spark: SparkSession, sf: str) -> DataFrame:
+    """Global clustering coefficient of the user co-engagement graph
+    (users linked when active on the same event_type x day): C =
+    3 * triangles / open_triads, with triads = sum over nodes of
+    deg*(deg-1)/2 — the one-number transitivity summary on top of
+    q100's triangle count. Triangle counting uses the same
+    degree-oriented compact-forward shape (each triangle counted
+    once); everything is integer until the final division."""
+    ev = read_table(spark, sf, "events")
+    grp = ev.select(
+        "user_id",
+        F.concat_ws(
+            "|", "event_type", F.date_trunc("day", F.col("ts")).cast("string")
+        ).alias("g"),
+    ).distinct()
+    a = grp.select(F.col("g"), F.col("user_id").alias("u"))
+    b = grp.select(F.col("g").alias("g2"), F.col("user_id").alias("v"))
+    edges = (
+        a.join(b, (F.col("g") == F.col("g2")) & (F.col("u") < F.col("v")))
+        .select("u", "v")
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionByName(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    triads = deg.agg(
+        F.expr("sum((d * (d - 1)) div 2)").cast("bigint").alias("triads")
+    )
+    # compact-forward: orient edges low->high, join wedges u<v<w
+    e1 = edges.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = edges.select(F.col("u").alias("y2"), F.col("v").alias("z"))
+    wedges = e1.join(e2, F.col("y") == F.col("y2")).select("x", "y", "z")
+    closed = wedges.join(
+        edges.select(F.col("u").alias("x"), F.col("v").alias("z")),
+        ["x", "z"],
+        "left_semi",
+    )
+    tri = closed.agg(F.count(F.lit(1)).alias("triangles"))
+    j = tri.crossJoin(triads)
+    return j.select(
+        "triangles",
+        "triads",
+        (
+            F.lit(3.0) * F.col("triangles").cast("double")
+            / F.col("triads").cast("double")
+        ).alias("clustering_coeff"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -7557,6 +7667,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q298_feature_hashing": _q_feature_hashing,
         "q299_m_estimate_encoding": _q_m_estimate_encoding,
         "q300_holt_winters": _q_holt_winters,
+        "q301_window_dataset": _q_window_dataset,
+        "q302_multihot_encoding": _q_multihot_encoding,
+        "q303_clustering_coeff": _q_clustering_coeff,
     }
 
 
@@ -13870,5 +13983,78 @@ def oracle_sql() -> dict[str, str]:
                 + 20E0 * (CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)))
                 / (CAST(ng AS DOUBLE) + 20E0) AS m_encoding
             FROM g CROSS JOIN tot
+        """,
+        "q301_window_dataset": """
+            WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS d,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            built AS (
+              SELECT event_type, d,
+                CASE WHEN count(*) OVER wf = 7 THEN
+                  array_to_string(list(CAST(n AS VARCHAR)) OVER wf, ',')
+                END AS features_csv,
+                lead(n) OVER wt AS label
+              FROM daily
+              WINDOW wt AS (PARTITION BY event_type ORDER BY d),
+              wf AS (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+            )
+            SELECT event_type, d, features_csv, label
+            FROM built
+            WHERE features_csv IS NOT NULL AND label IS NOT NULL
+        """,
+        "q302_multihot_encoding": """
+            WITH masked AS (
+              SELECT user_id,
+                CAST(1 << (CASE event_type
+                  WHEN 'click' THEN 0 WHEN 'error' THEN 1
+                  WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3
+                  WHEN 'view' THEN 4 ELSE 5 END) AS BIGINT) AS bit
+              FROM events
+            ),
+            per_user AS (
+              SELECT user_id, CAST(bit_or(bit) AS BIGINT) AS mask
+              FROM masked GROUP BY user_id
+            )
+            SELECT user_id, mask,
+              CAST(bit_count(mask) AS INT) AS n_types,
+              (mask & 4) > 0 AS has_purchase,
+              (mask & 2) > 0 AS has_error
+            FROM per_user
+        """,
+        "q303_clustering_coeff": """
+            WITH grp AS (
+              SELECT DISTINCT user_id,
+                concat_ws('|', event_type,
+                  CAST(date_trunc('day', ts) AS VARCHAR)) AS g
+              FROM events
+            ),
+            edges AS (
+              SELECT DISTINCT a.user_id AS u, b.user_id AS v
+              FROM grp a JOIN grp b
+                ON a.g = b.g AND a.user_id < b.user_id
+            ),
+            deg AS (
+              SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+                SELECT u AS n FROM edges
+                UNION ALL SELECT v AS n FROM edges
+              ) GROUP BY n
+            ),
+            triads AS (
+              SELECT CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS triads
+              FROM deg
+            ),
+            tri AS (
+              SELECT CAST(count(*) AS BIGINT) AS triangles
+              FROM edges e1
+              JOIN edges e2 ON e1.v = e2.u
+              JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+            )
+            SELECT triangles, triads,
+              3E0 * CAST(triangles AS DOUBLE) / CAST(triads AS DOUBLE)
+                AS clustering_coeff
+            FROM tri CROSS JOIN triads
         """,
     }
