@@ -7364,6 +7364,81 @@ def _q_clustering_coeff(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_value_at_risk(spark: SparkSession, sf: str) -> DataFrame:
+    """Historical one-day Value-at-Risk of daily revenue: the p5/p1
+    exact percentiles of day-over-day revenue CHANGES — "how bad is a
+    normal bad day", the finance risk summary repurposed for any KPI.
+    Daily revenue stays decimal-exact; deltas are one double
+    subtraction per day (ordered lag); percentiles interpolate over
+    the tiny day frame identically in both engines."""
+    o = read_table(spark, sf, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("rev")
+    )
+    wt = Window.orderBy("d")
+    deltas = daily.select(
+        (F.col("rev") - F.lag("rev").over(wt)).alias("chg")
+    ).where(F.col("chg").isNotNull())
+    return deltas.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.percentile("chg", F.lit(0.05)).alias("var_95"),
+        F.percentile("chg", F.lit(0.01)).alias("var_99"),
+        F.min("chg").alias("worst_day"),
+    )
+
+
+def _q_partition_skew(spark: SparkSession, sf: str) -> DataFrame:
+    """Write-layout skew audit: rows per (ship-date day) partition with
+    the max/mean ratio and coefficient of variation — the pre-write
+    diagnostic that decides whether a date-partitioned sink needs
+    salting or coarser grain (q217's join-key advisor pointed at
+    physical layout). Integer moments, fixed epilogue."""
+    li = read_table(spark, sf, "lineitem")
+    per = li.groupBy(F.to_date("l_shipdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+        F.max("n").alias("mx"),
+    )
+    mean = F.col("s1").cast("double") / F.col("k").cast("double")
+    std = F.sqrt(
+        (F.col("k") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+    ) / F.col("k").cast("double")
+    return agg.select(
+        F.col("k").cast("bigint").alias("n_partitions"),
+        F.col("mx").alias("max_rows"),
+        mean.alias("mean_rows"),
+        (F.col("mx").cast("double") / mean).alias("max_over_mean"),
+        (std / mean).alias("cv"),
+    )
+
+
+def _q_lang_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-ID confusion matrix: labeled lang x heuristic lang_id
+    prediction counts with per-truth-row recall — the classifier
+    evaluation grid that turns q31's per-doc predictions into the
+    audit a curation pipeline actually reviews. One aggregate over
+    the prediction frame; recall is one division against a window
+    sum."""
+    docs = read_table(spark, sf, "documents")
+    pred = docs.select("lang", lang_id("text").alias("pred"))
+    cells = pred.groupBy("lang", "pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wl = Window.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "pred",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wl).cast("double")).alias(
+            "row_share"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -7670,6 +7745,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q301_window_dataset": _q_window_dataset,
         "q302_multihot_encoding": _q_multihot_encoding,
         "q303_clustering_coeff": _q_clustering_coeff,
+        "q304_value_at_risk": _q_value_at_risk,
+        "q305_partition_skew": _q_partition_skew,
+        "q306_lang_confusion": _q_lang_confusion,
     }
 
 
@@ -14056,5 +14134,85 @@ def oracle_sql() -> dict[str, str]:
               3E0 * CAST(triangles AS DOUBLE) / CAST(triads AS DOUBLE)
                 AS clustering_coeff
             FROM tri CROSS JOIN triads
+        """,
+        "q304_value_at_risk": """
+            WITH daily AS (
+              SELECT CAST(o_orderdate AS DATE) AS d,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                  AS rev
+              FROM orders GROUP BY 1
+            ),
+            deltas AS (
+              SELECT rev - lag(rev) OVER (ORDER BY d) AS chg FROM daily
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_days,
+              quantile_cont(chg, 0.05) AS var_95,
+              quantile_cont(chg, 0.01) AS var_99,
+              min(chg) AS worst_day
+            FROM deltas WHERE chg IS NOT NULL
+        """,
+        "q305_partition_skew": """
+            WITH per AS (
+              SELECT CAST(l_shipdate AS DATE) AS d,
+                CAST(count(*) AS BIGINT) AS n
+              FROM lineitem GROUP BY 1
+            ),
+            agg AS (
+              SELECT CAST(count(*) AS BIGINT) AS k,
+                CAST(sum(n) AS BIGINT) AS s1,
+                CAST(sum(n * n) AS BIGINT) AS s2,
+                CAST(max(n) AS BIGINT) AS mx
+              FROM per
+            )
+            SELECT k AS n_partitions, mx AS max_rows,
+              CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE) AS mean_rows,
+              CAST(mx AS DOUBLE)
+                / (CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE)) AS max_over_mean,
+              (sqrt(CAST(k * s2 - s1 * s1 AS DOUBLE)) / CAST(k AS DOUBLE))
+                / (CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE)) AS cv
+            FROM agg
+        """,
+        "q306_lang_confusion": """
+            WITH toks AS (
+              SELECT lang,
+                list_transform(
+                  list_filter(string_split_regex(trim(text), '\\s+'),
+                    x -> x <> ''),
+                  t -> lower(t)
+                ) AS tok
+              FROM documents
+            ),
+            pred AS (
+              SELECT lang,
+                CASE WHEN best.score > 0 THEN best.lang
+                     ELSE 'unknown' END AS pred
+              FROM (
+                SELECT lang,
+                  list_aggregate([
+                    {'score': len(list_filter(tok, t ->
+                      list_contains(['the','and','of','is','to'], t))),
+                     'lang': 'en'},
+                    {'score': len(list_filter(tok, t ->
+                      list_contains(['el','la','los','es','una'], t))),
+                     'lang': 'es'},
+                    {'score': len(list_filter(tok, t ->
+                      list_contains(['der','die','und','ist','ein'], t))),
+                     'lang': 'de'},
+                    {'score': len(list_filter(tok, t ->
+                      list_contains(['le','les','est','une','dans'], t))),
+                     'lang': 'fr'}
+                  ], 'max') AS best
+                FROM toks
+              )
+            ),
+            cells AS (
+              SELECT lang, pred, CAST(count(*) AS BIGINT) AS n
+              FROM pred GROUP BY 1, 2
+            )
+            SELECT lang, pred, n,
+              CAST(n AS DOUBLE)
+                / CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE)
+                AS row_share
+            FROM cells
         """,
     }
