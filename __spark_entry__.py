@@ -7439,6 +7439,112 @@ def _q_lang_confusion(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_detector_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Self-validating detector benchmark: deterministically inject
+    anomalies (md5-chosen ~20% of (type, day) cells get a +60% count
+    boost), run the trailing-average spike detector on the MODIFIED
+    series, and score it against the known injection set — precision /
+    recall / F1 per event type, the evaluation harness that turns
+    "we have detectors" into "we know their operating point". The
+    injection is hash-seeded so both engines agree on ground truth."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    injected = (
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("inj"),
+                    F.col("event_type"),
+                    F.col("d").cast("date").cast("string"),
+                )
+            ),
+            1,
+            8,
+        )
+        < _thr(0.2)
+    )
+    boosted = daily.select(
+        "event_type",
+        "d",
+        injected.alias("is_injected"),
+        F.when(injected, (F.col("n") * 16) / 10)
+        .otherwise(F.col("n").cast("double"))
+        .alias("nb"),
+    )
+    wt = Window.partitionBy("event_type").orderBy("d").rowsBetween(-7, -1)
+    trailing = F.sum("nb").over(wt) / F.count(F.lit(1)).over(wt)
+    scored = boosted.withColumn(
+        "flagged",
+        F.when(
+            trailing.isNotNull() & (F.col("nb") > F.lit(1.3) * trailing), 1
+        ).otherwise(0),
+    )
+    per_type = scored.groupBy("event_type").agg(
+        F.sum(F.when(F.col("is_injected") & (F.col("flagged") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.when(~F.col("is_injected") & (F.col("flagged") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(F.when(F.col("is_injected") & (F.col("flagged") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fn"),
+    )
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast("double"),
+    )
+    rec = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fn")).cast("double"),
+    )
+    return per_type.select(
+        "event_type",
+        "tp",
+        "fp",
+        "fn",
+        prec.alias("precision"),
+        rec.alias("recall"),
+    )
+
+
+def _q_srm_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for the hash split: observed
+    train/val/test user counts vs the designed 80/10/10, scored by the
+    chi-square statistic Σ(obs-exp)²/exp — the first thing any
+    experimentation platform checks before trusting a split (a biased
+    hash or filtered population shows up here, not in the metrics).
+    Counts integer; expectations and the statistic are a fixed double
+    epilogue; the 3-row split frame carries the report."""
+    from sensor_time_series_pyspark_spark.operators import hash_split
+
+    ev = read_table(spark, sf, "events")
+    users = ev.select("user_id").distinct()
+    out = hash_split(
+        users, "user_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="v1"
+    )
+    counts = out.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("nt"))
+    j = counts.crossJoin(F.broadcast(tot))
+    expected = (
+        F.when(F.col("split") == "train", 0.8)
+        .otherwise(0.1)
+        * F.col("nt").cast("double")
+    )
+    chi = (F.col("n").cast("double") - expected) * (
+        F.col("n").cast("double") - expected
+    ) / expected
+    per_split = j.select("split", "n", expected.alias("expected"), chi.alias("chi2_term"))
+    return per_split.select(
+        "split",
+        "n",
+        "expected",
+        "chi2_term",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -7748,6 +7854,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q304_value_at_risk": _q_value_at_risk,
         "q305_partition_skew": _q_partition_skew,
         "q306_lang_confusion": _q_lang_confusion,
+        "q307_detector_eval": _q_detector_eval,
+        "q308_srm_check": _q_srm_check,
     }
 
 
@@ -14214,5 +14322,78 @@ def oracle_sql() -> dict[str, str]:
                 / CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE)
                 AS row_share
             FROM cells
+        """,
+        "q307_detector_eval": """
+            WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS d,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            boosted AS (
+              SELECT event_type, d,
+                substr(md5('inj' || event_type || CAST(CAST(d AS DATE) AS VARCHAR)),
+                  1, 8) < '33333333' AS is_injected,
+                CASE WHEN substr(md5('inj' || event_type
+                    || CAST(CAST(d AS DATE) AS VARCHAR)), 1, 8) < '33333333'
+                  THEN (n * 16) / 10
+                  ELSE CAST(n AS DOUBLE) END AS nb
+              FROM daily
+            ),
+            scored AS (
+              SELECT event_type, d, is_injected,
+                CASE WHEN sum(nb) OVER wt / count(*) OVER wt IS NOT NULL
+                  AND nb > 1.3E0 * (sum(nb) OVER wt / count(*) OVER wt)
+                THEN 1 ELSE 0 END AS flagged
+              FROM boosted
+              WINDOW wt AS (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+            ),
+            per_type AS (
+              SELECT event_type,
+                CAST(sum(CASE WHEN is_injected AND flagged = 1
+                  THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                CAST(sum(CASE WHEN NOT is_injected AND flagged = 1
+                  THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                CAST(sum(CASE WHEN is_injected AND flagged = 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS fn
+              FROM scored GROUP BY event_type
+            )
+            SELECT event_type, tp, fp, fn,
+              CASE WHEN tp + fp > 0 THEN
+                CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END
+                AS precision,
+              CASE WHEN tp + fn > 0 THEN
+                CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END
+                AS recall
+            FROM per_type
+        """,
+        "q308_srm_check": """
+            WITH users AS (SELECT DISTINCT user_id FROM events),
+            assigned AS (
+              SELECT user_id,
+                CASE WHEN substr(md5('v1' || CAST(user_id AS VARCHAR)),
+                    1, 8) < 'cccccccc' THEN 'train'
+                  WHEN substr(md5('v1' || CAST(user_id AS VARCHAR)),
+                    1, 8) < 'e6666666' THEN 'val'
+                  ELSE 'test' END AS split
+              FROM users
+            ),
+            counts AS (
+              SELECT split, CAST(count(*) AS BIGINT) AS n
+              FROM assigned GROUP BY split
+            ),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM counts)
+            SELECT split, n,
+              (CASE WHEN split = 'train' THEN 0.8E0 ELSE 0.1E0 END)
+                * CAST(nt AS DOUBLE) AS expected,
+              (CAST(n AS DOUBLE)
+                - (CASE WHEN split = 'train' THEN 0.8E0 ELSE 0.1E0 END)
+                  * CAST(nt AS DOUBLE))
+              * (CAST(n AS DOUBLE)
+                - (CASE WHEN split = 'train' THEN 0.8E0 ELSE 0.1E0 END)
+                  * CAST(nt AS DOUBLE))
+              / ((CASE WHEN split = 'train' THEN 0.8E0 ELSE 0.1E0 END)
+                  * CAST(nt AS DOUBLE)) AS chi2_term
+            FROM counts CROSS JOIN tot
         """,
     }
