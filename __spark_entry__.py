@@ -7545,6 +7545,101 @@ def _q_srm_check(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_temporal_integrity(spark: SparkSession, sf: str) -> DataFrame:
+    """Temporal referential-integrity audit across the order lifecycle:
+    lineitems shipped BEFORE their order date (causality violation)
+    and shipped more than 90 days after (SLA/staleness anomaly) —
+    the cross-table temporal checks a validation suite runs beyond
+    single-column ranges (q51) and key orphans (q218). One
+    broadcast-joined scan, one conditional aggregate."""
+    li = read_table(spark, sf, "lineitem")
+    o = read_table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    gap = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    viol = F.sum(F.when(gap < 0, 1).otherwise(0)).cast("bigint")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        viol.alias("ship_before_order"),
+        F.sum(F.when(gap > 90, 1).otherwise(0)).cast("bigint").alias(
+            "ship_after_90d"
+        ),
+        F.max(gap).cast("int").alias("max_gap_days"),
+        F.min(gap).cast("int").alias("min_gap_days"),
+    )
+
+
+def _q_mix_shift(spark: SparkSession, sf: str) -> DataFrame:
+    """Composition mix-shift monitor: each month's order-priority
+    share vs the all-time share, summarized per month by total
+    variation distance (half the L1 gap) — the "did the traffic mix
+    change" screen that catches silent upstream re-weighting before
+    any volume alarm fires. Integer counts; shares and the TVD sum
+    accumulate through the decimal convention."""
+    o = read_table(spark, sf, "orders")
+    mp = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("m"),
+        "o_orderpriority",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wm = Window.partitionBy("m")
+    overall = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("no")
+    )
+    wall = Window.partitionBy()
+    ref = overall.select(
+        "o_orderpriority",
+        (
+            F.col("no").cast("double") / F.sum("no").over(wall).cast("double")
+        ).alias("ref_share"),
+    )
+    cells = mp.select(
+        "m",
+        "o_orderpriority",
+        (F.col("n").cast("double") / F.sum("n").over(wm).cast("double")).alias(
+            "share"
+        ),
+    ).join(F.broadcast(ref), "o_orderpriority")
+    return cells.groupBy("m").agg(
+        (_dsum(F.abs(F.col("share") - F.col("ref_share"))) / F.lit(2.0)).alias(
+            "tvd"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_priorities"),
+    )
+
+
+def _q_ljung_box(spark: SparkSession, sf: str) -> DataFrame:
+    """Ljung-Box portmanteau statistic per event type: Q = N(N+2)
+    sum_k r_k^2/(N-k) over lags 1-5 — "is there ANY autocorrelation
+    left", the residual-whiteness gate after a forecast fit. Reuses
+    the exact-moment ACF (q82's operator, decimal moments, fixed
+    epilogue); the final sum over the 5-lag frame accumulates through
+    decimal; N is the series length."""
+    from sensor_time_series_pyspark_spark.operators import acf
+
+    ev = read_table(spark, sf, "events")
+    r = acf(ev, ["event_type"], "ts", "value", max_lag=5)
+    ns = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("len"))
+    j = r.join(F.broadcast(ns), "event_type").where(F.col("acf").isNotNull())
+    term = (F.col("acf") * F.col("acf")) / (
+        F.col("len") - F.col("lag")
+    ).cast("double")
+    per = j.groupBy("event_type").agg(
+        F.max("len").alias("len"),
+        _dsum(term).alias("ssum"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lags"),
+    )
+    q = (
+        F.col("len").cast("double")
+        * (F.col("len") + 2).cast("double")
+        * F.col("ssum")
+    )
+    return per.select(
+        "event_type",
+        F.col("len").cast("bigint").alias("n_obs"),
+        "n_lags",
+        q.alias("ljung_box_q"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -7856,6 +7951,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q306_lang_confusion": _q_lang_confusion,
         "q307_detector_eval": _q_detector_eval,
         "q308_srm_check": _q_srm_check,
+        "q309_temporal_integrity": _q_temporal_integrity,
+        "q310_mix_shift": _q_mix_shift,
+        "q311_ljung_box": _q_ljung_box,
     }
 
 
@@ -14395,5 +14493,113 @@ def oracle_sql() -> dict[str, str]:
               / ((CASE WHEN split = 'train' THEN 0.8E0 ELSE 0.1E0 END)
                   * CAST(nt AS DOUBLE)) AS chi2_term
             FROM counts CROSS JOIN tot
+        """,
+        "q309_temporal_integrity": """
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(CASE WHEN date_diff('day', o_orderdate, l_shipdate)
+                < 0 THEN 1 ELSE 0 END) AS BIGINT) AS ship_before_order,
+              CAST(sum(CASE WHEN date_diff('day', o_orderdate, l_shipdate)
+                > 90 THEN 1 ELSE 0 END) AS BIGINT) AS ship_after_90d,
+              CAST(max(date_diff('day', o_orderdate, l_shipdate)) AS INT)
+                AS max_gap_days,
+              CAST(min(date_diff('day', o_orderdate, l_shipdate)) AS INT)
+                AS min_gap_days
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        """,
+        "q310_mix_shift": """
+            WITH mp AS (
+              SELECT date_trunc('month', o_orderdate) AS m,
+                o_orderpriority, CAST(count(*) AS BIGINT) AS n
+              FROM orders GROUP BY 1, 2
+            ),
+            overall AS (
+              SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS no
+              FROM orders GROUP BY 1
+            ),
+            ref AS (
+              SELECT o_orderpriority,
+                CAST(no AS DOUBLE) / CAST(sum(no) OVER () AS DOUBLE)
+                  AS ref_share
+              FROM overall
+            ),
+            cells AS (
+              SELECT m,
+                CAST(n AS DOUBLE)
+                  / CAST(sum(n) OVER (PARTITION BY m) AS DOUBLE) AS share,
+                ref_share
+              FROM mp JOIN ref USING (o_orderpriority)
+            )
+            SELECT m,
+              CAST(sum(CAST(abs(share - ref_share) AS DECIMAL(38,6)))
+                AS DOUBLE) / 2E0 AS tvd,
+              CAST(count(*) AS BIGINT) AS n_priorities
+            FROM cells GROUP BY m
+        """,
+        "q311_ljung_box": """
+            WITH lagged AS (
+              SELECT event_type, value AS x,
+                lead(value, 1) OVER w AS y1,
+                lead(value, 2) OVER w AS y2,
+                lead(value, 3) OVER w AS y3,
+                lead(value, 4) OVER w AS y4,
+                lead(value, 5) OVER w AS y5
+              FROM events
+              WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+            ),
+            pairs AS (
+              SELECT event_type, 1 AS lag, x, y1 AS y FROM lagged
+              UNION ALL SELECT event_type, 2, x, y2 FROM lagged
+              UNION ALL SELECT event_type, 3, x, y3 FROM lagged
+              UNION ALL SELECT event_type, 4, x, y4 FROM lagged
+              UNION ALL SELECT event_type, 5, x, y5 FROM lagged
+            ),
+            ints AS (
+              SELECT event_type, lag,
+                CAST(CAST(x AS DECIMAL(18,2)) * 100 AS DECIMAL(19,0)) AS xi,
+                CAST(CAST(y AS DECIMAL(18,2)) * 100 AS DECIMAL(19,0)) AS yi
+              FROM pairs WHERE x IS NOT NULL AND y IS NOT NULL
+            ),
+            s AS (
+              SELECT event_type, lag, count(*) AS n,
+                sum(CAST(xi AS DECIMAL(38,0))) AS sx,
+                sum(CAST(yi AS DECIMAL(38,0))) AS sy,
+                sum(CAST(xi * xi AS DECIMAL(38,0))) AS sxx,
+                sum(CAST(yi * yi AS DECIMAL(38,0))) AS syy,
+                sum(CAST(xi * yi AS DECIMAL(38,0))) AS sxy
+              FROM ints GROUP BY 1, 2
+            ),
+            e AS (
+              SELECT event_type, lag, n,
+                CAST(CAST(CAST(n AS DECIMAL(12,0)) * CAST(sxy AS DECIMAL(24,0)) AS DECIMAL(36,0))
+                     - CAST(CAST(sx AS DECIMAL(18,0)) * CAST(sy AS DECIMAL(18,0)) AS DECIMAL(36,0)) AS DOUBLE) AS cov_n,
+                CAST(CAST(CAST(n AS DECIMAL(12,0)) * CAST(sxx AS DECIMAL(24,0)) AS DECIMAL(36,0))
+                     - CAST(CAST(sx AS DECIMAL(18,0)) * CAST(sx AS DECIMAL(18,0)) AS DECIMAL(36,0)) AS DOUBLE) AS var_x,
+                CAST(CAST(CAST(n AS DECIMAL(12,0)) * CAST(syy AS DECIMAL(24,0)) AS DECIMAL(36,0))
+                     - CAST(CAST(sy AS DECIMAL(18,0)) * CAST(sy AS DECIMAL(18,0)) AS DECIMAL(36,0)) AS DOUBLE) AS var_y
+              FROM s
+            ),
+            r AS (
+              SELECT event_type, lag,
+                CASE WHEN sqrt(var_x) * sqrt(var_y) > 0
+                     THEN cov_n / (sqrt(var_x) * sqrt(var_y)) END AS acf
+              FROM e
+            ),
+            ns AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS len
+              FROM events GROUP BY event_type
+            ),
+            per AS (
+              SELECT r.event_type, max(len) AS len,
+                CAST(sum(CAST((acf * acf) / CAST(len - lag AS DOUBLE)
+                  AS DECIMAL(38,6))) AS DOUBLE) AS ssum,
+                CAST(count(*) AS BIGINT) AS n_lags
+              FROM r JOIN ns ON r.event_type = ns.event_type
+              WHERE acf IS NOT NULL
+              GROUP BY r.event_type
+            )
+            SELECT event_type, CAST(len AS BIGINT) AS n_obs, n_lags,
+              CAST(len AS DOUBLE) * CAST(len + 2 AS DOUBLE) * ssum
+                AS ljung_box_q
+            FROM per
         """,
     }
