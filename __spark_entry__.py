@@ -7640,6 +7640,120 @@ def _q_ljung_box(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_fd_discovery(spark: SparkSession, sf: str) -> DataFrame:
+    """Functional-dependency discovery over candidate column pairs of
+    orders: A -> B holds iff countDistinct(A) == countDistinct(A, B)
+    — the schema-inference primitive behind normalization advice and
+    join-key validation (profiling family, one distinct-aggregate per
+    pair over the same scan). Reports both counts and the verdict per
+    candidate pair."""
+    o = read_table(spark, sf, "orders")
+    pairs = [
+        ("o_orderkey", "o_custkey"),
+        ("o_orderkey", "o_orderstatus"),
+        ("o_custkey", "o_orderpriority"),
+        ("o_orderdate", "o_orderstatus"),
+    ]
+    aggs = []
+    for a, b in pairs:
+        aggs.append(F.count_distinct(F.col(a)).alias(f"__l_{a}_{b}"))
+        aggs.append(
+            F.count_distinct(F.col(a), F.col(b)).alias(f"__p_{a}_{b}")
+        )
+    wide = o.agg(*aggs)
+    rows = []
+    for a, b in pairs:
+        rows.append(
+            F.struct(
+                F.lit(a).alias("lhs"),
+                F.lit(b).alias("rhs"),
+                F.col(f"__l_{a}_{b}").alias("n_lhs"),
+                F.col(f"__p_{a}_{b}").alias("n_pair"),
+                (F.col(f"__l_{a}_{b}") == F.col(f"__p_{a}_{b}")).alias(
+                    "is_fd"
+                ),
+            )
+        )
+    return wide.select(F.explode(F.array(*rows)).alias("s")).select(
+        "s.lhs", "s.rhs", "s.n_lhs", "s.n_pair", "s.is_fd"
+    )
+
+
+def _q_order_inversions(spark: SparkSession, sf: str) -> DataFrame:
+    """Clock-skew detector: per user, the count of event pairs whose
+    event_id order disagrees with their timestamp order (Kendall-tau
+    distance between the two orderings) — nonzero inversions flag
+    out-of-order ingestion or device clock drift. The pair join is
+    per-user over the (id, ts) projection; PURE INTEGER counts. At
+    scale the same check runs per (user, day) shard — the pair frame
+    stays bounded by the shard size."""
+    ev = read_table(spark, sf, "events")
+    a = ev.select(
+        "user_id", F.col("event_id").alias("ia"), F.col("ts").alias("ta")
+    )
+    b = ev.select(
+        F.col("user_id").alias("u2"),
+        F.col("event_id").alias("ib"),
+        F.col("ts").alias("tb"),
+    )
+    pairs = a.join(
+        b, (F.col("user_id") == F.col("u2")) & (F.col("ia") < F.col("ib"))
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("ta") > F.col("tb"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("inversions"),
+        (
+            F.sum(F.when(F.col("ta") > F.col("tb"), 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count(F.lit(1)).cast("double")
+        ).alias("inversion_rate"),
+    )
+
+
+def _q_dataset_card(spark: SparkSession, sf: str) -> DataFrame:
+    """One-row corpus datasheet: the dataset-card numbers every
+    release ships — doc/token/char totals, vocabulary size, language
+    count, exact-duplicate rate, and mean doc length — assembled from
+    ONE token explode plus one doc-level aggregate (the same
+    reductions q17/q22/q250 use, composed into the release artifact).
+    Integer counts; two fixed final divisions."""
+    docs = read_table(spark, sf, "documents")
+    per_doc = docs.select(
+        "doc_id",
+        "lang",
+        token_count("text").alias("nt"),
+        F.length("text").alias("nc"),
+        F.md5(F.col("text")).alias("h"),
+    )
+    tok = docs.select(F.explode(tokens("text")).alias("t"))
+    vocab = tok.agg(F.count_distinct("t").alias("vocab"))
+    agg = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").alias("n_tokens"),
+        F.sum("nc").cast("bigint").alias("n_chars"),
+        F.count_distinct("lang").cast("bigint").alias("n_langs"),
+        F.count_distinct("h").alias("n_unique_texts"),
+    )
+    j = agg.crossJoin(F.broadcast(vocab))
+    return j.select(
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "n_langs",
+        "vocab",
+        (
+            (F.col("n_docs") - F.col("n_unique_texts")).cast("double")
+            / F.col("n_docs").cast("double")
+        ).alias("exact_dup_rate"),
+        (F.col("n_tokens").cast("double") / F.col("n_docs").cast("double")).alias(
+            "mean_doc_tokens"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -7954,6 +8068,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q309_temporal_integrity": _q_temporal_integrity,
         "q310_mix_shift": _q_mix_shift,
         "q311_ljung_box": _q_ljung_box,
+        "q312_fd_discovery": _q_fd_discovery,
+        "q313_order_inversions": _q_order_inversions,
+        "q314_dataset_card": _q_dataset_card,
     }
 
 
@@ -14601,5 +14718,78 @@ def oracle_sql() -> dict[str, str]:
               CAST(len AS DOUBLE) * CAST(len + 2 AS DOUBLE) * ssum
                 AS ljung_box_q
             FROM per
+        """,
+        "q312_fd_discovery": """
+            WITH wide AS (
+              SELECT
+                CAST(count(DISTINCT o_orderkey) AS BIGINT) AS l1,
+                CAST(count(DISTINCT (o_orderkey, o_custkey)) AS BIGINT)
+                  AS p1,
+                CAST(count(DISTINCT o_orderkey) AS BIGINT) AS l2,
+                CAST(count(DISTINCT (o_orderkey, o_orderstatus))
+                  AS BIGINT) AS p2,
+                CAST(count(DISTINCT o_custkey) AS BIGINT) AS l3,
+                CAST(count(DISTINCT (o_custkey, o_orderpriority))
+                  AS BIGINT) AS p3,
+                CAST(count(DISTINCT o_orderdate) AS BIGINT) AS l4,
+                CAST(count(DISTINCT (o_orderdate, o_orderstatus))
+                  AS BIGINT) AS p4
+              FROM orders
+            )
+            SELECT 'o_orderkey' AS lhs, 'o_custkey' AS rhs,
+              l1 AS n_lhs, p1 AS n_pair, l1 = p1 AS is_fd FROM wide
+            UNION ALL
+            SELECT 'o_orderkey', 'o_orderstatus', l2, p2, l2 = p2
+            FROM wide
+            UNION ALL
+            SELECT 'o_custkey', 'o_orderpriority', l3, p3, l3 = p3
+            FROM wide
+            UNION ALL
+            SELECT 'o_orderdate', 'o_orderstatus', l4, p4, l4 = p4
+            FROM wide
+        """,
+        "q313_order_inversions": """
+            SELECT a.user_id,
+              CAST(count(*) AS BIGINT) AS n_pairs,
+              CAST(sum(CASE WHEN a.ts > b.ts THEN 1 ELSE 0 END)
+                AS BIGINT) AS inversions,
+              CAST(sum(CASE WHEN a.ts > b.ts THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(count(*) AS DOUBLE) AS inversion_rate
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id AND a.event_id < b.event_id
+            GROUP BY a.user_id
+        """,
+        "q314_dataset_card": """
+            WITH per_doc AS (
+              SELECT doc_id, lang,
+                CAST(length(list_filter(
+                  string_split_regex(trim(text), '\\s+'), x -> x <> ''))
+                  AS BIGINT) AS nt,
+                CAST(length(text) AS BIGINT) AS nc,
+                md5(text) AS h
+              FROM documents
+            ),
+            vocab AS (
+              SELECT CAST(count(DISTINCT t) AS BIGINT) AS vocab FROM (
+                SELECT unnest(list_filter(
+                  string_split_regex(trim(text), '\\s+'), x -> x <> ''))
+                  AS t
+                FROM documents
+              )
+            ),
+            agg AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(nt) AS BIGINT) AS n_tokens,
+                CAST(sum(nc) AS BIGINT) AS n_chars,
+                CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                CAST(count(DISTINCT h) AS BIGINT) AS n_unique_texts
+              FROM per_doc
+            )
+            SELECT n_docs, n_tokens, n_chars, n_langs, vocab,
+              CAST(n_docs - n_unique_texts AS DOUBLE)
+                / CAST(n_docs AS DOUBLE) AS exact_dup_rate,
+              CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                AS mean_doc_tokens
+            FROM agg CROSS JOIN vocab
         """,
     }
