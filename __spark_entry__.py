@@ -7754,6 +7754,77 @@ def _q_dataset_card(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_zonemap_skipping(spark: SparkSession, sf: str) -> DataFrame:
+    """Zone-map (min-max statistics) skipping audit: per ship-day
+    partition, the min/max of l_extendedprice, and for a
+    price > 45000 predicate the count/fraction of partitions whose
+    max proves them skippable — the data-skipping effectiveness
+    report that decides whether a sort/Z-order rewrite pays for
+    itself (sources/maintenance.py:write_zordered is the rewrite;
+    this measures the win). One aggregate builds the zone maps; the
+    verdict is a map-side flag over the tiny partition frame."""
+    li = read_table(spark, sf, "lineitem")
+    zones = li.groupBy(F.to_date("l_shipdate").alias("d")).agg(
+        F.min("l_extendedprice").alias("zmin"),
+        F.max("l_extendedprice").alias("zmax"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    skippable = F.when(F.col("zmax") <= 45000.0, 1).otherwise(0)
+    return zones.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_partitions"),
+        F.sum(skippable).cast("bigint").alias("n_skippable"),
+        (
+            F.sum(skippable).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("skip_fraction"),
+        F.sum(F.when(skippable == 1, F.col("n_rows")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_skipped"),
+    )
+
+
+def _q_gains_table(spark: SparkSession, sf: str) -> DataFrame:
+    """Cumulative gains / decile lift table for the activity-predicts-
+    conversion score of q200: users ranked by activity (desc,
+    user_id tiebreak) into 10 equal-count bins; per decile the
+    conversion count, cumulative capture rate, and lift over the base
+    rate — the campaign-targeting companion to AUC (one number) that
+    shows WHERE the ranking earns its keep. ntile over the bounded
+    user frame; integer counts, fixed-order divisions."""
+    ev = read_table(spark, sf, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("activity"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    wrank = Window.orderBy(F.col("activity").desc(), F.col("user_id"))
+    binned = per_user.withColumn("decile", F.ntile(10).over(wrank))
+    per_dec = binned.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_conv"),
+    )
+    wall = Window.partitionBy()
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot_conv = F.sum("n_conv").over(wall)
+    tot_users = F.sum("n_users").over(wall)
+    base_rate = tot_conv.cast("double") / tot_users.cast("double")
+    return per_dec.select(
+        F.col("decile").cast("int").alias("decile"),
+        "n_users",
+        F.col("n_conv").cast("bigint").alias("n_conv"),
+        (F.sum("n_conv").over(wcum).cast("double") / tot_conv.cast("double")).alias(
+            "cum_capture"
+        ),
+        (
+            (F.col("n_conv").cast("double") / F.col("n_users").cast("double"))
+            / base_rate
+        ).alias("lift"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -8071,6 +8142,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q312_fd_discovery": _q_fd_discovery,
         "q313_order_inversions": _q_order_inversions,
         "q314_dataset_card": _q_dataset_card,
+        "q315_zonemap_skipping": _q_zonemap_skipping,
+        "q316_gains_table": _q_gains_table,
     }
 
 
@@ -14791,5 +14864,51 @@ def oracle_sql() -> dict[str, str]:
               CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)
                 AS mean_doc_tokens
             FROM agg CROSS JOIN vocab
+        """,
+        "q315_zonemap_skipping": """
+            WITH zones AS (
+              SELECT CAST(l_shipdate AS DATE) AS d,
+                min(l_extendedprice) AS zmin,
+                max(l_extendedprice) AS zmax,
+                CAST(count(*) AS BIGINT) AS n_rows
+              FROM lineitem GROUP BY 1
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_partitions,
+              CAST(sum(CASE WHEN zmax <= 45000.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_skippable,
+              CAST(sum(CASE WHEN zmax <= 45000.0 THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(count(*) AS DOUBLE) AS skip_fraction,
+              CAST(sum(CASE WHEN zmax <= 45000.0 THEN n_rows ELSE 0 END)
+                AS BIGINT) AS rows_skipped
+            FROM zones
+        """,
+        "q316_gains_table": """
+            WITH per_user AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS activity,
+                max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS converted
+              FROM events GROUP BY user_id
+            ),
+            binned AS (
+              SELECT user_id, converted,
+                ntile(10) OVER (ORDER BY activity DESC, user_id)
+                  AS decile
+              FROM per_user
+            ),
+            per_dec AS (
+              SELECT decile,
+                CAST(count(*) AS BIGINT) AS n_users,
+                CAST(sum(converted) AS BIGINT) AS n_conv
+              FROM binned GROUP BY decile
+            )
+            SELECT CAST(decile AS INT) AS decile, n_users, n_conv,
+              CAST(sum(n_conv) OVER (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / CAST(sum(n_conv) OVER () AS DOUBLE)
+                AS cum_capture,
+              (CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE))
+                / (CAST(sum(n_conv) OVER () AS DOUBLE)
+                  / CAST(sum(n_users) OVER () AS DOUBLE)) AS lift
+            FROM per_dec
         """,
     }
