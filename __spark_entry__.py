@@ -7825,6 +7825,76 @@ def _q_gains_table(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_delta_method(spark: SparkSession, sf: str) -> DataFrame:
+    """Delta-method standard error for the ratio metric value-per-
+    event, computed per event type over user-level (X_u = value sum,
+    Y_u = event count) pairs: var(X/Y) ~ (mx/my)^2 (vx/mx^2 + vy/my^2
+    - 2 cxy/(mx my)) / n — the experimentation-platform machinery for
+    ratio KPIs, where naive per-row variance is simply wrong. All
+    five moments (and the cross term) accumulate as exact decimals;
+    the epilogue is one fixed IEEE sequence."""
+    ev = read_table(spark, sf, "events").where(F.col("value").isNotNull())
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("x"),
+        F.count(F.lit(1)).alias("y"),
+    )
+    xi = (F.col("x") * 100).cast("decimal(19,0)")
+    yi = F.col("y").cast("decimal(19,0)")
+    d38 = "decimal(38,0)"
+    s = per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xi.cast(d38)).alias("sx"),
+        F.sum(yi.cast(d38)).alias("sy"),
+        F.sum((xi * xi).cast(d38)).alias("sxx"),
+        F.sum((yi * yi).cast(d38)).alias("syy"),
+        F.sum((xi * yi).cast(d38)).alias("sxy"),
+    )
+    nd = F.col("n").cast("decimal(12,0)")
+    nD = F.col("n").cast("double")
+    mx = F.col("sx").cast("double") / nD
+    my = F.col("sy").cast("double") / nD
+    vx = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double") / (
+        nD * nD
+    )
+    vy = (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double") / (
+        nD * nD
+    )
+    cxy = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / (
+        nD * nD
+    )
+    ratio = mx / my
+    rel_var = vx / (mx * mx) + vy / (my * my) - F.lit(2.0) * cxy / (mx * my)
+    se = F.sqrt((ratio * ratio) * rel_var / nD)
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_users"),
+        # scaled x100: ratio reported in original units by one division
+        (ratio / F.lit(100.0)).alias("ratio"),
+        (se / F.lit(100.0)).alias("se_delta"),
+    )
+
+
+def _q_winsorized_mean(spark: SparkSession, sf: str) -> DataFrame:
+    """Winsorized mean of value per event type: observations clamped
+    to the exact [p5, p95] percentiles before averaging — the robust
+    location estimate that keeps every row (unlike trimming) while
+    bounding tail influence. Percentiles interpolate over the same
+    sorted doubles in both engines (q60 guarantee); the clamped mean
+    uses the decimal-sum convention."""
+    ev = read_table(spark, sf, "events").where(F.col("value").isNotNull())
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("p5"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+    )
+    j = ev.join(F.broadcast(bounds), "event_type")
+    clamped = F.least(F.greatest(F.col("value"), F.col("p5")), F.col("p95"))
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        _davg(F.col("value")).alias("raw_mean"),
+        _davg(clamped).alias("winsorized_mean"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -8144,6 +8214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q314_dataset_card": _q_dataset_card,
         "q315_zonemap_skipping": _q_zonemap_skipping,
         "q316_gains_table": _q_gains_table,
+        "q317_delta_method": _q_delta_method,
+        "q318_winsorized_mean": _q_winsorized_mean,
     }
 
 
@@ -14911,4 +14983,66 @@ def oracle_sql() -> dict[str, str]:
                   / CAST(sum(n_users) OVER () AS DOUBLE)) AS lift
             FROM per_dec
         """,
+        "q317_delta_method": """
+            WITH per_user AS (
+              SELECT event_type, user_id,
+                sum(CAST(value AS DECIMAL(18,2))) AS x,
+                count(*) AS y
+              FROM events WHERE value IS NOT NULL
+              GROUP BY 1, 2
+            ),
+            ints AS (
+              SELECT event_type,
+                CAST(x * 100 AS DECIMAL(19,0)) AS xi,
+                CAST(y AS DECIMAL(19,0)) AS yi
+              FROM per_user
+            ),
+            s AS (
+              SELECT event_type, count(*) AS n,
+                sum(CAST(xi AS DECIMAL(38,0))) AS sx,
+                sum(CAST(yi AS DECIMAL(38,0))) AS sy,
+                sum(CAST(xi * xi AS DECIMAL(38,0))) AS sxx,
+                sum(CAST(yi * yi AS DECIMAL(38,0))) AS syy,
+                sum(CAST(xi * yi AS DECIMAL(38,0))) AS sxy
+              FROM ints GROUP BY event_type
+            ),
+            e AS (
+              SELECT event_type, n,
+                CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+                CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my,
+                CAST(CAST(n AS DECIMAL(12,0)) * sxx - sx * sx AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS vx,
+                CAST(CAST(n AS DECIMAL(12,0)) * syy - sy * sy AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS vy,
+                CAST(CAST(n AS DECIMAL(12,0)) * sxy - sx * sy AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS cxy
+              FROM s
+            )
+            SELECT event_type, CAST(n AS BIGINT) AS n_users,
+              (mx / my) / 100E0 AS ratio,
+              sqrt(((mx / my) * (mx / my))
+                * (vx / (mx * mx) + vy / (my * my)
+                   - 2E0 * cxy / (mx * my))
+                / CAST(n AS DOUBLE)) / 100E0 AS se_delta
+            FROM e
+        """,
+        "q318_winsorized_mean": """
+            WITH bounds AS (
+              SELECT event_type,
+                quantile_cont(value, 0.05) AS p5,
+                quantile_cont(value, 0.95) AS p95
+              FROM events WHERE value IS NOT NULL
+              GROUP BY event_type
+            )
+            SELECT e.event_type,
+              CAST(count(*) AS BIGINT) AS n,
+              {raw} AS raw_mean,
+              CAST(sum(CAST(least(greatest(value, p5), p95)
+                AS DECIMAL(38,6))) AS DOUBLE)
+                / count(least(greatest(value, p5), p95))
+                AS winsorized_mean
+            FROM events e JOIN bounds b ON e.event_type = b.event_type
+            WHERE value IS NOT NULL
+            GROUP BY e.event_type
+        """.format(raw=_davg_sql("value")),
     }
