@@ -7895,6 +7895,65 @@ def _q_winsorized_mean(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_tail_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Tail attribution: which event types drive the global p99 of
+    value — rows above the exact 99th percentile counted and
+    mass-weighted per type, with each type's share of the tail vs its
+    share of the body — the "who owns the tail latency" question
+    asked of any SLO. One exact percentile over the fact, one
+    broadcast threshold, one conditional aggregate."""
+    ev = read_table(spark, sf, "events").where(F.col("value").isNotNull())
+    thr = ev.agg(F.percentile("value", F.lit(0.99)).alias("p99"))
+    j = ev.crossJoin(F.broadcast(thr))
+    tail = F.when(F.col("value") > F.col("p99"), 1).otherwise(0)
+    per_type = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(tail).cast("bigint").alias("n_tail"),
+        F.max("p99").alias("p99"),
+    )
+    wall = Window.partitionBy()
+    return per_type.select(
+        "event_type",
+        "n",
+        "n_tail",
+        "p99",
+        (
+            F.col("n_tail").cast("double")
+            / F.sum("n_tail").over(wall).cast("double")
+        ).alias("tail_share"),
+        (F.col("n").cast("double") / F.sum("n").over(wall).cast("double")).alias(
+            "body_share"
+        ),
+    )
+
+
+def _q_log2_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """HDR-style log2 histogram of interarrival gaps per event type:
+    bucket = floor(log2(gap_seconds)), computed EXACTLY as the length
+    of the integer's binary representation minus one (no libm log2 —
+    boundary values like 4096 land in the right bucket on every
+    engine). The constant-relative-error latency histogram that
+    fixed-width bins (q76) can't provide across 6 decades. Gaps of 0
+    land in bucket 0; one window lag + one hash aggregate."""
+    ev = read_table(spark, sf, "events")
+    wlag = Window.partitionBy("event_type", "user_id").orderBy(
+        "ts", "event_id"
+    )
+    g = (
+        F.col("ts").cast("long")
+        - F.lag(F.col("ts").cast("long")).over(wlag)
+    )
+    gaps = ev.select("event_type", g.alias("g")).where(
+        F.col("g").isNotNull()
+    )
+    bucket = F.when(F.col("g") <= 0, 0).otherwise(
+        F.length(F.bin(F.col("g"))) - 1
+    )
+    return gaps.groupBy(
+        "event_type", bucket.cast("int").alias("log2_bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -8216,6 +8275,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q316_gains_table": _q_gains_table,
         "q317_delta_method": _q_delta_method,
         "q318_winsorized_mean": _q_winsorized_mean,
+        "q319_tail_attribution": _q_tail_attribution,
+        "q320_log2_histogram": _q_log2_histogram,
     }
 
 
@@ -15045,4 +15106,43 @@ def oracle_sql() -> dict[str, str]:
             WHERE value IS NOT NULL
             GROUP BY e.event_type
         """.format(raw=_davg_sql("value")),
+        "q319_tail_attribution": """
+            WITH thr AS (
+              SELECT quantile_cont(value, 0.99) AS p99
+              FROM events WHERE value IS NOT NULL
+            ),
+            per_type AS (
+              SELECT event_type,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN value > p99 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_tail,
+                max(p99) AS p99
+              FROM events CROSS JOIN thr
+              WHERE value IS NOT NULL
+              GROUP BY event_type
+            )
+            SELECT event_type, n, n_tail, p99,
+              CAST(n_tail AS DOUBLE)
+                / CAST(sum(n_tail) OVER () AS DOUBLE) AS tail_share,
+              CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE)
+                AS body_share
+            FROM per_type
+        """,
+        "q320_log2_histogram": """
+            WITH gaps AS (
+              SELECT event_type,
+                CAST(floor(epoch(ts)) AS BIGINT)
+                  - CAST(floor(epoch(lag(ts) OVER (
+                      PARTITION BY event_type, user_id
+                      ORDER BY ts, event_id))) AS BIGINT) AS g
+              FROM events
+            )
+            SELECT event_type,
+              CAST(CASE WHEN g <= 0 THEN 0
+                ELSE length(printf('%b', g)) - 1 END AS INT)
+                AS log2_bucket,
+              CAST(count(*) AS BIGINT) AS n
+            FROM gaps WHERE g IS NOT NULL
+            GROUP BY 1, 2
+        """,
     }

@@ -99,7 +99,8 @@ def test_no_accidental_cartesian_products(spark):
              "q286_decayed_popularity", "q288_retrieval_scoring",
              "q289_hoover_index", "q295_join_size_estimate",
              "q299_m_estimate_encoding", "q303_clustering_coeff",
-             "q308_srm_check", "q314_dataset_card"}
+             "q308_srm_check", "q314_dataset_card",
+             "q319_tail_attribution"}
     # group-cardinality pair frames (event types: 5x5) and the
     # label-cardinality centroid broadcast (like q157)
     SKIP |= {"q279_mann_whitney", "q280_effect_size",
