@@ -7954,6 +7954,122 @@ def _q_log2_histogram(spark: SparkSession, sf: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n"))
 
 
+def _q_periodicity_detector(spark: SparkSession, sf: str) -> DataFrame:
+    """Scheduled-job / cron-bot detector: each user's MODAL
+    interarrival gap (rounded to the minute) and the share of gaps
+    hitting it — humans spread across gaps, schedulers concentrate
+    (share near 1 at a fixed period). Integer minute gaps, one
+    aggregate to (user, gap) counts, one deterministic-tiebreak
+    row_number over that tiny frame. Users with < 5 gaps excluded."""
+    ev = read_table(spark, sf, "events")
+    wlag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = (
+        F.col("ts").cast("long")
+        - F.lag(F.col("ts").cast("long")).over(wlag)
+    )
+    gaps = ev.select(
+        "user_id", F.floor(g / 60).cast("bigint").alias("gap_min")
+    ).where(F.col("gap_min").isNotNull())
+    per_gap = gaps.groupBy("user_id", "gap_min").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wtot = Window.partitionBy("user_id")
+    wrk = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), F.col("gap_min")
+    )
+    ranked = per_gap.withColumn("total", F.sum("n").over(wtot)).withColumn(
+        "rk", F.row_number().over(wrk)
+    )
+    return (
+        ranked.where((F.col("rk") == 1) & (F.col("total") >= 5))
+        .select(
+            "user_id",
+            F.col("gap_min").alias("modal_gap_min"),
+            F.col("n").cast("bigint").alias("n_at_mode"),
+            F.col("total").cast("bigint").alias("n_gaps"),
+            (F.col("n").cast("double") / F.col("total").cast("double")).alias(
+                "mode_share"
+            ),
+        )
+    )
+
+
+def _q_rle_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """Run-length-encoding compressibility estimate per column of the
+    sorted event stream: rows over value-change runs (lag != current)
+    for event_type and user_id under (ts, event_id) order — the
+    layout witness that predicts parquet RLE/dictionary win and
+    whether a sort-before-write pays (sources/maintenance.py:
+    write_sorted is the rewrite; this measures the prize). One window
+    pass computes both columns' run starts."""
+    ev = read_table(spark, sf, "events")
+    w = Window.orderBy("ts", "event_id")
+    runs = ev.select(
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        ).otherwise(0).alias("rt"),
+        F.when(
+            F.lag("user_id").over(w).isNull()
+            | (F.lag("user_id").over(w) != F.col("user_id")),
+            1,
+        ).otherwise(0).alias("ru"),
+    )
+    agg = runs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("rt").cast("bigint").alias("runs_event_type"),
+        F.sum("ru").cast("bigint").alias("runs_user_id"),
+    )
+    return agg.select(
+        "n_rows",
+        "runs_event_type",
+        "runs_user_id",
+        (
+            F.col("n_rows").cast("double")
+            / F.col("runs_event_type").cast("double")
+        ).alias("rle_ratio_event_type"),
+        (
+            F.col("n_rows").cast("double")
+            / F.col("runs_user_id").cast("double")
+        ).alias("rle_ratio_user_id"),
+    )
+
+
+def _q_hellinger_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Hellinger distance between the first- and second-half event-
+    type distributions: H^2 = 1 - sum sqrt(p_i * q_i) — the bounded
+    [0,1] distribution distance that needs only sqrt (IEEE correctly
+    rounded; no log, unlike KL/PSI). Counts integer; each
+    sqrt(p*q) term is a fixed double sequence; the 5-term sum
+    accumulates through decimal. Complements TVD (q81: overlap mass)
+    and EMD (q270: transport cost) with the geometric view."""
+    ev = read_table(spark, sf, "events")
+    half = F.when(F.col("ts") < F.lit("2024-01-16"), "a").otherwise("b")
+    counts = ev.groupBy("event_type", half.alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wtot = Window.partitionBy("h")
+    shares = counts.select(
+        "event_type",
+        "h",
+        (F.col("n").cast("double") / F.sum("n").over(wtot).cast("double")).alias(
+            "p"
+        ),
+    )
+    grid = (
+        shares.groupBy("event_type")
+        .pivot("h", ["a", "b"])
+        .agg(F.first("p"))
+        .na.fill({"a": 0.0, "b": 0.0})
+    )
+    term = F.sqrt(F.col("a") * F.col("b"))
+    return grid.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_categories"),
+        (F.lit(1.0) - _dsum(term)).alias("hellinger_sq"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -8277,6 +8393,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q318_winsorized_mean": _q_winsorized_mean,
         "q319_tail_attribution": _q_tail_attribution,
         "q320_log2_histogram": _q_log2_histogram,
+        "q321_periodicity_detector": _q_periodicity_detector,
+        "q322_rle_estimate": _q_rle_estimate,
+        "q323_hellinger_drift": _q_hellinger_drift,
     }
 
 
@@ -15144,5 +15263,82 @@ def oracle_sql() -> dict[str, str]:
               CAST(count(*) AS BIGINT) AS n
             FROM gaps WHERE g IS NOT NULL
             GROUP BY 1, 2
+        """,
+        "q321_periodicity_detector": """
+            WITH gaps AS (
+              SELECT user_id,
+                CAST(floor((CAST(floor(epoch(ts)) AS BIGINT)
+                  - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id))) AS BIGINT)) / 60)
+                  AS BIGINT) AS gap_min
+              FROM events
+            ),
+            per_gap AS (
+              SELECT user_id, gap_min, CAST(count(*) AS BIGINT) AS n
+              FROM gaps WHERE gap_min IS NOT NULL
+              GROUP BY 1, 2
+            ),
+            ranked AS (
+              SELECT user_id, gap_min, n,
+                CAST(sum(n) OVER (PARTITION BY user_id) AS BIGINT)
+                  AS total,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY n DESC, gap_min) AS rk
+              FROM per_gap
+            )
+            SELECT user_id, gap_min AS modal_gap_min, n AS n_at_mode,
+              total AS n_gaps,
+              CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS mode_share
+            FROM ranked WHERE rk = 1 AND total >= 5
+        """,
+        "q322_rle_estimate": """
+            WITH runs AS (
+              SELECT
+                CASE WHEN lag(event_type) OVER w IS NULL
+                  OR lag(event_type) OVER w <> event_type
+                THEN 1 ELSE 0 END AS rt,
+                CASE WHEN lag(user_id) OVER w IS NULL
+                  OR lag(user_id) OVER w <> user_id
+                THEN 1 ELSE 0 END AS ru
+              FROM events
+              WINDOW w AS (ORDER BY ts, event_id)
+            ),
+            agg AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(rt) AS BIGINT) AS runs_event_type,
+                CAST(sum(ru) AS BIGINT) AS runs_user_id
+              FROM runs
+            )
+            SELECT n_rows, runs_event_type, runs_user_id,
+              CAST(n_rows AS DOUBLE) / CAST(runs_event_type AS DOUBLE)
+                AS rle_ratio_event_type,
+              CAST(n_rows AS DOUBLE) / CAST(runs_user_id AS DOUBLE)
+                AS rle_ratio_user_id
+            FROM agg
+        """,
+        "q323_hellinger_drift": """
+            WITH counts AS (
+              SELECT event_type,
+                CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'a'
+                     ELSE 'b' END AS h,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            shares AS (
+              SELECT event_type, h,
+                CAST(n AS DOUBLE)
+                  / CAST(sum(n) OVER (PARTITION BY h) AS DOUBLE) AS p
+              FROM counts
+            ),
+            grid AS (
+              SELECT event_type,
+                coalesce(sum(CASE WHEN h = 'a' THEN p END), 0E0) AS pa,
+                coalesce(sum(CASE WHEN h = 'b' THEN p END), 0E0) AS pb
+              FROM shares GROUP BY event_type
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_categories,
+              1E0 - CAST(sum(CAST(sqrt(pa * pb) AS DECIMAL(38,6)))
+                AS DOUBLE) AS hellinger_sq
+            FROM grid
         """,
     }
