@@ -312,3 +312,51 @@ def test_daily_mode_deterministic_tiebreak(spark):
         .collect()
     )
     assert top[0]["et"] == "a"  # tie on n=1 broken lexicographically
+
+
+# --- incremental join-view maintenance -------------------------------------
+
+def test_delta_join_identity_matches_full_recompute(spark):
+    from sensor_time_series_pyspark_spark.plans import delta_join_rows
+
+    a_old = spark.createDataFrame(
+        [(1, "a1"), (2, "a2"), (3, "a3")], ["k", "va"]
+    )
+    b_old = spark.createDataFrame(
+        [(1, "b1"), (2, "b2"), (2, "b2x")], ["k", "vb"]
+    )
+    da = spark.createDataFrame([(2, "a2new"), (4, "a4")], ["k", "va"])
+    db = spark.createDataFrame([(3, "b3"), (4, "b4")], ["k", "vb"])
+    old_view = a_old.join(b_old, ["k"])
+    new_rows = delta_join_rows(a_old, b_old, da, db, ["k"])
+    got = sorted(
+        tuple(r) for r in old_view.unionByName(new_rows).collect()
+    )
+    full = sorted(
+        tuple(r)
+        for r in a_old.unionByName(da)
+        .join(b_old.unionByName(db), ["k"])
+        .collect()
+    )
+    assert got == full
+
+
+def test_refresh_join_view_composes_across_batches(spark, tmp_path):
+    from sensor_time_series_pyspark_spark.plans import refresh_join_view
+
+    store = str(tmp_path / "jv")
+    a1 = spark.createDataFrame([(1, "a1"), (2, "a2")], ["k", "va"])
+    b1 = spark.createDataFrame([(1, "b1")], ["k", "vb"])
+    r1 = refresh_join_view(spark, store, a1, b1, ["k"])
+    assert r1["view_rows_total"] == 1  # only k=1 matches
+
+    a2 = spark.createDataFrame([(3, "a3")], ["k", "va"])
+    b2 = spark.createDataFrame([(2, "b2"), (3, "b3")], ["k", "vb"])
+    r2 = refresh_join_view(spark, store, a2, b2, ["k"])
+    # full recompute ground truth: A={1,2,3}, B={1,2,3} -> 3 rows
+    assert r2["view_rows_total"] == 3
+    got = sorted(
+        (r["k"], r["va"], r["vb"])
+        for r in spark.read.parquet(store + "/view").collect()
+    )
+    assert got == [(1, "a1", "b1"), (2, "a2", "b2"), (3, "a3", "b3")]
