@@ -8070,6 +8070,100 @@ def _q_hellinger_drift(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_grubbs(spark: SparkSession, sf: str) -> DataFrame:
+    """Grubbs' test statistic per event type: G = max|x - mean| / sd
+    with the offending day identified (worst |z|, earliest-day
+    tiebreak) — the single-outlier screen on the daily count series
+    that reports WHICH point to investigate, where q261's charts
+    report which rule fired. Mean/sd from exact integer whole-series
+    moments; one sqrt, one division, one argmax window."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wall = Window.partitionBy("event_type")
+    k = F.count(F.lit(1)).over(wall)
+    s1 = F.sum("n").over(wall)
+    s2 = F.sum(F.col("n") * F.col("n")).over(wall)
+    mean = s1.cast("double") / k.cast("double")
+    sd = F.sqrt((k * s2 - s1 * s1).cast("double")) / k.cast("double")
+    scored = daily.select(
+        "event_type",
+        "d",
+        "n",
+        (F.abs(F.col("n").cast("double") - mean) / sd).alias("g"),
+        k.cast("bigint").alias("n_days"),
+    )
+    wbest = Window.partitionBy("event_type").orderBy(
+        F.col("g").desc(), F.col("d")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(wbest))
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            "n_days",
+            F.col("d").alias("outlier_day"),
+            F.col("n").alias("outlier_n"),
+            F.col("g").alias("grubbs_g"),
+        )
+    )
+
+
+def _q_runs_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Wald-Wolfowitz runs test per event type on the daily count
+    series: the count of runs above/below the series MEDIAN vs the
+    expectation 1 + 2*n1*n2/(n1+n2) — too few runs = trend/clumping,
+    too many = oscillation; the classic randomness screen. Median is
+    the exact percentile; signs, run starts (lag), and n1/n2 are pure
+    integers; the expectation and z use a fixed sqrt epilogue.
+    Median-equal days are excluded (standard convention)."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wmed = Window.partitionBy("event_type")
+    med = F.median("n").over(wmed)
+    signed = daily.select(
+        "event_type",
+        "d",
+        F.when(F.col("n").cast("double") > med, 1)
+        .when(F.col("n").cast("double") < med, -1)
+        .otherwise(0)
+        .alias("s"),
+    ).where(F.col("s") != 0)
+    wt = Window.partitionBy("event_type").orderBy("d")
+    runs = signed.select(
+        "event_type",
+        "s",
+        F.when(
+            F.lag("s").over(wt).isNull() | (F.lag("s").over(wt) != F.col("s")),
+            1,
+        ).otherwise(0).alias("new_run"),
+    )
+    agg = runs.groupBy("event_type").agg(
+        F.sum("new_run").cast("bigint").alias("n_runs"),
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0)).alias("n2"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    tot = n1d + n2d
+    exp_runs = F.lit(1.0) + F.lit(2.0) * n1d * n2d / tot
+    var_runs = (
+        F.lit(2.0) * n1d * n2d * (F.lit(2.0) * n1d * n2d - tot)
+    ) / (tot * tot * (tot - F.lit(1.0)))
+    z = (F.col("n_runs").cast("double") - exp_runs) / F.sqrt(var_runs)
+    return agg.select(
+        "event_type",
+        "n_runs",
+        F.col("n1").cast("bigint").alias("n_above"),
+        F.col("n2").cast("bigint").alias("n_below"),
+        exp_runs.alias("expected_runs"),
+        z.alias("z"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -8396,6 +8490,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q321_periodicity_detector": _q_periodicity_detector,
         "q322_rle_estimate": _q_rle_estimate,
         "q323_hellinger_drift": _q_hellinger_drift,
+        "q324_grubbs": _q_grubbs,
+        "q325_runs_test": _q_runs_test,
     }
 
 
@@ -15340,5 +15436,80 @@ def oracle_sql() -> dict[str, str]:
               1E0 - CAST(sum(CAST(sqrt(pa * pb) AS DECIMAL(38,6)))
                 AS DOUBLE) AS hellinger_sq
             FROM grid
+        """,
+        "q324_grubbs": """
+            WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS d,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            scored AS (
+              SELECT event_type, d, n,
+                abs(CAST(n AS DOUBLE)
+                  - CAST(sum(n) OVER wall AS DOUBLE)
+                    / CAST(count(*) OVER wall AS DOUBLE))
+                / (sqrt(CAST(count(*) OVER wall * sum(n * n) OVER wall
+                    - sum(n) OVER wall * sum(n) OVER wall AS DOUBLE))
+                  / CAST(count(*) OVER wall AS DOUBLE)) AS g,
+                CAST(count(*) OVER wall AS BIGINT) AS n_days
+              FROM daily
+              WINDOW wall AS (PARTITION BY event_type)
+            )
+            SELECT event_type, n_days, d AS outlier_day,
+              n AS outlier_n, g AS grubbs_g
+            FROM (
+              SELECT event_type, n_days, d, n, g,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY g DESC, d) AS rk
+              FROM scored
+            ) WHERE rk = 1
+        """,
+        "q325_runs_test": """
+            WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS d,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            signed AS (
+              SELECT event_type, d,
+                CASE WHEN CAST(n AS DOUBLE) > quantile_cont(n, 0.5)
+                    OVER (PARTITION BY event_type) THEN 1
+                  WHEN CAST(n AS DOUBLE) < quantile_cont(n, 0.5)
+                    OVER (PARTITION BY event_type) THEN -1
+                  ELSE 0 END AS s
+              FROM daily
+            ),
+            runs AS (
+              SELECT event_type, s,
+                CASE WHEN lag(s) OVER wt IS NULL
+                  OR lag(s) OVER wt <> s THEN 1 ELSE 0 END AS new_run
+              FROM signed WHERE s <> 0
+              WINDOW wt AS (PARTITION BY event_type ORDER BY d)
+            ),
+            agg AS (
+              SELECT event_type,
+                CAST(sum(new_run) AS BIGINT) AS n_runs,
+                CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n1,
+                CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n2
+              FROM runs GROUP BY event_type
+            )
+            SELECT event_type, n_runs,
+              n1 AS n_above, n2 AS n_below,
+              1E0 + 2E0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                AS expected_runs,
+              (CAST(n_runs AS DOUBLE)
+                - (1E0 + 2E0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                  / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))))
+              / sqrt((2E0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                  * (2E0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                    - (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))))
+                / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                  * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                  * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1E0)))
+                AS z
+            FROM agg
         """,
     }
