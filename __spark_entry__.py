@@ -8164,6 +8164,114 @@ def _q_runs_test(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_kendall_tau(spark: SparkSession, sf: str) -> DataFrame:
+    """Kendall tau-b between per-user activity (event count) and
+    engagement value (value sum, scaled integer) — the third
+    correlation family next to Pearson (q75) and Spearman (q117):
+    concordant/discordant PAIR COUNTS with full tie correction, all
+    integers until the final sqrt epilogue
+    tau_b = (C - D) / sqrt((n0 - tx)(n0 - ty)). The pair join runs
+    over the per-user reduction (150 rows at sf0.01), never raw
+    events; at scale the O(n^2) pair frame is replaced by the
+    merge-sort inversion count per stratum (documented contract)."""
+    ev = read_table(spark, sf, "events").where(F.col("value").isNotNull())
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("x"),
+        F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("decimal(38,0)"))
+        .alias("y"),
+    )
+    a = per_user.select(
+        F.col("user_id").alias("ua"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = per_user.select(
+        F.col("user_id").alias("ub"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    pairs = a.join(b, F.col("ua") < F.col("ub"))
+    sgn = lambda p, q: F.when(p > q, 1).when(p < q, -1).otherwise(0)  # noqa: E731
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(
+            F.when(
+                sgn(F.col("xa"), F.col("xb")) * sgn(F.col("ya"), F.col("yb"))
+                == 1,
+                1,
+            ).otherwise(0)
+        ).alias("c"),
+        F.sum(
+            F.when(
+                sgn(F.col("xa"), F.col("xb")) * sgn(F.col("ya"), F.col("yb"))
+                == -1,
+                1,
+            ).otherwise(0)
+        ).alias("dd"),
+        F.sum(F.when(F.col("xa") == F.col("xb"), 1).otherwise(0)).alias("tx"),
+        F.sum(F.when(F.col("ya") == F.col("yb"), 1).otherwise(0)).alias("ty"),
+    )
+    tau = (F.col("c") - F.col("dd")).cast("double") / F.sqrt(
+        (F.col("n0") - F.col("tx")).cast("double")
+        * (F.col("n0") - F.col("ty")).cast("double")
+    )
+    return agg.select(
+        F.col("n0").cast("bigint").alias("n_pairs"),
+        F.col("c").cast("bigint").alias("concordant"),
+        F.col("dd").cast("bigint").alias("discordant"),
+        F.col("tx").cast("bigint").alias("ties_x"),
+        F.col("ty").cast("bigint").alias("ties_y"),
+        tau.alias("tau_b"),
+    )
+
+
+def _q_cramers_v(spark: SparkSession, sf: str) -> DataFrame:
+    """Cramer's V association between event type and the json k-prop
+    parity (a 5x2 contingency): V = sqrt(chi2 / (N * min(r-1, c-1)))
+    — the bounded [0,1] summary q118's per-cell chi-square
+    contributions roll up to. Observed/expected from pure integer
+    counts; each cell term and the final sqrt are fixed double
+    sequences accumulated through decimal."""
+    ev = read_table(spark, sf, "events")
+    parity = (
+        F.get_json_object(F.col("props"), "$.k").cast("int") % 2
+    ).alias("kp")
+    cells = ev.select("event_type", parity).groupBy("event_type", "kp").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("kp")
+    wall = Window.partitionBy()
+    r = F.sum("o").over(wr)
+    c = F.sum("o").over(wc)
+    n = F.sum("o").over(wall)
+    # exact-integer chi2 numerator per cell: (n*o - r*c)^2 / (n*r*c)
+    num = (n * F.col("o") - r * c).cast("double")
+    den = (n * r * c).cast("double")
+    terms = cells.select(
+        (num * num / den).alias("t"),
+        n.cast("bigint").alias("nn"),
+        F.col("event_type"),
+        F.col("kp"),
+    )
+    agg = terms.agg(
+        _dsum(F.col("t")).alias("chi2"),
+        F.max("nn").alias("nn"),
+        F.count_distinct("event_type").alias("r"),
+        F.count_distinct("kp").alias("c"),
+    )
+    v = F.sqrt(
+        F.col("chi2")
+        / (
+            F.col("nn").cast("double")
+            * F.least(F.col("r") - 1, F.col("c") - 1).cast("double")
+        )
+    )
+    return agg.select(
+        F.col("nn").cast("bigint").alias("n_rows"),
+        F.col("r").cast("bigint").alias("n_rows_dim"),
+        F.col("c").cast("bigint").alias("n_cols_dim"),
+        F.col("chi2").alias("chi2"),
+        v.alias("cramers_v"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -8492,6 +8600,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q323_hellinger_drift": _q_hellinger_drift,
         "q324_grubbs": _q_grubbs,
         "q325_runs_test": _q_runs_test,
+        "q326_kendall_tau": _q_kendall_tau,
+        "q327_cramers_v": _q_cramers_v,
     }
 
 
@@ -15510,6 +15620,76 @@ def oracle_sql() -> dict[str, str]:
                   * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
                   * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1E0)))
                 AS z
+            FROM agg
+        """,
+        "q326_kendall_tau": """
+            WITH per_user AS (
+              SELECT user_id,
+                CAST(count(*) AS BIGINT) AS x,
+                CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                  AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS y
+              FROM events WHERE value IS NOT NULL
+              GROUP BY user_id
+            ),
+            pairs AS (
+              SELECT
+                CASE WHEN a.x > b.x THEN 1 WHEN a.x < b.x THEN -1
+                  ELSE 0 END
+                * CASE WHEN a.y > b.y THEN 1 WHEN a.y < b.y THEN -1
+                  ELSE 0 END AS sg,
+                CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tiex,
+                CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS tiey
+              FROM per_user a JOIN per_user b ON a.user_id < b.user_id
+            ),
+            agg AS (
+              SELECT CAST(count(*) AS BIGINT) AS n0,
+                CAST(sum(CASE WHEN sg = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS c,
+                CAST(sum(CASE WHEN sg = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS dd,
+                CAST(sum(tiex) AS BIGINT) AS tx,
+                CAST(sum(tiey) AS BIGINT) AS ty
+              FROM pairs
+            )
+            SELECT n0 AS n_pairs, c AS concordant, dd AS discordant,
+              tx AS ties_x, ty AS ties_y,
+              CAST(c - dd AS DOUBLE)
+                / sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE))
+                AS tau_b
+            FROM agg
+        """,
+        "q327_cramers_v": """
+            WITH cells AS (
+              SELECT event_type,
+                CAST(json_extract_string(props, '$.k') AS INT) % 2 AS kp,
+                CAST(count(*) AS BIGINT) AS o
+              FROM events GROUP BY 1, 2
+            ),
+            terms AS (
+              SELECT event_type, kp,
+                CAST(sum(o) OVER () * o
+                  - sum(o) OVER (PARTITION BY event_type)
+                    * sum(o) OVER (PARTITION BY kp) AS DOUBLE)
+                * CAST(sum(o) OVER () * o
+                  - sum(o) OVER (PARTITION BY event_type)
+                    * sum(o) OVER (PARTITION BY kp) AS DOUBLE)
+                / CAST(sum(o) OVER ()
+                  * sum(o) OVER (PARTITION BY event_type)
+                  * sum(o) OVER (PARTITION BY kp) AS DOUBLE) AS t,
+                CAST(sum(o) OVER () AS BIGINT) AS nn
+              FROM cells
+            ),
+            agg AS (
+              SELECT
+                CAST(sum(CAST(t AS DECIMAL(38,6))) AS DOUBLE) AS chi2,
+                CAST(max(nn) AS BIGINT) AS nn,
+                CAST(count(DISTINCT event_type) AS BIGINT) AS r,
+                CAST(count(DISTINCT kp) AS BIGINT) AS c
+              FROM terms
+            )
+            SELECT nn AS n_rows, r AS n_rows_dim, c AS n_cols_dim, chi2,
+              sqrt(chi2 / (CAST(nn AS DOUBLE)
+                * CAST(least(r - 1, c - 1) AS DOUBLE))) AS cramers_v
             FROM agg
         """,
     }

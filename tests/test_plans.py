@@ -101,6 +101,10 @@ def test_no_accidental_cartesian_products(spark):
              "q299_m_estimate_encoding", "q303_clustering_coeff",
              "q308_srm_check", "q314_dataset_card",
              "q319_tail_attribution"}
+    # declared pair-count formulation over the bounded per-user
+    # reduction (tie-corrected Kendall; merge-sort inversion count is
+    # the documented scale path)
+    SKIP |= {"q326_kendall_tau"}
     # group-cardinality pair frames (event types: 5x5) and the
     # label-cardinality centroid broadcast (like q157)
     SKIP |= {"q279_mann_whitney", "q280_effect_size",
