@@ -8272,6 +8272,92 @@ def _q_cramers_v(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_mcnemar(spark: SparkSession, sf: str) -> DataFrame:
+    """McNemar's paired test between two anomaly detectors on the SAME
+    days: the trailing-average spike rule (q240) vs the Donchian
+    break-up rule (q241), both computed from one shared daily
+    aggregate; the statistic (b - c)^2 / (b + c) uses only the
+    DISCORDANT counts (b = spike-only, c = break-only) — the correct
+    way to compare two classifiers on paired data (accuracy deltas
+    ignore pairing). Pure integers, one division."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wt = Window.partitionBy("event_type").orderBy("d").rowsBetween(-7, -1)
+    trailing = F.sum("n").over(wt).cast("double") / F.count(F.lit(1)).over(wt)
+    chan_hi = F.max("n").over(wt)
+    flags = daily.select(
+        F.when(
+            trailing.isNotNull()
+            & (F.col("n").cast("double") > F.lit(1.05) * trailing),
+            1,
+        ).otherwise(0).alias("f_spike"),
+        F.when(chan_hi.isNotNull() & (F.col("n") > chan_hi), 1)
+        .otherwise(0)
+        .alias("f_break"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(
+            F.when((F.col("f_spike") == 1) & (F.col("f_break") == 0), 1).otherwise(0)
+        ).alias("b"),
+        F.sum(
+            F.when((F.col("f_spike") == 0) & (F.col("f_break") == 1), 1).otherwise(0)
+        ).alias("c"),
+        F.sum(
+            F.when((F.col("f_spike") == 1) & (F.col("f_break") == 1), 1).otherwise(0)
+        ).alias("both"),
+    )
+    stat = F.when(
+        F.col("b") + F.col("c") > 0,
+        ((F.col("b") - F.col("c")) * (F.col("b") - F.col("c"))).cast("double")
+        / (F.col("b") + F.col("c")).cast("double"),
+    )
+    return agg.select(
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.col("b").cast("bigint").alias("spike_only"),
+        F.col("c").cast("bigint").alias("break_only"),
+        F.col("both").cast("bigint").alias("both_flag"),
+        stat.alias("mcnemar_stat"),
+    )
+
+
+def _q_leaderboard_churn(spark: SparkSession, sf: str) -> DataFrame:
+    """Leaderboard stability: Jaccard overlap of the top-20
+    revenue-ranked parts between the first and second half of the
+    shipping window — near 1 means the ranking is signal, near 0
+    means noise churn (the metric that decides whether weekly "top
+    sellers" reports mean anything). Exact decimal revenue, two
+    deterministic rankings, one integer set comparison."""
+    li = read_table(spark, sf, "lineitem")
+    mid = li.agg(
+        F.min("l_shipdate").alias("lo"), F.max("l_shipdate").alias("hi")
+    ).select(
+        F.date_add(
+            F.col("lo"),
+            F.floor(F.datediff(F.col("hi"), F.col("lo")) / 2).cast("int"),
+        ).alias("mid")
+    )
+    j = li.crossJoin(F.broadcast(mid))
+    half = F.when(F.col("l_shipdate") < F.col("mid"), "a").otherwise("b")
+    rev = j.groupBy(half.alias("h"), "l_partkey").agg(
+        F.sum(_revenue().cast(DEC)).alias("r")
+    )
+    wr = Window.partitionBy("h").orderBy(F.col("r").desc(), F.col("l_partkey"))
+    top = rev.withColumn("rk", F.row_number().over(wr)).where(F.col("rk") <= 20)
+    ta = top.where(F.col("h") == "a").select(F.col("l_partkey").alias("p"))
+    tb = top.where(F.col("h") == "b").select(F.col("l_partkey").alias("p"))
+    inter = ta.join(tb, "p").agg(F.count(F.lit(1)).alias("inter"))
+    return inter.select(
+        F.col("inter").cast("bigint").alias("n_common"),
+        (
+            F.col("inter").cast("double")
+            / (F.lit(40) - F.col("inter")).cast("double")
+        ).alias("topk_jaccard"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -8602,6 +8688,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q325_runs_test": _q_runs_test,
         "q326_kendall_tau": _q_kendall_tau,
         "q327_cramers_v": _q_cramers_v,
+        "q328_mcnemar": _q_mcnemar,
+        "q329_leaderboard_churn": _q_leaderboard_churn,
     }
 
 
@@ -15692,4 +15780,74 @@ def oracle_sql() -> dict[str, str]:
                 * CAST(least(r - 1, c - 1) AS DOUBLE))) AS cramers_v
             FROM agg
         """,
+        "q328_mcnemar": """
+            WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS d,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            flags AS (
+              SELECT
+                CASE WHEN sum(n) OVER wt / count(*) OVER wt IS NOT NULL
+                  AND CAST(n AS DOUBLE) > 1.05E0
+                    * (CAST(sum(n) OVER wt AS DOUBLE)
+                      / count(*) OVER wt)
+                THEN 1 ELSE 0 END AS f_spike,
+                CASE WHEN max(n) OVER wt IS NOT NULL
+                  AND n > max(n) OVER wt THEN 1 ELSE 0 END AS f_break
+              FROM daily
+              WINDOW wt AS (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+            ),
+            agg AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_days,
+                CAST(sum(CASE WHEN f_spike = 1 AND f_break = 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                CAST(sum(CASE WHEN f_spike = 0 AND f_break = 1
+                  THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                CAST(sum(CASE WHEN f_spike = 1 AND f_break = 1
+                  THEN 1 ELSE 0 END) AS BIGINT) AS bb
+              FROM flags
+            )
+            SELECT n_days, b AS spike_only, c AS break_only,
+              bb AS both_flag,
+              CASE WHEN b + c > 0 THEN
+                CAST((b - c) * (b - c) AS DOUBLE)
+                  / CAST(b + c AS DOUBLE) END AS mcnemar_stat
+            FROM agg
+        """,
+        "q329_leaderboard_churn": """
+            WITH mid AS (
+              SELECT CAST(min(l_shipdate) AS DATE)
+                + CAST(date_diff('day', CAST(min(l_shipdate) AS DATE),
+                  CAST(max(l_shipdate) AS DATE)) // 2 AS INT) AS mid
+              FROM lineitem
+            ),
+            rev AS (
+              SELECT CASE WHEN CAST(l_shipdate AS DATE) < mid
+                  THEN 'a' ELSE 'b' END AS h,
+                l_partkey,
+                sum(CAST({rev} AS DECIMAL(38,6))) AS r
+              FROM lineitem CROSS JOIN mid
+              GROUP BY 1, 2
+            ),
+            top AS (
+              SELECT h, l_partkey FROM (
+                SELECT h, l_partkey,
+                  row_number() OVER (PARTITION BY h
+                    ORDER BY r DESC, l_partkey) AS rk
+                FROM rev
+              ) WHERE rk <= 20
+            ),
+            inter AS (
+              SELECT CAST(count(*) AS BIGINT) AS inter
+              FROM top a JOIN top b
+                ON a.l_partkey = b.l_partkey
+                AND a.h = 'a' AND b.h = 'b'
+            )
+            SELECT inter AS n_common,
+              CAST(inter AS DOUBLE) / CAST(40 - inter AS DOUBLE)
+                AS topk_jaccard
+            FROM inter
+        """.format(rev=_REV_SQL),
     }
