@@ -11,6 +11,8 @@ from .stateful import (
     ewma_anomaly_batch,
     ewma_anomaly_stream,
     ewma_anomaly_stream_tws,
+    heavy_hitters_batch,
+    heavy_hitters_stream,
     page_hinkley_batch,
     page_hinkley_stream,
 )
@@ -28,4 +30,6 @@ __all__ = [
     "ewma_anomaly_stream_tws",
     "page_hinkley_stream",
     "page_hinkley_batch",
+    "heavy_hitters_stream",
+    "heavy_hitters_batch",
 ]

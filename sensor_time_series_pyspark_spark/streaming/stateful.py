@@ -22,6 +22,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -454,3 +455,138 @@ def debounce_batch(
         .groupBy(key_col)
         .applyInPandas(scan, schema=out_schema)
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming heavy hitters (space-saving)
+# ---------------------------------------------------------------------------
+
+SS_STATE_SCHEMA = "items array<string>, counts array<long>"
+
+
+def _ss_out_schema(key_field: StructField) -> StructType:
+    return StructType(
+        [
+            key_field,
+            StructField("ts", TimestampType()),
+            StructField("item", StringType()),
+            StructField("est_count", LongType()),
+            StructField("n_tracked", LongType()),
+        ]
+    )
+
+
+def _ss_step(
+    item: str,
+    items: list[str],
+    counts: list[int],
+    capacity: int,
+) -> int:
+    """One space-saving update (Metwally 2005): increment a tracked
+    item, admit into spare capacity, or evict the minimum counter and
+    inherit its count + 1 (the overestimate bound). Deterministic
+    eviction: smallest count, then lexicographically smallest item.
+    Returns the item's current estimate. Shared by stream and batch
+    twin so stream == batch is exact."""
+    if item in items:
+        i = items.index(item)
+        counts[i] += 1
+        return counts[i]
+    if len(items) < capacity:
+        items.append(item)
+        counts.append(1)
+        return 1
+    m = min(counts)
+    # deterministic tiebreak among minimum counters
+    cand = sorted(it for it, c in zip(items, counts) if c == m)[0]
+    i = items.index(cand)
+    items[i] = item
+    counts[i] = m + 1
+    return counts[i]
+
+
+def heavy_hitters_stream(
+    sdf: DataFrame,
+    key_col: str,
+    ts_col: str,
+    item_col: str,
+    capacity: int = 8,
+    timeout_minutes: int | None = None,
+) -> DataFrame:
+    """Streaming space-saving heavy hitters per key: O(capacity) state
+    regardless of item cardinality, guaranteed to track any item with
+    true frequency > N/capacity (the classic bounded-state top-k; the
+    batch top-k SKETCH in operators/sketches.py answers the same
+    question offline — this is the live path). Emits each event's
+    running estimate; rows within a batch process in ts order and
+    state carries across micro-batches."""
+    key_field = sdf.schema[key_col]
+    out_schema = _ss_out_schema(key_field)
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            items, counts = state.get
+            items, counts = list(items), list(counts)
+        else:
+            items, counts = [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            rows = []
+            for ts, it in zip(pdf[ts_col], pdf[item_col]):
+                est = _ss_step(str(it), items, counts, capacity)
+                rows.append((key[0], ts, str(it), est, len(items)))
+            yield pd.DataFrame(
+                rows,
+                columns=[key_col, "ts", "item", "est_count", "n_tracked"],
+            )
+        state.update((items, counts))
+        if timeout_minutes:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_minutes
+        else GroupStateTimeout.NoTimeout
+    )
+    return sdf.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=SS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
+def heavy_hitters_batch(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    item_col: str,
+    capacity: int = 8,
+) -> DataFrame:
+    """Batch twin of ``heavy_hitters_stream`` (same ``_ss_step`` fold
+    via ``applyInPandas``) — used to assert stream == batch."""
+    key_field = df.schema[key_col]
+    out_schema = _ss_out_schema(key_field)
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col)
+        items: list[str] = []
+        counts: list[int] = []
+        rows = []
+        key = pdf[key_col].iloc[0]
+        for ts, it in zip(pdf[ts_col], pdf[item_col]):
+            est = _ss_step(str(it), items, counts, capacity)
+            rows.append((key, ts, str(it), est, len(items)))
+        return pd.DataFrame(
+            rows, columns=[key_col, "ts", "item", "est_count", "n_tracked"]
+        )
+
+    return df.groupBy(key_col).applyInPandas(score, schema=out_schema)

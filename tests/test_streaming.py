@@ -188,6 +188,55 @@ def test_page_hinkley_detects_level_shift(spark):
     assert pdf[pdf["n_seen"] == 40]["alarm"].iloc[0] == 1
 
 
+def test_heavy_hitters_stream_matches_batch(spark, two_phase_src):
+    """Space-saving heavy hitters: cross-batch state hand-off must
+    reproduce the batch fold exactly (shared _ss_step, deterministic
+    eviction tiebreak)."""
+    from sensor_time_series_pyspark_spark.streaming import (
+        heavy_hitters_batch,
+        heavy_hitters_stream,
+    )
+
+    path, schema = two_phase_src
+    sdf = read_stream(spark, path, schema, fmt="parquet", max_files_per_trigger=1)
+    scored = heavy_hitters_stream(
+        sdf, "user_id", "ts", "event_type", capacity=3
+    )
+    run_to_memory(scored, "hh_stream")
+    got = {
+        (r["user_id"], r["ts"]): (r["item"], r["est_count"], r["n_tracked"])
+        for r in spark.table("hh_stream").collect()
+    }
+    batch = heavy_hitters_batch(
+        read_table(spark, SF, "events"), "user_id", "ts", "event_type",
+        capacity=3,
+    )
+    want = {
+        (r["user_id"], r["ts"]): (r["item"], r["est_count"], r["n_tracked"])
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_heavy_hitters_guarantee_and_bound(spark):
+    """Space-saving guarantees: estimate >= true count for tracked
+    items, and any item with frequency > N/capacity is tracked at the
+    end."""
+    from sensor_time_series_pyspark_spark.streaming import heavy_hitters_batch
+
+    # 'a' dominates (12 of 20); capacity 3 with 5 distinct items
+    seq = (["a", "b", "a", "c", "a", "d"] * 3 + ["a", "e"])[:20]
+    rows = [("k", float(i), s) for i, s in enumerate(seq)]
+    df = spark.createDataFrame(rows, ["k", "t", "item"]).select(
+        "k", F.timestamp_seconds(F.col("t")).alias("ts"), "item"
+    )
+    out = heavy_hitters_batch(df, "k", "ts", "item", capacity=3).toPandas()
+    final_a = out[out["item"] == "a"]["est_count"].max()
+    true_a = seq.count("a")
+    assert final_a >= true_a  # never undercounts a tracked majority item
+    assert (out["n_tracked"] <= 3).all()
+
+
 def test_parquet_sink_writes_partitioned(spark, stream_src, tmp_path):
     path, schema = stream_src
     out = str(tmp_path / "out")
