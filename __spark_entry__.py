@@ -8358,6 +8358,107 @@ def _q_leaderboard_churn(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_fold_metric_stability(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-fold metric stability: the per-user conversion rate
+    evaluated in each of q264's 5 deterministic md5 folds, with the
+    across-fold spread (max - min) and CV — if the metric swings
+    across folds, no single-split result is trustworthy. Fold
+    assignment is a map-side hash predicate; one aggregate per fold
+    frame, exact integer counts, fixed epilogue on the 5-row frame."""
+    ev = read_table(spark, sf, "events")
+    hexpfx = F.substring(
+        F.md5(F.concat(F.lit("cv1"), F.col("user_id").cast("string"))), 1, 8
+    )
+    fold = (
+        F.when(hexpfx < "33333333", 0)
+        .when(hexpfx < "66666666", 1)
+        .when(hexpfx < "99999999", 2)
+        .when(hexpfx < "cccccccc", 3)
+        .otherwise(4)
+    )
+    per_user = ev.select("user_id", fold.alias("fold"), "event_type").groupBy(
+        "fold", "user_id"
+    ).agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    )
+    per_fold = per_user.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("conv").alias("n_conv"),
+    )
+    rate = F.col("n_conv").cast("double") / F.col("n_users").cast("double")
+    rated = per_fold.select(
+        F.col("fold").cast("int").alias("fold"),
+        F.col("n_users").cast("bigint").alias("n_users"),
+        rate.alias("conv_rate"),
+    )
+    wall = Window.partitionBy()
+    return rated.select(
+        "fold",
+        "n_users",
+        "conv_rate",
+        (F.max("conv_rate").over(wall) - F.min("conv_rate").over(wall)).alias(
+            "spread"
+        ),
+    )
+
+
+def _q_effective_sample_size(spark: SparkSession, sf: str) -> DataFrame:
+    """Kish effective sample size of the temperature-weighted corpus
+    (q251's alpha = 0.5 weights): ESS = (sum w)^2 / sum w^2 over
+    per-doc weights w = sqrt(source token total) — how many
+    equal-weight documents the weighted mixture is worth (the survey-
+    statistics number that prices a reweighting scheme's variance
+    cost). sqrt is correctly rounded; both sums accumulate through
+    decimal; one final division."""
+    docs = read_table(spark, sf, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum(token_count("text")).alias("tok")
+    )
+    j = docs.select("doc_id", "source").join(
+        F.broadcast(per_src), "source"
+    )
+    w = F.sqrt(F.col("tok").cast("double"))
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        _dsum(w).alias("sw"),
+        _dsum(w * w).alias("sww"),
+    )
+    return agg.select(
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        (F.col("sw") * F.col("sw") / F.col("sww")).alias("ess"),
+        (
+            F.col("sw") * F.col("sw") / F.col("sww")
+            / F.col("n_docs").cast("double")
+        ).alias("ess_ratio"),
+    )
+
+
+def _q_series_staleness(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-series staleness: each event type's last-seen day vs the
+    global watermark, in days behind — the series-level ingestion
+    alarm q290's table-level freshness board cannot see (one dead
+    series hides inside a healthy table total). One aggregate + one
+    broadcast watermark."""
+    ev = read_table(spark, sf, "events")
+    per = ev.groupBy("event_type").agg(
+        F.max(F.col("ts").cast("date")).alias("last_day"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    wm = ev.agg(F.max(F.col("ts").cast("date")).alias("horizon"))
+    j = per.crossJoin(F.broadcast(wm))
+    return j.select(
+        "event_type",
+        "last_day",
+        "horizon",
+        F.datediff(F.col("horizon"), F.col("last_day"))
+        .cast("int")
+        .alias("days_behind"),
+        "n_rows",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -8690,6 +8791,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q327_cramers_v": _q_cramers_v,
         "q328_mcnemar": _q_mcnemar,
         "q329_leaderboard_churn": _q_leaderboard_churn,
+        "q330_fold_metric_stability": _q_fold_metric_stability,
+        "q331_effective_sample_size": _q_effective_sample_size,
+        "q332_series_staleness": _q_series_staleness,
     }
 
 
@@ -15850,4 +15954,74 @@ def oracle_sql() -> dict[str, str]:
                 AS topk_jaccard
             FROM inter
         """.format(rev=_REV_SQL),
+        "q330_fold_metric_stability": """
+            WITH per_user AS (
+              SELECT
+                CASE WHEN substr(md5('cv1' || CAST(user_id AS VARCHAR)),
+                    1, 8) < '33333333' THEN 0
+                  WHEN substr(md5('cv1' || CAST(user_id AS VARCHAR)),
+                    1, 8) < '66666666' THEN 1
+                  WHEN substr(md5('cv1' || CAST(user_id AS VARCHAR)),
+                    1, 8) < '99999999' THEN 2
+                  WHEN substr(md5('cv1' || CAST(user_id AS VARCHAR)),
+                    1, 8) < 'cccccccc' THEN 3
+                  ELSE 4 END AS fold,
+                user_id,
+                max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS conv
+              FROM events GROUP BY 1, 2
+            ),
+            per_fold AS (
+              SELECT fold,
+                CAST(count(*) AS BIGINT) AS n_users,
+                CAST(sum(conv) AS BIGINT) AS n_conv
+              FROM per_user GROUP BY fold
+            ),
+            rated AS (
+              SELECT CAST(fold AS INT) AS fold, n_users,
+                CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)
+                  AS conv_rate
+              FROM per_fold
+            )
+            SELECT fold, n_users, conv_rate,
+              max(conv_rate) OVER () - min(conv_rate) OVER () AS spread
+            FROM rated
+        """,
+        "q331_effective_sample_size": """
+            WITH per_src AS (
+              SELECT source,
+                CAST(sum(length(list_filter(
+                  string_split_regex(trim(text), '\\s+'), x -> x <> '')))
+                  AS BIGINT) AS tok
+              FROM documents GROUP BY source
+            ),
+            j AS (
+              SELECT sqrt(CAST(tok AS DOUBLE)) AS w
+              FROM documents JOIN per_src USING (source)
+            ),
+            agg AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CAST(w AS DECIMAL(38,6))) AS DOUBLE) AS sw,
+                CAST(sum(CAST(w * w AS DECIMAL(38,6))) AS DOUBLE) AS sww
+              FROM j
+            )
+            SELECT n_docs,
+              sw * sw / sww AS ess,
+              sw * sw / sww / CAST(n_docs AS DOUBLE) AS ess_ratio
+            FROM agg
+        """,
+        "q332_series_staleness": """
+            WITH per AS (
+              SELECT event_type,
+                CAST(max(ts) AS DATE) AS last_day,
+                CAST(count(*) AS BIGINT) AS n_rows
+              FROM events GROUP BY event_type
+            ),
+            wm AS (SELECT CAST(max(ts) AS DATE) AS horizon FROM events)
+            SELECT event_type, last_day, horizon,
+              CAST(date_diff('day', last_day, horizon) AS INT)
+                AS days_behind,
+              n_rows
+            FROM per CROSS JOIN wm
+        """,
     }
