@@ -8459,6 +8459,140 @@ def _q_series_staleness(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_calibration_ece(spark: SparkSession, sf: str) -> DataFrame:
+    """Expected calibration error of the activity-predicts-conversion
+    score: pseudo-probability = activity / max activity, decile bins
+    (ntile over the deterministic ranking), per-bin |accuracy -
+    confidence| weighted by bin mass, plus the per-bin reliability
+    rows — the calibration diagnostic that AUC (q200) and gains
+    (q316) ignore (a perfectly-ranked score can still be wildly
+    miscalibrated). Confidence sums are exact rationals over the max;
+    ECE accumulates through decimal."""
+    ev = read_table(spark, sf, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("activity"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    wall = Window.partitionBy()
+    scored = per_user.select(
+        "user_id",
+        "conv",
+        (
+            F.col("activity").cast("double")
+            / F.max("activity").over(wall).cast("double")
+        ).alias("score"),
+    )
+    wrank = Window.orderBy(F.col("score").desc(), F.col("user_id"))
+    binned = scored.withColumn("bin", F.ntile(10).over(wrank))
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("conv").alias("n_conv"),
+        _dsum(F.col("score")).alias("sum_score"),
+    )
+    acc = F.col("n_conv").cast("double") / F.col("n").cast("double")
+    conf = F.col("sum_score") / F.col("n").cast("double")
+    return per_bin.select(
+        F.col("bin").cast("int").alias("bin"),
+        F.col("n").cast("bigint").alias("n"),
+        acc.alias("accuracy"),
+        conf.alias("confidence"),
+        F.abs(acc - conf).alias("gap"),
+    )
+
+
+def _q_dispersion_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Poisson dispersion (variance-to-mean) index of daily counts per
+    event type: D = s^2 / mean — D near 1 is Poisson-compatible
+    arrivals, D >> 1 overdispersion (bursts/contagion), D << 1
+    regularity (rate limiting) — the first-look arrival-process
+    diagnostic. Sample variance from exact integer moments
+    (n*S2 - S1^2)/(n(n-1)); two fixed divisions."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    agg = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    kd = F.col("k").cast("double")
+    mean = F.col("s1").cast("double") / kd
+    svar = (F.col("k") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+        "double"
+    ) / (kd * (kd - F.lit(1.0)))
+    return agg.select(
+        "event_type",
+        F.col("k").cast("bigint").alias("n_days"),
+        mean.alias("mean_daily"),
+        svar.alias("var_daily"),
+        (svar / mean).alias("dispersion"),
+    )
+
+
+def _q_its_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """Interrupted time-series (segmented) regression per event type
+    around the known mid-month breakpoint: separate OLS level and
+    slope for the before/after segments from exact integer moments,
+    plus the level and slope CHANGES — the classic
+    policy/deploy-impact readout (did the intervention shift the
+    level, bend the trend, or neither). One aggregate per segment on
+    the daily frame; fixed-order epilogues."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    widx = Window.partitionBy("event_type").orderBy("d")
+    base = daily.withColumn("t", F.row_number().over(widx).cast("bigint"))
+    seg = base.withColumn(
+        "seg", F.when(F.col("d") < F.lit("2024-01-16"), "pre").otherwise("post")
+    )
+    mom = seg.groupBy("event_type", "seg").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("t").alias("st"),
+        F.sum("n").alias("sx"),
+        F.sum(F.col("t") * F.col("n")).alias("stx"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+    )
+    den = F.col("k") * F.col("stt") - F.col("st") * F.col("st")
+    slope = F.when(
+        den > 0,
+        (F.col("k") * F.col("stx") - F.col("st") * F.col("sx")).cast("double")
+        / den.cast("double"),
+    )
+    mean_t = F.col("st").cast("double") / F.col("k").cast("double")
+    mean_x = F.col("sx").cast("double") / F.col("k").cast("double")
+    fitted = mom.select(
+        "event_type",
+        "seg",
+        F.col("k").cast("bigint").alias("n_days"),
+        slope.alias("slope"),
+        (mean_x - slope * mean_t).alias("intercept"),
+        mean_x.alias("level"),
+    )
+    pre = fitted.where(F.col("seg") == "pre").select(
+        "event_type",
+        F.col("slope").alias("slope_pre"),
+        F.col("level").alias("level_pre"),
+    )
+    post = fitted.where(F.col("seg") == "post").select(
+        F.col("event_type").alias("et2"),
+        F.col("slope").alias("slope_post"),
+        F.col("level").alias("level_post"),
+    )
+    return pre.join(post, F.col("event_type") == F.col("et2")).select(
+        "event_type",
+        "slope_pre",
+        "slope_post",
+        (F.col("slope_post") - F.col("slope_pre")).alias("slope_change"),
+        "level_pre",
+        "level_post",
+        (F.col("level_post") - F.col("level_pre")).alias("level_change"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -8794,6 +8928,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q330_fold_metric_stability": _q_fold_metric_stability,
         "q331_effective_sample_size": _q_effective_sample_size,
         "q332_series_staleness": _q_series_staleness,
+        "q333_calibration_ece": _q_calibration_ece,
+        "q334_dispersion_index": _q_dispersion_index,
+        "q335_its_segments": _q_its_segments,
     }
 
 
@@ -16023,5 +16160,100 @@ def oracle_sql() -> dict[str, str]:
                 AS days_behind,
               n_rows
             FROM per CROSS JOIN wm
+        """,
+        "q333_calibration_ece": """
+            WITH per_user AS (
+              SELECT user_id,
+                CAST(count(*) AS BIGINT) AS activity,
+                max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS conv
+              FROM events GROUP BY user_id
+            ),
+            scored AS (
+              SELECT user_id, conv,
+                CAST(activity AS DOUBLE)
+                  / CAST(max(activity) OVER () AS DOUBLE) AS score
+              FROM per_user
+            ),
+            binned AS (
+              SELECT conv, score,
+                ntile(10) OVER (ORDER BY score DESC, user_id) AS bin
+              FROM scored
+            ),
+            per_bin AS (
+              SELECT bin,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(conv) AS BIGINT) AS n_conv,
+                CAST(sum(CAST(score AS DECIMAL(38,6))) AS DOUBLE)
+                  AS sum_score
+              FROM binned GROUP BY bin
+            )
+            SELECT CAST(bin AS INT) AS bin, n,
+              CAST(n_conv AS DOUBLE) / CAST(n AS DOUBLE) AS accuracy,
+              sum_score / CAST(n AS DOUBLE) AS confidence,
+              abs(CAST(n_conv AS DOUBLE) / CAST(n AS DOUBLE)
+                - sum_score / CAST(n AS DOUBLE)) AS gap
+            FROM per_bin
+        """,
+        "q334_dispersion_index": """
+            WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS d,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            agg AS (
+              SELECT event_type,
+                CAST(count(*) AS BIGINT) AS k,
+                CAST(sum(n) AS BIGINT) AS s1,
+                CAST(sum(n * n) AS BIGINT) AS s2
+              FROM daily GROUP BY event_type
+            )
+            SELECT event_type, k AS n_days,
+              CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE) AS mean_daily,
+              CAST(k * s2 - s1 * s1 AS DOUBLE)
+                / (CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) - 1E0))
+                AS var_daily,
+              (CAST(k * s2 - s1 * s1 AS DOUBLE)
+                / (CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) - 1E0)))
+              / (CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE)) AS dispersion
+            FROM agg
+        """,
+        "q335_its_segments": """
+            WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS d,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            base AS (
+              SELECT event_type, d, n,
+                CAST(row_number() OVER (PARTITION BY event_type
+                  ORDER BY d) AS BIGINT) AS t
+              FROM daily
+            ),
+            mom AS (
+              SELECT event_type,
+                CASE WHEN d < TIMESTAMP '2024-01-16' THEN 'pre'
+                  ELSE 'post' END AS seg,
+                count(*) AS k,
+                sum(t) AS st, sum(n) AS sx,
+                sum(t * n) AS stx, sum(t * t) AS stt
+              FROM base GROUP BY 1, 2
+            ),
+            fitted AS (
+              SELECT event_type, seg,
+                CASE WHEN k * stt - st * st > 0 THEN
+                  CAST(k * stx - st * sx AS DOUBLE)
+                    / CAST(k * stt - st * st AS DOUBLE) END AS slope,
+                CAST(sx AS DOUBLE) / CAST(k AS DOUBLE) AS level
+              FROM mom
+            )
+            SELECT pre.event_type,
+              pre.slope AS slope_pre, post.slope AS slope_post,
+              post.slope - pre.slope AS slope_change,
+              pre.level AS level_pre, post.level AS level_post,
+              post.level - pre.level AS level_change
+            FROM fitted pre JOIN fitted post
+              ON pre.event_type = post.event_type
+              AND pre.seg = 'pre' AND post.seg = 'post'
         """,
     }
