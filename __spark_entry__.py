@@ -8593,6 +8593,120 @@ def _q_its_segments(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_split_half(spark: SparkSession, sf: str) -> DataFrame:
+    """Split-half reliability of per-user engagement with the
+    Spearman-Brown correction: correlate each user's ODD-indexed vs
+    EVEN-indexed event counts (deterministic row_number parity
+    split), then r_full = 2r/(1+r) — the psychometrics-standard
+    answer to "is this per-user metric stable or noise". The halves
+    are integers; the correlation is the exact-moment epilogue
+    (operators/profile.py:exact_corr shape); Spearman-Brown is two
+    more fixed ops."""
+    ev = read_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id", (F.row_number().over(w) % 2).alias("par")
+    )
+    halves = marked.groupBy("user_id").agg(
+        F.sum(F.when(F.col("par") == 1, 1).otherwise(0)).alias("x"),
+        F.sum(F.when(F.col("par") == 0, 1).otherwise(0)).alias("y"),
+    )
+    xi = F.col("x").cast("decimal(19,0)")
+    yi = F.col("y").cast("decimal(19,0)")
+    d38 = "decimal(38,0)"
+    s = halves.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xi.cast(d38)).alias("sx"),
+        F.sum(yi.cast(d38)).alias("sy"),
+        F.sum((xi * xi).cast(d38)).alias("sxx"),
+        F.sum((yi * yi).cast(d38)).alias("syy"),
+        F.sum((xi * yi).cast(d38)).alias("sxy"),
+    )
+    nd = F.col("n").cast("decimal(12,0)")
+    cov_n = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    var_x = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    var_y = (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    r = cov_n / (F.sqrt(var_x) * F.sqrt(var_y))
+    sb = F.lit(2.0) * r / (F.lit(1.0) + r)
+    return s.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        r.alias("half_corr"),
+        sb.alias("spearman_brown"),
+    )
+
+
+def _q_variance_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """Differencing-order advisor per event type: the variance of the
+    daily series vs the variance of its first differences — ratio > 1
+    means differencing reduces variance (difference before fitting,
+    the d >= 1 signal q25's ARIMA grid searches for); ratio < 1 means
+    the series is already stationary-ish and differencing would
+    overdifference. Both variances from exact integer moments; the
+    diff frame is one ordered lag."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    lvl = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    wt = Window.partitionBy("event_type").orderBy("d")
+    diffs = daily.select(
+        "event_type", (F.col("n") - F.lag("n").over(wt)).alias("dx")
+    ).where(F.col("dx").isNotNull())
+    dif = diffs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("kd"),
+        F.sum("dx").alias("sd1"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sd2"),
+    )
+    j = lvl.join(dif, "event_type")
+    var_lvl = (F.col("k") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+        "double"
+    ) / (F.col("k").cast("double") * F.col("k").cast("double"))
+    var_dif = (
+        F.col("kd") * F.col("sd2") - F.col("sd1") * F.col("sd1")
+    ).cast("double") / (F.col("kd").cast("double") * F.col("kd").cast("double"))
+    return j.select(
+        "event_type",
+        F.col("k").cast("bigint").alias("n_days"),
+        var_lvl.alias("var_level"),
+        var_dif.alias("var_diff"),
+        (var_lvl / var_dif).alias("variance_ratio"),
+        (var_lvl > var_dif).alias("difference_first"),
+    )
+
+
+def _q_dedup_savings(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-dedup storage savings per source: bytes (chars) held by
+    non-canonical duplicate copies — the number that justifies
+    running the dedup pipeline at all (q230 reports the dup FACTOR;
+    this prices it). One hash aggregate per (source, text-hash), keep
+    the min doc_id's bytes, sum the rest."""
+    docs = read_table(spark, sf, "documents")
+    groups = docs.select(
+        "source",
+        F.md5(F.col("text")).alias("h"),
+        F.col("n_chars").cast("bigint").alias("nc"),
+    ).groupBy("source", "h").agg(
+        F.count(F.lit(1)).alias("copies"),
+        F.sum("nc").alias("total_bytes"),
+        F.min("nc").alias("keep_bytes"),
+    )
+    return groups.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_unique"),
+        F.sum("copies").cast("bigint").alias("n_docs"),
+        F.sum(F.col("total_bytes") - F.col("keep_bytes"))
+        .cast("bigint")
+        .alias("bytes_saved"),
+        (
+            F.sum(F.col("total_bytes") - F.col("keep_bytes")).cast("double")
+            / F.sum("total_bytes").cast("double")
+        ).alias("savings_share"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -8931,6 +9045,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q333_calibration_ece": _q_calibration_ece,
         "q334_dispersion_index": _q_dispersion_index,
         "q335_its_segments": _q_its_segments,
+        "q336_split_half": _q_split_half,
+        "q337_variance_ratio": _q_variance_ratio,
+        "q338_dedup_savings": _q_dedup_savings,
     }
 
 
@@ -16255,5 +16372,102 @@ def oracle_sql() -> dict[str, str]:
             FROM fitted pre JOIN fitted post
               ON pre.event_type = post.event_type
               AND pre.seg = 'pre' AND post.seg = 'post'
+        """,
+        "q336_split_half": """
+            WITH marked AS (
+              SELECT user_id,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) % 2 AS par
+              FROM events
+            ),
+            halves AS (
+              SELECT user_id,
+                CAST(sum(CASE WHEN par = 1 THEN 1 ELSE 0 END)
+                  AS DECIMAL(19,0)) AS xi,
+                CAST(sum(CASE WHEN par = 0 THEN 1 ELSE 0 END)
+                  AS DECIMAL(19,0)) AS yi
+              FROM marked GROUP BY user_id
+            ),
+            s AS (
+              SELECT count(*) AS n,
+                sum(CAST(xi AS DECIMAL(38,0))) AS sx,
+                sum(CAST(yi AS DECIMAL(38,0))) AS sy,
+                sum(CAST(xi * xi AS DECIMAL(38,0))) AS sxx,
+                sum(CAST(yi * yi AS DECIMAL(38,0))) AS syy,
+                sum(CAST(xi * yi AS DECIMAL(38,0))) AS sxy
+              FROM halves
+            ),
+            e AS (
+              SELECT CAST(n AS BIGINT) AS n,
+                CAST(CAST(n AS DECIMAL(12,0)) * sxy - sx * sy AS DOUBLE)
+                  / (sqrt(CAST(CAST(n AS DECIMAL(12,0)) * sxx - sx * sx
+                      AS DOUBLE))
+                    * sqrt(CAST(CAST(n AS DECIMAL(12,0)) * syy - sy * sy
+                      AS DOUBLE))) AS r
+              FROM s
+            )
+            SELECT n AS n_users, r AS half_corr,
+              2E0 * r / (1E0 + r) AS spearman_brown
+            FROM e
+        """,
+        "q337_variance_ratio": """
+            WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS d,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            lvl AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS k,
+                CAST(sum(n) AS BIGINT) AS s1,
+                CAST(sum(n * n) AS BIGINT) AS s2
+              FROM daily GROUP BY event_type
+            ),
+            diffs AS (
+              SELECT event_type, n - lag(n) OVER (
+                PARTITION BY event_type ORDER BY d) AS dx
+              FROM daily
+            ),
+            dif AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS kd,
+                CAST(sum(dx) AS BIGINT) AS sd1,
+                CAST(sum(dx * dx) AS BIGINT) AS sd2
+              FROM diffs WHERE dx IS NOT NULL
+              GROUP BY event_type
+            )
+            SELECT l.event_type, k AS n_days,
+              CAST(k * s2 - s1 * s1 AS DOUBLE)
+                / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE)) AS var_level,
+              CAST(kd * sd2 - sd1 * sd1 AS DOUBLE)
+                / (CAST(kd AS DOUBLE) * CAST(kd AS DOUBLE)) AS var_diff,
+              (CAST(k * s2 - s1 * s1 AS DOUBLE)
+                / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE)))
+              / (CAST(kd * sd2 - sd1 * sd1 AS DOUBLE)
+                / (CAST(kd AS DOUBLE) * CAST(kd AS DOUBLE)))
+                AS variance_ratio,
+              (CAST(k * s2 - s1 * s1 AS DOUBLE)
+                / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE)))
+              > (CAST(kd * sd2 - sd1 * sd1 AS DOUBLE)
+                / (CAST(kd AS DOUBLE) * CAST(kd AS DOUBLE)))
+                AS difference_first
+            FROM lvl l JOIN dif USING (event_type)
+        """,
+        "q338_dedup_savings": """
+            WITH groups AS (
+              SELECT source, md5(text) AS h,
+                CAST(count(*) AS BIGINT) AS copies,
+                CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT)
+                  AS total_bytes,
+                CAST(min(CAST(n_chars AS BIGINT)) AS BIGINT)
+                  AS keep_bytes
+              FROM documents GROUP BY 1, 2
+            )
+            SELECT source,
+              CAST(count(*) AS BIGINT) AS n_unique,
+              CAST(sum(copies) AS BIGINT) AS n_docs,
+              CAST(sum(total_bytes - keep_bytes) AS BIGINT)
+                AS bytes_saved,
+              CAST(sum(total_bytes - keep_bytes) AS DOUBLE)
+                / CAST(sum(total_bytes) AS DOUBLE) AS savings_share
+            FROM groups GROUP BY source
         """,
     }
