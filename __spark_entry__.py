@@ -8707,6 +8707,187 @@ def _q_dedup_savings(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# NDCG@10 rank discounts 1/log2(r+1), precomputed once and rounded to
+# 12 decimals, so NO transcendental function runs in either engine —
+# sums over these decimal literals are exact and order-independent
+# (the benford-expectations pattern applied to ranking metrics).
+_NDCG_DISC = [
+    "1.0", "0.630929753571", "0.5", "0.430676558073", "0.386852807235",
+    "0.356207187108", "0.333333333333", "0.315464876786",
+    "0.301029995664", "0.289064826318",
+]
+# exact cumulative sums of the rounded literals (ideal DCG for m hits)
+_NDCG_CUM = [
+    "1.0", "1.630929753571", "2.130929753571", "2.561606311644",
+    "2.948459118879", "3.304666305987", "3.637999639320",
+    "3.953464516106", "4.254494511770", "4.543559338088",
+]
+
+
+def _q_retrieval_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-customer retrieval/recommendation ranking metrics — MRR,
+    precision@10, recall@10, NDCG@10 — the evaluation harness every
+    retrieval or recsys pipeline needs (q307 scores point detectors;
+    this scores RANKED lists). Ranking = parts by pre-cutoff spend
+    (deterministic spend-desc/partkey-asc order); ground truth = parts
+    actually purchased after the cutoff. DCG uses the literal decimal
+    discount table (_NDCG_DISC) so per-customer DCG sums are exact
+    decimals, not order-dependent double sums; every metric ends in at
+    most one double division. Scale shape: one fact scan split by
+    date, two hash aggregates keyed on (cust, part), one top-10 window
+    over the aggregated spend frame (never the fact), and joins on the
+    already-aggregated frames."""
+    orders = read_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = read_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice", "l_discount"
+    )
+    fact = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "o_custkey", "l_partkey", "o_orderdate", _revenue().alias("rev")
+    )
+    cutoff = F.lit("2000-01-01").cast("timestamp")
+    spend = (
+        fact.where(F.col("o_orderdate") < cutoff)
+        .groupBy("o_custkey", "l_partkey")
+        .agg(F.sum(F.col("rev").cast(DEC)).alias("spend"))
+    )
+    wr = Window.partitionBy("o_custkey").orderBy(
+        F.col("spend").desc(), F.col("l_partkey").asc()
+    )
+    ranked = spend.select(
+        "o_custkey", "l_partkey", F.row_number().over(wr).alias("rk")
+    ).where(F.col("rk") <= 10)
+    rel = (
+        fact.where(F.col("o_orderdate") >= cutoff)
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    relc = rel.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("int").alias("n_rel")
+    )
+    disc = F.element_at(
+        F.array(*[F.lit(d).cast("decimal(14,12)") for d in _NDCG_DISC]),
+        F.col("rk"),
+    )
+    hagg = (
+        ranked.join(rel, ["o_custkey", "l_partkey"])
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("hits"),
+            F.min("rk").alias("first_hit"),
+            F.sum(disc).alias("dcg"),
+        )
+    )
+    rankedc = ranked.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("int").alias("n_ranked")
+    )
+    base = rankedc.join(relc, "o_custkey").join(hagg, "o_custkey", "left")
+    icum = F.element_at(
+        F.array(*[F.lit(c).cast("decimal(16,12)") for c in _NDCG_CUM]),
+        F.least(F.col("n_rel"), F.lit(10)),
+    )
+    hitsn = F.coalesce(F.col("hits"), F.lit(0))
+    return base.select(
+        F.col("o_custkey").alias("custkey"),
+        "n_ranked",
+        "n_rel",
+        hitsn.cast("int").alias("hits"),
+        F.when(
+            F.col("first_hit").isNotNull(),
+            F.lit(1.0) / F.col("first_hit").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mrr"),
+        (hitsn.cast("double") / F.col("n_ranked").cast("double")).alias(
+            "precision_at_10"
+        ),
+        (hitsn.cast("double") / F.col("n_rel").cast("double")).alias(
+            "recall_at_10"
+        ),
+        (
+            F.coalesce(F.col("dcg").cast("double"), F.lit(0.0))
+            / icum.cast("double")
+        ).alias("ndcg_at_10"),
+    )
+
+
+def _q_skipgram_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Skip-gram (center, context) training-pair extraction, window
+    ±2 — the word2vec / embedding-pretraining data step. Pairs are
+    generated MAP-SIDE by zipping each token array against its own
+    1- and 2-shifted slices (no posexplode self-join: the fact never
+    joins itself), so the only shuffle is the hash aggregate on the
+    pair key. The symmetric backward direction is recovered AFTER
+    aggregation by a self-join on the tiny vocab² gram frame with
+    swapped keys — count(center,context) = fwd(center,context) +
+    fwd(context,center) — never by doubling the shuffle input."""
+    docs = read_table(spark, sf, "documents")
+    t = docs.select(tokens(F.col("text")).alias("t"))
+
+    def shifted(d: int) -> F.Column:
+        n = F.greatest(F.size("t") - d, F.lit(0))
+        return F.zip_with(
+            F.slice(F.col("t"), 1, n),
+            F.slice(F.col("t"), 1 + d, n),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+
+    fwd = (
+        t.select(F.explode(F.concat(shifted(1), shifted(2))).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("nf"))
+    )
+    sw = fwd.select(
+        F.col("w2").alias("w1"), F.col("w1").alias("w2"), F.col("nf").alias("nb")
+    )
+    joined = fwd.join(sw, ["w1", "w2"], "full_outer")
+    n_pairs = F.coalesce(F.col("nf"), F.lit(0)) + F.coalesce(F.col("nb"), F.lit(0))
+    return joined.select(
+        F.col("w1").alias("center"),
+        F.col("w2").alias("context"),
+        n_pairs.cast("bigint").alias("n_pairs"),
+    ).where(F.col("n_pairs") >= 5)
+
+
+def _q_stutter_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """Consecutive-duplicate-token ("stutter") audit per source — the
+    boilerplate/degenerate-generation scrub signal used before LLM
+    training (q80 measures distinct-gram repetition; this measures the
+    ADJACENT-repeat form that repetition loops and copy-paste
+    boilerplate produce). The repeat count is pure map-side array
+    algebra (token array zipped against its own 1-shift, equality
+    filter) — integer counts, ONE hash aggregate on source, one
+    division for the share."""
+    docs = read_table(spark, sf, "documents")
+    t = docs.select("source", tokens(F.col("text")).alias("t"))
+    n = F.size("t")
+    shift_n = F.greatest(n - 1, F.lit(0))
+    reps = F.size(
+        F.filter(
+            F.zip_with(
+                F.slice(F.col("t"), 1, shift_n),
+                F.slice(F.col("t"), 2, shift_n),
+                lambda a, b: a == b,
+            ),
+            lambda x: x,
+        )
+    )
+    per_doc = t.select("source", n.alias("nt"), reps.alias("nr"))
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("nt").cast("bigint").alias("total_tokens"),
+        F.sum("nr").cast("bigint").alias("stutter_tokens"),
+        (F.sum("nr").cast("double") / F.sum("nt").cast("double")).alias(
+            "stutter_share"
+        ),
+        F.sum(F.when(F.col("nr") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_with_stutter"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -9048,6 +9229,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q336_split_half": _q_split_half,
         "q337_variance_ratio": _q_variance_ratio,
         "q338_dedup_savings": _q_dedup_savings,
+        "q339_retrieval_eval": _q_retrieval_eval,
+        "q340_skipgram_pairs": _q_skipgram_pairs,
+        "q341_stutter_scrub": _q_stutter_scrub,
     }
 
 
@@ -16469,5 +16653,118 @@ def oracle_sql() -> dict[str, str]:
               CAST(sum(total_bytes - keep_bytes) AS DOUBLE)
                 / CAST(sum(total_bytes) AS DOUBLE) AS savings_share
             FROM groups GROUP BY source
+        """,
+        "q339_retrieval_eval": f"""
+            WITH fact AS (
+              SELECT o_custkey, l_partkey, o_orderdate,
+                {_REV_SQL} AS rev
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            ),
+            spend AS (
+              SELECT o_custkey, l_partkey,
+                sum(CAST(rev AS DECIMAL(38,6))) AS spend
+              FROM fact WHERE o_orderdate < TIMESTAMP '2000-01-01'
+              GROUP BY 1, 2
+            ),
+            ranked AS (
+              SELECT * FROM (
+                SELECT o_custkey, l_partkey,
+                  CAST(row_number() OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY spend DESC, l_partkey ASC) AS INT) AS rk
+                FROM spend)
+              WHERE rk <= 10
+            ),
+            rel AS (
+              SELECT DISTINCT o_custkey, l_partkey FROM fact
+              WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+            ),
+            relc AS (
+              SELECT o_custkey, CAST(count(*) AS INT) AS n_rel
+              FROM rel GROUP BY 1
+            ),
+            hagg AS (
+              SELECT r.o_custkey,
+                CAST(count(*) AS INT) AS hits,
+                min(r.rk) AS first_hit,
+                sum(list_extract([{", ".join(
+                    f"CAST({d} AS DECIMAL(14,12))" for d in _NDCG_DISC)}],
+                  r.rk)) AS dcg
+              FROM ranked r JOIN rel USING (o_custkey, l_partkey)
+              GROUP BY 1
+            ),
+            rankedc AS (
+              SELECT o_custkey, CAST(count(*) AS INT) AS n_ranked
+              FROM ranked GROUP BY 1
+            )
+            SELECT rc.o_custkey AS custkey, rc.n_ranked, relc.n_rel,
+              CAST(COALESCE(h.hits, 0) AS INT) AS hits,
+              CASE WHEN h.first_hit IS NOT NULL
+                THEN 1.0 / CAST(h.first_hit AS DOUBLE) ELSE 0.0
+              END AS mrr,
+              CAST(COALESCE(h.hits, 0) AS DOUBLE)
+                / CAST(rc.n_ranked AS DOUBLE) AS precision_at_10,
+              CAST(COALESCE(h.hits, 0) AS DOUBLE)
+                / CAST(relc.n_rel AS DOUBLE) AS recall_at_10,
+              COALESCE(CAST(h.dcg AS DOUBLE), 0.0)
+                / CAST(list_extract([{", ".join(
+                    f"CAST({c} AS DECIMAL(16,12))" for c in _NDCG_CUM)}],
+                  least(relc.n_rel, 10)) AS DOUBLE) AS ndcg_at_10
+            FROM rankedc rc
+            JOIN relc ON rc.o_custkey = relc.o_custkey
+            LEFT JOIN hagg h ON rc.o_custkey = h.o_custkey
+        """,
+        "q340_skipgram_pairs": r"""
+            WITH toks AS (
+              SELECT list_filter(
+                string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+              FROM documents
+            ),
+            p1 AS (
+              SELECT unnest(list_transform(
+                generate_series(1, greatest(len(t) - 1, 0)),
+                i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS p
+              FROM toks
+              UNION ALL
+              SELECT unnest(list_transform(
+                generate_series(1, greatest(len(t) - 2, 0)),
+                i -> struct_pack(w1 := t[i], w2 := t[i+2]))) AS p
+              FROM toks
+            ),
+            fwd AS (
+              SELECT p.w1 AS w1, p.w2 AS w2,
+                CAST(count(*) AS BIGINT) AS nf
+              FROM p1 GROUP BY 1, 2
+            )
+            SELECT COALESCE(a.w1, b.w2) AS center,
+              COALESCE(a.w2, b.w1) AS context,
+              CAST(COALESCE(a.nf, 0) + COALESCE(b.nf, 0) AS BIGINT)
+                AS n_pairs
+            FROM fwd a
+            FULL OUTER JOIN fwd b ON a.w1 = b.w2 AND a.w2 = b.w1
+            WHERE COALESCE(a.nf, 0) + COALESCE(b.nf, 0) >= 5
+        """,
+        "q341_stutter_scrub": r"""
+            WITH t AS (
+              SELECT source, list_filter(
+                string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+              FROM documents
+            ),
+            per_doc AS (
+              SELECT source, len(t) AS nt,
+                len(list_filter(list_transform(
+                  generate_series(1, greatest(len(t) - 1, 0)),
+                  i -> t[i] = t[i+1]), x -> x)) AS nr
+              FROM t
+            )
+            SELECT source,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(nt) AS BIGINT) AS total_tokens,
+              CAST(sum(nr) AS BIGINT) AS stutter_tokens,
+              CAST(sum(nr) AS DOUBLE) / CAST(sum(nt) AS DOUBLE)
+                AS stutter_share,
+              CAST(sum(CASE WHEN nr > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS docs_with_stutter
+            FROM per_doc GROUP BY source
         """,
     }
