@@ -105,8 +105,8 @@ def test_no_accidental_cartesian_products(spark):
     # reduction (tie-corrected Kendall; merge-sort inversion count is
     # the documented scale path)
     SKIP |= {"q326_kendall_tau"}
-    # 1-row scalar broadcasts (watermark date)
-    SKIP |= {"q332_series_staleness"}
+    # 1-row scalar broadcasts (watermark date / shipping-window midpoint)
+    SKIP |= {"q332_series_staleness", "q329_leaderboard_churn"}
     # group-cardinality pair frames (event types: 5x5) and the
     # label-cardinality centroid broadcast (like q157)
     SKIP |= {"q279_mann_whitney", "q280_effect_size",
