@@ -8888,6 +8888,103 @@ def _q_stutter_scrub(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_linear_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear multi-touch attribution: every touch (view/click/signup)
+    preceding a purchase shares that purchase's value equally — the
+    multi-touch generalization of q140's last-touch rule. Touches are
+    assigned to their NEXT conversion with the forward as-of join
+    (operators/asof.py — one shuffle on user), conversions are
+    pre-aggregated per (user, ts) per the asof tie contract, and the
+    output groups by (event_type, touches-per-conversion) so the
+    attributed value is Σ(conv_value·m)/n with the division done ONCE
+    per output row on an exact decimal sum — no per-row double credits
+    ever get summed, so no float-order hazard."""
+    ev = read_table(spark, sf, "events")
+    purch = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.min("event_id").alias("conv_id"),
+            F.sum(F.col("value").cast(DEC)).alias("conv_value"),
+        )
+    )
+    touch = ev.where(
+        F.col("event_type").isin("view", "click", "signup")
+    ).select("event_id", "user_id", "ts", "event_type")
+    asg = asof_join(
+        touch,
+        purch,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["conv_id", "conv_value"],
+        direction="forward",
+    ).where(F.col("conv_id").isNotNull())
+    convn = asg.groupBy("user_id", "conv_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    pt = asg.groupBy("user_id", "conv_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.max("conv_value").alias("cv"),
+    )
+    j = pt.join(convn, ["user_id", "conv_id"])
+    agg = j.groupBy("event_type", "n").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_convs"),
+        F.sum((F.col("cv") * F.col("m")).cast(DEC)).alias("s"),
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        "n_convs",
+        (F.col("s").cast("double") / F.col("n").cast("double")).alias(
+            "attributed_value"
+        ),
+    )
+
+
+def _q_qte(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile treatment effects: deciles of per-user total event
+    value in the treatment vs control arm (deterministic md5
+    assignment, the q125 A/B harness), reported side by side with
+    their differences — the distributional view of an experiment that
+    a single mean lift (q125) hides. percentile_disc keeps every
+    decile an actual data value (q141's engine-exact selection rule);
+    per-user totals are exact decimal sums cast once to double."""
+    ev = read_table(spark, sf, "events")
+    arm = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("qte"), F.col("user_id").cast("string"))),
+            1,
+            8,
+        )
+        < _thr(0.5),
+        "treat",
+    ).otherwise("control")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("total")
+    ).select(arm.alias("arm"), "total")
+    deciles = [i / 10 for i in range(1, 10)]
+    per_arm = per_user.groupBy("arm").agg(
+        *[
+            F.expr(
+                f"percentile_disc({d}) WITHIN GROUP (ORDER BY total)"
+            ).alias(f"d{int(d * 10)}")
+            for d in deciles
+        ]
+    )
+    cols = [f"d{i}" for i in range(1, 10)]
+    t = per_arm.where(F.col("arm") == "treat").drop("arm")
+    c = per_arm.where(F.col("arm") == "control").drop("arm")
+    return t.alias("t").join(c.alias("c")).select(
+        *[F.col(f"c.{x}").alias(f"{x}_control") for x in cols],
+        *[F.col(f"t.{x}").alias(f"{x}_treat") for x in cols],
+        *[
+            (F.col(f"t.{x}") - F.col(f"c.{x}")).alias(f"{x}_qte")
+            for x in cols
+        ],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -9232,6 +9329,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q339_retrieval_eval": _q_retrieval_eval,
         "q340_skipgram_pairs": _q_skipgram_pairs,
         "q341_stutter_scrub": _q_stutter_scrub,
+        "q342_linear_attribution": _q_linear_attribution,
+        "q344_qte": _q_qte,
     }
 
 
@@ -16766,5 +16865,70 @@ def oracle_sql() -> dict[str, str]:
               CAST(sum(CASE WHEN nr > 0 THEN 1 ELSE 0 END) AS BIGINT)
                 AS docs_with_stutter
             FROM per_doc GROUP BY source
+        """,
+        "q342_linear_attribution": """
+            WITH purch AS (
+              SELECT user_id, ts, min(event_id) AS conv_id,
+                sum(CAST(value AS DECIMAL(38,6))) AS conv_value
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY 1, 2
+            ),
+            touch AS (
+              SELECT event_id, user_id, ts, event_type FROM events
+              WHERE event_type IN ('view', 'click', 'signup')
+            ),
+            asg0 AS (
+              SELECT t.event_id, t.user_id, t.event_type,
+                min(p.ts) AS conv_ts
+              FROM touch t JOIN purch p
+                ON t.user_id = p.user_id AND p.ts >= t.ts
+              GROUP BY 1, 2, 3
+            ),
+            asg AS (
+              SELECT a.user_id, a.event_type, p.conv_id, p.conv_value
+              FROM asg0 a JOIN purch p
+                ON a.user_id = p.user_id AND a.conv_ts = p.ts
+            ),
+            convn AS (
+              SELECT user_id, conv_id, CAST(count(*) AS BIGINT) AS n
+              FROM asg GROUP BY 1, 2
+            ),
+            pt AS (
+              SELECT user_id, conv_id, event_type,
+                CAST(count(*) AS BIGINT) AS m,
+                max(conv_value) AS cv
+              FROM asg GROUP BY 1, 2, 3
+            )
+            SELECT event_type, n,
+              CAST(count(*) AS BIGINT) AS n_convs,
+              CAST(sum(CAST(cv * m AS DECIMAL(38,6))) AS DOUBLE)
+                / CAST(n AS DOUBLE) AS attributed_value
+            FROM pt JOIN convn USING (user_id, conv_id)
+            GROUP BY event_type, n
+        """,
+        "q344_qte": f"""
+            WITH per_user AS (
+              SELECT
+                CASE WHEN substring(
+                    md5('qte' || CAST(user_id AS VARCHAR)), 1, 8)
+                  < '{_thr(0.5)}' THEN 'treat' ELSE 'control' END AS arm,
+                CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                  AS total
+              FROM events GROUP BY user_id
+            ),
+            per_arm AS (
+              SELECT arm,
+                {", ".join(
+                    f"quantile_disc(total, {i / 10}) AS d{i}"
+                    for i in range(1, 10))}
+              FROM per_user GROUP BY arm
+            )
+            SELECT
+              {", ".join(f"c.d{i} AS d{i}_control" for i in range(1, 10))},
+              {", ".join(f"t.d{i} AS d{i}_treat" for i in range(1, 10))},
+              {", ".join(
+                  f"t.d{i} - c.d{i} AS d{i}_qte" for i in range(1, 10))}
+            FROM (SELECT * FROM per_arm WHERE arm = 'treat') t,
+                 (SELECT * FROM per_arm WHERE arm = 'control') c
         """,
     }

@@ -107,6 +107,9 @@ def test_no_accidental_cartesian_products(spark):
     SKIP |= {"q326_kendall_tau"}
     # 1-row scalar broadcasts (watermark date / shipping-window midpoint)
     SKIP |= {"q332_series_staleness", "q329_leaderboard_churn"}
+    # 1-row x 1-row report combine (treat-arm x control-arm decile
+    # rows) — like q166
+    SKIP |= {"q344_qte"}
     # group-cardinality pair frames (event types: 5x5) and the
     # label-cardinality centroid broadcast (like q157)
     SKIP |= {"q279_mann_whitney", "q280_effect_size",
