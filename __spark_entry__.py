@@ -8985,6 +8985,144 @@ def _q_qte(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_bh_fdr(spark: SparkSession, sf: str) -> DataFrame:
+    """Benjamini-Hochberg false-discovery-rate screen over per-(type,
+    day) volume cells: Chebyshev-bound p-values (p = min(1, var/dev²) —
+    a RATIONAL tail bound from exact integer moments, no normal CDF /
+    erf portability trap), then the BH step-up rule at q=0.1 — reject
+    the k smallest p-values where p_(k) ≤ k/(10m). The multiple-testing
+    control every fleet-wide anomaly sweep needs: q307 scores ONE
+    detector; this bounds the expected false-alarm share when
+    thousands of cells are tested at once. All ranking/threshold work
+    happens on the tiny aggregated cell frame (one window sort);
+    double divisions are in a fixed order mirrored in the oracle."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    mom = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    j = daily.join(mom, "event_type")
+    kd = F.col("k").cast("double")
+    mu = F.col("s1").cast("double") / kd
+    var = (F.col("k") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+        "double"
+    ) / (kd * kd)
+    dev = F.col("n").cast("double") - mu
+    p = F.when(dev == 0.0, F.lit(1.0)).otherwise(
+        F.least(F.lit(1.0), var / (dev * dev))
+    )
+    cells = j.select("event_type", "d", "n", p.alias("p"))
+    w = Window.orderBy("p", "event_type", "d")
+    wall = Window.partitionBy()
+    ranked = cells.select(
+        "event_type",
+        "d",
+        "n",
+        "p",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wall).alias("m"),
+    )
+    thr = F.col("rk").cast("double") / (F.lit(10.0) * F.col("m").cast("double"))
+    flagged = ranked.withColumn(
+        "pass_k", F.when(F.col("p") <= thr, F.col("rk")).otherwise(F.lit(0))
+    )
+    kmax = F.max("pass_k").over(wall)
+    return flagged.select(
+        "event_type",
+        "d",
+        F.col("n").cast("bigint").alias("n"),
+        "p",
+        F.col("rk").cast("int").alias("rk"),
+        (F.col("rk") <= kmax).alias("discovery"),
+    )
+
+
+def _q_shard_balance(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic training-shard assignment: documents ranked by
+    token count (longest first, doc_id tiebreak) dealt round-robin
+    into 8 shards — the RNG-free longest-processing-time heuristic
+    that keeps per-shard token budgets near-equal for data-parallel
+    training. Output is the per-shard balance audit (docs, tokens,
+    share of corpus). One window sort over (tokens, doc_id); at 100 TB
+    the same rank comes from approx_ntile-style bucketing so no single
+    task sorts the corpus (documented scale path, q55's mechanism)."""
+    docs = read_table(spark, sf, "documents")
+    per_doc = docs.select(
+        "doc_id", token_count(F.col("text")).alias("nt")
+    )
+    w = Window.orderBy(F.col("nt").desc(), F.col("doc_id").asc())
+    assigned = per_doc.select(
+        "nt", ((F.row_number().over(w) - 1) % 8).alias("shard")
+    )
+    agg = assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("nt").cast("bigint").alias("shard_tokens"),
+    )
+    wall = Window.partitionBy()
+    return agg.select(
+        F.col("shard").cast("int").alias("shard"),
+        "n_docs",
+        "shard_tokens",
+        (
+            F.col("shard_tokens").cast("double")
+            / F.sum("shard_tokens").over(wall).cast("double")
+        ).alias("token_share"),
+    )
+
+
+# Powers of the 0.9 annual discount factor scaled by 10^7 — exact
+# INTEGERS (0.9^7 = 0.4782969 terminates at 7 decimals), so the NPV
+# accumulates as price_cents × factor_int pure-integer products.
+# High-scale decimal→double casts are NOT correctly rounded in every
+# engine (DuckDB's DECIMAL(38,14)→DOUBLE is off by 1 ulp on some
+# values); scale-0 decimals convert exactly-rounded in both, so the
+# float enters ONCE, at the final fixed /1e9 epilogue.
+_NPV_DISC_SCALED = [
+    10000000, 9000000, 8100000, 7290000,
+    6561000, 5904900, 5314410, 4782969,
+]
+
+
+def _q_revenue_npv(spark: SparkSession, sf: str) -> DataFrame:
+    """Discounted customer revenue (NPV at 10%/year, anchored at the
+    1995 window start) rolled up per market segment — the
+    LTV-with-time-value number behind acquisition-spend decisions
+    (q148 reports the undiscounted LTV curve). Order totals in cents ×
+    integer-scaled discount factors (_NPV_DISC_SCALED) keep the whole
+    aggregation in exact integer arithmetic; the only doubles are the
+    fixed ÷1e9 de-scaling and the per-customer average at the end."""
+    orders = read_table(spark, sf, "orders")
+    cust = read_table(spark, sf, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    disc = F.element_at(
+        F.array(*[F.lit(d) for d in _NPV_DISC_SCALED]),
+        (F.year("o_orderdate") - F.lit(1994)).cast("int"),
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum((cents * disc).cast("decimal(38,0)")).alias("npv")
+    )
+    j = per_cust.join(cust, per_cust["o_custkey"] == cust["c_custkey"])
+    agg = j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum(F.col("npv")).alias("s"),
+    )
+    seg_npv = F.col("s").cast("double") / F.lit(1.0e9)
+    return agg.select(
+        "c_mktsegment",
+        "n_customers",
+        seg_npv.alias("segment_npv"),
+        (seg_npv / F.col("n_customers").cast("double")).alias(
+            "avg_customer_npv"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -9331,6 +9469,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q341_stutter_scrub": _q_stutter_scrub,
         "q342_linear_attribution": _q_linear_attribution,
         "q344_qte": _q_qte,
+        "q345_bh_fdr": _q_bh_fdr,
+        "q346_shard_balance": _q_shard_balance,
+        "q347_revenue_npv": _q_revenue_npv,
     }
 
 
@@ -16930,5 +17071,96 @@ def oracle_sql() -> dict[str, str]:
                   f"t.d{i} - c.d{i} AS d{i}_qte" for i in range(1, 10))}
             FROM (SELECT * FROM per_arm WHERE arm = 'treat') t,
                  (SELECT * FROM per_arm WHERE arm = 'control') c
+        """,
+        "q345_bh_fdr": """
+            WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS d,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            mom AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS k,
+                CAST(sum(n) AS BIGINT) AS s1,
+                CAST(sum(n * n) AS BIGINT) AS s2
+              FROM daily GROUP BY event_type
+            ),
+            cells AS (
+              SELECT d.event_type, d.d, d.n,
+                CASE WHEN CAST(d.n AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE) = 0
+                  THEN 1.0
+                  ELSE least(1.0,
+                    (CAST(k * s2 - s1 * s1 AS DOUBLE)
+                      / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE)))
+                    / ((CAST(d.n AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE))
+                       * (CAST(d.n AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE))))
+                END AS p
+              FROM daily d JOIN mom USING (event_type)
+            ),
+            ranked AS (
+              SELECT event_type, d, n, p,
+                CAST(row_number() OVER (
+                  ORDER BY p, event_type, d) AS INT) AS rk,
+                CAST(count(*) OVER () AS BIGINT) AS m
+              FROM cells
+            ),
+            flagged AS (
+              SELECT *,
+                CASE WHEN p <= CAST(rk AS DOUBLE)
+                    / (10.0 * CAST(m AS DOUBLE))
+                  THEN rk ELSE 0 END AS pass_k
+              FROM ranked
+            )
+            SELECT event_type, d, n, p, rk,
+              rk <= max(pass_k) OVER () AS discovery
+            FROM flagged
+        """,
+        "q346_shard_balance": r"""
+            WITH per_doc AS (
+              SELECT doc_id,
+                CAST(len(list_filter(
+                  string_split_regex(trim(text), '\s+'),
+                  x -> x <> '')) AS INT) AS nt
+              FROM documents
+            ),
+            assigned AS (
+              SELECT nt,
+                CAST((row_number() OVER (
+                  ORDER BY nt DESC, doc_id ASC) - 1) % 8 AS INT)
+                  AS shard
+              FROM per_doc
+            ),
+            agg AS (
+              SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(nt) AS BIGINT) AS shard_tokens
+              FROM assigned GROUP BY shard
+            )
+            SELECT shard, n_docs, shard_tokens,
+              CAST(shard_tokens AS DOUBLE)
+                / CAST(sum(shard_tokens) OVER () AS DOUBLE)
+                AS token_share
+            FROM agg
+        """,
+        "q347_revenue_npv": f"""
+            WITH per_cust AS (
+              SELECT o_custkey,
+                sum(CAST(
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT)
+                  * list_extract(
+                      [{", ".join(str(d) for d in _NPV_DISC_SCALED)}],
+                      CAST(year(o_orderdate) - 1994 AS INT))
+                  AS DECIMAL(38,0))) AS npv
+              FROM orders GROUP BY o_custkey
+            )
+            SELECT c_mktsegment,
+              CAST(count(*) AS BIGINT) AS n_customers,
+              CAST(sum(npv) AS DOUBLE) / 1.0e9 AS segment_npv,
+              CAST(sum(npv) AS DOUBLE) / 1.0e9
+                / CAST(count(*) AS DOUBLE) AS avg_customer_npv
+            FROM per_cust JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
         """,
     }
