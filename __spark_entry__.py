@@ -9123,6 +9123,151 @@ def _q_revenue_npv(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_rake_keywords(spark: SparkSession, sf: str) -> DataFrame:
+    """RAKE-style keyword scoring: split each document into candidate
+    phrases at stopword boundaries, then score every content word by
+    degree/frequency — degree counts co-occurrence weight inside
+    phrases (words living in longer phrases rank higher), frequency is
+    plain occurrence count. The classic unsupervised keyword extractor
+    (Rose et al.), all integers until ONE division per word. Shape:
+    positional explode → running stopword count as the phrase id (one
+    per-doc window) → phrase-length join → word aggregate; shuffles
+    are keyed on (doc, phrase) then word, both reduce-side small."""
+    docs = read_table(spark, sf, "documents")
+    pos = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "w")
+    )
+    st = F.when(F.col("w").isin(*sorted(STOPWORDS)), 1).otherwise(0)
+    wp = Window.partitionBy("doc_id").orderBy("pos")
+    marked = pos.select(
+        "doc_id", "pos", "w", st.alias("st")
+    ).withColumn("phrase_id", F.sum("st").over(wp))
+    words = marked.where(F.col("st") == 0).select(
+        "doc_id", "phrase_id", "w"
+    )
+    plen = words.groupBy("doc_id", "phrase_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("plen")
+    )
+    scored = (
+        words.join(plen, ["doc_id", "phrase_id"])
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum("plen").cast("bigint").alias("deg"),
+        )
+        .where(F.col("freq") >= 5)
+    )
+    return scored.select(
+        F.col("w").alias("word"),
+        "freq",
+        "deg",
+        (F.col("deg").cast("double") / F.col("freq").cast("double")).alias(
+            "rake_score"
+        ),
+    )
+
+
+def _q_wilcoxon_signed(spark: SparkSession, sf: str) -> DataFrame:
+    """Wilcoxon signed-rank test per event type on week-over-week
+    paired daily volumes (day d of week w vs day d of week w+1) — the
+    paired nonparametric "did volume shift?" test that q279's
+    Mann-Whitney (unpaired) can't answer. Tie-averaged ranks stay
+    integer via the doubled-rank trick (2·avgrank = 2·count_less +
+    ties + 1, the q200 AUC mechanism); E[2W⁺] = n(n+1)/2 and
+    Var[2W⁺] = n(n+1)(2n+1)/6 are exact integers, so z is one double
+    division over one sqrt. Zero diffs are dropped (standard Wilcoxon
+    practice); tie variance correction is documented out of scope."""
+    ev = read_table(spark, sf, "events")
+    idx = F.datediff(F.col("d"), F.lit("2024-01-01").cast("date"))
+    daily = (
+        ev.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            F.floor(idx / 7).cast("int").alias("wk"),
+            (idx % 7).cast("int").alias("dow"),
+            "n",
+        )
+    )
+    nxt = daily.select(
+        "event_type",
+        (F.col("wk") - 1).alias("wk"),
+        "dow",
+        F.col("n").alias("n2"),
+    )
+    pairs = (
+        daily.join(nxt, ["event_type", "wk", "dow"])
+        .select("event_type", (F.col("n2") - F.col("n")).alias("diff"))
+        .where(F.col("diff") != 0)
+        .select("event_type", "diff", F.abs("diff").alias("ad"))
+    )
+    byval = pairs.groupBy("event_type", "ad").agg(
+        F.count(F.lit(1)).alias("t"),
+        F.sum(F.when(F.col("diff") > 0, 1).otherwise(0)).alias("tpos"),
+    )
+    wv = Window.partitionBy("event_type").orderBy("ad").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = byval.withColumn("cum", F.sum("t").over(wv)).select(
+        "event_type",
+        "t",
+        "tpos",
+        (2 * (F.col("cum") - F.col("t")) + F.col("t") + 1).alias("two_avg"),
+    )
+    agg = ranked.groupBy("event_type").agg(
+        F.sum("t").alias("n"),
+        F.sum(F.col("tpos") * F.col("two_avg")).alias("two_w_plus"),
+    )
+    nn = F.col("n")
+    exp2 = (nn * (nn + 1) / 2).cast("bigint")
+    var2 = (nn * (nn + 1) * (2 * nn + 1) / 6).cast("bigint")
+    return agg.select(
+        "event_type",
+        nn.cast("bigint").alias("n_pairs"),
+        F.col("two_w_plus").cast("bigint").alias("two_w_plus"),
+        (
+            (F.col("two_w_plus") - exp2).cast("double")
+            / F.sqrt(var2.cast("double"))
+        ).alias("z"),
+    )
+
+
+def _q_l_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """l-diversity audit: within each quasi-identifier group (customer
+    nation × market segment × order year) count DISTINCT values of the
+    sensitive attribute (order priority) — a released table is
+    l-diverse when every group carries ≥ l distinct sensitive values,
+    the stronger guarantee k-anonymity (q214) misses when a small
+    group is homogeneous. Pure integer aggregate over the joined
+    release frame; the customer dim broadcasts."""
+    orders = read_table(spark, sf, "orders")
+    cust = read_table(spark, sf, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    rel = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    ).select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.year("o_orderdate").alias("yr"),
+        "o_orderpriority",
+    )
+    g = rel.groupBy("c_nationkey", "c_mktsegment", "yr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("group_size"),
+        F.countDistinct("o_orderpriority").cast("bigint").alias("l_distinct"),
+    )
+    return g.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "yr",
+        "group_size",
+        "l_distinct",
+        (F.col("l_distinct") >= 3).alias("diverse"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -9472,6 +9617,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q345_bh_fdr": _q_bh_fdr,
         "q346_shard_balance": _q_shard_balance,
         "q347_revenue_npv": _q_revenue_npv,
+        "q348_rake_keywords": _q_rake_keywords,
+        "q349_wilcoxon_signed": _q_wilcoxon_signed,
+        "q350_l_diversity": _q_l_diversity,
     }
 
 
@@ -17162,5 +17310,112 @@ def oracle_sql() -> dict[str, str]:
                 / CAST(count(*) AS DOUBLE) AS avg_customer_npv
             FROM per_cust JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
+        """,
+        "q348_rake_keywords": r"""
+            WITH toks AS (
+              SELECT doc_id, list_filter(
+                string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, u.pos AS pos, u.w AS w FROM (
+                SELECT doc_id, unnest(list_transform(
+                  generate_series(1, len(t)),
+                  i -> struct_pack(pos := i, w := t[i]))) AS u
+                FROM toks)
+            ),
+            marked AS (
+              SELECT doc_id, pos, w,
+                CASE WHEN list_contains("""
+        + _STOPWORD_LIST
+        + """, w) THEN 1 ELSE 0 END AS st
+              FROM pos
+            ),
+            ph AS (
+              SELECT doc_id, pos, w, st,
+                sum(st) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS UNBOUNDED PRECEDING) AS phrase_id
+              FROM marked
+            ),
+            words AS (
+              SELECT doc_id, phrase_id, w FROM ph WHERE st = 0
+            ),
+            plen AS (
+              SELECT doc_id, phrase_id,
+                CAST(count(*) AS BIGINT) AS plen
+              FROM words GROUP BY 1, 2
+            ),
+            scored AS (
+              SELECT w, CAST(count(*) AS BIGINT) AS freq,
+                CAST(sum(plen) AS BIGINT) AS deg
+              FROM words JOIN plen USING (doc_id, phrase_id)
+              GROUP BY w HAVING count(*) >= 5
+            )
+            SELECT w AS word, freq, deg,
+              CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE) AS rake_score
+            FROM scored
+        """,
+        "q349_wilcoxon_signed": """
+            WITH daily AS (
+              SELECT event_type,
+                datediff('day', DATE '2024-01-01',
+                  CAST(date_trunc('day', ts) AS DATE)) AS idx,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            keyed AS (
+              SELECT event_type,
+                CAST(floor(idx / 7) AS INT) AS wk,
+                CAST(idx % 7 AS INT) AS dow, n
+              FROM daily
+            ),
+            pairs AS (
+              SELECT a.event_type, b.n - a.n AS diff,
+                abs(b.n - a.n) AS ad
+              FROM keyed a JOIN keyed b
+                ON a.event_type = b.event_type
+                AND a.wk + 1 = b.wk AND a.dow = b.dow
+              WHERE b.n - a.n <> 0
+            ),
+            byval AS (
+              SELECT event_type, ad,
+                CAST(count(*) AS BIGINT) AS t,
+                CAST(sum(CASE WHEN diff > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS tpos
+              FROM pairs GROUP BY 1, 2
+            ),
+            ranked AS (
+              SELECT event_type, t, tpos,
+                2 * (sum(t) OVER (PARTITION BY event_type ORDER BY ad
+                    ROWS UNBOUNDED PRECEDING) - t) + t + 1 AS two_avg
+              FROM byval
+            ),
+            agg AS (
+              SELECT event_type,
+                CAST(sum(t) AS BIGINT) AS n,
+                CAST(sum(tpos * two_avg) AS BIGINT) AS two_w_plus
+              FROM ranked GROUP BY event_type
+            )
+            SELECT event_type,
+              n AS n_pairs, two_w_plus,
+              CAST(two_w_plus - CAST(n * (n + 1) / 2 AS BIGINT)
+                AS DOUBLE)
+              / sqrt(CAST(CAST(n * (n + 1) * (2 * n + 1) / 6 AS BIGINT)
+                  AS DOUBLE)) AS z
+            FROM agg
+        """,
+        "q350_l_diversity": """
+            WITH rel AS (
+              SELECT c_nationkey, c_mktsegment,
+                CAST(year(o_orderdate) AS INT) AS yr,
+                o_orderpriority
+              FROM orders JOIN customer ON o_custkey = c_custkey
+            )
+            SELECT c_nationkey, c_mktsegment, yr,
+              CAST(count(*) AS BIGINT) AS group_size,
+              CAST(count(DISTINCT o_orderpriority) AS BIGINT)
+                AS l_distinct,
+              count(DISTINCT o_orderpriority) >= 3 AS diverse
+            FROM rel GROUP BY 1, 2, 3
         """,
     }
