@@ -9268,6 +9268,172 @@ def _q_l_diversity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_covariate_balance(spark: SparkSession, sf: str) -> DataFrame:
+    """Covariate balance check for the deterministic md5 A/B arms
+    (q125/q344's assignment): standardized mean difference (SMD) of
+    pre-experiment covariates — account balance and order count —
+    between arms. SMD = (μ_t − μ_c)/√((v_t + v_c)/2); |SMD| < 0.1 is
+    the conventional "arms are comparable" bar, the check that runs
+    BEFORE any lift metric is trusted (q308's SRM catches broken
+    ASSIGNMENT counts; this catches broken covariate mix). One scan
+    over the customer frame with arm-conditional exact moments; two
+    output rows stacked from the same 1-row aggregate."""
+    cust = read_table(spark, sf, "customer")
+    orders = read_table(spark, sf, "orders")
+    oc = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    base = cust.join(
+        oc, cust["c_custkey"] == oc["o_custkey"], "left"
+    ).select(
+        F.when(
+            F.substring(
+                F.md5(F.concat(F.lit("qte"), F.col("c_custkey").cast("string"))),
+                1,
+                8,
+            )
+            < _thr(0.5),
+            "treat",
+        )
+        .otherwise("control")
+        .alias("arm"),
+        F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).cast("decimal(18,0)").alias("no"),
+    )
+    is_t = (F.col("arm") == "treat").cast("int")
+    is_c = (F.col("arm") == "control").cast("int")
+    d38 = "decimal(38,4)"
+    s = base.agg(
+        F.sum(is_t).alias("nt"),
+        F.sum(is_c).alias("nc"),
+        F.sum((F.col("bal") * is_t).cast(d38)).alias("bt"),
+        F.sum((F.col("bal") * is_c).cast(d38)).alias("bc"),
+        F.sum((F.col("bal") * F.col("bal") * is_t).cast(d38)).alias("btt"),
+        F.sum((F.col("bal") * F.col("bal") * is_c).cast(d38)).alias("bcc"),
+        F.sum((F.col("no") * is_t).cast(d38)).alias("ot"),
+        F.sum((F.col("no") * is_c).cast(d38)).alias("oc"),
+        F.sum((F.col("no") * F.col("no") * is_t).cast(d38)).alias("ott"),
+        F.sum((F.col("no") * F.col("no") * is_c).cast(d38)).alias("occ"),
+    )
+
+    def row(name: str, st, sc, stt, scc) -> DataFrame:
+        ntd = F.col("nt").cast("double")
+        ncd = F.col("nc").cast("double")
+        mt = st.cast("double") / ntd
+        mc = sc.cast("double") / ncd
+        vt = stt.cast("double") / ntd - mt * mt
+        vc = scc.cast("double") / ncd - mc * mc
+        smd = (mt - mc) / F.sqrt((vt + vc) / F.lit(2.0))
+        return s.select(
+            F.lit(name).alias("covariate"),
+            F.col("nt").cast("bigint").alias("n_treat"),
+            F.col("nc").cast("bigint").alias("n_control"),
+            mt.alias("mean_treat"),
+            mc.alias("mean_control"),
+            smd.alias("smd"),
+        )
+
+    return row("acctbal", F.col("bt"), F.col("bc"), F.col("btt"), F.col("bcc")).unionByName(
+        row("n_orders", F.col("ot"), F.col("oc"), F.col("ott"), F.col("occ"))
+    )
+
+
+def _q_pinball_loss(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile-forecast evaluation with pinball (quantile) loss: the
+    seasonal-naive forecaster (ŷ_d = value 7 days earlier, q158's
+    baseline) scored as a p50 and a p90 quantile forecast per event
+    type. Pinball loss at τ is τ·(y−ŷ) when y ≥ ŷ else (1−τ)·(ŷ−y) —
+    RATIONAL weights on integer count diffs, so both totals accumulate
+    as exact scaled integers (×10) and each mean does ONE division;
+    the metric that CRPS/quantile-service-level dashboards need and
+    plain MAE (q158) can't express."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wt = Window.partitionBy("event_type").orderBy("d")
+    scored = daily.select(
+        "event_type",
+        "d",
+        "n",
+        F.lag("n", 7).over(wt).alias("yhat"),
+    ).where(F.col("yhat").isNotNull())
+    err = F.col("n") - F.col("yhat")
+    # pinball x10: tau=0.5 -> 5*|err|; tau=0.9 -> 9*err if err>=0 else 1*(-err)
+    p50x10 = 5 * F.abs(err)
+    p90x10 = F.when(err >= 0, 9 * err).otherwise(-err)
+    agg = scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(p50x10).alias("s50"),
+        F.sum(p90x10).alias("s90"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        (
+            F.col("s50").cast("double")
+            / (F.lit(10.0) * F.col("n_days").cast("double"))
+        ).alias("pinball_p50"),
+        (
+            F.col("s90").cast("double")
+            / (F.lit(10.0) * F.col("n_days").cast("double"))
+        ).alias("pinball_p90"),
+    )
+
+
+def _q_transition_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Behavioral drift as total-variation distance between the
+    per-user event-type transition matrices of the first vs second
+    half of the window (q103 builds ONE matrix; this compares two).
+    For each from-state: TVD = Σ_to |p₁−p₂|/2 where pᵢ = mᵢ/nᵢ — the
+    common-denominator trick keeps everything integer: Σ|m₁·n₂−m₂·n₁|
+    is exact, then ONE division by 2·n₁·n₂ per from-state. The "did
+    user behavior change shape, not just volume" monitor."""
+    ev = read_table(spark, sf, "events")
+    half = F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), 1).otherwise(2)
+    wt = Window.partitionBy("user_id", "h").orderBy("ts", "event_id")
+    steps = (
+        ev.select("user_id", "ts", "event_id", "event_type", half.alias("h"))
+        .withColumn("nxt", F.lead("event_type").over(wt))
+        .where(F.col("nxt").isNotNull())
+    )
+    cells = steps.groupBy("h", F.col("event_type").alias("f"), F.col("nxt").alias("t")).agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    c1 = cells.where(F.col("h") == 1).select("f", "t", F.col("m").alias("m1"))
+    c2 = cells.where(F.col("h") == 2).select("f", "t", F.col("m").alias("m2"))
+    grid = c1.join(c2, ["f", "t"], "full_outer").select(
+        "f",
+        "t",
+        F.coalesce("m1", F.lit(0)).alias("m1"),
+        F.coalesce("m2", F.lit(0)).alias("m2"),
+    )
+    per_from = grid.groupBy("f").agg(
+        F.sum("m1").alias("n1"),
+        F.sum("m2").alias("n2"),
+    )
+    j = grid.join(per_from, "f")
+    num = F.abs(F.col("m1") * F.col("n2") - F.col("m2") * F.col("n1"))
+    agg = j.groupBy("f").agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.sum(num.cast("decimal(38,0)")).alias("s"),
+    )
+    return agg.select(
+        F.col("f").alias("from_state"),
+        F.col("n1").cast("bigint").alias("n_steps_h1"),
+        F.col("n2").cast("bigint").alias("n_steps_h2"),
+        (
+            F.col("s").cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("n1").cast("double")
+                * F.col("n2").cast("double")
+            )
+        ).alias("tvd"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -9620,6 +9786,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q348_rake_keywords": _q_rake_keywords,
         "q349_wilcoxon_signed": _q_wilcoxon_signed,
         "q350_l_diversity": _q_l_diversity,
+        "q351_covariate_balance": _q_covariate_balance,
+        "q353_pinball_loss": _q_pinball_loss,
+        "q354_transition_drift": _q_transition_drift,
     }
 
 
@@ -17417,5 +17586,143 @@ def oracle_sql() -> dict[str, str]:
                 AS l_distinct,
               count(DISTINCT o_orderpriority) >= 3 AS diverse
             FROM rel GROUP BY 1, 2, 3
+        """,
+        "q351_covariate_balance": f"""
+            WITH oc AS (
+              SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+              FROM orders GROUP BY 1
+            ),
+            base AS (
+              SELECT
+                CASE WHEN substring(
+                    md5('qte' || CAST(c_custkey AS VARCHAR)), 1, 8)
+                  < '{_thr(0.5)}' THEN 'treat' ELSE 'control' END AS arm,
+                CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+                CAST(COALESCE(n_orders, 0) AS DECIMAL(18,0)) AS no
+              FROM customer LEFT JOIN oc ON c_custkey = o_custkey
+            ),
+            s AS (
+              SELECT
+                CAST(sum(CASE WHEN arm = 'treat' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nt,
+                CAST(sum(CASE WHEN arm = 'control' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nc,
+                sum(CAST(bal * (CASE WHEN arm = 'treat' THEN 1 ELSE 0 END)
+                  AS DECIMAL(38,4))) AS bt,
+                sum(CAST(bal * (CASE WHEN arm = 'control' THEN 1 ELSE 0 END)
+                  AS DECIMAL(38,4))) AS bc,
+                sum(CAST(bal * bal * (CASE WHEN arm = 'treat' THEN 1 ELSE 0 END)
+                  AS DECIMAL(38,4))) AS btt,
+                sum(CAST(bal * bal * (CASE WHEN arm = 'control' THEN 1 ELSE 0 END)
+                  AS DECIMAL(38,4))) AS bcc,
+                sum(CAST(no * (CASE WHEN arm = 'treat' THEN 1 ELSE 0 END)
+                  AS DECIMAL(38,4))) AS ot,
+                sum(CAST(no * (CASE WHEN arm = 'control' THEN 1 ELSE 0 END)
+                  AS DECIMAL(38,4))) AS oc,
+                sum(CAST(no * no * (CASE WHEN arm = 'treat' THEN 1 ELSE 0 END)
+                  AS DECIMAL(38,4))) AS ott,
+                sum(CAST(no * no * (CASE WHEN arm = 'control' THEN 1 ELSE 0 END)
+                  AS DECIMAL(38,4))) AS occ
+              FROM base
+            )
+            SELECT 'acctbal' AS covariate, nt AS n_treat, nc AS n_control,
+              CAST(bt AS DOUBLE) / CAST(nt AS DOUBLE) AS mean_treat,
+              CAST(bc AS DOUBLE) / CAST(nc AS DOUBLE) AS mean_control,
+              (CAST(bt AS DOUBLE) / CAST(nt AS DOUBLE)
+                - CAST(bc AS DOUBLE) / CAST(nc AS DOUBLE))
+              / sqrt(((CAST(btt AS DOUBLE) / CAST(nt AS DOUBLE)
+                  - (CAST(bt AS DOUBLE) / CAST(nt AS DOUBLE))
+                    * (CAST(bt AS DOUBLE) / CAST(nt AS DOUBLE)))
+                + (CAST(bcc AS DOUBLE) / CAST(nc AS DOUBLE)
+                  - (CAST(bc AS DOUBLE) / CAST(nc AS DOUBLE))
+                    * (CAST(bc AS DOUBLE) / CAST(nc AS DOUBLE)))) / 2.0)
+                AS smd
+            FROM s
+            UNION ALL
+            SELECT 'n_orders', nt, nc,
+              CAST(ot AS DOUBLE) / CAST(nt AS DOUBLE),
+              CAST(oc AS DOUBLE) / CAST(nc AS DOUBLE),
+              (CAST(ot AS DOUBLE) / CAST(nt AS DOUBLE)
+                - CAST(oc AS DOUBLE) / CAST(nc AS DOUBLE))
+              / sqrt(((CAST(ott AS DOUBLE) / CAST(nt AS DOUBLE)
+                  - (CAST(ot AS DOUBLE) / CAST(nt AS DOUBLE))
+                    * (CAST(ot AS DOUBLE) / CAST(nt AS DOUBLE)))
+                + (CAST(occ AS DOUBLE) / CAST(nc AS DOUBLE)
+                  - (CAST(oc AS DOUBLE) / CAST(nc AS DOUBLE))
+                    * (CAST(oc AS DOUBLE) / CAST(nc AS DOUBLE)))) / 2.0)
+            FROM s
+        """,
+        "q353_pinball_loss": """
+            WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS d,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            scored AS (
+              SELECT event_type, n,
+                lag(n, 7) OVER (PARTITION BY event_type ORDER BY d)
+                  AS yhat
+              FROM daily
+            ),
+            agg AS (
+              SELECT event_type,
+                CAST(count(*) AS BIGINT) AS n_days,
+                CAST(sum(5 * abs(n - yhat)) AS BIGINT) AS s50,
+                CAST(sum(CASE WHEN n - yhat >= 0 THEN 9 * (n - yhat)
+                         ELSE -(n - yhat) END) AS BIGINT) AS s90
+              FROM scored WHERE yhat IS NOT NULL
+              GROUP BY event_type
+            )
+            SELECT event_type, n_days,
+              CAST(s50 AS DOUBLE) / (10.0 * CAST(n_days AS DOUBLE))
+                AS pinball_p50,
+              CAST(s90 AS DOUBLE) / (10.0 * CAST(n_days AS DOUBLE))
+                AS pinball_p90
+            FROM agg
+        """,
+        "q354_transition_drift": """
+            WITH steps AS (
+              SELECT h, event_type AS f, nxt AS t FROM (
+                SELECT
+                  CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 2
+                    END AS h,
+                  user_id, ts, event_id, event_type,
+                  lead(event_type) OVER (
+                    PARTITION BY user_id,
+                      CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1
+                        ELSE 2 END
+                    ORDER BY ts, event_id) AS nxt
+                FROM events)
+              WHERE nxt IS NOT NULL
+            ),
+            cells AS (
+              SELECT h, f, t, CAST(count(*) AS BIGINT) AS m
+              FROM steps GROUP BY 1, 2, 3
+            ),
+            grid AS (
+              SELECT COALESCE(a.f, b.f) AS f, COALESCE(a.t, b.t) AS t,
+                COALESCE(a.m, 0) AS m1, COALESCE(b.m, 0) AS m2
+              FROM (SELECT f, t, m FROM cells WHERE h = 1) a
+              FULL OUTER JOIN (SELECT f, t, m FROM cells WHERE h = 2) b
+                ON a.f = b.f AND a.t = b.t
+            ),
+            per_from AS (
+              SELECT f, CAST(sum(m1) AS BIGINT) AS n1,
+                CAST(sum(m2) AS BIGINT) AS n2
+              FROM grid GROUP BY f
+            ),
+            agg AS (
+              SELECT g.f, max(n1) AS n1, max(n2) AS n2,
+                sum(CAST(abs(g.m1 * p.n2 - g.m2 * p.n1)
+                  AS DECIMAL(38,0))) AS s
+              FROM grid g JOIN per_from p ON g.f = p.f
+              GROUP BY g.f
+            )
+            SELECT f AS from_state,
+              CAST(n1 AS BIGINT) AS n_steps_h1,
+              CAST(n2 AS BIGINT) AS n_steps_h2,
+              CAST(s AS DOUBLE)
+                / (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS tvd
+            FROM agg
         """,
     }
