@@ -9434,6 +9434,509 @@ def _q_transition_drift(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_cuped(spark: SparkSession, sf: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013): the experiment
+    metric Y (per-user second-half event count) adjusted by the
+    pre-period covariate X (first-half count), Y_adj = Y − θ·(X − X̄)
+    with θ = cov(X,Y)/var(X) estimated POOLED across arms — the
+    standard pre-experiment-data trick that cuts A/B variance by
+    corr² without biasing the lift. Arms are the deterministic md5
+    split (q125/q344 harness). All moments (n, Σx, Σy, Σxy, Σx²) are
+    EXACT INTEGERS — counts of events — so θ and the adjusted means
+    are a fixed double epilogue both engines evaluate identically; at
+    100 TB the per-user frame is one hash aggregate on user_id and
+    the moment reduction is a single-row combine."""
+    ev = read_table(spark, sf, "events")
+    pre = F.col("ts") < F.lit("2024-01-16").cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(pre, 1).otherwise(0)).cast("bigint").alias("x"),
+        F.sum(F.when(pre, 0).otherwise(1)).cast("bigint").alias("y"),
+    )
+    arm = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("cuped"), F.col("user_id").cast("string"))),
+            1,
+            8,
+        )
+        < _thr(0.5),
+        "treat",
+    ).otherwise("control")
+    per_user = per_user.select(arm.alias("arm"), "x", "y")
+    mom = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    per_arm = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("x").cast("bigint").alias("sxa"),
+        F.sum("y").cast("bigint").alias("sya"),
+    )
+    j = per_arm.crossJoin(F.broadcast(mom))
+    theta = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    mean_y = F.col("sya").cast("double") / F.col("n_users").cast("double")
+    mean_x_arm = F.col("sxa").cast("double") / F.col("n_users").cast("double")
+    mean_x_all = F.col("sx").cast("double") / F.col("n").cast("double")
+    return j.select(
+        "arm",
+        "n_users",
+        mean_y.alias("mean_y"),
+        (mean_y - theta * (mean_x_arm - mean_x_all)).alias("mean_y_adj"),
+        theta.alias("theta"),
+    )
+
+
+def _q_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two customer
+    rankings — total order value and order frequency — the standard
+    zero-tuning way to merge heterogeneous retrieval/ranking signals:
+    RRF(c) = Σ_r 1/(60 + rank_r(c)), top 20. Ranks are row_numbers
+    with a custkey tiebreak (total order; both engines agree), the
+    two 1/(60+r) terms are single divisions of exact integers, and
+    their sum is one double add — deterministic. At scale the ranking
+    frame is the per-customer aggregate (small next to orders), and
+    each ranking is one window over it; the fact table is touched
+    once."""
+    o = read_table(spark, sf, "orders")
+    per_c = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("rev"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    w_rev = Window.orderBy(F.col("rev").desc(), F.col("o_custkey").asc())
+    w_frq = Window.orderBy(F.col("n_orders").desc(), F.col("o_custkey").asc())
+    ranked = per_c.select(
+        "o_custkey",
+        F.row_number().over(w_rev).cast("bigint").alias("r_rev"),
+        F.row_number().over(w_frq).cast("bigint").alias("r_freq"),
+    )
+    rrf = (
+        F.lit(1.0) / (F.lit(60.0) + F.col("r_rev").cast("double"))
+        + F.lit(1.0) / (F.lit(60.0) + F.col("r_freq").cast("double"))
+    )
+    return (
+        ranked.select("o_custkey", "r_rev", "r_freq", rrf.alias("rrf"))
+        .orderBy(F.col("rrf").desc(), F.col("o_custkey").asc())
+        .limit(20)
+    )
+
+
+def _q_peak_days(spark: SparkSession, sf: str) -> DataFrame:
+    """Peak detection on the daily event-count series per type: a day
+    is a peak when it is a STRICT local maximum (beats both
+    neighbors) AND sits above the series mean — the mean test uses
+    the common-denominator trick (k·n > Σn, pure integers) so no
+    per-row division ever runs. The burst-census primitive behind
+    alert digests and capacity post-mortems. One hash aggregate to
+    the (type, day) grain, one window pass for the neighbors, one
+    aggregate for the census — the fact table is scanned once."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wt = Window.partitionBy("event_type").orderBy("d")
+    wall = Window.partitionBy("event_type")
+    flagged = daily.select(
+        "event_type",
+        "d",
+        "n",
+        F.lag("n").over(wt).alias("prv"),
+        F.lead("n").over(wt).alias("nxt"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("k"),
+        F.sum("n").over(wall).cast("bigint").alias("s"),
+    )
+    peaks = flagged.where(
+        F.col("prv").isNotNull()
+        & F.col("nxt").isNotNull()
+        & (F.col("n") > F.col("prv"))
+        & (F.col("n") > F.col("nxt"))
+        & (F.col("k") * F.col("n") > F.col("s"))
+    )
+    return peaks.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_peaks"),
+        F.max("n").cast("bigint").alias("max_peak"),
+        F.min("d").alias("first_peak_d"),
+    )
+
+
+def _q_savgol(spark: SparkSession, sf: str) -> DataFrame:
+    """Savitzky–Golay smoothing (window 5, quadratic) of the daily
+    event-count series per type: ŷ_d = (−3·n_{d−2} + 12·n_{d−1} +
+    17·n_d + 12·n_{d+1} − 3·n_{d+2}) / 35 — the least-squares
+    polynomial filter that preserves peak height/width where a moving
+    average flattens it (the instrument-signal smoother). The
+    convolution is INTEGER (literal coefficients on exact counts);
+    ONE division by 35 per row is the entire float surface. Interior
+    rows only (full window). Lag/lead windows over the tiny (type,
+    day) grain — no self-join, single pass."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wt = Window.partitionBy("event_type").orderBy("d")
+    conv = daily.select(
+        "event_type",
+        "d",
+        "n",
+        F.lag("n", 2).over(wt).alias("m2"),
+        F.lag("n", 1).over(wt).alias("m1"),
+        F.lead("n", 1).over(wt).alias("p1"),
+        F.lead("n", 2).over(wt).alias("p2"),
+    ).where(
+        F.col("m2").isNotNull()
+        & F.col("m1").isNotNull()
+        & F.col("p1").isNotNull()
+        & F.col("p2").isNotNull()
+    )
+    num = (
+        F.lit(-3) * F.col("m2")
+        + F.lit(12) * F.col("m1")
+        + F.lit(17) * F.col("n")
+        + F.lit(12) * F.col("p1")
+        + F.lit(-3) * F.col("p2")
+    )
+    return conv.select(
+        "event_type",
+        "d",
+        "n",
+        (num.cast("double") / F.lit(35.0)).alias("sg"),
+    )
+
+
+def _q_zero_crossings(spark: SparkSession, sf: str) -> DataFrame:
+    """Zero-crossing rate of the mean-centered daily count series per
+    type — the oscillation-vs-trend gauge (white noise crosses its
+    mean ~half the steps; a trending or strongly autocorrelated
+    series barely does). Centering never divides: sign(n_d − mean) ==
+    sign(k·n_d − Σn) on pure integers, and a crossing is a strict
+    sign flip between consecutive days (zeros break the run). ONE
+    division at the end for the rate."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wall = Window.partitionBy("event_type")
+    wt = Window.partitionBy("event_type").orderBy("d")
+    signed = daily.select(
+        "event_type",
+        "d",
+        F.signum(
+            (
+                F.count(F.lit(1)).over(wall) * F.col("n")
+                - F.sum("n").over(wall)
+            ).cast("double")
+        ).cast("int").alias("sgn"),
+    )
+    steps = signed.select(
+        "event_type",
+        "sgn",
+        F.lag("sgn").over(wt).alias("prv"),
+    )
+    agg = steps.groupBy("event_type").agg(
+        (F.count(F.lit(1))).cast("bigint").alias("n_days"),
+        F.sum(
+            F.when(F.col("sgn") * F.col("prv") == -1, 1).otherwise(0)
+        ).cast("bigint").alias("n_crossings"),
+    )
+    return agg.select(
+        "event_type",
+        "n_days",
+        "n_crossings",
+        (
+            F.col("n_crossings").cast("double")
+            / (F.col("n_days") - F.lit(1)).cast("double")
+        ).alias("crossing_rate"),
+    )
+
+
+def _q_rdd_cutoff(spark: SparkSession, sf: str) -> DataFrame:
+    """Sharp regression discontinuity at the 2024-01-16 cutoff on the
+    daily total event count: separate OLS lines on each side (x =
+    day index, integer), and the causal read-out is the JUMP at the
+    cutoff — pred_post(15) − pred_pre(15) — plus the slope change.
+    Both fits come from exact integer moments (n, Σx, Σy, Σxy, Σx²)
+    via the closed form slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²), intercept
+    = (Σy − slope·Σx)/n — a FIXED double epilogue both engines
+    evaluate identically (the q335 interrupted-time-series shape, with
+    the at-cutoff prediction gap as the headline). One aggregate to
+    the day grain, one 2-row moment reduce."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    x = F.datediff(F.col("d"), F.lit("2024-01-01").cast("date")).cast("bigint")
+    side = F.when(x < 15, F.lit("pre")).otherwise(F.lit("post"))
+    base = daily.select(side.alias("side"), x.alias("x"), F.col("n").alias("y"))
+    mom = base.groupBy("side").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    icept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    lines = mom.select(
+        "side",
+        F.col("n").alias("n_days"),
+        slope.alias("slope"),
+        icept.alias("icept"),
+    )
+    pre = lines.where(F.col("side") == "pre").select(
+        F.col("n_days").alias("n_pre"),
+        F.col("slope").alias("slope_pre"),
+        (F.col("icept") + F.col("slope") * F.lit(15.0)).alias("pred_pre_at_cut"),
+    )
+    post = lines.where(F.col("side") == "post").select(
+        F.col("n_days").alias("n_post"),
+        F.col("slope").alias("slope_post"),
+        (F.col("icept") + F.col("slope") * F.lit(15.0)).alias("pred_post_at_cut"),
+    )
+    return pre.crossJoin(post).select(
+        "n_pre",
+        "n_post",
+        "slope_pre",
+        "slope_post",
+        (F.col("slope_post") - F.col("slope_pre")).alias("slope_change"),
+        (F.col("pred_post_at_cut") - F.col("pred_pre_at_cut")).alias("jump"),
+    )
+
+
+# SPRT literal log-likelihood weights: H0 p0=0.20 vs H1 p1=0.25 for
+# the purchase share, alpha=0.05 / beta=0.20 Wald boundaries. Computed
+# ONCE here in Python and embedded as the same double literals in both
+# engines — no libm call ever runs engine-side (the repo-wide rule
+# that keeps log-based stats hash-stable).
+import math as _math  # noqa: E402
+
+_SPRT_P0, _SPRT_P1 = 0.20, 0.25
+_SPRT_L1 = _math.log(_SPRT_P1 / _SPRT_P0)
+_SPRT_L0 = _math.log((1.0 - _SPRT_P1) / (1.0 - _SPRT_P0))
+_SPRT_UP = _math.log((1.0 - 0.20) / 0.05)    # accept H1
+_SPRT_LO = _math.log(0.20 / (1.0 - 0.05))    # accept H0
+
+
+def _q_sprt(spark: SparkSession, sf: str) -> DataFrame:
+    """Wald's sequential probability ratio test on the daily purchase
+    share: is the conversion rate p1=0.25 (H1) or p0=0.20 (H0)?  The
+    log-likelihood ratio after day d is s_d·ln(p1/p0) +
+    (n_d−s_d)·ln(q1/q0) where s_d/n_d are CUMULATIVE integer counts —
+    so each row's LLR is two multiplies and one add of exact integers
+    against PRECOMPUTED literal weights (no engine-side log), and the
+    Wald boundaries ln((1−β)/α), ln(β/(1−α)) are literals too. The
+    early-stopping experiment monitor: decision is the first boundary
+    crossing. Cumulative counts come from one running-sum window over
+    the day grain."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).cast("bigint").alias("s"),
+    )
+    wc = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "d",
+        F.sum("n").over(wc).cast("bigint").alias("cum_n"),
+        F.sum("s").over(wc).cast("bigint").alias("cum_s"),
+    )
+    llr = (
+        F.col("cum_s").cast("double") * F.lit(_SPRT_L1)
+        + (F.col("cum_n") - F.col("cum_s")).cast("double") * F.lit(_SPRT_L0)
+    )
+    return cum.select(
+        "d",
+        "cum_n",
+        "cum_s",
+        llr.alias("llr"),
+        F.when(llr >= F.lit(_SPRT_UP), "accept_h1")
+        .when(llr <= F.lit(_SPRT_LO), "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    )
+
+
+def _q_conformal(spark: SparkSession, sf: str) -> DataFrame:
+    """Split-conformal prediction interval for the seasonal-naive
+    daily-count forecaster (ŷ_d = n_{d−7}, q158/q353's baseline): the
+    calibration half (days 8–15) yields q̂ = the 0.9 empirical
+    quantile of |y−ŷ| via percentile_disc (an ACTUAL integer residual
+    — engine-exact selection, q141's rule), and the test half (day 16
+    on) reports achieved coverage of ŷ ± q̂ — the
+    distribution-free-guarantee check that calibrated forecast bands
+    need. Residuals are pure integer count diffs; coverage is ONE
+    division."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wt = Window.partitionBy("event_type").orderBy("d")
+    scored = daily.select(
+        "event_type",
+        "d",
+        "n",
+        F.lag("n", 7).over(wt).alias("yhat"),
+        F.row_number().over(wt).cast("bigint").alias("i"),
+    ).where(F.col("yhat").isNotNull())
+    scored = scored.withColumn("abs_err", F.abs(F.col("n") - F.col("yhat")))
+    cal = scored.where(F.col("i") <= 15)
+    test = scored.where(F.col("i") > 15)
+    qhat = cal.groupBy("event_type").agg(
+        F.expr(
+            "percentile_disc(0.9) WITHIN GROUP (ORDER BY abs_err)"
+        ).cast("bigint").alias("qhat"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cal"),
+    )
+    j = test.join(qhat, "event_type")
+    return j.groupBy("event_type").agg(
+        F.max("qhat").cast("bigint").alias("qhat"),
+        F.max("n_cal").cast("bigint").alias("n_cal"),
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        (
+            F.sum(
+                F.when(F.col("abs_err") <= F.col("qhat"), 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("coverage"),
+    )
+
+
+def _q_isotonic(spark: SparkSession, sf: str) -> DataFrame:
+    """Isotonic (monotone non-decreasing) regression of the daily
+    event-count series per type via the minimax characterization of
+    PAV: fit_i = max_{j≤i} min_{k≥i} mean(y_j..y_k) — the pool-
+    adjacent-violators solution in closed form, no iteration. Each
+    range mean is (P_k − P_{j−1})/(k−j+1): exact integer prefix-sum
+    diffs with ONE division — and min/max of those doubles is
+    order-independent, so both engines agree bit-for-bit. The pair
+    frame is (j,k) per type — O(m²) on the ~30-row day grain (the
+    documented contract: resample to a bounded grid first, the fact
+    table itself is touched once by the grain aggregate)."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wt = Window.partitionBy("event_type").orderBy("d")
+    idx = daily.select(
+        "event_type",
+        "d",
+        "n",
+        F.row_number().over(wt).cast("bigint").alias("i"),
+        F.sum("n").over(
+            Window.partitionBy("event_type").orderBy("d").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ).cast("bigint").alias("p"),
+    )
+    a = idx.select(
+        "event_type", F.col("i").alias("j"), (F.col("p") - F.col("n")).alias("pj")
+    )
+    b = idx.select("event_type", F.col("i").alias("k"), F.col("p").alias("pk"))
+    pairs = a.join(b, "event_type").where(F.col("j") <= F.col("k")).select(
+        "event_type",
+        "j",
+        "k",
+        (
+            (F.col("pk") - F.col("pj")).cast("double")
+            / (F.col("k") - F.col("j") + 1).cast("double")
+        ).alias("m"),
+    )
+    # inner: for each (j, i): min over k >= i of m(j,k) — a suffix
+    # cumulative min along k within each (type, j) group.
+    w_suf = (
+        Window.partitionBy("event_type", "j")
+        .orderBy(F.col("k").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    inner = pairs.select(
+        "event_type",
+        "j",
+        F.col("k").alias("i"),
+        F.min("m").over(w_suf).alias("inner_min"),
+    )
+    # outer: for each i: max over j <= i — a prefix cumulative max
+    # along j within each (type, i) group.
+    w_pre = (
+        Window.partitionBy("event_type", "i")
+        .orderBy(F.col("j").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    iso = inner.select(
+        "event_type",
+        "i",
+        "j",
+        F.max("inner_min").over(w_pre).alias("fit"),
+    ).where(F.col("j") == F.col("i"))
+    return (
+        idx.select("event_type", "d", "n", "i")
+        .join(iso.select("event_type", "i", "fit"), ["event_type", "i"])
+        .select("event_type", "d", "n", "fit")
+    )
+
+
+def _q_ips_offpolicy(spark: SparkSession, sf: str) -> DataFrame:
+    """Off-policy evaluation with inverse propensity scoring: events
+    were 'logged' under a uniform md5 coin (propensity 1/2 per arm),
+    and the IPS estimator values a DETERMINISTIC target policy
+    (arm A for even users, B for odd) without ever running it:
+    V̂(π) = mean(reward · 1[π(u)=a] / 0.5) = 2·Σ(matched rewards)/N.
+    The counterfactual-dashboard primitive behind every bandit/reco
+    launch review. Rewards are purchase values summed as exact
+    decimals; the estimate is ONE multiply-by-2 and ONE division, so
+    both engines agree. Reported next to the on-policy (logged) mean
+    so the query audits the reweighting itself."""
+    ev = read_table(spark, sf, "events")
+    logged = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("ips"), F.col("event_id").cast("string"))),
+            1,
+            8,
+        )
+        < _thr(0.5),
+        "A",
+    ).otherwise("B")
+    target = F.when(F.col("user_id") % 2 == 0, "A").otherwise("B")
+    reward = F.when(
+        F.col("event_type") == "purchase", F.col("value")
+    ).otherwise(F.lit(0.0))
+    base = ev.select(
+        logged.alias("a"),
+        target.alias("pi"),
+        reward.cast(DEC).alias("r"),
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("r").alias("s_all"),
+        F.sum(F.when(F.col("pi") == F.col("a"), F.col("r")).otherwise(
+            F.lit(0).cast(DEC)
+        )).alias("s_match"),
+        F.sum(F.when(F.col("pi") == F.col("a"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_match"),
+    )
+    return agg.select(
+        "n",
+        "n_match",
+        (F.col("s_all").cast("double") / F.col("n").cast("double")).alias(
+            "v_logged"
+        ),
+        (
+            F.lit(2.0)
+            * F.col("s_match").cast("double")
+            / F.col("n").cast("double")
+        ).alias("v_target_ips"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -9789,6 +10292,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q351_covariate_balance": _q_covariate_balance,
         "q353_pinball_loss": _q_pinball_loss,
         "q354_transition_drift": _q_transition_drift,
+        "q355_cuped": _q_cuped,
+        "q356_rrf_fusion": _q_rrf_fusion,
+        "q357_peak_days": _q_peak_days,
+        "q358_savgol_smooth": _q_savgol,
+        "q359_zero_crossings": _q_zero_crossings,
+        "q360_rdd_cutoff": _q_rdd_cutoff,
+        "q361_sprt": _q_sprt,
+        "q362_conformal_interval": _q_conformal,
+        "q363_isotonic_fit": _q_isotonic,
+        "q364_ips_offpolicy": _q_ips_offpolicy,
     }
 
 
@@ -17723,6 +18236,319 @@ def oracle_sql() -> dict[str, str]:
               CAST(n2 AS BIGINT) AS n_steps_h2,
               CAST(s AS DOUBLE)
                 / (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS tvd
+            FROM agg
+        """,
+        "q355_cuped": f"""
+            WITH per_user AS (
+              SELECT
+                CASE WHEN substring(
+                    md5('cuped' || CAST(user_id AS VARCHAR)), 1, 8)
+                  < '{_thr(0.5)}' THEN 'treat' ELSE 'control' END AS arm,
+                CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                  THEN 0 ELSE 1 END) AS BIGINT) AS y
+              FROM events GROUP BY user_id
+            ),
+            mom AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(x) AS BIGINT) AS sx,
+                CAST(sum(y) AS BIGINT) AS sy,
+                CAST(sum(x * y) AS BIGINT) AS sxy,
+                CAST(sum(x * x) AS BIGINT) AS sxx
+              FROM per_user
+            ),
+            per_arm AS (
+              SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+                CAST(sum(x) AS BIGINT) AS sxa,
+                CAST(sum(y) AS BIGINT) AS sya
+              FROM per_user GROUP BY arm
+            )
+            SELECT arm, n_users,
+              CAST(sya AS DOUBLE) / CAST(n_users AS DOUBLE) AS mean_y,
+              CAST(sya AS DOUBLE) / CAST(n_users AS DOUBLE)
+                - (CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE))
+                  * (CAST(sxa AS DOUBLE) / CAST(n_users AS DOUBLE)
+                     - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                AS mean_y_adj,
+              CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE) AS theta
+            FROM per_arm, mom
+        """,
+        "q356_rrf_fusion": """
+            WITH per_c AS (
+              SELECT o_custkey,
+                sum(CAST(o_totalprice AS DECIMAL(38,6))) AS rev,
+                CAST(count(*) AS BIGINT) AS n_orders
+              FROM orders GROUP BY o_custkey
+            ),
+            ranked AS (
+              SELECT o_custkey,
+                CAST(row_number() OVER (
+                  ORDER BY rev DESC, o_custkey ASC) AS BIGINT) AS r_rev,
+                CAST(row_number() OVER (
+                  ORDER BY n_orders DESC, o_custkey ASC) AS BIGINT)
+                  AS r_freq
+              FROM per_c
+            )
+            SELECT o_custkey, r_rev, r_freq,
+              1.0 / (60.0 + CAST(r_rev AS DOUBLE))
+                + 1.0 / (60.0 + CAST(r_freq AS DOUBLE)) AS rrf
+            FROM ranked
+            ORDER BY rrf DESC, o_custkey ASC
+            LIMIT 20
+        """,
+        "q357_peak_days": """
+            WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS d,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            flagged AS (
+              SELECT event_type, d, n,
+                lag(n) OVER (PARTITION BY event_type ORDER BY d) AS prv,
+                lead(n) OVER (PARTITION BY event_type ORDER BY d) AS nxt,
+                CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+                  AS k,
+                CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT)
+                  AS s
+              FROM daily
+            )
+            SELECT event_type,
+              CAST(count(*) AS BIGINT) AS n_peaks,
+              CAST(max(n) AS BIGINT) AS max_peak,
+              min(d) AS first_peak_d
+            FROM flagged
+            WHERE prv IS NOT NULL AND nxt IS NOT NULL
+              AND n > prv AND n > nxt AND k * n > s
+            GROUP BY event_type
+        """,
+        "q358_savgol_smooth": """
+            WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS d,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            conv AS (
+              SELECT event_type, d, n,
+                lag(n, 2) OVER w AS m2, lag(n, 1) OVER w AS m1,
+                lead(n, 1) OVER w AS p1, lead(n, 2) OVER w AS p2
+              FROM daily
+              WINDOW w AS (PARTITION BY event_type ORDER BY d)
+            )
+            SELECT event_type, d, n,
+              CAST(-3 * m2 + 12 * m1 + 17 * n + 12 * p1 - 3 * p2
+                AS DOUBLE) / 35.0 AS sg
+            FROM conv
+            WHERE m2 IS NOT NULL AND m1 IS NOT NULL
+              AND p1 IS NOT NULL AND p2 IS NOT NULL
+        """,
+        "q359_zero_crossings": """
+            WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS d,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            signed AS (
+              SELECT event_type, d,
+                CAST(sign(CAST(
+                  CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+                    * n
+                  - CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT)
+                  AS DOUBLE)) AS INTEGER) AS sgn
+              FROM daily
+            ),
+            steps AS (
+              SELECT event_type, sgn,
+                lag(sgn) OVER (PARTITION BY event_type ORDER BY d) AS prv
+              FROM signed
+            )
+            SELECT event_type,
+              CAST(count(*) AS BIGINT) AS n_days,
+              CAST(sum(CASE WHEN sgn * prv = -1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_crossings,
+              CAST(sum(CASE WHEN sgn * prv = -1 THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(count(*) - 1 AS DOUBLE)
+                AS crossing_rate
+            FROM steps GROUP BY event_type
+        """,
+        "q360_rdd_cutoff": """
+            WITH daily AS (
+              SELECT date_trunc('day', ts) AS d,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1
+            ),
+            base AS (
+              SELECT CASE WHEN datediff('day', DATE '2024-01-01',
+                  CAST(d AS DATE)) < 15 THEN 'pre' ELSE 'post' END
+                  AS side,
+                CAST(datediff('day', DATE '2024-01-01', CAST(d AS DATE))
+                  AS BIGINT) AS x,
+                n AS y
+              FROM daily
+            ),
+            mom AS (
+              SELECT side, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(x) AS BIGINT) AS sx,
+                CAST(sum(y) AS BIGINT) AS sy,
+                CAST(sum(x * y) AS BIGINT) AS sxy,
+                CAST(sum(x * x) AS BIGINT) AS sxx
+              FROM base GROUP BY side
+            ),
+            lines AS (
+              SELECT side, n AS n_days,
+                CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+                (CAST(sy AS DOUBLE)
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE))
+                  / CAST(n AS DOUBLE) AS icept
+              FROM mom
+            )
+            SELECT
+              pre.n_days AS n_pre,
+              post.n_days AS n_post,
+              pre.slope AS slope_pre,
+              post.slope AS slope_post,
+              post.slope - pre.slope AS slope_change,
+              (post.icept + post.slope * 15.0)
+                - (pre.icept + pre.slope * 15.0) AS jump
+            FROM (SELECT * FROM lines WHERE side = 'pre') pre,
+                 (SELECT * FROM lines WHERE side = 'post') post
+        """,
+        "q361_sprt": f"""
+            WITH daily AS (
+              SELECT date_trunc('day', ts) AS d,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+                  ELSE 0 END) AS BIGINT) AS s
+              FROM events GROUP BY 1
+            ),
+            cum AS (
+              SELECT d,
+                CAST(sum(n) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+                CAST(sum(s) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_s
+              FROM daily
+            )
+            SELECT d, cum_n, cum_s,
+              CAST(cum_s AS DOUBLE) * {_SPRT_L1!r}
+                + CAST(cum_n - cum_s AS DOUBLE) * {_SPRT_L0!r} AS llr,
+              CASE
+                WHEN CAST(cum_s AS DOUBLE) * {_SPRT_L1!r}
+                  + CAST(cum_n - cum_s AS DOUBLE) * {_SPRT_L0!r}
+                  >= {_SPRT_UP!r} THEN 'accept_h1'
+                WHEN CAST(cum_s AS DOUBLE) * {_SPRT_L1!r}
+                  + CAST(cum_n - cum_s AS DOUBLE) * {_SPRT_L0!r}
+                  <= {_SPRT_LO!r} THEN 'accept_h0'
+                ELSE 'continue'
+              END AS decision
+            FROM cum
+        """,
+        "q362_conformal_interval": """
+            WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS d,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            scored AS (
+              SELECT event_type, d, n,
+                lag(n, 7) OVER w AS yhat,
+                CAST(row_number() OVER w AS BIGINT) AS i
+              FROM daily
+              WINDOW w AS (PARTITION BY event_type ORDER BY d)
+            ),
+            resid AS (
+              SELECT event_type, i, abs(n - yhat) AS abs_err
+              FROM scored WHERE yhat IS NOT NULL
+            ),
+            qhat AS (
+              SELECT event_type,
+                CAST(quantile_disc(abs_err, 0.9) AS BIGINT) AS qhat,
+                CAST(count(*) AS BIGINT) AS n_cal
+              FROM resid WHERE i <= 15 GROUP BY event_type
+            )
+            SELECT r.event_type,
+              CAST(max(qhat) AS BIGINT) AS qhat,
+              CAST(max(n_cal) AS BIGINT) AS n_cal,
+              CAST(count(*) AS BIGINT) AS n_test,
+              CAST(sum(CASE WHEN abs_err <= qhat THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(count(*) AS DOUBLE) AS coverage
+            FROM resid r JOIN qhat q ON r.event_type = q.event_type
+            WHERE r.i > 15
+            GROUP BY r.event_type
+        """,
+        "q363_isotonic_fit": """
+            WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS d,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            idx AS (
+              SELECT event_type, d, n,
+                CAST(row_number() OVER w AS BIGINT) AS i,
+                CAST(sum(n) OVER (PARTITION BY event_type ORDER BY d
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS p
+              FROM daily
+              WINDOW w AS (PARTITION BY event_type ORDER BY d)
+            ),
+            pairs AS (
+              SELECT a.event_type, a.j, b.k,
+                CAST(b.pk - a.pj AS DOUBLE)
+                  / CAST(b.k - a.j + 1 AS DOUBLE) AS m
+              FROM (SELECT event_type, i AS j, p - n AS pj FROM idx) a
+              JOIN (SELECT event_type, i AS k, p AS pk FROM idx) b
+                ON a.event_type = b.event_type AND a.j <= b.k
+            ),
+            inner_min AS (
+              SELECT event_type, j, k AS i,
+                min(m) OVER (PARTITION BY event_type, j
+                  ORDER BY k DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS inner_min
+              FROM pairs
+            ),
+            iso AS (
+              SELECT event_type, i, j,
+                max(inner_min) OVER (PARTITION BY event_type, i
+                  ORDER BY j ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS fit
+              FROM inner_min
+            )
+            SELECT x.event_type, x.d, x.n, s.fit
+            FROM idx x
+            JOIN (SELECT event_type, i, fit FROM iso WHERE j = i) s
+              ON x.event_type = s.event_type AND x.i = s.i
+        """,
+        "q364_ips_offpolicy": f"""
+            WITH base AS (
+              SELECT
+                CASE WHEN substring(
+                    md5('ips' || CAST(event_id AS VARCHAR)), 1, 8)
+                  < '{_thr(0.5)}' THEN 'A' ELSE 'B' END AS a,
+                CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS pi,
+                CAST(CASE WHEN event_type = 'purchase' THEN value
+                  ELSE 0.0 END AS DECIMAL(38,6)) AS r
+              FROM events
+            ),
+            agg AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                sum(r) AS s_all,
+                sum(CASE WHEN pi = a THEN r
+                    ELSE CAST(0 AS DECIMAL(38,6)) END) AS s_match,
+                CAST(sum(CASE WHEN pi = a THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_match
+              FROM base
+            )
+            SELECT n, n_match,
+              CAST(s_all AS DOUBLE) / CAST(n AS DOUBLE) AS v_logged,
+              2.0 * CAST(s_match AS DOUBLE) / CAST(n AS DOUBLE)
+                AS v_target_ips
             FROM agg
         """,
     }
