@@ -9937,6 +9937,222 @@ def _q_ips_offpolicy(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_negbin_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Negative-binomial method-of-moments fit to the daily count
+    series per type: r = m²/(v−m), p = m/v — the parametric upgrade of
+    the q334 dispersion index that turns "overdispersed" into an
+    actual (r, p) model for burst simulation and tail SLOs. Moments
+    are exact integers (k, Σn, Σn²); m, v and the two parameters are a
+    fixed double epilogue. Equi/under-dispersed series (v ≤ m) report
+    NULL parameters — the Poisson-is-enough signal."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    mom = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("s"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("q"),
+    )
+    m = F.col("s").cast("double") / F.col("k").cast("double")
+    v = (F.col("k") * F.col("q") - F.col("s") * F.col("s")).cast("double") / (
+        F.col("k") * (F.col("k") - 1)
+    ).cast("double")
+    return mom.select(
+        "event_type",
+        F.col("k").alias("n_days"),
+        m.alias("mean"),
+        v.alias("var"),
+        F.when(v > m, (m * m) / (v - m)).alias("nb_r"),
+        F.when(v > m, m / v).alias("nb_p"),
+    )
+
+
+def _q_unit_value_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Unit-value price index per brand and ship-month: (Σext_t/Σqty_t)
+    ÷ (Σext_0/Σqty_0) against the brand's FIRST observed month —
+    the trade-statistics price deflator computed without per-row unit
+    prices. Both numerator pairs are exact decimal sums; the index is
+    the cross-multiplied form (ext_t·qty_0)/(qty_t·ext_0) evaluated as
+    four exact-sum-to-double casts and a fixed multiply/divide — no
+    float ever accumulates. One fact aggregate to the (brand, month)
+    grain + one broadcast-sized base-month join."""
+    li = read_table(spark, sf, "lineitem")
+    p = read_table(spark, sf, "part")
+    month = F.date_trunc("month", F.col("l_shipdate")).alias("mon")
+    uv = (
+        li.join(F.broadcast(p.select("p_partkey", "p_brand")),
+                li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", month)
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(DEC)).alias("ext"),
+            F.sum(F.col("l_quantity").cast(DEC)).alias("qty"),
+        )
+    )
+    w0 = Window.partitionBy("p_brand").orderBy("mon")
+    base = uv.select(
+        "p_brand",
+        "mon",
+        "ext",
+        "qty",
+        F.row_number().over(w0).alias("rk"),
+    ).where(F.col("rk") == 1).select(
+        "p_brand", F.col("ext").alias("ext0"), F.col("qty").alias("qty0")
+    )
+    j = uv.join(base, "p_brand")
+    idx = (
+        F.col("ext").cast("double") * F.col("qty0").cast("double")
+    ) / (F.col("qty").cast("double") * F.col("ext0").cast("double"))
+    return j.select(
+        "p_brand",
+        "mon",
+        F.col("ext").cast("double").alias("ext_sum"),
+        F.col("qty").cast("double").alias("qty_sum"),
+        idx.alias("uv_index"),
+    )
+
+
+def _q_record_days(spark: SparkSession, sf: str) -> DataFrame:
+    """Record-breaking census per type: how many days set a NEW
+    all-time daily-count high (strict running-maximum records), and
+    when the last record fell — stationarity in one number (an i.i.d.
+    series expects ~H_m ≈ ln m records; a trending one keeps breaking
+    them). Pure integer window comparison (n > max of all prior days);
+    the first day is not a record (no prior)."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = daily.select(
+        "event_type",
+        "d",
+        "n",
+        F.max("n").over(w_prev).alias("prior_max"),
+    )
+    rec = flagged.where(
+        F.col("prior_max").isNotNull() & (F.col("n") > F.col("prior_max"))
+    )
+    return rec.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_records"),
+        F.max("d").alias("last_record_d"),
+        F.max("n").cast("bigint").alias("record_high"),
+    )
+
+
+def _q_turning_points(spark: SparkSession, sf: str) -> DataFrame:
+    """Turning-points randomness test per type: count strict local
+    extrema T in the daily series and compare to the i.i.d.
+    expectation E[T] = 2(m−2)/3, Var[T] = (16m−29)/90 — the classic
+    companion to the runs test (q325) that sees OVER-smoothing (too
+    few turns, trending) and oscillation (too many). T and m are pure
+    integers; z is a fixed rational-then-sqrt epilogue."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wt = Window.partitionBy("event_type").orderBy("d")
+    lagd = daily.select(
+        "event_type",
+        "n",
+        F.lag("n").over(wt).alias("prv"),
+        F.lead("n").over(wt).alias("nxt"),
+    )
+    is_turn = (
+        F.col("prv").isNotNull()
+        & F.col("nxt").isNotNull()
+        & (
+            ((F.col("n") > F.col("prv")) & (F.col("n") > F.col("nxt")))
+            | ((F.col("n") < F.col("prv")) & (F.col("n") < F.col("nxt")))
+        )
+    )
+    agg = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m")
+    ).join(
+        lagd.groupBy("event_type").agg(
+            F.sum(F.when(is_turn, 1).otherwise(0)).cast("bigint").alias("t")
+        ),
+        "event_type",
+    )
+    z = (
+        (3 * F.col("t") - 2 * (F.col("m") - 2)).cast("double") / F.lit(3.0)
+    ) / F.sqrt(
+        (16 * F.col("m") - 29).cast("double") / F.lit(90.0)
+    )
+    return agg.select("event_type", "m", "t", z.alias("z"))
+
+
+def _q_stylometric_z(spark: SparkSession, sf: str) -> DataFrame:
+    """Burrows-delta-style stylometry inputs: for the corpus's top-10
+    tokens, each source's counts-per-million rate and its scaled
+    z-score against the across-source distribution — the author/
+    pipeline fingerprint table (a machine-generated or template-heavy
+    source shows extreme function-word z's). CPM is INTEGER floor
+    division (c·10⁶ div N — no float rate), the z numerator S·cpm − Σcpm
+    and the variance radicand S·Σcpm² − (Σcpm)² are exact integers,
+    and ONE sqrt + ONE division finish (z here is √S × the classic
+    z — a fixed monotone scaling, documented). Absent (source, token)
+    cells are REAL zero rows via the source×token grid (20×10 —
+    broadcast-sized)."""
+    docs = read_table(spark, sf, "documents")
+    tok = docs.select(
+        "source", F.explode(tokens("text")).alias("t")
+    )
+    top = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .select(
+            "t",
+            F.row_number()
+            .over(Window.orderBy(F.col("c").desc(), F.col("t").asc()))
+            .alias("rk"),
+        )
+        .where(F.col("rk") <= 10)
+        .select("t")
+    )
+    per_src = tok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ntok")
+    )
+    cnt = tok.join(F.broadcast(top), "t").groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    grid = per_src.crossJoin(F.broadcast(top))
+    cells = grid.join(cnt, ["source", "t"], "left").select(
+        "source",
+        "t",
+        # integer floor division — no float rate ever exists
+        F.expr("(coalesce(c, 0) * 1000000) div ntok")
+        .cast("bigint")
+        .alias("cpm"),
+    )
+    wt = Window.partitionBy("t")
+    stats = cells.select(
+        "source",
+        "t",
+        "cpm",
+        F.count(F.lit(1)).over(wt).cast("bigint").alias("s"),
+        F.sum("cpm").over(wt).cast("bigint").alias("tot"),
+        F.sum(F.col("cpm") * F.col("cpm")).over(wt).cast("bigint").alias("qq"),
+    )
+    rad = (F.col("s") * F.col("qq") - F.col("tot") * F.col("tot")).cast(
+        "double"
+    )
+    return stats.select(
+        "source",
+        F.col("t").alias("token"),
+        "cpm",
+        F.when(
+            rad > 0,
+            (F.col("s") * F.col("cpm") - F.col("tot")).cast("double")
+            / F.sqrt(rad),
+        ).alias("z_scaled"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -10302,6 +10518,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q362_conformal_interval": _q_conformal,
         "q363_isotonic_fit": _q_isotonic,
         "q364_ips_offpolicy": _q_ips_offpolicy,
+        "q365_negbin_fit": _q_negbin_fit,
+        "q366_unit_value_index": _q_unit_value_index,
+        "q367_record_days": _q_record_days,
+        "q368_turning_points": _q_turning_points,
+        "q369_stylometric_z": _q_stylometric_z,
     }
 
 
@@ -18550,5 +18771,160 @@ def oracle_sql() -> dict[str, str]:
               2.0 * CAST(s_match AS DOUBLE) / CAST(n AS DOUBLE)
                 AS v_target_ips
             FROM agg
+        """,
+        "q365_negbin_fit": """
+            WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS d,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            mom AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS k,
+                CAST(sum(n) AS BIGINT) AS s,
+                CAST(sum(n * n) AS BIGINT) AS q
+              FROM daily GROUP BY event_type
+            )
+            SELECT event_type, k AS n_days,
+              CAST(s AS DOUBLE) / CAST(k AS DOUBLE) AS mean,
+              CAST(k * q - s * s AS DOUBLE)
+                / CAST(k * (k - 1) AS DOUBLE) AS var,
+              CASE WHEN CAST(k * q - s * s AS DOUBLE)
+                  / CAST(k * (k - 1) AS DOUBLE)
+                  > CAST(s AS DOUBLE) / CAST(k AS DOUBLE)
+                THEN (CAST(s AS DOUBLE) / CAST(k AS DOUBLE))
+                  * (CAST(s AS DOUBLE) / CAST(k AS DOUBLE))
+                  / (CAST(k * q - s * s AS DOUBLE)
+                     / CAST(k * (k - 1) AS DOUBLE)
+                     - CAST(s AS DOUBLE) / CAST(k AS DOUBLE))
+              END AS nb_r,
+              CASE WHEN CAST(k * q - s * s AS DOUBLE)
+                  / CAST(k * (k - 1) AS DOUBLE)
+                  > CAST(s AS DOUBLE) / CAST(k AS DOUBLE)
+                THEN (CAST(s AS DOUBLE) / CAST(k AS DOUBLE))
+                  / (CAST(k * q - s * s AS DOUBLE)
+                     / CAST(k * (k - 1) AS DOUBLE))
+              END AS nb_p
+            FROM mom
+        """,
+        "q366_unit_value_index": """
+            WITH uv AS (
+              SELECT p_brand, date_trunc('month', l_shipdate) AS mon,
+                sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS ext,
+                sum(CAST(l_quantity AS DECIMAL(38,6))) AS qty
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              GROUP BY 1, 2
+            ),
+            base AS (
+              SELECT p_brand, ext AS ext0, qty AS qty0
+              FROM (
+                SELECT p_brand, ext, qty,
+                  row_number() OVER (PARTITION BY p_brand
+                    ORDER BY mon) AS rk
+                FROM uv
+              ) WHERE rk = 1
+            )
+            SELECT u.p_brand, u.mon,
+              CAST(u.ext AS DOUBLE) AS ext_sum,
+              CAST(u.qty AS DOUBLE) AS qty_sum,
+              (CAST(u.ext AS DOUBLE) * CAST(b.qty0 AS DOUBLE))
+                / (CAST(u.qty AS DOUBLE) * CAST(b.ext0 AS DOUBLE))
+                AS uv_index
+            FROM uv u JOIN base b ON u.p_brand = b.p_brand
+        """,
+        "q367_record_days": """
+            WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS d,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            flagged AS (
+              SELECT event_type, d, n,
+                max(n) OVER (PARTITION BY event_type ORDER BY d
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS prior_max
+              FROM daily
+            )
+            SELECT event_type,
+              CAST(count(*) AS BIGINT) AS n_records,
+              max(d) AS last_record_d,
+              CAST(max(n) AS BIGINT) AS record_high
+            FROM flagged
+            WHERE prior_max IS NOT NULL AND n > prior_max
+            GROUP BY event_type
+        """,
+        "q368_turning_points": """
+            WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS d,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            lagd AS (
+              SELECT event_type, n,
+                lag(n) OVER w AS prv, lead(n) OVER w AS nxt
+              FROM daily
+              WINDOW w AS (PARTITION BY event_type ORDER BY d)
+            ),
+            agg AS (
+              SELECT m.event_type, m.m, t.t
+              FROM (
+                SELECT event_type, CAST(count(*) AS BIGINT) AS m
+                FROM daily GROUP BY event_type
+              ) m
+              JOIN (
+                SELECT event_type,
+                  CAST(sum(CASE WHEN prv IS NOT NULL AND nxt IS NOT NULL
+                    AND ((n > prv AND n > nxt) OR (n < prv AND n < nxt))
+                    THEN 1 ELSE 0 END) AS BIGINT) AS t
+                FROM lagd GROUP BY event_type
+              ) t ON m.event_type = t.event_type
+            )
+            SELECT event_type, m, t,
+              (CAST(3 * t - 2 * (m - 2) AS DOUBLE) / 3.0)
+                / sqrt(CAST(16 * m - 29 AS DOUBLE) / 90.0) AS z
+            FROM agg
+        """,
+        "q369_stylometric_z": r"""
+            WITH tok AS (
+              SELECT source,
+                unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                  x -> x <> '')) AS t
+              FROM documents
+            ),
+            top AS (
+              SELECT t FROM (
+                SELECT t, row_number() OVER (
+                  ORDER BY count(*) DESC, t ASC) AS rk
+                FROM tok GROUP BY t
+              ) WHERE rk <= 10
+            ),
+            per_src AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS ntok
+              FROM tok GROUP BY source
+            ),
+            cnt AS (
+              SELECT source, t, CAST(count(*) AS BIGINT) AS c
+              FROM tok JOIN top USING (t) GROUP BY source, t
+            ),
+            cells AS (
+              SELECT p.source, g.t,
+                CAST((COALESCE(c.c, 0) * 1000000) // p.ntok AS BIGINT)
+                  AS cpm
+              FROM per_src p CROSS JOIN top g
+              LEFT JOIN cnt c ON c.source = p.source AND c.t = g.t
+            ),
+            stats AS (
+              SELECT source, t, cpm,
+                CAST(count(*) OVER w AS BIGINT) AS s,
+                CAST(sum(cpm) OVER w AS BIGINT) AS tot,
+                CAST(sum(cpm * cpm) OVER w AS BIGINT) AS qq
+              FROM cells
+              WINDOW w AS (PARTITION BY t)
+            )
+            SELECT source, t AS token, cpm,
+              CASE WHEN CAST(s * qq - tot * tot AS DOUBLE) > 0
+                THEN CAST(s * cpm - tot AS DOUBLE)
+                  / sqrt(CAST(s * qq - tot * tot AS DOUBLE))
+              END AS z_scaled
+            FROM stats
         """,
     }
