@@ -10153,6 +10153,132 @@ def _q_stylometric_z(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_int8_quant(spark: SparkSession, sf: str) -> DataFrame:
+    """Int8 embedding-quantization audit: quantize each dim with the
+    FIXED grid q = clamp(⌊x·64 + 0.5⌋, −127, 127) (scale 64 = exact
+    power of two, so dequantization q/64 is EXACT in binary doubles
+    and ⌊·+0.5⌋ sidesteps the HALF_UP-vs-banker's round() divergence),
+    then report per-vector MSE and max-abs error — the storage-savings
+    vs recall-risk table a vector-index rollout needs. The squared-
+    error reduction is a SEQUENTIAL left fold in both engines
+    (F.aggregate here, list_dot_product in the oracle — same
+    element order, same doubles), and max() is order-free; output is
+    per-vector so no cross-row float sum ever happens."""
+    emb = read_table(spark, sf, "embeddings")
+    err = F.transform(
+        F.col("embedding"),
+        lambda x: x.cast("double")
+        - F.least(
+            F.greatest(
+                F.floor(x.cast("double") * F.lit(64.0) + F.lit(0.5)),
+                F.lit(-127.0),
+            ),
+            F.lit(127.0),
+        )
+        / F.lit(64.0),
+    )
+    base = emb.select("vec_id", "label", err.alias("e"))
+    sq = F.aggregate(
+        F.col("e"), F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    return base.select(
+        "vec_id",
+        "label",
+        (sq / F.lit(64.0)).alias("mse"),
+        F.array_max(F.transform(F.col("e"), F.abs)).alias("max_abs_err"),
+    )
+
+
+def _q_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998)
+    of vector 0's top-20 cosine candidates: greedily pick 5 results
+    maximizing 0.5·rel(c) − 0.5·max_{s∈selected} sim(c, s) — the
+    diversity-aware final stage every retrieval pipeline bolts onto
+    brute-force/IVF top-k (q23/q47). All cosines are computed in
+    DOUBLE with one fixed expression (sequential-fold dot product ÷
+    norm product) so scores are engine-identical; selection ties
+    break on vec_id. The candidate set is top-k-SMALL by construction
+    (that is what a rerank stage is), so the k·|C| greedy loop is 5
+    bounded DataFrame iterations, never a corpus scan — the corpus is
+    touched once to produce the 20 candidates."""
+    emb = read_table(spark, sf, "embeddings")
+    vecd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", vecd.alias("v"))
+    q = base.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+
+    def cos(a: F.Column, b: F.Column) -> F.Column:
+        dot = F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        n1 = F.aggregate(
+            F.transform(a, lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        n2 = F.aggregate(
+            F.transform(b, lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return dot / (F.sqrt(n1) * F.sqrt(n2))
+
+    cand = (
+        base.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "v", cos(F.col("v"), F.col("qv")).alias("rel"))
+        .orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+        .limit(20)
+        .localCheckpoint(eager=True)  # 20 rows; reused 5x below
+    )
+    sims = (
+        cand.alias("a")
+        .crossJoin(cand.alias("b"))
+        .select(
+            F.col("a.vec_id").alias("ia"),
+            F.col("b.vec_id").alias("ib"),
+            cos(F.col("a.v"), F.col("b.v")).alias("s"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    chosen: list[tuple[int, int, float]] = []
+    remaining = cand.select("vec_id", "rel")
+    for step in range(1, 6):
+        if step == 1:
+            pick = remaining.orderBy(
+                F.col("rel").desc(), F.col("vec_id").asc()
+            ).limit(1)
+            row = pick.collect()[0]
+            score = float(row["rel"])
+        else:
+            sel_ids = [c[1] for c in chosen]
+            ms = (
+                sims.where(F.col("ib").isin(sel_ids))
+                .groupBy("ia")
+                .agg(F.max("s").alias("maxsim"))
+            )
+            scored = remaining.join(
+                ms, remaining["vec_id"] == ms["ia"]
+            ).select(
+                "vec_id",
+                (F.lit(0.5) * F.col("rel") - F.lit(0.5) * F.col("maxsim")).alias(
+                    "score"
+                ),
+            )
+            row = (
+                scored.orderBy(F.col("score").desc(), F.col("vec_id").asc())
+                .limit(1)
+                .collect()[0]
+            )
+            score = float(row["score"])
+        chosen.append((step, int(row["vec_id"]), score))
+        remaining = remaining.where(F.col("vec_id") != int(row["vec_id"]))
+    return spark.createDataFrame(
+        chosen, "step int, vec_id bigint, mmr_score double"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -10519,6 +10645,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q363_isotonic_fit": _q_isotonic,
         "q364_ips_offpolicy": _q_ips_offpolicy,
         "q365_negbin_fit": _q_negbin_fit,
+        "q370_int8_quant": _q_int8_quant,
+        "q371_mmr_rerank": _q_mmr_rerank,
         "q366_unit_value_index": _q_unit_value_index,
         "q367_record_days": _q_record_days,
         "q368_turning_points": _q_turning_points,
@@ -18926,5 +19054,70 @@ def oracle_sql() -> dict[str, str]:
                   / sqrt(CAST(s * qq - tot * tot AS DOUBLE))
               END AS z_scaled
             FROM stats
+        """,
+        "q370_int8_quant": """
+            WITH errs AS (
+              SELECT vec_id, label,
+                list_transform(embedding, x ->
+                  CAST(x AS DOUBLE)
+                  - least(greatest(
+                      floor(CAST(x AS DOUBLE) * 64.0 + 0.5), -127.0),
+                      127.0) / 64.0) AS e
+              FROM embeddings
+            )
+            SELECT vec_id, label,
+              list_dot_product(e, e) / 64.0 AS mse,
+              list_max(list_transform(e, x -> abs(x))) AS max_abs_err
+            FROM errs
+        """,
+        "q371_mmr_rerank": """
+            WITH RECURSIVE
+            qv AS (
+              SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))
+                AS v
+              FROM embeddings WHERE vec_id = 0
+            ),
+            cand AS (
+              SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                list_dot_product(
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                  qv.v)
+                / (sqrt(list_dot_product(
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                      list_transform(embedding, x -> CAST(x AS DOUBLE))))
+                   * sqrt(list_dot_product(qv.v, qv.v))) AS rel
+              FROM embeddings, qv
+              WHERE vec_id <> 0
+              ORDER BY rel DESC, vec_id ASC
+              LIMIT 20
+            ),
+            sims AS (
+              SELECT a.vec_id AS ia, b.vec_id AS ib,
+                list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v))) AS s
+              FROM cand a, cand b
+            ),
+            sel AS (
+              (SELECT 1 AS step, vec_id, rel AS mmr_score,
+                 [vec_id] AS chosen
+               FROM cand ORDER BY rel DESC, vec_id ASC LIMIT 1)
+              UNION ALL
+              (SELECT step + 1, c.vec_id,
+                 0.5 * c.rel - 0.5 * m.maxsim AS mmr_score,
+                 list_append(sel.chosen, c.vec_id)
+               FROM sel
+               JOIN cand c ON NOT list_contains(sel.chosen, c.vec_id),
+               LATERAL (SELECT max(s) AS maxsim FROM sims
+                        WHERE sims.ia = c.vec_id
+                          AND list_contains(sel.chosen, sims.ib)) m
+               WHERE step < 5
+               ORDER BY 0.5 * c.rel - 0.5 * m.maxsim DESC, c.vec_id ASC
+               LIMIT 1)
+            )
+            SELECT CAST(step AS INT) AS step,
+              CAST(vec_id AS BIGINT) AS vec_id, mmr_score
+            FROM sel
         """,
     }
