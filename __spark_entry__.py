@@ -10279,6 +10279,170 @@ def _q_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_welch_ttest(spark: SparkSession, sf: str) -> DataFrame:
+    """Welch's unequal-variance t-test on per-user total event value
+    between the md5 A/B arms (q125/q344 harness): t = (m̄₁−m̄₂) /
+    √(s₁²/n₁ + s₂²/n₂) with the Welch–Satterthwaite df — the test
+    that stays valid when arms have different variances (the default
+    recommendation over Student's t). Per-user totals are exact
+    decimal sums; each arm's (n, Σx, Σx²) moments are exact decimals;
+    t and df are a fixed double epilogue. One fact aggregate + one
+    2-row reduce."""
+    ev = read_table(spark, sf, "events")
+    arm = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("welch"), F.col("user_id").cast("string"))),
+            1,
+            8,
+        )
+        < _thr(0.5),
+        "treat",
+    ).otherwise("control")
+    per_user = ev.groupBy("user_id").agg(
+        # value carries exactly 2 decimals, so scale 2 is lossless and
+        # keeps the squared-sum mantissa < 2^53 (decimal->double stays
+        # exactly representable): (18,2)^2 -> (37,4), summed at (38,4)
+        F.sum(F.col("value").cast(DEC)).cast("decimal(18,2)").alias("total")
+    ).select(arm.alias("arm"), "total")
+    mom = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("total").alias("s1"),
+        F.sum(F.col("total") * F.col("total")).alias("s2"),
+    )
+    t = mom.where(F.col("arm") == "treat").select(
+        F.col("n").alias("n1"), F.col("s1").alias("a1"), F.col("s2").alias("a2")
+    )
+    c = mom.where(F.col("arm") == "control").select(
+        F.col("n").alias("n2"), F.col("s1").alias("b1"), F.col("s2").alias("b2")
+    )
+    j = t.crossJoin(c)
+    m1 = F.col("a1").cast("double") / F.col("n1").cast("double")
+    m2 = F.col("b1").cast("double") / F.col("n2").cast("double")
+    # unbiased sample variance from exact moments: (n*S2 - S1^2)/(n*(n-1))
+    v1 = (
+        F.col("n1").cast("double") * F.col("a2").cast("double")
+        - F.col("a1").cast("double") * F.col("a1").cast("double")
+    ) / (F.col("n1") * (F.col("n1") - 1)).cast("double")
+    v2 = (
+        F.col("n2").cast("double") * F.col("b2").cast("double")
+        - F.col("b1").cast("double") * F.col("b1").cast("double")
+    ) / (F.col("n2") * (F.col("n2") - 1)).cast("double")
+    se1 = v1 / F.col("n1").cast("double")
+    se2 = v2 / F.col("n2").cast("double")
+    tstat = (m1 - m2) / F.sqrt(se1 + se2)
+    df = ((se1 + se2) * (se1 + se2)) / (
+        (se1 * se1) / (F.col("n1") - 1).cast("double")
+        + (se2 * se2) / (F.col("n2") - 1).cast("double")
+    )
+    return j.select(
+        F.col("n1").alias("n_treat"),
+        F.col("n2").alias("n_control"),
+        m1.alias("mean_treat"),
+        m2.alias("mean_control"),
+        tstat.alias("t_stat"),
+        df.alias("welch_df"),
+    )
+
+
+def _q_two_prop_z(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-proportion z-test on the purchase conversion rate between
+    the md5 arms: z = (p̂₁−p̂₂) / √(p̂(1−p̂)(1/n₁+1/n₂)) with the
+    pooled p̂ — the textbook launch-gate readout for binary metrics
+    (the parametric sibling of q308's SRM χ²). Successes and trials
+    are pure integers; the z epilogue is a fixed sequence of four
+    divisions and one sqrt. One fact scan, one 2-row reduce."""
+    ev = read_table(spark, sf, "events")
+    arm = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("zprop"), F.col("event_id").cast("string"))),
+            1,
+            8,
+        )
+        < _thr(0.5),
+        "treat",
+    ).otherwise("control")
+    base = ev.select(
+        arm.alias("arm"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("c"),
+    )
+    mom = base.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+    )
+    t = mom.where(F.col("arm") == "treat").select(
+        F.col("n").alias("n1"), F.col("s").alias("s1")
+    )
+    c = mom.where(F.col("arm") == "control").select(
+        F.col("n").alias("n2"), F.col("s").alias("s2")
+    )
+    j = t.crossJoin(c)
+    p1 = F.col("s1").cast("double") / F.col("n1").cast("double")
+    p2 = F.col("s2").cast("double") / F.col("n2").cast("double")
+    pp = (F.col("s1") + F.col("s2")).cast("double") / (
+        F.col("n1") + F.col("n2")
+    ).cast("double")
+    z = (p1 - p2) / F.sqrt(
+        pp
+        * (F.lit(1.0) - pp)
+        * (
+            F.lit(1.0) / F.col("n1").cast("double")
+            + F.lit(1.0) / F.col("n2").cast("double")
+        )
+    )
+    return j.select(
+        "n1",
+        "n2",
+        p1.alias("p_treat"),
+        p2.alias("p_control"),
+        z.alias("z_stat"),
+    )
+
+
+def _q_bland_altman(spark: SparkSession, sf: str) -> DataFrame:
+    """Bland–Altman agreement between the two independent measurements
+    of each order's value — the `o_totalprice` header field vs the
+    recomputed Σ extprice·(1−disc)·(1+tax) over its line items — the
+    measurement-comparison method (mean bias ± 1.96σ limits of
+    agreement) doubling as a cross-table reconciliation audit. Every
+    per-order diff is an exact decimal; the bias/LoA epilogue is a
+    fixed double sequence from exact decimal moments. The join is the
+    orders⋈lineitem spine on the natural key; moments reduce to one
+    row."""
+    o = read_table(spark, sf, "orders")
+    li = read_table(spark, sf, "lineitem")
+    charge = (
+        _dec("l_extendedprice")
+        * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount"))
+        * (F.lit(1).cast("decimal(12,2)") + _dec("l_tax"))
+    )
+    recomputed = li.groupBy("l_orderkey").agg(
+        F.sum(charge.cast(DEC)).alias("li_total")
+    )
+    j = o.select("o_orderkey", _dec("o_totalprice").alias("hdr")).join(
+        recomputed, o["o_orderkey"] == recomputed["l_orderkey"]
+    )
+    d = (F.col("hdr").cast(DEC) - F.col("li_total")).cast("decimal(18,6)")
+    mom = j.select(d.alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("d").cast(DEC)).alias("sd"),
+        # (18,6)^2 -> (37,12) exact; summed at (38,12) — no rounding cast
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+    )
+    bias = F.col("sd").cast("double") / F.col("n").cast("double")
+    var = (
+        F.col("n").cast("double") * F.col("sdd").cast("double")
+        - F.col("sd").cast("double") * F.col("sd").cast("double")
+    ) / (F.col("n") * (F.col("n") - 1)).cast("double")
+    sd = F.sqrt(var)
+    return mom.select(
+        "n",
+        bias.alias("bias"),
+        sd.alias("sd_diff"),
+        (bias - F.lit(1.96) * sd).alias("loa_low"),
+        (bias + F.lit(1.96) * sd).alias("loa_high"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -10647,6 +10811,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q365_negbin_fit": _q_negbin_fit,
         "q370_int8_quant": _q_int8_quant,
         "q371_mmr_rerank": _q_mmr_rerank,
+        "q372_welch_ttest": _q_welch_ttest,
+        "q373_two_prop_z": _q_two_prop_z,
+        "q374_bland_altman": _q_bland_altman,
         "q366_unit_value_index": _q_unit_value_index,
         "q367_record_days": _q_record_days,
         "q368_turning_points": _q_turning_points,
@@ -19119,5 +19286,120 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(step AS INT) AS step,
               CAST(vec_id AS BIGINT) AS vec_id, mmr_score
             FROM sel
+        """,
+        "q372_welch_ttest": f"""
+            WITH per_user AS (
+              SELECT
+                CASE WHEN substring(
+                    md5('welch' || CAST(user_id AS VARCHAR)), 1, 8)
+                  < '{_thr(0.5)}' THEN 'treat' ELSE 'control' END AS arm,
+                CAST(sum(CAST(value AS DECIMAL(38,6)))
+                  AS DECIMAL(19,2)) AS total
+              FROM events GROUP BY user_id
+            ),
+            mom AS (
+              SELECT arm, CAST(count(*) AS BIGINT) AS n,
+                sum(total) AS s1, sum(total * total) AS s2
+              FROM per_user GROUP BY arm
+            ),
+            j AS (
+              SELECT t.n AS n1, t.s1 AS a1, t.s2 AS a2,
+                     c.n AS n2, c.s1 AS b1, c.s2 AS b2
+              FROM (SELECT * FROM mom WHERE arm = 'treat') t,
+                   (SELECT * FROM mom WHERE arm = 'control') c
+            ),
+            e AS (
+              SELECT n1, n2,
+                CAST(a1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+                CAST(b1 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+                (CAST(n1 AS DOUBLE) * CAST(a2 AS DOUBLE)
+                  - CAST(a1 AS DOUBLE) * CAST(a1 AS DOUBLE))
+                  / CAST(n1 * (n1 - 1) AS DOUBLE)
+                  / CAST(n1 AS DOUBLE) AS se1,
+                (CAST(n2 AS DOUBLE) * CAST(b2 AS DOUBLE)
+                  - CAST(b1 AS DOUBLE) * CAST(b1 AS DOUBLE))
+                  / CAST(n2 * (n2 - 1) AS DOUBLE)
+                  / CAST(n2 AS DOUBLE) AS se2
+              FROM j
+            )
+            SELECT n1 AS n_treat, n2 AS n_control,
+              m1 AS mean_treat, m2 AS mean_control,
+              (m1 - m2) / sqrt(se1 + se2) AS t_stat,
+              ((se1 + se2) * (se1 + se2))
+                / ((se1 * se1) / CAST(n1 - 1 AS DOUBLE)
+                   + (se2 * se2) / CAST(n2 - 1 AS DOUBLE)) AS welch_df
+            FROM e
+        """,
+        "q373_two_prop_z": f"""
+            WITH base AS (
+              SELECT
+                CASE WHEN substring(
+                    md5('zprop' || CAST(event_id AS VARCHAR)), 1, 8)
+                  < '{_thr(0.5)}' THEN 'treat' ELSE 'control' END AS arm,
+                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS c
+              FROM events
+            ),
+            mom AS (
+              SELECT arm, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(c) AS BIGINT) AS s
+              FROM base GROUP BY arm
+            ),
+            j AS (
+              SELECT t.n AS n1, t.s AS s1, c.n AS n2, c.s AS s2
+              FROM (SELECT * FROM mom WHERE arm = 'treat') t,
+                   (SELECT * FROM mom WHERE arm = 'control') c
+            )
+            SELECT n1, n2,
+              CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p_treat,
+              CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p_control,
+              (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+              / sqrt(
+                  (CAST(s1 + s2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                  * (1.0 - CAST(s1 + s2 AS DOUBLE)
+                      / CAST(n1 + n2 AS DOUBLE))
+                  * (1.0 / CAST(n1 AS DOUBLE)
+                     + 1.0 / CAST(n2 AS DOUBLE))) AS z_stat
+            FROM j
+        """,
+        "q374_bland_altman": """
+            WITH recomputed AS (
+              SELECT l_orderkey,
+                sum(CAST(
+                  CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (CAST(1 AS DECIMAL(12,2))
+                     - CAST(l_discount AS DECIMAL(12,2)))
+                  * (CAST(1 AS DECIMAL(12,2))
+                     + CAST(l_tax AS DECIMAL(12,2)))
+                  AS DECIMAL(38,6))) AS li_total
+              FROM lineitem GROUP BY l_orderkey
+            ),
+            diffs AS (
+              SELECT CAST(
+                CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                  AS DECIMAL(38,6)) - li_total
+                AS DECIMAL(19,6)) AS d
+              FROM orders JOIN recomputed ON o_orderkey = l_orderkey
+            ),
+            mom AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                sum(CAST(d AS DECIMAL(38,6))) AS sd,
+                sum(d * d) AS sdd
+              FROM diffs
+            )
+            SELECT n,
+              CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) AS bias,
+              sqrt((CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+                - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))
+                / CAST(n * (n - 1) AS DOUBLE)) AS sd_diff,
+              CAST(sd AS DOUBLE) / CAST(n AS DOUBLE)
+                - 1.96 * sqrt((CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+                  - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))
+                  / CAST(n * (n - 1) AS DOUBLE)) AS loa_low,
+              CAST(sd AS DOUBLE) / CAST(n AS DOUBLE)
+                + 1.96 * sqrt((CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+                  - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))
+                  / CAST(n * (n - 1) AS DOUBLE)) AS loa_high
+            FROM mom
         """,
     }
