@@ -117,6 +117,14 @@ def test_no_accidental_cartesian_products(spark):
     # deliberate bounded replicate fan-out (50 broadcast bootstrap
     # replicates per row — the resampling semantics, not an accident)
     SKIP |= {"q283_half_sample_ci"}
+    # 1-row scalar broadcasts (pooled moments / per-side OLS lines /
+    # per-arm moment rows) and the 20-source × 10-token grid spine —
+    # all constant-cardinality report combines, same as q67/q166/q344
+    SKIP |= {"q355_cuped", "q360_rdd_cutoff", "q369_stylometric_z",
+             "q372_welch_ttest", "q373_two_prop_z", "q374_bland_altman"}
+    # rerank-stage pair frame over the ≤20-candidate checkpoint (the
+    # declared MMR semantics; candidates come from top-k retrieval)
+    SKIP |= {"q371_mmr_rerank"}
     qs = entrymod.queries()
     offenders = []
     for name, fn in qs.items():
