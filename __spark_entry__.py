@@ -671,8 +671,10 @@ def _daily_series(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_holt_forecast(spark: SparkSession, sf: str) -> DataFrame:
-    """7-step Holt forecast per user (reference T5/T7 done per-series;
-    no SQL oracle — invariants tested in tests/test_forecast.py)."""
+    """7-step Holt forecast per user (reference T5/T7 done per-series).
+    Oracle-gated: the smoothing recursion is replicated bit-for-bit by
+    a recursive CTE (models.py uses sequential folds precisely so a
+    SQL engine can reproduce it); invariants in tests/test_forecast.py."""
     daily = _daily_series(spark, sf)
     return fit_forecast(
         daily, series_keys=["user_id"], ts_col="day", value_col="value",
@@ -684,7 +686,9 @@ def _q_holt_winters(spark: SparkSession, sf: str) -> DataFrame:
     """7-step Holt-Winters additive (weekly seasonal) forecast per
     event type on the daily count series — the triple-smoothing
     extension of q24 (level + trend + period-7 seasonal states; ml/
-    models.py:holt_winters). No SQL oracle (sequential smoothing);
+    models.py:holt_winters). Oracle-gated: the triple-smoothing
+    recursion (including the seasonal-slot splice and the sequential
+    two-pass sigma) is replicated bit-for-bit by a recursive CTE;
     invariants in tests/test_forecast.py."""
     ev = read_table(spark, sf, "events")
     daily = ev.groupBy(
@@ -19401,5 +19405,144 @@ def oracle_sql() -> dict[str, str]:
                   - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))
                   / CAST(n * (n - 1) AS DOUBLE)) AS loa_high
             FROM mom
+        """,
+        # Replicates ml/models.py:holt bit-for-bit: the smoothing
+        # recursion advances one observation per recursive step with
+        # the SAME IEEE op order as the Python loop, and sigma is the
+        # same sequential two-pass fold (models.py deliberately avoids
+        # np.std's private pairwise accumulation for exactly this).
+        "q24_holt_forecast": """
+            WITH RECURSIVE daily AS (
+              SELECT user_id, CAST(ts AS DATE) AS day,
+                CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                  / count(value) AS v
+              FROM events GROUP BY 1, 2
+            ),
+            series AS (
+              SELECT user_id, list(v ORDER BY day) AS xs,
+                CAST(len(list(v ORDER BY day)) AS BIGINT) AS n
+              FROM daily GROUP BY user_id
+            ),
+            init AS (
+              SELECT user_id, xs, n, CAST(1 AS BIGINT) AS i,
+                xs[1] AS level, xs[2] - xs[1] AS trend,
+                CAST([] AS DOUBLE[]) AS resid
+              FROM series WHERE n >= 3
+            ),
+            rec AS (
+              SELECT * FROM init
+              UNION ALL
+              SELECT r.user_id, r.xs, r.n, r.i + 1,
+                t.nl,
+                0.1 * (t.nl - r.level) + 0.9 * r.trend,
+                list_append(r.resid, t.v - (r.level + r.trend))
+              FROM rec r,
+              LATERAL (
+                SELECT r.xs[CAST(r.i AS INT) + 1] AS v,
+                  0.3 * r.xs[CAST(r.i AS INT) + 1]
+                    + 0.7 * (r.level + r.trend) AS nl
+              ) t
+              WHERE r.i < r.n
+            ),
+            fin AS (
+              SELECT user_id, level, trend, resid,
+                list_reduce(resid, (a, b) -> a + b) / len(resid) AS m
+              FROM rec WHERE i = n
+            ),
+            sig AS (
+              SELECT user_id, level, trend,
+                sqrt(list_reduce(
+                  list_transform(resid, r -> (r - m) * (r - m)),
+                  (a, b) -> a + b) / len(resid)) AS sigma
+              FROM fin
+            ),
+            steps AS (SELECT unnest(range(1, 8)) AS k)
+            SELECT user_id, CAST(k AS INT) AS step,
+              level + CAST(k AS DOUBLE) * trend AS forecast,
+              (level + CAST(k AS DOUBLE) * trend)
+                - 1.96 * (sigma * sqrt(CAST(k AS DOUBLE))) AS lo,
+              (level + CAST(k AS DOUBLE) * trend)
+                + 1.96 * (sigma * sqrt(CAST(k AS DOUBLE))) AS hi
+            FROM sig, steps
+        """,
+        # Replicates ml/models.py:holt_winters bit-for-bit (level +
+        # trend + 7-day additive seasonal): init means are the same
+        # 7-element sequential sums, each recursive step applies the
+        # identical update order (resid uses the PRIOR state), and the
+        # seasonal slot update is a list splice. Verified exact at
+        # sf0.001/0.01.
+        "q300_holt_winters": """
+            WITH RECURSIVE daily AS (
+              SELECT event_type, date_trunc('day', ts) AS d,
+                CAST(count(*) AS DOUBLE) AS v
+              FROM events GROUP BY 1, 2
+            ),
+            series AS (
+              SELECT event_type, list(v ORDER BY d) AS xs,
+                CAST(len(list(v ORDER BY d)) AS BIGINT) AS n
+              FROM daily GROUP BY event_type
+            ),
+            init AS (
+              SELECT event_type, xs, n,
+                ((((((xs[1]+xs[2])+xs[3])+xs[4])+xs[5])+xs[6])+xs[7])
+                  / 7.0 AS level0
+              FROM series WHERE n >= 14
+            ),
+            init2 AS (
+              SELECT event_type, xs, n, level0,
+                (((((((xs[8]+xs[9])+xs[10])+xs[11])+xs[12])+xs[13])
+                   +xs[14]) / 7.0 - level0) / 7.0 AS trend0,
+                list_transform(xs[1:7], v -> v - level0) AS season0
+              FROM init
+            ),
+            rec AS (
+              SELECT event_type, xs, n, CAST(7 AS BIGINT) AS i,
+                level0 AS level, trend0 AS trend, season0 AS season,
+                CAST([] AS DOUBLE[]) AS resid
+              FROM init2
+              UNION ALL
+              SELECT r.event_type, r.xs, r.n, r.i + 1,
+                t.nl,
+                0.1 * (t.nl - r.level) + 0.9 * r.trend,
+                list_concat(list_concat(
+                  r.season[1:CAST(r.i % 7 AS INT)],
+                  [0.2 * (t.v - t.nl) + 0.8 * t.s]),
+                  r.season[CAST(r.i % 7 AS INT) + 2:7]),
+                list_append(r.resid,
+                  t.v - ((r.level + r.trend) + t.s))
+              FROM rec r,
+              LATERAL (
+                SELECT r.xs[CAST(r.i AS INT) + 1] AS v,
+                  r.season[CAST(r.i % 7 AS INT) + 1] AS s,
+                  0.3 * (r.xs[CAST(r.i AS INT) + 1]
+                         - r.season[CAST(r.i % 7 AS INT) + 1])
+                    + 0.7 * (r.level + r.trend) AS nl
+              ) t
+              WHERE r.i < r.n
+            ),
+            fin AS (
+              SELECT event_type, n, level, trend, season, resid,
+                list_reduce(resid, (a, b) -> a + b) / len(resid) AS m
+              FROM rec WHERE i = n
+            ),
+            sig AS (
+              SELECT event_type, n, level, trend, season,
+                sqrt(list_reduce(
+                  list_transform(resid, r -> (r - m) * (r - m)),
+                  (a, b) -> a + b) / len(resid)) AS sigma
+              FROM fin
+            ),
+            steps AS (SELECT unnest(range(1, 8)) AS k)
+            SELECT s.event_type, CAST(k AS INT) AS step,
+              (s.level + CAST(k AS DOUBLE) * s.trend)
+                + s.season[CAST((s.n + k - 1) % 7 AS INT) + 1]
+                AS forecast,
+              ((s.level + CAST(k AS DOUBLE) * s.trend)
+                + s.season[CAST((s.n + k - 1) % 7 AS INT) + 1])
+                - 1.96 * (s.sigma * sqrt(CAST(k AS DOUBLE))) AS lo,
+              ((s.level + CAST(k AS DOUBLE) * s.trend)
+                + s.season[CAST((s.n + k - 1) % 7 AS INT) + 1])
+                + 1.96 * (s.sigma * sqrt(CAST(k AS DOUBLE))) AS hi
+            FROM sig s, steps
         """,
     }

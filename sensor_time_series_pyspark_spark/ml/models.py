@@ -45,7 +45,20 @@ def holt(
         new_level = alpha * v + (1 - alpha) * (level + trend)
         trend = beta * (new_level - level) + (1 - beta) * trend
         level = new_level
-    sigma = float(np.std(resid)) if resid else 0.0
+    # sequential two-pass std (same engine-portability rationale as
+    # holt_winters below: np.std's pairwise accumulation order is not
+    # reproducible by a SQL fold; left-to-right is)
+    if resid:
+        m = 0.0
+        for r in resid:
+            m += r
+        m /= len(resid)
+        ss = 0.0
+        for r in resid:
+            ss += (r - m) * (r - m)
+        sigma = float(np.sqrt(ss / len(resid)))
+    else:
+        sigma = 0.0
     steps = np.arange(1, h + 1)
     fc = level + steps * trend
     se = sigma * np.sqrt(steps)
@@ -127,7 +140,22 @@ def holt_winters(
         trend = beta * (new_level - level) + (1 - beta) * trend
         season[i % period] = gamma * (v - new_level) + (1 - gamma) * s
         level = new_level
-    sigma = float(np.std(resid)) if resid else 0.0
+    # population std via explicit SEQUENTIAL two-pass folds (not
+    # np.std, whose 8-way-unrolled pairwise summation is a private
+    # accumulation order): left-to-right sums are reproducible by any
+    # engine's sequential fold, which is what lets the q300 oracle
+    # replicate this recursion bit-for-bit in a recursive CTE.
+    if resid:
+        m = 0.0
+        for r in resid:
+            m += r
+        m /= len(resid)
+        ss = 0.0
+        for r in resid:
+            ss += (r - m) * (r - m)
+        sigma = float(np.sqrt(ss / len(resid)))
+    else:
+        sigma = 0.0
     steps = np.arange(1, h + 1)
     n = len(x)
     fc = np.array(
