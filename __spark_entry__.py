@@ -2534,8 +2534,10 @@ def _q_swinging_door(spark: SparkSession, sf: str) -> DataFrame:
     """Swinging-door trending compression (operators/compress.py:
     swinging_door_compress) — the slope-tracking historian rule
     (PI compression deviation): minimal kept points with linear
-    reconstruction within ±ε. Rows-only: the pivot recursion has no
-    tractable SQL twin; the reconstruction-error bound is tested."""
+    reconstruction within ±ε. Oracle-gated: the corridor recursion
+    (slope bounds, collapse-and-restart, duplicate-timestamp branch)
+    is replicated bit-for-bit by a recursive CTE; the reconstruction-
+    error bound is additionally tested."""
     from sensor_time_series_pyspark_spark.operators import swinging_door_compress
 
     ev = read_table(spark, sf, "events")
@@ -19405,6 +19407,75 @@ def oracle_sql() -> dict[str, str]:
                   - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))
                   / CAST(n * (n - 1) AS DOUBLE)) AS loa_high
             FROM mom
+        """,
+        "q143_swinging_door": """
+            WITH RECURSIVE base AS (
+              SELECT user_id,
+                list(ts ORDER BY ts, value) AS tsl,
+                list(CAST(epoch_ns(ts) AS DOUBLE) / 1e9 ORDER BY ts, value) AS tl,
+                list(value ORDER BY ts, value) AS vl,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY user_id
+            ),
+            rec AS (
+              SELECT user_id, tsl, tl, vl, n,
+                CAST(1 AS BIGINT) AS i, CAST(1 AS BIGINT) AS a,
+                CAST(1 AS BIGINT) AS prev,
+                CAST('-infinity' AS DOUBLE) AS lo,
+                CAST('infinity' AS DOUBLE) AS hi,
+                [CAST(1 AS BIGINT)] AS kept
+              FROM base WHERE n > 0
+              UNION ALL
+              SELECT r.user_id, r.tsl, r.tl, r.vl, r.n,
+                r.i + 1,
+                CASE WHEN t.dt <= 0 THEN
+                       CASE WHEN abs(t.v - t.va) > 10.0 THEN r.prev ELSE r.a END
+                     WHEN t.lo1 > t.hi1 THEN r.prev
+                     ELSE r.a END,
+                r.i + 1,
+                CASE WHEN t.dt <= 0 THEN
+                       CASE WHEN abs(t.v - t.va) > 10.0
+                            THEN CAST('-infinity' AS DOUBLE) ELSE r.lo END
+                     WHEN t.lo1 > t.hi1 THEN
+                       CASE WHEN t.dt2 > 0
+                            THEN (t.v - 10.0 - t.vprev) / t.dt2
+                            ELSE CAST('-infinity' AS DOUBLE) END
+                     ELSE t.lo1 END,
+                CASE WHEN t.dt <= 0 THEN
+                       CASE WHEN abs(t.v - t.va) > 10.0
+                            THEN CAST('infinity' AS DOUBLE) ELSE r.hi END
+                     WHEN t.lo1 > t.hi1 THEN
+                       CASE WHEN t.dt2 > 0
+                            THEN (t.v + 10.0 - t.vprev) / t.dt2
+                            ELSE CAST('infinity' AS DOUBLE) END
+                     ELSE t.hi1 END,
+                CASE WHEN (t.dt <= 0 AND abs(t.v - t.va) > 10.0)
+                       OR (t.dt > 0 AND t.lo1 > t.hi1)
+                     THEN list_append(r.kept, r.prev) ELSE r.kept END
+              FROM rec r,
+              LATERAL (
+                SELECT
+                  r.vl[CAST(r.i AS INT) + 1] AS v,
+                  r.vl[CAST(r.a AS INT)] AS va,
+                  r.vl[CAST(r.prev AS INT)] AS vprev,
+                  r.tl[CAST(r.i AS INT) + 1] - r.tl[CAST(r.a AS INT)] AS dt,
+                  r.tl[CAST(r.i AS INT) + 1] - r.tl[CAST(r.prev AS INT)] AS dt2,
+                  greatest(r.lo, (r.vl[CAST(r.i AS INT) + 1] - 10.0
+                                  - r.vl[CAST(r.a AS INT)])
+                    / (r.tl[CAST(r.i AS INT) + 1] - r.tl[CAST(r.a AS INT)])) AS lo1,
+                  least(r.hi, (r.vl[CAST(r.i AS INT) + 1] + 10.0
+                               - r.vl[CAST(r.a AS INT)])
+                    / (r.tl[CAST(r.i AS INT) + 1] - r.tl[CAST(r.a AS INT)])) AS hi1
+              ) t
+              WHERE r.i < r.n
+            ),
+            fin AS (
+              SELECT user_id, tsl, vl,
+                list_distinct(list_append(kept, n)) AS kept
+              FROM rec WHERE i = n
+            )
+            SELECT user_id, tsl[CAST(k AS INT)] AS ts, vl[CAST(k AS INT)] AS value
+            FROM fin, unnest(kept) AS u(k)
         """,
         # Replicates ml/models.py:holt bit-for-bit: the smoothing
         # recursion advances one observation per recursive step with
