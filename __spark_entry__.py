@@ -2098,8 +2098,11 @@ def _q_dtw_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """DTW distance between every pair of per-event-type resampled
     series (operators/dtw.py): resample-first keeps the Python kernel
     bounded; the DP runs in one Arrow-batched pandas UDF over
-    broadcast-joined series arrays. Rows-only: elastic alignment has no
-    SQL twin; exactness is pinned by reference-DP tests."""
+    broadcast-joined series arrays. Oracle-gated: the banded DP is
+    replicated cell-for-cell by a recursive CTE (one matrix row per
+    recursive step; the within-row scan is a seeded list_reduce fold),
+    so even the elastic alignment is hash-checked; reference-DP tests
+    pin the kernel besides."""
     from sensor_time_series_pyspark_spark.operators import dtw_pairs
 
     ev = read_table(spark, sf, "events")
@@ -19476,6 +19479,76 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, tsl[CAST(k AS INT)] AS ts, vl[CAST(k AS INT)] AS value
             FROM fin, unnest(kept) AS u(k)
+        """,
+        "q124_dtw_pairs": """
+            WITH RECURSIVE series AS (
+              SELECT event_type AS k,
+                list(v ORDER BY bucket) AS vs,
+                CAST(len(list(v ORDER BY bucket)) AS BIGINT) AS n
+              FROM (
+                SELECT event_type,
+                  time_bucket(INTERVAL 30 MINUTE, ts) AS bucket,
+                  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                    / count(value) AS v
+                FROM events GROUP BY 1, 2
+              ) GROUP BY event_type
+            ),
+            pairs AS (
+              SELECT a.k AS key_a, b.k AS key_b,
+                a.vs AS va, b.vs AS vb, a.n AS na, b.n AS nb,
+                greatest(48, abs(a.n - b.n)) AS w
+              FROM series a JOIN series b ON a.k < b.k
+            ),
+            -- the banded DP advances ONE row of the cost matrix per
+            -- recursive step; the within-row left-to-right dependency
+            -- (cur[j-1]) is a list_reduce fold seeded with an empty
+            -- DOUBLE[] — the same cell-evaluation order as the numpy
+            -- kernel in operators/dtw.py:_dtw_kernel
+            dp AS (
+              SELECT key_a, key_b, va, vb, na, nb, w,
+                CAST(0 AS BIGINT) AS i,
+                list_concat([CAST(0 AS DOUBLE)],
+                  list_transform(range(CAST(nb AS INT)),
+                    x -> CAST('infinity' AS DOUBLE))) AS prev
+              FROM pairs
+              UNION ALL
+              SELECT d.key_a, d.key_b, d.va, d.vb, d.na, d.nb, d.w,
+                d.i + 1,
+                CASE WHEN t.lo > t.hi THEN d.prev
+                ELSE
+                  list_concat(list_concat(
+                    list_transform(range(CAST(t.lo AS INT)),
+                      x -> CAST('infinity' AS DOUBLE)),
+                    list_reduce(
+                      list_concat(
+                        [CAST([] AS DOUBLE[])],
+                        list_transform(
+                          range(CAST(t.lo AS INT),
+                                CAST(t.hi AS INT) + 1),
+                          j -> [CAST(j AS DOUBLE)])),
+                      (acc, jl) -> list_append(acc,
+                        abs(t.ai - d.vb[CAST(jl[1] AS INT)])
+                        + least(
+                            d.prev[CAST(jl[1] AS INT) + 1],
+                            CASE WHEN len(acc) = 0
+                                 THEN CAST('infinity' AS DOUBLE)
+                                 ELSE acc[len(acc)] END,
+                            d.prev[CAST(jl[1] AS INT)])))),
+                    list_transform(range(CAST(d.nb - t.hi AS INT)),
+                      x -> CAST('infinity' AS DOUBLE)))
+                END
+              FROM dp d,
+              LATERAL (
+                SELECT greatest(1, d.i + 1 - d.w) AS lo,
+                  least(d.nb, d.i + 1 + d.w) AS hi,
+                  d.va[CAST(d.i AS INT) + 1] AS ai
+              ) t
+              WHERE d.i < d.na
+            )
+            SELECT key_a, key_b, CAST(na AS INT) AS n_a,
+              CAST(nb AS INT) AS n_b,
+              prev[CAST(nb AS INT) + 1] AS dtw
+            FROM dp WHERE i = na
         """,
         # Replicates ml/models.py:holt bit-for-bit: the smoothing
         # recursion advances one observation per recursive step with
