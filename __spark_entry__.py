@@ -10452,6 +10452,206 @@ def _q_bland_altman(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_tanimoto_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted-Jaccard (Tanimoto) similarity between the 10 most
+    active users' event-type COUNT vectors: Σ min(cA,cB) / Σ max(cA,cB)
+    — the multiset upgrade of set Jaccard (q19) that sees *how much*
+    behavior overlaps, not just *whether*. The five event types are a
+    FIXED vocabulary, so each user pivots to a 5-slot integer vector
+    in one conditional aggregate and every pair score is a ratio of
+    two small integer sums — engine-exact with ONE division. The pair
+    frame is top-k² (bounded by construction, like every rerank)."""
+    ev = read_table(spark, sf, "events")
+    counts = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        *[
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"c_{t}")
+            for t in EVENT_TYPES
+        ],
+    )
+    top = counts.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("n_events").desc(), F.col("user_id").asc()))
+        .alias("rk"),
+    ).where(F.col("rk") <= 10)
+    a = top.select(
+        F.col("user_id").alias("user_a"),
+        *[F.col(f"c_{t}").alias(f"a_{t}") for t in EVENT_TYPES],
+    )
+    b = top.select(
+        F.col("user_id").alias("user_b"),
+        *[F.col(f"c_{t}").alias(f"b_{t}") for t in EVENT_TYPES],
+    )
+    pairs = a.join(b, a["user_a"] < b["user_b"])
+    num = sum(
+        (F.least(F.col(f"a_{t}"), F.col(f"b_{t}")) for t in EVENT_TYPES),
+        F.lit(0),
+    )
+    den = sum(
+        (F.greatest(F.col(f"a_{t}"), F.col(f"b_{t}")) for t in EVENT_TYPES),
+        F.lit(0),
+    )
+    return pairs.select(
+        "user_a",
+        "user_b",
+        num.cast("bigint").alias("overlap"),
+        den.cast("bigint").alias("union_size"),
+        (num.cast("double") / den.cast("double")).alias("tanimoto"),
+    )
+
+
+def _q_cold_start(spark: SparkSession, sf: str) -> DataFrame:
+    """Cold-start audit for a temporally-split recommender dataset:
+    what share of test-period (second half) users — and (user, type)
+    interaction pairs — never appear in the train period? The number
+    that decides whether offline metrics mean anything. Two anti-join
+    cardinalities over the distinct-key frames; pure integers with two
+    final divisions. At scale both distinct frames are key-partitioned
+    aggregates, and the anti joins are broadcast (train key sets are
+    the smaller, bounded side after dedup)."""
+    ev = read_table(spark, sf, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    train_u = ev.where(F.col("ts") < cut).select("user_id").distinct()
+    test_u = ev.where(F.col("ts") >= cut).select("user_id").distinct()
+    cold_u = test_u.join(train_u, "user_id", "left_anti")
+    train_p = (
+        ev.where(F.col("ts") < cut).select("user_id", "event_type").distinct()
+    )
+    test_p = (
+        ev.where(F.col("ts") >= cut).select("user_id", "event_type").distinct()
+    )
+    cold_p = test_p.join(train_p, ["user_id", "event_type"], "left_anti")
+    r = (
+        test_u.agg(F.count(F.lit(1)).cast("bigint").alias("n_test_users"))
+        .crossJoin(
+            cold_u.agg(F.count(F.lit(1)).cast("bigint").alias("n_cold_users"))
+        )
+        .crossJoin(
+            test_p.agg(F.count(F.lit(1)).cast("bigint").alias("n_test_pairs"))
+        )
+        .crossJoin(
+            cold_p.agg(F.count(F.lit(1)).cast("bigint").alias("n_cold_pairs"))
+        )
+    )
+    return r.select(
+        "n_test_users",
+        "n_cold_users",
+        (
+            F.col("n_cold_users").cast("double")
+            / F.col("n_test_users").cast("double")
+        ).alias("user_cold_share"),
+        "n_test_pairs",
+        "n_cold_pairs",
+        (
+            F.col("n_cold_pairs").cast("double")
+            / F.col("n_test_pairs").cast("double")
+        ).alias("pair_cold_share"),
+    )
+
+
+def _q_stump_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Decision-stump split finder in pure relational algebra: for
+    each decile of `value` as a candidate threshold, the weighted
+    Gini impurity of the (value ≤ c) split against the is-purchase
+    label — the CART first-split computation, exact. The per-side
+    impurity uses the rational identity n·g = 2k(n−k)/n, so each
+    candidate's score is TWO divisions of exact integers added in a
+    fixed order; the winner is flagged with a window min (double
+    comparisons of identical values agree everywhere). One pass
+    computes all candidates: the 9-row decile frame broadcast-joins
+    the fact and a conditional aggregate scores every split at once."""
+    ev = read_table(spark, sf, "events")
+    cand = ev.agg(
+        *[
+            F.expr(
+                f"percentile_disc({i / 10}) WITHIN GROUP (ORDER BY value)"
+            ).alias(f"d{i}")
+            for i in range(1, 10)
+        ]
+    ).select(
+        F.explode(
+            F.array(*[F.col(f"d{i}") for i in range(1, 10)])
+        ).alias("threshold")
+    )
+    y = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    j = ev.select(F.col("value"), y.alias("y")).crossJoin(F.broadcast(cand))
+    per_c = j.groupBy("threshold").agg(
+        F.sum(F.when(F.col("value") <= F.col("threshold"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_l"),
+        F.sum(
+            F.when(F.col("value") <= F.col("threshold"), F.col("y")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("k_l"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("k"),
+    )
+    n_r = F.col("n") - F.col("n_l")
+    k_r = F.col("k") - F.col("k_l")
+    g = (
+        (2 * F.col("k_l") * (F.col("n_l") - F.col("k_l"))).cast("double")
+        / F.col("n_l").cast("double")
+        + (2 * k_r * (n_r - k_r)).cast("double") / n_r.cast("double")
+    )
+    scored = per_c.select(
+        "threshold",
+        "n_l",
+        n_r.cast("bigint").alias("n_r"),
+        g.alias("gini_weighted"),
+    )
+    wbest = Window.partitionBy()
+    return scored.select(
+        "*",
+        (
+            F.col("gini_weighted") == F.min("gini_weighted").over(wbest)
+        ).alias("is_best"),
+    )
+
+
+def _q_quantile_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile normalization of the 10 most active users' daily
+    count series (the microarray/feature-scaling classic): rank days
+    within each user, average the counts AT EACH RANK across users,
+    and replace every user's value with the reference profile at its
+    rank — afterwards every user has an identical distribution. Ranks
+    are total-ordered (count, then day); the reference profile is an
+    exact-integer sum with ONE division per rank. Shape: day-grain
+    aggregate → one rank window per user → tiny per-rank aggregate
+    joined back (broadcast)."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = daily.groupBy("user_id").agg(
+        F.sum("n").cast("bigint").alias("tot")
+    )
+    top = tot.select(
+        "user_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("tot").desc(), F.col("user_id").asc()))
+        .alias("rk"),
+    ).where(F.col("rk") <= 10).select("user_id")
+    base = daily.join(F.broadcast(top), "user_id")
+    wr = Window.partitionBy("user_id").orderBy(
+        F.col("n").asc(), F.col("d").asc()
+    )
+    ranked = base.select(
+        "user_id", "d", "n", F.row_number().over(wr).cast("bigint").alias("r")
+    )
+    ref = ranked.groupBy("r").agg(
+        (
+            F.sum("n").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("ref_value")
+    )
+    return ranked.join(F.broadcast(ref), "r").select(
+        "user_id", "d", "n", "r", "ref_value"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -10823,6 +11023,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q372_welch_ttest": _q_welch_ttest,
         "q373_two_prop_z": _q_two_prop_z,
         "q374_bland_altman": _q_bland_altman,
+        "q375_tanimoto_users": _q_tanimoto_users,
+        "q376_cold_start": _q_cold_start,
+        "q377_stump_split": _q_stump_split,
+        "q378_quantile_normalize": _q_quantile_normalize,
         "q366_unit_value_index": _q_unit_value_index,
         "q367_record_days": _q_record_days,
         "q368_turning_points": _q_turning_points,
@@ -19410,6 +19614,160 @@ def oracle_sql() -> dict[str, str]:
                   - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))
                   / CAST(n * (n - 1) AS DOUBLE)) AS loa_high
             FROM mom
+        """,
+        "q375_tanimoto_users": """
+            WITH counts AS (
+              SELECT user_id,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                  END) AS BIGINT) AS c_click,
+                CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+                  END) AS BIGINT) AS c_view,
+                CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+                  ELSE 0 END) AS BIGINT) AS c_purchase,
+                CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0
+                  END) AS BIGINT) AS c_signup,
+                CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                  END) AS BIGINT) AS c_error
+              FROM events GROUP BY user_id
+            ),
+            top AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (
+                  ORDER BY n_events DESC, user_id ASC) AS rk
+                FROM counts
+              ) WHERE rk <= 10
+            )
+            SELECT a.user_id AS user_a, b.user_id AS user_b,
+              CAST(least(a.c_click, b.c_click)
+                + least(a.c_view, b.c_view)
+                + least(a.c_purchase, b.c_purchase)
+                + least(a.c_signup, b.c_signup)
+                + least(a.c_error, b.c_error) AS BIGINT) AS overlap,
+              CAST(greatest(a.c_click, b.c_click)
+                + greatest(a.c_view, b.c_view)
+                + greatest(a.c_purchase, b.c_purchase)
+                + greatest(a.c_signup, b.c_signup)
+                + greatest(a.c_error, b.c_error) AS BIGINT)
+                AS union_size,
+              CAST(least(a.c_click, b.c_click)
+                + least(a.c_view, b.c_view)
+                + least(a.c_purchase, b.c_purchase)
+                + least(a.c_signup, b.c_signup)
+                + least(a.c_error, b.c_error) AS DOUBLE)
+              / CAST(greatest(a.c_click, b.c_click)
+                + greatest(a.c_view, b.c_view)
+                + greatest(a.c_purchase, b.c_purchase)
+                + greatest(a.c_signup, b.c_signup)
+                + greatest(a.c_error, b.c_error) AS DOUBLE)
+                AS tanimoto
+            FROM top a JOIN top b ON a.user_id < b.user_id
+        """,
+        "q376_cold_start": """
+            WITH train_u AS (
+              SELECT DISTINCT user_id FROM events
+              WHERE ts < TIMESTAMP '2024-01-16'
+            ),
+            test_u AS (
+              SELECT DISTINCT user_id FROM events
+              WHERE ts >= TIMESTAMP '2024-01-16'
+            ),
+            train_p AS (
+              SELECT DISTINCT user_id, event_type FROM events
+              WHERE ts < TIMESTAMP '2024-01-16'
+            ),
+            test_p AS (
+              SELECT DISTINCT user_id, event_type FROM events
+              WHERE ts >= TIMESTAMP '2024-01-16'
+            ),
+            agg AS (
+              SELECT
+                (SELECT CAST(count(*) AS BIGINT) FROM test_u)
+                  AS n_test_users,
+                (SELECT CAST(count(*) AS BIGINT) FROM test_u t
+                 WHERE NOT EXISTS (SELECT 1 FROM train_u r
+                   WHERE r.user_id = t.user_id)) AS n_cold_users,
+                (SELECT CAST(count(*) AS BIGINT) FROM test_p)
+                  AS n_test_pairs,
+                (SELECT CAST(count(*) AS BIGINT) FROM test_p t
+                 WHERE NOT EXISTS (SELECT 1 FROM train_p r
+                   WHERE r.user_id = t.user_id
+                     AND r.event_type = t.event_type)) AS n_cold_pairs
+            )
+            SELECT n_test_users, n_cold_users,
+              CAST(n_cold_users AS DOUBLE) / CAST(n_test_users AS DOUBLE)
+                AS user_cold_share,
+              n_test_pairs, n_cold_pairs,
+              CAST(n_cold_pairs AS DOUBLE) / CAST(n_test_pairs AS DOUBLE)
+                AS pair_cold_share
+            FROM agg
+        """,
+        "q377_stump_split": """
+            WITH cand AS (
+              SELECT unnest([
+                quantile_disc(value, 0.1), quantile_disc(value, 0.2),
+                quantile_disc(value, 0.3), quantile_disc(value, 0.4),
+                quantile_disc(value, 0.5), quantile_disc(value, 0.6),
+                quantile_disc(value, 0.7), quantile_disc(value, 0.8),
+                quantile_disc(value, 0.9)]) AS threshold
+              FROM events
+            ),
+            per_c AS (
+              SELECT threshold,
+                CAST(sum(CASE WHEN value <= threshold THEN 1 ELSE 0
+                  END) AS BIGINT) AS n_l,
+                CAST(sum(CASE WHEN value <= threshold
+                  AND event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k_l,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+                  ELSE 0 END) AS BIGINT) AS k
+              FROM events, cand
+              GROUP BY threshold
+            ),
+            scored AS (
+              SELECT threshold, n_l,
+                CAST(n - n_l AS BIGINT) AS n_r,
+                CAST(2 * k_l * (n_l - k_l) AS DOUBLE)
+                  / CAST(n_l AS DOUBLE)
+                + CAST(2 * (k - k_l) * ((n - n_l) - (k - k_l))
+                    AS DOUBLE) / CAST(n - n_l AS DOUBLE)
+                  AS gini_weighted
+              FROM per_c
+            )
+            SELECT threshold, n_l, n_r, gini_weighted,
+              gini_weighted = min(gini_weighted) OVER () AS is_best
+            FROM scored
+        """,
+        "q378_quantile_normalize": """
+            WITH daily AS (
+              SELECT user_id, date_trunc('day', ts) AS d,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            top AS (
+              SELECT user_id FROM (
+                SELECT user_id,
+                  row_number() OVER (
+                    ORDER BY sum(n) DESC, user_id ASC) AS rk
+                FROM daily GROUP BY user_id
+              ) WHERE rk <= 10
+            ),
+            ranked AS (
+              SELECT d.user_id, d.d, d.n,
+                CAST(row_number() OVER (PARTITION BY d.user_id
+                  ORDER BY d.n ASC, d.d ASC) AS BIGINT) AS r
+              FROM daily d JOIN top USING (user_id)
+            ),
+            ref AS (
+              SELECT r,
+                CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                  AS ref_value
+              FROM ranked GROUP BY r
+            )
+            SELECT ranked.user_id, ranked.d, ranked.n, ranked.r,
+              ref.ref_value
+            FROM ranked JOIN ref USING (r)
         """,
         "q143_swinging_door": """
             WITH RECURSIVE base AS (

@@ -125,6 +125,10 @@ def test_no_accidental_cartesian_products(spark):
     # rerank-stage pair frame over the ≤20-candidate checkpoint (the
     # declared MMR semantics; candidates come from top-k retrieval)
     SKIP |= {"q371_mmr_rerank"}
+    # top-10² theta pair frame (q375), four 1-row count combines
+    # (q376), and the 9-row decile-threshold broadcast fan-out (q377)
+    # — constant-cardinality by construction
+    SKIP |= {"q375_tanimoto_users", "q376_cold_start", "q377_stump_split"}
     qs = entrymod.queries()
     offenders = []
     for name, fn in qs.items():
