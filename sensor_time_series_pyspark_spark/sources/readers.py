@@ -179,6 +179,59 @@ def read_any(
     return reader.load(path)
 
 
+def read_binary_blobs(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Opaque-blob ingestion via Spark's ``binaryFile`` source — the
+    entry seam for multimodal corpora (images/audio/video land as
+    ``content: binary`` plus path/size/mtime metadata, the schema the
+    operators/multimodal.py decode plumbing consumes).
+
+    ``glob`` maps to ``pathGlobFilter`` (evaluated at LISTING time, so
+    non-matching files are never opened); ``max_bytes`` adds a length
+    filter — both prune BEFORE bytes move, which is the entire game at
+    100 TB of media. Each file is one row; Spark parallelizes at file
+    granularity, so shard media into many objects upstream (the
+    standard lakehouse layout) rather than a few giant archives.
+
+    Output: path, modificationTime, length, content.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.where(F.col("length") <= max_bytes)
+    return df
+
+
+def read_text_lines(
+    spark: SparkSession,
+    path: str,
+    whole_file: bool = False,
+    line_sep: str | None = None,
+) -> DataFrame:
+    """Raw-text corpus ingestion via the ``text`` source: one row per
+    line (default) or per file (``whole_file`` — the document-per-file
+    corpus layout). ``line_sep`` overrides the newline delimiter for
+    record-separated exports. The reader stays splittable in line mode
+    (big files fan out across tasks); whole-file mode parallelizes per
+    file like ``binaryFile``.
+
+    Output: value (string) — rename/parse downstream
+    (functions/text.py tokenizes, operators/dedup.py fingerprints).
+    """
+    reader = spark.read.format("text")
+    if whole_file:
+        reader = reader.option("wholetext", "true")
+    if line_sep is not None:
+        reader = reader.option("lineSep", line_sep)
+    return reader.load(path)
+
+
 def flatten_nested(df: DataFrame, sep: str = "_", max_depth: int = 10) -> DataFrame:
     """Recursively flatten struct columns into top-level columns
     (``a.b.c`` → ``a_b_c``) — the standard first step after reading

@@ -312,3 +312,34 @@ def test_flatten_nested_structs(spark):
     row = out.collect()[0]
     assert row["s_b_c"] == 2 and row["s_b_d"] == "x" and row["s_e"] == 3
     assert row["arr"] == [1, 2]
+
+
+def test_read_binary_blobs(spark, tmp_path):
+    """binaryFile ingestion: glob prunes at listing time, max_bytes
+    filters on the metadata column, content round-trips bytes."""
+    from sensor_time_series_pyspark_spark.sources import read_binary_blobs
+
+    (tmp_path / "a.img").write_bytes(b"\x89IMG" + b"x" * 10)
+    (tmp_path / "b.img").write_bytes(b"\x89IMG" + b"y" * 500)
+    (tmp_path / "c.txt").write_bytes(b"not media")
+    df = read_binary_blobs(spark, str(tmp_path), glob="*.img")
+    rows = {r["path"].split("/")[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.img", "b.img"}
+    assert bytes(rows["a.img"]["content"]) == b"\x89IMG" + b"x" * 10
+    assert rows["b.img"]["length"] == 504
+    small = read_binary_blobs(spark, str(tmp_path), glob="*.img", max_bytes=100)
+    assert [r["path"].split("/")[-1] for r in small.collect()] == ["a.img"]
+
+
+def test_read_text_lines(spark, tmp_path):
+    """text source: line mode splits, wholetext keeps one row per doc."""
+    from sensor_time_series_pyspark_spark.sources import read_text_lines
+
+    (tmp_path / "d1.txt").write_text("alpha\nbeta\n")
+    (tmp_path / "d2.txt").write_text("gamma\n")
+    lines = read_text_lines(spark, str(tmp_path))
+    assert sorted(r["value"] for r in lines.collect()) == [
+        "alpha", "beta", "gamma"]
+    docs = read_text_lines(spark, str(tmp_path), whole_file=True)
+    vals = sorted(r["value"] for r in docs.collect())
+    assert vals == ["alpha\nbeta\n", "gamma\n"]
