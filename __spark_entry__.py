@@ -10652,6 +10652,184 @@ def _q_quantile_normalize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_price_endings(spark: SparkSession, sf: str) -> DataFrame:
+    """Price-ending histogram: the cents digit-pair of every part's
+    retail price (p mod 1.00), with share — the pricing-psychology /
+    data-provenance screen (human-set catalogs pile up on .99/.95/.00;
+    a uniform spread says generated or converted-from-another-currency
+    data). Cents are recovered EXACTLY via the scaled-long trick (q01)
+    so the bucket is a pure integer mod; one division for the share."""
+    p = read_table(spark, sf, "part")
+    cents = (
+        (F.col("p_retailprice") * 100 + F.lit(0.5)).cast("long") % 100
+    ).alias("cents")
+    counts = p.select(cents).groupBy("cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wall = Window.partitionBy()
+    return counts.select(
+        "cents",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wall).cast("double"))
+        .alias("share"),
+    )
+
+
+def _q_item_cf(spark: SparkSession, sf: str) -> DataFrame:
+    """Item-based collaborative filtering similarities: cosine between
+    the top-20 parts' customer-interaction vectors (who bought what,
+    from the orders⋈lineitem spine) — the classic "customers who
+    bought X also bought Y" precompute. Co-occurrence counts and
+    per-item degrees are pure integers off ONE two-hop self-join
+    through the shared customer (q-graph shape: never all-pairs over
+    the catalog — the top-k frame bounds the pair space); cosine =
+    co/(√dA·√dB) is a fixed three-op epilogue. Output keeps pairs with
+    co-support ≥ 2 (the noise floor every CF system applies)."""
+    li = read_table(spark, sf, "lineitem")
+    o = read_table(spark, sf, "orders")
+    ui = (
+        li.join(o.select("o_orderkey", "o_custkey"),
+                li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    deg = ui.groupBy("item").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    top = deg.select(
+        "item",
+        "d",
+        F.row_number()
+        .over(Window.orderBy(F.col("d").desc(), F.col("item").asc()))
+        .alias("rk"),
+    ).where(F.col("rk") <= 20).select("item", "d")
+    fact = ui.join(F.broadcast(top.select("item")), "item")
+    a = fact.select(F.col("cust"), F.col("item").alias("ia"))
+    b = fact.select(F.col("cust").alias("cust2"), F.col("item").alias("ib"))
+    co = (
+        a.join(b, (a["cust"] == b["cust2"]) & (a["ia"] < b["ib"]))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("co"))
+        .where(F.col("co") >= 2)
+    )
+    j = (
+        co.join(F.broadcast(top.select(F.col("item").alias("ia"),
+                                       F.col("d").alias("da"))), "ia")
+        .join(F.broadcast(top.select(F.col("item").alias("ib"),
+                                     F.col("d").alias("db"))), "ib")
+    )
+    return j.select(
+        "ia",
+        "ib",
+        "co",
+        "da",
+        "db",
+        (
+            F.col("co").cast("double")
+            / (F.sqrt(F.col("da").cast("double"))
+               * F.sqrt(F.col("db").cast("double")))
+        ).alias("cosine"),
+    )
+
+
+def _q_nrr(spark: SparkSession, sf: str) -> DataFrame:
+    """Net revenue retention by month: revenue this month FROM
+    customers who also bought last month, over last month's total —
+    the SaaS-board expansion/contraction metric, cohort-free. Both
+    numerator and denominator are exact decimal sums; the customer
+    month-over-month membership is one self-join of the (customer,
+    month) aggregate with a month-arithmetic key (no window, no
+    fact-to-fact join). One division per month row."""
+    o = read_table(spark, sf, "orders")
+    cm = o.groupBy(
+        F.col("o_custkey").alias("cust"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("mon"),
+    ).agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev"))
+    prev = cm.select(
+        F.col("cust").alias("p_cust"),
+        F.add_months(F.col("mon"), 1).alias("p_next"),
+        F.col("rev").alias("prev_rev"),
+    )
+    retained = cm.join(
+        prev,
+        (cm["cust"] == prev["p_cust"]) & (cm["mon"] == prev["p_next"]),
+    )
+    num = retained.groupBy("mon").agg(
+        F.sum("rev").alias("retained_rev"),
+        F.count(F.lit(1)).cast("bigint").alias("n_retained_cust"),
+    )
+    den = cm.groupBy(F.add_months(F.col("mon"), 1).alias("mon")).agg(
+        F.sum("rev").alias("prev_total"),
+    )
+    j = num.join(den, "mon")
+    return j.select(
+        "mon",
+        "n_retained_cust",
+        F.col("retained_rev").cast("double").alias("retained_rev"),
+        F.col("prev_total").cast("double").alias("prev_total"),
+        (
+            F.col("retained_rev").cast("double")
+            / F.col("prev_total").cast("double")
+        ).alias("nrr"),
+    )
+
+
+def _q_pvm_bridge(spark: SparkSession, sf: str) -> DataFrame:
+    """Price-volume-mix bridge per brand between the first and last
+    full ship-month: ΔRevenue decomposed into price effect
+    (Δp̄·q₀), volume effect (p̄₀·Δq) and the joint term (Δp̄·Δq) —
+    the FP&A waterfall that explains WHY revenue moved. Unit prices
+    are revenue/quantity ratios of exact decimal sums (one division
+    each); the three effects are fixed multiply/subtract sequences of
+    those doubles, and they reconcile: price + volume + joint =
+    ΔRev exactly in the same doubles the report shows."""
+    li = read_table(spark, sf, "lineitem")
+    p = read_table(spark, sf, "part")
+    base = (
+        li.join(F.broadcast(p.select("p_partkey", "p_brand")),
+                li["l_partkey"] == p["p_partkey"])
+        .select(
+            "p_brand",
+            F.date_trunc("month", F.col("l_shipdate")).alias("mon"),
+            F.col("l_extendedprice").cast(DEC).alias("ext"),
+            F.col("l_quantity").cast(DEC).alias("qty"),
+        )
+    )
+    months = base.agg(
+        F.min("mon").alias("m0"), F.max("mon").alias("m1")
+    )
+    agg = (
+        base.join(F.broadcast(months),
+                  (F.col("mon") == F.col("m0")) | (F.col("mon") == F.col("m1")))
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.when(F.col("mon") == F.col("m0"), F.col("ext"))
+                  .otherwise(F.lit(0).cast(DEC))).alias("e0"),
+            F.sum(F.when(F.col("mon") == F.col("m0"), F.col("qty"))
+                  .otherwise(F.lit(0).cast(DEC))).alias("q0"),
+            F.sum(F.when(F.col("mon") == F.col("m1"), F.col("ext"))
+                  .otherwise(F.lit(0).cast(DEC))).alias("e1"),
+            F.sum(F.when(F.col("mon") == F.col("m1"), F.col("qty"))
+                  .otherwise(F.lit(0).cast(DEC))).alias("q1"),
+        )
+        .where((F.col("q0") > 0) & (F.col("q1") > 0))
+    )
+    p0 = F.col("e0").cast("double") / F.col("q0").cast("double")
+    p1 = F.col("e1").cast("double") / F.col("q1").cast("double")
+    q0d = F.col("q0").cast("double")
+    q1d = F.col("q1").cast("double")
+    price_eff = (p1 - p0) * q0d
+    vol_eff = p0 * (q1d - q0d)
+    joint = (p1 - p0) * (q1d - q0d)
+    return agg.select(
+        "p_brand",
+        (F.col("e1").cast("double") - F.col("e0").cast("double")).alias(
+            "delta_rev"
+        ),
+        price_eff.alias("price_effect"),
+        vol_eff.alias("volume_effect"),
+        joint.alias("joint_effect"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -11027,6 +11205,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q376_cold_start": _q_cold_start,
         "q377_stump_split": _q_stump_split,
         "q378_quantile_normalize": _q_quantile_normalize,
+        "q379_price_endings": _q_price_endings,
+        "q380_item_cf": _q_item_cf,
+        "q381_nrr": _q_nrr,
+        "q382_pvm_bridge": _q_pvm_bridge,
         "q366_unit_value_index": _q_unit_value_index,
         "q367_record_days": _q_record_days,
         "q368_turning_points": _q_turning_points,
@@ -19768,6 +19950,126 @@ def oracle_sql() -> dict[str, str]:
             SELECT ranked.user_id, ranked.d, ranked.n, ranked.r,
               ref.ref_value
             FROM ranked JOIN ref USING (r)
+        """,
+        "q379_price_endings": """
+            WITH counts AS (
+              SELECT CAST(CAST(p_retailprice * 100 + 0.5 AS BIGINT)
+                % 100 AS BIGINT) AS cents,
+                CAST(count(*) AS BIGINT) AS n
+              FROM part GROUP BY 1
+            )
+            SELECT cents, n,
+              CAST(n AS DOUBLE)
+                / CAST(sum(n) OVER () AS DOUBLE) AS share
+            FROM counts
+        """,
+        "q380_item_cf": """
+            WITH ui AS (
+              SELECT DISTINCT o_custkey AS cust, l_partkey AS item
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            ),
+            deg AS (
+              SELECT item, CAST(count(*) AS BIGINT) AS d
+              FROM ui GROUP BY item
+            ),
+            top AS (
+              SELECT item, d FROM (
+                SELECT item, d,
+                  row_number() OVER (ORDER BY d DESC, item ASC) AS rk
+                FROM deg
+              ) WHERE rk <= 20
+            ),
+            fact AS (
+              SELECT cust, item FROM ui
+              WHERE item IN (SELECT item FROM top)
+            ),
+            co AS (
+              SELECT a.item AS ia, b.item AS ib,
+                CAST(count(*) AS BIGINT) AS co
+              FROM fact a JOIN fact b
+                ON a.cust = b.cust AND a.item < b.item
+              GROUP BY 1, 2
+              HAVING count(*) >= 2
+            )
+            SELECT co.ia, co.ib, co.co,
+              ta.d AS da, tb.d AS db,
+              CAST(co.co AS DOUBLE)
+                / (sqrt(CAST(ta.d AS DOUBLE))
+                   * sqrt(CAST(tb.d AS DOUBLE))) AS cosine
+            FROM co
+            JOIN top ta ON co.ia = ta.item
+            JOIN top tb ON co.ib = tb.item
+        """,
+        "q381_nrr": """
+            WITH cm AS (
+              SELECT o_custkey AS cust,
+                date_trunc('month', o_orderdate) AS mon,
+                sum(CAST(o_totalprice AS DECIMAL(38,6))) AS rev
+              FROM orders GROUP BY 1, 2
+            ),
+            retained AS (
+              SELECT c.mon,
+                CAST(count(*) AS BIGINT) AS n_retained_cust,
+                sum(c.rev) AS retained_rev
+              FROM cm c JOIN cm p
+                ON c.cust = p.cust
+                AND c.mon = p.mon + INTERVAL 1 MONTH
+              GROUP BY c.mon
+            ),
+            den AS (
+              SELECT mon + INTERVAL 1 MONTH AS mon,
+                sum(rev) AS prev_total
+              FROM cm GROUP BY 1
+            )
+            SELECT r.mon, r.n_retained_cust,
+              CAST(r.retained_rev AS DOUBLE) AS retained_rev,
+              CAST(d.prev_total AS DOUBLE) AS prev_total,
+              CAST(r.retained_rev AS DOUBLE)
+                / CAST(d.prev_total AS DOUBLE) AS nrr
+            FROM retained r JOIN den d ON r.mon = d.mon
+        """,
+        "q382_pvm_bridge": """
+            WITH base AS (
+              SELECT p_brand,
+                date_trunc('month', l_shipdate) AS mon,
+                CAST(l_extendedprice AS DECIMAL(38,6)) AS ext,
+                CAST(l_quantity AS DECIMAL(38,6)) AS qty
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+            ),
+            months AS (
+              SELECT min(mon) AS m0, max(mon) AS m1 FROM base
+            ),
+            agg AS (
+              SELECT p_brand,
+                sum(CASE WHEN mon = m0 THEN ext
+                    ELSE CAST(0 AS DECIMAL(38,6)) END) AS e0,
+                sum(CASE WHEN mon = m0 THEN qty
+                    ELSE CAST(0 AS DECIMAL(38,6)) END) AS q0,
+                sum(CASE WHEN mon = m1 THEN ext
+                    ELSE CAST(0 AS DECIMAL(38,6)) END) AS e1,
+                sum(CASE WHEN mon = m1 THEN qty
+                    ELSE CAST(0 AS DECIMAL(38,6)) END) AS q1
+              FROM base, months
+              WHERE mon = m0 OR mon = m1
+              GROUP BY p_brand
+              HAVING sum(CASE WHEN mon = m0 THEN qty
+                    ELSE CAST(0 AS DECIMAL(38,6)) END) > 0
+                AND sum(CASE WHEN mon = m1 THEN qty
+                    ELSE CAST(0 AS DECIMAL(38,6)) END) > 0
+            )
+            SELECT p_brand,
+              CAST(e1 AS DOUBLE) - CAST(e0 AS DOUBLE) AS delta_rev,
+              (CAST(e1 AS DOUBLE) / CAST(q1 AS DOUBLE)
+                - CAST(e0 AS DOUBLE) / CAST(q0 AS DOUBLE))
+                * CAST(q0 AS DOUBLE) AS price_effect,
+              (CAST(e0 AS DOUBLE) / CAST(q0 AS DOUBLE))
+                * (CAST(q1 AS DOUBLE) - CAST(q0 AS DOUBLE))
+                AS volume_effect,
+              (CAST(e1 AS DOUBLE) / CAST(q1 AS DOUBLE)
+                - CAST(e0 AS DOUBLE) / CAST(q0 AS DOUBLE))
+                * (CAST(q1 AS DOUBLE) - CAST(q0 AS DOUBLE))
+                AS joint_effect
+            FROM agg
         """,
         "q143_swinging_door": """
             WITH RECURSIVE base AS (

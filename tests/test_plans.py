@@ -129,6 +129,9 @@ def test_no_accidental_cartesian_products(spark):
     # (q376), and the 9-row decile-threshold broadcast fan-out (q377)
     # — constant-cardinality by construction
     SKIP |= {"q375_tanimoto_users", "q376_cold_start", "q377_stump_split"}
+    # 1-row (m0, m1) month-anchor broadcast onto the fact (like q226's
+    # anchor timestamp)
+    SKIP |= {"q382_pvm_bridge"}
     qs = entrymod.queries()
     offenders = []
     for name, fn in qs.items():
