@@ -10830,6 +10830,185 @@ def _q_pvm_bridge(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_knee_point(spark: SparkSession, sf: str) -> DataFrame:
+    """Knee/elbow detection on the ranked user-activity curve (the
+    Kneedle idea reduced to its geometric core): the rank whose point
+    lies farthest from the chord joining the curve's endpoints — the
+    principled "how many heavy users are there really" cutoff that
+    eyeballing a scree plot approximates. The distance ARGMAX needs no
+    sqrt or division: the unnormalized |(yₙ−y₁)(r−1) − (n−1)(yᵣ−y₁)|
+    is a PURE INTEGER per rank (constant chord normalization can't
+    change the argmax), so the winner is engine-exact with a rank
+    tiebreak. One aggregate + one window + one 1-row reduce."""
+    ev = read_table(spark, sf, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    ranked = per_user.select(
+        "n_events",
+        F.row_number()
+        .over(Window.orderBy(F.col("n_events").desc(), F.col("user_id").asc()))
+        .cast("bigint")
+        .alias("r"),
+    )
+    wall = Window.partitionBy()
+    pts = ranked.select(
+        "r",
+        "n_events",
+        F.max(F.when(F.col("r") == 1, F.col("n_events"))).over(wall).alias("y1"),
+        F.max("r").over(wall).alias("n"),
+    )
+    pts = pts.select(
+        "r",
+        "n_events",
+        "y1",
+        "n",
+        F.max(F.when(F.col("r") == F.col("n"), F.col("n_events")))
+        .over(wall)
+        .alias("yn"),
+    )
+    dist = F.abs(
+        (F.col("yn") - F.col("y1")) * (F.col("r") - 1)
+        - (F.col("n") - 1) * (F.col("n_events") - F.col("y1"))
+    )
+    scored = pts.select("r", "n_events", dist.alias("chord_dist"))
+    return scored.agg(
+        F.expr(
+            "min_by(struct(r, n_events, chord_dist), struct(-chord_dist, r))"
+        ).alias("k")
+    ).select(
+        F.col("k.r").alias("knee_rank"),
+        F.col("k.n_events").alias("knee_value"),
+        F.col("k.chord_dist").cast("bigint").alias("chord_dist"),
+    )
+
+
+def _q_icc(spark: SparkSession, sf: str) -> DataFrame:
+    """Intraclass correlation ICC(1) of daily counts within event
+    types: (MSB − MSW) / (MSB + (k̄−1)·MSW) from the one-way ANOVA
+    decomposition (q287's sums of squares, pushed one step further to
+    the reliability coefficient raters/sensors are judged by). All
+    sums of squares come from exact integer moments per group; the
+    mean group size and the final ratio are a fixed double epilogue.
+    One day-grain aggregate, one group-moment reduce, one row out."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    g = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("n").cast("bigint").alias("s"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("q"),
+    )
+    # Σ s²/m has per-group denominators, so its addition ORDER matters
+    # in floats and a plain 5-row sum() leaves that order to the
+    # engine. The group vocabulary is FIXED (5 event types), so pivot
+    # the moments wide and add the five rational terms in literal
+    # EVENT_TYPES order — hash-exact on any engine.
+    wide = g.groupBy().pivot("event_type", EVENT_TYPES).agg(
+        F.max(F.struct("s", "m", "q"))
+    )
+    terms = [
+        F.col(f"{t}.s").cast("double")
+        * F.col(f"{t}.s").cast("double")
+        / F.col(f"{t}.m").cast("double")
+        for t in EVENT_TYPES
+    ]
+    ssb_fixed = terms[0]
+    for term in terms[1:]:
+        ssb_fixed = ssb_fixed + term
+    m_sum = sum(
+        (F.col(f"{t}.m") for t in EVENT_TYPES), F.lit(0)
+    ).cast("bigint")
+    s_sum = sum(
+        (F.col(f"{t}.s") for t in EVENT_TYPES), F.lit(0)
+    ).cast("bigint")
+    q_sum = sum(
+        (F.col(f"{t}.q") for t in EVENT_TYPES), F.lit(0)
+    ).cast("bigint")
+    k = F.lit(len(EVENT_TYPES)).cast("bigint")
+    grand_corr = (
+        s_sum.cast("double") * s_sum.cast("double") / m_sum.cast("double")
+    )
+    ssb = ssb_fixed - grand_corr
+    ssw = q_sum.cast("double") - ssb_fixed
+    msb = ssb / (k - 1).cast("double")
+    msw = ssw / (m_sum - k).cast("double")
+    kbar = m_sum.cast("double") / k.cast("double")
+    icc = (msb - msw) / (msb + (kbar - F.lit(1.0)) * msw)
+    return wide.select(
+        k.alias("k_groups"),
+        m_sum.alias("n_days"),
+        msb.alias("msb"),
+        msw.alias("msw"),
+        icc.alias("icc1"),
+    )
+
+
+def _q_seasonal_strength(spark: SparkSession, sf: str) -> DataFrame:
+    """Seasonal strength per event type (Hyndman's F_s = max(0,
+    1 − var(remainder)/var(series)) with the day-of-week mean as the
+    seasonal fit): how much of the daily variance the weekly cycle
+    explains — the one-number "should I model seasonality" gate that
+    picks between q24 (holt) and q300 (holt-winters). var(remainder)
+    = SSW of the dow grouping and var(series) = SST, both from exact
+    integer moments; ONE subtraction and ONE division of doubles at
+    the end (the Σs²/m rational term is summed over the FIXED 7-slot
+    dow vocabulary in literal order, same discipline as q384's ICC)."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("d"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    dowed = daily.select(
+        "event_type", F.dayofweek("d").alias("dow"), "n"
+    )
+    g = dowed.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("n").cast("bigint").alias("s"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("q"),
+    )
+    wide = g.groupBy("event_type").pivot("dow", list(range(1, 8))).agg(
+        F.max(F.struct("s", "m", "q"))
+    )
+    terms = [
+        F.when(
+            F.col(f"{i}.m").isNotNull(),
+            F.col(f"{i}.s").cast("double")
+            * F.col(f"{i}.s").cast("double")
+            / F.col(f"{i}.m").cast("double"),
+        ).otherwise(F.lit(0.0))
+        for i in range(1, 8)
+    ]
+    ssg = terms[0]
+    for term in terms[1:]:
+        ssg = ssg + term
+    m_sum = sum(
+        (F.coalesce(F.col(f"{i}.m"), F.lit(0)) for i in range(1, 8)),
+        F.lit(0),
+    ).cast("bigint")
+    s_sum = sum(
+        (F.coalesce(F.col(f"{i}.s"), F.lit(0)) for i in range(1, 8)),
+        F.lit(0),
+    ).cast("bigint")
+    q_sum = sum(
+        (F.coalesce(F.col(f"{i}.q"), F.lit(0)) for i in range(1, 8)),
+        F.lit(0),
+    ).cast("bigint")
+    sst = q_sum.cast("double") - (
+        s_sum.cast("double") * s_sum.cast("double") / m_sum.cast("double")
+    )
+    ssw = q_sum.cast("double") - ssg
+    fs = F.greatest(F.lit(0.0), F.lit(1.0) - ssw / sst)
+    return wide.select(
+        "event_type",
+        m_sum.alias("n_days"),
+        sst.alias("sst"),
+        ssw.alias("ss_remainder"),
+        fs.alias("seasonal_strength"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -11209,6 +11388,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q380_item_cf": _q_item_cf,
         "q381_nrr": _q_nrr,
         "q382_pvm_bridge": _q_pvm_bridge,
+        "q383_knee_point": _q_knee_point,
+        "q384_icc": _q_icc,
+        "q385_seasonal_strength": _q_seasonal_strength,
         "q366_unit_value_index": _q_unit_value_index,
         "q367_record_days": _q_record_days,
         "q368_turning_points": _q_turning_points,
@@ -20070,6 +20252,178 @@ def oracle_sql() -> dict[str, str]:
                 * (CAST(q1 AS DOUBLE) - CAST(q0 AS DOUBLE))
                 AS joint_effect
             FROM agg
+        """,
+        "q383_knee_point": """
+            WITH per_user AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+              FROM events GROUP BY user_id
+            ),
+            ranked AS (
+              SELECT n_events,
+                CAST(row_number() OVER (
+                  ORDER BY n_events DESC, user_id ASC) AS BIGINT) AS r
+              FROM per_user
+            ),
+            pts AS (
+              SELECT r, n_events,
+                max(CASE WHEN r = 1 THEN n_events END) OVER () AS y1,
+                max(r) OVER () AS n
+              FROM ranked
+            ),
+            pts2 AS (
+              SELECT r, n_events, y1, n,
+                max(CASE WHEN r = n THEN n_events END) OVER () AS yn
+              FROM pts
+            )
+            SELECT r AS knee_rank, n_events AS knee_value,
+              CAST(abs((yn - y1) * (r - 1)
+                - (n - 1) * (n_events - y1)) AS BIGINT) AS chord_dist
+            FROM pts2
+            ORDER BY abs((yn - y1) * (r - 1)
+              - (n - 1) * (n_events - y1)) DESC, r ASC
+            LIMIT 1
+        """,
+        "q384_icc": """
+            WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS d,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            wide AS (
+              SELECT
+                CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                  END) AS BIGINT) AS m_click,
+                CAST(sum(CASE WHEN event_type = 'click' THEN n ELSE 0
+                  END) AS BIGINT) AS s_click,
+                CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+                  END) AS BIGINT) AS m_view,
+                CAST(sum(CASE WHEN event_type = 'view' THEN n ELSE 0
+                  END) AS BIGINT) AS s_view,
+                CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+                  ELSE 0 END) AS BIGINT) AS m_purchase,
+                CAST(sum(CASE WHEN event_type = 'purchase' THEN n
+                  ELSE 0 END) AS BIGINT) AS s_purchase,
+                CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0
+                  END) AS BIGINT) AS m_signup,
+                CAST(sum(CASE WHEN event_type = 'signup' THEN n ELSE 0
+                  END) AS BIGINT) AS s_signup,
+                CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                  END) AS BIGINT) AS m_error,
+                CAST(sum(CASE WHEN event_type = 'error' THEN n ELSE 0
+                  END) AS BIGINT) AS s_error,
+                CAST(sum(n * n) AS BIGINT) AS q_sum
+              FROM daily
+            ),
+            e AS (
+              SELECT
+                CAST(5 AS BIGINT) AS k,
+                m_click + m_view + m_purchase + m_signup + m_error
+                  AS nn,
+                s_click + s_view + s_purchase + s_signup + s_error
+                  AS s_sum,
+                q_sum,
+                CAST(s_click AS DOUBLE) * CAST(s_click AS DOUBLE)
+                  / CAST(m_click AS DOUBLE)
+                + CAST(s_view AS DOUBLE) * CAST(s_view AS DOUBLE)
+                  / CAST(m_view AS DOUBLE)
+                + CAST(s_purchase AS DOUBLE)
+                  * CAST(s_purchase AS DOUBLE)
+                  / CAST(m_purchase AS DOUBLE)
+                + CAST(s_signup AS DOUBLE) * CAST(s_signup AS DOUBLE)
+                  / CAST(m_signup AS DOUBLE)
+                + CAST(s_error AS DOUBLE) * CAST(s_error AS DOUBLE)
+                  / CAST(m_error AS DOUBLE) AS ssb_fixed
+              FROM wide
+            ),
+            f AS (
+              SELECT k, nn,
+                (ssb_fixed - CAST(s_sum AS DOUBLE)
+                  * CAST(s_sum AS DOUBLE) / CAST(nn AS DOUBLE))
+                  / CAST(k - 1 AS DOUBLE) AS msb,
+                (CAST(q_sum AS DOUBLE) - ssb_fixed)
+                  / CAST(nn - k AS DOUBLE) AS msw
+              FROM e
+            )
+            SELECT k AS k_groups, nn AS n_days, msb, msw,
+              (msb - msw) / (msb + (CAST(nn AS DOUBLE)
+                / CAST(k AS DOUBLE) - 1.0) * msw) AS icc1
+            FROM f
+        """,
+        "q385_seasonal_strength": """
+            WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS d,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            dowed AS (
+              SELECT event_type,
+                CAST(dayofweek(d) + 1 AS INT) AS dow, n
+              FROM daily
+            ),
+            wide AS (
+              SELECT event_type,
+                CAST(sum(CASE WHEN dow = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS m1,
+                CAST(sum(CASE WHEN dow = 1 THEN n ELSE 0 END)
+                  AS BIGINT) AS s1,
+                CAST(sum(CASE WHEN dow = 2 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS m2,
+                CAST(sum(CASE WHEN dow = 2 THEN n ELSE 0 END)
+                  AS BIGINT) AS s2,
+                CAST(sum(CASE WHEN dow = 3 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS m3,
+                CAST(sum(CASE WHEN dow = 3 THEN n ELSE 0 END)
+                  AS BIGINT) AS s3,
+                CAST(sum(CASE WHEN dow = 4 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS m4,
+                CAST(sum(CASE WHEN dow = 4 THEN n ELSE 0 END)
+                  AS BIGINT) AS s4,
+                CAST(sum(CASE WHEN dow = 5 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS m5,
+                CAST(sum(CASE WHEN dow = 5 THEN n ELSE 0 END)
+                  AS BIGINT) AS s5,
+                CAST(sum(CASE WHEN dow = 6 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS m6,
+                CAST(sum(CASE WHEN dow = 6 THEN n ELSE 0 END)
+                  AS BIGINT) AS s6,
+                CAST(sum(CASE WHEN dow = 7 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS m7,
+                CAST(sum(CASE WHEN dow = 7 THEN n ELSE 0 END)
+                  AS BIGINT) AS s7,
+                CAST(sum(n) AS BIGINT) AS s_sum,
+                CAST(sum(n * n) AS BIGINT) AS q_sum,
+                CAST(count(*) AS BIGINT) AS m_sum
+              FROM dowed GROUP BY event_type
+            ),
+            e AS (
+              SELECT event_type, m_sum, s_sum, q_sum,
+                (CASE WHEN m1 = 0 THEN 0.0 ELSE CAST(s1 AS DOUBLE)
+                  * CAST(s1 AS DOUBLE) / CAST(m1 AS DOUBLE) END)
+                + (CASE WHEN m2 = 0 THEN 0.0 ELSE CAST(s2 AS DOUBLE)
+                  * CAST(s2 AS DOUBLE) / CAST(m2 AS DOUBLE) END)
+                + (CASE WHEN m3 = 0 THEN 0.0 ELSE CAST(s3 AS DOUBLE)
+                  * CAST(s3 AS DOUBLE) / CAST(m3 AS DOUBLE) END)
+                + (CASE WHEN m4 = 0 THEN 0.0 ELSE CAST(s4 AS DOUBLE)
+                  * CAST(s4 AS DOUBLE) / CAST(m4 AS DOUBLE) END)
+                + (CASE WHEN m5 = 0 THEN 0.0 ELSE CAST(s5 AS DOUBLE)
+                  * CAST(s5 AS DOUBLE) / CAST(m5 AS DOUBLE) END)
+                + (CASE WHEN m6 = 0 THEN 0.0 ELSE CAST(s6 AS DOUBLE)
+                  * CAST(s6 AS DOUBLE) / CAST(m6 AS DOUBLE) END)
+                + (CASE WHEN m7 = 0 THEN 0.0 ELSE CAST(s7 AS DOUBLE)
+                  * CAST(s7 AS DOUBLE) / CAST(m7 AS DOUBLE) END)
+                AS ssg
+              FROM wide
+            )
+            SELECT event_type, m_sum AS n_days,
+              CAST(q_sum AS DOUBLE) - CAST(s_sum AS DOUBLE)
+                * CAST(s_sum AS DOUBLE) / CAST(m_sum AS DOUBLE)
+                AS sst,
+              CAST(q_sum AS DOUBLE) - ssg AS ss_remainder,
+              greatest(0.0, 1.0 - (CAST(q_sum AS DOUBLE) - ssg)
+                / (CAST(q_sum AS DOUBLE) - CAST(s_sum AS DOUBLE)
+                   * CAST(s_sum AS DOUBLE) / CAST(m_sum AS DOUBLE)))
+                AS seasonal_strength
+            FROM e
         """,
         "q143_swinging_door": """
             WITH RECURSIVE base AS (
