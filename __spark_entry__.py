@@ -11009,6 +11009,153 @@ def _q_seasonal_strength(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_median_polish(spark: SparkSession, sf: str) -> DataFrame:
+    """One-sweep Tukey median polish of the (day-of-week × week)
+    daily-count table: subtract row (dow) medians, then column (week)
+    medians of the residuals — the robust two-way decomposition that
+    separates weekly rhythm from week-level shifts without letting one
+    burst day poison the means (the outlier-proof sibling of q292's
+    ratio-to-MA). Counts are integers and percentile_disc medians ARE
+    table values, so every residual stays a PURE INTEGER end to end —
+    no float enters at any step. Grain: ≤35 cells per pass."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    cells = daily.select(
+        F.dayofweek("d").cast("int").alias("dow"),
+        F.floor(
+            F.datediff(F.col("d"), F.lit("2024-01-01").cast("date")) / 7
+        ).cast("int").alias("wk"),
+        "n",
+    )
+    row_med = cells.groupBy("dow").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n)")
+        .cast("bigint")
+        .alias("row_eff")
+    )
+    r1 = cells.join(F.broadcast(row_med), "dow").select(
+        "dow", "wk", "n", "row_eff", (F.col("n") - F.col("row_eff")).alias("r1")
+    )
+    col_med = r1.groupBy("wk").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY r1)")
+        .cast("bigint")
+        .alias("col_eff")
+    )
+    return r1.join(F.broadcast(col_med), "wk").select(
+        "dow",
+        "wk",
+        "n",
+        "row_eff",
+        "col_eff",
+        (F.col("r1") - F.col("col_eff")).cast("bigint").alias("resid"),
+    )
+
+
+def _q_cochran_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Cochran's Q over THREE binary burst detectors evaluated on the
+    same days (day-over-day rise, week-over-week rise, above-median):
+    do the detectors have the same marginal fire rate, or is one
+    systematically hotter? The k-treatment extension of McNemar
+    (q328). Q = (k−1)·[k·ΣG² − (ΣG)²] / (k·ΣL − ΣL²) where G = per-
+    detector totals and L = per-day agreement counts — EVERY term is
+    an exact integer off one day-grain frame; ONE division at the
+    end."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wt = Window.orderBy("d")
+    med = daily.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n)")
+        .cast("bigint")
+        .alias("med")
+    )
+    flags = daily.select(
+        "d",
+        "n",
+        F.lag("n", 1).over(wt).alias("p1"),
+        F.lag("n", 7).over(wt).alias("p7"),
+    ).where(
+        F.col("p1").isNotNull() & F.col("p7").isNotNull()
+    ).crossJoin(F.broadcast(med))
+    scored = flags.select(
+        F.when(F.col("n") > F.col("p1"), 1).otherwise(0).alias("a"),
+        F.when(F.col("n") > F.col("p7"), 1).otherwise(0).alias("b"),
+        F.when(F.col("n") > F.col("med"), 1).otherwise(0).alias("c"),
+    )
+    agg = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("a").cast("bigint").alias("ga"),
+        F.sum("b").cast("bigint").alias("gb"),
+        F.sum("c").cast("bigint").alias("gc"),
+        F.sum(F.col("a") + F.col("b") + F.col("c")).cast("bigint").alias("sl"),
+        F.sum(
+            (F.col("a") + F.col("b") + F.col("c"))
+            * (F.col("a") + F.col("b") + F.col("c"))
+        ).cast("bigint").alias("sl2"),
+    )
+    k = F.lit(3).cast("bigint")
+    num = (k - 1) * (
+        k * (F.col("ga") * F.col("ga") + F.col("gb") * F.col("gb")
+             + F.col("gc") * F.col("gc"))
+        - F.col("sl") * F.col("sl")
+    )
+    den = k * F.col("sl") - F.col("sl2")
+    return agg.select(
+        "n_days",
+        "ga",
+        "gb",
+        "gc",
+        (num.cast("double") / den.cast("double")).alias("cochran_q"),
+    )
+
+
+def _q_friedman(spark: SparkSession, sf: str) -> DataFrame:
+    """Friedman rank test: within each day, rank the five event types
+    by volume (ties get average ranks), then test whether the rank
+    sums differ — the nonparametric repeated-measures ANOVA (does one
+    type SYSTEMATICALLY run hotter day after day?). Average ranks are
+    kept as DOUBLED integers (2·rank is always whole), so rank sums
+    and their squares are exact integers and χ²_F is a fixed
+    two-term double epilogue: 3·ΣR₂²/(N·k·(k+1)) − 3·N·(k+1)."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("d"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wd = Window.partitionBy("d").orderBy("n")
+    wties = Window.partitionBy("d", "n")
+    ranked = daily.select(
+        "d",
+        "event_type",
+        # doubled average rank: 2*min_rank + (ties - 1) — integer
+        (
+            2 * F.rank().over(wd)
+            + F.count(F.lit(1)).over(wties)
+            - 1
+        ).cast("bigint").alias("r2"),
+    )
+    sums = ranked.groupBy("event_type").agg(
+        F.sum("r2").cast("bigint").alias("rsum2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    tot = sums.agg(
+        F.max("n_days").cast("bigint").alias("nn"),
+        F.sum(F.col("rsum2") * F.col("rsum2")).cast("bigint").alias("sr2"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    chi = (
+        F.lit(3.0) * F.col("sr2").cast("double")
+        / (F.col("nn") * F.col("k") * (F.col("k") + 1)).cast("double")
+        - F.lit(3.0) * (F.col("nn") * (F.col("k") + 1)).cast("double")
+    )
+    return tot.select(
+        F.col("nn").alias("n_days"),
+        F.col("k").alias("k_treatments"),
+        chi.alias("friedman_chi2"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -11391,6 +11538,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q383_knee_point": _q_knee_point,
         "q384_icc": _q_icc,
         "q385_seasonal_strength": _q_seasonal_strength,
+        "q386_median_polish": _q_median_polish,
+        "q387_cochran_q": _q_cochran_q,
+        "q388_friedman": _q_friedman,
         "q366_unit_value_index": _q_unit_value_index,
         "q367_record_days": _q_record_days,
         "q368_turning_points": _q_turning_points,
@@ -20424,6 +20574,107 @@ def oracle_sql() -> dict[str, str]:
                    * CAST(s_sum AS DOUBLE) / CAST(m_sum AS DOUBLE)))
                 AS seasonal_strength
             FROM e
+        """,
+        "q386_median_polish": """
+            WITH daily AS (
+              SELECT date_trunc('day', ts) AS d,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1
+            ),
+            cells AS (
+              SELECT CAST(dayofweek(d) + 1 AS INT) AS dow,
+                CAST(floor(datediff('day', DATE '2024-01-01',
+                  CAST(d AS DATE)) / 7) AS INT) AS wk,
+                n
+              FROM daily
+            ),
+            row_med AS (
+              SELECT dow, CAST(quantile_disc(n, 0.5) AS BIGINT)
+                AS row_eff
+              FROM cells GROUP BY dow
+            ),
+            r1 AS (
+              SELECT c.dow, c.wk, c.n, r.row_eff,
+                c.n - r.row_eff AS r1
+              FROM cells c JOIN row_med r ON c.dow = r.dow
+            ),
+            col_med AS (
+              SELECT wk, CAST(quantile_disc(r1, 0.5) AS BIGINT)
+                AS col_eff
+              FROM r1 GROUP BY wk
+            )
+            SELECT r1.dow, r1.wk, r1.n, r1.row_eff, c.col_eff,
+              CAST(r1.r1 - c.col_eff AS BIGINT) AS resid
+            FROM r1 JOIN col_med c ON r1.wk = c.wk
+        """,
+        "q387_cochran_q": """
+            WITH daily AS (
+              SELECT date_trunc('day', ts) AS d,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1
+            ),
+            med AS (
+              SELECT CAST(quantile_disc(n, 0.5) AS BIGINT) AS med
+              FROM daily
+            ),
+            flags AS (
+              SELECT d, n,
+                lag(n, 1) OVER (ORDER BY d) AS p1,
+                lag(n, 7) OVER (ORDER BY d) AS p7
+              FROM daily
+            ),
+            scored AS (
+              SELECT
+                CASE WHEN n > p1 THEN 1 ELSE 0 END AS a,
+                CASE WHEN n > p7 THEN 1 ELSE 0 END AS b,
+                CASE WHEN n > med THEN 1 ELSE 0 END AS c
+              FROM flags, med
+              WHERE p1 IS NOT NULL AND p7 IS NOT NULL
+            ),
+            agg AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_days,
+                CAST(sum(a) AS BIGINT) AS ga,
+                CAST(sum(b) AS BIGINT) AS gb,
+                CAST(sum(c) AS BIGINT) AS gc,
+                CAST(sum(a + b + c) AS BIGINT) AS sl,
+                CAST(sum((a + b + c) * (a + b + c)) AS BIGINT) AS sl2
+              FROM scored
+            )
+            SELECT n_days, ga, gb, gc,
+              CAST(2 * (3 * (ga * ga + gb * gb + gc * gc) - sl * sl)
+                AS DOUBLE) / CAST(3 * sl - sl2 AS DOUBLE) AS cochran_q
+            FROM agg
+        """,
+        "q388_friedman": """
+            WITH daily AS (
+              SELECT date_trunc('day', ts) AS d, event_type,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            ranked AS (
+              SELECT d, event_type,
+                CAST(2 * rank() OVER (PARTITION BY d ORDER BY n)
+                  + count(*) OVER (PARTITION BY d, n) - 1 AS BIGINT)
+                  AS r2
+              FROM daily
+            ),
+            sums AS (
+              SELECT event_type,
+                CAST(sum(r2) AS BIGINT) AS rsum2,
+                CAST(count(*) AS BIGINT) AS n_days
+              FROM ranked GROUP BY event_type
+            ),
+            tot AS (
+              SELECT CAST(max(n_days) AS BIGINT) AS nn,
+                CAST(sum(rsum2 * rsum2) AS BIGINT) AS sr2,
+                CAST(count(*) AS BIGINT) AS k
+              FROM sums
+            )
+            SELECT nn AS n_days, k AS k_treatments,
+              3.0 * CAST(sr2 AS DOUBLE)
+                / CAST(nn * k * (k + 1) AS DOUBLE)
+              - 3.0 * CAST(nn * (k + 1) AS DOUBLE) AS friedman_chi2
+            FROM tot
         """,
         "q143_swinging_door": """
             WITH RECURSIVE base AS (

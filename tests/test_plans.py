@@ -130,8 +130,8 @@ def test_no_accidental_cartesian_products(spark):
     # — constant-cardinality by construction
     SKIP |= {"q375_tanimoto_users", "q376_cold_start", "q377_stump_split"}
     # 1-row (m0, m1) month-anchor broadcast onto the fact (like q226's
-    # anchor timestamp)
-    SKIP |= {"q382_pvm_bridge"}
+    # anchor timestamp), and the 1-row global-median broadcast (q387)
+    SKIP |= {"q382_pvm_bridge", "q387_cochran_q"}
     qs = entrymod.queries()
     offenders = []
     for name, fn in qs.items():
