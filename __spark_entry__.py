@@ -11156,6 +11156,123 @@ def _q_friedman(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_cvm_two_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sample Cramér–von Mises statistic per event type (first-
+    half vs second-half daily counts): T = U/(n·m·N) − (4mn−1)/(6N)
+    with U = n·Σ_A(r_i−i)² + m·Σ_B(s_j−j)² over pooled ranks — the
+    whole-distribution drift test that weighs the body where KS (q199)
+    only sees the single worst gap. Ranks use the deterministic total
+    order (count, day) so ties resolve identically everywhere
+    (documented tiebreak, the q141 discipline); U is then a PURE
+    INTEGER and T is two divisions. One day-grain aggregate, two rank
+    windows, one reduce per type."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    half = F.when(
+        F.col("d") < F.lit("2024-01-16").cast("timestamp"), "a"
+    ).otherwise("b")
+    base = daily.select("event_type", "d", "n", half.alias("h"))
+    wp = Window.partitionBy("event_type").orderBy("n", "d")
+    ws = Window.partitionBy("event_type", "h").orderBy("n", "d")
+    ranked = base.select(
+        "event_type",
+        "h",
+        F.row_number().over(wp).cast("bigint").alias("r"),
+        F.row_number().over(ws).cast("bigint").alias("i"),
+    )
+    diff2 = (F.col("r") - F.col("i")) * (F.col("r") - F.col("i"))
+    agg = ranked.groupBy("event_type").agg(
+        F.sum(F.when(F.col("h") == "a", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("h") == "b", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("h") == "a", diff2).otherwise(0))
+        .cast("bigint")
+        .alias("ua"),
+        F.sum(F.when(F.col("h") == "b", diff2).otherwise(0))
+        .cast("bigint")
+        .alias("ub"),
+    )
+    nn = F.col("n_a") + F.col("n_b")
+    u = F.col("n_a") * F.col("ua") + F.col("n_b") * F.col("ub")
+    t = u.cast("double") / (
+        F.col("n_a") * F.col("n_b") * nn
+    ).cast("double") - (
+        4 * F.col("n_a") * F.col("n_b") - 1
+    ).cast("double") / (6 * nn).cast("double")
+    return agg.select(
+        "event_type", "n_a", "n_b", u.cast("bigint").alias("u"),
+        t.alias("cvm_t"),
+    )
+
+
+def _q_pacf(spark: SparkSession, sf: str) -> DataFrame:
+    """Partial autocorrelation (lags 1-7) per event type via the
+    Durbin–Levinson recursion — THE ARIMA order-identification plot
+    (q311's ACF says "correlated"; PACF says "AR(p) with THIS p").
+    The ACF inputs are exact: mean-centering uses the common-
+    denominator trick ((m·x−S) products are pure integers), so each
+    r_k is ONE division. The DL recursion itself runs driver-side on
+    the collected 5×7 ACF table (35 doubles — a rerank-sized
+    epilogue, never data-scale) with plain sequential Python floats;
+    the oracle replays the identical recursion in a recursive CTE, so
+    even this iterative solve is hash-gated."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    mom = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("n").cast("bigint").alias("s"),
+    )
+    wt = Window.partitionBy("event_type").orderBy("d")
+    lagged = daily.join(mom, "event_type").select(
+        "event_type",
+        "m",
+        (F.col("m") * F.col("n") - F.col("s")).alias("c0"),
+        *[
+            (
+                F.col("m") * F.lag("n", k).over(wt) - F.col("s")
+            ).alias(f"c{k}")
+            for k in range(1, 8)
+        ],
+    )
+    acf = lagged.groupBy("event_type").agg(
+        F.sum(F.col("c0") * F.col("c0")).cast("decimal(38,0)").alias("den"),
+        *[
+            F.sum(F.col("c0") * F.col(f"c{k}")).cast("decimal(38,0)").alias(f"num{k}")
+            for k in range(1, 8)
+        ],
+    )
+    rows = acf.collect()
+    out = []
+    for row in sorted(rows, key=lambda r: r["event_type"]):
+        den = float(row["den"])
+        r = [float(row[f"num{k}"]) / den for k in range(1, 8)]
+        # Durbin–Levinson: phi[k][k] from phi[k-1][*]
+        phi_prev: list[float] = []
+        for k in range(1, 8):
+            num = r[k - 1]
+            den_k = 1.0
+            for j in range(1, k):
+                num -= phi_prev[j - 1] * r[k - j - 1]
+                den_k -= phi_prev[j - 1] * r[j - 1]
+            pkk = num / den_k
+            phi_new = [
+                phi_prev[j - 1] - pkk * phi_prev[k - j - 1]
+                for j in range(1, k)
+            ] + [pkk]
+            out.append((row["event_type"], k, pkk))
+            phi_prev = phi_new
+    return spark.createDataFrame(
+        out, "event_type string, lag int, pacf double"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_hourly_wide": _q_flagship,
@@ -11541,6 +11658,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q386_median_polish": _q_median_polish,
         "q387_cochran_q": _q_cochran_q,
         "q388_friedman": _q_friedman,
+        "q389_cvm_two_sample": _q_cvm_two_sample,
+        "q390_pacf": _q_pacf,
         "q366_unit_value_index": _q_unit_value_index,
         "q367_record_days": _q_record_days,
         "q368_turning_points": _q_turning_points,
@@ -20675,6 +20794,127 @@ def oracle_sql() -> dict[str, str]:
                 / CAST(nn * k * (k + 1) AS DOUBLE)
               - 3.0 * CAST(nn * (k + 1) AS DOUBLE) AS friedman_chi2
             FROM tot
+        """,
+        "q389_cvm_two_sample": """
+            WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS d,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            base AS (
+              SELECT event_type, d, n,
+                CASE WHEN d < TIMESTAMP '2024-01-16' THEN 'a'
+                  ELSE 'b' END AS h
+              FROM daily
+            ),
+            ranked AS (
+              SELECT event_type, h,
+                CAST(row_number() OVER (PARTITION BY event_type
+                  ORDER BY n, d) AS BIGINT) AS r,
+                CAST(row_number() OVER (PARTITION BY event_type, h
+                  ORDER BY n, d) AS BIGINT) AS i
+              FROM base
+            ),
+            agg AS (
+              SELECT event_type,
+                CAST(sum(CASE WHEN h = 'a' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_a,
+                CAST(sum(CASE WHEN h = 'b' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_b,
+                CAST(sum(CASE WHEN h = 'a' THEN (r - i) * (r - i)
+                  ELSE 0 END) AS BIGINT) AS ua,
+                CAST(sum(CASE WHEN h = 'b' THEN (r - i) * (r - i)
+                  ELSE 0 END) AS BIGINT) AS ub
+              FROM ranked GROUP BY event_type
+            )
+            SELECT event_type, n_a, n_b,
+              CAST(n_a * ua + n_b * ub AS BIGINT) AS u,
+              CAST(n_a * ua + n_b * ub AS DOUBLE)
+                / CAST(n_a * n_b * (n_a + n_b) AS DOUBLE)
+              - CAST(4 * n_a * n_b - 1 AS DOUBLE)
+                / CAST(6 * (n_a + n_b) AS DOUBLE) AS cvm_t
+            FROM agg
+        """,
+        # Mirrors _q_pacf's Durbin–Levinson recursion: the ACF inputs
+        # are the same integer common-denominator ratios, and each
+        # recursive step applies the identical sequential
+        # subtract-then-divide order the Python loop uses.
+        "q390_pacf": """
+            WITH RECURSIVE daily AS (
+              SELECT event_type, date_trunc('day', ts) AS d,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            mom AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS m,
+                CAST(sum(n) AS BIGINT) AS s
+              FROM daily GROUP BY event_type
+            ),
+            lagged AS (
+              SELECT d.event_type,
+                mom.m * d.n - mom.s AS c0,
+                mom.m * lag(d.n, 1) OVER w - mom.s AS c1,
+                mom.m * lag(d.n, 2) OVER w - mom.s AS c2,
+                mom.m * lag(d.n, 3) OVER w - mom.s AS c3,
+                mom.m * lag(d.n, 4) OVER w - mom.s AS c4,
+                mom.m * lag(d.n, 5) OVER w - mom.s AS c5,
+                mom.m * lag(d.n, 6) OVER w - mom.s AS c6,
+                mom.m * lag(d.n, 7) OVER w - mom.s AS c7
+              FROM daily d JOIN mom USING (event_type)
+              WINDOW w AS (PARTITION BY d.event_type ORDER BY d.d)
+            ),
+            acf AS (
+              SELECT event_type,
+                [CAST(CAST(sum(c0 * c1) AS BIGINT) AS DOUBLE)
+                   / CAST(CAST(sum(c0 * c0) AS BIGINT) AS DOUBLE),
+                 CAST(CAST(sum(c0 * c2) AS BIGINT) AS DOUBLE)
+                   / CAST(CAST(sum(c0 * c0) AS BIGINT) AS DOUBLE),
+                 CAST(CAST(sum(c0 * c3) AS BIGINT) AS DOUBLE)
+                   / CAST(CAST(sum(c0 * c0) AS BIGINT) AS DOUBLE),
+                 CAST(CAST(sum(c0 * c4) AS BIGINT) AS DOUBLE)
+                   / CAST(CAST(sum(c0 * c0) AS BIGINT) AS DOUBLE),
+                 CAST(CAST(sum(c0 * c5) AS BIGINT) AS DOUBLE)
+                   / CAST(CAST(sum(c0 * c0) AS BIGINT) AS DOUBLE),
+                 CAST(CAST(sum(c0 * c6) AS BIGINT) AS DOUBLE)
+                   / CAST(CAST(sum(c0 * c0) AS BIGINT) AS DOUBLE),
+                 CAST(CAST(sum(c0 * c7) AS BIGINT) AS DOUBLE)
+                   / CAST(CAST(sum(c0 * c0) AS BIGINT) AS DOUBLE)]
+                  AS r
+              FROM lagged GROUP BY event_type
+            ),
+            dl AS (
+              SELECT event_type, r, CAST(0 AS BIGINT) AS k,
+                CAST([] AS DOUBLE[]) AS phi,
+                CAST(NULL AS DOUBLE) AS pkk
+              FROM acf
+              UNION ALL
+              SELECT d.event_type, d.r, d.k + 1,
+                list_append(
+                  list_transform(
+                    range(1, CAST(d.k AS INT) + 1),
+                    j -> d.phi[j] - t.pkk
+                      * d.phi[CAST(d.k AS INT) + 1 - j]),
+                  t.pkk),
+                t.pkk
+              FROM dl d,
+              LATERAL (
+                SELECT
+                  list_reduce(
+                    list_concat([d.r[CAST(d.k AS INT) + 1]],
+                      list_transform(range(1, CAST(d.k AS INT) + 1),
+                        j -> d.phi[j]
+                          * d.r[CAST(d.k AS INT) + 1 - j])),
+                    (a, b) -> a - b)
+                  / list_reduce(
+                    list_concat([CAST(1.0 AS DOUBLE)],
+                      list_transform(range(1, CAST(d.k AS INT) + 1),
+                        j -> d.phi[j] * d.r[j])),
+                    (a, b) -> a - b) AS pkk
+              ) t
+              WHERE d.k < 7
+            )
+            SELECT event_type, CAST(k AS INT) AS lag, pkk AS pacf
+            FROM dl WHERE k >= 1
         """,
         "q143_swinging_door": """
             WITH RECURSIVE base AS (
