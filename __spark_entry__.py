@@ -10313,6 +10313,10 @@ def _q_welch_ttest(spark: SparkSession, sf: str) -> DataFrame:
         # exactly representable): (18,2)^2 -> (37,4), summed at (38,4)
         F.sum(F.col("value").cast(DEC)).cast("decimal(18,2)").alias("total")
     ).select(arm.alias("arm"), "total")
+    # A user whose events are all NULL-valued sums to a NULL total;
+    # counting them in n while sum() skips them would skew mean and
+    # variance, so drop them from the arm moments entirely.
+    per_user = per_user.where(F.col("total").isNotNull())
     mom = per_user.groupBy("arm").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("total").alias("s1"),
@@ -10934,8 +10938,18 @@ def _q_icc(spark: SparkSession, sf: str) -> DataFrame:
     ssw = q_sum.cast("double") - ssb_fixed
     msb = ssb / (k - 1).cast("double")
     msw = ssw / (m_sum - k).cast("double")
-    kbar = m_sum.cast("double") / k.cast("double")
-    icc = (msb - msw) / (msb + (kbar - F.lit(1.0)) * msw)
+    # Unbalanced one-way ICC group-size constant n0 = (N − Σm_j²/N)
+    # / (k−1) — reduces to the common group size when balanced; kbar
+    # (= N/k) is only correct for balanced designs.
+    m2_sum = sum(
+        (F.col(f"{t}.m") * F.col(f"{t}.m") for t in EVENT_TYPES),
+        F.lit(0),
+    ).cast("bigint")
+    n0 = (
+        m_sum.cast("double")
+        - m2_sum.cast("double") / m_sum.cast("double")
+    ) / (k - 1).cast("double")
+    icc = (msb - msw) / (msb + (n0 - F.lit(1.0)) * msw)
     return wide.select(
         k.alias("k_groups"),
         m_sum.alias("n_days"),
@@ -10945,7 +10959,7 @@ def _q_icc(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _q_seasonal_strength(spark: SparkSession, sf: str) -> DataFrame:
+def _q_seasonal_strength_dow(spark: SparkSession, sf: str) -> DataFrame:
     """Seasonal strength per event type (Hyndman's F_s = max(0,
     1 − var(remainder)/var(series)) with the day-of-week mean as the
     seasonal fit): how much of the daily variance the weekly cycle
@@ -11120,9 +11134,30 @@ def _q_friedman(spark: SparkSession, sf: str) -> DataFrame:
     and their squares are exact integers and χ²_F is a fixed
     two-term double epilogue: 3·ΣR₂²/(N·k·(k+1)) − 3·N·(k+1)."""
     ev = read_table(spark, sf, "events")
-    daily = ev.groupBy(
+    daily0 = ev.groupBy(
         F.date_trunc("day", F.col("ts")).alias("d"), "event_type"
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # Friedman needs COMPLETE blocks: a day missing a treatment would
+    # rank over fewer than k cells and silently bias the chi-square.
+    # Keep only days covering every event type present anywhere. Both
+    # counts ride WINDOWS on the already-cell-grain frame (≤ 150
+    # rows) — no scalar crossJoin, no extra job.
+    daily = (
+        daily0.withColumn(
+            "d_cnt",
+            F.count(F.lit(1)).over(Window.partitionBy("d")).cast("bigint"),
+        )
+        .withColumn(
+            "k_all",
+            F.size(
+                F.collect_set("event_type").over(
+                    Window.partitionBy(F.lit(1))
+                )
+            ).cast("bigint"),
+        )
+        .where(F.col("d_cnt") == F.col("k_all"))
+        .select("d", "event_type", "n")
+    )
     wd = Window.partitionBy("d").orderBy("n")
     wties = Window.partitionBy("d", "n")
     ranked = daily.select(
@@ -11654,7 +11689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q382_pvm_bridge": _q_pvm_bridge,
         "q383_knee_point": _q_knee_point,
         "q384_icc": _q_icc,
-        "q385_seasonal_strength": _q_seasonal_strength,
+        "q385_seasonal_strength": _q_seasonal_strength_dow,
         "q386_median_polish": _q_median_polish,
         "q387_cochran_q": _q_cochran_q,
         "q388_friedman": _q_friedman,
@@ -20146,7 +20181,7 @@ def oracle_sql() -> dict[str, str]:
             mom AS (
               SELECT arm, CAST(count(*) AS BIGINT) AS n,
                 sum(total) AS s1, sum(total * total) AS s2
-              FROM per_user GROUP BY arm
+              FROM per_user WHERE total IS NOT NULL GROUP BY arm
             ),
             j AS (
               SELECT t.n AS n1, t.s1 AS a1, t.s2 AS a2,
@@ -20588,6 +20623,9 @@ def oracle_sql() -> dict[str, str]:
                 CAST(5 AS BIGINT) AS k,
                 m_click + m_view + m_purchase + m_signup + m_error
                   AS nn,
+                CAST(m_click * m_click + m_view * m_view
+                  + m_purchase * m_purchase + m_signup * m_signup
+                  + m_error * m_error AS BIGINT) AS m2_sum,
                 s_click + s_view + s_purchase + s_signup + s_error
                   AS s_sum,
                 q_sum,
@@ -20605,7 +20643,7 @@ def oracle_sql() -> dict[str, str]:
               FROM wide
             ),
             f AS (
-              SELECT k, nn,
+              SELECT k, nn, m2_sum,
                 (ssb_fixed - CAST(s_sum AS DOUBLE)
                   * CAST(s_sum AS DOUBLE) / CAST(nn AS DOUBLE))
                   / CAST(k - 1 AS DOUBLE) AS msb,
@@ -20614,8 +20652,9 @@ def oracle_sql() -> dict[str, str]:
               FROM e
             )
             SELECT k AS k_groups, nn AS n_days, msb, msw,
-              (msb - msw) / (msb + (CAST(nn AS DOUBLE)
-                / CAST(k AS DOUBLE) - 1.0) * msw) AS icc1
+              (msb - msw) / (msb + ((CAST(nn AS DOUBLE)
+                - CAST(m2_sum AS DOUBLE) / CAST(nn AS DOUBLE))
+                / CAST(k - 1 AS DOUBLE) - 1.0) * msw) AS icc1
             FROM f
         """,
         "q385_seasonal_strength": """
@@ -20765,10 +20804,23 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
         """,
         "q388_friedman": """
-            WITH daily AS (
+            WITH daily0 AS (
               SELECT date_trunc('day', ts) AS d, event_type,
                 CAST(count(*) AS BIGINT) AS n
               FROM events GROUP BY 1, 2
+            ),
+            kall AS (
+              SELECT CAST(count(DISTINCT event_type) AS BIGINT)
+                AS k_all
+              FROM daily0
+            ),
+            daily AS (
+              SELECT d, event_type, n FROM (
+                SELECT d, event_type, n,
+                  count(*) OVER (PARTITION BY d) AS d_cnt,
+                  (SELECT k_all FROM kall) AS k_all
+                FROM daily0
+              ) WHERE d_cnt = k_all
             ),
             ranked AS (
               SELECT d, event_type,
