@@ -229,6 +229,179 @@ def test_readability_ranges(results2):
         assert 0.0 < r["syllables_per_word"] < 10.0
 
 
+@pytest.fixture(scope="module")
+def results3(spark):
+    qs = entrymod.queries()
+    names = [
+        "q411_contamination",
+        "q412_heaps_law",
+        "q413_ngram_novelty",
+        "q414_hour_chisq",
+        "q415_zipf_fit",
+        "q416_audience_overlap",
+    ]
+    return {n: qs[n](spark, SF).collect() for n in names}
+
+
+def test_contamination_pairs_ordered(results3):
+    rows = results3["q411_contamination"]
+    assert len(rows) == 20
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert r["shared_shingles"] >= 1
+    counts = [r["shared_shingles"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_heaps_curve_monotone(results3):
+    rows = sorted(results3["q412_heaps_law"], key=lambda r: r["pct_docs"])
+    assert [r["pct_docs"] for r in rows] == list(range(10, 101, 10))
+    for a, b in zip(rows, rows[1:]):
+        assert b["vocab_size"] >= a["vocab_size"]
+        assert b["tokens_seen"] >= a["tokens_seen"]
+    # vocabulary can never exceed tokens
+    for r in rows:
+        assert r["vocab_size"] <= r["tokens_seen"]
+
+
+def test_novelty_in_unit_interval(results3):
+    for r in results3["q413_ngram_novelty"]:
+        assert 0.0 <= r["novelty"] <= 1.0
+        assert r["n_hapax"] <= r["n_shingles"]
+
+
+def test_hour_chisq_marginals(results3):
+    rows = results3["q414_hour_chisq"]
+    # expected counts reproduce the observed margins per type
+    from collections import defaultdict
+
+    obs_t, exp_t = defaultdict(int), defaultdict(float)
+    for r in rows:
+        assert r["chi2_contrib"] >= 0.0
+        obs_t[r["event_type"]] += r["observed"]
+        exp_t[r["event_type"]] += r["expected"]
+    for t in obs_t:
+        assert exp_t[t] == pytest.approx(obs_t[t], rel=1e-9)
+
+
+def test_zipf_slope_negative(results3):
+    [r] = results3["q415_zipf_fit"]
+    assert 2 <= r["n_ranks"] <= 50  # vocab may be < 50 at tiny SF
+    assert r["zipf_slope"] < 0.0  # frequency falls with rank
+    assert math.isfinite(r["zipf_intercept"])
+
+
+def test_audience_overlap_bounds(results3):
+    rows = results3["q416_audience_overlap"]
+    assert len(rows) == 10  # C(5,2) type pairs
+    for r in rows:
+        assert r["type_a"] < r["type_b"]
+        assert 0.0 <= r["jaccard"] <= 1.0
+
+
+@pytest.fixture(scope="module")
+def results4(spark):
+    qs = entrymod.queries()
+    names = [
+        "q417_slew_alarm",
+        "q418_twa",
+        "q419_gap_audit",
+        "q420_availability",
+        "q421_calibration_bins",
+        "q422_auc",
+        "q423_gains_table",
+    ]
+    return {n: qs[n](spark, SF).collect() for n in names}
+
+
+def test_slew_rate_bounded(results4):
+    for r in results4["q417_slew_alarm"]:
+        assert 0.0 <= r["violation_rate"] <= 1.0
+        assert r["n_violations"] <= r["n_pairs"]
+
+
+def test_twa_within_value_range(results4):
+    # values are 0..~100-ish; the trapezoid average must sit inside
+    for r in results4["q418_twa"]:
+        assert 0.0 < r["twa_value"] < 10000.0
+        assert r["n_points"] > 0
+
+
+def test_gap_audit_consistency(results4):
+    for r in results4["q419_gap_audit"]:
+        assert r["n_long"] <= r["n_gaps"]
+        assert r["med_gap_us"] > 0
+        # every long gap exceeds 2x median, so downtime > n_long*2*med
+        assert r["downtime_us"] >= r["n_long"] * 2 * r["med_gap_us"]
+
+
+def test_availability_unit_interval(results4):
+    for r in results4["q420_availability"]:
+        assert 0.0 < r["availability"] <= 1.0
+        assert r["n_buckets"] <= 1440
+
+
+def test_calibration_bins_flat_for_hash_score(results4):
+    rows = sorted(results4["q421_calibration_bins"], key=lambda r: r["bin"])
+    assert [r["bin"] for r in rows] == list(range(10))
+    total = sum(r["n_events"] for r in rows)
+    base = sum(r["n_pos"] for r in rows) / total
+    # md5 score is independent of the label: every bin's observed
+    # rate must hover near the base rate (binomial tolerance)
+    for r in rows:
+        se = 3.5 * (base * (1 - base) / r["n_events"]) ** 0.5
+        assert abs(r["obs_rate"] - base) <= se + 0.02
+
+
+def test_auc_is_probability(results4):
+    [r] = results4["q422_auc"]
+    assert 0.0 <= r["auc"] <= 1.0
+    assert r["n_pos"] > 0 and r["n_neg"] > 0
+
+
+def test_gains_table_monotone_cum_lift(results4):
+    rows = sorted(results4["q423_gains_table"], key=lambda r: r["decile"])
+    assert [r["decile"] for r in rows] == list(range(10))
+    # cumulative lift ends at exactly 1.0 (full population)
+    assert rows[-1]["cum_lift"] == pytest.approx(1.0, rel=1e-12)
+    # cum_pos is nondecreasing
+    for a, b in zip(rows, rows[1:]):
+        assert b["cum_pos"] >= a["cum_pos"]
+
+
+def test_seasonal_mk_and_partial_corr(spark):
+    qs = entrymod.queries()
+    mk = qs["q424_seasonal_mk"](spark, SF).collect()
+    assert len(mk) == 5
+    for r in mk:
+        assert r["var_num"] > 0
+        # |S| is bounded by total pairs: 7 strata of ~4-5 days
+        assert abs(r["s_stat"]) <= 7 * 10
+    pc = qs["q425_partial_corr"](spark, SF).collect()
+    [r] = pc
+    assert -1.0 - 1e-12 <= r["r_xy"] <= 1.0 + 1e-12
+    assert -1.0 - 1e-12 <= r["r_xy_given_z"] <= 1.0 + 1e-12
+
+
+def test_no_shadowed_query_functions():
+    """A later `def _q_x` silently SHADOWS an earlier one and rebinds
+    every registry entry that referenced it (the q203/q385 round-3
+    incident, re-triggered in round 4 by q408/q411/q420/q422/q423).
+    Pin it structurally: no duplicate top-level function names in the
+    entry module, ever."""
+    import ast
+    from collections import Counter
+
+    tree = ast.parse(
+        open("/root/repo/__spark_entry__.py", encoding="utf-8").read()
+    )
+    names = [
+        n.name for n in tree.body if isinstance(n, ast.FunctionDef)
+    ]
+    dups = [n for n, c in Counter(names).items() if c > 1]
+    assert not dups, f"shadowed top-level defs: {dups}"
+
+
 def test_kw_matches_scipy_formula_on_tiny_frame(spark):
     """Brute-force the tie-corrected H on a tiny known frame and
     compare with the query's algebra replayed in pure Python."""
