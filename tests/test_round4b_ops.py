@@ -383,6 +383,24 @@ def test_seasonal_mk_and_partial_corr(spark):
     assert -1.0 - 1e-12 <= r["r_xy_given_z"] <= 1.0 + 1e-12
 
 
+def test_hampel_fold_cv_rev_allocation(spark):
+    qs = entrymod.queries()
+    hp = qs["q426_hampel_outliers"](spark, SF).collect()
+    for r in hp:
+        # every flagged day genuinely violates the 3-MAD band
+        assert abs(r["n"] - r["med"]) > 3 * r["mad"]
+    cv = qs["q427_fold_cv"](spark, SF).collect()
+    [r] = cv
+    assert r["n_folds"] == 5
+    assert r["var_of_fold_means"] >= 0.0
+    ra = qs["q429_rev_allocation"](spark, SF).collect()
+    assert len(ra) == 20
+    for r in ra:
+        # the whole point: allocation reconciles to the header exactly
+        assert r["allocated_cents"] == r["header_cents"]
+        assert r["bumped_lines"] <= r["n_lines"]
+
+
 def test_no_shadowed_query_functions():
     """A later `def _q_x` silently SHADOWS an earlier one and rebinds
     every registry entry that referenced it (the q203/q385 round-3
