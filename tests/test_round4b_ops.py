@@ -401,6 +401,20 @@ def test_hampel_fold_cv_rev_allocation(spark):
         assert r["bumped_lines"] <= r["n_lines"]
 
 
+def test_logrank_and_mde(spark):
+    qs = entrymod.queries()
+    [lr] = qs["q430_logrank"](spark, SF).collect()
+    assert lr["v_stat"] > 0.0
+    assert lr["logrank_chi2"] >= 0.0
+    assert lr["n_steps"] >= 1
+    [m] = qs["q431_mde"](spark, SF).collect()
+    assert m["metric_var"] > 0.0
+    assert m["mde_abs"] > 0.0
+    assert m["mde_rel"] == pytest.approx(
+        m["mde_abs"] / m["metric_mean"], rel=1e-12
+    )
+
+
 def test_no_shadowed_query_functions():
     """A later `def _q_x` silently SHADOWS an earlier one and rebinds
     every registry entry that referenced it (the q203/q385 round-3
