@@ -415,6 +415,23 @@ def test_logrank_and_mde(spark):
     )
 
 
+def test_eval_metric_batch(spark):
+    qs = entrymod.queries()
+    [e] = qs["q432_ece"](spark, SF).collect()
+    assert 0.0 <= e["ece"] <= 1.0
+    [k] = qs["q433_cohen_kappa"](spark, SF).collect()
+    assert -1.0 - 1e-12 <= k["kappa"] <= 1.0 + 1e-12
+    assert 0.0 <= k["p_observed"] <= 1.0
+    [m] = qs["q434_mcc"](spark, SF).collect()
+    assert -1.0 - 1e-12 <= m["mcc"] <= 1.0 + 1e-12
+    assert 0.0 <= m["precision"] <= 1.0 and 0.0 <= m["recall"] <= 1.0
+    # F1 is the harmonic mean: between min and max of P/R
+    assert min(m["precision"], m["recall"]) - 1e-12 <= m["f1"]
+    assert m["f1"] <= max(m["precision"], m["recall"]) + 1e-12
+    [j] = qs["q435_jsd"](spark, SF).collect()
+    assert 0.0 <= j["jsd"] <= math.log(2.0) + 1e-12
+
+
 def test_no_shadowed_query_functions():
     """A later `def _q_x` silently SHADOWS an earlier one and rebinds
     every registry entry that referenced it (the q203/q385 round-3
