@@ -432,6 +432,22 @@ def test_eval_metric_batch(spark):
     assert 0.0 <= j["jsd"] <= math.log(2.0) + 1e-12
 
 
+def test_ops_batch8(spark):
+    qs = entrymod.queries()
+    st = qs["q436_staleness"](spark, SF).collect()
+    for r in st:
+        assert 0 <= r["p50_age_us"] <= r["p90_age_us"] <= r["max_age_us"]
+    tp = qs["q437_throughput_percentiles"](spark, SF).collect()
+    for r in tp:
+        assert 1 <= r["p50_per_bucket"] <= r["p90_per_bucket"]
+        assert r["p90_per_bucket"] <= r["max_per_bucket"]
+        assert r["n_buckets"] <= 1440
+    rp = qs["q438_ramp_extremes"](spark, SF).collect()
+    assert len(rp) == 5
+    for r in rp:
+        assert r["max_ramp_down"] <= r["max_ramp_up"]
+
+
 def test_no_shadowed_query_functions():
     """A later `def _q_x` silently SHADOWS an earlier one and rebinds
     every registry entry that referenced it (the q203/q385 round-3
