@@ -448,6 +448,23 @@ def test_ops_batch8(spark):
         assert r["max_ramp_down"] <= r["max_ramp_up"]
 
 
+def test_lorenz_points(spark):
+    qs = entrymod.queries()
+    rows = sorted(
+        qs["q439_lorenz_points"](spark, SF).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(10))
+    # Lorenz curve: nondecreasing, below the diagonal, ends at 1.0
+    prev = 0.0
+    for r in rows:
+        assert r["cum_rev_share"] >= prev - 1e-12
+        assert r["cum_rev_share"] <= r["cum_pop_share"] + 1e-12
+        prev = r["cum_rev_share"]
+    assert rows[-1]["cum_rev_share"] == pytest.approx(1.0, abs=1e-12)
+    assert rows[-1]["cum_pop_share"] == pytest.approx(1.0, abs=1e-12)
+
+
 def test_no_shadowed_query_functions():
     """A later `def _q_x` silently SHADOWS an earlier one and rebinds
     every registry entry that referenced it (the q203/q385 round-3
