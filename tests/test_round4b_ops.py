@@ -465,6 +465,18 @@ def test_lorenz_points(spark):
     assert rows[-1]["cum_pop_share"] == pytest.approx(1.0, abs=1e-12)
 
 
+def test_peak_hour_and_repeat_purchase(spark):
+    qs = entrymod.queries()
+    ph = qs["q440_peak_hour"](spark, SF).collect()
+    assert len(ph) == 5
+    for r in ph:
+        assert 0 <= r["peak_hour"] <= 23
+        assert r["prominence"] >= 1.0  # max >= median by definition
+    [rp] = qs["q441_repeat_purchase"](spark, SF).collect()
+    assert 0 <= rp["n_loyal"] <= rp["n_repeat"] <= rp["n_buyers"]
+    assert 0.0 <= rp["loyal_rate"] <= rp["repeat_rate"] <= 1.0
+
+
 def test_no_shadowed_query_functions():
     """A later `def _q_x` silently SHADOWS an earlier one and rebinds
     every registry entry that referenced it (the q203/q385 round-3
