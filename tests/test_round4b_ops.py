@@ -477,6 +477,17 @@ def test_peak_hour_and_repeat_purchase(spark):
     assert 0.0 <= rp["loyal_rate"] <= rp["repeat_rate"] <= 1.0
 
 
+def test_gap_histogram(spark):
+    qs = entrymod.queries()
+    rows = qs["q442_gap_histogram"](spark, SF).collect()
+    total = sum(r["n_gaps"] for r in rows)
+    assert total > 0
+    for r in rows:
+        # bucket b holds gaps in [2^(b-1), 2^b); µs gaps over a month
+        # stay under 2^63
+        assert 1 <= r["log2_bucket"] <= 63
+
+
 def test_no_shadowed_query_functions():
     """A later `def _q_x` silently SHADOWS an earlier one and rebinds
     every registry entry that referenced it (the q203/q385 round-3
