@@ -48,7 +48,7 @@ def main() -> None:
     # best-of-N: single-shot timings on a shared JVM are noisy (JIT
     # recompilation, GC pauses land on whichever query is running);
     # the minimum is the steady-state cost of the plan itself.
-    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5")))
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
