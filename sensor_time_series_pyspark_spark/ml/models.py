@@ -16,6 +16,8 @@ confidence intervals like old-statsmodels ``ARIMA.forecast`` did
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 
@@ -193,23 +195,67 @@ def seasonal_decompose_additive(
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Classical additive decomposition (reference T8): centered-MA
     trend, phase-mean seasonal, residual. NaN at the trend edges, like
-    statsmodels."""
+    statsmodels.
+
+    Every accumulation is a SEQUENTIAL left fold in time order (no
+    np.convolve / np.mean, whose private pairwise summation a SQL
+    engine cannot replay): the q26 DuckDB oracle reproduces the exact
+    IEEE op sequence with a lag/lead chain and ordered list_reduce,
+    making the decomposition hash-gateable like Holt (q24)."""
     n = len(x)
-    trend = np.full(n, np.nan)
+    xs = [float(v) for v in x]
+    trend: list[float] = [float("nan")] * n
     if n >= period:
         k = period // 2
         if period % 2 == 0:
-            w = np.r_[0.5, np.ones(period - 1), 0.5] / period
+            # half-weight ends: (0.5*x[t-k] + x[t-k+1] + … + x[t+k-1]
+            # + 0.5*x[t+k]) / period, folded left-to-right
+            for t in range(k, n - k):
+                s = 0.5 * xs[t - k]
+                for i in range(t - k + 1, t + k):
+                    s = s + xs[i]
+                s = s + 0.5 * xs[t + k]
+                trend[t] = s / period
         else:
-            w = np.ones(period) / period
-        conv = np.convolve(x, w, mode="valid")
-        trend[k : k + len(conv)] = conv
-    detrended = x - trend
-    seasonal = np.zeros(n)
+            # plain centered window: fold x[t-k] … x[t+k], ONE division
+            for t in range(k, n - k):
+                s = xs[t - k]
+                for i in range(t - k + 1, t + k + 1):
+                    s = s + xs[i]
+                trend[t] = s / period
+    detrended = [
+        xs[i] - trend[i] if not math.isnan(trend[i]) else float("nan")
+        for i in range(n)
+    ]
+    phase_mean: list[float] = []
     for phase in range(period):
-        vals = detrended[phase::period]
-        vals = vals[~np.isnan(vals)]
-        seasonal[phase::period] = float(np.mean(vals)) if len(vals) else 0.0
-    seasonal -= np.nanmean(seasonal)
-    resid = x - trend - seasonal
-    return trend, seasonal, resid
+        vals = [d for d in detrended[phase::period] if not math.isnan(d)]
+        if vals:
+            s = vals[0]
+            for v in vals[1:]:
+                s = s + v
+            phase_mean.append(s / len(vals))
+        else:
+            phase_mean.append(0.0)
+    # center over the FULL series (phase means weighted by occurrence),
+    # folded in index order
+    raw = [phase_mean[i % period] for i in range(n)]
+    if n:
+        s = raw[0]
+        for v in raw[1:]:
+            s = s + v
+        overall = s / n
+    else:
+        overall = 0.0
+    seasonal = np.array([r - overall for r in raw], dtype="float64")
+    trend_a = np.array(trend, dtype="float64")
+    resid = np.array(
+        [
+            xs[i] - trend[i] - seasonal[i]
+            if not math.isnan(trend[i])
+            else float("nan")
+            for i in range(n)
+        ],
+        dtype="float64",
+    )
+    return trend_a, seasonal, resid
