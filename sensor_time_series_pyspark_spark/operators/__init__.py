@@ -41,6 +41,8 @@ from .dedup import (
 from .similarity import (
     brp_lsh_join,
     ivf_topk_cosine,
+    ivf_topk_cosine_pivots,
+    quantize_vec,
     signed_random_projection,
     srp_planes_rademacher,
     srp_signature_portable,
@@ -116,6 +118,8 @@ __all__ = [
     "embedding_near_dup_pairs",
     "topk_cosine",
     "ivf_topk_cosine",
+    "ivf_topk_cosine_pivots",
+    "quantize_vec",
     "brp_lsh_join",
     "signed_random_projection",
     "srp_planes_rademacher",

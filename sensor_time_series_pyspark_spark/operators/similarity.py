@@ -248,6 +248,118 @@ def ivf_topk_cosine(
     )
 
 
+def quantize_vec(vec_col: str | F.Column, scale: int = 1 << 20) -> F.Column:
+    """Integer-quantize a float vector: floor(x · 2^20) per component.
+
+    The scale is a POWER OF TWO, so the double multiply only shifts the
+    exponent (no mantissa rounding) and ``floor`` is exact — the
+    quantized vector is bit-identical in every engine. |x| < 2 ⇒
+    |xq| < 2^21 ⇒ a 64-dim squared distance ≤ 64·(2^22)² < 2^50, safely
+    inside bigint."""
+    col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * scale).cast("long")
+    )
+
+
+def _int_d2(a: str, b: str) -> F.Column:
+    """Exact integer squared L2 distance between two long-vectors."""
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_topk_cosine_pivots(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str,
+    query_id: str,
+    vec_col: str,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 3,
+) -> DataFrame:
+    """Engine-portable IVF top-k cosine: the coarse quantizer is
+    "nearest of ``n_cells`` PIVOT vectors" instead of KMeans centroids.
+
+    Pivots are the corpus vectors with the smallest md5(id) (the repo's
+    deterministic-sampling convention — an order any engine reproduces),
+    and BOTH the corpus→cell assignment and the query→probe ranking
+    compare EXACT INTEGER squared distances on 2^20-quantized vectors
+    (quantize_vec), so cell membership has no float tie-break ambiguity
+    at all: the inverted lists are bit-identical across engines, which
+    is what lets q47 gate ranks like q23 (cosine gaps ≫ float error
+    within a fixed candidate set).
+
+    Same search shape as ivf_topk_cosine (KMeans variant, kept for the
+    pyspark.ml surface): broadcast the tiny pivot table, one map-side
+    assignment pass over the corpus, probe via an equi-join on cell id
+    — a fraction n_probe/n_cells of the corpus per query, never a full
+    scan. Random-pivot coarse quantizers are a standard IVF variant
+    (the k-means fit is an accuracy optimization, not a structural
+    requirement); recall stays tunable with n_probe.
+
+    Output: qid, cid, rank, cosine.
+    """
+    pivots = (
+        corpus.select(
+            F.col(corpus_id).alias("pid"),
+            quantize_vec(vec_col).alias("pq_vec"),
+            F.md5(F.col(corpus_id).cast("string")).alias("h"),
+        )
+        .orderBy("h", "pid")
+        .limit(n_cells)
+    )
+    w_piv = Window.orderBy("h", "pid")
+    pivots = pivots.withColumn(
+        "cell", F.row_number().over(w_piv).cast("int")
+    ).select("cell", "pq_vec")
+
+    c = corpus.select(
+        F.col(corpus_id).alias("cid"),
+        F.col(vec_col).alias("cv"),
+        l2_norm(vec_col).alias("cn"),
+        quantize_vec(vec_col).alias("cq"),
+    )
+    w_assign = Window.partitionBy("cid").orderBy("d2", "cell")
+    assigned = (
+        c.join(F.broadcast(pivots))
+        .withColumn("d2", _int_d2("cq", "pq_vec"))
+        .withColumn("r", F.row_number().over(w_assign))
+        .where(F.col("r") == 1)
+        .select("cid", "cv", "cn", "cell")
+    )
+
+    q = queries.select(
+        F.col(query_id).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        l2_norm(vec_col).alias("qn"),
+        quantize_vec(vec_col).alias("qq"),
+    )
+    w_probe = Window.partitionBy("qid").orderBy("d2", "cell")
+    probes = (
+        q.join(F.broadcast(pivots))
+        .withColumn("d2", _int_d2("qq", "pq_vec"))
+        .withColumn("r", F.row_number().over(w_probe))
+        .where(F.col("r") <= n_probe)
+        .select("qid", "qv", "qn", "cell")
+    )
+
+    scored = (
+        assigned.join(probes, "cell")
+        .where(F.col("qid") != F.col("cid"))
+        .withColumn("cosine", dot("qv", "cv") / (F.col("qn") * F.col("cn")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "cid", "rank", "cosine")
+    )
+
+
 def pq_codebook(
     corpus: DataFrame,
     vec_col: str,

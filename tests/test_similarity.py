@@ -118,6 +118,54 @@ def test_ivf_topk_recall_vs_exact(spark, emb):
     assert full == exact
 
 
+def test_ivf_pivots_recall_and_exactness(spark, emb):
+    """The engine-portable pivot IVF (q47's gated path) obeys the same
+    contracts as the KMeans variant: n_probe == n_cells ⇒ exactly the
+    brute-force top-5; n_probe < n_cells keeps modest recall on the
+    near-orthogonal hard case; every cell id is within 1..n_cells."""
+    from sensor_time_series_pyspark_spark.operators import (
+        ivf_topk_cosine_pivots,
+    )
+
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r["qid"], r["cid"])
+        for r in topk_cosine(
+            emb, queries, "vec_id", "vec_id", "embedding", k=5
+        ).collect()
+    }
+    approx = {
+        (r["qid"], r["cid"])
+        for r in ivf_topk_cosine_pivots(
+            emb, queries, "vec_id", "vec_id", "embedding",
+            k=5, n_cells=8, n_probe=4,
+        ).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.5
+
+    full = {
+        (r["qid"], r["cid"])
+        for r in ivf_topk_cosine_pivots(
+            emb, queries, "vec_id", "vec_id", "embedding",
+            k=5, n_cells=8, n_probe=8,
+        ).collect()
+    }
+    assert full == exact
+
+
+def test_quantize_vec_exactness(spark):
+    """quantize_vec must be floor(x·2^20) exactly (power-of-two scale:
+    the multiply shifts the exponent, no rounding)."""
+    import math
+
+    from sensor_time_series_pyspark_spark.operators import quantize_vec
+
+    vals = [0.1, -0.5252062082290649, 0.4583735167980194, 0.0, -1e-9]
+    df = spark.createDataFrame([(vals,)], "v array<double>")
+    out = df.select(quantize_vec("v").alias("q")).collect()[0]["q"]
+    assert out == [math.floor(v * (1 << 20)) for v in vals]
+
+
 def test_quantize_int8_reconstruction(spark, sf_dir):
     """Dequantized vectors must keep cosine >= 0.999 with the original
     and bound per-element error by scale/2 — the rerank-on-originals
