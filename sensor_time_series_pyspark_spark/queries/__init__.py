@@ -1,0 +1,22 @@
+"""Query families (split from the former monolithic
+__spark_entry__.py). Importing this package imports every family
+module, whose register_many() calls populate QUERIES/ORACLE_SQL —
+and raise on any duplicate name."""
+
+from sensor_time_series_pyspark_spark.queries.registry import (  # noqa: F401
+    ORACLE_SQL,
+    QUERIES,
+    register_many,
+)
+
+from sensor_time_series_pyspark_spark.queries import core  # noqa: F401,E402
+from sensor_time_series_pyspark_spark.queries import windows_signal  # noqa: F401,E402
+from sensor_time_series_pyspark_spark.queries import sketches_graph  # noqa: F401,E402
+from sensor_time_series_pyspark_spark.queries import business  # noqa: F401,E402
+from sensor_time_series_pyspark_spark.queries import stats_sampling  # noqa: F401,E402
+from sensor_time_series_pyspark_spark.queries import ml_analytics  # noqa: F401,E402
+from sensor_time_series_pyspark_spark.queries import tests_drift  # noqa: F401,E402
+from sensor_time_series_pyspark_spark.queries import experiments  # noqa: F401,E402
+from sensor_time_series_pyspark_spark.queries import stats_ts  # noqa: F401,E402
+from sensor_time_series_pyspark_spark.queries import quality_ops  # noqa: F401,E402
+from sensor_time_series_pyspark_spark.queries import latest  # noqa: F401,E402

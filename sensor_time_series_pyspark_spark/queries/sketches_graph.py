@@ -1,0 +1,2548 @@
+"""Sketches, sequences, cohorts, survival, graph and
+mergeable-moment queries (q144 .. q199).
+
+Split out of the former monolithic __spark_entry__.py; function
+sources are verbatim. See queries/common.py for shared helpers and
+queries/registry.py for the duplicate-raising registration."""
+
+from __future__ import annotations
+
+from sensor_time_series_pyspark_spark.queries.common import *  # noqa: F401,F403
+
+def _q_topk_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable frequent-items rollup (operators/sketches.py:
+    topk_partials/topk_rollup): daily per-nation item sketches merged
+    up to nation — q96's persisted-partials pattern for top-k. Rows-
+    only: merged-estimate tie order is sketch-defined; exactness under
+    the tracked-item bound is tested separately."""
+    from sensor_time_series_pyspark_spark.operators import (
+        topk_partials,
+        topk_rollup,
+    )
+
+    ev = read_table(spark, sf, "events")
+    cust = read_table(spark, sf, "customer")
+    tagged = ev.join(
+        F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        ev["user_id"] == F.col("c_custkey"),
+    ).select("c_nationkey", F.to_date("ts").alias("day"), "event_type")
+    daily = topk_partials(tagged, ["c_nationkey", "day"], "event_type")
+    return topk_rollup(daily, ["c_nationkey"], k=3)
+
+
+def _q_table_checksum(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-insensitive table fingerprint (operators/validate.py:
+    table_checksum): one aggregate over portable md5 row hashes —
+    the regression gate for pipeline rewrites. Columns are pre-cast to
+    engine-stable string forms (ints/strings/epoch seconds/scaled
+    decimals) per the operator contract."""
+    from sensor_time_series_pyspark_spark.operators import table_checksum
+
+    li = read_table(spark, sf, "lineitem")
+    stable = li.select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_shipdate").cast("long").alias("ship_epoch"),
+        F.col("l_quantity").cast("decimal(12,2)").alias("qty"),
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
+    )
+    return table_checksum(stable)
+
+
+def _q_frequent_triples(spark: SparkSession, sf: str) -> DataFrame:
+    """Apriori level-3: frequent item TRIPLES within orders, built on
+    the frequent-pair lattice (q127's machinery) — candidate triples
+    only form where both prefix pairs are frequent (the Apriori prune),
+    then one membership join verifies the third co-occurrence. Never
+    enumerates C(width,3) per basket blindly at scale."""
+    li = read_table(spark, sf, "lineitem")
+    bi = li.select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    ).distinct()
+    pairs = (
+        bi.alias("a")
+        .join(bi.alias("b"), F.col("a.basket") == F.col("b.basket"))
+        .where(F.col("a.item") < F.col("b.item"))
+        .groupBy(
+            F.col("a.basket").alias("basket"),
+            F.col("a.item").alias("i1"),
+            F.col("b.item").alias("i2"),
+        )
+        .agg(F.lit(1).alias("__one"))
+    )
+    # support-2 pairs form the candidate lattice
+    freq = (
+        pairs.groupBy("i1", "i2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select("i1", "i2")
+    )
+    cand = pairs.join(freq, ["i1", "i2"]).select("basket", "i1", "i2")
+    triples = (
+        cand.alias("p")
+        .join(
+            bi.alias("c"),
+            (F.col("p.basket") == F.col("c.basket"))
+            & (F.col("c.item") > F.col("p.i2")),
+        )
+        .groupBy(
+            F.col("p.i1").alias("i1"),
+            F.col("p.i2").alias("i2"),
+            F.col("c.item").alias("i3"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+        .where(F.col("n_baskets") >= 2)
+    )
+    return triples
+
+
+def _q_sequential_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequential purchase patterns: customers buying part A in one
+    order and part B in a strictly LATER order — the market-sequence
+    mining step behind next-purchase recommendation. Customer-keyed
+    self-join on the (customer, part, first-date) reduction, never on
+    raw lineitems."""
+    li = read_table(spark, sf, "lineitem")
+    o = read_table(spark, sf, "orders")
+    cp = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
+        )
+        .agg(F.min("o_orderdate").alias("first_dt"))
+    )
+    a, b = cp.alias("a"), cp.alias("b")
+    seq = (
+        a.join(b, F.col("a.cust") == F.col("b.cust"))
+        .where(F.col("a.first_dt") < F.col("b.first_dt"))
+        .groupBy(
+            F.col("a.part").alias("part_first"),
+            F.col("b.part").alias("part_then"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .where(F.col("n_customers") >= 3)
+    )
+    return seq
+
+
+def _q_cohort_ltv(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort lifetime-value curve: cumulative revenue per signup-month
+    cohort by month age — exact decimal sums, with the running total a
+    window over the tiny cohort×age frame."""
+    o = read_table(spark, sf, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
+    )
+    j = o.join(firsts, "o_custkey").select(
+        "cohort_month",
+        (
+            (F.year("o_orderdate") - F.year("cohort_month")) * 12
+            + (F.month("o_orderdate") - F.month("cohort_month"))
+        ).alias("age_months"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("rev"),
+    )
+    per_age = j.groupBy("cohort_month", "age_months").agg(
+        F.sum("rev").alias("__rev"), F.count(F.lit(1)).alias("n_orders")
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return per_age.select(
+        "cohort_month",
+        "age_months",
+        "n_orders",
+        F.col("__rev").cast("double").alias("revenue"),
+        F.sum("__rev").over(w).cast("double").alias("cum_revenue"),
+    )
+
+
+def _q_life_table(spark: SparkSession, sf: str) -> DataFrame:
+    """Survival life table over user lifespans (days from first to
+    last activity): per age t, users still at risk and users ending
+    exactly at t — the INTEGER inputs of the Kaplan-Meier estimator
+    (the S(t) product itself is a client-side fold over this tiny
+    frame; float cumulative products don't hash across engines).
+    At-risk counts come from a reverse running sum over the aggregated
+    lifespan frame — one scan of the fact table."""
+    ev = read_table(spark, sf, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))).alias(
+            "lifespan"
+        )
+    )
+    ends = spans.groupBy("lifespan").agg(F.count(F.lit(1)).alias("d"))
+    w = (
+        Window.orderBy(F.col("lifespan").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ends.select(
+        F.col("lifespan").alias("age_days"),
+        "d",
+        F.sum("d").over(w).alias("n_at_risk"),
+    )
+
+
+def _q_revenue_gini(spark: SparkSession, sf: str) -> DataFrame:
+    """Gini coefficient of the customer revenue distribution (Lorenz
+    form): G = 2·Σ(i·x_(i)) / (n·Σx) − (n+1)/n over revenue-sorted
+    customers. Ranks are integers (deterministic custkey tiebreak),
+    Σ(i·x) and Σx exact decimals, and the epilogue is two divisions +
+    one subtraction in fixed order — engine-portable. The rank window
+    runs over the aggregated customer frame, not the fact table."""
+    o = read_table(spark, sf, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    w = Window.orderBy(F.col("rev").asc(), F.col("o_custkey").asc())
+    ranked = per_cust.select(
+        F.row_number().over(w).cast("decimal(12,0)").alias("i"),
+        F.col("rev"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("i") * F.col("rev")).cast("decimal(38,2)")).alias("__iwx"),
+        F.sum(F.col("rev").cast("decimal(38,2)")).alias("__sx"),
+    )
+    nd = F.col("n").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("__iwx").cast("double")
+        / (nd * F.col("__sx").cast("double"))
+        - (nd + F.lit(1.0)) / nd
+    )
+    return agg.select(
+        "n",
+        F.col("__sx").cast("double").alias("total_revenue"),
+        gini.alias("gini"),
+    )
+
+
+def _q_bfs_hops(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-source BFS hop distance (operators/graph.py:bfs_hops) over
+    the supplier↔part supply graph, seeded at every tenth supplier:
+    level-synchronous frontier expansion, one equi-join + one anti-join
+    per round, frontier shrinks as levels saturate. Oracle: bounded
+    recursive CTE taking min(hops)."""
+    from sensor_time_series_pyspark_spark.operators import bfs_hops
+
+    li = read_table(spark, sf, "lineitem")
+    su = read_table(spark, sf, "supplier")
+    edges = li.select(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    seeds = su.where(F.col("s_suppkey") % 10 == 1).select(
+        (F.col("s_suppkey") * 2).alias("node")
+    )
+    return bfs_hops(edges, seeds, max_hops=3)
+
+
+def _q_filter_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus filter funnel — the survivor count after each pre-training
+    filter stage (total → exact-dedup rep → English → Gopher pass), as
+    ONE conditional aggregate over one scan: the standard 'how much
+    data survives my pipeline' accounting, all integer counts."""
+    from sensor_time_series_pyspark_spark.functions.text import gopher_flags, lang_id
+
+    docs = read_table(spark, sf, "documents")
+    w = Window.partitionBy("text")
+    flags = docs.select(
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("r"),
+        (lang_id("text") == F.lit("en")).alias("e"),
+        gopher_flags("text")["pass_all"].alias("g"),
+    )
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("r").cast("bigint")).alias("n_unique"),
+        F.sum((F.col("r") & F.col("e")).cast("bigint")).alias("n_english"),
+        F.sum((F.col("r") & F.col("e") & F.col("g")).cast("bigint")).alias(
+            "n_quality"
+        ),
+    )
+
+
+def _q_cluster_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical-document selection per near-dup cluster — dedup keeps
+    the BEST member, not the first: longest text wins, lowest doc_id on
+    ties (min_by over struct(-n_chars, doc_id), the type-agnostic
+    tiebreak). Clusters from q53's jaccard→connected-components path;
+    the vote is one aggregate over the tiny cluster frame."""
+    pairs = jaccard_pairs(
+        _rep_docs(spark, sf), "doc_id", "text", threshold=0.2, shingle_k=3,
+        persist_index=True,
+    )
+    clusters = dedup_clusters(pairs)
+    docs = read_table(spark, sf, "documents").select("doc_id", "n_chars")
+    m = clusters.join(docs, "doc_id")
+    return m.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("n_chars").alias("total_chars"),
+        F.expr("min_by(doc_id, struct(-n_chars, doc_id))").alias(
+            "canonical_doc_id"
+        ),
+    )
+
+
+def _q_bpe_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level adjacent character-pair frequencies — the first
+    iteration of BPE tokenizer training (count all symbol pairs, merge
+    the most frequent): lower-cased word-internal char bigrams, counts
+    ≥ 50. Pure built-in explode/transform — the pair generation is
+    map-side; ONE shuffle on the pair key with partial aggregation."""
+    docs = read_table(spark, sf, "documents")
+    words = docs.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("w")
+    ).where(F.length("w") >= 2)
+    prs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        prs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 50)
+    )
+
+
+def _q_lm_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Train/eval language-model coverage: word trigrams of EVEN doc_ids
+    form the LM vocabulary; each ODD doc is scored by the fraction of
+    its trigrams the LM has seen — the cheap no-log perplexity proxy
+    used for corpus-vs-model fit. Distinct gram set broadcast-joins the
+    eval grams; integer counts, one division."""
+    docs = read_table(spark, sf, "documents")
+    tri = F.expr(
+        "transform(sequence(0, size(__t) - 3), "
+        "i -> concat_ws(' ', __t[i], __t[i+1], __t[i+2]))"
+    )
+    grams = (
+        docs.withColumn("__t", tokens(F.lower(F.col("text"))))
+        .where(F.size("__t") >= 3)
+        .select("doc_id", F.explode(tri).alias("gram"))
+    )
+    train = (
+        grams.where(F.col("doc_id") % 2 == 0).select("gram").distinct()
+        .withColumn("__seen", F.lit(1))
+    )
+    ev = grams.where(F.col("doc_id") % 2 == 1)
+    joined = ev.join(train, "gram", "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce("__seen", F.lit(0))).alias("n_seen"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_seen",
+            (F.col("n_seen").cast("double") / F.col("n_grams").cast("double")).alias(
+                "coverage"
+            ),
+        )
+    )
+
+
+def _q_bfill(spark: SparkSession, sf: str) -> DataFrame:
+    """Backward-fill per series (operators/windows.py:bfill — the ffill
+    mirror over an unbounded FOLLOWING frame; fills leading gaps)."""
+    from sensor_time_series_pyspark_spark.operators import bfill
+
+    out = bfill(
+        _nulled_events(spark, sf), ["value"], order_col="ts", partition_by=["user_id"]
+    )
+    return out.select("event_id", "user_id", "ts", "value")
+
+
+def _q_centroid_sim(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding centroids
+    (cluster-confusability screen). Centroid accumulation is ORDER-FREE
+    exact decimal sums keyed on (label, dim) — cosine is scale-
+    invariant, so the count division is skipped entirely; the dot
+    products then run double-sequentially over the dim-sorted arrays
+    (identical fold order in both engines, q38's epilogue). The 10×64
+    centroid frame is broadcast-sized; the fact table is scanned once."""
+    e = read_table(spark, sf, "embeddings")
+    comp = e.select("label", F.posexplode("embedding").alias("dim", "v"))
+    cent = comp.groupBy("label", "dim").agg(
+        F.sum(F.col("v").cast("double").cast("decimal(20,8)")).alias("s")
+    )
+    vecs = (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "s"))).alias("a"))
+        .select(
+            "label",
+            F.expr("transform(a, x -> cast(x.s as double))").alias("vec"),
+        )
+    )
+    a, b = vecs.alias("a"), vecs.alias("b")
+    dot = lambda x, y: F.expr(  # noqa: E731
+        f"aggregate(zip_with({x}, {y}, (p, q) -> p * q), 0D, (acc, z) -> acc + z)"
+    )
+    return (
+        a.join(b, F.col("a.label") < F.col("b.label"))
+        .select(
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+            (
+                dot("a.vec", "b.vec")
+                / (F.sqrt(dot("a.vec", "a.vec")) * F.sqrt(dot("b.vec", "b.vec")))
+            ).alias("cosine"),
+        )
+    )
+
+
+def _q_seasonal_mase(spark: SparkSession, sf: str) -> DataFrame:
+    """Seasonal-naive forecast skill per order priority: MASE = MAE of
+    the lag-7 (weekly) naive forecast over MAE of the lag-1 naive, on
+    daily order counts — the standard 'is there weekly structure'
+    screen before fitting anything. Counts are integers, |diff| sums
+    exact; ONE division at the end."""
+    o = read_table(spark, sf, "orders")
+    daily = o.groupBy(
+        "o_orderpriority", F.col("o_orderdate").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    w = Window.partitionBy("o_orderpriority").orderBy("day")
+    d = daily.select(
+        "o_orderpriority",
+        (F.col("x") - F.lag("x", 1).over(w)).alias("d1"),
+        (F.col("x") - F.lag("x", 7).over(w)).alias("d7"),
+    )
+    agg = d.where(F.col("d7").isNotNull()).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        F.sum(F.abs("d1")).alias("__s1"),
+        F.sum(F.abs("d7")).alias("__s7"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "n_eval",
+        F.col("__s7").alias("abs_err_seasonal"),
+        F.col("__s1").alias("abs_err_naive"),
+        (F.col("__s7").cast("double") / F.col("__s1").cast("double")).alias("mase"),
+    )
+
+
+def _q_frame_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Video-style frame sampling through the Arrow decode seam
+    (operators/multimodal.py:frame_byte_stats): frames fan out INSIDE
+    mapInPandas (≤8 per blob, stride 16, len 12), per-frame integer
+    byte stats stand in for decoder output — the full row-multiplying
+    Python boundary is oracle-gated, like q37."""
+    from sensor_time_series_pyspark_spark.operators import frame_byte_stats
+
+    docs = read_table(spark, sf, "documents")
+    blobs = docs.select("doc_id", F.encode("text", "utf-8").alias("blob"))
+    return frame_byte_stats(
+        blobs, "blob", ["doc_id"], frame_len=12, stride=16, max_frames=8
+    )
+
+
+def _q_tfidf_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """TF-IDF-weighted cosine near-dup pairs (operators/dedup.py:
+    tfidf_cosine_pairs): jaccard_pairs' inverted-index shape with
+    rare-term weighting — log-free BM25-ratio idf rounded ONCE to
+    decimal, all accumulation exact, one float epilogue."""
+    from sensor_time_series_pyspark_spark.operators import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(
+        _rep_docs(spark, sf), "doc_id", "text", threshold=0.9
+    )
+
+
+def _q_session_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """Top session journey paths: first three event types per gap
+    session (deterministic (ts, event_id) order inside ONE aggregate —
+    no second window pass), then path frequency. The product-analytics
+    'common journeys' query."""
+    ev = read_table(spark, sf, "events")
+    sess = sessionize(ev, ts_col="ts", partition_by=["user_id"], gap_seconds=1800)
+    per = sess.groupBy("user_id", "session_seq").agg(
+        F.expr(
+            "array_join(transform(slice(array_sort("
+            "collect_list(struct(ts, event_id, event_type))), 1, 3), "
+            "x -> x.event_type), '>')"
+        ).alias("path")
+    )
+    return (
+        per.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .where(F.col("n_sessions") >= 5)
+    )
+
+
+def _q_length_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """Length-bucketed training-batch packing: docs bucketed by BPE-ish
+    token count (÷64), row-numbered inside each bucket, chunked into
+    16-doc batches — the padding-minimizing batcher. All integer
+    arithmetic; the only sort is per-bucket."""
+    docs = read_table(spark, sf, "documents")
+    base = docs.select(
+        "doc_id", bpe_ish_token_count("text").alias("n_tok")
+    ).withColumn("bucket", F.expr("n_tok div 64"))
+    w = Window.partitionBy("bucket").orderBy("n_tok", "doc_id")
+    r = base.withColumn("rn", F.row_number().over(w)).withColumn(
+        "batch_id", F.expr("(rn - 1) div 16")
+    )
+    return r.groupBy("bucket", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("sum_tokens"),
+        F.max("n_tok").alias("max_tokens"),
+    )
+
+
+def _q_entity_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity co-occurrence edges (NER-lite shape): marker tokens per
+    doc (long tokens stand in for capitalized named entities — the
+    synthetic corpus is all-lowercase), distinct (doc, entity),
+    doc-keyed self-join for pairs seen in ≥2 docs — the
+    graph-construction step feeding pagerank/LPA/BFS."""
+    docs = read_table(spark, sf, "documents")
+    ents = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+        .where(F.length("w") >= 6)
+        .select("doc_id", F.col("w").alias("ent"))
+        .distinct()
+    )
+    a = ents.select("doc_id", F.col("ent").alias("ent_a"))
+    b = ents.select("doc_id", F.col("ent").alias("ent_b"))
+    return (
+        a.join(b, "doc_id")
+        .where(F.col("ent_a") < F.col("ent_b"))
+        .groupBy("ent_a", "ent_b")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+def _q_hamming_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary embedding quantization + Hamming near-dup pairs: the
+    sign bit of each of the first 48 dimensions packs into ONE bigint
+    (sequential integer fold — engine-exact), pairs with Hamming
+    distance ≤ 16 via bit_count(xor). 64-bit words make the candidate
+    scan a register-width operation — the classic cheap pre-filter in
+    front of exact cosine (cf. SRP signatures, q39, which use random
+    planes; this is the axis-aligned variant)."""
+    e = read_table(spark, sf, "embeddings").where(F.col("vec_id") < 200)
+    packed = e.select(
+        "vec_id",
+        F.expr(
+            "aggregate(slice(embedding, 1, 48), 0L, "
+            "(acc, x) -> acc * 2 + CASE WHEN x > 0 THEN 1L ELSE 0L END)"
+        ).alias("bits"),
+    )
+    a, b = packed.alias("a"), packed.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.expr("cast(bit_count(a.bits ^ b.bits) as int)").alias("hamming"),
+        )
+        .where(F.col("hamming") <= 16)
+    )
+
+
+def _q_funnel_strict(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-step-deadline funnel (operators/analytics.py:funnel_strict):
+    earliest view, then earliest click within 1h OF THE VIEW, then
+    earliest purchase within 1h OF THE CLICK — greedy earliest-chain,
+    one user-keyed join + min aggregate per step (contrast q71, which
+    has a single overall deadline)."""
+    from sensor_time_series_pyspark_spark.operators import funnel_strict
+
+    ev = read_table(spark, sf, "events")
+    return funnel_strict(
+        ev, "user_id", "ts",
+        steps=[
+            ("view", F.col("event_type") == "view"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+        step_within_seconds=3600,
+    )
+
+
+def _q_lsh_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH tuning report: exact-Jaccard pair count vs MinHash-LSH
+    verified pair count at the SAME threshold/shingling (q19/q20
+    configs), plus recall — the measurement a pipeline owner uses to
+    pick n_bands. Integer counts, one division; both sides rerun their
+    full pipelines (the join is on broadcast-sized pair frames)."""
+    reps = _rep_docs(spark, sf)
+    ex = jaccard_pairs(reps, "doc_id", "text", threshold=0.35, shingle_k=2)
+    mh = minhash_pairs(
+        reps, "doc_id", "text", threshold=0.35, shingle_k=2,
+        n_hashes=16, n_bands=8,
+    )
+    hit = ex.select("id_a", "id_b").join(
+        mh.select("id_a", "id_b"), ["id_a", "id_b"]
+    )
+    return (
+        ex.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(mh.agg(F.count(F.lit(1)).alias("n_lsh")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_hit",
+            (F.col("n_hit").cast("double") / F.col("n_exact").cast("double")).alias(
+                "recall"
+            ),
+        )
+    )
+
+
+def _q_equi_depth(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-DEPTH histogram (deciles of order value) — the complement
+    of q76's equi-width bins: ntile(10) with a deterministic tiebreak,
+    per-bucket count and exact decimal bounds. The global window sort
+    is the small-data path; operators/quantiles.py:approx_ntile is the
+    sketch-bucketed scale path for fact-sized inputs (tested
+    equivalent-shape)."""
+    o = read_table(spark, sf, "orders")
+    w = Window.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+    d = o.select(
+        F.ntile(10).over(w).alias("decile"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    )
+    return d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("p").cast("double").alias("lo"),
+        F.max("p").cast("double").alias("hi"),
+    )
+
+
+def _q_seasonal_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """Seasonal-residual anomaly screen: each event compared to its
+    (type, day-of-week, hour) calendar-mean (q142's profile), flagged
+    when value > 2×mean. The profile is a 5×7×24 frame broadcast back
+    onto the fact — the fact table never re-shuffles (q102's
+    broadcast-moments pattern at calendar granularity). Exact decimal
+    means; integer flag counts; one division."""
+    ev = read_table(spark, sf, "events")
+    keyed = ev.select(
+        "event_type",
+        F.dayofweek("ts").alias("dow"),
+        F.hour("ts").alias("hod"),
+        "value",
+    )
+    prof = keyed.groupBy("event_type", "dow", "hod").agg(
+        _davg(F.col("value")).alias("mu")
+    )
+    j = keyed.join(F.broadcast(prof), ["event_type", "dow", "hod"])
+    agg = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(F.col("value") > F.lit(2.0) * F.col("mu"), 1).otherwise(0)
+        ).cast("bigint").alias("n_anom"),
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        "n_anom",
+        (F.col("n_anom").cast("double") / F.col("n_events").cast("double")).alias(
+            "anom_share"
+        ),
+    )
+
+
+def _q_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between nation pairs by
+    ship year. The two nation-annotated key maps (supplier→nation,
+    customer-order→nation) are tiny next to the fact and broadcast, so
+    lineitem is scanned once and shuffles only for the final 3-key
+    aggregate — no fact-fact shuffle join at any scale."""
+    n = read_table(spark, sf, "nation")
+    supp = (
+        read_table(spark, sf, "supplier")
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        read_table(spark, sf, "customer")
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    o = read_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    j = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(F.sum(_revenue()).cast("double").alias("revenue"))
+
+
+def _q_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's import revenue
+    by order year — conditional aggregate over a dim-star join, ONE
+    division per year row. All dims broadcast; the fact shuffles once
+    for the year aggregate."""
+    n = read_table(spark, sf, "nation")
+    r = read_table(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    cust = (
+        read_table(spark, sf, "customer")
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp = (
+        read_table(spark, sf, "supplier")
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    o = read_table(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    li = read_table(spark, sf, "lineitem")
+    j = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    per_year = j.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_3", _revenue())).cast(
+            "double"
+        ).alias("nation_rev"),
+        F.sum(_revenue()).cast("double").alias("total_rev"),
+    )
+    return per_year.select(
+        "o_year",
+        "nation_rev",
+        "total_rev",
+        (F.coalesce(F.col("nation_rev"), F.lit(0.0)) / F.col("total_rev")).alias(
+            "mkt_share"
+        ),
+    )
+
+
+def _q_product_profit(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation × order year for one
+    part family. Profit = revenue − 60% retail cost × qty, all decimal
+    products (exact in both engines). Part and supplier maps broadcast;
+    lineitem scanned once."""
+    p = read_table(spark, sf, "part").where(F.col("p_type") == "PROMO").select(
+        "p_partkey", "p_retailprice"
+    )
+    n = read_table(spark, sf, "nation")
+    supp = (
+        read_table(spark, sf, "supplier")
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    o = read_table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    li = read_table(spark, sf, "lineitem")
+    cost = (
+        _dec("p_retailprice")
+        * _dec("l_quantity")
+        * F.lit("0.60").cast("decimal(3,2)")
+    )
+    j = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return j.groupBy("nation", F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(_revenue().cast("decimal(30,6)") - cost.cast("decimal(30,6)"))
+        .cast("double")
+        .alias("profit")
+    )
+
+
+def _q_priority_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape: late-shipment counts split by order priority —
+    conditional integer aggregate after one fact-fact join keyed on
+    orderkey (sort-merge at scale; AQE may demote to broadcast when the
+    filtered side is small)."""
+    o = read_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = read_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_shipdate"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).where(late)
+    return j.groupBy("l_linestatus").agg(
+        F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+        F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+    )
+
+
+def _q_order_count_dist(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of orders-per-customer including
+    zero-order customers — left outer join + two stacked aggregates.
+    The second aggregate runs on the already-customer-sized frame."""
+    c = read_table(spark, sf, "customer").select("c_custkey")
+    o = read_table(spark, sf, "orders").where(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def _q_promo_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape: promo-type revenue share per ship month —
+    conditional decimal sums, fixed (100*promo)/total double epilogue.
+    The 200-row part dim broadcasts."""
+    p = read_table(spark, sf, "part").select("p_partkey", "p_type")
+    li = read_table(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    agg = j.groupBy(F.month("l_shipdate").alias("ship_month")).agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", _revenue()).otherwise(
+            F.lit(0).cast("decimal(12,2)")
+        )).cast("double").alias("promo_rev"),
+        F.sum(_revenue()).cast("double").alias("total_rev"),
+    )
+    return agg.select(
+        "ship_month",
+        "promo_rev",
+        "total_rev",
+        ((F.lit(100.0) * F.col("promo_rev")) / F.col("total_rev")).alias(
+            "promo_share"
+        ),
+    )
+
+
+def _q_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with maximum quarterly revenue —
+    aggregate once, then an argmax via broadcast of the 1-row max (no
+    re-aggregation, no window over the fact). Revenue doubles come from
+    identical exact decimal sums, so the equality join is portable."""
+    li = read_table(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_revenue()).cast("double").alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    s = read_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def _q_supplier_part_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct suppliers per (brand, size bucket)
+    excluding one brand — count-distinct over a broadcast part join
+    (Spark plans the distinct as a two-phase partial aggregate)."""
+    p = read_table(spark, sf, "part").where(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 4, 9, 16, 25, 36)
+    ).select("p_partkey", "p_brand", "p_size")
+    li = read_table(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    return j.groupBy("p_brand", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+def _q_small_qty_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from below-average-quantity lineitems
+    of one brand — the correlated scalar subquery de-correlated into a
+    per-part mean (exact-decimal _davg) broadcast back onto the fact;
+    one final scalar row."""
+    p = read_table(spark, sf, "part").where(F.col("p_brand") == "Brand#3").select(
+        "p_partkey"
+    )
+    li = read_table(spark, sf, "lineitem")
+    branded = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    means = branded.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        _davg(F.col("l_quantity")).alias("avg_qty")
+    )
+    j = branded.join(
+        F.broadcast(means), F.col("l_partkey") == F.col("__pk")
+    ).where(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
+    return j.agg(
+        (F.coalesce(_dsum(F.col("l_extendedprice")), F.lit(0.0)) / F.lit(7.0)).alias(
+            "avg_yearly"
+        )
+    )
+
+
+def _q_disjunctive_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate over a part join — the
+    disjunction stays a single scan-side filter (no union of three
+    scans); Catalyst extracts the common l_partkey=p_partkey
+    conjunct as the join key."""
+    p = read_table(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    li = read_table(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("l_quantity").between(1, 11)
+         & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#23") & F.col("l_quantity").between(10, 20)
+           & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#34") & F.col("l_quantity").between(20, 30)
+           & F.col("p_size").between(1, 15))
+    )
+    return j.where(cond).agg(
+        F.coalesce(F.sum(_revenue()).cast("double"), F.lit(0.0)).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def _q_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    multi-supplier order. The EXISTS / NOT EXISTS pair collapses into
+    ONE per-order aggregate (distinct suppliers, distinct late
+    suppliers, the late supplier id) — no correlated self-joins over
+    the fact, so lineitem is scanned and shuffled once."""
+    li = read_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = read_table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    per_order = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+        F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+    )
+    sole = per_order.where((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    s = read_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole.groupBy("late_supp")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(s), F.col("late_supp") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+    )
+
+
+def _q_idle_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers with no recent orders —
+    scalar subquery (positive-balance mean, exact decimal) broadcast as
+    a filter + anti join against recent orders, grouped by nation."""
+    c = read_table(spark, sf, "customer")
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(
+        _davg(F.col("c_acctbal")).alias("__avg")
+    )
+    recent = read_table(spark, sf, "orders").where(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    ).select("o_custkey")
+    rich = c.join(F.broadcast(avg_bal)).where(F.col("c_acctbal") > F.col("__avg"))
+    idle = rich.join(recent, rich["c_custkey"] == recent["o_custkey"], "left_anti")
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        _dsum(F.col("c_acctbal")).alias("totacctbal"),
+    )
+
+
+def _q_important_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose shipped inventory value exceeds
+    1.2x the mean part value — a HAVING over a scalar subquery, made
+    scale-invariant (the classic FRACTION threshold shrinks with part
+    cardinality). Both the per-part values and the global mean come
+    from ONE aggregate pass: the mean is the broadcast average of the
+    tiny per-part frame, never a second fact scan."""
+    li = read_table(spark, sf, "lineitem").select("l_partkey", "l_quantity")
+    p = read_table(spark, sf, "part").select("p_partkey", "p_retailprice")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    value = _dec("p_retailprice") * _dec("l_quantity")
+    per_part = j.groupBy("l_partkey").agg(
+        F.sum(value.cast(DEC)).alias("__v")
+    )
+    total = per_part.agg(
+        (F.sum("__v").cast("double") / F.count(F.lit(1))).alias("__m")
+    )
+    out = per_part.join(F.broadcast(total)).where(
+        F.col("__v").cast("double") > F.lit(1.2) * F.col("__m")
+    )
+    return out.select(
+        F.col("l_partkey").alias("p_partkey"),
+        F.col("__v").cast("double").alias("part_value"),
+    )
+
+
+def _q_winnowing(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint profile over the corpus —
+    operators/dedup.py:winnow_fingerprints (k=3-token grams, w=4
+    windows, md5-portable gram ids, per-document window minima)."""
+    from sensor_time_series_pyspark_spark.operators.dedup import winnow_fingerprints
+
+    docs = read_table(spark, sf, "documents")
+    out = winnow_fingerprints(docs, "doc_id", "text", k=3, w=4)
+    return out.select(
+        F.col("id"),
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.col("n_fingerprints"),
+    )
+
+
+def _q_chunk_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Chunk-level exact duplication share (CCNet paragraph-dedup
+    signal) — operators/contamination.py:chunk_dup_share."""
+    from sensor_time_series_pyspark_spark.operators.contamination import (
+        chunk_dup_share,
+    )
+
+    docs = read_table(spark, sf, "documents")
+    return chunk_dup_share(docs, "doc_id", "text", chunk_size=8)
+
+
+def _q_token_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-first token-budget curation —
+    operators/sampling.py:token_budget_select (score = n_chars,
+    deterministic (score DESC, id) order, 20k-token budget)."""
+    from sensor_time_series_pyspark_spark.operators.sampling import (
+        token_budget_select,
+    )
+
+    docs = read_table(spark, sf, "documents").select(
+        "doc_id", "n_chars", token_count("text").alias("n_tokens")
+    )
+    return token_budget_select(
+        docs, "doc_id", "n_tokens", "n_chars", budget=20_000
+    ).select("id", "n_tokens", F.col("score").alias("n_chars"), "cum_tokens")
+
+
+def _q_mixture_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-mixture reweighting table (per-language token shares and
+    equalizing weights) — operators/sampling.py:mixture_weights."""
+    from sensor_time_series_pyspark_spark.operators.sampling import mixture_weights
+
+    docs = read_table(spark, sf, "documents").select(
+        "lang", token_count("text").alias("n_tokens")
+    )
+    return mixture_weights(docs, ["lang"], "n_tokens")
+
+
+def _q_burst_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Burst/bot-rate screen: users with >= 8 events inside any
+    trailing 24h window — operators/analytics.py:burst_detect
+    (rangeBetween on epoch seconds, per-user sort only)."""
+    from sensor_time_series_pyspark_spark.operators.analytics import burst_detect
+
+    ev = read_table(spark, sf, "events")
+    out = burst_detect(ev, "user_id", "ts", window_seconds=86400, min_events=8)
+    return out.select(
+        F.col("entity").alias("user_id"), "n_events", "max_burst"
+    )
+
+
+def _q_event_peaks(spark: SparkSession, sf: str) -> DataFrame:
+    """Local maxima of the hourly event-count series per type —
+    operators/analytics.py:local_peaks (one lag + one lead per series;
+    integer counts so the comparison is exact)."""
+    from sensor_time_series_pyspark_spark.operators.analytics import local_peaks
+
+    ev = read_table(spark, sf, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    out = local_peaks(hourly, ["event_type"], "bucket", "n")
+    return out.select(
+        "event_type",
+        F.col("ts").alias("bucket"),
+        F.col("value").alias("n"),
+        F.col("prev").alias("prev_n"),
+        F.col("next").alias("next_n"),
+    )
+
+
+def _q_lag_corr(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-correlation lag scan between the hourly click and
+    purchase count series — operators/drift.py:lag_corr (map-side lag
+    fan-out, ONE equi-join, exact-moment corr epilogue)."""
+    from sensor_time_series_pyspark_spark.operators.drift import lag_corr
+
+    ev = read_table(spark, sf, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    clicks = hourly.where(F.col("event_type") == "click").select("bucket", "n")
+    buys = hourly.where(F.col("event_type") == "purchase").select("bucket", "n")
+    return lag_corr(
+        clicks, buys, "bucket", "n", max_lag=6, step_seconds=3600, decimals=0
+    )
+
+
+def _q_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    """k-core of the part co-purchase graph (parts co-occurring in an
+    order are adjacent; k=8) — operators/graph.py:kcore, iterative
+    peeling with early exit. Iterative (no SQL oracle): gated by
+    tests/test_round3c_ops.py clique/chain/star invariants."""
+    from sensor_time_series_pyspark_spark.operators.graph import kcore
+
+    li = read_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.withColumnRenamed("l_partkey", "pa")
+    b = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("pb")
+    )
+    edges = (
+        a.join(b, (a["l_orderkey"] == b["ok2"]) & (a["pa"] < b["pb"]))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .distinct()
+    )
+    return kcore(edges, k=8).orderBy("node")
+
+
+def _q_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization approximate top-k with ADC scan + exact
+    re-rank — operators/similarity.py:pq_topk_cosine (rows-only:
+    KMeans codebooks aren't SQL-expressible; recall vs exact pinned in
+    tests/test_similarity.py)."""
+    from sensor_time_series_pyspark_spark.operators.similarity import (
+        pq_topk_cosine,
+    )
+
+    emb = read_table(spark, sf, "embeddings")
+    qs = emb.where(F.col("vec_id") < 10)
+    return pq_topk_cosine(
+        emb, qs, "vec_id", "vec_id", "embedding", k=5, m=16, ks=16, oversample=8
+    ).select("qid", "cid", "rank")
+
+
+def _q_mann_kendall(spark: SparkSession, sf: str) -> DataFrame:
+    """Mann-Kendall monotone-trend screen on daily event counts per
+    type — operators/profile.py:mann_kendall (integer S statistic,
+    one double division for tau)."""
+    from sensor_time_series_pyspark_spark.operators.profile import mann_kendall
+
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return mann_kendall(daily, ["event_type"], "d", "n_events")
+
+
+def _q_theil_sen(spark: SparkSession, sf: str) -> DataFrame:
+    """Theil-Sen robust slope of daily event counts per type —
+    operators/profile.py:theil_sen (median of pairwise slopes,
+    explicit index-selection median)."""
+    from sensor_time_series_pyspark_spark.operators.profile import theil_sen
+
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return theil_sen(daily, ["event_type"], "d", "n_events")
+
+
+def _q_pattern_match(spark: SparkSession, sf: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence detection without a dedicated
+    operator: each (user, day) journey collapses to an ordered
+    event-initial string INSIDE one aggregate (q161's sorted-struct
+    mechanism — no window sort over the fact), and the pattern
+    'view … purchase' is a single JVM-side regexp. Output: per user,
+    days observed and days whose journey matches."""
+    ev = read_table(spark, sf, "events")
+    keyed = ev.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("d"),
+        F.struct(
+            F.col("ts"), F.col("event_id"), F.substring("event_type", 1, 1).alias("i")
+        ).alias("s"),
+    )
+    days = keyed.groupBy("user_id", "d").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("s")), lambda s: s["i"]), ""
+        ).alias("journey")
+    )
+    return days.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(
+            F.when(F.col("journey").rlike("v.*p"), 1).otherwise(0)
+        ).cast("bigint").alias("n_matched"),
+    )
+
+
+def _q_group_skewness(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-type skewness of event values from exact integer power sums
+    — operators/profile.py:group_skewness (the F.skewness twin with a
+    portable sqrt-based epilogue, no pow(x,1.5))."""
+    from sensor_time_series_pyspark_spark.operators.profile import group_skewness
+
+    ev = read_table(spark, sf, "events")
+    return group_skewness(ev, "value", ["event_type"], decimals=2)
+
+
+def _q_phrase_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact phrase search ('data stream') with per-doc occurrence
+    counts — pure array algebra over token positions (no explode, no
+    join: the position scan runs map-side inside whole-stage codegen;
+    the inverted-index scale path is q111's posting lists keyed by the
+    phrase's rarest term)."""
+    docs = read_table(spark, sf, "documents")
+    t = tokens("text")
+    base = docs.select(F.col("doc_id"), t.alias("__t"))
+    n = F.size("__t")
+    # guard keeps every element_at index in bounds under ANSI mode
+    hits = F.when(
+        n >= 2,
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: (F.element_at("__t", i) == "data")
+                & (F.element_at("__t", i + 1) == "stream"),
+            )
+        ),
+    ).otherwise(0)
+    return base.select("doc_id", hits.alias("n_occurrences")).where(
+        F.col("n_occurrences") >= 1
+    )
+
+
+def _q_fpgrowth_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """MLlib FPGrowth frequent itemsets (brand baskets per order),
+    size <= 2, minSupport 2% — ml/pipelines.py:fpgrowth_itemsets. The
+    FP-tree counts are exact, so plain SQL basket counts ARE the
+    oracle."""
+    from sensor_time_series_pyspark_spark.ml.pipelines import fpgrowth_itemsets
+
+    li = read_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    p = read_table(spark, sf, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("items"))
+    )
+    return fpgrowth_itemsets(baskets, "items", min_support=0.02, max_size=2)
+
+
+def _q_als_recs(spark: SparkSession, sf: str) -> DataFrame:
+    """ALS collaborative filtering (customer x brand purchase counts),
+    top-3 recommendations per user — seeded MLlib ALS (rows-only:
+    factorization isn't SQL-expressible; shape/metric invariants in
+    tests/test_round3c_ops.py)."""
+    from pyspark.ml.recommendation import ALS
+
+    li = read_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    o = read_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    p = read_table(spark, sf, "part").select("p_partkey", "p_brand")
+    ratings = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.col("o_custkey").cast("int").alias("user"),
+            F.abs(F.hash("p_brand")).alias("item"),
+        )
+        .agg(F.count(F.lit(1)).cast("float").alias("rating"))
+    )
+    als = ALS(
+        rank=8, maxIter=5, seed=42, userCol="user", itemCol="item",
+        ratingCol="rating", implicitPrefs=True, coldStartStrategy="drop",
+    )
+    model = als.fit(ratings)
+    recs = model.recommendForAllUsers(3)
+    return recs.select(
+        "user", F.posexplode("recommendations").alias("rank0", "rec")
+    ).select(
+        F.col("user").alias("custkey"),
+        (F.col("rank0") + 1).alias("rank"),
+        F.col("rec.item").alias("item"),
+    )
+
+
+def _q_moment_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact mergeable moments: per-(type, day) partials rolled up to
+    per-type mean/variance/stddev WITHOUT rescanning the fact —
+    operators/profile.py:moment_partials/moment_rollup. The oracle
+    computes straight from the facts; equality IS the merge proof."""
+    from sensor_time_series_pyspark_spark.operators.profile import (
+        moment_partials,
+        moment_rollup,
+    )
+
+    ev = read_table(spark, sf, "events")
+    parts = moment_partials(
+        ev.withColumn("d", F.date_trunc("day", F.col("ts"))),
+        ["event_type", "d"],
+        "value",
+        decimals=2,
+    )
+    return moment_rollup(parts, ["event_type"], decimals=2)
+
+
+def _q_ks_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sample KS statistic (click vs error value distributions) —
+    operators/profile.py:ks_statistic (integer prefix-count numerator,
+    one division)."""
+    from sensor_time_series_pyspark_spark.operators.profile import ks_statistic
+
+    ev = read_table(spark, sf, "events")
+    return ks_statistic(ev, "event_type", "value", "click", "error")
+
+
+register_many(
+    {
+        'q144_topk_sketch': _q_topk_sketch,
+        'q145_table_checksum': _q_table_checksum,
+        'q146_frequent_triples': _q_frequent_triples,
+        'q147_sequential_pairs': _q_sequential_pairs,
+        'q148_cohort_ltv': _q_cohort_ltv,
+        'q149_life_table': _q_life_table,
+        'q150_revenue_gini': _q_revenue_gini,
+        'q151_bfs_hops': _q_bfs_hops,
+        'q152_filter_funnel': _q_filter_funnel,
+        'q153_cluster_canonical': _q_cluster_canonical,
+        'q154_bpe_pairs': _q_bpe_pairs,
+        'q155_lm_coverage': _q_lm_coverage,
+        'q156_bfill': _q_bfill,
+        'q157_centroid_sim': _q_centroid_sim,
+        'q158_seasonal_mase': _q_seasonal_mase,
+        'q159_frame_stats': _q_frame_stats,
+        'q160_tfidf_pairs': _q_tfidf_pairs,
+        'q161_session_paths': _q_session_paths,
+        'q162_length_packing': _q_length_packing,
+        'q163_entity_cooccurrence': _q_entity_cooccurrence,
+        'q164_hamming_embedding': _q_hamming_embedding,
+        'q165_funnel_strict': _q_funnel_strict,
+        'q166_lsh_quality': _q_lsh_quality,
+        'q167_equi_depth': _q_equi_depth,
+        'q168_seasonal_anomaly': _q_seasonal_anomaly,
+        'q169_volume_shipping': _q_volume_shipping,
+        'q170_market_share': _q_market_share,
+        'q171_product_profit': _q_product_profit,
+        'q172_priority_shipping': _q_priority_shipping,
+        'q173_order_count_dist': _q_order_count_dist,
+        'q174_promo_share': _q_promo_share,
+        'q175_top_supplier': _q_top_supplier,
+        'q176_supplier_part_counts': _q_supplier_part_counts,
+        'q177_small_qty_revenue': _q_small_qty_revenue,
+        'q178_disjunctive_revenue': _q_disjunctive_revenue,
+        'q179_waiting_suppliers': _q_waiting_suppliers,
+        'q180_idle_customers': _q_idle_customers,
+        'q181_important_parts': _q_important_parts,
+        'q182_winnowing': _q_winnowing,
+        'q183_chunk_dup': _q_chunk_dup,
+        'q184_token_budget': _q_token_budget,
+        'q185_mixture_weights': _q_mixture_weights,
+        'q186_burst_users': _q_burst_users,
+        'q187_event_peaks': _q_event_peaks,
+        'q188_lag_corr': _q_lag_corr,
+        'q189_kcore': _q_kcore,
+        'q190_pq_topk': _q_pq_topk,
+        'q191_mann_kendall': _q_mann_kendall,
+        'q192_theil_sen': _q_theil_sen,
+        'q193_pattern_match': _q_pattern_match,
+        'q194_group_skewness': _q_group_skewness,
+        'q195_phrase_search': _q_phrase_search,
+        'q196_fpgrowth_pairs': _q_fpgrowth_pairs,
+        'q197_als_recs': _q_als_recs,
+        'q198_moment_rollup': _q_moment_rollup,
+        'q199_ks_test': _q_ks_test,
+    },
+    {
+        'q145_table_checksum': """
+            WITH stable AS (
+              SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+                l_returnflag, l_linestatus,
+                epoch_us(l_shipdate) // 1000000 AS ship_epoch,
+                CAST(l_quantity AS DECIMAL(12,2)) AS qty,
+                CAST(l_extendedprice AS DECIMAL(12,2)) AS price
+              FROM lineitem
+            ),
+            h AS (
+              SELECT CAST(('0x' || substr(md5(concat_ws(chr(31),
+                  COALESCE(CAST(l_orderkey AS VARCHAR), chr(0) || 'null'),
+                  COALESCE(CAST(l_partkey AS VARCHAR), chr(0) || 'null'),
+                  COALESCE(CAST(l_suppkey AS VARCHAR), chr(0) || 'null'),
+                  COALESCE(CAST(l_linenumber AS VARCHAR), chr(0) || 'null'),
+                  COALESCE(l_returnflag, chr(0) || 'null'),
+                  COALESCE(l_linestatus, chr(0) || 'null'),
+                  COALESCE(CAST(ship_epoch AS VARCHAR), chr(0) || 'null'),
+                  COALESCE(CAST(qty AS VARCHAR), chr(0) || 'null'),
+                  COALESCE(CAST(price AS VARCHAR), chr(0) || 'null')
+                )), 1, 12)) AS BIGINT) % 1000000007 AS rh
+              FROM stable
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(rh) % 1000000007 AS BIGINT) AS checksum
+            FROM h
+        """,
+        'q146_frequent_triples': """
+            WITH bi AS (
+              SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+              FROM lineitem
+            ),
+            pairs AS (
+              SELECT a.basket, a.item AS i1, b.item AS i2
+              FROM bi a JOIN bi b ON a.basket = b.basket
+              WHERE a.item < b.item
+            ),
+            freq AS (
+              SELECT i1, i2 FROM pairs GROUP BY i1, i2 HAVING count(*) >= 2
+            ),
+            cand AS (
+              SELECT p.basket, p.i1, p.i2 FROM pairs p JOIN freq USING (i1, i2)
+            )
+            SELECT p.i1, p.i2, c.item AS i3,
+              CAST(count(*) AS BIGINT) AS n_baskets
+            FROM cand p JOIN bi c
+              ON p.basket = c.basket AND c.item > p.i2
+            GROUP BY p.i1, p.i2, c.item
+            HAVING count(*) >= 2
+        """,
+        'q147_sequential_pairs': """
+            WITH cp AS (
+              SELECT o_custkey AS cust, l_partkey AS part,
+                min(o_orderdate) AS first_dt
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY o_custkey, l_partkey
+            )
+            SELECT a.part AS part_first, b.part AS part_then,
+              CAST(count(*) AS BIGINT) AS n_customers
+            FROM cp a JOIN cp b
+              ON a.cust = b.cust AND a.first_dt < b.first_dt
+            GROUP BY a.part, b.part
+            HAVING count(*) >= 3
+        """,
+        'q148_cohort_ltv': """
+            WITH firsts AS (
+              SELECT o_custkey,
+                date_trunc('month', min(o_orderdate)) AS cohort_month
+              FROM orders GROUP BY o_custkey
+            ),
+            j AS (
+              SELECT f.cohort_month,
+                (year(o.o_orderdate) - year(f.cohort_month)) * 12
+                  + (month(o.o_orderdate) - month(f.cohort_month))
+                  AS age_months,
+                CAST(o.o_totalprice AS DECIMAL(18,2)) AS rev
+              FROM orders o JOIN firsts f USING (o_custkey)
+            ),
+            pa AS (
+              SELECT cohort_month, age_months, sum(rev) AS r,
+                CAST(count(*) AS BIGINT) AS n_orders
+              FROM j GROUP BY cohort_month, age_months
+            )
+            SELECT cohort_month, CAST(age_months AS INT) AS age_months,
+              n_orders,
+              CAST(r AS DOUBLE) AS revenue,
+              CAST(sum(r) OVER (
+                PARTITION BY cohort_month ORDER BY age_months
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                AS cum_revenue
+            FROM pa
+        """,
+        'q149_life_table': """
+            WITH spans AS (
+              SELECT user_id,
+                date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE)))
+                  AS lifespan
+              FROM events GROUP BY user_id
+            ),
+            ends AS (
+              SELECT lifespan, CAST(count(*) AS BIGINT) AS d
+              FROM spans GROUP BY lifespan
+            )
+            SELECT CAST(lifespan AS INT) AS age_days, d,
+              CAST(sum(d) OVER (
+                ORDER BY lifespan DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS n_at_risk
+            FROM ends
+        """,
+        'q150_revenue_gini': """
+            WITH per_cust AS (
+              SELECT o_custkey,
+                sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+              FROM orders GROUP BY o_custkey
+            ),
+            ranked AS (
+              SELECT CAST(row_number() OVER (
+                  ORDER BY rev ASC, o_custkey ASC) AS DECIMAL(12,0)) AS i,
+                rev
+              FROM per_cust
+            ),
+            agg AS (
+              SELECT count(*) AS n,
+                sum(CAST(i * CAST(rev AS DECIMAL(24,2)) AS DECIMAL(38,2)))
+                  AS iwx,
+                sum(CAST(rev AS DECIMAL(38,2))) AS sx
+              FROM ranked
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+              CAST(sx AS DOUBLE) AS total_revenue,
+              2.0 * CAST(iwx AS DOUBLE)
+                / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+              - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini
+            FROM agg
+        """,
+        'q151_bfs_hops': """
+            WITH RECURSIVE e AS (
+              SELECT DISTINCT l_suppkey * 2 AS a, l_partkey * 2 + 1 AS b
+              FROM lineitem
+            ),
+            ed AS (
+              SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e
+            ),
+            seeds AS (
+              SELECT s_suppkey * 2 AS node FROM supplier WHERE s_suppkey % 10 = 1
+            ),
+            walk(node, hops) AS (
+              SELECT node, 0 AS hops FROM seeds
+              UNION
+              SELECT ed.b AS node, w.hops + 1 AS hops
+              FROM walk w JOIN ed ON ed.a = w.node
+              WHERE w.hops < 3
+            )
+            SELECT node, CAST(min(hops) AS INT) AS hops
+            FROM walk GROUP BY node
+        """,
+        'q152_filter_funnel': r"""
+            WITH base AS (
+              SELECT doc_id, text,
+                list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t,
+                (doc_id = min(doc_id) OVER (PARTITION BY text)) AS r
+              FROM documents
+            ),
+            m AS (
+              SELECT r,
+                list_transform(t, w -> lower(w)) AS tok,
+                CAST(len(t) AS INT) AS n_words,
+                CAST(COALESCE(list_sum(list_transform(t, w -> length(w))), 0) AS INT) AS n_chars,
+                CAST(len(list_filter(t, w -> regexp_matches(w, '[A-Za-z]'))) AS INT) AS alpha_words,
+                CAST(len(list_filter(t, w -> contains(w, '#')))
+                     + len(list_filter(t, w -> contains(w, '...'))) AS INT) AS n_symbols,
+                CAST(len(list_intersect(list_distinct(t), """
+        + _STOPWORD_LIST
+        + """)) AS INT) AS n_stop
+              FROM base
+            ),
+            f AS (
+              SELECT r,
+                list_aggregate([
+                  {'score': len(list_filter(tok, t -> list_contains(['the','and','of','is','to'], t))), 'lang': 'en'},
+                  {'score': len(list_filter(tok, t -> list_contains(['el','la','los','es','una'], t))), 'lang': 'es'},
+                  {'score': len(list_filter(tok, t -> list_contains(['der','die','und','ist','ein'], t))), 'lang': 'de'},
+                  {'score': len(list_filter(tok, t -> list_contains(['le','les','est','une','dans'], t))), 'lang': 'fr'}
+                ], 'max') AS best,
+                ((n_words >= 50 AND n_words <= 100000)
+                 AND (n_chars >= 3 * n_words AND n_chars <= 10 * n_words)
+                 AND (5 * alpha_words >= 4 * n_words)
+                 AND (10 * n_symbols <= n_words)
+                 AND (n_stop >= 2)) AS g
+              FROM m
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_total,
+              CAST(sum(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+              CAST(sum(CASE WHEN r AND best.score > 0 AND best.lang = 'en'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_english,
+              CAST(sum(CASE WHEN r AND best.score > 0 AND best.lang = 'en' AND g
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
+            FROM f
+        """,
+        'q153_cluster_canonical': r"""
+            WITH RECURSIVE reps AS (
+              SELECT doc_id, text, n_chars FROM documents
+              WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+            ),
+            tk AS (
+              SELECT doc_id AS id,
+                list_distinct(
+                  list_transform(
+                    generate_series(1, greatest(len(t) - 2, 0)),
+                    i -> array_to_string(t[i:i+2], ' ')
+                  )
+                ) AS tok
+              FROM (
+                SELECT doc_id,
+                  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+                FROM reps
+              )
+            ),
+            inv AS (SELECT id, len(tok) AS n_tok, unnest(tok) AS token FROM tk),
+            cand AS (
+              SELECT a.id AS id_a, b.id AS id_b, a.n_tok AS n_a, b.n_tok AS n_b,
+                     count(*) AS inter
+              FROM inv a JOIN inv b ON a.token = b.token AND a.id < b.id
+              GROUP BY 1, 2, 3, 4
+            ),
+            sim AS (
+              SELECT id_a, id_b FROM cand
+              WHERE inter / (n_a + n_b - inter) >= 0.2
+            ),
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM sim
+              UNION ALL
+              SELECT id_b, id_a FROM sim
+            ),
+            reach(u, lbl) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u
+            ),
+            clus AS (
+              SELECT u AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY u
+            ),
+            m AS (
+              SELECT c.cluster_id, c.doc_id, d.n_chars
+              FROM clus c JOIN reps d ON c.doc_id = d.doc_id
+            ),
+            agg AS (
+              SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                max(n_chars) AS ml
+              FROM m GROUP BY cluster_id
+            ),
+            can AS (
+              SELECT m.cluster_id, min(m.doc_id) AS canonical_doc_id
+              FROM m JOIN agg a
+                ON m.cluster_id = a.cluster_id AND m.n_chars = a.ml
+              GROUP BY m.cluster_id
+            )
+            SELECT a.cluster_id, a.n_members, a.total_chars, c.canonical_doc_id
+            FROM agg a JOIN can c ON a.cluster_id = c.cluster_id
+        """,
+        'q154_bpe_pairs': r"""
+            WITH w AS (
+              SELECT unnest(list_filter(
+                string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS w
+              FROM documents
+            ),
+            p AS (
+              SELECT substr(w, i, 2) AS pair
+              FROM w, unnest(generate_series(1, length(w) - 1)) AS t(i)
+              WHERE length(w) >= 2
+            )
+            SELECT pair, CAST(count(*) AS BIGINT) AS n
+            FROM p GROUP BY pair HAVING count(*) >= 50
+        """,
+        'q155_lm_coverage': r"""
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                            x -> x <> '') AS t
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                list_transform(generate_series(1, len(t) - 2),
+                  i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])) AS grams
+              FROM toks WHERE len(t) >= 3
+            ),
+            eg AS (
+              SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 2 = 1
+            ),
+            tr AS (
+              SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 2 = 0
+            )
+            SELECT e.doc_id,
+              CAST(count(*) AS BIGINT) AS n_grams,
+              CAST(sum(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_seen,
+              CAST(sum(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE) AS coverage
+            FROM eg e LEFT JOIN tr t ON e.gram = t.gram
+            GROUP BY e.doc_id
+        """,
+        'q156_bfill': """
+            SELECT event_id, user_id, ts,
+              first_value(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS value
+            FROM events
+        """,
+        'q157_centroid_sim': """
+            WITH c AS (
+              SELECT label, i AS dim,
+                sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(20,8))) AS s
+              FROM embeddings,
+                unnest(generate_series(1, len(embedding))) AS t(i)
+              GROUP BY label, i
+            ),
+            v AS (
+              SELECT label, list(CAST(s AS DOUBLE) ORDER BY dim) AS vec
+              FROM c GROUP BY label
+            )
+            SELECT a.label AS label_a, b.label AS label_b,
+              list_dot_product(a.vec, b.vec)
+                / (sqrt(list_dot_product(a.vec, a.vec))
+                   * sqrt(list_dot_product(b.vec, b.vec))) AS cosine
+            FROM v a JOIN v b ON a.label < b.label
+        """,
+        'q158_seasonal_mase': """
+            WITH daily AS (
+              SELECT o_orderpriority, o_orderdate AS day,
+                CAST(count(*) AS BIGINT) AS x
+              FROM orders GROUP BY 1, 2
+            ),
+            d AS (
+              SELECT o_orderpriority,
+                x - lag(x, 1) OVER w AS d1,
+                x - lag(x, 7) OVER w AS d7
+              FROM daily
+              WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day)
+            ),
+            a AS (
+              SELECT o_orderpriority,
+                CAST(count(*) AS BIGINT) AS n_eval,
+                CAST(sum(abs(d1)) AS BIGINT) AS abs_err_naive,
+                CAST(sum(abs(d7)) AS BIGINT) AS abs_err_seasonal
+              FROM d WHERE d7 IS NOT NULL GROUP BY 1
+            )
+            SELECT o_orderpriority, n_eval, abs_err_seasonal, abs_err_naive,
+              CAST(abs_err_seasonal AS DOUBLE) / CAST(abs_err_naive AS DOUBLE)
+                AS mase
+            FROM a
+        """,
+        'q159_frame_stats': """
+            WITH f AS (
+              SELECT doc_id, text, k
+              FROM documents,
+                unnest(generate_series(0, 7)) AS t(k)
+              WHERE k * 16 < len(text)
+            ),
+            s AS (
+              SELECT doc_id, CAST(k * 16 AS BIGINT) AS frame_number,
+                substr(text, k * 16 + 1, 12) AS fr
+              FROM f
+            )
+            SELECT doc_id, frame_number,
+              CAST(length(fr) AS BIGINT) AS f_bytes,
+              CAST(coalesce(list_sum(list_transform(
+                generate_series(1, length(fr)), i -> ord(fr[i]))), 0) AS BIGINT)
+                AS byte_sum,
+              CAST(ord(fr[1]) AS BIGINT) AS first_byte
+            FROM s
+        """,
+        'q160_tfidf_pairs': r"""
+            WITH reps AS (
+              SELECT doc_id, text FROM documents
+              WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+            ),
+            toks AS (
+              SELECT doc_id AS id,
+                unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                   x -> x <> '')) AS term
+              FROM reps
+            ),
+            tf AS (
+              SELECT id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM toks GROUP BY 1, 2
+            ),
+            dfreq AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df,
+                CAST(((SELECT CAST(count(*) AS DOUBLE) FROM reps)
+                      - CAST(count(*) AS DOUBLE) + 0.5E0)
+                     / (CAST(count(*) AS DOUBLE) + 0.5E0)
+                     AS DECIMAL(15,6)) AS idf
+              FROM tf GROUP BY term
+            ),
+            weighted AS (
+              SELECT t.id, t.term,
+                CAST(CAST(t.tf AS DECIMAL(9,0)) * d.idf AS DECIMAL(18,6)) AS w
+              FROM tf t JOIN dfreq d ON t.term = d.term
+            ),
+            norms AS (
+              SELECT id, sum(CAST(w * w AS DECIMAL(38,12))) AS n2
+              FROM weighted GROUP BY id
+            ),
+            dots AS (
+              SELECT a.id AS id_a, b.id AS id_b,
+                sum(CAST(a.w * b.w AS DECIMAL(38,12))) AS dot
+              FROM weighted a JOIN weighted b
+                ON a.term = b.term AND a.id < b.id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+              CAST(dot AS DOUBLE)
+                / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+                AS cosine
+            FROM dots
+            JOIN norms na ON dots.id_a = na.id
+            JOIN norms nb ON dots.id_b = nb.id
+            WHERE CAST(dot AS DOUBLE)
+                / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+                >= 0.9
+        """,
+        'q161_session_paths': """
+            WITH flagged AS (
+              SELECT user_id, ts, event_id, event_type,
+                CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                     THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            sess AS (
+              SELECT user_id, ts, event_id, event_type,
+                CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  AS session_seq
+              FROM flagged
+            ),
+            per AS (
+              SELECT user_id, session_seq,
+                array_to_string(
+                  list_transform(
+                    list_sort(list(struct_pack(ts := ts, event_id := event_id,
+                                               event_type := event_type)))[1:3],
+                    x -> x.event_type), '>') AS path
+              FROM sess GROUP BY user_id, session_seq
+            )
+            SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+            FROM per GROUP BY path HAVING count(*) >= 5
+        """,
+        'q162_length_packing': r"""
+            WITH base AS (
+              SELECT doc_id,
+                CAST(coalesce(list_aggregate(
+                  list_transform(
+                    list_filter(string_split_regex(trim(text), '\s+'),
+                                x -> x <> ''),
+                    w -> CAST(ceil(len(w) / 4.0) AS INT)), 'sum'), 0) AS BIGINT)
+                  AS n_tok
+              FROM documents
+            ),
+            r AS (
+              SELECT doc_id, n_tok, n_tok // 64 AS bucket,
+                row_number() OVER (PARTITION BY n_tok // 64
+                                   ORDER BY n_tok, doc_id) AS rn
+              FROM base
+            )
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+              CAST((rn - 1) // 16 AS BIGINT) AS batch_id,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+              max(n_tok) AS max_tokens
+            FROM r GROUP BY 1, 2
+        """,
+        'q163_entity_cooccurrence': r"""
+            WITH ents AS (
+              SELECT DISTINCT doc_id, w AS ent
+              FROM (
+                SELECT doc_id,
+                  unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                     x -> x <> '')) AS w
+                FROM documents
+              )
+              WHERE length(w) >= 6
+            )
+            SELECT a.ent AS ent_a, b.ent AS ent_b,
+              CAST(count(*) AS BIGINT) AS n_docs
+            FROM ents a JOIN ents b
+              ON a.doc_id = b.doc_id AND a.ent < b.ent
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        'q164_hamming_embedding': """
+            WITH p AS (
+              SELECT vec_id,
+                CAST(coalesce(list_sum(list_transform(generate_series(1, 48),
+                  i -> CASE WHEN embedding[i] > 0
+                            THEN (CAST(1 AS BIGINT) << (48 - i))
+                            ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT) AS bits
+              FROM embeddings WHERE vec_id < 200
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              CAST(bit_count(xor(a.bits, b.bits)) AS INT) AS hamming
+            FROM p a JOIN p b ON a.vec_id < b.vec_id
+            WHERE bit_count(xor(a.bits, b.bits)) <= 16
+        """,
+        'q165_funnel_strict': """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t_view
+              FROM events WHERE event_type = 'view' GROUP BY 1
+            ),
+            s2 AS (
+              SELECT s1.user_id, s1.t_view, min(e.ts) AS t_click
+              FROM s1 LEFT JOIN events e
+                ON e.user_id = s1.user_id AND e.event_type = 'click'
+                AND epoch(e.ts) > epoch(s1.t_view)
+                AND epoch(e.ts) <= epoch(s1.t_view) + 3600.0
+              GROUP BY 1, 2
+            ),
+            s3 AS (
+              SELECT s2.user_id, s2.t_view, s2.t_click, min(e.ts) AS t_purchase
+              FROM s2 LEFT JOIN events e
+                ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+                AND epoch(e.ts) > epoch(s2.t_click)
+                AND epoch(e.ts) <= epoch(s2.t_click) + 3600.0
+              GROUP BY 1, 2, 3
+            )
+            SELECT user_id AS "user", t_view, t_click, t_purchase FROM s3
+        """,
+        'q166_lsh_quality': "WITH mh AS (" + _minhash_sql() + r"""),
+            ex AS (
+              WITH reps2 AS (
+                SELECT doc_id, text FROM documents
+                WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+              ),
+              toks2 AS (
+                SELECT doc_id AS id,
+                  list_distinct(
+                    list_transform(
+                      generate_series(1, greatest(len(t) - 1, 0)),
+                      i -> array_to_string(t[i:i+1], ' ')
+                    )
+                  ) AS tok
+                FROM (
+                  SELECT doc_id,
+                    list_filter(string_split_regex(trim(text), '\s+'),
+                                x -> x <> '') AS t
+                  FROM reps2
+                )
+              ),
+              inv2 AS (
+                SELECT id, len(tok) AS n_tok, unnest(tok) AS token FROM toks2
+              ),
+              pairs2 AS (
+                SELECT a.id AS id_a, b.id AS id_b, a.n_tok AS n_a,
+                       b.n_tok AS n_b, count(*) AS inter
+                FROM inv2 a JOIN inv2 b
+                  ON a.token = b.token AND a.id < b.id
+                GROUP BY 1, 2, 3, 4
+              )
+              SELECT id_a, id_b FROM pairs2
+              WHERE inter / (n_a + n_b - inter) >= 0.35
+            ),
+            hits AS (
+              SELECT ex.id_a FROM ex
+              JOIN mh ON ex.id_a = mh.id_a AND ex.id_b = mh.id_b
+            )
+            SELECT
+              (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_exact,
+              (SELECT CAST(count(*) AS BIGINT) FROM mh) AS n_lsh,
+              (SELECT CAST(count(*) AS BIGINT) FROM hits) AS n_hit,
+              (SELECT CAST(count(*) AS DOUBLE) FROM hits)
+                / (SELECT CAST(count(*) AS DOUBLE) FROM ex) AS recall
+        """,
+        'q167_equi_depth': """
+            WITH d AS (
+              SELECT CAST(ntile(10) OVER (
+                  ORDER BY o_totalprice, o_orderkey) AS INT) AS decile,
+                CAST(o_totalprice AS DECIMAL(18,2)) AS p
+              FROM orders
+            )
+            SELECT decile, CAST(count(*) AS BIGINT) AS n,
+              CAST(min(p) AS DOUBLE) AS lo,
+              CAST(max(p) AS DOUBLE) AS hi
+            FROM d GROUP BY decile
+        """,
+        'q168_seasonal_anomaly': f"""
+            WITH keyed AS (
+              SELECT event_type, CAST(dayofweek(ts) + 1 AS INT) AS dow,
+                CAST(hour(ts) AS INT) AS hod, value
+              FROM events
+            ),
+            prof AS (
+              SELECT event_type, dow, hod, {_davg_sql('value')} AS mu
+              FROM keyed GROUP BY 1, 2, 3
+            ),
+            j AS (
+              SELECT k.event_type, k.value, p.mu
+              FROM keyed k JOIN prof p
+                USING (event_type, dow, hod)
+            )
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+              CAST(sum(CASE WHEN value > 2.0E0 * mu THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_anom,
+              CAST(sum(CASE WHEN value > 2.0E0 * mu THEN 1 ELSE 0 END)
+                   AS DOUBLE) / CAST(count(*) AS DOUBLE) AS anom_share
+            FROM j GROUP BY event_type
+        """,
+        'q169_volume_shipping': f"""
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+              CAST(year(l_shipdate) AS INT) AS l_year,
+              CAST(sum({_REV_SQL}) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND sn.n_name <> cn.n_name
+            GROUP BY 1, 2, 3
+        """,
+        'q170_market_share': f"""
+            WITH j AS (
+              SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                sn.n_name AS supp_nation,
+                {_REV_SQL} AS rev
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation sn ON s_nationkey = sn.n_nationkey
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation cn ON c_nationkey = cn.n_nationkey
+              JOIN region ON cn.n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA'
+            ),
+            per_year AS (
+              SELECT o_year,
+                CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev END)
+                     AS DOUBLE) AS nation_rev,
+                CAST(sum(rev) AS DOUBLE) AS total_rev
+              FROM j GROUP BY o_year
+            )
+            SELECT o_year, nation_rev, total_rev,
+              coalesce(nation_rev, 0.0E0) / total_rev AS mkt_share
+            FROM per_year
+        """,
+        'q171_product_profit': f"""
+            SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+              CAST(sum(CAST({_REV_SQL} AS DECIMAL(30,6))
+                - CAST(CAST(p_retailprice AS DECIMAL(12,2))
+                       * CAST(l_quantity AS DECIMAL(12,2))
+                       * CAST(0.60 AS DECIMAL(3,2)) AS DECIMAL(30,6)))
+                AS DOUBLE) AS profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE p_type = 'PROMO'
+            GROUP BY 1, 2
+        """,
+        'q172_priority_shipping': """
+            SELECT l_linestatus,
+              CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+              CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+            GROUP BY l_linestatus
+        """,
+        'q173_order_count_dist': """
+            WITH per_cust AS (
+              SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+              FROM customer LEFT JOIN orders
+                ON c_custkey = o_custkey
+                AND o_orderpriority <> '4-NOT SPECIFIED'
+              GROUP BY c_custkey
+            )
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM per_cust GROUP BY c_count
+        """,
+        'q174_promo_share': f"""
+            WITH agg AS (
+              SELECT CAST(month(l_shipdate) AS INT) AS ship_month,
+                CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_REV_SQL}
+                         ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                  AS promo_rev,
+                CAST(sum({_REV_SQL}) AS DOUBLE) AS total_rev
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate < TIMESTAMP '1998-01-01'
+              GROUP BY 1
+            )
+            SELECT ship_month, promo_rev, total_rev,
+              (100.0E0 * promo_rev) / total_rev AS promo_share
+            FROM agg
+        """,
+        'q175_top_supplier': f"""
+            WITH rev AS (
+              SELECT l_suppkey,
+                CAST(sum({_REV_SQL}) AS DOUBLE) AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate < TIMESTAMP '1997-04-01'
+              GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        """,
+        'q176_supplier_part_counts': """
+            SELECT p_brand, p_size,
+              CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1' AND p_size IN (1, 4, 9, 16, 25, 36)
+            GROUP BY p_brand, p_size
+        """,
+        'q177_small_qty_revenue': f"""
+            WITH branded AS (
+              SELECT l_partkey, l_quantity, l_extendedprice
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_brand = 'Brand#3'
+            ),
+            means AS (
+              SELECT l_partkey AS pk, {_davg_sql('l_quantity')} AS avg_qty
+              FROM branded GROUP BY l_partkey
+            )
+            SELECT coalesce(
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE),
+              0.0E0) / 7.0E0 AS avg_yearly
+            FROM branded JOIN means ON l_partkey = pk
+            WHERE l_quantity < 0.5E0 * avg_qty
+        """,
+        'q178_disjunctive_revenue': f"""
+            SELECT coalesce(CAST(sum({_REV_SQL}) AS DOUBLE), 0.0E0) AS revenue,
+              CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
+                   AND p_size BETWEEN 1 AND 5)
+               OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20
+                   AND p_size BETWEEN 1 AND 10)
+               OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30
+                   AND p_size BETWEEN 1 AND 15)
+        """,
+        'q179_waiting_suppliers': """
+            WITH per_order AS (
+              SELECT l_orderkey,
+                count(DISTINCT l_suppkey) AS n_supp,
+                count(DISTINCT CASE WHEN l_shipdate >
+                      o_orderdate + INTERVAL 60 DAY
+                      THEN l_suppkey END) AS n_late,
+                max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                    THEN l_suppkey END) AS late_supp
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY l_orderkey
+            )
+            SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+            FROM per_order JOIN supplier ON late_supp = s_suppkey
+            WHERE n_supp > 1 AND n_late = 1
+            GROUP BY s_suppkey, s_name
+        """,
+        'q180_idle_customers': f"""
+            WITH avg_bal AS (
+              SELECT {_davg_sql('c_acctbal')} AS a
+              FROM customer WHERE c_acctbal > 0
+            )
+            SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+              CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+                AS totacctbal
+            FROM customer
+            WHERE c_acctbal > (SELECT a FROM avg_bal)
+              AND NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1999-01-01'
+              )
+            GROUP BY c_nationkey
+        """,
+        'q181_important_parts': """
+            WITH per_part AS (
+              SELECT l_partkey,
+                sum(CAST(CAST(p_retailprice AS DECIMAL(12,2))
+                    * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(38,6)))
+                  AS v
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              GROUP BY l_partkey
+            )
+            SELECT l_partkey AS p_partkey, CAST(v AS DOUBLE) AS part_value
+            FROM per_part
+            WHERE CAST(v AS DOUBLE)
+              > 1.2E0 * (SELECT CAST(sum(v) AS DOUBLE) / count(*)
+                         FROM per_part)
+        """,
+        'q182_winnowing': r"""
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(trim(text), '\s+'),
+                            x -> x <> '') AS t
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, t, greatest(len(t) - 2, 0) AS n_grams,
+                unnest(generate_series(0, greatest(len(t) - 2, 0) - 1)) AS p
+              FROM toks
+            ),
+            g AS (
+              SELECT doc_id, n_grams, p,
+                CAST(('0x' || substr(md5(
+                    array_to_string(t[p+1:p+3], ' ')), 1, 12)) AS BIGINT)
+                  % 2147483647 AS gid
+              FROM pos
+            ),
+            win AS (
+              SELECT doc_id, n_grams, p,
+                min(gid) OVER (PARTITION BY doc_id ORDER BY p
+                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+              FROM g
+            ),
+            sel AS (
+              SELECT * FROM win WHERE p <= n_grams - 4 OR p = 0
+            ),
+            agg AS (
+              SELECT doc_id, max(n_grams) AS n_grams,
+                CAST(count(DISTINCT fp) AS BIGINT) AS nf
+              FROM sel GROUP BY doc_id
+            )
+            SELECT tk.doc_id AS id,
+              CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+              coalesce(a.nf, 0) AS n_fingerprints
+            FROM toks tk LEFT JOIN agg a ON tk.doc_id = a.doc_id
+        """,
+        'q183_chunk_dup': r"""
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(trim(text), '\s+'),
+                            x -> x <> '') AS t
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, t,
+                unnest(generate_series(0, len(t) - 1, 8)) AS s
+              FROM toks WHERE len(t) > 0
+            ),
+            chunks AS (
+              SELECT doc_id,
+                CAST(('0x' || substr(md5(
+                    array_to_string(t[s+1:s+8], ' ')), 1, 12)) AS BIGINT)
+                  % 2147483647 AS gram
+              FROM pos
+            ),
+            docfreq AS (
+              SELECT gram, count(DISTINCT doc_id) AS df
+              FROM (SELECT DISTINCT doc_id, gram FROM chunks)
+              GROUP BY gram
+            )
+            SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_chunks,
+              CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_dup_chunks,
+              CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE) AS dup_share
+            FROM chunks JOIN docfreq USING (gram)
+            GROUP BY doc_id
+        """,
+        'q184_token_budget': r"""
+            WITH base AS (
+              SELECT doc_id AS id,
+                CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '')) AS BIGINT) AS n_tokens,
+                n_chars
+              FROM documents
+            ),
+            run AS (
+              SELECT id, n_tokens, n_chars,
+                sum(n_tokens) OVER (ORDER BY n_chars DESC, id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS cum_tokens
+              FROM base
+            )
+            SELECT id, n_tokens, n_chars, cum_tokens
+            FROM run WHERE cum_tokens <= 20000
+        """,
+        'q185_mixture_weights': r"""
+            WITH g AS (
+              SELECT lang,
+                sum(CAST(len(list_filter(
+                    string_split_regex(trim(text), '\s+'),
+                    x -> x <> '')) AS BIGINT)) AS tokens
+              FROM documents GROUP BY lang
+            ),
+            tot AS (
+              SELECT CAST(sum(tokens) AS BIGINT) AS total,
+                CAST(count(*) AS BIGINT) AS n_groups
+              FROM g
+            )
+            SELECT lang, CAST(tokens AS BIGINT) AS tokens,
+              CAST(tokens AS DOUBLE) / CAST(total AS DOUBLE) AS token_share,
+              CAST(total AS DOUBLE) / CAST(n_groups * tokens AS DOUBLE)
+                AS weight
+            FROM g, tot
+        """,
+        'q186_burst_users': """
+            WITH e AS (
+              SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep
+              FROM events
+            ),
+            c AS (
+              SELECT user_id,
+                count(*) OVER (PARTITION BY user_id ORDER BY ep
+                  RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW) AS burst
+              FROM e
+            )
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+              CAST(max(burst) AS BIGINT) AS max_burst
+            FROM c GROUP BY user_id
+            HAVING max(burst) >= 8
+        """,
+        'q187_event_peaks': """
+            WITH hourly AS (
+              SELECT event_type, date_trunc('hour', ts) AS bucket,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            flagged AS (
+              SELECT event_type, bucket, n,
+                lag(n, 1) OVER w AS prev_n,
+                lead(n, 1) OVER w AS next_n
+              FROM hourly
+              WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+            )
+            SELECT event_type, bucket, n, prev_n, next_n
+            FROM flagged
+            WHERE prev_n IS NOT NULL AND next_n IS NOT NULL
+              AND n > prev_n AND n > next_n
+        """,
+        'q188_lag_corr': """
+            WITH hourly AS (
+              SELECT event_type,
+                CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS ep,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            bx AS (
+              SELECT h.n AS y, l.lag, h.ep - l.lag * 3600 AS ats
+              FROM hourly h,
+                (SELECT unnest(generate_series(0, 6)) AS lag) l
+              WHERE h.event_type = 'purchase'
+            ),
+            pairs AS (
+              SELECT bx.lag, a.n AS x, bx.y
+              FROM hourly a JOIN bx ON a.ep = bx.ats
+              WHERE a.event_type = 'click'
+            ),
+            ints AS (
+              SELECT lag, CAST(x AS DECIMAL(19,0)) AS xi,
+                CAST(y AS DECIMAL(19,0)) AS yi
+              FROM pairs
+            ),
+            s AS (
+              SELECT lag, count(*) AS n,
+                sum(CAST(xi AS DECIMAL(38,0))) AS sx,
+                sum(CAST(yi AS DECIMAL(38,0))) AS sy,
+                sum(CAST(xi * xi AS DECIMAL(38,0))) AS sxx,
+                sum(CAST(yi * yi AS DECIMAL(38,0))) AS syy,
+                sum(CAST(xi * yi AS DECIMAL(38,0))) AS sxy
+              FROM ints GROUP BY lag
+            ),
+            e AS (
+              SELECT lag, n,
+                CAST(CAST(CAST(n AS DECIMAL(12,0)) * CAST(sxy AS DECIMAL(24,0)) AS DECIMAL(36,0))
+                     - CAST(CAST(sx AS DECIMAL(18,0)) * CAST(sy AS DECIMAL(18,0)) AS DECIMAL(36,0)) AS DOUBLE) AS cov_n,
+                CAST(CAST(CAST(n AS DECIMAL(12,0)) * CAST(sxx AS DECIMAL(24,0)) AS DECIMAL(36,0))
+                     - CAST(CAST(sx AS DECIMAL(18,0)) * CAST(sx AS DECIMAL(18,0)) AS DECIMAL(36,0)) AS DOUBLE) AS var_x,
+                CAST(CAST(CAST(n AS DECIMAL(12,0)) * CAST(syy AS DECIMAL(24,0)) AS DECIMAL(36,0))
+                     - CAST(CAST(sy AS DECIMAL(18,0)) * CAST(sy AS DECIMAL(18,0)) AS DECIMAL(36,0)) AS DOUBLE) AS var_y
+              FROM s
+            )
+            SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n,
+              CASE WHEN sqrt(var_x) * sqrt(var_y) > 0
+                   THEN cov_n / (sqrt(var_x) * sqrt(var_y)) END AS corr
+            FROM e
+        """,
+        'q191_mann_kendall': """
+            WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS d,
+                CAST(count(*) AS BIGINT) AS v
+              FROM events GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT a.event_type,
+                CASE WHEN b.v > a.v THEN 1
+                     WHEN b.v < a.v THEN -1 ELSE 0 END AS sgn
+              FROM daily a JOIN daily b
+                ON a.event_type = b.event_type AND a.d < b.d
+            ),
+            s AS (
+              SELECT event_type, CAST(sum(sgn) AS BIGINT) AS s
+              FROM pairs GROUP BY event_type
+            ),
+            n AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n
+              FROM daily GROUP BY event_type
+            )
+            SELECT n.event_type, n, coalesce(s, 0) AS s,
+              CASE WHEN n >= 2 THEN
+                (2.0E0 * CAST(coalesce(s, 0) AS DOUBLE))
+                  / CAST(n * (n - 1) AS DOUBLE)
+              END AS tau
+            FROM n LEFT JOIN s ON n.event_type = s.event_type
+        """,
+        'q192_theil_sen': """
+            WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS d,
+                CAST(count(*) AS BIGINT) AS v
+              FROM events GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT a.event_type,
+                CAST(b.v - a.v AS DOUBLE)
+                  / CAST(CAST(floor(epoch(b.d)) AS BIGINT)
+                         - CAST(floor(epoch(a.d)) AS BIGINT) AS DOUBLE)
+                  AS s
+              FROM daily a JOIN daily b
+                ON a.event_type = b.event_type AND a.d < b.d
+            ),
+            agg AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+                list_sort(list(s)) AS sorted
+              FROM pairs GROUP BY event_type
+            )
+            SELECT event_type, n_pairs,
+              CASE WHEN n_pairs % 2 = 1
+                THEN sorted[CAST(trunc((n_pairs + 1) / 2.0) AS INT)]
+                ELSE (sorted[CAST(trunc(n_pairs / 2.0) AS INT)]
+                      + sorted[CAST(trunc(n_pairs / 2.0) AS INT) + 1]) / 2.0E0
+              END AS slope
+            FROM agg
+        """,
+        'q193_pattern_match': """
+            WITH days AS (
+              SELECT user_id, date_trunc('day', ts) AS d,
+                string_agg(substr(event_type, 1, 1), ''
+                  ORDER BY ts, event_id) AS journey
+              FROM events GROUP BY 1, 2
+            )
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+              CAST(sum(CASE WHEN regexp_matches(journey, 'v.*p')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+            FROM days GROUP BY user_id
+        """,
+        'q194_group_skewness': """
+            WITH ints AS (
+              SELECT event_type,
+                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(19,0)) AS xi
+              FROM events WHERE value IS NOT NULL
+            ),
+            s AS (
+              SELECT event_type, count(*) AS n,
+                sum(CAST(xi AS DECIMAL(38,0))) AS s1,
+                sum(CAST(xi * xi AS DECIMAL(38,0))) AS s2,
+                sum(CAST(CAST(xi AS DECIMAL(8,0)) * CAST(xi AS DECIMAL(8,0))
+                    * CAST(xi AS DECIMAL(8,0)) AS DECIMAL(38,0))) AS s3
+              FROM ints GROUP BY event_type
+            ),
+            e AS (
+              -- every multiply keeps one operand width >= 19 so DuckDB
+              -- takes the int128 path (two narrow operands can route a
+              -- >int64 product through int64 and overflow)
+              SELECT event_type, n,
+                CAST(CAST(CAST(n AS DECIMAL(12,0)) * CAST(s2 AS DECIMAL(25,0))
+                       AS DECIMAL(37,0))
+                  - CAST(CAST(s1 AS DECIMAL(19,0)) * CAST(s1 AS DECIMAL(19,0))
+                       AS DECIMAL(37,0)) AS DOUBLE) AS m2,
+                CAST(
+                  CAST(
+                    CAST(CAST(CAST(CAST(n AS DECIMAL(19,0))
+                         * CAST(n AS DECIMAL(19,0)) AS DECIMAL(14,0))
+                         AS DECIMAL(14,0)) * CAST(s3 AS DECIMAL(24,0))
+                         AS DECIMAL(37,0))
+                    - CAST(CAST(CAST(CAST(3 * n AS DECIMAL(19,0))
+                           * CAST(s1 AS DECIMAL(19,0)) AS DECIMAL(18,0))
+                           AS DECIMAL(18,0))
+                           * CAST(s2 AS DECIMAL(19,0)) AS DECIMAL(37,0))
+                    AS DECIMAL(37,0))
+                  + CAST(CAST(2 AS DECIMAL(3,0))
+                    * CAST(CAST(CAST(s1 AS DECIMAL(19,0))
+                           * CAST(s1 AS DECIMAL(19,0)) AS DECIMAL(23,0))
+                           * CAST(s1 AS DECIMAL(15,0)) AS DECIMAL(35,0))
+                    AS DECIMAL(37,0))
+                AS DOUBLE) AS m3
+              FROM s
+            )
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+              CASE WHEN m2 > 0 THEN m3 / (m2 * sqrt(m2)) END AS skewness
+            FROM e
+        """,
+        'q195_phrase_search': r"""
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(trim(text), '\s+'),
+                            x -> x <> '') AS t
+              FROM documents
+            )
+            SELECT doc_id, n_occurrences FROM (
+              SELECT doc_id,
+                CAST(len(list_filter(generate_series(1, len(t) - 1),
+                  i -> t[i] = 'data' AND t[i+1] = 'stream')) AS INT)
+                  AS n_occurrences
+              FROM toks
+              WHERE len(t) >= 2
+            ) WHERE n_occurrences >= 1
+        """,
+        'q196_fpgrowth_pairs': """
+            WITH baskets AS (
+              SELECT DISTINCT l_orderkey, p_brand
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+            ),
+            minc AS (
+              SELECT CAST(ceil(0.02E0 * count(DISTINCT l_orderkey)) AS BIGINT)
+                AS m
+              FROM baskets
+            ),
+            singles AS (
+              SELECT p_brand AS itemset, 1 AS size,
+                CAST(count(*) AS BIGINT) AS freq
+              FROM baskets GROUP BY p_brand
+            ),
+            pairs AS (
+              SELECT a.p_brand || '|' || b.p_brand AS itemset, 2 AS size,
+                CAST(count(*) AS BIGINT) AS freq
+              FROM baskets a JOIN baskets b
+                ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+              GROUP BY 1
+            )
+            SELECT itemset, CAST(size AS INT) AS size, freq
+            FROM (SELECT * FROM singles UNION ALL SELECT * FROM pairs)
+            WHERE freq >= (SELECT m FROM minc)
+        """,
+        'q198_moment_rollup': """
+            WITH ints AS (
+              SELECT event_type,
+                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(19,0)) AS xi
+              FROM events WHERE value IS NOT NULL
+            ),
+            s AS (
+              SELECT event_type, count(*) AS n,
+                sum(CAST(xi AS DECIMAL(38,0))) AS s1,
+                sum(CAST(xi * xi AS DECIMAL(38,0))) AS s2
+              FROM ints GROUP BY event_type
+            ),
+            e AS (
+              SELECT event_type, n,
+                CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 100.0E0 AS mean,
+                CAST(CAST(CAST(n AS DECIMAL(12,0)) * CAST(s2 AS DECIMAL(25,0))
+                       AS DECIMAL(37,0))
+                  - CAST(CAST(s1 AS DECIMAL(19,0)) * CAST(s1 AS DECIMAL(19,0))
+                       AS DECIMAL(37,0)) AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 10000.0E0
+                  AS variance
+              FROM s
+            )
+            SELECT event_type, CAST(n AS BIGINT) AS n, mean, variance,
+              sqrt(variance) AS stddev
+            FROM e
+        """,
+        'q199_ks_test': """
+            WITH base AS (
+              SELECT value AS v,
+                CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a
+              FROM events
+              WHERE event_type IN ('click', 'error') AND value IS NOT NULL
+            ),
+            per_v AS (
+              SELECT v, CAST(sum(a) AS BIGINT) AS ca,
+                CAST(sum(1 - a) AS BIGINT) AS cb
+              FROM base GROUP BY v
+            ),
+            pref AS (
+              SELECT
+                sum(ca) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pa,
+                sum(cb) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb
+              FROM per_v
+            ),
+            totals AS (
+              SELECT CAST(max(pa) AS BIGINT) AS n_a,
+                CAST(max(pb) AS BIGINT) AS n_b
+              FROM pref
+            )
+            SELECT n_a, n_b,
+              CAST(max(abs(pa * n_b - pb * n_a)) AS DOUBLE)
+                / CAST(n_a * n_b AS DOUBLE) AS d
+            FROM pref, totals
+            GROUP BY n_a, n_b
+        """,
+    },
+)

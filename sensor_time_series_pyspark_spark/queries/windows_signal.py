@@ -1,0 +1,2600 @@
+"""Windowed signal analytics: ACF, CUSUM, rolling
+stats, drift and compression (q82 .. q143).
+
+Split out of the former monolithic __spark_entry__.py; function
+sources are verbatim. See queries/common.py for shared helpers and
+queries/registry.py for the duplicate-raising registration."""
+
+from __future__ import annotations
+
+from sensor_time_series_pyspark_spark.queries.common import *  # noqa: F401,F403
+
+def _q_acf(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-series autocorrelation, lags 1-5 (operators/drift.py:acf) —
+    one window pass for all lags, exact-moment corr epilogue.
+    (ts, event_type) is unique in events, so the lag ordering is
+    deterministic without a tiebreaker."""
+    from sensor_time_series_pyspark_spark.operators import acf
+
+    ev = read_table(spark, sf, "events")
+    return acf(ev, ["event_type"], "ts", "value", max_lag=5)
+
+
+def _q_cusum(spark: SparkSession, sf: str) -> DataFrame:
+    """Standardized CUSUM level-shift scan per event type
+    (operators/drift.py:cusum) — exact decimal prefix sums, the whole
+    trajectory bit-reproducible across engines."""
+    from sensor_time_series_pyspark_spark.operators import cusum
+
+    ev = read_table(spark, sf, "events")
+    return cusum(ev, ["event_type"], "ts", "value", threshold=3.0)
+
+
+def _q_hopping_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Hopping-window aggregate (operators/resample.py:
+    hopping_resample): 2-hour windows sliding every 30 minutes —
+    map-side Expand then partial aggregation, shuffle carries partials
+    not replicated rows."""
+    from sensor_time_series_pyspark_spark.operators import hopping_resample
+
+    ev = read_table(spark, sf, "events")
+    return hopping_resample(
+        ev,
+        ts_col="ts",
+        width="2 hours",
+        slide="30 minutes",
+        keys=["event_type"],
+        aggs=[
+            _davg(F.col("value")).alias("avg_value"),
+            F.count(F.lit(1)).alias("n"),
+        ],
+    )
+
+
+def _q_top_categories(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-brand heavy hitters of p_type (operators/profile.py:
+    top_categories): one hash aggregate + a window over the aggregated
+    frame; exact shares from two longs."""
+    from sensor_time_series_pyspark_spark.operators import top_categories
+
+    p = read_table(spark, sf, "part")
+    return top_categories(p, "p_type", by=["p_brand"], k=3)
+
+
+def _q_category_gini(spark: SparkSession, sf: str) -> DataFrame:
+    """Language concentration per document source (operators/
+    profile.py:category_concentration) — Herfindahl/Gini from exact
+    integer count moments, one double division."""
+    from sensor_time_series_pyspark_spark.operators import category_concentration
+
+    docs = read_table(spark, sf, "documents")
+    return category_concentration(docs, "lang", by=["source"])
+
+
+def _q_rolling_median(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact 7-sample trailing median per series (operators/windows.py:
+    rolling_median) — the robust denoiser; percentile interpolation is
+    IEEE-identical to DuckDB quantile_cont."""
+    from sensor_time_series_pyspark_spark.operators import rolling_median
+
+    ev = read_table(spark, sf, "events")
+    return rolling_median(
+        ev, "ts", "value", partition_by=["event_type"], n_rows=7
+    ).select("event_id", "event_type", "ts", "value", "rolling_median")
+
+
+def _q_merge_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    """Gaps-and-islands interval merge (operators/islands.py): each
+    event opens a 30-minute activity window per user; overlapping
+    windows collapse to disjoint activity episodes. One shuffle on the
+    user key (window labeling + island agg share the partitioning)."""
+    from sensor_time_series_pyspark_spark.operators import merge_intervals
+
+    ev = read_table(spark, sf, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+    )
+    return merge_intervals(iv, ["user_id"], "s", "e")
+
+
+def _q_order_streaks(spark: SparkSession, sf: str) -> DataFrame:
+    """Consecutive-calendar-day runs per customer (operators/
+    islands.py:streaks, the date - row_number anchor trick): distinct
+    order days per customer, maximal runs ≥ 2 days."""
+    from sensor_time_series_pyspark_spark.operators import streaks
+
+    o = read_table(spark, sf, "orders")
+    return streaks(o, ["o_custkey"], "o_orderdate", min_length=2)
+
+
+def _q_asof_tolerance(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join with a match tolerance (operators/asof.py): each
+    event picks up the latest purchase by the same user within the
+    trailing 2 hours; older matches null out (pandas merge_asof
+    tolerance semantics). Purchases at identical (user, ts) pre-
+    aggregate to max(value) so the carried value is deterministic."""
+    ev = read_table(spark, sf, "events")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("last_purchase_value"))
+    )
+    return asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        purchases,
+        ["user_id"],
+        "ts",
+        "ts",
+        ["last_purchase_value"],
+        tolerance_seconds=7200,
+        matched_ts_col="last_purchase_ts",
+    )
+
+
+def _q_pareto_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Pareto / cumulative-share analysis: customers ranked by revenue,
+    running share of total, top-80% flag. The window runs over the
+    AGGREGATED frame (one row per customer) — the global-order sort is
+    a deliberate presentation-scale step, never applied to raw facts
+    (SURVEY.md §2.6 ref bug #10). Sums are exact decimals; the share is
+    one double division, identical in any engine."""
+    o = read_table(spark, sf, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("__rev")
+    )
+    w = (
+        Window.orderBy(F.col("__rev").desc(), F.col("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy()
+    return (
+        rev.withColumn("__cum", F.sum("__rev").over(w))
+        .withColumn("__tot", F.sum("__rev").over(tot))
+        .select(
+            "o_custkey",
+            F.col("__rev").cast("double").alias("revenue"),
+            (F.col("__cum").cast("double") / F.col("__tot").cast("double")).alias(
+                "cum_share"
+            ),
+            (
+                F.col("__cum").cast("double") / F.col("__tot").cast("double")
+                <= 0.8
+            ).alias("is_top80"),
+        )
+    )
+
+
+def _q_m4_downsample(spark: SparkSession, sf: str) -> DataFrame:
+    """M4 visualization downsample (operators/viz.py, Jugel et al. VLDB
+    2014): per (event_type, day) keep min/max/first/last — the exact
+    pixel-rendering reduction, one hash aggregate, selection made
+    deterministic by a (unix_micros ‖ event_id) order key."""
+    from sensor_time_series_pyspark_spark.operators import m4_downsample
+
+    ev = read_table(spark, sf, "events").where(F.col("value").isNotNull())
+    return m4_downsample(
+        ev, ["event_type"], "ts", "value", "event_id", bucket="1 day"
+    )
+
+
+def _q_deadband(spark: SparkSession, sf: str) -> DataFrame:
+    """Deadband (exception) compression per series (operators/
+    compress.py): keep first + every >ε excursion from the last KEPT
+    value — the PI-historian storage rule. Inherently sequential per
+    series → applyInPandas per user; oracle is a recursive CTE
+    replaying the same fold."""
+    from sensor_time_series_pyspark_spark.operators import deadband_compress
+
+    ev = read_table(spark, sf, "events").where(F.col("value").isNotNull())
+    return deadband_compress(ev, "user_id", "ts", "value", epsilon=25.0)
+
+
+def _q_rolling_corr(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling Pearson correlation of value vs time (trend strength)
+    over the trailing 10 events per user — exact integer moments
+    (operators/windows.py:rolling_corr), so the low bits match any
+    engine. Seconds are exact integers via unix_micros div 10^6."""
+    from sensor_time_series_pyspark_spark.operators import rolling_corr
+
+    ev = (
+        read_table(spark, sf, "events")
+        .where(F.col("value").isNotNull())
+        .withColumn(
+            "secs",
+            # integer div, not /1e6: double quotients can truncate off
+            # by one at second boundaries vs an exact-integer engine
+            F.expr("unix_micros(ts) div 1000000")
+            - F.lit(1704067200),  # epoch('2024-01-01'): keeps moments small
+        )
+    )
+    out = rolling_corr(
+        ev, ["user_id"], ["ts", "event_id"], "value", "secs",
+        n_rows=10, x_decimals=2, y_decimals=0,
+    )
+    return out.select("event_id", "user_id", "ts", "r_corr")
+
+
+def _q_bloom_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-pruned semi join (operators/bloomjoin.py): urgent orders
+    build a 65536-bit bitmap; lineitem is pruned MAP-SIDE before the
+    exact semi join — the explicit form of Spark's runtime bloom
+    filtering, ~80% shuffle reduction here, far more on selective
+    joins at 100 TB. Result is exact (join removes false positives)."""
+    from sensor_time_series_pyspark_spark.operators import bloom_semi_join
+
+    li = read_table(spark, sf, "lineitem")
+    urgent = read_table(spark, sf, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    hits = bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey")
+    return hits.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _dsum(F.col("l_extendedprice")).alias("revenue"),
+    )
+
+
+def _q_hll_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable distinct-count rollup (operators/sketches.py): one HLL
+    sketch per (event_type, day) partial, merged to per-type totals
+    WITHOUT rescanning the fact table — the continuous-aggregate
+    pattern for COUNT(DISTINCT) at 100 TB. Rows-only: sketch estimates
+    are DataSketches-specific; a test pins ≤5% error vs exact."""
+    from sensor_time_series_pyspark_spark.operators import hll_partials, hll_rollup
+
+    ev = read_table(spark, sf, "events").withColumn("day", F.to_date("ts"))
+    partials = hll_partials(ev, ["event_type", "day"], "user_id")
+    return hll_rollup(partials, ["event_type"])
+
+
+def _q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-stratum deterministic sampling (operators/sampling.py:
+    stratified_hash_sample): rebalance the language mix — downsample
+    dominant en, keep all de, thin the rest — with md5-threshold
+    decisions that are stable across runs, engines, partitionings."""
+    from sensor_time_series_pyspark_spark.operators import stratified_hash_sample
+
+    docs = read_table(spark, sf, "documents")
+    return stratified_hash_sample(
+        docs,
+        "doc_id",
+        "lang",
+        {"en": 0.5, "de": 1.0, "fr": 0.25},
+        default_fraction=0.1,
+    ).select("doc_id", "lang", "source")
+
+
+def _q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank (operators/graph.py) over the supplier↔part supply
+    graph (bipartite, both directions; node ids disambiguated by
+    parity). Iterative: one join+agg per round, lineage cut by
+    localCheckpoint. Rows-only: float mass diffusion has no SQL twin;
+    tests pin mass conservation + symmetry."""
+    from sensor_time_series_pyspark_spark.operators import pagerank
+
+    li = read_table(spark, sf, "lineitem")
+    sp = li.select(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    edges = sp.unionByName(
+        sp.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = pagerank(edges, n_iter=6, checkpoint_every=3)
+    return ranks.where(F.col("node") % 2 == 0).select(
+        (F.col("node") / 2).cast("long").alias("suppkey"), "rank"
+    )
+
+
+def _q_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact weighted median (operators/quantiles.py:weighted_median):
+    quantity-weighted median unit price per return flag. Cumulative
+    weights stay decimal; the half-total test is 2*cum >= total with
+    no division — bit-portable across engines."""
+    from sensor_time_series_pyspark_spark.operators import weighted_median
+
+    li = read_table(spark, sf, "lineitem")
+    return weighted_median(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        "l_quantity",
+        tiebreak_cols=["l_orderkey", "l_linenumber"],
+    )
+
+
+def _q_late_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4-shaped order-priority check: orders with at least one
+    lineitem shipped after the order date, counted per priority. The
+    EXISTS is a left-semi join with a non-equi residual — Spark keeps
+    the equi key (orderkey) for the hash join and applies the date
+    comparison as a join residual, so no fallback to nested-loop."""
+    o = read_table(spark, sf, "orders")
+    li = read_table(spark, sf, "lineitem")
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > o["o_orderdate"]),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+def _q_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact triangle count (operators/graph.py:triangle_count,
+    degree-oriented compact-forward — two hash joins, hub fan-out
+    bounded O(sqrt m)) over the co-supplier graph: suppliers sharing a
+    part. The oracle counts the same triangles with id orientation —
+    the count is orientation-invariant, so both paths must agree."""
+    from sensor_time_series_pyspark_spark.operators import triangle_count
+
+    # strongest-partner graph: every co-occurrence graph over this
+    # synthetic data densifies toward complete as SF grows (few cells,
+    # many entities), so the graph is SPARSIFIED BY CONSTRUCTION —
+    # each user keeps edges to its top-3 co-activity partners (ranked
+    # by shared (event_type, 30-min bucket) cells, deterministic id
+    # tiebreak). Degree <= 6 after symmetrization → wedge count is
+    # O(users), at every scale factor. Triangles then measure mutual-
+    # affinity cliques, the standard social-graph cohesion signal.
+    return triangle_count(_partner_graph(spark, sf), orient="degree")
+
+
+def _q_trend_slope(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-series OLS trend (operators/profile.py:trend_slope): value
+    drift per event type over epoch seconds. Exact decimal moments,
+    fixed IEEE epilogue — the portable twin of regr_slope (the oracle
+    uses the same explicit formula, never regr_slope's double sums)."""
+    from sensor_time_series_pyspark_spark.operators import trend_slope
+
+    ev = read_table(spark, sf, "events")
+    base = ev.select(
+        "event_type",
+        F.col("ts").cast("long").alias("t"),
+        "value",
+    )
+    return trend_slope(
+        base, "t", "value", by=["event_type"], x_decimals=0, y_decimals=6
+    )
+
+
+def _q_group_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-row z-score within group (operators/profile.py:group_zscore):
+    order value vs its priority class. One exact-moment aggregate
+    broadcast back — the fact table shuffles zero times."""
+    from sensor_time_series_pyspark_spark.operators import group_zscore
+
+    o = read_table(spark, sf, "orders")
+    out = group_zscore(
+        o.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        "o_totalprice",
+        by=["o_orderpriority"],
+        decimals=2,
+    )
+    return out.select("o_orderkey", "o_orderpriority", "zscore")
+
+
+def _q_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition counts + shares between event
+    types per user stream (operators/analytics.py:transition_matrix).
+    One lead window (single shuffle on user), integer counts, one
+    division for the share."""
+    from sensor_time_series_pyspark_spark.operators import transition_matrix
+
+    ev = read_table(spark, sf, "events")
+    return transition_matrix(
+        ev, "user_id", "ts", "event_type", tiebreak_col="event_id"
+    )
+
+
+def _q_running_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Cumulative distinct users per day (operators/analytics.py:
+    running_distinct): first-seen reduction instead of the quadratic
+    distinct-per-day self-join; the only ordered window runs over the
+    tiny per-day frame."""
+    from sensor_time_series_pyspark_spark.operators import running_distinct
+
+    ev = read_table(spark, sf, "events")
+    return running_distinct(ev, "user_id", "ts")
+
+
+def _q_dup_ngram_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicated-3-gram rate per document (operators/contamination.py:
+    dup_ngram_rate) — the RefinedWeb-style cross-document repetition
+    signal, via a gram-df aggregate (no doc×doc join). Portable gram
+    ids (md5 mod 2^31-1), integer counts, one division."""
+    from sensor_time_series_pyspark_spark.operators import dup_ngram_rate
+
+    docs = read_table(spark, sf, "documents")
+    return dup_ngram_rate(docs, "doc_id", "text", n=3, portable=True)
+
+
+def _q_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Keyed snapshot diff (operators/diff.py:snapshot_diff): ONE full
+    outer join on the key comparing map-side xxhash64 content hashes.
+    The two versions are deterministic projections of orders (drop
+    key%101 rows from new, drop key%97 / perturb key%89 prices in old),
+    so every change class appears. The oracle classifies by direct
+    column comparison — hash vs direct must agree."""
+    from sensor_time_series_pyspark_spark.operators import snapshot_diff
+
+    o = read_table(spark, sf, "orders")
+    new = o.where(F.col("o_orderkey") % 101 != 0)
+    old = o.where(F.col("o_orderkey") % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff(old, new, ["o_orderkey"])
+
+
+def _q_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus collocations by lift (operators/ranking.py:
+    collocation_lift): adjacent-pair counts over unigram independence.
+    Log-free PMI ranking — every score input is an exact integer, one
+    division at the end."""
+    from sensor_time_series_pyspark_spark.operators import collocation_lift
+
+    docs = read_table(spark, sf, "documents")
+    return collocation_lift(docs, "doc_id", "text", min_pair_count=3)
+
+
+def _q_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-rule document quality gates (functions/text.py:
+    gopher_flags): five integer-only filters + the conjunction, zero
+    divisions (cross-multiplied thresholds) — bit-portable."""
+    from sensor_time_series_pyspark_spark.functions.text import gopher_flags
+
+    docs = read_table(spark, sf, "documents")
+    return docs.select("doc_id", gopher_flags("text").alias("g")).select(
+        "doc_id", "g.*"
+    )
+
+
+def _q_null_runs(spark: SparkSession, sf: str) -> DataFrame:
+    """Longest missing-data stretch per series (operators/islands.py:
+    null_runs): running non-null count anchors each null run; one
+    shuffle on the series key."""
+    from sensor_time_series_pyspark_spark.operators import null_runs
+
+    return null_runs(
+        _nulled_events(spark, sf), ["user_id"], ["ts", "event_id"], "value"
+    )
+
+
+def _q_trigram_lm(spark: SparkSession, sf: str) -> DataFrame:
+    """MLE trigram language-model table (operators/ranking.py:
+    ngram_lm): c(w1w2w3)/c(w1w2·) with exact integer counts and one
+    division; denominators come from a window over the AGGREGATED gram
+    frame, never a second corpus scan."""
+    from sensor_time_series_pyspark_spark.operators import ngram_lm
+
+    docs = read_table(spark, sf, "documents")
+    return ngram_lm(docs, "doc_id", "text", n=3, min_context_count=3)
+
+
+def _q_posting_lists(spark: SparkSession, sf: str) -> DataFrame:
+    """Inverted-index posting summary (operators/ranking.py:
+    posting_lists): per-term df/tf/id-range; the (doc, term) tf is
+    pre-reduced so the term shuffle carries one row per posting."""
+    from sensor_time_series_pyspark_spark.operators import posting_lists
+
+    docs = read_table(spark, sf, "documents")
+    return posting_lists(docs, "doc_id", "text")
+
+
+def _q_time_in_state(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-state dwell time (operators/analytics.py:time_in_state):
+    exact integer-microsecond durations from one lead window; mean is
+    one division of two exact integers."""
+    from sensor_time_series_pyspark_spark.operators import time_in_state
+
+    ev = read_table(spark, sf, "events")
+    return time_in_state(ev, "user_id", "ts", "event_type", tiebreak_col="event_id")
+
+
+def _q_densify_grid(spark: SparkSession, sf: str) -> DataFrame:
+    """Regular-grid densification with LOCF fill (operators/
+    resample.py:densify_locf): per-user 30-min grid via integer epoch
+    buckets + sequence(); ONE window pass fills — no per-gridpoint
+    as-of join."""
+    from sensor_time_series_pyspark_spark.operators import densify_locf
+
+    ev = read_table(spark, sf, "events")
+    return densify_locf(ev, ["user_id"], "ts", "value", step_seconds=1800)
+
+
+def _q_session_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Session-level rollup on top of sessionize (q15's operator):
+    per-user session count, events-per-session, and mean session
+    duration — exact micros sums, two integer divisions at the end."""
+    ev = read_table(spark, sf, "events")
+    s = sessionize(ev, "ts", ["user_id"], gap_seconds=1800)
+    per_session = s.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        (
+            F.max(F.unix_micros(F.col("ts"))) - F.min(F.unix_micros(F.col("ts")))
+        ).alias("dur_us"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_ev").alias("n_events"),
+        (
+            F.sum("n_ev").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("events_per_session"),
+        (
+            F.sum("dur_us").cast("double")
+            / (F.count(F.lit(1)) * F.lit(1000000)).cast("double")
+        ).alias("mean_session_seconds"),
+    )
+
+
+def _q_source_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source corpus health: doc count, total chars, language
+    spread, and Gopher pass share (functions/text.py:gopher_flags) —
+    the curation dashboard query; integer counts, one division."""
+    from sensor_time_series_pyspark_spark.functions.text import gopher_flags
+
+    docs = read_table(spark, sf, "documents")
+    base = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        gopher_flags("text")["pass_all"].cast("int").alias("ok"),
+    )
+    return base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("ok").alias("n_pass"),
+        (F.sum("ok").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "pass_share"
+        ),
+    )
+
+
+def _q_minmax_scale(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group min-max feature scaling (operators/profile.py:
+    minmax_scale): broadcast bounds, exact decimal differences, one
+    division — the fact table never shuffles."""
+    from sensor_time_series_pyspark_spark.operators import minmax_scale
+
+    ev = read_table(spark, sf, "events")
+    out = minmax_scale(
+        ev.select("event_id", "event_type", "value"),
+        "value",
+        by=["event_type"],
+        decimals=6,
+    )
+    return out.select("event_id", "event_type", "scaled")
+
+
+def _q_spearman(spark: SparkSession, sf: str) -> DataFrame:
+    """Spearman rank correlation of value vs time per event type
+    (operators/profile.py:spearman_corr) — the monotone-trend test.
+    Doubled average ranks stay integer (2·rank + ties − 1), so the
+    whole statistic rides exact_corr's decimal moments."""
+    from sensor_time_series_pyspark_spark.operators import spearman_corr
+
+    ev = read_table(spark, sf, "events")
+    base = ev.select(
+        "event_type", F.col("ts").cast("long").alias("t"), "value"
+    )
+    return spearman_corr(base, "t", "value", by=["event_type"])
+
+
+def _q_chisq(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-cell chi-square contributions for priority × status
+    (operators/profile.py:chisq_cells): exact decimal products, fixed
+    IEEE epilogue per cell; totals come from windows over the
+    aggregated cell frame — one fact scan."""
+    from sensor_time_series_pyspark_spark.operators import chisq_cells
+
+    o = read_table(spark, sf, "orders")
+    return chisq_cells(o, "o_orderpriority", "o_orderstatus")
+
+
+def _q_benford(spark: SparkSession, sf: str) -> DataFrame:
+    """Leading-digit distribution of order values vs Benford's law
+    (operators/profile.py:benford_digits) — log-free digit extraction
+    via exact integer stringification; expectations are literal
+    constants in both engines."""
+    from sensor_time_series_pyspark_spark.operators import benford_digits
+
+    o = read_table(spark, sf, "orders")
+    return benford_digits(o, "o_totalprice", decimals=2)
+
+
+def _q_dimension_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-dimension embedding statistics (ml/stats.py:dimension_stats):
+    posexplode → exact decimal moments keyed on the dimension (shuffle
+    carries d rows per task); the normalization-constant pass before
+    feature scaling."""
+    from sensor_time_series_pyspark_spark.ml import dimension_stats
+
+    emb = read_table(spark, sf, "embeddings")
+    return dimension_stats(emb, "embedding", decimals=6)
+
+
+def _q_mllib_corr(spark: SparkSession, sf: str) -> DataFrame:
+    """Feature correlation matrix via pyspark.ml.stat.Correlation
+    (ml/stats.py:correlation_matrix), flattened to (i, j, corr) rows.
+    Rows-only: BLAS double accumulation has no SQL twin; the test gate
+    compares against numpy on a sample."""
+    from sensor_time_series_pyspark_spark.ml import correlation_matrix
+
+    emb = read_table(spark, sf, "embeddings")
+    return correlation_matrix(emb, "embedding")
+
+
+def _q_sax(spark: SparkSession, sf: str) -> DataFrame:
+    """PAA + SAX symbolization (operators/sax.py:sax_symbols): 8
+    segment means per user series, z-normalized against exact decimal
+    series moments and discretized on literal Gaussian quartile
+    breakpoints — the Lin/Keogh motif-mining compaction, one shuffle."""
+    from sensor_time_series_pyspark_spark.operators import sax_symbols
+
+    ev = read_table(spark, sf, "events")
+    return sax_symbols(
+        ev, ["user_id"], ["ts", "event_id"], "value", n_segments=8
+    )
+
+
+def _q_event_trigrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-wide event-path trigrams: the order-3 extension of the
+    transition matrix (two leads over one entity window), counting
+    common 3-step journeys across all users."""
+    ev = read_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = ev.select(
+        F.col("event_type").alias("s1"),
+        F.lead("event_type", 1).over(w).alias("s2"),
+        F.lead("event_type", 2).over(w).alias("s3"),
+    ).where(F.col("s3").isNotNull())
+    return paths.groupBy("s1", "s2", "s3").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _q_dtw_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """DTW distance between every pair of per-event-type resampled
+    series (operators/dtw.py): resample-first keeps the Python kernel
+    bounded; the DP runs in one Arrow-batched pandas UDF over
+    broadcast-joined series arrays. Oracle-gated: the banded DP is
+    replicated cell-for-cell by a recursive CTE (one matrix row per
+    recursive step; the within-row scan is a seeded list_reduce fold),
+    so even the elastic alignment is hash-checked; reference-DP tests
+    pin the kernel besides."""
+    from sensor_time_series_pyspark_spark.operators import dtw_pairs
+
+    ev = read_table(spark, sf, "events")
+    series = ev.groupBy(
+        "event_type", F.window("ts", "30 minutes").alias("w")
+    ).agg(_davg(F.col("value")).alias("v")).select(
+        "event_type", F.col("w.start").alias("bucket"), "v"
+    )
+    types = [r["event_type"] for r in series.select("event_type").distinct().collect()]
+    pair_rows = [(a, b) for i, a in enumerate(sorted(types)) for b in sorted(types)[i + 1:]]
+    pairs = spark.createDataFrame(pair_rows, "key_a string, key_b string")
+    return dtw_pairs(series, "event_type", "bucket", "v", pairs, band=48)
+
+
+def _q_ab_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-proportion z-test (operators/analytics.py:ab_proportion_test)
+    over a deterministic hash-split experiment: arms from md5 buckets
+    (engine-reproducible assignment, q64's machinery), conversion =
+    any purchase. One conditional aggregate; fixed IEEE epilogue."""
+    from sensor_time_series_pyspark_spark.operators import (
+        ab_proportion_test,
+        hash_split,
+    )
+
+    ev = read_table(spark, sf, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    )
+    assigned = hash_split(
+        per_user, "user_id", {"a": 0.5, "b": 0.5}, salt="exp1", out_col="arm"
+    )
+    return ab_proportion_test(assigned, "user_id", "arm", "converted")
+
+
+def _q_stock_balance(spark: SparkSession, sf: str) -> DataFrame:
+    """Floored running inventory balance (operators/windows.py:
+    capped_running_sum): the sequential-looking max(b+x, 0) recursion
+    solved with the reflection identity b = S − min(0, min S) — two
+    prefix aggregates in ONE sorted window pass, exact decimals."""
+    from sensor_time_series_pyspark_spark.operators import capped_running_sum
+
+    li = read_table(spark, sf, "lineitem")
+    d = li.withColumn(
+        "delta",
+        F.when(
+            F.col("l_returnflag") == "R", -F.col("l_quantity")
+        ).otherwise(F.col("l_quantity")),
+    )
+    out = capped_running_sum(
+        d,
+        ["l_partkey"],
+        ["l_shipdate", "l_orderkey", "l_linenumber"],
+        "delta",
+    )
+    return out.select("l_partkey", "l_orderkey", "l_linenumber", "balance")
+
+
+def _q_market_basket(spark: SparkSession, sf: str) -> DataFrame:
+    """Co-purchase association rules (operators/analytics.py:
+    market_basket_pairs): part pairs within orders scored by
+    support/confidence/lift — inverted self-join on the basket key,
+    integer counts, one division per metric."""
+    from sensor_time_series_pyspark_spark.operators import market_basket_pairs
+
+    li = read_table(spark, sf, "lineitem")
+    return market_basket_pairs(li, "l_orderkey", "l_partkey", min_pair_count=2)
+
+
+def _q_rfm(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM quintile segmentation: recency/frequency/monetary per
+    customer, each ntiled into 5 bands with a deterministic custkey
+    tiebreak (total order → reproducible ntile), combined into the
+    classic 3-digit code. Windows run over the aggregated customer
+    frame only."""
+    o = read_table(spark, sf, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("__mon"),
+    )
+    anchor = Window.partitionBy()
+    base = per_cust.withColumn(
+        "recency_days",
+        F.datediff(F.max("last_day").over(anchor), F.col("last_day")),
+    )
+    w_r = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc())
+    w_f = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc())
+    w_m = Window.orderBy(F.col("__mon").desc(), F.col("o_custkey").asc())
+    scored = base.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        F.col("__mon").cast("double").alias("monetary"),
+        F.ntile(5).over(w_r).alias("r_score"),
+        F.ntile(5).over(w_f).alias("f_score"),
+        F.ntile(5).over(w_m).alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm",
+        F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"),
+    )
+
+
+def _q_mom_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """Month-over-month revenue growth per order priority: exact
+    decimal monthly sums, one lag window over the tiny month×priority
+    frame, growth = (rev − prev)/prev in one fixed expression."""
+    o = read_table(spark, sf, "orders")
+    monthly = o.groupBy(
+        "o_orderpriority",
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "o_orderpriority",
+        "month",
+        "n_orders",
+        "revenue",
+        ((F.col("revenue") - prev) / prev).alias("mom_growth"),
+    )
+
+
+def _q_debounce(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user debounce / alarm rate-limit (streaming/stateful.py:
+    debounce_batch, with a stream twin asserted equal in tests): keep
+    an event only if >= 30 min since the last KEPT event. Sequential
+    by nature (emission depends on prior emissions) — oracle is the
+    recursive-CTE replay of the same fold."""
+    from sensor_time_series_pyspark_spark.streaming.stateful import debounce_batch
+
+    ev = read_table(spark, sf, "events")
+    return debounce_batch(ev, "user_id", "ts", cooldown_seconds=1800)
+
+
+def _q_kll_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable KLL quantile rollup (operators/sketches.py): daily
+    per-type sketch partials merged up to event_type — the persisted-
+    partials pattern (like q96's HLL) for percentile dashboards that
+    must never rescan the fact table. Rows-only: sketch outputs are
+    implementation-defined; a tolerance test pins them to exact
+    percentiles."""
+    from sensor_time_series_pyspark_spark.operators import (
+        kll_partials,
+        kll_rollup,
+    )
+
+    ev = read_table(spark, sf, "events")
+    daily = kll_partials(
+        ev.withColumn("day", F.to_date("ts")), ["event_type", "day"], "value"
+    )
+    return kll_rollup(daily, ["event_type"], quantiles=(0.5, 0.95, 0.99))
+
+
+def _q_theta_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Theta-sketch audience algebra (operators/sketches.py): distinct
+    users who clicked vs purchased — union/intersection/difference from
+    two kilobyte sketches. At this scale the sketches are in exact
+    mode (distinct < 2^lg_k), so the oracle is the exact set algebra;
+    beyond 2^lg_k the same query degrades gracefully to ±1.6%
+    estimates."""
+    from sensor_time_series_pyspark_spark.operators import (
+        theta_overlap,
+        theta_partials,
+    )
+
+    ev = read_table(spark, sf, "events")
+    parts = theta_partials(ev, ["event_type"], "user_id", lg_k=12)
+    return theta_overlap(parts, "event_type", "click", "purchase")
+
+
+def _q_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation where the customer and the
+    line's supplier share a nation, ASIA region, one order year. Five
+    joins — the three small dims broadcast; the orders⋈lineitem spine
+    shuffles on the order key once."""
+    li = read_table(spark, sf, "lineitem")
+    o = read_table(spark, sf, "orders")
+    c = read_table(spark, sf, "customer")
+    s = read_table(spark, sf, "supplier")
+    n = read_table(spark, sf, "nation")
+    r = read_table(spark, sf, "region")
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(12,2)") - _dec("l_discount")
+    )
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(
+            s,
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .where(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+    )
+    return j.groupBy("n_name").agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def _q_revenue_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 shape: the what-if revenue from discounts in a band,
+    one year, small quantities — a pure scan-side filter aggregate
+    (every predicate pushes into the parquet scan)."""
+    li = read_table(spark, sf, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").cast("decimal(12,2)") >= F.lit("0.05").cast("decimal(12,2)"))
+            & (F.col("l_discount").cast("decimal(12,2)") <= F.lit("0.07").cast("decimal(12,2)"))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .cast("double")
+            .alias("revenue_delta"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def _q_returned_items(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape: customer revenue lost to returns in one
+    quarter, with nation context — fact⋈fact on the order key, then a
+    customer rollup and broadcast nation join."""
+    li = read_table(spark, sf, "lineitem")
+    o = read_table(spark, sf, "orders")
+    c = read_table(spark, sf, "customer")
+    n = read_table(spark, sf, "nation")
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(12,2)") - _dec("l_discount")
+    )
+    j = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+    )
+    return j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def _q_large_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a
+    threshold, with customer context — the big-lineitem HAVING rollup
+    feeding a semi-filtered join."""
+    li = read_table(spark, sf, "lineitem")
+    o = read_table(spark, sf, "orders")
+    c = read_table(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("__q"))
+        .where(F.col("__q") > F.lit(150).cast("decimal(12,2)"))
+    )
+    j = (
+        o.join(big, o["o_orderkey"] == big["l_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+    )
+    return j.select(
+        "c_custkey",
+        "c_name",
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.col("__q").cast("double").alias("sum_qty"),
+    )
+
+
+def _q_normalized_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup AFTER canonical normalization (functions/text.py:
+    normalize_text: casefold + accent fold + whitespace collapse) —
+    catches the trivially-reformatted duplicates raw md5 dedup misses.
+    Same group shape as q17: fingerprint, copies, survivor id."""
+    from sensor_time_series_pyspark_spark.functions.text import normalize_text
+
+    docs = read_table(spark, sf, "documents")
+    return (
+        docs.select("doc_id", F.md5(normalize_text("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+def _q_funnel_latency(spark: SparkSession, sf: str) -> DataFrame:
+    """Conversion-latency distribution: seconds from a user's first
+    view to their first subsequent purchase, summarized as exact
+    median/p90 (integer-second order stats — both engines interpolate
+    the same exact doubles, q60's parity mechanism)."""
+    ev = read_table(spark, sf, "events")
+    views = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min(F.unix_micros(F.col("ts"))).alias("t_view")
+    )
+    purch = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(views, "user_id")
+        .where(F.unix_micros(F.col("ts")) > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(
+            F.min("t_view").alias("t_view"),
+            F.min(F.unix_micros(F.col("ts"))).alias("t_purchase"),
+        )
+    )
+    lat = purch.select(
+        F.expr("(t_purchase - t_view) div 1000000").alias("latency_sec")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.median(F.col("latency_sec").cast("double")).alias("median_sec"),
+        F.percentile(F.col("latency_sec").cast("double"), F.lit(0.9)).alias(
+            "p90_sec"
+        ),
+    )
+
+
+def _q_communities(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic label-propagation communities (operators/graph.py:
+    label_propagation — most-frequent neighbor label, smallest on ties)
+    over the strongest-partner user graph (degree-bounded, see
+    _partner_graph). Rows-only: iterative fixed point has no SQL twin;
+    determinism + clique-separation pinned by tests."""
+    from sensor_time_series_pyspark_spark.operators import label_propagation
+
+    labels = label_propagation(_partner_graph(spark, sf), n_iter=4)
+    return labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
+
+
+def _q_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent view/click within the hour (operators/asof.py backward
+    as-of with tolerance + matched-ts). Touches pre-aggregate per
+    (user, ts) for deterministic tie handling, per the asof contract."""
+    ev = read_table(spark, sf, "events")
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    touch = (
+        ev.where(F.col("event_type").isin("view", "click"))
+        .groupBy("user_id", "ts")
+        .agg(
+            F.expr("max_by(event_type, event_id)").alias("touch_type"),
+            F.max("event_id").alias("touch_id"),
+        )
+    )
+    return asof_join(
+        purch,
+        touch,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["touch_type", "touch_id"],
+        direction="backward",
+        tolerance_seconds=3600,
+        matched_ts_col="touch_ts",
+    ).select("event_id", "user_id", "ts", "touch_type", "touch_id", "touch_ts")
+
+
+def _q_qq_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile-quantile drift: per event type, the D1..D9 deciles of
+    value in the first vs second half of the time range, side by side —
+    the distribution-shift view TVD (q81) summarizes to one number.
+    percentile_disc (an actual data value, no interpolation) keeps the
+    comparison engine-exact on continuous doubles."""
+    ev = read_table(spark, sf, "events")
+    mid = ev.agg(
+        F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY cast(ts as double))")
+    ).collect()[0][0]
+    half = F.when(F.col("ts").cast("double") <= mid, "h1").otherwise("h2")
+    deciles = [i / 10 for i in range(1, 10)]
+    per_half = (
+        ev.select("event_type", half.alias("half"), "value")
+        .groupBy("event_type", "half")
+        .agg(
+            *[
+                F.expr(
+                    f"percentile_disc({d}) WITHIN GROUP (ORDER BY value)"
+                ).alias(f"d{int(d * 10)}")
+                for d in deciles
+            ]
+        )
+    )
+    h1 = per_half.where(F.col("half") == "h1").drop("half")
+    h2 = per_half.where(F.col("half") == "h2").drop("half")
+    cols = [f"d{i}" for i in range(1, 10)]
+    return h1.alias("a").join(h2.alias("b"), "event_type").select(
+        "event_type",
+        *[F.col(f"a.{c}").alias(f"{c}_h1") for c in cols],
+        *[F.col(f"b.{c}").alias(f"{c}_h2") for c in cols],
+    )
+
+
+def _q_seasonal_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Calendar seasonality profile: mean value per (event type,
+    day-of-week, hour) — the weekly heatmap behind load forecasting.
+    Exact decimal means; Spark dayofweek (1=Sunday) mirrored as
+    DuckDB dayofweek+1."""
+    ev = read_table(spark, sf, "events")
+    return ev.groupBy(
+        "event_type",
+        F.dayofweek("ts").alias("dow"),
+        F.hour("ts").alias("hod"),
+    ).agg(
+        _davg(F.col("value")).alias("avg_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def _q_swinging_door(spark: SparkSession, sf: str) -> DataFrame:
+    """Swinging-door trending compression (operators/compress.py:
+    swinging_door_compress) — the slope-tracking historian rule
+    (PI compression deviation): minimal kept points with linear
+    reconstruction within ±ε. Oracle-gated: the corridor recursion
+    (slope bounds, collapse-and-restart, duplicate-timestamp branch)
+    is replicated bit-for-bit by a recursive CTE; the reconstruction-
+    error bound is additionally tested."""
+    from sensor_time_series_pyspark_spark.operators import swinging_door_compress
+
+    ev = read_table(spark, sf, "events")
+    out = swinging_door_compress(ev, "user_id", "ts", "value", epsilon=10.0)
+    return out.select("user_id", "ts", "value")
+
+
+register_many(
+    {
+        'q82_acf': _q_acf,
+        'q83_cusum': _q_cusum,
+        'q84_hopping_window': _q_hopping_window,
+        'q85_top_categories': _q_top_categories,
+        'q86_category_gini': _q_category_gini,
+        'q87_rolling_median': _q_rolling_median,
+        'q88_merge_intervals': _q_merge_intervals,
+        'q89_order_streaks': _q_order_streaks,
+        'q90_asof_tolerance': _q_asof_tolerance,
+        'q91_pareto_customers': _q_pareto_customers,
+        'q92_m4_downsample': _q_m4_downsample,
+        'q93_deadband': _q_deadband,
+        'q94_rolling_corr': _q_rolling_corr,
+        'q95_bloom_semi_join': _q_bloom_semi_join,
+        'q96_hll_rollup': _q_hll_rollup,
+        'q97_stratified_sample': _q_stratified_sample,
+        'q98_pagerank': _q_pagerank,
+        'q99_weighted_median': _q_weighted_median,
+        'q02_late_orders': _q_late_orders,
+        'q100_triangle_count': _q_triangle_count,
+        'q101_trend_slope': _q_trend_slope,
+        'q102_group_zscore': _q_group_zscore,
+        'q103_transition_matrix': _q_transition_matrix,
+        'q104_running_distinct': _q_running_distinct,
+        'q105_dup_ngram_rate': _q_dup_ngram_rate,
+        'q106_snapshot_diff': _q_snapshot_diff,
+        'q107_collocations': _q_collocations,
+        'q108_gopher_quality': _q_gopher_quality,
+        'q109_null_runs': _q_null_runs,
+        'q110_trigram_lm': _q_trigram_lm,
+        'q111_posting_lists': _q_posting_lists,
+        'q112_time_in_state': _q_time_in_state,
+        'q113_densify_grid': _q_densify_grid,
+        'q114_session_stats': _q_session_stats,
+        'q115_source_rollup': _q_source_rollup,
+        'q116_minmax_scale': _q_minmax_scale,
+        'q117_spearman': _q_spearman,
+        'q118_chisq_cells': _q_chisq,
+        'q119_benford': _q_benford,
+        'q120_dimension_stats': _q_dimension_stats,
+        'q121_mllib_corr': _q_mllib_corr,
+        'q122_sax_symbols': _q_sax,
+        'q123_event_trigrams': _q_event_trigrams,
+        'q124_dtw_pairs': _q_dtw_pairs,
+        'q125_ab_test': _q_ab_test,
+        'q126_stock_balance': _q_stock_balance,
+        'q127_market_basket': _q_market_basket,
+        'q128_rfm': _q_rfm,
+        'q129_mom_growth': _q_mom_growth,
+        'q130_debounce': _q_debounce,
+        'q131_kll_quantiles': _q_kll_quantiles,
+        'q132_theta_overlap': _q_theta_overlap,
+        'q133_local_supplier_volume': _q_local_supplier_volume,
+        'q134_revenue_delta': _q_revenue_delta,
+        'q135_returned_items': _q_returned_items,
+        'q136_large_orders': _q_large_orders,
+        'q137_normalized_dedup': _q_normalized_dedup,
+        'q138_funnel_latency': _q_funnel_latency,
+        'q139_communities': _q_communities,
+        'q140_attribution': _q_attribution,
+        'q141_qq_drift': _q_qq_drift,
+        'q142_seasonal_profile': _q_seasonal_profile,
+        'q143_swinging_door': _q_swinging_door,
+    },
+    {
+        'q82_acf': """
+            WITH lagged AS (
+              SELECT event_type, value AS x,
+                lead(value, 1) OVER w AS y1,
+                lead(value, 2) OVER w AS y2,
+                lead(value, 3) OVER w AS y3,
+                lead(value, 4) OVER w AS y4,
+                lead(value, 5) OVER w AS y5
+              FROM events
+              WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+            ),
+            pairs AS (
+              SELECT event_type, 1 AS lag, x, y1 AS y FROM lagged
+              UNION ALL SELECT event_type, 2, x, y2 FROM lagged
+              UNION ALL SELECT event_type, 3, x, y3 FROM lagged
+              UNION ALL SELECT event_type, 4, x, y4 FROM lagged
+              UNION ALL SELECT event_type, 5, x, y5 FROM lagged
+            ),
+            ints AS (
+              SELECT event_type, lag,
+                CAST(CAST(x AS DECIMAL(18,2)) * 100 AS DECIMAL(19,0)) AS xi,
+                CAST(CAST(y AS DECIMAL(18,2)) * 100 AS DECIMAL(19,0)) AS yi
+              FROM pairs WHERE x IS NOT NULL AND y IS NOT NULL
+            ),
+            s AS (
+              SELECT event_type, lag, count(*) AS n,
+                sum(CAST(xi AS DECIMAL(38,0))) AS sx,
+                sum(CAST(yi AS DECIMAL(38,0))) AS sy,
+                sum(CAST(xi * xi AS DECIMAL(38,0))) AS sxx,
+                sum(CAST(yi * yi AS DECIMAL(38,0))) AS syy,
+                sum(CAST(xi * yi AS DECIMAL(38,0))) AS sxy
+              FROM ints GROUP BY 1, 2
+            ),
+            e AS (
+              SELECT event_type, lag, n,
+                CAST(CAST(CAST(n AS DECIMAL(12,0)) * CAST(sxy AS DECIMAL(24,0)) AS DECIMAL(36,0))
+                     - CAST(CAST(sx AS DECIMAL(18,0)) * CAST(sy AS DECIMAL(18,0)) AS DECIMAL(36,0)) AS DOUBLE) AS cov_n,
+                CAST(CAST(CAST(n AS DECIMAL(12,0)) * CAST(sxx AS DECIMAL(24,0)) AS DECIMAL(36,0))
+                     - CAST(CAST(sx AS DECIMAL(18,0)) * CAST(sx AS DECIMAL(18,0)) AS DECIMAL(36,0)) AS DOUBLE) AS var_x,
+                CAST(CAST(CAST(n AS DECIMAL(12,0)) * CAST(syy AS DECIMAL(24,0)) AS DECIMAL(36,0))
+                     - CAST(CAST(sy AS DECIMAL(18,0)) * CAST(sy AS DECIMAL(18,0)) AS DECIMAL(36,0)) AS DOUBLE) AS var_y
+              FROM s
+            )
+            SELECT event_type, lag, n,
+              CASE WHEN sqrt(var_x) * sqrt(var_y) > 0
+                   THEN cov_n / (sqrt(var_x) * sqrt(var_y)) END AS acf
+            FROM e
+        """,
+        'q83_cusum': """
+            WITH base AS (
+              SELECT event_type, ts, value,
+                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(19,0)) AS xi
+              FROM events WHERE value IS NOT NULL
+            ),
+            pref AS (
+              SELECT event_type, ts, value, xi,
+                sum(CAST(xi AS DECIMAL(38,0))) OVER w AS pk,
+                CAST(row_number() OVER w AS BIGINT) AS k
+              FROM base
+              WINDOW w AS (PARTITION BY event_type ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ),
+            mom AS (
+              SELECT event_type, count(*) AS n,
+                sum(CAST(xi AS DECIMAL(38,0))) AS sx,
+                sum(CAST(xi * xi AS DECIMAL(38,0))) AS sxx
+              FROM base GROUP BY 1
+            ),
+            j AS (
+              SELECT p.event_type, p.ts, p.k, p.value, m.n,
+                CAST(CAST(CAST(m.n AS DECIMAL(12,0)) * CAST(p.pk AS DECIMAL(24,0)) AS DECIMAL(36,0))
+                     - CAST(CAST(p.k AS DECIMAL(12,0)) * CAST(m.sx AS DECIMAL(24,0)) AS DECIMAL(36,0)) AS DOUBLE) AS num,
+                CAST(CAST(CAST(m.n AS DECIMAL(12,0)) * CAST(m.sxx AS DECIMAL(24,0)) AS DECIMAL(36,0))
+                     - CAST(CAST(m.sx AS DECIMAL(18,0)) * CAST(m.sx AS DECIMAL(18,0)) AS DECIMAL(36,0)) AS DOUBLE) AS var_n
+              FROM pref p JOIN mom m USING (event_type)
+            )
+            SELECT event_type, ts, k, value,
+              CASE WHEN var_n > 0 THEN num / sqrt(var_n) END AS cusum,
+              (abs(CASE WHEN var_n > 0 THEN num / sqrt(var_n) END)
+               > 3.0 * sqrt(CAST(n AS DOUBLE))) AS breach
+            FROM j
+        """,
+        'q84_hopping_window': f"""
+            WITH x AS (
+              SELECT event_type, value, ts, unnest([0, 1, 2, 3]) AS off
+              FROM events
+            ),
+            w AS (
+              SELECT event_type, value,
+                make_timestamp(
+                  (CAST(floor(epoch(ts) / 1800) AS BIGINT) - off) * 1800 * 1000000
+                ) AS bucket
+              FROM x
+            )
+            SELECT event_type,
+              {_davg_sql('value')} AS avg_value,
+              count(*) AS n,
+              bucket
+            FROM w GROUP BY event_type, bucket
+        """,
+        'q85_top_categories': """
+            WITH c AS (
+              SELECT p_brand, p_type AS value, count(*) AS n
+              FROM part WHERE p_type IS NOT NULL
+              GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT p_brand, value, n,
+                CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY p_brand) AS DOUBLE)
+                  AS share,
+                CAST(row_number() OVER (PARTITION BY p_brand
+                     ORDER BY n DESC, value) AS INT) AS rank
+              FROM c
+            )
+            SELECT p_brand, value, n, share, rank FROM r WHERE rank <= 3
+        """,
+        'q86_category_gini': """
+            WITH c AS (
+              SELECT source, lang, CAST(count(*) AS DECIMAL(19,0)) AS cnt
+              FROM documents WHERE lang IS NOT NULL
+              GROUP BY 1, 2
+            ),
+            g AS (
+              SELECT source,
+                sum(CAST(cnt AS DECIMAL(38,0))) AS n,
+                sum(CAST(cnt * cnt AS DECIMAL(38,0))) AS ss,
+                count(*) AS n_categories
+              FROM c GROUP BY 1
+            )
+            SELECT source, CAST(n AS BIGINT) AS n, n_categories,
+              CAST(ss AS DOUBLE)
+                / CAST(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)) AS DOUBLE)
+                AS herfindahl,
+              1.0 - CAST(ss AS DOUBLE)
+                / CAST(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)) AS DOUBLE)
+                AS gini
+            FROM g
+        """,
+        'q87_rolling_median': """
+            SELECT event_id, event_type, ts, value,
+              quantile_cont(value, 0.5) OVER (
+                PARTITION BY event_type ORDER BY ts
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+              ) AS rolling_median
+            FROM events
+        """,
+        'q88_merge_intervals': """
+            WITH iv AS (
+              SELECT user_id, ts AS s, ts + INTERVAL 30 MINUTE AS e
+              FROM events
+            ),
+            flagged AS (
+              SELECT user_id, s, e,
+                CASE WHEN s > max(e) OVER (
+                       PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     THEN 1 ELSE 0 END AS new_island
+              FROM iv
+            ),
+            labeled AS (
+              SELECT user_id, s, e,
+                sum(new_island) OVER (
+                  PARTITION BY user_id ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+              FROM flagged
+            )
+            SELECT user_id, min(s) AS island_start, max(e) AS island_end,
+                   count(*) AS n_intervals
+            FROM labeled GROUP BY user_id, island
+        """,
+        'q89_order_streaks': """
+            WITH d AS (
+              SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS d
+              FROM orders
+            ),
+            a AS (
+              SELECT o_custkey, d,
+                d - CAST(row_number() OVER (
+                      PARTITION BY o_custkey ORDER BY d) AS INT) AS anchor
+              FROM d
+            )
+            SELECT o_custkey, min(d) AS streak_start, max(d) AS streak_end,
+                   count(*) AS n_days
+            FROM a GROUP BY o_custkey, anchor
+            HAVING count(*) >= 2
+        """,
+        'q90_asof_tolerance': """
+            WITH p AS (
+              SELECT user_id, ts, max(value) AS v
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id, ts
+            ),
+            m AS (
+              SELECT e.event_id, e.user_id, e.ts,
+                (SELECT max(p.ts) FROM p
+                 WHERE p.user_id = e.user_id AND p.ts <= e.ts
+                   AND p.ts >= e.ts - INTERVAL 2 HOUR) AS last_purchase_ts
+              FROM events e
+            )
+            SELECT m.event_id, m.user_id, m.ts, m.last_purchase_ts,
+                   p.v AS last_purchase_value
+            FROM m LEFT JOIN p
+              ON p.user_id = m.user_id AND p.ts = m.last_purchase_ts
+        """,
+        'q91_pareto_customers': """
+            WITH rev AS (
+              SELECT o_custkey,
+                sum(CAST(o_totalprice AS DECIMAL(38,6))) AS rev
+              FROM orders GROUP BY o_custkey
+            ),
+            c AS (
+              SELECT o_custkey, rev,
+                sum(rev) OVER (ORDER BY rev DESC, o_custkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                sum(rev) OVER () AS tot
+              FROM rev
+            )
+            SELECT o_custkey, CAST(rev AS DOUBLE) AS revenue,
+              CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_share,
+              CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.8 AS is_top80
+            FROM c
+        """,
+        'q92_m4_downsample': """
+            SELECT event_type, date_trunc('day', ts) AS bucket_start,
+              min(value) AS v_min, max(value) AS v_max,
+              min_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 18, '0')
+                         || lpad(CAST(event_id AS VARCHAR), 13, '0')) AS v_first,
+              max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 18, '0')
+                         || lpad(CAST(event_id AS VARCHAR), 13, '0')) AS v_last,
+              count(*) AS n
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type, date_trunc('day', ts)
+        """,
+        'q93_deadband': """
+            WITH RECURSIVE base AS (
+              SELECT user_id, ts, value,
+                CAST(row_number() OVER (
+                  PARTITION BY user_id ORDER BY ts, value) AS BIGINT) AS rn
+              FROM events WHERE value IS NOT NULL
+            ),
+            -- replays operators/compress.py's fold: keep first, then
+            -- keep iff |v - last_kept| > eps (strict), carrying last_kept
+            rec AS (
+              SELECT user_id, ts, value, rn, value AS last_kept, TRUE AS kept
+              FROM base WHERE rn = 1
+              UNION ALL
+              SELECT b.user_id, b.ts, b.value, b.rn,
+                CASE WHEN abs(b.value - r.last_kept) > 25.0
+                     THEN b.value ELSE r.last_kept END,
+                abs(b.value - r.last_kept) > 25.0
+              FROM rec r JOIN base b
+                ON b.user_id = r.user_id AND b.rn = r.rn + 1
+            )
+            SELECT user_id, ts, value FROM rec WHERE kept
+        """,
+        'q94_rolling_corr': """
+            WITH e AS (
+              SELECT event_id, user_id, ts,
+                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(19,0)) AS xi,
+                CAST(epoch_us(ts) // 1000000 - 1704067200 AS DECIMAL(19,0)) AS yi
+              FROM events WHERE value IS NOT NULL
+            ),
+            s AS (
+              SELECT event_id, user_id, ts,
+                count(*) OVER w AS n,
+                sum(CAST(xi AS DECIMAL(38,0))) OVER w AS sx,
+                sum(CAST(yi AS DECIMAL(38,0))) OVER w AS sy,
+                sum(CAST(xi * xi AS DECIMAL(38,0))) OVER w AS sxx,
+                sum(CAST(yi * yi AS DECIMAL(38,0))) OVER w AS syy,
+                sum(CAST(xi * yi AS DECIMAL(38,0))) OVER w AS sxy
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+            )
+            SELECT event_id, user_id, ts,
+              CASE WHEN sqrt(CAST(CAST(n AS DECIMAL(12,0)) * sxx - sx * sx AS DOUBLE))
+                      * sqrt(CAST(CAST(n AS DECIMAL(12,0)) * syy - sy * sy AS DOUBLE)) > 0
+                   THEN CAST(CAST(n AS DECIMAL(12,0)) * sxy - sx * sy AS DOUBLE)
+                      / (sqrt(CAST(CAST(n AS DECIMAL(12,0)) * sxx - sx * sx AS DOUBLE))
+                         * sqrt(CAST(CAST(n AS DECIMAL(12,0)) * syy - sy * sy AS DOUBLE)))
+              END AS r_corr
+            FROM s
+        """,
+        'q95_bloom_semi_join': """
+            SELECT l_returnflag, count(*) AS n_items,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+            FROM lineitem
+            WHERE l_orderkey IN (
+              SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            )
+            GROUP BY l_returnflag
+        """,
+        'q97_stratified_sample': f"""
+            SELECT doc_id, lang, source FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+              CASE lang
+                WHEN 'en' THEN '{_thr(0.5)}'
+                WHEN 'de' THEN '{_thr(1.0)}'
+                WHEN 'fr' THEN '{_thr(0.25)}'
+                ELSE '{_thr(0.1)}'
+              END
+        """,
+        'q99_weighted_median': """
+            WITH c AS (
+              SELECT l_returnflag, l_extendedprice,
+                sum(CAST(l_quantity AS DECIMAL(28,6))) OVER (
+                  PARTITION BY l_returnflag
+                  ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+                sum(CAST(l_quantity AS DECIMAL(28,6))) OVER (
+                  PARTITION BY l_returnflag) AS totw
+              FROM lineitem
+            )
+            SELECT l_returnflag, min(l_extendedprice) AS w_median
+            FROM c WHERE cumw * 2 >= totw GROUP BY l_returnflag
+        """,
+        'q02_late_orders': """
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders
+            WHERE EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+            GROUP BY o_orderpriority
+        """,
+        'q100_triangle_count': """
+            WITH cell AS (
+              SELECT DISTINCT event_type,
+                epoch_us(ts) // 1800000000 AS bucket, user_id
+              FROM events
+            ),
+            pc AS (
+              SELECT a.user_id AS u, b.user_id AS v, count(*) AS n
+              FROM cell a JOIN cell b
+                ON a.event_type = b.event_type AND a.bucket = b.bucket
+              WHERE a.user_id < b.user_id
+              GROUP BY a.user_id, b.user_id
+            ),
+            sym AS (
+              SELECT u, v, n FROM pc
+              UNION ALL SELECT v AS u, u AS v, n FROM pc
+            ),
+            topk AS (
+              SELECT u, v FROM (
+                SELECT u, v,
+                  row_number() OVER (
+                    PARTITION BY u ORDER BY n DESC, v ASC) AS rk
+                FROM sym
+              ) WHERE rk <= 3
+            ),
+            e AS (
+              SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+              FROM topk
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e1.b = e2.a
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        """,
+        'q101_trend_slope': """
+            WITH ints AS (
+              SELECT event_type,
+                CAST(CAST(epoch_us(ts) // 1000000 AS DECIMAL(18,0)) * 1
+                     AS DECIMAL(19,0)) AS xi,
+                CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+                     AS DECIMAL(19,0)) AS yi
+              FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+            ),
+            s AS (
+              SELECT event_type, count(*) AS n,
+                sum(CAST(xi AS DECIMAL(38,0))) AS sx,
+                sum(CAST(yi AS DECIMAL(38,0))) AS sy,
+                sum(CAST(xi * xi AS DECIMAL(38,0))) AS sxx,
+                sum(CAST(xi * yi AS DECIMAL(38,0))) AS sxy
+              FROM ints GROUP BY event_type
+            ),
+            e AS (
+              SELECT event_type, n, sx, sy,
+                CAST(CAST(CAST(n AS DECIMAL(12,0)) * CAST(sxy AS DECIMAL(26,0)) AS DECIMAL(38,0))
+                     - CAST(CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS DOUBLE) AS cov_n,
+                CAST(CAST(CAST(n AS DECIMAL(12,0)) * CAST(sxx AS DECIMAL(26,0)) AS DECIMAL(38,0))
+                     - CAST(CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS DOUBLE) AS var_n
+              FROM s
+            )
+            SELECT event_type, n,
+              (CASE WHEN var_n > 0 THEN cov_n / var_n END) * 1e-06 AS slope,
+              ((CAST(sy AS DOUBLE)
+                - (CASE WHEN var_n > 0 THEN cov_n / var_n END) * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE)) / 1000000.0 AS intercept
+            FROM e
+        """,
+        'q102_group_zscore': """
+            WITH ints AS (
+              SELECT o_orderkey, o_orderpriority,
+                CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                     AS DECIMAL(19,0)) AS xi
+              FROM orders
+            ),
+            m AS (
+              SELECT o_orderpriority, count(*) AS n,
+                sum(CAST(xi AS DECIMAL(38,0))) AS sx,
+                sum(CAST(xi * xi AS DECIMAL(38,0))) AS sxx
+              FROM ints GROUP BY o_orderpriority
+            ),
+            j AS (
+              SELECT i.o_orderkey, i.o_orderpriority, m.n,
+                CAST(CAST(CAST(m.n AS DECIMAL(12,0)) * i.xi AS DECIMAL(34,0))
+                     - CAST(m.sx AS DECIMAL(34,0)) AS DOUBLE) AS num,
+                sqrt(
+                  CAST(CAST(CAST(m.n AS DECIMAL(12,0)) * CAST(m.sxx AS DECIMAL(26,0)) AS DECIMAL(37,0))
+                       - CAST(CAST(m.sx AS DECIMAL(19,0)) * CAST(m.sx AS DECIMAL(19,0)) AS DECIMAL(37,0)) AS DOUBLE)
+                  * (CAST(m.n AS DOUBLE) / CAST(m.n - 1 AS DOUBLE))
+                ) AS den
+              FROM ints i JOIN m USING (o_orderpriority)
+            )
+            SELECT o_orderkey, o_orderpriority,
+              CASE WHEN n > 1 AND den > 0 THEN num / den END AS zscore
+            FROM j
+        """,
+        'q103_transition_matrix': """
+            WITH p AS (
+              SELECT event_type AS from_state,
+                lead(event_type) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id) AS to_state
+              FROM events
+            ),
+            c AS (
+              SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n
+              FROM p WHERE to_state IS NOT NULL GROUP BY from_state, to_state
+            )
+            SELECT from_state, to_state, n,
+              CAST(n AS DOUBLE)
+                / CAST(sum(n) OVER (PARTITION BY from_state) AS DOUBLE) AS share
+            FROM c
+        """,
+        'q104_running_distinct': """
+            WITH fs AS (
+              SELECT user_id, min(CAST(ts AS DATE)) AS day
+              FROM events GROUP BY user_id
+            ),
+            d AS (
+              SELECT day, CAST(count(*) AS BIGINT) AS new_entities
+              FROM fs GROUP BY day
+            )
+            SELECT day, new_entities,
+              CAST(sum(new_entities) OVER (
+                ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS cum_entities
+            FROM d
+        """,
+        'q105_dup_ngram_rate': r"""
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, unnest(
+                list_distinct(
+                  list_transform(
+                    generate_series(1, greatest(len(t) - 2, 0)),
+                    i -> CAST(('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 12)) AS BIGINT)
+                         % 2147483647
+                  )
+                )) AS gram
+              FROM toks
+            ),
+            gdf AS (SELECT gram, count(*) AS df FROM grams GROUP BY gram)
+            SELECT g.doc_id AS id,
+              CAST(count(*) AS BIGINT) AS n_grams,
+              CAST(sum(CASE WHEN gdf.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+              CAST(CAST(sum(CASE WHEN gdf.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE) AS dup_rate
+            FROM grams g JOIN gdf USING (gram)
+            GROUP BY g.doc_id
+        """,
+        'q106_snapshot_diff': """
+            WITH newv AS (
+              SELECT * FROM orders WHERE o_orderkey % 101 <> 0
+            ),
+            oldv AS (
+              SELECT o_orderkey, o_custkey, o_orderstatus,
+                CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0
+                     ELSE o_totalprice END AS o_totalprice,
+                o_orderdate, o_orderpriority
+              FROM orders WHERE o_orderkey % 97 <> 0
+            )
+            SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+              CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                   WHEN n.o_orderkey IS NULL THEN 'removed'
+                   WHEN (o.o_custkey IS DISTINCT FROM n.o_custkey)
+                     OR (o.o_orderdate IS DISTINCT FROM n.o_orderdate)
+                     OR (o.o_orderpriority IS DISTINCT FROM n.o_orderpriority)
+                     OR (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+                     OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+                   THEN 'changed'
+                   ELSE 'unchanged' END AS change
+            FROM oldv o FULL OUTER JOIN newv n ON o.o_orderkey = n.o_orderkey
+        """,
+        'q107_collocations': r"""
+            WITH toks AS (
+              SELECT list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+              FROM documents
+            ),
+            uni AS (
+              SELECT w, CAST(count(*) AS BIGINT) AS n_w
+              FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+            ),
+            pairs AS (
+              SELECT unnest(list_transform(
+                generate_series(1, greatest(len(t) - 1, 0)),
+                i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS p
+              FROM toks
+            ),
+            bi AS (
+              SELECT p.w1 AS w1, p.w2 AS w2, CAST(count(*) AS BIGINT) AS n_pair
+              FROM pairs GROUP BY p.w1, p.w2
+              HAVING count(*) >= 3
+            ),
+            tot AS (SELECT CAST(sum(len(t)) AS BIGINT) AS n FROM toks)
+            SELECT b.w1, b.w2, b.n_pair,
+              u1.n_w AS n_w1, u2.n_w AS n_w2,
+              CAST(tot.n * b.n_pair AS DOUBLE)
+                / CAST(u1.n_w * u2.n_w AS DOUBLE) AS lift
+            FROM bi b
+            JOIN uni u1 ON b.w1 = u1.w
+            JOIN uni u2 ON b.w2 = u2.w, tot
+        """,
+        'q108_gopher_quality': r"""
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id,
+                CAST(len(t) AS INT) AS n_words,
+                CAST(COALESCE(list_sum(list_transform(t, w -> length(w))), 0) AS INT) AS n_chars,
+                CAST(len(list_filter(t, w -> regexp_matches(w, '[A-Za-z]'))) AS INT) AS alpha_words,
+                CAST(len(list_filter(t, w -> contains(w, '#')))
+                     + len(list_filter(t, w -> contains(w, '...'))) AS INT) AS n_symbols,
+                CAST(len(list_intersect(list_distinct(t), """
+        + _STOPWORD_LIST
+        + """)) AS INT) AS n_stop
+              FROM toks
+            )
+            SELECT doc_id, n_words,
+              (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+              (n_chars >= 3 * n_words AND n_chars <= 10 * n_words) AS ok_mean_word_len,
+              (5 * alpha_words >= 4 * n_words) AS ok_alpha_ratio,
+              (10 * n_symbols <= n_words) AS ok_symbol_ratio,
+              (n_stop >= 2) AS ok_stopwords,
+              ((n_words >= 50 AND n_words <= 100000)
+               AND (n_chars >= 3 * n_words AND n_chars <= 10 * n_words)
+               AND (5 * alpha_words >= 4 * n_words)
+               AND (10 * n_symbols <= n_words)
+               AND (n_stop >= 2)) AS pass_all
+            FROM m
+        """,
+        'q109_null_runs': """
+            WITH base AS (
+              SELECT user_id, event_id, ts,
+                CASE WHEN event_type <> 'error' THEN value END AS v
+              FROM events
+            ),
+            a AS (
+              SELECT user_id, v,
+                count(v) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS anchor
+              FROM base
+            ),
+            runs AS (
+              SELECT user_id, anchor, CAST(count(*) AS BIGINT) AS len
+              FROM a WHERE v IS NULL GROUP BY user_id, anchor
+            )
+            SELECT user_id,
+              CAST(count(*) AS BIGINT) AS n_runs,
+              max(len) AS longest_run,
+              CAST(sum(len) AS BIGINT) AS total_nulls
+            FROM runs GROUP BY user_id
+        """,
+        'q110_trigram_lm': r"""
+            WITH toks AS (
+              SELECT list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT unnest(list_transform(
+                generate_series(1, greatest(len(t) - 2, 0)),
+                i -> struct_pack(
+                  context := array_to_string(t[i:i+1], ' '),
+                  next_word := t[i+2]))) AS g
+              FROM toks
+            ),
+            full_c AS (
+              SELECT g.context AS context, g.next_word AS next_word,
+                CAST(count(*) AS BIGINT) AS c_full
+              FROM grams GROUP BY g.context, g.next_word
+            ),
+            win AS (
+              SELECT context, next_word, c_full,
+                CAST(sum(c_full) OVER (PARTITION BY context) AS BIGINT) AS c_context
+              FROM full_c
+            )
+            SELECT context, next_word, c_full, c_context,
+              CAST(c_full AS DOUBLE) / CAST(c_context AS DOUBLE) AS prob
+            FROM win WHERE c_context >= 3
+        """,
+        'q111_posting_lists': r"""
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+              FROM documents
+            ),
+            occ AS (SELECT doc_id, unnest(t) AS term FROM toks),
+            per_doc AS (
+              SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+              FROM occ GROUP BY term, doc_id
+            )
+            SELECT term,
+              CAST(count(*) AS BIGINT) AS df,
+              CAST(sum(tf) AS BIGINT) AS tf,
+              min(doc_id) AS min_doc_id,
+              max(doc_id) AS max_doc_id
+            FROM per_doc GROUP BY term
+        """,
+        'q112_time_in_state': """
+            WITH s AS (
+              SELECT event_type AS state,
+                lead(epoch_us(ts)) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id) - epoch_us(ts) AS us
+              FROM events
+            )
+            SELECT state,
+              CAST(count(*) AS BIGINT) AS n_intervals,
+              CAST(sum(us) // 1000000 AS BIGINT) AS total_seconds,
+              CAST(sum(us) AS DOUBLE)
+                / CAST(count(*) * 1000000 AS DOUBLE) AS mean_seconds
+            FROM s WHERE us IS NOT NULL GROUP BY state
+        """,
+        'q113_densify_grid': """
+            WITH obs AS (
+              SELECT user_id, epoch_us(ts) AS us, 0 AS is_grid, value AS v
+              FROM events
+            ),
+            spans AS (
+              SELECT user_id,
+                min(epoch_us(ts)) // 1800000000 AS b0,
+                max(epoch_us(ts)) // 1800000000 AS b1
+              FROM events GROUP BY user_id
+            ),
+            grid AS (
+              SELECT user_id, CAST(b * 1800000000 AS BIGINT) AS us,
+                1 AS is_grid, CAST(NULL AS DOUBLE) AS v
+              FROM spans, unnest(generate_series(b0, b1)) AS t(b)
+            ),
+            u AS (
+              SELECT * FROM obs UNION ALL SELECT * FROM grid
+            ),
+            f AS (
+              SELECT user_id, us, is_grid,
+                last_value(v IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY us, is_grid
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+              FROM u
+            )
+            SELECT user_id, make_timestamp(us) AS bucket_ts, value
+            FROM f WHERE is_grid = 1
+        """,
+        'q114_session_stats': """
+            WITH flagged AS (
+              SELECT user_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                     THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            sess AS (
+              SELECT user_id, ts,
+                CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  AS session_seq
+              FROM flagged
+            ),
+            per_session AS (
+              SELECT user_id, session_seq,
+                CAST(count(*) AS BIGINT) AS n_ev,
+                max(epoch_us(ts)) - min(epoch_us(ts)) AS dur_us
+              FROM sess GROUP BY user_id, session_seq
+            )
+            SELECT user_id,
+              CAST(count(*) AS BIGINT) AS n_sessions,
+              CAST(sum(n_ev) AS BIGINT) AS n_events,
+              CAST(sum(n_ev) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                AS events_per_session,
+              CAST(sum(dur_us) AS DOUBLE)
+                / CAST(count(*) * 1000000 AS DOUBLE) AS mean_session_seconds
+            FROM per_session GROUP BY user_id
+        """,
+        'q115_source_rollup': r"""
+            WITH toks AS (
+              SELECT source, lang, n_chars,
+                list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+              FROM documents
+            ),
+            m AS (
+              SELECT source, lang, n_chars,
+                CAST(len(t) AS INT) AS n_words,
+                CAST(COALESCE(list_sum(list_transform(t, w -> length(w))), 0) AS INT) AS n_tchars,
+                CAST(len(list_filter(t, w -> regexp_matches(w, '[A-Za-z]'))) AS INT) AS alpha_words,
+                CAST(len(list_filter(t, w -> contains(w, '#')))
+                     + len(list_filter(t, w -> contains(w, '...'))) AS INT) AS n_symbols,
+                CAST(len(list_intersect(list_distinct(t), """
+        + _STOPWORD_LIST
+        + """)) AS INT) AS n_stop
+              FROM toks
+            ),
+            flags AS (
+              SELECT source, lang, n_chars,
+                CASE WHEN (n_words >= 50 AND n_words <= 100000)
+                      AND (n_tchars >= 3 * n_words AND n_tchars <= 10 * n_words)
+                      AND (5 * alpha_words >= 4 * n_words)
+                      AND (10 * n_symbols <= n_words)
+                      AND (n_stop >= 2) THEN 1 ELSE 0 END AS ok
+              FROM m
+            )
+            SELECT source,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars,
+              CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+              CAST(sum(ok) AS BIGINT) AS n_pass,
+              CAST(sum(ok) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pass_share
+            FROM flags GROUP BY source
+        """,
+        'q116_minmax_scale': """
+            WITH b AS (
+              SELECT event_type,
+                min(CAST(value AS DECIMAL(18,6))) AS mn,
+                max(CAST(value AS DECIMAL(18,6))) AS mx
+              FROM events GROUP BY event_type
+            )
+            SELECT event_id, event_type,
+              CASE WHEN CAST(mx - mn AS DOUBLE) > 0
+                   THEN CAST(CAST(value AS DECIMAL(18,6)) - mn AS DOUBLE)
+                        / CAST(mx - mn AS DOUBLE)
+              END AS scaled
+            FROM events JOIN b USING (event_type)
+        """,
+        'q117_spearman': """
+            WITH xy AS (
+              SELECT event_type, epoch_us(ts) // 1000000 AS x, value AS y
+              FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+            ),
+            r AS (
+              SELECT event_type,
+                2 * rank() OVER (PARTITION BY event_type ORDER BY x)
+                  + count(*) OVER (PARTITION BY event_type, x) - 1 AS rx,
+                2 * rank() OVER (PARTITION BY event_type ORDER BY y)
+                  + count(*) OVER (PARTITION BY event_type, y) - 1 AS ry
+              FROM xy
+            ),
+            ints AS (
+              SELECT event_type,
+                CAST(CAST(rx AS DECIMAL(18,0)) * 1 AS DECIMAL(19,0)) AS xi,
+                CAST(CAST(ry AS DECIMAL(18,0)) * 1 AS DECIMAL(19,0)) AS yi
+              FROM r
+            ),
+            s AS (
+              SELECT event_type, count(*) AS n,
+                sum(CAST(xi AS DECIMAL(38,0))) AS sx,
+                sum(CAST(yi AS DECIMAL(38,0))) AS sy,
+                sum(CAST(xi * xi AS DECIMAL(38,0))) AS sxx,
+                sum(CAST(yi * yi AS DECIMAL(38,0))) AS syy,
+                sum(CAST(xi * yi AS DECIMAL(38,0))) AS sxy
+              FROM ints GROUP BY event_type
+            ),
+            e AS (
+              SELECT event_type, n,
+                CAST(CAST(CAST(n AS DECIMAL(12,0)) * CAST(sxy AS DECIMAL(26,0)) AS DECIMAL(38,0))
+                     - CAST(CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS DOUBLE) AS cov_n,
+                CAST(CAST(CAST(n AS DECIMAL(12,0)) * CAST(sxx AS DECIMAL(26,0)) AS DECIMAL(38,0))
+                     - CAST(CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS DOUBLE) AS var_x,
+                CAST(CAST(CAST(n AS DECIMAL(12,0)) * CAST(syy AS DECIMAL(26,0)) AS DECIMAL(38,0))
+                     - CAST(CAST(sy AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS DOUBLE) AS var_y
+              FROM s
+            )
+            SELECT event_type, n,
+              CASE WHEN sqrt(var_x) * sqrt(var_y) > 0
+                   THEN cov_n / (sqrt(var_x) * sqrt(var_y)) END AS spearman
+            FROM e
+        """,
+        'q118_chisq_cells': """
+            WITH cells AS (
+              SELECT o_orderpriority AS a, o_orderstatus AS b,
+                CAST(count(*) AS BIGINT) AS observed
+              FROM orders
+              WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+              GROUP BY o_orderpriority, o_orderstatus
+            ),
+            w AS (
+              SELECT a, b, observed,
+                CAST(observed AS DECIMAL(19,0)) AS o,
+                CAST(sum(observed) OVER (PARTITION BY a) AS DECIMAL(19,0)) AS r,
+                CAST(sum(observed) OVER (PARTITION BY b) AS DECIMAL(19,0)) AS c,
+                CAST(sum(observed) OVER () AS DECIMAL(19,0)) AS n
+              FROM cells
+            ),
+            f AS (
+              SELECT a, b, observed,
+                CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE) AS expected,
+                CAST(CAST(n * o AS DECIMAL(37,0))
+                     - CAST(r * c AS DECIMAL(37,0)) AS DOUBLE) AS num,
+                CAST(n * CAST(r * c AS DECIMAL(19,0)) AS DOUBLE) AS den
+              FROM w
+            )
+            SELECT a, b, observed, expected,
+              (num * num) / den AS chi2_contrib
+            FROM f
+        """,
+        'q119_benford': """
+            WITH d AS (
+              SELECT CAST(regexp_extract(CAST(o_totalprice AS VARCHAR),
+                                         '[1-9]') AS INT) AS digit
+              FROM orders WHERE o_totalprice > 0
+            ),
+            c AS (
+              SELECT digit, CAST(count(*) AS BIGINT) AS n
+              FROM d WHERE digit BETWEEN 1 AND 9
+              GROUP BY 1
+            )
+            SELECT digit, n,
+              CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE) AS share,
+              CASE digit
+                WHEN 1 THEN 0.3010299956639812E0
+                WHEN 2 THEN 0.17609125905568124E0
+                WHEN 3 THEN 0.12493873660829993E0
+                WHEN 4 THEN 0.09691001300805642E0
+                WHEN 5 THEN 0.07918124604762482E0
+                WHEN 6 THEN 0.06694678963061322E0
+                WHEN 7 THEN 0.05799194697768673E0
+                WHEN 8 THEN 0.05115252244738129E0
+                WHEN 9 THEN 0.04575749056067514E0
+              END AS expected
+            FROM c
+        """,
+        'q120_dimension_stats': """
+            WITH e AS (
+              SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS comp
+              FROM embeddings,
+                unnest(generate_series(1, len(embedding))) AS t(i)
+            ),
+            ints AS (
+              SELECT dim, comp,
+                CAST(CAST(comp AS DECIMAL(18,6)) * 1000000
+                     AS DECIMAL(19,0)) AS xi
+              FROM e
+            ),
+            s AS (
+              SELECT dim, count(*) AS n,
+                sum(CAST(xi AS DECIMAL(38,0))) AS sx,
+                sum(CAST(xi * xi AS DECIMAL(38,0))) AS sxx,
+                min(comp) AS mn, max(comp) AS mx
+              FROM ints GROUP BY dim
+            )
+            SELECT CAST(dim AS INT) AS dim, n,
+              CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS mean,
+              CASE WHEN n > 1 THEN
+                sqrt(
+                  CAST(CAST(CAST(n AS DECIMAL(12,0)) * CAST(sxx AS DECIMAL(26,0)) AS DECIMAL(38,0))
+                       - CAST(CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS DOUBLE)
+                  * (1.0 / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+                ) / 1000000.0
+              END AS std,
+              mn AS min_val, mx AS max_val
+            FROM s
+        """,
+        'q122_sax_symbols': """
+            WITH base AS (
+              SELECT user_id,
+                CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+                     AS DECIMAL(19,0)) AS xi,
+                row_number() OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id) - 1 AS idx,
+                count(*) OVER (PARTITION BY user_id) AS n
+              FROM events
+            ),
+            seg AS (
+              SELECT user_id, xi, CAST((idx * 8) // n AS INT) AS segment
+              FROM base
+            ),
+            per_seg AS (
+              SELECT user_id, segment,
+                CAST(count(*) AS BIGINT) AS n_points,
+                sum(CAST(xi AS DECIMAL(38,0))) AS seg_sx
+              FROM seg GROUP BY user_id, segment
+            ),
+            per_series AS (
+              SELECT user_id, count(*) AS sn,
+                sum(CAST(xi AS DECIMAL(38,0))) AS sx,
+                sum(CAST(xi * xi AS DECIMAL(38,0))) AS sxx
+              FROM seg GROUP BY user_id
+            ),
+            calc AS (
+              SELECT p.user_id, p.segment, p.n_points, s.sn,
+                CAST(p.seg_sx AS DOUBLE) / CAST(p.n_points AS DOUBLE)
+                  / 1000000.0 AS paa,
+                CAST(s.sx AS DOUBLE) / CAST(s.sn AS DOUBLE)
+                  / 1000000.0 AS mean,
+                sqrt(
+                  CAST(CAST(CAST(s.sn AS DECIMAL(12,0)) * CAST(s.sxx AS DECIMAL(26,0)) AS DECIMAL(38,0))
+                       - CAST(CAST(s.sx AS DECIMAL(19,0)) * CAST(s.sx AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS DOUBLE)
+                  * (1.0 / (CAST(s.sn AS DOUBLE) * CAST(s.sn - 1 AS DOUBLE)))
+                ) / 1000000.0 AS std
+              FROM per_seg p JOIN per_series s USING (user_id)
+            ),
+            zc AS (
+              SELECT user_id, segment, n_points, paa,
+                CASE WHEN sn > 1 AND std > 0 THEN (paa - mean) / std END AS z
+              FROM calc
+            )
+            SELECT user_id, segment, n_points, paa,
+              CASE WHEN z IS NOT NULL THEN
+                CAST(CAST(z >= -0.6744897501960817E0 AS INT)
+                     + CAST(z >= 0.0E0 AS INT)
+                     + CAST(z >= 0.6744897501960817E0 AS INT) AS INT)
+              END AS symbol
+            FROM zc
+        """,
+        'q123_event_trigrams': """
+            WITH p AS (
+              SELECT event_type AS s1,
+                lead(event_type, 1) OVER w AS s2,
+                lead(event_type, 2) OVER w AS s3
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS n
+            FROM p WHERE s3 IS NOT NULL GROUP BY s1, s2, s3
+        """,
+        'q124_dtw_pairs': """
+            WITH RECURSIVE series AS (
+              SELECT event_type AS k,
+                list(v ORDER BY bucket) AS vs,
+                CAST(len(list(v ORDER BY bucket)) AS BIGINT) AS n
+              FROM (
+                SELECT event_type,
+                  time_bucket(INTERVAL 30 MINUTE, ts) AS bucket,
+                  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                    / count(value) AS v
+                FROM events GROUP BY 1, 2
+              ) GROUP BY event_type
+            ),
+            pairs AS (
+              SELECT a.k AS key_a, b.k AS key_b,
+                a.vs AS va, b.vs AS vb, a.n AS na, b.n AS nb,
+                greatest(48, abs(a.n - b.n)) AS w
+              FROM series a JOIN series b ON a.k < b.k
+            ),
+            -- the banded DP advances ONE row of the cost matrix per
+            -- recursive step; the within-row left-to-right dependency
+            -- (cur[j-1]) is a list_reduce fold seeded with an empty
+            -- DOUBLE[] — the same cell-evaluation order as the numpy
+            -- kernel in operators/dtw.py:_dtw_kernel
+            dp AS (
+              SELECT key_a, key_b, va, vb, na, nb, w,
+                CAST(0 AS BIGINT) AS i,
+                list_concat([CAST(0 AS DOUBLE)],
+                  list_transform(range(CAST(nb AS INT)),
+                    x -> CAST('infinity' AS DOUBLE))) AS prev
+              FROM pairs
+              UNION ALL
+              SELECT d.key_a, d.key_b, d.va, d.vb, d.na, d.nb, d.w,
+                d.i + 1,
+                CASE WHEN t.lo > t.hi THEN d.prev
+                ELSE
+                  list_concat(list_concat(
+                    list_transform(range(CAST(t.lo AS INT)),
+                      x -> CAST('infinity' AS DOUBLE)),
+                    list_reduce(
+                      list_concat(
+                        [CAST([] AS DOUBLE[])],
+                        list_transform(
+                          range(CAST(t.lo AS INT),
+                                CAST(t.hi AS INT) + 1),
+                          j -> [CAST(j AS DOUBLE)])),
+                      (acc, jl) -> list_append(acc,
+                        abs(t.ai - d.vb[CAST(jl[1] AS INT)])
+                        + least(
+                            d.prev[CAST(jl[1] AS INT) + 1],
+                            CASE WHEN len(acc) = 0
+                                 THEN CAST('infinity' AS DOUBLE)
+                                 ELSE acc[len(acc)] END,
+                            d.prev[CAST(jl[1] AS INT)])))),
+                    list_transform(range(CAST(d.nb - t.hi AS INT)),
+                      x -> CAST('infinity' AS DOUBLE)))
+                END
+              FROM dp d,
+              LATERAL (
+                SELECT greatest(1, d.i + 1 - d.w) AS lo,
+                  least(d.nb, d.i + 1 + d.w) AS hi,
+                  d.va[CAST(d.i AS INT) + 1] AS ai
+              ) t
+              WHERE d.i < d.na
+            )
+            SELECT key_a, key_b, CAST(na AS INT) AS n_a,
+              CAST(nb AS INT) AS n_b,
+              prev[CAST(nb AS INT) + 1] AS dtw
+            FROM dp WHERE i = na
+        """,
+        'q125_ab_test': """
+            WITH per_user AS (
+              SELECT user_id,
+                max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS converted,
+                CASE WHEN substr(md5('exp1' || CAST(user_id AS VARCHAR)), 1, 8)
+                          < '80000000'
+                     THEN 'a' ELSE 'b' END AS arm
+              FROM events GROUP BY user_id
+            ),
+            agg AS (
+              SELECT
+                CAST(sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                CAST(sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                CAST(sum(CASE WHEN arm = 'a' THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+                CAST(sum(CASE WHEN arm = 'b' THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+              FROM per_user
+            ),
+            calc AS (
+              SELECT n_a, n_b, conv_a, conv_b,
+                CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+                CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+                sqrt(
+                  (CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                  * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                  * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))
+                ) AS se
+              FROM agg
+            )
+            SELECT n_a, n_b, conv_a, conv_b,
+              CASE WHEN n_a > 0 THEN pa END AS p_a,
+              CASE WHEN n_b > 0 THEN pb END AS p_b,
+              CASE WHEN n_a > 0 AND n_b > 0 AND se > 0
+                   THEN (pa - pb) / se END AS z
+            FROM calc
+        """,
+        'q126_stock_balance': """
+            WITH d AS (
+              SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate,
+                CAST(CASE WHEN l_returnflag = 'R' THEN -l_quantity
+                          ELSE l_quantity END AS DECIMAL(18,2)) AS x
+              FROM lineitem
+            ),
+            s AS (
+              SELECT l_partkey, l_orderkey, l_linenumber,
+                sum(x) OVER (
+                  PARTITION BY l_partkey
+                  ORDER BY l_shipdate, l_orderkey, l_linenumber
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sx,
+                l_shipdate
+              FROM d
+            ),
+            m AS (
+              SELECT l_partkey, l_orderkey, l_linenumber, sx,
+                min(sx) OVER (
+                  PARTITION BY l_partkey
+                  ORDER BY l_shipdate, l_orderkey, l_linenumber
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn
+              FROM s
+            )
+            SELECT l_partkey, l_orderkey, l_linenumber,
+              CAST(sx - least(CAST(0 AS DECIMAL(18,2)), mn) AS DOUBLE)
+                AS balance
+            FROM m
+        """,
+        'q127_market_basket': """
+            WITH bi AS (
+              SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+              FROM lineitem
+            ),
+            nb AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n FROM bi),
+            pairs AS (
+              SELECT a.item AS item_a, b.item AS item_b,
+                CAST(count(*) AS BIGINT) AS n_pair
+              FROM bi a JOIN bi b
+                ON a.basket = b.basket AND a.item < b.item
+              GROUP BY a.item, b.item
+              HAVING count(*) >= 2
+            ),
+            items AS (
+              SELECT item, CAST(count(*) AS BIGINT) AS n_i FROM bi GROUP BY item
+            )
+            SELECT p.item_a, p.item_b, p.n_pair,
+              ia.n_i AS n_a, ib.n_i AS n_b,
+              CAST(p.n_pair AS DOUBLE) / CAST(nb.n AS DOUBLE) AS support,
+              CAST(p.n_pair AS DOUBLE) / CAST(ia.n_i AS DOUBLE) AS confidence,
+              CAST(nb.n * p.n_pair AS DOUBLE)
+                / CAST(ia.n_i * ib.n_i AS DOUBLE) AS lift
+            FROM pairs p
+            JOIN items ia ON p.item_a = ia.item
+            JOIN items ib ON p.item_b = ib.item, nb
+        """,
+        'q128_rfm': """
+            WITH per_cust AS (
+              SELECT o_custkey,
+                max(CAST(o_orderdate AS DATE)) AS last_day,
+                CAST(count(*) AS BIGINT) AS frequency,
+                sum(CAST(o_totalprice AS DECIMAL(18,2))) AS mon
+              FROM orders GROUP BY o_custkey
+            ),
+            r AS (
+              SELECT o_custkey, frequency, mon,
+                CAST(date_diff('day', last_day, max(last_day) OVER ()) AS INT)
+                  AS recency_days
+              FROM per_cust
+            ),
+            scored AS (
+              SELECT o_custkey, recency_days, frequency,
+                CAST(mon AS DOUBLE) AS monetary,
+                CAST(ntile(5) OVER (ORDER BY recency_days ASC, o_custkey ASC)
+                     AS INT) AS r_score,
+                CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey ASC)
+                     AS INT) AS f_score,
+                CAST(ntile(5) OVER (ORDER BY mon DESC, o_custkey ASC)
+                     AS INT) AS m_score
+              FROM r
+            )
+            SELECT o_custkey, recency_days, frequency, monetary,
+              r_score, f_score, m_score,
+              CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm
+            FROM scored
+        """,
+        'q129_mom_growth': """
+            WITH monthly AS (
+              SELECT o_orderpriority,
+                date_trunc('month', o_orderdate) AS month,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS revenue,
+                CAST(count(*) AS BIGINT) AS n_orders
+              FROM orders GROUP BY o_orderpriority, date_trunc('month', o_orderdate)
+            )
+            SELECT o_orderpriority, month, n_orders, revenue,
+              (revenue - lag(revenue) OVER w) / lag(revenue) OVER w
+                AS mom_growth
+            FROM monthly
+            WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month)
+        """,
+        'q130_debounce': """
+            WITH RECURSIVE base AS (
+              SELECT user_id, ts,
+                CAST(row_number() OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn,
+                epoch_us(ts) AS us
+              FROM events
+            ),
+            -- replays debounce_batch's fold: keep first, then keep iff
+            -- >= cooldown since the last KEPT event, carrying last_us
+            rec AS (
+              SELECT user_id, ts, rn, us, us AS last_us, TRUE AS kept
+              FROM base WHERE rn = 1
+              UNION ALL
+              SELECT b.user_id, b.ts, b.rn, b.us,
+                CASE WHEN b.us - r.last_us >= 1800000000
+                     THEN b.us ELSE r.last_us END,
+                b.us - r.last_us >= 1800000000
+              FROM rec r JOIN base b
+                ON b.user_id = r.user_id AND b.rn = r.rn + 1
+            )
+            SELECT user_id, ts FROM rec WHERE kept
+        """,
+        'q132_theta_overlap': """
+            WITH a AS (
+              SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+            ),
+            b AS (
+              SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+            )
+            SELECT
+              CAST((SELECT count(*) FROM a) AS BIGINT) AS n_a,
+              CAST((SELECT count(*) FROM b) AS BIGINT) AS n_b,
+              CAST((SELECT count(*) FROM (
+                SELECT user_id FROM a UNION SELECT user_id FROM b)) AS BIGINT)
+                AS n_union,
+              CAST((SELECT count(*) FROM (
+                SELECT user_id FROM a INTERSECT SELECT user_id FROM b)) AS BIGINT)
+                AS n_intersect,
+              CAST((SELECT count(*) FROM (
+                SELECT user_id FROM a EXCEPT SELECT user_id FROM b)) AS BIGINT)
+                AS n_a_only
+        """,
+        'q133_local_supplier_volume': """
+            SELECT n_name,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+                   AS DOUBLE) AS revenue,
+              CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+        """,
+        'q134_revenue_delta': """
+            SELECT
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                       * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)
+                AS revenue_delta,
+              CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND CAST(l_discount AS DECIMAL(12,2)) >= CAST('0.05' AS DECIMAL(12,2))
+              AND CAST(l_discount AS DECIMAL(12,2)) <= CAST('0.07' AS DECIMAL(12,2))
+              AND l_quantity < 24
+        """,
+        'q135_returned_items': """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+                   AS DOUBLE) AS revenue,
+              CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+        """,
+        'q136_large_orders': """
+            WITH big AS (
+              SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS q
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > CAST(150 AS DECIMAL(12,2))
+            )
+            SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+              CAST(q AS DOUBLE) AS sum_qty
+            FROM orders
+            JOIN big ON o_orderkey = big.l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+        """,
+        'q137_normalized_dedup': r"""
+            SELECT md5(
+                trim(regexp_replace(
+                  translate(lower(text),
+                    'àáâãäåèéêëìíîïòóôõöùúûüçñýÿ',
+                    'aaaaaaeeeeiiiiooooouuuucnyy'),
+                  '\s+', ' ', 'g'))
+              ) AS fp,
+              CAST(count(*) AS BIGINT) AS n_copies,
+              min(doc_id) AS keep_doc_id
+            FROM documents GROUP BY fp
+        """,
+        'q138_funnel_latency': """
+            WITH views AS (
+              SELECT user_id, min(epoch_us(ts)) AS t_view
+              FROM events WHERE event_type = 'view' GROUP BY user_id
+            ),
+            purch AS (
+              SELECT e.user_id, min(v.t_view) AS t_view,
+                min(epoch_us(e.ts)) AS t_purchase
+              FROM events e JOIN views v USING (user_id)
+              WHERE e.event_type = 'purchase'
+                AND epoch_us(e.ts) > v.t_view
+              GROUP BY e.user_id
+            ),
+            lat AS (
+              SELECT (t_purchase - t_view) // 1000000 AS latency_sec
+              FROM purch
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_converted,
+              median(CAST(latency_sec AS DOUBLE)) AS median_sec,
+              quantile_cont(CAST(latency_sec AS DOUBLE), 0.9) AS p90_sec
+            FROM lat
+        """,
+        'q140_attribution': """
+            WITH purch AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase'
+            ),
+            touch AS (
+              SELECT user_id, ts,
+                max_by(event_type, event_id) AS touch_type,
+                max(event_id) AS touch_id
+              FROM events WHERE event_type IN ('view', 'click')
+              GROUP BY user_id, ts
+            ),
+            j AS (
+              SELECT p.event_id, p.user_id, p.ts,
+                t.touch_type, t.touch_id, t.ts AS touch_ts,
+                row_number() OVER (
+                  PARTITION BY p.event_id ORDER BY t.ts DESC) AS rn
+              FROM purch p LEFT JOIN touch t
+                ON p.user_id = t.user_id
+               AND t.ts <= p.ts
+               AND t.ts >= p.ts - INTERVAL 1 HOUR
+            )
+            SELECT event_id, user_id, ts, touch_type, touch_id, touch_ts
+            FROM j WHERE rn = 1
+        """,
+        'q141_qq_drift': """
+            WITH mid AS (SELECT quantile_cont(epoch(ts), 0.5) AS m FROM events),
+            h AS (
+              SELECT event_type,
+                CASE WHEN epoch(ts) <= mid.m THEN 'h1' ELSE 'h2' END AS half,
+                value
+              FROM events, mid
+            ),
+            p AS (
+              SELECT event_type, half,
+                quantile_disc(value, 0.1) AS d1,
+                quantile_disc(value, 0.2) AS d2,
+                quantile_disc(value, 0.3) AS d3,
+                quantile_disc(value, 0.4) AS d4,
+                quantile_disc(value, 0.5) AS d5,
+                quantile_disc(value, 0.6) AS d6,
+                quantile_disc(value, 0.7) AS d7,
+                quantile_disc(value, 0.8) AS d8,
+                quantile_disc(value, 0.9) AS d9
+              FROM h GROUP BY event_type, half
+            )
+            SELECT a.event_type,
+              a.d1 AS d1_h1, a.d2 AS d2_h1, a.d3 AS d3_h1, a.d4 AS d4_h1,
+              a.d5 AS d5_h1, a.d6 AS d6_h1, a.d7 AS d7_h1, a.d8 AS d8_h1,
+              a.d9 AS d9_h1,
+              b.d1 AS d1_h2, b.d2 AS d2_h2, b.d3 AS d3_h2, b.d4 AS d4_h2,
+              b.d5 AS d5_h2, b.d6 AS d6_h2, b.d7 AS d7_h2, b.d8 AS d8_h2,
+              b.d9 AS d9_h2
+            FROM p a JOIN p b
+              ON a.event_type = b.event_type
+             AND a.half = 'h1' AND b.half = 'h2'
+        """,
+        'q142_seasonal_profile': f"""
+            SELECT event_type,
+              CAST(dayofweek(ts) + 1 AS INT) AS dow,
+              CAST(hour(ts) AS INT) AS hod,
+              {_davg_sql('value')} AS avg_value,
+              CAST(count(*) AS BIGINT) AS n
+            FROM events
+            GROUP BY event_type, dayofweek(ts), hour(ts)
+        """,
+        'q143_swinging_door': """
+            WITH RECURSIVE base AS (
+              SELECT user_id,
+                list(ts ORDER BY ts, value) AS tsl,
+                list(CAST(epoch_ns(ts) AS DOUBLE) / 1e9 ORDER BY ts, value) AS tl,
+                list(value ORDER BY ts, value) AS vl,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY user_id
+            ),
+            rec AS (
+              SELECT user_id, tsl, tl, vl, n,
+                CAST(1 AS BIGINT) AS i, CAST(1 AS BIGINT) AS a,
+                CAST(1 AS BIGINT) AS prev,
+                CAST('-infinity' AS DOUBLE) AS lo,
+                CAST('infinity' AS DOUBLE) AS hi,
+                [CAST(1 AS BIGINT)] AS kept
+              FROM base WHERE n > 0
+              UNION ALL
+              SELECT r.user_id, r.tsl, r.tl, r.vl, r.n,
+                r.i + 1,
+                CASE WHEN t.dt <= 0 THEN
+                       CASE WHEN abs(t.v - t.va) > 10.0 THEN r.prev ELSE r.a END
+                     WHEN t.lo1 > t.hi1 THEN r.prev
+                     ELSE r.a END,
+                r.i + 1,
+                CASE WHEN t.dt <= 0 THEN
+                       CASE WHEN abs(t.v - t.va) > 10.0
+                            THEN CAST('-infinity' AS DOUBLE) ELSE r.lo END
+                     WHEN t.lo1 > t.hi1 THEN
+                       CASE WHEN t.dt2 > 0
+                            THEN (t.v - 10.0 - t.vprev) / t.dt2
+                            ELSE CAST('-infinity' AS DOUBLE) END
+                     ELSE t.lo1 END,
+                CASE WHEN t.dt <= 0 THEN
+                       CASE WHEN abs(t.v - t.va) > 10.0
+                            THEN CAST('infinity' AS DOUBLE) ELSE r.hi END
+                     WHEN t.lo1 > t.hi1 THEN
+                       CASE WHEN t.dt2 > 0
+                            THEN (t.v + 10.0 - t.vprev) / t.dt2
+                            ELSE CAST('infinity' AS DOUBLE) END
+                     ELSE t.hi1 END,
+                CASE WHEN (t.dt <= 0 AND abs(t.v - t.va) > 10.0)
+                       OR (t.dt > 0 AND t.lo1 > t.hi1)
+                     THEN list_append(r.kept, r.prev) ELSE r.kept END
+              FROM rec r,
+              LATERAL (
+                SELECT
+                  r.vl[CAST(r.i AS INT) + 1] AS v,
+                  r.vl[CAST(r.a AS INT)] AS va,
+                  r.vl[CAST(r.prev AS INT)] AS vprev,
+                  r.tl[CAST(r.i AS INT) + 1] - r.tl[CAST(r.a AS INT)] AS dt,
+                  r.tl[CAST(r.i AS INT) + 1] - r.tl[CAST(r.prev AS INT)] AS dt2,
+                  greatest(r.lo, (r.vl[CAST(r.i AS INT) + 1] - 10.0
+                                  - r.vl[CAST(r.a AS INT)])
+                    / (r.tl[CAST(r.i AS INT) + 1] - r.tl[CAST(r.a AS INT)])) AS lo1,
+                  least(r.hi, (r.vl[CAST(r.i AS INT) + 1] + 10.0
+                               - r.vl[CAST(r.a AS INT)])
+                    / (r.tl[CAST(r.i AS INT) + 1] - r.tl[CAST(r.a AS INT)])) AS hi1
+              ) t
+              WHERE r.i < r.n
+            ),
+            fin AS (
+              SELECT user_id, tsl, vl,
+                list_distinct(list_append(kept, n)) AS kept
+              FROM rec WHERE i = n
+            )
+            SELECT user_id, tsl[CAST(k AS INT)] AS ts, vl[CAST(k AS INT)] AS value
+            FROM fin, unnest(kept) AS u(k)
+        """,
+    },
+)

@@ -492,19 +492,47 @@ def test_no_shadowed_query_functions():
     """A later `def _q_x` silently SHADOWS an earlier one and rebinds
     every registry entry that referenced it (the q203/q385 round-3
     incident, re-triggered in round 4 by q408/q411/q420/q422/q423).
-    Pin it structurally: no duplicate top-level function names in the
-    entry module, ever."""
+    The registry now raises on duplicate REGISTRATION at import time;
+    this test pins the remaining hole — duplicate top-level defs
+    WITHIN a single family module (same-file shadowing never reaches
+    the registry)."""
     import ast
+    import glob
     from collections import Counter
 
-    tree = ast.parse(
-        open("/root/repo/__spark_entry__.py", encoding="utf-8").read()
+    files = ["/root/repo/__spark_entry__.py"] + sorted(
+        glob.glob(
+            "/root/repo/sensor_time_series_pyspark_spark/queries/*.py"
+        )
     )
-    names = [
-        n.name for n in tree.body if isinstance(n, ast.FunctionDef)
-    ]
-    dups = [n for n, c in Counter(names).items() if c > 1]
-    assert not dups, f"shadowed top-level defs: {dups}"
+    for path in files:
+        tree = ast.parse(open(path, encoding="utf-8").read())
+        names = [
+            n.name for n in tree.body if isinstance(n, ast.FunctionDef)
+        ]
+        dups = [n for n, c in Counter(names).items() if c > 1]
+        assert not dups, f"shadowed top-level defs in {path}: {dups}"
+
+
+def test_registry_raises_on_duplicates():
+    """register_many must refuse duplicate query names, duplicate
+    oracle names, and oracles without a query — at import time, not
+    silently at gate time."""
+    import pytest
+
+    from sensor_time_series_pyspark_spark.queries.registry import (
+        QUERIES,
+        register_many,
+    )
+
+    taken = "q01_pricing_summary"  # registered WITH an oracle
+    assert taken in QUERIES
+    with pytest.raises(ValueError, match="duplicate query"):
+        register_many({taken: lambda s, d: None}, {})
+    with pytest.raises(ValueError, match="duplicate oracle"):
+        register_many({}, {taken: "SELECT 1"})
+    with pytest.raises(ValueError, match="without query"):
+        register_many({}, {"q_never_registered": "SELECT 1"})
 
 
 def test_kw_matches_scipy_formula_on_tiny_frame(spark):
