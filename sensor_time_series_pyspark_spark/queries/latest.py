@@ -9,6 +9,256 @@ from __future__ import annotations
 
 from sensor_time_series_pyspark_spark.queries.common import *  # noqa: F401,F403
 
+def _q_pagerank_gated(spark: SparkSession, sf: str) -> DataFrame:
+    """Hash-gated PageRank (3 power iterations, d=0.85) on the brand
+    co-purchase graph — the ORDERED-FOLD twin of q98's general
+    operator (operators/graph.py:pagerank, rows-only because its
+    per-round aggregation sums double contributions in partition
+    order). Here each node's incoming mass folds in SOURCE-ID order
+    (sort_array + F.aggregate == DuckDB's ordered list_reduce), the
+    damping epilogue is the fixed chain base + 0.85·S, and the graph
+    is symmetric (outdeg ≥ 1 ⇒ no dangling mass), so three unrolled
+    iterations are bit-identical across engines. N and 1/N, 0.15/N
+    are each ONE double division. At 100 TB the shape is q98's: one
+    shuffle per iteration, contributions map-side."""
+    edges_half = _brand_graph(spark, sf)
+    edges = edges_half.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(
+        edges_half.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("outdeg")
+    )
+    n_nodes = deg.count()
+    init = 1.0 / n_nodes
+    base = 0.15 / n_nodes
+    ranks = deg.select("src", F.lit(init).alias("r"), "outdeg")
+    for _ in range(3):
+        contribs = edges.join(
+            ranks, "src"
+        ).select(
+            "dst", "src", (F.col("r") / F.col("outdeg")).alias("c")
+        )
+        summed = contribs.groupBy("dst").agg(
+            F.aggregate(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("src", "c"))),
+                    lambda s: s["c"],
+                ),
+                F.lit(0.0).cast("double"),
+                lambda acc, v: acc + v,
+            ).alias("s")
+        )
+        ranks = summed.select(
+            F.col("dst").alias("src"),
+            (F.lit(base) + F.lit(0.85) * F.col("s")).alias("r"),
+        ).join(deg, "src")
+    return ranks.select(
+        F.col("src").alias("brand"),
+        F.col("r").alias("pagerank"),
+        F.lit(n_nodes).cast("bigint").alias("n_nodes"),
+    )
+
+
+def _q_croston(spark: SparkSession, sf: str) -> DataFrame:
+    """Croston's method for INTERMITTENT demand (the forecasting
+    family SES/Holt can't serve: mostly-zero series), per user on
+    daily purchase counts: SES (α=0.1) of the nonzero demand sizes
+    and SES of the inter-demand intervals, demand rate = ẑ/p̂.
+    The double recursion runs as ONE ordered JVM fold with a STRUCT
+    accumulator (sort_array + F.aggregate — no applyInPandas, no
+    shuffle beyond the daily aggregate), seeded from the first
+    demand; DuckDB replays the identical op sequence via an ordered
+    list_reduce with a struct state. Users need ≥ 2 demand days (the
+    first interval is undefined — it seeds p̂)."""
+    ev = read_table(spark, sf, "events")
+    dem = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("z"))
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    gaps = dem.select(
+        "user_id",
+        "day",
+        "z",
+        (F.unix_date("day") - F.unix_date(F.lag("day").over(w)))
+        .cast("double")
+        .alias("gap"),
+    )
+    # per-user ordered list of (z, gap); element 1 seeds (ẑ=z₁, p̂=gap₂)
+    per_user = gaps.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("day", "z", "gap"))).alias(
+            "seq"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+    ).where(F.col("m") >= 2)
+    seed = F.struct(
+        F.element_at("seq", 1)["z"].alias("zh"),
+        F.element_at("seq", 2)["gap"].alias("ph"),
+    )
+    folded = per_user.select(
+        "user_id",
+        "m",
+        F.aggregate(
+            F.slice("seq", 2, F.size("seq") - 1),
+            seed,
+            lambda acc, x: F.struct(
+                (F.lit(0.1) * x["z"] + F.lit(0.9) * acc["zh"]).alias("zh"),
+                (F.lit(0.1) * x["gap"] + F.lit(0.9) * acc["ph"]).alias(
+                    "ph"
+                ),
+            ),
+        ).alias("st"),
+    )
+    return folded.select(
+        "user_id",
+        F.col("m").alias("n_demands"),
+        F.col("st")["zh"].alias("z_hat"),
+        F.col("st")["ph"].alias("p_hat"),
+        (F.col("st")["zh"] / F.col("st")["ph"]).alias("demand_rate"),
+    )
+
+
+def _q_adf_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Augmented Dickey-Fuller unit-root screen (lag-0 form) per user
+    on the daily-max cents series: OLS of Δx_t on x_{t−1} with
+    intercept, reported as β̂ and its t-statistic — the stationarity
+    gate run before any ARIMA fit (q25/q444 family). Everything up to
+    the final epilogue is EXACT integer moments of (x_{t−1}, Δx_t)
+    pairs; β̂ = A/B is one division and t = sign(A)·√(A²(m−2)/(CB−A²))
+    — the closed form of β̂/SE(β̂) — is a fixed double chain, so the
+    whole test is hash-gateable. One window pass, one aggregate."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        (F.max("value").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("xc")
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    pairs = (
+        daily.select(
+            "user_id",
+            F.lag("xc").over(w).alias("x"),
+            (F.col("xc") - F.lag("xc").over(w)).alias("y"),
+        )
+        .where(F.col("x").isNotNull())
+    )
+    d38 = "decimal(38,0)"
+    agg = pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum("y").cast(d38).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(d38)).alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast(d38)).alias("syy"),
+    ).where(F.col("m") >= 4)
+    m = F.col("m").cast(d38)
+    a = m * F.col("sxy") - F.col("sx") * F.col("sy")
+    b = m * F.col("sxx") - F.col("sx") * F.col("sx")
+    c = m * F.col("syy") - F.col("sy") * F.col("sy")
+    scaled = agg.select(
+        "user_id",
+        "m",
+        a.alias("a"),
+        b.alias("b"),
+        c.alias("c"),
+    ).where(
+        (F.col("b") != 0) & (F.col("c") * F.col("b") > F.col("a") * F.col("a"))
+    )
+    # a/b/c each fit well under 2^53 (cents ≤ 10^4, m ≤ ~10^2), so the
+    # decimal→double casts are EXACT; the t² products then run in pure
+    # double arithmetic — identical IEEE rounding in both engines.
+    # (Casting the decimal PRODUCTS instead dies above 2^64: DuckDB's
+    # hugeint→double is a two-limb conversion, not correctly rounded.)
+    ad = F.col("a").cast("double")
+    bd = F.col("b").cast("double")
+    cd = F.col("c").cast("double")
+    md = (F.col("m") - 2).cast("double")
+    t2 = (ad * ad * md) / (cd * bd - ad * ad)
+    return scaled.select(
+        "user_id",
+        "m",
+        (ad / bd).alias("beta"),
+        (
+            F.when(F.col("a") < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+            * F.sqrt(t2)
+        ).alias("t_stat"),
+    )
+
+
+def _q_ljung_box(spark: SparkSession, sf: str) -> DataFrame:
+    """Ljung-Box portmanteau autocorrelation test (lags 1..7) per user
+    on the daily-max cents series — "is there ANY serial structure
+    left" (the residual-whiteness gate q82's single-lag ACF can't
+    answer). Each lag-k autocovariance uses the m²-scaled EXACT
+    integer identity m²C_k = m²Σx_t·x_{t+k} − m·S·(S_head+S_tail)
+    + (m−k)·S², so every ρ_k = c_k/c_0 is ONE double division and
+    Q = m(m+2)·Σ_k ρ_k²/(m−k) is a fixed literal-order 7-term chain.
+    One window pass (7 lead columns share the sort), one aggregate."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        (F.max("value").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("x")
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    wp = Window.partitionBy("user_id")
+    base = daily.select(
+        "user_id",
+        "x",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("m"),
+        *[F.lead("x", k).over(w).alias(f"x{k}") for k in range(1, 8)],
+    )
+    d38 = "decimal(38,0)"
+    aggs = [
+        F.max("m").alias("m"),
+        F.sum("x").cast(d38).alias("s"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).alias("sxx0"),
+    ]
+    for k in range(1, 8):
+        xk = F.col(f"x{k}")
+        aggs += [
+            F.sum(
+                F.when(xk.isNotNull(), (F.col("x") * xk)).otherwise(0).cast(
+                    d38
+                )
+            ).alias(f"sxy{k}"),
+            F.sum(
+                F.when(xk.isNotNull(), F.col("x")).otherwise(0).cast(d38)
+            ).alias(f"sh{k}"),
+            F.sum(
+                F.when(F.col("rn") > k, F.col("x")).otherwise(0).cast(d38)
+            ).alias(f"st{k}"),
+        ]
+    g = base.groupBy("user_id").agg(*aggs).where(F.col("m") >= 10)
+    m = F.col("m").cast(d38)
+    # c0 scaled by m²: m·Σx² − S² (the k=0 case of the identity)
+    c0 = (m * F.col("sxx0") - F.col("s") * F.col("s")) * m
+    rho = {}
+    for k in range(1, 8):
+        ck = (
+            m * m * F.col(f"sxy{k}")
+            - m * F.col("s") * (F.col(f"sh{k}") + F.col(f"st{k}"))
+            + (m - F.lit(k).cast(d38)) * F.col("s") * F.col("s")
+        )
+        rho[k] = ck.cast("double") / c0.cast("double")
+    q_sum = None
+    for k in range(1, 8):
+        term = rho[k] * rho[k] / (F.col("m") - k).cast("double")
+        q_sum = term if q_sum is None else q_sum + term
+    return g.where(c0 != 0).select(
+        "user_id",
+        "m",
+        rho[1].alias("rho1"),
+        (
+            (F.col("m") * (F.col("m") + 2)).cast("double") * q_sum
+        ).alias("q_lb"),
+    )
+
+
 def _q_lorenz_points(spark: SparkSession, sf: str) -> DataFrame:
     """Lorenz-curve decile points of customer revenue concentration:
     customers sorted by spend into 10 equal-count bins, each row the
@@ -379,6 +629,10 @@ register_many(
         'q442_gap_histogram': _q_gap_histogram,
         'q443_eval_metrics': _q_eval_metrics,
         'q444_ar1_walkforward': _q_ar1_walkforward,
+        'q445_pagerank_gated': _q_pagerank_gated,
+        'q446_croston': _q_croston,
+        'q447_adf_test': _q_adf_test,
+        'q448_ljung_box': _q_ljung_box,
     },
     {
         'q439_lorenz_points': """
@@ -612,6 +866,238 @@ register_many(
               list_reduce(list(se ORDER BY day), (a, b) -> a + b)
                 / CAST(count(*) AS DOUBLE) AS mse_c2
             FROM se GROUP BY user_id
+        """,
+        # Twin of _q_pagerank_gated: three unrolled power iterations,
+        # incoming mass folded in source-id order (ordered list_reduce
+        # == Spark's sort_array + F.aggregate), symmetric graph so no
+        # dangling term.
+        "q445_pagerank_gated": """
+            WITH ob AS (
+              SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            ),
+            eh AS (
+              SELECT DISTINCT x.b AS a, y.b AS b
+              FROM ob x JOIN ob y ON x.o = y.o WHERE x.b < y.b
+            ),
+            edges AS (
+              SELECT a AS src, b AS dst FROM eh
+              UNION ALL
+              SELECT b AS src, a AS dst FROM eh
+            ),
+            deg AS (
+              SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+              FROM edges GROUP BY src
+            ),
+            nn AS (SELECT count(*) AS n FROM deg),
+            r0 AS (
+              SELECT src, 1.0 / (SELECT n FROM nn) AS r, outdeg
+              FROM deg
+            ),
+            r1 AS (
+              SELECT e.dst AS src,
+                0.15 / (SELECT n FROM nn) + 0.85 * list_reduce(
+                  list(r.r / r.outdeg ORDER BY e.src),
+                  (x, y) -> x + y) AS r
+              FROM edges e JOIN r0 r ON e.src = r.src
+              GROUP BY e.dst
+            ),
+            r1d AS (
+              SELECT r1.src, r1.r, deg.outdeg
+              FROM r1 JOIN deg ON r1.src = deg.src
+            ),
+            r2 AS (
+              SELECT e.dst AS src,
+                0.15 / (SELECT n FROM nn) + 0.85 * list_reduce(
+                  list(r.r / r.outdeg ORDER BY e.src),
+                  (x, y) -> x + y) AS r
+              FROM edges e JOIN r1d r ON e.src = r.src
+              GROUP BY e.dst
+            ),
+            r2d AS (
+              SELECT r2.src, r2.r, deg.outdeg
+              FROM r2 JOIN deg ON r2.src = deg.src
+            ),
+            r3 AS (
+              SELECT e.dst AS src,
+                0.15 / (SELECT n FROM nn) + 0.85 * list_reduce(
+                  list(r.r / r.outdeg ORDER BY e.src),
+                  (x, y) -> x + y) AS r
+              FROM edges e JOIN r2d r ON e.src = r.src
+              GROUP BY e.dst
+            )
+            SELECT r3.src AS brand, r3.r AS pagerank,
+              (SELECT CAST(n AS BIGINT) FROM nn) AS n_nodes
+            FROM r3 JOIN deg ON r3.src = deg.src
+        """,
+        # Twin of _q_croston: identical ordered struct-state fold —
+        # the seed is list_prepend'ed so the 2-arg list_reduce starts
+        # from the same (zh=z1, ph=gap2) state, and every step is the
+        # same fixed 0.1·x + 0.9·acc double chain.
+        "q446_croston": """
+            WITH dem AS (
+              SELECT user_id, CAST(ts AS DATE) AS day,
+                CAST(count(*) AS DOUBLE) AS z
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY 1, 2
+            ),
+            gaps AS (
+              SELECT user_id, day, z,
+                CAST(day - lag(day) OVER (PARTITION BY user_id
+                  ORDER BY day) AS DOUBLE) AS gap
+              FROM dem
+            ),
+            pu AS (
+              SELECT user_id,
+                list({'z': z, 'gap': gap} ORDER BY day) AS seq,
+                CAST(count(*) AS BIGINT) AS m
+              FROM gaps GROUP BY user_id
+              HAVING count(*) >= 2
+            ),
+            fol AS (
+              SELECT user_id, m,
+                list_reduce(
+                  list_prepend(
+                    {'zh': seq[1].z, 'ph': seq[2].gap},
+                    list_transform(seq[2:],
+                      x -> {'zh': x.z, 'ph': x.gap})),
+                  (acc, x) -> {
+                    'zh': CAST(0.1 AS DOUBLE) * x.zh
+                          + CAST(0.9 AS DOUBLE) * acc.zh,
+                    'ph': CAST(0.1 AS DOUBLE) * x.ph
+                          + CAST(0.9 AS DOUBLE) * acc.ph}) AS st
+              FROM pu
+            )
+            SELECT user_id, m AS n_demands, st.zh AS z_hat,
+              st.ph AS p_hat, st.zh / st.ph AS demand_rate
+            FROM fol
+        """,
+        # Twin of _q_adf_test: exact hugeint moments, identical fixed
+        # epilogue (one division for beta, sign·sqrt closed form for
+        # the t-statistic).
+        "q447_adf_test": """
+            WITH daily AS (
+              SELECT user_id, CAST(ts AS DATE) AS day,
+                CAST(CAST(max(value) AS DECIMAL(12,2)) * 100 AS BIGINT)
+                  AS xc
+              FROM events GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT user_id,
+                lag(xc) OVER win AS x,
+                xc - lag(xc) OVER win AS y
+              FROM daily
+              WINDOW win AS (PARTITION BY user_id ORDER BY day)
+              QUALIFY x IS NOT NULL
+            ),
+            agg AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS m,
+                sum(x) AS sx, sum(y) AS sy,
+                sum(x * x) AS sxx, sum(x * y) AS sxy,
+                sum(y * y) AS syy
+              FROM pairs GROUP BY user_id
+              HAVING count(*) >= 4
+            ),
+            sc AS (
+              SELECT user_id, m,
+                m * sxy - sx * sy AS a,
+                m * sxx - sx * sx AS b,
+                m * syy - sy * sy AS c
+              FROM agg
+            )
+            SELECT user_id, m,
+              CAST(a AS DOUBLE) / CAST(b AS DOUBLE) AS beta,
+              (CASE WHEN a < 0 THEN -1.0 ELSE 1.0 END)
+                * sqrt((CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
+                        * CAST(m - 2 AS DOUBLE))
+                       / (CAST(c AS DOUBLE) * CAST(b AS DOUBLE)
+                          - CAST(a AS DOUBLE) * CAST(a AS DOUBLE)))
+                AS t_stat
+            FROM sc
+            WHERE b <> 0 AND c * b > a * a
+        """,
+        # Twin of _q_ljung_box: the same m²-scaled exact-integer
+        # autocovariance identity per lag, the same literal-order
+        # 7-term chain for Q.
+        "q448_ljung_box": """
+            WITH daily AS (
+              SELECT user_id, CAST(ts AS DATE) AS day,
+                CAST(CAST(max(value) AS DECIMAL(12,2)) * 100 AS BIGINT)
+                  AS x
+              FROM events GROUP BY 1, 2
+            ),
+            base AS (
+              SELECT user_id, x,
+                row_number() OVER win AS rn,
+                CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+                  AS m,
+                lead(x, 1) OVER win AS x1, lead(x, 2) OVER win AS x2,
+                lead(x, 3) OVER win AS x3, lead(x, 4) OVER win AS x4,
+                lead(x, 5) OVER win AS x5, lead(x, 6) OVER win AS x6,
+                lead(x, 7) OVER win AS x7
+              FROM daily
+              WINDOW win AS (PARTITION BY user_id ORDER BY day)
+            ),
+            g AS (
+              SELECT user_id, max(m) AS m, sum(x) AS s,
+                sum(x * x) AS sxx0,
+                sum(CASE WHEN x1 IS NOT NULL THEN x * x1 ELSE 0 END) AS sxy1,
+                sum(CASE WHEN x1 IS NOT NULL THEN x ELSE 0 END) AS sh1,
+                sum(CASE WHEN rn > 1 THEN x ELSE 0 END) AS st1,
+                sum(CASE WHEN x2 IS NOT NULL THEN x * x2 ELSE 0 END) AS sxy2,
+                sum(CASE WHEN x2 IS NOT NULL THEN x ELSE 0 END) AS sh2,
+                sum(CASE WHEN rn > 2 THEN x ELSE 0 END) AS st2,
+                sum(CASE WHEN x3 IS NOT NULL THEN x * x3 ELSE 0 END) AS sxy3,
+                sum(CASE WHEN x3 IS NOT NULL THEN x ELSE 0 END) AS sh3,
+                sum(CASE WHEN rn > 3 THEN x ELSE 0 END) AS st3,
+                sum(CASE WHEN x4 IS NOT NULL THEN x * x4 ELSE 0 END) AS sxy4,
+                sum(CASE WHEN x4 IS NOT NULL THEN x ELSE 0 END) AS sh4,
+                sum(CASE WHEN rn > 4 THEN x ELSE 0 END) AS st4,
+                sum(CASE WHEN x5 IS NOT NULL THEN x * x5 ELSE 0 END) AS sxy5,
+                sum(CASE WHEN x5 IS NOT NULL THEN x ELSE 0 END) AS sh5,
+                sum(CASE WHEN rn > 5 THEN x ELSE 0 END) AS st5,
+                sum(CASE WHEN x6 IS NOT NULL THEN x * x6 ELSE 0 END) AS sxy6,
+                sum(CASE WHEN x6 IS NOT NULL THEN x ELSE 0 END) AS sh6,
+                sum(CASE WHEN rn > 6 THEN x ELSE 0 END) AS st6,
+                sum(CASE WHEN x7 IS NOT NULL THEN x * x7 ELSE 0 END) AS sxy7,
+                sum(CASE WHEN x7 IS NOT NULL THEN x ELSE 0 END) AS sh7,
+                sum(CASE WHEN rn > 7 THEN x ELSE 0 END) AS st7
+              FROM base GROUP BY user_id
+              HAVING max(m) >= 10
+            ),
+            ep AS (
+              SELECT user_id, m,
+                (m * sxx0 - s * s) * m AS c0,
+                m * m * sxy1 - m * s * (sh1 + st1) + (m - 1) * s * s AS c1,
+                m * m * sxy2 - m * s * (sh2 + st2) + (m - 2) * s * s AS c2,
+                m * m * sxy3 - m * s * (sh3 + st3) + (m - 3) * s * s AS c3,
+                m * m * sxy4 - m * s * (sh4 + st4) + (m - 4) * s * s AS c4,
+                m * m * sxy5 - m * s * (sh5 + st5) + (m - 5) * s * s AS c5,
+                m * m * sxy6 - m * s * (sh6 + st6) + (m - 6) * s * s AS c6,
+                m * m * sxy7 - m * s * (sh7 + st7) + (m - 7) * s * s AS c7
+              FROM g
+            ),
+            rho AS (
+              SELECT user_id, m,
+                CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r1,
+                CAST(c2 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r2,
+                CAST(c3 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r3,
+                CAST(c4 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r4,
+                CAST(c5 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r5,
+                CAST(c6 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r6,
+                CAST(c7 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r7
+              FROM ep WHERE c0 <> 0
+            )
+            SELECT user_id, m, r1 AS rho1,
+              CAST(m * (m + 2) AS DOUBLE) * (
+                r1 * r1 / CAST(m - 1 AS DOUBLE)
+                + r2 * r2 / CAST(m - 2 AS DOUBLE)
+                + r3 * r3 / CAST(m - 3 AS DOUBLE)
+                + r4 * r4 / CAST(m - 4 AS DOUBLE)
+                + r5 * r5 / CAST(m - 5 AS DOUBLE)
+                + r6 * r6 / CAST(m - 6 AS DOUBLE)
+                + r7 * r7 / CAST(m - 7 AS DOUBLE)) AS q_lb
+            FROM rho
         """,
     },
 )
