@@ -259,6 +259,141 @@ def _q_ljung_box(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_ransac_slope(spark: SparkSession, sf: str) -> DataFrame:
+    """RANSAC-style robust trend fit per user (the breakdown-resistant
+    alternative to q406's AR/OLS family when outliers dominate):
+    candidate lines come from all pairs of 5 DETERMINISTIC anchor
+    points (smallest md5(day) — the repo's hash-sampling convention,
+    so "random" sampling is reproducible in any engine); a point is an
+    inlier when its cross-multiplied residual |(x−x_i)Δd_pair −
+    Δx_pair(d−d_i)| ≤ eps·Δd_pair — EXACT integer arithmetic, no
+    float boundary — and the winning line (most inliers, anchor-order
+    tiebreak) reports slope as ONE double division. Candidates join
+    points by user equi-key (≤10 pairs/user — never a cross join)."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        (F.max("value").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("x")
+    ).withColumn("d", F.unix_date("day").cast("bigint"))
+    w_anchor = Window.partitionBy("user_id").orderBy(
+        F.md5(F.col("day").cast("string")), "day"
+    )
+    anchors = (
+        daily.withColumn("ar", F.row_number().over(w_anchor))
+        .where(F.col("ar") <= 5)
+        .select("user_id", "ar", F.col("d").alias("ad"), F.col("x").alias("ax"))
+    )
+    pairs = (
+        anchors.alias("i")
+        .join(anchors.alias("j"), "user_id")
+        .where(F.col("i.ar") < F.col("j.ar"))
+        .select(
+            "user_id",
+            F.col("i.ar").alias("ri"),
+            F.col("j.ar").alias("rj"),
+            F.col("i.ad").alias("d0"),
+            F.col("i.ax").alias("x0"),
+            (F.col("j.ad") - F.col("i.ad")).alias("dd"),
+            (F.col("j.ax") - F.col("i.ax")).alias("dx"),
+        )
+        .where(F.col("dd") != 0)
+    )
+    eps = 100  # cents
+    scored = daily.join(pairs, "user_id").withColumn(
+        "resid",
+        F.abs(
+            (F.col("x") - F.col("x0")) * F.col("dd")
+            - F.col("dx") * (F.col("d") - F.col("d0"))
+        ),
+    )
+    counts = scored.groupBy("user_id", "ri", "rj", "dd", "dx").agg(
+        F.sum(
+            F.when(F.col("resid") <= eps * F.abs(F.col("dd")), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_inliers"),
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+    )
+    w_best = Window.partitionBy("user_id").orderBy(
+        F.col("n_inliers").desc(), "ri", "rj"
+    )
+    return (
+        counts.withColumn("best", F.row_number().over(w_best))
+        .where(F.col("best") == 1)
+        .select(
+            "user_id",
+            (F.col("dx").cast("double") / F.col("dd").cast("double")).alias(
+                "slope_c_per_day"
+            ),
+            "n_inliers",
+            "n_points",
+        )
+    )
+
+
+def _q_neyman_allocation(spark: SparkSession, sf: str) -> DataFrame:
+    """Neyman optimal stratified-sample allocation across event types:
+    n_h ∝ N_h·S_h for a budget of 1000 — how a 100 TB profiling job
+    SHOULD split its sample (proportional allocation oversamples
+    low-variance strata). N_h·S_h collapses to √(N_h·Σx²−(Σx)²) — an
+    IEEE-exact sqrt of an EXACT integer — so shares need ONE division
+    each against a denominator folded in literal type order on the
+    5-row frame; integer seats are floor + largest-remainder top-up
+    (the q429 rule), so Σalloc == 1000 exactly."""
+    ev = read_table(spark, sf, "events").where(F.col("value").isNotNull())
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    strata = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(cents).cast("decimal(38,0)").alias("s1"),
+        F.sum((cents * cents).cast("decimal(38,0)")).alias("s2"),
+    )
+    v = (
+        F.col("n_rows").cast("decimal(38,0)") * F.col("s2")
+        - F.col("s1") * F.col("s1")
+    )
+    wt = strata.select(
+        "event_type", "n_rows", F.sqrt(v.cast("double")).alias("wt")
+    )
+    w_all = Window.orderBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    den = F.aggregate(
+        F.collect_list("wt").over(w_all),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    shared = wt.select(
+        "event_type",
+        "n_rows",
+        (F.lit(1000.0) * (F.col("wt") / den)).alias("seats"),
+    )
+    alloc = shared.select(
+        "event_type",
+        "n_rows",
+        F.floor("seats").cast("bigint").alias("fl"),
+        (F.col("seats") - F.floor("seats")).alias("frac"),
+    )
+    w_sum = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_rank = Window.orderBy(F.col("frac").desc(), "event_type")
+    return (
+        alloc.withColumn("leftover", F.lit(1000) - F.sum("fl").over(w_sum))
+        .withColumn("rk", F.row_number().over(w_rank))
+        .select(
+            "event_type",
+            "n_rows",
+            (
+                F.col("fl")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("alloc_n"),
+        )
+    )
+
+
 def _q_lorenz_points(spark: SparkSession, sf: str) -> DataFrame:
     """Lorenz-curve decile points of customer revenue concentration:
     customers sorted by spend into 10 equal-count bins, each row the
@@ -633,6 +768,8 @@ register_many(
         'q446_croston': _q_croston,
         'q447_adf_test': _q_adf_test,
         'q448_ljung_box': _q_ljung_box,
+        'q449_ransac_slope': _q_ransac_slope,
+        'q450_neyman_allocation': _q_neyman_allocation,
     },
     {
         'q439_lorenz_points': """
@@ -1098,6 +1235,103 @@ register_many(
                 + r6 * r6 / CAST(m - 6 AS DOUBLE)
                 + r7 * r7 / CAST(m - 7 AS DOUBLE)) AS q_lb
             FROM rho
+        """,
+        # Twin of _q_ransac_slope: identical md5-ordered anchors and
+        # exact-integer cross-multiplied inlier test.
+        "q449_ransac_slope": """
+            WITH daily AS (
+              SELECT user_id, CAST(ts AS DATE) AS day,
+                CAST(CAST(max(value) AS DECIMAL(12,2)) * 100 AS BIGINT)
+                  AS x
+              FROM events GROUP BY 1, 2
+            ),
+            d2 AS (
+              SELECT user_id, day, x,
+                CAST(day - DATE '1970-01-01' AS BIGINT) AS d
+              FROM daily
+            ),
+            an AS (
+              SELECT user_id,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY md5(CAST(day AS VARCHAR)), day) AS ar,
+                d AS ad, x AS ax
+              FROM d2
+              QUALIFY ar <= 5
+            ),
+            pr AS (
+              SELECT i.user_id, i.ar AS ri, j.ar AS rj,
+                i.ad AS d0, i.ax AS x0,
+                j.ad - i.ad AS dd, j.ax - i.ax AS dx
+              FROM an i JOIN an j
+                ON i.user_id = j.user_id AND i.ar < j.ar
+              WHERE j.ad - i.ad <> 0
+            ),
+            sc AS (
+              SELECT p.user_id, p.ri, p.rj, p.dd, p.dx,
+                CASE WHEN abs((t.x - p.x0) * p.dd
+                              - p.dx * (t.d - p.d0))
+                          <= 100 * abs(p.dd)
+                     THEN 1 ELSE 0 END AS inl
+              FROM d2 t JOIN pr p ON t.user_id = p.user_id
+            ),
+            ct AS (
+              SELECT user_id, ri, rj, dd, dx,
+                CAST(sum(inl) AS BIGINT) AS n_inliers,
+                CAST(count(*) AS BIGINT) AS n_points
+              FROM sc GROUP BY 1, 2, 3, 4, 5
+            )
+            SELECT user_id,
+              CAST(dx AS DOUBLE) / CAST(dd AS DOUBLE)
+                AS slope_c_per_day,
+              n_inliers, n_points
+            FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id
+                ORDER BY n_inliers DESC, ri, rj) AS b
+              FROM ct
+            ) WHERE b = 1
+        """,
+        # Twin of _q_neyman_allocation: same exact-integer scaled
+        # variance under an IEEE sqrt, literal-order denominator fold,
+        # floor + largest-remainder seats.
+        "q450_neyman_allocation": """
+            WITH strata AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+                sum(CAST(CAST(value AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS s1,
+                sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                    * CAST(CAST(value AS DECIMAL(12,2)) * 100
+                           AS BIGINT)) AS s2
+              FROM events WHERE value IS NOT NULL GROUP BY 1
+            ),
+            wt AS (
+              SELECT event_type, n_rows,
+                sqrt(CAST(n_rows * s2 - s1 * s1 AS DOUBLE)) AS wt
+              FROM strata
+            ),
+            sh AS (
+              SELECT event_type, n_rows,
+                1000.0 * (wt / (SELECT list_reduce(
+                  list(wt ORDER BY event_type), (a, b) -> a + b)
+                  FROM wt)) AS seats
+              FROM wt
+            ),
+            al AS (
+              SELECT event_type, n_rows,
+                CAST(floor(seats) AS BIGINT) AS fl,
+                seats - floor(seats) AS frac
+              FROM sh
+            ),
+            fin AS (
+              SELECT *,
+                1000 - (SELECT sum(fl) FROM al) AS leftover,
+                row_number() OVER (ORDER BY frac DESC, event_type)
+                  AS rk
+              FROM al
+            )
+            SELECT event_type, n_rows,
+              CAST(fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                   AS BIGINT) AS alloc_n
+            FROM fin
         """,
     },
 )
