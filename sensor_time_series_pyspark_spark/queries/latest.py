@@ -394,6 +394,158 @@ def _q_neyman_allocation(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_hodges_lehmann(spark: SparkSession, sf: str) -> DataFrame:
+    """Hodges-Lehmann robust location estimate per user: the median of
+    all pairwise Walsh averages (x_i+x_j)/2, i ≤ j, of the daily-max
+    cents series — the location twin of q192's Theil-Sen slope (30%
+    breakdown, far better efficiency than the plain median). Pairwise
+    SUMS stay integers; the median is explicit index selection over
+    the (sum, i, j)-ranked pair frame, and the estimate is ONE double
+    division Σs_sel/(2·n_sel) (odd → s/2, even → (s1+s2)/4). Pairs
+    are a per-user rn ≤ rn self-join — bounded by days², never
+    corpus-scale."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        (F.max("value").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("x")
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    d = daily.select(
+        "user_id", "x", F.row_number().over(w).alias("rn")
+    )
+    pairs = (
+        d.alias("a")
+        .join(d.alias("b"), "user_id")
+        .where(F.col("a.rn") <= F.col("b.rn"))
+        .select(
+            "user_id",
+            (F.col("a.x") + F.col("b.x")).alias("s"),
+            F.col("a.rn").alias("i"),
+            F.col("b.rn").alias("j"),
+        )
+    )
+    w_rank = Window.partitionBy("user_id").orderBy("s", "i", "j")
+    wp = Window.partitionBy("user_id")
+    ranked = pairs.select(
+        "user_id",
+        "s",
+        F.row_number().over(w_rank).alias("rk"),
+        F.count(F.lit(1)).over(wp).alias("np"),
+    )
+    mid = ranked.where(
+        (F.col("rk") == F.floor((F.col("np") + 1) / 2))
+        | (F.col("rk") == F.ceil((F.col("np") + 1) / 2))
+    )
+    return mid.groupBy("user_id").agg(
+        F.max("np").cast("bigint").alias("n_pairs"),
+        (
+            F.sum("s").cast("double")
+            / (F.lit(2) * F.count(F.lit(1))).cast("double")
+        ).alias("hl_cents"),
+    )
+
+
+def _q_regression_influence(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-point regression influence diagnostics (Cook's distance +
+    leverage) for the per-user OLS of daily-max cents on epoch day —
+    WHICH day is dragging this user's trend (the q406/q447 family's
+    diagnostic complement). Leverage h_i = 1/m + (m·d_i−S_d)²/(m·B)
+    and SSE = (CB−A²)/(mB) come from EXACT integer moments (one
+    division each); residuals and D_i = e_i²·h_i/(2s²(1−h_i)²) are
+    fixed double chains, so the top-3 influential days per user are
+    hash-gateable. One window-free moment aggregate + one broadcast
+    of the per-user line back onto the points."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        (F.max("value").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("y")
+    ).withColumn("d", F.unix_date("day").cast("bigint"))
+    moms = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("d").alias("sd"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+        F.sum(F.col("d") * F.col("y")).alias("sdy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    ).where(F.col("m") >= 4)
+    a = F.col("m") * F.col("sdy") - F.col("sd") * F.col("sy")
+    b = F.col("m") * F.col("sdd") - F.col("sd") * F.col("sd")
+    c = F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
+    lines = moms.select(
+        "user_id",
+        "m",
+        "sd",
+        "sy",
+        b.alias("bb"),
+        (a.cast("double") / b.cast("double")).alias("beta"),
+        a.alias("aa"),
+        c.alias("cc"),
+    ).where((b != 0) & (c * b > a * a))
+    lines = lines.withColumn(
+        "alpha",
+        (
+            F.col("sy").cast("double")
+            - F.col("beta") * F.col("sd").cast("double")
+        )
+        / F.col("m").cast("double"),
+    ).withColumn(
+        "s2",
+        (
+            (
+                F.col("cc").cast("double") * F.col("bb").cast("double")
+                - F.col("aa").cast("double") * F.col("aa").cast("double")
+            )
+            / (F.col("m").cast("double") * F.col("bb").cast("double"))
+        )
+        / (F.col("m") - 2).cast("double"),
+    )
+    pts = daily.join(F.broadcast(lines), "user_id")
+    lev_num = (
+        F.col("m") * F.col("d") - F.col("sd")
+    )
+    h = (
+        F.lit(1.0) / F.col("m").cast("double")
+        + (lev_num * lev_num).cast("double")
+        / (F.col("m") * F.col("bb")).cast("double")
+    )
+    e = (
+        F.col("y").cast("double")
+        - (F.col("alpha") + F.col("beta") * F.col("d").cast("double"))
+    )
+    scored = pts.select(
+        "user_id",
+        "day",
+        "m",
+        h.alias("leverage"),
+        e.alias("resid_c"),
+        (
+            (e * e) * h
+            / (
+                F.lit(2.0)
+                * F.col("s2")
+                * ((F.lit(1.0) - h) * (F.lit(1.0) - h))
+            )
+        ).alias("cooks_d"),
+    )
+    w_top = Window.partitionBy("user_id").orderBy(
+        F.col("cooks_d").desc(), "day"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w_top))
+        .where(F.col("rk") <= 3)
+        .select(
+            "user_id",
+            "day",
+            F.col("rk").cast("int").alias("rank"),
+            "leverage",
+            "resid_c",
+            "cooks_d",
+        )
+    )
+
+
 def _q_lorenz_points(spark: SparkSession, sf: str) -> DataFrame:
     """Lorenz-curve decile points of customer revenue concentration:
     customers sorted by spend into 10 equal-count bins, each row the
@@ -770,6 +922,8 @@ register_many(
         'q448_ljung_box': _q_ljung_box,
         'q449_ransac_slope': _q_ransac_slope,
         'q450_neyman_allocation': _q_neyman_allocation,
+        'q451_hodges_lehmann': _q_hodges_lehmann,
+        'q452_regression_influence': _q_regression_influence,
     },
     {
         'q439_lorenz_points': """
@@ -1332,6 +1486,111 @@ register_many(
               CAST(fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
                    AS BIGINT) AS alloc_n
             FROM fin
+        """,
+        # Twin of _q_hodges_lehmann: identical integer pair sums and
+        # explicit middle-index selection.
+        "q451_hodges_lehmann": """
+            WITH daily AS (
+              SELECT user_id, CAST(ts AS DATE) AS day,
+                CAST(CAST(max(value) AS DECIMAL(12,2)) * 100 AS BIGINT)
+                  AS x
+              FROM events GROUP BY 1, 2
+            ),
+            d AS (
+              SELECT user_id, x,
+                row_number() OVER (PARTITION BY user_id ORDER BY day)
+                  AS rn
+              FROM daily
+            ),
+            pairs AS (
+              SELECT a.user_id, a.x + b.x AS s, a.rn AS i, b.rn AS j
+              FROM d a JOIN d b
+                ON a.user_id = b.user_id AND a.rn <= b.rn
+            ),
+            ranked AS (
+              SELECT user_id, s,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY s, i, j) AS rk,
+                CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+                  AS np
+              FROM pairs
+            ),
+            mid AS (
+              SELECT * FROM ranked
+              WHERE rk = CAST(floor((np + 1) / 2.0) AS BIGINT)
+                 OR rk = CAST(ceil((np + 1) / 2.0) AS BIGINT)
+            )
+            SELECT user_id, max(np) AS n_pairs,
+              CAST(sum(s) AS DOUBLE)
+                / CAST(2 * count(*) AS DOUBLE) AS hl_cents
+            FROM mid GROUP BY user_id
+        """,
+        # Twin of _q_regression_influence: same exact integer moments,
+        # same fixed double chains for leverage, residual, SSE and
+        # Cook's distance; rank-gated top-3.
+        "q452_regression_influence": """
+            WITH daily AS (
+              SELECT user_id, CAST(ts AS DATE) AS day,
+                CAST(CAST(max(value) AS DECIMAL(12,2)) * 100 AS BIGINT)
+                  AS y,
+                CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+                  AS d
+              FROM events GROUP BY 1, 2, 4
+            ),
+            moms AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS m,
+                sum(d) AS sd, sum(y) AS sy, sum(d * d) AS sdd,
+                sum(d * y) AS sdy, sum(y * y) AS syy
+              FROM daily GROUP BY user_id
+              HAVING count(*) >= 4
+            ),
+            lines AS (
+              SELECT user_id, m, sd, sy,
+                m * sdd - sd * sd AS bb,
+                CAST(m * sdy - sd * sy AS DOUBLE)
+                  / CAST(m * sdd - sd * sd AS DOUBLE) AS beta,
+                m * sdy - sd * sy AS aa,
+                m * syy - sy * sy AS cc
+              FROM moms
+              WHERE m * sdd - sd * sd <> 0
+                AND (m * syy - sy * sy) * (m * sdd - sd * sd)
+                    > (m * sdy - sd * sy) * (m * sdy - sd * sy)
+            ),
+            lin2 AS (
+              SELECT *,
+                (CAST(sy AS DOUBLE) - beta * CAST(sd AS DOUBLE))
+                  / CAST(m AS DOUBLE) AS alpha,
+                ((CAST(cc AS DOUBLE) * CAST(bb AS DOUBLE)
+                  - CAST(aa AS DOUBLE) * CAST(aa AS DOUBLE))
+                 / (CAST(m AS DOUBLE) * CAST(bb AS DOUBLE)))
+                / CAST(m - 2 AS DOUBLE) AS s2
+              FROM lines
+            ),
+            pts AS (
+              SELECT t.user_id, t.day, l.m,
+                1.0 / CAST(l.m AS DOUBLE)
+                  + CAST((l.m * t.d - l.sd) * (l.m * t.d - l.sd)
+                         AS DOUBLE)
+                    / CAST(l.m * l.bb AS DOUBLE) AS leverage,
+                CAST(t.y AS DOUBLE)
+                  - (l.alpha + l.beta * CAST(t.d AS DOUBLE)) AS resid_c,
+                l.s2
+              FROM daily t JOIN lin2 l ON t.user_id = l.user_id
+            ),
+            scored AS (
+              SELECT user_id, day, leverage, resid_c,
+                (resid_c * resid_c) * leverage
+                  / (2.0 * s2 * ((1.0 - leverage) * (1.0 - leverage)))
+                  AS cooks_d
+              FROM pts
+            )
+            SELECT user_id, day,
+              CAST(rk AS INT) AS rank, leverage, resid_c, cooks_d
+            FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id
+                ORDER BY cooks_d DESC, day) AS rk
+              FROM scored
+            ) WHERE rk <= 3
         """,
     },
 )
