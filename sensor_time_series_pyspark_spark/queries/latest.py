@@ -546,6 +546,172 @@ def _q_regression_influence(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_tukey_hsd(spark: SparkSession, sf: str) -> DataFrame:
+    """Tukey HSD post-hoc contrasts after q287's one-way ANOVA: the
+    studentized-range statistic q_ij = |m̄_i−m̄_j| / √((MSW/2)(1/n_i +
+    1/n_j)) for ALL 10 event-type pairs — WHICH groups differ once the
+    F-test says "some do". Group moments are exact decimals (q287's
+    machinery); the 10 pairs come from EXPLODING a literal pair array
+    over the one-row wide frame (no self-join, no cross join — the
+    5-slot vocabulary recipe), and each q is a fixed double chain."""
+    ev = read_table(spark, sf, "events").where(F.col("value").isNotNull())
+    xi = (F.col("value").cast("decimal(18,2)") * 100).cast("decimal(19,0)")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xi.cast("decimal(38,0)")).alias("s"),
+        F.sum((xi * xi).cast("decimal(38,0)")).alias("ss"),
+    )
+    per = g.select(
+        "event_type",
+        "n",
+        (F.col("s").cast("double") / F.col("n").cast("double")).alias(
+            "mean_c"
+        ),
+        (
+            F.col("s").cast("double") * F.col("s").cast("double")
+            / F.col("n").cast("double")
+        ).alias("s2n"),
+        F.col("ss").cast("double").alias("ssd"),
+    )
+    aggs = [
+        F.sum("n").alias("N"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        _dsum(F.col("s2n")).alias("sum_s2n"),
+        _dsum(F.col("ssd")).alias("SS"),
+    ]
+    for t in EVENT_TYPES:
+        aggs.append(
+            F.max(F.when(F.col("event_type") == t, F.col("mean_c"))).alias(
+                f"mean_{t}"
+            )
+        )
+        aggs.append(
+            F.max(F.when(F.col("event_type") == t, F.col("n"))).alias(
+                f"n_{t}"
+            )
+        )
+    wide = per.agg(*aggs).withColumn(
+        "msw",
+        (F.col("SS") - F.col("sum_s2n"))
+        / (F.col("N") - F.col("k")).cast("double"),
+    )
+    pair_lits = []
+    for i in range(len(EVENT_TYPES)):
+        for j in range(i + 1, len(EVENT_TYPES)):
+            pair_lits.append(
+                F.struct(
+                    F.lit(EVENT_TYPES[i]).alias("ta"),
+                    F.lit(EVENT_TYPES[j]).alias("tb"),
+                )
+            )
+    ex = wide.select("*", F.explode(F.array(*pair_lits)).alias("p"))
+
+    def pick(prefix: str, side: str) -> F.Column:
+        c = None
+        for t in EVENT_TYPES:
+            cond = F.col("p")[side] == t
+            c = (
+                F.when(cond, F.col(f"{prefix}_{t}"))
+                if c is None
+                else c.when(cond, F.col(f"{prefix}_{t}"))
+            )
+        return c
+
+    ma, mb = pick("mean", "ta"), pick("mean", "tb")
+    na, nb = pick("n", "ta"), pick("n", "tb")
+    q = F.abs(ma - mb) / F.sqrt(
+        (F.col("msw") / 2)
+        * (F.lit(1.0) / na.cast("double") + F.lit(1.0) / nb.cast("double"))
+    )
+    return ex.select(
+        F.col("p")["ta"].alias("type_a"),
+        F.col("p")["tb"].alias("type_b"),
+        ma.alias("mean_a_c"),
+        mb.alias("mean_b_c"),
+        q.alias("q_stat"),
+    )
+
+
+def _q_westgard(spark: SparkSession, sf: str) -> DataFrame:
+    """Westgard multi-rule QC screen (the Levey-Jennings chart's rule
+    engine) on the per-type daily total-cents series (integer-exact
+    end-to-end): control limits fit on
+    the first 20 calendar days (μ = exact decimal mean, σ = √ of the
+    exact-moment variance — one division + IEEE sqrt), then the
+    monitoring days are flagged with the classic rules — 1₃ₛ (one
+    beyond ±3σ), 2₂ₛ (two consecutive beyond ±2σ same side), R₄ₛ
+    (consecutive opposite-side 2σ excursions), 4₁ₛ (four consecutive
+    beyond ±1σ same side). z-scores are identical doubles in both
+    engines, so the rule counts hash-gate. One window pass."""
+    ev = read_table(spark, sf, "events").where(F.col("value").isNotNull())
+    rc = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(rc).alias("x"))
+    split = F.lit("2024-01-21").cast("date")
+    lim = (
+        daily.where(F.col("day") < split)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("nt"),
+            F.sum(F.col("x").cast("decimal(38,0)")).alias("s1"),
+            F.sum(
+                (F.col("x").cast("decimal(38,0)") * F.col("x").cast("decimal(38,0)"))
+            ).alias("s2"),
+        )
+        .where(F.col("nt") >= 2)
+    )
+    # μ and σ in cents: exact integer moments, fixed epilogue
+    mu = F.col("s1").cast("double") / F.col("nt").cast("double")
+    var = (
+        F.col("nt").cast("double") * F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double")
+    ) / (
+        F.col("nt").cast("double") * F.col("nt").cast("double")
+    )
+    lims = lim.select(
+        "event_type", mu.alias("mu"), F.sqrt(var).alias("sigma")
+    ).where(F.col("sigma") > 0)
+    mon = daily.where(F.col("day") >= split).join(
+        F.broadcast(lims), "event_type"
+    )
+    z = (F.col("x").cast("double") - F.col("mu")) / F.col("sigma")
+    w = Window.partitionBy("event_type").orderBy("day")
+    zs = mon.select("event_type", "day", z.alias("z")).select(
+        "event_type",
+        "day",
+        "z",
+        F.lag("z", 1).over(w).alias("z1"),
+        F.lag("z", 2).over(w).alias("z2"),
+        F.lag("z", 3).over(w).alias("z3"),
+    )
+    same2 = (F.col("z") > 2) & (F.col("z1") > 2) | (
+        (F.col("z") < -2) & (F.col("z1") < -2)
+    )
+    r4s = ((F.col("z") > 2) & (F.col("z1") < -2)) | (
+        (F.col("z") < -2) & (F.col("z1") > 2)
+    )
+    cols = ["z", "z1", "z2", "z3"]
+    above1 = None
+    below1 = None
+    for c in cols:
+        a = F.col(c) > 1
+        b = F.col(c) < -1
+        above1 = a if above1 is None else (above1 & a)
+        below1 = b if below1 is None else (below1 & b)
+    return zs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(F.when(F.abs(F.col("z")) > 3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_13s"),
+        F.sum(F.when(same2, 1).otherwise(0)).cast("bigint").alias("n_22s"),
+        F.sum(F.when(r4s, 1).otherwise(0)).cast("bigint").alias("n_r4s"),
+        F.sum(F.when(above1 | below1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_41s"),
+    )
+
+
 def _q_lorenz_points(spark: SparkSession, sf: str) -> DataFrame:
     """Lorenz-curve decile points of customer revenue concentration:
     customers sorted by spend into 10 equal-count bins, each row the
@@ -924,6 +1090,8 @@ register_many(
         'q450_neyman_allocation': _q_neyman_allocation,
         'q451_hodges_lehmann': _q_hodges_lehmann,
         'q452_regression_influence': _q_regression_influence,
+        'q453_tukey_hsd': _q_tukey_hsd,
+        'q454_westgard': _q_westgard,
     },
     {
         'q439_lorenz_points': """
@@ -1591,6 +1759,128 @@ register_many(
                 ORDER BY cooks_d DESC, day) AS rk
               FROM scored
             ) WHERE rk <= 3
+        """,
+        # Twin of _q_tukey_hsd: q287's exact decimal group moments,
+        # the same _dsum(decimal(38,6)) order-independent totals, the
+        # same literal pair list, identical fixed double chains.
+        "q453_tukey_hsd": """
+            WITH g AS (
+              SELECT event_type, count(*) AS n,
+                sum(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                    AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS s,
+                sum(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                    AS DECIMAL(19,0))
+                    * CAST(CAST(value AS DECIMAL(18,2)) * 100
+                    AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS ss
+              FROM events WHERE value IS NOT NULL GROUP BY 1
+            ),
+            per AS (
+              SELECT event_type, n,
+                CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
+                CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                  / CAST(n AS DOUBLE) AS s2n,
+                CAST(ss AS DOUBLE) AS ssd
+              FROM g
+            ),
+            wide AS (
+              SELECT sum(n) AS N, CAST(count(*) AS BIGINT) AS k,
+                CAST(sum(CAST(s2n AS DECIMAL(38,6))) AS DOUBLE)
+                  AS sum_s2n,
+                CAST(sum(CAST(ssd AS DECIMAL(38,6))) AS DOUBLE) AS SS,
+                max(CASE WHEN event_type = 'click' THEN mean_c END) AS mean_click,
+                max(CASE WHEN event_type = 'click' THEN n END) AS n_click,
+                max(CASE WHEN event_type = 'view' THEN mean_c END) AS mean_view,
+                max(CASE WHEN event_type = 'view' THEN n END) AS n_view,
+                max(CASE WHEN event_type = 'purchase' THEN mean_c END) AS mean_purchase,
+                max(CASE WHEN event_type = 'purchase' THEN n END) AS n_purchase,
+                max(CASE WHEN event_type = 'signup' THEN mean_c END) AS mean_signup,
+                max(CASE WHEN event_type = 'signup' THEN n END) AS n_signup,
+                max(CASE WHEN event_type = 'error' THEN mean_c END) AS mean_error,
+                max(CASE WHEN event_type = 'error' THEN n END) AS n_error
+              FROM per
+            ),
+            wm AS (
+              SELECT *,
+                (SS - sum_s2n) / CAST(N - k AS DOUBLE) AS msw
+              FROM wide
+            ),
+            ex AS (
+              SELECT wm.*, p FROM wm, (SELECT UNNEST([
+                  {'ta': 'click', 'tb': 'view'},
+                  {'ta': 'click', 'tb': 'purchase'},
+                  {'ta': 'click', 'tb': 'signup'},
+                  {'ta': 'click', 'tb': 'error'},
+                  {'ta': 'view', 'tb': 'purchase'},
+                  {'ta': 'view', 'tb': 'signup'},
+                  {'ta': 'view', 'tb': 'error'},
+                  {'ta': 'purchase', 'tb': 'signup'},
+                  {'ta': 'purchase', 'tb': 'error'},
+                  {'ta': 'signup', 'tb': 'error'}]) AS p)
+            )
+            SELECT p.ta AS type_a, p.tb AS type_b,
+              (CASE WHEN p.ta = 'click' THEN mean_click WHEN p.ta = 'view' THEN mean_view WHEN p.ta = 'purchase' THEN mean_purchase WHEN p.ta = 'signup' THEN mean_signup WHEN p.ta = 'error' THEN mean_error END) AS mean_a_c,
+              (CASE WHEN p.tb = 'click' THEN mean_click WHEN p.tb = 'view' THEN mean_view WHEN p.tb = 'purchase' THEN mean_purchase WHEN p.tb = 'signup' THEN mean_signup WHEN p.tb = 'error' THEN mean_error END) AS mean_b_c,
+              abs((CASE WHEN p.ta = 'click' THEN mean_click WHEN p.ta = 'view' THEN mean_view WHEN p.ta = 'purchase' THEN mean_purchase WHEN p.ta = 'signup' THEN mean_signup WHEN p.ta = 'error' THEN mean_error END) - (CASE WHEN p.tb = 'click' THEN mean_click WHEN p.tb = 'view' THEN mean_view WHEN p.tb = 'purchase' THEN mean_purchase WHEN p.tb = 'signup' THEN mean_signup WHEN p.tb = 'error' THEN mean_error END))
+                / sqrt((msw / 2) * (1.0 / CAST(CASE WHEN p.ta = 'click' THEN n_click WHEN p.ta = 'view' THEN n_view WHEN p.ta = 'purchase' THEN n_purchase WHEN p.ta = 'signup' THEN n_signup WHEN p.ta = 'error' THEN n_error END AS DOUBLE)
+                       + 1.0 / CAST(CASE WHEN p.tb = 'click' THEN n_click WHEN p.tb = 'view' THEN n_view WHEN p.tb = 'purchase' THEN n_purchase WHEN p.tb = 'signup' THEN n_signup WHEN p.tb = 'error' THEN n_error END AS DOUBLE)))
+                AS q_stat
+            FROM ex
+        """,
+        # Twin of _q_westgard: integer-cents daily totals, identical
+        # z-score chain and rule predicates.
+        "q454_westgard": """
+            WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                  AS x
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+            ),
+            lim AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS nt,
+                sum(x) AS s1, sum(x * x) AS s2
+              FROM daily WHERE day < DATE '2024-01-21'
+              GROUP BY 1 HAVING count(*) >= 2
+            ),
+            lims AS (
+              SELECT event_type,
+                CAST(s1 AS DOUBLE) / CAST(nt AS DOUBLE) AS mu,
+                sqrt((CAST(nt AS DOUBLE) * CAST(s2 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                     / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE)))
+                  AS sigma
+              FROM lim
+            ),
+            limf AS (SELECT * FROM lims WHERE sigma > 0),
+            zs AS (
+              SELECT d.event_type, d.day,
+                (CAST(d.x AS DOUBLE) - l.mu) / l.sigma AS z
+              FROM daily d JOIN limf l ON d.event_type = l.event_type
+              WHERE d.day >= DATE '2024-01-21'
+            ),
+            lagged AS (
+              SELECT event_type, day, z,
+                lag(z, 1) OVER win AS z1,
+                lag(z, 2) OVER win AS z2,
+                lag(z, 3) OVER win AS z3
+              FROM zs
+              WINDOW win AS (PARTITION BY event_type ORDER BY day)
+            )
+            SELECT event_type,
+              CAST(count(*) AS BIGINT) AS n_days,
+              CAST(sum(CASE WHEN abs(z) > 3 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_13s,
+              CAST(sum(CASE WHEN (z > 2 AND z1 > 2)
+                             OR (z < -2 AND z1 < -2)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_22s,
+              CAST(sum(CASE WHEN (z > 2 AND z1 < -2)
+                             OR (z < -2 AND z1 > 2)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_r4s,
+              CAST(sum(CASE WHEN (z > 1 AND z1 > 1 AND z2 > 1
+                                  AND z3 > 1)
+                             OR (z < -1 AND z1 < -1 AND z2 < -1
+                                 AND z3 < -1)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_41s
+            FROM lagged GROUP BY event_type
         """,
     },
 )
