@@ -712,6 +712,57 @@ def _q_westgard(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_cochran_armitage(spark: SparkSession, sf: str) -> DataFrame:
+    """Cochran-Armitage trend test: is the share of above-median-value
+    orders MONOTONE in order priority (scores 1..5 parsed from
+    o_orderpriority)? The ordered-strata proportion test that a plain
+    chi-square (q414) cannot answer. The median threshold is a
+    percentile_disc TABLE VALUE inlined as a literal (q443 pattern);
+    T's numerator N·Σsr − R·Σsn and the variance pieces are row-level
+    EXACT integer sums (no per-stratum grouping at all), and
+    Z = sign(num)·√(num²·N/(R(N−R)(N·Σs²n − (Σsn)²))) is a fixed
+    double chain — one scan, one aggregate."""
+    o = read_table(spark, sf, "orders").select(
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("sc"),
+        F.col("o_totalprice"),
+    )
+    thr = (
+        o.agg(
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)"
+            ).alias("t")
+        ).collect()[0]["t"]
+    )
+    succ = (F.col("o_totalprice") > F.lit(thr)).cast("bigint")
+    agg = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(succ).alias("r"),
+        F.sum(F.col("sc").cast("bigint")).alias("sn"),
+        F.sum((F.col("sc") * F.col("sc")).cast("bigint")).alias("s2n"),
+        F.sum(F.col("sc").cast("bigint") * succ).alias("sr"),
+    )
+    nd = F.col("n").cast("double")
+    rd = F.col("r").cast("double")
+    num = nd * F.col("sr").cast("double") - rd * F.col("sn").cast("double")
+    den2 = (
+        rd
+        * (nd - rd)
+        * (
+            nd * F.col("s2n").cast("double")
+            - F.col("sn").cast("double") * F.col("sn").cast("double")
+        )
+    )
+    z = (
+        F.when(num < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+        * F.sqrt(num * num * nd / den2)
+    )
+    return agg.select(
+        F.col("n").alias("n_orders"),
+        F.col("r").alias("n_success"),
+        z.alias("z_trend"),
+    )
+
+
 def _q_lorenz_points(spark: SparkSession, sf: str) -> DataFrame:
     """Lorenz-curve decile points of customer revenue concentration:
     customers sorted by spend into 10 equal-count bins, each row the
@@ -1092,6 +1143,7 @@ register_many(
         'q452_regression_influence': _q_regression_influence,
         'q453_tukey_hsd': _q_tukey_hsd,
         'q454_westgard': _q_westgard,
+        'q455_cochran_armitage': _q_cochran_armitage,
     },
     {
         'q439_lorenz_points': """
@@ -1881,6 +1933,44 @@ register_many(
                                  AND z3 < -1)
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_41s
             FROM lagged GROUP BY event_type
+        """,
+        # Twin of _q_cochran_armitage: same row-level integer sums and
+        # fixed double chain; the median is the same quantile_disc
+        # table value.
+        "q455_cochran_armitage": """
+            WITH o AS (
+              SELECT CAST(substring(o_orderpriority, 1, 1) AS INT)
+                  AS sc,
+                o_totalprice,
+                CASE WHEN o_totalprice > (
+                  SELECT quantile_disc(o_totalprice, 0.5) FROM orders
+                ) THEN 1 ELSE 0 END AS succ
+              FROM orders
+            ),
+            agg AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(succ) AS BIGINT) AS r,
+                CAST(sum(sc) AS BIGINT) AS sn,
+                CAST(sum(sc * sc) AS BIGINT) AS s2n,
+                CAST(sum(sc * succ) AS BIGINT) AS sr
+              FROM o
+            )
+            SELECT n AS n_orders, r AS n_success,
+              (CASE WHEN CAST(n AS DOUBLE) * CAST(sr AS DOUBLE)
+                         - CAST(r AS DOUBLE) * CAST(sn AS DOUBLE) < 0
+                    THEN -1.0 ELSE 1.0 END)
+              * sqrt(
+                  (CAST(n AS DOUBLE) * CAST(sr AS DOUBLE)
+                   - CAST(r AS DOUBLE) * CAST(sn AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(sr AS DOUBLE)
+                     - CAST(r AS DOUBLE) * CAST(sn AS DOUBLE))
+                  * CAST(n AS DOUBLE)
+                  / (CAST(r AS DOUBLE) * (CAST(n AS DOUBLE)
+                       - CAST(r AS DOUBLE))
+                     * (CAST(n AS DOUBLE) * CAST(s2n AS DOUBLE)
+                        - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE))))
+                AS z_trend
+            FROM agg
         """,
     },
 )
