@@ -130,6 +130,29 @@ def test_influence_leverage_bounds(results):
         assert ds == sorted(ds, reverse=True)  # rank order == D order
 
 
+def test_tukey_hsd_pairs(spark):
+    rows = entrymod.queries()["q453_tukey_hsd"](spark, SF).collect()
+    assert len(rows) == 10  # C(5,2) event-type pairs
+    for r in rows:
+        assert r["type_a"] != r["type_b"]
+        assert r["q_stat"] >= 0
+        assert math.isfinite(r["q_stat"])
+
+
+def test_westgard_counts_bounded(spark):
+    rows = entrymod.queries()["q454_westgard"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        for c in ("n_13s", "n_22s", "n_r4s", "n_41s"):
+            assert 0 <= r[c] <= r["n_days"]
+
+
+def test_cochran_armitage_symmetry(spark):
+    [r] = entrymod.queries()["q455_cochran_armitage"](spark, SF).collect()
+    assert 0 < r["n_success"] < r["n_orders"]
+    assert math.isfinite(r["z_trend"])
+
+
 def test_seasonal_decompose_sequential_reconstruction(spark):
     """q26's upgraded path: trend+seasonal+resid == value wherever the
     trend is defined, and the seasonal component is centered (mean ~0
