@@ -763,6 +763,130 @@ def _q_cochran_armitage(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_conformal_interval(spark: SparkSession, sf: str) -> DataFrame:
+    """Split-conformal prediction interval for the persistence
+    predictor (q443's fixed model): nonconformity = |label − pred| in
+    integer cents on a CALIBRATION window (day < 2024-01-21), the 90%
+    quantile of those scores is a percentile_disc TABLE VALUE, and the
+    guarantee is audited by measuring empirical coverage of pred ± q̂
+    on the held-out test days — distribution-free uncertainty for ANY
+    point forecaster, the ML-ops complement of q431's parametric MDE.
+    Integer scores end-to-end; coverage is ONE division."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        (F.max("value").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("x")
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    labeled = daily.select(
+        "user_id",
+        "day",
+        F.col("x").alias("pred"),
+        F.lead("x").over(w).alias("label"),
+    ).where(F.col("label").isNotNull())
+    split = F.lit("2024-01-21").cast("date")
+    score = F.abs(F.col("label") - F.col("pred"))
+    qhat = (
+        labeled.where(F.col("day") < split)
+        .select(score.alias("s"))
+        .agg(
+            F.expr(
+                "percentile_disc(0.9) WITHIN GROUP (ORDER BY s)"
+            ).alias("q")
+        )
+        .collect()[0]["q"]
+    )
+    test = labeled.where(F.col("day") >= split)
+    return test.agg(
+        F.lit(int(qhat)).cast("bigint").alias("q90_c"),
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.sum(F.when(score <= F.lit(int(qhat)), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_covered"),
+    ).select(
+        "q90_c",
+        "n_test",
+        "n_covered",
+        (
+            F.col("n_covered").cast("double")
+            / F.col("n_test").cast("double")
+        ).alias("coverage"),
+    )
+
+
+def _q_loo_target_encoding(spark: SparkSession, sf: str) -> DataFrame:
+    """Leave-one-out target encoding of order priority against order
+    value — the leakage-SAFE form of mean encoding (each row's own
+    target is excluded: enc_i = (S_g − x_i)/(n_g − 1)), the categorical
+    feature transform every tabular-ML pipeline needs at scale. One
+    group aggregate broadcast back onto the rows; the numerator stays
+    an exact decimal and each encoding is ONE double division. Rows
+    with n_g = 1 are dropped (LOO undefined)."""
+    o = read_table(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("xc"),
+    )
+    g = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+        F.sum(F.col("xc").cast("decimal(38,0)")).alias("sg"),
+    )
+    j = o.join(F.broadcast(g), "o_orderpriority").where(F.col("ng") > 1)
+    return j.select(
+        "o_orderkey",
+        "o_orderpriority",
+        (
+            (F.col("sg") - F.col("xc").cast("decimal(38,0)")).cast("double")
+            / (F.col("ng") - 1).cast("double")
+        ).alias("loo_enc_c"),
+    )
+
+
+def _q_join_cardinality(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-size estimation WITHOUT running the join — Σ_k c_A(k)·c_B(k)
+    over the per-key count frames (what a cost-based optimizer's
+    histogram estimate converges to when histograms are exact). For
+    100 TB join planning this is the cheap pre-flight that decides
+    broadcast vs shuffle vs bucketed strategies; here computed exactly
+    for the two canonical fact joins plus key-overlap diagnostics.
+    Shape: two tiny key-count aggregates per pair, joined on key —
+    output is 2 rows."""
+    o = read_table(spark, sf, "orders")
+    c = read_table(spark, sf, "customer")
+    li = read_table(spark, sf, "lineitem")
+
+    def pair(name, a, ka, b, kb):
+        ca = a.groupBy(F.col(ka).alias("k")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("na")
+        )
+        cb = b.groupBy(F.col(kb).alias("k")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("nb")
+        )
+        return (
+            ca.join(cb, "k")
+            .agg(
+                F.sum(
+                    (F.col("na") * F.col("nb")).cast("decimal(38,0)")
+                )
+                .cast("bigint")
+                .alias("est_rows"),
+                F.count(F.lit(1)).cast("bigint").alias("n_shared_keys"),
+            )
+            .select(
+                F.lit(name).alias("join_pair"),
+                "est_rows",
+                "n_shared_keys",
+            )
+        )
+
+    return pair(
+        "customer_orders", c, "c_custkey", o, "o_custkey"
+    ).unionAll(pair("orders_lineitem", o, "o_orderkey", li, "l_orderkey"))
+
+
 def _q_lorenz_points(spark: SparkSession, sf: str) -> DataFrame:
     """Lorenz-curve decile points of customer revenue concentration:
     customers sorted by spend into 10 equal-count bins, each row the
@@ -1144,6 +1268,9 @@ register_many(
         'q453_tukey_hsd': _q_tukey_hsd,
         'q454_westgard': _q_westgard,
         'q455_cochran_armitage': _q_cochran_armitage,
+        'q456_conformal_interval': _q_conformal_interval,
+        'q457_loo_target_encoding': _q_loo_target_encoding,
+        'q458_join_cardinality': _q_join_cardinality,
     },
     {
         'q439_lorenz_points': """
@@ -1971,6 +2098,88 @@ register_many(
                         - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE))))
                 AS z_trend
             FROM agg
+        """,
+        # Twin of _q_conformal_interval: same integer nonconformity
+        # scores, quantile_disc table value, one coverage division.
+        "q456_conformal_interval": """
+            WITH daily AS (
+              SELECT user_id, CAST(ts AS DATE) AS day,
+                CAST(CAST(max(value) AS DECIMAL(12,2)) * 100 AS BIGINT)
+                  AS x
+              FROM events GROUP BY 1, 2
+            ),
+            lab AS (
+              SELECT user_id, day, x AS pred,
+                lead(x) OVER (PARTITION BY user_id ORDER BY day)
+                  AS label
+              FROM daily
+              QUALIFY label IS NOT NULL
+            ),
+            qh AS (
+              SELECT quantile_disc(abs(label - pred), 0.9) AS q
+              FROM lab WHERE day < DATE '2024-01-21'
+            ),
+            test AS (
+              SELECT abs(label - pred) AS s FROM lab
+              WHERE day >= DATE '2024-01-21'
+            )
+            SELECT (SELECT CAST(q AS BIGINT) FROM qh) AS q90_c,
+              CAST(count(*) AS BIGINT) AS n_test,
+              CAST(sum(CASE WHEN s <= (SELECT q FROM qh)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+              CAST(sum(CASE WHEN s <= (SELECT q FROM qh)
+                            THEN 1 ELSE 0 END) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE) AS coverage
+            FROM test
+        """,
+        # Twin of _q_loo_target_encoding: exact decimal numerator, one
+        # division per row.
+        "q457_loo_target_encoding": """
+            WITH o AS (
+              SELECT o_orderkey, o_orderpriority,
+                CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                     AS BIGINT) AS xc
+              FROM orders
+            ),
+            g AS (
+              SELECT o_orderpriority,
+                CAST(count(*) AS BIGINT) AS ng, sum(xc) AS sg
+              FROM o GROUP BY 1
+            )
+            SELECT o.o_orderkey, o.o_orderpriority,
+              CAST(g.sg - o.xc AS DOUBLE)
+                / CAST(g.ng - 1 AS DOUBLE) AS loo_enc_c
+            FROM o JOIN g ON o.o_orderpriority = g.o_orderpriority
+            WHERE g.ng > 1
+        """,
+        # Twin of _q_join_cardinality: per-key count frames joined on
+        # key, exact integer products.
+        "q458_join_cardinality": """
+            WITH co AS (
+              SELECT 'customer_orders' AS join_pair,
+                CAST(sum(na * nb) AS BIGINT) AS est_rows,
+                CAST(count(*) AS BIGINT) AS n_shared_keys
+              FROM (
+                SELECT c_custkey AS k, CAST(count(*) AS BIGINT) AS na
+                FROM customer GROUP BY 1
+              ) a JOIN (
+                SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS nb
+                FROM orders GROUP BY 1
+              ) b ON a.k = b.k
+            ),
+            ol AS (
+              SELECT 'orders_lineitem' AS join_pair,
+                CAST(sum(na * nb) AS BIGINT) AS est_rows,
+                CAST(count(*) AS BIGINT) AS n_shared_keys
+              FROM (
+                SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS na
+                FROM orders GROUP BY 1
+              ) a JOIN (
+                SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS nb
+                FROM lineitem GROUP BY 1
+              ) b ON a.k = b.k
+            )
+            SELECT * FROM co UNION ALL SELECT * FROM ol
         """,
     },
 )
