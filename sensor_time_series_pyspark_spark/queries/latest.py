@@ -887,6 +887,143 @@ def _q_join_cardinality(spark: SparkSession, sf: str) -> DataFrame:
     ).unionAll(pair("orders_lineitem", o, "o_orderkey", li, "l_orderkey"))
 
 
+def _q_capture_recapture(spark: SparkSession, sf: str) -> DataFrame:
+    """Chapman capture-recapture estimate of the active-user
+    population per event type from two observation windows (first vs
+    second half of January): N̂ = (n₁+1)(n₂+1)/(m+1) − 1, with m the
+    users seen in BOTH — the census trick that tells a crawler/corpus
+    team how much it has NOT seen (complements q399 Good-Turing's
+    unseen-mass and q412 Heaps' growth). Counts are exact integers
+    from two distinct-user frames and one inner join; the estimate is
+    ONE double division."""
+    ev = read_table(spark, sf, "events")
+    split = F.lit("2024-01-16").cast("date")
+    u1 = (
+        ev.where(F.to_date("ts") < split)
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    u2 = (
+        ev.where(F.to_date("ts") >= split)
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    n1 = u1.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1")
+    )
+    n2 = u2.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n2")
+    )
+    m = (
+        u1.join(u2, ["event_type", "user_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    )
+    j = n1.join(n2, "event_type").join(m, "event_type")
+    return j.select(
+        "event_type",
+        "n1",
+        "n2",
+        "m",
+        (
+            ((F.col("n1") + 1) * (F.col("n2") + 1)).cast("double")
+            / (F.col("m") + 1).cast("double")
+            - F.lit(1.0)
+        ).alias("n_hat"),
+    )
+
+
+def _q_chao1_richness(spark: SparkSession, sf: str) -> DataFrame:
+    """Chao1 species-richness estimate of the 5-GRAM vocabulary per
+    source: Ŝ = S_obs + F₁(F₁−1)/(2(F₂+1)) (the bias-corrected form,
+    defined even with no doubletons) from the singleton/doubleton counts
+    of the shingle-frequency spectrum — "how many shingle types exist
+    that this corpus slice has NOT yet seen", the asymptote the q412
+    Heaps curve climbs toward and the capture-recapture (q459) idea
+    applied to vocabulary. 5-grams (q411's construction), not
+    unigrams: the synthetic 31-word per-source vocabulary saturates
+    unigram F₁/F₂ to zero above sf0.01, while the 31⁵ shingle space
+    stays sparse at every scale. Two exact integer aggregates and ONE
+    division."""
+    docs = read_table(spark, sf, "documents")
+    sh = (
+        docs.withColumn("__toks", tokens("text"))
+        .where(F.size("__toks") >= 5)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__toks) - 4),"
+                    " i -> concat_ws(' ', slice(__toks, i, 5)))"
+                )
+            ).alias("shingle"),
+        )
+    )
+    tf = sh.groupBy("source", "shingle").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    spec = tf.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("s_obs"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("f2"),
+    )
+    # bias-corrected Chao1: defined even when F2 = 0 (mid-scale
+    # spectra here are singleton-dominated), still one division
+    return spec.select(
+        "source",
+        "s_obs",
+        "f1",
+        "f2",
+        (
+            F.col("s_obs").cast("double")
+            + (F.col("f1") * (F.col("f1") - 1)).cast("double")
+            / (2 * (F.col("f2") + 1)).cast("double")
+        ).alias("chao1"),
+    )
+
+
+def _q_gini_mean_difference(spark: SparkSession, sf: str) -> DataFrame:
+    """Gini mean difference (GMD) robust scale per event type — the
+    U-statistic E|X−X'| that sits between the standard deviation
+    (efficiency) and the IQR/MAD (robustness). NEVER materializes the
+    n² pairs: the sorted-rank identity Σᵢ<ⱼ|xᵢ−xⱼ| = Σᵣ(2r−n−1)·x₍ᵣ₎
+    turns it into ONE rank window over the fact and an exact integer
+    aggregate; GMD = that sum / C(n,2) is ONE division. (Ties: any
+    total order gives the same sum — |xᵢ−xⱼ| = 0 within a tie
+    class.)"""
+    ev = read_table(spark, sf, "events").where(F.col("value").isNotNull())
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    w = Window.partitionBy("event_type").orderBy("v", "event_id")
+    wp = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type", "event_id", cents.alias("v")
+    ).select(
+        "event_type",
+        "v",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    agg = ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum(
+            (
+                (2 * F.col("r") - F.col("n") - 1).cast("decimal(38,0)")
+                * F.col("v").cast("decimal(38,0)")
+            )
+        ).alias("num"),
+    )
+    pairs = (F.col("n") * (F.col("n") - 1) / 2).cast("double")
+    return agg.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_rows"),
+        (F.col("num").cast("double") / pairs).alias("gmd_c"),
+    )
+
+
 def _q_lorenz_points(spark: SparkSession, sf: str) -> DataFrame:
     """Lorenz-curve decile points of customer revenue concentration:
     customers sorted by spend into 10 equal-count bins, each row the
@@ -1271,6 +1408,9 @@ register_many(
         'q456_conformal_interval': _q_conformal_interval,
         'q457_loo_target_encoding': _q_loo_target_encoding,
         'q458_join_cardinality': _q_join_cardinality,
+        'q459_capture_recapture': _q_capture_recapture,
+        'q460_chao1_richness': _q_chao1_richness,
+        'q461_gini_mean_difference': _q_gini_mean_difference,
     },
     {
         'q439_lorenz_points': """
@@ -2180,6 +2320,97 @@ register_many(
               ) b ON a.k = b.k
             )
             SELECT * FROM co UNION ALL SELECT * FROM ol
+        """,
+        # Twin of _q_capture_recapture: two distinct-user frames, one
+        # inner join, Chapman's one-division estimate.
+        "q459_capture_recapture": """
+            WITH u1 AS (
+              SELECT DISTINCT event_type, user_id FROM events
+              WHERE CAST(ts AS DATE) < DATE '2024-01-16'
+            ),
+            u2 AS (
+              SELECT DISTINCT event_type, user_id FROM events
+              WHERE CAST(ts AS DATE) >= DATE '2024-01-16'
+            ),
+            n1 AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n1
+              FROM u1 GROUP BY 1
+            ),
+            n2 AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n2
+              FROM u2 GROUP BY 1
+            ),
+            m AS (
+              SELECT u1.event_type, CAST(count(*) AS BIGINT) AS m
+              FROM u1 JOIN u2
+                ON u1.event_type = u2.event_type
+               AND u1.user_id = u2.user_id
+              GROUP BY 1
+            )
+            SELECT n1.event_type, n1.n1, n2.n2, m.m,
+              CAST((n1.n1 + 1) * (n2.n2 + 1) AS DOUBLE)
+                / CAST(m.m + 1 AS DOUBLE) - 1.0 AS n_hat
+            FROM n1
+            JOIN n2 ON n1.event_type = n2.event_type
+            JOIN m ON n1.event_type = m.event_type
+        """,
+        # Twin of _q_chao1_richness: q31's tokenizer, frequency
+        # spectrum, one division.
+        "q460_chao1_richness": """
+            WITH tk0 AS (
+              SELECT source,
+                list_filter(string_split_regex(trim(text), '\s+'),
+                  x -> x <> '') AS tk
+              FROM documents
+            ),
+            sh AS (
+              SELECT source,
+                unnest(list_transform(range(1, len(tk) - 3),
+                  i -> array_to_string(list_slice(tk, i, i + 4), ' ')))
+                  AS shingle
+              FROM tk0 WHERE len(tk) >= 5
+            ),
+            tf AS (
+              SELECT source, shingle, CAST(count(*) AS BIGINT) AS c
+              FROM sh GROUP BY 1, 2
+            ),
+            spec AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS s_obs,
+                CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS f1,
+                CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS f2
+              FROM tf GROUP BY 1
+            )
+            SELECT source, s_obs, f1, f2,
+              CAST(s_obs AS DOUBLE)
+                + CAST(f1 * (f1 - 1) AS DOUBLE)
+                  / CAST(2 * (f2 + 1) AS DOUBLE) AS chao1
+            FROM spec
+        """,
+        # Twin of _q_gini_mean_difference: same rank identity, exact
+        # integer numerator, one division.
+        "q461_gini_mean_difference": """
+            WITH ranked AS (
+              SELECT event_type,
+                CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                  AS v,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY CAST(CAST(value AS DECIMAL(12,2)) * 100
+                           AS BIGINT), event_id) AS r,
+                CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+                  AS n
+              FROM events WHERE value IS NOT NULL
+            ),
+            agg AS (
+              SELECT event_type, max(n) AS n,
+                sum((2 * r - n - 1) * v) AS num
+              FROM ranked GROUP BY event_type
+            )
+            SELECT event_type, n AS n_rows,
+              CAST(num AS DOUBLE) / (CAST(n * (n - 1) AS DOUBLE) / 2)
+                AS gmd_c
+            FROM agg
         """,
     },
 )

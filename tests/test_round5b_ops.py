@@ -1,0 +1,67 @@
+"""Round-5b batch: invariant tests for q462–q465 (latest2.py).
+The DuckDB oracle gate pins exact values at sf0.01; these pin the
+MATH — identities and bounds the hash can't explain on its own."""
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def results(spark):
+    qs = entrymod.queries()
+    names = [
+        "q462_permutation_entropy",
+        "q463_cliffs_delta",
+        "q464_gini_stump",
+        "q465_ccf_lags",
+    ]
+    return {n: qs[n](spark, SF).collect() for n in names}
+
+
+def test_permutation_entropy_bounds(results):
+    rows = results["q462_permutation_entropy"]
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.0 <= r["pe_norm"] <= 1.0
+        assert 1 <= r["n_patterns"] <= 6
+        # 30-day January series embeds into n-2 ordinal triples
+        assert r["n_windows"] == 28
+
+
+def test_cliffs_delta_identities(results):
+    rows = results["q463_cliffs_delta"]
+    assert len(rows) == 10  # C(5,2) unordered type pairs
+    for r in rows:
+        assert -1.0 <= r["delta"] <= 1.0
+        # gt + lt + ties == n_a * n_b
+        assert 0 <= r["gt"] + r["lt"] <= r["n_a"] * r["n_b"]
+        assert r["type_a"] < r["type_b"]
+
+
+def test_gini_stump_bounds(results):
+    rows = sorted(
+        results["q464_gini_stump"], key=lambda r: r["threshold"]
+    )
+    assert rows
+    n = rows[0]["n_left"] + rows[0]["n_right"]
+    prev = 0
+    for r in rows:
+        # max Gini for 5 classes is 1 - 1/5
+        assert 0.0 <= r["gini_weighted"] <= 0.8 + 1e-12
+        assert r["n_left"] + r["n_right"] == n
+        assert r["n_left"] > prev  # distinct thresholds strictly grow
+        prev = r["n_left"]
+        # Cauchy-Schwarz floor: ssq >= n^2/k for k=5 classes
+        assert 5 * r["ssq_left"] >= r["n_left"] * r["n_left"]
+
+
+def test_ccf_bounds(results):
+    rows = results["q465_ccf_lags"]
+    assert len(rows) == 7
+    for r in rows:
+        assert abs(r["ccf"]) <= 1.0 + 1e-12
+        # lag-k alignment over a 30-day span leaves 30 - |k| pairs
+        assert r["n_days"] == 30 - abs(r["lag"])
