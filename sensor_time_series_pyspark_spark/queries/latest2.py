@@ -280,6 +280,281 @@ def _q_ccf_lags(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_sample_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Sample entropy (m=2, Chebyshev tolerance r = range div 10) of
+    each event type's daily-total cents series — Richman-Moorman
+    regularity: −ln(A/B) with B the matching 2-template pairs and A
+    the matching 3-template pairs over the SAME N−m template set.
+    Tolerance, distances, and both counts are exact integers (r from
+    an integer `div`, matches from |Δ| ≤ r comparisons on cents), the
+    pair frame is the calendar-bounded 28-template self-join
+    (≤ C(28,2)·5 rows at ANY sf), and the single ln runs driver-side
+    over the 5-row count table (libm discipline). A=0 ⇒ NULL sampen
+    (undefined), counts still reported."""
+    import math
+
+    daily = _type_daily_cents(spark, sf)
+    w = Window.partitionBy("event_type").orderBy("day")
+    wall = Window.partitionBy("event_type")
+    emb = (
+        daily.select(
+            "event_type",
+            F.row_number().over(w).alias("i"),
+            F.col("v").alias("v0"),
+            F.lead("v", 1).over(w).alias("v1"),
+            F.lead("v", 2).over(w).alias("v2"),
+            (
+                (F.max("v").over(wall) - F.min("v").over(wall))
+            ).alias("rng"),
+        )
+        .where(F.col("v2").isNotNull())
+        .withColumn("r_tol", F.expr("rng div 10"))
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.i") < F.col("b.i")),
+    )
+    within = lambda c: (  # noqa: E731
+        F.abs(F.col(f"a.{c}") - F.col(f"b.{c}")) <= F.col("a.r_tol")
+    )
+    m2 = within("v0") & within("v1")
+    m3 = m2 & within("v2")
+    cnt = pairs.groupBy(F.col("a.event_type").alias("event_type")).agg(
+        F.max("a.r_tol").cast("bigint").alias("r_tol"),
+        F.sum(F.when(m2, 1).otherwise(0)).cast("bigint").alias("b_pairs"),
+        F.sum(F.when(m3, 1).otherwise(0)).cast("bigint").alias("a_pairs"),
+    )
+    rows = sorted(cnt.collect(), key=lambda r: r["event_type"])
+    out = []
+    for r in rows:
+        se = (
+            -math.log(r["a_pairs"] / r["b_pairs"])
+            if r["a_pairs"] > 0 and r["b_pairs"] > 0
+            else None
+        )
+        out.append(
+            (r["event_type"], r["r_tol"], r["b_pairs"], r["a_pairs"], se)
+        )
+    return spark.createDataFrame(
+        out,
+        "event_type string, r_tol bigint, b_pairs bigint, "
+        "a_pairs bigint, sampen double",
+    )
+
+
+def _q_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-overlap audit: 5-gram shingle Jaccard AND containment
+    for all source pairs via ONE inverted-index equi-join on the
+    distinct (source, shingle) set — the cross-slice contamination
+    matrix (q411's train/test leak check generalized to all 190
+    source pairs). Never a cross join: candidate pairs materialize
+    only where a shingle is SHARED, intersection/set sizes are exact
+    integers, and each similarity is one division. The dedup-family
+    `max_token_df` valve applies verbatim if a shingle's document
+    frequency explodes at scale (operators/dedup.py)."""
+    docs = read_table(spark, sf, "documents")
+    sets = (
+        docs.withColumn("__toks", tokens("text"))
+        .where(F.size("__toks") >= 5)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__toks) - 4),"
+                    " i -> concat_ws(' ', slice(__toks, i, 5)))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = sets.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sh")
+    )
+    a = sets.alias("a")
+    b = sets.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("src_a"), F.col("n_sh").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("src_b"), F.col("n_sh").alias("n_b")
+    )
+    j = inter.join(F.broadcast(sa), "src_a").join(F.broadcast(sb), "src_b")
+    return j.select(
+        "src_a",
+        "src_b",
+        "n_a",
+        "n_b",
+        "n_inter",
+        (
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast(
+                "double"
+            )
+        ).alias("jaccard"),
+        (
+            F.col("n_inter").cast("double")
+            / F.least("n_a", "n_b").cast("double")
+        ).alias("containment"),
+    )
+
+
+def _q_kendall_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Kendall τ-b between every pair of event-type daily-total
+    series, all 10 pairs from ONE day-pair self-join of the 30-row
+    wide frame: concordant/discordant/tie counts are exact integer
+    sign tests on cents, n₀ = C(n,2), and
+    τ_b = (C−D)/√((n₀−T_a)(n₀−T_b)) is one sqrt + one division. The
+    rank-correlation companion to q465's Pearson CCF — monotone
+    association without normality, O(days²) NOT O(rows²)."""
+    daily = _type_daily_cents(spark, sf)
+    wide = daily.groupBy("day").agg(
+        *[
+            F.max(F.when(F.col("event_type") == t, F.col("v")))
+            .alias(f"v_{t}")
+            for t in EVENT_TYPES
+        ]
+    )
+    a = wide.alias("a")
+    b = wide.alias("b")
+    dp = a.join(b, F.col("a.day") < F.col("b.day"))
+    pairs = sorted(itertools.combinations(sorted(EVENT_TYPES), 2))
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n0")]
+    for x, y in pairs:
+        dx = F.col(f"a.v_{x}") - F.col(f"b.v_{x}")
+        dy = F.col(f"a.v_{y}") - F.col(f"b.v_{y}")
+        aggs.append(
+            F.sum(
+                F.when((dx > 0) & (dy > 0) | (dx < 0) & (dy < 0), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"c_{x}_{y}")
+        )
+        aggs.append(
+            F.sum(
+                F.when((dx > 0) & (dy < 0) | (dx < 0) & (dy > 0), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"d_{x}_{y}")
+        )
+        aggs.append(
+            F.sum(F.when(dx == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"ta_{x}_{y}")
+        )
+        aggs.append(
+            F.sum(F.when(dy == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"tb_{x}_{y}")
+        )
+    wrow = dp.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(x).alias("type_a"),
+                F.lit(y).alias("type_b"),
+                F.col("n0").alias("n0"),
+                F.col(f"c_{x}_{y}").alias("concordant"),
+                F.col(f"d_{x}_{y}").alias("discordant"),
+                F.col(f"ta_{x}_{y}").alias("ties_a"),
+                F.col(f"tb_{x}_{y}").alias("ties_b"),
+            )
+            for x, y in pairs
+        ]
+    )
+    ex = wrow.select(F.explode(structs).alias("s")).select("s.*")
+    return ex.withColumn(
+        "tau_b",
+        (F.col("concordant") - F.col("discordant")).cast("double")
+        / F.sqrt(
+            (F.col("n0") - F.col("ties_a")).cast("double")
+            * (F.col("n0") - F.col("ties_b")).cast("double")
+        ),
+    )
+
+
+def _kendall_sql() -> str:
+    pairs = sorted(itertools.combinations(sorted(EVENT_TYPES), 2))
+    vsel = ",\n                ".join(
+        f"max(CASE WHEN event_type = '{t}' THEN v END) AS v_{t}"
+        for t in EVENT_TYPES
+    )
+    aggs = ["CAST(count(*) AS BIGINT) AS n0"]
+    for x, y in pairs:
+        dx = f"(a.v_{x} - b.v_{x})"
+        dy = f"(a.v_{y} - b.v_{y})"
+        aggs.append(
+            f"CAST(sum(CASE WHEN {dx} > 0 AND {dy} > 0"
+            f" OR {dx} < 0 AND {dy} < 0 THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS c_{x}_{y}"
+        )
+        aggs.append(
+            f"CAST(sum(CASE WHEN {dx} > 0 AND {dy} < 0"
+            f" OR {dx} < 0 AND {dy} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS d_{x}_{y}"
+        )
+        aggs.append(
+            f"CAST(sum(CASE WHEN {dx} = 0 THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS ta_{x}_{y}"
+        )
+        aggs.append(
+            f"CAST(sum(CASE WHEN {dy} = 0 THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS tb_{x}_{y}"
+        )
+    structs = ",\n                ".join(
+        "{'type_a': '%s', 'type_b': '%s', 'n0': n0,"
+        " 'concordant': c_%s_%s, 'discordant': d_%s_%s,"
+        " 'ties_a': ta_%s_%s, 'ties_b': tb_%s_%s}"
+        % (x, y, x, y, x, y, x, y, x, y)
+        for x, y in pairs
+    )
+    return f"""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+            CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100
+              AS BIGINT)) AS BIGINT) AS v
+          FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        ),
+        wide AS (
+          SELECT day,
+                {vsel}
+          FROM daily GROUP BY day
+        ),
+        wrow AS (
+          SELECT {', '.join(aggs)}
+          FROM wide a JOIN wide b ON a.day < b.day
+        ),
+        ex AS (
+          SELECT unnest([
+                {structs}
+          ]) AS s FROM wrow
+        )
+        SELECT s.type_a AS type_a, s.type_b AS type_b, s.n0 AS n0,
+          s.concordant AS concordant, s.discordant AS discordant,
+          s.ties_a AS ties_a, s.ties_b AS ties_b,
+          CAST(s.concordant - s.discordant AS DOUBLE)
+            / sqrt(CAST(s.n0 - s.ties_a AS DOUBLE)
+                   * CAST(s.n0 - s.ties_b AS DOUBLE)) AS tau_b
+        FROM ex
+    """
+
+
 def _cliffs_sql() -> str:
     pairs = sorted(itertools.combinations(sorted(EVENT_TYPES), 2))
     csel = ",\n                ".join(
@@ -392,8 +667,99 @@ register_many(
         'q463_cliffs_delta': _q_cliffs_delta,
         'q464_gini_stump': _q_gini_stump,
         'q465_ccf_lags': _q_ccf_lags,
+        'q466_sample_entropy': _q_sample_entropy,
+        'q467_source_overlap': _q_source_overlap,
+        'q468_kendall_matrix': _q_kendall_matrix,
     },
     {
+        # Twin of _q_sample_entropy: same template set, integer
+        # tolerance, and −ln(A/B) epilogue (DuckDB ln == libm).
+        'q466_sample_entropy': """
+            WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS v
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+            ),
+            emb0 AS (
+              SELECT event_type,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY day) AS i,
+                v AS v0,
+                lead(v, 1) OVER (PARTITION BY event_type ORDER BY day)
+                  AS v1,
+                lead(v, 2) OVER (PARTITION BY event_type ORDER BY day)
+                  AS v2,
+                (max(v) OVER (PARTITION BY event_type)
+                 - min(v) OVER (PARTITION BY event_type)) // 10
+                  AS r_tol
+              FROM daily
+            ),
+            emb AS (
+              SELECT * FROM emb0 WHERE v2 IS NOT NULL
+            ),
+            cnt AS (
+              SELECT a.event_type,
+                CAST(max(a.r_tol) AS BIGINT) AS r_tol,
+                CAST(sum(CASE WHEN abs(a.v0 - b.v0) <= a.r_tol
+                  AND abs(a.v1 - b.v1) <= a.r_tol
+                  THEN 1 ELSE 0 END) AS BIGINT) AS b_pairs,
+                CAST(sum(CASE WHEN abs(a.v0 - b.v0) <= a.r_tol
+                  AND abs(a.v1 - b.v1) <= a.r_tol
+                  AND abs(a.v2 - b.v2) <= a.r_tol
+                  THEN 1 ELSE 0 END) AS BIGINT) AS a_pairs
+              FROM emb a
+              JOIN emb b ON a.event_type = b.event_type AND a.i < b.i
+              GROUP BY 1
+            )
+            SELECT event_type, r_tol, b_pairs, a_pairs,
+              CASE WHEN a_pairs > 0 AND b_pairs > 0
+                THEN -ln(CAST(a_pairs AS DOUBLE)
+                         / CAST(b_pairs AS DOUBLE))
+                ELSE NULL END AS sampen
+            FROM cnt
+        """,
+        # Twin of _q_source_overlap: q460's shingle construction,
+        # distinct sets, shared-shingle equi-join only.
+        'q467_source_overlap': r"""
+            WITH tk0 AS (
+              SELECT source,
+                list_filter(string_split_regex(trim(text), '\s+'),
+                  x -> x <> '') AS tk
+              FROM documents
+            ),
+            sets AS (
+              SELECT DISTINCT source,
+                unnest(list_transform(range(1, len(tk) - 3),
+                  i -> array_to_string(list_slice(tk, i, i + 4), ' ')))
+                  AS shingle
+              FROM tk0 WHERE len(tk) >= 5
+            ),
+            sizes AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_sh
+              FROM sets GROUP BY 1
+            ),
+            inter AS (
+              SELECT a.source AS src_a, b.source AS src_b,
+                CAST(count(*) AS BIGINT) AS n_inter
+              FROM sets a
+              JOIN sets b
+                ON a.shingle = b.shingle AND a.source < b.source
+              GROUP BY 1, 2
+            )
+            SELECT i.src_a, i.src_b,
+              sa.n_sh AS n_a, sb.n_sh AS n_b, i.n_inter,
+              CAST(i.n_inter AS DOUBLE)
+                / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE)
+                AS jaccard,
+              CAST(i.n_inter AS DOUBLE)
+                / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE)
+                AS containment
+            FROM inter i
+            JOIN sizes sa ON sa.source = i.src_a
+            JOIN sizes sb ON sb.source = i.src_b
+        """,
+        'q468_kendall_matrix': _kendall_sql(),
         # Twin of _q_permutation_entropy: identical embedding, tie
         # rule, and ascending-code list_reduce entropy fold.
         'q462_permutation_entropy': """

@@ -136,6 +136,10 @@ def test_no_accidental_cartesian_products(spark):
     # 1-row (m0, m1) month-anchor broadcast onto the fact (like q226's
     # anchor timestamp), and the 1-row global-median broadcast (q387)
     SKIP |= {"q382_pvm_bridge", "q387_cochran_q"}
+    # calendar-bounded day-pair frame (30×30 at ANY sf — the Kendall
+    # matrix joins the per-day WIDE reduction on day<day, like q375's
+    # theta pairs; event volume only feeds the map-side daily reduce)
+    SKIP |= {"q468_kendall_matrix"}
     qs = entrymod.queries()
     offenders = []
     for name, fn in qs.items():

@@ -65,3 +65,33 @@ def test_ccf_bounds(results):
         assert abs(r["ccf"]) <= 1.0 + 1e-12
         # lag-k alignment over a 30-day span leaves 30 - |k| pairs
         assert r["n_days"] == 30 - abs(r["lag"])
+
+
+def test_sample_entropy_identities(spark):
+    rows = entrymod.queries()["q466_sample_entropy"](spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        # 3-template matches are a subset of 2-template matches
+        assert 0 <= r["a_pairs"] <= r["b_pairs"] <= 28 * 27 // 2
+        if r["sampen"] is not None:
+            assert r["sampen"] >= 0.0
+        assert r["r_tol"] >= 0
+
+
+def test_source_overlap_identities(spark):
+    rows = entrymod.queries()["q467_source_overlap"](spark, SF).collect()
+    for r in rows:
+        assert r["src_a"] < r["src_b"]
+        assert 0 < r["n_inter"] <= min(r["n_a"], r["n_b"])
+        assert 0.0 < r["jaccard"] <= r["containment"] <= 1.0
+
+
+def test_kendall_matrix_identities(spark):
+    rows = entrymod.queries()["q468_kendall_matrix"](spark, SF).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["n0"] == 30 * 29 // 2  # C(30,2) day pairs
+        assert (
+            r["concordant"] + r["discordant"] <= r["n0"]
+        )
+        assert -1.0 <= r["tau_b"] <= 1.0
