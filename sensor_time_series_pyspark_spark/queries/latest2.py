@@ -489,6 +489,249 @@ def _q_kendall_matrix(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_haar_energy(spark: SparkSession, sf: str) -> DataFrame:
+    """Unnormalized Haar wavelet energy decomposition (3 levels over
+    the first 24 days) of each type's dollar-rounded daily series —
+    the multi-resolution variance split (fast-vs-slow dynamics) that
+    a periodogram gives in frequency space, here in PURE INTEGER
+    arithmetic: detail = first−second, approx = first+second per
+    dyadic pair, E_l = Σ detail², all exact bigints satisfying
+    Parseval Σv² = E1/2 + E2/4 + E3/8 + EA/8 (pinned by an invariant
+    test). Three constant-size aggregates over the calendar-bounded
+    frame; fractions are fixed-order double divisions."""
+    daily = _type_daily_cents(spark, sf)
+    w = Window.partitionBy("event_type").orderBy("day")
+    base = (
+        daily.select(
+            "event_type",
+            F.row_number().over(w).alias("i"),
+            F.expr("(v + 50) div 100").alias("x"),
+        )
+        .where(F.col("i") <= 24)
+    )
+
+    def level(df: DataFrame) -> DataFrame:
+        odd = F.max(F.when(F.col("i") % 2 == 1, F.col("x")))
+        even = F.max(F.when(F.col("i") % 2 == 0, F.col("x")))
+        return df.groupBy(
+            "event_type", F.expr("(i + 1) div 2").alias("p")
+        ).agg(
+            (odd - even).alias("d"),
+            (odd + even).alias("a"),
+        ).select(
+            "event_type", F.col("p").alias("i"), "d", F.col("a").alias("x")
+        )
+
+    l1 = level(base)
+    l2 = level(l1.select("event_type", "i", "x"))
+    l3 = level(l2.select("event_type", "i", "x"))
+    tot = base.groupBy("event_type").agg(
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sum_sq")
+    )
+    e1 = l1.groupBy("event_type").agg(
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("e1")
+    )
+    e2 = l2.groupBy("event_type").agg(
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("e2")
+    )
+    e3 = l3.groupBy("event_type").agg(
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("e3")
+    )
+    ea = l3.groupBy("event_type").agg(
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("ea")
+    )
+    j = (
+        tot.join(e1, "event_type")
+        .join(e2, "event_type")
+        .join(e3, "event_type")
+    ).join(ea, "event_type")
+    ss = F.col("sum_sq").cast("double")
+    return j.select(
+        "event_type",
+        "sum_sq",
+        "e1",
+        "e2",
+        "e3",
+        "ea",
+        (F.col("e1").cast("double") / 2.0 / ss).alias("frac_l1"),
+        (F.col("e2").cast("double") / 4.0 / ss).alias("frac_l2"),
+        (F.col("e3").cast("double") / 8.0 / ss).alias("frac_l3"),
+    )
+
+
+_PERIODOGRAM_KS = list(range(1, 8))
+_PERIODOGRAM_N = 30
+
+
+def _trig_table() -> list[tuple[int, int, float, float]]:
+    """(t, k, cos, sin) literals for the 30-point DFT — generated
+    ONCE in Python (libm) and inlined as identical double literals in
+    both the Spark epilogue and the DuckDB oracle, so no engine ever
+    evaluates a transcendental on data."""
+    import math
+
+    out = []
+    for k in _PERIODOGRAM_KS:
+        for t in range(1, _PERIODOGRAM_N + 1):
+            ang = 2.0 * math.pi * k * (t - 1) / _PERIODOGRAM_N
+            out.append((t, k, math.cos(ang), math.sin(ang)))
+    return out
+
+
+def _q_periodogram(spark: SparkSession, sf: str) -> DataFrame:
+    """DFT periodogram (k = 1..7, n = 30) of each type's
+    dollar-rounded daily series — the weekly/biweekly seasonality
+    detector in frequency space (power peaks at k = 30/period ≈ 4 for
+    a 7-day cycle). Trig factors are PRE-COMPUTED double literals
+    (shared verbatim with the oracle), c_k/s_k fold v·cosᵗ in
+    ascending-day order driver-side over the 150-row collected frame
+    — the exact fold DuckDB's ordered list_reduce replays — and
+    power_frac folds the 7 powers in ascending-k order."""
+    daily = _type_daily_cents(spark, sf)
+    w = Window.partitionBy("event_type").orderBy("day")
+    rows = (
+        daily.select(
+            "event_type",
+            F.row_number().over(w).alias("t"),
+            F.expr("(v + 50) div 100").alias("x"),
+        )
+        .where(F.col("t") <= _PERIODOGRAM_N)
+        .collect()
+    )
+    series: dict[str, dict[int, int]] = {}
+    for r in rows:
+        series.setdefault(r["event_type"], {})[r["t"]] = r["x"]
+    trig = {(t, k): (c, s) for t, k, c, s in _trig_table()}
+    out = []
+    for et in sorted(series):
+        xs = series[et]
+        powers = []
+        for k in _PERIODOGRAM_KS:
+            c = None
+            s = None
+            for t in sorted(xs):
+                ct, st = trig[(t, k)]
+                tc = xs[t] * ct
+                ts = xs[t] * st
+                c = tc if c is None else c + tc
+                s = ts if s is None else s + ts
+            powers.append(c * c + s * s)
+        tot = None
+        for p in powers:
+            tot = p if tot is None else tot + p
+        for k, p in zip(_PERIODOGRAM_KS, powers):
+            out.append((et, k, p, p / tot))
+    return spark.createDataFrame(
+        out,
+        "event_type string, k int, power double, power_frac double",
+    )
+
+
+def _q_hjorth(spark: SparkSession, sf: str) -> DataFrame:
+    """Hjorth parameters (activity, mobility, complexity) of each
+    type's daily cents series — the classic 3-number EEG-style
+    signal fingerprint: activity = var(x),
+    mobility = √(var(Δx)/var(x)),
+    complexity = √(var(Δ²x)/var(Δx))/mobility. All three variances
+    are population variances from exact integer moments ((mq−s²)/m²,
+    every product < 2^63 by the daily-cents bound), combined in one
+    fixed-order double chain — IEEE-portable, no libm."""
+    daily = _type_daily_cents(spark, sf)
+    w = Window.partitionBy("event_type").orderBy("day")
+    d = daily.select(
+        "event_type",
+        F.col("v").alias("x"),
+        (F.col("v") - F.lag("v", 1).over(w)).alias("dx"),
+        (
+            F.col("v")
+            - 2 * F.lag("v", 1).over(w)
+            + F.lag("v", 2).over(w)
+        ).alias("ddx"),
+    )
+
+    def mom(c: str):
+        col = F.col(c)
+        return [
+            F.count(col).cast("bigint").alias(f"m_{c}"),
+            F.sum(col).cast("bigint").alias(f"s_{c}"),
+            F.sum(col * col).cast("bigint").alias(f"q_{c}"),
+        ]
+
+    g = d.groupBy("event_type").agg(
+        *(mom("x") + mom("dx") + mom("ddx"))
+    )
+
+    def var(c: str) -> F.Column:
+        m = F.col(f"m_{c}").cast("double")
+        s = F.col(f"s_{c}").cast("double")
+        q = F.col(f"q_{c}").cast("double")
+        return (m * q - s * s) / (m * m)
+
+    vx, vdx, vddx = var("x"), var("dx"), var("ddx")
+    mob = F.sqrt(vdx / vx)
+    return g.select(
+        "event_type",
+        F.col("m_x").alias("n_days"),
+        vx.alias("activity"),
+        mob.alias("mobility"),
+        (F.sqrt(vddx / vdx) / mob).alias("complexity"),
+    )
+
+
+def _periodogram_sql() -> str:
+    trig = _trig_table()
+    # always-scientific literals parse as DOUBLE in DuckDB; plain
+    # decimals would parse as DECIMAL whose →double cast is off by
+    # one ulp (the q447 two-limb hazard's little sibling)
+    vals = ",\n                ".join(
+        f"({t}, {k}, {c:.17e}, {s:.17e})" for t, k, c, s in trig
+    )
+    return f"""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+            CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100
+              AS BIGINT)) AS BIGINT) AS v
+          FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        ),
+        idx AS (
+          SELECT event_type,
+            row_number() OVER (PARTITION BY event_type ORDER BY day)
+              AS t,
+            (v + 50) // 100 AS x
+          FROM daily
+        ),
+        base AS (
+          SELECT * FROM idx WHERE t <= {_PERIODOGRAM_N}
+        ),
+        trig(t, k, c, s) AS (
+          VALUES
+                {vals}
+        ),
+        ck AS (
+          SELECT b.event_type, tr.k,
+            list_reduce(list(b.x * tr.c ORDER BY b.t),
+              (a, b) -> a + b) AS cc,
+            list_reduce(list(b.x * tr.s ORDER BY b.t),
+              (a, b) -> a + b) AS ss
+          FROM base b JOIN trig tr ON tr.t = b.t
+          GROUP BY 1, 2
+        ),
+        pw AS (
+          SELECT event_type, k, cc * cc + ss * ss AS power
+          FROM ck
+        ),
+        tot AS (
+          SELECT event_type,
+            list_reduce(list(power ORDER BY k), (a, b) -> a + b)
+              AS tot
+          FROM pw GROUP BY 1
+        )
+        SELECT p.event_type, CAST(p.k AS INT) AS k, p.power,
+          p.power / t.tot AS power_frac
+        FROM pw p JOIN tot t USING (event_type)
+    """
+
+
 def _kendall_sql() -> str:
     pairs = sorted(itertools.combinations(sorted(EVENT_TYPES), 2))
     vsel = ",\n                ".join(
@@ -670,8 +913,135 @@ register_many(
         'q466_sample_entropy': _q_sample_entropy,
         'q467_source_overlap': _q_source_overlap,
         'q468_kendall_matrix': _q_kendall_matrix,
+        'q469_haar_energy': _q_haar_energy,
+        'q470_periodogram': _q_periodogram,
+        'q471_hjorth': _q_hjorth,
     },
     {
+        # Twin of _q_haar_energy: identical dyadic pairing and
+        # integer detail/approx recursion.
+        'q469_haar_energy': """
+            WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS v
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+            ),
+            base AS (
+              SELECT event_type,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY day) AS i,
+                (v + 50) // 100 AS x
+              FROM daily
+              QUALIFY i <= 24
+            ),
+            l1 AS (
+              SELECT event_type, (i + 1) // 2 AS p,
+                max(CASE WHEN i % 2 = 1 THEN x END)
+                  - max(CASE WHEN i % 2 = 0 THEN x END) AS d,
+                max(CASE WHEN i % 2 = 1 THEN x END)
+                  + max(CASE WHEN i % 2 = 0 THEN x END) AS x
+              FROM base GROUP BY 1, 2
+            ),
+            l2 AS (
+              SELECT event_type, (p + 1) // 2 AS p,
+                max(CASE WHEN p % 2 = 1 THEN x END)
+                  - max(CASE WHEN p % 2 = 0 THEN x END) AS d,
+                max(CASE WHEN p % 2 = 1 THEN x END)
+                  + max(CASE WHEN p % 2 = 0 THEN x END) AS x
+              FROM l1 GROUP BY 1, 2
+            ),
+            l3 AS (
+              SELECT event_type, (p + 1) // 2 AS p,
+                max(CASE WHEN p % 2 = 1 THEN x END)
+                  - max(CASE WHEN p % 2 = 0 THEN x END) AS d,
+                max(CASE WHEN p % 2 = 1 THEN x END)
+                  + max(CASE WHEN p % 2 = 0 THEN x END) AS x
+              FROM l2 GROUP BY 1, 2
+            ),
+            agg AS (
+              SELECT b.event_type,
+                (SELECT CAST(sum(x * x) AS BIGINT) FROM base
+                  WHERE event_type = b.event_type) AS sum_sq,
+                (SELECT CAST(sum(d * d) AS BIGINT) FROM l1
+                  WHERE event_type = b.event_type) AS e1,
+                (SELECT CAST(sum(d * d) AS BIGINT) FROM l2
+                  WHERE event_type = b.event_type) AS e2,
+                (SELECT CAST(sum(d * d) AS BIGINT) FROM l3
+                  WHERE event_type = b.event_type) AS e3,
+                (SELECT CAST(sum(x * x) AS BIGINT) FROM l3
+                  WHERE event_type = b.event_type) AS ea
+              FROM (SELECT DISTINCT event_type FROM base) b
+            )
+            SELECT event_type, sum_sq, e1, e2, e3, ea,
+              CAST(e1 AS DOUBLE) / 2.0 / CAST(sum_sq AS DOUBLE)
+                AS frac_l1,
+              CAST(e2 AS DOUBLE) / 4.0 / CAST(sum_sq AS DOUBLE)
+                AS frac_l2,
+              CAST(e3 AS DOUBLE) / 8.0 / CAST(sum_sq AS DOUBLE)
+                AS frac_l3
+            FROM agg
+        """,
+        'q470_periodogram': _periodogram_sql(),
+        # Twin of _q_hjorth: identical moment casts and fixed-order
+        # double chain.
+        'q471_hjorth': """
+            WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS v
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+            ),
+            d AS (
+              SELECT event_type, v AS x,
+                v - lag(v, 1) OVER (PARTITION BY event_type
+                  ORDER BY day) AS dx,
+                v - 2 * lag(v, 1) OVER (PARTITION BY event_type
+                  ORDER BY day)
+                  + lag(v, 2) OVER (PARTITION BY event_type
+                    ORDER BY day) AS ddx
+              FROM daily
+            ),
+            g AS (
+              SELECT event_type,
+                CAST(count(x) AS BIGINT) AS m_x,
+                CAST(sum(x) AS BIGINT) AS s_x,
+                CAST(sum(x * x) AS BIGINT) AS q_x,
+                CAST(count(dx) AS BIGINT) AS m_dx,
+                CAST(sum(dx) AS BIGINT) AS s_dx,
+                CAST(sum(dx * dx) AS BIGINT) AS q_dx,
+                CAST(count(ddx) AS BIGINT) AS m_ddx,
+                CAST(sum(ddx) AS BIGINT) AS s_ddx,
+                CAST(sum(ddx * ddx) AS BIGINT) AS q_ddx
+              FROM d GROUP BY 1
+            )
+            SELECT event_type, m_x AS n_days,
+              (CAST(m_x AS DOUBLE) * CAST(q_x AS DOUBLE)
+                 - CAST(s_x AS DOUBLE) * CAST(s_x AS DOUBLE))
+                / (CAST(m_x AS DOUBLE) * CAST(m_x AS DOUBLE))
+                AS activity,
+              sqrt(((CAST(m_dx AS DOUBLE) * CAST(q_dx AS DOUBLE)
+                 - CAST(s_dx AS DOUBLE) * CAST(s_dx AS DOUBLE))
+                / (CAST(m_dx AS DOUBLE) * CAST(m_dx AS DOUBLE)))
+                / ((CAST(m_x AS DOUBLE) * CAST(q_x AS DOUBLE)
+                 - CAST(s_x AS DOUBLE) * CAST(s_x AS DOUBLE))
+                / (CAST(m_x AS DOUBLE) * CAST(m_x AS DOUBLE))))
+                AS mobility,
+              sqrt(((CAST(m_ddx AS DOUBLE) * CAST(q_ddx AS DOUBLE)
+                 - CAST(s_ddx AS DOUBLE) * CAST(s_ddx AS DOUBLE))
+                / (CAST(m_ddx AS DOUBLE) * CAST(m_ddx AS DOUBLE)))
+                / ((CAST(m_dx AS DOUBLE) * CAST(q_dx AS DOUBLE)
+                 - CAST(s_dx AS DOUBLE) * CAST(s_dx AS DOUBLE))
+                / (CAST(m_dx AS DOUBLE) * CAST(m_dx AS DOUBLE))))
+                / sqrt(((CAST(m_dx AS DOUBLE) * CAST(q_dx AS DOUBLE)
+                 - CAST(s_dx AS DOUBLE) * CAST(s_dx AS DOUBLE))
+                / (CAST(m_dx AS DOUBLE) * CAST(m_dx AS DOUBLE)))
+                / ((CAST(m_x AS DOUBLE) * CAST(q_x AS DOUBLE)
+                 - CAST(s_x AS DOUBLE) * CAST(s_x AS DOUBLE))
+                / (CAST(m_x AS DOUBLE) * CAST(m_x AS DOUBLE))))
+                AS complexity
+            FROM g
+        """,
         # Twin of _q_sample_entropy: same template set, integer
         # tolerance, and −ln(A/B) epilogue (DuckDB ln == libm).
         'q466_sample_entropy': """

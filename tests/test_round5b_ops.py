@@ -95,3 +95,41 @@ def test_kendall_matrix_identities(spark):
             r["concordant"] + r["discordant"] <= r["n0"]
         )
         assert -1.0 <= r["tau_b"] <= 1.0
+
+
+def test_haar_parseval_exact(spark):
+    """Unnormalized Haar satisfies 8·Σv² = 4E1 + 2E2 + E3 + EA as an
+    EXACT integer identity — the lossless-decomposition proof."""
+    rows = entrymod.queries()["q469_haar_energy"](spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert (
+            8 * r["sum_sq"]
+            == 4 * r["e1"] + 2 * r["e2"] + r["e3"] + r["ea"]
+        )
+        for c in ("frac_l1", "frac_l2", "frac_l3"):
+            assert 0.0 <= r[c] <= 1.0
+
+
+def test_periodogram_fracs(spark):
+    rows = entrymod.queries()["q470_periodogram"](spark, SF).collect()
+    assert len(rows) == 35  # 5 types x 7 harmonics
+    by_type = {}
+    for r in rows:
+        assert r["power"] >= 0.0
+        by_type.setdefault(r["event_type"], 0.0)
+        by_type[r["event_type"]] += r["power_frac"]
+    for tot in by_type.values():
+        assert abs(tot - 1.0) < 1e-12
+
+
+def test_hjorth_positive(spark):
+    import math
+
+    rows = entrymod.queries()["q471_hjorth"](spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["activity"] > 0
+        assert r["mobility"] > 0 and math.isfinite(r["mobility"])
+        assert r["complexity"] > 0 and math.isfinite(r["complexity"])
+        assert r["n_days"] == 30
