@@ -678,6 +678,257 @@ def _q_hjorth(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_hill_tail(spark: SparkSession, sf: str) -> DataFrame:
+    """Hill estimator of the Pareto tail index per event type:
+    H = (1/k)·Σᵢ₌₁..ₖ ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the k = 50 largest cents
+    values, α̂ = 1/H — the heavy-tail exponent a pricing/anomaly team
+    reads before trusting any variance-based alarm. Order statistics
+    are exact integers (rank over a map-side per-type top-(k+1)
+    reduction; ties at the boundary leave the value multiset
+    unchanged), and the k-term ln fold runs driver-side in ascending
+    rank order over the 5×51 collected rows — DuckDB's ordered
+    list_reduce replays it exactly."""
+    import math
+
+    k = 50
+    ev = read_table(spark, sf, "events").where(F.col("value").isNotNull())
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("v").desc(), F.col("event_id")
+    )
+    top = (
+        ev.select("event_type", "event_id", cents.alias("v"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k + 1)
+        .select("event_type", "rnk", "v")
+        .collect()
+    )
+    by_type: dict[str, dict[int, int]] = {}
+    for r in top:
+        by_type.setdefault(r["event_type"], {})[r["rnk"]] = r["v"]
+    out = []
+    for t in sorted(by_type):
+        xs = by_type[t]
+        xk1 = xs[k + 1]
+        h = None
+        for i in range(1, k + 1):
+            term = math.log(xs[i] / xk1)
+            h = term if h is None else h + term
+        h = h / k
+        out.append((t, k, xk1, h, 1.0 / h))
+    return spark.createDataFrame(
+        out,
+        "event_type string, k int, x_k1 bigint, hill_h double, "
+        "alpha double",
+    )
+
+
+def _q_mean_excess(spark: SparkSession, sf: str) -> DataFrame:
+    """Mean-excess function e(u) = E[X−u | X>u] at the nine decile
+    thresholds per event type — the peaks-over-threshold diagnostic
+    (rising e(u) ⇒ heavy tail, the empirical companion to q472's
+    Hill α). ONE distinct-value sort yields running count/sum; every
+    threshold u_i = value at rank ⌈i·n/10⌉ and its exceedance
+    count/excess-sum are read off the SAME pass with conditional
+    aggregates (no threshold join, no re-scan), all exact integers
+    until the final division."""
+    ev = read_table(spark, sf, "events").where(F.col("value").isNotNull())
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    cells = (
+        ev.select("event_type", cents.alias("v"))
+        .groupBy("event_type", "v")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum("v").cast("bigint").alias("vsum"),
+        )
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    run = cells.select(
+        "event_type",
+        "v",
+        "cnt",
+        F.sum("cnt").over(wcum).cast("bigint").alias("ccnt"),
+        F.sum("vsum").over(wcum).cast("bigint").alias("csum"),
+        F.sum("cnt").over(wall).cast("bigint").alias("n"),
+        F.sum("vsum").over(wall).cast("bigint").alias("tot"),
+    )
+    aggs = []
+    for i in range(1, 10):
+        r_i = F.ceil(F.col("n") * i / 10).cast("bigint")
+        hit = (F.col("ccnt") >= r_i) & (
+            (F.col("ccnt") - F.col("cnt")) < r_i
+        )
+        aggs.append(F.max(F.when(hit, F.col("v"))).alias(f"u_{i}"))
+        aggs.append(
+            F.max(F.when(hit, F.col("n") - F.col("ccnt"))).alias(
+                f"ec_{i}"
+            )
+        )
+        aggs.append(
+            F.max(F.when(hit, F.col("tot") - F.col("csum"))).alias(
+                f"es_{i}"
+            )
+        )
+    wide = run.groupBy("event_type").agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("decile"),
+                F.col(f"u_{i}").alias("u"),
+                F.col(f"ec_{i}").alias("n_exceed"),
+                F.col(f"es_{i}").alias("sum_above"),
+            )
+            for i in range(1, 10)
+        ]
+    )
+    ex = wide.select(
+        "event_type", F.explode(structs).alias("s")
+    ).select("event_type", "s.*")
+    return ex.select(
+        "event_type",
+        "decile",
+        "u",
+        "n_exceed",
+        (
+            (F.col("sum_above") - F.col("u") * F.col("n_exceed"))
+            .cast("double")
+            / F.col("n_exceed").cast("double")
+        ).alias("mean_excess"),
+    ).where(F.col("n_exceed") > 0)
+
+
+def _q_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM segmentation: per-user Recency (days since last event),
+    Frequency (event count), Monetary (cents sum) → quintile scores
+    via ntile(5) with fully deterministic user_id tie-breaks →
+    segment census with average spend. The classic CRM cohort cut,
+    here with every score reproducible across engines because each
+    ntile ordering is total. Shuffles the per-user reduction (n_users
+    rows), never raw events."""
+    ev = read_table(spark, sf, "events")
+    cents = F.coalesce(
+        (F.col("value").cast("decimal(12,2)") * 100).cast("bigint"),
+        F.lit(0),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.lit("2024-01-31").cast("date"), F.max(F.to_date("ts"))
+        ).alias("recency_days"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum(cents).cast("bigint").alias("monetary"),
+    )
+    scored = per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5)
+        .over(
+            Window.orderBy(
+                F.col("recency_days").asc(), F.col("user_id").asc()
+            )
+        )
+        .alias("r_bucket"),
+        F.ntile(5)
+        .over(
+            Window.orderBy(
+                F.col("frequency").desc(), F.col("user_id").asc()
+            )
+        )
+        .alias("f_bucket"),
+        F.ntile(5)
+        .over(
+            Window.orderBy(
+                F.col("monetary").desc(), F.col("user_id").asc()
+            )
+        )
+        .alias("m_bucket"),
+    )
+    # bucket 1 = best on each axis; score 5 = best, CRM convention
+    seg = scored.select(
+        "user_id",
+        "monetary",
+        (6 - F.col("r_bucket")).alias("r_score"),
+        (6 - F.col("f_bucket")).alias("f_score"),
+        (6 - F.col("m_bucket")).alias("m_score"),
+    )
+    return seg.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("monetary").cast("bigint").alias("monetary_cents"),
+        (
+            F.sum("monetary").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_monetary"),
+    )
+
+
+def _mean_excess_sql() -> str:
+    aggs = []
+    for i in range(1, 10):
+        hit = (
+            f"ccnt >= ceil(n * {i} / 10)"
+            f" AND (ccnt - cnt) < ceil(n * {i} / 10)"
+        )
+        aggs.append(f"max(CASE WHEN {hit} THEN v END) AS u_{i}")
+        aggs.append(
+            f"max(CASE WHEN {hit} THEN n - ccnt END) AS ec_{i}"
+        )
+        aggs.append(
+            f"max(CASE WHEN {hit} THEN tot - csum END) AS es_{i}"
+        )
+    structs = ",\n                ".join(
+        "{'decile': %d, 'u': u_%d, 'n_exceed': ec_%d,"
+        " 'sum_above': es_%d}" % (i, i, i, i)
+        for i in range(1, 10)
+    )
+    return f"""
+        WITH cells AS (
+          SELECT event_type,
+            CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+            CAST(count(*) AS BIGINT) AS cnt,
+            CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100
+              AS BIGINT)) AS BIGINT) AS vsum
+          FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        ),
+        run AS (
+          SELECT event_type, v, cnt,
+            CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS ccnt,
+            CAST(sum(vsum) OVER (PARTITION BY event_type ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS csum,
+            CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT)
+              AS n,
+            CAST(sum(vsum) OVER (PARTITION BY event_type) AS BIGINT)
+              AS tot
+          FROM cells
+        ),
+        wide AS (
+          SELECT event_type, {', '.join(aggs)}
+          FROM run GROUP BY 1
+        ),
+        ex AS (
+          SELECT event_type, unnest([
+                {structs}
+          ]) AS s FROM wide
+        )
+        SELECT event_type, CAST(s.decile AS INT) AS decile,
+          CAST(s.u AS BIGINT) AS u,
+          CAST(s.n_exceed AS BIGINT) AS n_exceed,
+          CAST(s.sum_above - s.u * s.n_exceed AS DOUBLE)
+            / CAST(s.n_exceed AS DOUBLE) AS mean_excess
+        FROM ex WHERE s.n_exceed > 0
+    """
+
+
 def _periodogram_sql() -> str:
     trig = _trig_table()
     # always-scientific literals parse as DOUBLE in DuckDB; plain
@@ -916,8 +1167,48 @@ register_many(
         'q469_haar_energy': _q_haar_energy,
         'q470_periodogram': _q_periodogram,
         'q471_hjorth': _q_hjorth,
+        'q472_hill_tail': _q_hill_tail,
+        'q473_mean_excess': _q_mean_excess,
+        'q474_rfm_segments': _q_rfm_segments,
     },
     {
+        # Twin of _q_hill_tail: same rank frame, ascending-rank
+        # list_reduce of the ln terms, identical /k then 1/H chain.
+        'q472_hill_tail': """
+            WITH base AS (
+              SELECT event_type, event_id,
+                CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                  AS v
+              FROM events WHERE value IS NOT NULL
+            ),
+            ranked AS (
+              SELECT event_type, v,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY v DESC, event_id) AS rnk
+              FROM base
+            ),
+            top AS (
+              SELECT * FROM ranked WHERE rnk <= 51
+            ),
+            xk AS (
+              SELECT event_type,
+                max(CASE WHEN rnk = 51 THEN v END) AS x_k1
+              FROM top GROUP BY 1
+            ),
+            h AS (
+              SELECT t.event_type,
+                list_reduce(
+                  list(ln(CAST(t.v AS DOUBLE) / CAST(x.x_k1 AS DOUBLE))
+                    ORDER BY t.rnk),
+                  (a, b) -> a + b) AS hsum
+              FROM top t JOIN xk x USING (event_type)
+              WHERE t.rnk <= 50
+              GROUP BY 1
+            )
+            SELECT x.event_type, CAST(50 AS INT) AS k, x.x_k1,
+              h.hsum / 50 AS hill_h, 1.0 / (h.hsum / 50) AS alpha
+            FROM xk x JOIN h ON h.event_type = x.event_type
+        """,
         # Twin of _q_haar_energy: identical dyadic pairing and
         # integer detail/approx recursion.
         'q469_haar_energy': """
@@ -983,6 +1274,37 @@ register_many(
             FROM agg
         """,
         'q470_periodogram': _periodogram_sql(),
+        'q473_mean_excess': _mean_excess_sql(),
+        # Twin of _q_rfm_segments: identical total ntile orderings
+        # and the same 6−bucket score flip.
+        'q474_rfm_segments': """
+            WITH per_user AS (
+              SELECT user_id,
+                date_diff('day', max(CAST(ts AS DATE)),
+                  DATE '2024-01-31') AS recency_days,
+                CAST(count(*) AS BIGINT) AS frequency,
+                CAST(sum(COALESCE(
+                  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT),
+                  0)) AS BIGINT) AS monetary
+              FROM events GROUP BY 1
+            ),
+            scored AS (
+              SELECT user_id, monetary,
+                6 - ntile(5) OVER (ORDER BY recency_days ASC,
+                  user_id ASC) AS r_score,
+                6 - ntile(5) OVER (ORDER BY frequency DESC,
+                  user_id ASC) AS f_score,
+                6 - ntile(5) OVER (ORDER BY monetary DESC,
+                  user_id ASC) AS m_score
+              FROM per_user
+            )
+            SELECT r_score, f_score, m_score,
+              CAST(count(*) AS BIGINT) AS n_users,
+              CAST(sum(monetary) AS BIGINT) AS monetary_cents,
+              CAST(sum(monetary) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE) AS avg_monetary
+            FROM scored GROUP BY 1, 2, 3
+        """,
         # Twin of _q_hjorth: identical moment casts and fixed-order
         # double chain.
         'q471_hjorth': """

@@ -133,3 +133,39 @@ def test_hjorth_positive(spark):
         assert r["mobility"] > 0 and math.isfinite(r["mobility"])
         assert r["complexity"] > 0 and math.isfinite(r["complexity"])
         assert r["n_days"] == 30
+
+
+def test_hill_tail_bounds(spark):
+    rows = entrymod.queries()["q472_hill_tail"](spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        # top-50 values all >= x_(51) => every ln term >= 0
+        assert r["hill_h"] >= 0.0
+        assert r["x_k1"] > 0
+        if r["hill_h"] > 0:
+            assert abs(r["alpha"] * r["hill_h"] - 1.0) < 1e-12
+
+
+def test_mean_excess_monotone_count(spark):
+    rows = entrymod.queries()["q473_mean_excess"](spark, SF).collect()
+    assert rows
+    by_type = {}
+    for r in rows:
+        assert r["mean_excess"] >= 0.0
+        by_type.setdefault(r["event_type"], []).append(r)
+    for rs in by_type.values():
+        rs = sorted(rs, key=lambda r: r["decile"])
+        for a, b in zip(rs, rs[1:]):
+            # higher threshold => fewer exceedances, larger u
+            assert b["u"] >= a["u"]
+            assert b["n_exceed"] <= a["n_exceed"]
+
+
+def test_rfm_segment_census(spark):
+    rows = entrymod.queries()["q474_rfm_segments"](spark, SF).collect()
+    n = sum(r["n_users"] for r in rows)
+    assert n == 15  # sf0.001 has 15 distinct users
+    for r in rows:
+        for c in ("r_score", "f_score", "m_score"):
+            assert 1 <= r[c] <= 5
+        assert r["n_users"] > 0
