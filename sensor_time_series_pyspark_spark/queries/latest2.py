@@ -869,6 +869,122 @@ def _q_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_nelson_aalen(spark: SparkSession, sf: str) -> DataFrame:
+    """Nelson–Aalen cumulative hazard of ERROR-event recurrence: the
+    reliability engineer's MTBF curve — per-user gaps between
+    consecutive error days, right-censored at the corpus horizon
+    after each user's last error, H(t) = Σ dᵢ/nᵢ over the ≤ 30-row
+    duration life table plus the Breslow survival exp(−H). The
+    sequential Σ folds driver-side in duration order with nᵢ
+    decremented per step (q400 Kaplan-Meier's discipline — the
+    oracle replays the identical op order in a recursive CTE); exp
+    is libm on both sides. One fact scan, one lead window, one
+    day-grain reduce."""
+    import math
+
+    ev = read_table(spark, sf, "events")
+    err = (
+        ev.where(F.col("event_type") == "error")
+        .select(
+            "user_id",
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("pd"),
+        )
+        .distinct()
+    )
+    wu = Window.partitionBy("user_id").orderBy("pd")
+    nxt = F.lead("pd").over(wu)
+    spans = err.select(
+        F.when(
+            nxt.isNotNull(), F.datediff(nxt, F.col("pd"))
+        ).otherwise(
+            F.datediff(F.lit("2024-01-30").cast("date"), F.col("pd"))
+        ).cast("int").alias("dur"),
+        F.when(nxt.isNotNull(), 1).otherwise(0).alias("obs"),
+    )
+    steps = spans.groupBy("dur").agg(
+        F.sum("obs").cast("bigint").alias("d"),
+        F.sum(1 - F.col("obs")).cast("bigint").alias("c"),
+    ).collect()
+    steps = sorted(steps, key=lambda r: r["dur"])
+    n_risk = sum(r["d"] + r["c"] for r in steps)
+    h = 0.0
+    out = []
+    for r in steps:
+        h = h + r["d"] / n_risk
+        out.append(
+            (r["dur"], n_risk, r["d"], r["c"], h, math.exp(-h))
+        )
+        n_risk -= r["d"] + r["c"]
+    return spark.createDataFrame(
+        out,
+        "duration int, n_risk bigint, d_events bigint, "
+        "c_censored bigint, cum_hazard double, breslow_surv double",
+    )
+
+
+def _q_lz_complexity(spark: SparkSession, sf: str) -> DataFrame:
+    """Lempel-Ziv (LZ76) complexity of each type's up/down daily
+    movement string — the dictionary-parse randomness score
+    (periodic ⇒ few phrases, noise ⇒ ~n/log₂n): each phrase is the
+    SHORTEST prefix-novel substring (search window overlaps the
+    phrase's own first chars, per LZ76). The 29-char binary strings
+    are exact integer comparisons; the parse folds driver-side and
+    the oracle replays it with a recursive CTE whose minimal-l step
+    is a list_filter over strpos — normalization
+    c·(ln n/ln 2)/n is libm on both sides."""
+    import math
+
+    daily = _type_daily_cents(spark, sf)
+    w = Window.partitionBy("event_type").orderBy("day")
+    bits = (
+        daily.select(
+            "event_type",
+            F.col("day"),
+            F.when(
+                F.col("v") > F.lag("v", 1).over(w), F.lit("1")
+            ).otherwise(F.lit("0")).alias("ch"),
+            F.lag("v", 1).over(w).alias("prev"),
+        )
+        .where(F.col("prev").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("day", "ch"))
+                    ),
+                    lambda s: s["ch"],
+                ),
+            ).alias("s")
+        )
+        .collect()
+    )
+    out = []
+    for r in sorted(bits, key=lambda r: r["event_type"]):
+        s = r["s"]
+        n = len(s)
+        i, c = 0, 0
+        while i < n:
+            l = 1
+            while i + l <= n and s[i : i + l] in s[: i + l - 1]:
+                l += 1
+            c += 1
+            i += l
+        out.append(
+            (
+                r["event_type"],
+                n,
+                c,
+                c * (math.log(n) / math.log(2.0)) / n,
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "event_type string, n_len int, n_phrases int, lz_norm double",
+    )
+
+
 def _mean_excess_sql() -> str:
     aggs = []
     for i in range(1, 10):
@@ -1170,8 +1286,105 @@ register_many(
         'q472_hill_tail': _q_hill_tail,
         'q473_mean_excess': _q_mean_excess,
         'q474_rfm_segments': _q_rfm_segments,
+        'q475_nelson_aalen': _q_nelson_aalen,
+        'q476_lz_complexity': _q_lz_complexity,
     },
     {
+        # Twin of _q_nelson_aalen: q400's recursive-CTE life-table
+        # replay with Σ d/n instead of Π(1−d/n), plus exp(−H).
+        'q475_nelson_aalen': """
+            WITH RECURSIVE err AS (
+              SELECT DISTINCT user_id,
+                CAST(date_trunc('day', ts) AS DATE) AS pd
+              FROM events WHERE event_type = 'error'
+            ),
+            sp AS (
+              SELECT
+                CASE WHEN nxt IS NULL
+                  THEN datediff('day', pd, DATE '2024-01-30')
+                  ELSE datediff('day', pd, nxt) END AS dur,
+                CASE WHEN nxt IS NULL THEN 0 ELSE 1 END AS obs
+              FROM (
+                SELECT pd, lead(pd) OVER (
+                  PARTITION BY user_id ORDER BY pd) AS nxt
+                FROM err
+              )
+            ),
+            steps AS (
+              SELECT CAST(dur AS INT) AS dur,
+                CAST(sum(obs) AS BIGINT) AS d,
+                CAST(sum(1 - obs) AS BIGINT) AS c
+              FROM sp GROUP BY 1
+            ),
+            ord AS (
+              SELECT dur, d, c,
+                CAST(row_number() OVER (ORDER BY dur) AS BIGINT) AS rn
+              FROM steps
+            ),
+            rec AS (
+              SELECT CAST(0 AS BIGINT) AS rn,
+                CAST((SELECT sum(d + c) FROM steps) AS BIGINT)
+                  AS n_next,
+                CAST(0.0 AS DOUBLE) AS h
+              UNION ALL
+              SELECT o.rn, r.n_next - (o.d + o.c),
+                r.h + CAST(o.d AS DOUBLE) / CAST(r.n_next AS DOUBLE)
+              FROM rec r JOIN ord o ON o.rn = r.rn + 1
+            )
+            SELECT o.dur AS duration, r0.n_next AS n_risk,
+              o.d AS d_events, o.c AS c_censored, r.h AS cum_hazard,
+              exp(-r.h) AS breslow_surv
+            FROM ord o
+            JOIN rec r ON r.rn = o.rn
+            JOIN rec r0 ON r0.rn = o.rn - 1
+        """,
+        # Twin of _q_lz_complexity: identical parse via minimal-l
+        # list_filter step (prototype-verified against the Python
+        # fold on adversarial strings).
+        'q476_lz_complexity': """
+            WITH RECURSIVE daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS v
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+            ),
+            bits AS (
+              SELECT event_type, day,
+                CASE WHEN v > lag(v, 1) OVER (PARTITION BY event_type
+                  ORDER BY day) THEN '1' ELSE '0' END AS ch,
+                lag(v, 1) OVER (PARTITION BY event_type ORDER BY day)
+                  AS prev
+              FROM daily
+            ),
+            strs AS (
+              SELECT event_type AS et,
+                string_agg(ch, '' ORDER BY day) AS s
+              FROM bits WHERE prev IS NOT NULL GROUP BY 1
+            ),
+            rec AS (
+              SELECT et, 1 AS pos, 0 AS c FROM strs
+              UNION ALL
+              SELECT r.et,
+                r.pos + coalesce(
+                  list_filter(range(1, length(t.s) - r.pos + 2),
+                    l -> strpos(substr(t.s, 1, r.pos + l - 2),
+                                substr(t.s, r.pos, l)) = 0)[1],
+                  length(t.s) - r.pos + 1) AS pos,
+                r.c + 1 AS c
+              FROM rec r JOIN strs t ON t.et = r.et
+              WHERE r.pos <= length(t.s)
+            ),
+            fin AS (
+              SELECT et, CAST(max(c) AS INT) AS n_phrases
+              FROM rec GROUP BY 1
+            )
+            SELECT s.et AS event_type,
+              CAST(length(s.s) AS INT) AS n_len,
+              f.n_phrases,
+              f.n_phrases * (ln(CAST(length(s.s) AS DOUBLE))
+                / ln(2.0)) / CAST(length(s.s) AS DOUBLE) AS lz_norm
+            FROM strs s JOIN fin f ON f.et = s.et
+        """,
         # Twin of _q_hill_tail: same rank frame, ascending-rank
         # list_reduce of the ln terms, identical /k then 1/H chain.
         'q472_hill_tail': """

@@ -169,3 +169,47 @@ def test_rfm_segment_census(spark):
         for c in ("r_score", "f_score", "m_score"):
             assert 1 <= r[c] <= 5
         assert r["n_users"] > 0
+
+
+def test_nelson_aalen_monotone(spark):
+    rows = entrymod.queries()["q475_nelson_aalen"](spark, SF).collect()
+    assert rows
+    rows = sorted(rows, key=lambda r: r["duration"])
+    prev_h, prev_n = 0.0, None
+    for r in rows:
+        # cumulative hazard is nondecreasing; at-risk set shrinks
+        assert r["cum_hazard"] >= prev_h
+        if prev_n is not None:
+            assert r["n_risk"] < prev_n
+        prev_h, prev_n = r["cum_hazard"], r["n_risk"]
+        assert 0.0 < r["breslow_surv"] <= 1.0
+
+
+def test_lz_complexity_bounds(spark):
+    rows = entrymod.queries()["q476_lz_complexity"](spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_len"] == 29
+        # LZ76 phrase count is between 1 and n
+        assert 1 <= r["n_phrases"] <= r["n_len"]
+        assert r["lz_norm"] > 0
+
+
+def test_lz76_python_reference():
+    """The driver-side parse against hand-checked values."""
+
+    def lz76(s):
+        n = len(s)
+        i = c = 0
+        while i < n:
+            l = 1
+            while i + l <= n and s[i : i + l] in s[: i + l - 1]:
+                l += 1
+            c += 1
+            i += l
+        return c
+
+    assert lz76("0001101001000101") == 6
+    assert lz76("1111111") == 2
+    assert lz76("0101010101") == 3
+    assert lz76("1") == 1
