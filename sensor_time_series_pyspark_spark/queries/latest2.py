@@ -985,6 +985,186 @@ def _q_lz_complexity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_spectral_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Spectral entropy + dominant harmonic per event type: Shannon
+    entropy of the q470 periodogram's normalized power distribution
+    (flat spectrum ⇒ 1, single tone ⇒ 0) and the argmax harmonic
+    with its period — the one-row-per-series "is there a cycle and
+    how clean" summary. Same pre-computed trig literals and
+    ascending-k folds as q470; the ln epilogue runs driver-side over
+    the 5×7 power table (libm), tie-broken argmax by lowest k."""
+    import math
+
+    daily = _type_daily_cents(spark, sf)
+    w = Window.partitionBy("event_type").orderBy("day")
+    rows = (
+        daily.select(
+            "event_type",
+            F.row_number().over(w).alias("t"),
+            F.expr("(v + 50) div 100").alias("x"),
+        )
+        .where(F.col("t") <= _PERIODOGRAM_N)
+        .collect()
+    )
+    series: dict[str, dict[int, int]] = {}
+    for r in rows:
+        series.setdefault(r["event_type"], {})[r["t"]] = r["x"]
+    trig = {(t, k): (c, s) for t, k, c, s in _trig_table()}
+    out = []
+    for et in sorted(series):
+        xs = series[et]
+        powers = []
+        for k in _PERIODOGRAM_KS:
+            c = None
+            s = None
+            for t in sorted(xs):
+                ct, st = trig[(t, k)]
+                tc = xs[t] * ct
+                ts = xs[t] * st
+                c = tc if c is None else c + tc
+                s = ts if s is None else s + ts
+            powers.append(c * c + s * s)
+        tot = None
+        for p in powers:
+            tot = p if tot is None else tot + p
+        h = None
+        for p in powers:
+            frac = p / tot
+            term = -(frac * math.log(frac))
+            h = term if h is None else h + term
+        peak_k = max(
+            zip(_PERIODOGRAM_KS, powers), key=lambda kp: (kp[1], -kp[0])
+        )[0]
+        out.append(
+            (
+                et,
+                h / math.log(float(len(_PERIODOGRAM_KS))),
+                peak_k,
+                _PERIODOGRAM_N / peak_k,
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "event_type string, spec_entropy double, peak_k int, "
+        "peak_period double",
+    )
+
+
+_DFA_SIZES = [4, 5, 6, 10]
+
+
+def _q_dfa_alpha(spark: SparkSession, sf: str) -> DataFrame:
+    """Detrended fluctuation analysis α per event type: the
+    long-range-dependence exponent (α≈0.5 uncorrelated, α→1 1/f,
+    α>1 nonstationary drift) — the complexity suite's memory probe
+    next to q462 PE / q466 SampEn / q476 LZ. The n-scaled profile
+    Pₖ = n·Σᵢ≤ₖxᵢ − k·S is EXACT INTEGER ($100-rounded units keep
+    every moment < 2^63), each size-s box's OLS-detrended RSS is the
+    closed form (SxxSyy − Sxy²)/(s·Sxx) with one shared integer
+    denominator per s, and α is the 4-point ln-ln slope folded
+    driver-side in ascending-s order (libm; n-scaling shifts ln F by
+    a constant and cancels in the slope)."""
+    import math
+
+    daily = _type_daily_cents(spark, sf)
+    w = Window.partitionBy("event_type").orderBy("day")
+    wall = Window.partitionBy("event_type")
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prof = daily.select(
+        "event_type",
+        F.row_number().over(w).alias("t"),
+        F.expr("(v + 5000) div 10000").alias("x"),
+    ).select(
+        "event_type",
+        "t",
+        (
+            F.count(F.lit(1)).over(wall) * F.sum("x").over(wcum)
+            - F.col("t") * F.sum("x").over(wall)
+        ).cast("bigint").alias("p"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
+    )
+    sized = prof.select(
+        "event_type",
+        "t",
+        "p",
+        "n",
+        F.explode(
+            F.array(*[F.lit(s) for s in _DFA_SIZES])
+        ).alias("s"),
+    ).where(
+        F.col("t") <= (F.col("n") - F.col("n") % F.col("s"))
+    )
+    tt = F.col("t") - (F.ceil(F.col("t") / F.col("s")) - 1) * F.col("s")
+    box = sized.select(
+        "event_type",
+        "s",
+        F.ceil(F.col("t") / F.col("s")).cast("bigint").alias("b"),
+        tt.cast("bigint").alias("tt"),
+        "p",
+    )
+    moms = box.groupBy("event_type", "s", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("tt").cast("bigint").alias("st"),
+        F.sum(F.col("tt") * F.col("tt")).cast("bigint").alias("stt"),
+        F.sum("p").cast("bigint").alias("sy"),
+        F.sum(F.col("p") * F.col("p")).cast("bigint").alias("syy"),
+        F.sum(F.col("tt") * F.col("p")).cast("bigint").alias("sty"),
+    )
+    sxx = F.col("m") * F.col("stt") - F.col("st") * F.col("st")
+    syy_c = F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
+    sxy_c = F.col("m") * F.col("sty") - F.col("st") * F.col("sy")
+    per_s = moms.select(
+        "event_type",
+        "s",
+        (sxx * syy_c - sxy_c * sxy_c)
+        .cast("decimal(38,0)")
+        .alias("num"),
+        sxx.alias("sxx"),
+    ).groupBy("event_type", "s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_boxes"),
+        F.sum("num").alias("num_sum"),
+        F.max("sxx").cast("bigint").alias("sxx"),
+    ).collect()
+    by_type: dict[str, dict[int, tuple]] = {}
+    for r in per_s:
+        by_type.setdefault(r["event_type"], {})[r["s"]] = (
+            int(r["num_sum"]),
+            r["sxx"],
+            r["n_boxes"],
+        )
+    out = []
+    for et in sorted(by_type):
+        fs = {}
+        for s in _DFA_SIZES:
+            num_sum, sxx_v, n_boxes = by_type[et][s]
+            # two float() casts THEN divide — mirrors the oracle's
+            # CAST(..)/CAST(..); a direct int/int true-division would
+            # round once, not twice, and drift above 2^53
+            f2 = float(num_sum) / float(s * sxx_v * n_boxes)
+            fs[s] = math.sqrt(f2)
+        sx = sy = sxy = sxx_m = None
+        for s in _DFA_SIZES:
+            x = math.log(float(s))
+            y = math.log(fs[s])
+            sx = x if sx is None else sx + x
+            sy = y if sy is None else sy + y
+            sxy = x * y if sxy is None else sxy + x * y
+            sxx_m = x * x if sxx_m is None else sxx_m + x * x
+        m = float(len(_DFA_SIZES))
+        alpha = (m * sxy - sx * sy) / (m * sxx_m - sx * sx)
+        for s in _DFA_SIZES:
+            out.append((et, s, by_type[et][s][2], fs[s], alpha))
+    return spark.createDataFrame(
+        out,
+        "event_type string, s int, n_boxes bigint, f_s double, "
+        "alpha double",
+    )
+
+
 def _mean_excess_sql() -> str:
     aggs = []
     for i in range(1, 10):
@@ -1096,6 +1276,169 @@ def _periodogram_sql() -> str:
         SELECT p.event_type, CAST(p.k AS INT) AS k, p.power,
           p.power / t.tot AS power_frac
         FROM pw p JOIN tot t USING (event_type)
+    """
+
+
+def _spectral_entropy_sql() -> str:
+    trig = _trig_table()
+    vals = ",\n                ".join(
+        f"({t}, {k}, {c:.17e}, {s:.17e})" for t, k, c, s in trig
+    )
+    return f"""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+            CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100
+              AS BIGINT)) AS BIGINT) AS v
+          FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        ),
+        idx AS (
+          SELECT event_type,
+            row_number() OVER (PARTITION BY event_type ORDER BY day)
+              AS t,
+            (v + 50) // 100 AS x
+          FROM daily
+        ),
+        base AS (
+          SELECT * FROM idx WHERE t <= {_PERIODOGRAM_N}
+        ),
+        trig(t, k, c, s) AS (
+          VALUES
+                {vals}
+        ),
+        ck AS (
+          SELECT b.event_type, tr.k,
+            list_reduce(list(b.x * tr.c ORDER BY b.t),
+              (a, b) -> a + b) AS cc,
+            list_reduce(list(b.x * tr.s ORDER BY b.t),
+              (a, b) -> a + b) AS ss
+          FROM base b JOIN trig tr ON tr.t = b.t
+          GROUP BY 1, 2
+        ),
+        pw AS (
+          SELECT event_type, k, cc * cc + ss * ss AS power
+          FROM ck
+        ),
+        tot AS (
+          SELECT event_type,
+            list_reduce(list(power ORDER BY k), (a, b) -> a + b)
+              AS tot
+          FROM pw GROUP BY 1
+        ),
+        ent AS (
+          SELECT p.event_type,
+            list_reduce(
+              list(-((p.power / t.tot) * ln(p.power / t.tot))
+                ORDER BY p.k),
+              (a, b) -> a + b) AS h
+          FROM pw p JOIN tot t USING (event_type)
+          GROUP BY 1
+        ),
+        peak AS (
+          SELECT event_type, k FROM (
+            SELECT event_type, k,
+              row_number() OVER (PARTITION BY event_type
+                ORDER BY power DESC, k ASC) AS rn
+            FROM pw
+          ) WHERE rn = 1
+        )
+        SELECT e.event_type,
+          e.h / ln(CAST(7 AS DOUBLE)) AS spec_entropy,
+          CAST(p.k AS INT) AS peak_k,
+          {_PERIODOGRAM_N} / p.k AS peak_period
+        FROM ent e JOIN peak p USING (event_type)
+    """
+
+
+def _dfa_sql() -> str:
+    sizes = ", ".join(str(s) for s in _DFA_SIZES)
+    return f"""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+            CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100
+              AS BIGINT)) AS BIGINT) AS v
+          FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        ),
+        idx AS (
+          SELECT event_type,
+            row_number() OVER (PARTITION BY event_type ORDER BY day)
+              AS t,
+            (v + 5000) // 10000 AS x
+          FROM daily
+        ),
+        prof AS (
+          SELECT event_type, t,
+            CAST(count(*) OVER (PARTITION BY event_type)
+              * sum(x) OVER (PARTITION BY event_type ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - t * sum(x) OVER (PARTITION BY event_type)
+              AS BIGINT) AS p,
+            CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+              AS n
+          FROM idx
+        ),
+        sized AS (
+          SELECT event_type, t, p, n,
+            CAST(unnest([{sizes}]) AS BIGINT) AS s
+          FROM prof
+        ),
+        boxed AS (
+          SELECT event_type, s,
+            CAST(ceil(t / s) AS BIGINT) AS b,
+            CAST(t - (CAST(ceil(t / s) AS BIGINT) - 1) * s AS BIGINT)
+              AS tt,
+            p
+          FROM sized WHERE t <= n - n % s
+        ),
+        moms AS (
+          SELECT event_type, s, b,
+            CAST(count(*) AS BIGINT) AS m,
+            CAST(sum(tt) AS BIGINT) AS st,
+            CAST(sum(tt * tt) AS BIGINT) AS stt,
+            CAST(sum(p) AS BIGINT) AS sy,
+            CAST(sum(p * p) AS BIGINT) AS syy,
+            CAST(sum(tt * p) AS BIGINT) AS sty
+          FROM boxed GROUP BY 1, 2, 3
+        ),
+        per_box AS (
+          SELECT event_type, s,
+            (m * stt - st * st) AS sxx,
+            (m * stt - st * st) * (m * syy - sy * sy)
+              - (m * sty - st * sy) * (m * sty - st * sy) AS num
+          FROM moms
+        ),
+        per_s AS (
+          SELECT event_type, s,
+            CAST(count(*) AS BIGINT) AS n_boxes,
+            CAST(sum(num) AS BIGINT) AS num_sum,
+            CAST(max(sxx) AS BIGINT) AS sxx
+          FROM per_box GROUP BY 1, 2
+        ),
+        fvals AS (
+          SELECT event_type, s, n_boxes,
+            sqrt(CAST(num_sum AS DOUBLE)
+              / CAST(s * sxx * n_boxes AS DOUBLE)) AS f_s
+          FROM per_s
+        ),
+        slopes AS (
+          SELECT event_type,
+            (4.0 * list_reduce(list(ln(CAST(s AS DOUBLE))
+                  * ln(f_s) ORDER BY s), (a, b) -> a + b)
+              - list_reduce(list(ln(CAST(s AS DOUBLE)) ORDER BY s),
+                  (a, b) -> a + b)
+                * list_reduce(list(ln(f_s) ORDER BY s),
+                    (a, b) -> a + b))
+            / (4.0 * list_reduce(list(ln(CAST(s AS DOUBLE))
+                  * ln(CAST(s AS DOUBLE)) ORDER BY s),
+                  (a, b) -> a + b)
+              - list_reduce(list(ln(CAST(s AS DOUBLE)) ORDER BY s),
+                  (a, b) -> a + b)
+                * list_reduce(list(ln(CAST(s AS DOUBLE)) ORDER BY s),
+                    (a, b) -> a + b)) AS alpha
+          FROM fvals GROUP BY 1
+        )
+        SELECT f.event_type, CAST(f.s AS INT) AS s, f.n_boxes,
+          f.f_s, sl.alpha
+        FROM fvals f JOIN slopes sl USING (event_type)
     """
 
 
@@ -1288,8 +1631,12 @@ register_many(
         'q474_rfm_segments': _q_rfm_segments,
         'q475_nelson_aalen': _q_nelson_aalen,
         'q476_lz_complexity': _q_lz_complexity,
+        'q477_spectral_entropy': _q_spectral_entropy,
+        'q478_dfa_alpha': _q_dfa_alpha,
     },
     {
+        'q477_spectral_entropy': _spectral_entropy_sql(),
+        'q478_dfa_alpha': _dfa_sql(),
         # Twin of _q_nelson_aalen: q400's recursive-CTE life-table
         # replay with Σ d/n instead of Π(1−d/n), plus exp(−H).
         'q475_nelson_aalen': """

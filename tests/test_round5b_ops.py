@@ -213,3 +213,31 @@ def test_lz76_python_reference():
     assert lz76("1111111") == 2
     assert lz76("0101010101") == 3
     assert lz76("1") == 1
+
+
+def test_spectral_entropy_bounds(spark):
+    rows = entrymod.queries()["q477_spectral_entropy"](
+        spark, SF
+    ).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.0 <= r["spec_entropy"] <= 1.0 + 1e-12
+        assert 1 <= r["peak_k"] <= 7
+        assert abs(r["peak_period"] - 30.0 / r["peak_k"]) < 1e-12
+
+
+def test_dfa_alpha_shape(spark):
+    rows = entrymod.queries()["q478_dfa_alpha"](spark, SF).collect()
+    assert len(rows) == 20  # 5 types x 4 box sizes
+    import math
+
+    by_type = {}
+    for r in rows:
+        assert r["f_s"] >= 0.0 and math.isfinite(r["f_s"])
+        by_type.setdefault(r["event_type"], []).append(r)
+    for rs in by_type.values():
+        # every row of a type carries the same fitted alpha
+        assert len({round(r["alpha"], 12) for r in rs}) == 1
+        assert {r["s"]: r["n_boxes"] for r in rs} == {
+            4: 7, 5: 6, 6: 5, 10: 3
+        }
