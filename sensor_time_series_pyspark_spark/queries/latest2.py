@@ -1279,6 +1279,141 @@ def _periodogram_sql() -> str:
     """
 
 
+_HIGUCHI_KS = [1, 2, 3, 4]
+
+
+def _q_higuchi_fd(spark: SparkSession, sf: str) -> DataFrame:
+    """Higuchi fractal dimension of each type's daily cents series —
+    the curve-roughness exponent (FD→1 smooth trend, FD→2
+    space-filling noise) that closes the complexity suite (q478 DFA
+    measures memory, this measures geometry). Each stride-k offset
+    curve's length Σ|X(m+ik)−X(m+(i−1)k)| is an EXACT integer from a
+    (type,t)=(type,t−k) equi-join on the calendar frame; the
+    (N−1)/(g·k²) normalizations and the m-ascending mean fold run
+    driver-side over the ≤ 5×10-row table in the oracle's
+    list_reduce order, and FD = −slope of the 4-point ln-ln fit
+    (q478's chain)."""
+    import math
+
+    daily = _type_daily_cents(spark, sf)
+    w = Window.partitionBy("event_type").orderBy("day")
+    idx = daily.select(
+        "event_type",
+        F.row_number().over(w).alias("t"),
+        F.col("v").alias("x"),
+    )
+    a = idx.alias("a")
+    b = idx.select(
+        "event_type",
+        F.col("t").alias("tb"),
+        F.col("x").alias("xb"),
+        F.explode(
+            F.array(*[F.lit(k) for k in _HIGUCHI_KS])
+        ).alias("k"),
+    ).alias("b")
+    j = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.t") == F.col("b.tb") + F.col("b.k")),
+    )
+    sums = (
+        j.select(
+            F.col("a.event_type").alias("event_type"),
+            F.col("b.k").alias("k"),
+            (((F.col("a.t") - 1) % F.col("b.k")) + 1).alias("m"),
+            F.abs(F.col("a.x") - F.col("b.xb")).alias("ad"),
+        )
+        .groupBy("event_type", "k", "m")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("g"),
+            F.sum("ad").cast("bigint").alias("s"),
+        )
+        .collect()
+    )
+    by_type: dict[str, dict[int, list]] = {}
+    n = _PERIODOGRAM_N
+    for r in sums:
+        by_type.setdefault(r["event_type"], {}).setdefault(
+            r["k"], []
+        ).append((r["m"], r["g"], r["s"]))
+    out = []
+    for et in sorted(by_type):
+        lks = {}
+        for k in _HIGUCHI_KS:
+            acc = None
+            for m, g, s in sorted(by_type[et][k]):
+                lm = float(s * (n - 1)) / float(g * k * k)
+                acc = lm if acc is None else acc + lm
+            lks[k] = acc / k
+        sx = sy = sxy = sxx = None
+        for k in _HIGUCHI_KS:
+            x = math.log(float(k))
+            y = math.log(lks[k])
+            sx = x if sx is None else sx + x
+            sy = y if sy is None else sy + y
+            sxy = x * y if sxy is None else sxy + x * y
+            sxx = x * x if sxx is None else sxx + x * x
+        m4 = float(len(_HIGUCHI_KS))
+        fd = -((m4 * sxy - sx * sy) / (m4 * sxx - sx * sx))
+        for k in _HIGUCHI_KS:
+            out.append((et, k, lks[k], fd))
+    return spark.createDataFrame(
+        out,
+        "event_type string, k int, l_k double, higuchi_fd double",
+    )
+
+
+def _q_entropy_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Markov entropy rate of the per-user event-type process:
+    H = −Σ_s π_s Σ_t P(s→t)·ln P(s→t) over the empirical transition
+    matrix (q103's estimator summarized to the single
+    bits-per-transition number that prices how predictable the
+    clickstream is). Transition counts are exact integers from one
+    lag window; the 25-cell table collects and BOTH entropy folds
+    (within-row by to-type, across rows by from-type) run
+    driver-side in lexicographic order, exactly as the oracle's
+    nested ordered list_reduce replays them."""
+    import math
+
+    ev = read_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .where(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .collect()
+    )
+    cells: dict[str, dict[str, int]] = {}
+    for r in tr:
+        cells.setdefault(r["from_type"], {})[r["to_type"]] = r["c"]
+    total = sum(sum(d.values()) for d in cells.values())
+    rate = None
+    rows = []
+    for s in sorted(cells):
+        n_s = sum(cells[s].values())
+        h_row = None
+        for t in sorted(cells[s]):
+            p = cells[s][t] / n_s
+            term = -(p * math.log(p))
+            h_row = term if h_row is None else h_row + term
+        pi = n_s / total
+        rows.append((s, n_s, pi, h_row))
+        contrib = pi * h_row
+        rate = contrib if rate is None else rate + contrib
+    return spark.createDataFrame(
+        [(s, n, pi, h, rate) for s, n, pi, h in rows],
+        "from_type string, n_from bigint, pi double, "
+        "row_entropy double, entropy_rate double",
+    )
+
+
 def _spectral_entropy_sql() -> str:
     trig = _trig_table()
     vals = ",\n                ".join(
@@ -1633,10 +1768,130 @@ register_many(
         'q476_lz_complexity': _q_lz_complexity,
         'q477_spectral_entropy': _q_spectral_entropy,
         'q478_dfa_alpha': _q_dfa_alpha,
+        'q479_higuchi_fd': _q_higuchi_fd,
+        'q480_entropy_rate': _q_entropy_rate,
     },
     {
         'q477_spectral_entropy': _spectral_entropy_sql(),
         'q478_dfa_alpha': _dfa_sql(),
+        # Twin of _q_higuchi_fd: identical stride join, two-cast
+        # normalization, m-ordered mean fold and 4-point slope.
+        'q479_higuchi_fd': """
+            WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS v
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+            ),
+            idx AS (
+              SELECT event_type,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY day) AS t,
+                v AS x
+              FROM daily
+            ),
+            strided AS (
+              SELECT event_type, t AS tb, x AS xb,
+                CAST(unnest([1, 2, 3, 4]) AS BIGINT) AS k
+              FROM idx
+            ),
+            j AS (
+              SELECT a.event_type, b.k,
+                ((a.t - 1) % b.k) + 1 AS m,
+                abs(a.x - b.xb) AS ad
+              FROM idx a
+              JOIN strided b
+                ON a.event_type = b.event_type
+               AND a.t = b.tb + b.k
+            ),
+            sums AS (
+              SELECT event_type, k, m,
+                CAST(count(*) AS BIGINT) AS g,
+                CAST(sum(ad) AS BIGINT) AS s
+              FROM j GROUP BY 1, 2, 3
+            ),
+            lm AS (
+              SELECT event_type, k, m,
+                CAST(s * 29 AS DOUBLE) / CAST(g * k * k AS DOUBLE)
+                  AS lm
+              FROM sums
+            ),
+            lk AS (
+              SELECT event_type, k,
+                list_reduce(list(lm ORDER BY m), (a, b) -> a + b) / k
+                  AS l_k
+              FROM lm GROUP BY 1, 2
+            ),
+            slopes AS (
+              SELECT event_type,
+                -((4.0 * list_reduce(list(ln(CAST(k AS DOUBLE))
+                      * ln(l_k) ORDER BY k), (a, b) -> a + b)
+                  - list_reduce(list(ln(CAST(k AS DOUBLE))
+                      ORDER BY k), (a, b) -> a + b)
+                    * list_reduce(list(ln(l_k) ORDER BY k),
+                        (a, b) -> a + b))
+                / (4.0 * list_reduce(list(ln(CAST(k AS DOUBLE))
+                      * ln(CAST(k AS DOUBLE)) ORDER BY k),
+                      (a, b) -> a + b)
+                  - list_reduce(list(ln(CAST(k AS DOUBLE))
+                      ORDER BY k), (a, b) -> a + b)
+                    * list_reduce(list(ln(CAST(k AS DOUBLE))
+                        ORDER BY k), (a, b) -> a + b))) AS fd
+              FROM lk GROUP BY 1
+            )
+            SELECT l.event_type, CAST(l.k AS INT) AS k, l.l_k,
+              s.fd AS higuchi_fd
+            FROM lk l JOIN slopes s USING (event_type)
+        """,
+        # Twin of _q_entropy_rate: nested ordered list_reduce folds
+        # in lexicographic (from, to) order.
+        'q480_entropy_rate': """
+            WITH tr AS (
+              SELECT
+                lag(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS from_type,
+                event_type AS to_type
+              FROM events
+            ),
+            cnt AS (
+              SELECT from_type, to_type,
+                CAST(count(*) AS BIGINT) AS c
+              FROM tr WHERE from_type IS NOT NULL GROUP BY 1, 2
+            ),
+            rowsum AS (
+              SELECT from_type, CAST(sum(c) AS BIGINT) AS n_s
+              FROM cnt GROUP BY 1
+            ),
+            tot AS (
+              SELECT CAST(sum(c) AS BIGINT) AS total FROM cnt
+            ),
+            hrow AS (
+              SELECT c.from_type,
+                list_reduce(
+                  list(-((CAST(c.c AS DOUBLE) / CAST(r.n_s AS DOUBLE))
+                    * ln(CAST(c.c AS DOUBLE) / CAST(r.n_s AS DOUBLE)))
+                    ORDER BY c.to_type),
+                  (a, b) -> a + b) AS h_row
+              FROM cnt c JOIN rowsum r USING (from_type)
+              GROUP BY 1
+            ),
+            base AS (
+              SELECT r.from_type, r.n_s,
+                CAST(r.n_s AS DOUBLE) / CAST(t.total AS DOUBLE)
+                  AS pi,
+                h.h_row
+              FROM rowsum r, tot t, hrow h
+              WHERE h.from_type = r.from_type
+            ),
+            rate AS (
+              SELECT list_reduce(list(pi * h_row ORDER BY from_type),
+                (a, b) -> a + b) AS rate
+              FROM base
+            )
+            SELECT b.from_type, b.n_s AS n_from, b.pi,
+              b.h_row AS row_entropy, rt.rate AS entropy_rate
+            FROM base b, rate rt
+        """,
         # Twin of _q_nelson_aalen: q400's recursive-CTE life-table
         # replay with Σ d/n instead of Π(1−d/n), plus exp(−H).
         'q475_nelson_aalen': """

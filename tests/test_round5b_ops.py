@@ -241,3 +241,33 @@ def test_dfa_alpha_shape(spark):
         assert {r["s"]: r["n_boxes"] for r in rs} == {
             4: 7, 5: 6, 6: 5, 10: 3
         }
+
+
+def test_higuchi_fd_bounds(spark):
+    rows = entrymod.queries()["q479_higuchi_fd"](spark, SF).collect()
+    assert len(rows) == 20
+    by_type = {}
+    for r in rows:
+        assert r["l_k"] > 0
+        by_type.setdefault(r["event_type"], []).append(r)
+    for rs in by_type.values():
+        assert len({round(r["higuchi_fd"], 12) for r in rs}) == 1
+        rs = sorted(rs, key=lambda r: r["k"])
+        # curve length shrinks with stride (Higuchi's premise)
+        assert rs[0]["l_k"] >= rs[-1]["l_k"]
+
+
+def test_entropy_rate_identities(spark):
+    import math
+
+    rows = entrymod.queries()["q480_entropy_rate"](spark, SF).collect()
+    assert len(rows) == 5
+    pi_sum = sum(r["pi"] for r in rows)
+    assert abs(pi_sum - 1.0) < 1e-12
+    rate = rows[0]["entropy_rate"]
+    for r in rows:
+        assert 0.0 <= r["row_entropy"] <= math.log(5) + 1e-12
+        assert r["entropy_rate"] == rate
+    # rate is the pi-weighted mean of row entropies
+    mix = sum(r["pi"] * r["row_entropy"] for r in rows)
+    assert abs(mix - rate) < 1e-9
