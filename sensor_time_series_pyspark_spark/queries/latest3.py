@@ -1,0 +1,250 @@
+"""Round-5 continuation module #3 (q481+): embedding-space
+diagnostics and later additions. Started because latest2.py hit the
+~2.4k-line module cap.
+
+Conventions: queries/common.py helpers; embeddings are 2^20-quantized
+to EXACT integers before any cross-engine aggregate (q47's
+discipline); per-dimension epilogues fold doubles in ascending-dim
+order (Python left fold == DuckDB ordered list_reduce); registry
+raises on duplicate names."""
+
+from __future__ import annotations
+
+from sensor_time_series_pyspark_spark.queries.common import *  # noqa: F401,F403
+
+_QSCALE = 1048576  # 2^20 — power-of-2 scale quantizes floats exactly
+_QSCALE2 = float(_QSCALE) * float(_QSCALE)  # 2^40, norm² unit
+
+
+def _label_dim_moments(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-(label, dim) EXACT integer moments of the 2^20-quantized
+    embedding table — the one shuffle every embedding diagnostic
+    shares: (label, d) grain is 10×64 rows at ANY corpus size, and
+    the quantize+explode is map-side."""
+    emb = read_table(spark, sf, "embeddings")
+    cell = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "label",
+        (F.col("pos") + 1).alias("d"),
+        F.floor(F.col("x").cast("double") * _QSCALE)
+        .cast("bigint")
+        .alias("q"),
+    )
+    return cell.groupBy("label", "d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("q").cast("bigint").alias("s"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("qq"),
+    )
+
+
+def _q_embedding_anisotropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding anisotropy (cone effect) per label:
+    ‖mean vector‖² / mean‖x‖² — the classic representation-collapse
+    audit (→1 means all vectors share a direction and cosine
+    similarity saturates; →0 means centered). Per-dim sums are exact
+    integers on 2^20-quantized vectors; the two folds (Σs_d² and
+    Σq_d) run driver-side over the 640-row moment table in
+    ascending-dim order with the two-cast double discipline, and the
+    result is ONE division. mean_sq_norm is reported in original
+    float units (÷2^40)."""
+    rows = _label_dim_moments(spark, sf).collect()
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(
+            (r["d"], r["m"], r["s"], r["qq"])
+        )
+    out = []
+    for lab in sorted(by_label):
+        dims = sorted(by_label[lab])
+        m = dims[0][1]
+        ssum = None
+        qsum = None
+        for _, _, s, qq in dims:
+            ts = float(s) * float(s)
+            ssum = ts if ssum is None else ssum + ts
+            tq = float(qq)
+            qsum = tq if qsum is None else qsum + tq
+        out.append(
+            (
+                lab,
+                m,
+                ssum / (float(m) * qsum),
+                qsum / float(m) / _QSCALE2,
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "label int, n_vecs bigint, anisotropy double, "
+        "mean_sq_norm double",
+    )
+
+
+def _q_participation_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """Participation ratio of the per-dimension variance spectrum per
+    label: PR = (Σ_d var_d)²/Σ_d var_d² — the diagonal-covariance
+    effective-dimensionality estimate (64 ⇒ isotropic use of every
+    axis, →1 ⇒ one dominant axis), the cheap intrinsic-dim audit
+    before an ANN index choice. var_d numerators m·q_d − s_d² are
+    exact integers with the m² denominators cancelling in the ratio;
+    both folds run in ascending-dim order with two-cast doubles."""
+    rows = _label_dim_moments(spark, sf).collect()
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(
+            (r["d"], r["m"], r["s"], r["qq"])
+        )
+    out = []
+    for lab in sorted(by_label):
+        dims = sorted(by_label[lab])
+        m = dims[0][1]
+        nsum = None
+        n2sum = None
+        for _, _, s, qq in dims:
+            num = float(m * qq - s * s)
+            nsum = num if nsum is None else nsum + num
+            t2 = num * num
+            n2sum = t2 if n2sum is None else n2sum + t2
+        pr = (nsum * nsum) / n2sum
+        out.append((lab, m, pr, pr / 64.0))
+    return spark.createDataFrame(
+        out,
+        "label int, n_vecs bigint, part_ratio double, "
+        "pr_frac double",
+    )
+
+
+def _q_centroid_separation(spark: SparkSession, sf: str) -> DataFrame:
+    """Class-centroid separation matrix over the embedding labels:
+    Euclidean distance between every pair of label centroids in
+    original float units — the confusability map that says which
+    classes an ANN index or classifier will smear together. Centroid
+    differences per dim are the EXACT integers s_da·m_b − s_db·m_a
+    (< 2^53, so their double casts are value-exact); each pair's 64
+    squared terms fold in ascending-dim order and the ÷(m_a·m_b)
+    ÷2^20 normalization is a fixed two-step chain."""
+    import math
+
+    rows = _label_dim_moments(spark, sf).collect()
+    by_label: dict[int, dict[int, tuple]] = {}
+    for r in rows:
+        by_label.setdefault(r["label"], {})[r["d"]] = (
+            r["m"],
+            r["s"],
+        )
+    labs = sorted(by_label)
+    out = []
+    for i, a in enumerate(labs):
+        for b in labs[i + 1:]:
+            ma = by_label[a][1][0]
+            mb = by_label[b][1][0]
+            acc = None
+            for d in sorted(by_label[a]):
+                sa = by_label[a][d][1]
+                sb = by_label[b][d][1]
+                diff = float(sa * mb - sb * ma)
+                t = diff * diff
+                acc = t if acc is None else acc + t
+            dist = (
+                math.sqrt(acc) / (float(ma) * float(mb)) / _QSCALE
+            )
+            out.append((a, b, ma, mb, dist))
+    return spark.createDataFrame(
+        out,
+        "label_a int, label_b int, n_a bigint, n_b bigint, "
+        "dist double",
+    )
+
+
+_EMB_MOMENTS_SQL = """
+            cell AS (
+              SELECT label,
+                generate_subscripts(embedding, 1) AS d,
+                CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                  * 1048576) AS BIGINT) AS q
+              FROM embeddings
+            ),
+            mom AS (
+              SELECT label, d,
+                CAST(count(*) AS BIGINT) AS m,
+                CAST(sum(q) AS BIGINT) AS s,
+                CAST(sum(q * q) AS BIGINT) AS qq
+              FROM cell GROUP BY 1, 2
+            )
+"""
+
+
+register_many(
+    {
+        'q481_embedding_anisotropy': _q_embedding_anisotropy,
+        'q482_participation_ratio': _q_participation_ratio,
+        'q483_centroid_separation': _q_centroid_separation,
+    },
+    {
+        # Twin of _q_embedding_anisotropy: same quantized moments,
+        # ascending-dim two-cast folds, one division.
+        'q481_embedding_anisotropy': f"""
+            WITH
+{_EMB_MOMENTS_SQL},
+            folds AS (
+              SELECT label, max(m) AS m,
+                list_reduce(list(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                  ORDER BY d), (a, b) -> a + b) AS ssum,
+                list_reduce(list(CAST(qq AS DOUBLE) ORDER BY d),
+                  (a, b) -> a + b) AS qsum
+              FROM mom GROUP BY label
+            )
+            SELECT CAST(label AS INT) AS label,
+              CAST(m AS BIGINT) AS n_vecs,
+              ssum / (CAST(m AS DOUBLE) * qsum) AS anisotropy,
+              qsum / CAST(m AS DOUBLE) / 1099511627776.0
+                AS mean_sq_norm
+            FROM folds
+        """,
+        # Twin of _q_participation_ratio: m² denominators cancel;
+        # identical fold order and casts.
+        'q482_participation_ratio': f"""
+            WITH
+{_EMB_MOMENTS_SQL},
+            folds AS (
+              SELECT label, max(m) AS m,
+                list_reduce(list(CAST(m * qq - s * s AS DOUBLE)
+                  ORDER BY d), (a, b) -> a + b) AS nsum,
+                list_reduce(list(CAST(m * qq - s * s AS DOUBLE)
+                  * CAST(m * qq - s * s AS DOUBLE) ORDER BY d),
+                  (a, b) -> a + b) AS n2sum
+              FROM mom GROUP BY label
+            )
+            SELECT CAST(label AS INT) AS label,
+              CAST(m AS BIGINT) AS n_vecs,
+              (nsum * nsum) / n2sum AS part_ratio,
+              (nsum * nsum) / n2sum / 64.0 AS pr_frac
+            FROM folds
+        """,
+        # Twin of _q_centroid_separation: exact integer diff per dim,
+        # ascending-dim fold, sqrt then the two-step normalization.
+        'q483_centroid_separation': f"""
+            WITH
+{_EMB_MOMENTS_SQL},
+            pairs AS (
+              SELECT a.label AS label_a, b.label AS label_b,
+                max(a.m) AS m_a, max(b.m) AS m_b,
+                list_reduce(
+                  list(CAST(a.s * b.m - b.s * a.m AS DOUBLE)
+                    * CAST(a.s * b.m - b.s * a.m AS DOUBLE)
+                    ORDER BY a.d),
+                  (x, y) -> x + y) AS acc
+              FROM mom a
+              JOIN mom b ON a.d = b.d AND a.label < b.label
+              GROUP BY 1, 2
+            )
+            SELECT CAST(label_a AS INT) AS label_a,
+              CAST(label_b AS INT) AS label_b,
+              CAST(m_a AS BIGINT) AS n_a,
+              CAST(m_b AS BIGINT) AS n_b,
+              sqrt(acc) / (CAST(m_a AS DOUBLE) * CAST(m_b AS DOUBLE))
+                / 1048576 AS dist
+            FROM pairs
+        """,
+    },
+)

@@ -1,0 +1,60 @@
+"""Round-5c batch: invariant tests for the embedding-diagnostic
+queries (latest3.py). The DuckDB oracle pins exact values; these pin
+the math."""
+
+import math
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def results(spark):
+    qs = entrymod.queries()
+    names = [
+        "q481_embedding_anisotropy",
+        "q482_participation_ratio",
+        "q483_centroid_separation",
+    ]
+    return {n: qs[n](spark, SF).collect() for n in names}
+
+
+def test_anisotropy_bounds(results):
+    rows = results["q481_embedding_anisotropy"]
+    assert len(rows) == 10
+    for r in rows:
+        # ||mean||^2 <= mean ||x||^2 (Jensen) => ratio in [0, 1]
+        assert 0.0 <= r["anisotropy"] <= 1.0 + 1e-12
+        assert r["mean_sq_norm"] > 0
+        assert r["n_vecs"] > 0
+
+
+def test_participation_ratio_bounds(results):
+    rows = results["q482_participation_ratio"]
+    assert len(rows) == 10
+    for r in rows:
+        # Cauchy-Schwarz: 1 <= PR <= n_dims
+        assert 1.0 - 1e-12 <= r["part_ratio"] <= 64.0 + 1e-12
+        assert abs(r["pr_frac"] - r["part_ratio"] / 64.0) < 1e-12
+
+
+def test_centroid_separation_metricity(results):
+    rows = results["q483_centroid_separation"]
+    assert len(rows) == 45  # C(10,2) label pairs
+    d = {}
+    for r in rows:
+        assert r["label_a"] < r["label_b"]
+        assert r["dist"] >= 0.0 and math.isfinite(r["dist"])
+        d[(r["label_a"], r["label_b"])] = r["dist"]
+
+    def dist(a, b):
+        return d[(a, b)] if a < b else d[(b, a)]
+
+    labs = sorted({r["label_a"] for r in rows} | {r["label_b"] for r in rows})
+    # triangle inequality on a sample of triples
+    for i in range(0, len(labs) - 2, 2):
+        a, b, c = labs[i], labs[i + 1], labs[i + 2]
+        assert dist(a, c) <= dist(a, b) + dist(b, c) + 1e-9
