@@ -156,6 +156,78 @@ def _q_centroid_separation(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_sorted_neighborhood(spark: SparkSession, sf: str) -> DataFrame:
+    """Sorted-neighborhood dedup blocking (Hernández-Stolfo): sort
+    the corpus ONCE by a cheap key (lowercased 16-char prefix,
+    doc_id tie-break), compare each doc only to the next 3 in sort
+    order, keep pairs with 5-gram Jaccard ≥ 0.2 — the classic
+    entity-resolution candidate generator that complements the
+    LSH/PPJoin family (operators/dedup.py) with O(n·w) candidates
+    and zero hashing. The neighbor join is an EQUI-join on rank+off
+    (never an inequality), the Jaccard test is the exact integer
+    predicate 5·|∩| ≥ |∪|, and the reported jaccard is one
+    division. At 100 TB the sort is the same shuffle a range
+    partition already pays; w stays constant."""
+    docs = read_table(spark, sf, "documents")
+    toks = tokens("text")
+    keyed = docs.select(
+        "doc_id",
+        F.lower(F.substring("text", 1, 16)).alias("bkey"),
+        F.when(
+            F.size(toks) >= 5,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 4),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(toks, i, F.lit(5))
+                    ),
+                )
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("sh"),
+    )
+    w = Window.orderBy("bkey", "doc_id")
+    ranked = keyed.select(
+        "doc_id", "sh", F.row_number().over(w).alias("rnk")
+    )
+    left = ranked.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("rnk"),
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("off"),
+    ).select(
+        "doc_a", "sh_a", (F.col("rnk") + F.col("off")).alias("rj")
+    )
+    right = ranked.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("rnk").alias("rj"),
+    )
+    j = left.join(right, "rj")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    cand = j.select(
+        "doc_a",
+        "doc_b",
+        inter.cast("bigint").alias("n_inter"),
+        union.cast("bigint").alias("n_union"),
+    ).where(
+        (F.col("n_inter") * 5 >= F.col("n_union"))
+        & (F.col("n_union") > 0)
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        "n_inter",
+        "n_union",
+        (
+            F.col("n_inter").cast("double")
+            / F.col("n_union").cast("double")
+        ).alias("jaccard"),
+    )
+
+
 _EMB_MOMENTS_SQL = """
             cell AS (
               SELECT label,
@@ -179,8 +251,58 @@ register_many(
         'q481_embedding_anisotropy': _q_embedding_anisotropy,
         'q482_participation_ratio': _q_participation_ratio,
         'q483_centroid_separation': _q_centroid_separation,
+        'q484_sorted_neighborhood': _q_sorted_neighborhood,
     },
     {
+        # Twin of _q_sorted_neighborhood: identical blocking key,
+        # rank+off equi-join, and exact 5·|∩| ≥ |∪| predicate.
+        'q484_sorted_neighborhood': r"""
+            WITH tk0 AS (
+              SELECT doc_id,
+                lower(substr(text, 1, 16)) AS bkey,
+                list_filter(string_split_regex(trim(text), '\s+'),
+                  x -> x <> '') AS tk
+              FROM documents
+            ),
+            keyed AS (
+              SELECT doc_id, bkey,
+                CASE WHEN len(tk) >= 5 THEN
+                  list_distinct(list_transform(range(1, len(tk) - 3),
+                    i -> array_to_string(list_slice(tk, i, i + 4),
+                      ' ')))
+                ELSE [] END AS sh
+              FROM tk0
+            ),
+            ranked AS (
+              SELECT doc_id, sh,
+                row_number() OVER (ORDER BY bkey, doc_id) AS rnk
+              FROM keyed
+            ),
+            lhs AS (
+              SELECT doc_id AS doc_a, sh AS sh_a,
+                rnk + unnest([1, 2, 3]) AS rj
+              FROM ranked
+            ),
+            j AS (
+              SELECT l.doc_a, r.doc_id AS doc_b, l.sh_a,
+                r.sh AS sh_b
+              FROM lhs l JOIN ranked r ON r.rnk = l.rj
+            ),
+            cand AS (
+              SELECT doc_a, doc_b,
+                CAST(len(list_intersect(sh_a, sh_b)) AS BIGINT)
+                  AS n_inter,
+                CAST(len(sh_a) + len(sh_b)
+                  - len(list_intersect(sh_a, sh_b)) AS BIGINT)
+                  AS n_union
+              FROM j
+            )
+            SELECT doc_a, doc_b, n_inter, n_union,
+              CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE)
+                AS jaccard
+            FROM cand
+            WHERE n_inter * 5 >= n_union AND n_union > 0
+        """,
         # Twin of _q_embedding_anisotropy: same quantized moments,
         # ascending-dim two-cast folds, one division.
         'q481_embedding_anisotropy': f"""

@@ -58,3 +58,18 @@ def test_centroid_separation_metricity(results):
     for i in range(0, len(labs) - 2, 2):
         a, b, c = labs[i], labs[i + 1], labs[i + 2]
         assert dist(a, c) <= dist(a, b) + dist(b, c) + 1e-9
+
+
+def test_sorted_neighborhood_candidates(spark):
+    rows = entrymod.queries()["q484_sorted_neighborhood"](
+        spark, SF
+    ).collect()
+    assert rows  # synthetic corpus has near-dups in every slice
+    seen = set()
+    for r in rows:
+        assert r["doc_a"] != r["doc_b"]
+        assert 5 * r["n_inter"] >= r["n_union"] > 0
+        assert 0.2 - 1e-12 <= r["jaccard"] <= 1.0
+        key = (min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"]))
+        assert key not in seen  # w-window emits each pair once
+        seen.add(key)
