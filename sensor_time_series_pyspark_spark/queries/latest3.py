@@ -228,6 +228,110 @@ def _q_sorted_neighborhood(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+import math as _m  # noqa: E402
+
+_LN2 = _m.log(2.0)
+_EULER_GAMMA = 0.5772156649015329
+_GUMBEL_Y = {T: -_m.log(-_m.log(1.0 - 1.0 / T)) for T in (10, 30)}
+
+
+def _q_gumbel_pwm(spark: SparkSession, sf: str) -> DataFrame:
+    """Gumbel extreme-value fit by probability-weighted moments over
+    the daily-maximum blocks per event type, with 10- and 30-day
+    return levels — the capacity-planning question "what daily spike
+    do we see once a month" answered with the estimator that needs
+    no iteration: b₀ = ΣX/n, (n)(n−1)b₁ = Σ(r−1)X₍ᵣ₎ are EXACT
+    integer rank-weighted sums (ties permute equal values, leaving
+    the sum invariant), β̂ = (2b₁−b₀)/ln2, μ̂ = b₀ − γβ̂, and the
+    Gumbel quantile constants y_T = −ln(−ln(1−1/T)) are precomputed
+    literals shared with the oracle — no transcendental ever runs on
+    data. Complements q473's POT mean-excess with the block-maxima
+    branch of EVT."""
+    ev = read_table(spark, sf, "events").where(F.col("value").isNotNull())
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.max(cents).alias("x"))
+    w = Window.partitionBy("event_type").orderBy("x", "day")
+    ranked = daily.select(
+        "event_type", "x", F.row_number().over(w).alias("r")
+    )
+    g = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("a"),
+        F.sum((F.col("r") - 1) * F.col("x")).cast("bigint").alias("b"),
+    )
+    n_d = F.col("n").cast("double")
+    b0 = F.col("a").cast("double") / n_d
+    b1 = F.col("b").cast("double") / (
+        n_d * (F.col("n") - 1).cast("double")
+    )
+    beta = (2.0 * b1 - b0) / F.lit(_LN2)
+    mu = b0 - F.lit(_EULER_GAMMA) * beta
+    return g.select(
+        "event_type",
+        F.col("n").alias("n_blocks"),
+        b0.alias("b0"),
+        b1.alias("b1"),
+        mu.alias("mu"),
+        beta.alias("beta"),
+        (mu + beta * F.lit(_GUMBEL_Y[10])).alias("ret_10"),
+        (mu + beta * F.lit(_GUMBEL_Y[30])).alias("ret_30"),
+    )
+
+
+def _q_theil_between(spark: SparkSession, sf: str) -> DataFrame:
+    """Between-nation Theil T decomposition of customer order
+    revenue: contrib_g = s_g·ln(s_g/p_g) with s_g the nation's
+    revenue share and p_g its customer-population share — the
+    group-resolved inequality audit (Σ contrib = the between-group
+    Theil index, 0 ⇔ every nation's share matches its headcount).
+    Revenue reduces to exact decimal cents and headcounts to exact
+    integers; the 25-row share table collects and the ln epilogue
+    folds driver-side in nation order (libm discipline), with the
+    total repeated per row exactly as the oracle's ordered
+    list_reduce computes it."""
+    import math
+
+    cust = read_table(spark, sf, "customer")
+    nation = read_table(spark, sf, "nation")
+    orders = read_table(spark, sf, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                "decimal(38,0)"
+            )
+        ).alias("cents")
+    )
+    j = (
+        cust.join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(rev, cust["c_custkey"] == rev["o_custkey"], "left")
+        .select(
+            "n_name",
+            F.coalesce(F.col("cents"), F.lit(0)).alias("cents"),
+        )
+    )
+    g = j.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+        F.sum("cents").cast("decimal(38,0)").alias("rev"),
+    ).collect()
+    tot_n = sum(r["n_cust"] for r in g)
+    tot_rev = sum(int(r["rev"]) for r in g)
+    rows = []
+    theil = None
+    for r in sorted(g, key=lambda r: r["n_name"]):
+        s_g = float(int(r["rev"])) / float(tot_rev)
+        p_g = r["n_cust"] / tot_n
+        contrib = s_g * math.log(s_g / p_g) if s_g > 0 else 0.0
+        rows.append((r["n_name"], r["n_cust"], s_g, p_g, contrib))
+        theil = contrib if theil is None else theil + contrib
+    return spark.createDataFrame(
+        [(n, c, s, p, ct, theil) for n, c, s, p, ct in rows],
+        "n_name string, n_cust bigint, rev_share double, "
+        "pop_share double, contrib double, theil_between double",
+    )
+
+
 _EMB_MOMENTS_SQL = """
             cell AS (
               SELECT label,
@@ -252,8 +356,103 @@ register_many(
         'q482_participation_ratio': _q_participation_ratio,
         'q483_centroid_separation': _q_centroid_separation,
         'q484_sorted_neighborhood': _q_sorted_neighborhood,
+        'q485_gumbel_pwm': _q_gumbel_pwm,
+        'q486_theil_between': _q_theil_between,
     },
     {
+        # Twin of _q_gumbel_pwm: identical integer PWM sums and
+        # literal-constant quantile chain.
+        'q485_gumbel_pwm': f"""
+            WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(max(CAST(CAST(value AS DECIMAL(12,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS x
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+            ),
+            ranked AS (
+              SELECT event_type, x,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY x, day) AS r
+              FROM daily
+            ),
+            g AS (
+              SELECT event_type,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(x) AS BIGINT) AS a,
+                CAST(sum((r - 1) * x) AS BIGINT) AS b
+              FROM ranked GROUP BY 1
+            ),
+            fit AS (
+              SELECT event_type, n,
+                CAST(a AS DOUBLE) / CAST(n AS DOUBLE) AS b0,
+                CAST(b AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS b1
+              FROM g
+            ),
+            pars AS (
+              SELECT event_type, n, b0, b1,
+                (2.0 * b1 - b0) / {_LN2:.17e} AS beta
+              FROM fit
+            )
+            SELECT event_type, n AS n_blocks, b0, b1,
+              b0 - {_EULER_GAMMA:.17e} * beta AS mu,
+              beta,
+              (b0 - {_EULER_GAMMA:.17e} * beta)
+                + beta * {_GUMBEL_Y[10]:.17e} AS ret_10,
+              (b0 - {_EULER_GAMMA:.17e} * beta)
+                + beta * {_GUMBEL_Y[30]:.17e} AS ret_30
+            FROM pars
+        """,
+        # Twin of _q_theil_between: exact decimal revenue shares,
+        # one-division population shares, nation-ordered ln fold.
+        'q486_theil_between': """
+            WITH rev AS (
+              SELECT o_custkey,
+                CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                  * 100 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS cents
+              FROM orders GROUP BY 1
+            ),
+            j AS (
+              SELECT n.n_name,
+                COALESCE(r.cents, 0) AS cents
+              FROM customer c
+              JOIN nation n ON n.n_nationkey = c.c_nationkey
+              LEFT JOIN rev r ON r.o_custkey = c.c_custkey
+            ),
+            g AS (
+              SELECT n_name,
+                CAST(count(*) AS BIGINT) AS n_cust,
+                CAST(sum(cents) AS DECIMAL(38,0)) AS rev
+              FROM j GROUP BY 1
+            ),
+            tot AS (
+              SELECT CAST(sum(n_cust) AS BIGINT) AS tot_n,
+                CAST(sum(rev) AS DECIMAL(38,0)) AS tot_rev
+              FROM g
+            ),
+            shares AS (
+              SELECT g.n_name, g.n_cust,
+                CAST(g.rev AS DOUBLE) / CAST(t.tot_rev AS DOUBLE)
+                  AS rev_share,
+                g.n_cust / t.tot_n AS pop_share
+              FROM g, tot t
+            ),
+            contribs AS (
+              SELECT n_name, n_cust, rev_share, pop_share,
+                CASE WHEN rev_share > 0
+                  THEN rev_share * ln(rev_share / pop_share)
+                  ELSE 0.0 END AS contrib
+              FROM shares
+            ),
+            total AS (
+              SELECT list_reduce(list(contrib ORDER BY n_name),
+                (a, b) -> a + b) AS theil
+              FROM contribs
+            )
+            SELECT c.n_name, c.n_cust, c.rev_share, c.pop_share,
+              c.contrib, t.theil AS theil_between
+            FROM contribs c, total t
+        """,
         # Twin of _q_sorted_neighborhood: identical blocking key,
         # rank+off equi-join, and exact 5·|∩| ≥ |∪| predicate.
         'q484_sorted_neighborhood': r"""

@@ -73,3 +73,29 @@ def test_sorted_neighborhood_candidates(spark):
         key = (min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"]))
         assert key not in seen  # w-window emits each pair once
         seen.add(key)
+
+
+def test_gumbel_pwm_identities(spark):
+    rows = entrymod.queries()["q485_gumbel_pwm"](spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_blocks"] == 30
+        # for maxima-ordered samples 2*b1 > b0 (positive spread)
+        assert r["beta"] > 0
+        # return levels grow with horizon and exceed the location
+        assert r["ret_30"] > r["ret_10"] > r["mu"]
+        # b1 is a weighted partial mean: b1 < b0
+        assert r["b1"] < r["b0"]
+
+
+def test_theil_between_identities(spark):
+    rows = entrymod.queries()["q486_theil_between"](spark, SF).collect()
+    assert len(rows) == 25
+    s = sum(r["rev_share"] for r in rows)
+    p = sum(r["pop_share"] for r in rows)
+    assert abs(s - 1.0) < 1e-9 and abs(p - 1.0) < 1e-9
+    theil = rows[0]["theil_between"]
+    mix = sum(r["contrib"] for r in rows)
+    assert abs(mix - theil) < 1e-9
+    # between-group Theil is nonnegative (Gibbs / log-sum ineq)
+    assert theil >= -1e-12
