@@ -11,6 +11,9 @@ raises on duplicate names."""
 from __future__ import annotations
 
 from sensor_time_series_pyspark_spark.queries.common import *  # noqa: F401,F403
+from sensor_time_series_pyspark_spark.queries.latest2 import (
+    _type_daily_cents,
+)
 
 _QSCALE = 1048576  # 2^20 — power-of-2 scale quantizes floats exactly
 _QSCALE2 = float(_QSCALE) * float(_QSCALE)  # 2^40, norm² unit
@@ -332,6 +335,157 @@ def _q_theil_between(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_l_moments(spark: SparkSession, sf: str) -> DataFrame:
+    """Sample L-moments of each type's daily-total series: λ₁ λ₂ and
+    the shape ratios t₃ (L-skewness) t₄ (L-kurtosis) — the robust
+    moment family (finite for any distribution with a mean, ~unit
+    breakdown resistance vs classical skew/kurt) and the standard
+    EVT/regional-frequency fingerprint alongside q485's Gumbel fit.
+    Every PWM bₖ numerator Σ(r−1)⋯(r−k)·X₍ᵣ₎ is an EXACT integer
+    < 2^53 on the 30-row calendar frame (ties permute equal values,
+    sums invariant); λ/τ are the textbook fixed-order linear
+    chains."""
+    daily = _type_daily_cents(spark, sf)
+    w = Window.partitionBy("event_type").orderBy("v", "day")
+    ranked = daily.select(
+        "event_type", F.col("v").alias("x"),
+        F.row_number().over(w).alias("r"),
+    )
+    r1 = F.col("r") - 1
+    r2 = F.col("r") - 2
+    r3 = F.col("r") - 3
+    g = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s0"),
+        F.sum(r1 * F.col("x")).cast("bigint").alias("s1"),
+        F.sum(r1 * r2 * F.col("x")).cast("bigint").alias("s2"),
+        F.sum(r1 * r2 * r3 * F.col("x")).cast("bigint").alias("s3"),
+    )
+    n = F.col("n").cast("double")
+    b0 = F.col("s0").cast("double") / n
+    b1 = F.col("s1").cast("double") / (n * (F.col("n") - 1).cast("double"))
+    b2 = F.col("s2").cast("double") / (
+        n
+        * (F.col("n") - 1).cast("double")
+        * (F.col("n") - 2).cast("double")
+    )
+    b3 = F.col("s3").cast("double") / (
+        n
+        * (F.col("n") - 1).cast("double")
+        * (F.col("n") - 2).cast("double")
+        * (F.col("n") - 3).cast("double")
+    )
+    l2 = 2.0 * b1 - b0
+    return g.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        b0.alias("l1"),
+        l2.alias("l2"),
+        ((6.0 * b2 - 6.0 * b1 + b0) / l2).alias("t3"),
+        ((20.0 * b3 - 30.0 * b2 + 12.0 * b1 - b0) / l2).alias("t4"),
+    )
+
+
+def _q_bowley_moors(spark: SparkSession, sf: str) -> DataFrame:
+    """Bowley quartile skewness and Moors octile kurtosis of the raw
+    event-value distribution per type — the quantile-based shape
+    stats that survive any outlier (the robust companions to q487's
+    L-ratios, here on the full value distribution rather than the
+    daily reduce). All seven octiles E₁..E₇ read off ONE
+    running-count pass (q473's trick: value at rank ⌈i·n/8⌉), the
+    numerators are exact integer cents, and each statistic is one
+    division."""
+    ev = read_table(spark, sf, "events").where(F.col("value").isNotNull())
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    cells = (
+        ev.select("event_type", cents.alias("v"))
+        .groupBy("event_type", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    run = cells.select(
+        "event_type",
+        "v",
+        "cnt",
+        F.sum("cnt").over(wcum).cast("bigint").alias("ccnt"),
+        F.sum("cnt").over(wall).cast("bigint").alias("n"),
+    )
+    aggs = []
+    for i in range(1, 8):
+        r_i = F.ceil(F.col("n") * i / 8).cast("bigint")
+        hit = (F.col("ccnt") >= r_i) & (
+            (F.col("ccnt") - F.col("cnt")) < r_i
+        )
+        aggs.append(F.max(F.when(hit, F.col("v"))).alias(f"e{i}"))
+    aggs.append(F.max("n").alias("n"))
+    wide = run.groupBy("event_type").agg(*aggs)
+    bowley = (
+        (F.col("e6") + F.col("e2") - 2 * F.col("e4")).cast("double")
+        / (F.col("e6") - F.col("e2")).cast("double")
+    )
+    moors = (
+        (
+            (F.col("e7") - F.col("e5")) + (F.col("e3") - F.col("e1"))
+        ).cast("double")
+        / (F.col("e6") - F.col("e2")).cast("double")
+    )
+    return wide.select(
+        "event_type",
+        F.col("n").alias("n_rows"),
+        F.col("e2").alias("q1"),
+        F.col("e4").alias("median"),
+        F.col("e6").alias("q3"),
+        bowley.alias("bowley_skew"),
+        moors.alias("moors_kurt"),
+    )
+
+
+def _bowley_moors_sql() -> str:
+    aggs = []
+    for i in range(1, 8):
+        hit = (
+            f"ccnt >= ceil(n * {i} / 8)"
+            f" AND (ccnt - cnt) < ceil(n * {i} / 8)"
+        )
+        aggs.append(f"max(CASE WHEN {hit} THEN v END) AS e{i}")
+    aggs.append("max(n) AS n")
+    return f"""
+        WITH cells AS (
+          SELECT event_type,
+            CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+            CAST(count(*) AS BIGINT) AS cnt
+          FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        ),
+        run AS (
+          SELECT event_type, v, cnt,
+            CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS ccnt,
+            CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT)
+              AS n
+          FROM cells
+        ),
+        wide AS (
+          SELECT event_type, {', '.join(aggs)}
+          FROM run GROUP BY 1
+        )
+        SELECT event_type, n AS n_rows,
+          e2 AS q1, e4 AS median, e6 AS q3,
+          CAST(e6 + e2 - 2 * e4 AS DOUBLE)
+            / CAST(e6 - e2 AS DOUBLE) AS bowley_skew,
+          CAST((e7 - e5) + (e3 - e1) AS DOUBLE)
+            / CAST(e6 - e2 AS DOUBLE) AS moors_kurt
+        FROM wide
+    """
+
+
 _EMB_MOMENTS_SQL = """
             cell AS (
               SELECT label,
@@ -358,8 +512,57 @@ register_many(
         'q484_sorted_neighborhood': _q_sorted_neighborhood,
         'q485_gumbel_pwm': _q_gumbel_pwm,
         'q486_theil_between': _q_theil_between,
+        'q487_l_moments': _q_l_moments,
+        'q488_bowley_moors': _q_bowley_moors,
     },
     {
+        # Twin of _q_l_moments: same falling-factorial integer sums
+        # and fixed-order λ/τ chains.
+        'q487_l_moments': """
+            WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS v
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+            ),
+            ranked AS (
+              SELECT event_type, v AS x,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY v, day) AS r
+              FROM daily
+            ),
+            g AS (
+              SELECT event_type,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(x) AS BIGINT) AS s0,
+                CAST(sum((r - 1) * x) AS BIGINT) AS s1,
+                CAST(sum((r - 1) * (r - 2) * x) AS BIGINT) AS s2,
+                CAST(sum((r - 1) * (r - 2) * (r - 3) * x) AS BIGINT)
+                  AS s3
+              FROM ranked GROUP BY 1
+            ),
+            b AS (
+              SELECT event_type, n,
+                CAST(s0 AS DOUBLE) / CAST(n AS DOUBLE) AS b0,
+                CAST(s1 AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS b1,
+                CAST(s2 AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)
+                     * CAST(n - 2 AS DOUBLE)) AS b2,
+                CAST(s3 AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)
+                     * CAST(n - 2 AS DOUBLE) * CAST(n - 3 AS DOUBLE))
+                  AS b3
+              FROM g
+            )
+            SELECT event_type, n AS n_days, b0 AS l1,
+              2.0 * b1 - b0 AS l2,
+              (6.0 * b2 - 6.0 * b1 + b0) / (2.0 * b1 - b0) AS t3,
+              (20.0 * b3 - 30.0 * b2 + 12.0 * b1 - b0)
+                / (2.0 * b1 - b0) AS t4
+            FROM b
+        """,
+        'q488_bowley_moors': _bowley_moors_sql(),
         # Twin of _q_gumbel_pwm: identical integer PWM sums and
         # literal-constant quantile chain.
         'q485_gumbel_pwm': f"""

@@ -99,3 +99,23 @@ def test_theil_between_identities(spark):
     assert abs(mix - theil) < 1e-9
     # between-group Theil is nonnegative (Gibbs / log-sum ineq)
     assert theil >= -1e-12
+
+
+def test_l_moments_bounds(spark):
+    rows = entrymod.queries()["q487_l_moments"](spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_days"] == 30
+        assert r["l1"] > 0 and r["l2"] > 0  # positive scale
+        # Hosking bounds: |t3| < 1 and (5t3^2 - 1)/4 <= t4 < 1
+        assert -1.0 < r["t3"] < 1.0
+        assert (5 * r["t3"] ** 2 - 1) / 4 - 1e-9 <= r["t4"] < 1.0
+
+
+def test_bowley_moors_bounds(spark):
+    rows = entrymod.queries()["q488_bowley_moors"](spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["q1"] <= r["median"] <= r["q3"]
+        assert -1.0 - 1e-12 <= r["bowley_skew"] <= 1.0 + 1e-12
+        assert r["moors_kurt"] >= 0.0
