@@ -609,6 +609,118 @@ def _q_weibull_shape(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_discount_elasticity(spark: SparkSession, sf: str) -> DataFrame:
+    """Discount elasticity of demand per part brand: slope of
+    ln(avg qty) on ln(price multiplier 1−d) across the 11 exact
+    TPC-H discount levels — "does a deeper discount actually move
+    volume for this brand". The (brand × discount) grain is bounded
+    (25×11) with exact integer qty sums; the ln-ln OLS folds
+    driver-side per brand in ascending-discount order (libm), with
+    degenerate brands (fewer than 3 levels) dropped."""
+    import math
+
+    li = read_table(spark, sf, "lineitem")
+    part = read_table(spark, sf, "part")
+    j = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li["l_partkey"] == part["p_partkey"],
+    )
+    cells = j.groupBy(
+        "p_brand",
+        (F.col("l_discount").cast("decimal(4,2)") * 100)
+        .cast("int")
+        .alias("dc"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum(F.col("l_quantity").cast("decimal(12,0)"))
+        .cast("bigint")
+        .alias("q"),
+    ).collect()
+    by_brand: dict[str, list] = {}
+    for r in cells:
+        by_brand.setdefault(r["p_brand"], []).append(
+            (r["dc"], r["c"], r["q"])
+        )
+    out = []
+    for brand in sorted(by_brand):
+        pts = sorted(by_brand[brand])
+        if len(pts) < 3:
+            continue
+        sx = sy = sxy = sxx = None
+        for dc, c, q in pts:
+            x = math.log((100 - dc) / 100.0)
+            y = math.log(float(q) / float(c))
+            sx = x if sx is None else sx + x
+            sy = y if sy is None else sy + y
+            sxy = x * y if sxy is None else sxy + x * y
+            sxx = x * x if sxx is None else sxx + x * x
+        m = float(len(pts))
+        slope = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+        out.append((brand, len(pts), slope))
+    return spark.createDataFrame(
+        out, "p_brand string, n_levels int, elasticity double"
+    )
+
+
+# published X̄-R chart constants for subgroup size n = 6
+_A2_N6 = 0.483
+_D3_N6 = 0.0
+_D4_N6 = 2.004
+
+
+def _q_xbar_r_chart(spark: SparkSession, sf: str) -> DataFrame:
+    """X̄-R control chart over 5 six-day subgroups of each type's
+    daily dollar totals: centre lines, A₂/D₃/D₄ control limits
+    (published n=6 constants as shared literals) and the subgroup
+    violation counts — the manufacturing SPC chart next to q454's
+    Levey-Jennings rules. Subgroup sums and ranges are exact
+    integers; every limit is a fixed-order double chain; violations
+    are integer counts. One daily reduce, one 25-row subgroup
+    frame, no joins (per-type totals ride a wall window)."""
+    daily = _type_daily_cents(spark, sf)
+    w = Window.partitionBy("event_type").orderBy("day")
+    base = daily.select(
+        "event_type",
+        F.row_number().over(w).alias("t"),
+        F.expr("(v + 50) div 100").alias("x"),
+    ).where(F.col("t") <= 30)
+    sub = base.groupBy(
+        "event_type", F.expr("(t + 5) div 6").alias("g")
+    ).agg(
+        F.sum("x").cast("bigint").alias("s6"),
+        (F.max("x") - F.min("x")).cast("bigint").alias("rg"),
+    )
+    wall = Window.partitionBy("event_type")
+    run = sub.select(
+        "event_type",
+        "g",
+        "s6",
+        "rg",
+        F.sum("s6").over(wall).cast("bigint").alias("tot"),
+        F.sum("rg").over(wall).cast("bigint").alias("rtot"),
+    )
+    clx = F.col("tot").cast("double") / 30.0
+    rbar = F.col("rtot").cast("double") / 5.0
+    uclx = clx + F.lit(_A2_N6) * rbar
+    lclx = clx - F.lit(_A2_N6) * rbar
+    uclr = F.lit(_D4_N6) * rbar
+    xbar = F.col("s6").cast("double") / 6.0
+    return run.groupBy("event_type").agg(
+        F.max(clx).alias("cl_x"),
+        F.max(uclx).alias("ucl_x"),
+        F.max(lclx).alias("lcl_x"),
+        F.max(rbar).alias("r_bar"),
+        F.sum(
+            F.when((xbar > uclx) | (xbar < lclx), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_x_violations"),
+        F.sum(F.when(F.col("rg").cast("double") > uclr, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_r_violations"),
+    )
+
+
 def _bowley_moors_sql() -> str:
     aggs = []
     for i in range(1, 8):
@@ -679,8 +791,97 @@ register_many(
         'q489_newsvendor': _q_newsvendor,
         'q490_rmst': _q_rmst,
         'q491_weibull_shape': _q_weibull_shape,
+        'q492_discount_elasticity': _q_discount_elasticity,
+        'q493_xbar_r_chart': _q_xbar_r_chart,
     },
     {
+        # Twin of _q_discount_elasticity: bounded (brand × discount)
+        # grain, ascending-discount ln-ln folds.
+        'q492_discount_elasticity': """
+            WITH cells AS (
+              SELECT p.p_brand,
+                CAST(CAST(l.l_discount AS DECIMAL(4,2)) * 100 AS INT)
+                  AS dc,
+                CAST(count(*) AS BIGINT) AS c,
+                CAST(sum(CAST(l.l_quantity AS DECIMAL(12,0)))
+                  AS BIGINT) AS q
+              FROM lineitem l
+              JOIN part p ON p.p_partkey = l.l_partkey
+              GROUP BY 1, 2
+            ),
+            pts AS (
+              SELECT p_brand, dc,
+                ln((100 - dc) / 100.0) AS x,
+                ln(CAST(q AS DOUBLE) / CAST(c AS DOUBLE)) AS y
+              FROM cells
+            ),
+            folds AS (
+              SELECT p_brand,
+                CAST(count(*) AS INT) AS n_levels,
+                CAST(count(*) AS DOUBLE) AS m,
+                list_reduce(list(x ORDER BY dc), (a, b) -> a + b)
+                  AS sx,
+                list_reduce(list(y ORDER BY dc), (a, b) -> a + b)
+                  AS sy,
+                list_reduce(list(x * y ORDER BY dc), (a, b) -> a + b)
+                  AS sxy,
+                list_reduce(list(x * x ORDER BY dc), (a, b) -> a + b)
+                  AS sxx
+              FROM pts GROUP BY 1
+            )
+            SELECT p_brand, n_levels,
+              (m * sxy - sx * sy) / (m * sxx - sx * sx) AS elasticity
+            FROM folds WHERE n_levels >= 3
+        """,
+        # Twin of _q_xbar_r_chart: identical subgroup frame, shared
+        # A2/D4 literals, fixed-order limit chains.
+        'q493_xbar_r_chart': f"""
+            WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS v
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+            ),
+            base AS (
+              SELECT event_type,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY day) AS t,
+                (v + 50) // 100 AS x
+              FROM daily
+              QUALIFY t <= 30
+            ),
+            sub AS (
+              SELECT event_type, (t + 5) // 6 AS g,
+                CAST(sum(x) AS BIGINT) AS s6,
+                CAST(max(x) - min(x) AS BIGINT) AS rg
+              FROM base GROUP BY 1, 2
+            ),
+            run AS (
+              SELECT event_type, g, s6, rg,
+                CAST(sum(s6) OVER (PARTITION BY event_type) AS BIGINT)
+                  AS tot,
+                CAST(sum(rg) OVER (PARTITION BY event_type) AS BIGINT)
+                  AS rtot
+              FROM sub
+            )
+            SELECT event_type,
+              max(CAST(tot AS DOUBLE) / 30.0) AS cl_x,
+              max(CAST(tot AS DOUBLE) / 30.0
+                + {_A2_N6:.17e} * (CAST(rtot AS DOUBLE) / 5.0)) AS ucl_x,
+              max(CAST(tot AS DOUBLE) / 30.0
+                - {_A2_N6:.17e} * (CAST(rtot AS DOUBLE) / 5.0)) AS lcl_x,
+              max(CAST(rtot AS DOUBLE) / 5.0) AS r_bar,
+              CAST(sum(CASE WHEN
+                CAST(s6 AS DOUBLE) / 6.0 > CAST(tot AS DOUBLE) / 30.0
+                  + {_A2_N6:.17e} * (CAST(rtot AS DOUBLE) / 5.0)
+                OR CAST(s6 AS DOUBLE) / 6.0 < CAST(tot AS DOUBLE) / 30.0
+                  - {_A2_N6:.17e} * (CAST(rtot AS DOUBLE) / 5.0)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_x_violations,
+              CAST(sum(CASE WHEN CAST(rg AS DOUBLE)
+                > {_D4_N6:.17e} * (CAST(rtot AS DOUBLE) / 5.0)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_r_violations
+            FROM run GROUP BY 1
+        """,
         # Twin of _q_newsvendor: same running frame, rank pick, and
         # integer overage/underage identities.
         'q489_newsvendor': """

@@ -148,3 +148,25 @@ def test_weibull_shape_positive(spark):
         # a1 < a0/2 strictly for any non-degenerate sample
         assert 0 < r["a1"] < r["a0"] / 2 or r["a1"] > 0
         assert r["shape_k"] > 0 and math.isfinite(r["shape_k"])
+
+
+def test_discount_elasticity_shape(spark):
+    import math
+
+    rows = entrymod.queries()["q492_discount_elasticity"](
+        spark, SF
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 3 <= r["n_levels"] <= 11
+        assert math.isfinite(r["elasticity"])
+
+
+def test_xbar_r_chart_identities(spark):
+    rows = entrymod.queries()["q493_xbar_r_chart"](spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["lcl_x"] < r["cl_x"] < r["ucl_x"]
+        assert r["r_bar"] >= 0.0
+        assert 0 <= r["n_x_violations"] <= 5
+        assert 0 <= r["n_r_violations"] <= 5
