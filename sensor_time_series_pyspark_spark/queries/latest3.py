@@ -721,6 +721,101 @@ def _q_xbar_r_chart(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_zero_inflation(spark: SparkSession, sf: str) -> DataFrame:
+    """Van den Broek zero-inflation score test per event type: are
+    there more (user, day) cells with ZERO events than Poisson(λ̂)
+    predicts — the count-model triage (fano q-family measures
+    overdispersion; this isolates the excess-zeros failure mode).
+    Zero cells are computed ARITHMETICALLY (n_users·30 − nonzero
+    cells — no user×day grid is ever materialized), λ̂ is one
+    division, and the single exp(−λ̂) runs driver-side over the
+    5-row table (Spark's JVM exp differs from libm; DuckDB's
+    doesn't). score = (O₀−E₀)/√(E₀(1−p₀))."""
+    import math
+
+    ev = read_table(spark, sf, "events")
+    n_users = ev.select("user_id").distinct().count()
+    g = (
+        ev.select(
+            "event_type", "user_id", F.to_date("ts").alias("day")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("total"),
+            F.countDistinct("user_id", "day")
+            .cast("bigint")
+            .alias("nonzero"),
+        )
+        .collect()
+    )
+    out = []
+    for r in sorted(g, key=lambda r: r["event_type"]):
+        n_cells = n_users * 30
+        obs0 = n_cells - r["nonzero"]
+        lam = r["total"] / n_cells
+        p0 = math.exp(-lam)
+        e0 = n_cells * p0
+        score = (obs0 - e0) / math.sqrt(e0 * (1.0 - p0))
+        out.append(
+            (r["event_type"], n_cells, obs0, lam, e0, score)
+        )
+    return spark.createDataFrame(
+        out,
+        "event_type string, n_cells bigint, obs_zero bigint, "
+        "lambda double, exp_zero double, zi_score double",
+    )
+
+
+def _q_mutual_information(spark: SparkSession, sf: str) -> DataFrame:
+    """Mutual information between event type and hour-of-day, with
+    both marginal entropies and the normalized MI — "how much does
+    WHEN predict WHAT" in nats, the information-theoretic upgrade of
+    q414's hour χ² (χ² detects dependence; MI prices it). The 5×24
+    contingency is exact integers; every probability is one
+    division and all three entropy folds run driver-side in
+    lexicographic cell order, exactly as the oracle's ordered
+    list_reduce replays them."""
+    import math
+
+    ev = read_table(spark, sf, "events")
+    cells = (
+        ev.select(
+            "event_type", F.hour("ts").cast("int").alias("hr")
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .collect()
+    )
+    n = sum(r["c"] for r in cells)
+    row: dict[str, int] = {}
+    col: dict[int, int] = {}
+    for r in cells:
+        row[r["event_type"]] = row.get(r["event_type"], 0) + r["c"]
+        col[r["hr"]] = col.get(r["hr"], 0) + r["c"]
+    mi = None
+    for r in sorted(cells, key=lambda r: (r["event_type"], r["hr"])):
+        p = r["c"] / n
+        pi = row[r["event_type"]] / n
+        pj = col[r["hr"]] / n
+        term = p * math.log(p / (pi * pj))
+        mi = term if mi is None else mi + term
+    h_t = None
+    for t in sorted(row):
+        p = row[t] / n
+        term = -(p * math.log(p))
+        h_t = term if h_t is None else h_t + term
+    h_h = None
+    for h in sorted(col):
+        p = col[h] / n
+        term = -(p * math.log(p))
+        h_h = term if h_h is None else h_h + term
+    return spark.createDataFrame(
+        [(n, mi, h_t, h_h, mi / min(h_t, h_h))],
+        "n_events bigint, mi double, h_type double, h_hour double, "
+        "nmi double",
+    )
+
+
 def _bowley_moors_sql() -> str:
     aggs = []
     for i in range(1, 8):
@@ -793,8 +888,90 @@ register_many(
         'q491_weibull_shape': _q_weibull_shape,
         'q492_discount_elasticity': _q_discount_elasticity,
         'q493_xbar_r_chart': _q_xbar_r_chart,
+        'q494_zero_inflation': _q_zero_inflation,
+        'q495_mutual_information': _q_mutual_information,
     },
     {
+        # Twin of _q_zero_inflation: arithmetic zeros, one division,
+        # libm exp.
+        'q494_zero_inflation': """
+            WITH pop AS (
+              SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+                AS n_users
+              FROM events
+            ),
+            g AS (
+              SELECT event_type,
+                CAST(count(*) AS BIGINT) AS total,
+                CAST(count(DISTINCT (user_id, CAST(ts AS DATE)))
+                  AS BIGINT) AS nonzero
+              FROM events GROUP BY 1
+            ),
+            base AS (
+              SELECT g.event_type,
+                p.n_users * 30 AS n_cells,
+                p.n_users * 30 - g.nonzero AS obs_zero,
+                g.total / (p.n_users * 30) AS lam
+              FROM g, pop p
+            )
+            SELECT event_type,
+              CAST(n_cells AS BIGINT) AS n_cells,
+              CAST(obs_zero AS BIGINT) AS obs_zero,
+              lam AS lambda,
+              n_cells * exp(-lam) AS exp_zero,
+              (obs_zero - n_cells * exp(-lam))
+                / sqrt((n_cells * exp(-lam)) * (1.0 - exp(-lam)))
+                AS zi_score
+            FROM base
+        """,
+        # Twin of _q_mutual_information: lexicographic cell folds
+        # for MI and both marginals.
+        'q495_mutual_information': """
+            WITH cells AS (
+              SELECT event_type,
+                CAST(extract(hour FROM ts) AS INT) AS hr,
+                CAST(count(*) AS BIGINT) AS c
+              FROM events GROUP BY 1, 2
+            ),
+            tot AS (
+              SELECT CAST(sum(c) AS BIGINT) AS n FROM cells
+            ),
+            rows_ AS (
+              SELECT event_type, CAST(sum(c) AS BIGINT) AS rc
+              FROM cells GROUP BY 1
+            ),
+            cols_ AS (
+              SELECT hr, CAST(sum(c) AS BIGINT) AS cc
+              FROM cells GROUP BY 1
+            ),
+            mi AS (
+              SELECT list_reduce(
+                list((ce.c / t.n)
+                  * ln((ce.c / t.n) / ((r.rc / t.n) * (co.cc / t.n)))
+                  ORDER BY ce.event_type, ce.hr),
+                (a, b) -> a + b) AS mi
+              FROM cells ce
+              JOIN rows_ r USING (event_type)
+              JOIN cols_ co USING (hr)
+              CROSS JOIN tot t
+            ),
+            ht AS (
+              SELECT list_reduce(
+                list(-((rc / t.n) * ln(rc / t.n))
+                  ORDER BY event_type),
+                (a, b) -> a + b) AS h
+              FROM rows_, tot t
+            ),
+            hh AS (
+              SELECT list_reduce(
+                list(-((cc / t.n) * ln(cc / t.n)) ORDER BY hr),
+                (a, b) -> a + b) AS h
+              FROM cols_, tot t
+            )
+            SELECT t.n AS n_events, m.mi, a.h AS h_type,
+              b.h AS h_hour, m.mi / least(a.h, b.h) AS nmi
+            FROM tot t, mi m, ht a, hh b
+        """,
         # Twin of _q_discount_elasticity: bounded (brand × discount)
         # grain, ascending-discount ln-ln folds.
         'q492_discount_elasticity': """

@@ -170,3 +170,25 @@ def test_xbar_r_chart_identities(spark):
         assert r["r_bar"] >= 0.0
         assert 0 <= r["n_x_violations"] <= 5
         assert 0 <= r["n_r_violations"] <= 5
+
+
+def test_zero_inflation_identities(spark):
+    rows = entrymod.queries()["q494_zero_inflation"](spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r["obs_zero"] <= r["n_cells"]
+        assert r["lambda"] > 0
+        assert 0.0 < r["exp_zero"] < r["n_cells"]
+
+
+def test_mutual_information_bounds(spark):
+    import math
+
+    [r] = entrymod.queries()["q495_mutual_information"](
+        spark, SF
+    ).collect()
+    # 0 <= MI <= min(H_type, H_hour); H_type <= ln 5, H_hour <= ln 24
+    assert -1e-12 <= r["mi"] <= min(r["h_type"], r["h_hour"]) + 1e-12
+    assert 0.0 < r["h_type"] <= math.log(5) + 1e-12
+    assert 0.0 < r["h_hour"] <= math.log(24) + 1e-12
+    assert 0.0 - 1e-12 <= r["nmi"] <= 1.0 + 1e-12
