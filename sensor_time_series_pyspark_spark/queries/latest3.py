@@ -816,6 +816,137 @@ def _q_mutual_information(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_touch_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """First-touch vs last-touch attribution of purchases: each
+    purchase credits the earliest and the latest non-purchase event
+    by the same user in the trailing 24 h — the marketing-mix
+    question q103's transition matrix can't answer (it only sees
+    adjacent pairs). Both touches come from ONE RANGE window (struct
+    max/min with (ts, event_id) total order — no self-join, no
+    inequality join); untouched purchases land in the 'none' bucket;
+    shares are exact count ratios."""
+    ev = read_table(spark, sf, "events")
+    base = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("ts").cast("long").alias("sec"),
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-86400, 0)
+    )
+    touch = F.when(
+        F.col("event_type") != "purchase",
+        F.struct("sec", "event_id", "event_type"),
+    )
+    attributed = (
+        base.withColumn("last_t", F.max(touch).over(wr))
+        .withColumn("first_t", F.min(touch).over(wr))
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce(F.col("last_t.event_type"), F.lit("none"))
+            .alias("last_touch"),
+            F.coalesce(F.col("first_t.event_type"), F.lit("none"))
+            .alias("first_touch"),
+        )
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    lt = attributed.groupBy(
+        F.col("last_touch").alias("channel")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_last"))
+    ft = attributed.groupBy(
+        F.col("first_touch").alias("channel")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_first"))
+    j = lt.join(ft, "channel", "full").select(
+        "channel",
+        F.coalesce("n_last", F.lit(0)).cast("bigint").alias("n_last"),
+        F.coalesce("n_first", F.lit(0))
+        .cast("bigint")
+        .alias("n_first"),
+    )
+    tot = F.sum("n_last").over(wall)
+    return j.select(
+        "channel",
+        "n_last",
+        "n_first",
+        (F.col("n_last").cast("double") / tot.cast("double")).alias(
+            "share_last"
+        ),
+        (F.col("n_first").cast("double") / tot.cast("double")).alias(
+            "share_first"
+        ),
+    )
+
+
+def _q_fisher_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Laspeyres, Paasche and Fisher price indices 1995→1996 over
+    the common-part basket: per (part, year) unit values are
+    ROUNDED-TO-CENT integers ((V + Q div 2) div Q — prices ARE
+    cents), so Σu₁q₀ / Σu₀q₀ and the Paasche twin are exact-integer
+    ratios and Fisher is one sqrt — the econometric index-number
+    companion to q382's price-volume-mix bridge, with no float ever
+    summed across parts. One scan, one (part, year) reduce, one
+    self-join on partkey."""
+    li = read_table(spark, sf, "lineitem")
+    py = (
+        li.where(F.year("l_shipdate").isin(1995, 1996))
+        .groupBy(
+            "l_partkey", F.year("l_shipdate").alias("yr")
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(12,0)"))
+            .cast("bigint")
+            .alias("q"),
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * 100
+                ).cast("decimal(38,0)")
+            )
+            .cast("bigint")
+            .alias("v"),
+        )
+        .select(
+            "l_partkey",
+            "yr",
+            "q",
+            F.expr("CAST((v + q div 2) div q AS BIGINT)").alias("u"),
+        )
+    )
+    y0 = py.where(F.col("yr") == 1995).select(
+        "l_partkey",
+        F.col("q").alias("q0"),
+        F.col("u").alias("u0"),
+    )
+    y1 = py.where(F.col("yr") == 1996).select(
+        "l_partkey",
+        F.col("q").alias("q1"),
+        F.col("u").alias("u1"),
+    )
+    j = y0.join(y1, "l_partkey")
+    agg = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum(F.col("u1") * F.col("q0")).cast("bigint").alias("l_num"),
+        F.sum(F.col("u0") * F.col("q0")).cast("bigint").alias("l_den"),
+        F.sum(F.col("u1") * F.col("q1")).cast("bigint").alias("p_num"),
+        F.sum(F.col("u0") * F.col("q1")).cast("bigint").alias("p_den"),
+    )
+    lasp = F.col("l_num").cast("double") / F.col("l_den").cast("double")
+    paas = F.col("p_num").cast("double") / F.col("p_den").cast("double")
+    return agg.select(
+        F.lit("1995->1996").alias("period"),
+        "n_parts",
+        lasp.alias("laspeyres"),
+        paas.alias("paasche"),
+        F.sqrt(lasp * paas).alias("fisher"),
+    )
+
+
 def _bowley_moors_sql() -> str:
     aggs = []
     for i in range(1, 8):
@@ -890,8 +1021,113 @@ register_many(
         'q493_xbar_r_chart': _q_xbar_r_chart,
         'q494_zero_inflation': _q_zero_inflation,
         'q495_mutual_information': _q_mutual_information,
+        'q496_touch_attribution': _q_touch_attribution,
+        'q497_fisher_index': _q_fisher_index,
     },
     {
+        # Twin of _q_touch_attribution: same floored-epoch RANGE
+        # window and (sec, id) struct total order.
+        'q496_touch_attribution': """
+            WITH base AS (
+              SELECT user_id, event_type, event_id,
+                CAST(floor(epoch(ts)) AS BIGINT) AS sec
+              FROM events
+            ),
+            att AS (
+              SELECT event_type,
+                max(CASE WHEN event_type <> 'purchase'
+                  THEN (sec, event_id, event_type) END)
+                  OVER (PARTITION BY user_id ORDER BY sec
+                    RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+                  AS last_t,
+                min(CASE WHEN event_type <> 'purchase'
+                  THEN (sec, event_id, event_type) END)
+                  OVER (PARTITION BY user_id ORDER BY sec
+                    RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+                  AS first_t
+              FROM base
+            ),
+            pur AS (
+              SELECT
+                COALESCE(last_t['et'], 'none') AS last_touch,
+                COALESCE(first_t['et'], 'none') AS first_touch
+              FROM (
+                SELECT event_type,
+                  CASE WHEN last_t IS NULL THEN NULL
+                    ELSE {'et': last_t[3]} END AS last_t,
+                  CASE WHEN first_t IS NULL THEN NULL
+                    ELSE {'et': first_t[3]} END AS first_t
+                FROM att
+                WHERE event_type = 'purchase'
+              )
+            ),
+            lt AS (
+              SELECT last_touch AS channel,
+                CAST(count(*) AS BIGINT) AS n_last
+              FROM pur GROUP BY 1
+            ),
+            ft AS (
+              SELECT first_touch AS channel,
+                CAST(count(*) AS BIGINT) AS n_first
+              FROM pur GROUP BY 1
+            ),
+            j AS (
+              SELECT COALESCE(lt.channel, ft.channel) AS channel,
+                CAST(COALESCE(lt.n_last, 0) AS BIGINT) AS n_last,
+                CAST(COALESCE(ft.n_first, 0) AS BIGINT) AS n_first
+              FROM lt FULL JOIN ft ON ft.channel = lt.channel
+            ),
+            tot AS (
+              SELECT CAST(sum(n_last) AS BIGINT) AS t FROM j
+            )
+            SELECT j.channel, j.n_last, j.n_first,
+              CAST(j.n_last AS DOUBLE) / CAST(t.t AS DOUBLE)
+                AS share_last,
+              CAST(j.n_first AS DOUBLE) / CAST(t.t AS DOUBLE)
+                AS share_first
+            FROM j, tot t
+        """,
+        # Twin of _q_fisher_index: rounded-to-cent integer unit
+        # values, exact integer index numerators.
+        'q497_fisher_index': """
+            WITH py AS (
+              SELECT l_partkey,
+                CAST(extract(year FROM l_shipdate) AS INT) AS yr,
+                CAST(sum(CAST(l_quantity AS DECIMAL(12,0)))
+                  AS BIGINT) AS q,
+                CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * 100 AS DECIMAL(38,0))) AS BIGINT) AS v
+              FROM lineitem
+              WHERE extract(year FROM l_shipdate) IN (1995, 1996)
+              GROUP BY 1, 2
+            ),
+            u AS (
+              SELECT l_partkey, yr, q, (v + q // 2) // q AS u
+              FROM py
+            ),
+            j AS (
+              SELECT y0.q AS q0, y0.u AS u0, y1.q AS q1, y1.u AS u1
+              FROM u y0 JOIN u y1 ON y1.l_partkey = y0.l_partkey
+              WHERE y0.yr = 1995 AND y1.yr = 1996
+            ),
+            agg AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_parts,
+                CAST(sum(u1 * q0) AS BIGINT) AS l_num,
+                CAST(sum(u0 * q0) AS BIGINT) AS l_den,
+                CAST(sum(u1 * q1) AS BIGINT) AS p_num,
+                CAST(sum(u0 * q1) AS BIGINT) AS p_den
+              FROM j
+            )
+            SELECT '1995->1996' AS period, n_parts,
+              CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE)
+                AS laspeyres,
+              CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE)
+                AS paasche,
+              sqrt((CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE))
+                * (CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE)))
+                AS fisher
+            FROM agg
+        """,
         # Twin of _q_zero_inflation: arithmetic zeros, one division,
         # libm exp.
         'q494_zero_inflation': """

@@ -192,3 +192,27 @@ def test_mutual_information_bounds(spark):
     assert 0.0 < r["h_type"] <= math.log(5) + 1e-12
     assert 0.0 < r["h_hour"] <= math.log(24) + 1e-12
     assert 0.0 - 1e-12 <= r["nmi"] <= 1.0 + 1e-12
+
+
+def test_touch_attribution_shares(spark):
+    rows = entrymod.queries()["q496_touch_attribution"](
+        spark, SF
+    ).collect()
+    assert rows
+    sl = sum(r["share_last"] for r in rows)
+    sf_ = sum(r["share_first"] for r in rows)
+    assert abs(sl - 1.0) < 1e-9 and abs(sf_ - 1.0) < 1e-9
+    chans = {r["channel"] for r in rows}
+    assert "purchase" not in chans  # purchases never credit themselves
+    n_last = sum(r["n_last"] for r in rows)
+    n_first = sum(r["n_first"] for r in rows)
+    assert n_last == n_first  # same purchase population both models
+
+
+def test_fisher_index_identities(spark):
+    [r] = entrymod.queries()["q497_fisher_index"](spark, SF).collect()
+    assert r["n_parts"] > 0
+    # Fisher is the geometric mean: between L and P
+    lo, hi = sorted((r["laspeyres"], r["paasche"]))
+    assert lo - 1e-12 <= r["fisher"] <= hi + 1e-12
+    assert r["laspeyres"] > 0 and r["paasche"] > 0
