@@ -947,6 +947,72 @@ def _q_fisher_index(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_forecast_errors(spark: SparkSession, sf: str) -> DataFrame:
+    """Forecast-error suite for the weekly seasonal-naive forecaster
+    (ŷ_t = y_{t−7}) on daily totals: WAPE, sMAPE, MdAPE, Theil's U₁
+    and the tracking signal Σe/Σ|e| — the metric panel that
+    complements q407's MASE (scaled) and q443's RMSE/R² (squared)
+    with the percentage/median/bounded family a demand planner
+    actually reads. Errors are exact integer cents from one lag
+    window; WAPE/U₁/tracking reduce to exact integer sums, sMAPE
+    folds its 23 per-point terms in ascending-day order, and MdAPE
+    is an explicit middle-index selection on the (ratio, t) total
+    order (q451's discipline)."""
+    import math
+
+    daily = _type_daily_cents(spark, sf)
+    w = Window.partitionBy("event_type").orderBy("day")
+    err = (
+        daily.select(
+            "event_type",
+            F.row_number().over(w).alias("t"),
+            F.col("v").alias("y"),
+            F.lag("v", 7).over(w).alias("yhat"),
+        )
+        .where(F.col("yhat").isNotNull() & (F.col("y") > 0))
+        .collect()
+    )
+    by_type: dict[str, list] = {}
+    for r in err:
+        by_type.setdefault(r["event_type"], []).append(
+            (r["t"], r["y"], r["yhat"])
+        )
+    out = []
+    for et in sorted(by_type):
+        pts = sorted(by_type[et])
+        m = len(pts)
+        se = sae = say = sayh = se2 = sy2 = syh2 = 0
+        for _, y, yh in pts:
+            e = y - yh
+            se += e
+            sae += abs(e)
+            say += abs(y)
+            sayh += abs(yh)
+            se2 += e * e
+            sy2 += y * y
+            syh2 += yh * yh
+        wape = float(sae) / float(say)
+        smape = None
+        for t, y, yh in pts:
+            term = 2.0 * float(abs(y - yh)) / float(abs(y) + abs(yh))
+            smape = term if smape is None else smape + term
+        smape = smape / m
+        ratios = sorted(
+            (float(abs(y - yh)) / float(y), t) for t, y, yh in pts
+        )
+        mdape = ratios[(m + 1) // 2 - 1][0]
+        u1 = math.sqrt(float(se2)) / (
+            math.sqrt(float(sy2)) + math.sqrt(float(syh2))
+        )
+        ts_sig = float(se) / float(sae) if sae else 0.0
+        out.append((et, m, wape, smape, mdape, u1, ts_sig))
+    return spark.createDataFrame(
+        out,
+        "event_type string, n_pts int, wape double, smape double, "
+        "mdape double, theil_u1 double, tracking double",
+    )
+
+
 def _bowley_moors_sql() -> str:
     aggs = []
     for i in range(1, 8):
@@ -1023,8 +1089,61 @@ register_many(
         'q495_mutual_information': _q_mutual_information,
         'q496_touch_attribution': _q_touch_attribution,
         'q497_fisher_index': _q_fisher_index,
+        'q498_forecast_errors': _q_forecast_errors,
     },
     {
+        # Twin of _q_forecast_errors: exact integer sums for
+        # WAPE/U1/tracking, t-ordered sMAPE fold, (ratio, t)
+        # middle-index MdAPE.
+        'q498_forecast_errors': """
+            WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS v
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+            ),
+            err AS (
+              SELECT event_type,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY day) AS t,
+                v AS y,
+                lag(v, 7) OVER (PARTITION BY event_type ORDER BY day)
+                  AS yhat
+              FROM daily
+              QUALIFY yhat IS NOT NULL AND y > 0
+            ),
+            g AS (
+              SELECT event_type,
+                CAST(count(*) AS INT) AS m,
+                CAST(sum(y - yhat) AS BIGINT) AS se,
+                CAST(sum(abs(y - yhat)) AS BIGINT) AS sae,
+                CAST(sum(abs(y)) AS BIGINT) AS say,
+                CAST(sum((y - yhat) * (y - yhat)) AS BIGINT) AS se2,
+                CAST(sum(y * y) AS BIGINT) AS sy2,
+                CAST(sum(yhat * yhat) AS BIGINT) AS syh2,
+                list_reduce(
+                  list(2.0 * CAST(abs(y - yhat) AS DOUBLE)
+                    / CAST(abs(y) + abs(yhat) AS DOUBLE)
+                    ORDER BY t),
+                  (a, b) -> a + b) AS smape_sum,
+                list(CAST(abs(y - yhat) AS DOUBLE)
+                  / CAST(y AS DOUBLE)
+                  ORDER BY CAST(abs(y - yhat) AS DOUBLE)
+                    / CAST(y AS DOUBLE), t) AS ratios
+              FROM err GROUP BY 1
+            )
+            SELECT event_type, m AS n_pts,
+              CAST(sae AS DOUBLE) / CAST(say AS DOUBLE) AS wape,
+              smape_sum / m AS smape,
+              ratios[(m + 1) // 2] AS mdape,
+              sqrt(CAST(se2 AS DOUBLE))
+                / (sqrt(CAST(sy2 AS DOUBLE))
+                   + sqrt(CAST(syh2 AS DOUBLE))) AS theil_u1,
+              CASE WHEN sae = 0 THEN 0.0
+                ELSE CAST(se AS DOUBLE) / CAST(sae AS DOUBLE) END
+                AS tracking
+            FROM g
+        """,
         # Twin of _q_touch_attribution: same floored-epoch RANGE
         # window and (sec, id) struct total order.
         'q496_touch_attribution': """

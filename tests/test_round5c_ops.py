@@ -216,3 +216,17 @@ def test_fisher_index_identities(spark):
     lo, hi = sorted((r["laspeyres"], r["paasche"]))
     assert lo - 1e-12 <= r["fisher"] <= hi + 1e-12
     assert r["laspeyres"] > 0 and r["paasche"] > 0
+
+
+def test_forecast_errors_bounds(spark):
+    rows = entrymod.queries()["q498_forecast_errors"](
+        spark, SF
+    ).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_pts"] == 23  # 30 days minus 7-day warmup
+        assert r["wape"] >= 0.0
+        assert 0.0 <= r["smape"] <= 2.0 + 1e-12  # sMAPE is bounded
+        assert 0.0 <= r["theil_u1"] <= 1.0 + 1e-12
+        assert -1.0 - 1e-12 <= r["tracking"] <= 1.0 + 1e-12
+        assert r["mdape"] >= 0.0
