@@ -1013,6 +1013,122 @@ def _q_forecast_errors(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_DOW_DIMS = list(range(1, 8))
+
+
+def _q_dow_profile_cells(spark: SparkSession, sf: str) -> DataFrame:
+    """Behavioral vector quantization: every user's 7-dim
+    day-of-week spend profile (exact integer cents) assigned to the
+    nearest of 8 md5-ordered pivot users' profiles by EXACT integer
+    d² (q47's portable-IVF discipline applied to behavior instead of
+    embeddings) — the segmentation census that says which weekly
+    rhythms exist and how many users follow each. Pivots collect
+    driver-side (8 rows) and inline as a literal struct array, so
+    the assignment is an explode + integer arithmetic — no join of
+    any kind; ties break to the lowest cell id."""
+    ev = read_table(spark, sf, "events").where(F.col("value").isNotNull())
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    prof = ev.groupBy("user_id").agg(
+        *[
+            F.sum(
+                F.when(F.dayofweek("ts") == d, cents).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"p{d}")
+            for d in _DOW_DIMS
+        ]
+    )
+    pivots = (
+        prof.withColumn(
+            "h", F.md5(F.col("user_id").cast("string"))
+        )
+        .orderBy("h", "user_id")
+        .limit(8)
+        .collect()
+    )
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("cell"),
+                *[
+                    F.lit(int(p[f"p{d}"])).alias(f"c{d}")
+                    for d in _DOW_DIMS
+                ],
+            )
+            for i, p in enumerate(pivots)
+        ]
+    )
+    ex = prof.select("user_id", *[f"p{d}" for d in _DOW_DIMS]).select(
+        "user_id",
+        *[f"p{d}" for d in _DOW_DIMS],
+        F.explode(cells).alias("pv"),
+    )
+    d2 = sum(
+        (F.col(f"p{d}") - F.col(f"pv.c{d}"))
+        * (F.col(f"p{d}") - F.col(f"pv.c{d}"))
+        for d in _DOW_DIMS
+    )
+    wk = Window.partitionBy("user_id").orderBy("d2", "cell")
+    assigned = (
+        ex.select(
+            "user_id",
+            F.col("pv.cell").alias("cell"),
+            d2.cast("decimal(38,0)").alias("d2"),
+            sum(F.col(f"p{d}") for d in _DOW_DIMS).alias("tot"),
+        )
+        .withColumn("r", F.row_number().over(wk))
+        .where(F.col("r") == 1)
+    )
+    return assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("tot").cast("bigint").alias("total_cents"),
+    )
+
+
+def _dow_cells_sql() -> str:
+    psel = ",\n                ".join(
+        f"CAST(sum(CASE WHEN dayofweek(ts) + 1 = {d} THEN"
+        f" CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"
+        f" ELSE 0 END) AS BIGINT) AS p{d}"
+        for d in _DOW_DIMS
+    )
+    d2 = " + ".join(
+        f"(p.p{d} - c.p{d}) * (p.p{d} - c.p{d})" for d in _DOW_DIMS
+    )
+    tot = " + ".join(f"p.p{d}" for d in _DOW_DIMS)
+    return f"""
+        WITH prof AS (
+          SELECT user_id,
+                {psel}
+          FROM events WHERE value IS NOT NULL GROUP BY 1
+        ),
+        piv AS (
+          SELECT *, CAST(row_number() OVER (ORDER BY h, user_id)
+            AS INT) AS cell
+          FROM (
+            SELECT prof.*, md5(CAST(user_id AS VARCHAR)) AS h
+            FROM prof ORDER BY h, user_id LIMIT 8
+          )
+        ),
+        scored AS (
+          SELECT p.user_id, c.cell,
+            CAST({d2} AS DECIMAL(38,0)) AS d2,
+            CAST({tot} AS BIGINT) AS tot
+          FROM prof p, piv c
+        ),
+        assigned AS (
+          SELECT user_id, cell, tot FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id
+              ORDER BY d2, cell) AS r
+            FROM scored
+          ) WHERE r = 1
+        )
+        SELECT cell, CAST(count(*) AS BIGINT) AS n_users,
+          CAST(sum(tot) AS BIGINT) AS total_cents
+        FROM assigned GROUP BY 1
+    """
+
+
 def _bowley_moors_sql() -> str:
     aggs = []
     for i in range(1, 8):
@@ -1090,8 +1206,10 @@ register_many(
         'q496_touch_attribution': _q_touch_attribution,
         'q497_fisher_index': _q_fisher_index,
         'q498_forecast_errors': _q_forecast_errors,
+        'q499_dow_profile_cells': _q_dow_profile_cells,
     },
     {
+        'q499_dow_profile_cells': _dow_cells_sql(),
         # Twin of _q_forecast_errors: exact integer sums for
         # WAPE/U1/tracking, t-ordered sMAPE fold, (ratio, t)
         # middle-index MdAPE.

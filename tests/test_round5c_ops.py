@@ -230,3 +230,15 @@ def test_forecast_errors_bounds(spark):
         assert 0.0 <= r["theil_u1"] <= 1.0 + 1e-12
         assert -1.0 - 1e-12 <= r["tracking"] <= 1.0 + 1e-12
         assert r["mdape"] >= 0.0
+
+
+def test_dow_profile_cells_census(spark):
+    rows = entrymod.queries()["q499_dow_profile_cells"](
+        spark, SF
+    ).collect()
+    assert 1 <= len(rows) <= 8
+    n = sum(r["n_users"] for r in rows)
+    assert n == 15  # every sf0.001 user lands in exactly one cell
+    for r in rows:
+        assert 1 <= r["cell"] <= 8
+        assert r["total_cents"] >= 0
