@@ -1129,6 +1129,98 @@ def _dow_cells_sql() -> str:
     """
 
 
+_SPRT_P0 = 0.18
+_SPRT_P1 = 0.22
+_SPRT_L1 = _m.log(_SPRT_P1 / _SPRT_P0)
+_SPRT_L0 = _m.log((1.0 - _SPRT_P1) / (1.0 - _SPRT_P0))
+_SPRT_LNA = _m.log(19.0)  # (1-β)/α at α=β=0.05
+_SPRT_LNB = _m.log(1.0 / 19.0)
+
+
+def _q_sprt(spark: SparkSession, sf: str) -> DataFrame:
+    """Wald's sequential probability ratio test on the daily
+    purchase share (H₀ p=0.18 vs H₁ p=0.22, α=β=0.05): the
+    cumulative log-likelihood ratio day by day with the decision
+    state — the SEQUENTIAL experimentation design (stop the moment
+    evidence suffices) that complements q431's fixed-horizon MDE.
+    Daily (n, k) are exact integers; each day's LLR increment is
+    k·ln(p₁/p₀) + (n−k)·ln((1−p₁)/(1−p₀)) with the four constants
+    precomputed once and shared as literals; the 30-step fold runs
+    driver-side in day order and the oracle replays it in a
+    recursive CTE (no windowed double sums — DuckDB's segment
+    trees would re-associate them)."""
+    ev = read_table(spark, sf, "events")
+    days = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("k"),
+        )
+        .collect()
+    )
+    days = sorted(days, key=lambda r: r["day"])
+    llr = 0.0
+    out = []
+    decided = None
+    for i, r in enumerate(days, start=1):
+        term = r["k"] * _SPRT_L1 + (r["n"] - r["k"]) * _SPRT_L0
+        llr = llr + term
+        if decided is None:
+            if llr >= _SPRT_LNA:
+                decided = "h1"
+            elif llr <= _SPRT_LNB:
+                decided = "h0"
+        state = decided if decided is not None else "continue"
+        out.append((i, r["n"], r["k"], llr, state))
+    return spark.createDataFrame(
+        out,
+        "t int, n_events bigint, n_purchases bigint, llr double, "
+        "decision string",
+    )
+
+
+def _sprt_sql() -> str:
+    return f"""
+        WITH RECURSIVE days AS (
+          SELECT CAST(ts AS DATE) AS day,
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+              ELSE 0 END) AS BIGINT) AS k
+          FROM events GROUP BY 1
+        ),
+        ord AS (
+          SELECT n, k,
+            CAST(row_number() OVER (ORDER BY day) AS INT) AS t
+          FROM days
+        ),
+        rec AS (
+          SELECT 0 AS t, CAST(0.0 AS DOUBLE) AS llr,
+            CAST(NULL AS VARCHAR) AS decided
+          UNION ALL
+          SELECT o.t,
+            r.llr + (o.k * {_SPRT_L1:.17e}
+              + (o.n - o.k) * {_SPRT_L0:.17e}),
+            COALESCE(r.decided,
+              CASE WHEN r.llr + (o.k * {_SPRT_L1:.17e}
+                  + (o.n - o.k) * {_SPRT_L0:.17e})
+                  >= {_SPRT_LNA:.17e} THEN 'h1'
+                WHEN r.llr + (o.k * {_SPRT_L1:.17e}
+                  + (o.n - o.k) * {_SPRT_L0:.17e})
+                  <= {_SPRT_LNB:.17e} THEN 'h0' END)
+          FROM rec r JOIN ord o ON o.t = r.t + 1
+        )
+        SELECT o.t, o.n AS n_events, o.k AS n_purchases, r.llr,
+          COALESCE(r.decided, 'continue') AS decision
+        FROM ord o JOIN rec r ON r.t = o.t
+    """
+
+
 def _bowley_moors_sql() -> str:
     aggs = []
     for i in range(1, 8):
@@ -1207,9 +1299,11 @@ register_many(
         'q497_fisher_index': _q_fisher_index,
         'q498_forecast_errors': _q_forecast_errors,
         'q499_dow_profile_cells': _q_dow_profile_cells,
+        'q500_sprt': _q_sprt,
     },
     {
         'q499_dow_profile_cells': _dow_cells_sql(),
+        'q500_sprt': _sprt_sql(),
         # Twin of _q_forecast_errors: exact integer sums for
         # WAPE/U1/tracking, t-ordered sMAPE fold, (ratio, t)
         # middle-index MdAPE.

@@ -242,3 +242,19 @@ def test_dow_profile_cells_census(spark):
     for r in rows:
         assert 1 <= r["cell"] <= 8
         assert r["total_cents"] >= 0
+
+
+def test_sprt_state_machine(spark):
+    rows = entrymod.queries()["q500_sprt"](spark, SF).collect()
+    assert len(rows) == 30
+    rows = sorted(rows, key=lambda r: r["t"])
+    seen_decision = None
+    for r in rows:
+        assert 0 <= r["n_purchases"] <= r["n_events"]
+        if seen_decision:
+            # once decided, the state is absorbing
+            assert r["decision"] == seen_decision
+        elif r["decision"] in ("h0", "h1"):
+            seen_decision = r["decision"]
+        else:
+            assert r["decision"] == "continue"
