@@ -1221,6 +1221,79 @@ def _sprt_sql() -> str:
     """
 
 
+def _q_cvar_backtest(spark: SparkSession, sf: str) -> DataFrame:
+    """Expected shortfall (CVaR) and a Kupiec proportion-of-failures
+    backtest per event type: the 20%-VaR threshold and the mean of
+    the tail BELOW it are estimated on the first 15 days of
+    day-over-day revenue changes (exact integer cents, explicit
+    rank-3 order statistic), then exceptions are counted
+    out-of-sample on the remaining days and Kupiec's
+    LR = 2[x·ln(π̂/p)+(n−x)·ln((1−π̂)/(1−p))] prices whether the
+    model's 20% actually happens 20% of the time — the risk-control
+    complement to q304's in-sample VaR. Counts and the tail sum are
+    exact; the two-ln epilogue runs driver-side over 5 rows."""
+    import math
+
+    daily = _type_daily_cents(spark, sf)
+    w = Window.partitionBy("event_type").orderBy("day")
+    chg = daily.select(
+        "event_type",
+        F.row_number().over(w).alias("t"),
+        (F.col("v") - F.lag("v", 1).over(w)).alias("c"),
+    ).where(F.col("c").isNotNull())
+    train = chg.where(F.col("t") <= 15)
+    wtr = Window.partitionBy("event_type").orderBy("c", "t")
+    ranked = train.select(
+        "event_type", "c", F.row_number().over(wtr).alias("r")
+    )
+    g = ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("r") == 3, F.col("c"))).alias("var_t"),
+        F.sum(F.when(F.col("r") <= 3, F.col("c")))
+        .cast("bigint")
+        .alias("tail_sum"),
+    )
+    test = chg.where(F.col("t") > 15).alias("te")
+    jt = test.join(F.broadcast(g), "event_type").groupBy(
+        "event_type"
+    ).agg(
+        F.max("var_t").alias("var_t"),
+        F.max("tail_sum").alias("tail_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.sum(F.when(F.col("c") < F.col("var_t"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("x_exc"),
+    ).collect()
+    p = 0.2
+    out = []
+    for r in sorted(jt, key=lambda r: r["event_type"]):
+        n, x = r["n_test"], r["x_exc"]
+        pi = x / n
+        if x == 0:
+            lr = 2.0 * (n * math.log((1.0 - pi) / 0.8))
+        elif x == n:
+            lr = 2.0 * (x * math.log(pi / p))
+        else:
+            lr = 2.0 * (
+                x * math.log(pi / p)
+                + (n - x) * math.log((1.0 - pi) / 0.8)
+            )
+        out.append(
+            (
+                r["event_type"],
+                r["var_t"],
+                float(r["tail_sum"]) / 3.0,
+                n,
+                x,
+                lr,
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "event_type string, var_cents bigint, cvar_cents double, "
+        "n_test bigint, x_exceptions bigint, kupiec_lr double",
+    )
+
+
 def _bowley_moors_sql() -> str:
     aggs = []
     for i in range(1, 8):
@@ -1300,8 +1373,69 @@ register_many(
         'q498_forecast_errors': _q_forecast_errors,
         'q499_dow_profile_cells': _q_dow_profile_cells,
         'q500_sprt': _q_sprt,
+        'q501_cvar_backtest': _q_cvar_backtest,
     },
     {
+        # Twin of _q_cvar_backtest: rank-3 train threshold,
+        # out-of-sample exception count, two-ln Kupiec epilogue.
+        'q501_cvar_backtest': """
+            WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS v
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+            ),
+            chg AS (
+              SELECT event_type,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY day) AS t,
+                v - lag(v, 1) OVER (PARTITION BY event_type
+                  ORDER BY day) AS c
+              FROM daily
+              QUALIFY c IS NOT NULL
+            ),
+            ranked AS (
+              SELECT event_type, c,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY c, t) AS r
+              FROM chg WHERE t <= 15
+            ),
+            g AS (
+              SELECT event_type,
+                max(CASE WHEN r = 3 THEN c END) AS var_t,
+                CAST(sum(CASE WHEN r <= 3 THEN c END) AS BIGINT)
+                  AS tail_sum
+              FROM ranked GROUP BY 1
+            ),
+            jt AS (
+              SELECT te.event_type, max(g.var_t) AS var_t,
+                max(g.tail_sum) AS tail_sum,
+                CAST(count(*) AS BIGINT) AS n_test,
+                CAST(sum(CASE WHEN te.c < g.var_t THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x_exc
+              FROM chg te JOIN g USING (event_type)
+              WHERE te.t > 15
+              GROUP BY 1
+            )
+            SELECT event_type,
+              CAST(var_t AS BIGINT) AS var_cents,
+              CAST(tail_sum AS DOUBLE) / 3.0 AS cvar_cents,
+              n_test, x_exc AS x_exceptions,
+              CASE
+                WHEN x_exc = 0 THEN 2.0 * (n_test
+                  * ln((1.0 - CAST(x_exc AS DOUBLE)
+                    / CAST(n_test AS DOUBLE)) / 0.8))
+                WHEN x_exc = n_test THEN 2.0 * (x_exc
+                  * ln((CAST(x_exc AS DOUBLE)
+                    / CAST(n_test AS DOUBLE)) / 0.2))
+                ELSE 2.0 * (x_exc * ln((CAST(x_exc AS DOUBLE)
+                    / CAST(n_test AS DOUBLE)) / 0.2)
+                  + (n_test - x_exc)
+                    * ln((1.0 - CAST(x_exc AS DOUBLE)
+                      / CAST(n_test AS DOUBLE)) / 0.8))
+              END AS kupiec_lr
+            FROM jt
+        """,
         'q499_dow_profile_cells': _dow_cells_sql(),
         'q500_sprt': _sprt_sql(),
         # Twin of _q_forecast_errors: exact integer sums for

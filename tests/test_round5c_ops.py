@@ -258,3 +258,14 @@ def test_sprt_state_machine(spark):
             seen_decision = r["decision"]
         else:
             assert r["decision"] == "continue"
+
+
+def test_cvar_backtest_identities(spark):
+    rows = entrymod.queries()["q501_cvar_backtest"](spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        # CVaR (mean of the tail at/below VaR) cannot exceed VaR
+        assert r["cvar_cents"] <= r["var_cents"] + 1e-9
+        # t runs 2..30 after the lag filter: 14 train, 15 test days
+        assert 0 <= r["x_exceptions"] <= r["n_test"] == 15
+        assert r["kupiec_lr"] >= -1e-9  # LR is nonnegative
