@@ -1294,6 +1294,115 @@ def _q_cvar_backtest(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_davies_bouldin(spark: SparkSession, sf: str) -> DataFrame:
+    """Davies-Bouldin clustering-validity index over the embedding
+    labels: DB = (1/k)Σᵢ maxⱼ (Sᵢ+Sⱼ)/Mᵢⱼ with Sᵢ the within-class
+    RMS radius and Mᵢⱼ the centroid distance — the partition-quality
+    score that complements q285's silhouette without any point-pair
+    work: BOTH ingredients come from the shared (label, dim)
+    exact-integer moment frame (q481's shuffle). S²ᵢ = Σ_d var_d
+    folds per label in dim order; M reuses q483's exact integer
+    centroid differences; the max-over-j scan runs in ascending-j
+    order. Lower is better."""
+    import math
+
+    rows = _label_dim_moments(spark, sf).collect()
+    by_label: dict[int, dict[int, tuple]] = {}
+    for r in rows:
+        by_label.setdefault(r["label"], {})[r["d"]] = (
+            r["m"],
+            r["s"],
+            r["qq"],
+        )
+    labs = sorted(by_label)
+    s_i = {}
+    for lab in labs:
+        m = by_label[lab][1][0]
+        acc = None
+        for d in sorted(by_label[lab]):
+            _, s, qq = by_label[lab][d]
+            num = float(m * qq - s * s)
+            t = num / (float(m) * float(m))
+            acc = t if acc is None else acc + t
+        s_i[lab] = math.sqrt(acc) / _QSCALE
+
+    def cdist(a: int, b: int) -> float:
+        ma = by_label[a][1][0]
+        mb = by_label[b][1][0]
+        acc = None
+        for d in sorted(by_label[a]):
+            sa = by_label[a][d][1]
+            sb = by_label[b][d][1]
+            diff = float(sa * mb - sb * ma)
+            t = diff * diff
+            acc = t if acc is None else acc + t
+        return math.sqrt(acc) / (float(ma) * float(mb)) / _QSCALE
+
+    out = []
+    db = None
+    for a in labs:
+        worst = None
+        for b in labs:
+            if b == a:
+                continue
+            ratio = (s_i[a] + s_i[b]) / cdist(a, b)
+            if worst is None or ratio > worst:
+                worst = ratio
+        out.append((a, s_i[a], worst))
+        db = worst if db is None else db + worst
+    db = db / len(labs)
+    return spark.createDataFrame(
+        [(lab, s, w, db) for lab, s, w in out],
+        "label int, s_within double, worst_ratio double, "
+        "db_index double",
+    )
+
+
+def _q_calinski_harabasz(spark: SparkSession, sf: str) -> DataFrame:
+    """Calinski-Harabasz (variance-ratio) index over the embedding
+    labels: CH = (B/(k−1))/(W/(n−k)) with between-class scatter
+    B = Σᵢ mᵢ‖cᵢ−c̄‖² and within-class W = Σᵢ Σ_d varᵢ_d·mᵢ — again
+    entirely from the shared (label, dim) moment frame, no point
+    pairs. Global-centroid differences are the exact integers
+    sᵢ_d·M − S_d·mᵢ (M = total count, S_d = global dim sum); all
+    folds run label-major, dim-minor. Higher is better."""
+    rows = _label_dim_moments(spark, sf).collect()
+    by_label: dict[int, dict[int, tuple]] = {}
+    for r in rows:
+        by_label.setdefault(r["label"], {})[r["d"]] = (
+            r["m"],
+            r["s"],
+            r["qq"],
+        )
+    labs = sorted(by_label)
+    k = len(labs)
+    n_tot = sum(by_label[lab][1][0] for lab in labs)
+    gs = {
+        d: sum(by_label[lab][d][1] for lab in labs)
+        for d in sorted(by_label[labs[0]])
+    }
+    w_sum = None
+    b_sum = None
+    for lab in labs:
+        m = by_label[lab][1][0]
+        for d in sorted(by_label[lab]):
+            _, s, qq = by_label[lab][d]
+            wnum = float(m * qq - s * s)
+            wt = wnum / float(m)
+            w_sum = wt if w_sum is None else w_sum + wt
+            bdiff = float(s * n_tot - gs[d] * m)
+            bt = (bdiff * bdiff) / (
+                float(m) * float(n_tot) * float(n_tot)
+            )
+            b_sum = bt if b_sum is None else b_sum + bt
+    ch = (b_sum / (k - 1)) / (w_sum / (n_tot - k))
+    return spark.createDataFrame(
+        [(n_tot, k, b_sum / _QSCALE2, w_sum / _QSCALE2, ch)],
+        "n_vecs bigint, k int, b_scatter double, w_scatter double, "
+        "ch_index double",
+    )
+
+
 def _bowley_moors_sql() -> str:
     aggs = []
     for i in range(1, 8):
@@ -1374,8 +1483,98 @@ register_many(
         'q499_dow_profile_cells': _q_dow_profile_cells,
         'q500_sprt': _q_sprt,
         'q501_cvar_backtest': _q_cvar_backtest,
+        'q502_davies_bouldin': _q_davies_bouldin,
+        'q503_calinski_harabasz': _q_calinski_harabasz,
     },
     {
+        # Twin of _q_davies_bouldin: same moment frame, dim-ordered
+        # S folds, q483 centroid distances, label-ordered DB fold.
+        'q502_davies_bouldin': f"""
+            WITH
+{_EMB_MOMENTS_SQL},
+            sw AS (
+              SELECT label,
+                sqrt(list_reduce(
+                  list(CAST(m * qq - s * s AS DOUBLE)
+                    / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE))
+                    ORDER BY d),
+                  (a, b) -> a + b)) / 1048576 AS s_w
+              FROM mom GROUP BY label
+            ),
+            dist AS (
+              SELECT a.label AS la, b.label AS lb,
+                sqrt(list_reduce(
+                  list(CAST(a.s * b.m - b.s * a.m AS DOUBLE)
+                    * CAST(a.s * b.m - b.s * a.m AS DOUBLE)
+                    ORDER BY a.d),
+                  (x, y) -> x + y))
+                / (CAST(max(a.m) AS DOUBLE)
+                   * CAST(max(b.m) AS DOUBLE)) / 1048576 AS md
+              FROM mom a
+              JOIN mom b ON a.d = b.d AND a.label <> b.label
+              GROUP BY 1, 2
+            ),
+            worst AS (
+              SELECT d.la AS label, max(d.md) AS _unused,
+                max((sa.s_w + sb.s_w) / d.md) AS worst_ratio
+              FROM dist d
+              JOIN sw sa ON sa.label = d.la
+              JOIN sw sb ON sb.label = d.lb
+              GROUP BY 1
+            ),
+            db AS (
+              SELECT list_reduce(
+                list(worst_ratio ORDER BY label), (a, b) -> a + b)
+                / CAST(count(*) AS BIGINT) AS db_index
+              FROM worst
+            )
+            SELECT CAST(w.label AS INT) AS label, s.s_w AS s_within,
+              w.worst_ratio, d.db_index
+            FROM worst w
+            JOIN sw s ON s.label = w.label
+            CROSS JOIN db d
+        """,
+        # Twin of _q_calinski_harabasz: (label, dim)-ordered W and B
+        # folds, exact integer global-centroid differences.
+        'q503_calinski_harabasz': f"""
+            WITH
+{_EMB_MOMENTS_SQL},
+            tot AS (
+              SELECT CAST(sum(m) AS BIGINT) AS n_tot,
+                CAST(count(DISTINCT label) AS INT) AS k
+              FROM (SELECT label, max(m) AS m FROM mom GROUP BY 1)
+            ),
+            gdim AS (
+              SELECT d, CAST(sum(s) AS BIGINT) AS gs FROM mom
+              GROUP BY 1
+            ),
+            terms AS (
+              SELECT m.label, m.d,
+                CAST(m.m * m.qq - m.s * m.s AS DOUBLE)
+                  / CAST(m.m AS DOUBLE) AS wt,
+                (CAST(m.s * t.n_tot - g.gs * m.m AS DOUBLE)
+                  * CAST(m.s * t.n_tot - g.gs * m.m AS DOUBLE))
+                  / (CAST(m.m AS DOUBLE) * CAST(t.n_tot AS DOUBLE)
+                     * CAST(t.n_tot AS DOUBLE)) AS bt
+              FROM mom m
+              JOIN gdim g USING (d)
+              CROSS JOIN tot t
+            ),
+            folds AS (
+              SELECT
+                list_reduce(list(wt ORDER BY label, d),
+                  (a, b) -> a + b) AS w_sum,
+                list_reduce(list(bt ORDER BY label, d),
+                  (a, b) -> a + b) AS b_sum
+              FROM terms
+            )
+            SELECT t.n_tot AS n_vecs, t.k,
+              f.b_sum / 1099511627776.0 AS b_scatter,
+              f.w_sum / 1099511627776.0 AS w_scatter,
+              (f.b_sum / (t.k - 1)) / (f.w_sum / (t.n_tot - t.k))
+                AS ch_index
+            FROM folds f, tot t
+        """,
         # Twin of _q_cvar_backtest: rank-3 train threshold,
         # out-of-sample exception count, two-ln Kupiec epilogue.
         'q501_cvar_backtest': """

@@ -269,3 +269,27 @@ def test_cvar_backtest_identities(spark):
         # t runs 2..30 after the lag filter: 14 train, 15 test days
         assert 0 <= r["x_exceptions"] <= r["n_test"] == 15
         assert r["kupiec_lr"] >= -1e-9  # LR is nonnegative
+
+
+def test_davies_bouldin_positive(spark):
+    rows = entrymod.queries()["q502_davies_bouldin"](spark, SF).collect()
+    assert len(rows) == 10
+    db = rows[0]["db_index"]
+    mean_worst = sum(r["worst_ratio"] for r in rows) / len(rows)
+    assert abs(db - mean_worst) < 1e-9
+    for r in rows:
+        assert r["s_within"] > 0
+        assert r["worst_ratio"] > 0
+        assert r["db_index"] == db
+
+
+def test_calinski_harabasz_positive(spark):
+    [r] = entrymod.queries()["q503_calinski_harabasz"](
+        spark, SF
+    ).collect()
+    assert r["k"] == 10 and r["n_vecs"] == 500
+    assert r["b_scatter"] > 0 and r["w_scatter"] > 0
+    expect = (r["b_scatter"] / (r["k"] - 1)) / (
+        r["w_scatter"] / (r["n_vecs"] - r["k"])
+    )
+    assert abs(r["ch_index"] - expect) / expect < 1e-9
