@@ -22,3 +22,4 @@ from sensor_time_series_pyspark_spark.queries import quality_ops  # noqa: F401,E
 from sensor_time_series_pyspark_spark.queries import latest  # noqa: F401,E402
 from sensor_time_series_pyspark_spark.queries import latest2  # noqa: F401,E402
 from sensor_time_series_pyspark_spark.queries import latest3  # noqa: F401,E402
+from sensor_time_series_pyspark_spark.queries import latest4  # noqa: F401,E402

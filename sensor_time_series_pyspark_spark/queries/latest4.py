@@ -1,0 +1,327 @@
+"""Round-5 continuation module #4 (q504+): agreement/reliability
+statistics. Started because latest3.py hit the ~2.4k-line module
+cap. Conventions: queries/common.py; exact integer cents moments;
+fixed-order double chains mirrored textually in the oracles."""
+
+from __future__ import annotations
+
+from sensor_time_series_pyspark_spark.queries.common import *  # noqa: F401,F403
+from sensor_time_series_pyspark_spark.queries.latest2 import (
+    _type_daily_cents,
+)
+
+
+def _q_cronbach_alpha(spark: SparkSession, sf: str) -> DataFrame:
+    """Cronbach's α treating the five event-type daily series as
+    items and days as subjects: α = k/(k−1)·(1 − Σvarᵢ/var_total) —
+    the internal-consistency question "do the five streams move as
+    one scale". Every variance is the sample form from exact integer
+    moments; Σvarᵢ is a FIXED five-term sum in literal EVENT_TYPES
+    order over the one-row wide frame (never a row-order-dependent
+    aggregate), and var_total comes from the per-day cross-type
+    totals. One daily reduce, one wide aggregate, one row."""
+    daily = _type_daily_cents(spark, sf)
+    wide = daily.groupBy("day").agg(
+        *[
+            F.max(F.when(F.col("event_type") == t, F.col("v")))
+            .alias(f"v_{t}")
+            for t in EVENT_TYPES
+        ]
+    )
+    tot = sum(F.coalesce(F.col(f"v_{t}"), F.lit(0)) for t in EVENT_TYPES)
+    g = wide.select(
+        *[F.coalesce(F.col(f"v_{t}"), F.lit(0)).alias(f"v_{t}") for t in EVENT_TYPES],
+        tot.alias("vt"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        *[
+            c
+            for t in EVENT_TYPES
+            for c in (
+                F.sum(f"v_{t}").cast("bigint").alias(f"s_{t}"),
+                F.sum(F.col(f"v_{t}") * F.col(f"v_{t}"))
+                .cast("bigint")
+                .alias(f"q_{t}"),
+            )
+        ],
+        F.sum("vt").cast("bigint").alias("s_tot"),
+        F.sum(F.col("vt") * F.col("vt")).cast("bigint").alias("q_tot"),
+    )
+    m = F.col("m").cast("double")
+
+    def svar(s: str, q: str) -> F.Column:
+        return (
+            m * F.col(q).cast("double")
+            - F.col(s).cast("double") * F.col(s).cast("double")
+        ) / (m * (F.col("m") - 1).cast("double"))
+
+    item_sum = svar("s_click", "q_click")
+    for t in EVENT_TYPES[1:]:
+        item_sum = item_sum + svar(f"s_{t}", f"q_{t}")
+    vtot = svar("s_tot", "q_tot")
+    k = float(len(EVENT_TYPES))
+    return g.select(
+        F.lit(5).alias("k_items"),
+        F.col("m").alias("n_days"),
+        item_sum.alias("sum_item_var"),
+        vtot.alias("total_var"),
+        (
+            F.lit(k / (k - 1.0)) * (F.lit(1.0) - item_sum / vtot)
+        ).alias("cronbach_alpha"),
+    )
+
+
+def _q_lin_ccc(spark: SparkSession, sf: str) -> DataFrame:
+    """Lin's concordance correlation between the click and purchase
+    daily series: CCC = 2·cov/(var_x+var_y+(μx−μy)²) — AGREEMENT,
+    not just correlation (a perfectly correlated but biased pair
+    scores < 1), the method-comparison statistic q374's Bland-Altman
+    plots and q75's Pearson each tell half of. The m² scale cancels,
+    so CCC = 2(m·Sxy−SxSy) / ((m·Sxx−Sx²)+(m·Syy−Sy²)+(Sx−Sy)²) is
+    a ratio of EXACT integers with ONE double division."""
+    daily = _type_daily_cents(spark, sf)
+    wide = daily.groupBy("day").agg(
+        F.max(
+            F.when(F.col("event_type") == "click", F.col("v"))
+        ).alias("x"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.col("v"))
+        ).alias("y"),
+    ).where(F.col("x").isNotNull() & F.col("y").isNotNull())
+    g = wide.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    num = 2 * (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    den = (
+        (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        + (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy"))
+        + (F.col("sx") - F.col("sy")) * (F.col("sx") - F.col("sy"))
+    )
+    return g.select(
+        F.col("m").alias("n_days"),
+        (num.cast("double") / den.cast("double")).alias("lin_ccc"),
+    )
+
+
+def _q_deming_slope(spark: SparkSession, sf: str) -> DataFrame:
+    """Deming (errors-in-variables, λ=1) regression of purchase on
+    click daily totals: β = (Syy−Sxx+√((Syy−Sxx)²+4Sxy²))/(2Sxy) —
+    the method-comparison slope that, unlike OLS (q75-family),
+    doesn't attenuate when BOTH series carry noise. Centered moments
+    are exact integers cast once to double (correctly rounded in
+    both engines below 2^63), then one fixed sqrt chain; intercept
+    in cents = (Sy − β·Sx)/m."""
+    daily = _type_daily_cents(spark, sf)
+    wide = daily.groupBy("day").agg(
+        F.max(
+            F.when(F.col("event_type") == "click", F.col("v"))
+        ).alias("x"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.col("v"))
+        ).alias("y"),
+    ).where(F.col("x").isNotNull() & F.col("y").isNotNull())
+    g = wide.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    cxx = (
+        F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    cyy = (
+        F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
+    ).cast("double")
+    cxy = (
+        F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ).cast("double")
+    beta = (
+        cyy - cxx + F.sqrt((cyy - cxx) * (cyy - cxx) + 4.0 * cxy * cxy)
+    ) / (2.0 * cxy)
+    return g.select(
+        F.col("m").alias("n_days"),
+        beta.alias("beta"),
+        (
+            (F.col("sy").cast("double") - beta * F.col("sx").cast("double"))
+            / F.col("m").cast("double")
+        ).alias("alpha_cents"),
+    )
+
+
+register_many(
+    {
+        'q504_cronbach_alpha': _q_cronbach_alpha,
+        'q505_lin_ccc': _q_lin_ccc,
+        'q506_deming_slope': _q_deming_slope,
+    },
+    {
+        # Twin of _q_cronbach_alpha: literal-order five-term item
+        # variance sum, identical sample-variance casts.
+        'q504_cronbach_alpha': """
+            WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS v
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+            ),
+            wide AS (
+              SELECT day,
+                COALESCE(max(CASE WHEN event_type = 'click'
+                  THEN v END), 0) AS v_click,
+                COALESCE(max(CASE WHEN event_type = 'view'
+                  THEN v END), 0) AS v_view,
+                COALESCE(max(CASE WHEN event_type = 'purchase'
+                  THEN v END), 0) AS v_purchase,
+                COALESCE(max(CASE WHEN event_type = 'signup'
+                  THEN v END), 0) AS v_signup,
+                COALESCE(max(CASE WHEN event_type = 'error'
+                  THEN v END), 0) AS v_error
+              FROM daily GROUP BY day
+            ),
+            g AS (
+              SELECT CAST(count(*) AS BIGINT) AS m,
+                CAST(sum(v_click) AS BIGINT) AS s_click,
+                CAST(sum(v_click * v_click) AS BIGINT) AS q_click,
+                CAST(sum(v_view) AS BIGINT) AS s_view,
+                CAST(sum(v_view * v_view) AS BIGINT) AS q_view,
+                CAST(sum(v_purchase) AS BIGINT) AS s_purchase,
+                CAST(sum(v_purchase * v_purchase) AS BIGINT)
+                  AS q_purchase,
+                CAST(sum(v_signup) AS BIGINT) AS s_signup,
+                CAST(sum(v_signup * v_signup) AS BIGINT) AS q_signup,
+                CAST(sum(v_error) AS BIGINT) AS s_error,
+                CAST(sum(v_error * v_error) AS BIGINT) AS q_error,
+                CAST(sum(v_click + v_view + v_purchase + v_signup
+                  + v_error) AS BIGINT) AS s_tot,
+                CAST(sum((v_click + v_view + v_purchase + v_signup
+                  + v_error) * (v_click + v_view + v_purchase
+                  + v_signup + v_error)) AS BIGINT) AS q_tot
+              FROM wide
+            )
+            SELECT CAST(5 AS INT) AS k_items, m AS n_days,
+              ((CAST(m AS DOUBLE) * CAST(q_click AS DOUBLE)
+                 - CAST(s_click AS DOUBLE) * CAST(s_click AS DOUBLE))
+                / (CAST(m AS DOUBLE) * CAST(m - 1 AS DOUBLE))
+               + (CAST(m AS DOUBLE) * CAST(q_view AS DOUBLE)
+                 - CAST(s_view AS DOUBLE) * CAST(s_view AS DOUBLE))
+                / (CAST(m AS DOUBLE) * CAST(m - 1 AS DOUBLE))
+               + (CAST(m AS DOUBLE) * CAST(q_purchase AS DOUBLE)
+                 - CAST(s_purchase AS DOUBLE)
+                   * CAST(s_purchase AS DOUBLE))
+                / (CAST(m AS DOUBLE) * CAST(m - 1 AS DOUBLE))
+               + (CAST(m AS DOUBLE) * CAST(q_signup AS DOUBLE)
+                 - CAST(s_signup AS DOUBLE) * CAST(s_signup AS DOUBLE))
+                / (CAST(m AS DOUBLE) * CAST(m - 1 AS DOUBLE))
+               + (CAST(m AS DOUBLE) * CAST(q_error AS DOUBLE)
+                 - CAST(s_error AS DOUBLE) * CAST(s_error AS DOUBLE))
+                / (CAST(m AS DOUBLE) * CAST(m - 1 AS DOUBLE)))
+                AS sum_item_var,
+              (CAST(m AS DOUBLE) * CAST(q_tot AS DOUBLE)
+                 - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE))
+                / (CAST(m AS DOUBLE) * CAST(m - 1 AS DOUBLE))
+                AS total_var,
+              1.25 * (1.0 -
+                ((CAST(m AS DOUBLE) * CAST(q_click AS DOUBLE)
+                   - CAST(s_click AS DOUBLE) * CAST(s_click AS DOUBLE))
+                  / (CAST(m AS DOUBLE) * CAST(m - 1 AS DOUBLE))
+                 + (CAST(m AS DOUBLE) * CAST(q_view AS DOUBLE)
+                   - CAST(s_view AS DOUBLE) * CAST(s_view AS DOUBLE))
+                  / (CAST(m AS DOUBLE) * CAST(m - 1 AS DOUBLE))
+                 + (CAST(m AS DOUBLE) * CAST(q_purchase AS DOUBLE)
+                   - CAST(s_purchase AS DOUBLE)
+                     * CAST(s_purchase AS DOUBLE))
+                  / (CAST(m AS DOUBLE) * CAST(m - 1 AS DOUBLE))
+                 + (CAST(m AS DOUBLE) * CAST(q_signup AS DOUBLE)
+                   - CAST(s_signup AS DOUBLE)
+                     * CAST(s_signup AS DOUBLE))
+                  / (CAST(m AS DOUBLE) * CAST(m - 1 AS DOUBLE))
+                 + (CAST(m AS DOUBLE) * CAST(q_error AS DOUBLE)
+                   - CAST(s_error AS DOUBLE) * CAST(s_error AS DOUBLE))
+                  / (CAST(m AS DOUBLE) * CAST(m - 1 AS DOUBLE)))
+                / ((CAST(m AS DOUBLE) * CAST(q_tot AS DOUBLE)
+                   - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE))
+                  / (CAST(m AS DOUBLE) * CAST(m - 1 AS DOUBLE))))
+                AS cronbach_alpha
+            FROM g
+        """,
+        # Twin of _q_lin_ccc: the m²-cancelled exact-integer ratio.
+        'q505_lin_ccc': """
+            WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS v
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+            ),
+            wide AS (
+              SELECT day,
+                max(CASE WHEN event_type = 'click' THEN v END) AS x,
+                max(CASE WHEN event_type = 'purchase' THEN v END) AS y
+              FROM daily GROUP BY day
+              HAVING x IS NOT NULL AND y IS NOT NULL
+            ),
+            g AS (
+              SELECT CAST(count(*) AS BIGINT) AS m,
+                CAST(sum(x) AS BIGINT) AS sx,
+                CAST(sum(y) AS BIGINT) AS sy,
+                CAST(sum(x * x) AS BIGINT) AS sxx,
+                CAST(sum(y * y) AS BIGINT) AS syy,
+                CAST(sum(x * y) AS BIGINT) AS sxy
+              FROM wide
+            )
+            SELECT m AS n_days,
+              CAST(2 * (m * sxy - sx * sy) AS DOUBLE)
+                / CAST((m * sxx - sx * sx) + (m * syy - sy * sy)
+                       + (sx - sy) * (sx - sy) AS DOUBLE) AS lin_ccc
+            FROM g
+        """,
+        # Twin of _q_deming_slope: once-cast centered moments, one
+        # fixed sqrt chain.
+        'q506_deming_slope': """
+            WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS v
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+            ),
+            wide AS (
+              SELECT day,
+                max(CASE WHEN event_type = 'click' THEN v END) AS x,
+                max(CASE WHEN event_type = 'purchase' THEN v END) AS y
+              FROM daily GROUP BY day
+              HAVING x IS NOT NULL AND y IS NOT NULL
+            ),
+            g AS (
+              SELECT CAST(count(*) AS BIGINT) AS m,
+                CAST(sum(x) AS BIGINT) AS sx,
+                CAST(sum(y) AS BIGINT) AS sy,
+                CAST(sum(x * x) AS BIGINT) AS sxx,
+                CAST(sum(y * y) AS BIGINT) AS syy,
+                CAST(sum(x * y) AS BIGINT) AS sxy
+              FROM wide
+            ),
+            c AS (
+              SELECT m, sx, sy,
+                CAST(m * sxx - sx * sx AS DOUBLE) AS cxx,
+                CAST(m * syy - sy * sy AS DOUBLE) AS cyy,
+                CAST(m * sxy - sx * sy AS DOUBLE) AS cxy
+              FROM g
+            )
+            SELECT m AS n_days,
+              (cyy - cxx + sqrt((cyy - cxx) * (cyy - cxx)
+                + 4.0 * cxy * cxy)) / (2.0 * cxy) AS beta,
+              (CAST(sy AS DOUBLE)
+                - ((cyy - cxx + sqrt((cyy - cxx) * (cyy - cxx)
+                    + 4.0 * cxy * cxy)) / (2.0 * cxy))
+                  * CAST(sx AS DOUBLE)) / CAST(m AS DOUBLE)
+                AS alpha_cents
+            FROM c
+        """,
+    },
+)
