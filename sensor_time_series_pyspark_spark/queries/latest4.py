@@ -155,13 +155,188 @@ def _q_deming_slope(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_dedup_yield_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup yield curve: how many candidate pairs fire and how much
+    of the corpus survives at EVERY Jaccard threshold 0.2..0.9 — the
+    knob-setting sweep a curation team runs before committing to a
+    near-dup cutoff (one threshold = one point on the
+    recall/yield trade-off; this gives the whole curve from ONE pair
+    frame). Pairs come from the shared-5-gram inverted-index
+    equi-join (q467's shape, doc_a < doc_b, never a cross join);
+    each threshold k/10 is the EXACT integer predicate
+    10·|∩| ≥ k·|∪|; removed docs are the distinct doc_b per
+    threshold (keep-lowest-id canonical); survival is one
+    division."""
+    docs = read_table(spark, sf, "documents")
+    n_docs = docs.count()
+    toks = tokens("text")
+    sets = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size(toks) >= 5,
+                    F.array_distinct(
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(toks) - 4),
+                            lambda i: F.concat_ws(
+                                " ", F.slice(toks, i, F.lit(5))
+                            ),
+                        )
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("shingle"),
+        )
+    )
+    sizes = sets.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sh")
+    )
+    a = sets.alias("a")
+    b = sets.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
+    )
+    pairs = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            (F.col("n_a") + F.col("n_b") - F.col("n_inter")).alias(
+                "n_union"
+            ),
+        )
+    )
+    aggs = []
+    for k in range(2, 10):
+        hit = 10 * F.col("n_inter") >= k * F.col("n_union")
+        aggs.append(
+            F.sum(F.when(hit, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"np_{k}")
+        )
+        aggs.append(
+            F.countDistinct(F.when(hit, F.col("doc_b")))
+            .cast("bigint")
+            .alias(f"nd_{k}")
+        )
+    wide = pairs.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("k"),
+                F.col(f"np_{k}").alias("n_pairs"),
+                F.col(f"nd_{k}").alias("n_removed"),
+            )
+            for k in range(2, 10)
+        ]
+    )
+    ex = wide.select(F.explode(structs).alias("s")).select("s.*")
+    return ex.select(
+        (F.col("k").cast("double") / 10.0).alias("threshold"),
+        "n_pairs",
+        "n_removed",
+        (
+            (F.lit(n_docs) - F.col("n_removed")).cast("double")
+            / F.lit(float(n_docs))
+        ).alias("survival_frac"),
+    )
+
+
+def _dedup_yield_sql() -> str:
+    aggs = []
+    for k in range(2, 10):
+        hit = f"10 * n_inter >= {k} * n_union"
+        aggs.append(
+            f"CAST(sum(CASE WHEN {hit} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS np_{k}"
+        )
+        aggs.append(
+            f"CAST(count(DISTINCT CASE WHEN {hit} THEN doc_b END)"
+            f" AS BIGINT) AS nd_{k}"
+        )
+    structs = ",\n                ".join(
+        "{'k': %d, 'n_pairs': np_%d, 'n_removed': nd_%d}" % (k, k, k)
+        for k in range(2, 10)
+    )
+    return rf"""
+        WITH tk0 AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(trim(text), '\s+'),
+              x -> x <> '') AS tk
+          FROM documents
+        ),
+        sets AS (
+          SELECT doc_id,
+            unnest(CASE WHEN len(tk) >= 5 THEN
+              list_distinct(list_transform(range(1, len(tk) - 3),
+                i -> array_to_string(list_slice(tk, i, i + 4), ' ')))
+            ELSE [] END) AS shingle
+          FROM tk0
+        ),
+        sizes AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+          FROM sets GROUP BY 1
+        ),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            CAST(count(*) AS BIGINT) AS n_inter
+          FROM sets a
+          JOIN sets b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT i.doc_a, i.doc_b, i.n_inter,
+            sa.n_sh + sb.n_sh - i.n_inter AS n_union
+          FROM inter i
+          JOIN sizes sa ON sa.doc_id = i.doc_a
+          JOIN sizes sb ON sb.doc_id = i.doc_b
+        ),
+        tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+        ),
+        wide AS (
+          SELECT {', '.join(aggs)} FROM pairs
+        ),
+        ex AS (
+          SELECT unnest([
+                {structs}
+          ]) AS s FROM wide
+        )
+        SELECT CAST(s.k AS DOUBLE) / 10.0 AS threshold,
+          s.n_pairs, s.n_removed,
+          CAST(t.n_docs - s.n_removed AS DOUBLE)
+            / CAST(t.n_docs AS DOUBLE) AS survival_frac
+        FROM ex, tot t
+    """
+
+
 register_many(
     {
         'q504_cronbach_alpha': _q_cronbach_alpha,
         'q505_lin_ccc': _q_lin_ccc,
         'q506_deming_slope': _q_deming_slope,
+        'q507_dedup_yield_curve': _q_dedup_yield_curve,
     },
     {
+        'q507_dedup_yield_curve': _dedup_yield_sql(),
         # Twin of _q_cronbach_alpha: literal-order five-term item
         # variance sum, identical sample-variance casts.
         'q504_cronbach_alpha': """

@@ -30,3 +30,19 @@ def test_deming_slope_finite(spark):
     assert math.isfinite(r["beta"]) and math.isfinite(r["alpha_cents"])
     # lambda=1 Deming slope has the sign of the covariance
     assert r["beta"] != 0
+
+
+def test_dedup_yield_curve_monotone(spark):
+    rows = entrymod.queries()["q507_dedup_yield_curve"](
+        spark, SF
+    ).collect()
+    assert len(rows) == 8
+    rows = sorted(rows, key=lambda r: r["threshold"])
+    for a, b in zip(rows, rows[1:]):
+        # stricter threshold => fewer pairs, fewer removals,
+        # more corpus survives
+        assert b["n_pairs"] <= a["n_pairs"]
+        assert b["n_removed"] <= a["n_removed"]
+        assert b["survival_frac"] >= a["survival_frac"]
+    for r in rows:
+        assert 0.0 <= r["survival_frac"] <= 1.0
