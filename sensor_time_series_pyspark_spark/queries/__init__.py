@@ -19,7 +19,7 @@ from sensor_time_series_pyspark_spark.queries import tests_drift  # noqa: F401,E
 from sensor_time_series_pyspark_spark.queries import experiments  # noqa: F401,E402
 from sensor_time_series_pyspark_spark.queries import stats_ts  # noqa: F401,E402
 from sensor_time_series_pyspark_spark.queries import quality_ops  # noqa: F401,E402
-from sensor_time_series_pyspark_spark.queries import latest  # noqa: F401,E402
-from sensor_time_series_pyspark_spark.queries import latest2  # noqa: F401,E402
-from sensor_time_series_pyspark_spark.queries import latest3  # noqa: F401,E402
-from sensor_time_series_pyspark_spark.queries import latest4  # noqa: F401,E402
+from sensor_time_series_pyspark_spark.queries import inference  # noqa: F401,E402
+from sensor_time_series_pyspark_spark.queries import complexity_evt  # noqa: F401,E402
+from sensor_time_series_pyspark_spark.queries import robust_business  # noqa: F401,E402
+from sensor_time_series_pyspark_spark.queries import agreement  # noqa: F401,E402

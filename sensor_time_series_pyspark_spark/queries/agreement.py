@@ -1,12 +1,12 @@
 """Round-5 continuation module #4 (q504+): agreement/reliability
-statistics. Started because latest3.py hit the ~2.4k-line module
+statistics. Started because robust_business.py (né latest3.py) hit the ~2.4k-line module
 cap. Conventions: queries/common.py; exact integer cents moments;
 fixed-order double chains mirrored textually in the oracles."""
 
 from __future__ import annotations
 
 from sensor_time_series_pyspark_spark.queries.common import *  # noqa: F401,F403
-from sensor_time_series_pyspark_spark.queries.latest2 import (
+from sensor_time_series_pyspark_spark.queries.complexity_evt import (
     _type_daily_cents,
 )
 

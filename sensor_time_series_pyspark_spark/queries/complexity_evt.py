@@ -1,6 +1,6 @@
 """Round-5 continuation module (q462+): signal-complexity, effect
-sizes, and stump-training operators. Started because latest.py hit
-the ~2.4k-line module cap.
+sizes, and stump-training operators. Formerly latest2.py (started when
+inference.py hit the ~2.4k-line module cap).
 
 Conventions: see queries/common.py; every value-bearing aggregate is
 exact integer/decimal cents, ln epilogues run driver-side in Python

@@ -1,5 +1,6 @@
-"""Newest queries (q439+). Append here; start a new module
-past ~2.4k lines.
+"""Statistical inference & forecasting diagnostics (q439+): ADF,
+Ljung-Box, Tukey HSD, conformal intervals, capture-recapture,
+walk-forward backtests. (Formerly latest.py.)
 
 Split out of the former monolithic __spark_entry__.py; function
 sources are verbatim. See queries/common.py for shared helpers and

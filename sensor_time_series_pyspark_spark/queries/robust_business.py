@@ -1,5 +1,5 @@
 """Round-5 continuation module #3 (q481+): embedding-space
-diagnostics and later additions. Started because latest2.py hit the
+diagnostics and later additions. Started because complexity_evt.py (né latest2.py) hit the
 ~2.4k-line module cap.
 
 Conventions: queries/common.py helpers; embeddings are 2^20-quantized
@@ -11,7 +11,7 @@ raises on duplicate names."""
 from __future__ import annotations
 
 from sensor_time_series_pyspark_spark.queries.common import *  # noqa: F401,F403
-from sensor_time_series_pyspark_spark.queries.latest2 import (
+from sensor_time_series_pyspark_spark.queries.complexity_evt import (
     _type_daily_cents,
 )
 

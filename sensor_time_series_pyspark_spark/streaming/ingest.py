@@ -125,17 +125,46 @@ def write_parquet_stream(
     checkpoint: str,
     partition_date_col: str | None = None,
     available_now: bool = True,
+    fault_injector=None,
 ):
-    """Exactly-once parquet sink via foreachBatch (idempotent by
-    batchId-named overwrite is unnecessary: the checkpoint already
-    dedupes replays for file sinks; foreachBatch lets us add the date
-    partitioning the plain file sink can't derive)."""
+    """Exactly-once parquet sink via foreachBatch.
+
+    foreachBatch's contract is only at-least-once: after a crash
+    between the parquet write and the checkpoint offset commit, the
+    restarted query REPLAYS the last micro-batch with the same
+    ``batch_id``. A blind ``mode("append")`` would duplicate those
+    rows. The sink is therefore made idempotent the standard way:
+    every micro-batch lands under a ``_batch_id=N`` partition written
+    with dynamic-partition-overwrite, so a replayed batch overwrites
+    exactly its own partitions and nothing else — replay becomes a
+    no-op, append ∘ replay == append (exactly-once end to end;
+    asserted by the kill/restart tests in test_streaming_recovery.py).
+
+    The extra partition level costs nothing downstream: date-partition
+    pruning works on nested levels, and batch ids are a handy audit
+    trail (which micro-batch produced a bad row). Readers who want the
+    logical schema simply ``.drop("_batch_id")``.
+
+    ``fault_injector(batch_id)`` is a TEST SEAM: called after the
+    parquet write but before foreachBatch returns (i.e. before the
+    checkpoint commit). Tests raise from it to simulate a crash in the
+    exact window where a non-idempotent sink would duplicate data.
+    Never set it in production.
+    """
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
-        writer = batch_df.write.mode("append")
-        if partition_date_col:
-            writer = writer.partitionBy(partition_date_col)
-        writer.parquet(path)
+        part_cols = ["_batch_id"] + (
+            [partition_date_col] if partition_date_col else []
+        )
+        (
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*part_cols)
+            .parquet(path)
+        )
+        if fault_injector is not None:
+            fault_injector(batch_id)
 
     out = sdf
     if partition_date_col and partition_date_col not in sdf.columns:

@@ -1,4 +1,4 @@
-"""Round-5b batch: invariant tests for q462–q465 (latest2.py).
+"""Round-5b batch: invariant tests for q462–q465 (complexity_evt.py, né latest2.py).
 The DuckDB oracle gate pins exact values at sf0.01; these pin the
 MATH — identities and bounds the hash can't explain on its own."""
 

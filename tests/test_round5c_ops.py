@@ -1,5 +1,5 @@
 """Round-5c batch: invariant tests for the embedding-diagnostic
-queries (latest3.py). The DuckDB oracle pins exact values; these pin
+queries (robust_business.py, né latest3.py). The DuckDB oracle pins exact values; these pin
 the math."""
 
 import math

