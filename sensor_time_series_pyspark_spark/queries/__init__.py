@@ -23,3 +23,4 @@ from sensor_time_series_pyspark_spark.queries import inference  # noqa: F401,E40
 from sensor_time_series_pyspark_spark.queries import complexity_evt  # noqa: F401,E402
 from sensor_time_series_pyspark_spark.queries import robust_business  # noqa: F401,E402
 from sensor_time_series_pyspark_spark.queries import agreement  # noqa: F401,E402
+from sensor_time_series_pyspark_spark.queries import forecast_backtest  # noqa: F401,E402

@@ -145,3 +145,51 @@ def test_q62_pca_golden(spark):
 def test_q197_als_golden(spark):
     n, h = _digest(_queries()["q197_als_recs"](spark, SF_001))
     assert (n, h) == (4500, "dd79fa4a47c97978")
+
+
+# ---------------------------------------------------------------------------
+# q508: the SQL closed form must equal the numpy walk-forward it gates
+# ---------------------------------------------------------------------------
+
+
+def test_q508_matches_numpy_walkforward(spark):
+    """q508's one-window-pass prefix-moment walk-forward must reproduce
+    ml/models.walk_forward_mse(x, 'arima', {p:1,d:1,q:0}) — the exact
+    combo q25's grid scores with a per-step python refit. This ties the
+    hash-gated q508 back to the rows-only q25 machinery: same series,
+    same guards, same math, two implementations."""
+    import numpy as np
+
+    from sensor_time_series_pyspark_spark.ml.models import walk_forward_mse
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["user_id"]: (r["n_days"], r["n_test"], r["mse_c2"])
+        for r in _queries()["q508_ari11_walkforward"](spark, sf).collect()
+    }
+    daily = (
+        read_table(spark, sf, "events")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            (F.max("value").cast("decimal(12,2)") * 100)
+            .cast("bigint")
+            .alias("x")
+        )
+        .collect()
+    )
+    series: dict[int, list] = {}
+    for r in daily:
+        series.setdefault(r["user_id"], []).append((r["day"], r["x"]))
+    checked = 0
+    for uid, pts in series.items():
+        x = np.array([v for _, v in sorted(pts)], dtype="float64")
+        want = walk_forward_mse(x, "arima", {"p": 1, "d": 1, "q": 0})
+        if want == float("inf"):
+            assert uid not in got
+            continue
+        n_days, n_test, mse = got[uid]
+        assert n_days == len(x)
+        assert n_test == max(1, len(x) // 4)
+        assert mse == pytest.approx(want, rel=1e-9), uid
+        checked += 1
+    assert checked >= 10  # the fixture exercised real series
