@@ -24,3 +24,4 @@ from sensor_time_series_pyspark_spark.queries import complexity_evt  # noqa: F40
 from sensor_time_series_pyspark_spark.queries import robust_business  # noqa: F401,E402
 from sensor_time_series_pyspark_spark.queries import agreement  # noqa: F401,E402
 from sensor_time_series_pyspark_spark.queries import forecast_backtest  # noqa: F401,E402
+from sensor_time_series_pyspark_spark.queries import unsupervised  # noqa: F401,E402

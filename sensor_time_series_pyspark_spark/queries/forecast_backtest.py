@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from sensor_time_series_pyspark_spark.queries.common import read_table
+from sensor_time_series_pyspark_spark.queries.common import _davg, read_table
 from sensor_time_series_pyspark_spark.queries.registry import register_many
 
 
@@ -149,9 +149,123 @@ def _q_ari11_walkforward(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_kalman_level(spark: SparkSession, sf: str) -> DataFrame:
+    """1-D Kalman filter (local-level / random-walk-plus-noise model,
+    fixed q=0.1, r=1.0) over each user's daily-mean series — the
+    classic sensor-denoising state filter the reference's pandas
+    pipeline approximates with smoothing. The whole per-series
+    recursion runs IN-PLAN as one ``F.aggregate`` struct fold over the
+    day-ordered value array (JVM codegen, no Python), after a single
+    shuffle on the series key; per-series state is O(1) and the array
+    is bounded by the day span, the same bound fit_forecast relies on.
+    Hash-gated: DuckDB replays the identical IEEE op sequence with a
+    recursive CTE (the q300 recipe). Output per user: final level
+    estimate, final error variance, mean squared innovation."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        _davg(F.col("value")).alias("v")
+    )
+    series = (
+        daily.groupBy("user_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("day", "v"))),
+                lambda s: s["v"],
+            ).alias("xs")
+        )
+        .where(F.size("xs") >= 5)
+    )
+    q, r = F.lit(0.1), F.lit(1.0)
+    # one filter step; pp/k/innov are repeated subexpressions (same
+    # IEEE ops each time, so repetition is bit-safe)
+    pp = lambda acc: acc["p"] + q                      # noqa: E731
+    k = lambda acc: pp(acc) / (pp(acc) + r)            # noqa: E731
+    innov = lambda acc, y: y - acc["xhat"]             # noqa: E731
+    st = F.aggregate(
+        F.slice(F.col("xs"), 2, F.size("xs") - 1),
+        F.struct(
+            F.col("xs")[0].alias("xhat"),
+            F.lit(1.0).alias("p"),
+            F.lit(0.0).alias("sse"),
+        ),
+        lambda acc, y: F.struct(
+            (acc["xhat"] + k(acc) * innov(acc, y)).alias("xhat"),
+            ((F.lit(1.0) - k(acc)) * pp(acc)).alias("p"),
+            (acc["sse"] + innov(acc, y) * innov(acc, y)).alias("sse"),
+        ),
+    )
+    return series.select(
+        "user_id",
+        F.size("xs").cast("bigint").alias("n_days"),
+        st["xhat"].alias("xhat"),
+        st["p"].alias("p_var"),
+        (st["sse"] / (F.size("xs") - 1).cast("double")).alias("mse_innov"),
+    )
+
+
+def _q_garch_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """GARCH(1,1) volatility filtering with fixed parameters
+    (omega=0.5, alpha=0.1, beta=0.85; sigma2_0 = omega/(1-alpha-beta)
+    = 10.0 inlined as the SAME literal in both engines) over each
+    user's daily-mean DIFFERENCES — the conditional-volatility
+    recursion risk pipelines run before VaR (the cvar-backtest family
+    uses the unconditional quantile; this is the conditional path).
+    Same in-plan struct-fold shape as q510; exceedances flag |r_t| >
+    2*sqrt(sigma2_t) with sqrt IEEE-exact in both engines. Output per
+    user: n steps, final sigma2, max sigma2, exceedance count."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        _davg(F.col("value")).alias("v")
+    )
+    series = (
+        daily.groupBy("user_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("day", "v"))),
+                lambda s: s["v"],
+            ).alias("xs")
+        )
+        .where(F.size("xs") >= 5)
+    )
+    om, al, be = F.lit(0.5), F.lit(0.1), F.lit(0.85)
+    s2 = lambda acc: om + al * (acc["pr"] * acc["pr"]) + be * acc["s2"]  # noqa: E731
+    st = F.aggregate(
+        F.slice(F.col("xs"), 2, F.size("xs") - 1),
+        F.struct(
+            F.col("xs")[0].alias("pv"),    # previous value
+            F.lit(0.0).alias("pr"),        # previous return (diff)
+            F.lit(10.0).alias("s2"),       # sigma2_0 = 0.5/0.05
+            F.lit(10.0).alias("mx"),
+            F.lit(0).cast("bigint").alias("ex"),
+        ),
+        lambda acc, y: F.struct(
+            y.alias("pv"),
+            (y - acc["pv"]).alias("pr"),
+            s2(acc).alias("s2"),
+            F.greatest(acc["mx"], s2(acc)).alias("mx"),
+            (
+                acc["ex"]
+                + F.when(
+                    F.abs(y - acc["pv"]) > F.lit(2.0) * F.sqrt(s2(acc)),
+                    F.lit(1).cast("bigint"),
+                ).otherwise(F.lit(0).cast("bigint"))
+            ).alias("ex"),
+        ),
+    )
+    return series.select(
+        "user_id",
+        (F.size("xs") - 1).cast("bigint").alias("n_steps"),
+        st["s2"].alias("sigma2_final"),
+        st["mx"].alias("sigma2_max"),
+        st["ex"].alias("n_exceed"),
+    )
+
+
 register_many(
     {
         "q508_ari11_walkforward": _q_ari11_walkforward,
+        "q510_kalman_level": _q_kalman_level,
+        "q511_garch_filter": _q_garch_filter,
     },
     {
         # Same prefix-moment template as the q444 oracle, on first
@@ -237,6 +351,79 @@ register_many(
               list_reduce(list(se ORDER BY day), (a, b) -> a + b)
                 / CAST(count(*) AS DOUBLE) AS mse_c2
             FROM se GROUP BY user_id
+        """,
+        # q510/q511: recursive-CTE replay of the identical IEEE op
+        # sequence the in-plan struct folds execute (q300 recipe).
+        "q510_kalman_level": """
+            WITH RECURSIVE daily AS (
+              SELECT user_id, CAST(ts AS DATE) AS day,
+                CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                  / count(value) AS v
+              FROM events GROUP BY 1, 2
+            ),
+            series AS (
+              SELECT user_id, list(v ORDER BY day) AS xs,
+                CAST(len(list(v ORDER BY day)) AS BIGINT) AS n
+              FROM daily GROUP BY user_id
+            ),
+            keep AS (SELECT * FROM series WHERE n >= 5),
+            rec AS (
+              SELECT user_id, xs, n, CAST(1 AS BIGINT) AS i,
+                xs[1] AS xhat, 1.0e0 AS p, 0.0e0 AS sse
+              FROM keep
+              UNION ALL
+              SELECT r.user_id, r.xs, r.n, r.i + 1,
+                r.xhat + t.k * t.innov,
+                (1.0e0 - t.k) * t.pp,
+                r.sse + t.innov * t.innov
+              FROM rec r,
+              LATERAL (
+                SELECT r.p + 1.0e-1 AS pp,
+                  (r.p + 1.0e-1) / ((r.p + 1.0e-1) + 1.0e0) AS k,
+                  r.xs[CAST(r.i AS INT) + 1] - r.xhat AS innov
+              ) t
+              WHERE r.i < r.n
+            )
+            SELECT user_id, n AS n_days, xhat, p AS p_var,
+              sse / CAST(n - 1 AS DOUBLE) AS mse_innov
+            FROM rec WHERE i = n
+        """,
+        "q511_garch_filter": """
+            WITH RECURSIVE daily AS (
+              SELECT user_id, CAST(ts AS DATE) AS day,
+                CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                  / count(value) AS v
+              FROM events GROUP BY 1, 2
+            ),
+            series AS (
+              SELECT user_id, list(v ORDER BY day) AS xs,
+                CAST(len(list(v ORDER BY day)) AS BIGINT) AS n
+              FROM daily GROUP BY user_id
+            ),
+            keep AS (SELECT * FROM series WHERE n >= 5),
+            rec AS (
+              SELECT user_id, xs, n, CAST(1 AS BIGINT) AS i,
+                xs[1] AS pv, 0.0e0 AS pr, 1.0e1 AS s2, 1.0e1 AS mx,
+                CAST(0 AS BIGINT) AS ex
+              FROM keep
+              UNION ALL
+              SELECT r.user_id, r.xs, r.n, r.i + 1,
+                t.y,
+                t.y - r.pv,
+                t.ns2,
+                greatest(r.mx, t.ns2),
+                r.ex + CASE WHEN abs(t.y - r.pv)
+                  > 2.0e0 * sqrt(t.ns2) THEN 1 ELSE 0 END
+              FROM rec r,
+              LATERAL (
+                SELECT r.xs[CAST(r.i AS INT) + 1] AS y,
+                  5.0e-1 + 1.0e-1 * (r.pr * r.pr) + 8.5e-1 * r.s2 AS ns2
+              ) t
+              WHERE r.i < r.n
+            )
+            SELECT user_id, n - 1 AS n_steps, s2 AS sigma2_final,
+              mx AS sigma2_max, ex AS n_exceed
+            FROM rec WHERE i = n
         """,
     },
 )
