@@ -25,3 +25,5 @@ from sensor_time_series_pyspark_spark.queries import robust_business  # noqa: F4
 from sensor_time_series_pyspark_spark.queries import agreement  # noqa: F401,E402
 from sensor_time_series_pyspark_spark.queries import forecast_backtest  # noqa: F401,E402
 from sensor_time_series_pyspark_spark.queries import unsupervised  # noqa: F401,E402
+from sensor_time_series_pyspark_spark.queries import corpus_spans  # noqa: F401,E402
+from sensor_time_series_pyspark_spark.queries import causal_uncertainty  # noqa: F401,E402

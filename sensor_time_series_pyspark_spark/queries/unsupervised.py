@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sensor_time_series_pyspark_spark.operators.clustering import kmeans_lloyd
-from sensor_time_series_pyspark_spark.queries.common import read_table
+from sensor_time_series_pyspark_spark.queries.common import _davg, read_table
 from sensor_time_series_pyspark_spark.queries.registry import register_many
 
 
@@ -41,9 +41,118 @@ def _q_kmeans_lloyd(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_markov_stationary(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov chain over each user's event-type sequence:
+    global (from, to) transition counts -> row-normalized transition
+    matrix (exact integer counts, one double division per cell) ->
+    3 unrolled power-iteration steps from the uniform vector, incoming
+    mass folded in from-state order (the q445 pagerank fold recipe).
+    The matrix frame is |event_types|^2 rows (constant, 25), so every
+    join is an auto-broadcast on a constant-cardinality frame; the only
+    data-sized pass is the lag window building transitions. Output per
+    state: outgoing count, transition-probability mass sanity (row sum
+    of P), and pi after 3 steps."""
+    ev = read_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    outdeg = trans.groupBy("src").agg(F.sum("n").alias("n_out"))
+    p = trans.join(outdeg, "src").select(
+        "src",
+        "dst",
+        "n",
+        (F.col("n").cast("double") / F.col("n_out").cast("double")).alias("p"),
+    )
+    n_states = F.count(F.lit(1)).over(Window.partitionBy())
+    pi = outdeg.select(
+        F.col("src").alias("state"),
+        (F.lit(1.0) / n_states.cast("double")).alias("pi"),
+    )
+
+    def step(pi_df: DataFrame) -> DataFrame:
+        return (
+            p.join(pi_df, p["src"] == pi_df["state"])
+            .groupBy("dst")
+            .agg(
+                F.aggregate(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct("src", (F.col("pi") * F.col("p")).alias("t"))
+                            )
+                        ),
+                        lambda s: s["t"],
+                    ),
+                    F.lit(0.0).cast("double"),
+                    lambda acc, v: acc + v,
+                ).alias("pi")
+            )
+            .select(F.col("dst").alias("state"), "pi")
+        )
+
+    pi3 = step(step(step(pi)))
+    rowsum = p.groupBy("src").agg(
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dst", "p"))),
+                lambda s: s["p"],
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        ).alias("p_rowsum")
+    )
+    return (
+        outdeg.select(F.col("src").alias("state"), F.col("n_out").cast("bigint").alias("n_out"))
+        .join(rowsum.withColumnRenamed("src", "state"), "state")
+        .join(pi3, "state")
+        .select("state", "n_out", "p_rowsum", F.col("pi").alias("pi3"))
+    )
+
+
+def _q_paa_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """Piecewise Aggregate Approximation (Keogh): each user's
+    day-ordered daily-mean series divided into 8 equal-width index
+    segments, one exact-decimal mean per segment — the dimensionality
+    reduction upstream of SAX (q122) and DTW (q124). Segment id is
+    pure integer arithmetic floor(rn*8/n), so boundaries are identical
+    in any engine; one window for rn, one aggregate. Output: user_id,
+    seg, n_pts, seg_mean."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        _davg(F.col("value")).alias("v")
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    wp = Window.partitionBy("user_id")
+    idx = daily.select(
+        "user_id",
+        "v",
+        (F.row_number().over(w) - 1).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    ).where(F.col("n") >= 8)
+    # pure integer division: Spark `div` == DuckDB `//` (a double
+    # division + cast would round differently across engines)
+    seg = idx.withColumn("seg", F.expr("(rn * 8) div n").cast("bigint"))
+    return seg.groupBy("user_id", "seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pts"),
+        (
+            F.sum(F.col("v").cast("decimal(38,6)")).cast("double")
+            / F.count("v").cast("double")
+        ).alias("seg_mean"),
+    )
+
+
 register_many(
     {
         "q509_kmeans_lloyd": _q_kmeans_lloyd,
+        "q512_markov_stationary": _q_markov_stationary,
+        "q516_paa_segments": _q_paa_segments,
     },
     {
         # Mirrors operators/clustering.kmeans_lloyd stage by stage:
@@ -53,6 +162,84 @@ register_many(
         # per cell, list re-assembled in position order; round-2
         # assignment + WSS on doubles folded in index order
         # (list_reduce == 0.0-init zip_with fold).
+
+        # q512: q445's ordered-fold power-iteration recipe on the
+        # event-type transition matrix.
+        "q512_markov_stationary": """
+            WITH t0 AS (
+              SELECT event_type AS src,
+                lead(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS dst
+              FROM events
+            ),
+            trans AS (
+              SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+              FROM t0 WHERE dst IS NOT NULL GROUP BY 1, 2
+            ),
+            outdeg AS (
+              SELECT src, CAST(sum(n) AS BIGINT) AS n_out
+              FROM trans GROUP BY src
+            ),
+            p AS (
+              SELECT t.src, t.dst, t.n,
+                CAST(t.n AS DOUBLE) / CAST(o.n_out AS DOUBLE) AS p
+              FROM trans t JOIN outdeg o ON t.src = o.src
+            ),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM outdeg),
+            pi0 AS (
+              SELECT src AS state,
+                1.0e0 / CAST((SELECT ns FROM nn) AS DOUBLE) AS pi
+              FROM outdeg
+            ),
+            pi1 AS (
+              SELECT p.dst AS state,
+                list_reduce(list(r.pi * p.p ORDER BY p.src),
+                  (a, b) -> a + b) AS pi
+              FROM p JOIN pi0 r ON p.src = r.state GROUP BY p.dst
+            ),
+            pi2 AS (
+              SELECT p.dst AS state,
+                list_reduce(list(r.pi * p.p ORDER BY p.src),
+                  (a, b) -> a + b) AS pi
+              FROM p JOIN pi1 r ON p.src = r.state GROUP BY p.dst
+            ),
+            pi3 AS (
+              SELECT p.dst AS state,
+                list_reduce(list(r.pi * p.p ORDER BY p.src),
+                  (a, b) -> a + b) AS pi
+              FROM p JOIN pi2 r ON p.src = r.state GROUP BY p.dst
+            ),
+            rowsum AS (
+              SELECT src AS state,
+                list_reduce(list(p ORDER BY dst), (a, b) -> a + b)
+                  AS p_rowsum
+              FROM p GROUP BY src
+            )
+            SELECT o.src AS state, o.n_out, rs.p_rowsum, p3.pi AS pi3
+            FROM outdeg o
+            JOIN rowsum rs ON rs.state = o.src
+            JOIN pi3 p3 ON p3.state = o.src
+        """,
+        "q516_paa_segments": """
+            WITH daily AS (
+              SELECT user_id, CAST(ts AS DATE) AS day,
+                CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                  / count(value) AS v
+              FROM events GROUP BY 1, 2
+            ),
+            idx AS (
+              SELECT user_id, v,
+                row_number() OVER (PARTITION BY user_id ORDER BY day)
+                  - 1 AS rn,
+                count(*) OVER (PARTITION BY user_id) AS n
+              FROM daily
+            )
+            SELECT user_id, CAST((rn * 8) // n AS BIGINT) AS seg,
+              CAST(count(*) AS BIGINT) AS n_pts,
+              CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE)
+                / count(v) AS seg_mean
+            FROM idx WHERE n >= 8 GROUP BY 1, 2
+        """,
         "q509_kmeans_lloyd": """
             WITH v AS (
               SELECT vec_id,

@@ -140,6 +140,10 @@ def test_no_accidental_cartesian_products(spark):
     # matrix joins the per-day WIDE reduction on day<day, like q375's
     # theta pairs; event volume only feeds the map-side daily reduce)
     SKIP |= {"q468_kendall_matrix"}
+    # k-row centroid broadcast fan-out (k=8 at ANY sf): each Lloyd
+    # assignment pass joins the corpus to the constant-cardinality
+    # centroid table — the same declared shape as q47's pivot IVF
+    SKIP |= {"q509_kmeans_lloyd"}
     qs = entrymod.queries()
     offenders = []
     for name, fn in qs.items():
