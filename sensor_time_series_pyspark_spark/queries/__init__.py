@@ -27,3 +27,4 @@ from sensor_time_series_pyspark_spark.queries import forecast_backtest  # noqa: 
 from sensor_time_series_pyspark_spark.queries import unsupervised  # noqa: F401,E402
 from sensor_time_series_pyspark_spark.queries import corpus_spans  # noqa: F401,E402
 from sensor_time_series_pyspark_spark.queries import causal_uncertainty  # noqa: F401,E402
+from sensor_time_series_pyspark_spark.queries import graph2  # noqa: F401,E402

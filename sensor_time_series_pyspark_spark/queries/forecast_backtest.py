@@ -261,11 +261,103 @@ def _q_garch_filter(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+
+def _q_theta_forecast(spark: SparkSession, sf: str) -> DataFrame:
+    """Theta-method forecast (Assimakopoulos & Nikolopoulos 2000;
+    M3 winner), 7 steps per user over the daily-mean series, in the
+    Hyndman & Billah 2003 equivalence form: SES (alpha=0.3) on the
+    theta=2 line plus half the linear-trend drift. Every piece is
+    engine-portable: the OLS trend uses closed-form INTEGER index
+    moments (St = n(n-1)/2, Stt = (n-1)n(2n-1)/6, integer division —
+    both divisible exactly) with the x-moments folded in day order;
+    the SES level AND the (1-alpha)^n term are accumulated in one
+    in-plan struct fold (multiplying 0.7 per step beats pow(), whose
+    libm rounding differs across engines). One shuffle on the series
+    key; forecasts fan out via a constant 7-element explode."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        _davg(F.col("value")).alias("v")
+    )
+    series = (
+        daily.groupBy("user_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("day", "v"))),
+                lambda s: s["v"],
+            ).alias("xs")
+        )
+        .where(F.size("xs") >= 5)
+        .withColumn("n", F.size("xs").cast("bigint"))
+    )
+    nD = F.col("n").cast("double")
+    st = F.expr("(n * (n - 1)) div 2")
+    stt = F.expr("((n - 1) * n * (2 * n - 1)) div 6")
+    sx = F.aggregate(
+        F.col("xs"), F.lit(0.0).cast("double"), lambda a, x: a + x
+    )
+    stx = F.aggregate(
+        F.zip_with(
+            F.col("xs"),
+            F.sequence(F.lit(0).cast("bigint"), F.col("n") - 1),
+            lambda x, i: i.cast("double") * x,
+        ),
+        F.lit(0.0).cast("double"),
+        lambda a, x: a + x,
+    )
+    mm = series.select(
+        "user_id",
+        "xs",
+        "n",
+        ((nD * stx - st.cast("double") * sx)
+         / (F.col("n") * stt - st * st).cast("double")).alias("b"),
+        sx.alias("sx"),
+        st.cast("double").alias("std"),
+    ).withColumn("a", (F.col("sx") - F.col("b") * F.col("std")) / nD)
+    # theta line z_i = 2*x_i - (a + b*i); SES fold carries (l, g=0.7^i)
+    zs = F.zip_with(
+        F.col("xs"),
+        F.sequence(F.lit(0).cast("bigint"), F.col("n") - 1),
+        lambda x, i: F.lit(2.0) * x - (F.col("a") + F.col("b") * i.cast("double")),
+    )
+    fold = F.aggregate(
+        F.slice(zs, 2, F.size("xs") - 1),
+        F.struct(
+            F.element_at(zs, 1).alias("l"),
+            F.lit(0.7).alias("g"),
+        ),
+        lambda acc, z: F.struct(
+            (F.lit(0.3) * z + F.lit(0.7) * acc["l"]).alias("l"),
+            (acc["g"] * F.lit(0.7)).alias("g"),
+        ),
+    )
+    fitted = mm.select(
+        "user_id", "n", "b", fold["l"].alias("l"), fold["g"].alias("g")
+    )
+    steps = fitted.select(
+        "user_id",
+        "n",
+        "b",
+        "l",
+        "g",
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("step"),
+    )
+    fc = F.col("l") + (F.col("b") / F.lit(2.0)) * (
+        F.col("step").cast("double")
+        - F.lit(1.0)
+        + (F.lit(1.0) - F.col("g")) / F.lit(0.3)
+    )
+    return steps.select(
+        "user_id", F.col("step").cast("int").alias("step"), fc.alias("forecast")
+    )
+
+
 register_many(
     {
         "q508_ari11_walkforward": _q_ari11_walkforward,
         "q510_kalman_level": _q_kalman_level,
         "q511_garch_filter": _q_garch_filter,
+        "q519_theta_forecast": _q_theta_forecast,
     },
     {
         # Same prefix-moment template as the q444 oracle, on first
@@ -351,6 +443,66 @@ register_many(
               list_reduce(list(se ORDER BY day), (a, b) -> a + b)
                 / CAST(count(*) AS DOUBLE) AS mse_c2
             FROM se GROUP BY user_id
+        """,
+
+        # q519: moments via ordered list folds + closed-form integer
+        # index sums; the (l, g) recursion replayed by a recursive CTE.
+        "q519_theta_forecast": """
+            WITH RECURSIVE daily AS (
+              SELECT user_id, CAST(ts AS DATE) AS day,
+                CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                  / count(value) AS v
+              FROM events GROUP BY 1, 2
+            ),
+            series AS (
+              SELECT user_id, list(v ORDER BY day) AS xs,
+                CAST(len(list(v ORDER BY day)) AS BIGINT) AS n
+              FROM daily GROUP BY user_id
+            ),
+            keep AS (SELECT * FROM series WHERE n >= 5),
+            mm AS (
+              SELECT user_id, xs, n,
+                (CAST(n AS DOUBLE) * list_reduce(
+                    list_transform(xs, (x, i)
+                      -> CAST(i - 1 AS DOUBLE) * x),
+                    (a, b) -> a + b)
+                 - CAST((n * (n - 1)) // 2 AS DOUBLE)
+                   * list_reduce(xs, (a, b) -> a + b))
+                / CAST(n * (((n - 1) * n * (2 * n - 1)) // 6)
+                    - ((n * (n - 1)) // 2) * ((n * (n - 1)) // 2)
+                    AS DOUBLE) AS b,
+                list_reduce(xs, (a, b) -> a + b) AS sx,
+                CAST((n * (n - 1)) // 2 AS DOUBLE) AS std
+              FROM keep
+            ),
+            ab AS (
+              SELECT user_id, xs, n, b,
+                (sx - b * std) / CAST(n AS DOUBLE) AS a
+              FROM mm
+            ),
+            zline AS (
+              SELECT user_id, n, b,
+                list_transform(xs, (x, i)
+                  -> 2.0e0 * x - (a + b * CAST(i - 1 AS DOUBLE)))
+                  AS zs
+              FROM ab
+            ),
+            rec AS (
+              SELECT user_id, zs, n, b, CAST(1 AS BIGINT) AS i,
+                zs[1] AS l, 7.0e-1 AS g
+              FROM zline
+              UNION ALL
+              SELECT r.user_id, r.zs, r.n, r.b, r.i + 1,
+                3.0e-1 * r.zs[CAST(r.i AS INT) + 1] + 7.0e-1 * r.l,
+                r.g * 7.0e-1
+              FROM rec r WHERE r.i < r.n
+            ),
+            fin AS (SELECT user_id, n, b, l, g FROM rec WHERE i = n),
+            steps AS (SELECT unnest(range(1, 8)) AS step)
+            SELECT f.user_id, CAST(s.step AS INT) AS step,
+              f.l + (f.b / 2.0e0) * (CAST(s.step AS DOUBLE) - 1.0e0
+                + (1.0e0 - f.g) / 3.0e-1) AS forecast
+            FROM fin f, steps s
         """,
         # q510/q511: recursive-CTE replay of the identical IEEE op
         # sequence the in-plan struct folds execute (q300 recipe).
