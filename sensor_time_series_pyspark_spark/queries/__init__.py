@@ -28,3 +28,5 @@ from sensor_time_series_pyspark_spark.queries import unsupervised  # noqa: F401,
 from sensor_time_series_pyspark_spark.queries import corpus_spans  # noqa: F401,E402
 from sensor_time_series_pyspark_spark.queries import causal_uncertainty  # noqa: F401,E402
 from sensor_time_series_pyspark_spark.queries import graph2  # noqa: F401,E402
+from sensor_time_series_pyspark_spark.queries import ranking_eval  # noqa: F401,E402
+from sensor_time_series_pyspark_spark.queries import conformal_hashing  # noqa: F401,E402
