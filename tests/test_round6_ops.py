@@ -101,27 +101,42 @@ def _queries():
     return m.queries()
 
 
-def test_q27_mlp_golden(spark):
-    got = sorted(
-        tuple(r) for r in _queries()["q27_mlp_classification"](spark, SF_001).collect()
+def test_q27_q28_goldens_isolated_session():
+    """q27 (MLP) and q28 (GBT) fold floats in data-partition order, and
+    the partitioning of their inputs can shift with SESSION STATE (a
+    cached upstream plan from an earlier test changes the fold order
+    even at the same shuffle_partitions). So these two pins run in a
+    FRESH subprocess JVM — the only state the digest may depend on is
+    the code + config, which is exactly what a golden pin should pin.
+    (q62/q197 below are measured partition-invariant and stay
+    in-session.)"""
+    import subprocess
+    import sys
+
+    code = """
+import sys, hashlib
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as m
+from sensor_time_series_pyspark_spark.session import get_spark
+spark = get_spark("goldens", shuffle_partitions=8)
+qs = m.queries()
+for name in ("q27_mlp_classification", "q28_gbt_regression"):
+    rows = sorted(tuple(r) for r in qs[name](spark, "/root/testdata/sf0.01").collect())
+    txt = "\\n".join(repr(r) for r in rows)
+    print("GOLDEN", name, len(rows), hashlib.sha256(txt.encode()).hexdigest()[:16])
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        cwd="/root/repo",
     )
-    assert got == [
-        ("NATION_1", 6),
-        ("NATION_10", 257),
-        ("NATION_11", 258),
-        ("NATION_13", 51),
-        ("NATION_14", 16),
-        ("NATION_17", 4),
-        ("NATION_19", 860),
-        ("NATION_21", 8),
-        ("NATION_24", 21),
-        ("NATION_9", 2),
-    ]
-
-
-def test_q28_gbt_golden(spark):
-    n, h = _digest(_queries()["q28_gbt_regression"](spark, SF_001))
-    assert (n, h) == (655, "6ce39182f2a3fbc1")
+    lines = [l for l in out.stdout.splitlines() if l.startswith("GOLDEN")]
+    assert lines, out.stderr[-2000:]
+    got = {l.split()[1]: (int(l.split()[2]), l.split()[3]) for l in lines}
+    assert got["q27_mlp_classification"] == (10, "865464c80bc081b1")
+    assert got["q28_gbt_regression"] == (655, "6ce39182f2a3fbc1")
 
 
 def test_q62_pca_golden(spark):

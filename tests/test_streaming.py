@@ -253,8 +253,18 @@ def test_parquet_sink_writes_partitioned(spark, stream_src, tmp_path):
     q.awaitTermination()
     back = spark.read.parquet(out)
     assert back.count() > 0
-    # date partitioning materialized on disk → partition pruning later
-    assert any(p.startswith("date=") for p in os.listdir(out))
+    # exactly-once layout: _batch_id=N (replay-idempotence key) on top,
+    # date=D nested under it — pruning works on nested levels, so
+    # downstream date filters still skip files
+    batch_dirs = [p for p in os.listdir(out) if p.startswith("_batch_id=")]
+    assert batch_dirs
+    assert any(
+        p.startswith("date=") for p in os.listdir(os.path.join(out, batch_dirs[0]))
+    )
+    first_date = back.select(F.min("date")).collect()[0][0]
+    assert (
+        spark.read.parquet(out).where(F.col("date") == first_date).count() > 0
+    )
     shutil.rmtree(out, ignore_errors=True)
 
 
