@@ -352,12 +352,83 @@ def _q_theta_forecast(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+
+_DAMP = [
+    "9.00000000000000022e-01",
+    "1.70999999999999996e+00",
+    "2.43900000000000006e+00",
+    "3.09509999999999996e+00",
+    "3.68558999999999992e+00",
+    "4.21703100000000042e+00",
+    "4.69532790000000055e+00",
+]  # sum_{k=1..h} 0.9^k, inlined identically in both engines
+
+
+def _q_holt_damped(spark: SparkSession, sf: str) -> DataFrame:
+    """Damped-trend Holt forecast (Gardner-McKenzie), 7 steps per user:
+    alpha=0.3, beta=0.1, phi=0.9; init l=x1, b=x2-x1, fold x3..xn with
+    l' = a*x + (1-a)(l + phi*b), b' = b_*(l'-l) + (1-b_)*phi*b — the
+    method M-competitions found hardest to beat, completing the
+    SES (q*ses) / Holt (q24) / Holt-Winters (q300) / theta (q519)
+    ladder. In-plan struct fold (q510 shape); the damping sums
+    sum(phi^k) are precomputed literals, so no pow() in either
+    engine. Recursive-CTE oracle."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        _davg(F.col("value")).alias("v")
+    )
+    series = (
+        daily.groupBy("user_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("day", "v"))),
+                lambda s: s["v"],
+            ).alias("xs")
+        )
+        .where(F.size("xs") >= 5)
+        .withColumn("n", F.size("xs").cast("bigint"))
+    )
+    al, be, ph = F.lit(0.3), F.lit(0.1), F.lit(0.9)
+    lp = lambda acc, x: al * x + (F.lit(1.0) - al) * (acc["l"] + ph * acc["b"])  # noqa: E731
+    fold = F.aggregate(
+        F.slice(F.col("xs"), 3, F.size("xs") - 2),
+        F.struct(
+            F.element_at(F.col("xs"), 1).alias("l"),
+            (F.element_at(F.col("xs"), 2) - F.element_at(F.col("xs"), 1)).alias("b"),
+        ),
+        lambda acc, x: F.struct(
+            lp(acc, x).alias("l"),
+            (be * (lp(acc, x) - acc["l"]) + (F.lit(1.0) - be) * ph * acc["b"]).alias("b"),
+        ),
+    )
+    damp = F.array(*[F.lit(float(d)) for d in _DAMP])
+    fitted = series.select(
+        "user_id", "n", fold["l"].alias("l"), fold["b"].alias("b")
+    )
+    steps = fitted.select(
+        "user_id",
+        "n",
+        "l",
+        "b",
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("step"),
+    )
+    return steps.select(
+        "user_id",
+        F.col("step").cast("int").alias("step"),
+        (F.col("l") + F.element_at(damp, F.col("step")) * F.col("b")).alias(
+            "forecast"
+        ),
+    )
+
+
 register_many(
     {
         "q508_ari11_walkforward": _q_ari11_walkforward,
         "q510_kalman_level": _q_kalman_level,
         "q511_garch_filter": _q_garch_filter,
         "q519_theta_forecast": _q_theta_forecast,
+        "q526_holt_damped": _q_holt_damped,
     },
     {
         # Same prefix-moment template as the q444 oracle, on first
@@ -445,6 +516,50 @@ register_many(
             FROM se GROUP BY user_id
         """,
 
+
+        # q526: recursive-CTE replay of the damped-Holt fold; damping
+        # sums are the same literals the Spark side inlines.
+        "q526_holt_damped": """
+            WITH RECURSIVE daily AS (
+              SELECT user_id, CAST(ts AS DATE) AS day,
+                CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                  / count(value) AS v
+              FROM events GROUP BY 1, 2
+            ),
+            series AS (
+              SELECT user_id, list(v ORDER BY day) AS xs,
+                CAST(len(list(v ORDER BY day)) AS BIGINT) AS n
+              FROM daily GROUP BY user_id
+            ),
+            keep AS (SELECT * FROM series WHERE n >= 5),
+            rec AS (
+              SELECT user_id, xs, n, CAST(2 AS BIGINT) AS i,
+                xs[1] AS l, xs[2] - xs[1] AS b
+              FROM keep
+              UNION ALL
+              SELECT r.user_id, r.xs, r.n, r.i + 1, t.nl,
+                1.0e-1 * (t.nl - r.l) + (1.0e0 - 1.0e-1) * 9.0e-1 * r.b
+              FROM rec r,
+              LATERAL (
+                SELECT 3.0e-1 * r.xs[CAST(r.i AS INT) + 1]
+                  + (1.0e0 - 3.0e-1) * (r.l + 9.0e-1 * r.b) AS nl
+              ) t
+              WHERE r.i < r.n
+            ),
+            fin AS (SELECT user_id, l, b FROM rec WHERE i = n),
+            damp AS (SELECT unnest(range(1, 8)) AS step),
+            dv AS (
+              SELECT step,
+                ([9.00000000000000022e-01, 1.70999999999999996e+00,
+                  2.43900000000000006e+00, 3.09509999999999996e+00,
+                  3.68558999999999992e+00, 4.21703100000000042e+00,
+                  4.69532790000000055e+00])[step] AS dsum
+              FROM damp
+            )
+            SELECT f.user_id, CAST(d.step AS INT) AS step,
+              f.l + d.dsum * f.b AS forecast
+            FROM fin f, dv d
+        """,
         # q519: moments via ordered list folds + closed-form integer
         # index sums; the (l, g) recursion replayed by a recursive CTE.
         "q519_theta_forecast": """

@@ -161,12 +161,71 @@ def _q_markov_accuracy(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+
+def _q_markov_brier(spark: SparkSession, sf: str) -> DataFrame:
+    """Multiclass Brier score of the q512 Markov chain used as a
+    probabilistic next-event predictor, per source state:
+    (1/n_s) * sum_dst n_sd * (sum_t p_st^2 - 2*p_sd + 1) — the exact
+    closed form of mean ||p - onehot(dst)||^2 over the observed
+    transitions. Probabilities are one division per cell off integer
+    counts; the two sums fold in dst order. The proper-scoring-rule
+    companion to q520's argmax accuracy."""
+    ev = read_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wp = Window.partitionBy("src")
+    cells = trans.select(
+        "src",
+        "dst",
+        "n",
+        F.sum("n").over(wp).alias("n_total"),
+    ).withColumn(
+        "p", F.col("n").cast("double") / F.col("n_total").cast("double")
+    )
+    persrc = cells.groupBy("src").agg(
+        F.max("n_total").cast("bigint").alias("n_total"),
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dst", (F.col("p") * F.col("p")).alias("pp")))),
+                lambda s: s["pp"],
+            ),
+            F.lit(0.0).cast("double"),
+            lambda a, v: a + v,
+        ).alias("sq"),
+        F.collect_list(F.struct("dst", "n", "p")).alias("_cells"),
+    )
+    contrib = F.aggregate(
+        F.transform(
+            F.sort_array(F.col("_cells")),
+            lambda s: s["n"].cast("double")
+            * (F.col("sq") - F.lit(2.0) * s["p"] + F.lit(1.0)),
+        ),
+        F.lit(0.0).cast("double"),
+        lambda a, v: a + v,
+    )
+    return persrc.select(
+        "src",
+        "n_total",
+        (contrib / F.col("n_total").cast("double")).alias("brier"),
+    )
+
+
 _DISC_SQL = "[" + ", ".join(_DISC) + "]"
 
 register_many(
     {
         "q518_ndcg_at_10": _q_ndcg_at_10,
         "q520_markov_accuracy": _q_markov_accuracy,
+        "q527_markov_brier": _q_markov_brier,
     },
     {
         "q518_ndcg_at_10": f"""
@@ -213,6 +272,42 @@ register_many(
               d.dcg / i.idcg AS ndcg10
             FROM dcg d JOIN idcg i ON d.cust = i.cust
             WHERE i.idcg > 0
+        """,
+
+        "q527_markov_brier": """
+            WITH t0 AS (
+              SELECT event_type AS src,
+                lead(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS dst
+              FROM events
+            ),
+            trans AS (
+              SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+              FROM t0 WHERE dst IS NOT NULL GROUP BY 1, 2
+            ),
+            cells AS (
+              SELECT src, dst, n,
+                CAST(sum(n) OVER (PARTITION BY src) AS BIGINT)
+                  AS n_total,
+                CAST(n AS DOUBLE)
+                  / CAST(sum(n) OVER (PARTITION BY src) AS DOUBLE)
+                  AS p
+              FROM trans
+            ),
+            persrc AS (
+              SELECT src, max(n_total) AS n_total,
+                list_reduce(list(p * p ORDER BY dst),
+                  (a, b) -> a + b) AS sq,
+                list(CAST(n AS DOUBLE) ORDER BY dst) AS ns,
+                list(p ORDER BY dst) AS ps
+              FROM cells GROUP BY src
+            )
+            SELECT src, n_total,
+              list_reduce(
+                list_transform(list_zip(ns, ps),
+                  s -> s[1] * (sq - 2.0e0 * s[2] + 1.0e0)),
+                (a, b) -> a + b) / CAST(n_total AS DOUBLE) AS brier
+            FROM persrc
         """,
         "q520_markov_accuracy": """
             WITH t0 AS (
