@@ -148,11 +148,53 @@ def _q_paa_segments(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+
+def _q_seq_pattern_support(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequential-pattern support for the 2-event patterns A -> B
+    (A strictly before B somewhere in the user's stream) — the
+    PrefixSpan-style complement to q512's ADJACENT transitions: a
+    pattern holds if the user's FIRST A precedes their LAST B. One
+    reduce to (user, type, first_us, last_us) grain, then a per-user
+    type-pair join (|types|^2 = 25 pairs per user, constant fan-out).
+    All integer microsecond comparisons. Output per (a, b): users
+    having both, users supporting A->B, support fraction."""
+    ev = read_table(spark, sf, "events")
+    ut = ev.groupBy("user_id", "event_type").agg(
+        F.min(F.unix_micros("ts")).alias("first_us"),
+        F.max(F.unix_micros("ts")).alias("last_us"),
+    )
+    a = ut.select(
+        "user_id",
+        F.col("event_type").alias("a"),
+        F.col("first_us").alias("fa"),
+    )
+    b = ut.select(
+        "user_id",
+        F.col("event_type").alias("b"),
+        F.col("last_us").alias("lb"),
+    )
+    pairs = a.join(b, "user_id").where(F.col("a") != F.col("b"))
+    return pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_both"),
+        F.sum(F.when(F.col("fa") < F.col("lb"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_support"),
+        (
+            F.sum(F.when(F.col("fa") < F.col("lb"), 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count(F.lit(1)).cast("double")
+        ).alias("support_frac"),
+    )
+
+
 register_many(
     {
         "q509_kmeans_lloyd": _q_kmeans_lloyd,
         "q512_markov_stationary": _q_markov_stationary,
         "q516_paa_segments": _q_paa_segments,
+        "q529_seq_pattern_support": _q_seq_pattern_support,
     },
     {
         # Mirrors operators/clustering.kmeans_lloyd stage by stage:
@@ -163,6 +205,27 @@ register_many(
         # assignment + WSS on doubles folded in index order
         # (list_reduce == 0.0-init zip_with fold).
 
+
+        "q529_seq_pattern_support": """
+            WITH ut AS (
+              SELECT user_id, event_type,
+                min(epoch_us(ts)) AS first_us,
+                max(epoch_us(ts)) AS last_us
+              FROM events GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT x.user_id, x.event_type AS a, y.event_type AS b,
+                x.first_us AS fa, y.last_us AS lb
+              FROM ut x JOIN ut y ON x.user_id = y.user_id
+              WHERE x.event_type <> y.event_type
+            )
+            SELECT a, b, CAST(count(*) AS BIGINT) AS n_both,
+              CAST(sum(CASE WHEN fa < lb THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_support,
+              CAST(sum(CASE WHEN fa < lb THEN 1 ELSE 0 END) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE) AS support_frac
+            FROM pairs GROUP BY 1, 2
+        """,
         # q512: q445's ordered-fold power-iteration recipe on the
         # event-type transition matrix.
         "q512_markov_stationary": """
