@@ -228,3 +228,79 @@ def test_append_sink_would_duplicate(spark, drop_dir, tmp_path):
     n_src = read_table(spark, SF, "events").count()
     n_sink = spark.read.parquet(sink).count()
     assert n_sink > n_src  # batch 1 written twice: replay duplicated it
+
+
+def test_page_hinkley_state_restart_exactly_once(spark, drop_dir, tmp_path):
+    """page_hinkley_stream's (n, mean, m, m_min) state must roll back
+    and re-fold the replayed batch once — the same contract as the
+    EWMA test, on the drift detector's 4-tuple state."""
+    from sensor_time_series_pyspark_spark.streaming import (
+        page_hinkley_batch,
+        page_hinkley_stream,
+    )
+
+    plain, _, schema = drop_dir
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    def stream():
+        src = read_stream(
+            spark, plain, schema, fmt="parquet", max_files_per_trigger=1
+        )
+        return page_hinkley_stream(
+            src, key_col="event_type", ts_col="ts", value_col="value"
+        )
+
+    _run_expect_crash(stream(), sink, ckpt, _crash_on(1))
+    _run(stream(), sink, ckpt)
+
+    cols = ["event_type", "ts", "value", "ph", "alarm", "n_seen"]
+    got = _rows(spark.read.parquet(sink).drop("_batch_id"), cols)
+    want = _rows(
+        page_hinkley_batch(
+            read_table(spark, SF, "events"),
+            key_col="event_type",
+            ts_col="ts",
+            value_col="value",
+        ),
+        cols,
+    )
+    assert got == want
+
+
+def test_heavy_hitters_state_restart_exactly_once(spark, drop_dir, tmp_path):
+    """heavy_hitters_stream keeps ARRAY state (tracked items + counts);
+    a replayed batch must not double-increment the space-saving
+    counters after rollback."""
+    from sensor_time_series_pyspark_spark.streaming import (
+        heavy_hitters_batch,
+        heavy_hitters_stream,
+    )
+
+    plain, _, schema = drop_dir
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    def stream():
+        src = read_stream(
+            spark, plain, schema, fmt="parquet", max_files_per_trigger=1
+        )
+        return heavy_hitters_stream(
+            src, key_col="event_type", ts_col="ts", item_col="user_id",
+            capacity=8,
+        )
+
+    _run_expect_crash(stream(), sink, ckpt, _crash_on(2))
+    _run(stream(), sink, ckpt)
+
+    cols = ["event_type", "ts", "item", "est_count", "n_tracked"]
+    got = _rows(spark.read.parquet(sink).drop("_batch_id"), cols)
+    want = _rows(
+        heavy_hitters_batch(
+            read_table(spark, SF, "events"),
+            key_col="event_type",
+            ts_col="ts",
+            item_col="user_id",
+            capacity=8,
+        ),
+        cols,
+    )
+    assert got == want
