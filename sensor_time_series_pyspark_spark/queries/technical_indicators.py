@@ -148,13 +148,215 @@ def _q_obv(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+
+def _q_rsi_wilder(spark: SparkSession, sf: str) -> DataFrame:
+    """Wilder RSI(7) per user over the daily-total series: average
+    gain/loss by Wilder smoothing (avg' = (6*avg + x)/7 — a fixed op
+    chain per step), folded in-plan over the day-ordered diff array
+    (q510 struct-fold template); RSI = 100 - 100/(1 + RS) computed
+    once at the end. Seeds are the plain means of the first 7 diffs
+    (ordered folds). Output per user: final avg gain/loss, RS, RSI.
+    Recursive-CTE oracle replays the identical op sequence."""
+    d = _daily(spark, sf)
+    series = (
+        d.groupBy("user_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("day", "vdec"))),
+                lambda s: s["vdec"].cast("double"),
+            ).alias("xs")
+        )
+        .where(F.size("xs") >= 9)
+        .withColumn("n", F.size("xs").cast("bigint"))
+    )
+    diffs = F.zip_with(
+        F.slice(F.col("xs"), 2, F.size("xs") - 1),
+        F.slice(F.col("xs"), 1, F.size("xs") - 1),
+        lambda b, a: b - a,
+    )
+    gains = F.transform(
+        diffs, lambda x: F.when(x > 0, x).otherwise(F.lit(0.0))
+    )
+    losses = F.transform(
+        diffs, lambda x: F.when(x < 0, -x).otherwise(F.lit(0.0))
+    )
+
+    def _mean7(col):
+        return (
+            F.aggregate(
+                F.slice(col, 1, 7),
+                F.lit(0.0).cast("double"),
+                lambda a, x: a + x,
+            )
+            / F.lit(7.0)
+        )
+
+    def _wilder(col):
+        return F.aggregate(
+            F.slice(col, 8, F.size(col) - 7),
+            _mean7(col),
+            lambda acc, x: (F.lit(6.0) * acc + x) / F.lit(7.0),
+        )
+
+    base = series.select(
+        "user_id",
+        "n",
+        _wilder(gains).alias("avg_gain"),
+        _wilder(losses).alias("avg_loss"),
+    )
+    rs = F.col("avg_gain") / F.col("avg_loss")
+    rsi = F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + rs)
+    return base.select(
+        "user_id",
+        "n",
+        "avg_gain",
+        "avg_loss",
+        F.when(F.col("avg_loss") > 0, rs).alias("rs"),
+        F.when(F.col("avg_loss") > 0, rsi).otherwise(F.lit(100.0)).alias(
+            "rsi7"
+        ),
+    )
+
+
+def _q_max_drawdown(spark: SparkSession, sf: str) -> DataFrame:
+    """Maximum drawdown of each user's cumulative daily-total curve —
+    entirely in exact decimals: running sum (order-fixed by the day
+    window, decimal so segment-tree evaluation cannot drift), running
+    max, drawdown = runmax - cum, and the max drawdown with its day.
+    The equity-curve risk summary next to CVaR (q*cvar) and the
+    volatility filters. Output per user: peak, max_dd, dd_day (first
+    day attaining the max, deterministic tie-break)."""
+    d = _daily(spark, sf)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    curve = d.select(
+        "user_id",
+        "day",
+        F.sum("vdec").over(w).alias("cum"),
+    ).select(
+        "user_id",
+        "day",
+        "cum",
+        F.max("cum").over(w).alias("runmax"),
+    )
+    dd = curve.withColumn("dd", F.col("runmax") - F.col("cum"))
+    w_pick = Window.partitionBy("user_id").orderBy(
+        F.col("dd").desc(), F.col("day").asc()
+    )
+    return (
+        dd.withColumn("r", F.row_number().over(w_pick))
+        .where(F.col("r") == 1)
+        .select(
+            "user_id",
+            F.col("runmax").cast("double").alias("peak"),
+            F.col("dd").cast("double").alias("max_dd"),
+            F.col("day").alias("dd_day"),
+        )
+    )
+
+
 register_many(
     {
         "q533_bollinger": _q_bollinger,
         "q534_stochastic_k": _q_stochastic_k,
         "q535_obv": _q_obv,
+        "q536_rsi_wilder": _q_rsi_wilder,
+        "q537_max_drawdown": _q_max_drawdown,
     },
     {
+
+        "q536_rsi_wilder": """
+            WITH RECURSIVE daily AS (
+              SELECT user_id, CAST(ts AS DATE) AS day,
+                CAST(sum(CAST(value AS DECIMAL(18,6)))
+                  AS DECIMAL(18,6)) AS vdec
+              FROM events GROUP BY 1, 2
+            ),
+            series AS (
+              SELECT user_id,
+                list(CAST(vdec AS DOUBLE) ORDER BY day) AS xs,
+                CAST(len(list(vdec ORDER BY day)) AS BIGINT) AS n
+              FROM daily GROUP BY user_id
+            ),
+            keep AS (SELECT * FROM series WHERE n >= 9),
+            dz AS (
+              SELECT user_id, n,
+                list_transform(list_zip(xs[2:], xs[1:len(xs)-1]),
+                  s -> s[1] - s[2]) AS df
+              FROM keep
+            ),
+            gl AS (
+              SELECT user_id, n,
+                list_transform(df, x -> CASE WHEN x > 0 THEN x
+                  ELSE 0.0e0 END) AS gains,
+                list_transform(df, x -> CASE WHEN x < 0 THEN -x
+                  ELSE 0.0e0 END) AS losses,
+                CAST(len(df) AS BIGINT) AS nd
+              FROM dz
+            ),
+            seed AS (
+              SELECT user_id, n, gains, losses, nd,
+                list_reduce(gains[1:7], (a, b) -> a + b) / 7.0e0
+                  AS g0,
+                list_reduce(losses[1:7], (a, b) -> a + b) / 7.0e0
+                  AS l0
+              FROM gl
+            ),
+            rec AS (
+              SELECT user_id, n, gains, losses, nd,
+                CAST(7 AS BIGINT) AS i, g0 AS ag, l0 AS al
+              FROM seed
+              UNION ALL
+              SELECT r.user_id, r.n, r.gains, r.losses, r.nd, r.i + 1,
+                (6.0e0 * r.ag + r.gains[CAST(r.i AS INT) + 1]) / 7.0e0,
+                (6.0e0 * r.al + r.losses[CAST(r.i AS INT) + 1]) / 7.0e0
+              FROM rec r WHERE r.i < r.nd
+            ),
+            fin AS (
+              SELECT user_id, n, ag AS avg_gain, al AS avg_loss
+              FROM rec WHERE i = nd
+            )
+            SELECT user_id, n, avg_gain, avg_loss,
+              CASE WHEN avg_loss > 0 THEN avg_gain / avg_loss END
+                AS rs,
+              CASE WHEN avg_loss > 0 THEN
+                1.0e2 - 1.0e2 / (1.0e0 + avg_gain / avg_loss)
+              ELSE 1.0e2 END AS rsi7
+            FROM fin
+        """,
+        "q537_max_drawdown": """
+            WITH daily AS (
+              SELECT user_id, CAST(ts AS DATE) AS day,
+                CAST(sum(CAST(value AS DECIMAL(18,6)))
+                  AS DECIMAL(18,6)) AS vdec
+              FROM events GROUP BY 1, 2
+            ),
+            curve AS (
+              SELECT user_id, day,
+                sum(vdec) OVER (PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS cum
+              FROM daily
+            ),
+            dd AS (
+              SELECT user_id, day, cum,
+                max(cum) OVER (PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS runmax
+              FROM curve
+            )
+            SELECT user_id, CAST(runmax AS DOUBLE) AS peak,
+              CAST(runmax - cum AS DOUBLE) AS max_dd, day AS dd_day
+            FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id
+                ORDER BY runmax - cum DESC, day ASC) AS r
+              FROM dd
+            ) WHERE r = 1
+        """,
         "q533_bollinger": """
             WITH daily AS (
               SELECT user_id, CAST(ts AS DATE) AS day,
