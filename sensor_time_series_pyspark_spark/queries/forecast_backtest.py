@@ -422,6 +422,203 @@ def _q_holt_damped(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+
+def _ar1_step_errors(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared walk-forward step frame for q538/q539: q444's exact
+    prefix-moment AR(1) one-step forecasts (same series, guards and
+    test span — see queries/inference.py:_q_ar1_walkforward) plus the
+    seasonal-naive-0 competitor x_{i-1}, with per-step squared and
+    absolute errors for both models. The naive absolute error is a
+    pure INTEGER (|x_i - x_{i-1}| in cents)."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        (F.max("value").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("x")
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    wp = Window.partitionBy("user_id")
+    base = daily.select(
+        "user_id",
+        "day",
+        "x",
+        F.lag("x").over(w).alias("px"),
+        (F.row_number().over(w) - 1).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    has_pair = F.col("px").isNotNull()
+    pm = base.select(
+        "user_id",
+        "day",
+        "x",
+        "px",
+        "rn",
+        "n",
+        F.when(has_pair, 1).otherwise(0).cast("bigint").alias("pm_m"),
+        F.when(has_pair, F.col("px")).otherwise(0).alias("pm_x"),
+        F.when(has_pair, F.col("x")).otherwise(0).alias("pm_y"),
+        F.when(has_pair, F.col("px") * F.col("px")).otherwise(0).alias("pm_xx"),
+        F.when(has_pair, F.col("px") * F.col("x")).otherwise(0).alias("pm_xy"),
+    )
+    prefix = w.rowsBetween(Window.unboundedPreceding, -1)
+    mom = pm.select(
+        "user_id",
+        "day",
+        "x",
+        "px",
+        "rn",
+        "n",
+        F.sum("pm_m").over(prefix).alias("m"),
+        F.sum("pm_x").over(prefix).alias("sx"),
+        F.sum("pm_y").over(prefix).alias("sy"),
+        F.sum("pm_xx").over(prefix).alias("sxx"),
+        F.sum("pm_xy").over(prefix).alias("sxy"),
+    )
+    n_test = F.greatest(F.lit(1).cast("bigint"), (F.col("n") / 4).cast("bigint"))
+    d38 = "decimal(38,0)"
+    a_num = (
+        F.col("m").cast(d38) * F.col("sxy").cast(d38)
+        - F.col("sx").cast(d38) * F.col("sy").cast(d38)
+    )
+    b_den = (
+        F.col("m").cast(d38) * F.col("sxx").cast(d38)
+        - F.col("sx").cast(d38) * F.col("sx").cast(d38)
+    )
+    phi = a_num.cast("double") / b_den.cast("double")
+    return (
+        mom.where(
+            (F.col("n") - n_test >= 3) & (F.col("rn") >= F.col("n") - n_test)
+        )
+        .withColumn("phi", phi)
+        .withColumn(
+            "c",
+            (
+                F.col("sy").cast("double")
+                - F.col("phi") * F.col("sx").cast("double")
+            )
+            / F.col("m").cast("double"),
+        )
+        .withColumn(
+            "fc", F.col("c") + F.col("phi") * F.col("px").cast("double")
+        )
+        .withColumn("err", F.col("x").cast("double") - F.col("fc"))
+        .withColumn("se_ar", F.col("err") * F.col("err"))
+        .withColumn("ae_ar", F.abs(F.col("err")))
+        .withColumn("d_nv", F.col("x") - F.col("px"))
+        .withColumn("ae_nv", F.abs(F.col("d_nv")))
+        .withColumn(
+            "se_nv",
+            F.col("d_nv").cast("double") * F.col("d_nv").cast("double"),
+        )
+    )
+
+
+def _ord_fold(day_col: str, val_col: F.Column) -> F.Column:
+    return F.aggregate(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct(day_col, val_col.alias("v")))),
+            lambda s: s["v"],
+        ),
+        F.lit(0.0).cast("double"),
+        lambda a, v: a + v,
+    )
+
+
+def _q_mase(spark: SparkSession, sf: str) -> DataFrame:
+    """MASE (Hyndman & Koehler 2006) of the AR(1) walk-forward against
+    the one-step naive on the SAME test steps: MAE(AR1)/MAE(naive).
+    AR MAE folds in day order; the naive MAE is an exact integer sum
+    in cents. Output per user: n_test, both MAEs, mase."""
+    steps = _ar1_step_errors(spark, sf)
+    out = steps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        _ord_fold("day", F.col("ae_ar")).alias("sae_ar"),
+        F.sum("ae_nv").cast("bigint").alias("sae_nv"),
+    )
+    return out.select(
+        "user_id",
+        "n_test",
+        (F.col("sae_ar") / F.col("n_test").cast("double")).alias("mae_ar"),
+        (
+            F.col("sae_nv").cast("double") / F.col("n_test").cast("double")
+        ).alias("mae_naive"),
+        F.when(
+            F.col("sae_nv") > 0,
+            F.col("sae_ar") / F.col("sae_nv").cast("double"),
+        ).alias("mase"),
+    )
+
+
+def _q_diebold_mariano(spark: SparkSession, sf: str) -> DataFrame:
+    """Diebold-Mariano statistic (squared-error loss, lag-0 variance)
+    comparing AR(1) vs naive on the same test steps: d_i = se_ar -
+    se_nv, DM = mean(d) / sqrt(var(d)/n). Both moments fold in day
+    order (the two-pass mean-then-deviations form, each a fixed op
+    chain); sqrt is IEEE-exact. Negative DM = AR(1) better. The
+    normal-CDF p-value is the analyst's libm epilogue — the statistic
+    itself is the engine-portable part."""
+    steps = _ar1_step_errors(spark, sf)
+    agg = steps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        _ord_fold("day", F.col("se_ar") - F.col("se_nv")).alias("sd"),
+        F.collect_list(
+            F.struct("day", (F.col("se_ar") - F.col("se_nv")).alias("v"))
+        ).alias("_dl"),
+    )
+    dbar = F.col("sd") / F.col("n_test").cast("double")
+    ssq = F.aggregate(
+        F.transform(F.sort_array(F.col("_dl")), lambda s: s["v"]),
+        F.lit(0.0).cast("double"),
+        lambda a, v: a + (v - dbar) * (v - dbar),
+    )
+    vard = ssq / F.col("n_test").cast("double")
+    dm = dbar / F.sqrt(vard / F.col("n_test").cast("double"))
+    return agg.select(
+        "user_id",
+        "n_test",
+        dbar.alias("mean_loss_diff"),
+        F.when(ssq > 0, dm).alias("dm_stat"),
+    )
+
+
+def _q_pinball_loss(spark: SparkSession, sf: str) -> DataFrame:
+    """Pinball (quantile) loss at tau=0.9 for the empirical-quantile
+    forecaster: q-hat = percentile_disc(0.9) of each event type's
+    daily counts over days 1-15, scored on days 16+. With integer
+    counts the per-step loss x10 is a pure integer — 9*(y-q) when
+    y >= q else 1*(q-y) — so the sum is exact and only the final mean
+    divides. The quantile-forecast counterpart of q456's coverage
+    check. Output per type: qhat, n_test, total x10 loss, mean
+    loss."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    wt = Window.partitionBy("event_type").orderBy("d")
+    idx = daily.withColumn("i", F.row_number().over(wt).cast("bigint"))
+    cal = idx.where(F.col("i") <= 15)
+    test = idx.where(F.col("i") > 15)
+    qhat = cal.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY y)")
+        .cast("bigint")
+        .alias("qhat")
+    )
+    j = test.join(qhat, "event_type")
+    loss10 = F.when(
+        F.col("y") >= F.col("qhat"), 9 * (F.col("y") - F.col("qhat"))
+    ).otherwise(F.col("qhat") - F.col("y"))
+    return j.groupBy("event_type").agg(
+        F.max("qhat").cast("bigint").alias("qhat"),
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.sum(loss10).cast("bigint").alias("loss_x10"),
+        (
+            F.sum(loss10).cast("double")
+            / (F.lit(10.0) * F.count(F.lit(1)).cast("double"))
+        ).alias("mean_pinball"),
+    )
+
+
 register_many(
     {
         "q508_ari11_walkforward": _q_ari11_walkforward,
@@ -429,8 +626,210 @@ register_many(
         "q511_garch_filter": _q_garch_filter,
         "q519_theta_forecast": _q_theta_forecast,
         "q526_holt_damped": _q_holt_damped,
+        "q538_mase": _q_mase,
+        "q539_diebold_mariano": _q_diebold_mariano,
+        "q540_pinball_loss": _q_pinball_loss,
     },
     {
+        # q538/q539: the q444 step frame extended with the naive
+        # competitor; all double reductions day-ordered.
+        "q538_mase": """
+            WITH daily AS (
+              SELECT user_id, CAST(ts AS DATE) AS day,
+                CAST(CAST(max(value) AS DECIMAL(12,2)) * 100 AS BIGINT)
+                  AS x
+              FROM events GROUP BY 1, 2
+            ),
+            base AS (
+              SELECT user_id, day, x,
+                lag(x) OVER win AS px,
+                row_number() OVER win - 1 AS rn,
+                CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+                  AS n
+              FROM daily
+              WINDOW win AS (PARTITION BY user_id ORDER BY day)
+            ),
+            pm AS (
+              SELECT *,
+                CASE WHEN px IS NOT NULL THEN 1 ELSE 0 END AS pm_m,
+                CASE WHEN px IS NOT NULL THEN px ELSE 0 END AS pm_x,
+                CASE WHEN px IS NOT NULL THEN x ELSE 0 END AS pm_y,
+                CASE WHEN px IS NOT NULL THEN px * px ELSE 0 END
+                  AS pm_xx,
+                CASE WHEN px IS NOT NULL THEN px * x ELSE 0 END
+                  AS pm_xy
+              FROM base
+            ),
+            mom AS (
+              SELECT user_id, day, x, px, rn, n,
+                sum(pm_m) OVER pre AS m,
+                sum(pm_x) OVER pre AS sx,
+                sum(pm_y) OVER pre AS sy,
+                sum(pm_xx) OVER pre AS sxx,
+                sum(pm_xy) OVER pre AS sxy
+              FROM pm
+              WINDOW pre AS (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            ),
+            steps AS (
+              SELECT user_id, day, x, px, n, m, sx, sy,
+                CAST(m * sxy - sx * sy AS DOUBLE)
+                  / CAST(m * sxx - sx * sx AS DOUBLE) AS phi
+              FROM mom
+              WHERE n - greatest(1, n // 4) >= 3
+                AND rn >= n - greatest(1, n // 4)
+            ),
+            ep AS (
+              SELECT user_id, day, x, px, n, phi,
+                (CAST(sy AS DOUBLE) - phi * CAST(sx AS DOUBLE))
+                  / CAST(m AS DOUBLE) AS c
+              FROM steps
+            ),
+            errs AS (
+              SELECT user_id, day,
+                CAST(x AS DOUBLE) - (c + phi * CAST(px AS DOUBLE))
+                  AS err,
+                x - px AS d_nv
+              FROM ep
+            ),
+            sv AS (
+              SELECT user_id, day,
+                err * err AS se_ar, abs(err) AS ae_ar,
+                CAST(d_nv AS DOUBLE) * CAST(d_nv AS DOUBLE) AS se_nv,
+                abs(d_nv) AS ae_nv
+              FROM errs
+            )
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_test,
+              list_reduce(list(ae_ar ORDER BY day), (a, b) -> a + b)
+                / CAST(count(*) AS DOUBLE) AS mae_ar,
+              CAST(sum(ae_nv) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                AS mae_naive,
+              CASE WHEN sum(ae_nv) > 0 THEN
+                list_reduce(list(ae_ar ORDER BY day), (a, b) -> a + b)
+                  / CAST(sum(ae_nv) AS DOUBLE)
+              END AS mase
+            FROM sv GROUP BY user_id
+        """,
+        "q539_diebold_mariano": """
+            WITH daily AS (
+              SELECT user_id, CAST(ts AS DATE) AS day,
+                CAST(CAST(max(value) AS DECIMAL(12,2)) * 100 AS BIGINT)
+                  AS x
+              FROM events GROUP BY 1, 2
+            ),
+            base AS (
+              SELECT user_id, day, x,
+                lag(x) OVER win AS px,
+                row_number() OVER win - 1 AS rn,
+                CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+                  AS n
+              FROM daily
+              WINDOW win AS (PARTITION BY user_id ORDER BY day)
+            ),
+            pm AS (
+              SELECT *,
+                CASE WHEN px IS NOT NULL THEN 1 ELSE 0 END AS pm_m,
+                CASE WHEN px IS NOT NULL THEN px ELSE 0 END AS pm_x,
+                CASE WHEN px IS NOT NULL THEN x ELSE 0 END AS pm_y,
+                CASE WHEN px IS NOT NULL THEN px * px ELSE 0 END
+                  AS pm_xx,
+                CASE WHEN px IS NOT NULL THEN px * x ELSE 0 END
+                  AS pm_xy
+              FROM base
+            ),
+            mom AS (
+              SELECT user_id, day, x, px, rn, n,
+                sum(pm_m) OVER pre AS m,
+                sum(pm_x) OVER pre AS sx,
+                sum(pm_y) OVER pre AS sy,
+                sum(pm_xx) OVER pre AS sxx,
+                sum(pm_xy) OVER pre AS sxy
+              FROM pm
+              WINDOW pre AS (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            ),
+            steps AS (
+              SELECT user_id, day, x, px, n, m, sx, sy,
+                CAST(m * sxy - sx * sy AS DOUBLE)
+                  / CAST(m * sxx - sx * sx AS DOUBLE) AS phi
+              FROM mom
+              WHERE n - greatest(1, n // 4) >= 3
+                AND rn >= n - greatest(1, n // 4)
+            ),
+            ep AS (
+              SELECT user_id, day, x, px, n, phi,
+                (CAST(sy AS DOUBLE) - phi * CAST(sx AS DOUBLE))
+                  / CAST(m AS DOUBLE) AS c
+              FROM steps
+            ),
+            errs AS (
+              SELECT user_id, day,
+                CAST(x AS DOUBLE) - (c + phi * CAST(px AS DOUBLE))
+                  AS err,
+                x - px AS d_nv
+              FROM ep
+            ),
+            sv AS (
+              SELECT user_id, day,
+                err * err AS se_ar, abs(err) AS ae_ar,
+                CAST(d_nv AS DOUBLE) * CAST(d_nv AS DOUBLE) AS se_nv,
+                abs(d_nv) AS ae_nv
+              FROM errs
+            ),
+            agg AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS n_test,
+                list_reduce(list(se_ar - se_nv ORDER BY day),
+                  (a, b) -> a + b) AS sd,
+                list(se_ar - se_nv ORDER BY day) AS dl
+              FROM sv GROUP BY user_id
+            )
+            SELECT user_id, n_test,
+              sd / CAST(n_test AS DOUBLE) AS mean_loss_diff,
+              CASE WHEN list_reduce(
+                  list_transform(dl, v -> (v - sd / CAST(n_test AS DOUBLE))
+                    * (v - sd / CAST(n_test AS DOUBLE))),
+                  (a, b) -> a + b) > 0 THEN
+                (sd / CAST(n_test AS DOUBLE))
+                / sqrt((list_reduce(
+                    list_transform(dl, v -> (v - sd / CAST(n_test AS DOUBLE))
+                      * (v - sd / CAST(n_test AS DOUBLE))),
+                    (a, b) -> a + b) / CAST(n_test AS DOUBLE))
+                  / CAST(n_test AS DOUBLE))
+              END AS dm_stat
+            FROM agg
+        """,
+        "q540_pinball_loss": """
+            WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS d,
+                CAST(count(*) AS BIGINT) AS y
+              FROM events GROUP BY 1, 2
+            ),
+            idx AS (
+              SELECT event_type, d, y,
+                CAST(row_number() OVER (PARTITION BY event_type
+                  ORDER BY d) AS BIGINT) AS i
+              FROM daily
+            ),
+            qhat AS (
+              SELECT event_type,
+                CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY y)
+                  AS BIGINT) AS qhat
+              FROM idx WHERE i <= 15 GROUP BY event_type
+            ),
+            scored AS (
+              SELECT t.event_type, q.qhat,
+                CASE WHEN t.y >= q.qhat THEN 9 * (t.y - q.qhat)
+                     ELSE q.qhat - t.y END AS loss10
+              FROM idx t JOIN qhat q ON t.event_type = q.event_type
+              WHERE t.i > 15
+            )
+            SELECT event_type, max(qhat) AS qhat,
+              CAST(count(*) AS BIGINT) AS n_test,
+              CAST(sum(loss10) AS BIGINT) AS loss_x10,
+              CAST(sum(loss10) AS DOUBLE)
+                / (1.0e1 * CAST(count(*) AS DOUBLE)) AS mean_pinball
+            FROM scored GROUP BY event_type
+        """,
         # Same prefix-moment template as the q444 oracle, on first
         # differences; md<=2 branch replicates the drift-only fallback.
         "q508_ari11_walkforward": """
