@@ -162,9 +162,13 @@ def test_write_zordered_skips_on_both_columns(spark, tmp_path):
     # 1-D sort: perfect on its column, useless on the other
     assert su <= 2
     assert sv >= stot - 2
-    # z-order: strictly better than useless on BOTH columns
-    assert zu <= ztot // 2
-    assert zv <= ztot // 2
+    # z-order: strictly better than useless on BOTH columns. The +1
+    # absorbs repartitionByRange's reservoir-sampled boundaries (no
+    # seed parameter): the morton-range split points move a little
+    # between runs, and a probe straddling a moved boundary touches
+    # one extra file (observed 8 vs 9 of 16 across runs).
+    assert zu <= ztot // 2 + 1
+    assert zv <= ztot // 2 + 1
 
 
 def test_read_csv_audited_captures_bad_rows(spark, tmp_path):
