@@ -221,11 +221,94 @@ def _q_markov_brier(spark: SparkSession, sf: str) -> DataFrame:
 
 _DISC_SQL = "[" + ", ".join(_DISC) + "]"
 
+
+
+_RBO_W = [
+    "9.99999999999999778e-02",
+    "8.99999999999999828e-02",
+    "8.09999999999999887e-02",
+    "7.28999999999999926e-02",
+    "6.56099999999999878e-02",
+    "5.90489999999999973e-02",
+    "5.31440999999999927e-02",
+    "4.78296899999999942e-02",
+    "4.30467210000000031e-02",
+    "3.87420488999999993e-02",
+]  # (1-p)*p^(d-1), p=0.9 — identical literals in both engines
+
+
+def _q_rbo_rankings(spark: SparkSession, sf: str) -> DataFrame:
+    """Rank-biased overlap (Webber, Moffat & Zobel 2010), truncated at
+    depth 10 with p=0.9, between each customer's pre-1998 and
+    post-1998 top-10 brand rankings — the top-weighted ranking-
+    similarity companion to q518's nDCG (nDCG scores one ranking
+    against grades; RBO compares two rankings to each other, e.g.
+    release-over-release recommender drift). Prefix overlaps are
+    integer array-intersection sizes; the weighted sum folds in depth
+    order with precomputed (1-p)p^(d-1) literals. Customers need full
+    top-10 lists on both sides (truncated-RBO convention)."""
+    cb = _cust_brand_counts(spark, sf)
+    w_pred = Window.partitionBy("cust").orderBy(
+        F.col("train_n").desc(), F.col("brand").asc()
+    )
+    w_hold = Window.partitionBy("cust").orderBy(
+        F.col("rel").desc(), F.col("brand").asc()
+    )
+    pred = (
+        cb.where(F.col("train_n") > 0)
+        .withColumn("pr", F.row_number().over(w_pred))
+        .where(F.col("pr") <= 10)
+        .groupBy("cust")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pr", "brand"))),
+                lambda s: s["brand"],
+            ).alias("a")
+        )
+        .where(F.size("a") == 10)
+    )
+    hold = (
+        cb.where(F.col("rel") > 0)
+        .withColumn("hr", F.row_number().over(w_hold))
+        .where(F.col("hr") <= 10)
+        .groupBy("cust")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("hr", "brand"))),
+                lambda s: s["brand"],
+            ).alias("b")
+        )
+        .where(F.size("b") == 10)
+    )
+    j = pred.join(hold, "cust")
+    terms = []
+    for d in range(1, 11):
+        ov = F.size(
+            F.array_intersect(
+                F.slice(F.col("a"), 1, d), F.slice(F.col("b"), 1, d)
+            )
+        )
+        terms.append(
+            F.lit(float(_RBO_W[d - 1]))
+            * (ov.cast("double") / F.lit(float(d)))
+        )
+    rbo = terms[0]
+    for t in terms[1:]:
+        rbo = rbo + t
+    ov10 = F.size(F.array_intersect(F.col("a"), F.col("b")))
+    return j.select(
+        F.col("cust").alias("custkey"),
+        ov10.cast("int").alias("overlap10"),
+        rbo.alias("rbo10"),
+    )
+
+
 register_many(
     {
         "q518_ndcg_at_10": _q_ndcg_at_10,
         "q520_markov_accuracy": _q_markov_accuracy,
         "q527_markov_brier": _q_markov_brier,
+        "q541_rbo_rankings": _q_rbo_rankings,
     },
     {
         "q518_ndcg_at_10": f"""
@@ -308,6 +391,104 @@ register_many(
                   s -> s[1] * (sq - 2.0e0 * s[2] + 1.0e0)),
                 (a, b) -> a + b) / CAST(n_total AS DOUBLE) AS brier
             FROM persrc
+        """,
+
+        "q541_rbo_rankings": """
+            WITH cb AS (
+              SELECT o.o_custkey AS cust, p.p_brand AS brand,
+                CAST(count(*) FILTER (
+                  CAST(l.l_shipdate AS DATE) < DATE '1998-01-01')
+                  AS BIGINT) AS train_n,
+                CAST(count(*) FILTER (
+                  CAST(l.l_shipdate AS DATE) >= DATE '1998-01-01')
+                  AS BIGINT) AS rel
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN part p ON l.l_partkey = p.p_partkey
+              GROUP BY 1, 2
+            ),
+            pred AS (
+              SELECT cust, list(brand ORDER BY pr) AS a FROM (
+                SELECT cust, brand, row_number() OVER (
+                  PARTITION BY cust
+                  ORDER BY train_n DESC, brand ASC) AS pr
+                FROM cb WHERE train_n > 0
+              ) WHERE pr <= 10 GROUP BY cust
+              HAVING count(*) = 10
+            ),
+            hold AS (
+              SELECT cust, list(brand ORDER BY hr) AS b FROM (
+                SELECT cust, brand, row_number() OVER (
+                  PARTITION BY cust
+                  ORDER BY rel DESC, brand ASC) AS hr
+                FROM cb WHERE rel > 0
+              ) WHERE hr <= 10 GROUP BY cust
+              HAVING count(*) = 10
+            )
+            SELECT p.cust AS custkey,
+              CAST(len(list_intersect(a, b)) AS INT) AS overlap10,
+              ([9.99999999999999778e-02, 8.99999999999999828e-02,
+                   8.09999999999999887e-02, 7.28999999999999926e-02,
+                   6.56099999999999878e-02, 5.90489999999999973e-02,
+                   5.31440999999999927e-02, 4.78296899999999942e-02,
+                   4.30467210000000031e-02, 3.87420488999999993e-02])[1]
+                * (CAST(len(list_intersect(a[1:1], b[1:1]))
+                   AS DOUBLE) / 1.0e0)\n              + ([9.99999999999999778e-02, 8.99999999999999828e-02,
+                   8.09999999999999887e-02, 7.28999999999999926e-02,
+                   6.56099999999999878e-02, 5.90489999999999973e-02,
+                   5.31440999999999927e-02, 4.78296899999999942e-02,
+                   4.30467210000000031e-02, 3.87420488999999993e-02])[2]
+                * (CAST(len(list_intersect(a[1:2], b[1:2]))
+                   AS DOUBLE) / 2.0e0)\n              + ([9.99999999999999778e-02, 8.99999999999999828e-02,
+                   8.09999999999999887e-02, 7.28999999999999926e-02,
+                   6.56099999999999878e-02, 5.90489999999999973e-02,
+                   5.31440999999999927e-02, 4.78296899999999942e-02,
+                   4.30467210000000031e-02, 3.87420488999999993e-02])[3]
+                * (CAST(len(list_intersect(a[1:3], b[1:3]))
+                   AS DOUBLE) / 3.0e0)\n              + ([9.99999999999999778e-02, 8.99999999999999828e-02,
+                   8.09999999999999887e-02, 7.28999999999999926e-02,
+                   6.56099999999999878e-02, 5.90489999999999973e-02,
+                   5.31440999999999927e-02, 4.78296899999999942e-02,
+                   4.30467210000000031e-02, 3.87420488999999993e-02])[4]
+                * (CAST(len(list_intersect(a[1:4], b[1:4]))
+                   AS DOUBLE) / 4.0e0)\n              + ([9.99999999999999778e-02, 8.99999999999999828e-02,
+                   8.09999999999999887e-02, 7.28999999999999926e-02,
+                   6.56099999999999878e-02, 5.90489999999999973e-02,
+                   5.31440999999999927e-02, 4.78296899999999942e-02,
+                   4.30467210000000031e-02, 3.87420488999999993e-02])[5]
+                * (CAST(len(list_intersect(a[1:5], b[1:5]))
+                   AS DOUBLE) / 5.0e0)\n              + ([9.99999999999999778e-02, 8.99999999999999828e-02,
+                   8.09999999999999887e-02, 7.28999999999999926e-02,
+                   6.56099999999999878e-02, 5.90489999999999973e-02,
+                   5.31440999999999927e-02, 4.78296899999999942e-02,
+                   4.30467210000000031e-02, 3.87420488999999993e-02])[6]
+                * (CAST(len(list_intersect(a[1:6], b[1:6]))
+                   AS DOUBLE) / 6.0e0)\n              + ([9.99999999999999778e-02, 8.99999999999999828e-02,
+                   8.09999999999999887e-02, 7.28999999999999926e-02,
+                   6.56099999999999878e-02, 5.90489999999999973e-02,
+                   5.31440999999999927e-02, 4.78296899999999942e-02,
+                   4.30467210000000031e-02, 3.87420488999999993e-02])[7]
+                * (CAST(len(list_intersect(a[1:7], b[1:7]))
+                   AS DOUBLE) / 7.0e0)\n              + ([9.99999999999999778e-02, 8.99999999999999828e-02,
+                   8.09999999999999887e-02, 7.28999999999999926e-02,
+                   6.56099999999999878e-02, 5.90489999999999973e-02,
+                   5.31440999999999927e-02, 4.78296899999999942e-02,
+                   4.30467210000000031e-02, 3.87420488999999993e-02])[8]
+                * (CAST(len(list_intersect(a[1:8], b[1:8]))
+                   AS DOUBLE) / 8.0e0)\n              + ([9.99999999999999778e-02, 8.99999999999999828e-02,
+                   8.09999999999999887e-02, 7.28999999999999926e-02,
+                   6.56099999999999878e-02, 5.90489999999999973e-02,
+                   5.31440999999999927e-02, 4.78296899999999942e-02,
+                   4.30467210000000031e-02, 3.87420488999999993e-02])[9]
+                * (CAST(len(list_intersect(a[1:9], b[1:9]))
+                   AS DOUBLE) / 9.0e0)\n              + ([9.99999999999999778e-02, 8.99999999999999828e-02,
+                   8.09999999999999887e-02, 7.28999999999999926e-02,
+                   6.56099999999999878e-02, 5.90489999999999973e-02,
+                   5.31440999999999927e-02, 4.78296899999999942e-02,
+                   4.30467210000000031e-02, 3.87420488999999993e-02])[10]
+                * (CAST(len(list_intersect(a[1:10], b[1:10]))
+                   AS DOUBLE) / 10.0e0) AS rbo10
+            FROM pred p JOIN hold h ON p.cust = h.cust
         """,
         "q520_markov_accuracy": """
             WITH t0 AS (
