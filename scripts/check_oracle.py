@@ -78,9 +78,11 @@ def main() -> int:
     con = duck_con(sf_dir)
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failed = []
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as exc:
@@ -105,7 +107,8 @@ def main() -> int:
             failed.append(name)
         else:
             print(f"ok   {name}: {len(sdf)} rows match")
-    print(f"\n{len(qs) - len(failed)}/{len(qs)} pass")
+    print(f"\n{n_run - len(failed)}/{n_run} pass"
+          + (f" (selected of {len(qs)} registered)" if only else ""))
     return 1 if failed else 0
 
 

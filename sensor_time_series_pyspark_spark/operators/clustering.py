@@ -34,8 +34,13 @@ from .similarity import quantize_vec
 
 
 def _fold_d2_double(xd: str, mu: str) -> F.Column:
-    """Σ (x_i − μ_i)² folded in index order with a 0.0 init — the IEEE
-    op sequence DuckDB's ordered ``list_reduce`` replays exactly."""
+    """Σ (x_i − μ_i)² folded in index order with a 0.0 init. NOTE:
+    DuckDB's ordered ``list_reduce`` has NO initial accumulator (it is
+    seeded by the first element), so the two folds differ by one
+    leading ``0.0 + x0`` — an exact IEEE identity for addition, which
+    is the ONLY reason the engines agree bit-for-bit. Do not copy this
+    pattern for a fold with a non-identity init or a non-additive op
+    (product, min-chain, Kahan-style): those would silently diverge."""
     return F.aggregate(
         F.zip_with(F.col(xd), F.col(mu), lambda x, m: (x - m) * (x - m)),
         F.lit(0.0).cast("double"),

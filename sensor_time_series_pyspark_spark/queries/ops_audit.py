@@ -19,7 +19,10 @@ def _q_disorder_census(spark: SparkSession, sf: str) -> DataFrame:
     timestamps regress behind the running event-time maximum? Reports,
     per user: event count, out-of-order fraction, max regression
     (microseconds), and the p95 regression via percentile_disc over
-    the late events — exactly the numbers that size
+    ONLY the late events (late_us > 0; on-time rows are excluded via
+    a NULL-projecting CASE so both engines' NULL-ignoring
+    percentile_disc see the same subset — users with zero late
+    events report NULL) — exactly the numbers that size
     ``withWatermark``'s lateness budget (too small drops data, too
     large bloats state; see streaming/ingest.py). All integer
     microsecond arithmetic; one entity-partitioned window."""
@@ -54,7 +57,8 @@ def _q_disorder_census(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("late_frac"),
         F.max("late_us").cast("bigint").alias("max_late_us"),
         F.expr(
-            "percentile_disc(0.95) WITHIN GROUP (ORDER BY late_us)"
+            "percentile_disc(0.95) WITHIN GROUP "
+            "(ORDER BY CASE WHEN late_us > 0 THEN late_us END)"
         )
         .cast("bigint")
         .alias("p95_late_us"),
@@ -65,9 +69,13 @@ def _q_abc_classes(spark: SparkSession, sf: str) -> DataFrame:
     """ABC classification of parts by revenue: rank parts by exact
     integer revenue cents (ties -> partkey asc), classify by
     cumulative revenue share — A up to 80%, B up to 95%, C the tail —
-    with the share thresholds evaluated as INTEGER cross-
-    multiplications (cum*100 <= total*80), so class boundaries are
-    bit-exact in any engine. One aggregate to part grain, one global
+    with the share thresholds evaluated as exact wide-integer cross-
+    multiplications (cum*100 <= total*80 in decimal(38,0) on Spark,
+    HUGEINT in DuckDB), so class boundaries are bit-exact in any
+    engine. The widening matters at scale: total lineitem revenue in
+    cents is ~2.2e13 per TPC-H sf, so a raw BIGINT tot_c*95 would
+    overflow int64 (~9.2e18) near sf~4500 — far below the 100 TB
+    (sf~100k) target; decimal(38,0) holds ~1e38 and is exact. One aggregate to part grain, one global
     rank window over the part catalog (catalog-bounded, not
     fact-bounded). Output per class: part count, revenue, revenue
     share."""
@@ -85,10 +93,12 @@ def _q_abc_classes(spark: SparkSession, sf: str) -> DataFrame:
     classed = (
         per_part.withColumn("cum_c", F.sum("rev_c").over(w_cum))
         .withColumn("tot_c", F.sum("rev_c").over(w_all))
+        .withColumn("cum_w", F.col("cum_c").cast("decimal(38,0)"))
+        .withColumn("tot_w", F.col("tot_c").cast("decimal(38,0)"))
         .withColumn(
             "abc",
-            F.when(F.col("cum_c") * 100 <= F.col("tot_c") * 80, "A")
-            .when(F.col("cum_c") * 100 <= F.col("tot_c") * 95, "B")
+            F.when(F.col("cum_w") * 100 <= F.col("tot_w") * 80, "A")
+            .when(F.col("cum_w") * 100 <= F.col("tot_w") * 95, "B")
             .otherwise("C"),
         )
     )
@@ -135,7 +145,8 @@ register_many(
                 AS DOUBLE) / CAST(count(*) AS DOUBLE) AS late_frac,
               CAST(max(late_us) AS BIGINT) AS max_late_us,
               CAST(percentile_disc(0.95)
-                WITHIN GROUP (ORDER BY late_us) AS BIGINT)
+                WITHIN GROUP (ORDER BY CASE WHEN late_us > 0
+                  THEN late_us END) AS BIGINT)
                 AS p95_late_us
             FROM late GROUP BY user_id
         """,
@@ -156,8 +167,10 @@ register_many(
             ),
             abc AS (
               SELECT rev_c, tot_c,
-                CASE WHEN cum_c * 100 <= tot_c * 80 THEN 'A'
-                     WHEN cum_c * 100 <= tot_c * 95 THEN 'B'
+                CASE WHEN CAST(cum_c AS HUGEINT) * 100
+                       <= CAST(tot_c AS HUGEINT) * 80 THEN 'A'
+                     WHEN CAST(cum_c AS HUGEINT) * 100
+                       <= CAST(tot_c AS HUGEINT) * 95 THEN 'B'
                      ELSE 'C' END AS abc
               FROM classed
             )

@@ -19,6 +19,7 @@ degrades a partition, not the job.
 
 from __future__ import annotations
 
+import os
 import time
 
 import pytest
@@ -155,6 +156,22 @@ def test_aqe_splits_hot_partition(spark, skew_events):
             conf.set(k, v)
 
 
+# Wall-clock assertions are load-sensitive on a shared box (ADVICE r6
+# #4): a concurrent gate run during pytest can triple timings for
+# reasons unrelated to skew. Skip the two timing tests when the
+# 1-minute loadavg already exceeds the core count / 2 at import time —
+# the correctness halves of this module (exactness, AQE skew=true plan
+# pin) still run regardless of load.
+_LOAD_CAP = max(4.0, (os.cpu_count() or 8) / 2)
+_busy_box = pytest.mark.skipif(
+    os.getloadavg()[0] > _LOAD_CAP,
+    reason=(
+        f"load1={os.getloadavg()[0]:.1f} > {_LOAD_CAP:.0f}: wall-clock "
+        "skew bounds are not meaningful under pre-existing contention"
+    ),
+)
+
+
 def _best_of(fn, reps=2):
     best = float("inf")
     for _ in range(reps):
@@ -164,6 +181,7 @@ def _best_of(fn, reps=2):
     return best
 
 
+@_busy_box
 def test_sessionize_walltime_bounded_under_skew(spark, skew_events):
     """q15's shape (per-user window sort): one user holding half of all
     events must not blow up wall-time — a window partition is a task,
@@ -186,6 +204,7 @@ def test_sessionize_walltime_bounded_under_skew(spark, skew_events):
     assert t_skew <= 3 * t_uniform + 0.5, (t_skew, t_uniform)
 
 
+@_busy_box
 def test_jaccard_valve_bounds_hot_tokens(spark, skew_docs):
     """Ubiquitous-token corpus: with the max_token_df valve the
     inverted-index join must stay near uniform-corpus cost; the
