@@ -1,86 +1,15 @@
-"""Headline benchmark: runs the flagship + representative queries at
-$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+"""Driver-contract shim: ``python bench.py`` prints one JSON line.
 
-Each query is forced through the `noop` sink so the full plan executes
-(collect() would bottleneck on the driver; count() lets Catalyst prune).
+The implementation lives in the installable package
+(``sensor_time_series_pyspark_spark.cli:bench_main``, also exposed as
+the ``sensor-ts-bench`` console script). Running this file directly
+works without installing: Python puts this script's directory (the
+repo root) on ``sys.path``, where the package lives.
 """
 
 from __future__ import annotations
 
-import json
-import os
-import sys
-import time
-
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-import __spark_entry__ as entrymod
-from sensor_time_series_pyspark_spark.session import get_spark
-
-BENCH_QUERIES = [
-    "flagship_hourly_wide",
-    "q01_pricing_summary",
-    "q03_segment_revenue",
-    "q05_event_type_pivot",
-    "q09_top_orders_per_customer",
-    "q11_resample_30min",
-    "q14_interpolate",
-    "q15_sessionize",
-    "q17_dedup_exact",
-    "q19_jaccard_pairs",
-    "q22_doc_stats",
-    "q23_topk_cosine",
-    "q29_asof_join",
-]
-
-
-def main() -> None:
-    # 1-minute loadavg BEFORE the JVM spins up: this measures pre-existing
-    # CPU contention (another active session, a background gate run), not
-    # the bench's own threads. >~2 means the timings below carry noise —
-    # recorded so judges don't have to re-litigate it (VERDICT r4/r5).
-    load1 = round(os.getloadavg()[0], 2)
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    spark = get_spark("bench")
-    qs = entrymod.queries()
-    names = [n for n in BENCH_QUERIES if n in qs]
-
-    # warm the JVM + parquet footer caches once (excluded from timings)
-    qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
-
-    # best-of-N: single-shot timings on a shared JVM are noisy (JIT
-    # recompilation, GC pauses land on whichever query is running);
-    # the minimum is the steady-state cost of the plan itself.
-    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5")))
-    timings: dict[str, float] = {}
-    for name in names:
-        best = float("inf")
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        # drop persisted frames a query may have left behind (e.g. the
-        # jaccard inverted index): leaked cache entries accumulate
-        # across repeats and poison later queries' memory budget
-        spark.catalog.clearCache()
-
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "load1": load1,
-            }
-        )
-    )
-
+from sensor_time_series_pyspark_spark.cli import bench_main
 
 if __name__ == "__main__":
-    main()
+    bench_main()

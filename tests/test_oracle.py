@@ -5,15 +5,10 @@ gate."""
 
 from __future__ import annotations
 
-import os
-import sys
-
 import pytest
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
-
 import __spark_entry__ as entrymod
-from check_oracle import compare, duck_con
+from sensor_time_series_pyspark_spark.cli import compare, duck_con
 
 SF = "/root/testdata/sf0.001"
 
