@@ -1,0 +1,119 @@
+"""Empirical scaling curve (VERDICT r6 next-round #6): time the 13
+headline queries at sf0.1 and at the builder-owned 10x fixture
+(/tmp/scale10, from scripts/gen_scale_fixture.py), plus the
+events-based queries on the 5M-row uniform vs zipf variants, and
+print one JSON blob with per-query wall-time slopes.
+
+slope = t(10x) / t(1x). A slope near (or below) 10 on a 10x input is
+linear scaling; >> 10 is a super-linear plan and a bug report. Slopes
+well below 10 are common at this absolute scale — fixed JVM/scheduling
+overhead dominates sub-second queries at sf0.1, so the 10x run mostly
+amortizes it.
+
+Methodology matches bench.py: one warm-up execution per dataset, then
+best-of-N (default 3) noop-sink executions per query; cache cleared
+between queries; 1-minute loadavg recorded before each dataset leg.
+
+Usage: python scripts/scaling_curve.py [--repeats N] [--out FILE]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from sensor_time_series_pyspark_spark.cli import BENCH_QUERIES
+from sensor_time_series_pyspark_spark.queries import QUERIES
+from sensor_time_series_pyspark_spark.session import get_spark
+
+SF01 = "/root/testdata/sf0.1"
+SCALE10 = "/tmp/scale10"
+EV_UNIFORM = "/tmp/scale_events/uniform"
+EV_ZIPF = "/tmp/scale_events/zipf"
+
+# headline queries whose input is the events table — these also run
+# on the 5M uniform/zipf variants (50x events rows, skewed users)
+EVENT_QUERIES = [
+    "flagship_hourly_wide",
+    "q05_event_type_pivot",
+    "q11_resample_30min",
+    "q14_interpolate",
+    "q15_sessionize",
+    "q29_asof_join",
+]
+
+
+def time_leg(spark, sf_dir, names, repeats):
+    qs = dict(QUERIES)
+    load1 = round(os.getloadavg()[0], 2)
+    # warm the JVM + footer caches on this dataset (untimed)
+    qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    timings = {}
+    for name in names:
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        spark.catalog.clearCache()
+    return timings, load1
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    repeats = 3
+    out_file = None
+    if "--repeats" in args:
+        repeats = int(args[args.index("--repeats") + 1])
+    if "--out" in args:
+        out_file = args[args.index("--out") + 1]
+    for d in (SCALE10, EV_UNIFORM, EV_ZIPF):
+        if not os.path.exists(d):
+            raise SystemExit(
+                f"{d} missing — run scripts/gen_scale_fixture.py first"
+            )
+    spark = get_spark("scaling_curve")
+
+    t1, load_a = time_leg(spark, SF01, BENCH_QUERIES, repeats)
+    t10, load_b = time_leg(spark, SCALE10, BENCH_QUERIES, repeats)
+    tu, load_c = time_leg(spark, EV_UNIFORM, EVENT_QUERIES, repeats)
+    tz, load_d = time_leg(spark, EV_ZIPF, EVENT_QUERIES, repeats)
+
+    result = {
+        "metric": "scaling_curve",
+        "repeats": repeats,
+        "load1": {
+            "sf0.1": load_a, "scale10": load_b,
+            "events5m_uniform": load_c, "events5m_zipf": load_d,
+        },
+        "queries": {
+            name: {
+                "t_sf01": t1[name],
+                "t_10x": t10[name],
+                "slope": round(t10[name] / t1[name], 2),
+            }
+            for name in BENCH_QUERIES
+        },
+        "events5m": {
+            name: {
+                "t_uniform": tu[name],
+                "t_zipf": tz[name],
+                "zipf_over_uniform": round(tz[name] / tu[name], 2),
+            }
+            for name in EVENT_QUERIES
+        },
+    }
+    blob = json.dumps(result)
+    print(blob)
+    if out_file:
+        with open(out_file, "w") as f:
+            f.write(blob + "\n")
+
+
+if __name__ == "__main__":
+    main()

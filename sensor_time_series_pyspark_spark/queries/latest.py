@@ -1,0 +1,628 @@
+"""Round-7 additions (q542+): KMV bottom-k distinct sketch with an
+exact SQL twin, rendezvous-hash shard planning, within-transformation
+fixed-effects regression, DSIR-style distribution-matching sampling
+plans, EOQ/safety-stock inventory policy, and Matryoshka embedding
+truncation fidelity.
+
+All hash-gated: every stage is either exact integer/decimal algebra,
+a correctly-rounded double division/sqrt in a fixed literal order, or
+an ordered JVM fold mirrored by DuckDB's ordered ``list_reduce`` (the
+q510 discipline — see queries/common.py docstrings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sensor_time_series_pyspark_spark.queries.common import read_table
+from sensor_time_series_pyspark_spark.queries.corpus_sampling import _h48
+from sensor_time_series_pyspark_spark.queries.registry import register_many
+
+# 63 * 2^48: six significant bits, exactly representable as a double
+_KMV_NUM = float(63 * (1 << 48))
+_KMV_K = 64
+
+
+def _q_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV (bottom-k, k=64) distinct-count estimate per event type,
+    WITH its exact answer and relative error in the same row — the
+    sketch that, unlike HLL, has a bit-exact cross-engine twin because
+    its estimate is pure order statistics over portable md5 hashes:
+    est = (k-1)*2^48 / h_(k) where h_(k) is the k-th smallest 48-bit
+    hash of the distinct keys (exact count when fewer than k keys).
+    Mergeable at 100 TB by unioning per-partition bottom-k lists and
+    re-taking the bottom k — the shuffle carries k*8 bytes per group,
+    never the key set. Numerator 63*2^48 has 6 significant bits (exact
+    double); ONE division; |err|/n is two more IEEE ops in fixed
+    order."""
+    ev = read_table(spark, sf, "events")
+    du = ev.select("event_type", "user_id").distinct()
+    hashed = du.select(
+        "event_type", _h48(F.col("user_id"), "kmv:").alias("h")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    ranked = hashed.withColumn("rn", F.row_number().over(w))
+    per_type = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("kth_hash"),
+    )
+    est = F.when(
+        F.col("n_exact") < _KMV_K, F.col("n_exact").cast("double")
+    ).otherwise(F.lit(_KMV_NUM) / F.col("kth_hash").cast("double"))
+    return per_type.select(
+        "event_type",
+        "n_exact",
+        "kth_hash",
+        est.alias("est_kmv"),
+        (
+            F.abs(est - F.col("n_exact").cast("double"))
+            / F.col("n_exact").cast("double")
+        ).alias("rel_err"),
+    )
+
+
+def _q_rendezvous_shards(spark: SparkSession, sf: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding plan: every
+    customer key picks the shard with the max md5('hrw:'||key||':'||s)
+    over s in 0..N-1. Reports the (shard_12, shard_13) assignment
+    matrix when growing from 12 to 13 shards — HRW's guarantee is
+    that keys only ever move TO the new shard (rows with shard_12 !=
+    shard_13 all have shard_13 = 12, ~1/13 of keys), vs modulo
+    sharding which reshuffles ~12/13 of them. One explode to 13 rows
+    per key (map-side), one aggregate; at 100 TB the key table
+    shuffles once at (key, 13) grain — no state, no coordination."""
+    cust = read_table(spark, sf, "customer").select("c_custkey")
+    s = cust.withColumn("s", F.explode(F.sequence(F.lit(0), F.lit(12))))
+    h = _h48(
+        F.concat(
+            F.col("c_custkey").cast("string"),
+            F.lit(":"),
+            F.col("s").cast("string"),
+        ),
+        "hrw:",
+    )
+    scored = s.withColumn("h", h)
+    picks = scored.groupBy("c_custkey").agg(
+        F.max_by(
+            F.when(F.col("s") < 12, F.col("s")),
+            F.when(F.col("s") < 12, F.col("h")).otherwise(F.lit(-1)),
+        ).alias("shard_12"),
+        F.max_by("s", "h").alias("shard_13"),
+    )
+    return picks.groupBy("shard_12", "shard_13").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys")
+    )
+
+
+def _q_within_fe_slope(spark: SparkSession, sf: str) -> DataFrame:
+    """Month-fixed-effects (within-transformation) regression of daily
+    revenue on daily order count: slope = S_xy^w / S_xx^w where
+    S^w = sum over months m of (n_m*S_m - Sx_m*Sy_m)/n_m — the one-way
+    FE estimator that absorbs month-level shocks (seasonality, price
+    changes) a pooled OLS would confound. Per-month numerators are
+    EXACT decimal(38) integer algebra (revenue in cents); each month
+    contributes ONE decimal->double cast + ONE division, and the
+    month terms fold in ascending calendar order inside a JVM
+    F.aggregate mirrored by DuckDB's ordered list_reduce (+0.0-init
+    identity). Scales as: one day-grain aggregate, one month-grain
+    aggregate over the bounded calendar frame."""
+    o = read_table(spark, sf, "orders")
+    daily = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("m"),
+        F.to_date("o_orderdate").alias("d"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x"),
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                "bigint"
+            )
+        ).alias("y"),
+    )
+    per_m = daily.groupBy("m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+    )
+    term_xy = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("double")
+        / F.col("n").cast("double")
+    )
+    term_xx = (
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("double")
+        / F.col("n").cast("double")
+    )
+    terms = per_m.select(
+        "m", "n", term_xy.alias("txy"), term_xx.alias("txx")
+    )
+    folded = terms.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+        F.sum("n").cast("bigint").alias("n_days"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("m"), F.col("txy")))
+            ),
+            F.lit(0.0),
+            lambda acc, e: acc + e["txy"],
+        ).alias("sxy_w"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("m"), F.col("txx")))
+            ),
+            F.lit(0.0),
+            lambda acc, e: acc + e["txx"],
+        ).alias("sxx_w"),
+    )
+    return folded.select(
+        "n_months",
+        "n_days",
+        "sxy_w",
+        "sxx_w",
+        (F.col("sxy_w") / F.col("sxx_w")).alias("slope_within"),
+    )
+
+
+def _q_dsir_reweight(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR-style distribution-matching sampling plan: flatten each
+    language's length distribution to uniform over its occupied
+    100-char buckets. Per (lang, bucket): keep probability
+    p = min(1, N_lang / (k_lang * n_bucket)) (over-represented buckets
+    are thinned toward the uniform target, rare ones kept whole), the
+    expected kept count, and the ACTUAL deterministic kept count under
+    md5 thresholds floor(p*2^48) — so the plan and its realization
+    audit each other in one table. Pure integer division for buckets
+    (`div`, identical truncation in both engines); ONE double division
+    for p; membership is the q531 hash-threshold discipline (stable
+    under retries/repartition). Scales as one doc-grain map + one
+    bucket-grain aggregate + one broadcast join back."""
+    docs = read_table(spark, sf, "documents").select(
+        "doc_id", "lang", F.expr("n_chars div 100").alias("bucket")
+    )
+    per_bucket = docs.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    w = Window.partitionBy("lang")
+    planned = per_bucket.select(
+        "lang",
+        "bucket",
+        "n_docs",
+        F.sum("n_docs").over(w).cast("bigint").alias("n_lang"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("k_lang"),
+    ).withColumn(
+        "p_keep",
+        F.least(
+            F.lit(1.0),
+            F.col("n_lang").cast("double")
+            / (F.col("k_lang") * F.col("n_docs")).cast("double"),
+        ),
+    ).withColumn(
+        "thr", F.floor(F.col("p_keep") * F.lit(float(1 << 48)))
+    )
+    kept = (
+        docs.join(F.broadcast(planned), ["lang", "bucket"])
+        .where(_h48(F.col("doc_id"), "dsir:") < F.col("thr"))
+        .groupBy("lang", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
+    )
+    return (
+        planned.join(kept, ["lang", "bucket"], "left")
+        .select(
+            "lang",
+            "bucket",
+            "n_docs",
+            "p_keep",
+            F.coalesce(F.col("n_kept"), F.lit(0).cast("bigint")).alias(
+                "n_kept"
+            ),
+        )
+    )
+
+
+def _q_eoq_policy(spark: SparkSession, sf: str) -> DataFrame:
+    """Inventory policy per part brand: EOQ = sqrt(2*D*S/H) with
+    annualized demand D (units), fixed order cost S=100, holding cost
+    H = 20% of the brand's mean retail price; safety stock =
+    z * sigma_daily * sqrt(L) at z=1.645 (95% service), L=7 days; and
+    the reorder point mu_daily*L + ss. sigma_daily comes from exact
+    integer daily-demand moments ((n*Sxx - Sx^2) / (n*(n-1)) with ONE
+    decimal->double cast and ONE division) — sqrt is IEEE-exact in
+    every engine, so the whole policy row hash-gates. Two bounded
+    aggregates (brand x day, then brand)."""
+    li = read_table(spark, sf, "lineitem")
+    p = read_table(spark, sf, "part")
+    daily = (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_brand", "p_retailprice")),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", F.to_date("l_shipdate").alias("d"))
+        .agg(
+            F.sum(
+                (F.col("l_quantity").cast("decimal(12,2)") * 100).cast(
+                    "bigint"
+                )
+            ).alias("q_c"),
+            F.sum(
+                (F.col("p_retailprice").cast("decimal(12,2)") * 100).cast(
+                    "bigint"
+                )
+            ).alias("pr_c"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+    agg = daily.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("q_c").cast("decimal(38,0)").alias("sq"),
+        F.sum(F.col("q_c") * F.col("q_c"))
+        .cast("decimal(38,0)")
+        .alias("sqq"),
+        F.sum("pr_c").cast("decimal(38,0)").alias("spr"),
+        F.sum("n_lines").cast("bigint").alias("n_lines"),
+    )
+    n = F.col("n_days").cast("double")
+    # units: demand in cents-of-units / 100 -> units, fixed op order
+    mu_daily = F.col("sq").cast("double") / n / F.lit(100.0)
+    var_c = (
+        (F.col("n_days") * F.col("sqq") - F.col("sq") * F.col("sq"))
+        .cast("double")
+        / (F.col("n_days") * (F.col("n_days") - 1)).cast("double")
+    )
+    sigma_daily = F.sqrt(var_c) / F.lit(100.0)
+    d_annual = mu_daily * F.lit(365.0)
+    h_cost = (
+        F.col("spr").cast("double")
+        / F.col("n_lines").cast("double")
+        / F.lit(100.0)
+        * F.lit(0.2)
+    )
+    eoq = F.sqrt(F.lit(2.0) * d_annual * F.lit(100.0) / h_cost)
+    ss = F.lit(1.645) * sigma_daily * F.sqrt(F.lit(7.0))
+    return agg.select(
+        "p_brand",
+        "n_days",
+        d_annual.alias("d_annual"),
+        sigma_daily.alias("sigma_daily"),
+        eoq.alias("eoq"),
+        ss.alias("safety_stock"),
+        (mu_daily * F.lit(7.0) + ss).alias("reorder_point"),
+    )
+
+
+_Q20 = 1 << 20  # power-of-2 quantization scale: float*2^20 is exact
+
+
+def _q_matryoshka_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Matryoshka truncation fidelity: how much of the exact top-5
+    dot-product neighborhood survives when embeddings are truncated to
+    their first 8 / 16 / 32 of 64 dims — the measurement behind
+    serving MRL embeddings at reduced cost. Vectors are quantized to
+    exact integers (floor(x*2^20); power-of-2 scale, no rounding) so
+    dot products and rankings are bit-identical in any engine
+    (the q47 pivot-IVF discipline). Ten broadcast query vectors scan
+    the corpus once per dim tier (constant-cardinality broadcast join,
+    the q23 verification-tier shape); output (qid, dim, n_overlap)."""
+    emb = read_table(spark, sf, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * _Q20)
+        ).alias("cv"),
+    )
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * _Q20)
+        ).alias("qv"),
+    )
+    pairs = corpus.crossJoin(F.broadcast(queries)).where(
+        F.col("cid") != F.col("qid")
+    )
+
+    def _dot(d: int) -> F.Column:
+        return F.aggregate(
+            F.zip_with(
+                F.slice("qv", 1, d), F.slice("cv", 1, d), lambda a, b: a * b
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+
+    scored = pairs.select(
+        "qid",
+        "cid",
+        _dot(64).alias("dot64"),
+        _dot(32).alias("dot32"),
+        _dot(16).alias("dot16"),
+        _dot(8).alias("dot8"),
+    )
+    tops = {}
+    for d in (64, 32, 16, 8):
+        w = Window.partitionBy("qid").orderBy(
+            F.col(f"dot{d}").desc(), F.col("cid").asc()
+        )
+        tops[d] = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 5)
+            .select("qid", "cid")
+        )
+    out = None
+    for d in (32, 16, 8):
+        ov = (
+            tops[64]
+            .join(tops[d], ["qid", "cid"])
+            .groupBy("qid")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+            .select("qid", F.lit(d).cast("int").alias("dim"), "n_overlap")
+        )
+        out = ov if out is None else out.unionByName(ov)
+    return out
+
+
+def _h48_sql(expr: str, salt: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{salt}' || {expr}), 1, 12)) "
+        "AS BIGINT)"
+    )
+
+
+register_many(
+    {
+        "q542_kmv_distinct": _q_kmv_distinct,
+        "q543_rendezvous_shards": _q_rendezvous_shards,
+        "q544_within_fe_slope": _q_within_fe_slope,
+        "q545_dsir_reweight": _q_dsir_reweight,
+        "q546_eoq_policy": _q_eoq_policy,
+        "q547_matryoshka_overlap": _q_matryoshka_overlap,
+    },
+    {
+        "q542_kmv_distinct": f"""
+            WITH du AS (
+              SELECT DISTINCT event_type, user_id FROM events
+            ),
+            hashed AS (
+              SELECT event_type,
+                {_h48_sql('CAST(user_id AS VARCHAR)', 'kmv:')} AS h
+              FROM du
+            ),
+            ranked AS (
+              SELECT event_type, h,
+                CAST(row_number() OVER (PARTITION BY event_type
+                  ORDER BY h) AS BIGINT) AS rn
+              FROM hashed
+            ),
+            per_type AS (
+              SELECT event_type,
+                CAST(count(*) AS BIGINT) AS n_exact,
+                max(CASE WHEN rn = {_KMV_K} THEN h END) AS kth_hash
+              FROM ranked GROUP BY event_type
+            )
+            SELECT event_type, n_exact, kth_hash,
+              CASE WHEN n_exact < {_KMV_K}
+                THEN CAST(n_exact AS DOUBLE)
+                ELSE {_KMV_NUM!r} / CAST(kth_hash AS DOUBLE) END
+                AS est_kmv,
+              abs((CASE WHEN n_exact < {_KMV_K}
+                THEN CAST(n_exact AS DOUBLE)
+                ELSE {_KMV_NUM!r} / CAST(kth_hash AS DOUBLE) END)
+                - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)
+                AS rel_err
+            FROM per_type
+        """,
+        "q543_rendezvous_shards": f"""
+            WITH s AS (
+              SELECT c_custkey, u.s AS s,
+                {_h48_sql("CAST(c_custkey AS VARCHAR) || ':' || CAST(u.s AS VARCHAR)", 'hrw:')}
+                  AS h
+              FROM customer,
+                (SELECT unnest(generate_series(0, 12)) AS s) u
+            ),
+            picks AS (
+              SELECT c_custkey,
+                arg_max(CASE WHEN s < 12 THEN s END,
+                        CASE WHEN s < 12 THEN h ELSE -1 END) AS shard_12,
+                arg_max(s, h) AS shard_13
+              FROM s GROUP BY c_custkey
+            )
+            SELECT shard_12, shard_13,
+              CAST(count(*) AS BIGINT) AS n_keys
+            FROM picks GROUP BY shard_12, shard_13
+        """,
+        "q544_within_fe_slope": """
+            WITH daily AS (
+              SELECT date_trunc('month', o_orderdate) AS m,
+                CAST(o_orderdate AS DATE) AS d,
+                CAST(count(*) AS BIGINT) AS x,
+                CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS y
+              FROM orders GROUP BY 1, 2
+            ),
+            per_m AS (
+              SELECT m,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+                CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+                CAST(sum(x * y) AS DECIMAL(38,0)) AS sxy,
+                CAST(sum(x * x) AS DECIMAL(38,0)) AS sxx
+              FROM daily GROUP BY m
+            ),
+            terms AS (
+              SELECT m, n,
+                CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n AS DOUBLE)
+                  AS txy,
+                CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n AS DOUBLE)
+                  AS txx
+              FROM per_m
+            ),
+            folded AS (
+              SELECT
+                CAST(count(*) AS BIGINT) AS n_months,
+                CAST(sum(n) AS BIGINT) AS n_days,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list(txy ORDER BY m)), (a, b) -> a + b) AS sxy_w,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list(txx ORDER BY m)), (a, b) -> a + b) AS sxx_w
+              FROM terms
+            )
+            SELECT n_months, n_days, sxy_w, sxx_w,
+              sxy_w / sxx_w AS slope_within
+            FROM folded
+        """,
+        "q545_dsir_reweight": f"""
+            WITH docs AS (
+              SELECT doc_id, lang, n_chars // 100 AS bucket
+              FROM documents
+            ),
+            per_bucket AS (
+              SELECT lang, bucket,
+                CAST(count(*) AS BIGINT) AS n_docs
+              FROM docs GROUP BY 1, 2
+            ),
+            planned AS (
+              SELECT lang, bucket, n_docs,
+                CAST(sum(n_docs) OVER (PARTITION BY lang) AS BIGINT)
+                  AS n_lang,
+                CAST(count(*) OVER (PARTITION BY lang) AS BIGINT)
+                  AS k_lang
+              FROM per_bucket
+            ),
+            probs AS (
+              SELECT lang, bucket, n_docs,
+                least(CAST(1.0 AS DOUBLE),
+                  CAST(n_lang AS DOUBLE)
+                  / CAST(k_lang * n_docs AS DOUBLE)) AS p_keep
+              FROM planned
+            ),
+            thr AS (
+              SELECT lang, bucket, n_docs, p_keep,
+                CAST(floor(p_keep * 281474976710656.0) AS BIGINT)
+                  AS thr
+              FROM probs
+            ),
+            kept AS (
+              SELECT d.lang, d.bucket,
+                CAST(count(*) AS BIGINT) AS n_kept
+              FROM docs d JOIN thr t
+                ON d.lang = t.lang AND d.bucket = t.bucket
+              WHERE {_h48_sql('CAST(d.doc_id AS VARCHAR)', 'dsir:')}
+                < t.thr
+              GROUP BY 1, 2
+            )
+            SELECT t.lang, t.bucket, t.n_docs, t.p_keep,
+              COALESCE(k.n_kept, CAST(0 AS BIGINT)) AS n_kept
+            FROM thr t LEFT JOIN kept k
+              ON t.lang = k.lang AND t.bucket = k.bucket
+        """,
+        "q546_eoq_policy": """
+            WITH daily AS (
+              SELECT p.p_brand, CAST(l.l_shipdate AS DATE) AS d,
+                CAST(sum(CAST(CAST(l.l_quantity AS DECIMAL(12,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS q_c,
+                CAST(sum(CAST(CAST(p.p_retailprice AS DECIMAL(12,2))
+                  * 100 AS BIGINT)) AS BIGINT) AS pr_c,
+                CAST(count(*) AS BIGINT) AS n_lines
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+              GROUP BY 1, 2
+            ),
+            agg AS (
+              SELECT p_brand,
+                CAST(count(*) AS BIGINT) AS n_days,
+                CAST(sum(q_c) AS DECIMAL(38,0)) AS sq,
+                CAST(sum(q_c * q_c) AS DECIMAL(38,0)) AS sqq,
+                CAST(sum(pr_c) AS DECIMAL(38,0)) AS spr,
+                CAST(sum(n_lines) AS BIGINT) AS n_lines
+              FROM daily GROUP BY p_brand
+            )
+            SELECT p_brand, n_days,
+              CAST(sq AS DOUBLE) / CAST(n_days AS DOUBLE) / 100.0
+                * 365.0 AS d_annual,
+              sqrt(CAST(n_days * sqq - sq * sq AS DOUBLE)
+                / CAST(n_days * (n_days - 1) AS DOUBLE)) / 100.0
+                AS sigma_daily,
+              sqrt(2.0
+                * (CAST(sq AS DOUBLE) / CAST(n_days AS DOUBLE)
+                   / 100.0 * 365.0)
+                * 100.0
+                / (CAST(spr AS DOUBLE) / CAST(n_lines AS DOUBLE)
+                   / 100.0 * 0.2)) AS eoq,
+              1.645 * (sqrt(CAST(n_days * sqq - sq * sq AS DOUBLE)
+                / CAST(n_days * (n_days - 1) AS DOUBLE)) / 100.0)
+                * sqrt(7.0) AS safety_stock,
+              (CAST(sq AS DOUBLE) / CAST(n_days AS DOUBLE) / 100.0)
+                * 7.0
+                + 1.645 * (sqrt(CAST(n_days * sqq - sq * sq AS DOUBLE)
+                  / CAST(n_days * (n_days - 1) AS DOUBLE)) / 100.0)
+                  * sqrt(7.0) AS reorder_point
+            FROM agg
+        """,
+        "q547_matryoshka_overlap": """
+            WITH q AS (
+              SELECT vec_id AS qid,
+                list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 1048576)
+                    AS BIGINT)) AS qv
+              FROM embeddings WHERE vec_id < 10
+            ),
+            c AS (
+              SELECT vec_id AS cid,
+                list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 1048576)
+                    AS BIGINT)) AS cv
+              FROM embeddings
+            ),
+            scored AS (
+              SELECT q.qid, c.cid,
+                CAST(list_sum(list_transform(range(1, 65),
+                  i -> qv[i] * cv[i])) AS BIGINT) AS dot64,
+                CAST(list_sum(list_transform(range(1, 33),
+                  i -> qv[i] * cv[i])) AS BIGINT) AS dot32,
+                CAST(list_sum(list_transform(range(1, 17),
+                  i -> qv[i] * cv[i])) AS BIGINT) AS dot16,
+                CAST(list_sum(list_transform(range(1, 9),
+                  i -> qv[i] * cv[i])) AS BIGINT) AS dot8
+              FROM q, c WHERE c.cid <> q.qid
+            ),
+            t64 AS (
+              SELECT qid, cid FROM (
+                SELECT qid, cid, row_number() OVER (PARTITION BY qid
+                  ORDER BY dot64 DESC, cid ASC) AS rn FROM scored)
+              WHERE rn <= 5
+            ),
+            t32 AS (
+              SELECT qid, cid FROM (
+                SELECT qid, cid, row_number() OVER (PARTITION BY qid
+                  ORDER BY dot32 DESC, cid ASC) AS rn FROM scored)
+              WHERE rn <= 5
+            ),
+            t16 AS (
+              SELECT qid, cid FROM (
+                SELECT qid, cid, row_number() OVER (PARTITION BY qid
+                  ORDER BY dot16 DESC, cid ASC) AS rn FROM scored)
+              WHERE rn <= 5
+            ),
+            t8 AS (
+              SELECT qid, cid FROM (
+                SELECT qid, cid, row_number() OVER (PARTITION BY qid
+                  ORDER BY dot8 DESC, cid ASC) AS rn FROM scored)
+              WHERE rn <= 5
+            )
+            SELECT a.qid, CAST(32 AS INT) AS dim,
+              CAST(count(*) AS BIGINT) AS n_overlap
+            FROM t64 a JOIN t32 b ON a.qid = b.qid AND a.cid = b.cid
+            GROUP BY a.qid
+            UNION ALL
+            SELECT a.qid, CAST(16 AS INT) AS dim,
+              CAST(count(*) AS BIGINT) AS n_overlap
+            FROM t64 a JOIN t16 b ON a.qid = b.qid AND a.cid = b.cid
+            GROUP BY a.qid
+            UNION ALL
+            SELECT a.qid, CAST(8 AS INT) AS dim,
+              CAST(count(*) AS BIGINT) AS n_overlap
+            FROM t64 a JOIN t8 b ON a.qid = b.qid AND a.cid = b.cid
+            GROUP BY a.qid
+        """,
+    },
+)

@@ -144,6 +144,10 @@ def test_no_accidental_cartesian_products(spark):
     # assignment pass joins the corpus to the constant-cardinality
     # centroid table — the same declared shape as q47's pivot IVF
     SKIP |= {"q509_kmeans_lloyd"}
+    # 10-row broadcast query-vector scan per dim tier (the q23
+    # verification-tier shape; MRL fidelity is measured against the
+    # exact neighborhood by definition)
+    SKIP |= {"q547_matryoshka_overlap"}
     qs = entrymod.queries()
     offenders = []
     for name, fn in qs.items():
