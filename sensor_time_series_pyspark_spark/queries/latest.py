@@ -369,6 +369,373 @@ def _h48_sql(expr: str, salt: str) -> str:
     )
 
 
+def _q_weighted_priority_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic weighted sample: top-20 lineitems per return flag
+    by smallest priority = h48/weight (quantity cents). Heavier rows
+    draw smaller priorities more often, so inclusion odds grow with
+    weight — the portable stand-in for Efraimidis-Spirakis A-ES
+    (exactly-proportional odds need -ln(u)/w, and ln's last-bit
+    engine differences could flip an order near ties; h/w is ONE
+    correctly-rounded division, identical everywhere). Stable under
+    retries/repartition like every hash decision here; at 100 TB the
+    top-20-per-group is a WindowGroupLimit, never a full sort."""
+    li = read_table(spark, sf, "lineitem")
+    w_c = (F.col("l_quantity").cast("decimal(12,2)") * 100).cast("bigint")
+    keyed = li.select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        w_c.alias("w_c"),
+        (
+            _h48(
+                F.concat(
+                    F.col("l_orderkey").cast("string"),
+                    F.lit("-"),
+                    F.col("l_linenumber").cast("string"),
+                ),
+                "wps:",
+            ).cast("double")
+            / w_c.cast("double")
+        ).alias("priority"),
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("priority").asc(), F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(),
+    )
+    return (
+        keyed.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+        .select(
+            "l_returnflag", "rank", "l_orderkey", "l_linenumber", "w_c",
+            "priority",
+        )
+    )
+
+
+def _q_qini_uplift(spark: SparkSession, sf: str) -> DataFrame:
+    """Qini uplift curve for a targeting score: customers hash-split
+    50/50 into treated/control ('exp7:' salt), scored by acctbal
+    decile (ntile with custkey tiebreak), response = placed >= 1
+    URGENT order. Per cumulative decile: treated/control sizes and
+    responders, and the Qini value R_t(k) - R_c(k)*N_t(k)/N_c(k) —
+    the area between this curve and the random-targeting diagonal is
+    the campaign's incremental-response budget. Integer counts
+    everywhere; ONE division and one multiply-subtract per decile in
+    fixed order. Scales as one customer-grain reduction + one
+    10-row frame."""
+    cust = read_table(spark, sf, "customer")
+    o = read_table(spark, sf, "orders")
+    resp = (
+        o.where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+        .withColumn("resp", F.lit(1))
+    )
+    arm = (_h48(F.col("c_custkey"), "exp7:") % 2).alias("treated")
+    scored = (
+        cust.select("c_custkey", "c_acctbal")
+        .withColumn("treated", arm)
+        .join(resp, cust["c_custkey"] == resp["o_custkey"], "left")
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            "treated",
+            F.coalesce(F.col("resp"), F.lit(0)).alias("resp"),
+        )
+    )
+    dec = scored.withColumn(
+        "decile",
+        F.ntile(10).over(
+            Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        ),
+    )
+    per_dec = dec.groupBy("decile").agg(
+        F.sum(F.when(F.col("treated") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_t"),
+        F.sum(F.when(F.col("treated") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_c"),
+        F.sum(F.when(F.col("treated") == 1, F.col("resp")).otherwise(0))
+        .cast("bigint")
+        .alias("r_t"),
+        F.sum(F.when(F.col("treated") == 0, F.col("resp")).otherwise(0))
+        .cast("bigint")
+        .alias("r_c"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per_dec.select(
+        "decile",
+        F.sum("n_t").over(wc).cast("bigint").alias("cn_t"),
+        F.sum("n_c").over(wc).cast("bigint").alias("cn_c"),
+        F.sum("r_t").over(wc).cast("bigint").alias("cr_t"),
+        F.sum("r_c").over(wc).cast("bigint").alias("cr_c"),
+    )
+    qini = (
+        F.col("cr_t").cast("double")
+        - F.col("cr_c").cast("double")
+        * (F.col("cn_t").cast("double") / F.col("cn_c").cast("double"))
+    )
+    return cum.select(
+        "decile", "cn_t", "cn_c", "cr_t", "cr_c", qini.alias("qini")
+    )
+
+
+def _q_switchback(spark: SparkSession, sf: str) -> DataFrame:
+    """Switchback experiment readout: time is sliced into 6-hour
+    windows, each slice hash-assigned to an arm ('swb:' salt, parity),
+    and the slice-level metric (event value sum, exact cents) is
+    compared BY (arm, previous-slice arm) — the 4-cell table that
+    separates the treatment effect from the carryover contamination a
+    plain two-arm mean comparison hides (cells where prev_arm != arm
+    are the boundary slices). Exact decimal sums; one division per
+    cell. Scales as one slice-grain aggregate (bounded by the
+    calendar) + a lag over the tiny slice frame."""
+    ev = read_table(spark, sf, "events")
+    # pure integer division (`div` == DuckDB `//`): 6h = 21600s of us
+    sliced = ev.select(
+        F.expr("unix_micros(ts) div 21600000000").alias("slice"),
+        (F.col("value").cast("decimal(18,4)")).alias("v"),
+    )
+    per_slice = sliced.groupBy("slice").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("v").cast("decimal(38,4)").alias("v_sum"),
+    )
+    armed = per_slice.withColumn(
+        "arm", (_h48(F.col("slice"), "swb:") % 2).cast("int")
+    )
+    lagw = Window.orderBy("slice")
+    flows = armed.withColumn(
+        "prev_arm", F.lag("arm").over(lagw)
+    ).where(F.col("prev_arm").isNotNull())
+    return flows.groupBy("arm", "prev_arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_slices"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        # exact decimal sum, ONE cast to double (_dsum convention —
+        # raw decimal(38,4) values don't canonicalize across engines)
+        F.sum("v_sum").cast("double").alias("v_sum"),
+        (
+            F.sum("v_sum").cast("double")
+            / F.sum("n_events").cast("double")
+        ).alias("mean_value"),
+    )
+
+
+def _q_t_closeness(spark: SparkSession, sf: str) -> DataFrame:
+    """t-closeness audit (the third rung after q214 k-anonymity and
+    q350 l-diversity): for each quasi-identifier group (nation x
+    segment), the earth-mover's distance between the group's ordered
+    sensitive-attribute distribution (5 acctbal bands) and the global
+    one, using the ordered-EMD identity EMD = sum_k |cum_k| / (m-1)
+    where cum_k = sum_{j<=k} (c_gj/n_g - C_j/N). Every cumulative
+    term is brought to the COMMON denominator n_g*N so the numerators
+    are exact integers; one decimal->double cast and ONE division per
+    group. Groups whose EMD exceeds t=0.2 fail the audit. Scales as
+    one (group, band) aggregate over bounded demographic cells."""
+    cust = read_table(spark, sf, "customer")
+    banded = cust.select(
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.expr(
+            "CAST(least(4, greatest(0, "
+            "CAST(floor((c_acctbal + 1000.0) / 2500.0) AS INT))) AS INT)"
+        ).alias("band"),
+    )
+    cells = banded.groupBy("nat", "seg", "band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wg = Window.partitionBy("nat", "seg")
+    wb = Window.partitionBy("band")
+    tot = cells.select(
+        "nat",
+        "seg",
+        "band",
+        "c",
+        F.sum("c").over(wg).cast("bigint").alias("n_g"),
+        F.sum("c").over(wb).cast("bigint").alias("c_band"),
+    ).withColumn(
+        "n_all",
+        F.sum("c").over(Window.partitionBy()).cast("bigint"),
+    )
+    # cum_k numerator over bands 0..k at common denominator n_g*N:
+    # N*cum(c) - n_g*cum(C_band)
+    wcum = Window.partitionBy("nat", "seg").orderBy("band").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cums = tot.select(
+        "nat",
+        "seg",
+        "band",
+        "n_g",
+        "n_all",
+        (
+            F.col("n_all") * F.sum("c").over(wcum)
+            - F.col("n_g") * F.sum("c_band").over(wcum)
+        )
+        .cast("decimal(38,0)")
+        .alias("num_k"),
+    )
+    per_group = cums.groupBy("nat", "seg").agg(
+        F.max("n_g").alias("n_g"),
+        F.sum(F.abs(F.col("num_k"))).cast("decimal(38,0)").alias(
+            "sum_abs"
+        ),
+        F.max("n_all").alias("n_all"),
+    )
+    emd = F.col("sum_abs").cast("double") / (
+        F.col("n_g") * F.col("n_all") * 4
+    ).cast("double")
+    return per_group.select(
+        "nat",
+        "seg",
+        "n_g",
+        emd.alias("emd"),
+        (emd > 0.2).alias("t_violation"),
+    )
+
+
+def _q_iv_wald(spark: SparkSession, sf: str) -> DataFrame:
+    """Instrumental-variable Wald estimator: a hash instrument z
+    ('iv7:' over custkey — as-good-as-random by construction) with
+    exposure x = customer's URGENT order count and outcome y =
+    customer revenue (cents). Wald = (E[y|z=1]-E[y|z=0]) /
+    (E[x|z=1]-E[x|z=0]); the first-stage denominator is reported
+    alongside so a weak instrument is visible, not hidden. Exact
+    decimal sums per arm; four divisions + one subtraction chain in
+    fixed literal order (completes the causal family: q222 DiD, q360
+    RDD, q355 CUPED, q515 jackknife). One customer-grain reduction,
+    one 2-row frame."""
+    cust = read_table(spark, sf, "customer").select("c_custkey")
+    o = read_table(spark, sf, "orders")
+    per_cust = (
+        cust.join(o, cust["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("x"),
+            F.coalesce(
+                F.sum(
+                    (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                    .cast("bigint")
+                ),
+                F.lit(0).cast("bigint"),
+            ).alias("y_c"),
+        )
+        .withColumn("z", (_h48(F.col("c_custkey"), "iv7:") % 2).cast("int"))
+    )
+    arms = per_cust.groupBy("z").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y_c").cast("decimal(38,0)").alias("sy"),
+    )
+    one = arms.groupBy().agg(
+        F.max(F.when(F.col("z") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("z") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("z") == 1, F.col("sx"))).alias("sx1"),
+        F.max(F.when(F.col("z") == 0, F.col("sx"))).alias("sx0"),
+        F.max(F.when(F.col("z") == 1, F.col("sy"))).alias("sy1"),
+        F.max(F.when(F.col("z") == 0, F.col("sy"))).alias("sy0"),
+    )
+    ybar1 = F.col("sy1").cast("double") / F.col("n1").cast("double")
+    ybar0 = F.col("sy0").cast("double") / F.col("n0").cast("double")
+    xbar1 = F.col("sx1").cast("double") / F.col("n1").cast("double")
+    xbar0 = F.col("sx0").cast("double") / F.col("n0").cast("double")
+    return one.select(
+        "n1",
+        "n0",
+        (ybar1 - ybar0).alias("itt_y"),
+        (xbar1 - xbar0).alias("first_stage"),
+        ((ybar1 - ybar0) / (xbar1 - xbar0)).alias("wald_late"),
+    )
+
+
+_BF_M = 4096  # bloom bits
+_BF_K = 3  # hash functions
+
+
+def _q_bloom_fpr_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Realized Bloom-filter false-positive audit: build an m=4096,
+    k=3 Bloom set over the supplier keys (positions h48('bfi:'||key)
+    mod m, i = 0..2), then probe every customer key that is NOT a
+    member value and count probes whose k positions are all set.
+    Reports bits_set/fill ratio and the realized FPR — the number the
+    1-e^(-kn/m) formula only approximates (exp is libm, the measured
+    rate is exact integers + ONE division). The explicit twin of the
+    engine-internal runtime bloom pruning (q95/q315): this is how you
+    SIZE the filter before trusting it at 100 TB. Scales as two
+    bounded explodes + one distinct-position set + one semi-join
+    count."""
+    sup = read_table(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("k")
+    )
+    cust = read_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("k")
+    )
+
+    def positions(df):
+        return (
+            df.withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(_BF_K - 1))))
+            .select(
+                "k",
+                "i",
+                (
+                    _h48(
+                        F.concat(
+                            F.lit("bf"),
+                            F.col("i").cast("string"),
+                            F.lit(":"),
+                            F.col("k").cast("string"),
+                        ),
+                        "",
+                    )
+                    % _BF_M
+                ).alias("pos"),
+            )
+        )
+
+    bloom = positions(sup).select("pos").distinct()
+    probes = cust.join(sup, "k", "left_anti")
+    probe_pos = positions(probes)
+    hits = (
+        probe_pos.join(bloom, "pos")
+        .groupBy("k")
+        .agg(F.count_distinct("i").alias("n_set"))
+        .where(F.col("n_set") == _BF_K)
+    )
+    n_probe = probes.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes")
+    )
+    n_fp = hits.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fp")
+    )
+    n_bits = bloom.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("bits_set")
+    )
+    return (
+        n_probe.crossJoin(n_fp)
+        .crossJoin(n_bits)
+        .select(
+            "n_probes",
+            "n_fp",
+            "bits_set",
+            (F.col("bits_set").cast("double") / F.lit(float(_BF_M))).alias(
+                "fill_ratio"
+            ),
+            (
+                F.col("n_fp").cast("double")
+                / F.col("n_probes").cast("double")
+            ).alias("fpr"),
+        )
+    )
+
+
 register_many(
     {
         "q542_kmv_distinct": _q_kmv_distinct,
@@ -623,6 +990,258 @@ register_many(
               CAST(count(*) AS BIGINT) AS n_overlap
             FROM t64 a JOIN t8 b ON a.qid = b.qid AND a.cid = b.cid
             GROUP BY a.qid
+        """,
+    },
+)
+
+
+register_many(
+    {
+        "q548_weighted_priority_sample": _q_weighted_priority_sample,
+        "q549_qini_uplift": _q_qini_uplift,
+        "q550_switchback": _q_switchback,
+        "q551_t_closeness": _q_t_closeness,
+        "q552_iv_wald": _q_iv_wald,
+        "q553_bloom_fpr_audit": _q_bloom_fpr_audit,
+    },
+    {
+        "q548_weighted_priority_sample": """
+            WITH keyed AS (
+              SELECT l_returnflag, l_orderkey, l_linenumber,
+                CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)
+                  AS w_c,
+                CAST(CAST(('0x' || substr(md5('wps:'
+                    || CAST(l_orderkey AS VARCHAR) || '-'
+                    || CAST(l_linenumber AS VARCHAR)), 1, 12))
+                  AS BIGINT) AS DOUBLE)
+                / CAST(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100
+                  AS BIGINT) AS DOUBLE) AS priority
+              FROM lineitem
+            ),
+            ranked AS (
+              SELECT l_returnflag,
+                CAST(row_number() OVER (PARTITION BY l_returnflag
+                  ORDER BY priority ASC, l_orderkey ASC,
+                  l_linenumber ASC) AS INT) AS rank,
+                l_orderkey, l_linenumber, w_c, priority
+              FROM keyed
+            )
+            SELECT * FROM ranked WHERE rank <= 20
+        """,
+        "q549_qini_uplift": """
+            WITH resp AS (
+              SELECT DISTINCT o_custkey, 1 AS resp FROM orders
+              WHERE o_orderpriority = '1-URGENT'
+            ),
+            scored AS (
+              SELECT c.c_custkey, c.c_acctbal,
+                CAST(('0x' || substr(md5('exp7:'
+                  || CAST(c.c_custkey AS VARCHAR)), 1, 12)) AS BIGINT)
+                  % 2 AS treated,
+                COALESCE(r.resp, 0) AS resp
+              FROM customer c LEFT JOIN resp r
+                ON c.c_custkey = r.o_custkey
+            ),
+            dec AS (
+              SELECT *, ntile(10) OVER (ORDER BY c_acctbal DESC,
+                c_custkey) AS decile
+              FROM scored
+            ),
+            per_dec AS (
+              SELECT decile,
+                CAST(sum(CASE WHEN treated = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_t,
+                CAST(sum(CASE WHEN treated = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_c,
+                CAST(sum(CASE WHEN treated = 1 THEN resp ELSE 0 END)
+                  AS BIGINT) AS r_t,
+                CAST(sum(CASE WHEN treated = 0 THEN resp ELSE 0 END)
+                  AS BIGINT) AS r_c
+              FROM dec GROUP BY decile
+            ),
+            cum AS (
+              SELECT decile,
+                CAST(sum(n_t) OVER w AS BIGINT) AS cn_t,
+                CAST(sum(n_c) OVER w AS BIGINT) AS cn_c,
+                CAST(sum(r_t) OVER w AS BIGINT) AS cr_t,
+                CAST(sum(r_c) OVER w AS BIGINT) AS cr_c
+              FROM per_dec
+              WINDOW w AS (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            )
+            SELECT decile, cn_t, cn_c, cr_t, cr_c,
+              CAST(cr_t AS DOUBLE) - CAST(cr_c AS DOUBLE)
+                * (CAST(cn_t AS DOUBLE) / CAST(cn_c AS DOUBLE))
+                AS qini
+            FROM cum
+        """,
+        "q550_switchback": """
+            WITH sliced AS (
+              SELECT epoch_us(ts) // 21600000000 AS slice,
+                CAST(value AS DECIMAL(18,4)) AS v
+              FROM events
+            ),
+            per_slice AS (
+              SELECT slice,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(v) AS DECIMAL(38,4)) AS v_sum
+              FROM sliced GROUP BY slice
+            ),
+            armed AS (
+              SELECT *,
+                CAST(CAST(('0x' || substr(md5('swb:'
+                  || CAST(slice AS VARCHAR)), 1, 12)) AS BIGINT) % 2
+                  AS INT) AS arm
+              FROM per_slice
+            ),
+            flows AS (
+              SELECT arm, lag(arm) OVER (ORDER BY slice) AS prev_arm,
+                n_events, v_sum
+              FROM armed
+            )
+            SELECT arm, prev_arm,
+              CAST(count(*) AS BIGINT) AS n_slices,
+              CAST(sum(n_events) AS BIGINT) AS n_events,
+              CAST(sum(v_sum) AS DOUBLE) AS v_sum,
+              CAST(sum(v_sum) AS DOUBLE) / CAST(sum(n_events) AS DOUBLE)
+                AS mean_value
+            FROM flows WHERE prev_arm IS NOT NULL
+            GROUP BY arm, prev_arm
+        """,
+        "q551_t_closeness": """
+            WITH banded AS (
+              SELECT c_nationkey AS nat, c_mktsegment AS seg,
+                CAST(least(4, greatest(0,
+                  CAST(floor((c_acctbal + 1000.0) / 2500.0) AS INT)))
+                  AS INT) AS band
+              FROM customer
+            ),
+            cells AS (
+              SELECT nat, seg, band,
+                CAST(count(*) AS BIGINT) AS c
+              FROM banded GROUP BY 1, 2, 3
+            ),
+            tot AS (
+              SELECT nat, seg, band, c,
+                CAST(sum(c) OVER (PARTITION BY nat, seg) AS BIGINT)
+                  AS n_g,
+                CAST(sum(c) OVER (PARTITION BY band) AS BIGINT)
+                  AS c_band,
+                CAST(sum(c) OVER () AS BIGINT) AS n_all
+              FROM cells
+            ),
+            cums AS (
+              SELECT nat, seg, band, n_g, n_all,
+                CAST(n_all * sum(c) OVER w
+                  - n_g * sum(c_band) OVER w AS DECIMAL(38,0))
+                  AS num_k
+              FROM tot
+              WINDOW w AS (PARTITION BY nat, seg ORDER BY band
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ),
+            per_group AS (
+              SELECT nat, seg,
+                max(n_g) AS n_g,
+                CAST(sum(abs(num_k)) AS DECIMAL(38,0)) AS sum_abs,
+                max(n_all) AS n_all
+              FROM cums GROUP BY nat, seg
+            )
+            SELECT nat, seg, n_g,
+              CAST(sum_abs AS DOUBLE)
+                / CAST(n_g * n_all * 4 AS DOUBLE) AS emd,
+              (CAST(sum_abs AS DOUBLE)
+                / CAST(n_g * n_all * 4 AS DOUBLE)) > 0.2
+                AS t_violation
+            FROM per_group
+        """,
+        "q552_iv_wald": """
+            WITH per_cust AS (
+              SELECT c.c_custkey,
+                CAST(sum(CASE WHEN o.o_orderpriority = '1-URGENT'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                COALESCE(CAST(sum(CAST(CAST(o.o_totalprice
+                  AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT),
+                  CAST(0 AS BIGINT)) AS y_c
+              FROM customer c LEFT JOIN orders o
+                ON c.c_custkey = o.o_custkey
+              GROUP BY c.c_custkey
+            ),
+            z AS (
+              SELECT *,
+                CAST(CAST(('0x' || substr(md5('iv7:'
+                  || CAST(c_custkey AS VARCHAR)), 1, 12)) AS BIGINT)
+                  % 2 AS INT) AS z
+              FROM per_cust
+            ),
+            arms AS (
+              SELECT z,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(x) AS BIGINT) AS sx,
+                CAST(sum(y_c) AS DECIMAL(38,0)) AS sy
+              FROM z GROUP BY z
+            ),
+            one AS (
+              SELECT
+                max(CASE WHEN z = 1 THEN n END) AS n1,
+                max(CASE WHEN z = 0 THEN n END) AS n0,
+                max(CASE WHEN z = 1 THEN sx END) AS sx1,
+                max(CASE WHEN z = 0 THEN sx END) AS sx0,
+                max(CASE WHEN z = 1 THEN sy END) AS sy1,
+                max(CASE WHEN z = 0 THEN sy END) AS sy0
+              FROM arms
+            )
+            SELECT n1, n0,
+              (CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+               - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)) AS itt_y,
+              (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+               - CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                AS first_stage,
+              (CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+               - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+              / (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                 - CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                AS wald_late
+            FROM one
+        """,
+        "q553_bloom_fpr_audit": """
+            WITH member_pos AS (
+              SELECT DISTINCT
+                CAST(('0x' || substr(md5('bf' || CAST(u.i AS VARCHAR)
+                  || ':' || CAST(s.s_suppkey AS VARCHAR)), 1, 12))
+                  AS BIGINT) % 4096 AS pos
+              FROM supplier s,
+                (SELECT unnest(generate_series(0, 2)) AS i) u
+            ),
+            probes AS (
+              SELECT c.c_custkey AS k FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                WHERE s.s_suppkey = c.c_custkey)
+            ),
+            probe_pos AS (
+              SELECT p.k, u.i,
+                CAST(('0x' || substr(md5('bf' || CAST(u.i AS VARCHAR)
+                  || ':' || CAST(p.k AS VARCHAR)), 1, 12))
+                  AS BIGINT) % 4096 AS pos
+              FROM probes p,
+                (SELECT unnest(generate_series(0, 2)) AS i) u
+            ),
+            hits AS (
+              SELECT pp.k
+              FROM probe_pos pp JOIN member_pos mp ON pp.pos = mp.pos
+              GROUP BY pp.k
+              HAVING count(DISTINCT pp.i) = 3
+            )
+            SELECT
+              (SELECT CAST(count(*) AS BIGINT) FROM probes)
+                AS n_probes,
+              (SELECT CAST(count(*) AS BIGINT) FROM hits) AS n_fp,
+              (SELECT CAST(count(*) AS BIGINT) FROM member_pos)
+                AS bits_set,
+              (SELECT CAST(count(*) AS BIGINT) FROM member_pos)
+                / 4096.0 AS fill_ratio,
+              CAST((SELECT count(*) FROM hits) AS DOUBLE)
+                / CAST((SELECT count(*) FROM probes) AS DOUBLE)
+                AS fpr
         """,
     },
 )
