@@ -1245,3 +1245,749 @@ register_many(
         """,
     },
 )
+
+
+def _q_weak_labels(spark: SparkSession, sf: str) -> DataFrame:
+    """Weak-supervision label model (Snorkel-lite) over documents:
+    three labeling functions (length > 250 chars, > 40 words,
+    lang == 'en') vote on a 'quality' label; majority vote is the
+    first-pass label; each LF's empirical accuracy against the
+    majority re-weights a second vote, and the report counts how many
+    docs the weighted model flips. The vote space has only 2^3 = 8
+    patterns, so after one doc-grain map the ENTIRE model fits in an
+    8-cell frame — accuracies, weighted re-vote, and flip counts are
+    all algebra over those cells (never a per-doc collect; the shape
+    survives 100 TB unchanged). Integer counts; three accuracy
+    divisions; the weighted comparison is a fixed-order 3-term IEEE
+    sum."""
+    docs = read_table(spark, sf, "documents")
+    voted = docs.select(
+        F.when(F.col("n_chars") > 250, 1).otherwise(0).alias("v1"),
+        F.when(
+            F.size(F.split(F.trim(F.col("text")), r"\s+")) > 40, 1
+        )
+        .otherwise(0)
+        .alias("v2"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("v3"),
+    ).withColumn(
+        "maj",
+        F.when(
+            F.col("v1") + F.col("v2") + F.col("v3") >= 2, 1
+        ).otherwise(0),
+    )
+    cells = voted.groupBy("v1", "v2", "v3", "maj").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    g = cells.groupBy().agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.sum(F.col("n") * F.col("maj")).cast("bigint").alias("n_major_pos"),
+        F.sum(F.when(F.col("v1") == F.col("maj"), F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("a1"),
+        F.sum(F.when(F.col("v2") == F.col("maj"), F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("a2"),
+        F.sum(F.when(F.col("v3") == F.col("maj"), F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("a3"),
+        F.collect_list(
+            F.struct(
+                F.col("v1"), F.col("v2"), F.col("v3"), F.col("maj"),
+                F.col("n"),
+            )
+        ).alias("__cells"),
+    )
+    acc1 = F.col("a1").cast("double") / F.col("n_docs").cast("double")
+    acc2 = F.col("a2").cast("double") / F.col("n_docs").cast("double")
+    acc3 = F.col("a3").cast("double") / F.col("n_docs").cast("double")
+    pos_w = (
+        lambda e: e["v1"].cast("double") * acc1
+        + e["v2"].cast("double") * acc2
+        + e["v3"].cast("double") * acc3
+    )
+    neg_w = (
+        lambda e: (1 - e["v1"]).cast("double") * acc1
+        + (1 - e["v2"]).cast("double") * acc2
+        + (1 - e["v3"]).cast("double") * acc3
+    )
+    return g.select(
+        "n_docs",
+        "n_major_pos",
+        acc1.alias("acc_len"),
+        acc2.alias("acc_words"),
+        acc3.alias("acc_lang"),
+        F.aggregate(
+            F.col("__cells"),
+            F.lit(0).cast("bigint"),
+            lambda acc, e: acc
+            + F.when(pos_w(e) > neg_w(e), e["n"]).otherwise(0).cast(
+                "bigint"
+            ),
+        ).alias("n_weighted_pos"),
+        F.aggregate(
+            F.col("__cells"),
+            F.lit(0).cast("bigint"),
+            lambda acc, e: acc
+            + F.when(
+                (
+                    F.when(pos_w(e) > neg_w(e), 1).otherwise(0)
+                    != e["maj"]
+                ),
+                e["n"],
+            )
+            .otherwise(0)
+            .cast("bigint"),
+        ).alias("n_flipped"),
+    )
+
+
+def _q_lsh_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """The engine audits its own ANN tier: exact inverted-index
+    Jaccard (q19 machinery) vs banded MinHash LSH (q20 machinery), run
+    at identical parameters (threshold 0.35, 2-word shingles, 16
+    hashes / 8 bands) over the dedup representatives — reporting truth
+    pairs, LSH pairs, their intersection, and recall. Verification
+    inside minhash_pairs is exact, so precision is 1.0 by construction
+    and recall is THE number that needs watching (band-collision
+    S-curve ~s^2 per band at 16/8). Integer counts, one division."""
+    from sensor_time_series_pyspark_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_pairs,
+    )
+    from sensor_time_series_pyspark_spark.queries.common import _rep_docs
+
+    reps = _rep_docs(spark, sf)
+    truth = jaccard_pairs(
+        reps, "doc_id", "text", threshold=0.35, shingle_k=2
+    ).select("id_a", "id_b")
+    lsh = minhash_pairs(
+        reps, "doc_id", "text", threshold=0.35, shingle_k=2,
+        n_hashes=16, n_bands=8,
+    ).select("id_a", "id_b")
+    common = truth.join(lsh, ["id_a", "id_b"])
+    nt = truth.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_truth")
+    )
+    nl = lsh.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lsh")
+    )
+    nc = common.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common")
+    )
+    return (
+        nt.crossJoin(nl)
+        .crossJoin(nc)
+        .select(
+            "n_truth",
+            "n_lsh",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / F.col("n_truth").cast("double")
+            ).alias("recall"),
+        )
+    )
+
+
+# O'Brien-Fleming two-sided 0.05 boundaries for K=3 equally-spaced looks
+_OBF_BOUNDS = (3.471, 2.454, 2.004)
+
+
+def _q_group_sequential(spark: SparkSession, sf: str) -> DataFrame:
+    """Group-sequential experiment monitor: users hash-split 50/50
+    ('gsq:'), metric = event value (cents); three looks at days 10/20/
+    30 compare arms with a pooled-variance z statistic against the
+    O'Brien-Fleming boundaries (3.471/2.454/2.004, literal) — the
+    peeking-safe alternative to re-testing daily at 1.96. Exact
+    integer moments per (look, arm); variance, z, and the boundary
+    comparison are fixed-order IEEE ops. One event-grain reduce per
+    look (expressed as one scan with conditional sums)."""
+    ev = read_table(spark, sf, "events")
+    base = ev.select(
+        (_h48(F.col("user_id"), "gsq:") % 2).alias("t"),
+        (F.col("value").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("v_c"),
+        F.dayofmonth("ts").alias("dom"),
+    )
+    looks = []
+    for i, cut in enumerate((10, 20, 30)):
+        cond = F.col("dom") <= cut
+        agg = base.where(cond).groupBy().agg(
+            F.sum(F.when(F.col("t") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_t"),
+            F.sum(F.when(F.col("t") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_c"),
+            F.sum(F.when(F.col("t") == 1, F.col("v_c")).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias("s_t"),
+            F.sum(F.when(F.col("t") == 0, F.col("v_c")).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias("s_c"),
+            F.sum(
+                F.when(F.col("t") == 1, F.col("v_c") * F.col("v_c"))
+                .otherwise(0)
+            )
+            .cast("decimal(38,0)")
+            .alias("ss_t"),
+            F.sum(
+                F.when(F.col("t") == 0, F.col("v_c") * F.col("v_c"))
+                .otherwise(0)
+            )
+            .cast("decimal(38,0)")
+            .alias("ss_c"),
+        )
+        looks.append(
+            agg.select(
+                F.lit(i + 1).cast("int").alias("look"),
+                F.lit(cut).cast("int").alias("day_cut"),
+                "n_t", "n_c", "s_t", "s_c", "ss_t", "ss_c",
+            )
+        )
+    allx = looks[0].unionByName(looks[1]).unionByName(looks[2])
+    mt = F.col("s_t").cast("double") / F.col("n_t").cast("double")
+    mc = F.col("s_c").cast("double") / F.col("n_c").cast("double")
+    var_t = (
+        (F.col("n_t") * F.col("ss_t") - F.col("s_t") * F.col("s_t"))
+        .cast("double")
+        / (F.col("n_t") * (F.col("n_t") - 1)).cast("double")
+    )
+    var_c = (
+        (F.col("n_c") * F.col("ss_c") - F.col("s_c") * F.col("s_c"))
+        .cast("double")
+        / (F.col("n_c") * (F.col("n_c") - 1)).cast("double")
+    )
+    se = F.sqrt(
+        var_t / F.col("n_t").cast("double")
+        + var_c / F.col("n_c").cast("double")
+    )
+    z = (mt - mc) / se
+    bound = (
+        F.when(F.col("look") == 1, F.lit(_OBF_BOUNDS[0]))
+        .when(F.col("look") == 2, F.lit(_OBF_BOUNDS[1]))
+        .otherwise(F.lit(_OBF_BOUNDS[2]))
+    )
+    return allx.select(
+        "look",
+        "day_cut",
+        "n_t",
+        "n_c",
+        z.alias("z"),
+        bound.alias("boundary"),
+        (F.abs(z) > bound).alias("crossed"),
+    )
+
+
+def _q_retention_triangle(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly retention triangle: users cohorted by the week of their
+    FIRST event; for each (cohort_week, week_offset) cell, the share
+    of the cohort active that week. Weeks are pure integer epoch-day
+    division (`div 7` — identical truncation in both engines); one
+    user-grain min, one (user, week) distinct, one cell aggregate +
+    broadcast cohort sizes; a single division per cell. The first
+    dashboard any growth team asks for."""
+    ev = read_table(spark, sf, "events")
+    uw = ev.select(
+        "user_id",
+        F.expr("CAST(datediff(to_date(ts), DATE '1970-01-05') div 7 AS BIGINT)")
+        .alias("week"),
+    ).distinct()
+    first = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    cells = (
+        uw.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            (
+                F.col("n_active").cast("double")
+                / F.col("cohort_size").cast("double")
+            ).alias("retention"),
+        )
+    )
+
+
+def _q_bandit_replay(spark: SparkSession, sf: str) -> DataFrame:
+    """Offline bandit replay (Li et al. evaluation): each day, a
+    greedy policy picks the event_type arm with the best cumulative
+    mean value over all PRIOR days (ties -> smallest arm name; day 1
+    has no history and is skipped), and the logged events of that day
+    whose type matches the policy's choice are 'replayed' — their
+    count and mean value estimate the policy's online performance
+    without ever running it. Day x arm spine is a constant-cardinality
+    frame; cumulative sums are exact integers; mean comparisons are
+    identical correctly-rounded divisions in both engines, resolved
+    by max + min-arm-on-tie (no argmax-on-double ambiguity)."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("d"), F.col("event_type").alias("arm")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+        ).alias("s_c"),
+    )
+    days = daily.select("d").distinct()
+    arms = daily.select("arm").distinct()
+    spine = days.crossJoin(arms)
+    grid = spine.join(daily, ["d", "arm"], "left").select(
+        "d",
+        "arm",
+        F.coalesce(F.col("n"), F.lit(0).cast("bigint")).alias("n"),
+        F.coalesce(F.col("s_c"), F.lit(0).cast("bigint")).alias("s_c"),
+    )
+    wprev = (
+        Window.partitionBy("arm")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hist = grid.select(
+        "d",
+        "arm",
+        "n",
+        "s_c",
+        F.sum("n").over(wprev).alias("cn"),
+        F.sum("s_c").over(wprev).alias("cs"),
+    ).where(F.col("cn").isNotNull() & (F.col("cn") > 0))
+    scored = hist.withColumn(
+        "cum_mean", F.col("cs").cast("double") / F.col("cn").cast("double")
+    )
+    wd = Window.partitionBy("d")
+    best = scored.withColumn(
+        "mmax", F.max("cum_mean").over(wd)
+    ).where(F.col("cum_mean") == F.col("mmax"))
+    policy = (
+        best.groupBy("d")
+        .agg(F.min("arm").alias("policy_arm"))
+        .select(F.col("d").alias("p_d"), "policy_arm")
+    )
+    # re-read the day x arm reduction under a fresh alias: `daily`
+    # already feeds policy upstream and Spark (rightly) rejects the
+    # ambiguous self-reference otherwise
+    matched = daily.select(
+        F.col("d").alias("m_d"),
+        F.col("arm").alias("m_arm"),
+        F.col("n").alias("m_n"),
+        F.col("s_c").alias("m_s_c"),
+    )
+    replay = policy.join(
+        matched,
+        (F.col("p_d") == F.col("m_d"))
+        & (F.col("m_arm") == F.col("policy_arm")),
+        "left",
+    ).select(
+        F.col("p_d").alias("day"),
+        "policy_arm",
+        F.coalesce(F.col("m_n"), F.lit(0).cast("bigint")).alias(
+            "n_matched"
+        ),
+        F.when(
+            F.col("m_n").isNotNull(),
+            F.col("m_s_c").cast("double") / F.col("m_n").cast("double")
+            / F.lit(100.0),
+        ).alias("mean_matched_value"),
+    )
+    return replay
+
+
+def _q_hierarchical_heavy(spark: SparkSession, sf: str) -> DataFrame:
+    """Hierarchical heavy hitters over the revenue rollup tree
+    (total -> nation -> market segment within nation): an entity is
+    reported when its exact integer revenue exceeds a fixed share of
+    its PARENT (5% cross-multiplication — rev*100 > parent*5 in
+    decimal(38,0), never a float threshold). The drill-down view ops
+    teams use to find which cell moved a topline metric; each level is
+    one aggregate over the previous level's grain. Share is reported
+    as ONE final division per row."""
+    o = read_table(spark, sf, "orders")
+    c = read_table(spark, sf, "customer")
+    n = read_table(spark, sf, "nation")
+    rev = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_nationkey", "c_mktsegment")),
+            o["o_custkey"] == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", "c_mktsegment")
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                .cast("bigint")
+            )
+            .cast("decimal(38,0)")
+            .alias("rev_c")
+        )
+    )
+    nat = rev.groupBy("n_name").agg(
+        F.sum("rev_c").cast("decimal(38,0)").alias("rev_c")
+    )
+    tot = nat.groupBy().agg(
+        F.sum("rev_c").cast("decimal(38,0)").alias("rev_c")
+    )
+    nat_h = (
+        nat.crossJoin(F.broadcast(tot.select(F.col("rev_c").alias("parent_c"))))
+        .where(F.col("rev_c") * 100 > F.col("parent_c") * 5)
+        .select(
+            F.lit("nation").alias("level"),
+            F.col("n_name").alias("key1"),
+            F.lit(None).cast("string").alias("key2"),
+            F.col("rev_c").cast("bigint").alias("rev_c"),
+            F.col("parent_c").cast("bigint").alias("parent_c"),
+        )
+    )
+    seg_h = (
+        rev.join(
+            F.broadcast(nat.select(F.col("n_name"), F.col("rev_c").alias("parent_c"))),
+            "n_name",
+        )
+        .where(F.col("rev_c") * 100 > F.col("parent_c") * 5)
+        .select(
+            F.lit("nation_segment").alias("level"),
+            F.col("n_name").alias("key1"),
+            F.col("c_mktsegment").alias("key2"),
+            F.col("rev_c").cast("bigint").alias("rev_c"),
+            F.col("parent_c").cast("bigint").alias("parent_c"),
+        )
+    )
+    out = nat_h.unionByName(seg_h)
+    return out.select(
+        "level",
+        "key1",
+        "key2",
+        "rev_c",
+        "parent_c",
+        (
+            F.col("rev_c").cast("double") / F.col("parent_c").cast("double")
+        ).alias("share"),
+    )
+
+
+def _lsh_truth_sql() -> str:
+    """q19-style exact inverted-index Jaccard at q20's parameters
+    (2-word shingles, threshold 0.35, dedup representatives)."""
+    return """
+        WITH reps AS (
+          SELECT doc_id, text FROM documents
+          WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+        ),
+        toks AS (
+          SELECT doc_id AS id,
+            list_distinct(
+              list_transform(
+                generate_series(1, greatest(len(t) - 1, 0)),
+                i -> array_to_string(t[i:i+1], ' ')
+              )
+            ) AS tok
+          FROM (
+            SELECT doc_id,
+              list_filter(string_split_regex(trim(text), '\\s+'),
+                x -> x <> '') AS t
+            FROM reps
+          )
+        ),
+        inv AS (
+          SELECT id, len(tok) AS n_tok, unnest(tok) AS token FROM toks
+        ),
+        pairs AS (
+          SELECT a.id AS id_a, b.id AS id_b, a.n_tok AS n_a,
+                 b.n_tok AS n_b, count(*) AS inter
+          FROM inv a JOIN inv b ON a.token = b.token AND a.id < b.id
+          GROUP BY 1, 2, 3, 4
+        )
+        SELECT id_a, id_b
+        FROM pairs WHERE inter / (n_a + n_b - inter) >= 0.35
+    """
+
+
+def _q555_oracle() -> str:
+    from sensor_time_series_pyspark_spark.queries.registry import ORACLE_SQL
+
+    q20 = ORACLE_SQL["q20_minhash_lsh"]
+    return f"""
+        WITH truth AS ({_lsh_truth_sql()}),
+        lsh AS (SELECT id_a, id_b FROM ({q20})),
+        common AS (
+          SELECT t.id_a FROM truth t
+          JOIN lsh l ON t.id_a = l.id_a AND t.id_b = l.id_b
+        )
+        SELECT
+          (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+          (SELECT CAST(count(*) AS BIGINT) FROM lsh) AS n_lsh,
+          (SELECT CAST(count(*) AS BIGINT) FROM common) AS n_common,
+          CAST((SELECT count(*) FROM common) AS DOUBLE)
+            / CAST((SELECT count(*) FROM truth) AS DOUBLE) AS recall
+    """
+
+
+register_many(
+    {
+        "q554_weak_labels": _q_weak_labels,
+        "q555_lsh_recall_audit": _q_lsh_recall_audit,
+        "q556_group_sequential": _q_group_sequential,
+        "q557_retention_triangle": _q_retention_triangle,
+        "q558_bandit_replay": _q_bandit_replay,
+        "q559_hierarchical_heavy": _q_hierarchical_heavy,
+    },
+    {
+        "q554_weak_labels": """
+            WITH voted AS (
+              SELECT
+                CASE WHEN n_chars > 250 THEN 1 ELSE 0 END AS v1,
+                CASE WHEN len(list_filter(string_split_regex(
+                  trim(text), '\\s+'), x -> x <> '')) > 40
+                  THEN 1 ELSE 0 END AS v2,
+                CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS v3
+              FROM documents
+            ),
+            voted2 AS (
+              SELECT *, CASE WHEN v1 + v2 + v3 >= 2 THEN 1 ELSE 0 END
+                AS maj
+              FROM voted
+            ),
+            cells AS (
+              SELECT v1, v2, v3, maj,
+                CAST(count(*) AS BIGINT) AS n
+              FROM voted2 GROUP BY 1, 2, 3, 4
+            ),
+            g AS (
+              SELECT
+                CAST(sum(n) AS BIGINT) AS n_docs,
+                CAST(sum(n * maj) AS BIGINT) AS n_major_pos,
+                CAST(sum(CASE WHEN v1 = maj THEN n ELSE 0 END)
+                  AS BIGINT) AS a1,
+                CAST(sum(CASE WHEN v2 = maj THEN n ELSE 0 END)
+                  AS BIGINT) AS a2,
+                CAST(sum(CASE WHEN v3 = maj THEN n ELSE 0 END)
+                  AS BIGINT) AS a3
+              FROM cells
+            ),
+            scored AS (
+              SELECT c.maj, c.n,
+                (CAST(c.v1 AS DOUBLE)
+                   * (CAST(g.a1 AS DOUBLE) / CAST(g.n_docs AS DOUBLE))
+                 + CAST(c.v2 AS DOUBLE)
+                   * (CAST(g.a2 AS DOUBLE) / CAST(g.n_docs AS DOUBLE))
+                 + CAST(c.v3 AS DOUBLE)
+                   * (CAST(g.a3 AS DOUBLE) / CAST(g.n_docs AS DOUBLE)))
+                >
+                (CAST(1 - c.v1 AS DOUBLE)
+                   * (CAST(g.a1 AS DOUBLE) / CAST(g.n_docs AS DOUBLE))
+                 + CAST(1 - c.v2 AS DOUBLE)
+                   * (CAST(g.a2 AS DOUBLE) / CAST(g.n_docs AS DOUBLE))
+                 + CAST(1 - c.v3 AS DOUBLE)
+                   * (CAST(g.a3 AS DOUBLE) / CAST(g.n_docs AS DOUBLE)))
+                AS pos
+              FROM cells c, g
+            )
+            SELECT g.n_docs, g.n_major_pos,
+              CAST(g.a1 AS DOUBLE) / CAST(g.n_docs AS DOUBLE)
+                AS acc_len,
+              CAST(g.a2 AS DOUBLE) / CAST(g.n_docs AS DOUBLE)
+                AS acc_words,
+              CAST(g.a3 AS DOUBLE) / CAST(g.n_docs AS DOUBLE)
+                AS acc_lang,
+              (SELECT CAST(sum(CASE WHEN pos THEN n ELSE 0 END)
+                AS BIGINT) FROM scored) AS n_weighted_pos,
+              (SELECT CAST(sum(CASE WHEN
+                (CASE WHEN pos THEN 1 ELSE 0 END) <> maj
+                THEN n ELSE 0 END) AS BIGINT) FROM scored)
+                AS n_flipped
+            FROM g
+        """,
+        "q555_lsh_recall_audit": _q555_oracle(),
+        "q556_group_sequential": """
+            WITH base AS (
+              SELECT
+                CAST(('0x' || substr(md5('gsq:'
+                  || CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) % 2
+                  AS t,
+                CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                  AS v_c,
+                CAST(extract(day FROM ts) AS INT) AS dom
+              FROM events
+            ),
+            looks AS (
+              SELECT u.look, u.day_cut,
+                CAST(sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_t,
+                CAST(sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_c,
+                CAST(sum(CASE WHEN t = 1 THEN v_c ELSE 0 END)
+                  AS DECIMAL(38,0)) AS s_t,
+                CAST(sum(CASE WHEN t = 0 THEN v_c ELSE 0 END)
+                  AS DECIMAL(38,0)) AS s_c,
+                CAST(sum(CASE WHEN t = 1 THEN v_c * v_c ELSE 0 END)
+                  AS DECIMAL(38,0)) AS ss_t,
+                CAST(sum(CASE WHEN t = 0 THEN v_c * v_c ELSE 0 END)
+                  AS DECIMAL(38,0)) AS ss_c
+              FROM base,
+                (SELECT * FROM (VALUES (CAST(1 AS INT), CAST(10 AS INT)),
+                  (CAST(2 AS INT), CAST(20 AS INT)),
+                  (CAST(3 AS INT), CAST(30 AS INT)))
+                  AS v(look, day_cut)) u
+              WHERE base.dom <= u.day_cut
+              GROUP BY u.look, u.day_cut
+            ),
+            z AS (
+              SELECT look, day_cut, n_t, n_c,
+                (CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+                 - CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+                / sqrt(
+                    (CAST(n_t * ss_t - s_t * s_t AS DOUBLE)
+                     / CAST(n_t * (n_t - 1) AS DOUBLE))
+                    / CAST(n_t AS DOUBLE)
+                  + (CAST(n_c * ss_c - s_c * s_c AS DOUBLE)
+                     / CAST(n_c * (n_c - 1) AS DOUBLE))
+                    / CAST(n_c AS DOUBLE)
+                  ) AS z,
+                CASE look WHEN 1 THEN 3.471e0 WHEN 2 THEN 2.454e0
+                  ELSE 2.004e0 END AS boundary
+              FROM looks
+            )
+            SELECT look, day_cut, n_t, n_c, z, boundary,
+              abs(z) > boundary AS crossed
+            FROM z
+        """,
+        "q557_retention_triangle": """
+            WITH uw AS (
+              SELECT DISTINCT user_id,
+                CAST((CAST(ts AS DATE) - DATE '1970-01-05') // 7
+                  AS BIGINT) AS week
+              FROM events
+            ),
+            first AS (
+              SELECT user_id, min(week) AS cohort_week
+              FROM uw GROUP BY user_id
+            ),
+            sizes AS (
+              SELECT cohort_week,
+                CAST(count(*) AS BIGINT) AS cohort_size
+              FROM first GROUP BY cohort_week
+            ),
+            cells AS (
+              SELECT f.cohort_week, u.week - f.cohort_week
+                AS week_offset,
+                CAST(count(*) AS BIGINT) AS n_active
+              FROM uw u JOIN first f ON u.user_id = f.user_id
+              GROUP BY 1, 2
+            )
+            SELECT c.cohort_week, c.week_offset, c.n_active,
+              s.cohort_size,
+              CAST(c.n_active AS DOUBLE)
+                / CAST(s.cohort_size AS DOUBLE) AS retention
+            FROM cells c JOIN sizes s
+              ON c.cohort_week = s.cohort_week
+        """,
+        "q558_bandit_replay": """
+            WITH daily AS (
+              SELECT CAST(ts AS DATE) AS d, event_type AS arm,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS s_c
+              FROM events GROUP BY 1, 2
+            ),
+            spine AS (
+              SELECT d.d, a.arm
+              FROM (SELECT DISTINCT d FROM daily) d,
+                   (SELECT DISTINCT arm FROM daily) a
+            ),
+            grid AS (
+              SELECT s.d, s.arm,
+                COALESCE(dl.n, CAST(0 AS BIGINT)) AS n,
+                COALESCE(dl.s_c, CAST(0 AS BIGINT)) AS s_c
+              FROM spine s LEFT JOIN daily dl
+                ON s.d = dl.d AND s.arm = dl.arm
+            ),
+            hist AS (
+              SELECT d, arm, n, s_c,
+                sum(n) OVER w AS cn, sum(s_c) OVER w AS cs
+              FROM grid
+              WINDOW w AS (PARTITION BY arm ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            ),
+            scored AS (
+              SELECT d, arm,
+                CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE) AS cum_mean
+              FROM hist WHERE cn IS NOT NULL AND cn > 0
+            ),
+            best AS (
+              SELECT d, arm, cum_mean,
+                max(cum_mean) OVER (PARTITION BY d) AS mmax
+              FROM scored
+            ),
+            policy AS (
+              SELECT d, min(arm) AS policy_arm
+              FROM best WHERE cum_mean = mmax GROUP BY d
+            )
+            SELECT p.d AS day, p.policy_arm,
+              COALESCE(dl.n, CAST(0 AS BIGINT)) AS n_matched,
+              CASE WHEN dl.n IS NOT NULL THEN
+                CAST(dl.s_c AS DOUBLE) / CAST(dl.n AS DOUBLE) / 100.0
+              END AS mean_matched_value
+            FROM policy p LEFT JOIN daily dl
+              ON p.d = dl.d AND dl.arm = p.policy_arm
+        """,
+        "q559_hierarchical_heavy": """
+            WITH rev AS (
+              SELECT n.n_name, c.c_mktsegment,
+                CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(18,2))
+                  * 100 AS BIGINT)) AS DECIMAL(38,0)) AS rev_c
+              FROM orders o
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+              GROUP BY 1, 2
+            ),
+            nat AS (
+              SELECT n_name, CAST(sum(rev_c) AS DECIMAL(38,0))
+                AS rev_c
+              FROM rev GROUP BY n_name
+            ),
+            tot AS (
+              SELECT CAST(sum(rev_c) AS DECIMAL(38,0)) AS rev_c
+              FROM nat
+            ),
+            nat_h AS (
+              SELECT 'nation' AS level, n.n_name AS key1,
+                CAST(NULL AS VARCHAR) AS key2,
+                CAST(n.rev_c AS BIGINT) AS rev_c,
+                CAST(t.rev_c AS BIGINT) AS parent_c
+              FROM nat n, tot t
+              WHERE CAST(n.rev_c AS HUGEINT) * 100
+                > CAST(t.rev_c AS HUGEINT) * 5
+            ),
+            seg_h AS (
+              SELECT 'nation_segment' AS level, r.n_name AS key1,
+                r.c_mktsegment AS key2,
+                CAST(r.rev_c AS BIGINT) AS rev_c,
+                CAST(n.rev_c AS BIGINT) AS parent_c
+              FROM rev r JOIN nat n ON r.n_name = n.n_name
+              WHERE CAST(r.rev_c AS HUGEINT) * 100
+                > CAST(n.rev_c AS HUGEINT) * 5
+            ),
+            unioned AS (
+              SELECT * FROM nat_h UNION ALL SELECT * FROM seg_h
+            )
+            SELECT level, key1, key2, rev_c, parent_c,
+              CAST(rev_c AS DOUBLE) / CAST(parent_c AS DOUBLE)
+                AS share
+            FROM unioned
+        """,
+    },
+)

@@ -148,6 +148,14 @@ def test_no_accidental_cartesian_products(spark):
     # verification-tier shape; MRL fidelity is measured against the
     # exact neighborhood by definition)
     SKIP |= {"q547_matryoshka_overlap"}
+    # 1-row x 1-row report combines (probe/fp/bit counts; truth/lsh/
+    # common counts; the 1-row revenue total onto the 25-nation frame)
+    # — the q67/q166 scalar-broadcast pattern
+    SKIP |= {"q553_bloom_fpr_audit", "q555_lsh_recall_audit",
+             "q559_hierarchical_heavy"}
+    # 30-day x 5-arm spine construction (both sides tiny and
+    # calendar/domain-bounded at ANY sf — same as q229's spine)
+    SKIP |= {"q558_bandit_replay"}
     qs = entrymod.queries()
     offenders = []
     for name, fn in qs.items():
