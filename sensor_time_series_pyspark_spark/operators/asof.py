@@ -66,13 +66,25 @@ def asof_join(
         l = l.withColumn(o, F.lit(None).cast(r.schema[o].dataType))
     unioned = l.unionByName(r, allowMissingColumns=True)
 
-    base = Window.partitionBy(*on).orderBy("__ts", "__side")
     if backward:
-        w = base.rowsBetween(Window.unboundedPreceding, 0)
-        pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+        w = (
+            Window.partitionBy(*on)
+            .orderBy("__ts", "__side")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
     else:
-        w = base.rowsBetween(0, Window.unboundedFollowing)
-        pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+        # forward direction mirrors the backward running frame on the
+        # DESC sort instead of using (0, unboundedFollowing): Spark
+        # evaluates UnboundedFollowing frames by re-scanning the
+        # partition tail per row — O(n²), a wedge on hot keys — while
+        # the DESC running frame is one incremental O(n) pass over the
+        # exact reverse of the (ts, side) total order.
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("__ts").desc(), F.col("__side").desc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
     for o in carry:
         unioned = unioned.withColumn(o, pick(o))
     out = unioned.where(F.col("__side") == (1 if backward else 0))

@@ -125,15 +125,24 @@ def bfill(
     following frame (native equivalent of pandas ``.bfill()``) — the
     ffill mirror, for gaps at the START of a series or lookahead-safe
     label propagation. Same single-sort shape: one window per series,
-    no shuffle beyond the partition key."""
-    w = (
+    no shuffle beyond the partition key.
+
+    Evaluated as ``last(ignorenulls)`` over a DESC-ordered RUNNING
+    frame, not ``first`` over ``(0, unboundedFollowing)``: Spark's
+    UnboundedFollowing frame re-scans the remainder of the partition
+    for EVERY row — O(n²) per partition, a wedge on skewed keys (a
+    1M-row hot series = 10¹² ops) — while the running frame
+    accumulates incrementally in O(n). Identical results whenever
+    ``order_col`` is unique per partition (the reversed sort is then
+    the exact mirror)."""
+    w_rev = (
         Window.partitionBy(*partition_by)
-        .orderBy(order_col)
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.col(order_col).desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     out = df
     for c in cols:
-        out = out.withColumn(c, F.first(c, ignorenulls=True).over(w))
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w_rev))
     return out
 
 
@@ -152,6 +161,14 @@ def interpolate_linear(
     first non-null looking forward; blend on the epoch-time fraction.
     Leading/trailing gaps degrade to nearest-value fill; all-null
     series stay NULL.
+
+    The forward lookup is ``last(ignorenulls)`` over a DESC-ordered
+    RUNNING frame rather than ``first`` over ``(0,
+    unboundedFollowing)``: the latter re-scans the partition tail for
+    every row (O(n²) — a 1M-row hot series wedges for hours; measured
+    on the round-7 zipf fixture), the former is one incremental O(n)
+    pass. Results are identical whenever ``ts_col`` is unique per
+    series (reversed sort = exact mirror).
     """
     out = out_col or value_col
     t = F.col(ts_col).cast("double")
@@ -161,15 +178,15 @@ def interpolate_linear(
         .orderBy(ts_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    fwd = (
+    fwd_rev = (
         Window.partitionBy(*partition_by)
-        .orderBy(ts_col)
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.col(ts_col).desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     prev_v = F.last(v, ignorenulls=True).over(back)
     prev_t = F.last(F.when(v.isNotNull(), t), ignorenulls=True).over(back)
-    next_v = F.first(v, ignorenulls=True).over(fwd)
-    next_t = F.first(F.when(v.isNotNull(), t), ignorenulls=True).over(fwd)
+    next_v = F.last(v, ignorenulls=True).over(fwd_rev)
+    next_t = F.last(F.when(v.isNotNull(), t), ignorenulls=True).over(fwd_rev)
 
     frac = (t - prev_t) / (next_t - prev_t)
     blended = prev_v + (next_v - prev_v) * frac

@@ -78,7 +78,12 @@ SKELETONS: dict[str, dict[str, int]] = {
         "Window": 1,
     },
     "q11_resample_30min": {"HashAggregate": 2, "Exchange": 1},
-    "q14_interpolate": {"Exchange": 1, "Sort": 1, "Window": 1},
+    # 2 Sorts/Windows since the round-7 O(n²) fix: the forward lookup
+    # runs on its own DESC-ordered running frame (asc + desc sorts of
+    # the same entity partition, still ONE exchange) instead of the
+    # quadratic (0, unboundedFollowing) frame that wedged on the zipf
+    # hot key
+    "q14_interpolate": {"Exchange": 1, "Sort": 2, "Window": 2},
     "q15_sessionize": {
         "Exchange": 1,
         "Sort": 1,

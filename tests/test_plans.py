@@ -430,3 +430,25 @@ def test_headline_shuffle_budgets(spark):
         if n > budget:
             over[name] = (n, budget)
     assert not over, f"shuffle budget exceeded: {over}"
+
+
+def test_no_quadratic_unbounded_following_frames(spark):
+    """Round-7 regression pin: Spark evaluates aggregate window
+    functions over (x, unboundedFollowing) frames by re-scanning the
+    partition tail for EVERY row — O(n²) per partition. On the zipf
+    scale fixture (one user = 23% of 5M events) the old
+    interpolate/bfill/asof-forward frames wedged for hours; the fix
+    mirrors them onto DESC-ordered running frames (O(n)). Assert no
+    query ever plans an aggregate over an unbounded-FOLLOWING row
+    frame again. (Whole-partition frames (unboundedPreceding,
+    unboundedFollowing) are fine — computed once per partition — and
+    print as 'unboundedpreceding$(), unboundedfollowing$()'; the
+    quadratic shape starts at currentrow$().)"""
+    qs = entrymod.queries()
+    offenders = []
+    for name in ("q13_ffill", "q14_interpolate", "q156_bfill",
+                 "q29_asof_join", "q90_asof_tolerance"):
+        plan = plan_of(qs[name](spark, SF)).lower()
+        if "currentrow$(), unboundedfollowing$()" in plan:
+            offenders.append(name)
+    assert not offenders, f"quadratic tail frames in: {offenders}"
