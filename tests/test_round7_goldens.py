@@ -132,3 +132,35 @@ print("GOLDEN", len(rows), hashlib.sha256(txt.encode()).hexdigest()[:16])
     assert lines, out.stderr[-2000:]
     _, n, h = lines[0].split()
     assert (int(n), h) == (100, "e388c44971ad554c")
+
+
+def test_q43_model_metrics_golden_isolated_session():
+    """q43 (GBT evaluator metrics + feature importances) is seeded but
+    folds floats in data-partition order like q27/q28, so it pins in a
+    fresh subprocess JVM at shuffle_partitions=8 (digest verified
+    stable across two independent JVMs before freezing). This empties
+    the unpinned rows-only class entirely."""
+    import subprocess
+    import sys
+
+    code = """
+import sys, hashlib
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as m
+from sensor_time_series_pyspark_spark.session import get_spark
+spark = get_spark("goldens", shuffle_partitions=8)
+rows = sorted(tuple(r) for r in m.queries()["q43_model_metrics"](spark, "/root/testdata/sf0.01").collect())
+txt = "\\n".join(repr(r) for r in rows)
+print("GOLDEN", len(rows), hashlib.sha256(txt.encode()).hexdigest()[:16])
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        cwd="/root/repo",
+    )
+    lines = [l for l in out.stdout.splitlines() if l.startswith("GOLDEN")]
+    assert lines, out.stderr[-2000:]
+    _, n, h = lines[0].split()
+    assert (int(n), h) == (1, "4c36cced83301777")
