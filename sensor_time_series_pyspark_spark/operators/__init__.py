@@ -188,3 +188,13 @@ from .multimodal import frame_byte_stats
 from .dedup import tfidf_cosine_pairs
 from .analytics import funnel_strict
 from .changepoint import bollinger, max_drawdown, pettitt, spc_rules
+from .expectations import (
+    Expectation,
+    accepted_values,
+    between,
+    monotonic_id,
+    not_null,
+    row_count_between,
+    run_expectations,
+    unique,
+)

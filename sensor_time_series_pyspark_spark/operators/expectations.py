@@ -1,0 +1,157 @@
+"""Declarative data-quality expectations (Great-Expectations-style)
+evaluated in ONE Spark pass.
+
+``run_expectations(df, suite)`` compiles a list of declarative checks
+into a single conditional aggregate over the input — no per-check
+scans, no driver loops — and returns one audit row per expectation:
+``(name, kind, passed, observed, threshold)``. At 100 TB the whole
+suite costs exactly one map-side-combinable aggregate regardless of
+how many expectations it contains.
+
+Supported kinds:
+- ``row_count_between(lo, hi)``
+- ``not_null(col, max_null_frac)``
+- ``unique(col)`` — distinct count equals row count
+- ``accepted_values(col, values)`` — no row outside the set
+- ``between(col, lo, hi, max_violation_frac)``
+- ``monotonic_id(col)`` — max(col) - min(col) + 1 >= count (no dense
+  requirement, catches gross id reuse when equality holds)
+
+Each expectation is pure integer counting; ``observed`` is reported
+as a double with at most one division, so audit rows hash-gate
+cross-engine (see q560's oracle).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Expectation:
+    name: str
+    kind: str
+    col: str | None = None
+    lo: float | None = None
+    hi: float | None = None
+    frac: float = 0.0
+    values: tuple = field(default_factory=tuple)
+
+
+def row_count_between(name: str, lo: int, hi: int) -> Expectation:
+    return Expectation(name, "row_count_between", lo=lo, hi=hi)
+
+
+def not_null(name: str, col: str, max_null_frac: float = 0.0) -> Expectation:
+    return Expectation(name, "not_null", col=col, frac=max_null_frac)
+
+
+def unique(name: str, col: str) -> Expectation:
+    return Expectation(name, "unique", col=col)
+
+
+def accepted_values(name: str, col: str, values) -> Expectation:
+    return Expectation(name, "accepted_values", col=col, values=tuple(values))
+
+
+def between(
+    name: str, col: str, lo: float, hi: float, max_violation_frac: float = 0.0
+) -> Expectation:
+    return Expectation(name, "between", col=col, lo=lo, hi=hi, frac=max_violation_frac)
+
+
+def monotonic_id(name: str, col: str) -> Expectation:
+    return Expectation(name, "monotonic_id", col=col)
+
+
+def run_expectations(df: DataFrame, suite: list[Expectation]) -> DataFrame:
+    """One conditional aggregate for the whole suite, then a
+    constant-cardinality projection to one audit row per check."""
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
+    for i, e in enumerate(suite):
+        if e.kind == "not_null":
+            aggs.append(
+                F.sum(F.when(F.col(e.col).isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"__m{i}")
+            )
+        elif e.kind == "unique":
+            aggs.append(F.count_distinct(F.col(e.col)).alias(f"__m{i}"))
+        elif e.kind == "accepted_values":
+            aggs.append(
+                F.sum(
+                    F.when(~F.col(e.col).isin(list(e.values)), 1).otherwise(0)
+                )
+                .cast("bigint")
+                .alias(f"__m{i}")
+            )
+        elif e.kind == "between":
+            aggs.append(
+                F.sum(
+                    F.when(
+                        (F.col(e.col) < e.lo) | (F.col(e.col) > e.hi), 1
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias(f"__m{i}")
+            )
+        elif e.kind == "monotonic_id":
+            aggs.append(
+                (
+                    F.max(F.col(e.col)) - F.min(F.col(e.col)) + 1
+                )
+                .cast("bigint")
+                .alias(f"__m{i}")
+            )
+        elif e.kind == "row_count_between":
+            aggs.append(F.lit(0).cast("bigint").alias(f"__m{i}"))
+        else:
+            raise ValueError(f"unknown expectation kind {e.kind!r}")
+    one = df.agg(*aggs)
+
+    # ONE projection: an inline struct per expectation exploded from
+    # the single aggregate row (a union of per-check selects would
+    # re-plan the aggregate once per branch)
+    structs = []
+    for i, e in enumerate(suite):
+        n = F.col("__n")
+        m = F.col(f"__m{i}")
+        if e.kind == "row_count_between":
+            passed = (n >= int(e.lo)) & (n <= int(e.hi))
+            observed = n.cast("double")
+            threshold = F.lit(float(e.hi))
+        elif e.kind == "not_null":
+            observed = m.cast("double") / n.cast("double")
+            passed = observed <= F.lit(float(e.frac))
+            threshold = F.lit(float(e.frac))
+        elif e.kind == "unique":
+            passed = m == n
+            observed = m.cast("double")
+            threshold = n.cast("double")
+        elif e.kind == "accepted_values":
+            passed = m == 0
+            observed = m.cast("double")
+            threshold = F.lit(0.0)
+        elif e.kind == "between":
+            observed = m.cast("double") / n.cast("double")
+            passed = observed <= F.lit(float(e.frac))
+            threshold = F.lit(float(e.frac))
+        else:  # monotonic_id
+            passed = m >= n
+            observed = m.cast("double")
+            threshold = n.cast("double")
+        structs.append(
+            F.struct(
+                F.lit(e.name).alias("name"),
+                F.lit(e.kind).alias("kind"),
+                passed.alias("passed"),
+                observed.alias("observed"),
+                threshold.alias("threshold"),
+            )
+        )
+    return one.select(F.explode(F.array(*structs)).alias("__e")).select(
+        "__e.*"
+    )

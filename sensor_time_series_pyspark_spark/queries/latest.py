@@ -1991,3 +1991,571 @@ register_many(
         """,
     },
 )
+
+
+def _q_expectation_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """Declarative data-contract audit (operators/expectations.py —
+    the Great-Expectations pattern): six expectations over orders
+    (row-count band, zero null prices, unique and gap-free order
+    keys, accepted status values, price range) compiled into ONE
+    conditional aggregate + one exploded projection — the suite costs
+    a single map-side-combinable pass no matter how many checks it
+    holds. Audit rows are integer counts with at most one division,
+    so the whole report hash-gates."""
+    from sensor_time_series_pyspark_spark.operators import (
+        accepted_values,
+        between,
+        monotonic_id,
+        not_null,
+        row_count_between,
+        run_expectations,
+        unique,
+    )
+
+    o = read_table(spark, sf, "orders")
+    suite = [
+        row_count_between("rows_in_band", 100, 10**9),
+        not_null("price_not_null", "o_totalprice", 0.0),
+        unique("orderkey_unique", "o_orderkey"),
+        accepted_values("status_domain", "o_orderstatus", ("F", "O", "P")),
+        between("price_range", "o_totalprice", 0.0, 1_000_000.0, 0.0),
+        monotonic_id("orderkey_span", "o_orderkey"),
+    ]
+    return run_expectations(o, suite)
+
+
+def _q_golden_record(spark: SparkSession, sf: str) -> DataFrame:
+    """Survivorship consolidation (the MDM 'golden record' op): per
+    duplicate cluster (identical text), merge the copies into one
+    record by explicit field rules — keep the lowest doc_id as
+    identity, the cluster's modal language (ties -> smallest code,
+    resolved by max-count-then-min-lang, never an arbitrary first()),
+    the max n_chars, and the lexicographically first source. Two
+    bounded aggregates (cluster x lang, then cluster); at 100 TB the
+    shuffle key is the content fingerprint, exactly like q17."""
+    docs = read_table(spark, sf, "documents")
+    base = docs.select(
+        F.md5("text").alias("fp"), "doc_id", "lang", "source", "n_chars"
+    )
+    per_lang = base.groupBy("fp", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nl")
+    )
+    wl = Window.partitionBy("fp")
+    modal = (
+        per_lang.withColumn("mx", F.max("nl").over(wl))
+        .where(F.col("nl") == F.col("mx"))
+        .groupBy("fp")
+        .agg(F.min("lang").alias("modal_lang"))
+    )
+    merged = base.groupBy("fp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        F.min("doc_id").alias("keep_doc_id"),
+        F.max("n_chars").cast("bigint").alias("n_chars_max"),
+        F.min("source").alias("first_source"),
+    )
+    return merged.join(modal, "fp").select(
+        "fp", "n_copies", "keep_doc_id", "modal_lang", "n_chars_max",
+        "first_source",
+    )
+
+
+def _q_minhash_estimate_error(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-accuracy audit at pair grain: for every TRUE near-dup
+    pair (exact Jaccard >= 0.35 over 2-word shingles of the dedup
+    reps), compare the MinHash ESTIMATE (matching components / 16,
+    same seeded affine permutations as q20) against the exact value.
+    est is a 16-denominator rational -> exact double; the exact
+    jaccard is the same single division both engines compute. The
+    companion to q555: that one audits RECALL of the banded index,
+    this one audits the ESTIMATOR the bands are built from."""
+    from sensor_time_series_pyspark_spark.functions.text import (
+        shingles_from_tokens,
+        tokens,
+    )
+    from sensor_time_series_pyspark_spark.operators.dedup import (
+        MINHASH_P,
+        jaccard_pairs,
+        minhash_coeffs,
+        shingle_id_portable,
+    )
+    from sensor_time_series_pyspark_spark.queries.common import _rep_docs
+
+    reps = _rep_docs(spark, sf)
+    truth = jaccard_pairs(
+        reps, "doc_id", "text", threshold=0.35, shingle_k=2
+    )
+    a_coef, b_coef = minhash_coeffs(16)
+    toks = reps.select(
+        F.col("doc_id").alias("id"), tokens("text").alias("__toks")
+    ).select(
+        "id",
+        F.array_distinct(
+            shingles_from_tokens(F.col("__toks"), 2)
+        ).alias("tok"),
+    ).where(F.size("tok") > 0)
+    ids = toks.select(
+        "id",
+        F.explode(
+            F.transform(F.col("tok"), shingle_id_portable)
+        ).alias("sid"),
+    )
+    sig = ids.groupBy("id").agg(
+        *[
+            F.min(
+                (F.lit(a_coef[i]) * F.col("sid") + F.lit(b_coef[i]))
+                % MINHASH_P
+            ).alias(f"h{i}")
+            for i in range(16)
+        ]
+    )
+    sa = sig.select(
+        F.col("id").alias("id_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(16)],
+    )
+    sb = sig.select(
+        F.col("id").alias("id_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(16)],
+    )
+    joined = truth.join(sa, "id_a").join(sb, "id_b")
+    matches = None
+    for i in range(16):
+        term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        matches = term if matches is None else matches + term
+    est = matches.cast("double") / F.lit(16.0)
+    return joined.select(
+        "id_a",
+        "id_b",
+        "jaccard",
+        est.alias("est_jaccard"),
+        F.abs(est - F.col("jaccard")).alias("abs_err"),
+    )
+
+
+def _q_percentile_ci(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-statistic confidence intervals for p50/p95 of event value
+    per type: rank bounds l = floor(np - z*sqrt(np(1-p))),
+    u = ceil(np + z*sqrt(np(1-p))) at z = 1.96 (the distribution-free
+    binomial CI), point estimate via percentile_disc, bound values by
+    exact rank selection — the percentile dashboards should always
+    ship WITH their uncertainty. sqrt is IEEE-exact; floor/ceil of
+    the identical doubles agree across engines; everything else is
+    rank selection."""
+    ev = read_table(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    ranked = ev.select("event_type", "value", "event_id").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    counts = ranked.groupBy("event_type").agg(
+        F.max("rn").cast("bigint").alias("n")
+    )
+    ps = spark.range(2).select(
+        F.when(F.col("id") == 0, F.lit(0.5)).otherwise(F.lit(0.95)).alias("p")
+    )
+    grid = counts.crossJoin(F.broadcast(ps)).select(
+        "event_type",
+        "n",
+        "p",
+        F.floor(
+            F.col("n") * F.col("p")
+            - F.lit(1.96)
+            * F.sqrt(F.col("n") * F.col("p") * (F.lit(1.0) - F.col("p")))
+        )
+        .cast("bigint")
+        .alias("r_lo"),
+        F.ceil(
+            F.col("n") * F.col("p")
+            + F.lit(1.96)
+            * F.sqrt(F.col("n") * F.col("p") * (F.lit(1.0) - F.col("p")))
+        )
+        .cast("bigint")
+        .alias("r_hi"),
+        F.ceil(F.col("n") * F.col("p")).cast("bigint").alias("r_pt"),
+    ).withColumn(
+        "r_lo", F.greatest(F.lit(1).cast("bigint"), F.col("r_lo"))
+    ).withColumn(
+        "r_hi", F.least(F.col("n"), F.col("r_hi"))
+    )
+    lo = grid.join(
+        ranked.select("event_type", F.col("rn").alias("r_lo"), F.col("value").alias("v_lo")),
+        ["event_type", "r_lo"],
+    )
+    hi = lo.join(
+        ranked.select("event_type", F.col("rn").alias("r_hi"), F.col("value").alias("v_hi")),
+        ["event_type", "r_hi"],
+    )
+    pt = hi.join(
+        ranked.select("event_type", F.col("rn").alias("r_pt"), F.col("value").alias("v_pt")),
+        ["event_type", "r_pt"],
+    )
+    return pt.select(
+        "event_type", "p", "n", "v_lo", "v_pt", "v_hi"
+    )
+
+
+def _q_evalue_sensitivity(spark: SparkSession, sf: str) -> DataFrame:
+    """E-value sensitivity analysis (VanderWeele-Ding) for the
+    hash-arm exposure -> URGENT-order outcome 2x2: how strong would
+    an unmeasured confounder have to be to explain the observed risk
+    ratio away? E = RR* + sqrt(RR*(RR*-1)) with RR* = max(RR, 1/RR).
+    Completes the causal-robustness family (q222 DiD, q360 RDD, q355
+    CUPED, q515 jackknife, q552 IV): integer 2x2 counts, fixed-order
+    divisions, one sqrt."""
+    cust = read_table(spark, sf, "customer").select("c_custkey")
+    o = read_table(spark, sf, "orders")
+    resp = (
+        o.where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+        .withColumn("y", F.lit(1))
+    )
+    flagged = (
+        cust.withColumn("z", (_h48(F.col("c_custkey"), "ev7:") % 2).cast("int"))
+        .join(resp, cust["c_custkey"] == resp["o_custkey"], "left")
+        .select("z", F.coalesce(F.col("y"), F.lit(0)).alias("y"))
+    )
+    cellf = flagged.groupBy().agg(
+        F.sum(F.when((F.col("z") == 1) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when((F.col("z") == 1) & (F.col("y") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.when((F.col("z") == 0) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+        F.sum(F.when((F.col("z") == 0) & (F.col("y") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+    )
+    rr = (
+        F.col("a").cast("double") / (F.col("a") + F.col("b")).cast("double")
+    ) / (
+        F.col("c").cast("double") / (F.col("c") + F.col("d")).cast("double")
+    )
+    rr_star = F.when(rr >= 1.0, rr).otherwise(F.lit(1.0) / rr)
+    evalue = rr_star + F.sqrt(rr_star * (rr_star - F.lit(1.0)))
+    return cellf.select(
+        "a", "b", "c", "d", rr.alias("rr"), evalue.alias("evalue")
+    )
+
+
+def _q_session_gap_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionization parameter sweep in ONE window pass: per-user
+    consecutive inter-event gaps computed once (lag), then for gap
+    thresholds {900, 1800, 3600}s the session count is
+    n_users + (gaps exceeding the threshold) — three conditional sums
+    over the same frame instead of three sessionize runs. Reports
+    sessions and mean events/session per threshold: the knob-sizing
+    table you build BEFORE committing q15's 1800s default. All
+    integer counts; one division per row."""
+    ev = read_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (
+            F.unix_micros(F.col("ts"))
+            - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us"),
+    )
+    agg = gaps.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        *[
+            F.sum(
+                F.when(F.col("gap_us") > g * 1_000_000, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"breaks_{g}")
+            for g in (900, 1800, 3600)
+        ],
+    )
+    rows = []
+    for g in (900, 1800, 3600):
+        rows.append(
+            F.struct(
+                F.lit(g).cast("int").alias("gap_seconds"),
+                (F.col("n_users") + F.col(f"breaks_{g}"))
+                .cast("bigint")
+                .alias("n_sessions"),
+                (
+                    F.col("n_events").cast("double")
+                    / (F.col("n_users") + F.col(f"breaks_{g}")).cast(
+                        "double"
+                    )
+                ).alias("mean_events_per_session"),
+            )
+        )
+    return agg.select(F.explode(F.array(*rows)).alias("__r")).select(
+        "__r.*"
+    )
+
+
+def _q562_oracle() -> str:
+    from sensor_time_series_pyspark_spark.operators.dedup import (
+        minhash_coeffs,
+    )
+
+    a_coef, b_coef = minhash_coeffs(16)
+    mins = ",\n            ".join(
+        f"min(({a_coef[i]}*sid + {b_coef[i]}) % 2147483647) AS h{i}"
+        for i in range(16)
+    )
+    match_terms = "\n              + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)"
+        for i in range(16)
+    )
+    return f"""
+        WITH reps AS (
+          SELECT doc_id, text FROM documents
+          WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+        ),
+        toks AS (
+          SELECT doc_id AS id,
+            list_distinct(
+              list_transform(
+                generate_series(1, greatest(len(t) - 1, 0)),
+                i -> array_to_string(t[i:i+1], ' ')
+              )
+            ) AS tok
+          FROM (
+            SELECT doc_id,
+              list_filter(string_split_regex(trim(text), '\\s+'),
+                x -> x <> '') AS t
+            FROM reps
+          )
+        ),
+        toks2 AS (
+          SELECT id, tok, len(tok) AS n_tok FROM toks
+          WHERE len(tok) > 0
+        ),
+        inv AS (
+          SELECT id, n_tok, unnest(tok) AS token FROM toks2
+        ),
+        pairs AS (
+          SELECT a.id AS id_a, b.id AS id_b, a.n_tok AS n_a,
+                 b.n_tok AS n_b, count(*) AS inter
+          FROM inv a JOIN inv b ON a.token = b.token AND a.id < b.id
+          GROUP BY 1, 2, 3, 4
+        ),
+        truth AS (
+          SELECT id_a, id_b,
+            inter / (n_a + n_b - inter) AS jaccard
+          FROM pairs WHERE inter / (n_a + n_b - inter) >= 0.35
+        ),
+        ids AS (
+          SELECT id,
+            (('0x' || substr(md5(token), 1, 12))::BIGINT % 2147483647)
+              AS sid
+          FROM inv
+        ),
+        sig AS (
+          SELECT id,
+            {mins}
+          FROM ids GROUP BY id
+        )
+        SELECT t.id_a, t.id_b, t.jaccard,
+          CAST({match_terms} AS DOUBLE) / 16.0 AS est_jaccard,
+          abs(CAST({match_terms} AS DOUBLE) / 16.0 - t.jaccard)
+            AS abs_err
+        FROM truth t
+        JOIN sig sa ON t.id_a = sa.id
+        JOIN sig sb ON t.id_b = sb.id
+    """
+
+
+register_many(
+    {
+        "q560_expectation_suite": _q_expectation_suite,
+        "q561_golden_record": _q_golden_record,
+        "q562_minhash_estimate_error": _q_minhash_estimate_error,
+        "q563_percentile_ci": _q_percentile_ci,
+        "q564_evalue_sensitivity": _q_evalue_sensitivity,
+        "q565_session_gap_sweep": _q_session_gap_sweep,
+    },
+    {
+        "q560_expectation_suite": """
+            WITH g AS (
+              SELECT
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0
+                  END) AS BIGINT) AS nulls,
+                CAST(count(DISTINCT o_orderkey) AS BIGINT) AS uniq,
+                CAST(sum(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+                CAST(sum(CASE WHEN o_totalprice < 0.0
+                  OR o_totalprice > 1000000.0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS oob,
+                CAST(max(o_orderkey) - min(o_orderkey) + 1 AS BIGINT)
+                  AS span
+              FROM orders
+            )
+            SELECT 'rows_in_band' AS name,
+              'row_count_between' AS kind,
+              (n >= 100 AND n <= 1000000000) AS passed,
+              CAST(n AS DOUBLE) AS observed,
+              1000000000.0 AS threshold FROM g
+            UNION ALL
+            SELECT 'price_not_null', 'not_null',
+              CAST(nulls AS DOUBLE) / CAST(n AS DOUBLE) <= 0.0,
+              CAST(nulls AS DOUBLE) / CAST(n AS DOUBLE), 0.0 FROM g
+            UNION ALL
+            SELECT 'orderkey_unique', 'unique', uniq = n,
+              CAST(uniq AS DOUBLE), CAST(n AS DOUBLE) FROM g
+            UNION ALL
+            SELECT 'status_domain', 'accepted_values', bad_status = 0,
+              CAST(bad_status AS DOUBLE), 0.0 FROM g
+            UNION ALL
+            SELECT 'price_range', 'between',
+              CAST(oob AS DOUBLE) / CAST(n AS DOUBLE) <= 0.0,
+              CAST(oob AS DOUBLE) / CAST(n AS DOUBLE), 0.0 FROM g
+            UNION ALL
+            SELECT 'orderkey_span', 'monotonic_id', span >= n,
+              CAST(span AS DOUBLE), CAST(n AS DOUBLE) FROM g
+        """,
+        "q561_golden_record": """
+            WITH base AS (
+              SELECT md5(text) AS fp, doc_id, lang, source, n_chars
+              FROM documents
+            ),
+            per_lang AS (
+              SELECT fp, lang, CAST(count(*) AS BIGINT) AS nl
+              FROM base GROUP BY fp, lang
+            ),
+            modal AS (
+              SELECT fp, min(lang) AS modal_lang FROM (
+                SELECT fp, lang, nl,
+                  max(nl) OVER (PARTITION BY fp) AS mx
+                FROM per_lang
+              ) WHERE nl = mx GROUP BY fp
+            ),
+            merged AS (
+              SELECT fp,
+                CAST(count(*) AS BIGINT) AS n_copies,
+                min(doc_id) AS keep_doc_id,
+                CAST(max(n_chars) AS BIGINT) AS n_chars_max,
+                min(source) AS first_source
+              FROM base GROUP BY fp
+            )
+            SELECT m.fp, m.n_copies, m.keep_doc_id, d.modal_lang,
+              m.n_chars_max, m.first_source
+            FROM merged m JOIN modal d ON m.fp = d.fp
+        """,
+        "q562_minhash_estimate_error": _q562_oracle(),
+        "q563_percentile_ci": """
+            WITH ranked AS (
+              SELECT event_type, value,
+                CAST(row_number() OVER (PARTITION BY event_type
+                  ORDER BY value ASC, event_id ASC) AS BIGINT) AS rn
+              FROM events
+            ),
+            counts AS (
+              SELECT event_type, max(rn) AS n
+              FROM ranked GROUP BY event_type
+            ),
+            grid AS (
+              SELECT c.event_type, c.n, p.p,
+                greatest(CAST(1 AS BIGINT),
+                  CAST(floor(c.n * p.p - 1.96e0
+                    * sqrt(c.n * p.p * (1.0 - p.p))) AS BIGINT))
+                  AS r_lo,
+                least(c.n,
+                  CAST(ceil(c.n * p.p + 1.96e0
+                    * sqrt(c.n * p.p * (1.0 - p.p))) AS BIGINT))
+                  AS r_hi,
+                CAST(ceil(c.n * p.p) AS BIGINT) AS r_pt
+              FROM counts c,
+                (SELECT * FROM (VALUES (CAST(0.5 AS DOUBLE)),
+                  (CAST(0.95 AS DOUBLE))) AS v(p)) p
+            )
+            SELECT g.event_type, g.p, g.n,
+              lo.value AS v_lo, pt.value AS v_pt, hi.value AS v_hi
+            FROM grid g
+            JOIN ranked lo ON g.event_type = lo.event_type
+              AND g.r_lo = lo.rn
+            JOIN ranked hi ON g.event_type = hi.event_type
+              AND g.r_hi = hi.rn
+            JOIN ranked pt ON g.event_type = pt.event_type
+              AND g.r_pt = pt.rn
+        """,
+        "q564_evalue_sensitivity": """
+            WITH resp AS (
+              SELECT DISTINCT o_custkey, 1 AS y FROM orders
+              WHERE o_orderpriority = '1-URGENT'
+            ),
+            flagged AS (
+              SELECT
+                CAST(CAST(('0x' || substr(md5('ev7:'
+                  || CAST(c.c_custkey AS VARCHAR)), 1, 12)) AS BIGINT)
+                  % 2 AS INT) AS z,
+                COALESCE(r.y, 0) AS y
+              FROM customer c LEFT JOIN resp r
+                ON c.c_custkey = r.o_custkey
+            ),
+            cells AS (
+              SELECT
+                CAST(sum(CASE WHEN z = 1 AND y = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a,
+                CAST(sum(CASE WHEN z = 1 AND y = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b,
+                CAST(sum(CASE WHEN z = 0 AND y = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c,
+                CAST(sum(CASE WHEN z = 0 AND y = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d
+              FROM flagged
+            ),
+            rrx AS (
+              SELECT a, b, c, d,
+                (CAST(a AS DOUBLE) / CAST(a + b AS DOUBLE))
+                / (CAST(c AS DOUBLE) / CAST(c + d AS DOUBLE)) AS rr
+              FROM cells
+            ),
+            star AS (
+              SELECT a, b, c, d, rr,
+                CASE WHEN rr >= 1.0 THEN rr ELSE 1.0 / rr END
+                  AS rr_star
+              FROM rrx
+            )
+            SELECT a, b, c, d, rr,
+              rr_star + sqrt(rr_star * (rr_star - 1.0)) AS evalue
+            FROM star
+        """,
+        "q565_session_gap_sweep": """
+            WITH gaps AS (
+              SELECT user_id,
+                epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id)
+                  AS gap_us
+              FROM events
+            ),
+            agg AS (
+              SELECT
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                CAST(sum(CASE WHEN gap_us > 900000000 THEN 1 ELSE 0
+                  END) AS BIGINT) AS breaks_900,
+                CAST(sum(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0
+                  END) AS BIGINT) AS breaks_1800,
+                CAST(sum(CASE WHEN gap_us > 3600000000 THEN 1 ELSE 0
+                  END) AS BIGINT) AS breaks_3600
+              FROM gaps
+            )
+            SELECT CAST(900 AS INT) AS gap_seconds,
+              CAST(n_users + breaks_900 AS BIGINT) AS n_sessions,
+              CAST(n_events AS DOUBLE)
+                / CAST(n_users + breaks_900 AS DOUBLE)
+                AS mean_events_per_session FROM agg
+            UNION ALL
+            SELECT CAST(1800 AS INT),
+              CAST(n_users + breaks_1800 AS BIGINT),
+              CAST(n_events AS DOUBLE)
+                / CAST(n_users + breaks_1800 AS DOUBLE) FROM agg
+            UNION ALL
+            SELECT CAST(3600 AS INT),
+              CAST(n_users + breaks_3600 AS BIGINT),
+              CAST(n_events AS DOUBLE)
+                / CAST(n_users + breaks_3600 AS DOUBLE) FROM agg
+        """,
+    },
+)

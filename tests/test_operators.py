@@ -410,3 +410,47 @@ def test_levenshtein_pairs_equals_bruteforce(spark):
     }
     assert got == brute
     assert got  # non-empty on the part-type vocabulary
+
+
+def test_run_expectations_single_pass_and_failures(spark):
+    """operators/expectations.py: the audit must flag the failing
+    checks (not just pass everything), and the whole suite must plan
+    exactly ONE aggregate over the input (one conditional pass,
+    however many expectations)."""
+    from pyspark.sql import functions as F
+
+    from sensor_time_series_pyspark_spark.operators import (
+        accepted_values,
+        between,
+        monotonic_id,
+        not_null,
+        row_count_between,
+        run_expectations,
+        unique,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (2, "zz", 500.0)],
+        "id int, cat string, x double",
+    )
+    suite = [
+        row_count_between("rows", 1, 10),
+        not_null("x_nn", "x", 0.0),
+        unique("id_uniq", "id"),
+        accepted_values("cat_dom", "cat", ("a", "b")),
+        between("x_rng", "x", 0.0, 100.0, 0.0),
+        monotonic_id("id_span", "id"),
+    ]
+    got = {r["name"]: r for r in run_expectations(df, suite).collect()}
+    assert got["rows"]["passed"] is True
+    assert got["x_nn"]["passed"] is False  # one null of three
+    assert got["id_uniq"]["passed"] is False  # id=2 twice
+    assert got["cat_dom"]["passed"] is False  # 'zz'
+    assert got["x_rng"]["passed"] is False  # 500 > 100
+    assert got["id_span"]["passed"] is False  # span 2 < 3 rows
+    # one PASS over the input: the distinct-count expectation expands
+    # to the standard two-phase distinct aggregate (4 HashAggregate
+    # nodes), but the source is still scanned exactly once
+    plan = run_expectations(df, suite)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") == 1, plan[:2000]
+    assert plan.count("HashAggregate") <= 4, plan[:2000]

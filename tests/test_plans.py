@@ -156,6 +156,9 @@ def test_no_accidental_cartesian_products(spark):
     # 30-day x 5-arm spine construction (both sides tiny and
     # calendar/domain-bounded at ANY sf — same as q229's spine)
     SKIP |= {"q558_bandit_replay"}
+    # 2-row probability frame broadcast onto the 5-type counts frame
+    # (q563), constant-cardinality by construction like q377's deciles
+    SKIP |= {"q563_percentile_ci"}
     qs = entrymod.queries()
     offenders = []
     for name, fn in qs.items():
