@@ -2559,3 +2559,416 @@ register_many(
         """,
     },
 )
+
+
+def _q_chain_ladder(spark: SparkSession, sf: str) -> DataFrame:
+    """Actuarial chain-ladder development factors over the revenue
+    run-off triangle: cohort = order YEAR, development age = years
+    until shipment (non-negative ages 0..3), cell = cumulative shipped
+    revenue cents. The age-j factor is the volume-weighted
+    sum(C_{j+1})/sum(C_j) over cohorts old enough to have observed
+    age j+1 — the estimator every IBNR reserve starts from. Exact
+    integer triangle (two bounded aggregates + one cumulative window
+    over ages); ONE division per age row."""
+    li = read_table(spark, sf, "lineitem")
+    o = read_table(spark, sf, "orders")
+    base = li.join(
+        o.select("o_orderkey", "o_orderdate"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    ).select(
+        F.year("o_orderdate").alias("cohort"),
+        (F.year("l_shipdate") - F.year("o_orderdate")).alias("dev"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("rev_c"),
+    ).where((F.col("dev") >= 0) & (F.col("dev") <= 3))
+    cells = base.groupBy("cohort", "dev").agg(
+        F.sum("rev_c").cast("decimal(38,0)").alias("inc_c")
+    )
+    wcum = Window.partitionBy("cohort").orderBy("dev").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = cells.select(
+        "cohort",
+        "dev",
+        F.sum("inc_c").over(wcum).cast("decimal(38,0)").alias("cum_c"),
+    )
+    nxt = cum.select(
+        F.col("cohort").alias("n_cohort"),
+        (F.col("dev") - 1).alias("n_dev"),
+        F.col("cum_c").alias("cum_next"),
+    )
+    paired = cum.join(
+        nxt,
+        (F.col("cohort") == F.col("n_cohort"))
+        & (F.col("dev") == F.col("n_dev")),
+    )
+    return (
+        paired.groupBy("dev")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cohorts"),
+            F.sum("cum_c").cast("decimal(38,0)").alias("sum_cj"),
+            F.sum("cum_next").cast("decimal(38,0)").alias("sum_cj1"),
+        )
+        .select(
+            F.col("dev").alias("age"),
+            "n_cohorts",
+            F.col("sum_cj").cast("bigint").alias("sum_cj_c"),
+            F.col("sum_cj1").cast("bigint").alias("sum_cj1_c"),
+            (
+                F.col("sum_cj1").cast("double")
+                / F.col("sum_cj").cast("double")
+            ).alias("dev_factor"),
+        )
+    )
+
+
+# Shapley weights for 3 players: |S|=0 -> 1/3, |S|=1 -> 1/6, |S|=2 -> 1/3
+_SHAP_W = {0: 1.0 / 3.0, 1: 1.0 / 6.0, 2: 1.0 / 3.0}
+_SHAP_CH = ("view", "click", "signup")
+
+
+def _q_shapley_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-driven Shapley channel attribution: users are bucketed by
+    their EXACT touched-channel set over {view, click, signup};
+    v(S) = purchase rate of that bucket; each channel's credit is the
+    Shapley value phi_i = sum over S not containing i of
+    w(|S|)*(v(S+i) - v(S)) with the 3-player literal weights 1/3, 1/6,
+    1/3. Like q554, the whole game collapses to the 2^3-cell frame
+    after one user-grain reduction — corpus-size-independent shape.
+    Eight v-divisions, then fixed literal-order weighted sums; the
+    efficiency identity sum(phi) = v(111) - v(000) is pinned in
+    tests."""
+    ev = read_table(spark, sf, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "hv"
+        ),
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "hc"
+        ),
+        F.max(
+            F.when(F.col("event_type") == "signup", 1).otherwise(0)
+        ).alias("hs"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    cells = per_user.groupBy("hv", "hc", "hs").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("conv").cast("bigint").alias("k"),
+    )
+    one = cells.groupBy().agg(
+        *[
+            F.max(
+                F.when(
+                    (F.col("hv") == v) & (F.col("hc") == c) & (F.col("hs") == s),
+                    F.col("k").cast("double") / F.col("n").cast("double"),
+                )
+            ).alias(f"v{v}{c}{s}")
+            for v in (0, 1)
+            for c in (0, 1)
+            for s in (0, 1)
+        ]
+    )
+    # v cells may be absent at tiny SFs -> treat as 0 conversion rate
+    vv = {
+        (v, c, s): F.coalesce(F.col(f"v{v}{c}{s}"), F.lit(0.0))
+        for v in (0, 1)
+        for c in (0, 1)
+        for s in (0, 1)
+    }
+
+    def phi(idx: int) -> F.Column:
+        # subsets S of the OTHER two channels, in fixed literal order:
+        # {}, {a}, {b}, {a,b}
+        others = [j for j in range(3) if j != idx]
+        total = None
+        for mask in (0b00, 0b01, 0b10, 0b11):
+            size = bin(mask).count("1")
+            cell_without = [0, 0, 0]
+            for bit, j in enumerate(others):
+                cell_without[j] = (mask >> bit) & 1
+            cell_with = list(cell_without)
+            cell_with[idx] = 1
+            term = F.lit(_SHAP_W[size]) * (
+                vv[tuple(cell_with)] - vv[tuple(cell_without)]
+            )
+            total = term if total is None else total + term
+        return total
+
+    rows = [
+        F.struct(
+            F.lit(_SHAP_CH[i]).alias("channel"), phi(i).alias("phi")
+        )
+        for i in range(3)
+    ]
+    return one.select(F.explode(F.array(*rows)).alias("__r")).select(
+        "__r.*"
+    )
+
+
+def _q_mediation_effects(spark: SparkSession, sf: str) -> DataFrame:
+    """Mediation analysis (Baron-Kenny with exact-moment OLS): does
+    urgent-order count (x) drive customer revenue (y) directly, or
+    through total order volume (m)? Total effect c = Sxy/Sxx; the
+    two-regressor fit solves the 2x2 normal equations with centered
+    moments — all centered moments are exact integers (decimal 38 ->
+    one correctly-rounded double cast each), the determinant algebra
+    runs in fixed literal order, and prop_mediated = 1 - b_x/c. One
+    customer-grain reduce + one scalar frame."""
+    cust = read_table(spark, sf, "customer").select("c_custkey")
+    o = read_table(spark, sf, "orders")
+    per = (
+        cust.join(o, cust["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("x"),
+            F.sum(F.when(F.col("o_orderkey").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("m"),
+            F.coalesce(
+                F.sum(
+                    (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                    .cast("bigint")
+                ),
+                F.lit(0).cast("bigint"),
+            ).alias("y"),
+        )
+    )
+    g = per.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("m").cast("decimal(38,0)").alias("sm"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("m") * F.col("m")).cast("decimal(38,0)").alias("smm"),
+        F.sum(F.col("x") * F.col("m")).cast("decimal(38,0)").alias("sxm"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("m") * F.col("y")).cast("decimal(38,0)").alias("smy"),
+    )
+    cxx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    cmm = (F.col("n") * F.col("smm") - F.col("sm") * F.col("sm")).cast("double")
+    cxm = (F.col("n") * F.col("sxm") - F.col("sx") * F.col("sm")).cast("double")
+    cxy = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    cmy = (F.col("n") * F.col("smy") - F.col("sm") * F.col("sy")).cast("double")
+    c_total = cxy / cxx
+    det = cxx * cmm - cxm * cxm
+    b_x = (cmm * cxy - cxm * cmy) / det
+    b_m = (cxx * cmy - cxm * cxy) / det
+    return g.select(
+        "n",
+        c_total.alias("c_total"),
+        b_x.alias("b_direct"),
+        b_m.alias("b_mediator"),
+        (F.lit(1.0) - b_x / c_total).alias("prop_mediated"),
+    )
+
+
+def _q_loo_source_value(spark: SparkSession, sf: str) -> DataFrame:
+    """Leave-one-source-out data valuation (the first rung of data
+    Shapley): each source's contribution to the corpus mean document
+    length is mean(all) - mean(without s) — closed form from exact
+    totals ((T/N) - (T-t_s)/(N-n_s)), no retraining, no resampling.
+    Positive delta = the source pulls the metric up. One (source)
+    aggregate + the 1-row total broadcast; two divisions + one
+    subtraction per source row."""
+    docs = read_table(spark, sf, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("t_chars"),
+    )
+    tot = per.groupBy().agg(
+        F.sum("n_docs").cast("bigint").alias("n_all"),
+        F.sum("t_chars").cast("bigint").alias("t_all"),
+    )
+    joined = per.crossJoin(F.broadcast(tot))
+    mean_all = F.col("t_all").cast("double") / F.col("n_all").cast("double")
+    mean_loo = (F.col("t_all") - F.col("t_chars")).cast("double") / (
+        F.col("n_all") - F.col("n_docs")
+    ).cast("double")
+    return joined.select(
+        "source",
+        "n_docs",
+        (
+            F.col("t_chars").cast("double") / F.col("n_docs").cast("double")
+        ).alias("mean_source"),
+        (mean_all - mean_loo).alias("loo_delta"),
+    )
+
+
+register_many(
+    {
+        "q566_chain_ladder": _q_chain_ladder,
+        "q567_shapley_attribution": _q_shapley_attribution,
+        "q568_mediation_effects": _q_mediation_effects,
+        "q569_loo_source_value": _q_loo_source_value,
+    },
+    {
+        "q566_chain_ladder": """
+            WITH base AS (
+              SELECT CAST(extract(year FROM o.o_orderdate) AS INT)
+                  AS cohort,
+                CAST(extract(year FROM l.l_shipdate)
+                  - extract(year FROM o.o_orderdate) AS INT) AS dev,
+                CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT) AS rev_c
+              FROM lineitem l JOIN orders o
+                ON l.l_orderkey = o.o_orderkey
+              WHERE extract(year FROM l.l_shipdate)
+                  - extract(year FROM o.o_orderdate) BETWEEN 0 AND 3
+            ),
+            cells AS (
+              SELECT cohort, dev,
+                CAST(sum(rev_c) AS DECIMAL(38,0)) AS inc_c
+              FROM base GROUP BY 1, 2
+            ),
+            cum AS (
+              SELECT cohort, dev,
+                CAST(sum(inc_c) OVER (PARTITION BY cohort ORDER BY dev
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DECIMAL(38,0)) AS cum_c
+              FROM cells
+            ),
+            paired AS (
+              SELECT a.dev, a.cum_c, b.cum_c AS cum_next
+              FROM cum a JOIN cum b
+                ON a.cohort = b.cohort AND b.dev = a.dev + 1
+            )
+            SELECT dev AS age,
+              CAST(count(*) AS BIGINT) AS n_cohorts,
+              CAST(CAST(sum(cum_c) AS DECIMAL(38,0)) AS BIGINT)
+                AS sum_cj_c,
+              CAST(CAST(sum(cum_next) AS DECIMAL(38,0)) AS BIGINT)
+                AS sum_cj1_c,
+              CAST(CAST(sum(cum_next) AS DECIMAL(38,0)) AS DOUBLE)
+                / CAST(CAST(sum(cum_c) AS DECIMAL(38,0)) AS DOUBLE)
+                AS dev_factor
+            FROM paired GROUP BY dev
+        """,
+        "q567_shapley_attribution": """
+            WITH per_user AS (
+              SELECT user_id,
+                max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS hv,
+                max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS hc,
+                max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                  AS hs,
+                max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                  END) AS conv
+              FROM events GROUP BY user_id
+            ),
+            cells AS (
+              SELECT hv, hc, hs,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(conv) AS BIGINT) AS k
+              FROM per_user GROUP BY 1, 2, 3
+            ),
+            one AS (
+              SELECT
+                COALESCE(max(CASE WHEN hv=0 AND hc=0 AND hs=0 THEN
+                  CAST(k AS DOUBLE)/CAST(n AS DOUBLE) END), 0.0) AS v000,
+                COALESCE(max(CASE WHEN hv=0 AND hc=0 AND hs=1 THEN
+                  CAST(k AS DOUBLE)/CAST(n AS DOUBLE) END), 0.0) AS v001,
+                COALESCE(max(CASE WHEN hv=0 AND hc=1 AND hs=0 THEN
+                  CAST(k AS DOUBLE)/CAST(n AS DOUBLE) END), 0.0) AS v010,
+                COALESCE(max(CASE WHEN hv=0 AND hc=1 AND hs=1 THEN
+                  CAST(k AS DOUBLE)/CAST(n AS DOUBLE) END), 0.0) AS v011,
+                COALESCE(max(CASE WHEN hv=1 AND hc=0 AND hs=0 THEN
+                  CAST(k AS DOUBLE)/CAST(n AS DOUBLE) END), 0.0) AS v100,
+                COALESCE(max(CASE WHEN hv=1 AND hc=0 AND hs=1 THEN
+                  CAST(k AS DOUBLE)/CAST(n AS DOUBLE) END), 0.0) AS v101,
+                COALESCE(max(CASE WHEN hv=1 AND hc=1 AND hs=0 THEN
+                  CAST(k AS DOUBLE)/CAST(n AS DOUBLE) END), 0.0) AS v110,
+                COALESCE(max(CASE WHEN hv=1 AND hc=1 AND hs=1 THEN
+                  CAST(k AS DOUBLE)/CAST(n AS DOUBLE) END), 0.0) AS v111
+              FROM cells
+            )
+            SELECT 'view' AS channel,
+              (1.0/3.0)*(v100 - v000) + (1.0/6.0)*(v110 - v010)
+              + (1.0/6.0)*(v101 - v001) + (1.0/3.0)*(v111 - v011)
+              AS phi FROM one
+            UNION ALL
+            SELECT 'click',
+              (1.0/3.0)*(v010 - v000) + (1.0/6.0)*(v110 - v100)
+              + (1.0/6.0)*(v011 - v001) + (1.0/3.0)*(v111 - v101)
+              FROM one
+            UNION ALL
+            SELECT 'signup',
+              (1.0/3.0)*(v001 - v000) + (1.0/6.0)*(v101 - v100)
+              + (1.0/6.0)*(v011 - v010) + (1.0/3.0)*(v111 - v110)
+              FROM one
+        """,
+        "q568_mediation_effects": """
+            WITH per AS (
+              SELECT c.c_custkey,
+                CAST(sum(CASE WHEN o.o_orderpriority = '1-URGENT'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                CAST(sum(CASE WHEN o.o_orderkey IS NOT NULL THEN 1
+                  ELSE 0 END) AS BIGINT) AS m,
+                COALESCE(CAST(sum(CAST(CAST(o.o_totalprice
+                  AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT),
+                  CAST(0 AS BIGINT)) AS y
+              FROM customer c LEFT JOIN orders o
+                ON c.c_custkey = o.o_custkey
+              GROUP BY c.c_custkey
+            ),
+            g AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+                CAST(sum(m) AS DECIMAL(38,0)) AS sm,
+                CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+                CAST(sum(x*x) AS DECIMAL(38,0)) AS sxx,
+                CAST(sum(m*m) AS DECIMAL(38,0)) AS smm,
+                CAST(sum(x*m) AS DECIMAL(38,0)) AS sxm,
+                CAST(sum(x*y) AS DECIMAL(38,0)) AS sxy,
+                CAST(sum(m*y) AS DECIMAL(38,0)) AS smy
+              FROM per
+            ),
+            cmom AS (
+              SELECT n,
+                CAST(n * sxx - sx * sx AS DOUBLE) AS cxx,
+                CAST(n * smm - sm * sm AS DOUBLE) AS cmm,
+                CAST(n * sxm - sx * sm AS DOUBLE) AS cxm,
+                CAST(n * sxy - sx * sy AS DOUBLE) AS cxy,
+                CAST(n * smy - sm * sy AS DOUBLE) AS cmy
+              FROM g
+            )
+            SELECT n,
+              cxy / cxx AS c_total,
+              (cmm * cxy - cxm * cmy) / (cxx * cmm - cxm * cxm)
+                AS b_direct,
+              (cxx * cmy - cxm * cxy) / (cxx * cmm - cxm * cxm)
+                AS b_mediator,
+              1.0 - ((cmm * cxy - cxm * cmy)
+                / (cxx * cmm - cxm * cxm)) / (cxy / cxx)
+                AS prop_mediated
+            FROM cmom
+        """,
+        "q569_loo_source_value": """
+            WITH per AS (
+              SELECT source,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS t_chars
+              FROM documents GROUP BY source
+            ),
+            tot AS (
+              SELECT CAST(sum(n_docs) AS BIGINT) AS n_all,
+                CAST(sum(t_chars) AS BIGINT) AS t_all
+              FROM per
+            )
+            SELECT p.source, p.n_docs,
+              CAST(p.t_chars AS DOUBLE) / CAST(p.n_docs AS DOUBLE)
+                AS mean_source,
+              (CAST(t.t_all AS DOUBLE) / CAST(t.n_all AS DOUBLE))
+              - (CAST(t.t_all - p.t_chars AS DOUBLE)
+                 / CAST(t.n_all - p.n_docs AS DOUBLE)) AS loo_delta
+            FROM per p, tot t
+        """,
+    },
+)

@@ -159,6 +159,9 @@ def test_no_accidental_cartesian_products(spark):
     # 2-row probability frame broadcast onto the 5-type counts frame
     # (q563), constant-cardinality by construction like q377's deciles
     SKIP |= {"q563_percentile_ci"}
+    # 1-row corpus-total broadcast onto the bounded source frame
+    # (q569) — the q67 scalar pattern again
+    SKIP |= {"q569_loo_source_value"}
     qs = entrymod.queries()
     offenders = []
     for name, fn in qs.items():

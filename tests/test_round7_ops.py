@@ -195,3 +195,60 @@ def test_q553_bloom_no_false_negatives(spark):
         .count()
     )
     assert hits == sup.count()
+
+
+def test_q567_shapley_efficiency_identity(spark):
+    """Shapley values must satisfy efficiency: sum(phi) over channels
+    equals v(all three) - v(none) — recomputed here from the raw
+    8-cell bucket rates."""
+    from pyspark.sql import functions as F
+
+    from sensor_time_series_pyspark_spark.sources.readers import read_table
+
+    phis = {
+        r["channel"]: r["phi"]
+        for r in _queries()["q567_shapley_attribution"](spark, SF).collect()
+    }
+    per_user = (
+        read_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(
+            *[
+                F.max(
+                    F.when(F.col("event_type") == t, 1).otherwise(0)
+                ).alias(t)
+                for t in ("view", "click", "signup", "purchase")
+            ]
+        )
+    )
+    cells = {
+        (r["view"], r["click"], r["signup"]): (r["n"], r["k"])
+        for r in per_user.groupBy("view", "click", "signup")
+        .agg(
+            F.count(F.lit(1)).alias("n"), F.sum("purchase").alias("k")
+        )
+        .collect()
+    }
+
+    def v(cell):
+        n, k = cells.get(cell, (0, 0))
+        return (k / n) if n else 0.0
+
+    want = v((1, 1, 1)) - v((0, 0, 0))
+    got = phis["view"] + phis["click"] + phis["signup"]
+    assert abs(got - want) < 1e-12, (got, want)
+
+
+def test_q566_chain_ladder_factors_positive(spark):
+    rows = _queries()["q566_chain_ladder"](spark, SF).collect()
+    assert {r["age"] for r in rows} == {0, 1, 2}
+    for r in rows:
+        assert r["dev_factor"] > 1.0, r  # cumulative revenue grows
+
+
+def test_q568_mediation_brackets(spark):
+    r = _queries()["q568_mediation_effects"](spark, SF).collect()[0]
+    # direct + mediated decompose the total: c = b_x + b_m * (Sxm/Sxx)
+    # we only pin the coarse sanity here; exact algebra is oracle-gated
+    assert r["c_total"] > 0
+    assert 0.0 <= r["prop_mediated"] <= 1.5, r
