@@ -1,4 +1,6 @@
-"""Round-7 additions (q542+): KMV bottom-k distinct sketch with an
+"""Round-7 family (q542-q569): data-infrastructure / corpus-quality
+audits and experimentation-economics queries — KMV bottom-k distinct
+sketch with an
 exact SQL twin, rendezvous-hash shard planning, within-transformation
 fixed-effects regression, DSIR-style distribution-matching sampling
 plans, EOQ/safety-stock inventory policy, and Matryoshka embedding
