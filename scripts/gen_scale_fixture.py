@@ -229,7 +229,16 @@ def build_events5m(spark, force):
             # deterministic uniform u in (0,1] from the shifted id,
             # then inverse-CDF of a truncated zeta(s=1.2) over ranks
             # 1..1500 approximated by u^(-1/(s-1)) — heavy head, the
-            # hottest user takes a few percent of ALL events
+            # hottest user takes a few percent of ALL events. The rank
+            # is then mapped onto the OBSERVED copy-0 customer domain
+            # (min_custkey + (rank-1) % domain_size) rather than used
+            # raw, so every zipf user joins customer regardless of
+            # where custkeys start; on the dense 1..N sf0.1 domain
+            # (N >= 1500) this is the identity map.
+            ckeys = read_table(spark, SRC, "customer").agg(
+                F.min("c_custkey").alias("lo"), F.max("c_custkey").alias("hi")
+            ).collect()[0]
+            dom_lo, dom_n = int(ckeys["lo"]), int(ckeys["hi"] - ckeys["lo"] + 1)
             u = (
                 F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 12), 16, 10)
                 .cast("double")
@@ -241,8 +250,9 @@ def build_events5m(spark, force):
                     F.lit(1.0),
                     F.pow(F.greatest(u, F.lit(1e-12)), F.lit(-1.0 / 0.2)),
                 ),
-            )
-            base = base.withColumn("user_id", rank.cast("bigint"))
+            ).cast("bigint")
+            mapped = F.lit(dom_lo) + (rank - 1) % F.lit(dom_n)
+            base = base.withColumn("user_id", mapped.cast("bigint"))
         base.drop("__i").repartition(64).write.mode("overwrite").parquet(dst)
         print("wrote", dst)
         # symlink the other tables from scale10 so headline queries

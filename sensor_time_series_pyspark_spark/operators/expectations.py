@@ -17,6 +17,17 @@ Supported kinds:
 - ``monotonic_id(col)`` — max(col) - min(col) + 1 >= count (no dense
   requirement, catches gross id reuse when equality holds)
 
+NULL policy: a NULL value is a VIOLATION for ``between`` and
+``accepted_values`` (a contract on a column's domain is not satisfied
+by an absent value), and is what ``not_null`` counts by definition.
+Empty-input policy: with zero rows every data-content check reports
+``passed = false`` and ``observed = 0.0`` — an audit over an empty
+table must not vacuously succeed — while ``row_count_between``
+evaluates its band naturally (``lo <= 0 <= hi`` may legitimately
+pass). Every audit row therefore carries a definite (non-NULL)
+boolean, so downstream ``WHERE passed`` / ``WHERE NOT passed``
+filters partition the report exactly.
+
 Each expectation is pure integer counting; ``observed`` is reported
 as a double with at most one division, so audit rows hash-gate
 cross-engine (see q560's oracle).
@@ -81,18 +92,27 @@ def run_expectations(df: DataFrame, suite: list[Expectation]) -> DataFrame:
         elif e.kind == "unique":
             aggs.append(F.count_distinct(F.col(e.col)).alias(f"__m{i}"))
         elif e.kind == "accepted_values":
+            # NULL is outside every accepted domain -> violation
             aggs.append(
                 F.sum(
-                    F.when(~F.col(e.col).isin(list(e.values)), 1).otherwise(0)
+                    F.when(
+                        F.col(e.col).isNull()
+                        | ~F.col(e.col).isin(list(e.values)),
+                        1,
+                    ).otherwise(0)
                 )
                 .cast("bigint")
                 .alias(f"__m{i}")
             )
         elif e.kind == "between":
+            # NULL cannot satisfy a range contract -> violation
             aggs.append(
                 F.sum(
                     F.when(
-                        (F.col(e.col) < e.lo) | (F.col(e.col) > e.hi), 1
+                        F.col(e.col).isNull()
+                        | (F.col(e.col) < e.lo)
+                        | (F.col(e.col) > e.hi),
+                        1,
                     ).otherwise(0)
                 )
                 .cast("bigint")
@@ -140,9 +160,18 @@ def run_expectations(df: DataFrame, suite: list[Expectation]) -> DataFrame:
             passed = observed <= F.lit(float(e.frac))
             threshold = F.lit(float(e.frac))
         else:  # monotonic_id
-            passed = m >= n
-            observed = m.cast("double")
+            # coalesce: max/min are NULL on an all-NULL id column
+            # (and on empty input) — that's a definite failure, not
+            # a NULL verdict
+            passed = F.coalesce(m >= n, F.lit(False))
+            observed = F.coalesce(m.cast("double"), F.lit(0.0))
             threshold = n.cast("double")
+        if e.kind != "row_count_between":
+            # empty input: definite failure, never a NULL verdict
+            # (0/0 and max()-min() are NULL at n=0 otherwise)
+            empty = n == F.lit(0).cast("bigint")
+            passed = F.when(empty, F.lit(False)).otherwise(passed)
+            observed = F.when(empty, F.lit(0.0)).otherwise(observed)
         structs.append(
             F.struct(
                 F.lit(e.name).alias("name"),

@@ -101,12 +101,20 @@ def ffill(
     cols: Sequence[str],
     order_col: str,
     partition_by: Sequence[str],
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Forward-fill NULLs per series: last non-null over an unbounded
-    preceding frame (native equivalent of pandas ``.ffill()``)."""
+    preceding frame (native equivalent of pandas ``.ffill()``).
+
+    ``tiebreak_col`` (a unique id) makes the sort a total order when
+    ``order_col`` can repeat within a partition — without it, which of
+    two equal-keyed rows fills first is engine-/run-dependent."""
+    order = [F.col(order_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
     w = (
         Window.partitionBy(*partition_by)
-        .orderBy(order_col)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     out = df
@@ -120,6 +128,7 @@ def bfill(
     cols: Sequence[str],
     order_col: str,
     partition_by: Sequence[str],
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Backward-fill NULLs per series: next non-null over an unbounded
     following frame (native equivalent of pandas ``.bfill()``) — the
@@ -132,12 +141,17 @@ def bfill(
     UnboundedFollowing frame re-scans the remainder of the partition
     for EVERY row — O(n²) per partition, a wedge on skewed keys (a
     1M-row hot series = 10¹² ops) — while the running frame
-    accumulates incrementally in O(n). Identical results whenever
-    ``order_col`` is unique per partition (the reversed sort is then
-    the exact mirror)."""
+    accumulates incrementally in O(n). Identical results whenever the
+    sort is a total order per partition: either ``order_col`` is unique
+    (the reversed sort is then the exact mirror) or ``tiebreak_col`` (a
+    unique id, reversed together with the order key) is supplied —
+    otherwise which duplicate-keyed row wins is run-dependent."""
+    order = [F.col(order_col).desc()] + (
+        [F.col(tiebreak_col).desc()] if tiebreak_col else []
+    )
     w_rev = (
         Window.partitionBy(*partition_by)
-        .orderBy(F.col(order_col).desc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     out = df
@@ -152,6 +166,7 @@ def interpolate_linear(
     value_col: str,
     partition_by: Sequence[str],
     out_col: str | None = None,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Linear interpolation of NULL gaps per series — pure column
     algebra, no UDF (native equivalent of pandas
@@ -167,20 +182,23 @@ def interpolate_linear(
     unboundedFollowing)``: the latter re-scans the partition tail for
     every row (O(n²) — a 1M-row hot series wedges for hours; measured
     on the round-7 zipf fixture), the former is one incremental O(n)
-    pass. Results are identical whenever ``ts_col`` is unique per
-    series (reversed sort = exact mirror).
+    pass. Results are identical whenever the sort is a total order per
+    series: ``ts_col`` unique (reversed sort = exact mirror) or
+    ``tiebreak_col`` (a unique id) supplied and reversed with it.
     """
     out = out_col or value_col
     t = F.col(ts_col).cast("double")
     v = F.col(value_col)
+    tb_asc = [F.col(tiebreak_col)] if tiebreak_col else []
+    tb_desc = [F.col(tiebreak_col).desc()] if tiebreak_col else []
     back = (
         Window.partitionBy(*partition_by)
-        .orderBy(ts_col)
+        .orderBy(F.col(ts_col), *tb_asc)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     fwd_rev = (
         Window.partitionBy(*partition_by)
-        .orderBy(F.col(ts_col).desc())
+        .orderBy(F.col(ts_col).desc(), *tb_desc)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     prev_v = F.last(v, ignorenulls=True).over(back)

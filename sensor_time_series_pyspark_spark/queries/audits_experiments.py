@@ -353,11 +353,20 @@ def _q_matryoshka_overlap(spark: SparkSession, sf: str) -> DataFrame:
         )
     out = None
     for d in (32, 16, 8):
+        # LEFT join from the exact-top-5 spine so a tier whose top-5
+        # shares nothing with the exact set still reports n_overlap=0
+        # (the worst-fidelity rows are exactly the ones an inner join
+        # would silently drop)
+        hits = tops[d].withColumn("__hit", F.lit(1))
         ov = (
             tops[64]
-            .join(tops[d], ["qid", "cid"])
+            .join(hits, ["qid", "cid"], "left")
             .groupBy("qid")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+            .agg(
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                .cast("bigint")
+                .alias("n_overlap")
+            )
             .select("qid", F.lit(d).cast("int").alias("dim"), "n_overlap")
         )
         out = ov if out is None else out.unionByName(ov)
@@ -979,18 +988,24 @@ register_many(
               WHERE rn <= 5
             )
             SELECT a.qid, CAST(32 AS INT) AS dim,
-              CAST(count(*) AS BIGINT) AS n_overlap
-            FROM t64 a JOIN t32 b ON a.qid = b.qid AND a.cid = b.cid
+              CAST(sum(CASE WHEN b.cid IS NULL THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_overlap
+            FROM t64 a LEFT JOIN t32 b
+              ON a.qid = b.qid AND a.cid = b.cid
             GROUP BY a.qid
             UNION ALL
             SELECT a.qid, CAST(16 AS INT) AS dim,
-              CAST(count(*) AS BIGINT) AS n_overlap
-            FROM t64 a JOIN t16 b ON a.qid = b.qid AND a.cid = b.cid
+              CAST(sum(CASE WHEN b.cid IS NULL THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_overlap
+            FROM t64 a LEFT JOIN t16 b
+              ON a.qid = b.qid AND a.cid = b.cid
             GROUP BY a.qid
             UNION ALL
             SELECT a.qid, CAST(8 AS INT) AS dim,
-              CAST(count(*) AS BIGINT) AS n_overlap
-            FROM t64 a JOIN t8 b ON a.qid = b.qid AND a.cid = b.cid
+              CAST(sum(CASE WHEN b.cid IS NULL THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_overlap
+            FROM t64 a LEFT JOIN t8 b
+              ON a.qid = b.qid AND a.cid = b.cid
             GROUP BY a.qid
         """,
     },
@@ -1998,8 +2013,10 @@ register_many(
 def _q_expectation_suite(spark: SparkSession, sf: str) -> DataFrame:
     """Declarative data-contract audit (operators/expectations.py —
     the Great-Expectations pattern): six expectations over orders
-    (row-count band, zero null prices, unique and gap-free order
-    keys, accepted status values, price range) compiled into ONE
+    (row-count band, zero null prices, unique order keys, key span
+    covering the row count — NOT gap-free: monotonic_id only bounds
+    max-min+1 >= n — accepted status values, price range) compiled
+    into ONE
     conditional aggregate + one exploded projection — the suite costs
     a single map-side-combinable pass no matter how many checks it
     holds. Audit rows are integer counts with at most one division,
@@ -2384,9 +2401,11 @@ register_many(
                 CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0
                   END) AS BIGINT) AS nulls,
                 CAST(count(DISTINCT o_orderkey) AS BIGINT) AS uniq,
-                CAST(sum(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+                CAST(sum(CASE WHEN o_orderstatus IS NULL
+                  OR o_orderstatus NOT IN ('F','O','P')
                   THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
-                CAST(sum(CASE WHEN o_totalprice < 0.0
+                CAST(sum(CASE WHEN o_totalprice IS NULL
+                  OR o_totalprice < 0.0
                   OR o_totalprice > 1000000.0 THEN 1 ELSE 0 END)
                   AS BIGINT) AS oob,
                 CAST(max(o_orderkey) - min(o_orderkey) + 1 AS BIGINT)

@@ -254,14 +254,26 @@ def _q_rollup(spark: SparkSession, sf: str) -> DataFrame:
 
 def _q_ffill(spark: SparkSession, sf: str) -> DataFrame:
     """Forward-fill per series (reference T2, native)."""
-    out = ffill(_nulled_events(spark, sf), ["value"], order_col="ts", partition_by=["user_id"])
+    out = ffill(
+        _nulled_events(spark, sf),
+        ["value"],
+        order_col="ts",
+        partition_by=["user_id"],
+        tiebreak_col="event_id",
+    )
     return out.select("event_id", "user_id", "ts", "value")
 
 
 def _q_interpolate(spark: SparkSession, sf: str) -> DataFrame:
     """Linear interpolation per series (reference T3, pure column
     algebra — no UDF)."""
-    out = interpolate_linear(_nulled_events(spark, sf), "ts", "value", ["user_id"])
+    out = interpolate_linear(
+        _nulled_events(spark, sf),
+        "ts",
+        "value",
+        ["user_id"],
+        tiebreak_col="event_id",
+    )
     return out.select("event_id", "user_id", "ts", "value")
 
 

@@ -355,7 +355,11 @@ def _q_bfill(spark: SparkSession, sf: str) -> DataFrame:
     from sensor_time_series_pyspark_spark.operators import bfill
 
     out = bfill(
-        _nulled_events(spark, sf), ["value"], order_col="ts", partition_by=["user_id"]
+        _nulled_events(spark, sf),
+        ["value"],
+        order_col="ts",
+        partition_by=["user_id"],
+        tiebreak_col="event_id",
     )
     return out.select("event_id", "user_id", "ts", "value")
 
