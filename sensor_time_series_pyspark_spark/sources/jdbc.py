@@ -5,8 +5,15 @@ The reference embeds SQL Server credentials in source
 pushed-down subqueries with ``numPartitions=20``. This module keeps the
 good part (server-side subquery pushdown — the dim join at
 read_sensor_configs.py:32-34 runs in the database, which is correct for
-small dims) and parameterizes the rest. Untestable in this environment
-(no JDBC server); kept thin and exercised only for plan construction.
+small dims) and parameterizes the rest.
+
+Live-verified against a file-backed DuckDB through the duckdb_jdbc
+driver (tests/test_jdbc_live.py): pushed subquery in the physical plan,
+Spark-side PushedFilters on plain table reads, and hash-identical
+results vs the same SQL run directly in DuckDB, on both the
+single-connection and the partitioned range-scan path. The Cassandra
+path stays environment-blocked (no connector jar anywhere in the image
+— probe recorded in PROBES_r08.md).
 """
 
 from __future__ import annotations
