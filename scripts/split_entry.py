@@ -30,7 +30,7 @@ CHUNK_NAMES = [
     ("business", "Business/ops analytics: funnels, SLAs, finance windows,\nfeature tables (q200 .. q243)."),
     ("stats_sampling", "Statistics and sampling estimators (q244 .. q283)."),
     ("ml_analytics", "ML-adjacent analytics: neighbors, silhouettes,\nretrieval, histograms, periodicity (q284 .. q322)."),
-    ("tests_drift", "Hypothesis tests and drift monitors (q323 .. q354)."),
+    ("drift_stats", "Hypothesis tests and drift monitors (q323 .. q354)."),
     ("experiments", "Experimentation, causal and curve analyses\n(q355 .. q383)."),
     ("stats_ts", "Round-4 statistical/time-series batch: ICC, rank tests,\nsurvival, spectra (q384 .. q407)."),
     ("quality_ops", "Data-quality, calibration and ops-audit batch\n(q408 .. q438)."),

@@ -159,6 +159,23 @@ def gate_main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
+    # Codegen guard: capture the JVM's stderr (inherited fd 2 at JVM
+    # launch, so this must happen BEFORE get_spark) and fail the gate
+    # if any query tripped a whole-stage-codegen compile failure
+    # ("ERROR CodeGenerator": the query still returns rows through the
+    # interpreted fallback, so a hash gate alone can't see the 10-100x
+    # perf cliff). Disable with SPARK_GRAFT_CODEGEN_GUARD=0.
+    guard = os.environ.get("SPARK_GRAFT_CODEGEN_GUARD", "1") != "0"
+    stderr_log = None
+    saved_fd = None
+    if guard:
+        import tempfile
+
+        stderr_log = tempfile.NamedTemporaryFile(
+            mode="w+", prefix="gate_stderr_", suffix=".log", delete=False
+        )
+        saved_fd = os.dup(2)
+        os.dup2(stderr_log.fileno(), 2)
     spark = get_spark("check_oracle")
     con = duck_con(sf_dir)
     qs, oracles = dict(QUERIES), dict(ORACLE_SQL)
@@ -192,6 +209,20 @@ def gate_main(argv: list[str] | None = None) -> int:
             failed.append(name)
         else:
             print(f"ok   {name}: {len(sdf)} rows match")
+    if guard:
+        os.dup2(saved_fd, 2)
+        os.close(saved_fd)
+        with open(stderr_log.name, errors="replace") as fh:
+            err_text = fh.read()
+        n_codegen = err_text.count("ERROR CodeGenerator")
+        if n_codegen:
+            print(
+                f"FAIL codegen: {n_codegen} 'ERROR CodeGenerator' lines "
+                f"(compile fallback to interpreted mode) — {stderr_log.name}"
+            )
+            failed.append("__codegen_guard__")
+        else:
+            print("codegen: 0 'ERROR CodeGenerator' lines")
     print(
         f"\n{n_run - len(failed)}/{n_run} pass"
         + (f" (selected of {len(qs)} registered)" if only else "")

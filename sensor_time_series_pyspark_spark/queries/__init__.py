@@ -15,7 +15,7 @@ from sensor_time_series_pyspark_spark.queries import sketches_graph  # noqa: F40
 from sensor_time_series_pyspark_spark.queries import business  # noqa: F401,E402
 from sensor_time_series_pyspark_spark.queries import stats_sampling  # noqa: F401,E402
 from sensor_time_series_pyspark_spark.queries import ml_analytics  # noqa: F401,E402
-from sensor_time_series_pyspark_spark.queries import tests_drift  # noqa: F401,E402
+from sensor_time_series_pyspark_spark.queries import drift_stats  # noqa: F401,E402
 from sensor_time_series_pyspark_spark.queries import experiments  # noqa: F401,E402
 from sensor_time_series_pyspark_spark.queries import stats_ts  # noqa: F401,E402
 from sensor_time_series_pyspark_spark.queries import quality_ops  # noqa: F401,E402

@@ -926,43 +926,78 @@ def _q_james_stein(spark: SparkSession, sf: str) -> DataFrame:
         (F.col(f"{t}.q") for t in EVENT_TYPES), F.lit(0)
     ).cast("bigint")
     k = len(EVENT_TYPES)
-    gbar = s_sum.cast("double") / nn.cast("double")
-    xbar = {
-        t: F.col(f"{t}.s").cast("double") / F.col(f"{t}.m").cast("double")
-        for t in EVENT_TYPES
-    }
+    # The shared epilogue terms (grand mean, pooled within-group MS,
+    # between-group SS, shrink factor) are projected into NAMED
+    # intermediate columns through chained selects instead of being
+    # inlined into all five output structs: fully inlined, the
+    # generated projection method blows the JVM's 64KB bytecode limit
+    # and whole-stage codegen falls back to the interpreted path
+    # (ERROR CodeGenerator in the gate log). CollapseProject keeps
+    # multi-referenced non-cheap aliases in their own projection, so
+    # the staged form compiles. Arithmetic ops and fold order are
+    # IDENTICAL to the single-expression form — the hash vs the
+    # DuckDB oracle is unchanged.
+    stage1 = wide.select(
+        *[
+            F.col(f"{t}.s").cast("double").alias(f"__s_{t}")
+            for t in EVENT_TYPES
+        ],
+        *[
+            F.col(f"{t}.m").cast("double").alias(f"__m_{t}")
+            for t in EVENT_TYPES
+        ],
+        nn.cast("double").alias("__nn"),
+        s_sum.cast("double").alias("__ssum"),
+        q_sum.cast("double").alias("__qsum"),
+    )
     ssg_terms = [
-        F.col(f"{t}.s").cast("double")
-        * F.col(f"{t}.s").cast("double")
-        / F.col(f"{t}.m").cast("double")
+        F.col(f"__s_{t}") * F.col(f"__s_{t}") / F.col(f"__m_{t}")
         for t in EVENT_TYPES
     ]
     ssg = ssg_terms[0]
     for term in ssg_terms[1:]:
         ssg = ssg + term
-    ssw = q_sum.cast("double") - ssg
-    msw = ssw / (nn - k).cast("double")
-    mbar = nn.cast("double") / F.lit(float(k))
+    stage2 = stage1.select(
+        "*",
+        (F.col("__ssum") / F.col("__nn")).alias("__gbar"),
+        *[
+            (F.col(f"__s_{t}") / F.col(f"__m_{t}")).alias(f"__xb_{t}")
+            for t in EVENT_TYPES
+        ],
+        (
+            (F.col("__qsum") - ssg)
+            / (F.col("__nn") - F.lit(float(k)))
+        ).alias("__msw"),
+        (F.col("__nn") / F.lit(float(k))).alias("__mbar"),
+    )
     dev_terms = [
-        (xbar[t] - gbar) * (xbar[t] - gbar) for t in EVENT_TYPES
+        (F.col(f"__xb_{t}") - F.col("__gbar"))
+        * (F.col(f"__xb_{t}") - F.col("__gbar"))
+        for t in EVENT_TYPES
     ]
     ssb_means = dev_terms[0]
     for term in dev_terms[1:]:
         ssb_means = ssb_means + term
+    stage3 = stage2.select("*", ssb_means.alias("__ssb"))
     c = F.greatest(
         F.lit(0.0),
         F.lit(1.0)
-        - (F.lit(float(k - 3)) * (msw / mbar)) / ssb_means,
+        - (F.lit(float(k - 3)) * (F.col("__msw") / F.col("__mbar")))
+        / F.col("__ssb"),
     )
+    stage4 = stage3.select("*", c.alias("__c"))
     rows = [
         F.struct(
             F.lit(t).alias("event_type"),
-            xbar[t].alias("raw_mean"),
-            (gbar + c * (xbar[t] - gbar)).alias("shrunk_mean"),
+            F.col(f"__xb_{t}").alias("raw_mean"),
+            (
+                F.col("__gbar")
+                + F.col("__c") * (F.col(f"__xb_{t}") - F.col("__gbar"))
+            ).alias("shrunk_mean"),
         )
         for t in EVENT_TYPES
     ]
-    return wide.select(
+    return stage4.select(
         F.explode(F.array(*rows)).alias("r")
     ).select("r.*")
 
