@@ -14,9 +14,9 @@ from .chunking import chunk_tokens
 from .contamination import ngram_overlap
 from .drift import acf, cusum, tvd_drift
 from .gaps import missing_buckets
-from .sessionize import sessionize
+from .sessionize import sessionize, sessionize_split
 from .scd import scd2
-from .asof import asof_join
+from .asof import asof_join, asof_join_split
 from .analytics import cohort_retention, funnel
 from .quantiles import approx_ntile, approx_quantiles, mad_outliers, quantile_clip
 from .ranking import bm25_rank, pack_offsets
@@ -89,8 +89,10 @@ __all__ = [
     "time_weighted_avg",
     "missing_buckets",
     "sessionize",
+    "sessionize_split",
     "scd2",
     "asof_join",
+    "asof_join_split",
     "funnel",
     "cohort_retention",
     "approx_ntile",

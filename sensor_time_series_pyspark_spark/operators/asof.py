@@ -101,3 +101,153 @@ def asof_join(
     else:
         out = out.drop("__rts")
     return out.drop("__ts", "__side")
+
+
+def asof_join_split(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    bucket_seconds: int,
+    suffix: str = "",
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
+    matched_ts_col: str | None = None,
+) -> DataFrame:
+    """``asof_join`` for skewed entity keys: the union-window runs
+    within (key, time-bucket) so a hot key's rows parallelize across
+    buckets instead of serializing through one window task, and a
+    carry-forward seed repairs the bucket boundaries.
+
+    The seed pass: per (key, bucket) the carry-OUT is the per-column
+    last-non-null among the RIGHT rows of the bucket (left rows carry
+    nothing, so the summary aggregates only the right side — usually
+    dims/quotes, orders of magnitude smaller than the left facts); a
+    per-key window over the BUCKET-grain summary (tiny:
+    span/bucket_seconds rows per key) rolls carry-outs forward
+    (backward direction; the DESC mirror going forward) into each
+    bucket's carry-IN, which patches exactly the rows whose match
+    precedes their bucket. Per-column ``coalesce(local, seed)``
+    mirrors the plain path's per-column ``last(ignorenulls)``
+    semantics bit-for-bit. Exact for ANY bucket_seconds > 0; same
+    right-side dedup caveat as ``asof_join``. Cost: one exchange on
+    (key, bucket), one bucket-grain summary + broadcast join — the
+    straggler shrinks from O(hot-key rows) to O(hot-key buckets).
+    Verified row-identical to ``asof_join`` on the round-7 zipf
+    fixture (tests/test_skew_stress.py)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if bucket_seconds <= 0:
+        raise ValueError("bucket_seconds must be positive")
+    backward = direction == "backward"
+    out_cols = [c + suffix for c in value_cols]
+    carry = list(out_cols) + ["__rts"]
+    r = right.select(
+        *[F.col(k) for k in on],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0 if backward else 1).alias("__side"),
+        *[F.col(c).alias(o) for c, o in zip(value_cols, out_cols)],
+        F.col(right_ts).alias("__rts"),
+    )
+    l = left.withColumn("__ts", F.col(left_ts)).withColumn(
+        "__side", F.lit(1 if backward else 0)
+    )
+    for o in carry:
+        l = l.withColumn(o, F.lit(None).cast(r.schema[o].dataType))
+    unioned = l.unionByName(r, allowMissingColumns=True).withColumn(
+        "__bucket",
+        F.floor(
+            F.col("__ts").cast("timestamp").cast("double")
+            / F.lit(float(bucket_seconds))
+        ).cast("bigint"),
+    )
+
+    keys = list(on)
+    if backward:
+        w = (
+            Window.partitionBy(*keys, "__bucket")
+            .orderBy("__ts", "__side")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    else:
+        w = (
+            Window.partitionBy(*keys, "__bucket")
+            .orderBy(F.col("__ts").desc(), F.col("__side").desc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    for o in carry:
+        unioned = unioned.withColumn(o, F.last(o, ignorenulls=True).over(w))
+
+    # carry-out per (key, bucket) from the RIGHT side only: for each
+    # carried column, its value on the latest right row where it is
+    # non-null (earliest, going forward) — max_by/min_by ignore rows
+    # whose ordering key is NULL, which implements the per-column
+    # last-non-null exactly (same right-side tie caveat as the plain
+    # path: pre-aggregate duplicates per key+ts)
+    r_b = r.withColumn(
+        "__bucket",
+        F.floor(
+            F.col("__ts").cast("timestamp").cast("double")
+            / F.lit(float(bucket_seconds))
+        ).cast("bigint"),
+    )
+    pick = F.max_by if backward else F.min_by
+    summary = r_b.groupBy(*keys, "__bucket").agg(
+        *[
+            pick(
+                F.col(o), F.when(F.col(o).isNotNull(), F.col("__ts"))
+            ).alias(o)
+            for o in carry
+        ]
+    )
+    # the roll must visit every bucket the LEFT occupies too (a left
+    # row in a right-empty bucket still needs the carry from earlier
+    # buckets) — a distinct over (key, bucket) is map-side combined,
+    # so its shuffle is bucket-grain, not fact-grain
+    spine = unioned.select(*keys, "__bucket").distinct()
+    summary = spine.join(summary, [*keys, "__bucket"], "left")
+    if backward:
+        w_seed = (
+            Window.partitionBy(*keys)
+            .orderBy("__bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+    else:
+        w_seed = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__bucket").desc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+    seeds = summary.select(
+        *keys,
+        "__bucket",
+        *[
+            F.last(F.col(o), ignorenulls=True)
+            .over(w_seed)
+            .alias(f"__seed_{o}")
+            for o in carry
+        ],
+    )
+
+    patched = unioned.join(F.broadcast(seeds), [*keys, "__bucket"], "left")
+    for o in carry:
+        patched = patched.withColumn(
+            o, F.coalesce(F.col(o), F.col(f"__seed_{o}"))
+        ).drop(f"__seed_{o}")
+
+    out = patched.where(F.col("__side") == (1 if backward else 0))
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.col("__ts").cast("timestamp").cast("double")
+            - F.col("__rts").cast("timestamp").cast("double")
+        )
+        ok = gap <= F.lit(float(tolerance_seconds))
+        for o in carry:
+            out = out.withColumn(o, F.when(ok, F.col(o)))
+    if matched_ts_col is not None:
+        out = out.withColumnRenamed("__rts", matched_ts_col)
+    else:
+        out = out.drop("__rts")
+    return out.drop("__ts", "__side", "__bucket")

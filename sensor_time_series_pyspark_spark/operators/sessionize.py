@@ -37,3 +37,109 @@ def sessionize(
     return df.withColumn("__new", is_new).withColumn(
         session_col, F.sum("__new").over(running)
     ).drop("__new")
+
+
+def sessionize_split(
+    df: DataFrame,
+    ts_col: str,
+    partition_by: Sequence[str],
+    gap_seconds: int,
+    bucket_seconds: int,
+    session_col: str = "session_seq",
+    broadcast_stitch: bool = True,
+) -> DataFrame:
+    """``sessionize`` for skewed entity keys: range-split each entity's
+    timeline into ``bucket_seconds`` buckets, sessionize WITHIN
+    (entity, bucket) — so a hot entity's events parallelize across
+    buckets instead of serializing through one window task — then
+    stitch sessions across bucket boundaries on a tiny per-(entity,
+    bucket) summary frame.
+
+    Exact for ANY ``bucket_seconds`` > 0: within a bucket the local
+    pass sees every gap except the one crossing the boundary, and the
+    stitch repairs exactly that one — bucket b's first session merges
+    into the previous non-empty bucket's last session iff
+    ``min_ts(b) - max_ts(prev) <= gap_seconds`` (the lag over the
+    summary frame skips empty buckets, so no relation between bucket
+    width and gap is required). Global numbering replays the local
+    sequence with a per-bucket offset:
+
+        offset_b = Σ_{b'<b} (n_sessions_{b'} - merge_{b'})
+        seq(row) = offset_b + local_seq(row) - merge_b
+
+    Cost: one exchange on (entity, bucket) for the local pass, one
+    group-cardinality summary (buckets per entity ≈ span/bucket_
+    seconds) stitched with a per-entity window, and one equi-join of
+    the offsets back on (entity, bucket) — BROADCAST by default
+    (``broadcast_stitch``), since the stitch frame is entity×bucket
+    grain, not event grain; set False when entities×buckets outgrows
+    the driver and the join falls back to a (balanced) shuffle on the
+    composite key. The summary window IS single-task per entity, but
+    over buckets, not events — the straggler shrinks from
+    O(hot-entity events) to O(hot-entity buckets). Verified
+    row-identical to ``sessionize`` on the round-7 zipf fixture
+    (tests/test_skew_stress.py)."""
+    if bucket_seconds <= 0:
+        raise ValueError("bucket_seconds must be positive")
+    keys = list(partition_by)
+    ep = F.col(ts_col).cast("double")
+    bdf = df.withColumn(
+        "__bucket", F.floor(ep / F.lit(float(bucket_seconds))).cast("bigint")
+    )
+    w_local = Window.partitionBy(*keys, "__bucket").orderBy(ts_col)
+    prev_ts = F.lag(F.col(ts_col)).over(w_local)
+    is_new = F.when(
+        prev_ts.isNull()
+        | ((ep - prev_ts.cast("double")) > gap_seconds),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run_local = (
+        Window.partitionBy(*keys, "__bucket")
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = bdf.withColumn("__new", is_new).withColumn(
+        "__lseq", F.sum("__new").over(run_local)
+    )
+
+    summary = local.groupBy(*keys, "__bucket").agg(
+        F.min(ts_col).alias("__bmin"),
+        F.max(ts_col).alias("__bmax"),
+        F.max("__lseq").cast("bigint").alias("__nsess"),
+    )
+    w_ent = Window.partitionBy(*keys).orderBy("__bucket")
+    prev_max = F.lag(F.col("__bmax")).over(w_ent)
+    merge = F.when(
+        prev_max.isNotNull()
+        & (
+            (F.col("__bmin").cast("double") - prev_max.cast("double"))
+            <= gap_seconds
+        ),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    w_prior = (
+        Window.partitionBy(*keys)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    stitched = summary.withColumn("__merge", merge).select(
+        *keys,
+        "__bucket",
+        "__merge",
+        F.coalesce(
+            F.sum(F.col("__nsess") - F.col("__merge")).over(w_prior),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("__offset"),
+    )
+
+    if broadcast_stitch:
+        stitched = F.broadcast(stitched)
+    out = local.join(stitched, [*keys, "__bucket"]).withColumn(
+        session_col,
+        (F.col("__offset") + F.col("__lseq") - F.col("__merge")).cast(
+            "bigint"
+        ),
+    )
+    return out.drop("__bucket", "__new", "__lseq", "__merge", "__offset")

@@ -438,6 +438,92 @@ def test_headline_shuffle_budgets(spark):
     assert not over, f"shuffle budget exceeded: {over}"
 
 
+def test_global_windows_sit_above_aggregates_or_are_reviewed(spark):
+    """SURVEY §8 bug 8 (the reference's empty ``Window.partitionBy()``
+    funnels the whole dataset through ONE task): suite-wide gate that
+    walks every registered query's optimized plan and asserts every
+    Window with EMPTY partitioning either (a) sits above an Aggregate
+    in its own subtree — the frame it sorts is group-cardinality, not
+    row-cardinality (per-day counts, decile frames, report rows) — or
+    (b) is on the reviewed allowlist below with its scale story. Any
+    future fact-grain global window fails here before it ships."""
+    import json
+
+    # global-window-over-raw-rows by DECLARED semantics, each with the
+    # reviewed scale path:
+    ALLOW = {
+        # global ntile decile cut is the small-data semantics; the
+        # sketch-bucketed approx_ntile (operators/quantiles.py) is the
+        # documented fact-scale path
+        "q167_equi_depth",
+        # global greedy budget selection (score-DESC running sum) —
+        # inherently a total order over candidate docs; scale path is
+        # a per-bucket pre-aggregate + threshold refinement
+        "q184_token_budget",
+        # ntile over the CUSTOMER dimension (bounded by definition)
+        "q214_k_anonymity",
+        # run-length layout witness: measures the physically sorted
+        # stream, so the global (ts, event_id) order IS the semantics
+        # (the rewrite it advises, write_sorted, pays the same sort)
+        "q322_rle_estimate",
+        # LPT shard dealing: global (tokens, doc_id) rank; docstring
+        # documents the approx_ntile-style bucketing at 100 TB
+        "q346_shard_balance",
+        # event-grain decile cut ((rn-1)*10 div N) — the exact-rank
+        # small-data path; approx percentile cut is the scale path
+        "q423_gains_table",
+        # sorted-neighborhood blocking: the ONE global sort by block
+        # key is the Hernandez-Stolfo algorithm itself; at scale the
+        # same order comes from a range partition (docstring)
+        "q484_sorted_neighborhood",
+        # pivot selection ranks candidates by md5 to pick k=8 pivots
+        # deterministically; at scale pivots come from a sample
+        "q47_ivf_topk",
+        # Lloyd assignment folds k=8 distances per row; the global
+        # window ranks the k-row centroid frame inside the operator
+        "q509_kmeans_lloyd",
+    }
+    # plan CONSTRUCTION runs fit jobs for these (same reason as the
+    # cartesian gate's skip): reviewed by hand, entries above
+    COST_SKIP = {
+        "q24_holt_forecast", "q25_arima_grid", "q26_seasonal_decompose",
+        "q27_mlp_classification", "q28_gbt_regression", "q43_model_metrics",
+        "q47_ivf_topk", "q190_pq_topk", "q197_als_recs", "q509_kmeans_lloyd",
+    }
+    qs = entrymod.queries()
+    offenders = []
+    for name, fn in qs.items():
+        if name in COST_SKIP:
+            continue
+        nodes = json.loads(
+            fn(spark, SF)._jdf.queryExecution().optimizedPlan().toJSON()
+        )
+        raw = False
+        for i, nd in enumerate(nodes):
+            if not nd.get("class", "").endswith("logical.Window"):
+                continue
+            if nd.get("partitionSpec", []):
+                continue
+            # pre-order walk of this window's subtree: an Aggregate
+            # below means the sorted frame is group-cardinality
+            need = int(nd.get("num-children", 0))
+            k = i + 1
+            above_agg = False
+            while need > 0 and k < len(nodes):
+                if nodes[k].get("class", "").endswith("logical.Aggregate"):
+                    above_agg = True
+                need = need - 1 + int(nodes[k].get("num-children", 0))
+                k += 1
+            if not above_agg:
+                raw = True
+        if raw and name not in ALLOW:
+            offenders.append(name)
+    assert not offenders, (
+        f"unreviewed fact-grain global windows in: {offenders} — "
+        "partition the window or add a reviewed allowlist entry"
+    )
+
+
 def test_no_quadratic_unbounded_following_frames(spark):
     """Round-7 regression pin: Spark evaluates aggregate window
     functions over (x, unboundedFollowing) frames by re-scanning the

@@ -230,3 +230,203 @@ def test_jaccard_valve_bounds_hot_tokens(spark, skew_docs):
     )
     cols = ["id_a", "id_b", "jaccard"]
     assert _rows(valved, cols) == _rows(base, cols)
+
+
+def test_sessionize_split_exact_on_skewed_events(spark, skew_events):
+    """VERDICT r7 #5: sessionize_split (range-split + boundary stitch)
+    must be row-identical to the unsplit window on the skewed fixture
+    (one user holds 50% of all events), for bucket widths both larger
+    and smaller than the session gap — exactness must not depend on
+    any bucket/gap relation."""
+    from sensor_time_series_pyspark_spark.operators import sessionize_split
+
+    ev = spark.read.parquet(skew_events)
+    gap = 1800
+    base = sessionize(ev, "ts", ["user_id"], gap).select(
+        "event_id", F.col("session_seq").alias("want")
+    )
+    for bucket in (900, 1800, 86_400):
+        got = sessionize_split(ev, "ts", ["user_id"], gap, bucket).select(
+            "event_id", F.col("session_seq").alias("got")
+        )
+        diff = base.join(got, "event_id").where(
+            F.col("want") != F.col("got")
+        )
+        assert diff.count() == 0, (
+            f"bucket={bucket}: {diff.limit(5).collect()}"
+        )
+        assert got.count() == base.count()
+
+
+ZIPF_DIR = "/tmp/scale_events/zipf"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(f"{ZIPF_DIR}/events.parquet"),
+    reason="zipf scale fixture not generated (scripts/gen_scale_fixture.py)",
+)
+def test_sessionize_split_exact_and_faster_on_zipf_fixture(spark):
+    """5M-row fixture with 90% of events remapped onto ONE user (the
+    regime the split exists for — the base window serializes 4.5M
+    rows through one task): the split path must return IDENTICAL
+    session sequences and beat the unsplit wall time. On the milder
+    23%-hot zipf head the gain (~1.2-1.5x best-of-3) is within
+    single-shot noise, so the timing assertion uses the decisive
+    fixture and SCALING.md records the zipf numbers."""
+    from sensor_time_series_pyspark_spark.operators import sessionize_split
+
+    ev = spark.read.parquet(f"{ZIPF_DIR}/events.parquet").withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 10 < 9, F.lit(7)).otherwise(
+            F.col("user_id")
+        ),
+    )
+    gap = 1800
+    bucket = 6 * 3600
+
+    t0 = time.perf_counter()
+    base = sessionize(ev, "ts", ["user_id"], gap).select(
+        "event_id", F.col("session_seq").alias("want")
+    )
+    base.write.format("noop").mode("overwrite").save()
+    t_base = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    split = sessionize_split(ev, "ts", ["user_id"], gap, bucket).select(
+        "event_id", F.col("session_seq").alias("got")
+    )
+    split.write.format("noop").mode("overwrite").save()
+    t_split = time.perf_counter() - t0
+
+    mism = (
+        base.join(split, "event_id")
+        .where(F.col("want") != F.col("got"))
+        .count()
+    )
+    assert mism == 0
+    assert base.count() == split.count()
+    # generous bound: the split must at minimum not LOSE to the
+    # serialized window on a 23%-hot key (observed well under 1x)
+    assert t_split <= t_base * 1.0, (t_split, t_base)
+
+
+def test_asof_join_split_exact_on_skewed_events(spark, skew_events):
+    """VERDICT r7 #5 (asof half): asof_join_split (bucketed window +
+    carry-forward seeds) must be row-identical to asof_join on the
+    skewed fixture, in BOTH directions, with and without tolerance,
+    across bucket widths — the boundary seed must repair every row
+    whose match lives in an earlier (later, going forward) bucket."""
+    from sensor_time_series_pyspark_spark.operators import (
+        asof_join,
+        asof_join_split,
+    )
+    from sensor_time_series_pyspark_spark.sources.readers import read_table
+
+    ev = spark.read.parquet(skew_events)
+    o = read_table(spark, SF, "orders")
+    daily = o.groupBy(
+        F.col("o_custkey").alias("user_id"), F.col("o_orderdate")
+    ).agg(F.max("o_totalprice").alias("p"))
+    # remap half the orders onto the hot user too so the right side
+    # is skewed along with the left
+    daily = daily.withColumn(
+        "user_id",
+        F.when(F.dayofmonth("o_orderdate") % 2 == 0, F.lit(HOT_USER))
+        .otherwise(F.col("user_id")),
+    ).groupBy("user_id", "o_orderdate").agg(F.max("p").alias("p"))
+
+    for direction in ("backward", "forward"):
+        for tol in (None, 30 * 86400.0):
+            base = asof_join(
+                ev, daily, on=["user_id"], left_ts="ts",
+                right_ts="o_orderdate", value_cols=["p"],
+                direction=direction, tolerance_seconds=tol,
+                matched_ts_col="mts",
+            ).select("event_id", F.col("p").alias("want"),
+                     F.col("mts").alias("want_ts"))
+            for bucket in (7 * 86400, 180 * 86400):
+                got = asof_join_split(
+                    ev, daily, on=["user_id"], left_ts="ts",
+                    right_ts="o_orderdate", value_cols=["p"],
+                    bucket_seconds=bucket, direction=direction,
+                    tolerance_seconds=tol, matched_ts_col="mts",
+                ).select("event_id", F.col("p").alias("got"),
+                         F.col("mts").alias("got_ts"))
+                j = base.join(got, "event_id")
+                mism = j.where(
+                    ~(
+                        (F.col("want") == F.col("got"))
+                        | (F.col("want").isNull() & F.col("got").isNull())
+                    )
+                    | ~(
+                        (F.col("want_ts") == F.col("got_ts"))
+                        | (
+                            F.col("want_ts").isNull()
+                            & F.col("got_ts").isNull()
+                        )
+                    )
+                ).count()
+                assert mism == 0, (direction, tol, bucket)
+                assert got.count() == base.count(), (direction, tol, bucket)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(f"{ZIPF_DIR}/events.parquet"),
+    reason="zipf scale fixture not generated (scripts/gen_scale_fixture.py)",
+)
+def test_asof_join_split_exact_and_faster_on_hot_key(spark):
+    """q29's shape on the 5M-row fixture with 90% of events remapped
+    to ONE user (the regime the split exists for — the base path's
+    union-window serializes 4.5M rows through one task): identical
+    values, and the split must beat the unsplit wall time. On the
+    milder 23%-hot zipf head the split's constant overhead (~0.5s at
+    this scale: one bucket-grain distinct + a broadcast patch join)
+    roughly cancels the straggler gain — that crossover is recorded
+    in SCALING.md; exactness on the zipf head itself is covered by
+    the skewed-fixture test above."""
+    from sensor_time_series_pyspark_spark.operators import (
+        asof_join,
+        asof_join_split,
+    )
+    from sensor_time_series_pyspark_spark.sources.readers import read_table
+
+    ev = spark.read.parquet(f"{ZIPF_DIR}/events.parquet").withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 10 < 9, F.lit(7)).otherwise(
+            F.col("user_id")
+        ),
+    )
+    o = read_table(ev.sparkSession, ZIPF_DIR, "orders")
+    daily = o.groupBy(
+        F.col("o_custkey").alias("user_id"), F.col("o_orderdate")
+    ).agg(F.max("o_totalprice").alias("p"))
+
+    t0 = time.perf_counter()
+    base = asof_join(
+        ev, daily, on=["user_id"], left_ts="ts", right_ts="o_orderdate",
+        value_cols=["p"],
+    ).select("event_id", F.col("p").alias("want"))
+    base.write.format("noop").mode("overwrite").save()
+    t_base = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    split = asof_join_split(
+        ev, daily, on=["user_id"], left_ts="ts", right_ts="o_orderdate",
+        value_cols=["p"], bucket_seconds=86400,
+    ).select("event_id", F.col("p").alias("got"))
+    split.write.format("noop").mode("overwrite").save()
+    t_split = time.perf_counter() - t0
+
+    mism = (
+        base.join(split, "event_id")
+        .where(
+            ~(
+                (F.col("want") == F.col("got"))
+                | (F.col("want").isNull() & F.col("got").isNull())
+            )
+        )
+        .count()
+    )
+    assert mism == 0
+    assert base.count() == split.count()
+    assert t_split <= t_base * 1.0, (t_split, t_base)
