@@ -266,11 +266,77 @@ def build_events5m(spark, force):
                 os.symlink(f"{DST10}/{t}.parquet", link)
 
 
+DST_BIG = "/tmp/scale_big"
+DOC_COPIES_BIG = 100   # 100 x 5k  = 500k docs  (10x scale10 -> 2nd decade)
+EV_COPIES_BIG = 500    # 500 x 100k = 50M events (50x scale10)
+
+
+def build_second_decade(spark, force):
+    """Second-decade leg (VERDICT r7 #6) for the three steepest
+    first-decade queries: 500k documents (a clean 10x over scale10,
+    same disjoint-vocabulary discipline) for q19/q22, and 50M events
+    for q29. Other tables symlink to scale10."""
+    os.makedirs(DST_BIG, exist_ok=True)
+    done = lambda t: os.path.exists(f"{DST_BIG}/{t}.parquet") and not force
+
+    if not done("documents"):
+        d = _copies(read_table(spark, SRC, "documents"), DOC_COPIES_BIG)
+        d2 = d.withColumn(
+            "text2",
+            F.when(F.col("__i") == 0, F.col("text")).otherwise(
+                F.regexp_replace(F.col("text"), r"(\w+)", "$1\x01")
+            ),
+        ).withColumn(
+            "text3",
+            F.when(F.col("__i") == 0, F.col("text")).otherwise(
+                F.regexp_replace(
+                    F.col("text2"),
+                    F.lit("\x01"),
+                    F.concat(F.lit("x"), F.col("__i").cast("string")),
+                )
+            ),
+        )
+        _write(
+            d2.select(
+                _shift("doc_id", SHIFT["doc_id"]),
+                F.col("text3").alias("text"),
+                "lang", "source",
+                F.length("text3").cast("bigint").alias("n_chars"),
+                "__i",
+            ),
+            f"{DST_BIG}/documents.parquet",
+        )
+    if not done("events"):
+        ev = _copies(read_table(spark, SRC, "events"), EV_COPIES_BIG)
+        _write(
+            ev.select(
+                _shift("event_id", SHIFT["event_id"]),
+                "ts",
+                (
+                    F.col("user_id")
+                    + (F.col("__i") % N_COPIES).cast("bigint")
+                    * SHIFT["custkey"]
+                ).alias("user_id"),
+                "event_type", "value", "props", "__i",
+            ),
+            f"{DST_BIG}/events.parquet",
+            parts=64,
+        )
+    for t in (
+        "customer", "supplier", "part", "orders", "lineitem",
+        "embeddings", "nation", "region",
+    ):
+        link = f"{DST_BIG}/{t}.parquet"
+        if not os.path.exists(link):
+            os.symlink(f"{DST10}/{t}.parquet", link)
+
+
 def main() -> None:
     force = "--force" in sys.argv
     spark = get_spark("gen_scale_fixture")
     build_scale10(spark, force)
     build_events5m(spark, force)
+    build_second_decade(spark, force)
     for t in ("lineitem", "events", "documents", "embeddings"):
         n = spark.read.parquet(f"{DST10}/{t}.parquet").count()
         print(f"scale10 {t}: {n} rows")

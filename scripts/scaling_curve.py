@@ -32,6 +32,18 @@ SF01 = "/root/testdata/sf0.1"
 SCALE10 = "/tmp/scale10"
 EV_UNIFORM = "/tmp/scale_events/uniform"
 EV_ZIPF = "/tmp/scale_events/zipf"
+SCALE_BIG = "/tmp/scale_big"
+
+# VERDICT r7 #6: the three steepest first-decade queries get a second
+# decade — documents grow 10x over scale10 (500k docs) for q19/q22,
+# events grow 50x (50M rows) for q29. Slopes are normalized per decade
+# ((t_big/t_10x)^(1/log10(factor))) so the 50x events step compares
+# against the 10x first-decade slope directly.
+SECOND_DECADE = {
+    "q19_jaccard_pairs": 10.0,   # docs 50k -> 500k
+    "q22_doc_stats": 10.0,       # docs 50k -> 500k
+    "q29_asof_join": 50.0,       # events 1M -> 50M
+}
 
 # headline queries whose input is the events table — these also run
 # on the 5M uniform/zipf variants (50x events rows, skewed users)
@@ -83,6 +95,25 @@ def main() -> None:
     t10, load_b = time_leg(spark, SCALE10, BENCH_QUERIES, repeats)
     tu, load_c = time_leg(spark, EV_UNIFORM, EVENT_QUERIES, repeats)
     tz, load_d = time_leg(spark, EV_ZIPF, EVENT_QUERIES, repeats)
+    second = {}
+    if os.path.exists(SCALE_BIG):
+        import math
+
+        tb, load_e = time_leg(
+            spark, SCALE_BIG, list(SECOND_DECADE), repeats
+        )
+        for name, factor in SECOND_DECADE.items():
+            decades = math.log10(factor)
+            ratio = tb[name] / t10[name]
+            second[name] = {
+                "t_10x": t10[name],
+                "t_big": tb[name],
+                "factor": factor,
+                "ratio": round(ratio, 2),
+                "slope_per_decade": round(ratio ** (1.0 / decades), 2),
+                "first_decade_slope": round(t10[name] / t1[name], 2),
+            }
+        second["load1"] = load_e
 
     result = {
         "metric": "scaling_curve",
@@ -107,6 +138,7 @@ def main() -> None:
             }
             for name in EVENT_QUERIES
         },
+        "second_decade": second,
     }
     blob = json.dumps(result)
     print(blob)

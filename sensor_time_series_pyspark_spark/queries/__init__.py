@@ -35,3 +35,4 @@ from sensor_time_series_pyspark_spark.queries import ops_audit  # noqa: F401,E40
 from sensor_time_series_pyspark_spark.queries import corpus_sampling  # noqa: F401,E402
 from sensor_time_series_pyspark_spark.queries import technical_indicators  # noqa: F401,E402
 from sensor_time_series_pyspark_spark.queries import audits_experiments  # noqa: F401,E402
+from sensor_time_series_pyspark_spark.queries import scale_ops  # noqa: F401,E402
