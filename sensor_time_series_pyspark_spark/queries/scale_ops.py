@@ -65,10 +65,185 @@ def _q_asof_join_split(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("event_id", "user_id", "ts", "last_order_price")
 
 
+_Q20 = float(1 << 20)
+
+
+def _q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023: a
+    coarse clustering bounds the candidate space, then near-identical
+    embeddings within a cluster are pruned to one representative):
+    vectors are assigned to 32 pivot cells with q47's engine-portable
+    quantizer (pivots = smallest md5(id), EXACT integer squared
+    distances on 2^20-quantized components — cell membership has zero
+    float ambiguity), then within each cell a vector is DROPPED iff a
+    lower-id member sits at cosine >= 0.3 (the q17 min-id survivor
+    rule, pairwise). The cosine test is the exact integer predicate
+    100*dot^2 >= 9*|a|^2*|b|^2 AND dot > 0 in decimal(38,0) — no
+    float compare anywhere, so the verdict hash-gates. At 100 TB the
+    within-cell pair volume is N^2/n_cells like an LSH band, and
+    n_cells scales with the corpus; the output is one audit row per
+    vector (cell, dropped)."""
+    emb = read_table(spark, sf, "embeddings")
+    qv = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * _Q20)
+    )
+    v = emb.select(F.col("vec_id").alias("vid"), qv.alias("q"))
+    piv = (
+        v.select(
+            F.col("q").alias("pq"),
+            F.md5(F.col("vid").cast("string")).alias("h"),
+            F.col("vid").alias("pid"),
+        )
+        .orderBy("h", "pid")
+        .limit(32)
+    )
+    from pyspark.sql import Window
+
+    w_piv = Window.orderBy("h", "pid")
+    piv = piv.withColumn(
+        "cell", F.row_number().over(w_piv).cast("int")
+    ).select("cell", "pq")
+
+    d2 = F.aggregate(
+        F.zip_with("q", "pq", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    w_assign = Window.partitionBy("vid").orderBy("d2", "cell")
+    norm = F.aggregate(
+        F.transform("q", lambda a: a * a),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    members = (
+        v.join(F.broadcast(piv))
+        .withColumn("d2", d2)
+        .withColumn("r", F.row_number().over(w_assign))
+        .where(F.col("r") == 1)
+        .select("vid", "cell", "q", norm.alias("n2"))
+    )
+    a = members.select(
+        F.col("cell"),
+        F.col("vid").alias("va"),
+        F.col("q").alias("qa"),
+        F.col("n2").alias("na"),
+    )
+    b = members.select(
+        F.col("cell"),
+        F.col("vid").alias("vb"),
+        F.col("q").alias("qb"),
+        F.col("n2").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    d38 = "decimal(38,0)"
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("va") < F.col("vb"))
+        .withColumn("dot", dot)
+        .where(
+            (F.col("dot") > 0)
+            & (
+                F.col("dot").cast(d38) * F.col("dot").cast(d38) * 100
+                >= F.col("na").cast(d38) * F.col("nb").cast(d38) * 9
+            )
+        )
+        .groupBy("vb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_lower"))
+    )
+    return (
+        members.join(pairs, members.vid == pairs.vb, "left")
+        .select(
+            F.col("vid").alias("vec_id"),
+            "cell",
+            F.coalesce(F.col("n_lower") > 0, F.lit(False)).alias(
+                "dropped"
+            ),
+        )
+    )
+
+
+def _q_cluster_safe_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe train/eval split audit: the eval set must be
+    sampled by DUP CLUSTER (content fingerprint), never by document —
+    a doc-level split puts copies of the same text on both sides and
+    the eval set silently measures memorization. Both splits are the
+    same deterministic 90/10 hash rule ('split8:' salt, md5 low-48
+    bits), applied to doc_id (naive) vs md5(text) (cluster-safe).
+    Reports, per split policy: eval docs and the number of clusters
+    LEAKED across sides (cluster-safe is zero BY CONSTRUCTION — the
+    audit proves it, and measures how bad the naive rule actually
+    is). Integer counts; one division for the eval fraction."""
+    docs = read_table(spark, sf, "documents")
+    lo48 = lambda col: F.conv(  # noqa: E731
+        F.substring(F.md5(F.concat(F.lit("split8:"), col)), 1, 12),
+        16,
+        10,
+    ).cast("bigint")
+    base = docs.select(
+        F.md5("text").alias("fp"),
+        (lo48(F.col("doc_id").cast("string")) % 10 == 0).alias(
+            "eval_doc"
+        ),
+        (lo48(F.md5("text")) % 10 == 0).alias("eval_cluster"),
+    )
+    per_fp = base.groupBy("fp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("eval_doc"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_eval_doc"),
+        F.sum(F.when(F.col("eval_cluster"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_eval_cl"),
+    )
+    return per_fp.agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("n_eval_doc").cast("bigint").alias("eval_docs_naive"),
+        F.sum(
+            F.when(
+                (F.col("n_eval_doc") > 0)
+                & (F.col("n_eval_doc") < F.col("n_docs")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("leaked_clusters_naive"),
+        F.sum("n_eval_cl").cast("bigint").alias("eval_docs_cluster"),
+        # measured the same way as the naive rule — provably 0 because
+        # the cluster hash is constant within fp, and the audit shows it
+        F.sum(
+            F.when(
+                (F.col("n_eval_cl") > 0)
+                & (F.col("n_eval_cl") < F.col("n_docs")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("leaked_clusters_cluster"),
+    ).select(
+        "n_docs",
+        "n_clusters",
+        "eval_docs_naive",
+        "leaked_clusters_naive",
+        "eval_docs_cluster",
+        "leaked_clusters_cluster",
+        (
+            F.col("eval_docs_cluster").cast("double")
+            / F.col("n_docs").cast("double")
+        ).alias("eval_frac_cluster"),
+    )
+
+
 register_many(
     {
         "q570_sessionize_split": _q_sessionize_split,
         "q571_asof_join_split": _q_asof_join_split,
+        "q572_semantic_dedup": _q_semantic_dedup,
+        "q573_cluster_safe_split": _q_cluster_safe_split,
     },
     {
         "q570_sessionize_split": _SESSIONIZE_SQL,
@@ -80,6 +255,92 @@ register_many(
                      max(o_totalprice) AS last_order_price
               FROM orders GROUP BY 1, 2
             ) d ON e.user_id = d.user_id AND e.ts >= d.o_orderdate
+        """,
+        "q572_semantic_dedup": """
+            WITH v AS (
+              SELECT vec_id AS vid,
+                list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 1048576)
+                            AS BIGINT)) AS q
+              FROM embeddings
+            ),
+            piv AS (
+              SELECT q AS pq,
+                CAST(row_number() OVER (ORDER BY h, pid) AS INT) AS cell
+              FROM (
+                SELECT v.q, md5(CAST(vid AS VARCHAR)) AS h, vid AS pid
+                FROM v ORDER BY 2, 3 LIMIT 32
+              )
+            ),
+            ad AS (
+              SELECT v.vid, v.q, p.cell,
+                list_sum(list_transform(list_zip(v.q, p.pq),
+                  s -> (s[1] - s[2]) * (s[1] - s[2]))) AS d2
+              FROM v, piv p
+            ),
+            members AS (
+              SELECT vid, cell, q,
+                CAST(list_sum(list_transform(q, x -> x * x))
+                  AS BIGINT) AS n2
+              FROM (
+                SELECT *, row_number() OVER (PARTITION BY vid
+                  ORDER BY d2, cell) AS r
+                FROM ad
+              ) WHERE r = 1
+            ),
+            pairs AS (
+              SELECT b.vid AS vb, a.n2 AS na, b.n2 AS nb,
+                CAST(list_sum(list_transform(list_zip(a.q, b.q),
+                  s -> s[1] * s[2])) AS BIGINT) AS dot
+              FROM members a JOIN members b ON a.cell = b.cell
+                AND a.vid < b.vid
+            ),
+            hits AS (
+              SELECT vb, CAST(count(*) AS BIGINT) AS n_lower
+              FROM pairs
+              WHERE dot > 0
+                AND CAST(dot AS HUGEINT) * dot * 100
+                  >= CAST(na AS HUGEINT) * nb * 9
+              GROUP BY vb
+            )
+            SELECT m.vid AS vec_id, m.cell,
+              coalesce(h.n_lower > 0, false) AS dropped
+            FROM members m LEFT JOIN hits h ON m.vid = h.vb
+        """,
+        "q573_cluster_safe_split": """
+            WITH base AS (
+              SELECT md5(text) AS fp,
+                (CAST(('0x' || substr(md5('split8:'
+                    || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+                  % 10 = 0) AS eval_doc,
+                (CAST(('0x' || substr(md5('split8:'
+                    || md5(text)), 1, 12)) AS BIGINT)
+                  % 10 = 0) AS eval_cluster
+              FROM documents
+            ),
+            per_fp AS (
+              SELECT fp,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN eval_doc THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_eval_doc,
+                CAST(sum(CASE WHEN eval_cluster THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_eval_cl
+              FROM base GROUP BY fp
+            )
+            SELECT
+              CAST(sum(n_docs) AS BIGINT) AS n_docs,
+              CAST(count(*) AS BIGINT) AS n_clusters,
+              CAST(sum(n_eval_doc) AS BIGINT) AS eval_docs_naive,
+              CAST(sum(CASE WHEN n_eval_doc > 0
+                AND n_eval_doc < n_docs THEN 1 ELSE 0 END)
+                AS BIGINT) AS leaked_clusters_naive,
+              CAST(sum(n_eval_cl) AS BIGINT) AS eval_docs_cluster,
+              CAST(sum(CASE WHEN n_eval_cl > 0
+                AND n_eval_cl < n_docs THEN 1 ELSE 0 END)
+                AS BIGINT) AS leaked_clusters_cluster,
+              CAST(sum(n_eval_cl) AS DOUBLE)
+                / CAST(sum(n_docs) AS DOUBLE) AS eval_frac_cluster
+            FROM per_fp
         """,
     },
 )
