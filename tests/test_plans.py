@@ -144,6 +144,10 @@ def test_no_accidental_cartesian_products(spark):
     # assignment pass joins the corpus to the constant-cardinality
     # centroid table — the same declared shape as q47's pivot IVF
     SKIP |= {"q509_kmeans_lloyd"}
+    # 32-row pivot broadcast fan-out for the SemDeDup cell assignment
+    # (q47's quantizer shape); the within-cell pair join is an
+    # equi-join on cell, never a cartesian
+    SKIP |= {"q572_semantic_dedup"}
     # 10-row broadcast query-vector scan per dim tier (the q23
     # verification-tier shape; MRL fidelity is measured against the
     # exact neighborhood by definition)
@@ -479,6 +483,10 @@ def test_global_windows_sit_above_aggregates_or_are_reviewed(spark):
         # pivot selection ranks candidates by md5 to pick k=8 pivots
         # deterministically; at scale pivots come from a sample
         "q47_ivf_topk",
+        # same pivot-selection shape (row_number over the LIMIT-32
+        # frame — bounded by the limit, not by an aggregate); every
+        # fact-grain window in the query is partitioned by vid/cell
+        "q572_semantic_dedup",
         # Lloyd assignment folds k=8 distances per row; the global
         # window ranks the k-row centroid frame inside the operator
         "q509_kmeans_lloyd",
