@@ -175,3 +175,48 @@ def test_expectations_differential_vs_naive(
         assert math.isclose(
             got[name][1], want[name][1], rel_tol=0, abs_tol=0
         ), (name, got[name], want[name])
+
+
+def test_gate_codegen_guard_fires_and_clears():
+    """cli.gate_main's codegen guard (round 8): the gate must FAIL
+    when 'ERROR CodeGenerator' appears on the JVM's stderr during the
+    run, and pass (printing the zero-count line) when it doesn't.
+    Runs gate_main twice in a subprocess on one real query; the
+    failing leg injects the marker onto fd 2 from inside a query fn —
+    the same channel log4j writes to."""
+    import subprocess
+    import sys
+
+    code = """
+import os, sys
+sys.path.insert(0, "/root/repo")
+import sensor_time_series_pyspark_spark.cli as cli
+from sensor_time_series_pyspark_spark.queries import registry
+
+real = dict(cli.QUERIES)["q01_pricing_summary"]
+sql = dict(cli.ORACLE_SQL)["q01_pricing_summary"]
+
+def noisy(spark, sf):
+    os.write(2, b"25/01/01 00:00:00 ERROR CodeGenerator: failed to compile\\n")
+    return real(spark, sf)
+
+cli.QUERIES = {"q01_pricing_summary": noisy}
+cli.ORACLE_SQL = {"q01_pricing_summary": sql}
+rc_bad = cli.gate_main(["/root/testdata/sf0.001"])
+cli.QUERIES = {"q01_pricing_summary": real}
+rc_ok = cli.gate_main(["/root/testdata/sf0.001"])
+print("GUARD", rc_bad, rc_ok)
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        cwd="/root/repo",
+    )
+    lines = [l for l in out.stdout.splitlines() if l.startswith("GUARD")]
+    assert lines, out.stderr[-2000:]
+    _, rc_bad, rc_ok = lines[0].split()
+    assert (rc_bad, rc_ok) == ("1", "0"), (lines, out.stdout[-1500:])
+    assert "FAIL codegen" in out.stdout
+    assert "codegen: 0 'ERROR CodeGenerator' lines" in out.stdout
