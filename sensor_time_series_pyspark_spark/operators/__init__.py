@@ -194,9 +194,12 @@ from .expectations import (
     Expectation,
     accepted_values,
     between,
+    matches_regex,
+    mean_between,
     monotonic_id,
     not_null,
     row_count_between,
     run_expectations,
     unique,
+    unique_combo,
 )

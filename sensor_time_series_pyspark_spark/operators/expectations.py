@@ -16,6 +16,11 @@ Supported kinds:
 - ``between(col, lo, hi, max_violation_frac)``
 - ``monotonic_id(col)`` — max(col) - min(col) + 1 >= count (no dense
   requirement, catches gross id reuse when equality holds)
+- ``matches_regex(col, pattern, max_violation_frac)`` — partial-match
+  (rlike) semantics; NULL is a violation
+- ``mean_between(col, lo, hi)`` — exact decimal-sum mean in band
+  (the only two-aggregate kind: sum + non-null count)
+- ``unique_combo(cols)`` — composite-key uniqueness over the tuple
 
 NULL policy: a NULL value is a VIOLATION for ``between`` and
 ``accepted_values`` (a contract on a column's domain is not satisfied
@@ -50,6 +55,8 @@ class Expectation:
     hi: float | None = None
     frac: float = 0.0
     values: tuple = field(default_factory=tuple)
+    pattern: str | None = None
+    cols: tuple = field(default_factory=tuple)
 
 
 def row_count_between(name: str, lo: int, hi: int) -> Expectation:
@@ -76,6 +83,33 @@ def between(
 
 def monotonic_id(name: str, col: str) -> Expectation:
     return Expectation(name, "monotonic_id", col=col)
+
+
+def matches_regex(
+    name: str, col: str, pattern: str, max_violation_frac: float = 0.0
+) -> Expectation:
+    """Rows where ``col`` does NOT contain a match of ``pattern``
+    (partial-match semantics, like Spark rlike / DuckDB
+    regexp_matches) count as violations; NULL is a violation."""
+    return Expectation(
+        name, "matches_regex", col=col, pattern=pattern,
+        frac=max_violation_frac,
+    )
+
+
+def mean_between(name: str, col: str, lo: float, hi: float) -> Expectation:
+    """Column mean (NULLs excluded, standard SQL avg semantics) must
+    land in [lo, hi]. Computed as an EXACT decimal(38,6) sum with one
+    double division, so the observed value hash-gates cross-engine;
+    empty input or an all-NULL column is a definite failure."""
+    return Expectation(name, "mean_between", col=col, lo=lo, hi=hi)
+
+
+def unique_combo(name: str, cols) -> Expectation:
+    """Multi-column uniqueness: distinct count over the column TUPLE
+    equals the row count (the composite-key contract ``unique`` can't
+    express)."""
+    return Expectation(name, "unique_combo", cols=tuple(cols))
 
 
 def run_expectations(df: DataFrame, suite: list[Expectation]) -> DataFrame:
@@ -126,6 +160,34 @@ def run_expectations(df: DataFrame, suite: list[Expectation]) -> DataFrame:
                 .cast("bigint")
                 .alias(f"__m{i}")
             )
+        elif e.kind == "matches_regex":
+            # NULL or no partial match -> violation (rlike semantics)
+            aggs.append(
+                F.sum(
+                    F.when(
+                        F.col(e.col).isNull()
+                        | ~F.col(e.col).rlike(e.pattern),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias(f"__m{i}")
+            )
+        elif e.kind == "mean_between":
+            # exact decimal sum; the companion non-null count rides in
+            # a second slot (the only two-aggregate kind)
+            aggs.append(
+                F.sum(F.col(e.col).cast("decimal(38,6)")).alias(f"__m{i}")
+            )
+            aggs.append(
+                F.count(F.col(e.col)).cast("bigint").alias(f"__m2_{i}")
+            )
+        elif e.kind == "unique_combo":
+            aggs.append(
+                F.count_distinct(
+                    F.struct(*[F.col(c) for c in e.cols])
+                ).alias(f"__m{i}")
+            )
         elif e.kind == "row_count_between":
             aggs.append(F.lit(0).cast("bigint").alias(f"__m{i}"))
         else:
@@ -159,6 +221,26 @@ def run_expectations(df: DataFrame, suite: list[Expectation]) -> DataFrame:
             observed = m.cast("double") / n.cast("double")
             passed = observed <= F.lit(float(e.frac))
             threshold = F.lit(float(e.frac))
+        elif e.kind == "matches_regex":
+            observed = m.cast("double") / n.cast("double")
+            passed = observed <= F.lit(float(e.frac))
+            threshold = F.lit(float(e.frac))
+        elif e.kind == "mean_between":
+            cnt = F.col(f"__m2_{i}")
+            observed = F.when(
+                cnt > 0, m.cast("double") / cnt.cast("double")
+            ).otherwise(F.lit(0.0))
+            # all-NULL column (cnt=0): definite failure, observed 0.0
+            passed = F.when(
+                cnt > 0,
+                (observed >= F.lit(float(e.lo)))
+                & (observed <= F.lit(float(e.hi))),
+            ).otherwise(F.lit(False))
+            threshold = F.lit(float(e.hi))
+        elif e.kind == "unique_combo":
+            passed = m == n
+            observed = m.cast("double")
+            threshold = n.cast("double")
         else:  # monotonic_id
             # coalesce: max/min are NULL on an all-NULL id column
             # (and on empty input) — that's a definite failure, not

@@ -238,12 +238,36 @@ def _q_cluster_safe_split(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_expectation_suite2(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-8 expectation kinds over customer (q560's companion):
+    name-format regex (partial-match, NULL=violation), exact
+    decimal-mean band on acctbal, and composite-key uniqueness on
+    (nation, name) — all still ONE conditional aggregate + one
+    exploded projection; mean_between is the only kind that rides two
+    aggregate slots (decimal sum + non-null count)."""
+    from sensor_time_series_pyspark_spark.operators import (
+        matches_regex,
+        mean_between,
+        run_expectations,
+        unique_combo,
+    )
+
+    c = read_table(spark, sf, "customer")
+    suite = [
+        matches_regex("name_format", "c_name", "^Customer#[0-9]{9}$", 0.0),
+        mean_between("acctbal_band", "c_acctbal", 0.0, 10_000.0),
+        unique_combo("nation_name_key", ("c_nationkey", "c_name")),
+    ]
+    return run_expectations(c, suite)
+
+
 register_many(
     {
         "q570_sessionize_split": _q_sessionize_split,
         "q571_asof_join_split": _q_asof_join_split,
         "q572_semantic_dedup": _q_semantic_dedup,
         "q573_cluster_safe_split": _q_cluster_safe_split,
+        "q574_expectation_suite2": _q_expectation_suite2,
     },
     {
         "q570_sessionize_split": _SESSIONIZE_SQL,
@@ -341,6 +365,39 @@ register_many(
               CAST(sum(n_eval_cl) AS DOUBLE)
                 / CAST(sum(n_docs) AS DOUBLE) AS eval_frac_cluster
             FROM per_fp
+        """,
+        "q574_expectation_suite2": """
+            WITH g AS (
+              SELECT
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN c_name IS NULL
+                  OR NOT regexp_matches(c_name, '^Customer#[0-9]{9}$')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS bad_name,
+                sum(CAST(c_acctbal AS DECIMAL(38,6))) AS bal_sum,
+                CAST(count(c_acctbal) AS BIGINT) AS bal_n,
+                CAST(count(DISTINCT (c_nationkey, c_name)) AS BIGINT)
+                  AS combo
+              FROM customer
+            )
+            SELECT 'name_format' AS name, 'matches_regex' AS kind,
+              CAST(bad_name AS DOUBLE) / CAST(n AS DOUBLE) <= 0.0
+                AS passed,
+              CAST(bad_name AS DOUBLE) / CAST(n AS DOUBLE) AS observed,
+              0.0 AS threshold FROM g
+            UNION ALL
+            SELECT 'acctbal_band', 'mean_between',
+              CASE WHEN bal_n > 0 THEN
+                CAST(bal_sum AS DOUBLE) / CAST(bal_n AS DOUBLE) >= 0.0
+                AND CAST(bal_sum AS DOUBLE) / CAST(bal_n AS DOUBLE)
+                  <= 10000.0
+              ELSE false END,
+              CASE WHEN bal_n > 0 THEN
+                CAST(bal_sum AS DOUBLE) / CAST(bal_n AS DOUBLE)
+              ELSE 0.0 END,
+              10000.0 FROM g
+            UNION ALL
+            SELECT 'nation_name_key', 'unique_combo', combo = n,
+              CAST(combo AS DOUBLE), CAST(n AS DOUBLE) FROM g
         """,
     },
 )

@@ -13,11 +13,14 @@ from hypothesis import strategies as st
 from sensor_time_series_pyspark_spark.operators import (
     accepted_values,
     between,
+    matches_regex,
+    mean_between,
     monotonic_id,
     not_null,
     row_count_between,
     run_expectations,
     unique,
+    unique_combo,
 )
 
 
@@ -90,6 +93,9 @@ def _naive_audit(rows, suite):
     out = {}
     for e in suite:
         vals = [getattr(r, e.col) for r in rows] if e.col else []
+        if e.kind == "unique_combo" and n == 0:
+            out[e.name] = (False, 0.0)
+            continue
         if e.kind == "row_count_between":
             passed, obs = int(e.lo) <= n <= int(e.hi), float(n)
         elif n == 0:
@@ -110,6 +116,36 @@ def _naive_audit(rows, suite):
             m = sum((v is None) or v < e.lo or v > e.hi for v in vals)
             obs = m / n
             passed = obs <= e.frac
+        elif e.kind == "matches_regex":
+            import re
+
+            m = sum(
+                (v is None) or (re.search(e.pattern, v) is None)
+                for v in vals
+            )
+            obs = m / n
+            passed = obs <= e.frac
+        elif e.kind == "mean_between":
+            # mirror the operator's exact decimal(38,6) accumulation:
+            # each double rounds HALF_UP to 6 places, the sum is exact,
+            # and one correctly-rounded double division follows
+            from decimal import ROUND_HALF_UP, Decimal
+
+            q = Decimal("0.000001")
+            nn = [
+                Decimal(v).quantize(q, ROUND_HALF_UP)
+                for v in vals
+                if v is not None
+            ]
+            if not nn:
+                passed, obs = False, 0.0
+            else:
+                obs = float(sum(nn)) / len(nn)
+                passed = e.lo <= obs <= e.hi
+        elif e.kind == "unique_combo":
+            tups = {tuple(getattr(r, c) for c in e.cols) for r in rows}
+            obs = float(len(tups))
+            passed = len(tups) == n
         else:  # monotonic_id
             nn = [v for v in vals if v is not None]
             if not nn:
@@ -161,6 +197,9 @@ def test_expectations_differential_vs_naive(
         accepted_values("cat_dom", "cat", tuple(sorted(dom))),
         between("x_rng", "x", blo, bhi, frac),
         monotonic_id("id_span", "id"),
+        matches_regex("cat_rx", "cat", "^(a|zz)$", frac),
+        mean_between("x_mean", "x", blo, bhi),
+        unique_combo("id_cat", ("id", "cat")),
     ]
     got = {
         r["name"]: (r["passed"], r["observed"])
