@@ -430,3 +430,48 @@ def test_asof_join_split_exact_and_faster_on_hot_key(spark):
     assert mism == 0
     assert base.count() == split.count()
     assert t_split <= t_base * 1.0, (t_split, t_base)
+
+
+def test_asof_join_split_per_column_carry_independence(spark):
+    """The plain asof path carries each value column independently
+    (last non-null PER COLUMN, not per row); the split path's seeds
+    must mirror that. Right rows alternate which column is NULL, so a
+    left row in a later bucket must pick the two columns from TWO
+    different earlier right rows — a per-row seed would get one of
+    them wrong."""
+    from sensor_time_series_pyspark_spark.operators import (
+        asof_join,
+        asof_join_split,
+    )
+
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 10.0, None),
+            (1, "2024-01-02 00:00:00", None, 200.0),
+            (1, "2024-01-03 00:00:00", 30.0, None),
+        ],
+        "k int, rts string, a double, b double",
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+    left = spark.createDataFrame(
+        [(1, "2024-01-10 00:00:00"), (1, "2024-01-02 12:00:00")],
+        "k int, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    for bucket in (3600, 86_400, 30 * 86_400):
+        got = {
+            (r["k"], str(r["ts"])): (r["a"], r["b"])
+            for r in asof_join_split(
+                left, right, on=["k"], left_ts="ts", right_ts="rts",
+                value_cols=["a", "b"], bucket_seconds=bucket,
+            ).collect()
+        }
+        want = {
+            (r["k"], str(r["ts"])): (r["a"], r["b"])
+            for r in asof_join(
+                left, right, on=["k"], left_ts="ts", right_ts="rts",
+                value_cols=["a", "b"],
+            ).collect()
+        }
+        assert got == want, (bucket, got, want)
+        # the late row must blend columns from rows 3 (a) and 2 (b)
+        assert got[(1, "2024-01-10 00:00:00")] == (30.0, 200.0)
