@@ -261,6 +261,87 @@ def _q_expectation_suite2(spark: SparkSession, sf: str) -> DataFrame:
     return run_expectations(c, suite)
 
 
+def _q_hard_negative_margin(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining audit for retrieval training: per query
+    vector, the hardest POSITIVE (highest-cosine corpus vector sharing
+    its label) and hardest NEGATIVE (highest-cosine with a different
+    label), and the margin between them — negative margins are the
+    queries whose nearest neighbor is a wrong-label vector, exactly
+    the pairs a contrastive trainer should mine. Dots and norms are
+    exact integers on 2^20-quantized components; cosine is the same
+    fixed double epilogue in both engines (one division of a product
+    of two sqrt's), and argmax ties break on cid — the q23/q47
+    discipline, so values hash-gate. Scale shape: 10 broadcast query
+    rows scan the corpus once (the verification tier; the mining tier
+    at 100 TB is the IVF/LSH candidate path of q47/q166)."""
+    emb = read_table(spark, sf, "embeddings")
+    qv = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * _Q20)
+    )
+    n2 = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda a: a * a),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("clab"),
+        qv.alias("cq"),
+    ).withColumn("cn2", n2("cq"))
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlab"),
+        qv.alias("qq"),
+    ).withColumn("qn2", n2("qq"))
+    dot = F.aggregate(
+        F.zip_with("qq", "cq", lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        corpus.join(F.broadcast(queries))
+        .where(F.col("cid") != F.col("qid"))
+        .select(
+            "qid",
+            "cid",
+            (F.col("clab") == F.col("qlab")).alias("pos"),
+            (
+                dot.cast("double")
+                / (
+                    F.sqrt(F.col("qn2").cast("double"))
+                    * F.sqrt(F.col("cn2").cast("double"))
+                )
+            ).alias("cos"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid", "pos").orderBy(
+        F.col("cos").desc(), F.col("cid").asc()
+    )
+    best = scored.withColumn("r", F.row_number().over(w)).where(
+        F.col("r") == 1
+    )
+    p = best.where(F.col("pos")).select(
+        "qid",
+        F.col("cid").alias("pos_cid"),
+        F.col("cos").alias("pos_cos"),
+    )
+    ng = best.where(~F.col("pos")).select(
+        "qid",
+        F.col("cid").alias("neg_cid"),
+        F.col("cos").alias("neg_cos"),
+    )
+    return p.join(ng, "qid").select(
+        "qid",
+        "pos_cid",
+        "pos_cos",
+        "neg_cid",
+        "neg_cos",
+        (F.col("pos_cos") - F.col("neg_cos")).alias("margin"),
+    )
+
+
 register_many(
     {
         "q570_sessionize_split": _q_sessionize_split,
@@ -268,6 +349,7 @@ register_many(
         "q572_semantic_dedup": _q_semantic_dedup,
         "q573_cluster_safe_split": _q_cluster_safe_split,
         "q574_expectation_suite2": _q_expectation_suite2,
+        "q575_hard_negative_margin": _q_hard_negative_margin,
     },
     {
         "q570_sessionize_split": _SESSIONIZE_SQL,
@@ -398,6 +480,43 @@ register_many(
             UNION ALL
             SELECT 'nation_name_key', 'unique_combo', combo = n,
               CAST(combo AS DOUBLE), CAST(n AS DOUBLE) FROM g
+        """,
+        "q575_hard_negative_margin": """
+            WITH v AS (
+              SELECT vec_id, label,
+                list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 1048576)
+                            AS BIGINT)) AS q
+              FROM embeddings
+            ),
+            n AS (
+              SELECT vec_id, label, q,
+                CAST(list_sum(list_transform(q, x -> x * x))
+                  AS BIGINT) AS n2
+              FROM v
+            ),
+            scored AS (
+              SELECT a.vec_id AS qid, b.vec_id AS cid,
+                (b.label = a.label) AS pos,
+                CAST(list_sum(list_transform(list_zip(a.q, b.q),
+                  s -> s[1] * s[2])) AS BIGINT) / 1.0e0
+                  / (sqrt(CAST(a.n2 AS DOUBLE))
+                     * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
+              FROM n a JOIN n b ON b.vec_id <> a.vec_id
+              WHERE a.vec_id < 10
+            ),
+            best AS (
+              SELECT qid, cid, pos, cos FROM (
+                SELECT *, row_number() OVER (PARTITION BY qid, pos
+                  ORDER BY cos DESC, cid ASC) AS r
+                FROM scored
+              ) WHERE r = 1
+            )
+            SELECT p.qid, p.cid AS pos_cid, p.cos AS pos_cos,
+              g.cid AS neg_cid, g.cos AS neg_cos,
+              p.cos - g.cos AS margin
+            FROM best p JOIN best g ON p.qid = g.qid
+            WHERE p.pos AND NOT g.pos
         """,
     },
 )
