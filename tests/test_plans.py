@@ -148,6 +148,9 @@ def test_no_accidental_cartesian_products(spark):
     # (q47's quantizer shape); the within-cell pair join is an
     # equi-join on cell, never a cartesian
     SKIP |= {"q572_semantic_dedup"}
+    # 10-row broadcast query-vector scan (the q23/q547 verification
+    # tier; the mining tier is the IVF/LSH candidate path)
+    SKIP |= {"q575_hard_negative_margin"}
     # 10-row broadcast query-vector scan per dim tier (the q23
     # verification-tier shape; MRL fidelity is measured against the
     # exact neighborhood by definition)
