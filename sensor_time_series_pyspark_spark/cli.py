@@ -176,42 +176,49 @@ def gate_main(argv: list[str] | None = None) -> int:
         )
         saved_fd = os.dup(2)
         os.dup2(stderr_log.fileno(), 2)
-    spark = get_spark("check_oracle")
-    con = duck_con(sf_dir)
-    qs, oracles = dict(QUERIES), dict(ORACLE_SQL)
     failed = []
     n_run = 0
-    for name, fn in qs.items():
-        if only and name not in only:
-            continue
-        n_run += 1
-        try:
-            sdf = fn(spark, sf_dir).toPandas()
-        except Exception as exc:
-            print(f"FAIL {name}: spark error: {exc}")
-            failed.append(name)
-            continue
-        sql = oracles.get(name)
-        if sql is None:
-            print(f"ok   {name}: rows-only ({len(sdf)} rows)")
-            if len(sdf) == 0:
+    codegen_ok = True
+    try:
+        spark = get_spark("check_oracle")
+        con = duck_con(sf_dir)
+        qs, oracles = dict(QUERIES), dict(ORACLE_SQL)
+        for name, fn in qs.items():
+            if only and name not in only:
+                continue
+            n_run += 1
+            try:
+                sdf = fn(spark, sf_dir).toPandas()
+            except Exception as exc:
+                print(f"FAIL {name}: spark error: {exc}")
                 failed.append(name)
-            continue
-        try:
-            ddf = con.execute(sql).fetchdf()
-        except Exception as exc:
-            print(f"FAIL {name}: duckdb error: {exc}")
-            failed.append(name)
-            continue
-        issues = compare(name, sdf, ddf)
-        if issues:
-            print(f"FAIL {name}: " + "; ".join(issues))
-            failed.append(name)
-        else:
-            print(f"ok   {name}: {len(sdf)} rows match")
+                continue
+            sql = oracles.get(name)
+            if sql is None:
+                print(f"ok   {name}: rows-only ({len(sdf)} rows)")
+                if len(sdf) == 0:
+                    failed.append(name)
+                continue
+            try:
+                ddf = con.execute(sql).fetchdf()
+            except Exception as exc:
+                print(f"FAIL {name}: duckdb error: {exc}")
+                failed.append(name)
+                continue
+            issues = compare(name, sdf, ddf)
+            if issues:
+                print(f"FAIL {name}: " + "; ".join(issues))
+                failed.append(name)
+            else:
+                print(f"ok   {name}: {len(sdf)} rows match")
+    finally:
+        # Restore stderr even if setup (get_spark/duck_con) raised or the
+        # run was interrupted, so the traceback is visible, not swallowed
+        # into the hidden temp log.
+        if guard and saved_fd is not None:
+            os.dup2(saved_fd, 2)
+            os.close(saved_fd)
     if guard:
-        os.dup2(saved_fd, 2)
-        os.close(saved_fd)
         with open(stderr_log.name, errors="replace") as fh:
             err_text = fh.read()
         n_codegen = err_text.count("ERROR CodeGenerator")
@@ -220,11 +227,12 @@ def gate_main(argv: list[str] | None = None) -> int:
                 f"FAIL codegen: {n_codegen} 'ERROR CodeGenerator' lines "
                 f"(compile fallback to interpreted mode) — {stderr_log.name}"
             )
-            failed.append("__codegen_guard__")
+            codegen_ok = False
         else:
             print("codegen: 0 'ERROR CodeGenerator' lines")
     print(
         f"\n{n_run - len(failed)}/{n_run} pass"
         + (f" (selected of {len(qs)} registered)" if only else "")
+        + ("" if codegen_ok else "; codegen guard FAILED")
     )
-    return 1 if failed else 0
+    return 1 if (failed or not codegen_ok) else 0

@@ -28,6 +28,7 @@ def asof_join(
     direction: str = "backward",
     tolerance_seconds: float | None = None,
     matched_ts_col: str | None = None,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the nearest right row within the
     same ``on`` key — the most recent with ``right_ts <= left_ts``
@@ -41,14 +42,18 @@ def asof_join(
     right timestamp (NULL when no match / out of tolerance).
 
     ``value_cols`` are the right-side columns to carry. If several right
-    rows share the same key+timestamp, pre-aggregate ``right`` first for
-    deterministic output.
+    rows share the same key+timestamp, pass a right-side ``tiebreak_col``
+    that is unique per (key, timestamp): the winner among coincident
+    right rows is then the one with the LARGEST tiebreak going backward
+    (smallest going forward) — deterministic regardless of partitioning.
+    Without it, pre-aggregate ``right`` first.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     backward = direction == "backward"
     out_cols = [c + suffix for c in value_cols]
     carry = list(out_cols) + ["__rts"]
+    tb = ["__tb"] if tiebreak_col is not None else []
     r = right.select(
         *[F.col(k) for k in on],
         F.col(right_ts).alias("__ts"),
@@ -58,18 +63,19 @@ def asof_join(
         F.lit(0 if backward else 1).alias("__side"),
         *[F.col(c).alias(o) for c, o in zip(value_cols, out_cols)],
         F.col(right_ts).alias("__rts"),
+        *([F.col(tiebreak_col).alias("__tb")] if tb else []),
     )
     l = left.withColumn("__ts", F.col(left_ts)).withColumn(
         "__side", F.lit(1 if backward else 0)
     )
-    for o in carry:
+    for o in carry + tb:
         l = l.withColumn(o, F.lit(None).cast(r.schema[o].dataType))
     unioned = l.unionByName(r, allowMissingColumns=True)
 
     if backward:
         w = (
             Window.partitionBy(*on)
-            .orderBy("__ts", "__side")
+            .orderBy("__ts", "__side", *tb)
             .rowsBetween(Window.unboundedPreceding, 0)
         )
     else:
@@ -81,13 +87,17 @@ def asof_join(
         # exact reverse of the (ts, side) total order.
         w = (
             Window.partitionBy(*on)
-            .orderBy(F.col("__ts").desc(), F.col("__side").desc())
+            .orderBy(
+                F.col("__ts").desc(),
+                F.col("__side").desc(),
+                *[F.col(c).desc() for c in tb],
+            )
             .rowsBetween(Window.unboundedPreceding, 0)
         )
     pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
     for o in carry:
         unioned = unioned.withColumn(o, pick(o))
-    out = unioned.where(F.col("__side") == (1 if backward else 0))
+    out = unioned.where(F.col("__side") == (1 if backward else 0)).drop("__tb")
     if tolerance_seconds is not None:
         gap = F.abs(
             F.col("__ts").cast("timestamp").cast("double")
@@ -115,6 +125,8 @@ def asof_join_split(
     direction: str = "backward",
     tolerance_seconds: float | None = None,
     matched_ts_col: str | None = None,
+    tiebreak_col: str | None = None,
+    broadcast_seeds: bool = True,
 ) -> DataFrame:
     """``asof_join`` for skewed entity keys: the union-window runs
     within (key, time-bucket) so a hot key's rows parallelize across
@@ -132,11 +144,16 @@ def asof_join_split(
     precedes their bucket. Per-column ``coalesce(local, seed)``
     mirrors the plain path's per-column ``last(ignorenulls)``
     semantics bit-for-bit. Exact for ANY bucket_seconds > 0; same
-    right-side dedup caveat as ``asof_join``. Cost: one exchange on
-    (key, bucket), one bucket-grain summary + broadcast join — the
-    straggler shrinks from O(hot-key rows) to O(hot-key buckets).
-    Verified row-identical to ``asof_join`` on the round-7 zipf
-    fixture (tests/test_skew_stress.py)."""
+    right-side dedup caveat as ``asof_join`` (or pass the same
+    ``tiebreak_col``, honored in both the local window and the
+    carry-out summary). Cost: one exchange on (key, bucket), one
+    bucket-grain summary + seeds join — BROADCAST by default
+    (``broadcast_seeds``), since the seeds frame is key×bucket grain;
+    set False when keys×buckets outgrows the driver and the join falls
+    back to a (balanced) shuffle on the composite key. The straggler
+    shrinks from O(hot-key rows) to O(hot-key buckets). Verified
+    row-identical to ``asof_join`` on the round-7 zipf fixture
+    (tests/test_skew_stress.py)."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     if bucket_seconds <= 0:
@@ -144,17 +161,19 @@ def asof_join_split(
     backward = direction == "backward"
     out_cols = [c + suffix for c in value_cols]
     carry = list(out_cols) + ["__rts"]
+    tb = ["__tb"] if tiebreak_col is not None else []
     r = right.select(
         *[F.col(k) for k in on],
         F.col(right_ts).alias("__ts"),
         F.lit(0 if backward else 1).alias("__side"),
         *[F.col(c).alias(o) for c, o in zip(value_cols, out_cols)],
         F.col(right_ts).alias("__rts"),
+        *([F.col(tiebreak_col).alias("__tb")] if tb else []),
     )
     l = left.withColumn("__ts", F.col(left_ts)).withColumn(
         "__side", F.lit(1 if backward else 0)
     )
-    for o in carry:
+    for o in carry + tb:
         l = l.withColumn(o, F.lit(None).cast(r.schema[o].dataType))
     unioned = l.unionByName(r, allowMissingColumns=True).withColumn(
         "__bucket",
@@ -168,13 +187,17 @@ def asof_join_split(
     if backward:
         w = (
             Window.partitionBy(*keys, "__bucket")
-            .orderBy("__ts", "__side")
+            .orderBy("__ts", "__side", *tb)
             .rowsBetween(Window.unboundedPreceding, 0)
         )
     else:
         w = (
             Window.partitionBy(*keys, "__bucket")
-            .orderBy(F.col("__ts").desc(), F.col("__side").desc())
+            .orderBy(
+                F.col("__ts").desc(),
+                F.col("__side").desc(),
+                *[F.col(c).desc() for c in tb],
+            )
             .rowsBetween(Window.unboundedPreceding, 0)
         )
     for o in carry:
@@ -194,11 +217,17 @@ def asof_join_split(
         ).cast("bigint"),
     )
     pick = F.max_by if backward else F.min_by
+    # with a tiebreak the ordering key is struct(ts, tb) — lexicographic
+    # struct comparison, so coincident right rows resolve the same way
+    # the window path does (largest tb backward, smallest forward)
+    okey = (
+        (lambda: F.struct(F.col("__ts"), F.col("__tb")))
+        if tb
+        else (lambda: F.col("__ts"))
+    )
     summary = r_b.groupBy(*keys, "__bucket").agg(
         *[
-            pick(
-                F.col(o), F.when(F.col(o).isNotNull(), F.col("__ts"))
-            ).alias(o)
+            pick(F.col(o), F.when(F.col(o).isNotNull(), okey())).alias(o)
             for o in carry
         ]
     )
@@ -231,13 +260,15 @@ def asof_join_split(
         ],
     )
 
-    patched = unioned.join(F.broadcast(seeds), [*keys, "__bucket"], "left")
+    if broadcast_seeds:
+        seeds = F.broadcast(seeds)
+    patched = unioned.join(seeds, [*keys, "__bucket"], "left")
     for o in carry:
         patched = patched.withColumn(
             o, F.coalesce(F.col(o), F.col(f"__seed_{o}"))
         ).drop(f"__seed_{o}")
 
-    out = patched.where(F.col("__side") == (1 if backward else 0))
+    out = patched.where(F.col("__side") == (1 if backward else 0)).drop("__tb")
     if tolerance_seconds is not None:
         gap = F.abs(
             F.col("__ts").cast("timestamp").cast("double")

@@ -174,13 +174,17 @@ def run_expectations(df: DataFrame, suite: list[Expectation]) -> DataFrame:
                 .alias(f"__m{i}")
             )
         elif e.kind == "mean_between":
-            # exact decimal sum; the companion non-null count rides in
-            # a second slot (the only two-aggregate kind)
+            # exact decimal sum; the companion count counts only values
+            # that SURVIVE the decimal cast (NaN / overflow cast to NULL
+            # in the non-ANSI sum — counting them would silently deflate
+            # the observed mean), so sum and count see the same rows
             aggs.append(
                 F.sum(F.col(e.col).cast("decimal(38,6)")).alias(f"__m{i}")
             )
             aggs.append(
-                F.count(F.col(e.col)).cast("bigint").alias(f"__m2_{i}")
+                F.count(F.col(e.col).cast("decimal(38,6)"))
+                .cast("bigint")
+                .alias(f"__m2_{i}")
             )
         elif e.kind == "unique_combo":
             aggs.append(

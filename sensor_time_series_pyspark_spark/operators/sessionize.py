@@ -17,21 +17,26 @@ def sessionize(
     partition_by: Sequence[str],
     gap_seconds: int,
     session_col: str = "session_seq",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Add a per-entity session sequence number: a new session starts
     when the gap since the previous event exceeds ``gap_seconds``.
 
     One shuffle (by entity key); the cumulative sum runs inside the
-    sorted partition.
+    sorted partition. The session NUMBER is tie-invariant (coincident
+    timestamps have gap 0 and always share a session), but pass a
+    ``tiebreak_col`` unique per (entity, ts) when downstream consumers
+    need a fully deterministic within-session row order.
     """
-    w = Window.partitionBy(*partition_by).orderBy(ts_col)
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col is not None else [])
+    w = Window.partitionBy(*partition_by).orderBy(*order)
     prev_ts = F.lag(F.col(ts_col)).over(w)
     is_new = F.when(
         prev_ts.isNull()
         | ((F.col(ts_col).cast("double") - prev_ts.cast("double")) > gap_seconds),
         F.lit(1),
     ).otherwise(F.lit(0))
-    running = Window.partitionBy(*partition_by).orderBy(ts_col).rowsBetween(
+    running = Window.partitionBy(*partition_by).orderBy(*order).rowsBetween(
         Window.unboundedPreceding, 0
     )
     return df.withColumn("__new", is_new).withColumn(
@@ -47,6 +52,7 @@ def sessionize_split(
     bucket_seconds: int,
     session_col: str = "session_seq",
     broadcast_stitch: bool = True,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """``sessionize`` for skewed entity keys: range-split each entity's
     timeline into ``bucket_seconds`` buckets, sessionize WITHIN
@@ -86,7 +92,8 @@ def sessionize_split(
     bdf = df.withColumn(
         "__bucket", F.floor(ep / F.lit(float(bucket_seconds))).cast("bigint")
     )
-    w_local = Window.partitionBy(*keys, "__bucket").orderBy(ts_col)
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col is not None else [])
+    w_local = Window.partitionBy(*keys, "__bucket").orderBy(*order)
     prev_ts = F.lag(F.col(ts_col)).over(w_local)
     is_new = F.when(
         prev_ts.isNull()
@@ -95,7 +102,7 @@ def sessionize_split(
     ).otherwise(F.lit(0))
     run_local = (
         Window.partitionBy(*keys, "__bucket")
-        .orderBy(ts_col)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     local = bdf.withColumn("__new", is_new).withColumn(

@@ -2357,7 +2357,7 @@ register_many(
         """,
         # Twin of _q_chao1_richness: q31's tokenizer, frequency
         # spectrum, one division.
-        "q460_chao1_richness": """
+        "q460_chao1_richness": r"""
             WITH tk0 AS (
               SELECT source,
                 list_filter(string_split_regex(trim(text), '\s+'),

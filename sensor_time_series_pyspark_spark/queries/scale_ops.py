@@ -68,21 +68,29 @@ def _q_asof_join_split(spark: SparkSession, sf: str) -> DataFrame:
 _Q20 = float(1 << 20)
 
 
-def _q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+def _q_semantic_dedup(
+    spark: SparkSession, sf: str, n_cells: int = 32
+) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023: a
     coarse clustering bounds the candidate space, then near-identical
     embeddings within a cluster are pruned to one representative):
-    vectors are assigned to 32 pivot cells with q47's engine-portable
-    quantizer (pivots = smallest md5(id), EXACT integer squared
-    distances on 2^20-quantized components — cell membership has zero
-    float ambiguity), then within each cell a vector is DROPPED iff a
-    lower-id member sits at cosine >= 0.3 (the q17 min-id survivor
-    rule, pairwise). The cosine test is the exact integer predicate
-    100*dot^2 >= 9*|a|^2*|b|^2 AND dot > 0 in decimal(38,0) — no
-    float compare anywhere, so the verdict hash-gates. At 100 TB the
-    within-cell pair volume is N^2/n_cells like an LSH band, and
-    n_cells scales with the corpus; the output is one audit row per
-    vector (cell, dropped)."""
+    vectors are assigned to ``n_cells`` pivot cells with q47's
+    engine-portable quantizer (pivots = smallest md5(id), EXACT integer
+    squared distances on 2^20-quantized components — cell membership
+    has zero float ambiguity), then within each cell a vector is
+    DROPPED iff a lower-id member sits at cosine >= 0.3 (the q17
+    min-id survivor rule, pairwise). The cosine test is the exact
+    integer predicate 100*dot^2 >= 9*|a|^2*|b|^2 AND dot > 0 in
+    decimal(38,0) — no float compare anywhere, so the verdict
+    hash-gates. At 100 TB the within-cell pair volume is N^2/n_cells
+    like an LSH band; size ``n_cells`` by the corpus-scaling rule
+    n_cells ≈ N / target_cell_size (SemDeDup uses cells of ~1e4-1e5
+    vectors, i.e. n_cells ∝ corpus size — gated here at two cell
+    counts, q572/q576, to prove the audit is cell-count-robust where
+    the algebra says it should be). Output: one audit row per vector
+    (cell, dropped)."""
+    if n_cells <= 0:
+        raise ValueError("n_cells must be positive")
     emb = read_table(spark, sf, "embeddings")
     qv = F.transform(
         "embedding", lambda x: F.floor(x.cast("double") * _Q20)
@@ -95,7 +103,7 @@ def _q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
             F.col("vid").alias("pid"),
         )
         .orderBy("h", "pid")
-        .limit(32)
+        .limit(int(n_cells))
     )
     from pyspark.sql import Window
 
@@ -342,27 +350,16 @@ def _q_hard_negative_margin(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-register_many(
-    {
-        "q570_sessionize_split": _q_sessionize_split,
-        "q571_asof_join_split": _q_asof_join_split,
-        "q572_semantic_dedup": _q_semantic_dedup,
-        "q573_cluster_safe_split": _q_cluster_safe_split,
-        "q574_expectation_suite2": _q_expectation_suite2,
-        "q575_hard_negative_margin": _q_hard_negative_margin,
-    },
-    {
-        "q570_sessionize_split": _SESSIONIZE_SQL,
-        "q571_asof_join_split": """
-            SELECT e.event_id, e.user_id, e.ts, d.last_order_price
-            FROM events e
-            ASOF LEFT JOIN (
-              SELECT o_custkey AS user_id, o_orderdate,
-                     max(o_totalprice) AS last_order_price
-              FROM orders GROUP BY 1, 2
-            ) d ON e.user_id = d.user_id AND e.ts >= d.o_orderdate
-        """,
-        "q572_semantic_dedup": """
+def _q_semantic_dedup_cells16(spark: SparkSession, sf: str) -> DataFrame:
+    """q572 at a second cell count (16): same SemDeDup audit, coarser
+    cells — proves the operator is cell-count-robust (the verdicts
+    differ only where the algebra says they may: pairs split across
+    cells). See _q_semantic_dedup's corpus-scaling rule."""
+    return _q_semantic_dedup(spark, sf, n_cells=16)
+
+
+def _semantic_dedup_sql(n_cells: int) -> str:
+    return """
             WITH v AS (
               SELECT vec_id AS vid,
                 list_transform(embedding,
@@ -375,7 +372,7 @@ register_many(
                 CAST(row_number() OVER (ORDER BY h, pid) AS INT) AS cell
               FROM (
                 SELECT v.q, md5(CAST(vid AS VARCHAR)) AS h, vid AS pid
-                FROM v ORDER BY 2, 3 LIMIT 32
+                FROM v ORDER BY 2, 3 LIMIT {n_cells}
               )
             ),
             ad AS (
@@ -412,7 +409,32 @@ register_many(
             SELECT m.vid AS vec_id, m.cell,
               coalesce(h.n_lower > 0, false) AS dropped
             FROM members m LEFT JOIN hits h ON m.vid = h.vb
+        """.format(n_cells=int(n_cells))
+
+
+register_many(
+    {
+        "q570_sessionize_split": _q_sessionize_split,
+        "q571_asof_join_split": _q_asof_join_split,
+        "q572_semantic_dedup": _q_semantic_dedup,
+        "q573_cluster_safe_split": _q_cluster_safe_split,
+        "q574_expectation_suite2": _q_expectation_suite2,
+        "q575_hard_negative_margin": _q_hard_negative_margin,
+        "q576_semantic_dedup_cells16": _q_semantic_dedup_cells16,
+    },
+    {
+        "q570_sessionize_split": _SESSIONIZE_SQL,
+        "q571_asof_join_split": """
+            SELECT e.event_id, e.user_id, e.ts, d.last_order_price
+            FROM events e
+            ASOF LEFT JOIN (
+              SELECT o_custkey AS user_id, o_orderdate,
+                     max(o_totalprice) AS last_order_price
+              FROM orders GROUP BY 1, 2
+            ) d ON e.user_id = d.user_id AND e.ts >= d.o_orderdate
         """,
+        "q572_semantic_dedup": _semantic_dedup_sql(32),
+        "q576_semantic_dedup_cells16": _semantic_dedup_sql(16),
         "q573_cluster_safe_split": """
             WITH base AS (
               SELECT md5(text) AS fp,

@@ -147,7 +147,7 @@ def test_no_accidental_cartesian_products(spark):
     # 32-row pivot broadcast fan-out for the SemDeDup cell assignment
     # (q47's quantizer shape); the within-cell pair join is an
     # equi-join on cell, never a cartesian
-    SKIP |= {"q572_semantic_dedup"}
+    SKIP |= {"q572_semantic_dedup", "q576_semantic_dedup_cells16"}
     # 10-row broadcast query-vector scan (the q23/q547 verification
     # tier; the mining tier is the IVF/LSH candidate path)
     SKIP |= {"q575_hard_negative_margin"}
@@ -490,6 +490,7 @@ def test_global_windows_sit_above_aggregates_or_are_reviewed(spark):
         # frame — bounded by the limit, not by an aggregate); every
         # fact-grain window in the query is partitioned by vid/cell
         "q572_semantic_dedup",
+        "q576_semantic_dedup_cells16",
         # Lloyd assignment folds k=8 distances per row; the global
         # window ranks the k-row centroid frame inside the operator
         "q509_kmeans_lloyd",

@@ -1,0 +1,257 @@
+"""Round-9 additions: README/registry sync, tiebreak_col determinism
+for sessionize/asof (+ their splits), the asof broadcast-seeds opt-out,
+the mean_between NaN/count fix, and hypothesis property tests proving
+split == unsplit on RANDOM timelines (duplicate timestamps, empty
+buckets, widths straddling the gap) — the hand-picked fixture tests in
+test_skew_stress.py generalized (VERDICT r8 #4)."""
+
+from __future__ import annotations
+
+import math
+import re
+from datetime import datetime, timedelta
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from sensor_time_series_pyspark_spark.operators import (
+    asof_join,
+    asof_join_split,
+    mean_between,
+    run_expectations,
+    sessionize,
+    sessionize_split,
+)
+
+
+def test_readme_matches_registry():
+    """README's oracle-count line must track the registry (VERDICT r8
+    #7: the round-8 README went stale the moment q574/q575 landed)."""
+    from sensor_time_series_pyspark_spark.queries.registry import (
+        ORACLE_SQL,
+        QUERIES,
+    )
+
+    text = open("README.md").read()
+    m = re.search(r"(\d+) of the (\d+) driver queries", text)
+    assert m, "README oracle-count line missing"
+    assert (int(m.group(1)), int(m.group(2))) == (
+        len(ORACLE_SQL),
+        len(QUERIES),
+    ), "README.md oracle-count line is stale — update it to match the registry"
+
+
+T0 = datetime(2024, 1, 1)
+
+
+def _ts(minutes: float) -> datetime:
+    return T0 + timedelta(minutes=minutes)
+
+
+def _mk_left(spark, rows):
+    return spark.createDataFrame(rows, "k int, ts timestamp, lid int")
+
+
+def _mk_right(spark, rows):
+    return spark.createDataFrame(rows, "k int, rts timestamp, val double, rid int")
+
+
+def test_asof_tiebreak_picks_largest_backward_smallest_forward(spark):
+    """Coincident right rows (same key+ts): the carried value must be
+    the LARGEST tiebreak going backward, the SMALLEST going forward —
+    deterministic regardless of partitioning (the docstring caveat of
+    rounds 7/8 replaced by an actual contract)."""
+    left = _mk_left(spark, [(1, _ts(10), 1), (1, _ts(30), 2)])
+    right = _mk_right(
+        spark,
+        [
+            (1, _ts(5), 100.0, 1),
+            (1, _ts(5), 200.0, 2),  # same key+ts, larger rid
+            (1, _ts(20), 300.0, 3),
+            (1, _ts(20), 400.0, 4),
+        ],
+    )
+    back = asof_join(
+        left, right, ["k"], "ts", "rts", ["val"], tiebreak_col="rid"
+    )
+    got = {r["lid"]: r["val"] for r in back.collect()}
+    assert got == {1: 200.0, 2: 400.0}
+    fwd = asof_join(
+        left,
+        right,
+        ["k"],
+        "ts",
+        "rts",
+        ["val"],
+        direction="forward",
+        tiebreak_col="rid",
+    )
+    got_f = {r["lid"]: r["val"] for r in fwd.collect()}
+    # forward from ts=10 matches the ts=20 pair -> smallest rid (300);
+    # from ts=30 there is no later right row -> NULL
+    assert got_f[1] == 300.0 and got_f[2] is None
+
+
+def test_asof_split_tiebreak_matches_plain_all_widths(spark):
+    """The split path honors tiebreak_col identically to the plain
+    path — including when coincident rows land at a bucket boundary —
+    for widths below / equal / above the timeline span."""
+    left = _mk_left(spark, [(1, _ts(i), i) for i in range(0, 40, 7)])
+    right = _mk_right(
+        spark,
+        [
+            (1, _ts(5), 100.0, 1),
+            (1, _ts(5), 200.0, 2),
+            (1, _ts(12), None, 3),  # null value: carry must skip it
+            (1, _ts(24), 300.0, 4),
+            (1, _ts(24), 400.0, 5),
+        ],
+    )
+    for direction in ("backward", "forward"):
+        plain = asof_join(
+            left,
+            right,
+            ["k"],
+            "ts",
+            "rts",
+            ["val"],
+            direction=direction,
+            tiebreak_col="rid",
+            matched_ts_col="mts",
+        )
+        want = sorted(
+            (r["lid"], r["val"], r["mts"]) for r in plain.collect()
+        )
+        for bucket_s in (60, 300, 600, 86_400):
+            split = asof_join_split(
+                left,
+                right,
+                ["k"],
+                "ts",
+                "rts",
+                ["val"],
+                bucket_seconds=bucket_s,
+                direction=direction,
+                tiebreak_col="rid",
+                matched_ts_col="mts",
+            )
+            got = sorted(
+                (r["lid"], r["val"], r["mts"]) for r in split.collect()
+            )
+            assert got == want, (direction, bucket_s)
+
+
+def test_asof_split_shuffled_seeds_identical(spark):
+    """broadcast_seeds=False (ADVICE r8: the fallback for key×bucket
+    frames that outgrow the driver) must produce identical rows via the
+    shuffled equi-join."""
+    left = _mk_left(spark, [(k, _ts(m), k * 100 + m) for k in (1, 2) for m in range(0, 50, 9)])
+    right = _mk_right(
+        spark,
+        [(k, _ts(m), float(k * 1000 + m), k * 100 + m) for k in (1, 2) for m in (3, 17, 31)],
+    )
+    kw = dict(
+        on=["k"],
+        left_ts="ts",
+        right_ts="rts",
+        value_cols=["val"],
+        bucket_seconds=600,
+    )
+    a = sorted(map(tuple, asof_join_split(left, right, **kw).collect()))
+    b = sorted(
+        map(
+            tuple,
+            asof_join_split(
+                left, right, broadcast_seeds=False, **kw
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) == left.count()
+
+
+def test_sessionize_tiebreak_param_preserves_sessions(spark):
+    """tiebreak_col only fixes within-tie ORDER; session numbers are
+    tie-invariant, so with and without must agree on unique-ts data and
+    coincident rows must share a session either way."""
+    rows = [(1, _ts(0), 1), (1, _ts(1), 2), (1, _ts(1), 3), (1, _ts(90), 4)]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, eid int")
+    out = sessionize(df, "ts", ["k"], gap_seconds=1800, tiebreak_col="eid")
+    got = {r["eid"]: r["session_seq"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 2}
+    split = sessionize_split(
+        df, "ts", ["k"], gap_seconds=1800, bucket_seconds=60, tiebreak_col="eid"
+    )
+    got_s = {r["eid"]: r["session_seq"] for r in split.collect()}
+    assert got_s == got
+
+
+def test_mean_between_nan_excluded_from_sum_and_count(spark):
+    """ADVICE r8: NaN casts to NULL in the non-ANSI decimal sum but was
+    still counted, silently deflating the observed mean. Now the count
+    only sees values that survive the cast: mean([1,3,NaN]) == 2.0."""
+    df = spark.createDataFrame(
+        [(1.0,), (3.0,), (float("nan"),)], "x double"
+    )
+    rep = run_expectations(
+        df, [mean_between("band", "x", 0.0, 10.0)]
+    ).collect()[0]
+    assert math.isclose(rep["observed"], 2.0, rel_tol=0, abs_tol=0)
+    assert bool(rep["passed"])
+
+
+# ---- hypothesis: split == unsplit on random timelines (VERDICT #4) ----
+
+# minute offsets with duplicates likely; gap fixed at 30 min so widths
+# in BUCKETS below/equal/above the gap all get exercised
+timelines = st.lists(
+    st.integers(min_value=0, max_value=600), min_size=1, max_size=25
+)
+BUCKETS = st.sampled_from([7 * 60, 30 * 60, 45 * 60, 86_400])
+
+
+@settings(max_examples=12, deadline=None)
+@given(mins=timelines, bucket_s=BUCKETS)
+def test_sessionize_split_equals_plain_random(spark, mins, bucket_s):
+    rows = [(1, _ts(m), i) for i, m in enumerate(sorted(mins))] + [
+        (2, _ts(m + 1), 1000 + i) for i, m in enumerate(sorted(mins)[:5])
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, eid int")
+    plain = sessionize(df, "ts", ["k"], 1800, tiebreak_col="eid")
+    split = sessionize_split(
+        df, "ts", ["k"], 1800, bucket_seconds=bucket_s, tiebreak_col="eid"
+    )
+    a = sorted((r["eid"], r["session_seq"]) for r in plain.collect())
+    b = sorted((r["eid"], r["session_seq"]) for r in split.collect())
+    assert a == b
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    lmins=timelines,
+    rmins=st.lists(st.integers(0, 600), min_size=0, max_size=12),
+    bucket_s=BUCKETS,
+    direction=st.sampled_from(["backward", "forward"]),
+)
+def test_asof_split_equals_plain_random(spark, lmins, rmins, bucket_s, direction):
+    left = _mk_left(spark, [(1, _ts(m), i) for i, m in enumerate(lmins)])
+    right = _mk_right(
+        spark,
+        [
+            (1, _ts(m), float(m) if i % 3 else None, i)
+            for i, m in enumerate(rmins)
+        ],
+    )
+    kw = dict(
+        on=["k"],
+        left_ts="ts",
+        right_ts="rts",
+        value_cols=["val"],
+        direction=direction,
+        tiebreak_col="rid",
+        matched_ts_col="mts",
+    )
+    plain = asof_join(left, right, **kw)
+    split = asof_join_split(left, right, bucket_seconds=bucket_s, **kw)
+    a = sorted((r["lid"], r["val"], r["mts"]) for r in plain.collect())
+    b = sorted((r["lid"], r["val"], r["mts"]) for r in split.collect())
+    assert a == b
