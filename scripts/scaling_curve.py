@@ -14,7 +14,15 @@ Methodology matches bench.py: one warm-up execution per dataset, then
 best-of-N (default 3) noop-sink executions per query; cache cleared
 between queries; 1-minute loadavg recorded before each dataset leg.
 
+Load gate (VERDICT r8 #1): round-8 legs were recorded under load1 up
+to 23 and the first-decade slopes stopped being comparable
+round-over-round. Each leg now WAITS until load1 drops below
+--max-load (default 2.0, like the bench discipline) before timing,
+up to --load-timeout seconds (then proceeds and the recorded per-leg
+load1 documents the compromise).
+
 Usage: python scripts/scaling_curve.py [--repeats N] [--out FILE]
+       [--max-load L] [--load-timeout SEC]
 """
 
 from __future__ import annotations
@@ -34,12 +42,15 @@ EV_UNIFORM = "/tmp/scale_events/uniform"
 EV_ZIPF = "/tmp/scale_events/zipf"
 SCALE_BIG = "/tmp/scale_big"
 
-# VERDICT r7 #6: the three steepest first-decade queries get a second
-# decade — documents grow 10x over scale10 (500k docs) for q19/q22,
-# events grow 50x (50M rows) for q29. Slopes are normalized per decade
-# ((t_big/t_10x)^(1/log10(factor))) so the 50x events step compares
-# against the 10x first-decade slope directly.
+# VERDICT r7 #6: the steepest first-decade queries get a second
+# decade — documents grow 10x over scale10 (500k docs) for q17/q19/
+# q22, events grow 50x (50M rows) for q29. Slopes are normalized per
+# decade ((t_big/t_10x)^(1/log10(factor))) so the 50x events step
+# compares against the 10x first-decade slope directly. q17 joined in
+# round 9 (VERDICT r8 #1: first-decade slope 3.69 with no second
+# datapoint).
 SECOND_DECADE = {
+    "q17_dedup_exact": 10.0,     # docs 50k -> 500k
     "q19_jaccard_pairs": 10.0,   # docs 50k -> 500k
     "q22_doc_stats": 10.0,       # docs 50k -> 500k
     "q29_asof_join": 50.0,       # events 1M -> 50M
@@ -57,9 +68,27 @@ EVENT_QUERIES = [
 ]
 
 
-def time_leg(spark, sf_dir, names, repeats):
+def wait_for_idle(max_load: float, timeout_s: float) -> float:
+    """Block until load1 < max_load (or timeout); return the load1 the
+    leg actually ran at. The gate makes legs comparable ROUND-OVER-
+    ROUND, which round 8's under-load numbers were not."""
+    deadline = time.monotonic() + timeout_s
+    load1 = os.getloadavg()[0]
+    while load1 >= max_load and time.monotonic() < deadline:
+        time.sleep(10.0)
+        load1 = os.getloadavg()[0]
+    if load1 >= max_load:
+        print(
+            f"WARNING leg starting at load1={load1:.2f} >= {max_load} "
+            f"after {timeout_s:.0f}s wait",
+            file=sys.stderr,
+        )
+    return round(load1, 2)
+
+
+def time_leg(spark, sf_dir, names, repeats, max_load=2.0, load_timeout=600.0):
     qs = dict(QUERIES)
-    load1 = round(os.getloadavg()[0], 2)
+    load1 = wait_for_idle(max_load, load_timeout)
     # warm the JVM + footer caches on this dataset (untimed)
     qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
     timings = {}
@@ -80,27 +109,34 @@ def main() -> None:
     args = sys.argv[1:]
     repeats = 3
     out_file = None
+    max_load = 2.0
+    load_timeout = 600.0
     if "--repeats" in args:
         repeats = int(args[args.index("--repeats") + 1])
     if "--out" in args:
         out_file = args[args.index("--out") + 1]
+    if "--max-load" in args:
+        max_load = float(args[args.index("--max-load") + 1])
+    if "--load-timeout" in args:
+        load_timeout = float(args[args.index("--load-timeout") + 1])
     for d in (SCALE10, EV_UNIFORM, EV_ZIPF):
         if not os.path.exists(d):
             raise SystemExit(
                 f"{d} missing — run scripts/gen_scale_fixture.py first"
             )
     spark = get_spark("scaling_curve")
+    gate = dict(max_load=max_load, load_timeout=load_timeout)
 
-    t1, load_a = time_leg(spark, SF01, BENCH_QUERIES, repeats)
-    t10, load_b = time_leg(spark, SCALE10, BENCH_QUERIES, repeats)
-    tu, load_c = time_leg(spark, EV_UNIFORM, EVENT_QUERIES, repeats)
-    tz, load_d = time_leg(spark, EV_ZIPF, EVENT_QUERIES, repeats)
+    t1, load_a = time_leg(spark, SF01, BENCH_QUERIES, repeats, **gate)
+    t10, load_b = time_leg(spark, SCALE10, BENCH_QUERIES, repeats, **gate)
+    tu, load_c = time_leg(spark, EV_UNIFORM, EVENT_QUERIES, repeats, **gate)
+    tz, load_d = time_leg(spark, EV_ZIPF, EVENT_QUERIES, repeats, **gate)
     second = {}
     if os.path.exists(SCALE_BIG):
         import math
 
         tb, load_e = time_leg(
-            spark, SCALE_BIG, list(SECOND_DECADE), repeats
+            spark, SCALE_BIG, list(SECOND_DECADE), repeats, **gate
         )
         for name, factor in SECOND_DECADE.items():
             decades = math.log10(factor)
@@ -118,6 +154,7 @@ def main() -> None:
     result = {
         "metric": "scaling_curve",
         "repeats": repeats,
+        "max_load": max_load,
         "load1": {
             "sf0.1": load_a, "scale10": load_b,
             "events5m_uniform": load_c, "events5m_zipf": load_d,

@@ -41,6 +41,12 @@ BENCH_QUERIES = [
     "q22_doc_stats",
     "q23_topk_cosine",
     "q29_asof_join",
+    # round-9 additions (VERDICT r8 #5): the split-operator and
+    # semantic-dedup scale paths, tracked round-over-round rather than
+    # only at gate time
+    "q570_sessionize_split",
+    "q571_asof_join_split",
+    "q572_semantic_dedup",
 ]
 
 

@@ -14,6 +14,12 @@ from .chunking import chunk_tokens
 from .contamination import ngram_overlap
 from .drift import acf, cusum, tvd_drift
 from .gaps import missing_buckets
+from .dispatch import (
+    asof_join_auto,
+    estimate_hot_key_rows,
+    sessionize_auto,
+    should_split,
+)
 from .sessionize import sessionize, sessionize_split
 from .scd import scd2
 from .asof import asof_join, asof_join_split
@@ -88,8 +94,12 @@ __all__ = [
     "ohlc",
     "time_weighted_avg",
     "missing_buckets",
+    "asof_join_auto",
+    "estimate_hot_key_rows",
+    "sessionize_auto",
     "sessionize",
     "sessionize_split",
+    "should_split",
     "scd2",
     "asof_join",
     "asof_join_split",

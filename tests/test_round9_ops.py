@@ -255,3 +255,102 @@ def test_asof_split_equals_plain_random(spark, lmins, rmins, bucket_s, direction
     a = sorted((r["lid"], r["val"], r["mts"]) for r in plain.collect())
     b = sorted((r["lid"], r["val"], r["mts"]) for r in split.collect())
     assert a == b
+
+
+# ---- skew-aware auto-dispatch (VERDICT r8 #3) ----
+
+import os  # noqa: E402
+
+import pytest  # noqa: E402
+
+ZIPF_DIR = "/tmp/scale_events/zipf"
+UNIFORM_DIR = "/tmp/scale_events/uniform"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(f"{ZIPF_DIR}/events.parquet")
+    or not os.path.isdir(f"{UNIFORM_DIR}/events.parquet"),
+    reason="scale_events fixture missing (scripts/gen_scale_fixture.py)",
+)
+def test_auto_dispatch_picks_split_on_hot_unsplit_on_uniform(spark):
+    """The dispatcher samples the key histogram and must choose the
+    split path at 90%-hot (est. hot rows ~4.5M >> 2M crossover) and
+    the unsplit path on the uniform fixture (hottest user ~350 rows),
+    with row-identical session numbers either way. The chosen path is
+    pinned through the optimized plan: only the split carries the
+    __bucket column."""
+    from sensor_time_series_pyspark_spark.operators import (
+        sessionize_auto,
+        should_split,
+    )
+
+    hot = spark.read.parquet(f"{ZIPF_DIR}/events.parquet").withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 10 < 9, F.lit(7)).otherwise(
+            F.col("user_id")
+        ),
+    )
+    uni = spark.read.parquet(f"{UNIFORM_DIR}/events.parquet")
+    assert should_split(hot, ["user_id"]) is True
+    assert should_split(uni, ["user_id"]) is False
+
+    plan_of = lambda df: df._jdf.queryExecution().optimizedPlan().toString()  # noqa: E731
+    auto_hot = sessionize_auto(hot, "ts", ["user_id"], 1800, 6 * 3600)
+    assert "__bucket" in plan_of(auto_hot)
+    auto_uni = sessionize_auto(uni, "ts", ["user_id"], 1800, 6 * 3600)
+    assert "__bucket" not in plan_of(auto_uni)
+
+    # row-identity on the decisive (hot) side vs the plain operator,
+    # asserted on the hot user's worst-case series
+    want = sessionize(
+        hot.where(F.col("user_id") == 7), "ts", ["user_id"], 1800
+    ).groupBy("session_seq").count()
+    got = auto_hot.where(F.col("user_id") == 7).groupBy(
+        "session_seq"
+    ).count()
+    assert sorted(map(tuple, want.collect())) == sorted(
+        map(tuple, got.collect())
+    )
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(f"{ZIPF_DIR}/events.parquet"),
+    reason="scale_events fixture missing (scripts/gen_scale_fixture.py)",
+)
+def test_asof_auto_dispatch_row_identical(spark):
+    """asof_join_auto on a hot left side must take the split path and
+    match asof_join row-for-row (sampled key: the left facts)."""
+    from sensor_time_series_pyspark_spark.operators import asof_join_auto
+    from sensor_time_series_pyspark_spark.sources.readers import read_table
+
+    hot = (
+        spark.read.parquet(f"{ZIPF_DIR}/events.parquet")
+        .withColumn(
+            "user_id",
+            F.when(F.col("event_id") % 10 < 9, F.lit(7)).otherwise(
+                F.col("user_id")
+            ),
+        )
+        # keep runtime bounded: the identity check needs shape, not 5M rows
+        .where(F.col("event_id") % 97 == 0)
+    )
+    o = read_table(spark, ZIPF_DIR, "orders")
+    daily = o.groupBy(
+        F.col("o_custkey").alias("user_id"), F.col("o_orderdate")
+    ).agg(F.max("o_totalprice").alias("p"))
+    kw = dict(
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="o_orderdate",
+        value_cols=["p"],
+    )
+    # force the split branch regardless of the filtered size: the
+    # crossover is a parameter, the decision logic is what's under test
+    auto = asof_join_auto(
+        hot, daily, bucket_seconds=86_400, hot_rows_crossover=10_000, **kw
+    )
+    assert "__bucket" in auto._jdf.queryExecution().optimizedPlan().toString()
+    plain = asof_join(hot, daily, **kw)
+    a = sorted((r["event_id"], r["p"]) for r in auto.collect())
+    b = sorted((r["event_id"], r["p"]) for r in plain.collect())
+    assert a == b and len(a) > 0
