@@ -202,8 +202,14 @@ def jaccard_pairs_prefix(
 
     Compared to ``jaccard_pairs`` (full inverted index, counts overlap
     inside the join): fewer candidates but two extra hash joins to
-    fetch arrays. Wins when t is high and the corpus is large; at low
-    t (prefix ≈ whole doc) prefer ``jaccard_pairs``.
+    fetch arrays. MEASURED VERDICT (round 9, RACE_JACCARD_r09.json /
+    SCALING.md): on 5k/50k/500k-doc corpora at t=0.2 and t=0.5 the
+    inverted index wins every leg by 2.8-14.3x, and the gap WIDENS
+    with corpus size — the canonical-order construction is a second
+    full-posting shuffle and the per-candidate array_intersect verify
+    costs more than the candidates it saves. Prefer ``jaccard_pairs``
+    (+ max_token_df) in production; this stays as the
+    exactness-tested reference implementation of the PPJoin family.
 
     Output: id_a, id_b (a < b), jaccard — identical contract to
     jaccard_pairs.
