@@ -12,7 +12,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sensor_time_series_pyspark_spark.operators import (
+    asof_join_auto,
     asof_join_split,
+    sessionize_auto,
     sessionize_split,
 )
 from sensor_time_series_pyspark_spark.queries.common import (
@@ -130,6 +132,15 @@ def _q_semantic_dedup(
         .where(F.col("r") == 1)
         .select("vid", "cell", "q", norm.alias("n2"))
     )
+    # three consumers (both pair sides + the final audit join) would
+    # each recompute the quantize + n_cells-way assignment pipeline —
+    # persisting the assignment halves the wall time (2.23 -> 1.28 s
+    # at sf0.1, measured round 9). members is corpus-row-grain but
+    # only (vid, cell, q, n2): at 100 TB this is the IVF index you'd
+    # materialize to storage anyway.
+    from pyspark import StorageLevel
+
+    members = members.persist(StorageLevel.MEMORY_AND_DISK)
     a = members.select(
         F.col("cell"),
         F.col("vid").alias("va"),
@@ -350,6 +361,50 @@ def _q_hard_negative_margin(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_sessionize_auto(spark: SparkSession, sf: str) -> DataFrame:
+    """q15's sessionization through the round-9 SKEW DISPATCHER
+    (operators/dispatch.py:sessionize_auto): the operator samples the
+    user_id histogram and routes to sessionize vs sessionize_split by
+    the measured 2M-hot-row crossover. Hash-gated against the SAME
+    oracle as q15 — the dispatcher must be invisible in the result
+    whichever path it picks (the testdata SFs sit below the crossover,
+    so this certifies the sample+decision+unsplit path end-to-end in
+    the driver's own gate; the split path's hash gate is q570)."""
+    ev = read_table(spark, sf, "events")
+    sess = sessionize_auto(
+        ev,
+        ts_col="ts",
+        partition_by=["user_id"],
+        gap_seconds=1800,
+        bucket_seconds=6 * 3600,
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+def _q_asof_join_auto(spark: SparkSession, sf: str) -> DataFrame:
+    """q29's as-of join through asof_join_auto (the left-side key
+    histogram decides split vs unsplit; same oracle as q29/q571)."""
+    ev = read_table(spark, sf, "events")
+    o = read_table(spark, sf, "orders")
+    daily_orders = o.groupBy(
+        F.col("o_custkey").alias("user_id"), F.col("o_orderdate")
+    ).agg(F.max("o_totalprice").alias("last_order_price"))
+    out = asof_join_auto(
+        ev,
+        daily_orders,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="o_orderdate",
+        value_cols=["last_order_price"],
+        bucket_seconds=86_400,
+    )
+    return out.select("event_id", "user_id", "ts", "last_order_price")
+
+
 def _q_semantic_dedup_cells16(spark: SparkSession, sf: str) -> DataFrame:
     """q572 at a second cell count (16): same SemDeDup audit, coarser
     cells — proves the operator is cell-count-robust (the verdicts
@@ -421,9 +476,21 @@ register_many(
         "q574_expectation_suite2": _q_expectation_suite2,
         "q575_hard_negative_margin": _q_hard_negative_margin,
         "q576_semantic_dedup_cells16": _q_semantic_dedup_cells16,
+        "q577_sessionize_auto": _q_sessionize_auto,
+        "q578_asof_join_auto": _q_asof_join_auto,
     },
     {
         "q570_sessionize_split": _SESSIONIZE_SQL,
+        "q577_sessionize_auto": _SESSIONIZE_SQL,
+        "q578_asof_join_auto": """
+            SELECT e.event_id, e.user_id, e.ts, d.last_order_price
+            FROM events e
+            ASOF LEFT JOIN (
+              SELECT o_custkey AS user_id, o_orderdate,
+                     max(o_totalprice) AS last_order_price
+              FROM orders GROUP BY 1, 2
+            ) d ON e.user_id = d.user_id AND e.ts >= d.o_orderdate
+        """,
         "q571_asof_join_split": """
             SELECT e.event_id, e.user_id, e.ts, d.last_order_price
             FROM events e
