@@ -104,6 +104,28 @@ def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
     return F.array_distinct(sh)
 
 
+def ngrams_from_tokens(toks: Column, k: int) -> Column:
+    """ALL k-word n-grams in document order (``shingles_from_tokens``
+    without the within-doc dedup — occurrence totals are what
+    distinct-n diversity and LM statistics need). Same O(n·k)
+    zip-with-shifts construction; k=1 returns the tokens themselves.
+    NOTE: tokens containing spaces would alias across n (not possible
+    from ``tokens()``, which splits on whitespace)."""
+    if k == 1:
+        return toks
+    n = F.size(toks)
+    arr = toks
+    for j in range(1, k):
+        arr = F.zip_with(
+            arr,
+            F.slice(toks, j + 1, F.greatest(n - j, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.when(n >= k, F.slice(arr, 1, n - k + 1)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def word_shingles(text: Column | str, k: int = 3) -> Column:
     """Distinct k-word shingles (the MinHash/Jaccard unit).
 

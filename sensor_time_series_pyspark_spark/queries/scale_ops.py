@@ -405,6 +405,106 @@ def _q_asof_join_auto(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("event_id", "user_id", "ts", "last_order_price")
 
 
+def _q_distinct_n(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct-n diversity per source (Li et al. 2016 "A
+    Diversity-Promoting Objective Function for Neural Conversation
+    Models"): distinct n-grams / total n-grams for n=1,2,3 — THE
+    degenerate-repetition audit for synthetic/generated training data
+    (a collapsing generator shows high volume with cratering
+    distinct-2/3). One documents scan: the three n-gram arrays concat
+    into tagged structs, ONE explode, one (source, n) aggregate —
+    integer counts, one division. Complements q80 (within-doc
+    repetition) and q250 (unigram TTR): this is corpus-level and
+    n-gram-order-resolved."""
+    from sensor_time_series_pyspark_spark.functions.text import (
+        ngrams_from_tokens,
+        tokens,
+    )
+
+    docs = read_table(spark, sf, "documents")
+    toks = docs.select("source", tokens("text").alias("t"))
+    tag = lambda n: F.transform(  # noqa: E731
+        ngrams_from_tokens(F.col("t"), n),
+        lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")),
+    )
+    exploded = toks.select(
+        "source", F.explode(F.concat(tag(1), tag(2), tag(3))).alias("s")
+    )
+    return (
+        exploded.groupBy("source", F.col("s.n").alias("n"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("total_ngrams"),
+            F.count_distinct(F.col("s.g"))
+            .cast("bigint")
+            .alias("distinct_ngrams"),
+        )
+        .select(
+            "source",
+            "n",
+            "total_ngrams",
+            "distinct_ngrams",
+            (
+                F.col("distinct_ngrams").cast("double")
+                / F.col("total_ngrams").cast("double")
+            ).alias("distinct_ratio"),
+        )
+    )
+
+
+def _q_zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf slope per source: OLS of ln(frequency) on ln(rank) over
+    the top-25 unigrams — natural corpora sit near -1; a flat slope
+    flags templated/synthetic text, a cliff flags boilerplate
+    domination (the corpus-health companion to q278's coverage
+    curve). Counts and ranks are exact integers distributed; the
+    25-term ln folds run driver-side in ascending-rank order (libm
+    discipline — DuckDB's ordered list_reduce replays the identical
+    fold), epilogue = the fixed expression
+    (k·Σxy − Σx·Σy) / (k·Σxx − Σx·Σx)."""
+    import math
+
+    from pyspark.sql import Window
+
+    from sensor_time_series_pyspark_spark.functions.text import tokens
+
+    k_top = 25
+    docs = read_table(spark, sf, "documents")
+    counts = (
+        docs.select("source", F.explode(tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("f").desc(), "tok")
+    top = (
+        counts.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= k_top)
+        .select("source", "r", "f")
+        .collect()
+    )
+    by_src: dict[str, dict[int, int]] = {}
+    for row in top:
+        by_src.setdefault(row["source"], {})[row["r"]] = row["f"]
+    out = []
+    for s in sorted(by_src):
+        fs = by_src[s]
+        k = len(fs)
+        sx = sy = sxx = sxy = None
+        for r in range(1, k + 1):
+            x = math.log(float(r))
+            y = math.log(float(fs[r]))
+            sx = x if sx is None else sx + x
+            sy = y if sy is None else sy + y
+            sxx = x * x if sxx is None else sxx + x * x
+            sxy = x * y if sxy is None else sxy + x * y
+        slope = (
+            (k * sxy - sx * sy) / (k * sxx - sx * sx) if k >= 2 else None
+        )
+        out.append((s, k, slope))
+    return spark.createDataFrame(
+        out, "source string, k int, zipf_slope double"
+    )
+
+
 def _q_semantic_dedup_cells16(spark: SparkSession, sf: str) -> DataFrame:
     """q572 at a second cell count (16): same SemDeDup audit, coarser
     cells — proves the operator is cell-count-robust (the verdicts
@@ -478,6 +578,8 @@ register_many(
         "q576_semantic_dedup_cells16": _q_semantic_dedup_cells16,
         "q577_sessionize_auto": _q_sessionize_auto,
         "q578_asof_join_auto": _q_asof_join_auto,
+        "q579_distinct_n": _q_distinct_n,
+        "q580_zipf_slope": _q_zipf_slope,
     },
     {
         "q570_sessionize_split": _SESSIONIZE_SQL,
@@ -502,6 +604,69 @@ register_many(
         """,
         "q572_semantic_dedup": _semantic_dedup_sql(32),
         "q576_semantic_dedup_cells16": _semantic_dedup_sql(16),
+        "q579_distinct_n": r"""
+            WITH toks AS (
+              SELECT source,
+                list_filter(string_split_regex(trim(text), '\s+'),
+                            x -> x <> '') AS t
+              FROM documents
+            ),
+            g AS (
+              SELECT source, 1 AS n, unnest(t) AS g FROM toks
+              UNION ALL
+              SELECT source, 2, unnest(list_transform(
+                generate_series(1, greatest(len(t) - 1, 0)),
+                i -> array_to_string(t[i:i+1], ' '))) FROM toks
+              UNION ALL
+              SELECT source, 3, unnest(list_transform(
+                generate_series(1, greatest(len(t) - 2, 0)),
+                i -> array_to_string(t[i:i+2], ' '))) FROM toks
+            )
+            SELECT source, n,
+              CAST(count(*) AS BIGINT) AS total_ngrams,
+              CAST(count(DISTINCT g) AS BIGINT) AS distinct_ngrams,
+              CAST(count(DISTINCT g) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                AS distinct_ratio
+            FROM g GROUP BY 1, 2
+        """,
+        "q580_zipf_slope": r"""
+            WITH counts AS (
+              SELECT source, tok, count(*) AS f FROM (
+                SELECT source,
+                  unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                     x -> x <> '')) AS tok
+                FROM documents
+              ) GROUP BY 1, 2
+            ),
+            top AS (
+              SELECT source, r, f FROM (
+                SELECT source, f,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY f DESC, tok) AS r
+                FROM counts
+              ) WHERE r <= 25
+            ),
+            folds AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS k,
+                list_reduce(list(ln(CAST(r AS DOUBLE)) ORDER BY r),
+                  (a, b) -> a + b) AS sx,
+                list_reduce(list(ln(CAST(f AS DOUBLE)) ORDER BY r),
+                  (a, b) -> a + b) AS sy,
+                list_reduce(list(ln(CAST(r AS DOUBLE))
+                  * ln(CAST(r AS DOUBLE)) ORDER BY r),
+                  (a, b) -> a + b) AS sxx,
+                list_reduce(list(ln(CAST(r AS DOUBLE))
+                  * ln(CAST(f AS DOUBLE)) ORDER BY r),
+                  (a, b) -> a + b) AS sxy
+              FROM top GROUP BY source
+            )
+            SELECT source, CAST(k AS INT) AS k,
+              CASE WHEN k >= 2 THEN
+                (CAST(k AS DOUBLE) * sxy - sx * sy)
+                  / (CAST(k AS DOUBLE) * sxx - sx * sx)
+              ELSE NULL END AS zipf_slope
+            FROM folds
+        """,
         "q573_cluster_safe_split": """
             WITH base AS (
               SELECT md5(text) AS fp,
