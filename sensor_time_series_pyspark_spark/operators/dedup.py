@@ -1139,3 +1139,128 @@ def winnow_fingerprints(
         F.max("n_grams").alias("n_grams"),
         F.countDistinct("fp").alias("n_fingerprints"),
     )
+
+
+def _positional_shared_grams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    max_token_df: int,
+) -> DataFrame:
+    """(id, pos, g) rows for every positional k-token gram whose
+    cross-document frequency is in [2, max_token_df] — the shared
+    inventory both span operators below consume. Same inverted-index
+    + df-valve shape as jaccard_pairs: the semi-join on the valved
+    gram set is an equi-join (never a cross product), and a gram seen
+    in more than ``max_token_df`` documents is boilerplate that would
+    quadratically inflate the pair stage, so it is dropped exactly
+    like jaccard_pairs' max_token_df valve."""
+    from ..functions.text import ngrams_from_tokens
+
+    toks = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__t"))
+    grams = toks.select(
+        "id", F.posexplode(ngrams_from_tokens(F.col("__t"), k)).alias("pos", "g")
+    )
+    valved = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("id").alias("__df"))
+        .where((F.col("__df") >= 2) & (F.col("__df") <= max_token_df))
+        .select("g")
+    )
+    return grams.join(valved, "g").select("id", "pos", "g")
+
+
+def dup_span_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    max_token_df: int = 50,
+    min_span_tokens: int = 8,
+) -> DataFrame:
+    """Exact duplicated-substring detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): for
+    every document pair, the length in tokens of their LONGEST shared
+    verbatim token run, plus the total count of shared positional
+    k-grams. The suffix-array of the paper is a single-machine
+    structure; the distributed algebra here is equivalent for runs
+    >= k tokens: two documents share a t-token run iff they share
+    t-k+1 consecutive positional k-grams at a constant position
+    offset, so maximal runs are islands of consecutive a-positions
+    within a (doc_a, doc_b, offset) group.
+
+    Spark-first shape: ONE inverted-index equi-join on the gram
+    (df-valved, so candidate pairs only materialize where a gram is
+    genuinely shared and non-boilerplate), then a window partitioned
+    by (doc_a, doc_b, offset) — per-pair grain, embarrassingly
+    parallel at 100 TB, nothing global — and the classic
+    pos - row_number() island trick to merge consecutive matches.
+
+    Output: (doc_a, doc_b, shared_grams, max_span_tokens), filtered to
+    max_span_tokens >= min_span_tokens. doc_a < doc_b.
+    """
+    if min_span_tokens < k:
+        raise ValueError("min_span_tokens must be >= k")
+    shared = _positional_shared_grams(df, id_col, text_col, k, max_token_df)
+    a, b = shared.alias("a"), shared.alias("b")
+    pairs = a.join(
+        b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id"))
+    ).select(
+        F.col("a.id").alias("doc_a"),
+        F.col("b.id").alias("doc_b"),
+        F.col("a.pos").alias("pa"),
+        (F.col("a.pos") - F.col("b.pos")).alias("off"),
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "off").orderBy("pa")
+    isl = pairs.withColumn("grp", F.col("pa") - F.row_number().over(w))
+    runs = isl.groupBy("doc_a", "doc_b", "off", "grp").agg(
+        F.count(F.lit(1)).alias("run")
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum("run").cast("bigint").alias("shared_grams"),
+            (F.max("run") + F.lit(k - 1)).cast("bigint").alias(
+                "max_span_tokens"
+            ),
+        )
+        .where(F.col("max_span_tokens") >= min_span_tokens)
+    )
+
+
+def dup_token_coverage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    max_token_df: int = 50,
+) -> DataFrame:
+    """Per-document duplicated-text mass: the number of token
+    positions covered by at least one cross-document-shared k-gram
+    (the per-document statistic behind Lee et al.'s "what fraction of
+    the corpus is verbatim duplicate" table). A position range
+    [pos, pos+k-1] is duplicated if the k-gram starting at pos occurs
+    in >= 2 documents; covered tokens are the UNION of those ranges,
+    computed exactly by a lag sweep — each start contributes
+    min(k, pos - prev_pos) new tokens — on a window partitioned by
+    document (per-doc grain, parallel at any scale).
+
+    Output: (id, dup_tokens) for documents with >= 1 shared gram;
+    join back to the corpus (left) for zero rows and totals.
+    """
+    # (id, pos) is already unique: one gram per position, and the valve
+    # set is distinct on g — no dedup shuffle needed before the sweep.
+    shared = _positional_shared_grams(
+        df, id_col, text_col, k, max_token_df
+    ).select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    cov = shared.withColumn("prev", F.lag("pos").over(w)).withColumn(
+        "add",
+        F.when(F.col("prev").isNull(), F.lit(k)).otherwise(
+            F.least(F.lit(k), F.col("pos") - F.col("prev"))
+        ),
+    )
+    return cov.groupBy("id").agg(
+        F.sum("add").cast("bigint").alias("dup_tokens")
+    )

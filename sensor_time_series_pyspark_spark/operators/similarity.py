@@ -602,3 +602,83 @@ def pq_topk_cosine(
         .where(F.col("rank") <= k)
         .select("qid", "cid", "rank", "score")
     )
+
+
+def kcenter_greedy(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Greedy k-center (Gonzalez 1985 farthest-point traversal — the
+    coreset-selection baseline of Sener & Savarese 2018, "Active
+    Learning for CNNs: A Core-Set Approach"): pick the min-id vector,
+    then k-1 times the vector FARTHEST from the selected set (max over
+    candidates of min over centers), giving a 2-approximation of the
+    optimal k-center cover — the "most diverse k examples" primitive a
+    training pipeline uses for seed-set / eval-set selection.
+
+    Distributed shape: the selected set is tiny (k rows, driver-held),
+    so each of the k-1 rounds is ONE job — candidates join the
+    broadcast center table (constant-cardinality nested-loop fan-out,
+    the q509 Lloyd-assignment shape), aggregate min distance per
+    candidate, and take the exact-integer argmax (ties to the smaller
+    id). O(N·k·dim) work total, no shuffle of the corpus beyond the
+    per-round aggregate; at huge N the standard refinement is to carry
+    the running min-distance column forward (halves each round's join
+    to the single newest center) at the cost of caching an evolving
+    frame. Distances are exact integers on 2^20-quantized vectors
+    (quantize_vec), so the selection — argmax comparisons and tie
+    breaks included — is bit-identical in any engine.
+
+    Output: (rank, id, coverage_radius2) — the selection order and the
+    exact squared max-min covering radius of the final set.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    v = df.select(
+        F.col(id_col).alias("__id"), quantize_vec(vec_col).alias("__q")
+    )
+    first = v.agg(F.min("__id")).first()[0]
+    if first is None:
+        raise ValueError("empty input")
+    selected: list = [first]
+    for _ in range(k - 1):
+        centers = F.broadcast(
+            v.where(F.col("__id").isin(selected)).select(
+                F.col("__id").alias("__cid"), F.col("__q").alias("__cq")
+            )
+        )
+        nxt = (
+            v.where(~F.col("__id").isin(selected))
+            .join(centers)
+            .select("__id", _int_d2("__q", "__cq").alias("__d2"))
+            .groupBy("__id")
+            .agg(F.min("__d2").alias("__dmin"))
+            .orderBy(F.col("__dmin").desc(), F.col("__id").asc())
+            .first()
+        )
+        if nxt is None:  # fewer than k distinct vectors
+            break
+        selected.append(nxt["__id"])
+    centers = F.broadcast(
+        v.where(F.col("__id").isin(selected)).select(
+            F.col("__id").alias("__cid"), F.col("__q").alias("__cq")
+        )
+    )
+    radius = (
+        v.join(centers)
+        .select("__id", _int_d2("__q", "__cq").alias("__d2"))
+        .groupBy("__id")
+        .agg(F.min("__d2").alias("__dmin"))
+        .agg(F.max("__dmin"))
+        .first()[0]
+    )
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        [(i + 1, vid) for i, vid in enumerate(selected)],
+        f"rank int, {id_col} long",
+    )
+    return out.withColumn(
+        "coverage_radius2", F.lit(int(radius)).cast("long")
+    )

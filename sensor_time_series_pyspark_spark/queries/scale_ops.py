@@ -513,6 +513,270 @@ def _q_semantic_dedup_cells16(spark: SparkSession, sf: str) -> DataFrame:
     return _q_semantic_dedup(spark, sf, n_cells=16)
 
 
+def _q_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact duplicated-substring pairs (Lee et al. 2022 suffix-array
+    dedup, re-expressed as distributed island algebra): per document
+    pair the longest shared verbatim token run and total shared
+    positional 5-grams, via operators/dedup.py:dup_span_pairs — ONE
+    df-valved inverted-index equi-join (never cartesian; boilerplate
+    grams pruned exactly like q19's valve) + a (pair, offset)-grain
+    window for the pos-row_number island merge. The span-level upgrade
+    of q19's set-level Jaccard: catches the 90-token verbatim quote
+    two otherwise-different documents share, which set similarity
+    dilutes below threshold."""
+    from sensor_time_series_pyspark_spark.operators.dedup import (
+        dup_span_pairs,
+    )
+
+    docs = read_table(spark, sf, "documents")
+    return dup_span_pairs(
+        docs, "doc_id", "text", k=5, max_token_df=50, min_span_tokens=8
+    )
+
+
+def _q_dup_token_fraction(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source duplicated-text mass (the Lee-et-al "fraction of
+    corpus that is verbatim duplicate" table): token positions covered
+    by any cross-document-shared 5-gram, counted exactly by a per-doc
+    lag sweep over the shared-gram starts (union of [pos, pos+4]
+    ranges), then rolled up to source grain against total token
+    counts. Per-doc windows + one aggregate — parallel at any scale;
+    the df valve bounds the shared inventory the same way q581's pair
+    stage is bounded."""
+    from sensor_time_series_pyspark_spark.functions.text import tokens
+    from sensor_time_series_pyspark_spark.operators.dedup import (
+        dup_token_coverage,
+    )
+
+    docs = read_table(spark, sf, "documents")
+    per_doc = dup_token_coverage(
+        docs, "doc_id", "text", k=5, max_token_df=50
+    ).withColumnRenamed("id", "doc_id")
+    tot = docs.select(
+        "doc_id", "source", F.size(tokens("text")).alias("n_tokens")
+    )
+    return (
+        tot.join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count("dup_tokens").cast("bigint").alias("docs_with_dup"),
+            F.coalesce(F.sum("dup_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("dup_tokens"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "docs_with_dup",
+            "dup_tokens",
+            "total_tokens",
+            (
+                F.col("dup_tokens").cast("double")
+                / F.col("total_tokens").cast("double")
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+def _q_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer fertility audit per language (the mBERT/XLM-R
+    fertility table: subword tokens per word — high-fertility
+    languages are systematically over-charged per unit of text, so a
+    token-budgeted mixture underweights them): exact integer sums of
+    words, BPE-ish subword tokens (ceil(len/4) word pieces, the
+    repo-wide deterministic proxy), and chars, with fertility and
+    chars-per-token as the two final divisions. ONE scan, one 5-group
+    aggregate."""
+    from sensor_time_series_pyspark_spark.functions.text import (
+        bpe_ish_token_count,
+        tokens,
+    )
+
+    docs = read_table(spark, sf, "documents")
+    base = docs.select(
+        "lang",
+        F.size(tokens("text")).cast("bigint").alias("n_words"),
+        bpe_ish_token_count("text").cast("bigint").alias("n_bpe"),
+        F.col("n_chars").cast("bigint").alias("nc"),
+    )
+    return (
+        base.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("total_words"),
+            F.sum("n_bpe").cast("bigint").alias("total_bpe_tokens"),
+            F.sum("nc").cast("bigint").alias("total_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_words",
+            "total_bpe_tokens",
+            "total_chars",
+            (
+                F.col("total_bpe_tokens").cast("double")
+                / F.col("total_words").cast("double")
+            ).alias("fertility"),
+            (
+                F.col("total_chars").cast("double")
+                / F.col("total_bpe_tokens").cast("double")
+            ).alias("chars_per_token"),
+        )
+    )
+
+
+def _q_kcenter_coreset(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy k-center coreset selection (k=8) over the embedding
+    corpus via operators/similarity.py:kcenter_greedy — the
+    Sener-Savarese diverse-subset primitive (seed/eval-set selection),
+    exact-integer distances on 2^20-quantized vectors so selection
+    order, tie breaks, and the final covering radius are engine-
+    portable. The DuckDB twin replays the identical greedy recursion
+    as a RECURSIVE CTE — a k-step iterative algorithm certified by
+    hash, not just row counts."""
+    from sensor_time_series_pyspark_spark.operators.similarity import (
+        kcenter_greedy,
+    )
+
+    emb = read_table(spark, sf, "embeddings")
+    return kcenter_greedy(emb, "vec_id", "embedding", k=8)
+
+
+_KCENTER_SQL = """
+            WITH RECURSIVE v AS (
+              SELECT vec_id, list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * 1048576)
+                          AS BIGINT)) AS q
+              FROM embeddings
+            ),
+            sel AS (
+              SELECT 1 AS step, [(SELECT min(vec_id) FROM v)] AS ids
+              UNION ALL
+              SELECT step + 1, list_append(ids, (
+                SELECT cand.vec_id FROM v cand
+                WHERE NOT list_contains(ids, cand.vec_id)
+                ORDER BY (
+                  SELECT min(list_sum(list_transform(
+                    list_zip(cand.q, c.q),
+                    s -> (s[1]-s[2])*(s[1]-s[2]))))
+                  FROM v c WHERE list_contains(ids, c.vec_id)
+                ) DESC, cand.vec_id ASC
+                LIMIT 1
+              ))
+              FROM sel WHERE step < 8
+            ),
+            final AS (SELECT ids FROM sel WHERE step = 8),
+            ranked AS (
+              SELECT CAST(i AS INT) AS rank,
+                     CAST(ids[i] AS BIGINT) AS vec_id
+              FROM final, unnest(generate_series(1, len(ids))) AS t(i)
+            ),
+            radius AS (
+              SELECT CAST(max(dmin) AS BIGINT) AS coverage_radius2
+              FROM (
+                SELECT a.vec_id,
+                  min(list_sum(list_transform(list_zip(a.q, c.q),
+                    s -> (s[1]-s[2])*(s[1]-s[2])))) AS dmin
+                FROM v a JOIN v c
+                  ON list_contains((SELECT ids FROM final), c.vec_id)
+                GROUP BY a.vec_id
+              )
+            )
+            SELECT r.rank, r.vec_id, rad.coverage_radius2
+            FROM ranked r, radius rad
+"""
+
+
+def _q_span_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Train→eval verbatim-span contamination (the span-level upgrade
+    of the n-gram contamination ops, and the audit Lee et al. run
+    between train shards and benchmarks): docs hash-split 90/10 like
+    q573's doc split, then every (train, eval) pair sharing a >= 8
+    token verbatim run is a contamination hit. Reuses q581's island
+    algebra (dup_span_pairs) and filters the pair frame to cross-split
+    pairs — the candidate stage is the SAME df-valved inverted-index
+    equi-join, so the scale shape is q19's. Output: one audit row
+    (eval docs, contaminated eval docs, hit pairs, worst span)."""
+    from sensor_time_series_pyspark_spark.operators.dedup import (
+        dup_span_pairs,
+    )
+
+    docs = read_table(spark, sf, "documents")
+    split = docs.withColumn(
+        "is_eval",
+        F.conv(F.substring(F.md5(F.concat(F.lit("split8:"),
+            F.col("doc_id").cast("string"))), 1, 12), 16, 10)
+        .cast("bigint") % 10 == 0,
+    )
+    pairs = dup_span_pairs(
+        docs, "doc_id", "text", k=5, max_token_df=50, min_span_tokens=8
+    )
+    ev = split.select("doc_id", "is_eval")
+    lab = (
+        pairs.join(
+            ev.select(F.col("doc_id").alias("doc_a"),
+                      F.col("is_eval").alias("ea")), "doc_a")
+        .join(
+            ev.select(F.col("doc_id").alias("doc_b"),
+                      F.col("is_eval").alias("eb")), "doc_b")
+        .where(F.col("ea") != F.col("eb"))
+        .select(
+            F.when(F.col("ea"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("eval_doc"),
+            "max_span_tokens",
+        )
+    )
+    n_eval = split.where("is_eval").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval_docs")
+    )
+    hits = lab.agg(
+        F.count(F.lit(1)).cast("bigint").alias("hit_pairs"),
+        F.count_distinct("eval_doc").cast("bigint").alias(
+            "contaminated_eval_docs"
+        ),
+        F.coalesce(F.max("max_span_tokens"), F.lit(0))
+        .cast("bigint")
+        .alias("worst_span_tokens"),
+    )
+    return n_eval.crossJoin(hits).select(
+        "n_eval_docs", "contaminated_eval_docs", "hit_pairs",
+        "worst_span_tokens",
+    )
+
+
+# Shared-gram CTE prefix for the q581/q582 DuckDB twins: identical
+# tokenization to the Spark tokens() (whitespace split, empties
+# dropped), positional 5-grams, df valve [2, 50].
+_SHARED_GRAMS_SQL = r"""
+            WITH tk0 AS (
+              SELECT doc_id, source,
+                list_filter(string_split_regex(trim(text), '\s+'),
+                            x -> x <> '') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                unnest(list_transform(
+                  generate_series(1, greatest(len(t) - 4, 0)),
+                  i -> {'pos': i,
+                        'g': array_to_string(t[i:i+4], ' ')}),
+                  recursive := true)
+              FROM tk0
+            ),
+            dfv AS (
+              SELECT g FROM grams GROUP BY g
+              HAVING count(DISTINCT doc_id) BETWEEN 2 AND 50
+            ),
+            shared AS (
+              SELECT gr.doc_id, gr.pos, gr.g
+              FROM grams gr JOIN dfv USING (g)
+            )
+"""
+
+
 def _semantic_dedup_sql(n_cells: int) -> str:
     return """
             WITH v AS (
@@ -580,8 +844,140 @@ register_many(
         "q578_asof_join_auto": _q_asof_join_auto,
         "q579_distinct_n": _q_distinct_n,
         "q580_zipf_slope": _q_zipf_slope,
+        "q581_dup_spans": _q_dup_spans,
+        "q582_dup_token_fraction": _q_dup_token_fraction,
+        "q583_tokenizer_fertility": _q_tokenizer_fertility,
+        "q584_kcenter_coreset": _q_kcenter_coreset,
+        "q585_span_contamination": _q_span_contamination,
     },
     {
+        "q585_span_contamination": _SHARED_GRAMS_SQL + """
+            , pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                a.pos AS pa, a.pos - b.pos AS off
+              FROM shared a JOIN shared b
+                ON a.g = b.g AND a.doc_id < b.doc_id
+            ),
+            isl AS (
+              SELECT doc_a, doc_b, off, pa,
+                pa - row_number() OVER (PARTITION BY doc_a, doc_b, off
+                  ORDER BY pa) AS grp
+              FROM pairs
+            ),
+            runs AS (
+              SELECT doc_a, doc_b, count(*) AS run
+              FROM isl GROUP BY doc_a, doc_b, off, grp
+            ),
+            spans AS (
+              SELECT doc_a, doc_b,
+                CAST(max(run) + 4 AS BIGINT) AS max_span_tokens
+              FROM runs GROUP BY doc_a, doc_b
+              HAVING max(run) + 4 >= 8
+            ),
+            ev AS (
+              SELECT doc_id,
+                (CAST(('0x' || substr(md5('split8:'
+                    || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+                  % 10 = 0) AS is_eval
+              FROM documents
+            ),
+            lab AS (
+              SELECT CASE WHEN ea.is_eval THEN s.doc_a
+                     ELSE s.doc_b END AS eval_doc,
+                s.max_span_tokens
+              FROM spans s
+              JOIN ev ea ON ea.doc_id = s.doc_a
+              JOIN ev eb ON eb.doc_id = s.doc_b
+              WHERE ea.is_eval <> eb.is_eval
+            )
+            SELECT
+              (SELECT CAST(count(*) AS BIGINT) FROM ev WHERE is_eval)
+                AS n_eval_docs,
+              CAST(count(DISTINCT eval_doc) AS BIGINT)
+                AS contaminated_eval_docs,
+              CAST(count(*) AS BIGINT) AS hit_pairs,
+              CAST(coalesce(max(max_span_tokens), 0) AS BIGINT)
+                AS worst_span_tokens
+            FROM lab
+        """,
+        "q583_tokenizer_fertility": r"""
+            WITH base AS (
+              SELECT lang,
+                CAST(len(list_filter(
+                  string_split_regex(trim(text), '\s+'),
+                  x -> x <> '')) AS BIGINT) AS n_words,
+                CAST(coalesce(list_aggregate(
+                  list_transform(
+                    list_filter(string_split_regex(trim(text), '\s+'),
+                                x -> x <> ''),
+                    w -> CAST(ceil(len(w) / 4.0) AS INT)), 'sum'), 0)
+                  AS BIGINT) AS n_bpe,
+                CAST(n_chars AS BIGINT) AS nc
+              FROM documents
+            )
+            SELECT lang,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_words) AS BIGINT) AS total_words,
+              CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+              CAST(sum(nc) AS BIGINT) AS total_chars,
+              CAST(sum(n_bpe) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE)
+                AS fertility,
+              CAST(sum(nc) AS DOUBLE) / CAST(sum(n_bpe) AS DOUBLE)
+                AS chars_per_token
+            FROM base GROUP BY lang
+        """,
+        "q584_kcenter_coreset": _KCENTER_SQL,
+        "q581_dup_spans": _SHARED_GRAMS_SQL + """
+            , pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                a.pos AS pa, a.pos - b.pos AS off
+              FROM shared a JOIN shared b
+                ON a.g = b.g AND a.doc_id < b.doc_id
+            ),
+            isl AS (
+              SELECT doc_a, doc_b, off, pa,
+                pa - row_number() OVER (PARTITION BY doc_a, doc_b, off
+                  ORDER BY pa) AS grp
+              FROM pairs
+            ),
+            runs AS (
+              SELECT doc_a, doc_b, count(*) AS run
+              FROM isl GROUP BY doc_a, doc_b, off, grp
+            )
+            SELECT doc_a, doc_b,
+              CAST(sum(run) AS BIGINT) AS shared_grams,
+              CAST(max(run) + 4 AS BIGINT) AS max_span_tokens
+            FROM runs GROUP BY doc_a, doc_b
+            HAVING max(run) + 4 >= 8
+        """,
+        "q582_dup_token_fraction": _SHARED_GRAMS_SQL + """
+            , cov AS (
+              SELECT doc_id, pos,
+                lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+              FROM shared
+            ),
+            per_doc AS (
+              SELECT doc_id,
+                CAST(sum(CASE WHEN prev IS NULL THEN 5
+                  ELSE least(5, pos - prev) END) AS BIGINT) AS dup_tokens
+              FROM cov GROUP BY doc_id
+            ),
+            tot AS (
+              SELECT doc_id, source,
+                greatest(len(t), 0) AS n_tokens
+              FROM tk0
+            )
+            SELECT t.source,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(count(p.doc_id) AS BIGINT) AS docs_with_dup,
+              CAST(coalesce(sum(p.dup_tokens), 0) AS BIGINT)
+                AS dup_tokens,
+              CAST(sum(t.n_tokens) AS BIGINT) AS total_tokens,
+              CAST(coalesce(sum(p.dup_tokens), 0) AS DOUBLE)
+                / CAST(sum(t.n_tokens) AS DOUBLE) AS dup_fraction
+            FROM tot t LEFT JOIN per_doc p USING (doc_id)
+            GROUP BY t.source
+        """,
         "q570_sessionize_split": _SESSIONIZE_SQL,
         "q577_sessionize_auto": _SESSIONIZE_SQL,
         "q578_asof_join_auto": """

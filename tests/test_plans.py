@@ -144,6 +144,10 @@ def test_no_accidental_cartesian_products(spark):
     # assignment pass joins the corpus to the constant-cardinality
     # centroid table — the same declared shape as q47's pivot IVF
     SKIP |= {"q509_kmeans_lloyd"}
+    # <=k-row (k=8) selected-center broadcast fan-out per greedy
+    # round + the final radius pass — the q509 Lloyd-assignment
+    # shape; candidates never pair with each other
+    SKIP |= {"q584_kcenter_coreset"}
     # 32-row pivot broadcast fan-out for the SemDeDup cell assignment
     # (q47's quantizer shape); the within-cell pair join is an
     # equi-join on cell, never a cartesian
@@ -169,6 +173,9 @@ def test_no_accidental_cartesian_products(spark):
     # 1-row corpus-total broadcast onto the bounded source frame
     # (q569) — the q67 scalar pattern again
     SKIP |= {"q569_loo_source_value"}
+    # 1-row x 1-row report combine (eval-count scalar onto the hit
+    # aggregate); the candidate stage is q581's df-valved equi-join
+    SKIP |= {"q585_span_contamination"}
     qs = entrymod.queries()
     offenders = []
     for name, fn in qs.items():

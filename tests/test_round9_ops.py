@@ -354,3 +354,220 @@ def test_asof_auto_dispatch_row_identical(spark):
     a = sorted((r["event_id"], r["p"]) for r in auto.collect())
     b = sorted((r["event_id"], r["p"]) for r in plain.collect())
     assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------------------
+# q581/q582: exact duplicated-substring detection (Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+
+def _mk_docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_dup_span_pairs_finds_maximal_run(spark):
+    """Two docs sharing a verbatim 9-token run (and nothing else
+    shareable) must report max_span_tokens == 9 exactly: the island
+    merge has to fuse the 5 consecutive positional 5-grams of the run,
+    and must NOT extend past its ends."""
+    from sensor_time_series_pyspark_spark.operators.dedup import (
+        dup_span_pairs,
+    )
+
+    run = "r1 r2 r3 r4 r5 r6 r7 r8 r9"
+    docs = _mk_docs(
+        spark,
+        [
+            f"a1 a2 a3 {run} a4 a5",
+            f"b1 b2 {run} b3 b4 b5 b6",
+            "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10",
+        ],
+    )
+    out = dup_span_pairs(
+        docs, "doc_id", "text", k=5, min_span_tokens=5
+    ).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert (row["doc_a"], row["doc_b"]) == (0, 1)
+    assert row["max_span_tokens"] == 9
+    assert row["shared_grams"] == 5  # 9 - 5 + 1 consecutive 5-grams
+
+
+def test_dup_span_pairs_two_separate_runs_not_merged(spark):
+    """Two shared runs at DIFFERENT offsets must stay separate islands:
+    max span is the longer run, shared_grams the sum of both."""
+    from sensor_time_series_pyspark_spark.operators.dedup import (
+        dup_span_pairs,
+    )
+
+    r1 = "x1 x2 x3 x4 x5 x6"          # 6 tokens -> 2 grams
+    r2 = "y1 y2 y3 y4 y5 y6 y7"       # 7 tokens -> 3 grams
+    docs = _mk_docs(
+        spark,
+        [f"{r1} a1 a2 a3 a4 a5 {r2}", f"{r2} b1 b2 b3 b4 {r1}"],
+    )
+    out = dup_span_pairs(
+        docs, "doc_id", "text", k=5, min_span_tokens=5
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["max_span_tokens"] == 7
+    assert out[0]["shared_grams"] == 5
+
+
+def test_dup_span_pairs_df_valve_drops_boilerplate(spark):
+    """A gram present in MORE than max_token_df docs is boilerplate and
+    must produce no pairs; at a higher valve the same corpus pairs."""
+    from sensor_time_series_pyspark_spark.operators.dedup import (
+        dup_span_pairs,
+    )
+
+    boiler = "t1 t2 t3 t4 t5"
+    docs = _mk_docs(spark, [f"{boiler} u{i}" for i in range(4)])
+    low = dup_span_pairs(
+        docs, "doc_id", "text", k=5, max_token_df=3, min_span_tokens=5
+    )
+    assert low.count() == 0
+    high = dup_span_pairs(
+        docs, "doc_id", "text", k=5, max_token_df=10, min_span_tokens=5
+    )
+    assert high.count() == 6  # all 4-choose-2 pairs share the gram
+
+
+def test_dup_token_coverage_union_of_overlapping_ranges(spark):
+    """Coverage is the UNION of [pos, pos+k-1] ranges: a 9-token shared
+    run = 5 overlapping 5-gram starts must count 9 tokens, not 25; a
+    doc with no shared grams is absent."""
+    from sensor_time_series_pyspark_spark.operators.dedup import (
+        dup_token_coverage,
+    )
+
+    run = "r1 r2 r3 r4 r5 r6 r7 r8 r9"
+    docs = _mk_docs(
+        spark,
+        [f"a1 a2 {run}", f"{run} b1 b2 b3", "c1 c2 c3 c4 c5 c6"],
+    )
+    rows = {
+        r["id"]: r["dup_tokens"]
+        for r in dup_token_coverage(docs, "doc_id", "text", k=5).collect()
+    }
+    assert rows == {0: 9, 1: 9}
+
+
+def test_dup_span_pairs_min_span_below_k_rejected(spark):
+    import pytest
+
+    from sensor_time_series_pyspark_spark.operators.dedup import (
+        dup_span_pairs,
+    )
+
+    docs = _mk_docs(spark, ["a b c d e"])
+    with pytest.raises(ValueError):
+        dup_span_pairs(docs, "doc_id", "text", k=5, min_span_tokens=4)
+
+
+# ---------------------------------------------------------------------------
+# q584: greedy k-center coreset
+# ---------------------------------------------------------------------------
+
+
+def _brute_kcenter(vecs, k):
+    """Reference greedy k-center on exact quantized integers."""
+    q = {
+        i: [math.floor(x * 1048576.0) for x in v] for i, v in vecs.items()
+    }
+    d2 = lambda a, b: sum((x - y) * (x - y) for x, y in zip(a, b))  # noqa: E731
+    sel = [min(q)]
+    while len(sel) < k and len(sel) < len(q):
+        best = None
+        for i in q:
+            if i in sel:
+                continue
+            dmin = min(d2(q[i], q[c]) for c in sel)
+            key = (-dmin, i)
+            if best is None or key < best[0]:
+                best = (key, i)
+        sel.append(best[1])
+    radius = max(min(d2(q[i], q[c]) for c in sel) for i in q)
+    return sel, radius
+
+
+def test_kcenter_greedy_matches_bruteforce(spark):
+    """Selection order, tie-breaks, and covering radius must equal the
+    single-machine greedy reference on exact quantized integers."""
+    import random
+
+    from sensor_time_series_pyspark_spark.operators.similarity import (
+        kcenter_greedy,
+    )
+
+    rng = random.Random(7)
+    vecs = {
+        i: [rng.uniform(-1, 1) for _ in range(8)] for i in range(30)
+    }
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    # quantization happens on the FLOAT-cast values, mirror that
+    import struct
+
+    as_f32 = {
+        i: [struct.unpack("f", struct.pack("f", x))[0] for x in v]
+        for i, v in vecs.items()
+    }
+    exp_sel, exp_rad = _brute_kcenter(as_f32, 5)
+    rows = (
+        kcenter_greedy(df, "vec_id", "embedding", k=5)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r["vec_id"] for r in rows] == exp_sel
+    assert all(r["coverage_radius2"] == exp_rad for r in rows)
+
+
+def test_kcenter_greedy_k_exceeding_n_stops_early(spark):
+    from sensor_time_series_pyspark_spark.operators.similarity import (
+        kcenter_greedy,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = kcenter_greedy(df, "vec_id", "embedding", k=10).collect()
+    assert len(out) == 3
+    assert all(r["coverage_radius2"] == 0 for r in out)
+
+
+def test_tokenizer_fertility_exact_small(spark, tmp_path):
+    """Hand-computed fertility: 'aaaa bb' -> 2 words, ceil(4/4)+
+    ceil(2/4) = 2 bpe tokens; 'cccccc' -> 1 word, 2 bpe tokens."""
+    import os
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa bb", "en", "s", 7),
+            (2, "cccccc", "en", "s", 6),
+            (3, "dd ee", "de", "s", 5),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path)
+    docs.write.parquet(os.path.join(sf, "documents.parquet"))
+    import __spark_entry__ as entrymod
+
+    out = {
+        r["lang"]: r
+        for r in entrymod.queries()["q583_tokenizer_fertility"](
+            spark, sf
+        ).collect()
+    }
+    en = out["en"]
+    assert (en["total_words"], en["total_bpe_tokens"]) == (3, 4)
+    assert en["fertility"] == 4 / 3
+    assert en["total_chars"] == 13
+    de = out["de"]
+    assert (de["total_words"], de["total_bpe_tokens"]) == (2, 2)
+    assert de["fertility"] == 1.0
