@@ -54,6 +54,9 @@ SECOND_DECADE = {
     "q19_jaccard_pairs": 10.0,   # docs 50k -> 500k
     "q22_doc_stats": 10.0,       # docs 50k -> 500k
     "q29_asof_join": 50.0,       # events 1M -> 50M
+    # round-9 late addition: the span-level dedup family (q581) shares
+    # q19's inverted-index + df-valve shape — give it both decades too
+    "q581_dup_spans": 10.0,      # docs 50k -> 500k
 }
 
 # headline queries whose input is the events table — these also run

@@ -47,6 +47,9 @@ BENCH_QUERIES = [
     "q570_sessionize_split",
     "q571_asof_join_split",
     "q572_semantic_dedup",
+    # round-9 late addition: the span-level dedup family shares q19's
+    # inverted-index shape (the steepest headline) — track it too
+    "q581_dup_spans",
 ]
 
 

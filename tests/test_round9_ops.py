@@ -571,3 +571,61 @@ def test_tokenizer_fertility_exact_small(spark, tmp_path):
     de = out["de"]
     assert (de["total_words"], de["total_bpe_tokens"]) == (2, 2)
     assert de["fertility"] == 1.0
+
+
+def _lcs_tokens(a, b):
+    """Longest common contiguous token run (classic DP)."""
+    best = 0
+    prev = [0] * (len(b) + 1)
+    for x in a:
+        cur = [0] * (len(b) + 1)
+        for j, y in enumerate(b, 1):
+            if x == y:
+                cur[j] = prev[j - 1] + 1
+                if cur[j] > best:
+                    best = cur[j]
+        prev = cur
+    return best
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=25
+        ),
+        min_size=2,
+        max_size=5,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_dup_span_pairs_matches_lcs_bruteforce(spark, docs):
+    """Property: for every doc pair, the operator reports a pair with
+    max_span_tokens == LCS length iff the longest common contiguous
+    token run is >= min_span_tokens (k=3 over a 4-token vocabulary —
+    dense repetition, the adversarial regime for the island merge)."""
+    from sensor_time_series_pyspark_spark.operators.dedup import (
+        dup_span_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["max_span_tokens"]
+        for r in dup_span_pairs(
+            df,
+            "doc_id",
+            "text",
+            k=3,
+            max_token_df=1000,
+            min_span_tokens=3,
+        ).collect()
+    }
+    exp = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            lcs = _lcs_tokens(docs[i], docs[j])
+            if lcs >= 3:
+                exp[(i, j)] = lcs
+    assert got == exp
