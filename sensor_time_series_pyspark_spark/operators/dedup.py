@@ -1264,3 +1264,66 @@ def dup_token_coverage(
     return cov.groupBy("id").agg(
         F.sum("add").cast("bigint").alias("dup_tokens")
     )
+
+
+def self_repeat_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    max_occurrences: int = 20,
+) -> DataFrame:
+    """Longest WITHIN-document repeated token run (the self-repetition
+    detector for templated/looping generated text — the span-level
+    sibling of distinct-n diversity): a doc repeats a t-token run iff
+    some positional k-gram pair inside it matches at a constant
+    positive offset, so maximal self-repeats are the same
+    pos - row_number() islands as dup_span_pairs, grouped by
+    (doc, offset) instead of (pair, offset).
+
+    The pair stage self-joins each doc's repeated grams (within-doc
+    occurrence count >= 2); a gram repeated m times yields m(m-1)/2
+    position pairs, so ``max_occurrences`` valves pathological docs
+    (a doc that is one token repeated 10^6 times) exactly like
+    dup_span_pairs' df valve — dropped grams are boilerplate BY
+    DEFINITION of the audit. Per-doc grain throughout: the join key is
+    (doc, gram) and the window is (doc, offset) — parallel at any
+    corpus size.
+
+    Output: (id, max_self_span_tokens) for docs with >= 1 repeated
+    k-gram.
+    """
+    from ..functions.text import ngrams_from_tokens
+
+    toks = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__t"))
+    grams = toks.select(
+        "id", F.posexplode(ngrams_from_tokens(F.col("__t"), k)).alias("pos", "g")
+    )
+    rep = (
+        grams.groupBy("id", "g")
+        .agg(F.count(F.lit(1)).alias("__m"))
+        .where((F.col("__m") >= 2) & (F.col("__m") <= max_occurrences))
+        .select("id", "g")
+    )
+    shared = grams.join(rep, ["id", "g"])
+    a, b = shared.alias("a"), shared.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.id") == F.col("b.id"))
+        & (F.col("a.g") == F.col("b.g"))
+        & (F.col("a.pos") > F.col("b.pos")),
+    ).select(
+        F.col("a.id").alias("id"),
+        F.col("a.pos").alias("pa"),
+        (F.col("a.pos") - F.col("b.pos")).alias("off"),
+    )
+    w = Window.partitionBy("id", "off").orderBy("pa")
+    isl = pairs.withColumn("grp", F.col("pa") - F.row_number().over(w))
+    runs = isl.groupBy("id", "off", "grp").agg(
+        F.count(F.lit(1)).alias("run")
+    )
+    return runs.groupBy("id").agg(
+        (F.max("run") + F.lit(k - 1)).cast("bigint").alias(
+            "max_self_span_tokens"
+        )
+    )

@@ -747,6 +747,53 @@ def _q_span_contamination(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_self_repeat(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-document self-repetition audit per source (the span-level
+    sibling of q579's distinct-n: a looping/templated generator shows
+    LONG verbatim self-repeats, which n-gram ratios only see in
+    aggregate): per doc the longest repeated token run via
+    operators/dedup.py:self_repeat_spans (same island algebra as q581,
+    grouped by (doc, offset); within-doc occurrence valve), rolled up
+    to source grain (k=3 — the corpus has no within-doc repeats at
+    k=5, so 3-grams are the live granularity here; k is an operator
+    parameter). Integer counts, one division (share of docs with any
+    repeated 3-gram run)."""
+    from sensor_time_series_pyspark_spark.operators.dedup import (
+        self_repeat_spans,
+    )
+
+    docs = read_table(spark, sf, "documents")
+    spans = self_repeat_spans(
+        docs, "doc_id", "text", k=3, max_occurrences=20
+    ).withColumnRenamed("id", "rep_doc")
+    return (
+        docs.select("doc_id", "source")
+        .join(
+            spans, F.col("doc_id") == F.col("rep_doc"), "left"
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count("rep_doc").cast("bigint").alias(
+                "docs_with_self_repeat"
+            ),
+            F.coalesce(F.max("max_self_span_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("worst_self_span_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "docs_with_self_repeat",
+            "worst_self_span_tokens",
+            (
+                F.col("docs_with_self_repeat").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("self_repeat_share"),
+        )
+    )
+
+
 # Shared-gram CTE prefix for the q581/q582 DuckDB twins: identical
 # tokenization to the Spark tokens() (whitespace split, empties
 # dropped), positional 5-grams, df valve [2, 50].
@@ -849,8 +896,65 @@ register_many(
         "q583_tokenizer_fertility": _q_tokenizer_fertility,
         "q584_kcenter_coreset": _q_kcenter_coreset,
         "q585_span_contamination": _q_span_contamination,
+        "q586_self_repeat": _q_self_repeat,
     },
     {
+        "q586_self_repeat": r"""
+            WITH tk0 AS (
+              SELECT doc_id, source,
+                list_filter(string_split_regex(trim(text), '\s+'),
+                            x -> x <> '') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                unnest(list_transform(
+                  generate_series(1, greatest(len(t) - 2, 0)),
+                  i -> {'pos': i,
+                        'g': array_to_string(t[i:i+2], ' ')}),
+                  recursive := true)
+              FROM tk0
+            ),
+            rep AS (
+              SELECT doc_id, g FROM grams GROUP BY doc_id, g
+              HAVING count(*) BETWEEN 2 AND 20
+            ),
+            shared AS (
+              SELECT gr.doc_id, gr.pos, gr.g
+              FROM grams gr JOIN rep USING (doc_id, g)
+            ),
+            pairs AS (
+              SELECT a.doc_id AS id, a.pos AS pa,
+                a.pos - b.pos AS off
+              FROM shared a JOIN shared b
+                ON a.doc_id = b.doc_id AND a.g = b.g
+                AND a.pos > b.pos
+            ),
+            isl AS (
+              SELECT id, off, pa,
+                pa - row_number() OVER (PARTITION BY id, off
+                  ORDER BY pa) AS grp
+              FROM pairs
+            ),
+            runs AS (
+              SELECT id, count(*) AS run
+              FROM isl GROUP BY id, off, grp
+            ),
+            spans AS (
+              SELECT id AS doc_id,
+                CAST(max(run) + 2 AS BIGINT) AS max_self_span_tokens
+              FROM runs GROUP BY id
+            )
+            SELECT d.source,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(count(s.doc_id) AS BIGINT) AS docs_with_self_repeat,
+              CAST(coalesce(max(s.max_self_span_tokens), 0) AS BIGINT)
+                AS worst_self_span_tokens,
+              CAST(count(s.doc_id) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE) AS self_repeat_share
+            FROM tk0 d LEFT JOIN spans s USING (doc_id)
+            GROUP BY d.source
+        """,
         "q585_span_contamination": _SHARED_GRAMS_SQL + """
             , pairs AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -629,3 +629,30 @@ def test_dup_span_pairs_matches_lcs_bruteforce(spark, docs):
             if lcs >= 3:
                 exp[(i, j)] = lcs
     assert got == exp
+
+
+def test_self_repeat_spans_exact(spark):
+    """'p q r s t u p q r s t u' repeats a 6-token run (max self span
+    6, at offset 6); a doc with no repeated 5-gram is absent; the
+    occurrence valve drops a gram repeated more than max_occurrences
+    times."""
+    from sensor_time_series_pyspark_spark.operators.dedup import (
+        self_repeat_spans,
+    )
+
+    run = "p q r s t u"
+    docs = _mk_docs(
+        spark,
+        [
+            f"{run} {run}",
+            "n1 n2 n3 n4 n5 n6 n7",
+            " ".join(["z"] * 40),  # one gram repeated 36x > valve 20
+        ],
+    )
+    rows = {
+        r["id"]: r["max_self_span_tokens"]
+        for r in self_repeat_spans(
+            docs, "doc_id", "text", k=5, max_occurrences=20
+        ).collect()
+    }
+    assert rows == {0: 6}
