@@ -794,6 +794,47 @@ def _q_self_repeat(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_source_span_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source verbatim-span matrix: q467's set-level source
+    overlap upgraded to SPAN level — for each source pair, how many
+    doc pairs share a >= 8-token verbatim run and the worst such run.
+    This is the provenance question span dedup answers that set
+    Jaccard cannot: 'which feeds are republishing each other's text
+    verbatim'. Derived from q581's pair frame (dup_span_pairs) by two
+    broadcast-able doc->source joins + one (src_a, src_b) aggregate —
+    the candidate stage is unchanged, so the scale shape is q19's."""
+    from sensor_time_series_pyspark_spark.operators.dedup import (
+        dup_span_pairs,
+    )
+
+    docs = read_table(spark, sf, "documents")
+    pairs = dup_span_pairs(
+        docs, "doc_id", "text", k=5, max_token_df=50, min_span_tokens=8
+    )
+    src = docs.select("doc_id", "source")
+    lab = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc_a"),
+                       F.col("source").alias("sa")), "doc_a")
+        .join(
+            src.select(F.col("doc_id").alias("doc_b"),
+                       F.col("source").alias("sb")), "doc_b")
+        .select(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+            "max_span_tokens",
+            "shared_grams",
+        )
+    )
+    return lab.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("doc_pairs"),
+        F.max("max_span_tokens").cast("bigint").alias(
+            "worst_span_tokens"
+        ),
+        F.sum("shared_grams").cast("bigint").alias("total_shared_grams"),
+    )
+
+
 # Shared-gram CTE prefix for the q581/q582 DuckDB twins: identical
 # tokenization to the Spark tokens() (whitespace split, empties
 # dropped), positional 5-grams, df valve [2, 50].
@@ -897,8 +938,48 @@ register_many(
         "q584_kcenter_coreset": _q_kcenter_coreset,
         "q585_span_contamination": _q_span_contamination,
         "q586_self_repeat": _q_self_repeat,
+        "q587_source_span_matrix": _q_source_span_matrix,
     },
     {
+        "q587_source_span_matrix": _SHARED_GRAMS_SQL + """
+            , pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                a.pos AS pa, a.pos - b.pos AS off
+              FROM shared a JOIN shared b
+                ON a.g = b.g AND a.doc_id < b.doc_id
+            ),
+            isl AS (
+              SELECT doc_a, doc_b, off, pa,
+                pa - row_number() OVER (PARTITION BY doc_a, doc_b, off
+                  ORDER BY pa) AS grp
+              FROM pairs
+            ),
+            runs AS (
+              SELECT doc_a, doc_b, count(*) AS run
+              FROM isl GROUP BY doc_a, doc_b, off, grp
+            ),
+            spans AS (
+              SELECT doc_a, doc_b,
+                CAST(sum(run) AS BIGINT) AS shared_grams,
+                CAST(max(run) + 4 AS BIGINT) AS max_span_tokens
+              FROM runs GROUP BY doc_a, doc_b
+              HAVING max(run) + 4 >= 8
+            ),
+            lab AS (
+              SELECT least(da.source, db.source) AS src_a,
+                greatest(da.source, db.source) AS src_b,
+                s.max_span_tokens, s.shared_grams
+              FROM spans s
+              JOIN documents da ON da.doc_id = s.doc_a
+              JOIN documents db ON db.doc_id = s.doc_b
+            )
+            SELECT src_a, src_b,
+              CAST(count(*) AS BIGINT) AS doc_pairs,
+              CAST(max(max_span_tokens) AS BIGINT)
+                AS worst_span_tokens,
+              CAST(sum(shared_grams) AS BIGINT) AS total_shared_grams
+            FROM lab GROUP BY src_a, src_b
+        """,
         "q586_self_repeat": r"""
             WITH tk0 AS (
               SELECT doc_id, source,
