@@ -50,6 +50,9 @@ BENCH_QUERIES = [
     # round-9 late addition: the span-level dedup family shares q19's
     # inverted-index shape (the steepest headline) — track it too
     "q581_dup_spans",
+    # round-9 late addition: the segment (line-level) dedup audit — a
+    # third dedup shuffle shape (segment-count + per-doc regroup)
+    "q588_segment_dedup",
 ]
 
 

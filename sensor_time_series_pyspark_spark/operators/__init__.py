@@ -213,3 +213,8 @@ from .expectations import (
     unique,
     unique_combo,
 )
+
+from .dedup import segment_dup_stats
+from .sampling import waterfill_allocation
+
+__all__ += ["segment_dup_stats", "waterfill_allocation"]

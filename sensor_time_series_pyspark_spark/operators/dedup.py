@@ -1327,3 +1327,79 @@ def self_repeat_spans(
             "max_self_span_tokens"
         )
     )
+
+
+def segment_dup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    carry_cols: list[str] | None = None,
+    seg_tokens: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Duplicated-SEGMENT audit — the CCNet/RefinedWeb boilerplate-line
+    removal step (Wenzek et al. 2020 dedup CC at the paragraph/line
+    grain; Penedo et al. 2023 repeat it line-level): chop each document
+    into disjoint ``seg_tokens``-token segments (the whitespace-free
+    synthetic corpus has no newlines — on real data pass the text
+    pre-split on '\\n'; the segment grain is a parameter, not a
+    semantic), mark every segment whose exact text occurs in
+    >= ``min_docs`` DISTINCT documents, and report per-document how
+    much token mass a line-dedup pass would strip.
+
+    Spark shape: segmentation is pure map-side array algebra
+    (sequence + posexplode + slice — same layout as
+    operators/chunking.py:chunk_tokens); the only shuffle is the
+    groupBy on segment text for the distinct-doc count plus the join
+    back (both hash-partitioned on the segment — no skew beyond true
+    boilerplate, which is exactly what the ``min_docs`` mark is for).
+    At 100 TB swap the join key for xxhash64(segment) to shrink
+    shuffle bytes (collision-free in practice; kept as the raw string
+    here so the DuckDB oracle is bit-exact).
+
+    Output grain: one row per document —
+    (id, *carry_cols, n_tok, n_seg, dup_seg, dup_tok).
+    """
+    carry = list(carry_cols or [])
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in carry],
+        tokens(text_col).alias("__t"),
+    )
+    n = F.size("__t")
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), n - 1, F.lit(seg_tokens))
+    ).otherwise(F.array().cast("array<int>"))
+    segs = toks.select(
+        "id",
+        *carry,
+        n.cast("bigint").alias("n_tok"),
+        "__t",
+        F.posexplode(starts).alias("__i", "__s"),
+    ).select(
+        "id",
+        *carry,
+        "n_tok",
+        F.concat_ws(
+            " ", F.slice("__t", F.col("__s") + 1, seg_tokens)
+        ).alias("seg"),
+        F.least(F.lit(seg_tokens), F.col("n_tok") - F.col("__s"))
+        .cast("bigint")
+        .alias("seg_len"),
+    )
+    counts = segs.groupBy("seg").agg(
+        F.count_distinct("id").alias("__nd")
+    )
+    dup = F.col("__nd") >= min_docs
+    return (
+        segs.join(counts, "seg")
+        .groupBy("id", *carry)
+        .agg(
+            F.max("n_tok").alias("n_tok"),
+            F.count(F.lit(1)).cast("bigint").alias("n_seg"),
+            F.sum(F.when(dup, 1).otherwise(0)).cast("bigint").alias("dup_seg"),
+            F.sum(F.when(dup, F.col("seg_len")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("dup_tok"),
+        )
+    )

@@ -247,3 +247,87 @@ def mixture_weights(
             total.cast("double") / (n_groups * F.col("tokens")).cast("double"),
         ).alias("weight"),
     )
+
+
+def waterfill_allocation(
+    df: DataFrame,
+    group_cols: list[str],
+    token_col: str,
+    budget_frac: float = 0.5,
+    max_epochs: float = 2.0,
+) -> DataFrame:
+    """Capped-mixture waterfilling — the token-budget allocation step
+    behind published pretraining mixtures (the Llama-1 table's
+    "epochs" column; Hoffmann-style budget splits): aim each group at
+    an equal share of a global token budget, but cap any group at
+    ``max_epochs`` passes over its native tokens, and redistribute the
+    freed budget across the uncapped groups (water rising over posts).
+
+    Exact closed form, no iteration: with per-group capacity
+    c_i = max_epochs * tokens_i sorted ascending, the waterline is
+    w_k = (B - sum_{j<k} c_j) / (n - k + 1) for the FIRST k where
+    w_k <= c_k (every group below the line is capped at capacity,
+    every group above gets exactly w); if total capacity <= B no line
+    exists and every group is capped. allocation_i = min(c_i, w),
+    and sum(allocation) = min(B, sum(c)) by construction.
+
+    Scale shape: ONE hash aggregate over the fact to per-group token
+    totals; every window after that (global rank, exclusive prefix
+    sum, scalar min) runs on the n-group frame — tens of rows at any
+    corpus size, the same post-aggregate global-window class as
+    mixture_weights above.
+
+    Output: [*group_cols], tokens, capacity, allocation, epochs,
+    capped, waterline (NULL when the budget exceeds total capacity).
+    """
+    from pyspark.sql import Window
+
+    g = df.groupBy(*group_cols).agg(
+        F.sum(F.col(token_col).cast("bigint")).alias("tokens")
+    )
+    wall = Window.partitionBy()
+    budget = (
+        F.sum("tokens").over(wall).cast("double") * F.lit(float(budget_frac))
+    )
+    cap = F.col("tokens").cast("double") * F.lit(float(max_epochs))
+    wsort = Window.orderBy(cap.asc(), *[F.col(c).asc() for c in group_cols])
+    k = F.row_number().over(wsort)
+    prefix = F.coalesce(
+        F.sum(cap).over(
+            wsort.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0.0),
+    )
+    n_g = F.count(F.lit(1)).over(wall)
+    ranked = g.select(
+        *group_cols,
+        "tokens",
+        cap.alias("capacity"),
+        k.alias("__k"),
+        ((budget - prefix) / (n_g - k + 1).cast("double")).alias("__wk"),
+    )
+    # FIRST feasible k (smallest — NOT min w_k: later w_k can dip below
+    # the true line once the budget subtraction overshoots), then its w.
+    feas = ranked.withColumn(
+        "__fk",
+        F.min(
+            F.when(F.col("__wk") <= F.col("capacity"), F.col("__k"))
+        ).over(Window.partitionBy()),
+    )
+    line = F.max(
+        F.when(F.col("__k") == F.col("__fk"), F.col("__wk"))
+    ).over(Window.partitionBy())
+    return feas.select(
+        *group_cols,
+        "tokens",
+        "capacity",
+        line.alias("waterline"),
+        F.least(F.col("capacity"), F.coalesce(line, F.col("capacity"))).alias(
+            "allocation"
+        ),
+        (
+            F.least(F.col("capacity"), F.coalesce(line, F.col("capacity")))
+            / F.col("tokens").cast("double")
+        ).alias("epochs"),
+        (line.isNull() | (F.col("capacity") <= line)).alias("capped"),
+    )

@@ -36,3 +36,4 @@ from sensor_time_series_pyspark_spark.queries import corpus_sampling  # noqa: F4
 from sensor_time_series_pyspark_spark.queries import technical_indicators  # noqa: F401,E402
 from sensor_time_series_pyspark_spark.queries import audits_experiments  # noqa: F401,E402
 from sensor_time_series_pyspark_spark.queries import scale_ops  # noqa: F401,E402
+from sensor_time_series_pyspark_spark.queries import corpus_curation  # noqa: F401,E402

@@ -1,0 +1,819 @@
+"""Corpus-curation planning ops (round 9, q588+): the decisions a
+training-data pipeline makes AFTER the audits — what boilerplate a
+line-dedup pass would strip (q588), what a fixed vocabulary fails to
+cover per source (q589), what a quality-threshold filter retains
+(q590), whom exact dedup disparately removes (q591), how close the
+domains sit in embedding space (q592), and how a capped token budget
+waterfills across sources (q593). The reference has no document
+surface; these are north-star LLM-pipeline operators (BASELINE.json),
+all exact column algebra with DuckDB oracle twins."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sensor_time_series_pyspark_spark.functions.text import (
+    bpe_ish_token_count,
+    quality_score,
+    token_count,
+)
+from sensor_time_series_pyspark_spark.operators.dedup import segment_dup_stats
+from sensor_time_series_pyspark_spark.operators.sampling import (
+    waterfill_allocation,
+)
+from sensor_time_series_pyspark_spark.queries.common import _STOPWORD_LIST
+from sensor_time_series_pyspark_spark.queries.registry import register_many
+from sensor_time_series_pyspark_spark.sources.readers import read_table
+
+
+def _q_segment_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source duplicated-SEGMENT audit (operators/dedup.py:
+    segment_dup_stats) — the CCNet/RefinedWeb line-dedup planning
+    table: docs chopped into disjoint 10-token segments, a segment is
+    boilerplate when its exact text occurs in >= 2 distinct docs;
+    report how many docs a line-dedup pass would touch and what token
+    mass it would strip. Two hash shuffles total (segment count +
+    per-doc regroup), both on un-skewed keys."""
+    docs = read_table(spark, sf, "documents")
+    per_doc = segment_dup_stats(
+        docs, "doc_id", "text", carry_cols=["source"], seg_tokens=10,
+        min_docs=2,
+    )
+    touched = F.col("dup_seg") > 0
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(touched, 1).otherwise(0)).cast("bigint").alias(
+            "docs_touched"
+        ),
+        F.sum("n_seg").cast("bigint").alias("n_segments"),
+        F.sum("dup_seg").cast("bigint").alias("dup_segments"),
+        (
+            F.sum("dup_tok").cast("double")
+            / F.sum("n_tok").cast("double")
+        ).alias("dup_token_frac"),
+    )
+
+
+def _q_oov_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary-coverage audit per source: build the top-16 corpus
+    vocabulary by occurrence count (ties broken by token — fully
+    deterministic), then measure each source's out-of-vocabulary token
+    share and distinct OOV types. The fixed-vocab sibling of q583's
+    tokenizer fertility: a source with high OOV rate is systematically
+    fragmented by a frequency-built subword vocab.
+
+    Shape: one shuffle to (source, token) counts, a second tiny
+    shuffle to token totals, top-k via TakeOrderedAndProject (never a
+    global window), then a BROADCAST left join of the 16-row vocab
+    back onto the per-source counts."""
+    docs = read_table(spark, sf, "documents")
+    from sensor_time_series_pyspark_spark.functions.text import tokens
+
+    st = (
+        docs.select(
+            "source", F.explode(tokens("text")).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    vocab = (
+        st.groupBy("tok")
+        .agg(F.sum("n").alias("nt"))
+        .orderBy(F.col("nt").desc(), F.col("tok").asc())
+        .limit(16)
+        .select("tok", F.lit(1).alias("__in"))
+    )
+    j = st.join(F.broadcast(vocab), "tok", "left")
+    oov = F.col("__in").isNull()
+    return j.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(oov, F.col("n")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("oov_tokens"),
+        F.count_distinct(F.when(oov, F.col("tok")))
+        .cast("bigint")
+        .alias("oov_types"),
+        (
+            F.sum(F.when(oov, F.col("n")).otherwise(F.lit(0))).cast("double")
+            / F.sum("n").cast("double")
+        ).alias("oov_rate"),
+    )
+
+
+_THRESHOLDS = [0.3, 0.5, 0.7, 0.9]
+
+
+def _q_retention_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-filter threshold sweep: for each candidate quality
+    cutoff, how many documents and BPE-ish tokens survive — the
+    tradeoff curve read before committing a corpus-wide filter
+    (complements q184's budget selection: there the budget picks the
+    threshold, here the threshold is swept). Per-doc features are
+    computed ONCE map-side; the 4-way threshold fan-out is a literal
+    posexplode (no join), then one hash aggregate on the 4-value
+    threshold key."""
+    docs = read_table(spark, sf, "documents")
+    per = docs.select(
+        quality_score("text").alias("q"),
+        bpe_ish_token_count("text").cast("bigint").alias("n_bpe"),
+    )
+    sw = per.select(
+        "q",
+        "n_bpe",
+        F.explode(
+            F.array(*[F.lit(t) for t in _THRESHOLDS])
+        ).alias("threshold"),
+    )
+    kept = F.col("q") >= F.col("threshold")
+    return sw.groupBy("threshold").agg(
+        F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("docs_kept"),
+        F.sum(F.when(kept, F.col("n_bpe")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("tokens_kept"),
+        (
+            F.sum(F.when(kept, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("doc_retention"),
+        (
+            F.sum(F.when(kept, F.col("n_bpe")).otherwise(F.lit(0))).cast(
+                "double"
+            )
+            / F.sum("n_bpe").cast("double")
+        ).alias("token_retention"),
+    )
+
+
+def _q_dedup_lang_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup-fairness audit: exact dedup (keep the lowest doc_id per
+    content fingerprint — q17's survivorship rule) measured per
+    LANGUAGE: doc and token retention rates. Near-dup removal is known
+    to fall unevenly across languages/domains; this is the table that
+    makes the disparity visible before the filter ships. One
+    fingerprint-partitioned window (parallel at any scale — the key is
+    the content hash), one hash aggregate."""
+    docs = read_table(spark, sf, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        token_count("text").cast("bigint").alias("n_tok"),
+        F.md5(F.col("text")).alias("fp"),
+    )
+    w = Window.partitionBy("fp")
+    keep = F.col("doc_id") == F.min("doc_id").over(w)
+    marked = base.select("lang", "n_tok", keep.alias("k"))
+    return marked.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("k"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        (
+            F.sum(F.when(F.col("k"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("doc_retention"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("k"), F.col("n_tok")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("kept_tokens"),
+        (
+            F.sum(F.when(F.col("k"), F.col("n_tok")).otherwise(F.lit(0))).cast(
+                "double"
+            )
+            / F.sum("n_tok").cast("double")
+        ).alias("token_retention"),
+    )
+
+
+_DEC0 = "decimal(38,0)"
+
+
+def _q_label_centroid_sim(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-similarity map for mixture design: the pairwise cosine
+    between per-LABEL embedding centroids (cosine of the mean equals
+    cosine of the SUM — scale-invariant, so the exact integer sum
+    vector is the centroid). Quantization to 2^20 integer cells (the
+    q572/q575 idiom) keeps everything exact until the final double
+    cosine: component sums are bigint, dot products accumulate in
+    decimal(38,0) (a label sum can reach ~5e8 at sf0.1; squared and
+    summed over 64 dims that overflows int64).
+
+    Shape: posexplode to (label, dim) — map-side; ONE hash aggregate
+    to the 10-label x 64-dim centroid frame; the pair join is a
+    10x10 broadcast nested loop on the label-cardinality frame
+    (constant at ANY corpus size — allowlisted in the cartesian gate
+    with q157's centroid precedent)."""
+    emb = read_table(spark, sf, "embeddings")
+    q = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(1048576.0)).cast("long"),
+    )
+    ex = emb.select("label", F.posexplode(q).alias("pos", "qv"))
+    cent = ex.groupBy("label", "pos").agg(F.sum("qv").alias("s"))
+    vecs = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "s"))),
+            lambda st: st["s"],
+        ).alias("v")
+    )
+    zero = F.lit(0).cast(_DEC0)
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(
+                a, b, lambda x, y: x.cast(_DEC0) * y.cast(_DEC0)
+            ),
+            zero,
+            lambda acc, x: (acc + x).cast(_DEC0),
+        )
+
+    n2 = vecs.select(
+        "label", "v", dot(F.col("v"), F.col("v")).alias("nn")
+    )
+    a, b = n2.alias("a"), n2.alias("b")
+    return a.join(b, F.col("a.label") < F.col("b.label")).select(
+        F.col("a.label").alias("label_a"),
+        F.col("b.label").alias("label_b"),
+        (
+            dot(F.col("a.v"), F.col("b.v")).cast("double")
+            / (
+                F.sqrt(F.col("a.nn").cast("double"))
+                * F.sqrt(F.col("b.nn").cast("double"))
+            )
+        ).alias("cos"),
+    )
+
+
+def _q_waterfill_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Capped-mixture waterfilling over sources
+    (operators/sampling.py:waterfill_allocation): a token budget of
+    half the corpus, equal target shares, no source above 2 epochs —
+    the exact closed-form allocation (sorted capacities + first
+    feasible waterline) that published mixture tables solve by hand.
+    One fact aggregate; every window runs on the 20-source frame."""
+    docs = read_table(spark, sf, "documents")
+    per = docs.select(
+        "source", token_count("text").cast("bigint").alias("n_tok")
+    )
+    return waterfill_allocation(
+        per, ["source"], "n_tok", budget_frac=0.5, max_epochs=2.0
+    )
+
+
+_TOK_SQL = r"list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"
+
+
+register_many(
+    {
+        "q588_segment_dedup": _q_segment_dedup,
+        "q589_oov_rate": _q_oov_rate,
+        "q590_retention_sweep": _q_retention_sweep,
+        "q591_dedup_lang_retention": _q_dedup_lang_retention,
+        "q592_label_centroid_sim": _q_label_centroid_sim,
+        "q593_waterfill_mixture": _q_waterfill_mixture,
+    },
+    {
+        "q588_segment_dedup": rf"""
+            WITH toks AS (
+              SELECT doc_id, source, {_TOK_SQL} AS t FROM documents
+            ),
+            segs AS (
+              SELECT doc_id, source, n_tok,
+                u['seg'] AS seg, u['sl'] AS seg_len
+              FROM (
+                SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_tok,
+                  UNNEST(list_transform(
+                    range(0, CAST(ceil(len(t) / 10.0) AS BIGINT)),
+                    i -> struct_pack(
+                      seg := array_to_string(t[(i*10+1):(i*10+10)], ' '),
+                      sl  := least(10, len(t) - i*10)))) AS u
+                FROM toks WHERE len(t) > 0
+              )
+            ),
+            cnt AS (
+              SELECT seg, count(DISTINCT doc_id) AS nd
+              FROM segs GROUP BY seg
+            ),
+            per_doc AS (
+              SELECT s.doc_id, s.source, max(s.n_tok) AS n_tok,
+                count(*) AS n_seg,
+                sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS dup_seg,
+                sum(CASE WHEN c.nd >= 2 THEN s.seg_len ELSE 0 END)
+                  AS dup_tok
+              FROM segs s JOIN cnt c ON s.seg = c.seg
+              GROUP BY s.doc_id, s.source
+            )
+            SELECT source,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN dup_seg > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_touched,
+              CAST(sum(n_seg) AS BIGINT) AS n_segments,
+              CAST(sum(dup_seg) AS BIGINT) AS dup_segments,
+              CAST(sum(dup_tok) AS DOUBLE) / CAST(sum(n_tok) AS DOUBLE)
+                AS dup_token_frac
+            FROM per_doc GROUP BY source
+        """,
+        "q589_oov_rate": rf"""
+            WITH tok AS (
+              SELECT source, UNNEST({_TOK_SQL}) AS tok FROM documents
+            ),
+            st AS (
+              SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+              FROM tok GROUP BY source, tok
+            ),
+            vocab AS (
+              SELECT tok FROM (
+                SELECT tok, sum(n) AS nt FROM st GROUP BY tok
+                ORDER BY nt DESC, tok ASC LIMIT 16
+              )
+            )
+            SELECT source,
+              CAST(sum(n) AS BIGINT) AS n_tokens,
+              CAST(sum(CASE WHEN v.tok IS NULL THEN n ELSE 0 END)
+                AS BIGINT) AS oov_tokens,
+              CAST(count(DISTINCT CASE WHEN v.tok IS NULL THEN st.tok END)
+                AS BIGINT) AS oov_types,
+              CAST(sum(CASE WHEN v.tok IS NULL THEN n ELSE 0 END)
+                  AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS oov_rate
+            FROM st LEFT JOIN vocab v ON st.tok = v.tok
+            GROUP BY source
+        """,
+        "q590_retention_sweep": rf"""
+            WITH toks AS (
+              SELECT doc_id, text,
+                list_transform({_TOK_SQL}, t -> lower(t)) AS tok
+              FROM documents
+            ),
+            feat AS (
+              SELECT doc_id,
+                CASE WHEN len(text) > 0
+                     THEN (len(text) - len(regexp_replace(text,
+                       '[!-/:-@\[-`{{-~]', '', 'g'))) / len(text)
+                     ELSE 0 END AS pr,
+                CASE WHEN len(tok) > 0
+                     THEN len(list_filter(tok,
+                       t -> list_contains({_STOPWORD_LIST}, t))) / len(tok)
+                     ELSE 0 END AS sw,
+                len(tok) AS n_tok,
+                CAST(coalesce(list_aggregate(
+                  list_transform(tok, w -> CAST(ceil(len(w)/4.0) AS INT)),
+                  'sum'), 0) AS BIGINT) AS n_bpe
+              FROM toks
+            ),
+            scored AS (
+              SELECT n_bpe,
+                (least(n_tok/20.0, 1.0) + (1.0 - least(pr*5, 1.0))
+                  + least(sw*4, 1.0)) / 3 AS q
+              FROM feat
+            )
+            SELECT t.threshold,
+              CAST(sum(CASE WHEN q >= t.threshold THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_kept,
+              CAST(sum(CASE WHEN q >= t.threshold THEN n_bpe ELSE 0 END)
+                AS BIGINT) AS tokens_kept,
+              CAST(sum(CASE WHEN q >= t.threshold THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE) AS doc_retention,
+              CAST(sum(CASE WHEN q >= t.threshold THEN n_bpe ELSE 0 END)
+                  AS DOUBLE) / CAST(sum(n_bpe) AS DOUBLE)
+                AS token_retention
+            FROM scored, (VALUES (0.3), (0.5), (0.7), (0.9))
+              AS t(threshold)
+            GROUP BY t.threshold
+        """,
+        "q591_dedup_lang_retention": rf"""
+            WITH base AS (
+              SELECT doc_id, lang,
+                CAST(len({_TOK_SQL}) AS BIGINT) AS n_tok,
+                md5(text) AS fp
+              FROM documents
+            ),
+            marked AS (
+              SELECT lang, n_tok,
+                (doc_id = min(doc_id) OVER (PARTITION BY fp)) AS k
+              FROM base
+            )
+            SELECT lang,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN k THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_kept,
+              CAST(sum(CASE WHEN k THEN 1 ELSE 0 END) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE) AS doc_retention,
+              CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+              CAST(sum(CASE WHEN k THEN n_tok ELSE 0 END) AS BIGINT)
+                AS kept_tokens,
+              CAST(sum(CASE WHEN k THEN n_tok ELSE 0 END) AS DOUBLE)
+                / CAST(sum(n_tok) AS DOUBLE) AS token_retention
+            FROM marked GROUP BY lang
+        """,
+        "q592_label_centroid_sim": """
+            WITH v AS (
+              SELECT label,
+                list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 1048576)
+                            AS BIGINT)) AS q
+              FROM embeddings
+            ),
+            ex AS (
+              SELECT label, u['p'] AS pos, u['qv'] AS qv FROM (
+                SELECT label,
+                  UNNEST(list_transform(range(1, len(q) + 1),
+                    i -> struct_pack(p := i, qv := q[i]))) AS u
+                FROM v
+              )
+            ),
+            cent AS (
+              SELECT label, pos, CAST(sum(qv) AS BIGINT) AS s
+              FROM ex GROUP BY label, pos
+            ),
+            vecs AS (
+              SELECT label, list(s ORDER BY pos) AS vv
+              FROM cent GROUP BY label
+            ),
+            n2 AS (
+              SELECT label, vv,
+                list_sum(list_transform(vv,
+                  x -> CAST(x AS HUGEINT) * CAST(x AS HUGEINT))) AS nn
+              FROM vecs
+            )
+            SELECT a.label AS label_a, b.label AS label_b,
+              CAST(list_sum(list_transform(list_zip(a.vv, b.vv),
+                  s -> CAST(s[1] AS HUGEINT) * CAST(s[2] AS HUGEINT)))
+                AS DOUBLE)
+                / (sqrt(CAST(a.nn AS DOUBLE)) * sqrt(CAST(b.nn AS DOUBLE)))
+                AS cos
+            FROM n2 a JOIN n2 b ON a.label < b.label
+        """,
+        "q593_waterfill_mixture": rf"""
+            WITH g AS (
+              SELECT source,
+                CAST(sum(len({_TOK_SQL})) AS BIGINT) AS tokens
+              FROM documents GROUP BY source
+            ),
+            r AS (
+              SELECT source, tokens,
+                CAST(tokens AS DOUBLE) * 2.0 AS capacity,
+                CAST(sum(tokens) OVER () AS DOUBLE) * 0.5 AS budget,
+                row_number() OVER ord AS k,
+                coalesce(sum(CAST(tokens AS DOUBLE) * 2.0) OVER (
+                  ord ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND 1 PRECEDING), 0.0) AS prefix,
+                count(*) OVER () AS n
+              FROM g
+              WINDOW ord AS (ORDER BY CAST(tokens AS DOUBLE) * 2.0 ASC,
+                source ASC)
+            ),
+            w AS (
+              SELECT *,
+                (budget - prefix) / CAST(n - k + 1 AS DOUBLE) AS wk
+              FROM r
+            ),
+            fk AS (
+              SELECT *,
+                min(CASE WHEN wk <= capacity THEN k END) OVER () AS f
+              FROM w
+            ),
+            l AS (
+              SELECT *,
+                max(CASE WHEN k = f THEN wk END) OVER () AS waterline
+              FROM fk
+            )
+            SELECT source, tokens, capacity, waterline,
+              least(capacity, coalesce(waterline, capacity))
+                AS allocation,
+              least(capacity, coalesce(waterline, capacity))
+                / CAST(tokens AS DOUBLE) AS epochs,
+              (waterline IS NULL OR capacity <= waterline) AS capped
+            FROM l
+        """,
+    },
+)
+
+
+_JT = [0.2, 0.35, 0.5, 0.65, 0.8]
+
+
+def _q_jaccard_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup threshold calibration: q19's exact Jaccard pair frame
+    computed ONCE at the loosest threshold (0.2), then swept across
+    candidate cutoffs — pairs surviving and distinct docs involved per
+    threshold, the table read before committing a dedup threshold.
+    The pair frame is tiny (true near-dups only); the sweep is a
+    literal fan-out on it, never a recompute of the inverted index."""
+    from sensor_time_series_pyspark_spark.operators.dedup import (
+        jaccard_pairs,
+    )
+    from sensor_time_series_pyspark_spark.queries.common import _rep_docs
+
+    pairs = jaccard_pairs(
+        _rep_docs(spark, sf), "doc_id", "text", threshold=0.2, shingle_k=3
+    )
+    stacked = pairs.select(
+        "jaccard", F.explode(F.array("id_a", "id_b")).alias("id")
+    ).select(
+        "jaccard",
+        "id",
+        F.explode(F.array(*[F.lit(t) for t in _JT])).alias("threshold"),
+    )
+    surv = F.col("jaccard") >= F.col("threshold")
+    return stacked.groupBy("threshold").agg(
+        (F.sum(F.when(surv, 1).otherwise(0)) / 2).cast("bigint").alias(
+            "n_pairs"
+        ),
+        F.count_distinct(F.when(surv, F.col("id")))
+        .cast("bigint")
+        .alias("n_docs"),
+    )
+
+
+def _q_quality_band_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-band x language composition — the fairness companion of
+    q590's retention sweep: for each fixed quality band (0.25/0.5/0.75
+    cuts) and language, doc and BPE-ish token counts plus the share of
+    that LANGUAGE's tokens sitting in the band (a filter at 0.5 removes
+    the bottom two bands; a language with most of its mass there is
+    disparately removed). Fixed-threshold bands, not deciles — no
+    fact-grain global window; the per-lang share is a window over the
+    ~20-row aggregate."""
+    docs = read_table(spark, sf, "documents")
+    per = docs.select(
+        "lang",
+        quality_score("text").alias("q"),
+        bpe_ish_token_count("text").cast("bigint").alias("n_bpe"),
+    )
+    band = (
+        F.when(F.col("q") < 0.25, "q0_low")
+        .when(F.col("q") < 0.5, "q1_mid_low")
+        .when(F.col("q") < 0.75, "q2_mid_high")
+        .otherwise("q3_high")
+    )
+    g = per.select(band.alias("band"), "lang", "n_bpe").groupBy(
+        "band", "lang"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_bpe").cast("bigint").alias("n_tokens"),
+    )
+    wl = Window.partitionBy("lang")
+    return g.select(
+        "band",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        (
+            F.col("n_tokens").cast("double")
+            / F.sum("n_tokens").over(wl).cast("double")
+        ).alias("lang_token_share"),
+    )
+
+
+def _q_dup_cluster_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplication profile: exact-dup clusters (identical text) bucketed
+    by size — how much of the corpus sits in singletons vs heavy
+    clusters, the shape that decides whether dedup is worth a pass and
+    how skewed the survivorship workload is. One fingerprint aggregate
+    (hash-partitioned, no skew beyond true duplication) + one 4-row
+    regroup."""
+    docs = read_table(spark, sf, "documents")
+    cl = docs.select(
+        F.md5(F.col("text")).alias("fp"),
+        token_count("text").cast("bigint").alias("n_tok"),
+    ).groupBy("fp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz"),
+        F.sum("n_tok").cast("bigint").alias("toks"),
+    )
+    bucket = (
+        F.when(F.col("sz") == 1, "1_singleton")
+        .when(F.col("sz") == 2, "2_pair")
+        .when(F.col("sz") <= 5, "3_to_5")
+        .otherwise("6_plus")
+    )
+    return cl.select(bucket.alias("size_bucket"), "sz", "toks").groupBy(
+        "size_bucket"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("sz").cast("bigint").alias("n_docs"),
+        F.sum("toks").cast("bigint").alias("n_tokens"),
+        F.max("sz").cast("bigint").alias("max_cluster"),
+    )
+
+
+_CTX = [128, 512, 2048]
+
+
+def _q_packing_ctx_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Context-length decision table for concat-and-chop packing: the
+    per-language token stream is laid out ONCE (q68's pack_offsets
+    cumsum — the offsets don't depend on the context length), then for
+    each candidate length the boundary metrics are pure arithmetic on
+    (offset, n_tokens): documents split across contexts, total
+    fragments, contexts needed, and tail waste. ONE per-lang window
+    pass + a 3-way literal fan-out + one tiny aggregate."""
+    from sensor_time_series_pyspark_spark.operators.ranking import (
+        pack_offsets,
+    )
+
+    docs = read_table(spark, sf, "documents")
+    base = docs.select(
+        "doc_id", "lang", token_count("text").alias("n_raw")
+    )
+    off = pack_offsets(
+        base, "doc_id", "n_raw", budget=1, partition_by=["lang"]
+    ).select("lang", "n_tokens", "offset")
+    sw = off.select(
+        "lang",
+        "n_tokens",
+        "offset",
+        F.explode(F.array(*[F.lit(c) for c in _CTX])).alias("ctx"),
+    )
+    frags = (
+        F.floor((F.col("offset") + F.col("n_tokens") - 1) / F.col("ctx"))
+        - F.floor(F.col("offset") / F.col("ctx"))
+        + 1
+    )
+    g = sw.groupBy("lang", "ctx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(frags > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("crossing_docs"),
+        F.sum(frags).cast("bigint").alias("total_fragments"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+    n_ctx = F.ceil(F.col("total_tokens") / F.col("ctx")).cast("bigint")
+    return g.select(
+        "lang",
+        F.col("ctx").cast("bigint").alias("ctx"),
+        "n_docs",
+        "crossing_docs",
+        "total_fragments",
+        n_ctx.alias("n_contexts"),
+        (n_ctx * F.col("ctx") - F.col("total_tokens"))
+        .cast("bigint")
+        .alias("waste_tokens"),
+        (
+            (n_ctx * F.col("ctx") - F.col("total_tokens")).cast("double")
+            / (n_ctx * F.col("ctx")).cast("double")
+        ).alias("waste_frac"),
+    )
+
+
+register_many(
+    {
+        "q594_jaccard_threshold_sweep": _q_jaccard_threshold_sweep,
+        "q595_quality_band_lang": _q_quality_band_lang,
+        "q596_dup_cluster_profile": _q_dup_cluster_profile,
+        "q597_packing_ctx_sweep": _q_packing_ctx_sweep,
+    },
+    {
+        "q594_jaccard_threshold_sweep": r"""
+            WITH reps AS (
+              SELECT doc_id, text FROM documents
+              WHERE doc_id IN (SELECT min(doc_id) FROM documents
+                               GROUP BY text)
+            ),
+            toks AS (
+              SELECT doc_id AS id,
+                list_distinct(
+                  list_transform(
+                    generate_series(1, greatest(len(t) - 2, 0)),
+                    i -> array_to_string(t[i:i+2], ' ')
+                  )
+                ) AS tok
+              FROM (
+                SELECT doc_id,
+                  list_filter(string_split_regex(trim(text), '\s+'),
+                    x -> x <> '') AS t
+                FROM reps
+              )
+            ),
+            inv AS (
+              SELECT id, len(tok) AS n_tok, unnest(tok) AS token FROM toks
+            ),
+            pairs AS (
+              SELECT a.id AS id_a, b.id AS id_b,
+                     a.n_tok AS n_a, b.n_tok AS n_b, count(*) AS inter
+              FROM inv a JOIN inv b ON a.token = b.token AND a.id < b.id
+              GROUP BY 1, 2, 3, 4
+            ),
+            jac AS (
+              SELECT id_a, id_b, inter / (n_a + n_b - inter) AS jaccard
+              FROM pairs WHERE inter / (n_a + n_b - inter) >= 0.2
+            ),
+            stacked AS (
+              SELECT jaccard, id_a AS id FROM jac
+              UNION ALL
+              SELECT jaccard, id_b AS id FROM jac
+            )
+            SELECT t.threshold,
+              CAST(sum(CASE WHEN jaccard >= t.threshold THEN 1 ELSE 0 END)
+                / 2 AS BIGINT) AS n_pairs,
+              CAST(count(DISTINCT CASE WHEN jaccard >= t.threshold
+                THEN id END) AS BIGINT) AS n_docs
+            FROM stacked,
+              (VALUES (0.2), (0.35), (0.5), (0.65), (0.8)) AS t(threshold)
+            GROUP BY t.threshold
+        """,
+        "q595_quality_band_lang": rf"""
+            WITH toks AS (
+              SELECT lang, text,
+                list_transform({_TOK_SQL}, t -> lower(t)) AS tok
+              FROM documents
+            ),
+            feat AS (
+              SELECT lang,
+                CASE WHEN len(text) > 0
+                     THEN (len(text) - len(regexp_replace(text,
+                       '[!-/:-@\[-`{{-~]', '', 'g'))) / len(text)
+                     ELSE 0 END AS pr,
+                CASE WHEN len(tok) > 0
+                     THEN len(list_filter(tok,
+                       t -> list_contains({_STOPWORD_LIST}, t))) / len(tok)
+                     ELSE 0 END AS sw,
+                len(tok) AS n_tok,
+                CAST(coalesce(list_aggregate(
+                  list_transform(tok, w -> CAST(ceil(len(w)/4.0) AS INT)),
+                  'sum'), 0) AS BIGINT) AS n_bpe
+              FROM toks
+            ),
+            scored AS (
+              SELECT lang, n_bpe,
+                (least(n_tok/20.0, 1.0) + (1.0 - least(pr*5, 1.0))
+                  + least(sw*4, 1.0)) / 3 AS q
+              FROM feat
+            ),
+            banded AS (
+              SELECT lang, n_bpe,
+                CASE WHEN q < 0.25 THEN 'q0_low'
+                     WHEN q < 0.5  THEN 'q1_mid_low'
+                     WHEN q < 0.75 THEN 'q2_mid_high'
+                     ELSE 'q3_high' END AS band
+              FROM scored
+            ),
+            g AS (
+              SELECT band, lang,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_bpe) AS BIGINT) AS n_tokens
+              FROM banded GROUP BY band, lang
+            )
+            SELECT band, lang, n_docs, n_tokens,
+              CAST(n_tokens AS DOUBLE)
+                / CAST(sum(n_tokens) OVER (PARTITION BY lang) AS DOUBLE)
+                AS lang_token_share
+            FROM g
+        """,
+        "q596_dup_cluster_profile": rf"""
+            WITH cl AS (
+              SELECT md5(text) AS fp,
+                CAST(count(*) AS BIGINT) AS sz,
+                CAST(sum(len({_TOK_SQL})) AS BIGINT) AS toks
+              FROM documents GROUP BY md5(text)
+            )
+            SELECT
+              CASE WHEN sz = 1 THEN '1_singleton'
+                   WHEN sz = 2 THEN '2_pair'
+                   WHEN sz <= 5 THEN '3_to_5'
+                   ELSE '6_plus' END AS size_bucket,
+              CAST(count(*) AS BIGINT) AS n_clusters,
+              CAST(sum(sz) AS BIGINT) AS n_docs,
+              CAST(sum(toks) AS BIGINT) AS n_tokens,
+              CAST(max(sz) AS BIGINT) AS max_cluster
+            FROM cl GROUP BY 1
+        """,
+        "q597_packing_ctx_sweep": rf"""
+            WITH base AS (
+              SELECT doc_id, lang,
+                CAST(len({_TOK_SQL}) AS BIGINT) AS n_tokens
+              FROM documents
+            ),
+            off AS (
+              SELECT lang, n_tokens,
+                sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - n_tokens AS o
+              FROM base
+            ),
+            sw AS (
+              SELECT lang, n_tokens, o, c.ctx,
+                (o + n_tokens - 1) // c.ctx - o // c.ctx + 1 AS frags
+              FROM off, (VALUES (128), (512), (2048)) AS c(ctx)
+            ),
+            g AS (
+              SELECT lang, ctx,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN frags > 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS crossing_docs,
+                CAST(sum(frags) AS BIGINT) AS total_fragments,
+                CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+              FROM sw GROUP BY lang, ctx
+            )
+            SELECT lang, CAST(ctx AS BIGINT) AS ctx, n_docs,
+              crossing_docs, total_fragments,
+              CAST(ceil(CAST(total_tokens AS DOUBLE) / ctx) AS BIGINT)
+                AS n_contexts,
+              CAST(ceil(CAST(total_tokens AS DOUBLE) / ctx) AS BIGINT)
+                * ctx - total_tokens AS waste_tokens,
+              CAST(CAST(ceil(CAST(total_tokens AS DOUBLE) / ctx)
+                    AS BIGINT) * ctx - total_tokens AS DOUBLE)
+                / CAST(CAST(ceil(CAST(total_tokens AS DOUBLE) / ctx)
+                    AS BIGINT) * ctx AS DOUBLE) AS waste_frac
+            FROM g
+        """,
+    },
+)

@@ -176,6 +176,10 @@ def test_no_accidental_cartesian_products(spark):
     # 1-row x 1-row report combine (eval-count scalar onto the hit
     # aggregate); the candidate stage is q581's df-valved equi-join
     SKIP |= {"q585_span_contamination"}
+    # label-cardinality centroid pair frame (10x10 at ANY sf — the
+    # q157 shape on the post-aggregate label centroids; the fact only
+    # feeds the ONE hash aggregate below it)
+    SKIP |= {"q592_label_centroid_sim"}
     qs = entrymod.queries()
     offenders = []
     for name, fn in qs.items():

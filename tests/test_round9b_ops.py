@@ -1,0 +1,134 @@
+"""Round-9 curation-planning operators: segment_dup_stats (the
+CCNet/RefinedWeb line-dedup audit) on constructed input with a real
+duplicated segment, and waterfill_allocation branch coverage — the
+capped / uncapped / budget-exceeds-capacity cases the roughly-uniform
+synthetic corpus never exercises (there the waterline clears every
+capacity at k=1)."""
+
+from __future__ import annotations
+
+import math
+
+from sensor_time_series_pyspark_spark.operators import (
+    segment_dup_stats,
+    waterfill_allocation,
+)
+
+
+def test_segment_dup_stats_marks_shared_segment(spark):
+    # docs 1 and 2 share their first 4-token segment verbatim; doc 3 is
+    # clean. seg_tokens=4 → doc1 has segments [a b c d], [e f] (6 toks),
+    # doc2 has [a b c d], [x y] — the shared segment is marked in both.
+    rows = [
+        (1, "s1", "a b c d e f"),
+        (2, "s1", "a b c d x y"),
+        (3, "s2", "p q r s t u"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {
+        r["id"]: r
+        for r in segment_dup_stats(
+            df, "doc_id", "text", carry_cols=["source"], seg_tokens=4
+        ).collect()
+    }
+    assert out[1]["n_seg"] == 2 and out[1]["dup_seg"] == 1
+    assert out[1]["dup_tok"] == 4 and out[1]["n_tok"] == 6
+    assert out[2]["dup_seg"] == 1 and out[2]["dup_tok"] == 4
+    assert out[3]["dup_seg"] == 0 and out[3]["dup_tok"] == 0
+    assert out[3]["source"] == "s2"
+
+
+def test_segment_dup_stats_short_tail_segment_counted(spark):
+    # a 5-token doc at seg_tokens=4 yields a full segment + a 1-token
+    # tail; the tail's seg_len must be 1, not 4 (token-mass accounting)
+    rows = [(1, "z", "a b c d e"), (2, "z", "a b c d e")]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = segment_dup_stats(
+        df, "doc_id", "text", carry_cols=["source"], seg_tokens=4
+    ).collect()
+    for r in out:
+        assert r["n_seg"] == 2 and r["dup_seg"] == 2
+        assert r["dup_tok"] == 5  # 4 + 1, never 4 + 4
+
+
+def _waterfill(spark, tokens_by_group, budget_frac, max_epochs):
+    df = spark.createDataFrame(
+        [(g, int(t)) for g, t in tokens_by_group.items()], ["g", "n"]
+    )
+    out = waterfill_allocation(
+        df, ["g"], "n", budget_frac=budget_frac, max_epochs=max_epochs
+    )
+    return {r["g"]: r for r in out.collect()}
+
+
+def test_waterfill_no_caps_uniform_split(spark):
+    # capacities [50, 60, 70] with budget 90: first k is already
+    # feasible (w=30 <= 50) → everyone gets 30, nobody capped. This is
+    # the case a min-over-feasible-w_k rule gets WRONG (k=3 yields
+    # w=-20, also "feasible"): the waterline must come from the FIRST
+    # feasible rank.
+    out = _waterfill(spark, {"a": 25, "b": 30, "c": 35}, 1.0, 2.0)
+    for g in "abc":
+        assert math.isclose(out[g]["allocation"], 30.0)
+        assert not out[g]["capped"]
+    assert math.isclose(out["a"]["waterline"], 30.0)
+
+
+def test_waterfill_caps_small_source_and_redistributes(spark):
+    # tokens {a:1, b:100}, budget 50.5, caps 2x: a is capped at 2.0,
+    # the freed budget flows to b (48.5) — allocations sum to budget.
+    out = _waterfill(spark, {"a": 1, "b": 100}, 0.5, 2.0)
+    assert math.isclose(out["a"]["allocation"], 2.0)
+    assert out["a"]["capped"] and math.isclose(out["a"]["epochs"], 2.0)
+    assert math.isclose(out["b"]["allocation"], 48.5)
+    assert not out["b"]["capped"]
+    total = sum(r["allocation"] for r in out.values())
+    assert math.isclose(total, 50.5)
+
+
+def test_waterfill_budget_exceeds_total_capacity(spark):
+    # budget_frac 5.0 with max_epochs 2.0: budget 505 > total capacity
+    # 202 → no waterline, everyone capped at capacity.
+    out = _waterfill(spark, {"a": 1, "b": 100}, 5.0, 2.0)
+    assert out["a"]["waterline"] is None
+    for g in "ab":
+        assert out[g]["capped"]
+        assert math.isclose(out[g]["epochs"], 2.0)
+
+
+def test_waterfill_middle_cap_chain(spark):
+    # three tiers where the first TWO get capped: tokens {a:1, b:5,
+    # c:100}, budget 53, caps 2x → capacities [2, 10, 200].
+    # k=1: w=53/3≈17.67 > 2; k=2: (53-2)/2=25.5 > 10; k=3: (53-12)=41
+    # <= 200 → a and b capped, c gets 41.
+    out = _waterfill(spark, {"a": 1, "b": 5, "c": 100}, 0.5, 2.0)
+    assert math.isclose(out["a"]["allocation"], 2.0) and out["a"]["capped"]
+    assert math.isclose(out["b"]["allocation"], 10.0) and out["b"]["capped"]
+    assert math.isclose(out["c"]["allocation"], 41.0)
+    assert not out["c"]["capped"]
+
+
+def test_packing_fragments_boundary_math(spark):
+    # Three docs of 4 tokens packed at ctx=4: every doc exactly fills
+    # one context — zero crossings, zero waste. At ctx=8 the middle
+    # doc straddles nothing (docs 1-2 fill ctx0, doc 3 half-fills
+    # ctx1) — crossings stay 0 and waste is 4. At ctx=5 doc 2 (offset
+    # 4) crosses the first boundary.
+    from sensor_time_series_pyspark_spark.operators.ranking import (
+        pack_offsets,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "l", 4), (2, "l", 4), (3, "l", 4)], ["doc_id", "lang", "n"]
+    )
+    off = pack_offsets(df, "doc_id", "n", budget=1, partition_by=["lang"])
+    rows = {r["id"]: r["offset"] for r in off.collect()}
+    assert rows == {1: 0, 2: 4, 3: 8}
+
+    def frags(offset, n, ctx):
+        return (offset + n - 1) // ctx - offset // ctx + 1
+
+    assert [frags(rows[d], 4, 4) for d in (1, 2, 3)] == [1, 1, 1]
+    assert [frags(rows[d], 4, 8) for d in (1, 2, 3)] == [1, 1, 1]
+    assert [frags(rows[d], 4, 5) for d in (1, 2, 3)] == [1, 2, 2]
