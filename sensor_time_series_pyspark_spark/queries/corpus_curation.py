@@ -817,3 +817,376 @@ register_many(
         """,
     },
 )
+
+
+def _normed_quantized(spark: SparkSession, sf: str):
+    """(vec_id, label, qn): embeddings L2-normalized then quantized to
+    2^20 integer cells — floor((x / ||x||) * 2^20). The norm is the
+    ONE double in the pipeline (sqrt of a left-fold square sum, op
+    order pinned to the DuckDB twin); everything after is exact
+    integer algebra."""
+    emb = read_table(spark, sf, "embeddings")
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("__e"),
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("__e"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    n = e.select("vec_id", "label", "__e", nrm.alias("__n")).where(
+        F.col("__n") > 0
+    )
+    qn = F.transform(
+        F.col("__e"),
+        lambda x: F.floor(x / F.col("__n") * F.lit(1048576.0)).cast("long"),
+    )
+    return n.select("vec_id", "label", qn.alias("qn"))
+
+
+def _q_anisotropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-space anisotropy (Ethayarajh 2019): the mean pairwise
+    cosine across the WHOLE corpus — a high value means all vectors
+    crowd a narrow cone and cosine similarity stops being informative
+    (the health check before any cosine-based dedup/retrieval op).
+
+    The scale trick: with unit vectors, sum of all pairwise dots =
+    ||S||^2 - sum(||x||^2) where S is the component-wise SUM vector —
+    so the audit is ONE aggregate over (dim) cells, never an n^2 pair
+    frame (at 100 TB the pair frame is impossible; the sum vector is
+    64 numbers). Quantized integers keep it exact: per-dim sums and
+    square sums accumulate in decimal(38,0) (a dim sum reaches ~5e9 at
+    sf0.1; squared is past int64)."""
+    qd = _normed_quantized(spark, sf)
+    ex = qd.select("vec_id", F.posexplode("qn").alias("pos", "v"))
+    per_dim = ex.groupBy("pos").agg(
+        F.sum("v").alias("s"),
+        F.sum((F.col("v") * F.col("v")).cast(_DEC0)).alias("d"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    g = per_dim.agg(
+        F.sum(F.col("s").cast(_DEC0) * F.col("s").cast(_DEC0)).alias("s2"),
+        F.sum("d").alias("dd"),
+        F.max("n").cast("bigint").alias("n_vecs"),
+    )
+    n = F.col("n_vecs").cast("double")
+    q2 = F.lit(1099511627776.0)  # 2^40: undo the 2^20 quantization
+    return g.select(
+        "n_vecs",
+        (
+            (F.col("s2").cast("double") - F.col("dd").cast("double"))
+            / (n * (n - 1))
+            / q2
+        ).alias("mean_cos"),
+    )
+
+
+def _q_domain_cohesion(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain cohesion/separation per label: mean within-label cosine
+    vs mean cosine to the REST of the corpus, from the same sum-vector
+    identity as q599 (within: ||S_g||^2 - D_g over n_g(n_g-1); cross:
+    S_g . (S_tot - S_g) over n_g(n - n_g)) — the clustering-quality
+    readout (does 'domain' mean anything in embedding space?) with no
+    pair frame anywhere: one (label, dim) aggregate, a per-dim window
+    for the corpus sum, one per-label aggregate."""
+    qd = _normed_quantized(spark, sf)
+    ex = qd.select("label", F.posexplode("qn").alias("pos", "v"))
+    cent = ex.groupBy("label", "pos").agg(
+        F.sum("v").alias("s"),
+        F.sum((F.col("v") * F.col("v")).cast(_DEC0)).alias("d"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    wp = Window.partitionBy("pos")
+    cent2 = cent.withColumn("st", F.sum("s").over(wp))
+    per_label = cent2.groupBy("label").agg(
+        F.sum(F.col("s").cast(_DEC0) * F.col("s").cast(_DEC0)).alias("s2"),
+        F.sum("d").alias("dd"),
+        F.sum(
+            F.col("s").cast(_DEC0)
+            * (F.col("st") - F.col("s")).cast(_DEC0)
+        ).alias("xc"),
+        F.max("n").cast("bigint").alias("n_g"),
+    )
+    wall = Window.partitionBy()
+    tot = F.sum("n_g").over(wall).cast("double")
+    ng = F.col("n_g").cast("double")
+    q2 = F.lit(1099511627776.0)
+    within = (
+        (F.col("s2").cast("double") - F.col("dd").cast("double"))
+        / (ng * (ng - 1))
+        / q2
+    )
+    cross = F.col("xc").cast("double") / (ng * (tot - ng)) / q2
+    return per_label.select(
+        "label",
+        "n_g",
+        within.alias("within_cos"),
+        cross.alias("cross_cos"),
+        (within - cross).alias("separation"),
+    )
+
+
+def _q_label_mmd(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise label MMD^2 under the quadratic kernel k(x,y)=(x.y)^2 —
+    distribution drift BETWEEN label groups beyond what the centroid
+    (q592) sees: the quadratic kernel compares second moments, so two
+    groups with identical means but different spreads get a nonzero
+    MMD.
+
+    The scale identity: sum over pairs of (x.y)^2 equals the Frobenius
+    inner product of the groups' second-moment matrices <M_A, M_B>
+    (M = sum of x x^T, 64x64 integers) — so the n^2 pair sum becomes a
+    per-(label, cell) aggregate (4096 cells per vector, map-side
+    fan-out) and a 45-pair equi-join ON CELL of the tiny
+    10-label x 4096-cell frame. V-statistic (diagonal included) by
+    declaration. Products of moment entries reach ~1e31 and their
+    4096-cell sums ~1e35: decimal(38,0) here, HUGEINT in the twin —
+    exact until the final double epilogue."""
+    emb = read_table(spark, sf, "embeddings")
+    q = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(1048576.0)).cast("long"),
+    )
+    base = emb.select("label", q.alias("__q"))
+    cells = F.flatten(
+        F.transform(
+            F.col("__q"),
+            lambda xa, i: F.transform(
+                F.col("__q"),
+                lambda xb, j: F.struct(
+                    (i * F.lit(64) + j).alias("cell"),
+                    (xa * xb).alias("p"),
+                ),
+            ),
+        )
+    )
+    ex = base.select("label", F.explode(cells).alias("c")).select(
+        "label", F.col("c.cell").alias("cell"), F.col("c.p").alias("p")
+    )
+    m = ex.groupBy("label", "cell").agg(F.sum("p").alias("s"))
+    counts = emb.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    self_f = m.groupBy("label").agg(
+        F.sum(F.col("s").cast(_DEC0) * F.col("s").cast(_DEC0)).alias("ff")
+    )
+    a = m.alias("a")
+    b = m.alias("b")
+    cross_f = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+        )
+        .agg(
+            F.sum(
+                F.col("a.s").cast(_DEC0) * F.col("b.s").cast(_DEC0)
+            ).alias("fab")
+        )
+    )
+    fa = self_f.select(
+        F.col("label").alias("label_a"), F.col("ff").alias("faa")
+    )
+    fb = self_f.select(
+        F.col("label").alias("label_b"), F.col("ff").alias("fbb")
+    )
+    na = counts.select(F.col("label").alias("label_a"), F.col("n").alias("na"))
+    nb = counts.select(F.col("label").alias("label_b"), F.col("n").alias("nb"))
+    j = (
+        cross_f.join(F.broadcast(fa), "label_a")
+        .join(F.broadcast(fb), "label_b")
+        .join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+    )
+    q4 = F.lit(1.2089258196146292e24)  # 2^80: undo quantization^4
+    naf = F.col("na").cast("double")
+    nbf = F.col("nb").cast("double")
+    mmd2 = (
+        F.col("faa").cast("double") / (naf * naf)
+        + F.col("fbb").cast("double") / (nbf * nbf)
+        - F.lit(2.0) * F.col("fab").cast("double") / (naf * nbf)
+    ) / q4
+    return j.select("label_a", "label_b", "na", "nb", mmd2.alias("mmd2"))
+
+
+register_many(
+    {
+        "q598_label_mmd": _q_label_mmd,
+        "q599_anisotropy": _q_anisotropy,
+        "q600_domain_cohesion": _q_domain_cohesion,
+    },
+    {
+        "q598_label_mmd": """
+            WITH v AS (
+              SELECT label,
+                list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 1048576)
+                            AS BIGINT)) AS q
+              FROM embeddings
+            ),
+            cells AS (
+              SELECT label, u['cell'] AS cell, u['p'] AS p FROM (
+                SELECT label,
+                  UNNEST(flatten(list_transform(range(1, len(q) + 1),
+                    i -> list_transform(range(1, len(q) + 1),
+                      j -> struct_pack(
+                        cell := (i - 1) * 64 + (j - 1),
+                        p := q[i] * q[j]))))) AS u
+                FROM v
+              )
+            ),
+            m AS (
+              SELECT label, cell, CAST(sum(p) AS BIGINT) AS s
+              FROM cells GROUP BY label, cell
+            ),
+            counts AS (
+              SELECT label, CAST(count(*) AS BIGINT) AS n
+              FROM embeddings GROUP BY label
+            ),
+            self_f AS (
+              SELECT label,
+                sum(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS ff
+              FROM m GROUP BY label
+            ),
+            cross_f AS (
+              SELECT a.label AS label_a, b.label AS label_b,
+                sum(CAST(a.s AS HUGEINT) * CAST(b.s AS HUGEINT)) AS fab
+              FROM m a JOIN m b
+                ON a.cell = b.cell AND a.label < b.label
+              GROUP BY a.label, b.label
+            )
+            SELECT c.label_a, c.label_b, na.n AS na, nb.n AS nb,
+              (CAST(fa.ff AS DOUBLE)
+                 / (CAST(na.n AS DOUBLE) * CAST(na.n AS DOUBLE))
+               + CAST(fb.ff AS DOUBLE)
+                 / (CAST(nb.n AS DOUBLE) * CAST(nb.n AS DOUBLE))
+               - 2.0 * CAST(c.fab AS DOUBLE)
+                 / (CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE)))
+              / 1.2089258196146292e24 AS mmd2
+            FROM cross_f c
+            JOIN self_f fa ON fa.label = c.label_a
+            JOIN self_f fb ON fb.label = c.label_b
+            JOIN counts na ON na.label = c.label_a
+            JOIN counts nb ON nb.label = c.label_b
+        """,
+        "q599_anisotropy": """
+            WITH e AS (
+              SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings
+            ),
+            nn AS (
+              SELECT vec_id, e,
+                sqrt(list_reduce(list_transform(e, x -> x * x),
+                  (a, b) -> a + b)) AS nrm
+              FROM e
+            ),
+            q AS (
+              SELECT vec_id,
+                list_transform(e,
+                  x -> CAST(floor(x / nrm * 1048576.0) AS BIGINT)) AS qn
+              FROM nn WHERE nrm > 0
+            ),
+            ex AS (
+              SELECT vec_id, u['pos'] AS pos, u['v'] AS v FROM (
+                SELECT vec_id,
+                  UNNEST(list_transform(range(1, len(qn) + 1),
+                    i -> struct_pack(pos := i, v := qn[i]))) AS u
+                FROM q
+              )
+            ),
+            per_dim AS (
+              SELECT pos,
+                CAST(sum(v) AS BIGINT) AS s,
+                sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS d,
+                CAST(count(*) AS BIGINT) AS n
+              FROM ex GROUP BY pos
+            ),
+            g AS (
+              SELECT
+                sum(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS s2,
+                sum(d) AS dd,
+                CAST(max(n) AS BIGINT) AS n_vecs
+              FROM per_dim
+            )
+            SELECT n_vecs,
+              (CAST(s2 AS DOUBLE) - CAST(dd AS DOUBLE))
+                / (CAST(n_vecs AS DOUBLE) * (CAST(n_vecs AS DOUBLE) - 1))
+                / 1099511627776.0 AS mean_cos
+            FROM g
+        """,
+        "q600_domain_cohesion": """
+            WITH e AS (
+              SELECT label,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings
+            ),
+            nn AS (
+              SELECT label, e,
+                sqrt(list_reduce(list_transform(e, x -> x * x),
+                  (a, b) -> a + b)) AS nrm
+              FROM e
+            ),
+            q AS (
+              SELECT label,
+                list_transform(e,
+                  x -> CAST(floor(x / nrm * 1048576.0) AS BIGINT)) AS qn
+              FROM nn WHERE nrm > 0
+            ),
+            ex AS (
+              SELECT label, u['pos'] AS pos, u['v'] AS v FROM (
+                SELECT label,
+                  UNNEST(list_transform(range(1, len(qn) + 1),
+                    i -> struct_pack(pos := i, v := qn[i]))) AS u
+                FROM q
+              )
+            ),
+            cent AS (
+              SELECT label, pos,
+                CAST(sum(v) AS BIGINT) AS s,
+                sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS d,
+                CAST(count(*) AS BIGINT) AS n
+              FROM ex GROUP BY label, pos
+            ),
+            cent2 AS (
+              SELECT *, CAST(sum(s) OVER (PARTITION BY pos) AS BIGINT)
+                AS st
+              FROM cent
+            ),
+            per_label AS (
+              SELECT label,
+                sum(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS s2,
+                sum(d) AS dd,
+                sum(CAST(s AS HUGEINT) * CAST(st - s AS HUGEINT)) AS xc,
+                CAST(max(n) AS BIGINT) AS n_g
+              FROM cent2 GROUP BY label
+            ),
+            tot AS (
+              SELECT *, CAST(sum(n_g) OVER () AS DOUBLE) AS nt
+              FROM per_label
+            )
+            SELECT label, n_g,
+              (CAST(s2 AS DOUBLE) - CAST(dd AS DOUBLE))
+                / (CAST(n_g AS DOUBLE) * (CAST(n_g AS DOUBLE) - 1))
+                / 1099511627776.0 AS within_cos,
+              CAST(xc AS DOUBLE)
+                / (CAST(n_g AS DOUBLE) * (nt - CAST(n_g AS DOUBLE)))
+                / 1099511627776.0 AS cross_cos,
+              (CAST(s2 AS DOUBLE) - CAST(dd AS DOUBLE))
+                / (CAST(n_g AS DOUBLE) * (CAST(n_g AS DOUBLE) - 1))
+                / 1099511627776.0
+              - CAST(xc AS DOUBLE)
+                / (CAST(n_g AS DOUBLE) * (nt - CAST(n_g AS DOUBLE)))
+                / 1099511627776.0 AS separation
+            FROM tot
+        """,
+    },
+)

@@ -132,3 +132,53 @@ def test_packing_fragments_boundary_math(spark):
     assert [frags(rows[d], 4, 4) for d in (1, 2, 3)] == [1, 1, 1]
     assert [frags(rows[d], 4, 8) for d in (1, 2, 3)] == [1, 1, 1]
     assert [frags(rows[d], 4, 5) for d in (1, 2, 3)] == [1, 2, 2]
+
+
+# ---- the q598/q599/q600 scale identities vs brute force ---------------
+# The oracle gates certify Spark == DuckDB, but both sides use the SAME
+# identity — these tests certify the identity itself against the O(n^2)
+# definition on random integer vectors (exact arithmetic, no tolerance).
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_vecs = st.lists(
+    st.lists(st.integers(min_value=-50, max_value=50), min_size=3,
+             max_size=3),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(_vecs)
+def test_sum_vector_identity_equals_pairwise_dots(vs):
+    # sum over ordered pairs i != j of x_i . x_j == ||S||^2 - sum ||x||^2
+    s = [sum(v[d] for v in vs) for d in range(3)]
+    lhs = sum(
+        sum(a * b for a, b in zip(vs[i], vs[j]))
+        for i in range(len(vs))
+        for j in range(len(vs))
+        if i != j
+    )
+    rhs = sum(x * x for x in s) - sum(
+        sum(x * x for x in v) for v in vs
+    )
+    assert lhs == rhs
+
+
+@settings(max_examples=30, deadline=None)
+@given(_vecs, _vecs)
+def test_moment_matrix_identity_equals_pairwise_kernel(va, vb):
+    # sum over (x in A, y in B) of (x.y)^2 == <M_A, M_B>_Frobenius
+    def moments(vs):
+        return [
+            [sum(v[a] * v[b] for v in vs) for b in range(3)]
+            for a in range(3)
+        ]
+
+    lhs = sum(
+        sum(x * y for x, y in zip(a, b)) ** 2 for a in va for b in vb
+    )
+    ma, mb = moments(va), moments(vb)
+    rhs = sum(ma[i][j] * mb[i][j] for i in range(3) for j in range(3))
+    assert lhs == rhs
