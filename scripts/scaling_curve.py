@@ -57,6 +57,9 @@ SECOND_DECADE = {
     # round-9 late addition: the span-level dedup family (q581) shares
     # q19's inverted-index + df-valve shape — give it both decades too
     "q581_dup_spans": 10.0,      # docs 50k -> 500k
+    # round-9 late addition: the segment (line-level) dedup audit —
+    # two hash shuffles on segment text, worth both decades
+    "q588_segment_dedup": 10.0,  # docs 50k -> 500k
 }
 
 # headline queries whose input is the events table — these also run
