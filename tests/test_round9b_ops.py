@@ -182,3 +182,62 @@ def test_moment_matrix_identity_equals_pairwise_kernel(va, vb):
     ma, mb = moments(va), moments(vb)
     rhs = sum(ma[i][j] * mb[i][j] for i in range(3) for j in range(3))
     assert lhs == rhs
+
+
+def test_waterfill_sql_twin_matches_on_capped_distribution(spark):
+    """The q593 oracle gate runs on the roughly-uniform corpus, where
+    nobody caps — this differential exercises the CAPPED branch of the
+    SQL twin against the operator on a skewed token distribution
+    (tiny sources hit 2 epochs, the freed budget waterfills up)."""
+    import duckdb
+
+    from sensor_time_series_pyspark_spark.queries.registry import ORACLE_SQL
+
+    rows = [
+        ("s_tiny", "w"),                      # 1 token  -> capped
+        ("s_small", " ".join(["w"] * 5)),     # 5 tokens -> capped
+        ("s_big", " ".join(["w"] * 100)),     # 100 tokens
+        ("s_big2", " ".join(["w"] * 60)),     # 60 tokens
+    ]
+    sdf = spark.createDataFrame(rows, ["source", "text"])
+    from sensor_time_series_pyspark_spark.functions.text import token_count
+    from pyspark.sql import functions as F
+
+    per = sdf.select(
+        "source", token_count("text").cast("bigint").alias("n_tok")
+    )
+    got = {
+        r["source"]: r
+        for r in waterfill_allocation(
+            per, ["source"], "n_tok", budget_frac=0.5, max_epochs=2.0
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    import pandas as pd
+
+    con.register(
+        "documents", pd.DataFrame(rows, columns=["source", "text"])
+    )
+    exp = {
+        r[0]: r
+        for r in con.execute(
+            ORACLE_SQL["q593_waterfill_mixture"]
+        ).fetchall()
+    }
+    # oracle columns: source, tokens, capacity, waterline, allocation,
+    # epochs, capped
+    assert set(exp) == set(got)
+    for s in exp:
+        e, g = exp[s], got[s]
+        assert g["tokens"] == e[1]
+        assert g["capacity"] == e[2]
+        assert (g["waterline"] is None) == (e[3] is None)
+        if e[3] is not None:
+            assert math.isclose(g["waterline"], e[3], rel_tol=0, abs_tol=0)
+        assert math.isclose(g["allocation"], e[4], rel_tol=0, abs_tol=0)
+        assert math.isclose(g["epochs"], e[5], rel_tol=0, abs_tol=0)
+        assert g["capped"] == e[6]
+    # and the interesting branch really fired:
+    assert got["s_tiny"]["capped"] and got["s_small"]["capped"]
+    assert not got["s_big"]["capped"]
