@@ -241,3 +241,62 @@ def test_waterfill_sql_twin_matches_on_capped_distribution(spark):
     # and the interesting branch really fired:
     assert got["s_tiny"]["capped"] and got["s_small"]["capped"]
     assert not got["s_big"]["capped"]
+
+
+# ---- segment_dup_stats vs brute force on random corpora ----------------
+
+_corpus = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c"]), min_size=0, max_size=9
+    ).map(" ".join),
+    min_size=2,
+    max_size=6,
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(_corpus)
+def _segment_dup_bruteforce_case(texts):
+    # brute force: chop each doc into disjoint 3-token segments, a
+    # segment is dup iff its text appears in >= 2 distinct docs
+    from collections import defaultdict
+
+    spark = _segment_dup_bruteforce_case._spark
+    seg_docs = defaultdict(set)
+    chopped = {}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        segs = [
+            " ".join(toks[s : s + 3]) for s in range(0, len(toks), 3)
+        ]
+        chopped[i] = (toks, segs)
+        for s in segs:
+            seg_docs[s].add(i)
+    want = {}
+    for i in chopped:
+        toks, segs = chopped[i]
+        if not toks:
+            continue  # empty docs yield no segments -> no output row
+        dup = [s for s in segs if len(seg_docs[s]) >= 2]
+        want[i] = (
+            len(toks),
+            len(segs),
+            len(dup),
+            sum(len(s.split()) for s in dup),
+        )
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        r["id"]: (r["n_tok"], r["n_seg"], r["dup_seg"], r["dup_tok"])
+        for r in segment_dup_stats(
+            df, "doc_id", "text", seg_tokens=3
+        ).collect()
+    }
+    assert got == want
+
+
+def test_segment_dup_bruteforce_binding(spark):
+    # hypothesis can't take the session fixture directly; bind it once
+    _segment_dup_bruteforce_case._spark = spark
+    _segment_dup_bruteforce_case()
