@@ -231,6 +231,28 @@ _SPRT_LO = _math.log(0.20 / (1.0 - 0.05))    # accept H0
 
 _STOPWORD_LIST = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
 
+# SQL twins of the functions/text.py quality features — defined ONCE so
+# every oracle that scores quality (q31, q590, q595) tests the same
+# formula; expressions expect `text` (raw) and `tok` (lowercased token
+# list) to be in scope, and the quality expression expects `pr`/`sw`
+# aliases from the two CASE fragments.
+_PR_SQL = (
+    r"CASE WHEN len(text) > 0 THEN (len(text) - len(regexp_replace("
+    r"text, '[!-/:-@\[-`{-~]', '', 'g'))) / len(text) ELSE 0 END"
+)
+_SW_SQL = (
+    "CASE WHEN len(tok) > 0 THEN len(list_filter(tok, "
+    f"t -> list_contains({_STOPWORD_LIST}, t))) / len(tok) ELSE 0 END"
+)
+_NBPE_SQL = (
+    "CAST(coalesce(list_aggregate(list_transform(tok, "
+    "w -> CAST(ceil(len(w)/4.0) AS INT)), 'sum'), 0) AS BIGINT)"
+)
+_QUALITY_Q_SQL = (
+    "(least(n_tok/20.0, 1.0) + (1.0 - least(pr*5, 1.0)) "
+    "+ least(sw*4, 1.0)) / 3"
+)
+
 from sensor_time_series_pyspark_spark.operators.sampling import (  # noqa: E402
     _threshold_hex as _thr,
 )
@@ -551,6 +573,10 @@ __all__ = [
     '_SPRT_UP',
     '_SPRT_LO',
     '_STOPWORD_LIST',
+    '_PR_SQL',
+    '_SW_SQL',
+    '_NBPE_SQL',
+    '_QUALITY_Q_SQL',
     '_thr',
     '_REV_SQL',
     '_davg_sql',

@@ -22,7 +22,13 @@ from sensor_time_series_pyspark_spark.operators.dedup import segment_dup_stats
 from sensor_time_series_pyspark_spark.operators.sampling import (
     waterfill_allocation,
 )
-from sensor_time_series_pyspark_spark.queries.common import _STOPWORD_LIST
+from sensor_time_series_pyspark_spark.queries.common import (
+    _NBPE_SQL,
+    _PR_SQL,
+    _QUALITY_Q_SQL,
+    _STOPWORD_LIST,
+    _SW_SQL,
+)
 from sensor_time_series_pyspark_spark.queries.registry import register_many
 from sensor_time_series_pyspark_spark.sources.readers import read_table
 
@@ -345,24 +351,14 @@ register_many(
             ),
             feat AS (
               SELECT doc_id,
-                CASE WHEN len(text) > 0
-                     THEN (len(text) - len(regexp_replace(text,
-                       '[!-/:-@\[-`{{-~]', '', 'g'))) / len(text)
-                     ELSE 0 END AS pr,
-                CASE WHEN len(tok) > 0
-                     THEN len(list_filter(tok,
-                       t -> list_contains({_STOPWORD_LIST}, t))) / len(tok)
-                     ELSE 0 END AS sw,
+                {_PR_SQL} AS pr,
+                {_SW_SQL} AS sw,
                 len(tok) AS n_tok,
-                CAST(coalesce(list_aggregate(
-                  list_transform(tok, w -> CAST(ceil(len(w)/4.0) AS INT)),
-                  'sum'), 0) AS BIGINT) AS n_bpe
+                {_NBPE_SQL} AS n_bpe
               FROM toks
             ),
             scored AS (
-              SELECT n_bpe,
-                (least(n_tok/20.0, 1.0) + (1.0 - least(pr*5, 1.0))
-                  + least(sw*4, 1.0)) / 3 AS q
+              SELECT n_bpe, {_QUALITY_Q_SQL} AS q
               FROM feat
             )
             SELECT t.threshold,
@@ -614,9 +610,18 @@ def _q_packing_ctx_sweep(spark: SparkSession, sf: str) -> DataFrame:
     base = docs.select(
         "doc_id", "lang", token_count("text").alias("n_raw")
     )
-    off = pack_offsets(
-        base, "doc_id", "n_raw", budget=1, partition_by=["lang"]
-    ).select("lang", "n_tokens", "offset")
+    # zero-token docs occupy no context: excluded from the fragment
+    # accounting on BOTH sides (they also make floor vs integer-div
+    # diverge across engines on the (offset + n - 1) term). They still
+    # pass through pack_offsets first — a 0-token doc shifts no
+    # offsets, so the layout is unchanged.
+    off = (
+        pack_offsets(
+            base, "doc_id", "n_raw", budget=1, partition_by=["lang"]
+        )
+        .where(F.col("n_tokens") > 0)
+        .select("lang", "n_tokens", "offset")
+    )
     sw = off.select(
         "lang",
         "n_tokens",
@@ -718,24 +723,14 @@ register_many(
             ),
             feat AS (
               SELECT lang,
-                CASE WHEN len(text) > 0
-                     THEN (len(text) - len(regexp_replace(text,
-                       '[!-/:-@\[-`{{-~]', '', 'g'))) / len(text)
-                     ELSE 0 END AS pr,
-                CASE WHEN len(tok) > 0
-                     THEN len(list_filter(tok,
-                       t -> list_contains({_STOPWORD_LIST}, t))) / len(tok)
-                     ELSE 0 END AS sw,
+                {_PR_SQL} AS pr,
+                {_SW_SQL} AS sw,
                 len(tok) AS n_tok,
-                CAST(coalesce(list_aggregate(
-                  list_transform(tok, w -> CAST(ceil(len(w)/4.0) AS INT)),
-                  'sum'), 0) AS BIGINT) AS n_bpe
+                {_NBPE_SQL} AS n_bpe
               FROM toks
             ),
             scored AS (
-              SELECT lang, n_bpe,
-                (least(n_tok/20.0, 1.0) + (1.0 - least(pr*5, 1.0))
-                  + least(sw*4, 1.0)) / 3 AS q
+              SELECT lang, n_bpe, {_QUALITY_Q_SQL} AS q
               FROM feat
             ),
             banded AS (
@@ -793,6 +788,7 @@ register_many(
               SELECT lang, n_tokens, o, c.ctx,
                 (o + n_tokens - 1) // c.ctx - o // c.ctx + 1 AS frags
               FROM off, (VALUES (128), (512), (2048)) AS c(ctx)
+              WHERE n_tokens > 0
             ),
             g AS (
               SELECT lang, ctx,
@@ -945,7 +941,16 @@ def _q_label_mmd(spark: SparkSession, sf: str) -> DataFrame:
     10-label x 4096-cell frame. V-statistic (diagonal included) by
     declaration. Products of moment entries reach ~1e31 and their
     4096-cell sums ~1e35: decimal(38,0) here, HUGEINT in the twin —
-    exact until the final double epilogue."""
+    exact until the final double epilogue.
+
+    Exactness headroom, explicitly: per-cell sums are bounded by
+    n x 2^40 (bigint-safe to ~8e6 vectors per label) and the Frobenius
+    terms grow ~n^2 (decimal(38,0)/HUGEINT-safe to ~1e7 per label —
+    one decade above the tested scale). Past that, Spark's non-ANSI
+    decimal sum NULLs silently, so the SCALE configuration is to drop
+    the quantization step (2^20 -> 2^12 buys 16 bits per product,
+    ~250x more vectors): the identity holds at ANY quantization and
+    only the audit's resolution degrades."""
     emb = read_table(spark, sf, "embeddings")
     q = F.transform(
         "embedding",

@@ -300,3 +300,43 @@ def test_segment_dup_bruteforce_binding(spark):
     # hypothesis can't take the session fixture directly; bind it once
     _segment_dup_bruteforce_case._spark = spark
     _segment_dup_bruteforce_case()
+
+
+def test_packing_sweep_oracle_ignores_empty_docs():
+    """Round-9 review fix: zero-token docs made Spark's floor and
+    DuckDB's integer division diverge on (offset + n - 1). Both sides
+    now exclude them from the fragment accounting; pin the SQL twin —
+    a corpus with interleaved empty docs must produce EXACTLY the
+    table of the same corpus without them (empty docs shift no
+    offsets)."""
+    import duckdb
+    import pandas as pd
+
+    from sensor_time_series_pyspark_spark.queries.registry import ORACLE_SQL
+
+    full = [
+        (0, "en", " ".join(["w"] * 7)),
+        (1, "en", ""),                      # empty — must not count
+        (2, "en", " ".join(["w"] * 130)),
+        (3, "de", "   "),                   # whitespace-only — ditto
+        (4, "de", " ".join(["w"] * 512)),
+    ]
+    clean = [r for r in full if r[2].split()]
+    out = []
+    for rows in (full, clean):
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            pd.DataFrame(rows, columns=["doc_id", "lang", "text"]),
+        )
+        out.append(
+            sorted(
+                map(tuple, con.execute(
+                    ORACLE_SQL["q597_packing_ctx_sweep"]
+                ).fetchall())
+            )
+        )
+    assert out[0] == out[1]
+    # and the non-empty docs are all accounted for
+    per = {(r[0], r[1]): r for r in out[0]}
+    assert per[("en", 128)][2] == 2  # n_docs counts only non-empty
