@@ -1,4 +1,5 @@
 from .ingest import (
+    quality_band_agg,
     read_stream,
     run_to_memory,
     session_agg,
@@ -18,6 +19,7 @@ from .stateful import (
 )
 
 __all__ = [
+    "quality_band_agg",
     "read_stream",
     "windowed_agg",
     "session_agg",

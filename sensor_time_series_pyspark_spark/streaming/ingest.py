@@ -192,3 +192,45 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def quality_band_agg(
+    sdf: DataFrame,
+    text_col: str = "text",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Streaming corpus-quality monitor — the streaming twin of q595's
+    quality-band composition: as documents arrive (the corpus-ingest
+    drop-directory pattern, plans/corpus_ingest.py), maintain per
+    (band, *keys) doc counts and BPE-ish token mass so a mixture/
+    filter decision is made on LIVE ingest statistics rather than a
+    nightly batch.
+
+    Stateless per-row scoring (pure column algebra — the same
+    functions/text.py expressions the batch twin uses, so stream ==
+    batch holds exactly) + a streaming aggregation on the tiny
+    (4 bands x keys) grid. No watermark: the band key is not
+    event-time, so run in complete/update mode; state is bounded by
+    the band x keys cardinality, not the stream length.
+    """
+    from ..functions.text import bpe_ish_token_count, quality_score
+
+    q = quality_score(text_col)
+    band = (
+        F.when(q < 0.25, "q0_low")
+        .when(q < 0.5, "q1_mid_low")
+        .when(q < 0.75, "q2_mid_high")
+        .otherwise("q3_high")
+    )
+    return (
+        sdf.select(
+            band.alias("band"),
+            *(keys or []),
+            bpe_ish_token_count(text_col).cast("bigint").alias("__bpe"),
+        )
+        .groupBy("band", *(keys or []))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("__bpe").cast("bigint").alias("n_tokens"),
+        )
+    )

@@ -466,3 +466,31 @@ def test_progress_ring_listener(spark, stream_src):
         assert all(r["batch_duration_ms"] is not None for r in rows)
     finally:
         spark.streams.removeListener(ring)
+
+
+def test_quality_band_agg_matches_batch(spark, tmp_path):
+    """Streaming corpus-quality monitor == the batch quality-band
+    composition (the q595 shape) — same column algebra on both sides,
+    so equality is exact, not approximate."""
+    from sensor_time_series_pyspark_spark.streaming import (
+        quality_band_agg,
+    )
+
+    d = str(tmp_path / "docs_src")
+    docs = read_table(spark, SF, "documents")
+    docs.write.mode("overwrite").parquet(d)
+    sdf = read_stream(spark, d, docs.schema, fmt="parquet")
+    run_to_memory(
+        quality_band_agg(sdf, "text", keys=["lang"]),
+        "qband",
+        output_mode="complete",
+    )
+    got = {
+        (r["band"], r["lang"]): (r["n_docs"], r["n_tokens"])
+        for r in spark.table("qband").collect()
+    }
+    want = {
+        (r["band"], r["lang"]): (r["n_docs"], r["n_tokens"])
+        for r in quality_band_agg(docs, "text", keys=["lang"]).collect()
+    }
+    assert got == want and len(want) >= 4
