@@ -1195,3 +1195,140 @@ register_many(
         """,
     },
 )
+
+
+def _q_effective_exposure(spark: SparkSession, sf: str) -> DataFrame:
+    """Effective duplication exposure per source (Lee et al. 2022's
+    motivation table): training ONE pass over the raw corpus shows a
+    unique text cluster_size times, so per source we report the
+    doc-weighted and TOKEN-weighted mean cluster size plus the worst
+    offender — the over-sampling factor duplication alone imposes
+    before any deliberate mixture weighting. exposure = 1.0 everywhere
+    means dedup would not change what the model sees from that source.
+    One fp-partitioned window (the q591 shape) + one hash aggregate."""
+    docs = read_table(spark, sf, "documents")
+    base = docs.select(
+        "source",
+        token_count("text").cast("bigint").alias("n_tok"),
+        F.md5(F.col("text")).alias("fp"),
+    )
+    w = Window.partitionBy("fp")
+    sized = base.select(
+        "source", "n_tok", F.count(F.lit(1)).over(w).alias("cs")
+    )
+    return sized.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (
+            F.sum("cs").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("mean_exposure"),
+        (
+            F.sum(F.col("cs") * F.col("n_tok")).cast("double")
+            / F.sum("n_tok").cast("double")
+        ).alias("token_weighted_exposure"),
+        F.max("cs").cast("bigint").alias("max_exposure"),
+    )
+
+
+def _q_dedup_mixture_shift(spark: SparkSession, sf: str) -> DataFrame:
+    """Mixture drift caused by exact dedup: per-source token SHARE of
+    the corpus before vs after the q17 keep-min-id pass, and the
+    multiplicative shift — the table a mixture designer must apply
+    AFTER deduping, because dedup removes tokens unevenly across
+    sources (the source-grain companion of q591's per-language
+    retention). One fp window + one aggregate; the shares are windows
+    over the 20-source frame."""
+    docs = read_table(spark, sf, "documents")
+    base = docs.select(
+        "source",
+        "doc_id",
+        token_count("text").cast("bigint").alias("n_tok"),
+        F.md5(F.col("text")).alias("fp"),
+    )
+    w = Window.partitionBy("fp")
+    keep = F.col("doc_id") == F.min("doc_id").over(w)
+    g = base.select("source", "n_tok", keep.alias("k")).groupBy(
+        "source"
+    ).agg(
+        F.sum("n_tok").cast("bigint").alias("tok_before"),
+        F.sum(F.when(F.col("k"), F.col("n_tok")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("tok_after"),
+    )
+    wall = Window.partitionBy()
+    share_b = F.col("tok_before").cast("double") / F.sum(
+        "tok_before"
+    ).over(wall).cast("double")
+    share_a = F.col("tok_after").cast("double") / F.sum("tok_after").over(
+        wall
+    ).cast("double")
+    return g.select(
+        "source",
+        "tok_before",
+        "tok_after",
+        share_b.alias("share_before"),
+        share_a.alias("share_after"),
+        (share_a / share_b).alias("share_shift"),
+    )
+
+
+register_many(
+    {
+        "q601_effective_exposure": _q_effective_exposure,
+        "q602_dedup_mixture_shift": _q_dedup_mixture_shift,
+    },
+    {
+        "q601_effective_exposure": rf"""
+            WITH base AS (
+              SELECT source,
+                CAST(len({_TOK_SQL}) AS BIGINT) AS n_tok,
+                md5(text) AS fp
+              FROM documents
+            ),
+            sized AS (
+              SELECT source, n_tok,
+                CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS cs
+              FROM base
+            )
+            SELECT source,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(cs) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                AS mean_exposure,
+              CAST(sum(cs * n_tok) AS DOUBLE)
+                / CAST(sum(n_tok) AS DOUBLE) AS token_weighted_exposure,
+              CAST(max(cs) AS BIGINT) AS max_exposure
+            FROM sized GROUP BY source
+        """,
+        "q602_dedup_mixture_shift": rf"""
+            WITH base AS (
+              SELECT source, doc_id,
+                CAST(len({_TOK_SQL}) AS BIGINT) AS n_tok,
+                md5(text) AS fp
+              FROM documents
+            ),
+            marked AS (
+              SELECT source, n_tok,
+                (doc_id = min(doc_id) OVER (PARTITION BY fp)) AS k
+              FROM base
+            ),
+            g AS (
+              SELECT source,
+                CAST(sum(n_tok) AS BIGINT) AS tok_before,
+                CAST(sum(CASE WHEN k THEN n_tok ELSE 0 END) AS BIGINT)
+                  AS tok_after
+              FROM marked GROUP BY source
+            )
+            SELECT source, tok_before, tok_after,
+              CAST(tok_before AS DOUBLE)
+                / CAST(sum(tok_before) OVER () AS DOUBLE)
+                AS share_before,
+              CAST(tok_after AS DOUBLE)
+                / CAST(sum(tok_after) OVER () AS DOUBLE) AS share_after,
+              (CAST(tok_after AS DOUBLE)
+                / CAST(sum(tok_after) OVER () AS DOUBLE))
+              / (CAST(tok_before AS DOUBLE)
+                / CAST(sum(tok_before) OVER () AS DOUBLE))
+                AS share_shift
+            FROM g
+        """,
+    },
+)
