@@ -1357,8 +1357,12 @@ def segment_dup_stats(
     shuffle bytes (collision-free in practice; kept as the raw string
     here so the DuckDB oracle is bit-exact).
 
-    Output grain: one row per document —
-    (id, *carry_cols, n_tok, n_seg, dup_seg, dup_tok).
+    Output grain: one row per INPUT document — zero-token documents
+    (no segments) come back with n_tok=0 and zeroed counters rather
+    than vanishing, so n_docs totals built on this frame reconcile
+    with sibling per-doc audits (q591/q601) on corpora with empty
+    docs. The totalizing left join runs at the doc grain (one row per
+    doc on both sides), so it adds no fact-table shuffle.
     """
     carry = list(carry_cols or [])
     toks = df.select(
@@ -1391,15 +1395,26 @@ def segment_dup_stats(
         F.count_distinct("id").alias("__nd")
     )
     dup = F.col("__nd") >= min_docs
-    return (
+    per_doc = (
         segs.join(counts, "seg")
-        .groupBy("id", *carry)
+        .groupBy("id")
         .agg(
-            F.max("n_tok").alias("n_tok"),
             F.count(F.lit(1)).cast("bigint").alias("n_seg"),
             F.sum(F.when(dup, 1).otherwise(0)).cast("bigint").alias("dup_seg"),
             F.sum(F.when(dup, F.col("seg_len")).otherwise(F.lit(0)))
             .cast("bigint")
             .alias("dup_tok"),
         )
+    )
+    base = toks.select(
+        "id", *carry, n.cast("bigint").alias("n_tok")
+    )
+    zero = F.lit(0).cast("bigint")
+    return base.join(per_doc, "id", "left").select(
+        "id",
+        *carry,
+        "n_tok",
+        F.coalesce("n_seg", zero).alias("n_seg"),
+        F.coalesce("dup_seg", zero).alias("dup_seg"),
+        F.coalesce("dup_tok", zero).alias("dup_tok"),
     )

@@ -279,6 +279,14 @@ def waterfill_allocation(
 
     Output: [*group_cols], tokens, capacity, allocation, epochs,
     capped, waterline (NULL when the budget exceeds total capacity).
+
+    Zero-token groups: capacity = allocation = 0 and epochs is pinned
+    to 0.0 explicitly (NOT the NULL that double 0/0 would yield —
+    Spark and DuckDB agree on that NULL, but it surfaces silently);
+    such a group sits at capacity, so ``capped`` reports true when a
+    waterline exists. Callers who want them gone should filter before
+    calling — the closed form is indifferent (a zero post never moves
+    the waterline).
     """
     from pyspark.sql import Window
 
@@ -325,9 +333,12 @@ def waterfill_allocation(
         F.least(F.col("capacity"), F.coalesce(line, F.col("capacity"))).alias(
             "allocation"
         ),
-        (
+        F.when(
+            F.col("tokens") > 0,
             F.least(F.col("capacity"), F.coalesce(line, F.col("capacity")))
-            / F.col("tokens").cast("double")
-        ).alias("epochs"),
+            / F.col("tokens").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("epochs"),
         (line.isNull() | (F.col("capacity") <= line)).alias("capped"),
     )

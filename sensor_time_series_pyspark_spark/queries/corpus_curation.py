@@ -300,13 +300,21 @@ register_many(
               FROM segs GROUP BY seg
             ),
             per_doc AS (
-              SELECT s.doc_id, s.source, max(s.n_tok) AS n_tok,
+              SELECT s.doc_id,
                 count(*) AS n_seg,
                 sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS dup_seg,
                 sum(CASE WHEN c.nd >= 2 THEN s.seg_len ELSE 0 END)
                   AS dup_tok
               FROM segs s JOIN cnt c ON s.seg = c.seg
-              GROUP BY s.doc_id, s.source
+              GROUP BY s.doc_id
+            ),
+            full_docs AS (
+              SELECT a.doc_id, a.source,
+                CAST(len(a.t) AS BIGINT) AS n_tok,
+                coalesce(p.n_seg, 0) AS n_seg,
+                coalesce(p.dup_seg, 0) AS dup_seg,
+                coalesce(p.dup_tok, 0) AS dup_tok
+              FROM toks a LEFT JOIN per_doc p ON a.doc_id = p.doc_id
             )
             SELECT source,
               CAST(count(*) AS BIGINT) AS n_docs,
@@ -316,7 +324,7 @@ register_many(
               CAST(sum(dup_seg) AS BIGINT) AS dup_segments,
               CAST(sum(dup_tok) AS DOUBLE) / CAST(sum(n_tok) AS DOUBLE)
                 AS dup_token_frac
-            FROM per_doc GROUP BY source
+            FROM full_docs GROUP BY source
         """,
         "q589_oov_rate": rf"""
             WITH tok AS (
@@ -475,8 +483,10 @@ register_many(
             SELECT source, tokens, capacity, waterline,
               least(capacity, coalesce(waterline, capacity))
                 AS allocation,
-              least(capacity, coalesce(waterline, capacity))
-                / CAST(tokens AS DOUBLE) AS epochs,
+              CASE WHEN tokens > 0 THEN
+                least(capacity, coalesce(waterline, capacity))
+                  / CAST(tokens AS DOUBLE)
+              ELSE 0.0E0 END AS epochs,
               (waterline IS NULL OR capacity <= waterline) AS capped
             FROM l
         """,
@@ -943,10 +953,12 @@ def _q_label_mmd(spark: SparkSession, sf: str) -> DataFrame:
     4096-cell sums ~1e35: decimal(38,0) here, HUGEINT in the twin —
     exact until the final double epilogue.
 
-    Exactness headroom, explicitly: per-cell sums are bounded by
-    n x 2^40 (bigint-safe to ~8e6 vectors per label) and the Frobenius
-    terms grow ~n^2 (decimal(38,0)/HUGEINT-safe to ~1e7 per label —
-    one decade above the tested scale). Past that, Spark's non-ANSI
+    Exactness headroom, explicitly: per-cell sums accumulate in
+    decimal(38,0) (NOT a plain int64 sum, which would wrap/NULL
+    silently past ~8e6 vectors per label while the HUGEINT twin errs
+    loudly), so the binding stage is the Frobenius products, which
+    grow ~n^2 (decimal(38,0)/HUGEINT-safe to ~1e7 per label — one
+    decade above the tested scale). Past that, Spark's non-ANSI
     decimal sum NULLs silently, so the SCALE configuration is to drop
     the quantization step (2^20 -> 2^12 buys 16 bits per product,
     ~250x more vectors): the identity holds at ANY quantization and
@@ -972,7 +984,9 @@ def _q_label_mmd(spark: SparkSession, sf: str) -> DataFrame:
     ex = base.select("label", F.explode(cells).alias("c")).select(
         "label", F.col("c.cell").alias("cell"), F.col("c.p").alias("p")
     )
-    m = ex.groupBy("label", "cell").agg(F.sum("p").alias("s"))
+    m = ex.groupBy("label", "cell").agg(
+        F.sum(F.col("p").cast(_DEC0)).alias("s")
+    )
     counts = emb.groupBy("label").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )

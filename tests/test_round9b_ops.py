@@ -276,7 +276,9 @@ def _segment_dup_bruteforce_case(texts):
     for i in chopped:
         toks, segs = chopped[i]
         if not toks:
-            continue  # empty docs yield no segments -> no output row
+            # empty docs: zeroed row, never dropped (round-10 contract)
+            want[i] = (0, 0, 0, 0)
+            continue
         dup = [s for s in segs if len(seg_docs[s]) >= 2]
         want[i] = (
             len(toks),
@@ -340,3 +342,45 @@ def test_packing_sweep_oracle_ignores_empty_docs():
     # and the non-empty docs are all accounted for
     per = {(r[0], r[1]): r for r in out[0]}
     assert per[("en", 128)][2] == 2  # n_docs counts only non-empty
+
+
+# ---- round-10 ADVICE fixes ---------------------------------------------
+
+
+def test_segment_dup_stats_keeps_empty_docs_with_zeros(spark):
+    # a zero-token document must come back as a zeroed row, not vanish
+    # (n_docs built on this frame has to reconcile with q591/q601)
+    rows = [
+        (1, "s1", "a b c d e f"),
+        (2, "s1", "a b c d x y"),
+        (3, "s1", ""),
+        (4, "s2", "   "),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {
+        r["id"]: r
+        for r in segment_dup_stats(
+            df, "doc_id", "text", carry_cols=["source"], seg_tokens=4
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    for empty_id, src in [(3, "s1"), (4, "s2")]:
+        r = out[empty_id]
+        assert r["source"] == src
+        assert r["n_tok"] == 0 and r["n_seg"] == 0
+        assert r["dup_seg"] == 0 and r["dup_tok"] == 0
+
+
+def test_waterfill_zero_token_group_epochs_pinned(spark):
+    # a 0-token group: capacity = allocation = 0 and epochs must be an
+    # explicit 0.0, never the silent NULL of double 0/0; it sits at
+    # capacity so capped=true, and it must not disturb the others'
+    # waterline (a zero post never moves the line)
+    out = _waterfill(spark, {"a": 0, "b": 25, "c": 30, "d": 35}, 1.0, 2.0)
+    z = out["a"]
+    assert z["capacity"] == 0.0 and z["allocation"] == 0.0
+    assert z["epochs"] == 0.0 and z["epochs"] is not None
+    assert z["capped"]
+    for g in "bcd":
+        assert math.isclose(out[g]["allocation"], 30.0)
+        assert not out[g]["capped"]
