@@ -16,7 +16,9 @@ from .drift import acf, cusum, tvd_drift
 from .gaps import missing_buckets
 from .dispatch import (
     asof_join_auto,
+    banding_recall,
     estimate_hot_key_rows,
+    jaccard_pairs_auto,
     sessionize_auto,
     should_split,
 )
@@ -95,7 +97,9 @@ __all__ = [
     "time_weighted_avg",
     "missing_buckets",
     "asof_join_auto",
+    "banding_recall",
     "estimate_hot_key_rows",
+    "jaccard_pairs_auto",
     "sessionize_auto",
     "sessionize",
     "sessionize_split",
@@ -218,3 +222,8 @@ from .dedup import segment_dup_stats
 from .sampling import waterfill_allocation
 
 __all__ += ["segment_dup_stats", "waterfill_allocation"]
+
+from .dedup import shingle_id_fast
+from .rainflow import rainflow_count, rainflow_cycles
+
+__all__ += ["shingle_id_fast", "rainflow_count", "rainflow_cycles"]

@@ -347,6 +347,15 @@ def shingle_id_portable(sh) -> F.Column:
     )
 
 
+def shingle_id_fast(sh) -> F.Column:
+    """31-bit shingle id from xxhash64 — the SCALE-tier sid: one JVM
+    hash per shingle instead of md5 + hex conv + mod (measured ~25%
+    off the signature stage). NOT engine-portable (xxhash constants
+    differ per engine) — use ``shingle_id_portable`` when the run must
+    reproduce in SQL (q20's oracle)."""
+    return F.pmod(F.xxhash64(sh), F.lit(MINHASH_P))
+
+
 def minhash_pairs(
     df: DataFrame,
     id_col: str,
@@ -358,6 +367,7 @@ def minhash_pairs(
     seed: int = 42,
     parallelism: int | None = None,
     persist_sets: bool = True,
+    sid: str = "portable",
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, pure DataFrame algebra (no
     pyspark.ml, no driver-side state): shingle → portable 31-bit id →
@@ -372,10 +382,16 @@ def minhash_pairs(
     is exact so precision is 1.0 and only recall is probabilistic.
 
     Output: id_a, id_b (a < b), jaccard — same contract as
-    jaccard_pairs, and SQL-reproducible end-to-end (see q20's oracle).
+    jaccard_pairs, and SQL-reproducible end-to-end (see q20's oracle)
+    when ``sid='portable'``; ``sid='fast'`` swaps the md5 shingle id
+    for xxhash64 (same banding math, not SQL-reproducible) — the
+    variant ``jaccard_pairs_auto`` dispatches to at scale.
     """
     if n_hashes % n_bands != 0:
         raise ValueError("n_hashes must divide evenly into n_bands")
+    if sid not in ("portable", "fast"):
+        raise ValueError(f"sid must be 'portable' or 'fast', got {sid!r}")
+    sid_fn = shingle_id_portable if sid == "portable" else shingle_id_fast
     r = n_hashes // n_bands
     a_coef, b_coef = minhash_coeffs(n_hashes, seed)
 
@@ -401,7 +417,7 @@ def minhash_pairs(
     ids = toks.select(
         "id",
         F.size("tok").alias("n_tok"),
-        F.explode(F.transform(F.col("tok"), shingle_id_portable)).alias("sid"),
+        F.explode(F.transform(F.col("tok"), sid_fn)).alias("sid"),
     )
     sig = ids.groupBy("id").agg(
         F.min("n_tok").alias("n_tok"),

@@ -116,6 +116,95 @@ def sessionize_auto(
     )
 
 
+#: measured corpus-size breakeven for the set-similarity join
+#: (RACE_BANDING_r10.json): the exact inverted index wins every leg up
+#: to 50k distinct docs (1.4-2.0x), the banding-first pipeline wins at
+#: 500k (2.1x at t=0.5, 1.35x at t=0.8); log-log interpolation of the
+#: two growth exponents puts the crossing at ~105k docs (t=0.5) and
+#: ~250k (t=0.8) — 150k splits the bracket.
+DEFAULT_JACCARD_DOCS_CROSSOVER = 150_000
+
+
+def banding_recall(
+    threshold: float, n_hashes: int = 16, n_bands: int = 8
+) -> float:
+    """Analytic LSH recall floor at the decision threshold: a pair
+    with jaccard exactly ``threshold`` collides in at least one band
+    with probability 1-(1-t^r)^b (r = rows per band). Pairs ABOVE the
+    threshold collide more often, so this is the worst case over the
+    reported set."""
+    r = n_hashes // n_bands
+    return 1.0 - (1.0 - float(threshold) ** r) ** n_bands
+
+
+def jaccard_pairs_auto(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    shingle_k: int = 1,
+    max_token_df: int | None = None,
+    parallelism: int | None = None,
+    n_hashes: int = 16,
+    n_bands: int = 8,
+    recall_floor: float = 0.95,
+    docs_crossover: int = DEFAULT_JACCARD_DOCS_CROSSOVER,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Set-similarity join that self-selects between the exact
+    inverted index (``jaccard_pairs``) and the banding-first pipeline
+    (``minhash_pairs`` with the fast sid: signatures -> banded-LSH
+    candidates -> exact verify) by the measured corpus-size crossover
+    (RACE_BANDING_r10.json — the round-9 scaling curve's steepest
+    headline, closed by racing the two at 5k/50k/500k docs).
+
+    The contract guard comes FIRST: banding bounds recall by
+    ``banding_recall(threshold)`` (precision is 1.0 either way — the
+    banded path verifies exact Jaccard before reporting), so when the
+    analytic floor at this threshold is below ``recall_floor`` the
+    exact path runs no matter the corpus size. Low-threshold sweeps
+    (q19's own t=0.2: floor 0.28) therefore always stay exact; the
+    banded path only ever serves the high-threshold dedup regime the
+    S-curve was tuned for.
+
+    ``n_docs`` short-circuits the sizing job when the caller already
+    knows the corpus size (e.g. from a prior ``observe()`` counter or
+    catalog stats); otherwise ONE count over the id column decides —
+    at 100 TB that count is a metadata/column-pruned scan, amortized
+    against a candidate join that runs minutes.
+    """
+    from sensor_time_series_pyspark_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_pairs,
+    )
+
+    exact = lambda: jaccard_pairs(  # noqa: E731
+        df,
+        id_col,
+        text_col,
+        threshold=threshold,
+        shingle_k=shingle_k,
+        max_token_df=max_token_df,
+        parallelism=parallelism,
+    )
+    if banding_recall(threshold, n_hashes, n_bands) < recall_floor:
+        return exact()
+    n = n_docs if n_docs is not None else df.select(id_col).count()
+    if n <= docs_crossover:
+        return exact()
+    return minhash_pairs(
+        df,
+        id_col,
+        text_col,
+        threshold=threshold,
+        shingle_k=shingle_k,
+        n_hashes=n_hashes,
+        n_bands=n_bands,
+        parallelism=parallelism,
+        sid="fast",
+    )
+
+
 def asof_join_auto(
     left: DataFrame,
     right: DataFrame,

@@ -37,3 +37,4 @@ from sensor_time_series_pyspark_spark.queries import technical_indicators  # noq
 from sensor_time_series_pyspark_spark.queries import audits_experiments  # noqa: F401,E402
 from sensor_time_series_pyspark_spark.queries import scale_ops  # noqa: F401,E402
 from sensor_time_series_pyspark_spark.queries import corpus_curation  # noqa: F401,E402
+from sensor_time_series_pyspark_spark.queries import rainflow_ops  # noqa: F401,E402
