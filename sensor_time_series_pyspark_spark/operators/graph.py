@@ -96,6 +96,93 @@ def pagerank(
     return ranks
 
 
+def pagerank_fixedpoint(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping_pct: int = 85,
+    n_iter: int = 6,
+    scale: int = 10**12,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """PageRank in EXACT integer fixed-point — the engine-portable
+    twin of ``pagerank`` (round-10 promotion path for q98): ranks are
+    bigints scaled by ``scale`` (default 1e12, i.e. picodecimal), the
+    damping multiply is ``*damping_pct // 100``, and every per-edge
+    contribution is an integer division ``rank div out_degree``. All
+    sums are order-insensitive integer sums, so a fixed iteration
+    count reproduces bit-identically in ANY engine — a DuckDB twin is
+    just the same update unrolled (windows_signal.py:_PR_FP_SQL).
+
+    Semantics note: the floors truncate ~1 unit per node per division
+    (relative error ~n_iter/scale ≈ 6e-12 vs the float operator —
+    far below any ranking-relevant gap); dangling mass redistributes
+    uniformly like the float variant, also floored. Headroom: a hub's
+    incoming sum is bounded by total mass n*scale; the damping
+    multiply adds a factor damping_pct — keep n*scale*damping_pct
+    under 2^63 (~1e8 nodes at the default scale; past that, lower
+    ``scale``). Spark's bigint sum wraps silently past that bound
+    while the twin's HUGEINT->BIGINT cast errors loudly — the same
+    documented-headroom contract as q598.
+
+    Output: node, rank_fp (bigint, scaled), rank (double, ONE final
+    division — the only float in the pipeline).
+    """
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n_nodes = nodes.count()
+    base = (100 - damping_pct) * scale // 100
+
+    ranks = nodes.withColumn("r", F.lit(scale).cast("long"))
+    for i in range(n_iter):
+        with_deg = ranks.join(
+            deg, ranks["node"] == deg["src"], "left"
+        ).select(ranks["node"], "r", F.col("deg"))
+        dangling = with_deg.where(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("__dm")
+        )
+        contribs = (
+            with_deg.where(F.col("deg").isNotNull())
+            .join(e, with_deg["node"] == e["src"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("r div deg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("long").alias("c"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                F.expr(
+                    f"CAST({base} AS BIGINT) + ({damping_pct}"
+                    f" * (coalesce(c, CAST(0 AS BIGINT))"
+                    f" + __dm div {n_nodes})) div 100"
+                ).alias("r"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select(
+        "node",
+        F.col("r").alias("rank_fp"),
+        (F.col("r").cast("double") / F.lit(float(scale))).alias("rank"),
+    )
+
+
 def triangle_count(
     edges: DataFrame,
     src_col: str = "src",

@@ -889,3 +889,66 @@ def auc_score(
         "n_neg",
         F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0), auc).alias("auc"),
     )
+
+
+def oov_rate(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    vocab_k: int = 16,
+    persist_counts: bool = False,
+) -> DataFrame:
+    """Per-group out-of-vocabulary audit against a frequency-built
+    top-``vocab_k`` corpus vocabulary (q589's engine — extracted in
+    round 10 to host the persist seam, VERDICT r9 #3).
+
+    Plan shape: ONE shuffle to (group, token) counts; that counts
+    frame then feeds TWO consumers — the tiny vocab aggregate and the
+    coverage join — so without help the scan+explode+aggregate
+    pipeline runs twice (exchange reuse does not fire across the
+    differing projections). ``persist_counts=True`` materializes the
+    counts frame once (MEMORY_AND_DISK); it is the AGGREGATED frame —
+    (groups x distinct tokens) rows, far smaller than the exploded
+    fact — so the persist barrier is cheap relative to re-tokenizing
+    the corpus. Default OFF at query scale (the recompute is one
+    map-side pass); turn ON when the upstream is expensive —
+    measured at 10x in SCALING.md ("Round 10: q589 persist seam").
+
+    Output: group, n_tokens, oov_tokens, oov_types, oov_rate.
+    """
+    from ..functions.text import tokens
+
+    st = (
+        df.select(
+            F.col(group_col).alias("__g"),
+            F.explode(tokens(text_col)).alias("tok"),
+        )
+        .groupBy("__g", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    if persist_counts:
+        from pyspark import StorageLevel
+
+        st = st.persist(StorageLevel.MEMORY_AND_DISK)
+    vocab = (
+        st.groupBy("tok")
+        .agg(F.sum("n").alias("nt"))
+        .orderBy(F.col("nt").desc(), F.col("tok").asc())
+        .limit(vocab_k)
+        .select("tok", F.lit(1).alias("__in"))
+    )
+    j = st.join(F.broadcast(vocab), "tok", "left")
+    oov = F.col("__in").isNull()
+    return j.groupBy("__g").agg(
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(oov, F.col("n")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("oov_tokens"),
+        F.count_distinct(F.when(oov, F.col("tok")))
+        .cast("bigint")
+        .alias("oov_types"),
+        (
+            F.sum(F.when(oov, F.col("n")).otherwise(F.lit(0))).cast("double")
+            / F.sum("n").cast("double")
+        ).alias("oov_rate"),
+    ).withColumnRenamed("__g", group_col)

@@ -604,6 +604,170 @@ def pq_topk_cosine(
     )
 
 
+def pq_topk_cosine_pivots(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str,
+    query_id: str,
+    vec_col: str,
+    k: int = 5,
+    m: int = 16,
+    ks: int = 16,
+    oversample: int = 8,
+) -> DataFrame:
+    """Engine-portable product-quantization top-k: the ADC scan over
+    INTEGER-quantized codebooks — the round-10 promotion path that
+    gives q190 a hash-gated oracle, exactly as ivf_topk_cosine_pivots
+    did for q47.
+
+    Portability argument, stage by stage: the codebook is the ks
+    corpus vectors with the smallest md5(id) (the repo's deterministic
+    sampling convention), each 2^20-quantized (quantize_vec — floor of
+    an exponent shift, bit-identical everywhere), and subspace s's
+    centroid table is just those pivots' s-th slices. Encoding is an
+    exact integer argmin (smallest code on ties) per subspace; the ADC
+    score is a SUM OF INTEGER DOT PRODUCTS (query slice x centroid
+    slice, |x|<2 so 64 terms < 2^48 — bigint-exact), so the
+    k*oversample shortlist per query is bit-identical across engines;
+    only the final exact-cosine re-rank of the tiny shortlist touches
+    floats (cosine gaps >> float error within a fixed candidate set —
+    the q23/q47-proven epilogue). The KMeans-trained variant
+    (pq_topk_cosine) stays the learned-codebook tier; random/sampled
+    codebooks are a standard PQ baseline (the training is an accuracy
+    optimization, not a structural requirement).
+
+    Scale shape: identical to pq_topk_cosine — codes build map-side
+    against the broadcast pivot table, the scan is corpus-codes x
+    broadcast per-query integer LUT (whole-stage codegen, no corpus
+    shuffle), the re-rank joins only queries*k*oversample rows back to
+    real vectors.
+
+    Output: qid, cid, rank (ADC shortlist -> exact-cosine top-k).
+    """
+    d = len(corpus.select(vec_col).first()[0])
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+
+    w_piv = Window.orderBy("h", "pid")
+    piv = (
+        corpus.select(
+            F.col(corpus_id).alias("pid"),
+            quantize_vec(vec_col).alias("pvec"),
+            F.md5(F.col(corpus_id).cast("string")).alias("h"),
+        )
+        .orderBy("h", "pid")
+        .limit(ks)
+        .withColumn("code", F.row_number().over(w_piv).cast("int"))
+    )
+    # one-row broadcast: pivots as an array of (code, pvec), code-th
+    # element at position code (codes are 1..ks, array_sort by code)
+    pivarr = piv.agg(
+        F.array_sort(F.collect_list(F.struct("code", "pvec"))).alias("pv")
+    )
+
+    def _slice(col, s):
+        return F.slice(col, s * F.lit(dsub) + 1, dsub)
+
+    def _int_dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    def _slice_d2(a, b, s):
+        return F.aggregate(
+            F.zip_with(
+                _slice(a, s), _slice(b, s), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    c = corpus.select(
+        F.col(corpus_id).alias("cid"), quantize_vec(vec_col).alias("cq")
+    )
+    codes_col = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.element_at(
+            F.array_sort(
+                F.transform(
+                    F.col("pv"),
+                    lambda p: F.struct(
+                        _slice_d2(F.col("cq"), p["pvec"], s).alias("d2"),
+                        p["code"].alias("code"),
+                    ),
+                )
+            ),
+            1,
+        )["code"],
+    )
+    coded = c.crossJoin(F.broadcast(pivarr)).select(
+        "cid", codes_col.alias("codes")
+    )
+
+    # per-query integer LUT: index = sub*ks + code (1-based element_at)
+    q = queries.select(
+        F.col(query_id).alias("qid"), quantize_vec(vec_col).alias("qq")
+    )
+    subs = q.crossJoin(F.broadcast(pivarr)).select(
+        "qid",
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.transform(
+                    F.col("pv"),
+                    lambda p: _int_dot(
+                        _slice(F.col("qq"), s), _slice(p["pvec"], s)
+                    ),
+                ),
+            )
+        ).alias("lut"),
+    )
+    scored = coded.crossJoin(F.broadcast(subs)).select(
+        "qid",
+        "cid",
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, s: acc
+            + F.element_at(
+                F.col("lut"), s * ks + F.element_at(F.col("codes"), s + 1)
+            ),
+        ).alias("score"),
+    ).where(F.col("qid") != F.col("cid"))
+    w_short = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("cid")
+    )
+    shortlist = (
+        scored.withColumn("r", F.row_number().over(w_short))
+        .where(F.col("r") <= k * max(1, oversample))
+        .select("qid", "cid")
+    )
+    cvf = corpus.select(
+        F.col(corpus_id).alias("cid"),
+        F.col(vec_col).alias("cv"),
+        l2_norm(vec_col).alias("cn"),
+    )
+    qvf = queries.select(
+        F.col(query_id).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        l2_norm(vec_col).alias("qn"),
+    )
+    exact = (
+        shortlist.join(cvf, "cid")
+        .join(F.broadcast(qvf), "qid")
+        .withColumn("cosine", dot("qv", "cv") / (F.col("qn") * F.col("cn")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "cid", "rank")
+    )
+
+
 def kcenter_greedy(
     df: DataFrame,
     id_col: str,

@@ -186,12 +186,29 @@ def theta_overlap(
     )
 
 
+def _cm_bucket(item, r, width: int, hash_fn: str):
+    """CM bucket for (item, hash-row): ``hash_fn='xx'`` is the
+    JVM-side scale path (xxhash64, one hash, no string round-trip);
+    ``'portable'`` is the md5-based engine-portable variant
+    (dedup.py:shingle_id_portable's construction), so a DuckDB twin
+    computes the IDENTICAL cells — the round-10 promotion path for
+    q281."""
+    if hash_fn == "xx":
+        return F.pmod(F.xxhash64(item, r), F.lit(width)).cast("int")
+    if hash_fn != "portable":
+        raise ValueError(f"hash_fn must be 'xx' or 'portable', got {hash_fn!r}")
+    key = F.concat(item.cast("string"), F.lit(":"), r.cast("string"))
+    h48 = F.conv(F.substring(F.md5(key), 1, 12), 16, 10).cast("long")
+    return F.pmod(h48, F.lit(width)).cast("int")
+
+
 def cm_partials(
     df: DataFrame,
     by: Sequence[str],
     item_col: str,
     depth: int = 4,
     width: int = 1024,
+    hash_fn: str = "xx",
 ) -> DataFrame:
     """Count-min sketch partials as a RELATIONAL sketch: one row per
     (group, hash-row r, bucket c) with the bucket count — the
@@ -213,9 +230,7 @@ def cm_partials(
         F.col(item_col).alias("__item"),
         F.explode(seeds).alias("r"),
     )
-    c = F.pmod(
-        F.xxhash64(F.col("__item"), F.col("r")), F.lit(width)
-    ).cast("int")
+    c = _cm_bucket(F.col("__item"), F.col("r"), width, hash_fn)
     return (
         exploded.withColumn("c", c)
         .groupBy(*by, "r", "c")
@@ -240,6 +255,7 @@ def cm_estimate(
     by: Sequence[str] | None = None,
     depth: int = 4,
     width: int = 1024,
+    hash_fn: str = "xx",
 ) -> DataFrame:
     """Point-frequency estimates from CM partials: for each probe item
     (x group), min over hash rows of the bucket count. Guarantees
@@ -257,10 +273,7 @@ def cm_estimate(
         *keys, F.col(item_col).alias("__item")
     ).withColumn("r", F.explode(seeds))
     probes = probes.withColumn(
-        "c",
-        F.pmod(F.xxhash64(F.col("__item"), F.col("r")), F.lit(width)).cast(
-            "int"
-        ),
+        "c", _cm_bucket(F.col("__item"), F.col("r"), width, hash_fn)
     )
     joined = probes.join(
         partials.withColumnRenamed("cnt", "__cnt"), [*keys, "r", "c"], "left"

@@ -411,17 +411,27 @@ def _q_cube(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_approx_quantiles(spark: SparkSession, sf: str) -> DataFrame:
-    """GK/KLL-sketch quantiles, all columns in ONE job (fixes reference
+    """GK-sketch quantiles, all columns in ONE job (fixes reference
     bug #4: per-column approxQuantile re-ran the upstream DAG each call,
-    sensor_data_etl.py:95-98). Rows-only: sketch output is
-    implementation-defined, not ANSI-SQL-reproducible. Output is
-    flattened to one scalar row per column (the driver's comparator
-    requires hashable — non-array — cells)."""
+    sensor_data_etl.py:95-98). Output is flattened to one scalar row
+    per column (the driver's comparator requires hashable — non-array
+    — cells).
+
+    Promoted to a hash-gated oracle in round 10 (VERDICT r9 #2): the
+    GK guarantee returns the smallest element whose rank covers
+    p*n +- eps*n, so at accuracy 1e7 (eps = 1e-7) the rank window is
+    < 0.5 for every corpus under ~5e6 rows and the sketch DEGENERATES
+    TO EXACT — the element DuckDB's quantile_disc picks (verified
+    identical at all three SFs). Past ~5e6 rows the window reopens;
+    that is the documented oracle-contract bound, and the SCALE
+    configuration simply dials accuracy back to the sketch regime
+    (the operator and plan are unchanged — one mergeable partial
+    aggregate either way)."""
     from sensor_time_series_pyspark_spark.operators import approx_quantiles
 
     li = read_table(spark, sf, "lineitem")
     cols = ["l_quantity", "l_extendedprice", "l_discount"]
-    one_row = approx_quantiles(li, cols, [0.25, 0.5, 0.75])
+    one_row = approx_quantiles(li, cols, [0.25, 0.5, 0.75], accuracy=10_000_000)
     per_col = [
         F.struct(
             F.lit(c).alias("column"),
@@ -1650,6 +1660,25 @@ register_many(
         'q18_dedup_keep_first': """
             SELECT doc_id, lang, source, n_chars FROM documents
             WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+        """,
+        'q35_approx_quantiles': """
+            SELECT 'l_quantity' AS "column",
+              quantile_disc(l_quantity, 0.25) AS p25,
+              quantile_disc(l_quantity, 0.50) AS p50,
+              quantile_disc(l_quantity, 0.75) AS p75
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice',
+              quantile_disc(l_extendedprice, 0.25),
+              quantile_disc(l_extendedprice, 0.50),
+              quantile_disc(l_extendedprice, 0.75)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_discount',
+              quantile_disc(l_discount, 0.25),
+              quantile_disc(l_discount, 0.50),
+              quantile_disc(l_discount, 0.75)
+            FROM lineitem
         """,
         'q36_blob_metadata': """
             SELECT doc_id, octet_length(encode(text)) AS n_bytes,

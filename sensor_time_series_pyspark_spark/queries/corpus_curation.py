@@ -72,39 +72,14 @@ def _q_oov_rate(spark: SparkSession, sf: str) -> DataFrame:
     Shape: one shuffle to (source, token) counts, a second tiny
     shuffle to token totals, top-k via TakeOrderedAndProject (never a
     global window), then a BROADCAST left join of the 16-row vocab
-    back onto the per-source counts."""
+    back onto the per-source counts. Since round 10 the engine lives
+    in operators/profile.py:oov_rate, which carries the
+    ``persist_counts`` seam for the counts frame's two consumers
+    (VERDICT r9 #3 — win measured at 10x in SCALING.md)."""
     docs = read_table(spark, sf, "documents")
-    from sensor_time_series_pyspark_spark.functions.text import tokens
+    from sensor_time_series_pyspark_spark.operators.profile import oov_rate
 
-    st = (
-        docs.select(
-            "source", F.explode(tokens("text")).alias("tok")
-        )
-        .groupBy("source", "tok")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    )
-    vocab = (
-        st.groupBy("tok")
-        .agg(F.sum("n").alias("nt"))
-        .orderBy(F.col("nt").desc(), F.col("tok").asc())
-        .limit(16)
-        .select("tok", F.lit(1).alias("__in"))
-    )
-    j = st.join(F.broadcast(vocab), "tok", "left")
-    oov = F.col("__in").isNull()
-    return j.groupBy("source").agg(
-        F.sum("n").cast("bigint").alias("n_tokens"),
-        F.sum(F.when(oov, F.col("n")).otherwise(F.lit(0)))
-        .cast("bigint")
-        .alias("oov_tokens"),
-        F.count_distinct(F.when(oov, F.col("tok")))
-        .cast("bigint")
-        .alias("oov_types"),
-        (
-            F.sum(F.when(oov, F.col("n")).otherwise(F.lit(0))).cast("double")
-            / F.sum("n").cast("double")
-        ).alias("oov_rate"),
-    )
+    return oov_rate(docs, "source", "text", vocab_k=16)
 
 
 _THRESHOLDS = [0.3, 0.5, 0.7, 0.9]

@@ -1332,9 +1332,13 @@ def _q_cm_frequency(spark: SparkSession, sf: str) -> DataFrame:
     partials over user ids (the persist-once pattern), merged across
     days by plain SUM, then probed for every user — answers "how often
     did THIS key occur" from kilobyte-scale cells without rescanning
-    the fact. Rows-only gate (no DuckDB xxhash64 twin); the
-    no-undercount / additivity / exactness-when-sparse invariants are
-    pinned in tests/test_round4_ops.py."""
+    the fact. Promoted to a hash-gated oracle in round 10 (VERDICT r9
+    #2) by running the sketch's PORTABLE md5 bucket hash
+    (operators/sketches.py:_cm_bucket) — the DuckDB twin computes the
+    identical depth x width cells, so the estimates (collisions and
+    all) hash-match; the xxhash64 tier stays the scale default, and
+    the no-undercount / additivity / exactness-when-sparse invariants
+    remain pinned in tests/test_round4_ops.py."""
     from sensor_time_series_pyspark_spark.operators import (
         cm_estimate,
         cm_merge,
@@ -1345,10 +1349,15 @@ def _q_cm_frequency(spark: SparkSession, sf: str) -> DataFrame:
     daily = ev.select(
         F.date_trunc("day", F.col("ts")).alias("d"), "user_id"
     )
-    parts = cm_partials(daily, ["d"], "user_id", depth=4, width=1024)
+    parts = cm_partials(
+        daily, ["d"], "user_id", depth=4, width=1024, hash_fn="portable"
+    )
     merged = cm_merge(parts, by=[])
     probes = ev.select("user_id").distinct()
-    est = cm_estimate(merged, probes, "user_id", by=[], depth=4, width=1024)
+    est = cm_estimate(
+        merged, probes, "user_id", by=[], depth=4, width=1024,
+        hash_fn="portable",
+    )
     return est.select(
         F.col("item").alias("user_id"), "estimate"
     ).orderBy("user_id")
@@ -2473,6 +2482,36 @@ register_many(
                   / sqrt((a.ssq + b.ssq) / CAST(a.n + b.n - 2 AS DOUBLE))
               END AS cohens_d
             FROM stats a JOIN stats b ON a.event_type < b.event_type
+        """,
+        'q281_cm_frequency': """
+            WITH rows_r AS (
+              SELECT unnest([0, 1, 2, 3]) AS r
+            ),
+            cells AS (
+              SELECT r,
+                CAST(('0x' || substr(md5(
+                    CAST(user_id AS VARCHAR) || ':' || CAST(r AS VARCHAR)
+                  ), 1, 12)) AS BIGINT) % 1024 AS c,
+                CAST(count(*) AS BIGINT) AS cnt
+              FROM events, rows_r
+              GROUP BY 1, 2
+            ),
+            probes AS (
+              SELECT DISTINCT user_id FROM events
+            ),
+            pe AS (
+              SELECT p.user_id, r.r,
+                CAST(('0x' || substr(md5(
+                    CAST(p.user_id AS VARCHAR) || ':' || CAST(r.r AS VARCHAR)
+                  ), 1, 12)) AS BIGINT) % 1024 AS c
+              FROM probes p, rows_r r
+            )
+            SELECT pe.user_id,
+              CAST(min(coalesce(cells.cnt, 0)) AS BIGINT) AS estimate
+            FROM pe LEFT JOIN cells
+              ON pe.r = cells.r AND pe.c = cells.c
+            GROUP BY pe.user_id
+            ORDER BY pe.user_id
         """,
         'q282_horvitz_thompson': """
             WITH flagged AS (

@@ -266,12 +266,18 @@ def _q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
-    """PageRank (operators/graph.py) over the supplier↔part supply
-    graph (bipartite, both directions; node ids disambiguated by
-    parity). Iterative: one join+agg per round, lineage cut by
-    localCheckpoint. Rows-only: float mass diffusion has no SQL twin;
-    tests pin mass conservation + symmetry."""
-    from sensor_time_series_pyspark_spark.operators import pagerank
+    """PageRank over the supplier↔part supply graph (bipartite, both
+    directions; node ids disambiguated by parity). Hash-gated since
+    round 10 (VERDICT r9 #2): runs the EXACT integer fixed-point
+    variant (operators/graph.py:pagerank_fixedpoint — picodecimal
+    bigint ranks, damping as *85 div 100, order-insensitive integer
+    sums) at a fixed 6 iterations, so the DuckDB twin is the same
+    update mechanically unrolled (_PR_FP_SQL). The float operator
+    (graph.py:pagerank) stays the library surface with its mass-
+    conservation tests; the two agree to ~6e-12 relative."""
+    from sensor_time_series_pyspark_spark.operators.graph import (
+        pagerank_fixedpoint,
+    )
 
     li = read_table(spark, sf, "lineitem")
     sp = li.select(
@@ -281,9 +287,11 @@ def _q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     edges = sp.unionByName(
         sp.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    ranks = pagerank(edges, n_iter=6, checkpoint_every=3)
+    ranks = pagerank_fixedpoint(edges, n_iter=6, checkpoint_every=3)
     return ranks.where(F.col("node") % 2 == 0).select(
-        (F.col("node") / 2).cast("long").alias("suppkey"), "rank"
+        (F.col("node") / 2).cast("long").alias("suppkey"),
+        "rank_fp",
+        "rank",
     )
 
 
@@ -1008,8 +1016,11 @@ def _q_communities(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic label-propagation communities (operators/graph.py:
     label_propagation — most-frequent neighbor label, smallest on ties)
     over the strongest-partner user graph (degree-bounded, see
-    _partner_graph). Rows-only: iterative fixed point has no SQL twin;
-    determinism + clique-separation pinned by tests."""
+    _partner_graph). Hash-gated since round 10: the vote is pure
+    integer algebra (counts + min-label tiebreak) at a FIXED iteration
+    count, so the DuckDB twin is the partner-graph CTE plus 4
+    mechanically-unrolled vote rounds (_LP_SQL) — no float ever
+    enters. Determinism + clique-separation stay pinned by tests."""
     from sensor_time_series_pyspark_spark.operators import label_propagation
 
     labels = label_propagation(_partner_graph(spark, sf), n_iter=4)
@@ -1110,6 +1121,132 @@ def _q_swinging_door(spark: SparkSession, sf: str) -> DataFrame:
     out = swinging_door_compress(ev, "user_id", "ts", "value", epsilon=10.0)
     return out.select("user_id", "ts", "value")
 
+
+# q139's oracle: deterministic label propagation has NO float and a
+# FIXED iteration count, so the twin is the partner-graph CTE (q100's)
+# plus n_iter mechanically-unrolled vote rounds — generated here so
+# the per-round SQL exists exactly once. Each round: count neighbor
+# labels, keep the most frequent (smallest label on ties) via one
+# window over the grouped votes — the min_by(label, struct(-n, label))
+# twin. Promoted from rows-only in round 10 (VERDICT r9 #2).
+# q98's oracle: the integer fixed-point PageRank update
+# (operators/graph.py:pagerank_fixedpoint) unrolled for a fixed 6
+# rounds — every term is a bigint (sums CAST to BIGINT so overflow
+# errors loudly instead of silently diverging from Spark's wrapping
+# sum; same documented-headroom contract as q598). The dangling term
+# is kept for twin fidelity even though the bipartite both-direction
+# graph has none. Every multiply-referenced CTE is AS MATERIALIZED:
+# DuckDB inlines plain CTEs per reference, and r{k} feeds THREE
+# consumers (c/d/r of round k+1) — un-materialized, the 6-round chain
+# re-expands the whole upstream 3^6 times (measured: ~40 GB of spill
+# at sf0.1 before the fix; sub-second after).
+_PR_FP_ROUNDS = 6
+_PR_FP_SQL = (
+    """
+    WITH sp AS (
+      SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
+      FROM lineitem
+    ),
+    e AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM sp
+        UNION ALL SELECT dst AS src, src AS dst FROM sp
+      )
+    ),
+    nodes AS MATERIALIZED (
+      SELECT DISTINCT src AS node FROM e
+      UNION SELECT dst AS node FROM e
+    ),
+    deg AS MATERIALIZED (
+      SELECT src, count(*) AS deg FROM e GROUP BY src
+    ),
+    r0 AS MATERIALIZED (
+      SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM nodes
+    )
+    """
+    + "".join(
+        f""",
+    c{k} AS (
+      SELECT e.dst AS node, CAST(sum(p.r // d.deg) AS BIGINT) AS c
+      FROM r{k - 1} p
+      JOIN deg d ON p.node = d.src
+      JOIN e ON e.src = p.node
+      GROUP BY e.dst
+    ),
+    d{k} AS (
+      SELECT CAST(coalesce(sum(p.r), 0) AS BIGINT) AS dm
+      FROM r{k - 1} p LEFT JOIN deg dd ON p.node = dd.src
+      WHERE dd.src IS NULL
+    ),
+    r{k} AS MATERIALIZED (
+      SELECT n.node,
+        CAST(150000000000 + (85 * (coalesce(c.c, 0)
+          + (SELECT dm FROM d{k})
+            // (SELECT count(*) FROM nodes))) // 100 AS BIGINT) AS r
+      FROM nodes n LEFT JOIN c{k} c ON n.node = c.node
+    )"""
+        for k in range(1, _PR_FP_ROUNDS + 1)
+    )
+    + f"""
+    SELECT CAST(node // 2 AS BIGINT) AS suppkey,
+      r AS rank_fp,
+      CAST(r AS DOUBLE) / 1.0E12 AS "rank"
+    FROM r{_PR_FP_ROUNDS} WHERE node % 2 = 0
+    """
+)
+
+_LP_ROUNDS = 4
+_LP_SQL = (
+    """
+    WITH cell AS (
+      SELECT DISTINCT event_type,
+        epoch_us(ts) // 1800000000 AS bucket, user_id
+      FROM events
+    ),
+    pc AS (
+      SELECT a.user_id AS u, b.user_id AS v, count(*) AS n
+      FROM cell a JOIN cell b
+        ON a.event_type = b.event_type AND a.bucket = b.bucket
+      WHERE a.user_id < b.user_id
+      GROUP BY a.user_id, b.user_id
+    ),
+    sym AS (
+      SELECT u, v, n FROM pc
+      UNION ALL SELECT v AS u, u AS v, n FROM pc
+    ),
+    topk AS (
+      SELECT u, v FROM (
+        SELECT u, v,
+          row_number() OVER (
+            PARTITION BY u ORDER BY n DESC, v ASC) AS rk
+        FROM sym
+      ) WHERE rk <= 3
+    ),
+    und AS (
+      SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+      FROM topk WHERE u <> v
+    ),
+    be AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+    l0 AS (SELECT DISTINCT a AS node, a AS label FROM be)
+    """
+    + "".join(
+        f""",
+    l{k} AS (
+      SELECT node, label FROM (
+        SELECT e.a AS node, l.label, count(*) AS n,
+          row_number() OVER (PARTITION BY e.a
+            ORDER BY count(*) DESC, l.label ASC) AS rk
+        FROM be e JOIN l{k - 1} l ON e.b = l.node
+        GROUP BY e.a, l.label
+      ) WHERE rk = 1
+    )"""
+        for k in range(1, _LP_ROUNDS + 1)
+    )
+    + f"""
+    SELECT label, count(*) AS n_members
+    FROM l{_LP_ROUNDS} GROUP BY label
+    """
+)
 
 register_many(
     {
@@ -1480,6 +1617,7 @@ register_many(
                 ELSE '{_thr(0.1)}'
               END
         """,
+        'q98_pagerank': _PR_FP_SQL,
         'q99_weighted_median': """
             WITH c AS (
               SELECT l_returnflag, l_extendedprice,
@@ -2461,6 +2599,7 @@ register_many(
               quantile_cont(CAST(latency_sec AS DOUBLE), 0.9) AS p90_sec
             FROM lat
         """,
+        'q139_communities': _LP_SQL,
         'q140_attribution': """
             WITH purch AS (
               SELECT event_id, user_id, ts FROM events

@@ -8,6 +8,7 @@ from .ingest import (
     write_parquet_stream,
 )
 from .joins import stream_interval_join
+from .monitor import dropped_late_rows
 from .stateful import (
     ewma_anomaly_batch,
     ewma_anomaly_stream,
@@ -27,6 +28,7 @@ __all__ = [
     "write_parquet_stream",
     "run_to_memory",
     "stream_interval_join",
+    "dropped_late_rows",
     "ewma_anomaly_stream",
     "ewma_anomaly_batch",
     "ewma_anomaly_stream_tws",

@@ -181,9 +181,11 @@ def write_parquet_stream(
 
 def run_to_memory(
     sdf: DataFrame, name: str, output_mode: str = "append"
-) -> None:
+):
     """Drain an availableNow stream into an in-memory table (tests /
-    interactive inspection only — memory sink collects to the driver)."""
+    interactive inspection only — memory sink collects to the driver).
+    Returns the finished query so callers can audit its progress
+    metrics (e.g. monitor.dropped_late_rows)."""
     q = (
         sdf.writeStream.format("memory")
         .queryName(name)
@@ -192,6 +194,7 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+    return q
 
 
 def quality_band_agg(

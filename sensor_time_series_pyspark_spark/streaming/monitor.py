@@ -63,3 +63,22 @@ class ProgressRing(StreamingQueryListener):
             "state_rows long"
         )
         return spark.createDataFrame(rows, schema)
+
+
+def dropped_late_rows(query) -> int:
+    """Watermark-lateness audit (round 10, VERDICT r9 #7): total rows
+    DROPPED for arriving behind the watermark, summed over the query's
+    retained progress events (``numRowsDroppedByWatermark`` from each
+    batch's state-operator metrics — the engine's own per-batch
+    counter, no extra job). Pair with a stream==batch check on a
+    replayed late-event fixture: sink == batch-over-on-time-rows AND
+    this counter == the planted late count closes the accounting both
+    ways. The default progress ring keeps the last
+    ``spark.sql.streaming.numRecentProgressUpdates`` (100) batches —
+    read per-run (availableNow drains) or attach a ProgressRing for
+    long-lived queries."""
+    total = 0
+    for p in query.recentProgress:
+        for so in p.get("stateOperators") or []:
+            total += int(so.get("numRowsDroppedByWatermark") or 0)
+    return total

@@ -256,3 +256,65 @@ def test_rainflow_cycles_spark_matches_python(spark):
         for rng, mean2, full in rainflow_count(vs):
             want[(uid, rng, mean2, full)] += 1
     assert got == dict(want)
+
+
+# ---- zero-job split dispatch (plan-statistics bound) --------------------
+
+
+def test_plan_row_count_bound_on_materialized_cache(spark):
+    from sensor_time_series_pyspark_spark.operators.dispatch import (
+        plan_row_count_bound,
+    )
+
+    df = spark.range(1000).selectExpr("id % 7 AS k", "id AS v").cache()
+    try:
+        assert plan_row_count_bound(df) is None or True  # pre-action: unknown is fine
+        df.count()  # materialize -> InMemoryRelation stats know rows
+        assert plan_row_count_bound(df) == 1000.0
+    finally:
+        df.unpersist()
+
+
+def test_should_split_zero_job_path_skips_sampling(spark, monkeypatch):
+    import sensor_time_series_pyspark_spark.operators.dispatch as dsp
+
+    df = spark.range(5000).selectExpr("id % 3 AS k").cache()
+    try:
+        df.count()
+
+        def boom(*a, **k):
+            raise AssertionError("sampling job ran on the zero-job path")
+
+        monkeypatch.setattr(dsp, "estimate_hot_key_rows", boom)
+        # total rows (5000) <= crossover -> hottest key can't cross it:
+        # decision must come from plan stats alone
+        assert dsp.should_split(df, ["k"], hot_rows_crossover=10_000) is False
+    finally:
+        df.unpersist()
+
+
+def test_should_split_falls_back_to_sampling_when_bound_inconclusive(
+    spark, monkeypatch
+):
+    import sensor_time_series_pyspark_spark.operators.dispatch as dsp
+
+    df = spark.range(2000).selectExpr("id % 2 AS k").cache()
+    try:
+        df.count()
+        calls = []
+        real = dsp.estimate_hot_key_rows
+
+        def spy(*a, **k):
+            calls.append(1)
+            return real(*a, **k)
+
+        monkeypatch.setattr(dsp, "estimate_hot_key_rows", spy)
+        # total rows (2000) > crossover (100): the bound is
+        # inconclusive and the sampling estimate must run
+        out = dsp.should_split(
+            df, ["k"], hot_rows_crossover=100, sample_fraction=1.0
+        )
+        assert calls == [1]
+        assert out is True  # hottest key has ~1000 rows > 100
+    finally:
+        df.unpersist()
