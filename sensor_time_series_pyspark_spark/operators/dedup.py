@@ -1377,8 +1377,11 @@ def segment_dup_stats(
     (no segments) come back with n_tok=0 and zeroed counters rather
     than vanishing, so n_docs totals built on this frame reconcile
     with sibling per-doc audits (q591/q601) on corpora with empty
-    docs. The totalizing left join runs at the doc grain (one row per
-    doc on both sides), so it adds no fact-table shuffle.
+    docs. Empty docs ride the SAME pipeline via ``posexplode_outer``
+    (one NULL-segment row that no count can match, zeroed in the
+    per-doc aggregate) — NOT a second scan + totalizing join, which
+    re-tokenized the corpus and cost 1.6x on the q588 bench (caught
+    by scripts/bench_regression.py the round it was introduced).
     """
     carry = list(carry_cols or [])
     toks = df.select(
@@ -1390,47 +1393,43 @@ def segment_dup_stats(
     starts = F.when(
         n > 0, F.sequence(F.lit(0), n - 1, F.lit(seg_tokens))
     ).otherwise(F.array().cast("array<int>"))
+    has_seg = F.col("__s").isNotNull()
     segs = toks.select(
         "id",
         *carry,
         n.cast("bigint").alias("n_tok"),
         "__t",
-        F.posexplode(starts).alias("__i", "__s"),
+        F.posexplode_outer(starts).alias("__i", "__s"),
     ).select(
         "id",
         *carry,
         "n_tok",
-        F.concat_ws(
-            " ", F.slice("__t", F.col("__s") + 1, seg_tokens)
+        F.when(
+            has_seg,
+            F.concat_ws(" ", F.slice("__t", F.col("__s") + 1, seg_tokens)),
         ).alias("seg"),
-        F.least(F.lit(seg_tokens), F.col("n_tok") - F.col("__s"))
+        F.when(
+            has_seg,
+            F.least(F.lit(seg_tokens), F.col("n_tok") - F.col("__s")),
+        )
         .cast("bigint")
         .alias("seg_len"),
     )
-    counts = segs.groupBy("seg").agg(
+    counts = segs.where(F.col("seg").isNotNull()).groupBy("seg").agg(
         F.count_distinct("id").alias("__nd")
     )
     dup = F.col("__nd") >= min_docs
-    per_doc = (
-        segs.join(counts, "seg")
-        .groupBy("id")
+    return (
+        segs.join(counts, "seg", "left")
+        .groupBy("id", *carry)
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_seg"),
+            F.max("n_tok").alias("n_tok"),
+            F.sum(F.when(F.col("seg").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_seg"),
             F.sum(F.when(dup, 1).otherwise(0)).cast("bigint").alias("dup_seg"),
             F.sum(F.when(dup, F.col("seg_len")).otherwise(F.lit(0)))
             .cast("bigint")
             .alias("dup_tok"),
         )
-    )
-    base = toks.select(
-        "id", *carry, n.cast("bigint").alias("n_tok")
-    )
-    zero = F.lit(0).cast("bigint")
-    return base.join(per_doc, "id", "left").select(
-        "id",
-        *carry,
-        "n_tok",
-        F.coalesce("n_seg", zero).alias("n_seg"),
-        F.coalesce("dup_seg", zero).alias("dup_seg"),
-        F.coalesce("dup_tok", zero).alias("dup_tok"),
     )

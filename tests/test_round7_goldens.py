@@ -9,10 +9,11 @@ independent JVMs at shuffle_partitions=8 AND =32 —
   q139 (label propagation), q189 (k-core), q190 (PQ top-k) are
   partition-count-INVARIANT (identical digest at 8 and 32), so they
   pin in-session against the conftest fixture.
-- q98 (PageRank) is NOT: its per-iteration double mass sums fold in
-  shuffle order (8 parts -> e388..., 32 parts -> 60c3...), so its pin
-  runs in a fresh subprocess JVM at shuffle_partitions=8, the q27/q28
-  pattern — the digest then depends only on code + config.
+- q98 (PageRank) historically was NOT (double mass sums folded in
+  shuffle order); since round 10 it runs the integer fixed-point
+  variant and is partition-count-invariant too (verified 8 == 32).
+  Its pin keeps the fresh-subprocess form as a cross-JVM determinism
+  witness.
 
 q25's pin covers exactly what the grid search promises: the winning
 (p,d,q) combo and walk-forward MSE per series (three explicit sample
@@ -93,14 +94,20 @@ def test_q190_pq_topk_golden_and_recall(spark):
     from sensor_time_series_pyspark_spark.sources.readers import read_table
 
     df = _queries()["q190_pq_topk"](spark, SF_001)
-    assert _digest(df) == (50, "2815b62d285277c0")
+    # re-pinned in round 10: q190 switched to the deterministic
+    # integer-pivot codebooks (pq_topk_cosine_pivots) when it was
+    # promoted to a hash-gated oracle
+    assert _digest(df) == (50, "374334e0cf9501a4")
     emb = read_table(spark, SF_001, "embeddings")
     qs = emb.where(F.col("vec_id") < 10)
     exact = topk_cosine(emb, qs, "vec_id", "vec_id", "embedding", k=5)
     truth = {(r["qid"], r["cid"]) for r in exact.collect()}
     got = {(r["qid"], r["cid"]) for r in df.collect()}
     assert len(truth) == 50
-    assert len(truth & got) == 38  # recall@5 = 0.76, frozen
+    # recall@5 = 0.76 with the md5-pivot codebook — identical to the
+    # learned KMeans codebook's frozen 0.76 at this scale (the
+    # portability switch cost no recall here; frozen)
+    assert len(truth & got) == 38
 
 
 def test_q98_pagerank_golden_isolated_session():
@@ -131,7 +138,11 @@ print("GOLDEN", len(rows), hashlib.sha256(txt.encode()).hexdigest()[:16])
     lines = [l for l in out.stdout.splitlines() if l.startswith("GOLDEN")]
     assert lines, out.stderr[-2000:]
     _, n, h = lines[0].split()
-    assert (int(n), h) == (100, "e388c44971ad554c")
+    # re-pinned in round 10: q98 switched to integer fixed-point
+    # pagerank on promotion. The digest is now partition-independent
+    # by construction (integer sums commute), but the isolated-session
+    # pin is kept as the cheapest cross-JVM determinism witness.
+    assert (int(n), h) == (100, "3fbb9824d11f9437")
 
 
 def test_q43_model_metrics_golden_isolated_session():
