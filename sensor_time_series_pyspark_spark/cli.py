@@ -63,6 +63,10 @@ BENCH_QUERIES = [
     # round-9 late addition: the segment (line-level) dedup audit — a
     # third dedup shuffle shape (segment-count + per-doc regroup)
     "q588_segment_dedup",
+    # round-10 addition: the rainflow stack walk — the repo's one
+    # per-entity applyInPandas headline, tracked so Arrow-hop
+    # regressions surface round-over-round
+    "q603_rainflow_cycles",
 ]
 
 

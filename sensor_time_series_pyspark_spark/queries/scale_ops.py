@@ -1355,3 +1355,61 @@ register_many(
         """,
     },
 )
+
+
+def _q_jaccard_auto(spark: SparkSession, sf: str) -> DataFrame:
+    """The round-10 set-similarity DISPATCHER surfaced through the
+    driver gate (operators/dispatch.py:jaccard_pairs_auto): recall
+    floor first (t=0.5 at 16/8 banding = 0.90 < 0.95 would force
+    exact — so run t=0.6, floor 0.972), then the measured 150k-doc
+    crossover decides inverted vs banding-first. At every tested SF
+    the corpus sits below the crossover, so the dispatcher provably
+    takes the EXACT path and the plain inverted-index SQL twin
+    hash-gates the whole decision stack; the banded branch is
+    race-verified (RACE_BANDING_r10.json) and subset-tested
+    (tests/test_round10_ops.py)."""
+    from sensor_time_series_pyspark_spark.operators.dispatch import (
+        jaccard_pairs_auto,
+    )
+    from sensor_time_series_pyspark_spark.queries.common import _rep_docs
+
+    return jaccard_pairs_auto(
+        _rep_docs(spark, sf), "doc_id", "text",
+        threshold=0.6, shingle_k=3,
+    )
+
+
+register_many(
+    {"q605_jaccard_auto": _q_jaccard_auto},
+    {
+        "q605_jaccard_auto": r"""
+            WITH reps AS (
+              SELECT doc_id, text FROM documents
+              WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+            ),
+            toks AS (
+              SELECT doc_id AS id,
+                list_distinct(
+                  list_transform(
+                    generate_series(1, greatest(len(t) - 2, 0)),
+                    i -> array_to_string(t[i:i+2], ' ')
+                  )
+                ) AS tok
+              FROM (
+                SELECT doc_id,
+                  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+                FROM reps
+              )
+            ),
+            inv AS (SELECT id, len(tok) AS n_tok, unnest(tok) AS token FROM toks),
+            pairs AS (
+              SELECT a.id AS id_a, b.id AS id_b, a.n_tok AS n_a, b.n_tok AS n_b,
+                     count(*) AS inter
+              FROM inv a JOIN inv b ON a.token = b.token AND a.id < b.id
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT id_a, id_b, inter / (n_a + n_b - inter) AS jaccard
+            FROM pairs WHERE inter / (n_a + n_b - inter) >= 0.6
+        """,
+    },
+)
