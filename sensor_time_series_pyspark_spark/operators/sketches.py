@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -80,21 +80,45 @@ def topk_rollup(
     by: Sequence[str],
     k: int = 10,
     sketch_col: str = "sketch",
+    deterministic_rank: bool = False,
+    fetch: int | None = None,
 ) -> DataFrame:
     """Merge frequent-items partials to a coarser grouping and emit the
-    top-k items. Output: [*by], item, est_count, rank (1-based)."""
+    top-k items. Output: [*by], item, est_count, rank (1-based).
+
+    ``deterministic_rank`` (round 10, the q144 promotion path): the
+    sketch's own emission order breaks count ties sketch-internally,
+    which is the one thing standing between an exact-under-bound
+    sketch and a hash-gateable oracle. When set, pull ``fetch`` items
+    (default 4k — choose fetch >= the group's distinct-item bound so
+    no boundary tie can hide an item) and re-rank deterministically by
+    (count DESC, item ASC) in plain column algebra before cutting to
+    k. The accumulate/combine/estimate machinery — the part that
+    matters at 100 TB — is unchanged; only the presentation rank
+    moves out of the sketch."""
+    kk = int(fetch or (4 * k if deterministic_rank else k))
     merged = partials.groupBy(*by).agg(
-        F.expr(f"approx_top_k_estimate(approx_top_k_combine({sketch_col}), {int(k)})")
+        F.expr(f"approx_top_k_estimate(approx_top_k_combine({sketch_col}), {kk})")
         .alias("__top")
     )
     exploded = merged.select(
         *by, F.posexplode("__top").alias("__pos", "__e")
     )
-    return exploded.select(
+    out = exploded.select(
         *by,
         F.col("__e.item").alias("item"),
         F.col("__e.count").alias("est_count"),
         (F.col("__pos") + 1).alias("rank"),
+    )
+    if not deterministic_rank:
+        return out
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(
+        F.col("est_count").desc(), F.col("item").asc()
+    )
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(*by, "item", "est_count", "rank")
     )
 
 

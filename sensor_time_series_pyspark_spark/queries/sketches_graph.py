@@ -12,9 +12,15 @@ from sensor_time_series_pyspark_spark.queries.common import *  # noqa: F401,F403
 def _q_topk_sketch(spark: SparkSession, sf: str) -> DataFrame:
     """Mergeable frequent-items rollup (operators/sketches.py:
     topk_partials/topk_rollup): daily per-nation item sketches merged
-    up to nation — q96's persisted-partials pattern for top-k. Rows-
-    only: merged-estimate tie order is sketch-defined; exactness under
-    the tracked-item bound is tested separately."""
+    up to nation — q96's persisted-partials pattern for top-k.
+    Hash-gated since round 10: the sketch is EXACT while each group's
+    distinct items stay under max_items_tracked (5 event types vs
+    10k), and ``deterministic_rank`` re-ranks the fetched items by
+    (count DESC, item ASC) in plain column algebra — removing the one
+    sketch-defined piece (tie emission order) from the output, so the
+    exact-counts SQL twin reproduces it bit-for-bit. fetch=16 >= the
+    item-cardinality bound guarantees no boundary tie hides an item;
+    the accumulate/combine/estimate machinery is unchanged."""
     from sensor_time_series_pyspark_spark.operators import (
         topk_partials,
         topk_rollup,
@@ -27,7 +33,9 @@ def _q_topk_sketch(spark: SparkSession, sf: str) -> DataFrame:
         ev["user_id"] == F.col("c_custkey"),
     ).select("c_nationkey", F.to_date("ts").alias("day"), "event_type")
     daily = topk_partials(tagged, ["c_nationkey", "day"], "event_type")
-    return topk_rollup(daily, ["c_nationkey"], k=3)
+    return topk_rollup(
+        daily, ["c_nationkey"], k=3, deterministic_rank=True, fetch=16
+    )
 
 
 def _q_table_checksum(spark: SparkSession, sf: str) -> DataFrame:
@@ -1356,6 +1364,23 @@ register_many(
         'q199_ks_test': _q_ks_test,
     },
     {
+        'q144_topk_sketch': """
+            WITH tagged AS (
+              SELECT c.c_nationkey, e.event_type
+              FROM events e JOIN customer c ON e.user_id = c.c_custkey
+            ),
+            cnt AS (
+              SELECT c_nationkey, event_type,
+                CAST(count(*) AS BIGINT) AS n
+              FROM tagged GROUP BY 1, 2
+            )
+            SELECT c_nationkey, item, est_count, rank FROM (
+              SELECT c_nationkey, event_type AS item, n AS est_count,
+                CAST(row_number() OVER (PARTITION BY c_nationkey
+                  ORDER BY n DESC, event_type ASC) AS INT) AS rank
+              FROM cnt
+            ) WHERE rank <= 3
+        """,
         'q145_table_checksum': """
             WITH stable AS (
               SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
