@@ -865,15 +865,31 @@ _SHARED_GRAMS_SQL = r"""
 """
 
 
-def _semantic_dedup_sql(n_cells: int) -> str:
-    return """
-            WITH v AS (
-              SELECT vec_id AS vid,
-                list_transform(embedding,
-                  x -> CAST(floor(CAST(x AS DOUBLE) * 1048576)
-                            AS BIGINT)) AS q
-              FROM embeddings
+def _semantic_dedup_sql(n_cells: int | None) -> str:
+    """The shared SemDeDup twin. ``n_cells=None`` is the round-10
+    AUTO variant: both engines derive n_cells = greatest(16,
+    n_vecs // 62) from the corpus itself (62 ≈ the target cell size
+    that reproduces the gated 32-cell config at sf0.1 and the
+    measured-6.6x-faster 320-cell config at 10x), so the cell count —
+    and with it the whole candidate set — stays engine-identical at
+    ANY scale without a hand-tuned constant."""
+    if n_cells is None:
+        piv_sql = """
+            nc AS (
+              SELECT greatest(16, count(*) // 62) AS n FROM embeddings
             ),
+            piv AS (
+              SELECT q AS pq,
+                CAST(row_number() OVER (ORDER BY h, pid) AS INT) AS cell
+              FROM (
+                SELECT v.q, md5(CAST(vid AS VARCHAR)) AS h, vid AS pid,
+                  row_number() OVER (
+                    ORDER BY md5(CAST(vid AS VARCHAR)), vid) AS rk
+                FROM v
+              ), nc WHERE rk <= nc.n
+            ),"""
+    else:
+        piv_sql = """
             piv AS (
               SELECT q AS pq,
                 CAST(row_number() OVER (ORDER BY h, pid) AS INT) AS cell
@@ -881,7 +897,15 @@ def _semantic_dedup_sql(n_cells: int) -> str:
                 SELECT v.q, md5(CAST(vid AS VARCHAR)) AS h, vid AS pid
                 FROM v ORDER BY 2, 3 LIMIT {n_cells}
               )
-            ),
+            ),""".format(n_cells=int(n_cells))
+    return """
+            WITH v AS (
+              SELECT vec_id AS vid,
+                list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 1048576)
+                            AS BIGINT)) AS q
+              FROM embeddings
+            ),""" + piv_sql + """
             ad AS (
               SELECT v.vid, v.q, p.cell,
                 list_sum(list_transform(list_zip(v.q, p.pq),
@@ -916,7 +940,7 @@ def _semantic_dedup_sql(n_cells: int) -> str:
             SELECT m.vid AS vec_id, m.cell,
               coalesce(h.n_lower > 0, false) AS dropped
             FROM members m LEFT JOIN hits h ON m.vid = h.vb
-        """.format(n_cells=int(n_cells))
+        """
 
 
 register_many(
@@ -1412,4 +1436,26 @@ register_many(
             FROM pairs WHERE inter / (n_a + n_b - inter) >= 0.6
         """,
     },
+)
+
+
+def _q_semantic_dedup_auto(spark: SparkSession, sf: str) -> DataFrame:
+    """q572 with the SemDeDup cell-count rule SELF-APPLYING (round 10:
+    the fixed-cell configuration was the scaling curve's one steep
+    entry — 19-22x per decade at pinned n_cells=32, vs the measured
+    6.6x win at 320 cells on the 10x corpus). Both engines derive
+    n_cells = greatest(16, n_vecs // 62) from the corpus itself (one
+    metadata-cheap count), so the audit keeps hash-gating at ANY scale
+    while the within-cell pair volume stays ~N x target_cell_size
+    instead of N^2/constant."""
+    emb = read_table(spark, sf, "embeddings")
+    n_vecs = emb.select("vec_id").count()
+    return _q_semantic_dedup(
+        spark, sf, n_cells=max(16, n_vecs // 62)
+    )
+
+
+register_many(
+    {"q606_semantic_dedup_auto": _q_semantic_dedup_auto},
+    {"q606_semantic_dedup_auto": _semantic_dedup_sql(None)},
 )
