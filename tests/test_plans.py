@@ -150,8 +150,15 @@ def test_no_accidental_cartesian_products(spark):
     SKIP |= {"q584_kcenter_coreset"}
     # 32-row pivot broadcast fan-out for the SemDeDup cell assignment
     # (q47's quantizer shape); the within-cell pair join is an
-    # equi-join on cell, never a cartesian
-    SKIP |= {"q572_semantic_dedup", "q576_semantic_dedup_cells16"}
+    # equi-join on cell, never a cartesian. q606 is the same shape
+    # with the pivot count derived from the corpus (n_vecs // 62 —
+    # still ~N/62 rows broadcast, i.e. bounded by the target cell
+    # size rule, never a fact x fact pairing)
+    SKIP |= {
+        "q572_semantic_dedup",
+        "q576_semantic_dedup_cells16",
+        "q606_semantic_dedup_auto",
+    }
     # 10-row broadcast query-vector scan (the q23/q547 verification
     # tier; the mining tier is the IVF/LSH candidate path)
     SKIP |= {"q575_hard_negative_margin"}

@@ -118,3 +118,51 @@ def test_late_rows_dropped_and_accounted(spark, tmp_path):
     }
     for key, n in got.items():
         assert want.get(key) == n, (key, n, want.get(key))
+
+
+def test_session_agg_drops_late_rows_and_accounts(spark, tmp_path):
+    """The same accounting for SESSION windows (session_agg): a row
+    arriving behind the watermark after its session closed must be
+    dropped AND counted — never resurrect or extend the session."""
+    from sensor_time_series_pyspark_spark.streaming import session_agg
+
+    src = str(tmp_path / "late_sess_src")
+    schema = "ts timestamp, user_id bigint, value double"
+    t = lambda h, m: datetime(2024, 3, 1, h, m)  # noqa: E731
+
+    base = time.time() - 3600
+    batches = [
+        # batch 0: a 2-event session for user 1 (gap 30min)
+        [(t(10, 0), 1, 1.0), (t(10, 5), 1, 1.0)],
+        # batch 1: far-future event — watermark jumps to 11:50
+        [(t(12, 0), 9, 0.0)],
+        # batch 2: spacer (state eviction commits, session emits)
+        [(t(12, 1), 9, 0.0)],
+        # batch 3: LATE event inside the closed session's span
+        [(t(10, 6), 1, 1.0)],
+        # batches 4-5: flush
+        [(t(20, 0), 9, 0.0)],
+        [(t(23, 0), 9, 0.0)],
+    ]
+    for i, rows in enumerate(batches):
+        _write_batch(spark, schema, src, rows, base + i)
+
+    stream = read_stream(
+        spark, src, spark.read.parquet(src).schema, fmt="parquet",
+        max_files_per_trigger=1,
+    )
+    sess = session_agg(
+        stream, "ts", keys=["user_id"], gap="30 minutes",
+        watermark="10 minutes",
+    )
+    q = run_to_memory(sess, "late_sess_audit")
+
+    assert dropped_late_rows(q) == 1
+    got = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in spark.table("late_sess_audit").collect()
+    }
+    # the closed session keeps its 2 events — the late 10:06 row
+    # neither extends nor re-opens it
+    assert got[(1, t(10, 0))] == 2
+    assert all(u != 1 or s == t(10, 0) for (u, s) in got)
