@@ -126,6 +126,38 @@ def ngrams_from_tokens(toks: Column, k: int) -> Column:
     )
 
 
+def hashed_ngrams_from_tokens(toks: Column, k: int) -> Column:
+    """64-bit xxhash64 identities of ALL positional k-token grams — the
+    equality-only replacement for :func:`ngrams_from_tokens` when
+    downstream consumes gram IDENTITY (join/group keys), never gram
+    text. Two wins over hashing the concatenated strings afterwards:
+    the k-1 zip-with levels fold ``xxhash64(acc, next_token_hash)``
+    instead of allocating O(n·k) intermediate concatenated strings,
+    and every exploded/shuffled gram is 8 bytes instead of ~8·k chars
+    (the jaccard_pairs hash-inside-the-array discipline, measured ~2x
+    there). Same trailing-slice construction as ngrams_from_tokens:
+    entries where the shift ran out are positionally sliced off, so
+    the null-vs-hash-skip semantics of xxhash64 never surface.
+    Collision risk is n²/2⁶⁴ over distinct grams — at a billion
+    distinct grams ~5e-2 spurious equalities TOTAL, each worth one
+    phantom shared-gram row: immaterial (and the precedent the
+    oracle-gated q19/q605 already ride)."""
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    if k == 1:
+        return th
+    n = F.size(toks)
+    arr = th
+    for j in range(1, k):
+        arr = F.zip_with(
+            arr,
+            F.slice(th, j + 1, F.greatest(n - j, F.lit(0))),
+            lambda a, b: F.xxhash64(a, b),
+        )
+    return F.when(n >= k, F.slice(arr, 1, n - k + 1)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
 def word_shingles(text: Column | str, k: int = 3) -> Column:
     """Distinct k-word shingles (the MinHash/Jaccard unit).
 

