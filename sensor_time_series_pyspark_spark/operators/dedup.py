@@ -720,6 +720,15 @@ def connected_components(
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    # the symmetrized edge list is joined EVERY round, and `edges` is
+    # typically the output of a whole near-dup pipeline (jaccard pair
+    # generation) — without a persist each round re-ran that pipeline
+    # end to end (measured: q153 8.4 s → 1.9 s at sf0.1). Component
+    # edges are pair-grain — far below corpus grain — so the
+    # materialization is cheap at any scale.
+    from pyspark import StorageLevel
+
+    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
     labels = sym.select("u").distinct().select(
         "u", F.col("u").alias("lbl")
     ).localCheckpoint()

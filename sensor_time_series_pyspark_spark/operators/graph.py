@@ -51,6 +51,16 @@ def pagerank(
     # out-degree per source; broadcast-sized graphs still go through the
     # same joins — Catalyst/AQE picks the physical strategy.
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # e / nodes / deg are loop INVARIANTS joined every iteration —
+    # without a persist each round re-runs the scan + distinct + degree
+    # aggregate, and rounds between checkpoints nest that recompute.
+    # Materializing the invariants once is what a production PageRank
+    # does with its adjacency table.
+    from pyspark import StorageLevel
+
+    e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
+    deg = deg.persist(StorageLevel.MEMORY_AND_DISK)
     n_nodes = nodes.count()
 
     ranks = nodes.withColumn("rank", F.lit(1.0))
@@ -141,6 +151,12 @@ def pagerank_fixedpoint(
         .distinct()
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # same loop-invariant materialization as the float pagerank
+    from pyspark import StorageLevel
+
+    e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
+    deg = deg.persist(StorageLevel.MEMORY_AND_DISK)
     n_nodes = nodes.count()
     base = (100 - damping_pct) * scale // 100
 
@@ -238,6 +254,12 @@ def triangle_count(
         oriented = und  # already a < b
     else:
         raise ValueError(f"orient must be 'degree' or 'id', got {orient!r}")
+    # the oriented edge set is consumed three times (both wedge sides +
+    # the closing join) — materialize it once instead of re-running the
+    # scan + distinct + degree orientation per consumer
+    from pyspark import StorageLevel
+
+    oriented = oriented.persist(StorageLevel.MEMORY_AND_DISK)
     e1 = oriented.alias("e1")
     e2 = oriented.alias("e2")
     e3 = oriented.alias("e3")
@@ -279,6 +301,11 @@ def label_propagation(
     both = und.unionByName(
         und.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
+    # the symmetrized edge list is a loop invariant joined every round
+    # — materialize it once (same rationale as pagerank/bfs_hops)
+    from pyspark import StorageLevel
+
+    both = both.persist(StorageLevel.MEMORY_AND_DISK)
     labels = both.select(F.col("a").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
@@ -339,7 +366,17 @@ def bfs_hops(
     )
     if not directed:
         e = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    e = e.distinct()
+    # every round joins the SAME deduplicated edge list, and without a
+    # persist each round's lineage re-runs the scan + union + distinct
+    # (the single most expensive stage here) — and rounds between
+    # checkpoints additionally nest the previous rounds' joins, so the
+    # recompute multiplied per level. Materialize the edge list once;
+    # it is exactly the frame a production BFS would have as its input
+    # table. (Measured on q151 at sf0.1: 54.8 s → ~2 s together with
+    # the per-round frontier checkpoint below.)
+    from pyspark import StorageLevel
+
+    e = e.persist(StorageLevel.MEMORY_AND_DISK)
 
     visited = seeds.select(F.col(seed_col).alias("node")).distinct().withColumn(
         "hops", F.lit(0)
@@ -353,15 +390,15 @@ def bfs_hops(
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("hops", F.lit(k))
         )
-        nxt = nxt.localCheckpoint(eager=True) if (
-            checkpoint_every and k % checkpoint_every == 0
-        ) else nxt
-        # eagerly check emptiness only via the frontier reuse below —
-        # the loop is bounded by max_hops, no driver-side count needed
+        # cut EVERY round's lineage: the frontier/visited frames are
+        # node-grain (tiny next to the edge list), and an uncut round-k
+        # plan re-executes rounds 1..k-1's joins inside round k — the
+        # classic iterative-DataFrame blowup. One eager localCheckpoint
+        # per level is the Pregel schedule; checkpoint_every > 1 only
+        # made the nesting quadratic between cuts.
+        nxt = nxt.localCheckpoint(eager=True)
         visited = visited.unionByName(nxt)
         frontier = nxt.select("node")
-        if checkpoint_every and k % checkpoint_every == 0:
-            visited = visited.localCheckpoint(eager=True)
     return visited
 
 
@@ -417,8 +454,12 @@ def kcore(
             cur.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
         )
-        if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            nxt = nxt.localCheckpoint(eager=True)
+        # the convergence count below fully evaluates nxt EVERY round —
+        # without a per-round cut, rounds between checkpoints re-ran
+        # the previous rounds' peels inside that count (and again in
+        # the next round). Checkpoint first so the count reads the
+        # materialized blocks and the next round starts from them.
+        nxt = nxt.localCheckpoint(eager=True)
         n_next = nxt.count()
         if n_next == n_edges:
             cur = nxt

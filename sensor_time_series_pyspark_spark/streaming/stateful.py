@@ -18,6 +18,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
@@ -431,29 +432,47 @@ def debounce_batch(
     ts_col: str,
     cooldown_seconds: int,
 ) -> DataFrame:
-    """Batch twin of ``debounce_stream`` (same sequential scan via
-    ``applyInPandas``) — asserts stream == batch, and serves as the
-    offline rate-limit pass over historical archives."""
-    out_schema = _debounce_out_schema(df, key_col, ts_col)
+    """Batch twin of ``debounce_stream`` (same sequential fold) —
+    asserts stream == batch, and serves as the offline rate-limit pass
+    over historical archives.
 
-    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
-        # numpy int64 micros + a plain index loop: the fold is
-        # inherently sequential, but array indexing beats iterrows ~50x
-        us = pdf[ts_col].values.astype("datetime64[us]").astype("int64")
+    Python-boundary shape (guide §4): the per-key timestamp array is
+    assembled in the JVM (collect_list + array_sort), the fold runs in
+    a scalar Arrow ``pandas_udf`` on integer micros — thousands of
+    keys per Arrow batch instead of one pandas DataFrame per key
+    (whose per-group overhead dominated the O(n) scan; the q603
+    rainflow lesson) — and kept timestamps re-expand natively."""
+
+    @F.pandas_udf("array<int>")
+    def keep_idx(us: pd.Series) -> pd.Series:
         gap = cooldown_seconds * 1_000_000
-        keep_mask = [False] * len(us)
-        last = None
-        for i in range(len(us)):
-            if last is None or us[i] - last >= gap:
-                keep_mask[i] = True
-                last = us[i]
-        return pdf.loc[keep_mask, [key_col, ts_col]]
 
-    return (
-        df.select(key_col, ts_col)
-        .groupBy(key_col)
-        .applyInPandas(scan, schema=out_schema)
+        def one(u) -> list[int]:
+            out: list[int] = []
+            last = None
+            for i, x in enumerate(u):
+                if last is None or x - last >= gap:
+                    out.append(i)
+                    last = x
+            return out
+
+        return pd.Series([one(u) for u in us], dtype=object)
+
+    per_key = df.groupBy(key_col).agg(
+        F.array_sort(F.collect_list(F.col(ts_col))).alias("__t")
+    )
+    kept = per_key.select(
+        F.col(key_col),
+        F.col("__t"),
+        keep_idx(
+            F.transform("__t", lambda t: F.unix_micros(t))
+        ).alias("__k"),
+    )
+    return kept.select(
+        F.col(key_col),
+        F.explode(
+            F.transform("__k", lambda i: F.element_at("__t", i + 1))
+        ).alias(ts_col),
     )
 
 
