@@ -38,21 +38,76 @@ def test_filter_pushdown_reaches_parquet(spark):
 
 
 def test_relational_queries_stay_jvm_side(spark):
-    """No Python evaluation (BatchEvalPython/ArrowEvalPython) in any
-    SQL-oracled query: UDFs are quarantined to the forecast/decode
-    paths. Allowlist: q124's banded-DP DTW kernel is a DECLARED
-    Arrow-batched Python kernel (operators/dtw.py) — its round-3
-    recursive-CTE oracle hash-gates the exact IEEE op order, so the
-    Python there is the semantics, not an accident."""
-    allow = {"q124_dtw_pairs"}
+    """No Python evaluation (BatchEvalPython/ArrowEvalPython/
+    FlatMapGroupsInPandas/MapInArrow) in any SQL-oracled query: UDFs
+    are quarantined to the forecast/decode paths. Allowlist — each
+    entry is a DECLARED sequential Python kernel whose recursive-CTE
+    oracle hash-gates the exact op order, so the Python IS the
+    semantics, not an accident:
+      - q124_dtw_pairs: banded-DP DTW (operators/dtw.py), round-3
+        oracle pins the IEEE cell order.
+      - q93_deadband / q130_debounce / q143_swinging_door: sequential
+        per-key compression folds (operators/compress.py,
+        streaming/stateful.py) — inherently order-dependent state
+        machines; one Arrow batch carries thousands of keys, the fold
+        is O(n) per key. Scale story: per-key series are bounded by
+        the retention window; the Arrow fold shuffles only (key,
+        packed series) once.
+      - q603_rainflow_cycles / q604_rainflow_damage: ASTM E1049
+        rainflow stack walk (operators/rainflow.py) — same Arrow-fold
+        shape, signatures aggregated inside Python, exploded in JVM.
+      - q37_decode_features / q159_frame_stats: the DECLARED binary
+        decode paths (mapInArrow over packed payload bytes) — the
+        oracle replays the identical decode; at scale this is the
+        guide-§8 "decode once in Arrow batches" discipline, the exact
+        opposite of an accidental UDF.
+    The compress/rainflow five were rewritten in round 10 from
+    applyInPandas (FlatMapGroupsInPandas — which this gate previously
+    did NOT match, a blind spot) to scalar Arrow folds
+    (ArrowEvalPython)."""
+    allow = {
+        "q124_dtw_pairs",
+        "q93_deadband",
+        "q130_debounce",
+        "q143_swinging_door",
+        "q603_rainflow_cycles",
+        "q604_rainflow_damage",
+        "q37_decode_features",
+        "q159_frame_stats",
+    }
+    # grouped-Python allowlist: FlatMapGroupsInPandas is matched
+    # separately so grouped Python can never hide from this gate again.
+    # Entries are the DECLARED per-entity sequential forecast
+    # recursions (ml/forecast.py): Holt / Holt-Winters / seasonal
+    # decomposition / EWMA control limits are order-dependent state
+    # recursions over one entity's bounded series; each has a
+    # recursive-CTE hash-gated oracle replaying the identical float
+    # recursion, so the Python is the semantics. Scale story: groups
+    # are entity-grain (bounded by retention), the exchange carries
+    # (entity, ts, value) only, and real per-group numeric work
+    # amortizes the per-group overhead — measured ≤ seconds in the
+    # full-registry screen (OPTIMIZATION_r10.md).
+    allow_grouped = {
+        "q24_holt_forecast",
+        "q26_seasonal_decompose",
+        "q50_ewma_anomaly",
+        "q300_holt_winters",
+    }
+    markers = ("BatchEvalPython", "ArrowEvalPython", "MapInArrow",
+               "MapInPandas")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    python_free = [n for n in qs if n in oracles and n not in allow]
     offenders = []
-    for name in python_free:
+    for name in qs:
+        if name not in oracles:
+            continue
         plan = plan_of(qs[name](spark, SF))
-        if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
+        if name not in allow and any(m in plan for m in markers):
             offenders.append(name)
+        if name not in allow_grouped and name not in allow and (
+            "FlatMapGroupsInPandas" in plan
+        ):
+            offenders.append(f"{name} (grouped)")
     assert not offenders, f"Python in relational plans: {offenders}"
 
 
