@@ -1,14 +1,15 @@
-"""Round-10 optimization probe: capture `.explain("formatted")` and
-isolated noop-sink timings (bench.py methodology: best-of-N on a warm
-JVM) for a set of queries.
+"""Optimization probe: capture `.explain("formatted")` and isolated
+noop-sink timings (bench.py methodology: best-of-N on a warm JVM) for
+a set of queries.
 
 Usage:
-  python scripts/opt_probe.py plans  <tag> [names...]   # write plans/r10/<name>_<tag>.txt
+  python scripts/opt_probe.py plans  <tag> [names...]   # write plans/<round>/<name>_<tag>.txt
   python scripts/opt_probe.py time   [names...]         # print per-query best-of-N secs
   python scripts/opt_probe.py both   <tag> [names...]
 
 Data dir from $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1);
-core count from $SPARK_GRAFT_CPUS — same contract as bench.py.
+core count from $SPARK_GRAFT_CPUS — same contract as bench.py. Plans
+land in plans/$SPARK_GRAFT_PLANS_ROUND (default r11).
 """
 
 from __future__ import annotations
@@ -25,7 +26,11 @@ from sensor_time_series_pyspark_spark.queries import QUERIES
 from sensor_time_series_pyspark_spark.session import get_spark
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-PLANS_DIR = os.path.join(ROOT, "plans", "r10")
+PLANS_DIR = os.path.join(
+    ROOT, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r11")
+)
+
+USAGE = __doc__
 
 
 def fmt_plan(df) -> str:
@@ -35,17 +40,29 @@ def fmt_plan(df) -> str:
 
 
 def main() -> int:
+    if len(sys.argv) < 2 or sys.argv[1] not in ("plans", "time", "both"):
+        print(USAGE)
+        return 2
     mode = sys.argv[1]
     if mode in ("plans", "both"):
+        if len(sys.argv) < 3:
+            print(USAGE)
+            return 2
         tag = sys.argv[2]
         names = sys.argv[3:] or list(BENCH_QUERIES)
     else:
         tag = None
         names = sys.argv[2:] or list(BENCH_QUERIES)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark("opt_probe")
     qs = dict(QUERIES)
+    unknown = [n for n in names if n not in qs]
     names = [n for n in names if n in qs]
+    if unknown:
+        print(f"unknown queries skipped: {unknown}")
+    if not names:
+        print("no known queries requested; nothing to do")
+        return 2
+    spark = get_spark("opt_probe")
 
     if mode in ("plans", "both"):
         os.makedirs(PLANS_DIR, exist_ok=True)

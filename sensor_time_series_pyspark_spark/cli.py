@@ -91,14 +91,25 @@ def bench_main() -> None:
     # the minimum is the steady-state cost of the plan itself.
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5")))
     timings: dict[str, float] = {}
+    # measurement-fidelity companion (round 11, VERDICT r10 #4/#6):
+    # repeat 1 runs with a clear cache, so for queries that persist an
+    # internal frame (q19's inverted index, q581's valved inventory)
+    # it is the COLD cost including the persist build, while the
+    # best-of-N min reports the steady-state warm-cache plan cost.
+    # Both are published; `queries` keeps its historical meaning so
+    # round-over-round comparisons stay valid (additions-only change).
+    cold: dict[str, float] = {}
     for name in names:
         best = float("inf")
-        for _ in range(repeats):
+        for i in range(repeats):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            if i == 0:
+                cold[name] = round(dt, 3)
+            best = min(best, dt)
         timings[name] = round(best, 3)
         # drop persisted frames a query may have left behind (e.g. the
         # jaccard inverted index): leaked cache entries accumulate
@@ -121,6 +132,7 @@ def bench_main() -> None:
                 "core13": core13,
                 "unit": "sec",
                 "queries": timings,
+                "queries_cold": cold,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "load1": load1,
             }

@@ -61,48 +61,60 @@ def pagerank(
     e = e.persist(StorageLevel.MEMORY_AND_DISK)
     nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
     deg = deg.persist(StorageLevel.MEMORY_AND_DISK)
-    n_nodes = nodes.count()
+    try:
+        n_nodes = nodes.count()
 
-    ranks = nodes.withColumn("rank", F.lit(1.0))
-    for i in range(n_iter):
-        with_deg = ranks.join(
-            deg, ranks["node"] == deg["src"], "left"
-        ).select(
-            ranks["node"], "rank", F.col("deg")
-        )
-        # mass from dangling nodes, spread uniformly — kept INSIDE the
-        # plan as a one-row broadcast (a per-round collect() would run
-        # a full extra job per iteration and force lineage recompute
-        # between checkpoints; measured ~2x on the whole operator)
-        dangling = with_deg.where(F.col("deg").isNull()).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__m")
-        )
-        contribs = (
-            with_deg.where(F.col("deg").isNotNull())
-            .join(e, with_deg["node"] == e["src"])
-            .select(
-                F.col("dst").alias("node"),
-                (F.col("rank") / F.col("deg")).alias("c"),
+        ranks = nodes.withColumn("rank", F.lit(1.0))
+        for i in range(n_iter):
+            with_deg = ranks.join(
+                deg, ranks["node"] == deg["src"], "left"
+            ).select(
+                ranks["node"], "rank", F.col("deg")
             )
-            .groupBy("node")
-            .agg(F.sum("c").alias("c"))
-        )
-        base = (
-            F.lit(1.0 - damping)
-            + F.lit(damping) * F.col("__m") / F.lit(float(n_nodes))
-        )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    base + F.lit(damping) * F.coalesce("c", F.lit(0.0))
-                ).alias("rank"),
+            # mass from dangling nodes, spread uniformly — kept INSIDE
+            # the plan as a one-row broadcast (a per-round collect()
+            # would run a full extra job per iteration and force
+            # lineage recompute between checkpoints; measured ~2x on
+            # the whole operator)
+            dangling = with_deg.where(F.col("deg").isNull()).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__m")
             )
-        )
-        if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=True)
+            contribs = (
+                with_deg.where(F.col("deg").isNotNull())
+                .join(e, with_deg["node"] == e["src"])
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.col("rank") / F.col("deg")).alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").alias("c"))
+            )
+            base = (
+                F.lit(1.0 - damping)
+                + F.lit(damping) * F.col("__m") / F.lit(float(n_nodes))
+            )
+            ranks = (
+                nodes.join(contribs, "node", "left")
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "node",
+                    (
+                        base + F.lit(damping) * F.coalesce("c", F.lit(0.0))
+                    ).alias("rank"),
+                )
+            )
+            if checkpoint_every and (i + 1) % checkpoint_every == 0:
+                ranks = ranks.localCheckpoint(eager=True)
+        # materialize the result BEFORE releasing the loop invariants
+        # (its lineage still references them when the final rounds fall
+        # between checkpoints)
+        ranks = ranks.localCheckpoint(eager=True)
+    finally:
+        # the invariants are CacheManager entries, not GC-reclaimed —
+        # without this a long-lived session invoking graph operators
+        # repeatedly accumulates executor memory/disk blocks
+        for fr in (e, nodes, deg):
+            fr.unpersist()
     return ranks
 
 
@@ -157,41 +169,48 @@ def pagerank_fixedpoint(
     e = e.persist(StorageLevel.MEMORY_AND_DISK)
     nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
     deg = deg.persist(StorageLevel.MEMORY_AND_DISK)
-    n_nodes = nodes.count()
-    base = (100 - damping_pct) * scale // 100
+    try:
+        n_nodes = nodes.count()
+        base = (100 - damping_pct) * scale // 100
 
-    ranks = nodes.withColumn("r", F.lit(scale).cast("long"))
-    for i in range(n_iter):
-        with_deg = ranks.join(
-            deg, ranks["node"] == deg["src"], "left"
-        ).select(ranks["node"], "r", F.col("deg"))
-        dangling = with_deg.where(F.col("deg").isNull()).agg(
-            F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("__dm")
-        )
-        contribs = (
-            with_deg.where(F.col("deg").isNotNull())
-            .join(e, with_deg["node"] == e["src"])
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("r div deg").alias("c"),
+        ranks = nodes.withColumn("r", F.lit(scale).cast("long"))
+        for i in range(n_iter):
+            with_deg = ranks.join(
+                deg, ranks["node"] == deg["src"], "left"
+            ).select(ranks["node"], "r", F.col("deg"))
+            dangling = with_deg.where(F.col("deg").isNull()).agg(
+                F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("__dm")
             )
-            .groupBy("node")
-            .agg(F.sum("c").cast("long").alias("c"))
-        )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                F.expr(
-                    f"CAST({base} AS BIGINT) + ({damping_pct}"
-                    f" * (coalesce(c, CAST(0 AS BIGINT))"
-                    f" + __dm div {n_nodes})) div 100"
-                ).alias("r"),
+            contribs = (
+                with_deg.where(F.col("deg").isNotNull())
+                .join(e, with_deg["node"] == e["src"])
+                .select(
+                    F.col("dst").alias("node"),
+                    F.expr("r div deg").alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").cast("long").alias("c"))
             )
-        )
-        if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = (
+                nodes.join(contribs, "node", "left")
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "node",
+                    F.expr(
+                        f"CAST({base} AS BIGINT) + ({damping_pct}"
+                        f" * (coalesce(c, CAST(0 AS BIGINT))"
+                        f" + __dm div {n_nodes})) div 100"
+                    ).alias("r"),
+                )
+            )
+            if checkpoint_every and (i + 1) % checkpoint_every == 0:
+                ranks = ranks.localCheckpoint(eager=True)
+        # materialize before releasing the loop invariants (same
+        # contract as pagerank)
+        ranks = ranks.localCheckpoint(eager=True)
+    finally:
+        for fr in (e, nodes, deg):
+            fr.unpersist()
     return ranks.select(
         "node",
         F.col("r").alias("rank_fp"),
@@ -260,16 +279,25 @@ def triangle_count(
     from pyspark import StorageLevel
 
     oriented = oriented.persist(StorageLevel.MEMORY_AND_DISK)
-    e1 = oriented.alias("e1")
-    e2 = oriented.alias("e2")
-    e3 = oriented.alias("e3")
-    wedges = e1.join(e2, F.col("e1.b") == F.col("e2.a")).select(
-        F.col("e1.a").alias("x"), F.col("e2.b").alias("z")
-    )
-    closed = wedges.join(
-        e3, (F.col("x") == F.col("e3.a")) & (F.col("z") == F.col("e3.b"))
-    )
-    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    try:
+        e1 = oriented.alias("e1")
+        e2 = oriented.alias("e2")
+        e3 = oriented.alias("e3")
+        wedges = e1.join(e2, F.col("e1.b") == F.col("e2.a")).select(
+            F.col("e1.a").alias("x"), F.col("e2.b").alias("z")
+        )
+        closed = wedges.join(
+            e3, (F.col("x") == F.col("e3.a")) & (F.col("z") == F.col("e3.b"))
+        )
+        # materialize the 1-row count so the oriented edge cache can be
+        # released before returning (CacheManager entries outlive the
+        # call otherwise)
+        out = closed.agg(F.count(F.lit(1)).alias("n_triangles")).localCheckpoint(
+            eager=True
+        )
+    finally:
+        oriented.unpersist()
+    return out
 
 
 def label_propagation(
@@ -306,26 +334,33 @@ def label_propagation(
     from pyspark import StorageLevel
 
     both = both.persist(StorageLevel.MEMORY_AND_DISK)
-    labels = both.select(F.col("a").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    )
-    for i in range(n_iter):
-        votes = (
-            both.join(labels, both["b"] == labels["node"])
-            .select(both["a"].alias("node"), "label")
-            .groupBy("node", "label")
-            .agg(F.count(F.lit(1)).alias("n"))
+    try:
+        labels = both.select(F.col("a").alias("node")).distinct().withColumn(
+            "label", F.col("node")
         )
-        # most frequent neighbor label, smallest label on ties:
-        # min_by over (-n, label) — one aggregate, no window sort.
-        # Negating n (always a bigint count) instead of the label keeps
-        # the tiebreak type-agnostic: string / date / any orderable
-        # node-id type works, where -label would be an ANSI cast error.
-        labels = votes.groupBy("node").agg(
-            F.expr("min_by(label, struct(-n, label))").alias("label")
-        )
-        if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            labels = labels.localCheckpoint(eager=True)
+        for i in range(n_iter):
+            votes = (
+                both.join(labels, both["b"] == labels["node"])
+                .select(both["a"].alias("node"), "label")
+                .groupBy("node", "label")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            # most frequent neighbor label, smallest label on ties:
+            # min_by over (-n, label) — one aggregate, no window sort.
+            # Negating n (always a bigint count) instead of the label
+            # keeps the tiebreak type-agnostic: string / date / any
+            # orderable node-id type works, where -label would be an
+            # ANSI cast error.
+            labels = votes.groupBy("node").agg(
+                F.expr("min_by(label, struct(-n, label))").alias("label")
+            )
+            if checkpoint_every and (i + 1) % checkpoint_every == 0:
+                labels = labels.localCheckpoint(eager=True)
+        # materialize before releasing the symmetrized edge cache (the
+        # final rounds' lineage references it between checkpoints)
+        labels = labels.localCheckpoint(eager=True)
+    finally:
+        both.unpersist()
     return labels
 
 
@@ -358,6 +393,11 @@ def bfs_hops(
     is the only frame that grows transiently, and it is bounded by the
     per-level reachable set, never the full edge list.
 
+    ``checkpoint_every`` is DEPRECATED and ignored: every level is
+    eagerly checkpointed (round 10 — any sparser cadence nests the
+    between-checkpoint rounds quadratically). Kept for signature
+    compatibility only.
+
     Output: node, hops (0 for seeds).
     """
     e = (
@@ -377,28 +417,34 @@ def bfs_hops(
     from pyspark import StorageLevel
 
     e = e.persist(StorageLevel.MEMORY_AND_DISK)
-
-    visited = seeds.select(F.col(seed_col).alias("node")).distinct().withColumn(
-        "hops", F.lit(0)
-    )
-    frontier = visited.select("node")
-    for k in range(1, max_hops + 1):
-        nxt = (
-            e.join(frontier, e["a"] == frontier["node"])
-            .select(F.col("b").alias("node"))
-            .distinct()
-            .join(visited.select("node"), "node", "left_anti")
-            .withColumn("hops", F.lit(k))
+    try:
+        visited = seeds.select(F.col(seed_col).alias("node")).distinct().withColumn(
+            "hops", F.lit(0)
         )
-        # cut EVERY round's lineage: the frontier/visited frames are
-        # node-grain (tiny next to the edge list), and an uncut round-k
-        # plan re-executes rounds 1..k-1's joins inside round k — the
-        # classic iterative-DataFrame blowup. One eager localCheckpoint
-        # per level is the Pregel schedule; checkpoint_every > 1 only
-        # made the nesting quadratic between cuts.
-        nxt = nxt.localCheckpoint(eager=True)
-        visited = visited.unionByName(nxt)
-        frontier = nxt.select("node")
+        frontier = visited.select("node")
+        for k in range(1, max_hops + 1):
+            nxt = (
+                e.join(frontier, e["a"] == frontier["node"])
+                .select(F.col("b").alias("node"))
+                .distinct()
+                .join(visited.select("node"), "node", "left_anti")
+                .withColumn("hops", F.lit(k))
+            )
+            # cut EVERY round's lineage: the frontier/visited frames
+            # are node-grain (tiny next to the edge list), and an uncut
+            # round-k plan re-executes rounds 1..k-1's joins inside
+            # round k — the classic iterative-DataFrame blowup. One
+            # eager localCheckpoint per level is the Pregel schedule;
+            # checkpoint_every > 1 only made the nesting quadratic
+            # between cuts.
+            nxt = nxt.localCheckpoint(eager=True)
+            visited = visited.unionByName(nxt)
+            frontier = nxt.select("node")
+    finally:
+        # `visited` is a union of eagerly checkpointed levels + the
+        # seed frame — its lineage never references the edge cache, so
+        # it can be released without a final materialization
+        e.unpersist()
     return visited
 
 
@@ -423,6 +469,11 @@ def kcore(
     and the loop exits early, with ``max_rounds`` as the lineage
     bound. localCheckpoint cuts the iterative plan like pagerank /
     connected_components.
+
+    ``checkpoint_every`` is DEPRECATED and ignored: every peel round
+    is eagerly checkpointed (round 10 — the convergence count fully
+    evaluates each round anyway, so sparser cadences re-ran previous
+    peels inside it). Kept for signature compatibility only.
 
     Output: (node, degree) for nodes in the k-core, with their degree
     WITHIN the core (>= k by construction).

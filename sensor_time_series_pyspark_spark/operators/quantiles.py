@@ -154,26 +154,37 @@ def weighted_median(
     Weights accumulate as exact decimals (order-independent), and the
     half-total comparison is ``2*cumw >= total`` in decimal arithmetic —
     no division, no doubles, so any engine reproduces the selection
-    bit-for-bit. ``tiebreak_cols`` must make the sort within
-    (value, ties) total for deterministic cumulative sums; the SELECTED
-    value is tie-insensitive, but a total order is still required for
-    the first-qualifying-row pick.
+    bit-for-bit.
 
-    One shuffle on ``by`` (window sort + the min aggregate reuse it).
-    Output: [*by], w_median.
+    Shape (guide §2.3): weights are pre-aggregated to the
+    (group, value) grain FIRST — the per-group window then sorts the
+    reduced two-column support frame, not full-width input rows. The
+    selected value is identical: a value qualifies iff the cumulative
+    weight at the END of its run reaches half the total, which is
+    exactly the per-value aggregated cumulative sum. (The old shape
+    ran the cumulative window over raw rows ordered by
+    (value, tiebreak) and dragged every input column through the
+    per-group sort — 13.6 s at sf0.1 on 3-partition skew; the value
+    grain cuts both the row count and the row width.)
+    ``tiebreak_cols`` is retained for API compatibility but no longer
+    needed: the (group, value) grain is already a total order.
+
+    Two narrow shuffles: the (group, value) partial+final aggregate,
+    then the per-group window + min reusing one hashpartitioning(by)
+    exchange. Output: [*by], w_median.
     """
     wdec = F.col(weight_col).cast("decimal(28,6)")
-    order = [F.col(value_col).asc(), *[F.col(c).asc() for c in tiebreak_cols]]
     keys = [F.col(k) for k in by]
+    pre = df.groupBy(*by, value_col).agg(F.sum(wdec).alias("__w"))
     cum = (
         Window.partitionBy(*keys)
-        .orderBy(*order)
+        .orderBy(F.col(value_col).asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     tot = Window.partitionBy(*keys)
     qualified = (
-        df.withColumn("__cumw", F.sum(wdec).over(cum))
-        .withColumn("__totw", F.sum(wdec).over(tot))
+        pre.withColumn("__cumw", F.sum("__w").over(cum))
+        .withColumn("__totw", F.sum("__w").over(tot))
         .where(F.col("__cumw") * 2 >= F.col("__totw"))
     )
     return qualified.groupBy(*by).agg(F.min(value_col).alias(out_col))

@@ -246,16 +246,27 @@ def _q_record_linkage(spark: SparkSession, sf: str) -> DataFrame:
     )
     cand = c.join(dirty, c["c_nationkey"] == dirty["d_nation"])
     lev = F.levenshtein(F.col("c_name"), F.col("d_name"))
+    bal_ok = F.abs(F.col("c_acctbal") - F.col("d_bal")) <= 10.0
     score = (
         F.when(lev <= 2, 2).otherwise(0)
-        + F.when(F.abs(F.col("c_acctbal") - F.col("d_bal")) <= 10.0, 1).otherwise(0)
+        + F.when(bal_ok, 1).otherwise(0)
     )
-    pairs = cand.select(
-        "c_custkey",
-        "d_key",
-        lev.alias("name_dist"),
-        score.alias("match_score"),
-    ).where(F.col("match_score") >= 3)
+    # match_score >= 3 requires BOTH agreements (2 + 1 is the only way
+    # to reach 3), so filter with the cheap balance compare FIRST and
+    # short-circuit the O(len²) levenshtein DP to the ~0.2% of blocked
+    # pairs that survive it (And is evaluated left-to-right in codegen;
+    # the old shape computed levenshtein inside the score projection
+    # for every candidate pair — 26 s at sf0.1). The score expression
+    # is then re-derived only for surviving rows — identical output.
+    pairs = (
+        cand.where(bal_ok & (lev <= 2))
+        .select(
+            "c_custkey",
+            "d_key",
+            lev.alias("name_dist"),
+            score.alias("match_score"),
+        )
+    )
     return pairs
 
 
@@ -1208,38 +1219,104 @@ def _q_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
     reps = exact_dedup(docs, "text", "doc_id").select(
         F.col("doc_id").alias("id"), F.col("text")
     )
-    toks = reps.select(
-        "id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(
-                    F.lit(1),
-                    F.greatest(F.size(tokens("text")) - 1, F.lit(0)),
-                ),
-                lambda i: F.array_join(F.slice(tokens("text"), i, 2), " "),
-            )
-        ).alias("tok"),
-    ).where(F.size("tok") > 0)
-    inv = toks.select(
-        "id", F.size("tok").alias("n_tok"), F.explode("tok").alias("token")
+    # shingle-hash discipline (the q19/q581/q588 precedent): 2-grams
+    # ride as xxhash64 bigints, never as strings — intersection counts
+    # are identical modulo the documented n²/2⁶⁴ collision risk
+    toks = (
+        reps.select(
+            "id",
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(F.size(tokens("text")) - 1, F.lit(0)),
+                    ),
+                    lambda i: F.xxhash64(
+                        F.array_join(F.slice(tokens("text"), i, 2), " ")
+                    ),
+                )
+            ).alias("tok"),
+        )
+        .where(F.size("tok") > 0)
+        .withColumn("n_tok", F.size("tok"))
     )
-    a = inv.select(
-        F.col("id").alias("id_a"), F.col("n_tok").alias("n_a"), "token"
+    # the hashed-gram arrays feed the inverted index AND both exact-
+    # verify sides — materialize them once (guide §5)
+    from pyspark import StorageLevel
+
+    toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
+    inv = toks.select("id", "n_tok", F.explode("tok").alias("token"))
+    # --- prefix filter (LOSSLESS; PPJoin overlap bound) --------------
+    # C(pair) = inter / min(n_a, n_b) >= t needs inter >= t·m for the
+    # SMALLER set (size m). Order every doc's shingles by one global
+    # canonical order (rarest-first: ascending document frequency,
+    # token tiebreak); if the smaller doc's first m - ceil(t·m) + 1
+    # shingles (its prefix) miss the other doc entirely, the overlap
+    # fits inside the remaining ceil(t·m) - 1 < t·m shingles — so
+    # every qualifying pair joins on prefix(smaller) × full(larger).
+    # The old full-index join generated Σ_token df² candidate rows
+    # (40 s at sf0.1); the prefix postings are the rare tokens.
+    # Candidates are then verified EXACTLY via array_intersect on the
+    # full shingle arrays — no recall loss, identical output.
+    dfreq = inv.groupBy("token").agg(F.count(F.lit(1)).alias("__df"))
+    w_rank = Window.partitionBy("id").orderBy(
+        F.col("__df").asc(), F.col("token").asc()
     )
-    b = inv.select(
-        F.col("id").alias("id_b"), F.col("n_tok").alias("n_b"), "token"
+    pre = (
+        inv.join(dfreq, "token")
+        .withColumn("__rn", F.row_number().over(w_rank))
+        .where(
+            F.col("__rn")
+            <= F.col("n_tok") - F.ceil(F.col("n_tok") * F.lit(0.5)) + 1
+        )
+        .select("id", "n_tok", "token")
     )
-    pairs = (
-        a.join(b, "token")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    cand = (
+        pre.select(
+            F.col("id").alias("id_s"), F.col("n_tok").alias("n_s"), "token"
+        )
+        .join(
+            inv.select(
+                F.col("id").alias("id_l"), F.col("n_tok").alias("n_l"), "token"
+            ),
+            "token",
+        )
+        .where(
+            (F.col("n_s") < F.col("n_l"))
+            | ((F.col("n_s") == F.col("n_l")) & (F.col("id_s") < F.col("id_l")))
+        )
+        .select(
+            F.least("id_s", "id_l").alias("id_a"),
+            F.greatest("id_s", "id_l").alias("id_b"),
+        )
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            toks.select(
+                F.col("id").alias("id_a"),
+                F.col("tok").alias("ta"),
+                F.col("n_tok").alias("n_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            toks.select(
+                F.col("id").alias("id_b"),
+                F.col("tok").alias("tb"),
+                F.col("n_tok").alias("n_b"),
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "inter", F.size(F.array_intersect("ta", "tb")).cast("bigint")
+        )
     )
     cont = (
         F.col("inter").cast("double")
         / F.least("n_a", "n_b").cast("double")
     )
-    return pairs.select(
+    return verified.select(
         "id_a", "id_b", "inter", cont.alias("containment")
     ).where(F.col("containment") >= 0.5)
 

@@ -699,6 +699,14 @@ def _q_clustering_coeff(spark: SparkSession, sf: str) -> DataFrame:
         .select("u", "v")
         .distinct()
     )
+    # the co-engagement edge set is the expensive frame here (group
+    # self-join + distinct) and it feeds BOTH the triad degree sum and
+    # the triangle count — materialize it once instead of re-running
+    # the self-join per consumer (guide §5; it was re-computed 4x:
+    # deg + both wedge sides + the closing semi-join)
+    from pyspark import StorageLevel
+
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     deg = (
         edges.select(F.col("u").alias("n"))
         .unionByName(edges.select(F.col("v").alias("n")))
@@ -708,16 +716,17 @@ def _q_clustering_coeff(spark: SparkSession, sf: str) -> DataFrame:
     triads = deg.agg(
         F.expr("sum((d * (d - 1)) div 2)").cast("bigint").alias("triads")
     )
-    # compact-forward: orient edges low->high, join wedges u<v<w
-    e1 = edges.select(F.col("u").alias("x"), F.col("v").alias("y"))
-    e2 = edges.select(F.col("u").alias("y2"), F.col("v").alias("z"))
-    wedges = e1.join(e2, F.col("y") == F.col("y2")).select("x", "y", "z")
-    closed = wedges.join(
-        edges.select(F.col("u").alias("x"), F.col("v").alias("z")),
-        ["x", "z"],
-        "left_semi",
+    # degree-oriented compact-forward triangle count (operators/
+    # graph.py:triangle_count): id-orientation let co-engagement hubs
+    # (one user in a dense day-group) fan the wedge join out
+    # quadratically; (degree, id) orientation caps per-node wedge
+    # fan-out at O(sqrt(m)) — the count itself is orientation-invariant
+    # so the oracle is untouched.
+    from sensor_time_series_pyspark_spark.operators import triangle_count
+
+    tri = triangle_count(edges, src_col="u", dst_col="v", orient="degree").select(
+        F.col("n_triangles").alias("triangles")
     )
-    tri = closed.agg(F.count(F.lit(1)).alias("triangles"))
     j = tri.crossJoin(triads)
     return j.select(
         "triangles",

@@ -1218,44 +1218,64 @@ def _q_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
     vc = ev.groupBy("event_type", "value").agg(
         F.count(F.lit(1)).alias("c")
     )
-    a = vc.select(
-        F.col("event_type").alias("ta"), F.col("value").alias("v"), F.col("c").alias("ca")
+    # Stack each type's support once per OTHER type (constant-key
+    # broadcast hash join onto the tiny distinct-type frame — never an
+    # inequality join: the old `vb < v` formulation planned a
+    # BroadcastNestedLoopJoin that compared every support row against
+    # every other, O(|support|²) — 222 s at sf0.1). Grouping the stack
+    # to the per-(pair, value) grain and running ONE cumulative-sum
+    # window per pair computes cntLessB in O(|support| · n_types).
+    types = vc.select(F.col("event_type").alias("t2")).distinct()
+    # the stack key is a constant-0 EQUI key derived from the row
+    # (pmod(xxhash64(...), 1)) — a literal key would constant-fold to
+    # `true` and plan the BroadcastNestedLoopJoin this rewrite removes;
+    # a per-row expression keeps ExtractEquiJoinKeys engaged, so the
+    # fan-out is a BroadcastHashJoin probe of the 5-row type table
+    k = lambda c: F.pmod(F.xxhash64(F.coalesce(c, F.lit(""))), F.lit(1))
+    st = (
+        vc.withColumn("__k", k(F.col("event_type")))
+        .join(
+            F.broadcast(types.withColumn("__k", k(F.col("t2")))), "__k"
+        )
+        .where(F.col("event_type") != F.col("t2"))
     )
-    b = vc.select(
-        F.col("event_type").alias("tb"), F.col("value").alias("vb"), F.col("c").alias("cb")
-    )
-    # cntLessB via join on vb < v aggregated — expressed as a window
-    # over the union support per pair would need densification; the
-    # direct conditional join stays on the reduced support frame
-    less = (
-        a.join(b, (F.col("ta") < F.col("tb")) & (F.col("vb") < F.col("v")))
-        .groupBy("ta", "tb", "v", "ca")
-        .agg(F.sum("cb").alias("less_b"))
-    )
-    eq = (
-        a.join(b, F.col("ta") < F.col("tb"))
-        .where(F.col("v") == F.col("vb"))
-        .select("ta", "tb", "v", "cb")
-    )
-    contrib = (
-        a.join(b, F.col("ta") < F.col("tb"))
-        .where(F.col("v") == F.col("vb"))
-        .select("ta", "tb", "v", "ca", F.col("cb").alias("eq_b"))
-        .join(less.select("ta", "tb", "v", "less_b"), ["ta", "tb", "v"], "left")
-        .na.fill({"less_b": 0})
-    )
-    # rows of A with no equal B value still contribute via less_b only
-    only_less = (
-        less.join(eq, ["ta", "tb", "v"], "left_anti")
-        .select("ta", "tb", "v", "ca", F.lit(0).alias("eq_b"), "less_b")
-    )
-    allc = contrib.select(
-        "ta", "tb", "ca", "eq_b", "less_b"
-    ).unionByName(only_less.select("ta", "tb", "ca", "eq_b", "less_b"))
-    u2 = allc.groupBy("ta", "tb").agg(
+    grid = st.groupBy(
+        F.least("event_type", "t2").alias("ta"),
+        F.greatest("event_type", "t2").alias("tb"),
+        F.col("value").alias("v"),
+    ).agg(
         F.sum(
-            F.col("ca") * (F.lit(2) * F.col("less_b") + F.col("eq_b"))
-        ).alias("u2")
+            F.when(F.col("event_type") < F.col("t2"), F.col("c")).otherwise(
+                F.lit(0)
+            )
+        ).alias("ca"),
+        F.sum(
+            F.when(F.col("event_type") > F.col("t2"), F.col("c")).otherwise(
+                F.lit(0)
+            )
+        ).alias("cb"),
+    )
+    w_less = (
+        Window.partitionBy("ta", "tb")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = grid.withColumn(
+        "less_b", F.coalesce(F.sum("cb").over(w_less), F.lit(0))
+    )
+    # rows with ca = 0 (values present only in B) contribute 0 exactly
+    # like the old formulation's absent rows; pairs whose every A value
+    # has no B value at-or-below it summed to an empty frame before —
+    # the u2 > 0 filter reproduces that presence rule bit-for-bit
+    # (any eq/less hit forces u2 >= 1; see the oracle's contrib CTE).
+    u2 = (
+        contrib.groupBy("ta", "tb")
+        .agg(
+            F.sum(
+                F.col("ca") * (F.lit(2) * F.col("less_b") + F.col("cb"))
+            ).alias("u2")
+        )
+        .where(F.col("u2") > 0)
     )
     sizes = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     na = sizes.select(F.col("event_type").alias("ta"), F.col("n").alias("na"))

@@ -773,10 +773,23 @@ def _q_xcorr_lag(spark: SparkSession, sf: str) -> DataFrame:
     p = daily.where(F.col("event_type") == "purchase").select(
         F.col("d").alias("pd"), F.col("n").alias("y")
     )
-    outs = []
-    for lag in range(-3, 4):
-        j = c.join(p, F.date_add(F.col("cd"), lag) == F.col("pd"))
-        agg = j.agg(
+    # ONE equi-join over all seven lags: explode the lag range onto the
+    # click side (date_add(cd, lag) is the shifted key) and group the
+    # integer moments by lag. The old per-lag loop unioned seven
+    # independent join subtrees, and every subtree re-ran the events
+    # scan + daily aggregate for BOTH sides — 14 full scans of the raw
+    # table for a day-grain result (23 s at sf0.1). The 7-row lag
+    # spine left-joins the aggregate so a zero-match lag still emits
+    # its (m=0, xcorr NULL) row exactly like the old global agg.
+    lagged = c.select(
+        "x",
+        F.explode(F.sequence(F.lit(-3), F.lit(3))).alias("lag_days"),
+        F.col("cd"),
+    ).select("x", "lag_days", F.expr("date_add(cd, lag_days)").alias("pd"))
+    agg = (
+        lagged.join(p, "pd")
+        .groupBy("lag_days")
+        .agg(
             F.count(F.lit(1)).cast("bigint").alias("m"),
             F.sum("x").cast("bigint").alias("sx"),
             F.sum("y").cast("bigint").alias("sy"),
@@ -784,26 +797,26 @@ def _q_xcorr_lag(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sx2"),
             F.sum(F.col("y") * F.col("y")).cast("bigint").alias("sy2"),
         )
-        num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
-            "double"
-        )
-        va = (F.col("m") * F.col("sx2") - F.col("sx") * F.col("sx")).cast(
-            "double"
-        )
-        vb = (F.col("m") * F.col("sy2") - F.col("sy") * F.col("sy")).cast(
-            "double"
-        )
-        outs.append(
-            agg.select(
-                F.lit(lag).cast("int").alias("lag_days"),
-                F.col("m").alias("n_days"),
-                (num / (F.sqrt(va) * F.sqrt(vb))).alias("xcorr"),
-            )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    )
+    spine = spark.range(-3, 4).select(F.col("id").cast("int").alias("lag_days"))
+    num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    va = (F.col("m") * F.col("sx2") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    vb = (F.col("m") * F.col("sy2") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return spine.join(
+        agg.withColumn("lag_days", F.col("lag_days").cast("int")),
+        "lag_days",
+        "left",
+    ).select(
+        F.col("lag_days").cast("int").alias("lag_days"),
+        F.coalesce(F.col("m"), F.lit(0)).cast("bigint").alias("n_days"),
+        (num / (F.sqrt(va) * F.sqrt(vb))).alias("xcorr"),
+    )
 
 
 def _q_granger(spark: SparkSession, sf: str) -> DataFrame:

@@ -441,7 +441,15 @@ def debounce_batch(
     a scalar Arrow ``pandas_udf`` on integer micros — thousands of
     keys per Arrow batch instead of one pandas DataFrame per key
     (whose per-group overhead dominated the O(n) scan; the q603
-    rainflow lesson) — and kept timestamps re-expand natively."""
+    rainflow lesson) — and kept timestamps re-expand natively.
+
+    NULL-timestamp contract (deliberate): rows with a NULL timestamp
+    are dropped up front, so a key whose timestamps are ALL NULL is
+    absent from the output. (collect_list already skipped NULLs; the
+    explicit filter makes the behavior a documented contract rather
+    than an aggregate side effect. The pre-round-10 applyInPandas
+    path instead kept one NaT row per all-NULL key — undefined-order
+    dirty-data behavior nothing depended on.)"""
 
     @F.pandas_udf("array<int>")
     def keep_idx(us: pd.Series) -> pd.Series:
@@ -458,8 +466,10 @@ def debounce_batch(
 
         return pd.Series([one(u) for u in us], dtype=object)
 
-    per_key = df.groupBy(key_col).agg(
-        F.array_sort(F.collect_list(F.col(ts_col))).alias("__t")
+    per_key = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(key_col)
+        .agg(F.array_sort(F.collect_list(F.col(ts_col))).alias("__t"))
     )
     kept = per_key.select(
         F.col(key_col),
