@@ -203,13 +203,17 @@ def jaccard_pairs_prefix(
     Compared to ``jaccard_pairs`` (full inverted index, counts overlap
     inside the join): fewer candidates but two extra hash joins to
     fetch arrays. MEASURED VERDICT (round 9, RACE_JACCARD_r09.json /
-    SCALING.md): on 5k/50k/500k-doc corpora at t=0.2 and t=0.5 the
-    inverted index wins every leg by 2.8-14.3x, and the gap WIDENS
-    with corpus size — the canonical-order construction is a second
-    full-posting shuffle and the per-candidate array_intersect verify
-    costs more than the candidates it saves. Prefer ``jaccard_pairs``
-    (+ max_token_df) in production; this stays as the
-    exactness-tested reference implementation of the PPJoin family.
+    SCALING.md): on 5k/50k/500k-doc WORD-shingle corpora at t=0.2 and
+    t=0.5 the inverted index wins every leg by 2.8-14.3x, and the gap
+    WIDENS with corpus size — the canonical-order construction is a
+    second full-posting shuffle and the per-candidate array_intersect
+    verify costs more than the candidates it saves. Round-11
+    amendment: on DENSE shingle distributions the verdict flips —
+    q45's char 5-grams (2041-gram vocabulary, Σdf² = 1.5e9) ran 143 s
+    through the full index and 26.5 s here (prefix cuts the join mass
+    9.2x; the ranked frame is persisted for its three consumers).
+    Dispatch by density: word shingles → ``jaccard_pairs``; dense
+    char grams / tiny vocabularies → this.
 
     Output: id_a, id_b (a < b), jaccard — identical contract to
     jaccard_pairs.
@@ -267,6 +271,15 @@ def jaccard_pairs_prefix(
             ),
         )
     )
+    # `ranked` (postings join + per-doc collect/sort) feeds the prefix
+    # index AND both exact-verify array sides — materialize it once
+    # instead of re-running the ranking pipeline 3x (guide §5; same
+    # caller cache contract as dup_span_pairs/tfidf_cosine_pairs:
+    # the returned lazy frame references the cache, clearCache between
+    # invocations in long-lived sessions)
+    from pyspark import StorageLevel
+
+    ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)
     pre = ranked.select(
         "id", "n_tok", F.explode("prefix").alias("token")
     )
